@@ -1,0 +1,60 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PorterStemmer
+
+/** Tokenization layer.
+  *
+  * Mirrors the reference's `StringTokenizer`-based tokenizers
+  * (reference `code/inverted/InvertedIndexMapred.java:57,69-84` and
+  * `code/wordcount/WordCountMapred.java:41,47-53`): text is split on a
+  * fixed set of punctuation/whitespace delimiter characters, empty tokens
+  * never appear (StringTokenizer semantics), tokens are lowercased, and
+  * the position counter is 1-based over ALL surviving tokens — it advances
+  * even for tokens later dropped by the digit/alnum/stop-word filters.
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * (split / filter / transform / posexplode); the only UDF in the whole
+  * indexing path is the Porter stemmer.
+  */
+object Analyzer {
+
+  /** Delimiter set of the index tokenizer, as a regex character class
+    * (reference `code/inverted/InvertedIndexMapred.java:57`).
+    */
+  val IndexDelimRegex: String = "[ \\t\\r\\n,.:;'\"()\\[\\]{}/<>!?|\\-—#$&=_*+]+"
+
+  /** Word-count tokenizer delimiters — the reference's word-count job adds
+    * an en-dash to the set (`code/wordcount/WordCountMapred.java:41`).
+    */
+  val WordCountDelimRegex: String = "[ \\t\\r\\n,.:;'\"()\\[\\]{}/<>!?|\\-—–#$&=_*+]+"
+
+  /** `text -> array<string>` of lowercased non-empty tokens. */
+  def tokensCol(text: Column, delimRegex: String = IndexDelimRegex): Column =
+    filter(split(lower(text), delimRegex), t => length(t) > 0)
+
+  /** Explode a document table into one row per token with its 1-based
+    * position: `(…keyCols, pos INT, token STRING)`.
+    */
+  def tokenize(docs: DataFrame, textCol: String, keyCols: Seq[String],
+               delimRegex: String = IndexDelimRegex): DataFrame = {
+    val keys = keyCols.map(col)
+    docs
+      .select(keys :+ posexplode(tokensCol(col(textCol), delimRegex)).as(Seq("pos0", "token")): _*)
+      .select(keys :+ (col("pos0") + 1).as("pos") :+ col("token"): _*)
+  }
+
+  /** Keep only `[a-z0-9]+` tokens that are not all digits (reference
+    * `code/inverted/InvertedIndexMapred.java:76`). Codegen-friendly:
+    * `rlike` compiles to a regex match inside whole-stage codegen.
+    */
+  def isIndexableToken(token: Column): Column =
+    token.rlike("^[a-z0-9]+$") && !token.rlike("^[0-9]+$")
+
+  /** Porter-stemmer UDF — the one scalar function Spark has no built-in
+    * for (reference `util/Stemmer.java`).
+    */
+  val stemUdf = udf((s: String) => if (s == null) null else PorterStemmer.stem(s))
+}

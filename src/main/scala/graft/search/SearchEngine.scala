@@ -1,0 +1,162 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end batch search: the Spark restatement of the reference's
+  * query lifecycle (`code/query/QueryMapred.java:207-239` +
+  * `util/CorpusFetcher.java:73-118`): parse -> prune -> evaluate the
+  * boolean algebra as joins -> rank -> paginate -> fetch docs -> snippet
+  * and highlight. The reference's single-reducer evaluation becomes a
+  * distributed join tree; pagination is a window over an already
+  * top-k-limited result, never a global single-partition sort of the full
+  * result set.
+  */
+object SearchEngine {
+
+  val PageSize = 10      // util/SearchResult.java:42
+  val SnippetRange = 300 // util/CorpusFetcher.java:123
+
+  /** Run a CNF query against a posting table, returning
+    * `(doc_id, score)` ranked by score descending (doc_id ascending as a
+    * deterministic tie-break — the reference's stable sort keeps docId
+    * order on ties, `util/PostingList.java:160-166`).
+    *
+    * A top-level negated result (e.g. the query `not a`) resolves against
+    * the corpus with a left-anti join — the universe the reference leaves
+    * implicit (SURVEY.md §2.5); score 0 since negated docs carry none.
+    */
+  def search(query: String, index: DataFrame, docs: DataFrame,
+             stopWords: Set[String] = Set.empty): DataFrame = {
+    val ast = new QueryParser(stopWords).parse(query.toLowerCase)
+    val stats = QueryCompiler.termStats(index, QueryCompiler.leafTerms(ast))
+    val node = QueryCompiler.compile(ast, index, stats)
+    val resolved = node.tpe match {
+      case 0 => node.df.select(col("doc_id"), col("score"))
+      case 1 => docs.select(col("doc_id"))
+        .join(node.df.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit(0.0).as("score"))
+      case _ => node.df.select(col("doc_id"), col("score")).limit(0)
+    }
+    resolved.orderBy(desc("score"), asc("doc_id"))
+  }
+
+  /** One result page (1-based `page`): top `page*PageSize` rows only are
+    * ever sorted/collected (TakeOrdered), then the window numbers that
+    * small prefix. Mirrors `SearchResult` paging + overflow clamp to the
+    * last page (`util/SearchResult.java:33-46`, `util/CorpusFetcher
+    * .java:88` — clamping is the caller's job here via `count`).
+    */
+  def page(ranked: DataFrame, page: Int): DataFrame = {
+    val w = Window.orderBy(desc("score"), asc("doc_id"))
+    ranked.limit(page * PageSize)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > (page - 1) * PageSize)
+      .drop("rn")
+  }
+
+  /** F7: HTML entity decode of the stored-HTML corpus variant
+    * (`util/CorpusFetcher.java:255`).
+    */
+  def entityDecode(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(c, "&#60;", "<"), "&#62;", ">")
+
+  /** F9: snippet extraction (`util/CorpusFetcher.java:120-194`): find the
+    * up-to-3rd occurrence of each highlight word, open a +/-(300/k)-char
+    * window around each hit, coalesce overlapping windows into intervals,
+    * clamp to the content bounds, join with "...".
+    */
+  private[search] def snippetOf(content: String, highlights: Seq[String]): String = {
+    if (content == null) return null
+    val lower = content.toLowerCase
+    val hits = highlights.flatMap { h =>
+      val i = ordinalIndexOf(lower, h, 3)
+      if (i >= 0) Some(i) else None
+    }.sorted
+    if (hits.isEmpty)
+      return (if (content.length < SnippetRange) content
+              else content.substring(0, SnippetRange) + "...").replaceAll("\n", "")
+    val wordRange = SnippetRange / hits.length
+    val intervals = Vector.newBuilder[(Int, Int)]
+    var i = 0
+    while (i < hits.length) {
+      val curStart = hits(i) - wordRange / 2
+      var curEnd = hits(i) + wordRange / 2
+      while (i + 1 < hits.length && hits(i + 1) - wordRange / 2 < curEnd) {
+        curEnd = hits(i + 1) + wordRange / 2
+        i += 1
+      }
+      intervals += ((curStart, curEnd))
+      i += 1
+    }
+    val sb = new StringBuilder
+    for ((s0, e0) <- intervals.result()) {
+      var s = s0; var e = e0
+      if (s < 0) { e += -s; s = 0 }
+      if (e > content.length - 1) {
+        s -= e - content.length - 1
+        if (s < 0) s = 0
+        e = content.length - 1
+      }
+      if (s != 0) sb.append("...")
+      sb.append(content.substring(s, e + 1))
+      if (e != content.length - 1) sb.append("...")
+    }
+    sb.toString.replaceAll("\n", "")
+  }
+
+  /** F8: index of the min(n, occurrences)-th occurrence of `substr`
+    * (`util/CorpusFetcher.java:230-238`).
+    */
+  private[search] def ordinalIndexOf(str: String, substr: String, n: Int): Int = {
+    var last = -1
+    var pos = str.indexOf(substr)
+    var left = n
+    while ({ left -= 1; left > 0 } && pos != -1) {
+      last = pos
+      pos = str.indexOf(substr, pos + 1)
+    }
+    if (pos == -1) last else pos
+  }
+
+  /** F10: wrap each highlight word (and its Capitalized form) in the
+    * reference's yellow span (`util/CorpusFetcher.java:121-122,186-190`).
+    */
+  private[search] def highlightWrap(text: String, highlights: Seq[String]): String = {
+    val start = "<span style=\"background-color: #FFFF00\">"
+    val end = "</span>"
+    var result = text
+    for (h <- highlights if h.nonEmpty) {
+      result = result.replaceAll("\\b" + h + "\\b", start + h + end)
+      val cap = h.substring(0, 1).toUpperCase + h.substring(1)
+      result = result.replaceAll("\\b" + cap + "\\b", start + cap + end)
+    }
+    result
+  }
+
+  private val snippetUdf =
+    udf((content: String, highlights: Seq[String]) =>
+      if (content == null) null
+      else highlightWrap(snippetOf(content, highlights), highlights))
+
+  /** J9 + F9/F10/F11: join a ranked page with the corpus (the result side
+    * is tiny -> broadcast, the reference's loop of MapFile point-gets)
+    * and render highlighted snippets.
+    */
+  def renderPage(pageDf: DataFrame, docs: DataFrame, query: String): DataFrame = {
+    val highlights = QueryParser.highlightWords(query)
+    docs.join(broadcast(pageDf), "doc_id")
+      .select(col("doc_id"), col("score"),
+        snippetUdf(col("text"), lit(highlights.toArray)).as("snippet"))
+      .orderBy(desc("score"), asc("doc_id"))
+  }
+
+  /** S8: point lookup of one document — pushdown predicate on the corpus
+    * Parquet replaces the reference's MapFile get
+    * (`util/CorpusFetcher.java:246-258`).
+    */
+  def fetchDoc(docs: DataFrame, docId: Long): DataFrame =
+    docs.filter(col("doc_id") === docId)
+      .select(col("doc_id"), entityDecode(col("text")).as("text"))
+}
