@@ -1,13 +1,501 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.search.{Indexer, SearchEngine}
+import graft.streaming.StreamingOps
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator family from SURVEY.md §2 (scans, projections, scalar
+  * functions, aggregations, the join/set-op query algebra, sort/top-k/
+  * pagination, the CNF front-end) plus the LLM-pipeline extensions
+  * (dedup, similarity, text analysis, multimodal, sessionization) has a
+  * `queries` entry; the SQL-expressible ones carry a DuckDB oracle in
+  * `oracleSql` (same column names, deterministic values).
+  *
+  * Search-score queries are oracle-checkable because on this corpus the
+  * Porter stem map is injective over the 31-word vocabulary, so
+  * stemmed-term statistics equal raw-token statistics; the stemmer
+  * itself is pinned by unit vectors instead (PorterStemmerSpec).
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Tables(s, dir, name)
+
+  /** The raw-token DuckDB CTE mirroring Indexer.postings (minus
+    * stemming): tokenize with the reference delimiter set, 1-based
+    * positions over non-empty tokens, alnum/digit filters, tf, df,
+    * docNum, TF-IDF with mixed log bases.
+    */
+  private val OracleTfidfCte: String =
+    """WITH toks0 AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(lower(text),
+      |           '[ \t\r\n,.:;''"()\[\]{}/<>!?|\-—#$&=_*+]+'), x -> x <> '') AS arr
+      |  FROM documents
+      |), toks AS (
+      |  SELECT doc_id, i AS pos, arr[i] AS token
+      |  FROM toks0, unnest(generate_series(1, len(arr))) AS u(i)
+      |), kept AS (
+      |  SELECT doc_id, pos, token FROM toks
+      |  WHERE regexp_matches(token, '^[a-z0-9]+$')
+      |    AND NOT regexp_matches(token, '^[0-9]+$')
+      |), tf AS (
+      |  SELECT token AS term, doc_id, count(*) AS tf FROM kept GROUP BY 1, 2
+      |), dfreq AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+      |), n AS (
+      |  SELECT count(*) AS doc_num FROM documents
+      |), sc AS (
+      |  SELECT tf.term, tf.doc_id,
+      |         (1 + log10(tf.tf)) * ln(CAST(n.doc_num AS DOUBLE) / dfreq.df) AS score
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+      |)
+      |""".stripMargin
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    queries("search_cnf")(spark, "/root/testdata/sf0.001")
+
+  private def searchScores(s: SparkSession, dir: String, q: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val idx = Indexer.postings(docs)
+    SearchEngine.search(q, idx, docs)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+  }
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scans / projections / row transforms (S, P) ----
+    "corpus_project" -> ((s, dir) =>
+      t(s, dir, "documents").select("doc_id", "text").dropDuplicates("doc_id")),
+    "doc_fetch" -> ((s, dir) =>
+      SearchEngine.fetchDoc(t(s, dir, "documents"), 42L)),
+    "tokenize_pos" -> ((s, dir) =>
+      graft.search.Analyzer.tokenize(t(s, dir, "documents"), "text", Seq("doc_id"))),
+
+    // ---- aggregations (A1-A4) ----
+    "doc_count" -> ((s, dir) =>
+      Indexer.docCount(t(s, dir, "documents"))),
+    "word_count" -> ((s, dir) =>
+      Indexer.wordCounts(t(s, dir, "documents"))),
+    "top_words" -> ((s, dir) =>
+      Indexer.stopWords(t(s, dir, "documents"), 100)),
+    "term_freq" -> ((s, dir) =>
+      Indexer.termDocStats(t(s, dir, "documents"), Seq.empty, stem = false)
+        .select("term", "doc_id", "tf")),
+    "tfidf_postings" -> ((s, dir) =>
+      Indexer.postings(t(s, dir, "documents"), stem = false)
+        .select(col("term"), col("doc_id"), col("tf"), col("df"),
+          round(col("score"), 4).as("score"))),
+    "postings_stemmed" -> ((s, dir) =>
+      Indexer.postings(t(s, dir, "documents"))
+        .select(col("term"), col("doc_id"), col("tf"), col("df"),
+          round(col("score"), 4).as("score"))),
+
+    // ---- boolean retrieval: the join/set-op algebra (J1-J8, F3, F5) ----
+    "search_and" -> ((s, dir) => searchScores(s, dir, "spark and data")),
+    "search_or" -> ((s, dir) => searchScores(s, dir, "spark or data")),
+    "search_and_not" -> ((s, dir) => searchScores(s, dir, "spark and not data")),
+    "search_cnf" -> ((s, dir) =>
+      searchScores(s, dir, "(spark or data) and join and not dup")),
+    "search_phrase" -> ((s, dir) => searchScores(s, dir, "spark data")),
+    "search_not_or" -> ((s, dir) =>
+      searchScores(s, dir, "join and not (spark or data)")),
+
+    // ---- ranking / pagination (O4, O6) ----
+    "search_page1" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ranked = SearchEngine.search("spark and data",
+        Indexer.postings(docs), docs)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+      SearchEngine.page(ranked, 1)
+    }),
+
+    // ---- relational coverage on the TPC-H-ish tables ----
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          count("*").as("count_order"))),
+    "q_join3" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count("*").as("n_items"))
+    }),
+    "q_broadcast_join" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val l = t(s, dir, "lineitem")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count("*").as("n_items"))
+    }),
+    "q_semi_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+    }),
+    "q_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+    "q_full_outer" -> ((s, dir) => {
+      val cs = t(s, dir, "customer").groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count("*").as("n_cust"))
+      val ss = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count("*").as("n_supp"))
+      cs.join(ss, Seq("nationkey"), "full_outer")
+        .select(col("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    }),
+    "q_union_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val hi = o.filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey"), col("o_totalprice").as("v"))
+      val lo = o.filter(col("o_totalprice") < 50000)
+        .select(col("o_custkey"), col("o_totalprice").as("v"))
+      hi.unionByName(lo).groupBy("o_custkey")
+        .agg(round(sum("v"), 2).as("total"), count("*").as("n"))
+    }),
+    "q_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+        .orderBy(desc("price"), asc("o_orderkey"))
+        .limit(100)),
+    "q_window_topn" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
+      l.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("l_suppkey"), col("rn"), col("l_orderkey"),
+          round(col("l_extendedprice"), 2).as("price"))
+    }),
+
+    // ---- temporal / events ----
+    "q_events_window" -> ((s, dir) =>
+      StreamingOps.windowedCounts(t(s, dir, "events"))
+        // NTZ at the output boundary: session is UTC, so wall time equals
+        // the oracle's naive timestamps
+        .select(col("window_start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("n_events"),
+          round(col("total_value"), 2).as("total_value"))),
+    "q_sessionize" -> ((s, dir) =>
+      StreamingOps.sessionizeBatch(t(s, dir, "events"), 30L * 60 * 1000)
+        .select(col("user_id"),
+          col("session_start").cast("timestamp_ntz").as("session_start"),
+          col("session_end").cast("timestamp_ntz").as("session_end"),
+          col("n_events"), round(col("total_value"), 2).as("total_value"))),
+    "q_events_json" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), count("*").as("n"))),
+
+    // ---- dedup family ----
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"))),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(t(s, dir, "documents"), n = 3, minJ = 0.05)),
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minHashLsh(t(s, dir, "documents"), n = 3, numHashes = 32,
+        bands = 8, minJ = 0.2)),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashPairs(t(s, dir, "documents"), n = 2, maxHamming = 8)),
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), minCos = 0.4, planes = 4)
+        .select(col("vec_a"), col("vec_b"), round(col("cosine"), 4).as("cosine"))),
+
+    // ---- similarity search ----
+    "sim_topk_brute" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(Similarity.cosineCol(col("embedding"), col("q_emb")), 4).as("cosine"))
+        .orderBy(desc("cosine"), asc("vec_id"))
+        .limit(10)
+    }),
+    "sim_lsh_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qVec = e.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).map(_.toDouble)
+      Similarity.lshTopK(e.filter(col("vec_id") =!= 0), qVec, 10)
+    }),
+    "sim_knn_label" -> ((s, dir) =>
+      Similarity.knnWithinLabel(t(s, dir, "embeddings"), 3)
+        .select(col("vec_a"), col("vec_b"), round(col("cosine"), 4).as("cosine"))),
+
+    // ---- text analysis ----
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(t(s, dir, "documents"))),
+    "text_token_counts" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(t(s, dir, "documents"))),
+    "text_lang_id" -> ((s, dir) =>
+      TextAnalysis.languageId(t(s, dir, "documents"))),
+    "text_digest" -> ((s, dir) =>
+      TextAnalysis.contentDigest(t(s, dir, "documents"))),
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(t(s, dir, "documents"))),
+
+    // ---- multimodal plumbing ----
+    "media_stats" -> ((s, dir) =>
+      Multimodal.mediaStats(Multimodal.syntheticMedia(t(s, dir, "documents")))
+        .select(col("kind"), col("n_assets"), col("total_bytes"),
+          round(col("avg_bytes"), 4).as("avg_bytes"))),
+    "media_features" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val media = Multimodal.syntheticMedia(t(s, dir, "documents"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.extractFeatures(media, 64, 64)
+        .select(col("media_id"), col("kind"), col("byte_len"))
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for ops whose semantics are not
+    * SQL-expressible (stemmed postings, LSH/minhash internals, the
+    * heuristic language scorer, xxhash fingerprints, media features) —
+    * those are covered by unit/property tests instead.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "corpus_project" ->
+      "SELECT doc_id, text FROM documents",
+    "doc_fetch" ->
+      ("SELECT doc_id, replace(replace(text, '&#60;', '<'), '&#62;', '>') AS text " +
+        "FROM documents WHERE doc_id = 42"),
+    "tokenize_pos" ->
+      (OracleTfidfCte + "SELECT doc_id, pos, token FROM toks"),
+    "doc_count" ->
+      "SELECT count(*) AS doc_num FROM documents",
+    "word_count" ->
+      ("""WITH toks0 AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |    '[ \t\r\n,.:;''"()\[\]{}/<>!?|\-—–#$&=_*+]+'), x -> x <> '') AS arr
+        |  FROM documents
+        |), toks AS (SELECT unnest(arr) AS word FROM toks0)
+        |SELECT word, count(*) AS cnt FROM toks
+        |WHERE NOT regexp_matches(word, '^[0-9]+$')
+        |GROUP BY 1""").stripMargin,
+    "top_words" ->
+      ("""WITH toks0 AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |    '[ \t\r\n,.:;''"()\[\]{}/<>!?|\-—–#$&=_*+]+'), x -> x <> '') AS arr
+        |  FROM documents
+        |), toks AS (SELECT unnest(arr) AS word FROM toks0)
+        |SELECT word, count(*) AS cnt FROM toks
+        |WHERE NOT regexp_matches(word, '^[0-9]+$')
+        |GROUP BY 1 ORDER BY cnt DESC, word ASC LIMIT 100""").stripMargin,
+    "term_freq" ->
+      (OracleTfidfCte + "SELECT term, doc_id, tf FROM tf"),
+    "tfidf_postings" ->
+      (OracleTfidfCte +
+        """SELECT tf.term, tf.doc_id, tf.tf, dfreq.df,
+          |       round((1 + log10(tf.tf)) * ln(CAST(n.doc_num AS DOUBLE) / dfreq.df), 4) AS score
+          |FROM tf JOIN dfreq USING (term) CROSS JOIN n""").stripMargin,
+    "search_and" ->
+      (OracleTfidfCte +
+        """SELECT a.doc_id, round(a.score * b.score, 4) AS score
+          |FROM sc a JOIN sc b USING (doc_id)
+          |WHERE a.term = 'spark' AND b.term = 'data'""").stripMargin,
+    "search_or" ->
+      (OracleTfidfCte +
+        """SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+          |       round(COALESCE(a.score, 0) + COALESCE(b.score, 0), 4) AS score
+          |FROM (SELECT * FROM sc WHERE term = 'spark') a
+          |FULL OUTER JOIN (SELECT * FROM sc WHERE term = 'data') b
+          |  ON a.doc_id = b.doc_id""").stripMargin,
+    "search_and_not" ->
+      (OracleTfidfCte +
+        """SELECT a.doc_id, round(a.score, 4) AS score
+          |FROM sc a
+          |WHERE a.term = 'spark' AND NOT EXISTS (
+          |  SELECT 1 FROM sc b WHERE b.term = 'data' AND b.doc_id = a.doc_id)""").stripMargin,
+    "search_cnf" ->
+      (OracleTfidfCte +
+        """, ors AS (
+          |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+          |         COALESCE(a.score, 0) + COALESCE(b.score, 0) AS score
+          |  FROM (SELECT * FROM sc WHERE term = 'spark') a
+          |  FULL OUTER JOIN (SELECT * FROM sc WHERE term = 'data') b
+          |    ON a.doc_id = b.doc_id)
+          |SELECT o.doc_id, round(o.score * j.score, 4) AS score
+          |FROM ors o JOIN sc j ON j.term = 'join' AND j.doc_id = o.doc_id
+          |WHERE NOT EXISTS (
+          |  SELECT 1 FROM sc d WHERE d.term = 'dup' AND d.doc_id = o.doc_id)""").stripMargin,
+    "search_phrase" ->
+      (OracleTfidfCte +
+        """, dist AS (
+          |  SELECT p1.doc_id, min(abs(p1.pos - p2.pos)) AS d
+          |  FROM kept p1 JOIN kept p2 USING (doc_id)
+          |  WHERE p1.token = 'spark' AND p2.token = 'data'
+          |  GROUP BY 1)
+          |SELECT a.doc_id,
+          |       round(CASE WHEN dist.d IS NOT NULL
+          |         THEN pow(a.score * b.score, 1.0 + 1.0 / dist.d)
+          |         ELSE a.score * b.score END, 4) AS score
+          |FROM sc a JOIN sc b USING (doc_id) LEFT JOIN dist USING (doc_id)
+          |WHERE a.term = 'spark' AND b.term = 'data'""").stripMargin,
+    "search_not_or" ->
+      (OracleTfidfCte +
+        """SELECT j.doc_id, round(j.score, 4) AS score
+          |FROM sc j
+          |WHERE j.term = 'join'
+          |  AND NOT EXISTS (SELECT 1 FROM sc a
+          |    WHERE a.term = 'spark' AND a.doc_id = j.doc_id)
+          |  AND NOT EXISTS (SELECT 1 FROM sc b
+          |    WHERE b.term = 'data' AND b.doc_id = j.doc_id)""").stripMargin,
+    "search_page1" ->
+      (OracleTfidfCte +
+        """SELECT a.doc_id, round(a.score * b.score, 4) AS score
+          |FROM sc a JOIN sc b USING (doc_id)
+          |WHERE a.term = 'spark' AND b.term = 'data'
+          |ORDER BY score DESC, doc_id ASC LIMIT 10""").stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= '1998-09-02'
+        |GROUP BY 1, 2""".stripMargin,
+    "q_join3" ->
+      """SELECT c_custkey, c_mktsegment,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q_broadcast_join" ->
+      """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
+    "q_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_full_outer" ->
+      """SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+        |       COALESCE(c.n_cust, 0) AS n_cust,
+        |       COALESCE(s.n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+        |      FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+        |      FROM supplier GROUP BY 1) s
+        |  ON c.nationkey = s.nationkey""".stripMargin,
+    "q_union_agg" ->
+      """WITH u AS (
+        |  SELECT o_custkey, o_totalprice AS v FROM orders WHERE o_totalprice > 200000
+        |  UNION ALL
+        |  SELECT o_custkey, o_totalprice AS v FROM orders WHERE o_totalprice < 50000)
+        |SELECT o_custkey, round(sum(v), 2) AS total, count(*) AS n
+        |FROM u GROUP BY 1""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+        |ORDER BY price DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "q_window_topn" ->
+      """SELECT l_suppkey, rn, l_orderkey, round(l_extendedprice, 2) AS price
+        |FROM (SELECT l_suppkey, l_orderkey, l_extendedprice,
+        |        row_number() OVER (PARTITION BY l_suppkey
+        |          ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rn
+        |      FROM lineitem)
+        |WHERE rn <= 3""".stripMargin,
+    "q_events_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |       count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(prev_ts) >= 1800000
+        |         THEN 1 ELSE 0 END AS is_start
+        |  FROM e),
+        |g AS (
+        |  SELECT *, sum(is_start) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM f)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM g GROUP BY user_id, session_seq""".stripMargin,
+    "q_events_json" ->
+      """SELECT event_type,
+        |       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |       count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH toks0 AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |    '[ \t\r\n,.:;''"()\[\]{}/<>!?|\-—#$&=_*+]+'), x -> x <> '') AS arr
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         array_to_string(arr[i : i + 2], ' ') AS shingle
+        |  FROM toks0, unnest(generate_series(1, greatest(len(arr) - 2, 1))) AS u(i)
+        |  WHERE len(arr) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.05""".stripMargin,
+    "sim_topk_brute" ->
+      """SELECT e.vec_id,
+        |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |         CAST(q.embedding AS DOUBLE[])), 4) AS cosine
+        |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cosine DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+    "text_token_counts" ->
+      """SELECT doc_id,
+        |       len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS ws_tokens,
+        |       len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS bpe_tokens
+        |FROM documents""".stripMargin,
+    "text_digest" ->
+      "SELECT doc_id, md5(text) AS digest FROM documents",
+    "media_stats" ->
+      """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |       count(*) AS n_assets,
+        |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |       round(avg(octet_length(encode(text))), 4) AS avg_bytes
+        |FROM documents GROUP BY 1""".stripMargin
+  )
 }

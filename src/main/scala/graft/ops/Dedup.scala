@@ -1,0 +1,184 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+import graft.search.Analyzer
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (BASELINE north-star extensions — no reference counterpart; designed
+  * partition-parallel for 100 TB posture: every candidate-generation
+  * step is a groupBy/join on a bounded key, never an n^2 cross join).
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on content digest. Returns one row per
+    * distinct text with the kept (minimum) doc_id and the duplicate
+    * count. Map-side partial aggregation makes this one shuffle on the
+    * 32-hex-char digest regardless of document size.
+    */
+  def exact(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count("*").as("n_copies"))
+
+  /** Word-`n`-gram shingles of a document, distinct, as one row per
+    * shingle: `(doc_id, shingle STRING)`. Built from codegen'd
+    * higher-order array functions — no UDF.
+    */
+  def shingles(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame = {
+    val toks = Analyzer.tokensCol(col(textCol))
+    docs.select(col("doc_id"),
+        explode(transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))).as("shingle"))
+      .filter(size(split(col("shingle"), " ")) === n)
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing at least one
+    * shingle, expressed relationally (self-equi-join on the shingle key +
+    * re-aggregation) so it shuffles on shingle/doc keys instead of
+    * enumerating the n^2 document pairs. Returns
+    * `(doc_a, doc_b, jaccard)` with doc_a < doc_b and jaccard >= minJ.
+    *
+    * Scale note: a stop-shingle appearing in k docs contributes k^2 join
+    * rows; `maxShingleFreq` drops such super-frequent shingles from
+    * CANDIDATE GENERATION only (a standard LSH-side guard); with the
+    * default Int.MaxValue the result is exact.
+    */
+  def ngramJaccard(docs: DataFrame, n: Int, minJ: Double,
+                   maxShingleFreq: Int = Int.MaxValue): DataFrame = {
+    val sh = shingles(docs, n)
+    val filtered =
+      if (maxShingleFreq == Int.MaxValue) sh
+      else {
+        val freq = sh.groupBy("shingle").agg(count("*").as("freq"))
+          .filter(col("freq") <= maxShingleFreq)
+        sh.join(filtered_hint(freq.select("shingle")), "shingle")
+      }
+    val sizes = filtered.groupBy("doc_id").agg(count("*").as("n_shingles"))
+    val a = filtered.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = filtered.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count("*").as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_shingles", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_shingles", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
+      .filter(col("jaccard") >= minJ)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  private def filtered_hint(df: DataFrame): DataFrame = broadcast(df)
+
+  /** MinHash signature: `numHashes` permutation-style hash functions
+    * `h_i(x) = min over shingles of xxhash64(shingle, seed=i)`. Pure
+    * column algebra: the per-document min for every hash function is one
+    * aggregation — `(doc_id, sig ARRAY<BIGINT>)`.
+    */
+  def minHashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
+    val sh = shingles(docs, n)
+    val mins = (0 until numHashes)
+      .map(i => min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    sh.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH near-dup candidates: the signature splits into
+    * `bands` bands of `numHashes/bands` rows; documents agreeing on any
+    * full band land in the same bucket (shuffle key = (band, bucketHash))
+    * and become a candidate pair. Estimated Jaccard = fraction of
+    * matching signature components. Returns
+    * `(doc_a, doc_b, est_jaccard)` with est_jaccard >= minJ.
+    */
+  def minHashLsh(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
+                 bands: Int = 8, minJ: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = minHashSignatures(docs, n, numHashes)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          bnd => xxhash64(concat_ws(",",
+            slice(col("sig"), bnd * rows + 1, lit(rows))), bnd))).as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sig_a"), col("sig_b"))).cast("double") /
+          size(col("sig_a"))).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= minJ)
+  }
+
+  /** SimHash: 64-bit weighted-majority fingerprint of a document's
+    * shingle hashes. For each bit position, sum +1/-1 votes across
+    * shingles; the sign of the sum is the bit. Near-dups = fingerprints
+    * within `maxHamming` — candidates found by matching on any of the
+    * four 16-bit chunks (pigeonhole: hamming <= 3 implies one chunk is
+    * identical).
+    */
+  def simHash(docs: DataFrame, n: Int = 2): DataFrame = {
+    val sh = shingles(docs, n)
+      .withColumn("h", xxhash64(col("shingle")))
+    // vote(+1/-1) per bit, summed per document, then sign -> bit
+    val bitVotes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    sh.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b =>
+          when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+          .reduce((a: Column, c: Column) => a.bitwiseOR(c)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` bits, candidate-generated
+    * by 16-bit chunk equality (4 buckets per doc — a bounded-key shuffle,
+    * no cross join).
+    */
+  def simHashPairs(docs: DataFrame, n: Int = 2, maxHamming: Int = 3): DataFrame = {
+    val fp = simHash(docs, n)
+    val chunked = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("chunk", "chunk_val")))
+    val l = chunked.select(col("chunk"), col("chunk_val"),
+      col("doc_id").as("doc_a"), col("simhash").as("fp_a"))
+    val r = chunked.select(col("chunk"), col("chunk_val"),
+      col("doc_id").as("doc_b"), col("simhash").as("fp_b"))
+    l.join(r, Seq("chunk", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup: pairs of vectors with cosine similarity >=
+    * minCos. Candidates come from random-hyperplane LSH buckets
+    * (deterministic planes from xxhash64 of (vec position, plane id)), so
+    * the join key is a bounded bucket signature, not an n^2 cross join;
+    * exact cosine verifies each candidate.
+    */
+  def embeddingNearDup(embeddings: DataFrame, minCos: Double = 0.95,
+                       planes: Int = 8): DataFrame = {
+    val sigCol = Similarity.hyperplaneSignature(col("embedding"), planes)
+    val sigs = embeddings.select(col("vec_id"), col("embedding"), sigCol.as("bucket"))
+    val l = sigs.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val r = sigs.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        Similarity.cosineCol(col("emb_a"), col("emb_b")).as("cosine"))
+      .filter(col("cosine") >= minCos)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`ARRAY<FLOAT>`).
+  * Baseline: brute-force cosine top-k (a single scan + TakeOrdered — no
+  * shuffle of the corpus). Scale path: LSH-bucketed ANN that prunes the
+  * corpus to matching buckets before exact re-ranking.
+  * All vector math is codegen'd column algebra (`zip_with` +
+  * `aggregate`), no UDFs.
+  */
+object Similarity {
+
+  /** Dot product of two array columns in double precision. */
+  def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def normCol(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity of two array columns. */
+  def cosineCol(a: Column, b: Column): Column =
+    dotCol(a, b) / (normCol(a) * normCol(b))
+
+  /** Brute-force cosine top-k against a constant query vector: one
+    * codegen'd scan computing the similarity, then `orderBy.limit` which
+    * Spark plans as per-partition TakeOrdered + driver merge of k rows —
+    * the correct 100 TB baseline (no global sort, no shuffle).
+    */
+  def bruteForceTopK(embeddings: DataFrame, query: Seq[Double], k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    embeddings
+      .select(col("vec_id"), cosineCol(col("embedding"), q).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Random-hyperplane signature: `planes` sign bits of dot products with
+    * deterministic pseudo-random unit-free planes. Plane component j of
+    * plane p derives from xxhash64(j, p) mapped to [-0.5, 0.5) — fully
+    * deterministic across runs and executors (no RNG state).
+    */
+  def hyperplaneSignature(emb: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(0), size(emb) - 1), (x, j) =>
+          x.cast("double") *
+            ((pmod(xxhash64(j, lit(p)), lit(1000000L)).cast("double") / 1000000.0) - 0.5)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed approximate top-k: prune the corpus to vectors whose
+    * hyperplane signature matches the query's in at least
+    * `planes - maxBitDiff` bits (bucket prefilter), then exact cosine
+    * re-rank. At 100 TB the signature is precomputed/persisted with the
+    * embeddings and the bucket filter is a pushed-down scan predicate.
+    */
+  def lshTopK(embeddings: DataFrame, query: Seq[Double], k: Int,
+              planes: Int = 12, maxBitDiff: Int = 3): DataFrame = {
+    val q = array(query.map(lit): _*)
+    val qSig = hyperplaneSignature(q, planes)
+    embeddings
+      .select(col("vec_id"), col("embedding"),
+        hyperplaneSignature(col("embedding"), planes).as("sig"))
+      .withColumn("bit_diff", bit_count(col("sig").bitwiseXOR(qSig)))
+      .filter(col("bit_diff") <= maxBitDiff)
+      .select(col("vec_id"), cosineCol(col("embedding"), q).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** All-pairs k-nearest-neighbors per label group (a bounded-key
+    * shuffle join on `label`), exact within group: for corpora where a
+    * coarse partitioner (label / IVF centroid) already exists. Returns
+    * the `k` nearest neighbors of every vector within its label.
+    */
+  def knnWithinLabel(embeddings: DataFrame, k: Int): DataFrame = {
+    val l = embeddings.select(col("label"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val r = embeddings.select(col("label"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    val w = Window.partitionBy("vec_a").orderBy(desc("cosine"), asc("vec_b"))
+    l.join(r, Seq("label"))
+      .filter(col("vec_a") =!= col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosineCol(col("emb_a"), col("emb_b")).as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.search.Analyzer
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. All single-pass
+  * column algebra over the documents scan — no shuffle except the
+  * aggregations a caller adds.
+  */
+object TextAnalysis {
+
+  /** Common-word profiles for the n-gram/heuristic language scorer.
+    * Deliberately tiny: real pipelines plug in fastText-style models via
+    * the same interface (score per language -> argmax).
+    */
+  val LangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "for", "with"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "von", "mit", "ein", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "pas", "une", "dans", "que"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un", "es", "por"),
+    "zh" -> Seq("de", "shi", "le", "zai", "you", "wo", "ta", "men", "zhe", "bu")
+  )
+
+  /** Language ID: fraction of tokens hitting each language's common-word
+    * profile; argmax wins, ties break alphabetically, no hits -> "und".
+    */
+  def languageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = Analyzer.tokensCol(col(textCol))
+    val scores = LangProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        (size(filter(toks, t => t.isin(words.map(w => lit(w)): _*)))
+          .cast("double") / greatest(size(toks), lit(1))).as("score"),
+        lit(lang).as("lang"))
+    }
+    docs.select(col("doc_id"),
+      when(array_max(array(scores: _*)).getField("score") > 0,
+        // array_max on structs compares (score, lang) lexicographically:
+        // highest score wins, alphabetically-last lang breaks ties
+        array_max(array(scores: _*)).getField("lang"))
+        .otherwise(lit("und")).as("pred_lang"))
+  }
+
+  /** Quality score in [0,1]: blend of length, alphanumeric ratio,
+    * stop-word presence, and mean token length — the standard cheap
+    * heuristics (C4/Gopher-style) as pure column algebra.
+    * Emits the component columns too so thresholds stay debuggable.
+    */
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val toks = Analyzer.tokensCol(text)
+    val nChars = length(text).cast("double")
+    val nToks = size(toks).cast("double")
+    val alnum = length(regexp_replace(text, "[^a-zA-Z0-9]", "")).cast("double")
+    val stopHits = size(filter(toks,
+      t => t.isin(LangProfiles("en").map(lit): _*))).cast("double")
+    docs.select(
+      col("doc_id"),
+      nToks.as("n_tokens"),
+      round(alnum / greatest(nChars, lit(1.0)), 4).as("alnum_ratio"),
+      round(stopHits / greatest(nToks, lit(1.0)), 4).as("stopword_ratio"),
+      round(nChars / greatest(nToks, lit(1.0)), 4).as("mean_token_len"),
+      round(
+        least(nToks / 64.0, lit(1.0)) * 0.25
+          + (alnum / greatest(nChars, lit(1.0))) * 0.25
+          + least(stopHits / greatest(nToks, lit(1.0)) * 4.0, lit(1.0)) * 0.25
+          + least(nChars / greatest(nToks, lit(1.0)) / 8.0, lit(1.0)) * 0.25,
+        4).as("quality"))
+  }
+
+  /** Token counts: whitespace tokens and a BPE-ish regex token count
+    * (`\p{L}+|\p{N}+|[^\p{L}\p{N}\s]`), both codegen'd.
+    */
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      size(filter(split(col(textCol), "\\s+"), t => length(t) > 0)).as("ws_tokens"),
+      size(regexp_extract_all(col(textCol),
+        lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"), lit(0))).as("bpe_tokens"))
+
+  /** Rolling-hash document fingerprint (winnowing-style): the minimum of
+    * xxhash64 over the document's word 4-grams — robust to small edits,
+    * one aggregation.
+    */
+  def fingerprints(docs: DataFrame, n: Int = 4): DataFrame =
+    Dedup.shingles(docs, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .groupBy("doc_id").agg(min("h").as("fingerprint"))
+
+  /** Exact content digest (md5 of the raw text) — the degenerate
+    * fingerprint used by exact dedup; kept as its own operator for the
+    * oracle row.
+    */
+  def contentDigest(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), md5(col(textCol)).as("digest"))
+}

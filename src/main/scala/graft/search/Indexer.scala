@@ -65,15 +65,19 @@ object Indexer {
   /** `(doc_id, pos, token, term)` — tokenized, filtered, stemmed term
     * occurrences. Stop words are tested on the UNSTEMMED lowercase token,
     * exactly like the reference (`code/inverted/InvertedIndexMapred
-    * .java:76-80` filters then stems).
+    * .java:76-80` filters then stems). `stem = false` keeps raw tokens as
+    * terms (used by the SQL-oracle rows; the stemmer is pinned by unit
+    * vectors instead).
     */
-  def termOccurrences(docs: DataFrame, stopWords: Seq[String]): DataFrame = {
+  def termOccurrences(docs: DataFrame, stopWords: Seq[String],
+                      stem: Boolean = true): DataFrame = {
     val toks = Analyzer.tokenize(docs, "text", Seq("doc_id"))
       .filter(Analyzer.isIndexableToken(col("token")))
     val kept =
       if (stopWords.isEmpty) toks
       else toks.filter(!col("token").isin(stopWords: _*))
-    kept.withColumn("term", Analyzer.stemUdf(col("token")))
+    kept.withColumn("term",
+      if (stem) Analyzer.stemUdf(col("token")) else col("token"))
   }
 
   /** Term-frequency + sorted absolute positions per (term, doc):
@@ -82,8 +86,9 @@ object Indexer {
     * DELTA_BINARY_PACKED makes the reference's manual gap encoding
     * redundant.
     */
-  def termDocStats(docs: DataFrame, stopWords: Seq[String]): DataFrame =
-    termOccurrences(docs, stopWords)
+  def termDocStats(docs: DataFrame, stopWords: Seq[String],
+                   stem: Boolean = true): DataFrame =
+    termOccurrences(docs, stopWords, stem)
       .groupBy("term", "doc_id")
       .agg(count("*").as("tf"),
            sort_array(collect_list(col("pos"))).as("positions"))
@@ -98,8 +103,9 @@ object Indexer {
     * can split hot terms at scale; docNum rides in via a broadcast of a
     * 1-row aggregate, keeping the whole DAG lazy.
     */
-  def postings(docs: DataFrame, stopWords: Seq[String] = Seq.empty): DataFrame = {
-    val stats = termDocStats(docs, stopWords)
+  def postings(docs: DataFrame, stopWords: Seq[String] = Seq.empty,
+               stem: Boolean = true): DataFrame = {
+    val stats = termDocStats(docs, stopWords, stem)
     val dfPerTerm = stats.groupBy("term").agg(count("*").as("df"))
     stats
       .join(dfPerTerm, "term")

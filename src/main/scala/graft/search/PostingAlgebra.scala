@@ -162,7 +162,8 @@ object PostingAlgebra {
     * a single operand is copied without positions.
     */
   def nAryOr(ws: Vector[Wrapped]): Wrapped =
-    if (ws.length == 1) stripPositions(ws.head)
+    if (ws.isEmpty) Wrapped(0, Vector.empty) // reference crashes here; degrade
+    else if (ws.length == 1) stripPositions(ws.head)
     else {
       val mid = ws.length / 2
       combineOr(nAryOr(ws.take(mid)), nAryOr(ws.drop(mid)))

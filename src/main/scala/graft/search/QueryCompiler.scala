@@ -184,16 +184,24 @@ object QueryCompiler {
     def leafDf(term: String): DataFrame =
       index.filter(col("term") === lit(term))
         .select(col("doc_id"), col("score"), col("positions"))
+    // a query that is nothing but connectives ("and") parses to a
+    // zero-child node (Java split of an exact match is an empty array);
+    // degrade to an empty result instead of the reference's crash
+    def emptyNode = Node(0, index.limit(0).select(col("doc_id"), lit(0.0).as("score")),
+      hasPositions = false, 0L)
     def go(a: QueryAst): Node = a match {
       case Word(t)       => Node(0, leafDf(t), hasPositions = true, stats.getOrElse(t, 0L))
       case ExceptWord(t) => Node(1, leafDf(t), hasPositions = true, stats.getOrElse(t, 0L))
       case StopWord =>
         Node(2, index.limit(0).select(col("doc_id"), lit(0.0).as("score")),
           hasPositions = false, 0L)
-      case And(cs) => nAryAnd(cs.map(go))
+      case And(cs) => if (cs.isEmpty) emptyNode else nAryAnd(cs.map(go))
       case Or(cs, negated) =>
-        val r = nAryOr(cs.map(go))
-        if (negated) r.copy(tpe = 1 - r.tpe) else r
+        if (cs.isEmpty) emptyNode
+        else {
+          val r = nAryOr(cs.map(go))
+          if (negated) r.copy(tpe = 1 - r.tpe) else r
+        }
     }
     go(ast)
   }

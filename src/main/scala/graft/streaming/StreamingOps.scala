@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` table shape
+  * `(event_id, ts, user_id, event_type, value, props)`. The reference
+  * has no streaming surface (SURVEY.md §2.9); these are the north-star
+  * extensions: watermarked windowed aggregation and stateful
+  * sessionization, written so the SAME transformations run in batch
+  * (tests/oracle) and streaming (readStream) mode.
+  */
+object StreamingOps {
+
+  /** Tumbling-window aggregation per event type. Works on a batch OR
+    * streaming DataFrame; callers add `withWatermark` upstream in
+    * streaming mode (late data bound -> state eviction).
+    */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count("*").as("n_events"), sum("value").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Streaming wrapper: parquet-backed file stream -> watermark ->
+    * windowed agg. `maxFilesPerTrigger=1` makes local smoke runs
+    * deterministic.
+    */
+  def streamingWindowedCounts(spark: SparkSession, eventsPath: String,
+                              windowLen: String = "1 hour"): DataFrame = {
+    // driver testdata stores ts as INT64 TIMESTAMP(NANOS): read nanos as
+    // long and floor to micros, same as sources.Tables.events
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsPath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(eventsPath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    windowedCounts(stream.withWatermark("ts", "1 hour"), windowLen)
+  }
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(start: Long, end: Long, n: Int, total: Double)
+  final case class Session(user_id: Long, session_start: Timestamp,
+                           session_end: Timestamp, n_events: Int, total_value: Double)
+
+  /** Stateful sessionization with a gap timeout: events from one user
+    * belong to one session while consecutive events are < `gapMillis`
+    * apart. `flatMapGroupsWithState` keeps one small state record per
+    * user — the 100 TB-posture design (state size is O(users), not
+    * O(events); watermark timeout evicts idle users).
+    */
+  def sessionize(events: Dataset[Event], gapMillis: Long)(
+      implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) => {
+          val sorted = it.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = Vector.newBuilder[Session]
+          var cur = state.getOption
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.end < gapMillis =>
+                cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+              case Some(s) =>
+                out += Session(userId, new Timestamp(s.start), new Timestamp(s.end),
+                  s.n, s.total)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+        })
+  }
+
+  /** Batch sessionization of the same semantics via window functions —
+    * the oracle-checkable form: a session starts where the gap to the
+    * previous event of the same user is >= gapMillis; session id = count
+    * of starts so far (running sum); then one aggregate per session.
+    * Two shuffles (both on user_id), no state.
+    */
+  def sessionizeBatch(events: DataFrame, gapMillis: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_start",
+        when(col("prev_ts").isNull ||
+          (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) >= gapMillis, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum("is_start").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count("*").as("n_events"), sum("value").as("total_value"))
+  }
+}

@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Multimodal
+import graft.search._
+import graft.streaming.StreamingOps
+
+/** End-to-end Spark tests on sf0.001: the distributed query compiler
+  * against the in-memory algebra (same inputs, same outputs), streaming
+  * vs batch parity, index write/read with pushdown, multimodal plumbing.
+  */
+class SparkIntegrationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  lazy val docs: DataFrame = Indexer.documents(spark, sfDir)
+  lazy val index: DataFrame = Indexer.postings(docs).cache()
+
+  test("driver smoke: entry returns rows > 0") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  /** Evaluate a query both ways — distributed join tree and in-memory
+    * reference algebra fed with the SAME collected postings — and demand
+    * identical (doc_id, score) sets.
+    */
+  def checkAgainstLocal(query: String, stopWords: Set[String] = Set.empty): Unit = {
+    val ast = new QueryParser(stopWords).parse(query.toLowerCase)
+    val terms = QueryCompiler.leafTerms(ast)
+    // local: postings as delta-encoded, string-docId, docId-sorted lists
+    val local = index.filter(col("term").isin(terms.distinct: _*))
+      .select("term", "doc_id", "score", "positions").collect()
+      .groupBy(_.getString(0))
+      .map { case (term, rows) =>
+        term -> rows.map { r =>
+          val abs = r.getSeq[Int](3).toVector
+          val deltas = abs.zip(0 +: abs.dropRight(1)).map { case (a, b) => a - b }
+          (r.getLong(1), r.getDouble(2), deltas)
+        }.sortBy(_._1).toVector
+          .map { case (id, s, d) => PostingAlgebra.Posting(f"$id%06d", s, d) }
+      }
+    val expected = PostingAlgebra.evaluate(ast, local)
+    val stats = QueryCompiler.termStats(index, terms)
+    val node = QueryCompiler.compile(ast, index, stats)
+    assert(node.tpe == expected.tpe, s"wrapper type for '$query'")
+    val got = node.df.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val want = expected.postings.map(p => (p.docId.toLong, p.score)).toMap
+    assert(got.keySet == want.keySet, s"doc sets for '$query'")
+    for ((id, s) <- want)
+      assert(math.abs(got(id) - s) < 1e-9 ||
+        (s.isInfinity && got(id).isInfinity), s"score of doc $id for '$query'")
+  }
+
+  test("distributed compiler matches in-memory algebra on real corpus") {
+    checkAgainstLocal("spark and data")
+    checkAgainstLocal("spark or data")
+    checkAgainstLocal("spark and not data")
+    checkAgainstLocal("(spark or data) and join and not dup")
+    checkAgainstLocal("join and not (spark or data)")
+    checkAgainstLocal("spark data") // phrase: proximity path
+    checkAgainstLocal("fast key order") // 3-word phrase
+    checkAgainstLocal("spark and missingterm or data")
+    checkAgainstLocal("the and spark", stopWords = Set("the"))
+  }
+
+  test("top-level negated query resolves against the corpus") {
+    val ranked = SearchEngine.search("not spark", index, docs)
+    val withSpark = index.filter(col("term") === "spark")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = ranked.collect().map(_.getLong(0)).toSet
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == (all diff withSpark))
+  }
+
+  test("pagination: page 2 is rows 11-20 of the ranking") {
+    val ranked = SearchEngine.search("spark or data", index, docs)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+    val all = ranked.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val p2 = SearchEngine.page(ranked, 2).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(p2.toSeq == all.slice(10, 20).toSeq)
+  }
+
+  test("index write/read round trip prunes on term") {
+    val path = "/tmp/graft_test_index"
+    Indexer.writeIndex(index, path, numPartitions = 4)
+    val re = Indexer.readIndex(spark, path)
+    assert(re.count() == index.count())
+    val plan = re.filter(col("term") === "spark").queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(term), EqualTo(term,spark)]"),
+      s"term filter should push to parquet:\n$plan")
+  }
+
+  test("streaming windowed counts match batch") {
+    val batch = StreamingOps.windowedCounts(
+      graft.sources.Tables.events(spark, sfDir)).collect()
+    // file-stream sources require a directory: stage the single file
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val q = StreamingOps.streamingWindowedCounts(spark, streamDir.toString)
+      .writeStream.format("memory").queryName("win_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("win_test").collect()
+      assert(streamed.map(_.toString).sorted.toSeq ==
+        batch.map(_.toString).sorted.toSeq)
+    } finally q.stop()
+  }
+
+  test("stateful sessionize (flatMapGroupsWithState) matches window-function form") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val events = graft.sources.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamingOps.Event]
+    val gap = 30L * 60 * 1000
+    val stateful = StreamingOps.sessionize(events, gap).collect()
+      .map(x => (x.user_id, x.session_start.getTime, x.session_end.getTime,
+        x.n_events, math.round(x.total_value * 100)))
+    val batch = StreamingOps.sessionizeBatch(
+      graft.sources.Tables.events(spark, sfDir), gap).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2).getTime, r.getTimestamp(3).getTime,
+        r.getLong(4).toInt, math.round(r.getDouble(5) * 100)))
+    // stateful emits only CLOSED sessions (the final open session per user
+    // stays in state) — every emitted session must appear in the batch set
+    val batchSet = batch.toSet
+    assert(stateful.nonEmpty)
+    stateful.foreach(sess => assert(batchSet.contains(sess), s"session $sess"))
+    // per user, stateful emits exactly (batch sessions - 1 open session)
+    val openPerUser = stateful.groupBy(_._1).view.mapValues(_.length).toMap
+    val batchPerUser = batch.groupBy(_._1).view.mapValues(_.length).toMap
+    for ((u, n) <- openPerUser) assert(n == batchPerUser(u) - 1)
+  }
+
+  test("multimodal feature extraction is deterministic and schema-stable") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val media = Multimodal.syntheticMedia(docs).as[Multimodal.MediaRecord]
+    val f1 = Multimodal.extractFeatures(media, 64, 64).collect()
+      .sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media, 64, 64).collect()
+      .sortBy(_.media_id)
+    assert(f1.length == docs.count())
+    assert(f1.map(_.feature.toSeq).toSeq == f2.map(_.feature.toSeq).toSeq)
+    assert(f1.forall(_.feature.length == 8))
+  }
+
+  test("minhash estimated jaccard tracks exact jaccard on candidates") {
+    val exact = graft.ops.Dedup.ngramJaccard(docs, 3, 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val est = graft.ops.Dedup.minHashLsh(docs, 3, 32, 8, 0.0).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(est.nonEmpty)
+    for (((a, b), e) <- est) {
+      val ex = exact.getOrElse((a, b), 0.0)
+      assert(math.abs(e - ex) < 0.45, s"pair ($a,$b): est $e vs exact $ex")
+    }
+  }
+}
