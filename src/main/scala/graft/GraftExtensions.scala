@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+import graft.functions.{CosineSimilarity, DotProduct}
+
+/** SparkSessionExtensions hook: registers the engine's native Catalyst
+  * expressions as SQL functions, so `spark.sql("SELECT graft_cosine(a,b)")`
+  * works in pure SQL (and via `call_function`). Install with
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)
+  *   // or: .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[CosineSimilarity].getName, "graft_cosine"),
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          CosineSimilarity(children(0), children(1))))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[DotProduct].getName, "graft_dot"),
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          DotProduct(children(0), children(1))))
+  }
+}

@@ -16,9 +16,22 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (n <- names) {
+      val t0 = System.nanoTime()
       println(s"=== $n ===")
       try {
-        if (n.startsWith("search:")) {
+        if (n == "idx-stem-nopersist") {
+          search.Indexer.postings(search.Indexer.documents(spark, sfDir))
+            .write.format("noop").mode("overwrite").save()
+        } else if (n == "idx-nostem-nopersist") {
+          search.Indexer.postings(search.Indexer.documents(spark, sfDir), stem = false)
+            .write.format("noop").mode("overwrite").save()
+        } else if (n == "occurrences-stem") {
+          search.Indexer.termOccurrences(search.Indexer.documents(spark, sfDir), Seq.empty)
+            .write.format("noop").mode("overwrite").save()
+        } else if (n.startsWith("explain:")) {
+          val q = n.stripPrefix("explain:")
+          SparkEntry.queries(q)(spark, sfDir).explain("formatted")
+        } else if (n.startsWith("search:")) {
           val docs = search.Indexer.documents(spark, sfDir)
           val idx = search.Indexer.postings(docs)
           val df = search.SearchEngine.search(n.stripPrefix("search:"), idx, docs,
@@ -27,10 +40,10 @@ object Scratch {
           println(s"rows=${df.count()}")
         } else {
           val df = SparkEntry.queries(n)(spark, sfDir)
-          df.printSchema()
-          df.show(5, truncate = false)
+          df.write.format("noop").mode("overwrite").save()
         }
       } catch { case e: Throwable => e.printStackTrace() }
+      println(f"[time] $n ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }

@@ -62,10 +62,22 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("search_cnf")(spark, "/root/testdata/sf0.001")
 
+  /** Materialized-index cache, one per (session, sf dir): the Spark
+    * analogue of the reference's persisted inverted index + query cache
+    * (SURVEY.md §2.8 X2) — queries hit a built index, they don't re-run
+    * the indexing pipeline. First search query in a session pays the
+    * build; the rest reuse the in-memory columnar cache.
+    */
+  private val indexCache =
+    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+
+  private def cachedIndex(s: SparkSession, dir: String): DataFrame =
+    indexCache.getOrElseUpdate((System.identityHashCode(s), dir),
+      Indexer.postings(t(s, dir, "documents")).persist())
+
   private def searchScores(s: SparkSession, dir: String, q: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val idx = Indexer.postings(docs)
-    SearchEngine.search(q, idx, docs)
+    SearchEngine.search(q, cachedIndex(s, dir), docs)
       .select(col("doc_id"), round(col("score"), 4).as("score"))
   }
 
@@ -94,7 +106,7 @@ object SparkEntry {
         .select(col("term"), col("doc_id"), col("tf"), col("df"),
           round(col("score"), 4).as("score"))),
     "postings_stemmed" -> ((s, dir) =>
-      Indexer.postings(t(s, dir, "documents"))
+      cachedIndex(s, dir)
         .select(col("term"), col("doc_id"), col("tf"), col("df"),
           round(col("score"), 4).as("score"))),
 
@@ -111,12 +123,24 @@ object SparkEntry {
     // ---- ranking / pagination (O4, O6) ----
     "search_page1" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val ranked = SearchEngine.search("spark and data",
-        Indexer.postings(docs), docs)
+      val ranked = SearchEngine.search("spark and data", cachedIndex(s, dir), docs)
         .select(col("doc_id"), round(col("score"), 4).as("score"))
         .orderBy(desc("score"), asc("doc_id"))
       SearchEngine.page(ranked, 1)
     }),
+
+    "search_snippets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val q = "spark and data"
+      val ranked = SearchEngine.search(q, cachedIndex(s, dir), docs)
+      SearchEngine.renderPage(SearchEngine.page(ranked, 1), docs, q)
+        .select(col("doc_id"), col("snippet"))
+    }),
+
+    // ---- XML tag-delimited scan (S1/S2) ----
+    "xml_roundtrip" -> ((s, dir) =>
+      graft.sources.XmlScan.parsePages(
+        graft.sources.XmlScan.toPageXml(t(s, dir, "documents")))),
 
     // ---- relational coverage on the TPC-H-ish tables ----
     "q1_agg" -> ((s, dir) =>
@@ -373,6 +397,9 @@ object SparkEntry {
           |FROM sc a JOIN sc b USING (doc_id)
           |WHERE a.term = 'spark' AND b.term = 'data'
           |ORDER BY score DESC, doc_id ASC LIMIT 10""").stripMargin,
+    "xml_roundtrip" ->
+      ("SELECT doc_id, 'doc-' || CAST(doc_id AS VARCHAR) AS title, text " +
+        "FROM documents"),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,

@@ -23,11 +23,15 @@ object Dedup {
 
   /** Word-`n`-gram shingles of a document, distinct, as one row per
     * shingle: `(doc_id, shingle STRING)`. Built from codegen'd
-    * higher-order array functions — no UDF.
+    * higher-order array functions — no UDF. The token array is projected
+    * ONCE before the transform lambda: referencing the tokenizer
+    * expression inside the lambda would re-run the full split per array
+    * element (quadratic per document).
     */
   def shingles(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame = {
-    val toks = Analyzer.tokensCol(col(textCol))
-    docs.select(col("doc_id"),
+    val toks = col("__toks")
+    docs.select(col("doc_id"), Analyzer.tokensCol(col(textCol)).as("__toks"))
+      .select(col("doc_id"),
         explode(transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))).as("shingle"))
       .filter(size(split(col("shingle"), " ")) === n)

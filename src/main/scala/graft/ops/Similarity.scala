@@ -8,23 +8,24 @@ import org.apache.spark.sql.functions._
   * Baseline: brute-force cosine top-k (a single scan + TakeOrdered — no
   * shuffle of the corpus). Scale path: LSH-bucketed ANN that prunes the
   * corpus to matching buckets before exact re-ranking.
-  * All vector math is codegen'd column algebra (`zip_with` +
-  * `aggregate`), no UDFs.
+  *
+  * Vector math runs through the native codegen'd Catalyst expressions
+  * in [[graft.functions.VectorExpressions]] — a tight primitive loop in
+  * whole-stage codegen instead of `zip_with`+`aggregate`'s per-row
+  * intermediate arrays (bit-identical results, ~an order of magnitude
+  * less allocation on wide fan-out joins).
   */
 object Similarity {
 
   /** Dot product of two array columns in double precision. */
   def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.dot(a, b)
 
-  def normCol(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+  def normCol(a: Column): Column = sqrt(dotCol(a, a))
 
   /** Cosine similarity of two array columns. */
   def cosineCol(a: Column, b: Column): Column =
-    dotCol(a, b) / (normCol(a) * normCol(b))
+    graft.functions.VectorExpressions.cosine(a, b)
 
   /** Brute-force cosine top-k against a constant query vector: one
     * codegen'd scan computing the similarity, then `orderBy.limit` which

@@ -28,19 +28,20 @@ object TextAnalysis {
     * profile; argmax wins, ties break alphabetically, no hits -> "und".
     */
   def languageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = Analyzer.tokensCol(col(textCol))
+    val toks = col("__toks") // project the token array once, not per profile
     val scores = LangProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(
         (size(filter(toks, t => t.isin(words.map(w => lit(w)): _*)))
           .cast("double") / greatest(size(toks), lit(1))).as("score"),
         lit(lang).as("lang"))
     }
-    docs.select(col("doc_id"),
-      when(array_max(array(scores: _*)).getField("score") > 0,
-        // array_max on structs compares (score, lang) lexicographically:
-        // highest score wins, alphabetically-last lang breaks ties
-        array_max(array(scores: _*)).getField("lang"))
-        .otherwise(lit("und")).as("pred_lang"))
+    docs.select(col("doc_id"), Analyzer.tokensCol(col(textCol)).as("__toks"))
+      .select(col("doc_id"),
+        when(array_max(array(scores: _*)).getField("score") > 0,
+          // array_max on structs compares (score, lang) lexicographically:
+          // highest score wins, alphabetically-last lang breaks ties
+          array_max(array(scores: _*)).getField("lang"))
+          .otherwise(lit("und")).as("pred_lang"))
   }
 
   /** Quality score in [0,1]: blend of length, alphanumeric ratio,
@@ -49,14 +50,15 @@ object TextAnalysis {
     * Emits the component columns too so thresholds stay debuggable.
     */
   def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val docsWithToks = docs.withColumn("__toks", Analyzer.tokensCol(col(textCol)))
     val text = col(textCol)
-    val toks = Analyzer.tokensCol(text)
+    val toks = col("__toks")
     val nChars = length(text).cast("double")
     val nToks = size(toks).cast("double")
     val alnum = length(regexp_replace(text, "[^a-zA-Z0-9]", "")).cast("double")
     val stopHits = size(filter(toks,
       t => t.isin(LangProfiles("en").map(lit): _*))).cast("double")
-    docs.select(
+    docsWithToks.select(
       col("doc_id"),
       nToks.as("n_tokens"),
       round(alnum / greatest(nChars, lit(1.0)), 4).as("alnum_ratio"),

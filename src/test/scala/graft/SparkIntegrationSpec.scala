@@ -159,6 +159,76 @@ class SparkIntegrationSpec extends AnyFunSuite {
     assert(f1.forall(_.feature.length == 8))
   }
 
+  test("query cache: miss computes and stores, hit returns same result") {
+    val path = java.nio.file.Files.createTempDirectory("graft_qcache").toString + "/cache"
+    val cache = new QueryCache(spark, path)
+    assert(cache.get("spark and data").isEmpty)
+    val first = cache.searchCached("spark and data", index, docs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(cache.get("spark and data").isDefined)
+    assert(cache.get("SPARK AND DATA").isDefined) // keyed lowercased
+    val second = cache.searchCached("spark and data", index, docs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(first == second && first.nonEmpty)
+  }
+
+  test("xml scan: page records round-trip through tag extraction") {
+    val back = graft.sources.XmlScan.parsePages(
+      graft.sources.XmlScan.toPageXml(docs)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val orig = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), s"doc-${r.getLong(0)}", r.getString(1)))
+    assert(back.sortBy(_._1).toSeq == orig.sortBy(_._1).toSeq)
+  }
+
+  test("extensions: graft_cosine / graft_dot callable from SQL") {
+    // injectFunction path needs builder-time extensions; registering on
+    // the live session's registry exercises the same builders
+    val ext = new GraftExtensions
+    val reg = spark.sessionState.functionRegistry
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    reg.createOrReplaceTempFunction("graft_cosine",
+      exprs => graft.functions.CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_dot",
+      exprs => graft.functions.DotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.read.parquet(s"$sfDir/embeddings.parquet").createOrReplaceTempView("emb")
+    val r = spark.sql(
+      """SELECT graft_cosine(embedding, embedding) AS c,
+        |       graft_dot(embedding, embedding) AS d
+        |FROM emb LIMIT 5""".stripMargin).collect()
+    assert(r.forall(row => math.abs(row.getDouble(0) - 1.0) < 1e-9))
+    assert(r.forall(row => row.getDouble(1) > 0))
+  }
+
+  test("native cosine expression is bit-identical to column algebra") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+    val hof = aggregate(zip_with(col("embedding"), col("q"),
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x) /
+      (sqrt(aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, x) => acc + x)) *
+       sqrt(aggregate(transform(col("q"), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, x) => acc + x)))
+    val both = e.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        graft.functions.VectorExpressions.cosine(col("embedding"), col("q")).as("native"),
+        hof.as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"vec ${r.getLong(0)}: ${r.getDouble(1)} vs ${r.getDouble(2)}")
+    }
+    // null inputs propagate
+    val nullRes = e.limit(1)
+      .select(graft.functions.VectorExpressions.cosine(
+        lit(null).cast("array<float>"), col("embedding")).as("c"))
+      .collect()(0)
+    assert(nullRes.isNullAt(0))
+  }
+
   test("minhash estimated jaccard tracks exact jaccard on candidates") {
     val exact = graft.ops.Dedup.ngramJaccard(docs, 3, 0.0).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
