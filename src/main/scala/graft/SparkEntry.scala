@@ -200,6 +200,13 @@ object SparkEntry {
       hi.unionByName(lo).groupBy("o_custkey")
         .agg(round(sum("v"), 2).as("total"), count("*").as("n"))
     }),
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count("*").as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("sum_qty"), col("n"))),
     "q_topk" -> ((s, dir) =>
       t(s, dir, "orders")
         .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
@@ -247,6 +254,9 @@ object SparkEntry {
       Dedup.simHashPairs(t(s, dir, "documents"), n = 2, maxHamming = 8)),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), minCos = 0.4, planes = 4)
+        .select(col("vec_a"), col("vec_b"), round(col("cosine"), 4).as("cosine"))),
+    "dedup_embedding_exact" -> ((s, dir) =>
+      Dedup.embeddingNearDupExact(t(s, dir, "embeddings"), minCos = 0.4)
         .select(col("vec_a"), col("vec_b"), round(col("cosine"), 4).as("cosine"))),
 
     // ---- similarity search ----
@@ -442,6 +452,18 @@ object SparkEntry {
         |  SELECT o_custkey, o_totalprice AS v FROM orders WHERE o_totalprice < 50000)
         |SELECT o_custkey, round(sum(v), 2) AS total, count(*) AS n
         |FROM u GROUP BY 1""".stripMargin,
+    "dedup_embedding_exact" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |         CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
+    "q_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+        |       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "q_topk" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
         |ORDER BY price DESC, o_orderkey ASC LIMIT 100""".stripMargin,

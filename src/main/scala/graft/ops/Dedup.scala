@@ -165,6 +165,21 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Exact embedding near-dup: all pairs with cosine >= minCos by
+    * full pairwise comparison — the correctness baseline the LSH variant
+    * approximates. O(n^2/2) pairs: fine for re-ranking a pruned bucket
+    * or a small corpus; use [[embeddingNearDup]] at scale.
+    */
+  def embeddingNearDupExact(embeddings: DataFrame, minCos: Double): DataFrame = {
+    val l = embeddings.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val r = embeddings.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    l.crossJoin(r)
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        Similarity.cosineCol(col("emb_a"), col("emb_b")).as("cosine"))
+      .filter(col("cosine") >= minCos)
+  }
+
   /** Embedding near-dup: pairs of vectors with cosine similarity >=
     * minCos. Candidates come from random-hyperplane LSH buckets
     * (deterministic planes from xxhash64 of (vec position, plane id)), so
