@@ -277,6 +277,13 @@ object SparkEntry {
         .collect()(0).getSeq[Float](0).map(_.toDouble)
       Similarity.lshTopK(e.filter(col("vec_id") =!= 0), qVec, 10)
     }),
+    "sim_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qVec = e.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).map(_.toDouble)
+      Similarity.ivfTopK(e.filter(col("vec_id") =!= 0), qVec, 10)
+        .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+    }),
     "sim_knn_label" -> ((s, dir) =>
       Similarity.knnWithinLabel(t(s, dir, "embeddings"), 3)
         .select(col("vec_a"), col("vec_b"), round(col("cosine"), 4).as("cosine"))),

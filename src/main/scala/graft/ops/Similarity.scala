@@ -77,6 +77,80 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN index: k centroids learned by a
+    * deterministic Lloyd iteration (seedless init = the k vectors with
+    * the smallest xxhash64(vec_id)), each vector assigned to its nearest
+    * centroid. Returns the assignment table
+    * `(vec_id, embedding, cluster)`; centroids come back via the second
+    * return as driver-side arrays (k * dim doubles — statistics, not
+    * data). At 100 TB the assignment is computed once and persisted
+    * partitioned by `cluster`, so a probe reads only nProbe partitions.
+    */
+  def ivfTrain(embeddings: DataFrame, k: Int, iterations: Int = 2)
+      : (DataFrame, Array[(Int, Array[Double])]) = {
+    val dims = embeddings.select(size(col("embedding"))).first().getInt(0)
+    // deterministic init: k vectors with smallest hash of vec_id
+    var centroids: Array[(Int, Array[Double])] = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h").limit(k).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1).map(_.toDouble).toArray) }
+
+    def assign(cents: Array[(Int, Array[Double])]): DataFrame = {
+      val centArr = array(cents.map { case (id, v) =>
+        struct(lit(id).as("cid"), array(v.map(lit): _*).as("cvec"))
+      }: _*)
+      // nearest centroid by cosine: array_max over (cosine, cid) structs
+      embeddings.select(col("vec_id"), col("embedding"),
+        array_max(transform(centArr, c =>
+          struct(cosineCol(col("embedding"), c.getField("cvec")).as("cos"),
+            c.getField("cid").as("cid"))))
+          .getField("cid").as("cluster"))
+    }
+
+    var assigned = assign(centroids)
+    for (_ <- 1 to iterations) {
+      // new centroid = per-dimension mean of members (posexplode + avg)
+      val means = assigned
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("cluster", "dim").agg(avg(col("v")).as("m"))
+        .collect().groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          val vec = new Array[Double](dims)
+          rows.foreach(r => vec(r.getInt(1)) = r.getDouble(2))
+          (c, vec)
+        }.toArray
+      if (means.nonEmpty) centroids = means
+      assigned = assign(centroids)
+    }
+    (assigned, centroids)
+  }
+
+  /** IVF-pruned top-k: rank centroids against the query on the driver
+    * (k dot products), scan only the `nProbe` nearest clusters, exact
+    * cosine re-rank inside them.
+    */
+  def ivfTopK(embeddings: DataFrame, query: Seq[Double], topK: Int,
+              k: Int = 16, nProbe: Int = 4): DataFrame = {
+    val (assigned, centroids) = ivfTrain(embeddings, k)
+    def cos(a: Array[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probes = centroids.sortBy { case (_, v) => -cos(v, query) }
+      .take(nProbe).map(_._1)
+    val q = array(query.map(lit): _*)
+    assigned.filter(col("cluster").isin(probes.toSeq: _*))
+      .select(col("vec_id"), cosineCol(col("embedding"), q).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(topK)
+  }
+
   /** All-pairs k-nearest-neighbors per label group (a bounded-key
     * shuffle join on `label`), exact within group: for corpora where a
     * coarse partitioner (label / IVF centroid) already exists. Returns

@@ -42,6 +42,17 @@ object StreamingOps {
     windowedCounts(stream.withWatermark("ts", "1 hour"), windowLen)
   }
 
+  /** Streaming exact dedup: `dropDuplicates` on the content key with a
+    * watermark bounding state — the streaming form of
+    * [[graft.ops.Dedup.exact]] for continuous ingestion (state evicts
+    * once an id is older than the watermark; at 100 TB/day the state
+    * store holds one row per key per watermark window, not the corpus).
+    */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+                     watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates(keyCols :+ "ts")
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(start: Long, end: Long, n: Int, total: Double)

@@ -146,6 +146,64 @@ class SparkIntegrationSpec extends AnyFunSuite {
     for ((u, n) <- openPerUser) assert(n == batchPerUser(u) - 1)
   }
 
+  test("IVF top-k recalls most of brute-force top-k") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0).select("embedding")
+      .first().getSeq[Float](0).map(_.toDouble)
+    val rest = e.filter(col("vec_id") =!= 0)
+    val brute = graft.ops.Similarity.bruteForceTopK(rest, q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = graft.ops.Similarity.ivfTopK(rest, q, 10, k = 8, nProbe = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf.size == 10)
+    assert((brute intersect ivf).size >= 5,
+      s"IVF recall too low: $ivf vs $brute")
+    // determinism: same call twice -> same result
+    val ivf2 = graft.ops.Similarity.ivfTopK(rest, q, 10, k = 8, nProbe = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf == ivf2)
+  }
+
+  test("salted join and salted aggregate match their unsalted forms") {
+    val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val r = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = l.join(r, "l_orderkey").count()
+    assert(graft.ops.Skew.saltedJoin(l, r, "l_orderkey", 8).count() == plain)
+    val plainAgg = l.groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("sum_l_quantity"), count("*").as("n"))
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getLong(2))).toSet
+    val salted = graft.ops.Skew.saltedAggregate(l, "l_orderkey", "l_quantity", 8)
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getLong(2))).toSet
+    assert(salted.map(t => (t._1, t._3)) == plainAgg.map(t => (t._1, t._3)))
+    // double sums may differ in combination order; compare rounded
+    assert(salted.map(t => (t._1, math.round(t._2 * 100))) ==
+      plainAgg.map(t => (t._1, math.round(t._2 * 100))))
+  }
+
+  test("streaming dedup drops duplicate keys within the watermark") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(streamDir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // duplicate every event by unioning with itself
+    val doubled = stream.unionByName(stream)
+    val q = StreamingOps.streamingDedup(doubled, Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("dedup_test").count()
+      val expected = graft.sources.Tables.events(spark, sfDir).count()
+      assert(n == expected)
+    } finally q.stop()
+  }
+
   test("multimodal feature extraction is deterministic and schema-stable") {
     implicit val s: SparkSession = spark
     import s.implicits._
