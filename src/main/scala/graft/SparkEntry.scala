@@ -119,6 +119,18 @@ object SparkEntry {
     "search_phrase" -> ((s, dir) => searchScores(s, dir, "spark data")),
     "search_not_or" -> ((s, dir) =>
       searchScores(s, dir, "join and not (spark or data)")),
+    // the full reference stop-word flow: derive top-2 stop words from the
+    // corpus (A1+O1), build the index excluding them, neutralize them at
+    // parse time (Q4) — "join" is rank-1, so it becomes an identity
+    // operand and the query degenerates to "spark"
+    "search_stopword_drop" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sw = Indexer.stopWordList(docs, 2)
+      val idx = Indexer.postings(docs, sw)
+      SearchEngine.search("spark and join", idx, docs,
+        graft.search.QueryParser.stemmedStopWords(sw))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
 
     // ---- ranking / pagination (O4, O6) ----
     "search_page1" -> ((s, dir) => {
@@ -297,6 +309,13 @@ object SparkEntry {
       TextAnalysis.languageId(t(s, dir, "documents"))),
     "text_digest" -> ((s, dir) =>
       TextAnalysis.contentDigest(t(s, dir, "documents"))),
+    "corpus_token_stats" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(t(s, dir, "documents"))
+        .join(t(s, dir, "documents").select("doc_id", "lang", "source"), "doc_id")
+        .groupBy("lang", "source")
+        .agg(count("*").as("n_docs"),
+          sum("ws_tokens").as("total_ws_tokens"),
+          sum("bpe_tokens").as("total_bpe_tokens"))),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(t(s, dir, "documents"))),
 
@@ -408,6 +427,19 @@ object SparkEntry {
           |    WHERE a.term = 'spark' AND a.doc_id = j.doc_id)
           |  AND NOT EXISTS (SELECT 1 FROM sc b
           |    WHERE b.term = 'data' AND b.doc_id = j.doc_id)""").stripMargin,
+    "search_stopword_drop" ->
+      // top-2 stop words are 'join','hash' (by count desc, word asc);
+      // both are neutralized identity operands, leaving plain "spark" —
+      // whose tf/df/docNum are unaffected by removing other terms
+      (OracleTfidfCte +
+        "SELECT doc_id, round(score, 4) AS score FROM sc WHERE term = 'spark'"),
+    "corpus_token_stats" ->
+      """SELECT d.lang, d.source, count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(regexp_split_to_array(d.text, '\s+'),
+        |    x -> x <> ''))) AS BIGINT) AS total_ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(d.text,
+        |    '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]'))) AS BIGINT) AS total_bpe_tokens
+        |FROM documents d GROUP BY 1, 2""".stripMargin,
     "search_page1" ->
       (OracleTfidfCte +
         """SELECT a.doc_id, round(a.score * b.score, 4) AS score

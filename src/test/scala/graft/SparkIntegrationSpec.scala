@@ -146,6 +146,29 @@ class SparkIntegrationSpec extends AnyFunSuite {
     for ((u, n) <- openPerUser) assert(n == batchPerUser(u) - 1)
   }
 
+  test("plan quality: broadcasts, TakeOrdered top-k, no cartesian joins") {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+    // top-k must be TakeOrdered (per-partition k + driver merge), never a
+    // global sort followed by limit
+    assert(plan("q_topk").contains("TakeOrderedAndProject"))
+    assert(plan("sim_topk_brute").contains("TakeOrderedAndProject"))
+    // dimension joins broadcast
+    assert(plan("q_join3").contains("BroadcastHashJoin"))
+    assert(plan("q_broadcast_join").contains("BroadcastHashJoin"))
+    // candidate-generation joins are equi-joins on bounded keys — a
+    // CartesianProduct anywhere in the dedup family is a scale bug
+    for (q <- Seq("dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
+        "dedup_embedding")) {
+      assert(!plan(q).contains("CartesianProduct"), s"$q plans a cross join")
+    }
+    // search leaf scans keep the pushed term filter when reading a
+    // materialized index (cached here -> InMemoryTableScan with filter)
+    val searchPlan = plan("search_and")
+    assert(searchPlan.contains("InMemoryTableScan"))
+  }
+
   test("IVF top-k recalls most of brute-force top-k") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = e.filter(col("vec_id") === 0).select("embedding")
