@@ -72,6 +72,21 @@ class SparkIntegrationSpec extends AnyFunSuite {
     checkAgainstLocal("fast key order") // 3-word phrase
     checkAgainstLocal("spark and missingterm or data")
     checkAgainstLocal("the and spark", stopWords = Set("the"))
+    // NOT_OR over a stop word flips type 2 -> -1 (reference quirk kept);
+    // the -1 wrapper must fall through the dispatch like the reference's
+    checkAgainstLocal("spark and not (the)", stopWords = Set("the"))
+    checkAgainstLocal("not (the) or data", stopWords = Set("the"))
+  }
+
+  test("ngram jaccard: maxShingleFreq guard drops hot shingles from candidates") {
+    val exact = graft.ops.Dedup.ngramJaccard(docs, 3, 0.0).count()
+    // guard at a freq the corpus exceeds -> strictly fewer candidates
+    val guarded = graft.ops.Dedup.ngramJaccard(docs, 3, 0.0, maxShingleFreq = 2).count()
+    assert(guarded < exact)
+    // guard above any real frequency -> identical to exact
+    val loose = graft.ops.Dedup.ngramJaccard(docs, 3, 0.0,
+      maxShingleFreq = 1000000).count()
+    assert(loose == exact)
   }
 
   test("top-level negated query resolves against the corpus") {
