@@ -21,26 +21,38 @@ final class QueryCache(spark: SparkSession, path: String) {
     (q, math.abs(q.hashCode % 64))
   }
 
-  /** Probe: None on miss (no cache dir or no rows for the query). */
+  /** Probe: None on miss (no cache dir or no rows for the query). A hit
+    * comes back re-ranked (score desc, doc_id asc) — parquet read order
+    * is not the write order, and callers ([[SearchEngine.page]]) rely on
+    * the ranked contract. The existence check runs on the pruned scan
+    * BEFORE the sort, so a miss costs one partition-pruned limit-1 read.
+    */
   def get(query: String): Option[DataFrame] = {
     val (q, h) = keyed(query)
     try {
-      val hit = spark.read.parquet(path)
+      val slice = spark.read.parquet(path)
         .filter(col("qhash") === h && col("query") === q)
         .select("doc_id", "score")
-      if (hit.limit(1).count() == 0) None else Some(hit)
+      if (slice.limit(1).count() == 0) None
+      else Some(slice.orderBy(desc("score"), asc("doc_id")))
     } catch { case _: Exception => None } // cache not created yet
   }
 
-  /** Store a ranked result for a query (append; latest write wins on
-    * re-read because results for one query are identical by construction).
+  /** Store a ranked result. Dynamic partition overwrite keyed by
+    * (qhash, query) makes a re-put of the same query idempotent —
+    * its partition is replaced, other queries' partitions untouched, no
+    * duplicate accumulation. (Two writers committing the SAME query at
+    * the same instant still race on the shared staging dir — acceptable
+    * for a memo whose entries are recomputable.)
     */
   def put(query: String, ranked: DataFrame): Unit = {
     val (q, h) = keyed(query)
     ranked.select(col("doc_id"), col("score"))
       .withColumn("query", lit(q))
       .withColumn("qhash", lit(h))
-      .write.mode("append").partitionBy("qhash").parquet(path)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("qhash", "query").parquet(path)
   }
 
   /** Memoized search: probe, else evaluate via [[SearchEngine.search]]

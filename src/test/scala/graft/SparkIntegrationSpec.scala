@@ -266,6 +266,15 @@ class SparkIntegrationSpec extends AnyFunSuite {
     val second = cache.searchCached("spark and data", index, docs)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(first == second && first.nonEmpty)
+    // re-put is idempotent (dynamic partition overwrite, no dup rows)
+    cache.put("spark and data",
+      SearchEngine.search("spark and data", index, docs))
+    assert(cache.get("spark and data").get.count() == first.size)
+    // hit comes back ranked: must agree with the live search order
+    val live = SearchEngine.search("spark and data", index, docs)
+      .collect().map(_.getLong(0)).toSeq
+    val hit = cache.get("spark and data").get.collect().map(_.getLong(0)).toSeq
+    assert(hit == live)
   }
 
   test("xml scan: page records round-trip through tag extraction") {
