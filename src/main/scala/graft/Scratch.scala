@@ -19,7 +19,30 @@ object Scratch {
       val t0 = System.nanoTime()
       println(s"=== $n ===")
       try {
-        if (n == "idx-stem-nopersist") {
+        if (n.startsWith("stress:")) {
+          // 20x-duplicated corpus: 100k docs, every text in 20 copies —
+          // worst-case shape for dedup candidate generation
+          import org.apache.spark.sql.functions._
+          val base = search.Indexer.documents(spark, sfDir)
+          val big = (0 until 20).map(i => base.withColumn("doc_id",
+            col("doc_id") + lit(i * 1000000L))).reduce(_ unionByName _)
+          n.stripPrefix("stress:") match {
+            case "exact" =>
+              val d = ops.Dedup.exact(big)
+              println(s"groups=${d.count()} max_copies=${d.agg(max("n_copies")).first().getLong(0)}")
+            case "minhash" =>
+              println("pairs=" + ops.Dedup.minHashLsh(big, 3, 32, 8, 0.9).count())
+            case "index" =>
+              val idx = search.Indexer.postings(big)
+              println("postings=" + idx.count())
+            case "search" =>
+              val idx = search.Indexer.postings(big)
+              val r = search.SearchEngine.search("(spark or data) and join and not dup", idx, big)
+              println("hits=" + r.count())
+            case "simhash" =>
+              println("pairs=" + ops.Dedup.simHashPairs(big, 2, 3).count())
+          }
+        } else if (n == "idx-stem-nopersist") {
           search.Indexer.postings(search.Indexer.documents(spark, sfDir))
             .write.format("noop").mode("overwrite").save()
         } else if (n == "idx-nostem-nopersist") {

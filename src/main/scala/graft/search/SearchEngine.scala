@@ -30,8 +30,20 @@ object SearchEngine {
   def search(query: String, index: DataFrame, docs: DataFrame,
              stopWords: Set[String] = Set.empty): DataFrame = {
     val ast = new QueryParser(stopWords).parse(query.toLowerCase)
-    val stats = QueryCompiler.termStats(index, QueryCompiler.leafTerms(ast))
-    val node = QueryCompiler.compile(ast, index, stats)
+    val terms = QueryCompiler.leafTerms(ast)
+    // Prune the index to the query's terms ONCE and materialize the
+    // slice (the reference's mapper-side semi-filter, J8/X1): with a
+    // parquet index this is a stats-pruned scan; with a lazily-derived
+    // index it stops each query leaf from re-running the whole indexing
+    // pipeline. localCheckpoint is eager, executor-resident, and
+    // GC-cleaned once the query's DataFrames are unreferenced.
+    val slice =
+      if (terms.isEmpty) index.limit(0)
+      else index.filter(col("term").isin(terms.distinct: _*))
+        .select("term", "doc_id", "score", "positions")
+        .localCheckpoint(true)
+    val stats = QueryCompiler.termStats(slice, terms)
+    val node = QueryCompiler.compile(ast, slice, stats)
     val resolved = node.tpe match {
       case 0 => node.df.select(col("doc_id"), col("score"))
       case 1 => docs.select(col("doc_id"))

@@ -178,10 +178,11 @@ class SparkIntegrationSpec extends AnyFunSuite {
         "dedup_embedding")) {
       assert(!plan(q).contains("CartesianProduct"), s"$q plans a cross join")
     }
-    // search leaf scans keep the pushed term filter when reading a
-    // materialized index (cached here -> InMemoryTableScan with filter)
+    // search evaluates over the checkpointed pruned slice (no re-run of
+    // the indexing pipeline per leaf) and broadcast-joins posting lists
     val searchPlan = plan("search_and")
-    assert(searchPlan.contains("InMemoryTableScan"))
+    assert(searchPlan.contains("Scan ExistingRDD")) // the localCheckpoint slice
+    assert(searchPlan.contains("BroadcastHashJoin"))
   }
 
   test("IVF top-k recalls most of brute-force top-k") {
