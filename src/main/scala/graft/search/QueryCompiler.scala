@@ -77,9 +77,15 @@ object QueryCompiler {
     val score: Column =
       if (proximity) {
         val withD = joined.withColumn("d", minDistUdf(col("p1"), col("p2")))
+        // d = 0 (same position, e.g. phrase "w w") must give exponent
+        // 1/0 = Infinity like plain-double arithmetic; ANSI mode throws
+        // DIVIDE_BY_ZERO even for doubles, so the zero case branches
+        // before any division
+        val invD = when(col("d") === 0, lit(Double.PositiveInfinity))
+          .otherwise(lit(1.0) / col("d").cast("double"))
         return withD.select(col("doc_id"),
           when(col("d").isNotNull,
-            pow(col("s1") * col("s2"), lit(PhraseFactor) + lit(1.0) / col("d")))
+            pow(col("s1") * col("s2"), lit(PhraseFactor) + invD))
             .otherwise(col("s1") * col("s2")).as("score"))
       } else col("s1") * col("s2")
     joined.select(col("doc_id"), score.as("score"))

@@ -89,6 +89,28 @@ class SparkIntegrationSpec extends AnyFunSuite {
     assert(loose == exact)
   }
 
+  test("distributed compiler matches in-memory algebra on random queries") {
+    val rng = new scala.util.Random(13)
+    val words = Vector("spark", "data", "join", "dup", "merge", "query",
+      "fast", "zzzmissing", "the")
+    def word() = words(rng.nextInt(words.length))
+    def literal(): String = rng.nextInt(4) match {
+      case 0 => "not " + word()
+      case 1 => word() + " " + word() // phrase
+      case _ => word()
+    }
+    def clause(): String = rng.nextInt(3) match {
+      case 0 =>
+        val c = "(" + Seq.fill(1 + rng.nextInt(2))(literal()).mkString(" or ") + ")"
+        if (rng.nextBoolean()) "not " + c else c
+      case _ => literal()
+    }
+    for (_ <- 1 to 12) {
+      val q = Seq.fill(1 + rng.nextInt(2))(clause()).mkString(" and ")
+      checkAgainstLocal(q, stopWords = Set("the"))
+    }
+  }
+
   test("top-level negated query resolves against the corpus") {
     val ranked = SearchEngine.search("not spark", index, docs)
     val withSpark = index.filter(col("term") === "spark")
