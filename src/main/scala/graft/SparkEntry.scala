@@ -578,6 +578,27 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "text_digest" ->
       "SELECT doc_id, md5(text) AS digest FROM documents",
+    "text_quality" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text),
+        |      '[ \t\r\n,.:;''"()\[\]{}/<>!?|\-—#$&=_*+]+'), x -> x <> '')) AS DOUBLE) AS ntoks,
+        |    CAST(length(text) AS DOUBLE) AS nchars,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS DOUBLE) AS alnum,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text),
+        |      '[ \t\r\n,.:;''"()\[\]{}/<>!?|\-—#$&=_*+]+'),
+        |      x -> list_contains(['the','and','of','to','a','in','is','that','for','with'], x))) AS DOUBLE) AS stophits
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(ntoks AS BIGINT) AS n_tokens,
+        |  round(alnum / greatest(nchars, 1.0), 4) AS alnum_ratio,
+        |  round(stophits / greatest(ntoks, 1.0), 4) AS stopword_ratio,
+        |  round(nchars / greatest(ntoks, 1.0), 4) AS mean_token_len,
+        |  round(least(ntoks / 64.0, 1.0) * 0.25
+        |    + (alnum / greatest(nchars, 1.0)) * 0.25
+        |    + least(stophits / greatest(ntoks, 1.0) * 4.0, 1.0) * 0.25
+        |    + least(nchars / greatest(ntoks, 1.0) / 8.0, 1.0) * 0.25, 4) AS quality
+        |FROM q""".stripMargin,
     "media_stats" ->
       """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
         |            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

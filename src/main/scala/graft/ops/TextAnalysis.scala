@@ -60,7 +60,7 @@ object TextAnalysis {
       t => t.isin(LangProfiles("en").map(lit): _*))).cast("double")
     docsWithToks.select(
       col("doc_id"),
-      nToks.as("n_tokens"),
+      size(toks).cast("long").as("n_tokens"),
       round(alnum / greatest(nChars, lit(1.0)), 4).as("alnum_ratio"),
       round(stopHits / greatest(nToks, lit(1.0)), 4).as("stopword_ratio"),
       round(nChars / greatest(nToks, lit(1.0)), 4).as("mean_token_len"),

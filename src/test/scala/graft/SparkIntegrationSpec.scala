@@ -207,6 +207,38 @@ class SparkIntegrationSpec extends AnyFunSuite {
     assert(searchPlan.contains("BroadcastHashJoin"))
   }
 
+  test("bucketed tables join and aggregate without a shuffle exchange") {
+    import graft.ops.Bucketing
+    val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    Bucketing.writeBucketed(l, "li_bucketed", "l_orderkey", 4)
+    Bucketing.writeBucketed(
+      o.withColumnRenamed("o_orderkey", "l_orderkey"), "ord_bucketed",
+      "l_orderkey", 4)
+    val lb = Bucketing.read(spark, "li_bucketed")
+    val ob = Bucketing.read(spark, "ord_bucketed")
+    // at bench scale the planner prefers broadcast; disable it so the
+    // bucketed sort-merge path (the 100 TB shape) is what gets planned
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // co-located join: same key, same bucket count -> no shuffle
+      val joined = lb.join(ob, "l_orderkey")
+      assert(Bucketing.isShuffleFree(joined), joined.queryExecution.executedPlan)
+      assert(joined.count() ==
+        l.join(o, l("l_orderkey") === o("o_orderkey")).count())
+      // groupBy on the bucket key -> no shuffle either
+      val agg = lb.groupBy("l_orderkey").count()
+      assert(Bucketing.isShuffleFree(agg), agg.queryExecution.executedPlan)
+      // control: the same join on the un-bucketed parquet DOES shuffle
+      val plain = l.join(o.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "l_orderkey")
+      assert(!Bucketing.isShuffleFree(plain))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("IVF top-k recalls most of brute-force top-k") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = e.filter(col("vec_id") === 0).select("embedding")
