@@ -105,6 +105,20 @@ object SparkEntry {
       Indexer.postings(t(s, dir, "documents"), stem = false)
         .select(col("term"), col("doc_id"), col("tf"), col("df"),
           round(col("score"), 4).as("score"))),
+    "bm25_postings" -> ((s, dir) =>
+      graft.search.Scoring.bm25Postings(t(s, dir, "documents"), stem = false)
+        .select(col("term"), col("doc_id"), col("tf"), col("df"), col("dl"),
+          round(col("score"), 4).as("score"))),
+    "search_bm25" -> ((s, dir) => {
+      // BM25 ranking for "spark data": per-term scores SUM over the
+      // query's terms (standard BM25 combination)
+      val sc = graft.search.Scoring.bm25Postings(t(s, dir, "documents"))
+      sc.filter(col("term").isin("spark", "data"))
+        .groupBy("doc_id")
+        .agg(round(sum("score"), 4).as("score"), count("*").as("n_terms"))
+        .filter(col("n_terms") === 2) // conjunctive: both terms present
+        .drop("n_terms")
+    }),
     "postings_stemmed" -> ((s, dir) =>
       cachedIndex(s, dir)
         .select(col("term"), col("doc_id"), col("tf"), col("df"),
@@ -375,6 +389,26 @@ object SparkEntry {
         """SELECT tf.term, tf.doc_id, tf.tf, dfreq.df,
           |       round((1 + log10(tf.tf)) * ln(CAST(n.doc_num AS DOUBLE) / dfreq.df), 4) AS score
           |FROM tf JOIN dfreq USING (term) CROSS JOIN n""").stripMargin,
+    "bm25_postings" ->
+      (OracleTfidfCte +
+        """, dls AS (SELECT doc_id, count(*) AS dl FROM kept GROUP BY 1),
+          |g AS (SELECT avg(dl) AS avgdl, count(*) AS doc_num FROM dls)
+          |SELECT tf.term, tf.doc_id, tf.tf, dfreq.df, dls.dl,
+          |  round(ln(1.0 + (g.doc_num - dfreq.df + 0.5) / (dfreq.df + 0.5))
+          |    * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dls.dl / g.avgdl)), 4) AS score
+          |FROM tf JOIN dfreq USING (term) JOIN dls USING (doc_id) CROSS JOIN g""").stripMargin,
+    "search_bm25" ->
+      (OracleTfidfCte +
+        """, dls AS (SELECT doc_id, count(*) AS dl FROM kept GROUP BY 1),
+          |g AS (SELECT avg(dl) AS avgdl, count(*) AS doc_num FROM dls),
+          |bm AS (
+          |  SELECT tf.term, tf.doc_id,
+          |    ln(1.0 + (g.doc_num - dfreq.df + 0.5) / (dfreq.df + 0.5))
+          |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dls.dl / g.avgdl)) AS score
+          |  FROM tf JOIN dfreq USING (term) JOIN dls USING (doc_id) CROSS JOIN g
+          |  WHERE tf.term IN ('spark', 'data'))
+          |SELECT doc_id, round(sum(score), 4) AS score
+          |FROM bm GROUP BY 1 HAVING count(*) = 2""").stripMargin,
     "search_and" ->
       (OracleTfidfCte +
         """SELECT a.doc_id, round(a.score * b.score, 4) AS score

@@ -1,0 +1,51 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ranking functions over the posting statistics. The reference ships
+  * only its TF-IDF variant (mixed log bases, `code/inverted/
+  * InvertedIndexMapred.java:215-221`, kept in [[Indexer.postings]]);
+  * BM25 (Robertson et al.) is the standard alternative a modern engine
+  * offers — same inputs (tf, df, docNum) plus document length.
+  */
+object Scoring {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Lucene-style BM25 idf: `ln(1 + (N - df + 0.5) / (df + 0.5))`. */
+  def bm25Idf(docNum: Column, df: Column): Column =
+    log(lit(1.0) + (docNum - df + 0.5) / (df + 0.5))
+
+  /** BM25 term score given term frequency, document length, and the
+    * corpus average document length.
+    */
+  def bm25Term(tf: Column, dl: Column, avgdl: Column,
+               docNum: Column, df: Column): Column =
+    bm25Idf(docNum, df) * (tf * (K1 + 1.0)) /
+      (tf + lit(K1) * (lit(1.0) - B + lit(B) * dl / avgdl))
+
+  /** BM25-scored posting table
+    * `(term, doc_id, tf, df, dl, score)` from a documents table —
+    * the same three-shuffle DAG as [[Indexer.postings]] plus one
+    * per-doc length aggregate (broadcast-joined) and the 1-row avgdl.
+    */
+  def bm25Postings(docs: DataFrame, stopWords: Seq[String] = Seq.empty,
+                   stem: Boolean = true): DataFrame = {
+    val occ = Indexer.termOccurrences(docs, stopWords, stem)
+    val tf = occ.groupBy("term", "doc_id").agg(count("*").as("tf"))
+    val dl = occ.groupBy("doc_id").agg(count("*").as("dl"))
+    val dfPerTerm = tf.groupBy("term").agg(count("*").as("df"))
+    val globals = dl.agg(avg("dl").as("avgdl"),
+      count("*").as("doc_num"))
+    // dl is one row per document — large at scale, so a plain shuffle
+    // join on doc_id (AQE decides); only the 1-row globals broadcast
+    tf.join(dfPerTerm, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(globals))
+      .select(col("term"), col("doc_id"), col("tf"), col("df"), col("dl"),
+        bm25Term(col("tf"), col("dl"), col("avgdl"),
+          col("doc_num"), col("df")).as("score"))
+  }
+}
