@@ -69,11 +69,24 @@ object SparkEntry {
     * build; the rest reuse the in-memory columnar cache.
     */
   private val indexCache =
-    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[String, DataFrame]]())
 
-  private def cachedIndex(s: SparkSession, dir: String): DataFrame =
-    indexCache.getOrElseUpdate((System.identityHashCode(s), dir),
+  private def cachedIndex(s: SparkSession, dir: String): DataFrame = {
+    // weak session key: a stopped, dereferenced session's cached index
+    // DataFrames become collectable instead of pinning the session
+    val perSession = indexCache.synchronized {
+      var m = indexCache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        indexCache.put(s, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(dir,
       Indexer.postings(t(s, dir, "documents")).persist())
+  }
 
   private def searchScores(s: SparkSession, dir: String, q: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -276,8 +289,11 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minHashLsh(t(s, dir, "documents"), n = 3, numHashes = 32,
         bands = 8, minJ = 0.2)),
+    // maxHamming 3 = the recall bound of the 4x16-bit-chunk candidate
+    // generation (pigeonhole); above 3 the output would silently
+    // under-approximate
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simHashPairs(t(s, dir, "documents"), n = 2, maxHamming = 8)),
+      Dedup.simHashPairs(t(s, dir, "documents"), n = 2, maxHamming = 3)),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), minCos = 0.4, planes = 4)
         .select(col("vec_a"), col("vec_b"), round(col("cosine"), 4).as("cosine"))),

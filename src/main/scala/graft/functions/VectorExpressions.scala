@@ -49,7 +49,11 @@ case class DotProduct(left: Expression, right: Expression)
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += get(a, lf, i) * get(b, rf, i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null // match zip_with: null element -> null sum
+      acc += get(a, lf, i) * get(b, rf, i)
+      i += 1
+    }
     acc
   }
 
@@ -62,9 +66,10 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += (${getter(lf, a, i)}) * (${getter(rf, b, i)});
          |}
-         |${ev.value} = $acc;
+         |if (!${ev.isNull}) { ${ev.value} = $acc; }
        """.stripMargin
     })
 
@@ -88,6 +93,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null // match zip_with: null element -> null
       val x = get(a, lf, i); val y = get(b, rf, i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
@@ -106,11 +112,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $x = ${getter(lf, a, i)};
          |  double $y = ${getter(rf, b, i)};
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 

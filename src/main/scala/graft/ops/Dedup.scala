@@ -55,9 +55,12 @@ object Dedup {
     val filtered =
       if (maxShingleFreq == Int.MaxValue) sh
       else {
-        val freq = sh.groupBy("shingle").agg(count("*").as("freq"))
-          .filter(col("freq") <= maxShingleFreq)
-        sh.join(filtered_hint(freq.select("shingle")), "shingle")
+        // anti-join away the HOT shingles: that list is small (the point
+        // of the guard), so it broadcasts; broadcasting the kept side
+        // would ship nearly the whole distinct-shingle table
+        val hot = sh.groupBy("shingle").agg(count("*").as("freq"))
+          .filter(col("freq") > maxShingleFreq)
+        sh.join(broadcast(hot.select("shingle")), Seq("shingle"), "left_anti")
       }
     val sizes = filtered.groupBy("doc_id").agg(count("*").as("n_shingles"))
     val a = filtered.select(col("doc_id").as("doc_a"), col("shingle"))
@@ -75,8 +78,6 @@ object Dedup {
       .filter(col("jaccard") >= minJ)
       .select("doc_a", "doc_b", "jaccard")
   }
-
-  private def filtered_hint(df: DataFrame): DataFrame = broadcast(df)
 
   /** MinHash signature: `numHashes` permutation-style hash functions
     * `h_i(x) = min over shingles of xxhash64(shingle, seed=i)`. Pure
@@ -116,7 +117,11 @@ object Dedup {
     l.join(r, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sig_a"), col("sig_b"))).cast("double") /
+        // positional component match (NOT set intersection: a repeated
+        // min-value inside one signature must not deflate the estimate)
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") /
           size(col("sig_a"))).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= minJ)

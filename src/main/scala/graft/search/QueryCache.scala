@@ -64,6 +64,8 @@ final class QueryCache(spark: SparkSession, path: String) {
     get(query).getOrElse {
       val ranked = SearchEngine.search(query, index, docs, stopWords)
       put(query, ranked)
-      get(query).get
+      // an empty result writes no rows, so the re-probe misses — return
+      // the (lazy, re-usable) computed result in that case
+      get(query).getOrElse(ranked)
     }
 }

@@ -387,6 +387,14 @@ class SparkIntegrationSpec extends AnyFunSuite {
         lit(null).cast("array<float>"), col("embedding")).as("c"))
       .collect()(0)
     assert(nullRes.isNullAt(0))
+    // a null ELEMENT also propagates, matching zip_with semantics
+    val withNullElem = e.limit(1).select(
+      graft.functions.VectorExpressions.cosine(
+        array(lit(1.0f), lit(null).cast("float")), col("embedding")).as("c"),
+      graft.functions.VectorExpressions.dot(
+        array(lit(1.0f), lit(null).cast("float")), col("embedding")).as("d"))
+      .collect()(0)
+    assert(withNullElem.isNullAt(0) && withNullElem.isNullAt(1))
   }
 
   test("minhash estimated jaccard tracks exact jaccard on candidates") {
