@@ -98,8 +98,8 @@ object Similarity {
       .map { case (r, i) => (i, r.getSeq[Float](1).map(_.toDouble).toArray) }
 
     def assign(cents: Array[(Int, Array[Double])]): DataFrame = {
-      val centArr = array(cents.map { case (id, v) =>
-        struct(lit(id).as("cid"), array(v.map(lit): _*).as("cvec"))
+      val centArr = array(cents.toIndexedSeq.map { case (id, v) =>
+        struct(lit(id).as("cid"), array(v.toIndexedSeq.map(lit): _*).as("cvec"))
       }: _*)
       // nearest centroid by cosine: array_max over (cosine, cid) structs
       embeddings.select(col("vec_id"), col("embedding"),
