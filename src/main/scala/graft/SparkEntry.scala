@@ -239,6 +239,20 @@ object SparkEntry {
       hi.unionByName(lo).groupBy("o_custkey")
         .agg(round(sum("v"), 2).as("total"), count("*").as("n"))
     }),
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_extendedprice"), 2).as("sum_price"), count("*").as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("sum_price"), col("n"))),
+    "q_approx_sketch" -> ((s, dir) =>
+      // HLL / quantile sketches: engine-specific estimates, so rows-only
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("median_price"))),
     "q_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
@@ -354,6 +368,14 @@ object SparkEntry {
       Multimodal.mediaStats(Multimodal.syntheticMedia(t(s, dir, "documents")))
         .select(col("kind"), col("n_assets"), col("total_bytes"),
           round(col("avg_bytes"), 4).as("avg_bytes"))),
+    "media_frames" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val media = Multimodal.syntheticMedia(t(s, dir, "documents"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.sampleFrames(media, 30).groupBy("media_id")
+        .agg(count("*").as("n_sampled"))
+    }),
     "media_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import sp.implicits._
@@ -548,6 +570,11 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |        CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
+    "q_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+        |       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+        |       round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "q_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
         |       COALESCE(l_linestatus, 'ALL') AS l_linestatus,

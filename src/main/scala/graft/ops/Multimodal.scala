@@ -78,6 +78,47 @@ object Multimodal {
     }
   }
 
+  /** Resized copy of an image batch: output dims are clamped to the
+    * target aspect box; the pixel work is the stubbed codec call. Shape
+    * of a real resize stage: pure `mapPartitions`, metadata recomputed,
+    * payload replaced.
+    */
+  def resizeImages(media: Dataset[MediaRecord], targetW: Int, targetH: Int)(
+      implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        if (m.kind != "image") m
+        else {
+          val scale = math.min(targetW.toDouble / math.max(m.width, 1),
+            targetH.toDouble / math.max(m.height, 1))
+          val w = math.max(1, (m.width * scale).toInt)
+          val h = math.max(1, (m.height * scale).toInt)
+          // stub: a real resize would transcode payload here
+          m.copy(width = w, height = h,
+            payload = m.payload.take(math.max(1, (m.payload.length * scale).toInt)))
+        }
+      }
+    }
+  }
+
+  /** Frame sampling for video assets: keep every `everyN`-th frame
+    * (stub counts frames from the payload). Emits one row per sampled
+    * frame — the explode shape a real video pipeline produces.
+    */
+  final case class Frame(media_id: Long, frame_no: Int, byte_len: Int)
+
+  def sampleFrames(media: Dataset[MediaRecord], everyN: Int)(
+      implicit spark: SparkSession): Dataset[Frame] = {
+    import spark.implicits._
+    media.filter(_.kind == "video").mapPartitions { it =>
+      it.flatMap { m =>
+        (0 until m.n_frames by math.max(1, everyN)).iterator
+          .map(f => Frame(m.media_id, f, m.payload.length / math.max(m.n_frames, 1)))
+      }
+    }
+  }
+
   /** Size/validity stats per kind — metadata-only pass that never
     * deserializes payloads beyond `length()` (column pruning keeps the
     * binary column out of the scan when the source stores lengths in

@@ -297,6 +297,27 @@ class SparkIntegrationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("multimodal resize clamps to target box; frame sampling strides") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val media = Multimodal.syntheticMedia(docs).as[Multimodal.MediaRecord]
+    val resized = Multimodal.resizeImages(media, 32, 32).collect()
+    resized.filter(_.kind == "image").foreach { m =>
+      assert(m.width <= 32 && m.height <= 32 && m.width >= 1 && m.height >= 1)
+    }
+    // non-images pass through untouched
+    val origByIds = media.collect().map(m => m.media_id -> m).toMap
+    resized.filter(_.kind != "image").foreach(m =>
+      assert(m.width == origByIds(m.media_id).width))
+    val frames = Multimodal.sampleFrames(media, 30).collect()
+    assert(frames.nonEmpty)
+    val perVideo = frames.groupBy(_.media_id)
+    media.filter(_.kind == "video").collect().foreach { m =>
+      val expected = (m.n_frames + 29) / 30
+      assert(perVideo(m.media_id).length == expected, s"media ${m.media_id}")
+    }
+  }
+
   test("multimodal feature extraction is deterministic and schema-stable") {
     implicit val s: SparkSession = spark
     import s.implicits._
