@@ -94,6 +94,24 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
+  /** MinHash signatures via the typed [[MinHashAggregator]]: one
+    * aggregation buffer per doc, each shingle's string hashed once and
+    * mixed per hash function — bit-identical output to
+    * [[minHashSignatures]] (equivalence-tested) with k× less string
+    * hashing. This is the production path; the column form documents
+    * the algebra.
+    */
+  def minHashSignaturesAgg(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    shingles(docs, n)
+      .select(col("doc_id"), col("shingle")).as[(Long, String)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new MinHashAggregator(numHashes).toColumn)
+      .toDF("doc_id", "sig")
+  }
+
   /** MinHash + LSH near-dup candidates: the signature splits into
     * `bands` bands of `numHashes/bands` rows; documents agreeing on any
     * full band land in the same bucket (shuffle key = (band, bucketHash))
@@ -105,7 +123,7 @@ object Dedup {
                  bands: Int = 8, minJ: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = minHashSignatures(docs, n, numHashes)
+    val sigs = minHashSignaturesAgg(docs, n, numHashes)
     val banded = sigs.select(col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           bnd => xxhash64(concat_ws(",",

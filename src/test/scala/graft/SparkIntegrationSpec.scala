@@ -418,6 +418,16 @@ class SparkIntegrationSpec extends AnyFunSuite {
     assert(withNullElem.isNullAt(0) && withNullElem.isNullAt(1))
   }
 
+  test("typed MinHash aggregator is bit-identical to the column form") {
+    val colSigs = graft.ops.Dedup.minHashSignatures(docs, 3, 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val aggSigs = graft.ops.Dedup.minHashSignaturesAgg(docs, 3, 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    assert(colSigs.nonEmpty)
+    assert(aggSigs.keySet == colSigs.keySet)
+    for ((id, sig) <- colSigs) assert(aggSigs(id) == sig, s"doc $id")
+  }
+
   test("minhash estimated jaccard tracks exact jaccard on candidates") {
     val exact = graft.ops.Dedup.ngramJaccard(docs, 3, 0.0).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
