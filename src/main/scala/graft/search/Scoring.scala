@@ -27,24 +27,27 @@ object Scoring {
       (tf + lit(K1) * (lit(1.0) - B + lit(B) * dl / avgdl))
 
   /** BM25-scored posting table
-    * `(term, doc_id, tf, df, dl, score)` from a documents table —
-    * the same three-shuffle DAG as [[Indexer.postings]] plus one
-    * per-doc length aggregate (broadcast-joined) and the 1-row avgdl.
+    * `(term, doc_id, tf, positions, df, dl, score)` from a documents
+    * table — the same DAG as [[Indexer.postings]] plus one per-doc
+    * length aggregate (`dl = sum(tf)`, i.e. total kept tokens) and the
+    * 1-row avgdl broadcast. Carries positions, so it drops into
+    * [[QueryCompiler]] as an alternative scorer for the full boolean
+    * algebra (including phrase proximity).
     */
   def bm25Postings(docs: DataFrame, stopWords: Seq[String] = Seq.empty,
                    stem: Boolean = true): DataFrame = {
-    val occ = Indexer.termOccurrences(docs, stopWords, stem)
-    val tf = occ.groupBy("term", "doc_id").agg(count("*").as("tf"))
-    val dl = occ.groupBy("doc_id").agg(count("*").as("dl"))
-    val dfPerTerm = tf.groupBy("term").agg(count("*").as("df"))
+    val stats = Indexer.termDocStats(docs, stopWords, stem)
+    val dl = stats.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dfPerTerm = stats.groupBy("term").agg(count("*").as("df"))
     val globals = dl.agg(avg("dl").as("avgdl"),
       count("*").as("doc_num"))
     // dl is one row per document — large at scale, so a plain shuffle
     // join on doc_id (AQE decides); only the 1-row globals broadcast
-    tf.join(dfPerTerm, "term")
+    stats.join(dfPerTerm, "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(globals))
-      .select(col("term"), col("doc_id"), col("tf"), col("df"), col("dl"),
+      .select(col("term"), col("doc_id"), col("tf"), col("positions"),
+        col("df"), col("dl"),
         bm25Term(col("tf"), col("dl"), col("avgdl"),
           col("doc_num"), col("df")).as("score"))
   }

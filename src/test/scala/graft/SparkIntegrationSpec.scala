@@ -353,6 +353,34 @@ class SparkIntegrationSpec extends AnyFunSuite {
     assert(hit == live)
   }
 
+  test("search compiler runs unchanged over a BM25-scored index") {
+    val bm25Idx = graft.search.Scoring.bm25Postings(docs)
+    val tfidfDocs = SearchEngine.search("spark and data", index, docs)
+      .collect().map(_.getLong(0)).toSet
+    val bm25Ranked = SearchEngine.search("spark and data", bm25Idx, docs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // same boolean semantics (doc sets), different scorer
+    assert(bm25Ranked.map(_._1).toSet == tfidfDocs)
+    assert(bm25Ranked.forall(_._2 > 0))
+  }
+
+  test("xml scan: file ingestion via lineSep record delimiter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xml")
+    val xml = graft.sources.XmlScan.toPageXml(docs.limit(20))
+      .collect().map(_.getString(1)).mkString("\n")
+    java.nio.file.Files.writeString(dir.resolve("dump.xml"), xml)
+    // the real ingestion path: record-delimited text scan, one row per
+    // <page> block (reference XMLInputFormat semantics)
+    val records = spark.read.option("lineSep", "</page>")
+      .text(dir.resolve("dump.xml").toString)
+      .filter(length(trim(col("value"))) > 0)
+    val parsed = graft.sources.XmlScan.parsePages(records).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    val orig = docs.limit(20).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(parsed == orig)
+  }
+
   test("xml scan: page records round-trip through tag extraction") {
     val back = graft.sources.XmlScan.parsePages(
       graft.sources.XmlScan.toPageXml(docs)).collect()
