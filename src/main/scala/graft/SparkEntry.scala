@@ -289,6 +289,12 @@ object SparkEntry {
           col("session_start").cast("timestamp_ntz").as("session_start"),
           col("session_end").cast("timestamp_ntz").as("session_end"),
           col("n_events"), round(col("total_value"), 2).as("total_value"))),
+    "q_sessionize_native" -> ((s, dir) =>
+      StreamingOps.sessionizeNative(t(s, dir, "events"), "30 minutes")
+        .select(col("user_id"),
+          col("session_start").cast("timestamp_ntz").as("session_start"),
+          col("session_end_gap").cast("timestamp_ntz").as("session_end_gap"),
+          col("n_events"), round(col("total_value"), 2).as("total_value"))),
     "q_events_json" -> ((s, dir) =>
       t(s, dir, "events")
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
@@ -609,6 +615,24 @@ object SparkEntry {
         |           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
         |  FROM f)
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM g GROUP BY user_id, session_seq""".stripMargin,
+    "q_sessionize_native" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(prev_ts) >= 1800000
+        |         THEN 1 ELSE 0 END AS is_start
+        |  FROM e),
+        |g AS (
+        |  SELECT *, sum(is_start) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM f)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 30 MINUTE AS session_end_gap,
         |       count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM g GROUP BY user_id, session_seq""".stripMargin,
     "q_events_json" ->

@@ -93,6 +93,22 @@ object StreamingOps {
         })
   }
 
+  /** Catalyst-native sessionization via `session_window` — the
+    * idiomatic form: a dynamic-gap session window the optimizer merges
+    * and the streaming engine maintains under a watermark (out-of-order
+    * events within the watermark merge correctly, unlike the
+    * arrival-order `flatMapGroupsWithState` form). Emits
+    * `(user_id, session_start, session_end_gap, n_events, total_value)`
+    * where `session_end_gap` = last event + gap (the window's exclusive
+    * end — subtract the gap to compare with [[sessionizeBatch]]).
+    */
+  def sessionizeNative(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count("*").as("n_events"), sum("value").as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end_gap"), col("n_events"), col("total_value"))
+
   /** Batch sessionization of the same semantics via window functions —
     * the oracle-checkable form: a session starts where the gap to the
     * previous event of the same user is >= gapMillis; session id = count

@@ -158,6 +158,45 @@ class SparkIntegrationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session_window sessionization matches the window-function form") {
+    val gapMs = 30L * 60 * 1000
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val native = StreamingOps.sessionizeNative(ev, "30 minutes").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime - gapMs, r.getLong(3),
+        math.round(r.getDouble(4) * 100)))
+      .toSet
+    val batch = StreamingOps.sessionizeBatch(ev, gapMs).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2).getTime,
+        r.getTimestamp(3).getTime, r.getLong(4), math.round(r.getDouble(5) * 100)))
+      .toSet
+    assert(native == batch)
+
+    // streaming smoke: same aggregation under a watermark, append mode
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_sess_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(streamDir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 minute")
+    val q = StreamingOps.sessionizeNative(stream, "30 minutes")
+      .writeStream.format("memory").queryName("sess_native")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val emitted = spark.table("sess_native").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime - gapMs, r.getLong(3),
+          math.round(r.getDouble(4) * 100)))
+        .toSet
+      assert(emitted.nonEmpty)
+      assert(emitted.subsetOf(batch)) // only watermark-finalized sessions emit
+    } finally q.stop()
+  }
+
   test("stateful sessionize (flatMapGroupsWithState) matches window-function form") {
     implicit val s: SparkSession = spark
     import s.implicits._
