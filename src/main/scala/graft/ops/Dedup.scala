@@ -166,12 +166,27 @@ object Dedup {
           .reduce((a: Column, c: Column) => a.bitwiseOR(c)).as("simhash"))
   }
 
+  /** SimHash via the typed [[SimHashAggregator]] — bit-identical to
+    * [[simHash]] (equivalence-tested), one buffer pass instead of a
+    * 64-aggregate-expression plan. Production path.
+    */
+  def simHashAgg(docs: DataFrame, n: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    shingles(docs, n)
+      .select(col("doc_id"), col("shingle")).as[(Long, String)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new SimHashAggregator().toColumn)
+      .toDF("doc_id", "simhash")
+  }
+
   /** SimHash near-dup pairs within `maxHamming` bits, candidate-generated
     * by 16-bit chunk equality (4 buckets per doc — a bounded-key shuffle,
     * no cross join).
     */
   def simHashPairs(docs: DataFrame, n: Int = 2, maxHamming: Int = 3): DataFrame = {
-    val fp = simHash(docs, n)
+    val fp = simHashAgg(docs, n)
     val chunked = fp.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))

@@ -485,6 +485,14 @@ class SparkIntegrationSpec extends AnyFunSuite {
     assert(withNullElem.isNullAt(0) && withNullElem.isNullAt(1))
   }
 
+  test("typed SimHash aggregator is bit-identical to the column form") {
+    val colFp = graft.ops.Dedup.simHash(docs, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val aggFp = graft.ops.Dedup.simHashAgg(docs, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(colFp.nonEmpty && aggFp == colFp)
+  }
+
   test("typed MinHash aggregator is bit-identical to the column form") {
     val colSigs = graft.ops.Dedup.minHashSignatures(docs, 3, 32)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
