@@ -679,6 +679,28 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "text_digest" ->
       "SELECT doc_id, md5(text) AS digest FROM documents",
+    "text_lang_id" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |    '[ \t\r\n,.:;''"()\[\]{}/<>!?|\-—#$&=_*+]+'), x -> x <> '') AS arr
+        |  FROM documents),
+        |profiles(lang, words) AS (VALUES
+        |  ('de', ['der','die','und','das','ist','nicht','von','mit','ein','zu']),
+        |  ('en', ['the','and','of','to','a','in','is','that','for','with']),
+        |  ('es', ['el','la','de','que','y','los','en','un','es','por']),
+        |  ('fr', ['le','la','et','les','des','est','pas','une','dans','que']),
+        |  ('zh', ['de','shi','le','zai','you','wo','ta','men','zhe','bu'])),
+        |scored AS (
+        |  SELECT t.doc_id, p.lang,
+        |    CAST(len(list_filter(t.arr, x -> list_contains(p.words, x))) AS DOUBLE)
+        |      / greatest(len(t.arr), 1) AS score
+        |  FROM toks t CROSS JOIN profiles p),
+        |best AS (
+        |  SELECT doc_id, lang, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+        |  FROM scored)
+        |SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS pred_lang
+        |FROM best WHERE rn = 1""".stripMargin,
     "text_quality" ->
       """WITH q AS (
         |  SELECT doc_id,
