@@ -679,6 +679,30 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "text_digest" ->
       "SELECT doc_id, md5(text) AS digest FROM documents",
+    "sim_knn_label" ->
+      """WITH pairs AS (
+        |  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])) AS cosine
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT vec_a, vec_b, cosine,
+        |    row_number() OVER (PARTITION BY vec_a
+        |      ORDER BY cosine DESC, vec_b ASC) AS rn
+        |  FROM pairs)
+        |SELECT vec_a, vec_b, round(cosine, 4) AS cosine
+        |FROM ranked WHERE rn <= 3""".stripMargin,
+    "media_frames" ->
+      """SELECT doc_id AS media_id,
+        |       CAST((doc_id % 300) // 30 + 1 AS BIGINT) AS n_sampled
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+    "media_features" ->
+      """SELECT doc_id AS media_id,
+        |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |       CAST(octet_length(encode(text)) AS INT) AS byte_len
+        |FROM documents""".stripMargin,
     "text_lang_id" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
