@@ -453,6 +453,34 @@ object SparkEntry {
           |  WHERE tf.term IN ('spark', 'data'))
           |SELECT doc_id, round(sum(score), 4) AS score
           |FROM bm GROUP BY 1 HAVING count(*) = 2""").stripMargin,
+    "postings_stemmed" ->
+      // corpus-specific oracle: the 31-word vocabulary's Porter stems as
+      // a CASE map (the stemmer itself is pinned by 41 unit vectors and
+      // the reference differential harness)
+      ("""WITH toks0 AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text),
+        |           '[ \t\r\n,.:;''"()\[\]{}/<>!?|\-—#$&=_*+]+'), x -> x <> '') AS arr
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, arr[i] AS token
+        |  FROM toks0, unnest(generate_series(1, len(arr))) AS u(i)
+        |), kept AS (
+        |  SELECT doc_id,
+        |    CASE token WHEN 'customer' THEN 'custom' WHEN 'merge' THEN 'merg'
+        |      WHEN 'value' THEN 'valu' WHEN 'query' THEN 'queri'
+        |      WHEN 'table' THEN 'tabl' WHEN 'key' THEN 'kei'
+        |      ELSE token END AS term
+        |  FROM toks
+        |  WHERE regexp_matches(token, '^[a-z0-9]+$')
+        |    AND NOT regexp_matches(token, '^[0-9]+$')
+        |), tf AS (
+        |  SELECT term, doc_id, count(*) AS tf FROM kept GROUP BY 1, 2
+        |), dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS doc_num FROM documents)
+        |SELECT tf.term, tf.doc_id, tf.tf, dfreq.df,
+        |       round((1 + log10(tf.tf)) * ln(CAST(n.doc_num AS DOUBLE) / dfreq.df), 4) AS score
+        |FROM tf JOIN dfreq USING (term) CROSS JOIN n""").stripMargin,
     "search_and" ->
       (OracleTfidfCte +
         """SELECT a.doc_id, round(a.score * b.score, 4) AS score
