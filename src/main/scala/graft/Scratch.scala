@@ -2,6 +2,20 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** Simulates the driver's t1 smoke with a BARE session — no UTC, no
+  * shuffle-partition tuning, defaults only — to catch config-dependent
+  * assumptions in SparkEntry.entry.
+  */
+object BareEntrySmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    println(s"ENTRY_ROWS=${SparkEntry.entry(spark).count()}")
+    spark.stop()
+  }
+}
+
 /** Dev scratch main: run a subset of SparkEntry queries with full stack
   * traces (Verify swallows them into one line).
   */
