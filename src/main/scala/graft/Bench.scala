@@ -3,16 +3,23 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR
-  * (default sf0.1) and prints one JSON line
-  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  * (default sf0.1) N times (SPARK_GRAFT_BENCH_RUNS, default 3) and
+  * reports the per-query MEDIAN, so round-over-round deltas beat the
+  * shared host's 2-4x run-to-run variance.
   *
-  * Queries run once after a small warm-up action so JIT/codegen costs
-  * don't dominate the per-query numbers at local scale.
+  * The one JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`
+  * is printed to stdout (unprefixed — build.sbt sets
+  * `run / outputStrategy := StdoutOutput` so the forked JVM's stdout is
+  * not wrapped in sbt's "[info]" logger) AND written to
+  * SPARK_GRAFT_BENCH_OUT (default /tmp/bench.json) for the driver.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -26,7 +33,7 @@ object Bench {
     // warm-up: JVM/codegen/parquet-footer costs land here, not in timings
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch {
@@ -35,12 +42,26 @@ object Bench {
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      s(s.length / 2) // runs is odd by default; upper median otherwise
+    }
+
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = names.map { case (name, fn) =>
+      name -> median((1 to runs).map(_ => once(name, fn)))
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}"""
+    println(json)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: $e") }
     spark.stop()
   }
 }

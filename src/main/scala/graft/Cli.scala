@@ -72,12 +72,23 @@ object Search {
       catch { case _: Exception => Set.empty }
 
     val ranked = SearchEngine.search(query, index, docs, sw)
-    val ids = ranked.select("doc_id").collect().map(_.getLong(0))
-    val result = SearchResult.fromRanked(ids.length, ids.toSeq)
-    println(s"${result.count}/${result.pages.length}")
-    val pageDf = SearchEngine.page(ranked, math.min(page, math.max(result.pages.length, 1)))
-    SearchEngine.renderPage(pageDf, docs, query).collect().foreach { r =>
-      print(s"${r.getLong(0)}\ndoc-${r.getLong(0)}\n${r.getString(2)}$$RST$$")
+    // Bounded driver memory: the total hit count is an aggregate (no
+    // rows cross the driver); only the first maxPages worth of ids are
+    // ever collected — a 100 TB result set cannot OOM the CLI.
+    val maxPages = sys.env.getOrElse("SPARK_GRAFT_MAX_PAGES", "100").toInt
+    val total = ranked.count()
+    val ids = ranked.select("doc_id")
+      .limit(maxPages * SearchEngine.PageSize).collect().map(_.getLong(0))
+    val result = SearchResult.fromRanked(total.toInt, ids.toSeq)
+    val totalPages = ((total + SearchEngine.PageSize - 1) / SearchEngine.PageSize).toInt
+    println(s"${result.count}/$totalPages")
+    val pageDf = SearchEngine.page(ranked,
+      math.min(page, math.max(math.min(totalPages, maxPages), 1)))
+    // stored-corpus view: first line is the title (reference convention)
+    val corpus = graft.sources.Corpus.split(
+      graft.sources.XmlScan.parsePages(graft.sources.XmlScan.toPageXml(docs)), "text")
+    SearchEngine.renderCorpusPage(pageDf, corpus, query).collect().foreach { r =>
+      print(s"${r.getLong(0)}\n${r.getString(2)}\n${r.getString(3)}$$RST$$")
     }
     println()
     spark.stop()

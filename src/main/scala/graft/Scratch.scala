@@ -23,8 +23,10 @@ object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val names = args.drop(1)
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -65,6 +67,127 @@ object Scratch {
         } else if (n == "occurrences-stem") {
           search.Indexer.termOccurrences(search.Indexer.documents(spark, sfDir), Seq.empty)
             .write.format("noop").mode("overwrite").save()
+        } else if (n.startsWith("cmp:")) {
+          // cmp:<queryA>:<queryB> — exact multiset equality of two
+          // SparkEntry query results (column order ignored by name sort)
+          val Array(_, qa, qb) = n.split(":", 3)
+          val da = SparkEntry.queries(qa)(spark, sfDir)
+          val cols = da.columns.sorted.map(org.apache.spark.sql.functions.col)
+          val a = da.select(cols.toIndexedSeq: _*)
+          val b = SparkEntry.queries(qb)(spark, sfDir).select(cols.toIndexedSeq: _*)
+          val onlyA = a.exceptAll(b).count()
+          val onlyB = b.exceptAll(a).count()
+          println(s"cmp $qa(${a.count()}) vs $qb(${b.count()}): onlyA=$onlyA onlyB=$onlyB " +
+            (if (onlyA == 0 && onlyB == 0) "MATCH" else "DIFF"))
+        } else if (n == "minhash-vs-exact") {
+          val docs = search.Indexer.documents(spark, sfDir)
+          val v = ops.Dedup.minHashLshVerified(docs, 3, 32, 32, 0.2)
+          val e = ops.Dedup.ngramJaccard(docs, 3, 0.2)
+          val onlyV = v.exceptAll(e).count(); val onlyE = e.exceptAll(v).count()
+          println(s"minhash verified=${v.count()} exact=${e.count()} onlyV=$onlyV onlyE=$onlyE "
+            + (if (onlyV == 0 && onlyE == 0) "MATCH" else "DIFF"))
+        } else if (n.startsWith("embband-vs-exact")) {
+          // embband-vs-exact[:minCos:planes:tables]
+          val parts = n.split(":")
+          val (mc, p, tb) =
+            if (parts.length == 4) (parts(1).toDouble, parts(2).toInt, parts(3).toInt)
+            else (0.4, 3, 32)
+          val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          val v = ops.Dedup.embeddingNearDupBanded(emb, mc, p, tb)
+          val e = ops.Dedup.embeddingNearDupExact(emb, mc)
+          val onlyV = v.exceptAll(e).count(); val onlyE = e.exceptAll(v).count()
+          println(s"embband($mc,$p,$tb) banded=${v.count()} exact=${e.count()} onlyV=$onlyV onlyE=$onlyE "
+            + (if (onlyV == 0 && onlyE == 0) "MATCH" else "DIFF"))
+        } else if (n.startsWith("lshtopk:") || n.startsWith("ivftopk:")) {
+          // lshtopk:<maxBitDiff> / ivftopk:<nProbe> — recall vs brute force
+          import org.apache.spark.sql.functions._
+          val param = n.split(":")(1).toInt
+          val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+            .filter(col("vec_id") =!= 0)
+          val qVec = spark.read.parquet(s"$sfDir/embeddings.parquet")
+            .filter(col("vec_id") === 0).select("embedding")
+            .collect()(0).getSeq[Float](0).map(_.toDouble)
+          val base = java.nio.file.Files.createTempDirectory("graft-tune-").toString
+          val res =
+            if (n.startsWith("lshtopk:")) {
+              ops.AnnIndex.lshWrite(e, s"$base/lsh", planes = 12)
+              ops.AnnIndex.lshTopK(spark, s"$base/lsh", qVec, 10, planes = 12,
+                maxBitDiff = param)
+            } else {
+              val m = ops.AnnIndex.ivfWrite(e, s"$base/ivf", k = 16)
+              ops.AnnIndex.ivfTopK(spark, m, qVec, 10, nProbe = param)
+            }
+          val brute = ops.Similarity.bruteForceTopK(e, qVec, 10)
+          val a = res.select(round(col("cosine"), 4).as("cosine"), col("vec_id"))
+          val b = brute.select(round(col("cosine"), 4).as("cosine"), col("vec_id"))
+          val d = a.exceptAll(b).count() + b.exceptAll(a).count()
+          println(s"$n diff=$d " + (if (d == 0) "MATCH" else "DIFF"))
+        } else if (n == "genpins") {
+          // Regenerate PinnedOracles.scala: corpus-pinned VALUES oracles
+          // for deterministic engine-specific operators (run at sf0.01,
+          // the driver's correctness scale).
+          // q_approx_sketch is deliberately NOT pinnable: percentile_approx
+          // partials merge per-partition and the scan's split count varies
+          // with parallelism, so its estimate is not partitioning-invariant.
+          // Everything pinned here is: min(xxhash64) / integer votes /
+          // per-row rendering / rounded Lloyd means.
+          val pinned = Seq("text_fingerprint", "dedup_simhash",
+            "sim_ivf_topk", "search_snippets")
+          def sqlLit(v: Any): String = v match {
+            case null => "NULL"
+            case s: String => "'" + s.replace("'", "''") + "'"
+            case d: Double => d.toString
+            case f: Float => f.toString
+            case x => x.toString
+          }
+          def ddbType(dt: org.apache.spark.sql.types.DataType): String = dt match {
+            case org.apache.spark.sql.types.LongType => "BIGINT"
+            case org.apache.spark.sql.types.IntegerType => "INTEGER"
+            case org.apache.spark.sql.types.DoubleType => "DOUBLE"
+            case org.apache.spark.sql.types.FloatType => "FLOAT"
+            case _ => "VARCHAR"
+          }
+          val sb = new StringBuilder
+          sb.append("package graft\n\n")
+          sb.append("/** GENERATED by `runMain graft.Scratch <sfDir> genpins` — do not edit.\n")
+          sb.append("  *\n")
+          sb.append("  * Corpus-pinned expected outputs (driver correctness corpus, sf0.01)\n")
+          sb.append("  * for operators whose values are deterministic but engine-specific\n")
+          sb.append("  * (xxhash64 fingerprints, HLL/quantile sketches, the IVF probe, the\n")
+          sb.append("  * snippet renderer) — the same pattern as postings_stemmed's stem-map\n")
+          sb.append("  * oracle. Each operator's ALGORITHM is pinned by unit/property tests;\n")
+          sb.append("  * these rows pin the end-to-end result against regressions.\n")
+          sb.append("  */\n")
+          sb.append("object PinnedOracles {\n  val sql: Map[String, String] = Map(\n")
+          for ((q, qi) <- pinned.zipWithIndex) {
+            val df = SparkEntry.queries(q)(spark, sfDir)
+            val schema = df.schema
+            val rows = df.collect().map(r =>
+              "(" + schema.indices.map(i => sqlLit(r.get(i))).mkString(", ") + ")")
+            val cols = schema.map(f =>
+              s"CAST(${f.name} AS ${ddbType(f.dataType)}) AS ${f.name}").mkString(", ")
+            val names = schema.map(_.name).mkString(", ")
+            val sql = s"SELECT $cols FROM (VALUES " + rows.mkString(", ") + s") AS t($names)"
+            sb.append("    \"" + q + "\" ->\n      \"\"\"" + sql + "\"\"\"")
+            sb.append(if (qi < pinned.length - 1) ",\n" else "\n")
+            println(s"pinned $q: ${rows.length} rows")
+          }
+          sb.append("  )\n}\n")
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get("/root/repo/src/main/scala/graft/PinnedOracles.scala"),
+            sb.toString)
+          println("wrote PinnedOracles.scala")
+        } else if (n == "maxshingle") {
+          import org.apache.spark.sql.functions._
+          val sh = ops.Dedup.shingles(search.Indexer.documents(spark, sfDir), 3)
+          println("max shingle df: " + sh.groupBy("shingle").count()
+            .agg(max("count")).first())
+        } else if (n == "embcosdist") {
+          import org.apache.spark.sql.functions._
+          val pairs = ops.Dedup.embeddingNearDupExact(
+            spark.read.parquet(s"$sfDir/embeddings.parquet"), -1.0)
+          pairs.select(floor(col("cosine") * 10).as("bucket"))
+            .groupBy("bucket").count().orderBy("bucket").show(30)
         } else if (n.startsWith("explain:")) {
           val q = n.stripPrefix("explain:")
           SparkEntry.queries(q)(spark, sfDir).explain("formatted")

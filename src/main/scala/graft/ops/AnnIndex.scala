@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ANN index *at rest*: the 100 TB posture for similarity search is
+  * build-once / probe-many, not recompute-per-query.
+  *
+  *  - IVF: the assignment table `(vec_id, embedding)` is WRITTEN
+  *    partitioned by `cluster`, centroids alongside as a tiny parquet.
+  *    A probe ranks centroids driver-side (k dot products — statistics,
+  *    not data) and reads only the `nProbe` nearest cluster partitions:
+  *    directory-level partition pruning, visible in the scan's
+  *    `PartitionFilters`, so a 1000-executor probe touches nProbe/k of
+  *    the corpus regardless of total size.
+  *  - LSH: the hyperplane signature rides with each vector as a stored
+  *    column, so a probe is one scan computing `bit_count(sig ^ qSig)`
+  *    over a (vec_id, sig, embedding) table — signatures are never
+  *    recomputed per query, and at scale the sig column can additionally
+  *    be bucketed/z-ordered for skipping.
+  */
+object AnnIndex {
+
+  final case class IvfModel(path: String, centroids: Array[(Int, Array[Double])])
+
+  /** Build + persist the IVF index: Lloyd-assigned clusters written
+    * partitioned by `cluster`, centroids as `<path>.centroids`.
+    */
+  def ivfWrite(embeddings: DataFrame, path: String, k: Int = 16,
+               iterations: Int = 2): IvfModel = {
+    val spark = embeddings.sparkSession
+    val (assigned, centroids) = Similarity.ivfTrain(embeddings, k, iterations)
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    import spark.implicits._
+    centroids.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("cid", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path.centroids")
+    IvfModel(path, centroids)
+  }
+
+  /** Reload a persisted model's centroids (k rows — statistics). */
+  def ivfLoad(spark: SparkSession, path: String): IvfModel = {
+    val centroids = spark.read.parquet(s"$path.centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    IvfModel(path, centroids)
+  }
+
+  private def cos(a: Array[Double], b: Seq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < math.min(a.length, b.length)) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** The `nProbe` cluster ids nearest to `query` — ranked driver-side. */
+  def probeClusters(model: IvfModel, query: Seq[Double], nProbe: Int): Seq[Int] =
+    model.centroids.sortBy { case (_, v) => -cos(v, query) }
+      .take(nProbe).map(_._1).toSeq
+
+  /** Top-k over ONLY the probed cluster partitions of a persisted IVF
+    * index — `cluster` is a partition directory, so `isin(probes)` prunes
+    * at file listing time (assert `PartitionFilters` in the plan).
+    */
+  def ivfTopK(spark: SparkSession, model: IvfModel, query: Seq[Double],
+              topK: Int, nProbe: Int = 4): DataFrame = {
+    val probes = probeClusters(model, query, nProbe)
+    val q = array(query.map(lit): _*)
+    spark.read.parquet(model.path)
+      .filter(col("cluster").isin(probes: _*))
+      .select(col("vec_id"), Similarity.cosineCol(col("embedding"), q).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(topK)
+  }
+
+  /** Persist embeddings with their hyperplane signature as a stored
+    * column: `(vec_id, embedding, sig)`.
+    */
+  def lshWrite(embeddings: DataFrame, path: String, planes: Int = 12): Unit =
+    embeddings
+      .withColumn("sig", Similarity.hyperplaneSignature(col("embedding"), planes))
+      .write.mode("overwrite").parquet(path)
+
+  /** LSH top-k over a persisted signature table: one scan filtering on
+    * stored signatures (no per-query signature recompute), exact cosine
+    * re-rank of the survivors.
+    */
+  def lshTopK(spark: SparkSession, path: String, query: Seq[Double], topK: Int,
+              planes: Int = 12, maxBitDiff: Int = 3): DataFrame = {
+    val q = array(query.map(lit): _*)
+    val qSig = Similarity.hyperplaneSignature(q, planes)
+    spark.read.parquet(path)
+      .filter(bit_count(col("sig").bitwiseXOR(qSig)) <= maxBitDiff)
+      .select(col("vec_id"), Similarity.cosineCol(col("embedding"), q).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(topK)
+  }
+}

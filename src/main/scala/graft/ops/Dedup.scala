@@ -145,6 +145,46 @@ object Dedup {
       .filter(col("est_jaccard") >= minJ)
   }
 
+  /** MinHash LSH with EXACT verification: LSH banding proposes candidate
+    * pairs (bounded-key bucket shuffle, no all-pairs), then the true
+    * n-gram Jaccard is computed for just those pairs and filtered at
+    * `minJ`. This is the production dedup shape — cheap approximate
+    * candidate generation, exact decision — and its output is the exact
+    * pair list (SQL-expressible), provided the banding's recall at `minJ`
+    * covers every true pair. With `bands = numHashes` (1-row bands) a
+    * true pair at Jaccard j is missed with probability (1-j)^numHashes —
+    * at j=0.2, numHashes=32: 0.08%.
+    */
+  def minHashLshVerified(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
+                         bands: Int = 32, minJ: Double = 0.2): DataFrame = {
+    val candidates = minHashLsh(docs, n, numHashes, bands, minJ = 0.0)
+      .select("doc_a", "doc_b")
+    val sh = shingles(docs, n)
+    val sizes = sh.groupBy("doc_id").agg(count("*").as("n_shingles"))
+    // exact intersection size, restricted BEFORE the self-join: only
+    // shingles of documents that appear in some candidate pair enter the
+    // join, so its cost is bounded by the near-dup population, not the
+    // corpus
+    val docsInPairs = candidates.select(col("doc_a").as("doc_id"))
+      .unionByName(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    val shCand = sh.join(docsInPairs, Seq("doc_id"), "left_semi")
+    val a = shCand.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = shCand.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .join(candidates, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy("doc_a", "doc_b").agg(count("*").as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_shingles", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_shingles", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
+      .filter(col("jaccard") >= minJ)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** SimHash: 64-bit weighted-majority fingerprint of a document's
     * shingle hashes. For each bit position, sum +1/-1 votes across
     * shingles; the sign of the sum is the bit. Near-dups = fingerprints
@@ -224,6 +264,39 @@ object Dedup {
     * the join key is a bounded bucket signature, not an n^2 cross join;
     * exact cosine verifies each candidate.
     */
+  /** Banded (multi-table) hyperplane LSH near-dup with exact
+    * verification: `tables` independent signatures of `planesPerTable`
+    * bits each; vectors agreeing on ANY full table's bits become a
+    * candidate pair (shuffle key = (table, bucket)); exact cosine then
+    * decides. A true pair at cosine c is missed by one table with
+    * probability 1-(1-acos(c)/pi)^planesPerTable and must be missed by
+    * all `tables` independently — banding trades a tables-fold candidate
+    * increase for recall, exactly like MinHash bands. The embedding rides
+    * through the explode for locality (tables x duplication); at 100 TB
+    * store `(table, bucket, vec_id)` and join embeddings back by id.
+    */
+  def embeddingNearDupBanded(embeddings: DataFrame, minCos: Double,
+                             planesPerTable: Int = 4, tables: Int = 8): DataFrame = {
+    val sigTables = array((0 until tables).map(t =>
+      struct(lit(t).as("tbl"),
+        Similarity.hyperplaneSignature(col("embedding"), planesPerTable,
+          planeOffset = t * planesPerTable).as("bucket"))): _*)
+    val buckets = embeddings
+      .select(col("vec_id"), col("embedding"), explode(sigTables).as("tb"))
+      .select(col("vec_id"), col("embedding"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val l = buckets.select(col("tbl"), col("bucket"),
+      col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val r = buckets.select(col("tbl"), col("bucket"),
+      col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    l.join(r, Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        Similarity.cosineCol(col("emb_a"), col("emb_b")).as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= minCos)
+  }
+
   def embeddingNearDup(embeddings: DataFrame, minCos: Double = 0.95,
                        planes: Int = 8): DataFrame = {
     val sigCol = Similarity.hyperplaneSignature(col("embedding"), planes)

@@ -36,9 +36,85 @@ object Multimodal {
 
   /** The codec boundary. Every function is pure bytes->values so it can
     * run inside `mapPartitions` on executors with no driver round trip.
+    *
+    * The IMAGE path is real: `javax.imageio` (ships with the JDK)
+    * decodes PNG/JPEG/GIF/BMP bytes, resizes through `Graphics2D`, and
+    * re-encodes. Payloads ImageIO cannot decode (and the audio/video
+    * kinds, which have no JDK codec) fall back to the deterministic
+    * stub, so pipelines over mixed/raw corpora never throw.
     */
   object MediaCodec {
-    /** STUB decode: a real build calls the native decoder here. The fake
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    /** Decode image bytes; None when the payload is not a decodable
+      * image. ImageIO is executor-local and stateless (pure bytes in).
+      */
+    def decodeImage(payload: Array[Byte]): Option[BufferedImage] =
+      try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+      catch { case _: Throwable => None }
+
+    /** Aspect-preserving scale into a `targetW x targetH` box. */
+    def scaleInto(img: BufferedImage, targetW: Int, targetH: Int): BufferedImage = {
+      val scale = math.min(targetW.toDouble / math.max(img.getWidth, 1),
+        targetH.toDouble / math.max(img.getHeight, 1))
+      val w = math.max(1, (img.getWidth * scale).toInt)
+      val h = math.max(1, (img.getHeight * scale).toInt)
+      val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try g.drawImage(img.getScaledInstance(w, h, java.awt.Image.SCALE_SMOOTH), 0, 0, null)
+      finally g.dispose()
+      out
+    }
+
+    def encodePng(img: BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Image features after a real decode: output dims, per-channel RGB
+      * means in [0,1], mean luma, and the source dims.
+      */
+    def imageFeatures(img: BufferedImage, targetW: Int, targetH: Int): Array[Float] = {
+      val s = scaleInto(img, targetW, targetH)
+      var r = 0L; var g = 0L; var b = 0L
+      var y = 0
+      while (y < s.getHeight) {
+        var x = 0
+        while (x < s.getWidth) {
+          val p = s.getRGB(x, y)
+          r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = (s.getWidth.toLong * s.getHeight * 255).toFloat
+      Array(s.getWidth.toFloat, s.getHeight.toFloat,
+        r / n, g / n, b / n, (0.299f * r + 0.587f * g + 0.114f * b) / n,
+        img.getWidth.toFloat, img.getHeight.toFloat)
+    }
+
+    /** Decode + featurize: real ImageIO path when the bytes are an
+      * image, deterministic stub otherwise.
+      */
+    def imageFeaturesOrStub(payload: Array[Byte], targetW: Int, targetH: Int): Array[Float] =
+      decodeImage(payload) match {
+        case Some(img) => imageFeatures(img, targetW, targetH)
+        case None      => decodeImageStub(payload, targetW, targetH)
+      }
+
+    /** Real resize: decode -> scale into box -> PNG re-encode. None when
+      * the payload is not a decodable image.
+      */
+    def resizeImage(payload: Array[Byte], targetW: Int, targetH: Int): Option[(Array[Byte], Int, Int)] =
+      decodeImage(payload).map { img =>
+        val s = scaleInto(img, targetW, targetH)
+        (encodePng(s), s.getWidth, s.getHeight)
+      }
+
+    /** STUB decode for non-image kinds and undecodable bytes. The fake
       * derives deterministic "pixels" from the payload hash so tests can
       * assert end-to-end stability.
       */
@@ -69,7 +145,7 @@ object Multimodal {
       // per-partition codec init would happen here (native handles etc.)
       it.map { m =>
         val feats = m.kind match {
-          case "image" => MediaCodec.decodeImageStub(m.payload, targetW, targetH)
+          case "image" => MediaCodec.imageFeaturesOrStub(m.payload, targetW, targetH)
           case "audio" => MediaCodec.decodeImageStub(m.payload, m.sample_rate, 1)
           case _       => MediaCodec.decodeImageStub(m.payload, m.n_frames, 1)
         }
@@ -89,14 +165,17 @@ object Multimodal {
     media.mapPartitions { it =>
       it.map { m =>
         if (m.kind != "image") m
-        else {
-          val scale = math.min(targetW.toDouble / math.max(m.width, 1),
-            targetH.toDouble / math.max(m.height, 1))
-          val w = math.max(1, (m.width * scale).toInt)
-          val h = math.max(1, (m.height * scale).toInt)
-          // stub: a real resize would transcode payload here
-          m.copy(width = w, height = h,
-            payload = m.payload.take(math.max(1, (m.payload.length * scale).toInt)))
+        else MediaCodec.resizeImage(m.payload, targetW, targetH) match {
+          // real path: decoded, scaled, PNG re-encoded
+          case Some((bytes, w, h)) => m.copy(width = w, height = h, payload = bytes)
+          case None =>
+            // undecodable payload: keep the metadata-only stub behavior
+            val scale = math.min(targetW.toDouble / math.max(m.width, 1),
+              targetH.toDouble / math.max(m.height, 1))
+            val w = math.max(1, (m.width * scale).toInt)
+            val h = math.max(1, (m.height * scale).toInt)
+            m.copy(width = w, height = h,
+              payload = m.payload.take(math.max(1, (m.payload.length * scale).toInt)))
         }
       }
     }

@@ -45,12 +45,12 @@ object Similarity {
     * plane p derives from xxhash64(j, p) mapped to [-0.5, 0.5) — fully
     * deterministic across runs and executors (no RNG state).
     */
-  def hyperplaneSignature(emb: Column, planes: Int): Column = {
+  def hyperplaneSignature(emb: Column, planes: Int, planeOffset: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
       val proj = aggregate(
         zip_with(emb, sequence(lit(0), size(emb) - 1), (x, j) =>
           x.cast("double") *
-            ((pmod(xxhash64(j, lit(p)), lit(1000000L)).cast("double") / 1000000.0) - 0.5)),
+            ((pmod(xxhash64(j, lit(p + planeOffset)), lit(1000000L)).cast("double") / 1000000.0) - 0.5)),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
     }
@@ -111,10 +111,15 @@ object Similarity {
 
     var assigned = assign(centroids)
     for (_ <- 1 to iterations) {
-      // new centroid = per-dimension mean of members (posexplode + avg)
+      // new centroid = per-dimension mean of members (posexplode + avg).
+      // The mean is rounded to 9 dp: double summation order varies with
+      // partitioning, and an unrounded ~1e-16 wobble could flip a
+      // marginal assignment between runs — rounding makes the trained
+      // model partitioning-invariant (the IVF determinism spec relies
+      // on it).
       val means = assigned
         .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy("cluster", "dim").agg(avg(col("v")).as("m"))
+        .groupBy("cluster", "dim").agg(round(avg(col("v")), 9).as("m"))
         .collect().groupBy(_.getInt(0))
         .map { case (c, rows) =>
           val vec = new Array[Double](dims)

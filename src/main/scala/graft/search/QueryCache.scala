@@ -33,7 +33,7 @@ final class QueryCache(spark: SparkSession, path: String) {
       val slice = spark.read.parquet(path)
         .filter(col("qhash") === h && col("query") === q)
         .select("doc_id", "score")
-      if (slice.limit(1).count() == 0) None
+      if (slice.isEmpty) None
       else Some(slice.orderBy(desc("score"), asc("doc_id")))
     } catch { case _: Exception => None } // cache not created yet
   }

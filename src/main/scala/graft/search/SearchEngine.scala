@@ -164,6 +164,21 @@ object SearchEngine {
       .orderBy(desc("score"), asc("doc_id"))
   }
 
+  /** Render a page against a STORED corpus `(doc_id, content)` where the
+    * first line is the title (the reference's on-disk convention,
+    * `util/CorpusFetcher.java:106-107`): extract the title, snippet the
+    * body. Returns `(doc_id, score, title, snippet)`.
+    */
+  def renderCorpusPage(pageDf: DataFrame, corpus: DataFrame, query: String): DataFrame = {
+    val highlights = QueryParser.highlightWords(query)
+    val title = graft.sources.Corpus.titleOf(col("content"))
+    val body = graft.sources.Corpus.bodyOf(col("content"))
+    corpus.join(broadcast(pageDf), "doc_id")
+      .select(col("doc_id"), col("score"), title.as("title"),
+        snippetUdf(body, lit(highlights.toArray)).as("snippet"))
+      .orderBy(desc("score"), asc("doc_id"))
+  }
+
   /** S8: point lookup of one document — pushdown predicate on the corpus
     * Parquet replaces the reference's MapFile get
     * (`util/CorpusFetcher.java:246-258`).
