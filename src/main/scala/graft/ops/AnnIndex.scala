@@ -76,11 +76,14 @@ object AnnIndex {
   }
 
   /** Persist embeddings with their hyperplane signature as a stored
-    * column: `(vec_id, embedding, sig)`.
+    * column: `(vec_id, embedding, sig)`. The signature is computed by
+    * the native kernel (plane matrix hashed once per executor) —
+    * bit-identical to the column-algebra form.
     */
   def lshWrite(embeddings: DataFrame, path: String, planes: Int = 12): Unit =
     embeddings
-      .withColumn("sig", Similarity.hyperplaneSignature(col("embedding"), planes))
+      .withColumn("sig", element_at(graft.functions.VectorExpressions
+        .hyperplaneSignatures(col("embedding"), planes, 1), 1))
       .write.mode("overwrite").parquet(path)
 
   /** LSH top-k over a persisted signature table: one scan filtering on

@@ -157,22 +157,44 @@ object Dedup {
     */
   def minHashLshVerified(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
                          bands: Int = 32, minJ: Double = 0.2): DataFrame = {
-    val candidates = minHashLsh(docs, n, numHashes, bands, minJ = 0.0)
-      .select("doc_a", "doc_b")
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    // ONE shingle pass feeds signature building, pair sizes, and the
+    // exact verification join (persisted: three consumers, and the
+    // distinct inside shingles() is a shuffle worth paying once)
     val sh = shingles(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = numHashes / bands
+    val sigs = sh.select(col("doc_id"), col("shingle")).as[(Long, String)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new MinHashAggregator(numHashes).toColumn)
+      .toDF("doc_id", "sig")
+    val banded = sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        bnd => xxhash64(concat_ws(",",
+          slice(col("sig"), bnd * rows + 1, lit(rows))), bnd))).as(Seq("band", "bucket")))
+    val cl = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val cr = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    val candidates = cl.join(cr, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
     val sizes = sh.groupBy("doc_id").agg(count("*").as("n_shingles"))
     // exact intersection size, restricted BEFORE the self-join: only
     // shingles of documents that appear in some candidate pair enter the
     // join, so its cost is bounded by the near-dup population, not the
     // corpus
-    val docsInPairs = candidates.select(col("doc_a").as("doc_id"))
-      .unionByName(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    val candidatesP = candidates
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docsInPairs = candidatesP.select(col("doc_a").as("doc_id"))
+      .unionByName(candidatesP.select(col("doc_b").as("doc_id"))).distinct()
     val shCand = sh.join(docsInPairs, Seq("doc_id"), "left_semi")
     val a = shCand.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = shCand.select(col("doc_id").as("doc_b"), col("shingle"))
     val inter = a.join(b, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
-      .join(candidates, Seq("doc_a", "doc_b"), "left_semi")
+      .join(candidatesP, Seq("doc_a", "doc_b"), "left_semi")
       .groupBy("doc_a", "doc_b").agg(count("*").as("n_common"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
@@ -277,14 +299,15 @@ object Dedup {
     */
   def embeddingNearDupBanded(embeddings: DataFrame, minCos: Double,
                              planesPerTable: Int = 4, tables: Int = 8): DataFrame = {
-    val sigTables = array((0 until tables).map(t =>
-      struct(lit(t).as("tbl"),
-        Similarity.hyperplaneSignature(col("embedding"), planesPerTable,
-          planeOffset = t * planesPerTable).as("bucket"))): _*)
+    // all tables x planes signatures in ONE native kernel pass per row
+    // (the plane matrix is hashed once per executor, not per row) —
+    // bit-identical to per-table Similarity.hyperplaneSignature
+    // (equivalence-tested in RoundTwoSpec)
+    val sigTables = graft.functions.VectorExpressions
+      .hyperplaneSignatures(col("embedding"), planesPerTable, tables)
     val buckets = embeddings
-      .select(col("vec_id"), col("embedding"), explode(sigTables).as("tb"))
       .select(col("vec_id"), col("embedding"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        posexplode(sigTables).as(Seq("tbl", "bucket")))
     val l = buckets.select(col("tbl"), col("bucket"),
       col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val r = buckets.select(col("tbl"), col("bucket"),

@@ -170,6 +170,20 @@ class RoundTwoSpec extends AnyFunSuite {
     assert((ivf & brute).size >= 5, s"recall ${(ivf & brute).size}/10")
   }
 
+  // ---- native hyperplane kernel == column algebra ----
+  test("HyperplaneSignatures native kernel is bit-identical to the column form") {
+    val p = 3; val tables = 5
+    val native = embeddings.select(col("vec_id"),
+      graft.functions.VectorExpressions
+        .hyperplaneSignatures(col("embedding"), p, tables).as("sigs"))
+    val columnar = embeddings.select(col("vec_id"),
+      array((0 until tables).map(t =>
+        Similarity.hyperplaneSignature(col("embedding"), p,
+          planeOffset = t * p)): _*).as("sigs"))
+    assert(native.exceptAll(columnar).count() == 0 &&
+      columnar.exceptAll(native).count() == 0)
+  }
+
   // ---- verified dedup variants ----
   test("minHashLshVerified returns the exact Jaccard pair list") {
     val v = Dedup.minHashLshVerified(docs, n = 3, numHashes = 32,
