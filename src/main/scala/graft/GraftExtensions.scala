@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{CosineSimilarity, DotProduct}
+import graft.functions.{CosineSimilarity, DotProduct, HyperplaneSignatures}
 
 /** SparkSessionExtensions hook: registers the engine's native Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT graft_cosine(a,b)")`
@@ -28,5 +28,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[DotProduct].getName, "graft_dot"),
         (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           DotProduct(children(0), children(1))))
+    // graft_hyperplane_sigs(emb, planesPerTable, tables[, planeOffset]):
+    // one LSH bucket signature per table (foldable int literals only)
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hyperplane_sigs"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[HyperplaneSignatures].getName, "graft_hyperplane_sigs"),
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          def intArg(i: Int, default: => Int): Int =
+            if (children.length > i)
+              children(i).eval(null).asInstanceOf[Number].intValue()
+            else default
+          HyperplaneSignatures(children(0), intArg(1, 12), intArg(2, 1), intArg(3, 0))
+        }))
   }
 }

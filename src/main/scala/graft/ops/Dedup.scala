@@ -305,18 +305,26 @@ object Dedup {
     // (equivalence-tested in RoundTwoSpec)
     val sigTables = graft.functions.VectorExpressions
       .hyperplaneSignatures(col("embedding"), planesPerTable, tables)
+    // The bucket join carries only ids: vectors are NOT duplicated
+    // through the tables-fold explode, the distinct dedups narrow
+    // (vec_a, vec_b) rows, and the exact cosine is computed once per
+    // UNIQUE candidate pair after joining the embeddings back.
     val buckets = embeddings
-      .select(col("vec_id"), col("embedding"),
-        posexplode(sigTables).as(Seq("tbl", "bucket")))
-    val l = buckets.select(col("tbl"), col("bucket"),
-      col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val r = buckets.select(col("tbl"), col("bucket"),
-      col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-    l.join(r, Seq("tbl", "bucket"))
+      .select(col("vec_id"), posexplode(sigTables).as(Seq("tbl", "bucket")))
+    val candidates = buckets
+      .select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"))
+      .join(buckets.select(col("tbl"), col("bucket"), col("vec_id").as("vec_b")),
+        Seq("tbl", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+      .distinct()
+    candidates
+      .join(embeddings.select(col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a")), "vec_a")
+      .join(embeddings.select(col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         Similarity.cosineCol(col("emb_a"), col("emb_b")).as("cosine"))
-      .distinct()
       .filter(col("cosine") >= minCos)
   }
 

@@ -184,6 +184,25 @@ class RoundTwoSpec extends AnyFunSuite {
       columnar.exceptAll(native).count() == 0)
   }
 
+  test("graft_hyperplane_sigs callable from SQL via extensions") {
+    // injectFunction needs builder-time extensions; the live-session
+    // registry path exercises the same expression builder
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hyperplane_sigs",
+      exprs => graft.functions.HyperplaneSignatures(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue(),
+        exprs(2).eval(null).asInstanceOf[Number].intValue(),
+        exprs(3).eval(null).asInstanceOf[Number].intValue()), "scala_udf")
+    embeddings.limit(5).createOrReplaceTempView("emb_ext_test")
+    val viaSql = spark.sql(
+      "SELECT vec_id, graft_hyperplane_sigs(embedding, 3, 4, 0) AS sigs FROM emb_ext_test")
+    val viaApi = embeddings.limit(5).select(col("vec_id"),
+      graft.functions.VectorExpressions
+        .hyperplaneSignatures(col("embedding"), 3, 4).as("sigs"))
+    assert(viaSql.exceptAll(viaApi).count() == 0 &&
+      viaApi.exceptAll(viaSql).count() == 0)
+  }
+
   // ---- verified dedup variants ----
   test("minHashLshVerified returns the exact Jaccard pair list") {
     val v = Dedup.minHashLshVerified(docs, n = 3, numHashes = 32,
