@@ -57,6 +57,31 @@ object Scratch {
               println("hits=" + r.count())
             case "simhash" =>
               println("pairs=" + ops.Dedup.simHashPairs(big, 2, 3).count())
+            case "jaccard" =>
+              // candidate-generation bound: the guard drops hot shingles
+              // (every shingle here has freq >= 20 from duplication; the
+              // template shingles reach thousands) while the 20-copy
+              // groups' rare shingles (freq ~20) survive, so true
+              // near-dup pairs are still found with a fraction of the
+              // join cost. Prints candidate counts guarded vs exact.
+              def candidates(maxFreq: Int): Long = {
+                val sh = ops.Dedup.shingles(big, 3)
+                val kept =
+                  if (maxFreq == Int.MaxValue) sh
+                  else {
+                    val hot = sh.groupBy("shingle").agg(count("*").as("freq"))
+                      .filter(col("freq") > maxFreq)
+                    sh.join(broadcast(hot.select("shingle")), Seq("shingle"), "left_anti")
+                  }
+                kept.select(col("doc_id").as("a"), col("shingle"))
+                  .join(kept.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+                  .filter(col("a") < col("b")).count()
+              }
+              val guarded = candidates(100)
+              val pairs = ops.Dedup.ngramJaccard(big, 3, 0.9, maxShingleFreq = 100).count()
+              println(s"guarded(maxFreq=100): candidateRows=$guarded pairs(j>=0.9)=$pairs")
+              val exact = candidates(Int.MaxValue)
+              println(s"exact: candidateRows=$exact bound=${exact / math.max(guarded, 1)}x")
           }
         } else if (n == "idx-stem-nopersist") {
           search.Indexer.postings(search.Indexer.documents(spark, sfDir))

@@ -46,28 +46,43 @@ object Dedup {
     *
     * Scale note: a stop-shingle appearing in k docs contributes k^2 join
     * rows; `maxShingleFreq` drops such super-frequent shingles from
-    * CANDIDATE GENERATION only (a standard LSH-side guard); with the
-    * default Int.MaxValue the result is exact.
+    * CANDIDATE GENERATION only (a standard LSH-side guard) — the Jaccard
+    * of a proposed pair is still computed over the FULL shingle sets, so
+    * guarded values equal exact values and a pair is missed only if it
+    * shares exclusively hot shingles. With the default Int.MaxValue the
+    * single self-join exact path runs instead.
     */
   def ngramJaccard(docs: DataFrame, n: Int, minJ: Double,
                    maxShingleFreq: Int = Int.MaxValue): DataFrame = {
     val sh = shingles(docs, n)
-    val filtered =
-      if (maxShingleFreq == Int.MaxValue) sh
-      else {
-        // anti-join away the HOT shingles: that list is small (the point
-        // of the guard), so it broadcasts; broadcasting the kept side
-        // would ship nearly the whole distinct-shingle table
+    val sizes = sh.groupBy("doc_id").agg(count("*").as("n_shingles"))
+    val inter =
+      if (maxShingleFreq == Int.MaxValue) {
+        // exact mode: one self-equi-join on the shingle key
+        sh.select(col("doc_id").as("doc_a"), col("shingle"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count("*").as("n_common"))
+      } else {
+        // guarded mode: hot shingles are dropped from CANDIDATE
+        // GENERATION only — the anti-joined self-join proposes pairs
+        // (bounded: <= maxShingleFreq^2 rows per shingle) and the true
+        // Jaccard is then computed over the FULL shingle sets via a
+        // pair-bounded join (cost = candidates x doc size, never the
+        // hot shingle's k^2). The hot list is small, so it broadcasts.
         val hot = sh.groupBy("shingle").agg(count("*").as("freq"))
           .filter(col("freq") > maxShingleFreq)
-        sh.join(broadcast(hot.select("shingle")), Seq("shingle"), "left_anti")
+        val filtered = sh.join(broadcast(hot.select("shingle")), Seq("shingle"), "left_anti")
+        val candidates = filtered.select(col("doc_id").as("doc_a"), col("shingle"))
+          .join(filtered.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        val bSide = sh.select(col("doc_id").as("b_id"), col("shingle").as("b_sh"))
+        candidates
+          .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+          .join(bSide, col("doc_b") === col("b_id") && col("shingle") === col("b_sh"))
+          .groupBy("doc_a", "doc_b").agg(count("*").as("n_common"))
       }
-    val sizes = filtered.groupBy("doc_id").agg(count("*").as("n_shingles"))
-    val a = filtered.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = filtered.select(col("doc_id").as("doc_b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count("*").as("n_common"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n_shingles", "na"), "doc_a")
