@@ -56,8 +56,16 @@ object Dedup {
                    maxShingleFreq: Int = Int.MaxValue): DataFrame = {
     val sh = shingles(docs, n)
     val sizes = sh.groupBy("doc_id").agg(count("*").as("n_shingles"))
+    // adaptive: when the guard is off OR no shingle actually exceeds it
+    // (one cheap aggregation to check — planning-time statistics, like
+    // the search compiler's df fetch), the single self-join exact path
+    // runs; the two-phase candidates+verify shape is only paid when hot
+    // shingles exist and the k^2 blowup is real
+    def guardTriggers: Boolean =
+      !sh.groupBy("shingle").agg(count("*").as("freq"))
+        .filter(col("freq") > maxShingleFreq).isEmpty
     val inter =
-      if (maxShingleFreq == Int.MaxValue) {
+      if (maxShingleFreq == Int.MaxValue || !guardTriggers) {
         // exact mode: one self-equi-join on the shingle key
         sh.select(col("doc_id").as("doc_a"), col("shingle"))
           .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
