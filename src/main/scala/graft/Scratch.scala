@@ -151,13 +151,11 @@ object Scratch {
           // Regenerate PinnedOracles.scala: corpus-pinned VALUES oracles
           // for deterministic engine-specific operators (run at sf0.01,
           // the driver's correctness scale).
-          // q_approx_sketch is deliberately NOT pinnable: percentile_approx
-          // partials merge per-partition and the scan's split count varies
-          // with parallelism, so its estimate is not partitioning-invariant.
-          // Everything pinned here is: min(xxhash64) / integer votes /
-          // per-row rendering / rounded Lloyd means.
+          // Everything pinned here is partitioning-invariant:
+          // min(xxhash64) / integer votes / per-row rendering / rounded
+          // Lloyd means / HLL (max-merged registers) + exact percentile.
           val pinned = Seq("text_fingerprint", "dedup_simhash",
-            "sim_ivf_topk", "search_snippets")
+            "sim_ivf_topk", "search_snippets", "q_approx_sketch")
           def sqlLit(v: Any): String = v match {
             case null => "NULL"
             case s: String => "'" + s.replace("'", "''") + "'"

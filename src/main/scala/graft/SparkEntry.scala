@@ -303,11 +303,15 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
           col("sum_price"), col("n"))),
     "q_approx_sketch" -> ((s, dir) =>
-      // HLL / quantile sketches: engine-specific estimates, so rows-only
+      // HLL sketch + exact median. The HLL estimate is engine-specific
+      // but partitioning-INVARIANT (registers merge by max), so the row
+      // set is corpus-pinnable (PinnedOracles); percentile_approx is NOT
+      // invariant (quantile-summary partials depend on split count), so
+      // the median column is the exact percentile instead.
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(approx_count_distinct("l_partkey").as("approx_parts"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          round(percentile(col("l_extendedprice"), lit(0.5)), 2)
             .as("median_price"))),
     "q_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
