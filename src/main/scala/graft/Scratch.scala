@@ -200,6 +200,22 @@ object Scratch {
             java.nio.file.Paths.get("/root/repo/src/main/scala/graft/PinnedOracles.scala"),
             sb.toString)
           println("wrote PinnedOracles.scala")
+        } else if (n == "idxcodec") {
+          // index size: snappy vs zstd (X4 evidence — at 100 TB the
+          // codec choice is a real storage/scan-cost lever)
+          import org.apache.spark.sql.functions._
+          val idx = search.Indexer.postings(search.Indexer.documents(spark, sfDir))
+          def sizeOf(dir: java.io.File): Long =
+            if (dir.isFile) dir.length
+            else Option(dir.listFiles).map(_.map(sizeOf).sum).getOrElse(0L)
+          for (codec <- Seq("snappy", "zstd")) {
+            val path = java.nio.file.Files.createTempDirectory(s"graft-idx-$codec-")
+              .resolve("idx").toString
+            idx.repartitionByRange(10, col("term"))
+              .sortWithinPartitions("term", "doc_id")
+              .write.mode("overwrite").option("compression", codec).parquet(path)
+            println(f"$codec%-7s ${sizeOf(new java.io.File(path)) / 1024.0}%10.1f KiB")
+          }
         } else if (n == "maxshingle") {
           import org.apache.spark.sql.functions._
           val sh = ops.Dedup.shingles(search.Indexer.documents(spark, sfDir), 3)

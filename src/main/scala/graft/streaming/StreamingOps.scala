@@ -42,6 +42,21 @@ object StreamingOps {
     windowedCounts(stream.withWatermark("ts", "1 hour"), windowLen)
   }
 
+  /** Streaming word counts — the streaming form of the reference's
+    * word-count job ([[graft.search.Indexer.wordCounts]]): the SAME
+    * tokenize -> partial-aggregate DAG over a document file stream.
+    * Complete output mode; state is one row per distinct term (bounded
+    * by vocabulary size, not stream length), so the running counts — and
+    * a top-k over them, the streaming "trending terms" surface — stay
+    * cheap for continuous ingestion.
+    */
+  def streamingWordCounts(spark: SparkSession, docsPath: String): DataFrame = {
+    val schema = spark.read.parquet(docsPath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(docsPath)
+    graft.search.Indexer.wordCounts(stream)
+  }
+
   /** Streaming exact dedup: `dropDuplicates` on the content key with a
     * watermark bounding state — the streaming form of
     * [[graft.ops.Dedup.exact]] for continuous ingestion (state evicts

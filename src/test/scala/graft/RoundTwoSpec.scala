@@ -232,6 +232,33 @@ class RoundTwoSpec extends AnyFunSuite {
     assert(guarded.count() == exact.count())
   }
 
+  // ---- streaming top-k terms ----
+  test("streaming word counts match batch; top-k = the batch stop words") {
+    val batch = Indexer.wordCounts(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val streamDir = tmpDir("graft-wc-stream-")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      java.nio.file.Paths.get(streamDir, "documents.parquet"))
+    val q = graft.streaming.StreamingOps.streamingWordCounts(spark, streamDir)
+      .writeStream.format("memory").queryName("wc_stream_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("wc_stream_test").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(streamed == batch)
+      // trending-terms surface: top-10 of the running counts equals the
+      // batch stop-word list
+      val topStream = spark.table("wc_stream_test")
+        .orderBy(desc("cnt"), asc("word")).limit(10).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val topBatch = Indexer.stopWords(docs, 10).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(topStream == topBatch)
+    } finally q.stop()
+  }
+
   // ---- corpus_type + title-as-first-line ----
   test("corpus split: text decodes entities, html keeps them; title is line 1") {
     import spark.implicits._
