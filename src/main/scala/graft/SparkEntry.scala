@@ -472,6 +472,19 @@ object SparkEntry {
         .as[Multimodal.MediaRecord]
       Multimodal.extractFeatures(media, 64, 64)
         .select(col("media_id"), col("kind"), col("byte_len"))
+    }),
+    // resize stage end-to-end: synthetic payloads are not decodable
+    // images, so the metadata-scaling stub path runs (the real ImageIO
+    // path is pinned by RoundTwoSpec's PNG round-trip tests) — its
+    // output dims/byte counts are pure arithmetic, hence oracle-checkable
+    "media_resize" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val media = Multimodal.syntheticMedia(t(s, dir, "documents"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.resizeImages(media, 64, 64)
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          length(col("payload")).as("byte_len"))
     })
   )
 
@@ -911,6 +924,30 @@ object SparkEntry {
         |    + least(stophits / greatest(ntoks, 1.0) * 4.0, 1.0) * 0.25
         |    + least(nchars / greatest(ntoks, 1.0) / 8.0, 1.0) * 0.25, 4) AS quality
         |FROM q""".stripMargin,
+    "media_resize" ->
+      // stub-path arithmetic: aspect-preserving scale into a 64x64 box
+      // applied to image-kind metadata and payload length (Scala .toInt
+      // truncates -> trunc)
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    CAST(octet_length(encode(text)) AS INT) AS len,
+        |    CAST(doc_id % 640 + 16 AS INT) AS w,
+        |    CAST(doc_id % 480 + 16 AS INT) AS h
+        |  FROM documents),
+        |s AS (
+        |  SELECT *, least(64.0 / greatest(w, 1), 64.0 / greatest(h, 1)) AS scale
+        |  FROM m)
+        |SELECT media_id, kind,
+        |  CASE WHEN kind = 'image'
+        |       THEN GREATEST(1, CAST(trunc(w * scale) AS INT)) ELSE w END AS width,
+        |  CASE WHEN kind = 'image'
+        |       THEN GREATEST(1, CAST(trunc(h * scale) AS INT)) ELSE h END AS height,
+        |  CASE WHEN kind = 'image'
+        |       THEN LEAST(len, GREATEST(1, CAST(trunc(len * scale) AS INT)))
+        |       ELSE len END AS byte_len
+        |FROM s""".stripMargin,
     "media_stats" ->
       """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
         |            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
