@@ -198,11 +198,15 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         bnd => xxhash64(concat_ws(",",
           slice(col("sig"), bnd * rows + 1, lit(rows))), bnd))).as(Seq("band", "bucket")))
+    // NOT distinct'ed: the candidate set only ever feeds a left-semi
+    // join (duplicates don't multiply) and a distinct'ed doc-id
+    // projection, so deduplicating the largest intermediate here would
+    // only add a shuffle
     val cl = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val cr = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
     val candidates = cl.join(cr, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      .select("doc_a", "doc_b")
     val sizes = sh.groupBy("doc_id").agg(count("*").as("n_shingles"))
     // exact intersection size, restricted BEFORE the self-join: only
     // shingles of documents that appear in some candidate pair enter the
