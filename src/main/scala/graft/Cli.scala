@@ -79,9 +79,13 @@ object Search {
     val total = ranked.count()
     val ids = ranked.select("doc_id")
       .limit(maxPages * SearchEngine.PageSize).collect().map(_.getLong(0))
-    val result = SearchResult.fromRanked(total.toInt, ids.toSeq)
-    val totalPages = ((total + SearchEngine.PageSize - 1) / SearchEngine.PageSize).toInt
-    println(s"${result.count}/$totalPages")
+    // count stays Long end-to-end; the Int codec field is clamped (a
+    // >2^31-hit result set prints the true total, not a negative Int)
+    val result = SearchResult.fromRanked(
+      math.min(total, Int.MaxValue.toLong).toInt, ids.toSeq)
+    val totalPagesL = (total + SearchEngine.PageSize - 1) / SearchEngine.PageSize
+    val totalPages = math.min(totalPagesL, Int.MaxValue.toLong).toInt
+    println(s"$total/$totalPagesL")
     val pageDf = SearchEngine.page(ranked,
       math.min(page, math.max(math.min(totalPages, maxPages), 1)))
     // stored-corpus view: first line is the title (reference convention)

@@ -35,10 +35,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[HyperplaneSignatures].getName, "graft_hyperplane_sigs"),
         (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          // clear analysis-time errors instead of an opaque NPE when a
+          // shape argument is a column reference or a non-integer
           def intArg(i: Int, default: => Int): Int =
-            if (children.length > i)
-              children(i).eval(null).asInstanceOf[Number].intValue()
-            else default
+            if (children.length > i) {
+              val c = children(i)
+              if (!c.foldable)
+                throw new org.apache.spark.sql.AnalysisException(
+                  errorClass = "_LEGACY_ERROR_TEMP_3055",
+                  messageParameters = Map("detail" ->
+                    s"graft_hyperplane_sigs argument ${i + 1} must be an integer literal, got ${c.sql}"))
+              c.eval(null) match {
+                case n: Number => n.intValue()
+                case other =>
+                  throw new org.apache.spark.sql.AnalysisException(
+                    errorClass = "_LEGACY_ERROR_TEMP_3055",
+                    messageParameters = Map("detail" ->
+                      s"graft_hyperplane_sigs argument ${i + 1} must be an integer literal, got $other"))
+              }
+            } else default
           HyperplaneSignatures(children(0), intArg(1, 12), intArg(2, 1), intArg(3, 0))
         }))
   }
