@@ -50,9 +50,23 @@ object Bench {
       s(s.length / 2) // runs is odd by default; upper median otherwise
     }
 
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to the named queries (and
+    // any that sort before them stay excluded) — for local bisection of
+    // bench-context effects; the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    val results = names.map { case (name, fn) =>
-      name -> median((1 to runs).map(_ => once(name, fn)))
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    // INTERLEAVED passes (run the whole suite N times round-robin), not
+    // N consecutive runs per query: a sustained host-load window then
+    // inflates at most one pass of each query — minutes apart — and the
+    // per-query median rejects it. Consecutive runs all land inside the
+    // same window and the median keeps the inflated value.
+    val passes = (1 to runs).map { _ =>
+      names.map { case (name, fn) => name -> once(name, fn) }.toMap
+    }
+    val results = names.map { case (name, _) =>
+      name -> median(passes.map(_(name)))
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.search.{Indexer, QueryParser, SearchEngine, SearchResult}
+import graft.search.{Indexer, QueryParser, SearchEngine}
 
 /** CLI entry points mirroring the reference's four mains (SURVEY.md §3):
   * index construction, query execution, and document fetch, over the
@@ -77,12 +77,6 @@ object Search {
     // ever collected — a 100 TB result set cannot OOM the CLI.
     val maxPages = sys.env.getOrElse("SPARK_GRAFT_MAX_PAGES", "100").toInt
     val total = ranked.count()
-    val ids = ranked.select("doc_id")
-      .limit(maxPages * SearchEngine.PageSize).collect().map(_.getLong(0))
-    // count stays Long end-to-end; the Int codec field is clamped (a
-    // >2^31-hit result set prints the true total, not a negative Int)
-    val result = SearchResult.fromRanked(
-      math.min(total, Int.MaxValue.toLong).toInt, ids.toSeq)
     val totalPagesL = (total + SearchEngine.PageSize - 1) / SearchEngine.PageSize
     val totalPages = math.min(totalPagesL, Int.MaxValue.toLong).toInt
     println(s"$total/$totalPagesL")

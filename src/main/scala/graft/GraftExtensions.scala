@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Expression
 
 import graft.functions.{CosineSimilarity, DotProduct, HyperplaneSignatures}
 
@@ -20,13 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[CosineSimilarity].getName, "graft_cosine"),
-        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        (children: Seq[Expression]) =>
           CosineSimilarity(children(0), children(1))))
     ext.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[DotProduct].getName, "graft_dot"),
-        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        (children: Seq[Expression]) =>
           DotProduct(children(0), children(1))))
     // graft_hyperplane_sigs(emb, planesPerTable, tables[, planeOffset]):
     // one LSH bucket signature per table (foldable int literals only)
@@ -34,27 +35,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hyperplane_sigs"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[HyperplaneSignatures].getName, "graft_hyperplane_sigs"),
-        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-          // clear analysis-time errors instead of an opaque NPE when a
-          // shape argument is a column reference or a non-integer
-          def intArg(i: Int, default: => Int): Int =
-            if (children.length > i) {
-              val c = children(i)
-              if (!c.foldable)
-                throw new org.apache.spark.sql.AnalysisException(
-                  errorClass = "_LEGACY_ERROR_TEMP_3055",
-                  messageParameters = Map("detail" ->
-                    s"graft_hyperplane_sigs argument ${i + 1} must be an integer literal, got ${c.sql}"))
-              c.eval(null) match {
-                case n: Number => n.intValue()
-                case other =>
-                  throw new org.apache.spark.sql.AnalysisException(
-                    errorClass = "_LEGACY_ERROR_TEMP_3055",
-                    messageParameters = Map("detail" ->
-                      s"graft_hyperplane_sigs argument ${i + 1} must be an integer literal, got $other"))
-              }
-            } else default
-          HyperplaneSignatures(children(0), intArg(1, 12), intArg(2, 1), intArg(3, 0))
-        }))
+        GraftExtensions.hyperplaneSigsBuilder))
+  }
+}
+
+object GraftExtensions {
+  /** The exact builder injected for `graft_hyperplane_sigs`, exposed so
+    * tests can drive its error path directly. Raises a clear
+    * analysis-time error instead of an opaque NPE when a shape argument
+    * is a column reference or a non-integer.
+    */
+  val hyperplaneSigsBuilder: Seq[Expression] => Expression = { children =>
+    def intArg(i: Int, default: => Int): Int =
+      if (children.length > i) {
+        val c = children(i)
+        // USER_RAISED_EXCEPTION is a passthrough template
+        // ("<errorMessage>") present in Spark 4.1.2's
+        // error-conditions.json; _LEGACY_ERROR_TEMP_3055 is not.
+        def bad(got: String): Nothing =
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "USER_RAISED_EXCEPTION",
+            messageParameters = Map("errorMessage" ->
+              s"graft_hyperplane_sigs argument ${i + 1} must be an integer literal, got $got"))
+        if (!c.foldable) bad(c.sql)
+        c.eval(null) match {
+          case n: Number => n.intValue()
+          case other => bad(String.valueOf(other))
+        }
+      } else default
+    HyperplaneSignatures(children(0), intArg(1, 12), intArg(2, 1), intArg(3, 0))
   }
 }

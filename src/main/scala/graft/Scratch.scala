@@ -104,6 +104,56 @@ object Scratch {
           val onlyB = b.exceptAll(a).count()
           println(s"cmp $qa(${a.count()}) vs $qb(${b.count()}): onlyA=$onlyA onlyB=$onlyB " +
             (if (onlyA == 0 && onlyB == 0) "MATCH" else "DIFF"))
+        } else if (n == "minhash-profile") {
+          // stage-by-stage volumes + timings of minHashLshVerified's DAG
+          import org.apache.spark.sql.functions._
+          val docs = search.Indexer.documents(spark, sfDir)
+          def timed[T](label: String)(f: => T): T = {
+            val s = System.nanoTime(); val r = f
+            println(f"  $label%-28s ${(System.nanoTime() - s) / 1e9}%.2f s  $r")
+            r
+          }
+          val sh = ops.Dedup.shingles(docs, 3)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          timed("shingle rows")(sh.count())
+          val spark2 = docs.sparkSession
+          import spark2.implicits._
+          val sigs = sh.select(col("doc_id"), col("shingle")).as[(Long, String)]
+            .groupByKey(_._1).mapValues(_._2)
+            .agg(new ops.MinHashAggregator(32).toColumn).toDF("doc_id", "sig")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          timed("signatures")(sigs.count())
+          val banded = sigs.select(col("doc_id"),
+            posexplode(transform(sequence(lit(0), lit(31)),
+              bnd => xxhash64(concat_ws(",",
+                slice(col("sig"), bnd + 1, lit(1))), bnd))).as(Seq("band", "bucket")))
+          val cl = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+          val cr = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+          val candidates = cl.join(cr, Seq("band", "bucket"))
+            .filter(col("doc_a") < col("doc_b"))
+            .select("doc_a", "doc_b")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          timed("candidate rows (w/ dup)")(candidates.count())
+          timed("distinct candidate pairs")(candidates.distinct().count())
+          val docsInPairs = candidates.select(col("doc_a").as("doc_id"))
+            .unionByName(candidates.select(col("doc_b").as("doc_id"))).distinct()
+          timed("docs in pairs")(docsInPairs.count())
+          val shCand = sh.join(docsInPairs, Seq("doc_id"), "left_semi")
+          timed("shingles of cand docs")(shCand.count())
+          val aSide = shCand.select(col("doc_id").as("doc_a"), col("shingle"))
+          val bSide = shCand.select(col("doc_id").as("doc_b"), col("shingle"))
+          val inter = aSide.join(bSide, Seq("shingle"))
+            .filter(col("doc_a") < col("doc_b"))
+            .join(candidates, Seq("doc_a", "doc_b"), "left_semi")
+            .groupBy("doc_a", "doc_b").agg(count("*").as("n_common"))
+          timed("verified intersections")(inter.count())
+          // how much would exact-group collapse help?
+          val setSig = sh.groupBy("doc_id").agg(
+            count("*").as("n_sh"),
+            expr("bit_xor(xxhash64(shingle, 1))").as("sx1"),
+            expr("bit_xor(xxhash64(shingle, 2))").as("sx2"))
+          timed("distinct shingle-sets")(
+            setSig.select("n_sh", "sx1", "sx2").distinct().count())
         } else if (n == "minhash-vs-exact") {
           val docs = search.Indexer.documents(spark, sfDir)
           val v = ops.Dedup.minHashLshVerified(docs, 3, 32, 32, 0.2)

@@ -30,11 +30,16 @@ object Dedup {
     */
   def shingles(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame = {
     val toks = col("__toks")
+    // only valid start positions are generated (docs shorter than n
+    // tokens contribute an empty array, which explode drops), so no
+    // validity filter — the previous re-split of every shingle string
+    // was a full extra string pass over the pre-distinct shingle volume
     docs.select(col("doc_id"), Analyzer.tokensCol(col(textCol)).as("__toks"))
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))).as("shingle"))
-      .filter(size(split(col("shingle"), " ")) === n)
+        explode(when(size(toks) >= n,
+            transform(sequence(lit(0), size(toks) - n),
+              i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as("shingle"))
       .distinct()
   }
 

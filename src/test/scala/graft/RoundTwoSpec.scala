@@ -189,10 +189,7 @@ class RoundTwoSpec extends AnyFunSuite {
     // registry path exercises the same expression builder
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hyperplane_sigs",
-      exprs => graft.functions.HyperplaneSignatures(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Number].intValue(),
-        exprs(2).eval(null).asInstanceOf[Number].intValue(),
-        exprs(3).eval(null).asInstanceOf[Number].intValue()), "scala_udf")
+      graft.GraftExtensions.hyperplaneSigsBuilder, "scala_udf")
     embeddings.limit(5).createOrReplaceTempView("emb_ext_test")
     val viaSql = spark.sql(
       "SELECT vec_id, graft_hyperplane_sigs(embedding, 3, 4, 0) AS sigs FROM emb_ext_test")
@@ -201,6 +198,21 @@ class RoundTwoSpec extends AnyFunSuite {
         .hyperplaneSignatures(col("embedding"), 3, 4).as("sigs"))
     assert(viaSql.exceptAll(viaApi).count() == 0 &&
       viaApi.exceptAll(viaSql).count() == 0)
+  }
+
+  test("graft_hyperplane_sigs rejects a column-reference shape arg with a clear message") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hyperplane_sigs",
+      graft.GraftExtensions.hyperplaneSigsBuilder, "scala_udf")
+    embeddings.limit(5).createOrReplaceTempView("emb_ext_test")
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      // vec_id as the planes arg is a column reference → not foldable
+      spark.sql(
+        "SELECT graft_hyperplane_sigs(embedding, vec_id, 4) FROM emb_ext_test").collect()
+    }
+    assert(ex.getMessage.contains(
+      "graft_hyperplane_sigs argument 2 must be an integer literal"))
+    assert(ex.getCondition == "USER_RAISED_EXCEPTION")
   }
 
   // ---- verified dedup variants ----
