@@ -27,6 +27,26 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables(s, dir, name)
 
+  /** DuckDB CTE body (no WITH keyword) computing 3-gram shingles, doc
+    * shingle-set sizes, and pairwise intersection counts — shared by the
+    * exact-Jaccard pair oracle and the cluster oracle built on it.
+    */
+  private val OracleNgramCte: String =
+    """toks0 AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+      |    '[ \t\r\n,.:;''"()\[\]{}/<>!?|\-—#$&=_*+]+'), x -> x <> '') AS arr
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         array_to_string(arr[i : i + 2], ' ') AS shingle
+      |  FROM toks0, unnest(generate_series(1, greatest(len(arr) - 2, 1))) AS u(i)
+      |  WHERE len(arr) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
   /** The raw-token DuckDB CTE mirroring Indexer.postings (minus
     * stemming): tokenize with the reference delimiter set, 1-based
     * positions over non-empty tokens, alnum/digit filters, tf, df,
@@ -398,6 +418,40 @@ object SparkEntry {
     "dedup_embedding_exact" -> ((s, dir) =>
       Dedup.embeddingNearDupExact(t(s, dir, "embeddings"), minCos = 0.4)
         .select(col("vec_a"), col("vec_b"), round(col("cosine"), 4).as("cosine"))),
+    // connected components over the exact near-dup pair list: the dedup
+    // endgame (keep doc_id == cluster_id). Large-star/small-star, O(log
+    // n) relational rounds, no adjacency list ever materialized.
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(Dedup.ngramJaccard(t(s, dir, "documents"),
+        n = 3, minJ = 0.05, maxShingleFreq = 2000))),
+
+    // ---- temporal joins ----
+    // as-of join (latest view before each purchase, per user): ONE
+    // union+window shuffle on user_id — no range probe, no cross join
+    "q_asof_join" -> ((s, dir) => {
+      val e = graft.sources.Tables.events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val views = e.filter(col("event_type") === "view")
+        .select("user_id", "ts", "event_id", "value")
+      graft.ops.TemporalJoins.asOfJoin(purchases, views,
+          keys = Seq("user_id"), tsCol = "ts",
+          rightPayload = Seq("event_id", "value"))
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          col("asof_ts").cast("timestamp_ntz").as("asof_ts"),
+          col("asof_event_id"), col("asof_value"))
+    }),
+    // range join (pairs of same-user events within 6 hours): bucket-bin
+    // equi-join + exact predicate, never a per-user cross product
+    "q_range_join" -> ((s, dir) => {
+      val e = graft.sources.Tables.events(s, dir)
+        .select("user_id", "event_id", "ts")
+      graft.ops.TemporalJoins.rangeJoin(e, e, keys = Seq("user_id"),
+          tsCol = "ts", maxGapUs = 6L * 3600 * 1000000)
+        .select(col("user_id"), col("event_id_a"), col("event_id_b"),
+          col("gap_us"))
+    }),
 
     // ---- similarity search ----
     "sim_topk_brute" -> ((s, dir) => {
@@ -442,6 +496,26 @@ object SparkEntry {
       TextAnalysis.languageId(t(s, dir, "documents"))),
     "text_digest" -> ((s, dir) =>
       TextAnalysis.contentDigest(t(s, dir, "documents"))),
+    // PII redaction over text with deterministic synthetic PII appended
+    // (the corpus itself has none): the scrub itself is the operator
+    // under test, the append just gives it something to find
+    "text_scrub_pii" -> ((s, dir) =>
+      TextAnalysis.scrubPii(
+          t(s, dir, "documents").withColumn("text",
+            concat(col("text"), lit(" Contact user"),
+              col("doc_id").cast("string"),
+              lit("@example.com or 10.0."),
+              pmod(col("doc_id"), lit(256)).cast("string"),
+              lit(".7 or +1 555 01"),
+              pmod(col("doc_id"), lit(100)).cast("string"),
+              lit(" now"))))
+        .select("doc_id", "clean_text")),
+    // reproducible 25% sample keyed on doc_id: membership is a pure
+    // function of the key (portable md5 threshold), never of
+    // partitioning or corpus size
+    "text_hash_sample" -> ((s, dir) =>
+      TextAnalysis.hashSample(t(s, dir, "documents"), "doc_id", rate = 0.25)
+        .select("doc_id", "lang", "source")),
     "corpus_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents"))
         .join(t(s, dir, "documents").select("doc_id", "lang", "source"), "doc_id")
@@ -823,26 +897,50 @@ object SparkEntry {
         |       count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
     "dedup_ngram_jaccard" ->
-      """WITH toks0 AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
-        |    '[ \t\r\n,.:;''"()\[\]{}/<>!?|\-—#$&=_*+]+'), x -> x <> '') AS arr
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |         array_to_string(arr[i : i + 2], ' ') AS shingle
-        |  FROM toks0, unnest(generate_series(1, greatest(len(arr) - 2, 1))) AS u(i)
-        |  WHERE len(arr) >= 3),
-        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
+      ("WITH " + OracleNgramCte + "\n" +
+        """SELECT doc_a, doc_b,
         |       CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
         |FROM inter
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
-        |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.05""".stripMargin,
+        |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.05""".stripMargin),
+    "dedup_clusters" ->
+      // transitive closure of the exact pair list (tiny components at
+      // oracle scale), then min reachable id per node
+      ("WITH RECURSIVE " + OracleNgramCte + ",\n" +
+        """pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.05),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |      UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a""".stripMargin),
+    "q_asof_join" ->
+      """SELECT l.event_id, l.user_id, l.ts, r.ts AS asof_ts,
+        |       r.event_id AS asof_event_id, r.value AS asof_value
+        |FROM (SELECT * FROM events WHERE event_type='purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='view') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "q_range_join" ->
+      """SELECT a.user_id, a.event_id AS event_id_a, b.event_id AS event_id_b,
+        |       date_diff('microsecond', a.ts, b.ts) AS gap_us
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |WHERE b.ts > a.ts AND date_diff('microsecond', a.ts, b.ts) <= 21600000000""".stripMargin,
+    "text_scrub_pii" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' Contact user' || doc_id || '@example.com or 10.0.' || (doc_id % 256) || '.7 or +1 555 01' || (doc_id % 100) || ' now',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g'),
+        |    '\+?[0-9][0-9()./ -]{5,}[0-9]', '[PHONE]', 'g') AS clean_text
+        |FROM documents""".stripMargin,
+    "text_hash_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE md5('' || CAST(doc_id AS VARCHAR)) < '40000000000000000000000000000000'""".stripMargin,
     "sim_topk_brute" ->
       """SELECT e.vec_id,
         |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),

@@ -360,6 +360,73 @@ object Dedup {
       .filter(col("cosine") >= minCos)
   }
 
+  /** Connected components over a near-dup pair list: every document in
+    * `pairs` is labeled with the smallest doc id reachable through any
+    * chain of pairs (`cluster_id`) — the dedup endgame: keep
+    * `doc_id == cluster_id`, drop the rest.
+    *
+    * Alternating large-star / small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"): converges in O(log n) rounds
+    * and every round is pure relational algebra — a per-node min
+    * aggregation joined back to the edge list. No adjacency lists are
+    * ever collected (a hot node's neighborhood stays distributed), so a
+    * 100 TB pair list with billion-node components shuffles bounded
+    * rows per round. Each round is `localCheckpoint`ed to truncate
+    * lineage (statistics-free: nothing crosses the driver but the
+    * convergence counter).
+    */
+  def clusters(pairs: DataFrame, aCol: String = "doc_a",
+               bCol: String = "doc_b", maxIter: Int = 25): DataFrame = {
+    // invariant through every round: edges directed high -> low (u > v)
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).cast("long").as("u"),
+        least(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = edges.select(col("u").as("doc_id"))
+      .unionByName(edges.select(col("v").as("doc_id")))
+      .distinct()
+      .localCheckpoint()
+
+    // large-star over the symmetric view: for each node u, connect every
+    // LARGER neighbor v to m = min(N(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      sym.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    // small-star over the directed (u > v) view: connect u and every
+    // smaller neighbor to m = min(N(u) ∪ {u}) = min over the v's
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+      val viaNeighbors = e.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val viaSelf = mins.select(col("u"), col("m").as("v"))
+      viaNeighbors.unionByName(viaSelf)
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      edges = next
+      iter += 1
+    }
+    // at convergence every edge is (node, root); roots label themselves
+    nodes.join(edges.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("v"), col("doc_id")).as("cluster_id"))
+  }
+
   def embeddingNearDup(embeddings: DataFrame, minCos: Double = 0.95,
                        planes: Int = 8): DataFrame = {
     val sigCol = Similarity.hyperplaneSignature(col("embedding"), planes)

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series join operators Spark has no built-in for (BASELINE
+  * north-star extensions — no reference counterpart; both are shaped for
+  * 100 TB: one equi-shuffle each, never a range cross product).
+  */
+object TemporalJoins {
+
+  /** As-of join: for every left row, attach the payload of the single
+    * right row with the greatest `tsCol` <= left's `tsCol` (backward,
+    * the default) or the smallest >= (forward), within the same `keys`
+    * group — the standard "latest quote for each trade" join.
+    *
+    * NOT implemented as a range join: both sides are unioned with a
+    * side tag and a single window pass per key carries the most recent
+    * right payload forward onto left rows. That is ONE shuffle on the
+    * key columns, no per-row range probe, no candidate blowup — the
+    * 100 TB plan is sort-merge within key partitions, which AQE can
+    * split on skewed keys. (A broadcast range join would need the whole
+    * right side on every executor; the union-window needs nothing
+    * resident.)
+    *
+    * The right payload rides in ONE struct column, so `last(_,
+    * ignoreNulls)` selects the latest right ROW even when individual
+    * payload fields are legitimately null. Left rows win ties (a right
+    * row at exactly left's timestamp is visible to it); rows of the
+    * same side with identical (keys, ts) have no defined order — keep
+    * the right side unique per (keys, ts) for deterministic output.
+    *
+    * Output: every left row + `prefix`-renamed right payload columns
+    * (null where no right row qualifies — a LEFT as-of join), with
+    * `prefix + tsCol` always included. `tolerance` (e.g.
+    * `expr("INTERVAL 10 MINUTES")`) nulls payloads older than
+    * `left.ts - tolerance`.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               tsCol: String, rightPayload: Seq[String],
+               prefix: String = "asof_",
+               direction: String = "backward",
+               tolerance: Option[Column] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val payloadCols = (tsCol +: rightPayload.filterNot(_ == tsCol))
+    val leftCols = left.columns.toSeq
+    val lTagged = left
+      .withColumn("__side", lit(1))
+      .withColumn("__asof", lit(null).cast(
+        org.apache.spark.sql.types.StructType(payloadCols.map(c =>
+          org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))))
+    val rTagged = right
+      .select(keys.map(col) :+ col(tsCol) :+
+        struct(payloadCols.map(col): _*).as("__asof"): _*)
+      .withColumn("__side", lit(0))
+    // align schemas: right rows carry null for left-only columns
+    val rAligned = rTagged.select(leftCols.map(c =>
+      if (keys.contains(c) || c == tsCol) col(c)
+      else lit(null).cast(left.schema(c).dataType).as(c)) ++
+      Seq(col("__side"), col("__asof")): _*)
+    val unioned = lTagged.select((leftCols.map(col) ++
+      Seq(col("__side"), col("__asof"))): _*).unionByName(rAligned)
+    // backward: ascending ts, right (side 0) before left at equal ts so
+    // left sees it; forward: descending ts, same tie rule
+    val ord =
+      if (direction == "backward") Seq(col(tsCol).asc, col("__side").asc)
+      else Seq(col(tsCol).desc, col("__side").asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withAsof = unioned
+      .withColumn("__hit", last(col("__asof"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val bounded = tolerance match {
+      case Some(tol) =>
+        val inRange =
+          if (direction == "backward") col("__hit")(tsCol) >= col(tsCol) - tol
+          else col("__hit")(tsCol) <= col(tsCol) + tol
+        withAsof.withColumn("__hit", when(inRange, col("__hit")))
+      case None => withAsof
+    }
+    bounded.select(leftCols.map(col) ++
+      payloadCols.map(c => col("__hit")(c).as(prefix + c)): _*)
+  }
+
+  /** Range join: pairs of rows in the same `keys` group with
+    * `0 < right.ts - left.ts <= maxGap` (microseconds). Implemented by
+    * time-bucket binning: each timestamp lands in a `maxGap`-wide bin,
+    * the right side additionally probes the PRECEDING bin, and the
+    * true predicate filters after an equi-join on (keys, bin) — a
+    * bounded-key shuffle join; the naive formulation is a per-key cross
+    * product that Spark plans as BroadcastNestedLoopJoin.
+    *
+    * Returned columns: `keys`, then `left`'s columns suffixed `_a`,
+    * `right`'s suffixed `_b`, and `gap_us`.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                tsCol: String, maxGapUs: Long): DataFrame = {
+    require(maxGapUs > 0, "maxGapUs must be positive")
+    val binOf = (c: Column) => floor(unix_micros(c) / maxGapUs)
+    val lSide = left.select(keys.map(col) ++
+      left.columns.filterNot(keys.contains).map(c => col(c).as(s"${c}_a")): _*)
+      .withColumn("__bin", binOf(col(s"${tsCol}_a")))
+    // a right row at bin b can pair with left rows in bins {b-1, b}
+    val rSide = right.select(keys.map(col) ++
+      right.columns.filterNot(keys.contains).map(c => col(c).as(s"${c}_b")): _*)
+      .withColumn("__bin",
+        explode(array(binOf(col(s"${tsCol}_b")) - 1, binOf(col(s"${tsCol}_b")))))
+    lSide.join(rSide, keys :+ "__bin")
+      .withColumn("gap_us",
+        unix_micros(col(s"${tsCol}_b")) - unix_micros(col(s"${tsCol}_a")))
+      .filter(col("gap_us") > 0 && col("gap_us") <= maxGapUs)
+      .drop("__bin")
+  }
+}

@@ -94,6 +94,59 @@ object TextAnalysis {
     * fingerprint used by exact dedup; kept as its own operator for the
     * oracle row.
     */
+  /** PII patterns for [[scrubPii]], applied in order. RE2-compatible
+    * (no backreferences or lookaround) so the same patterns run
+    * unchanged on engines with RE2-family regex (and in the DuckDB
+    * oracle). Email is scrubbed before phone so an address's digit runs
+    * can't half-match the phone pattern.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "[EMAIL]",
+    "([0-9]{1,3}\\.){3}[0-9]{1,3}" -> "[IP]",
+    "\\+?[0-9][0-9()./ -]{5,}[0-9]" -> "[PHONE]"
+  )
+
+  /** Scrub PII (emails, IPv4 addresses, phone-like digit runs) from a
+    * text column — the redaction pass a training-data pipeline runs
+    * before anything else sees the text. Pure codegen'd
+    * `regexp_replace` chain: single pass per pattern, no UDF, scales
+    * with the scan.
+    */
+  def scrubPii(docs: DataFrame, textCol: String = "text",
+               outCol: String = "clean_text"): DataFrame = {
+    val scrubbed = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (pattern, replacement)) => regexp_replace(c, pattern, replacement)
+    }
+    docs.withColumn(outCol, scrubbed)
+  }
+
+  /** Deterministic hash sampling: keep a row iff the md5 hex digest of
+    * its key is lexicographically below the `rate` quantile of the hex
+    * space. Partitioning-invariant and engine-portable (md5 of the same
+    * string is the same everywhere — the sample is reproducible across
+    * engines and runs, unlike `DataFrame.sample`), and stable under
+    * corpus growth: a row's membership never changes as other rows
+    * arrive, so incremental 100 TB ingestion keeps a consistent sample.
+    * `salt` decorrelates independent samples of the same keys.
+    */
+  def hashSample(df: DataFrame, keyCol: String, rate: Double,
+                 salt: String = ""): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
+    df.filter(md5(concat(lit(salt), col(keyCol).cast("string"))) <
+      lit(hexThreshold(rate)))
+  }
+
+  /** The 32-hex-char string t such that P[md5 hex < t] = rate under a
+    * uniform digest. Exposed so an external oracle can use the same
+    * literal.
+    */
+  def hexThreshold(rate: Double): String = {
+    val full = BigInt(1) << 128
+    val cut = (BigDecimal(full) * rate).toBigInt
+    val hex = cut.min(full - 1).max(BigInt(0)).toString(16)
+    ("0" * (32 - hex.length)) + hex
+  }
+
   def contentDigest(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"), md5(col(textCol)).as("digest"))
 }
