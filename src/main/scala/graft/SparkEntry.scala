@@ -175,6 +175,20 @@ object SparkEntry {
       Indexer.postings(t(s, dir, "documents"), stem = false)
         .select(col("term"), col("doc_id"), col("tf"), col("df"),
           round(col("score"), 4).as("score"))),
+    // incremental maintenance: 80% of the corpus is "already indexed"
+    // (only its compact per-(term,doc) stats survive), the other 20%
+    // arrives as a new batch — the output must equal a full rebuild
+    // over everything, so the oracle is tfidf_postings' SQL verbatim
+    "postings_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldDocs = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val newDocs = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      Indexer.incrementalPostings(
+          Indexer.termDocStats(oldDocs, Seq.empty, stem = false),
+          oldDocs.count(), newDocs, stem = false)
+        .select(col("term"), col("doc_id"), col("tf"), col("df"),
+          round(col("score"), 4).as("score"))
+    }),
     "bm25_postings" -> ((s, dir) =>
       graft.search.Scoring.bm25Postings(t(s, dir, "documents"), stem = false)
         .select(col("term"), col("doc_id"), col("tf"), col("df"), col("dl"),
@@ -515,6 +529,13 @@ object SparkEntry {
     // partitioning or corpus size
     "text_hash_sample" -> ((s, dir) =>
       TextAnalysis.hashSample(t(s, dir, "documents"), "doc_id", rate = 0.25)
+        .select("doc_id", "lang", "source")),
+    // rebalancing sample: downsample the dominant strata, keep rare
+    // ones whole — same portable membership rule, per-stratum threshold
+    "text_stratified_sample" -> ((s, dir) =>
+      TextAnalysis.stratifiedHashSample(t(s, dir, "documents"),
+          "doc_id", "lang", rates = Map("en" -> 0.1, "de" -> 0.5),
+          defaultRate = 1.0)
         .select("doc_id", "lang", "source")),
     "corpus_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents"))
@@ -941,6 +962,21 @@ object SparkEntry {
     "text_hash_sample" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE md5('' || CAST(doc_id AS VARCHAR)) < '40000000000000000000000000000000'""".stripMargin,
+    "text_stratified_sample" ->
+      // thresholds are the exact binary expansions of the double rates
+      // (hexThreshold): 0.1 -> 1999...a000..., 0.5 -> 8000..., 1.0 -> ffff...
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE md5('' || CAST(doc_id AS VARCHAR)) <
+        |  CASE WHEN lang = 'en' THEN '1999999999999a000000000000000000'
+        |       WHEN lang = 'de' THEN '80000000000000000000000000000000'
+        |       ELSE 'ffffffffffffffffffffffffffffffff' END""".stripMargin,
+    "postings_incremental" ->
+      // identical to tfidf_postings: incremental maintenance must be
+      // indistinguishable from a full rebuild over the combined corpus
+      (OracleTfidfCte +
+        """SELECT tf.term, tf.doc_id, tf.tf, dfreq.df,
+          |       round((1 + log10(tf.tf)) * ln(CAST(n.doc_num AS DOUBLE) / dfreq.df), 4) AS score
+          |FROM tf JOIN dfreq USING (term) CROSS JOIN n""").stripMargin,
     "sim_topk_brute" ->
       """SELECT e.vec_id,
         |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),

@@ -136,13 +136,37 @@ object TextAnalysis {
       lit(hexThreshold(rate)))
   }
 
+  /** Stratified hash sampling: per-stratum rates (e.g. downsample the
+    * dominant language, keep the rare ones whole) with the same
+    * portable, partitioning-invariant membership rule as
+    * [[hashSample]]. Strata missing from `rates` use `defaultRate`.
+    * The rate map is tiny and rides into codegen as a CASE chain — no
+    * join, no UDF.
+    */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, strataCol: String,
+                           rates: Map[String, Double], defaultRate: Double,
+                           salt: String = ""): DataFrame = {
+    (rates.values ++ Seq(defaultRate)).foreach(r =>
+      require(r >= 0 && r <= 1, s"rates must be in [0,1], got $r"))
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(
+      lit(hexThreshold(defaultRate))) { case (acc, (stratum, rate)) =>
+        when(col(strataCol) === stratum, lit(hexThreshold(rate))).otherwise(acc)
+    }
+    df.filter(md5(concat(lit(salt), col(keyCol).cast("string"))) < threshold)
+  }
+
   /** The 32-hex-char string t such that P[md5 hex < t] = rate under a
     * uniform digest. Exposed so an external oracle can use the same
     * literal.
     */
   def hexThreshold(rate: Double): String = {
     val full = BigInt(1) << 128
-    val cut = (BigDecimal(full) * rate).toBigInt
+    // exact arithmetic: java.math.BigDecimal(double) is the exact binary
+    // expansion and its context-free multiply never rounds — Scala's
+    // default DECIMAL128 context would round 39-digit products and make
+    // the threshold depend on context defaults
+    val cut = BigInt(new java.math.BigDecimal(rate)
+      .multiply(new java.math.BigDecimal(full.bigInteger)).toBigInteger)
     val hex = cut.min(full - 1).max(BigInt(0)).toString(16)
     ("0" * (32 - hex.length)) + hex
   }

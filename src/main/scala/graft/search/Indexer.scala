@@ -115,6 +115,37 @@ object Indexer {
       .select("term", "doc_id", "tf", "positions", "df", "score")
   }
 
+  /** Incremental index maintenance (append-only): given the persisted
+    * per-(term, doc) stats of the already-indexed corpus and a batch of
+    * NEW documents, produce the posting table of the combined corpus
+    * without re-reading a single old document. The reference rebuilds
+    * the whole index per run; at 100 TB the per-document work
+    * (tokenize, stem, position-collect) dominates and is done here only
+    * for the new batch — the df/docNum re-aggregation that follows is
+    * one count per (term, doc) key over the compact stats table, not a
+    * corpus re-scan. Scores must still be recomputed globally because
+    * every TF-IDF weight depends on df and docNum, which is why the
+    * at-rest layout to keep is the SCORE-FREE stats table
+    * ([[termDocStats]]) plus the doc count, not the posting table.
+    *
+    * `oldDocCount` is the document count of `oldStats`' corpus.
+    * Deletions/updates are out of scope (append-only contract).
+    */
+  def incrementalPostings(oldStats: DataFrame, oldDocCount: Long,
+                          newDocs: DataFrame, stopWords: Seq[String] = Seq.empty,
+                          stem: Boolean = true): DataFrame = {
+    val stats = oldStats.unionByName(termDocStats(newDocs, stopWords, stem))
+    val dfPerTerm = stats.groupBy("term").agg(count("*").as("df"))
+    val totalDocs = docCount(newDocs)
+      .select((col("doc_num") + oldDocCount).as("doc_num"))
+    stats
+      .join(dfPerTerm, "term")
+      .crossJoin(broadcast(totalDocs))
+      .withColumn("score",
+        (lit(1.0) + log10(col("tf"))) * log(col("doc_num") / col("df")))
+      .select("term", "doc_id", "tf", "positions", "df", "score")
+  }
+
   /** Materialize the index range-partitioned and sorted by term: the
     * Spark equivalent of the reference's 10 TotalOrderPartitioner output
     * files + boundary file (`code/inverted/InvertedIndexMapred

@@ -184,6 +184,34 @@ class RoundFourSpec extends AnyFunSuite {
     assert(out(3) == "clean text stays")
   }
 
+  test("incrementalPostings equals a full rebuild (stemmed path)") {
+    val docs = graft.search.Indexer.documents(spark, sfDir)
+    val oldDocs = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val newDocs = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val sw = Seq("the", "and", "of")
+    val inc = graft.search.Indexer.incrementalPostings(
+      graft.search.Indexer.termDocStats(oldDocs, sw),
+      oldDocs.count(), newDocs, sw)
+    val full = graft.search.Indexer.postings(docs, sw)
+    assert(inc.exceptAll(full).count() == 0 && full.exceptAll(inc).count() == 0)
+  }
+
+  test("stratifiedHashSample applies per-stratum rates, default elsewhere") {
+    val docs = graft.search.Indexer.documents(spark, sfDir)
+    val out = TextAnalysis.stratifiedHashSample(docs, "doc_id", "lang",
+      rates = Map("en" -> 0.0), defaultRate = 1.0)
+    assert(out.filter(col("lang") === "en").count() == 0)
+    val nonEn = docs.filter(col("lang") =!= "en").count()
+    assert(out.count() == nonEn)
+    // within a stratum, membership is the same function as hashSample
+    val half = TextAnalysis.stratifiedHashSample(docs, "doc_id", "lang",
+        rates = Map("en" -> 0.5), defaultRate = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val flat = TextAnalysis.hashSample(docs, "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(half == flat)
+  }
+
   test("hashSample is a stable subset, monotone in rate") {
     val docs = graft.search.Indexer.documents(spark, sfDir)
     val s10 = TextAnalysis.hashSample(docs, "doc_id", 0.10)
