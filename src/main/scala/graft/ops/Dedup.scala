@@ -228,7 +228,7 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .join(candidatesP, Seq("doc_a", "doc_b"), "left_semi")
       .groupBy("doc_a", "doc_b").agg(count("*").as("n_common"))
-    inter
+    val result = inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n_shingles", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
@@ -237,6 +237,15 @@ object Dedup {
         col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
       .filter(col("jaccard") >= minJ)
       .select("doc_a", "doc_b", "jaccard")
+      // eager localCheckpoint: the pair list is tiny, and it lets the big
+      // intermediates be unpersisted HERE instead of leaking into the
+      // CacheManager for the rest of the session (persist() is never
+      // auto-cleaned; checkpoint blocks are GC-reclaimed by the
+      // ContextCleaner once the result is unreachable)
+      .localCheckpoint(true)
+    sh.unpersist()
+    candidatesP.unpersist()
+    result
   }
 
   /** SimHash: 64-bit weighted-majority fingerprint of a document's
@@ -371,23 +380,29 @@ object Dedup {
     * aggregation joined back to the edge list. No adjacency lists are
     * ever collected (a hot node's neighborhood stays distributed), so a
     * 100 TB pair list with billion-node components shuffles bounded
-    * rows per round. Each round is `localCheckpoint`ed to truncate
-    * lineage (statistics-free: nothing crosses the driver but the
-    * convergence counter).
+    * rows per round. Each round's edge set is eagerly localCheckpointed
+    * — truncating both lineage and the logical plan — and nothing
+    * crosses the driver but the convergence counter.
     */
   def clusters(pairs: DataFrame, aCol: String = "doc_a",
                bCol: String = "doc_b", maxIter: Int = 25): DataFrame = {
-    // invariant through every round: edges directed high -> low (u > v)
+    // invariant through every round: edges directed high -> low (u > v).
+    // localCheckpoint (NOT persist): it truncates the logical plan, so
+    // round N+1 plans against a LogicalRDD instead of re-analyzing an
+    // exponentially nesting join tree, and its blocks are reclaimed by
+    // the ContextCleaner once unreferenced — persist() would both leak
+    // (CacheManager holds strong refs) and blow up planning time.
     var edges = pairs
       .select(greatest(col(aCol), col(bCol)).cast("long").as("u"),
         least(col(aCol), col(bCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(true)
+    var edgeCount = edges.count()
     val nodes = edges.select(col("u").as("doc_id"))
       .unionByName(edges.select(col("v").as("doc_id")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(true)
 
     // large-star over the symmetric view: for each node u, connect every
     // LARGER neighbor v to m = min(N(u) ∪ {u})
@@ -416,15 +431,17 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
-      converged = next.count() == edges.count() &&
-        next.exceptAll(edges).isEmpty
-      edges = next
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextCount = next.count()
+      converged = nextCount == edgeCount && next.exceptAll(edges).isEmpty
+      edges = next // previous round's checkpoint blocks are GC-reclaimed
+      edgeCount = nextCount
       iter += 1
     }
     // at convergence every edge is (node, root); roots label themselves
     nodes.join(edges.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("v"), col("doc_id")).as("cluster_id"))
+      .localCheckpoint(true)
   }
 
   def embeddingNearDup(embeddings: DataFrame, minCos: Double = 0.95,

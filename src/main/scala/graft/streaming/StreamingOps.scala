@@ -68,6 +68,35 @@ object StreamingOps {
     events.withWatermark("ts", watermark)
       .dropDuplicates(keyCols :+ "ts")
 
+  /** Stream-stream interval join — the streaming form of
+    * [[graft.ops.TemporalJoins.rangeJoin]]: pairs of rows in the same
+    * key group with `0 < ts_b - ts_a <= maxGap`. Both sides carry a
+    * watermark and the join condition bounds the match window in both
+    * directions, so the streaming engine can evict a buffered row once
+    * the watermark passes its `ts + maxGap` — state is O(rows per gap
+    * window), not O(stream). Output columns match the batch operator:
+    * `keys`, `*_a`, `*_b`, `gap_us`.
+    */
+  def streamRangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      tsCol: String, maxGap: String = "6 hours",
+                      watermark: String = "1 hour"): DataFrame = {
+    val lSide = left.select(keys.map(col) ++
+      left.columns.filterNot(keys.contains).map(c => col(c).as(s"${c}_a")): _*)
+      .withWatermark(s"${tsCol}_a", watermark)
+    val rKeys = keys.map(k => s"__rk_$k")
+    val rSide = right.select(keys.zip(rKeys).map { case (k, rk) => col(k).as(rk) } ++
+      right.columns.filterNot(keys.contains).map(c => col(c).as(s"${c}_b")): _*)
+      .withWatermark(s"${tsCol}_b", watermark)
+    val cond = keys.zip(rKeys).map { case (k, rk) => col(k) === col(rk) }
+      .reduce(_ && _) &&
+      col(s"${tsCol}_b") > col(s"${tsCol}_a") &&
+      col(s"${tsCol}_b") <= col(s"${tsCol}_a") + expr(s"interval $maxGap")
+    lSide.join(rSide, cond)
+      .withColumn("gap_us",
+        unix_micros(col(s"${tsCol}_b")) - unix_micros(col(s"${tsCol}_a")))
+      .drop(rKeys: _*)
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(start: Long, end: Long, n: Int, total: Double)

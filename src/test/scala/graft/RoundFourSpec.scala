@@ -131,6 +131,38 @@ class RoundFourSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"))
   }
 
+  test("stream-stream interval join matches the batch rangeJoin") {
+    val e = events.select("user_id", "event_id", "ts")
+    val batch = graft.ops.TemporalJoins.rangeJoin(e, e, Seq("user_id"), "ts",
+        maxGapUs = 6L * 3600 * 1000000)
+      .select("user_id", "event_id_a", "event_id_b", "gap_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-rj-stream-").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(dir).schema
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("user_id", "event_id", "ts")
+    val q = graft.streaming.StreamingOps.streamRangeJoin(
+        stream(), stream(), Seq("user_id"), "ts")
+      .select("user_id", "event_id_a", "event_id_b", "gap_us")
+      .writeStream.format("memory").queryName("rj_stream_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("rj_stream_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   // ---- dedup clusters ----
 
   test("clusters labels every component with its minimum id") {
