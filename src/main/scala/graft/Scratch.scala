@@ -173,8 +173,10 @@ object Scratch {
           val onlyV = v.exceptAll(e).count(); val onlyE = e.exceptAll(v).count()
           println(s"embband($mc,$p,$tb) banded=${v.count()} exact=${e.count()} onlyV=$onlyV onlyE=$onlyE "
             + (if (onlyV == 0 && onlyE == 0) "MATCH" else "DIFF"))
-        } else if (n.startsWith("lshtopk:") || n.startsWith("ivftopk:")) {
-          // lshtopk:<maxBitDiff> / ivftopk:<nProbe> — recall vs brute force
+        } else if (n.startsWith("lshtopk:") || n.startsWith("ivftopk:") ||
+            n.startsWith("quanttopk:")) {
+          // lshtopk:<maxBitDiff> / ivftopk:<nProbe> / quanttopk:<rerank>
+          // — recall vs brute force
           import org.apache.spark.sql.functions._
           val param = n.split(":")(1).toInt
           val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -184,7 +186,9 @@ object Scratch {
             .collect()(0).getSeq[Float](0).map(_.toDouble)
           val base = java.nio.file.Files.createTempDirectory("graft-tune-").toString
           val res =
-            if (n.startsWith("lshtopk:")) {
+            if (n.startsWith("quanttopk:")) {
+              ops.Similarity.quantizedTopK(e, qVec, 10, rerank = param)
+            } else if (n.startsWith("lshtopk:")) {
               ops.AnnIndex.lshWrite(e, s"$base/lsh", planes = 12)
               ops.AnnIndex.lshTopK(spark, s"$base/lsh", qVec, 10, planes = 12,
                 maxBitDiff = param)

@@ -468,6 +468,18 @@ object SparkEntry {
     }),
 
     // ---- similarity search ----
+    // int8-quantized scan (4x less memory bandwidth — the 100 TB ANN
+    // bottleneck) ranks candidates, exact re-rank of the top 50 returns
+    // the true-metric top-10; equals brute force on this corpus
+    // (Scratch quanttopk sweep), so it shares brute force's oracle
+    "sim_quantized_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qVec = e.filter(col("vec_id") === 0).select("embedding")
+        .first().getSeq[Float](0).map(_.toDouble)
+      Similarity.quantizedTopK(e.filter(col("vec_id") =!= 0), qVec, 10,
+          rerank = 50)
+        .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+    }),
     "sim_topk_brute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
@@ -977,6 +989,15 @@ object SparkEntry {
         """SELECT tf.term, tf.doc_id, tf.tf, dfreq.df,
           |       round((1 + log10(tf.tf)) * ln(CAST(n.doc_num AS DOUBLE) / dfreq.df), 4) AS score
           |FROM tf JOIN dfreq USING (term) CROSS JOIN n""").stripMargin,
+    "sim_quantized_topk" ->
+      // identical to sim_topk_brute: the quantized candidate cut must
+      // be invisible after exact re-ranking
+      """SELECT e.vec_id,
+        |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |         CAST(q.embedding AS DOUBLE[])), 4) AS cosine
+        |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cosine DESC, e.vec_id ASC LIMIT 10""".stripMargin,
     "sim_topk_brute" ->
       """SELECT e.vec_id,
         |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),

@@ -40,6 +40,57 @@ object Similarity {
       .limit(k)
   }
 
+  /** Int8 quantization of the embedding column: per-vector symmetric
+    * scaling `q_i = round(127 * x_i / max|x|)` stored as
+    * `ARRAY<TINYINT>` plus one float scale — 4x less memory bandwidth
+    * per scanned vector, which is what a 100 TB ANN scan is bound by.
+    * Zero vectors keep scale 0 and quantize to zeros.
+    */
+  def quantize(embeddings: DataFrame, embCol: String = "embedding"): DataFrame = {
+    val m = array_max(transform(col(embCol), x => abs(x.cast("double"))))
+    embeddings
+      .withColumn("q_scale", (m / 127.0).cast("double"))
+      .withColumn("q_vec", transform(col(embCol), x =>
+        when(col("q_scale") > 0,
+          round(x.cast("double") / col("q_scale")).cast("tinyint"))
+          .otherwise(lit(0).cast("tinyint"))))
+  }
+
+  /** Quantized-candidate top-k with exact re-rank: rank the corpus by
+    * the cosine of the INT8 vectors (integer dot + integer norms — the
+    * cheap scan), keep the best `rerank` candidates, then score just
+    * those exactly against the float query and return the true-metric
+    * top `k`. Both stages plan as TakeOrderedAndProject — no shuffle.
+    * The output equals brute force whenever the true top-k survives the
+    * quantized top-`rerank` cut (asserted on the test corpora via
+    * Scratch `quanttopk:<rerank>`; int8 cosine error is ~1/127, so any
+    * margin beyond k covers it except under adversarial near-ties).
+    */
+  def quantizedTopK(embeddings: DataFrame, query: Seq[Double], k: Int,
+                    rerank: Int = 50): DataFrame = {
+    val maxAbs = query.map(math.abs).foldLeft(0.0)(math.max)
+    val qQuant: Seq[Int] =
+      if (maxAbs == 0) query.map(_ => 0)
+      else query.map(x => math.round(127.0 * x / maxAbs).toInt)
+    val qArr = array(qQuant.map(lit): _*)
+    val qNorm = math.sqrt(qQuant.map(x => x.toDouble * x).sum)
+    val quantCos = aggregate(
+      zip_with(col("q_vec"), qArr, (a, b) => a.cast("int") * b),
+      lit(0), (acc, x) => acc + x).cast("double") /
+      (sqrt(aggregate(
+        transform(col("q_vec"), a => a.cast("int") * a.cast("int")),
+        lit(0), (acc, x) => acc + x).cast("double")) * qNorm + lit(1e-12))
+    val candidates = quantize(embeddings)
+      .select(col("vec_id"), col("embedding"), quantCos.as("qcos"))
+      .orderBy(desc("qcos"), asc("vec_id"))
+      .limit(rerank)
+    val q = array(query.map(lit): _*)
+    candidates
+      .select(col("vec_id"), cosineCol(col("embedding"), q).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** Random-hyperplane signature: `planes` sign bits of dot products with
     * deterministic pseudo-random unit-free planes. Plane component j of
     * plane p derives from xxhash64(j, p) mapped to [-0.5, 0.5) — fully

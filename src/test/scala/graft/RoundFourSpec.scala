@@ -244,6 +244,30 @@ class RoundFourSpec extends AnyFunSuite {
     assert(half == flat)
   }
 
+  test("quantizedTopK equals brute force after exact re-rank") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qVec = emb.filter(col("vec_id") === 0).select("embedding")
+      .first().getSeq[Float](0).map(_.toDouble)
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val fast = graft.ops.Similarity.quantizedTopK(rest, qVec, 10, rerank = 50)
+      .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+    val brute = graft.ops.Similarity.bruteForceTopK(rest, qVec, 10)
+      .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+    assert(fast.exceptAll(brute).count() == 0 &&
+      brute.exceptAll(fast).count() == 0)
+  }
+
+  test("quantize: dequantization error is bounded by scale/2 per component") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
+    val bad = graft.ops.Similarity.quantize(emb)
+      .select(explode(zip_with(col("embedding"),
+        transform(col("q_vec"), q => q.cast("double") * col("q_scale")),
+        (x, deq) => abs(x.cast("double") - deq) > col("q_scale") * 0.5 + 1e-12))
+        .as("violation"))
+      .filter(col("violation")).count()
+    assert(bad == 0)
+  }
+
   test("hashSample is a stable subset, monotone in rate") {
     val docs = graft.search.Indexer.documents(spark, sfDir)
     val s10 = TextAnalysis.hashSample(docs, "doc_id", 0.10)
