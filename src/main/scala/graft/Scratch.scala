@@ -57,6 +57,21 @@ object Scratch {
               println("hits=" + r.count())
             case "simhash" =>
               println("pairs=" + ops.Dedup.simHashPairs(big, 2, 3).count())
+            case "cc" =>
+              // connected components over 100k nodes: 20-copy exact-dup
+              // groups (star edges) + a 101-group path that forces
+              // multi-round large/small-star convergence
+              val withHash = big.select(col("doc_id"), md5(col("text")).as("h"))
+              val keeper = withHash.groupBy("h").agg(min("doc_id").as("k"))
+              val stars = withHash.join(keeper, "h")
+                .filter(col("doc_id") =!= col("k"))
+                .select(col("k").as("doc_a"), col("doc_id").as("doc_b"))
+              val path = base.select(col("doc_id").as("doc_a"),
+                (col("doc_id") + 1).as("doc_b")).filter(col("doc_a") < 100)
+              val cl = ops.Dedup.clusters(stars.unionByName(path))
+              val sizes = cl.groupBy("cluster_id").count()
+              println(s"nodes=${cl.count()} clusters=${sizes.count()} " +
+                s"maxCluster=${sizes.agg(max("count")).first().getLong(0)}")
             case "jaccard" =>
               // candidate-generation bound: the guard drops hot shingles
               // (every shingle here has freq >= 20 from duplication; the
