@@ -438,6 +438,20 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) =>
       Dedup.clusters(Dedup.ngramJaccard(t(s, dir, "documents"),
         n = 3, minJ = 0.05, maxShingleFreq = 2000))),
+    // the dedup endgame as one query: cluster the near-dup pairs, then
+    // keep the best member per cluster (longest text, doc_id tiebreak)
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cl = Dedup.clusters(Dedup.ngramJaccard(docs,
+        n = 3, minJ = 0.05, maxShingleFreq = 2000))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(desc("n_chars"), asc("doc_id"))
+      cl.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(max(when(col("rn") === 1, col("doc_id"))).as("keeper_id"),
+          count("*").as("n_members"))
+    }),
 
     // ---- temporal joins ----
     // as-of join (latest view before each purchase, per user): ONE
@@ -536,6 +550,12 @@ object SparkEntry {
               pmod(col("doc_id"), lit(100)).cast("string"),
               lit(" now"))))
         .select("doc_id", "clean_text")),
+    // sliding-window chunking (40-token windows, 8-token overlap) —
+    // the LLM-training prep op; one row per chunk, no shuffle
+    "text_chunks" -> ((s, dir) =>
+      TextAnalysis.chunk(t(s, dir, "documents"), maxTokens = 40, overlap = 8)
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("chunk_text"), col("n_tokens").cast("long").as("n_tokens"))),
     // reproducible 25% sample keyed on doc_id: membership is a pure
     // function of the key (portable md5 threshold), never of
     // partitioning or corpus size
@@ -952,6 +972,35 @@ object SparkEntry {
         |  SELECT a, b FROM e
         |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a""".stripMargin),
+    "dedup_keep_best" ->
+      ("WITH RECURSIVE " + OracleNgramCte + ",\n" +
+        """pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.05),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |      UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+        |r AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars,
+        |        row_number() OVER (PARTITION BY cl.cluster_id
+        |          ORDER BY d.n_chars DESC, cl.doc_id ASC) AS rn
+        |      FROM cl JOIN documents d USING (doc_id))
+        |SELECT cluster_id, max(CASE WHEN rn = 1 THEN doc_id END) AS keeper_id,
+        |       count(*) AS n_members
+        |FROM r GROUP BY cluster_id""".stripMargin),
+    "text_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS arr
+        |  FROM documents)
+        |SELECT doc_id, (s - 1) // 32 AS chunk_id,
+        |       array_to_string(arr[s : s + 39], ' ') AS chunk_text,
+        |       least(40, len(arr) - s + 1) AS n_tokens
+        |FROM t, unnest(generate_series(1, len(arr), 32)) AS u(s)
+        |WHERE len(arr) > 0""".stripMargin,
     "q_asof_join" ->
       """SELECT l.event_id, l.user_id, l.ts, r.ts AS asof_ts,
         |       r.event_id AS asof_event_id, r.value AS asof_value

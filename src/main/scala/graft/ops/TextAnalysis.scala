@@ -94,6 +94,35 @@ object TextAnalysis {
     * fingerprint used by exact dedup; kept as its own operator for the
     * oracle row.
     */
+  /** Sliding-window document chunking — the standard LLM-training prep
+    * op: whitespace tokens re-joined into windows of `maxTokens` tokens
+    * starting every `maxTokens - overlap` tokens (the last window may
+    * be shorter; a document shorter than one window yields one chunk).
+    * Pure column algebra (`split`/`sequence`/`slice`), one row per
+    * chunk `(doc_id, chunk_id, chunk_text, n_tokens)`, no shuffle —
+    * scales with the scan.
+    */
+  def chunk(docs: DataFrame, maxTokens: Int, overlap: Int,
+            textCol: String = "text"): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens, got maxTokens=$maxTokens overlap=$overlap")
+    val step = maxTokens - overlap
+    val toks = col("__toks")
+    docs
+      .select(col("doc_id"),
+        filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("__toks"))
+      .select(col("doc_id"),
+        toks,
+        // one start per window, strictly below the token count (sequence
+        // with a positive step requires start <= stop, hence the guard)
+        posexplode(when(size(toks) > 0,
+            sequence(lit(0), size(toks) - 1, lit(step)))
+          .otherwise(array().cast("array<int>"))).as(Seq("chunk_id", "start")))
+      .select(col("doc_id"), col("chunk_id"),
+        concat_ws(" ", slice(toks, col("start") + 1, lit(maxTokens))).as("chunk_text"),
+        least(lit(maxTokens), size(toks) - col("start")).as("n_tokens"))
+  }
+
   /** PII patterns for [[scrubPii]], applied in order. RE2-compatible
     * (no backreferences or lookaround) so the same patterns run
     * unchanged on engines with RE2-family regex (and in the DuckDB

@@ -201,6 +201,24 @@ class RoundFourSpec extends AnyFunSuite {
 
   // ---- PII scrub + hash sample ----
 
+  test("chunk: sliding windows cover the doc with the requested overlap") {
+    import spark.implicits._
+    val doc = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(df, maxTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // starts at 0,3,6,9: windows of 4 with 1-token overlap
+    assert(doc1.map(_._3).toSeq == Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10"))
+    assert(doc1.map(_._4).toSeq == Seq(4, 4, 4, 1))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, "solo", 1)))
+    assert(!out.exists(_._1 == 3L)) // empty doc -> no chunks
+    // every token of the source appears in some chunk
+    val covered = doc1.flatMap(_._3.split(" ")).toSet
+    assert(covered == doc.split(" ").toSet)
+  }
+
   test("scrubPii masks emails, IPs and phone numbers") {
     import spark.implicits._
     val df = Seq(
