@@ -59,7 +59,11 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, n: Int, minJ: Double,
                    maxShingleFreq: Int = Int.MaxValue): DataFrame = {
-    val sh = shingles(docs, n)
+    // the shingle table feeds the guard probe, both join sides, and the
+    // size aggregate — eager localCheckpoint computes the
+    // tokenize+explode+distinct once instead of once per consumer
+    // (blocks are GC-reclaimed; see clusters for why not persist())
+    val sh = shingles(docs, n).localCheckpoint(true)
     val sizes = sh.groupBy("doc_id").agg(count("*").as("n_shingles"))
     // adaptive: when the guard is off OR no shingle actually exceeds it
     // (one cheap aggregation to check — planning-time statistics, like
