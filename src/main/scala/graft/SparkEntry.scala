@@ -470,6 +470,22 @@ object SparkEntry {
           col("asof_ts").cast("timestamp_ntz").as("asof_ts"),
           col("asof_event_id"), col("asof_value"))
     }),
+    // forward as-of (first purchase at-or-after each signup, per user):
+    // same single window pass, descending order
+    "q_asof_forward" -> ((s, dir) => {
+      val e = graft.sources.Tables.events(s, dir)
+      val signups = e.filter(col("event_type") === "signup")
+        .select("event_id", "user_id", "ts", "value")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      graft.ops.TemporalJoins.asOfJoin(signups, purchases,
+          keys = Seq("user_id"), tsCol = "ts",
+          rightPayload = Seq("event_id", "value"), direction = "forward")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          col("asof_ts").cast("timestamp_ntz").as("asof_ts"),
+          col("asof_event_id"), col("asof_value"))
+    }),
     // range join (pairs of same-user events within 6 hours): bucket-bin
     // equi-join + exact predicate, never a per-user cross product
     "q_range_join" -> ((s, dir) => {
@@ -1007,6 +1023,12 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type='purchase') l
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='view') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "q_asof_forward" ->
+      """SELECT l.event_id, l.user_id, l.ts, r.ts AS asof_ts,
+        |       r.event_id AS asof_event_id, r.value AS asof_value
+        |FROM (SELECT * FROM events WHERE event_type='signup') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='purchase') r
+        |  ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
     "q_range_join" ->
       """SELECT a.user_id, a.event_id AS event_id_a, b.event_id AS event_id_b,
         |       date_diff('microsecond', a.ts, b.ts) AS gap_us
