@@ -199,6 +199,17 @@ class RoundFourSpec extends AnyFunSuite {
     pairs.unpersist()
   }
 
+  // ---- sources: JSON-lines ingestion ----
+
+  test("jsonl round trip: documents survive write/read with explicit schema") {
+    val docs = graft.search.Indexer.documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-").toString
+    docs.write.mode("overwrite").json(dir)
+    // explicit schema: schema inference is a second full read at scale
+    val back = spark.read.schema(docs.schema).json(dir)
+    assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
+  }
+
   // ---- PII scrub + hash sample ----
 
   test("chunk: sliding windows cover the doc with the requested overlap") {
