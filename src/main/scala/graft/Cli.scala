@@ -73,8 +73,9 @@ object Search {
 
     val ranked = SearchEngine.search(query, index, docs, sw)
     // Bounded driver memory: the total hit count is an aggregate (no
-    // rows cross the driver); only the first maxPages worth of ids are
-    // ever collected — a 100 TB result set cannot OOM the CLI.
+    // rows cross the driver) and only the one rendered page is ever
+    // collected — a 100 TB result set cannot OOM the CLI; maxPages just
+    // caps how deep pagination may reach.
     val maxPages = sys.env.getOrElse("SPARK_GRAFT_MAX_PAGES", "100").toInt
     val total = ranked.count()
     val totalPagesL = (total + SearchEngine.PageSize - 1) / SearchEngine.PageSize

@@ -1009,13 +1009,15 @@ object SparkEntry {
         |       count(*) AS n_members
         |FROM r GROUP BY cluster_id""".stripMargin),
     "text_chunks" ->
+      // starts capped at len - overlap so the last window always adds
+      // new tokens (mirrors TextAnalysis.chunk)
       """WITH t AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS arr
         |  FROM documents)
         |SELECT doc_id, (s - 1) // 32 AS chunk_id,
         |       array_to_string(arr[s : s + 39], ' ') AS chunk_text,
         |       least(40, len(arr) - s + 1) AS n_tokens
-        |FROM t, unnest(generate_series(1, len(arr), 32)) AS u(s)
+        |FROM t, unnest(generate_series(1, greatest(len(arr) - 8, 1), 32)) AS u(s)
         |WHERE len(arr) > 0""".stripMargin,
     "q_asof_join" ->
       """SELECT l.event_id, l.user_id, l.ts, r.ts AS asof_ts,

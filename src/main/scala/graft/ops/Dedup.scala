@@ -109,6 +109,10 @@ object Dedup {
         col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
       .filter(col("jaccard") >= minJ)
       .select("doc_a", "doc_b", "jaccard")
+      // checkpoint the SMALL result so the returned plan stops
+      // referencing the big shingle-table blocks — they become
+      // GC-reclaimable now instead of living as long as the result plan
+      .localCheckpoint(true)
   }
 
   /** MinHash signature: `numHashes` permutation-style hash functions
@@ -442,6 +446,12 @@ object Dedup {
       edgeCount = nextCount
       iter += 1
     }
+    // a non-star edge set would emit duplicate doc_ids with conflicting
+    // labels downstream — refuse to return one (rounds needed is
+    // O(log n), so maxIter=25 covers any physically storable graph)
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusters did not converge after $maxIter large/small-star rounds")
     // at convergence every edge is (node, root); roots label themselves
     nodes.join(edges.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("v"), col("doc_id")).as("cluster_id"))

@@ -52,6 +52,12 @@ object TemporalJoins {
         org.apache.spark.sql.types.StructType(payloadCols.map(c =>
           org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))))
     val rTagged = right
+      // SQL as-of semantics: a right row with a NULL key or NULL ts can
+      // never satisfy the equi+inequality predicate, so it must not
+      // become anyone's match (the NULL-key window partition would
+      // otherwise pair NULL with NULL, and a NULL ts sorts first and
+      // would become every row's "predecessor")
+      .filter((keys :+ tsCol).map(col(_).isNotNull).reduce(_ && _))
       .select(keys.map(col) :+ col(tsCol) :+
         struct(payloadCols.map(col): _*).as("__asof"): _*)
       .withColumn("__side", lit(0))
@@ -69,9 +75,13 @@ object TemporalJoins {
       else Seq(col(tsCol).desc, col("__side").asc)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // a left row with a NULL key or NULL ts matches nothing either
+    // (equi-join and <= are both UNKNOWN on NULL)
+    val leftNullable = (keys :+ tsCol).map(col(_).isNull).reduce(_ || _)
     val withAsof = unioned
       .withColumn("__hit", last(col("__asof"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+      .withColumn("__hit", when(leftNullable, lit(null)).otherwise(col("__hit")))
     val bounded = tolerance match {
       case Some(tol) =>
         val inRange =
@@ -98,7 +108,15 @@ object TemporalJoins {
   def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                 tsCol: String, maxGapUs: Long): DataFrame = {
     require(maxGapUs > 0, "maxGapUs must be positive")
-    val binOf = (c: Column) => floor(unix_micros(c) / maxGapUs)
+    // exact floor division: double-precision `/` would mis-bin epochs
+    // beyond 2^53 micros; pmod makes the numerator an exact multiple of
+    // the gap (floor semantics for pre-1970 timestamps too) and the
+    // decimal divide is exact integer arithmetic
+    val binOf = (c: Column) => {
+      val us = unix_micros(c)
+      ((us - pmod(us, lit(maxGapUs))).cast("decimal(38,0)") / maxGapUs)
+        .cast("long")
+    }
     val lSide = left.select(keys.map(col) ++
       left.columns.filterNot(keys.contains).map(c => col(c).as(s"${c}_a")): _*)
       .withColumn("__bin", binOf(col(s"${tsCol}_a")))

@@ -113,10 +113,11 @@ object TextAnalysis {
         filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("__toks"))
       .select(col("doc_id"),
         toks,
-        // one start per window, strictly below the token count (sequence
-        // with a positive step requires start <= stop, hence the guard)
+        // one start per window; a start must introduce at least one NEW
+        // token (start < size - overlap, except start 0), else the last
+        // window would be pure overlap — duplicated training text
         posexplode(when(size(toks) > 0,
-            sequence(lit(0), size(toks) - 1, lit(step)))
+            sequence(lit(0), greatest(size(toks) - overlap - 1, lit(0)), lit(step)))
           .otherwise(array().cast("array<int>"))).as(Seq("chunk_id", "start")))
       .select(col("doc_id"), col("chunk_id"),
         concat_ws(" ", slice(toks, col("start") + 1, lit(maxTokens))).as("chunk_text"),

@@ -105,6 +105,25 @@ class RoundFourSpec extends AnyFunSuite {
     assert(out.getLong(1) == 20L)
   }
 
+  test("asOfJoin: NULL keys and NULL timestamps never match (SQL semantics)") {
+    import spark.implicits._
+    val l = Seq((Option(1L), Option(30L)), (None: Option[Long], Option(30L)),
+        (Option(1L), None: Option[Long]))
+      .toDF("k", "t")
+      .select(col("k"), timestamp_micros(col("t")).as("ts"))
+    val r = Seq((Option(1L), Option(10L), "ok"),
+        (None: Option[Long], Option(5L), "nullkey"),
+        (Option(1L), None: Option[Long], "nullts"))
+      .toDF("k", "t", "v")
+      .select(col("k"), timestamp_micros(col("t")).as("ts"), col("v"))
+    val out = TemporalJoins.asOfJoin(l, r, Seq("k"), "ts", Seq("v"))
+      .select(col("k"), col("ts"), col("asof_v")).collect()
+    // left (1, 30) -> right (1, 10, "ok"); never "nullts"/"nullkey"
+    assert(out.count(x => x.getString(2) == "ok") == 1)
+    // left rows with NULL key or NULL ts match nothing
+    assert(out.count(_.isNullAt(2)) == 2)
+  }
+
   // ---- range join ----
 
   test("rangeJoin equals the naive inequality join") {
@@ -219,10 +238,11 @@ class RoundFourSpec extends AnyFunSuite {
     val out = TextAnalysis.chunk(df, maxTokens = 4, overlap = 1)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
     val doc1 = out.filter(_._1 == 1L).sortBy(_._2)
-    // starts at 0,3,6,9: windows of 4 with 1-token overlap
+    // starts at 0,3,6: windows of 4 with 1-token overlap; a start at 9
+    // would be pure overlap (only w10, already covered) and is dropped
     assert(doc1.map(_._3).toSeq == Seq(
-      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10"))
-    assert(doc1.map(_._4).toSeq == Seq(4, 4, 4, 1))
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    assert(doc1.map(_._4).toSeq == Seq(4, 4, 4))
     assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, "solo", 1)))
     assert(!out.exists(_._1 == 3L)) // empty doc -> no chunks
     // every token of the source appears in some chunk
