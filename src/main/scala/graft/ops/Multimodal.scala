@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video travel as opaque
   * `BINARY` columns with typed metadata, processed in partition-sized
   * batches. The Spark-side contract (schema, batch iteration,
-  * partitioning, output shape) is real and tested; the actual codec
-  * calls are STUBBED with a deterministic fake because this environment
-  * ships no image/audio libraries — swap [[MediaCodec.decodeImageStub]]
-  * for a real decoder (JavaCPP/FFmpeg/ImageIO) without touching any
-  * plumbing.
+  * partitioning, output shape) is real and tested. The IMAGE codec is
+  * real (`javax.imageio`) and the AUDIO codec is real for PCM
+  * WAV/AIFF/AU (`javax.sound.sampled`) — both ship with the JDK; only
+  * VIDEO (no JDK codec) and undecodable payloads fall back to the
+  * deterministic stub, so pipelines over mixed/raw corpora never throw.
+  * Swap the stub for JavaCPP/FFmpeg without touching any plumbing.
   */
 object Multimodal {
 
@@ -39,9 +40,10 @@ object Multimodal {
     *
     * The IMAGE path is real: `javax.imageio` (ships with the JDK)
     * decodes PNG/JPEG/GIF/BMP bytes, resizes through `Graphics2D`, and
-    * re-encodes. Payloads ImageIO cannot decode (and the audio/video
-    * kinds, which have no JDK codec) fall back to the deterministic
-    * stub, so pipelines over mixed/raw corpora never throw.
+    * re-encodes. The AUDIO path is real for PCM WAV/AIFF/AU via
+    * `javax.sound.sampled`. Payloads neither can decode (and the video
+    * kind, which has no JDK codec) fall back to the deterministic stub,
+    * so pipelines over mixed/raw corpora never throw.
     */
   object MediaCodec {
     import java.awt.image.BufferedImage
@@ -114,6 +116,45 @@ object Multimodal {
         (encodePng(s), s.getWidth, s.getHeight)
       }
 
+    /** Audio features via `javax.sound.sampled` (ships with the JDK,
+      * same deal as ImageIO): parses WAV/AIFF/AU containers and decodes
+      * PCM. Returns `[sample_rate, channels, n_frames, duration_s, rms,
+      * peak, bits, 0]` (8 floats, the shared feature shape); None when
+      * the bytes are not a decodable audio stream or not 16-bit PCM.
+      */
+    def decodeAudio(payload: Array[Byte]): Option[Array[Float]] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(payload))
+        val fmt = ais.getFormat
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) { ais.close(); None }
+        else {
+          val bytes = ais.readAllBytes(); ais.close()
+          val n = bytes.length / 2
+          var i = 0; var sumSq = 0.0; var peak = 0.0
+          while (i + 1 < bytes.length) {
+            val s = (if (fmt.isBigEndian)
+              (bytes(i) << 8) | (bytes(i + 1) & 0xff)
+            else
+              (bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort / 32768.0
+            sumSq += s * s; if (math.abs(s) > peak) peak = math.abs(s)
+            i += 2
+          }
+          val frames = n / math.max(fmt.getChannels, 1)
+          Some(Array(fmt.getSampleRate, fmt.getChannels.toFloat, frames.toFloat,
+            frames / math.max(fmt.getSampleRate, 1f),
+            math.sqrt(sumSq / math.max(n, 1)).toFloat, peak.toFloat,
+            fmt.getSampleSizeInBits.toFloat, 0f))
+        }
+      } catch { case _: Throwable => None }
+
+    /** Decode + featurize audio: real JDK path when the bytes are a
+      * PCM container, deterministic stub otherwise.
+      */
+    def audioFeaturesOrStub(payload: Array[Byte], sampleRate: Int): Array[Float] =
+      decodeAudio(payload).getOrElse(decodeImageStub(payload, sampleRate, 1))
+
     /** STUB decode for non-image kinds and undecodable bytes. The fake
       * derives deterministic "pixels" from the payload hash so tests can
       * assert end-to-end stability.
@@ -146,7 +187,7 @@ object Multimodal {
       it.map { m =>
         val feats = m.kind match {
           case "image" => MediaCodec.imageFeaturesOrStub(m.payload, targetW, targetH)
-          case "audio" => MediaCodec.decodeImageStub(m.payload, m.sample_rate, 1)
+          case "audio" => MediaCodec.audioFeaturesOrStub(m.payload, m.sample_rate)
           case _       => MediaCodec.decodeImageStub(m.payload, m.n_frames, 1)
         }
         MediaFeatures(m.media_id, m.kind, m.payload.length, targetW, targetH, feats)

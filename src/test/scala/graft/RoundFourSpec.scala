@@ -218,6 +218,39 @@ class RoundFourSpec extends AnyFunSuite {
     pairs.unpersist()
   }
 
+  // ---- real audio codec (javax.sound.sampled) ----
+
+  test("audio codec decodes a real PCM WAV; undecodable bytes keep the stub") {
+    import javax.sound.sampled._
+    // 0.5 s of a 440 Hz sine at 8 kHz mono 16-bit, amplitude 0.5
+    val rate = 8000f; val n = 4000; val amp = 0.5
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (math.sin(2 * math.Pi * 440 * i / rate) * amp * 32767).toInt
+      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    val feats = graft.ops.Multimodal.MediaCodec.decodeAudio(wav).get
+    assert(feats(0) == 8000f && feats(1) == 1f && feats(2) == 4000f)
+    assert(math.abs(feats(3) - 0.5f) < 1e-3) // duration
+    // RMS of a sine = amp/sqrt(2)
+    assert(math.abs(feats(4) - amp / math.sqrt(2)) < 0.01)
+    assert(feats(5) <= amp + 0.01 && feats(5) > amp * 0.95) // peak
+    // non-audio bytes fall back to the deterministic stub
+    val junk = "not a wav".getBytes
+    assert(graft.ops.Multimodal.MediaCodec.decodeAudio(junk).isEmpty)
+    assert(graft.ops.Multimodal.MediaCodec.audioFeaturesOrStub(junk, 16000)
+      .sameElements(graft.ops.Multimodal.MediaCodec.decodeImageStub(junk, 16000, 1)))
+  }
+
   // ---- sources: JSON-lines ingestion ----
 
   test("jsonl round trip: documents survive write/read with explicit schema") {
