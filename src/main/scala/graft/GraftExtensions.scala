@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
 
-import graft.functions.{CosineSimilarity, DotProduct, HyperplaneSignatures}
+import graft.functions.{CosineSimilarity, DotProduct, HyperplaneSignatures, NfcNormalize}
 
 /** SparkSessionExtensions hook: registers the engine's native Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT graft_cosine(a,b)")`
@@ -29,6 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[DotProduct].getName, "graft_dot"),
         (children: Seq[Expression]) =>
           DotProduct(children(0), children(1))))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_nfc"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[NfcNormalize].getName, "graft_nfc"),
+        (children: Seq[Expression]) => NfcNormalize(children.head)))
     // graft_hyperplane_sigs(emb, planesPerTable, tables[, planeOffset]):
     // one LSH bucket signature per table (foldable int literals only)
     ext.injectFunction(

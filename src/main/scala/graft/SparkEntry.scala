@@ -354,6 +354,28 @@ object SparkEntry {
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
           col("sum_qty"), col("n"))),
+    // arbitrary GROUPING SETS (the general form cube/rollup specialize):
+    // three explicit levels, null-marked like SQL. sum(l_quantity) is a
+    // sum of integer-valued doubles — exact, hence order-invariant
+    "q_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"))),
+    // pivot: one column per o_orderstatus value, count per cell
+    // (explicit value list keeps the plan single-pass — no distinct
+    // scan — and the schema static); absent combos coalesce to 0
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))),
     "q_topk" -> ((s, dir) =>
       t(s, dir, "orders")
         .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
@@ -594,6 +616,47 @@ object SparkEntry {
           sum("bpe_tokens").as("total_bpe_tokens"))),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(t(s, dir, "documents"))),
+    // Gopher-style repetition metrics: top token / top bigram /
+    // duplicate-trigram fractions per document, all exact count ratios
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(t(s, dir, "documents"))),
+    // corpus-level exact line dedup (boilerplate removal). The corpus
+    // is single-line word soup, so the entry synthesizes line structure
+    // first — one line per 10 whitespace tokens (the dedup itself is
+    // the operator under test; the split just gives it lines, same
+    // pattern as text_scrub_pii's synthetic PII)
+    "dedup_lines" -> ((s, dir) => {
+      val toks = col("__toks")
+      val withLines = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("__toks"))
+        .select(col("doc_id"),
+          array_join(transform(
+            sequence(lit(0), floor((size(toks) - 1) / lit(10)).cast("int")),
+            i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10)))), "\n")
+            .as("text"))
+      TextAnalysis.dedupLines(withLines)
+    }),
+    // benchmark decontamination: flag docs sharing a 5-gram with the
+    // held-out "benchmark" subset (doc_id % 97 == 7) — broadcast join
+    // of benchmark shingles against the corpus shingle scan
+    "text_contamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.benchmarkContamination(
+        d.filter(pmod(col("doc_id"), lit(97)) =!= 7),
+        d.filter(pmod(col("doc_id"), lit(97)) === 7), n = 5)
+    }),
+    // canonical normalization: NFC (native Catalyst expression) +
+    // control-char strip + whitespace collapse. The corpus is ASCII,
+    // so denormalized unicode / controls / space runs are appended
+    // deterministically to give the normalizer real work
+    "text_normalize" -> ((s, dir) =>
+      TextAnalysis.normalizeText(
+        t(s, dir, "documents").withColumn("text",
+          concat(col("text"),
+            // decomposed e+combining-acute / A+combining-ring (NFC must
+            // compose them), a C0 control char, a tab, a space run
+            lit("  cafe\u0301 \u0001ctl\there A\u030A"))))
+        .select("doc_id", "norm_text")),
 
     // ---- multimodal plumbing ----
     "media_stats" -> ((s, dir) =>
@@ -1182,6 +1245,87 @@ object SparkEntry {
         |       count(*) AS n_assets,
         |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         |       round(avg(octet_length(encode(text))), 4) AS avg_bytes
-        |FROM documents GROUP BY 1""".stripMargin
+        |FROM documents GROUP BY 1""".stripMargin,
+    "text_repetition" ->
+      // all ratios are single IEEE divisions of exact integer counts —
+      // bit-identical across engines, no rounding
+      """WITH toks0 AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |    '[ \t\r\n,.:;''"()\[\]{}/<>!?|\-—#$&=_*+]+'), x -> x <> '') AS arr
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, 1 AS n, arr[i] AS gram
+        |  FROM toks0, unnest(generate_series(1, len(arr))) AS u(i)
+        |  UNION ALL
+        |  SELECT doc_id, 2 AS n, array_to_string(arr[i : i + 1], ' ') AS gram
+        |  FROM toks0, unnest(generate_series(1, len(arr) - 1)) AS u(i)
+        |  UNION ALL
+        |  SELECT doc_id, 3 AS n, array_to_string(arr[i : i + 2], ' ') AS gram
+        |  FROM toks0, unnest(generate_series(1, len(arr) - 2)) AS u(i)),
+        |c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN n = 1 THEN c END) AS BIGINT) AS n_tokens,
+        |  CAST(max(CASE WHEN n = 1 THEN c END) AS DOUBLE)
+        |    / sum(CASE WHEN n = 1 THEN c END) AS top_token_frac,
+        |  CAST(max(CASE WHEN n = 2 THEN c END) AS DOUBLE)
+        |    / sum(CASE WHEN n = 2 THEN c END) AS top_bigram_frac,
+        |  CAST(coalesce(sum(CASE WHEN n = 3 AND c > 1 THEN c END), 0) AS DOUBLE)
+        |    / sum(CASE WHEN n = 3 THEN c END) AS dup_trigram_frac
+        |FROM c GROUP BY doc_id""".stripMargin,
+    "dedup_lines" ->
+      // same 10-token line synthesis as the entry, then first-occurrence
+      // line dedup and per-doc text rebuild
+      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+        |l AS (
+        |  SELECT doc_id, i + 1 AS line_no,
+        |         array_to_string(arr[(i * 10 + 1) : (i * 10 + 10)], ' ') AS line
+        |  FROM t0, unnest(generate_series(0,
+        |    CAST(floor((len(arr) - 1) / 10.0) AS BIGINT))) AS u(i)),
+        |r AS (SELECT doc_id, line_no, line,
+        |        row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+        |      FROM l)
+        |SELECT doc_id, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CASE WHEN sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0
+        |       THEN string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+        |                       ORDER BY line_no)
+        |  END AS clean_text
+        |FROM r GROUP BY doc_id""".stripMargin,
+    "text_contamination" ->
+      """WITH toks0 AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |    '[ \t\r\n,.:;''"()\[\]{}/<>!?|\-—#$&=_*+]+'), x -> x <> '') AS arr
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(arr[i : i + 4], ' ') AS shingle
+        |  FROM toks0, unnest(generate_series(1, greatest(len(arr) - 4, 0))) AS u(i)),
+        |b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 7)
+        |SELECT sh.doc_id, count(*) AS n_contaminated
+        |FROM sh JOIN b USING (shingle)
+        |WHERE sh.doc_id % 97 <> 7
+        |GROUP BY 1""".stripMargin,
+    "text_normalize" ->
+      // chr(769)=U+0301 combining acute, chr(1)=C0 control, chr(9)=tab,
+      // chr(778)=U+030A combining ring — same synthetic suffix as the
+      // entry; nfc_normalize is DuckDB's ICU NFC
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(
+        |    nfc_normalize(text || '  cafe' || chr(769) || ' ' || chr(1) ||
+        |                  'ctl' || chr(9) || 'here A' || chr(778)),
+        |    '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+        |    '[ \t]+', ' ', 'g')) AS norm_text
+        |FROM documents""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |       sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), ())""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+        |FROM orders GROUP BY 1""".stripMargin
   )
 }

@@ -458,6 +458,29 @@ object Dedup {
       .localCheckpoint(true)
   }
 
+  /** Benchmark-contamination check (the decontamination pass every
+    * LLM-training pipeline runs): flag corpus documents sharing at
+    * least one word-`n`-gram with a held-out benchmark/eval set, with
+    * the number of distinct benchmark shingles each document hits.
+    *
+    * Benchmark sets are small relative to the corpus (thousands of
+    * eval items vs billions of documents), so the distinct benchmark
+    * shingle table broadcasts and the check costs one map-side
+    * broadcast join over the corpus shingle scan — no shuffle of
+    * corpus data at all. For a benchmark too large to broadcast, drop
+    * the [[broadcast]] hint and let the planner shuffle on the shingle
+    * key (still linear).
+    */
+  def benchmarkContamination(corpus: DataFrame, benchmark: DataFrame,
+                             n: Int = 5, textCol: String = "text"): DataFrame = {
+    val corpusSh = shingles(corpus, n, textCol)
+    val benchSh = shingles(benchmark, n, textCol).select("shingle").distinct()
+    // shingles() is already distinct per (doc_id, shingle), so count(*)
+    // counts distinct benchmark shingles hit
+    corpusSh.join(broadcast(benchSh), Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+  }
+
   def embeddingNearDup(embeddings: DataFrame, minCos: Double = 0.95,
                        planes: Int = 8): DataFrame = {
     val sigCol = Similarity.hyperplaneSignature(col("embedding"), planes)

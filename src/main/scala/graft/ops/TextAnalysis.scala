@@ -203,4 +203,96 @@ object TextAnalysis {
 
   def contentDigest(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"), md5(col(textCol)).as("digest"))
+
+  /** Gopher-style repetition metrics per document: fraction of tokens
+    * taken by the most frequent token / bigram, and the fraction of
+    * trigram instances that are repeats within the document — the
+    * standard cheap signals for machine-generated or boilerplate text.
+    *
+    * One explode over all three gram sizes with a tag column, then two
+    * aggregations keyed on `(doc_id, …)` — doc_id in every shuffle key
+    * means no skew and map-side partial aggregation, so this scales
+    * with the scan. All ratios are exact integer-count divisions
+    * (bit-identical across engines, no rounding needed).
+    */
+  def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = col("__toks")
+    def grams(n: Int): Column =
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => struct(lit(n).as("n"),
+            concat_ws(" ", slice(toks, i + 1, lit(n))).as("gram"))))
+        .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+    docs
+      .select(col("doc_id"), Analyzer.tokensCol(col(textCol)).as("__toks"))
+      .select(col("doc_id"), explode(concat(grams(1), grams(2), grams(3))).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("n") === 1, col("c"))).as("n_tokens"),
+        max(when(col("n") === 1, col("c"))).as("top_token"),
+        sum(when(col("n") === 2, col("c"))).as("n_bigrams"),
+        max(when(col("n") === 2, col("c"))).as("top_bigram"),
+        sum(when(col("n") === 3, col("c"))).as("n_trigrams"),
+        sum(when(col("n") === 3 && col("c") > 1, col("c"))).as("dup_trigrams"))
+      .select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        (col("top_token").cast("double") / col("n_tokens")).as("top_token_frac"),
+        (col("top_bigram").cast("double") / col("n_bigrams")).as("top_bigram_frac"),
+        (coalesce(col("dup_trigrams"), lit(0L)).cast("double") / col("n_trigrams"))
+          .as("dup_trigram_frac"))
+  }
+
+  /** Corpus-level exact line dedup (RefinedWeb/CCNet-style boilerplate
+    * removal): a line instance survives iff it is the FIRST occurrence
+    * of that exact line across the whole corpus, ordered by
+    * `(doc_id, line_no)`. Returns one row per document with the
+    * rebuilt text (`NULL` when nothing survived), plus kept/total line
+    * counts.
+    *
+    * First-occurrence is computed as `min(struct(doc_id, line_no))`
+    * per line — an aggregate + join rather than a `row_number` window,
+    * because partial aggregation bounds the hot keys (a boilerplate
+    * line appearing 10^8 times at 100 TB collapses map-side) and AQE
+    * can split the skewed join, while a window would put each hot
+    * line's whole partition on one task.
+    */
+  def dedupLines(docs: DataFrame, textCol: String = "text",
+                 lineSep: String = "\n"): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(lineSep)))
+          .as(Seq("idx", "line")))
+      .select(col("doc_id"), (col("idx") + 1).as("line_no"), col("line"))
+    val first = lines.groupBy("line")
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("first_at"))
+    lines.join(first, "line")
+      .withColumn("keep",
+        struct(col("doc_id"), col("line_no")) === col("first_at"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sort_array(collect_list(when(col("keep"),
+          struct(col("line_no"), col("line"))))).as("__kept"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        when(col("n_kept") > 0,
+          array_join(transform(col("__kept"), s => s.getField("line")), lineSep))
+          .as("clean_text"))
+  }
+
+  /** Canonical text normalization: Unicode NFC (native expression —
+    * see [[graft.functions.NfcNormalize]]), strip C0 control chars and
+    * DEL (newline and tab survive the strip; tab then collapses), and
+    * collapse space/tab runs. Run before any hashing or dedup so that
+    * NFC-equal texts hash equal. Pure codegen'd single pass, scales
+    * with the scan.
+    */
+  def normalizeText(docs: DataFrame, textCol: String = "text",
+                    outCol: String = "norm_text"): DataFrame =
+    docs.withColumn(outCol,
+      trim(regexp_replace(regexp_replace(
+        graft.functions.NfcNormalize.nfc(col(textCol)),
+        "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""),
+        "[ \\t]+", " ")))
 }

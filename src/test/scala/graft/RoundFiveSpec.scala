@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.NfcNormalize
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Round-5 surface: repetition metrics, corpus line dedup, benchmark
+  * decontamination, native NFC normalization, grouping sets / pivot.
+  */
+class RoundFiveSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // ---- repetition metrics ----
+
+  test("repetitionStats computes top-gram and duplicate-trigram fractions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b"),             // top token 3/4; bigrams: "a a" x2, "a b" -> 2/3
+      (2L, "x y x y x y"),         // trigrams: "x y x" x2, "y x y" x2 -> dup 4/4
+      (3L, "only")                 // single token: no bigrams/trigrams
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) == 4 && math.abs(r(1L).getDouble(2) - 0.75) < 1e-15)
+    assert(math.abs(r(1L).getDouble(3) - 2.0 / 3.0) < 1e-15)
+    assert(r(1L).getDouble(4) == 0.0) // "a a a","a a b" both unique
+    assert(r(2L).getDouble(4) == 1.0) // every trigram instance is a repeat
+    assert(r(3L).getLong(1) == 1 && r(3L).isNullAt(3) && r(3L).isNullAt(4))
+  }
+
+  // ---- corpus line dedup ----
+
+  test("dedupLines keeps only first occurrences and rebuilds text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x\ny"),
+      (2L, "x\nz"),
+      (3L, "x\ny")                  // full duplicate of doc 1 -> nothing kept
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.dedupLines(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) == 2 && r(1L).getLong(2) == 2 &&
+      r(1L).getString(3) == "x\ny")
+    assert(r(2L).getLong(2) == 1 && r(2L).getString(3) == "z")
+    assert(r(3L).getLong(2) == 0 && r(3L).isNullAt(3))
+  }
+
+  test("dedupLines keeps the first instance of a line repeated within one doc") {
+    import spark.implicits._
+    val docs = Seq((5L, "b\nb\nc")).toDF("doc_id", "text")
+    val r = TextAnalysis.dedupLines(docs).collect()(0)
+    assert(r.getLong(1) == 3 && r.getLong(2) == 2 && r.getString(3) == "b\nc")
+  }
+
+  // ---- benchmark contamination ----
+
+  test("benchmarkContamination flags exactly the docs sharing an n-gram") {
+    import spark.implicits._
+    val bench = Seq((100L, "one two three four five six")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "zz one two three four five yy"),   // shares "one two three four five"
+      (2L, "totally different words here entirely now"),
+      (3L, "one two three four five six seven") // shares both benchmark 5-grams
+    ).toDF("doc_id", "text")
+    val r = Dedup.benchmarkContamination(corpus, bench, n = 5).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 1L, 3L -> 2L))
+  }
+
+  // ---- NFC normalization ----
+
+  test("NfcNormalize composes decomposed sequences (codegen path)") {
+    import spark.implicits._
+    val df = Seq(
+      ("café", "café"),       // e + combining acute -> é
+      ("Ångström", "Ångström"),
+      ("plain ascii", "plain ascii"),
+      (null.asInstanceOf[String], null.asInstanceOf[String])
+    ).toDF("raw", "want")
+    val got = df.select(NfcNormalize.nfc(col("raw")).as("got"), col("want"))
+    assert(got.filter(
+      (col("got") =!= col("want")) ||
+        (col("got").isNull =!= col("want").isNull)).count() == 0)
+  }
+
+  test("graft_nfc callable from SQL via the function registry") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc",
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.NfcNormalize(children.head), "scala_udf")
+    val out = spark.sql("SELECT graft_nfc('café') AS s").collect()(0).getString(0)
+    assert(out == "café")
+  }
+
+  test("normalizeText strips controls, collapses whitespace, trims") {
+    import spark.implicits._
+    val docs = Seq((1L, " ab\tc  d ")).toDF("doc_id", "text")
+    val r = TextAnalysis.normalizeText(docs).collect()(0).getString(2)
+    assert(r == "ab c d")
+  }
+
+  // ---- grouping sets / pivot ----
+
+  test("groupingSets levels partition the total row count") {
+    val li = sources.Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    val total = li.count()
+    val gs = SparkEntry.queries("q_grouping_sets")(spark, "/root/testdata/sf0.001")
+    val byLevel = gs.select(
+      when(col("l_returnflag").isNull, "all")
+        .when(col("l_linestatus").isNull, "flag").otherwise("both").as("level"),
+      col("n_rows"))
+      .groupBy("level").agg(sum("n_rows").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLevel("all") == total && byLevel("flag") == total &&
+      byLevel("both") == total)
+  }
+
+  test("pivot cells sum to the orders row count") {
+    val o = sources.Tables(spark, "/root/testdata/sf0.001", "orders")
+    val p = SparkEntry.queries("q_pivot")(spark, "/root/testdata/sf0.001")
+    val cells = p.select((col("F") + col("O") + col("P")).as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(cells == o.count())
+  }
+}
