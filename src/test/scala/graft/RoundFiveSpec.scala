@@ -125,6 +125,36 @@ class RoundFiveSpec extends AnyFunSuite {
       byLevel("both") == total)
   }
 
+  // ---- streaming index maintenance ----
+
+  test("streaming index maintenance equals a full batch rebuild") {
+    import java.nio.file.{Files, Paths}
+    val docs = sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val base = Files.createTempDirectory("graft-stream-idx-").toString
+    val streamDir = s"$base/in"; Files.createDirectories(Paths.get(streamDir))
+    val statsPath = s"$base/stats"
+    // two arrival batches: even docs land first, odd docs second
+    Seq(0, 1).foreach { par =>
+      val tmp = s"$base/half$par"
+      docs.filter(pmod(col("doc_id"), lit(2)) === par)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(streamDir, s"batch$par.parquet"))
+    }
+    val q = graft.streaming.StreamingOps
+      .streamingIndexMaintenance(spark, streamDir, statsPath)
+    try q.processAllAvailable() finally q.stop()
+    // >1 micro-batch actually ran (maxFilesPerTrigger=1 -> 2 files = 2)
+    assert(q.recentProgress.count(_.numInputRows > 0) == 2)
+    val maintained = search.Indexer.postingsFromStats(
+      spark.read.parquet(statsPath),
+      search.Indexer.docCount(spark.read.parquet(streamDir)))
+    val rebuilt = search.Indexer.postings(docs)
+    assert(maintained.exceptAll(rebuilt).count() == 0 &&
+      rebuilt.exceptAll(maintained).count() == 0)
+  }
+
   test("pivot cells sum to the orders row count") {
     val o = sources.Tables(spark, "/root/testdata/sf0.001", "orders")
     val p = SparkEntry.queries("q_pivot")(spark, "/root/testdata/sf0.001")
