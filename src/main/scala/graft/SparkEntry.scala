@@ -669,6 +669,10 @@ object SparkEntry {
         d.filter(pmod(col("doc_id"), lit(97)) =!= 7),
         d.filter(pmod(col("doc_id"), lit(97)) === 7), n = 5)
     }),
+    // exact duplicate-span removal: strip every 8-token span occurring
+    // in >= 2 docs, rebuild the survivors (substring dedup)
+    "text_span_dedup" -> ((s, dir) =>
+      TextAnalysis.spanDedup(t(s, dir, "documents"), k = 8)),
     // canonical normalization: NFC (native Catalyst expression) +
     // control-char strip + whitespace collapse. The corpus is ASCII,
     // so denormalized unicode / controls / space runs are appended
@@ -1339,6 +1343,31 @@ object SparkEntry {
         |    '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
         |    '[ \t]+', ' ', 'g')) AS norm_text
         |FROM documents""".stripMargin,
+    "text_span_dedup" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+        |sp AS (
+        |  SELECT doc_id, i AS s, array_to_string(arr[i : i + 7], ' ') AS span
+        |  FROM t0, unnest(generate_series(1, len(arr) - 7)) AS u(i)),
+        |d AS (SELECT span FROM sp GROUP BY span
+        |      HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT sp.doc_id, p
+        |  FROM sp JOIN d USING (span),
+        |       unnest(generate_series(sp.s, sp.s + 7)) AS g(p)),
+        |tok AS (
+        |  SELECT doc_id, i AS p, arr[i] AS tokval
+        |  FROM t0, unnest(generate_series(1, len(arr))) AS u(i)),
+        |kept AS (
+        |  SELECT t.doc_id, t.p, t.tokval
+        |  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+        |  WHERE c.p IS NULL),
+        |k2 AS (SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(tokval, ' ' ORDER BY p) AS clean_text
+        |       FROM kept GROUP BY doc_id)
+        |SELECT t0.doc_id, CAST(len(t0.arr) AS BIGINT) AS n_tokens,
+        |  CAST(len(t0.arr) - coalesce(k2.n_kept, 0) AS BIGINT) AS n_removed,
+        |  k2.clean_text
+        |FROM t0 LEFT JOIN k2 USING (doc_id)""".stripMargin,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         |       sum(l_quantity) AS sum_qty

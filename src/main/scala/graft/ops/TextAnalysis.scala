@@ -281,6 +281,55 @@ object TextAnalysis {
           .as("clean_text"))
   }
 
+  /** Exact duplicate-span removal (the substring-dedup pass of
+    * "Deduplicating Training Data Makes Language Models Better"): any
+    * `k`-token span whose exact text occurs in at least `minDocs`
+    * distinct documents is boilerplate; every token position covered
+    * by such a span is removed and the document is rebuilt from the
+    * survivors. Returns `(doc_id, n_tokens, n_removed, clean_text)`
+    * with `clean_text` NULL when nothing survives.
+    *
+    * Shape: one posexplode to spans, a `(span -> distinct-doc count)`
+    * aggregate (two-phase, partial map-side), a join back on the span
+    * key (fanout 1 per occurrence), then per-document coverage as a
+    * higher-order-function mask — no window, every shuffle keyed on
+    * span or doc_id. Suffix-array implementations find spans of ANY
+    * length; fixed-k covering spans is the standard scalable
+    * approximation (any duplicated run >= k tokens is fully covered
+    * by its k-windows, so the removed set is identical for runs >= k).
+    */
+  def spanDedup(docs: DataFrame, k: Int = 8, minDocs: Int = 2,
+                textCol: String = "text"): DataFrame = {
+    require(k > 0 && minDocs >= 2, s"need k > 0, minDocs >= 2; got $k, $minDocs")
+    val toks = col("__toks")
+    val tokenized = docs.select(col("doc_id"), split(col(textCol), " ").as("__toks"))
+    val spans = tokenized
+      .select(col("doc_id"), toks,
+        posexplode(when(size(toks) >= k,
+            transform(sequence(lit(0), size(toks) - k),
+              i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+          .otherwise(array().cast("array<string>"))).as(Seq("start", "span")))
+      .select(col("doc_id"), col("start"), col("span"))
+    val dupSpans = spans.groupBy("span")
+      .agg(countDistinct("doc_id").as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("span")
+    val coveredStarts = spans.join(dupSpans, Seq("span"))
+      .groupBy("doc_id").agg(collect_list(col("start")).as("starts"))
+    tokenized.join(coveredStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"), toks,
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .select(col("doc_id"), toks,
+        filter(sequence(lit(0), size(toks) - 1),
+          i => !exists(col("starts"), s => i >= s && i < s + k)).as("keep"))
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        (size(toks) - size(col("keep"))).cast("long").as("n_removed"),
+        when(size(col("keep")) > 0,
+          concat_ws(" ", transform(col("keep"), i => element_at(toks, i + 1))))
+          .as("clean_text"))
+  }
+
   /** Canonical text normalization: Unicode NFC (native expression —
     * see [[graft.functions.NfcNormalize]]), strip C0 control chars and
     * DEL (newline and tab survive the strip; tab then collapses), and

@@ -77,6 +77,39 @@ class RoundFiveSpec extends AnyFunSuite {
     assert(r == Map(1L -> 1L, 3L -> 2L))
   }
 
+  // ---- exact duplicate-span removal ----
+
+  test("spanDedup strips cross-doc duplicated k-token spans, keeps the rest") {
+    import spark.implicits._
+    val span = "a b c d e f g h" // 8 tokens, appears in docs 1, 2, 4
+    val docs = Seq(
+      (1L, s"$span unique1 tail"),
+      (2L, s"x $span y"),
+      (3L, "completely different words only here"),
+      (4L, span)
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.spanDedup(docs, k = 8).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) == 10 && r(1L).getLong(2) == 8 &&
+      r(1L).getString(3) == "unique1 tail")
+    assert(r(2L).getLong(2) == 8 && r(2L).getString(3) == "x y")
+    assert(r(3L).getLong(2) == 0 &&
+      r(3L).getString(3) == "completely different words only here")
+    assert(r(4L).getLong(2) == 8 && r(4L).isNullAt(3))
+  }
+
+  test("spanDedup covers a duplicated run longer than k completely") {
+    import spark.implicits._
+    // 12-token duplicated run: all five 8-windows are shared, so the
+    // full run is covered in both docs
+    val run = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12"
+    val docs = Seq((1L, s"$run alpha"), (2L, s"beta $run")).toDF("doc_id", "text")
+    val r = TextAnalysis.spanDedup(docs, k = 8).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(2) == 12 && r(1L).getString(3) == "alpha")
+    assert(r(2L).getLong(2) == 12 && r(2L).getString(3) == "beta")
+  }
+
   // ---- NFC normalization ----
 
   test("NfcNormalize composes decomposed sequences (codegen path)") {
