@@ -669,6 +669,21 @@ object SparkEntry {
         d.filter(pmod(col("doc_id"), lit(97)) =!= 7),
         d.filter(pmod(col("doc_id"), lit(97)) === 7), n = 5)
     }),
+    // append-only exact dedup: docs < 250 are the at-rest corpus; the
+    // arriving batch is the rest plus deterministic re-ingested copies
+    // (+1000 = copies of corpus docs, +2000 = copies of batch docs) so
+    // every status value actually occurs
+    "dedup_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") < 250)
+      val batch = d.filter(col("doc_id") >= 250).select("doc_id", "text")
+        .unionByName(d.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 1000).as("doc_id"), col("text")))
+        .unionByName(d.filter(col("doc_id") >= 250 && col("doc_id") < 260)
+          .select((col("doc_id") + 2000).as("doc_id"), col("text")))
+      Dedup.incrementalExact(
+        corpus.select(md5(col("text")).as("digest")), batch)
+    }),
     // exact duplicate-span removal: strip every 8-token span occurring
     // in >= 2 docs, rebuild the survivors (substring dedup)
     "text_span_dedup" -> ((s, dir) =>
@@ -1343,6 +1358,22 @@ object SparkEntry {
         |    '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
         |    '[ \t]+', ' ', 'g')) AS norm_text
         |FROM documents""".stripMargin,
+    "dedup_incremental" ->
+      """WITH c AS (SELECT DISTINCT md5(text) AS digest FROM documents
+        |           WHERE doc_id < 250),
+        |b AS (
+        |  SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 1000, md5(text) FROM documents WHERE doc_id < 30
+        |  UNION ALL
+        |  SELECT doc_id + 2000, md5(text) FROM documents
+        |  WHERE doc_id >= 250 AND doc_id < 260),
+        |f AS (SELECT digest, min(doc_id) AS first_id FROM b GROUP BY 1)
+        |SELECT b.doc_id, b.digest,
+        |  CASE WHEN c.digest IS NOT NULL THEN 'dup_corpus'
+        |       WHEN b.doc_id > f.first_id THEN 'dup_batch'
+        |       ELSE 'new' END AS status
+        |FROM b LEFT JOIN c USING (digest) JOIN f USING (digest)""".stripMargin,
     "text_span_dedup" ->
       """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
         |sp AS (

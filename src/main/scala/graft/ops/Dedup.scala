@@ -458,6 +458,32 @@ object Dedup {
       .localCheckpoint(true)
   }
 
+  /** Append-only exact dedup — the incremental form of [[exact]] for a
+    * continuously-ingesting pipeline: given the at-rest digest table of
+    * the already-ingested corpus, classify each arriving document as
+    * `new`, `dup_corpus` (digest already at rest), or `dup_batch`
+    * (duplicate of an earlier row in the same batch; the smallest
+    * doc_id is the batch's keeper and stays `new`). Only `new` rows'
+    * digests need appending to the digest table afterwards.
+    *
+    * Cost: one digest scan of the BATCH plus a left join against the
+    * digest table on the digest key — old documents are never re-read
+    * (the digest table is the compact at-rest artifact, same role as
+    * the incremental index's stats table).
+    */
+  def incrementalExact(oldDigests: DataFrame, newDocs: DataFrame,
+                       textCol: String = "text"): DataFrame = {
+    val d = newDocs.select(col("doc_id"), md5(col(textCol)).as("digest"))
+    val firstInBatch = d.groupBy("digest").agg(min("doc_id").as("first_id"))
+    d.join(oldDigests.select(col("digest"), lit(true).as("__at_rest")).distinct(),
+        Seq("digest"), "left")
+      .join(firstInBatch, Seq("digest"))
+      .select(col("doc_id"), col("digest"),
+        when(col("__at_rest"), "dup_corpus")
+          .when(col("doc_id") > col("first_id"), "dup_batch")
+          .otherwise("new").as("status"))
+  }
+
   /** Benchmark-contamination check (the decontamination pass every
     * LLM-training pipeline runs): flag corpus documents sharing at
     * least one word-`n`-gram with a held-out benchmark/eval set, with

@@ -77,6 +77,25 @@ class RoundFiveSpec extends AnyFunSuite {
     assert(r == Map(1L -> 1L, 3L -> 2L))
   }
 
+  // ---- incremental exact dedup ----
+
+  test("incrementalExact classifies new / dup_corpus / dup_batch") {
+    import spark.implicits._
+    val atRest = Seq("old one", "old two").toDF("text")
+      .select(md5(col("text")).as("digest"))
+    val batch = Seq(
+      (10L, "fresh a"),
+      (11L, "old one"),   // at rest -> dup_corpus
+      (12L, "fresh b"),
+      (13L, "fresh a"),   // earlier in batch -> dup_batch
+      (14L, "old one")    // at rest wins over batch-first -> dup_corpus
+    ).toDF("doc_id", "text")
+    val r = graft.ops.Dedup.incrementalExact(atRest, batch).collect()
+      .map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(r == Map(10L -> "new", 11L -> "dup_corpus", 12L -> "new",
+      13L -> "dup_batch", 14L -> "dup_corpus"))
+  }
+
   // ---- exact duplicate-span removal ----
 
   test("spanDedup strips cross-doc duplicated k-token spans, keeps the rest") {
