@@ -402,6 +402,21 @@ object SparkEntry {
           coalesce(col("F"), lit(0L)).as("F"),
           coalesce(col("O"), lit(0L)).as("O"),
           coalesce(col("P"), lit(0L)).as("P"))),
+    // SQL-layer subqueries: correlated EXISTS (Catalyst decorrelates to
+    // a semi join) + an uncorrelated scalar subquery (broadcast 1-row).
+    // count(*) per customer stays exact-integer throughout
+    "q_subqueries" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_sq")
+      t(s, dir, "orders").createOrReplaceTempView("orders_sq")
+      s.sql("""
+        SELECT c_custkey, c_name,
+               (SELECT count(*) FROM orders_sq o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer_sq c
+        WHERE EXISTS (SELECT 1 FROM orders_sq o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')""")
+    }),
     "q_topk" -> ((s, dir) =>
       t(s, dir, "orders")
         .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
@@ -1405,6 +1420,14 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         |                        (l_returnflag), ())""".stripMargin,
+    "q_subqueries" ->
+      """SELECT c_custkey, c_name,
+        |       (SELECT count(*) FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,
         |  count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
