@@ -97,6 +97,30 @@ object Scratch {
               println(s"guarded(maxFreq=100): candidateRows=$guarded pairs(j>=0.9)=$pairs")
               val exact = candidates(Int.MaxValue)
               println(s"exact: candidateRows=$exact bound=${exact / math.max(guarded, 1)}x")
+            case "lines" =>
+              // worst-case boilerplate: every synthetic 10-token line
+              // exists in >= 20 copies; first-occurrence dedup must
+              // collapse them map-side (min partial agg), never k^2
+              val toks = col("__toks")
+              val withLines = big
+                .select(col("doc_id"), split(col("text"), " ").as("__toks"))
+                .select(col("doc_id"), array_join(transform(
+                  sequence(lit(0), floor((size(toks) - 1) / lit(10)).cast("int")),
+                  i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10)))), "\n")
+                  .as("text"))
+              val d = ops.TextAnalysis.dedupLines(withLines)
+              val kept = d.agg(sum("n_kept"), sum("n_lines")).first()
+              println(s"docs=${d.count()} keptLines=${kept.getLong(0)} " +
+                s"totalLines=${kept.getLong(1)}")
+            case "spans" =>
+              // with 20 copies of every doc, EVERY span is duplicated:
+              // maximal removal, and the span->count agg + fanout-1
+              // join stay linear in span instances
+              val d = ops.TextAnalysis.spanDedup(big, k = 8)
+              val agg = d.agg(sum("n_removed"), sum("n_tokens"),
+                count(when(col("clean_text").isNull, 1))).first()
+              println(s"docs=${d.count()} removed=${agg.getLong(0)}/" +
+                s"${agg.getLong(1)} emptied=${agg.getLong(2)}")
           }
         } else if (n == "idx-stem-nopersist") {
           search.Indexer.postings(search.Indexer.documents(spark, sfDir))
