@@ -402,6 +402,21 @@ object SparkEntry {
           coalesce(col("F"), lit(0L)).as("F"),
           coalesce(col("O"), lit(0L)).as("O"),
           coalesce(col("P"), lit(0L)).as("P"))),
+    // running aggregate + lag. The synthetic lineitem has NO unique
+    // (orderkey, linenumber) key (unlike real TPC-H), so the ORDER BY
+    // lists enough columns for a total order — full rows are unique —
+    // keeping the window deterministic; l_quantity is integer-valued so
+    // the running double sum is exact at any partitioning
+    "q_running_total" -> ((s, dir) => {
+      val order = Window.partitionBy("l_suppkey")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax", "l_shipdate")
+      val w = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem").select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum("l_quantity").over(w).as("running_qty"),
+        lag("l_quantity", 1).over(order).as("prev_qty"))
+    }),
     // SQL-layer subqueries: correlated EXISTS (Catalyst decorrelates to
     // a semi join) + an uncorrelated scalar subquery (broadcast 1-row).
     // count(*) per customer stays exact-integer throughout
@@ -1420,6 +1435,16 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         |                        (l_returnflag), ())""".stripMargin,
+    "q_running_total" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |             l_extendedprice, l_discount, l_tax, l_shipdate
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
+        |  lag(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |             l_extendedprice, l_discount, l_tax, l_shipdate) AS prev_qty
+        |FROM lineitem""".stripMargin,
     "q_subqueries" ->
       """SELECT c_custkey, c_name,
         |       (SELECT count(*) FROM orders o

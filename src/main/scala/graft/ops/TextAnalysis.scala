@@ -218,7 +218,8 @@ object TextAnalysis {
   def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = col("__toks")
     def grams(n: Int): Column =
-      when(size(toks) >= n,
+      if (n == 1) transform(toks, t => struct(lit(1).as("n"), t.as("gram")))
+      else when(size(toks) >= n,
         transform(sequence(lit(0), size(toks) - n),
           i => struct(lit(n).as("n"),
             concat_ws(" ", slice(toks, i + 1, lit(n))).as("gram"))))
