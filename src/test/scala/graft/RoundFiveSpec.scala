@@ -161,6 +161,24 @@ class RoundFiveSpec extends AnyFunSuite {
     assert(r == "ab c d")
   }
 
+  // ---- small-files compaction ----
+
+  test("compactParquet bin-packs small files without losing rows") {
+    val docs = sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft-compact-").toString
+    docs.repartition(50).write.mode("overwrite").parquet(s"$base/small")
+    val (_, before) = graft.ops.Maintenance.parquetStats(spark, s"$base/small")
+    assert(before == 50)
+    val (total, _) = graft.ops.Maintenance.parquetStats(spark, s"$base/small")
+    graft.ops.Maintenance.compactParquet(spark, s"$base/small",
+      s"$base/packed", targetBytes = total) // everything fits one target file
+    val (_, after) = graft.ops.Maintenance.parquetStats(spark, s"$base/packed")
+    assert(after < 5)
+    val packed = spark.read.parquet(s"$base/packed")
+    assert(packed.exceptAll(docs).count() == 0 &&
+      docs.exceptAll(packed).count() == 0)
+  }
+
   // ---- grouping sets / pivot ----
 
   test("groupingSets levels partition the total row count") {
