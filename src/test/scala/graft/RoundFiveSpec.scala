@@ -129,6 +129,25 @@ class RoundFiveSpec extends AnyFunSuite {
     assert(r(2L).getLong(2) == 12 && r(2L).getString(3) == "beta")
   }
 
+  test("spanDedup minDocs=3 ignores spans shared by only two docs") {
+    import spark.implicits._
+    val span = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val docs = Seq((1L, s"$span a"), (2L, s"$span b"), (3L, "other c")).toDF("doc_id", "text")
+    val r2 = TextAnalysis.spanDedup(docs, k = 8, minDocs = 3)
+    assert(r2.agg(sum("n_removed")).collect()(0).getLong(0) == 0)
+    val r3 = TextAnalysis.spanDedup(docs.union(
+      Seq((4L, s"c $span")).toDF("doc_id", "text")), k = 8, minDocs = 3)
+    assert(r3.agg(sum("n_removed")).collect()(0).getLong(0) == 24)
+  }
+
+  test("dedupLines honors a custom line separator") {
+    import spark.implicits._
+    val docs = Seq((1L, "p||q"), (2L, "p||r")).toDF("doc_id", "text")
+    val r = TextAnalysis.dedupLines(docs, lineSep = "||").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getString(3) == "p||q" && r(2L).getString(3) == "r")
+  }
+
   // ---- NFC normalization ----
 
   test("NfcNormalize composes decomposed sequences (codegen path)") {
@@ -143,6 +162,18 @@ class RoundFiveSpec extends AnyFunSuite {
     assert(got.filter(
       (col("got") =!= col("want")) ||
         (col("got").isNull =!= col("want").isNull)).count() == 0)
+  }
+
+  test("NfcNormalize interpreted eval matches the codegen result") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val expr = graft.functions.NfcNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        UTF8String.fromString("café"),
+        org.apache.spark.sql.types.StringType))
+    assert(expr.eval(null).asInstanceOf[UTF8String].toString == "café")
+    // already-NFC input returns the SAME object (allocation-free path)
+    val ascii = UTF8String.fromString("plain")
+    assert(new graft.functions.NfcKernel().normalize(ascii) eq ascii)
   }
 
   test("graft_nfc callable from SQL via the function registry") {
