@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AnnIndex, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{AnnIndex, Dedup, Multimodal, Similarity, Skew, TextAnalysis}
 import graft.search.{Indexer, SearchEngine}
+import graft.sources.Tables
 import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -402,6 +403,27 @@ object SparkEntry {
           coalesce(col("F"), lit(0L)).as("F"),
           coalesce(col("O"), lit(0L)).as("O"),
           coalesce(col("P"), lit(0L)).as("P"))),
+    // explicit skew mitigation, oracle-checked equal to the plain forms:
+    // salted join (hot keys split across saltFactor reducers, right side
+    // replicated) and two-phase salted aggregation (sum of
+    // integer-valued doubles -> exact, order-invariant)
+    "q_skew_join" -> ((s, dir) =>
+      Skew.saltedJoin(
+        t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus"),
+        t(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        "o_custkey", saltFactor = 8)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "c_mktsegment")),
+    "q_skew_agg" -> ((s, dir) =>
+      Skew.saltedAggregate(t(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity", saltFactor = 8)),
+    // temporal projections: calendar parts + hour bounds per day
+    "q_date_parts" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(year(col("ts")).as("y"), month(col("ts")).as("m"),
+          dayofmonth(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"), min(hour(col("ts"))).as("min_h"),
+          max(hour(col("ts"))).as("max_h"))),
     // running aggregate + lag. The synthetic lineitem has NO unique
     // (orderkey, linenumber) key (unlike real TPC-H), so the ORDER BY
     // lists enough columns for a total order — full rows are unique —
@@ -1435,6 +1457,17 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         |                        (l_returnflag), ())""".stripMargin,
+    "q_skew_join" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q_skew_agg" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_l_quantity,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_date_parts" ->
+      """SELECT year(ts) AS y, month(ts) AS m, day(ts) AS d,
+        |       count(*) AS n, min(hour(ts)) AS min_h, max(hour(ts)) AS max_h
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
     "q_running_total" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  sum(l_quantity) OVER (PARTITION BY l_suppkey
