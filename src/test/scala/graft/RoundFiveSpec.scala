@@ -77,6 +77,65 @@ class RoundFiveSpec extends AnyFunSuite {
     assert(r == Map(1L -> 1L, 3L -> 2L))
   }
 
+  // ---- property tests: random corpora vs naive references ----
+
+  test("property: spanDedup matches a naive reference on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Array("a", "b", "c", "d")
+    val k = 3
+    for (_ <- 1 to 4) {
+      val corpus = (1L to 8L).map(id =>
+        (id, Seq.fill(1 + rnd.nextInt(24))(vocab(rnd.nextInt(vocab.length)))
+          .mkString(" ")))
+      // naive reference: spans per doc, distinct-doc counts, coverage
+      val spansOf = corpus.map { case (id, text) =>
+        id -> text.split(" ").sliding(k).map(_.mkString(" ")).zipWithIndex.toSeq
+      }.toMap
+      val spanDocs = spansOf.toSeq
+        .flatMap { case (id, sp) => sp.map { case (s, _) => (s, id) } }
+        .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).distinct.size }
+      val want = corpus.map { case (id, text) =>
+        val toks = text.split(" ")
+        val covered = if (toks.length < k) Set.empty[Int]
+        else spansOf(id).collect {
+          case (s, i) if spanDocs(s) >= 2 => i until i + k
+        }.flatten.toSet
+        val kept = toks.indices.filterNot(covered).map(toks)
+        (id, toks.length.toLong, covered.size.toLong,
+          if (kept.isEmpty) null else kept.mkString(" "))
+      }.toSet
+      val got = TextAnalysis.spanDedup(corpus.toDF("doc_id", "text"), k = k)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getString(3))).toSet
+      assert(got == want)
+    }
+  }
+
+  test("property: dedupLines matches a naive first-occurrence reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val lines = Array("l1", "l2", "l3")
+    for (_ <- 1 to 4) {
+      val corpus = (1L to 6L).map(id =>
+        (id, Seq.fill(1 + rnd.nextInt(5))(lines(rnd.nextInt(lines.length)))
+          .mkString("\n")))
+      val seen = scala.collection.mutable.Set.empty[String]
+      val want = corpus.sortBy(_._1).map { case (id, text) =>
+        val ls = text.split("\n", -1)
+        val kept = ls.filter(l => seen.add(l))
+        (id, ls.length.toLong, kept.length.toLong,
+          if (kept.isEmpty) null else kept.mkString("\n"))
+      }.toSet
+      val got = TextAnalysis.dedupLines(corpus.toDF("doc_id", "text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getString(3))).toSet
+      assert(got == want)
+    }
+  }
+
   // ---- incremental exact dedup ----
 
   test("incrementalExact classifies new / dup_corpus / dup_batch") {
