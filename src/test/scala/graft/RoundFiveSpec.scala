@@ -251,6 +251,27 @@ class RoundFiveSpec extends AnyFunSuite {
     assert(r == "ab c d")
   }
 
+  // ---- source/sink round trips: CSV, ORC ----
+
+  test("csv round trip: documents survive write/read with explicit schema") {
+    val docs = sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv-").toString
+    // quote/escape defaults handle embedded commas/quotes; header keeps
+    // the file self-describing, the explicit schema avoids an inference
+    // pass (a second full read at scale)
+    docs.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.schema(docs.schema).option("header", "true").csv(dir)
+    assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
+  }
+
+  test("orc round trip: documents survive write/read") {
+    val docs = sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc-").toString
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
+  }
+
   // ---- small-files compaction ----
 
   test("compactParquet bin-packs small files without losing rows") {
