@@ -683,6 +683,18 @@ object SparkEntry {
           "doc_id", "lang", rates = Map("en" -> 0.1, "de" -> 0.5),
           defaultRate = 1.0)
         .select("doc_id", "lang", "source")),
+    // the prep pipeline composed end-to-end in ONE lazy DAG: normalize
+    // -> quality gate -> exact-dedup keeper -> reproducible 50% sample.
+    // Catalyst fuses the scan/projection chain; the only shuffles are
+    // the dedup groupBy and its join
+    "text_filter_pipeline" -> ((s, dir) => {
+      val d = TextAnalysis.normalizeText(t(s, dir, "documents"))
+        .select(col("doc_id"), col("norm_text").as("text"))
+      val q = TextAnalysis.qualityScore(d).filter(col("quality") >= 0.6)
+      val keepers = Dedup.exact(d).select(col("keeper_id").as("doc_id"))
+      TextAnalysis.hashSample(q.join(keepers, "doc_id"), "doc_id", rate = 0.5)
+        .select("doc_id", "n_tokens", "quality")
+    }),
     "corpus_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents"))
         .join(t(s, dir, "documents").select("doc_id", "lang", "source"), "doc_id")
@@ -1457,6 +1469,35 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         |                        (l_returnflag), ())""".stripMargin,
+    "text_filter_pipeline" ->
+      """WITH nrm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |      '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'), '[ \t]+', ' ', 'g')) AS text
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text),
+        |      '[ \t\r\n,.:;''"()\[\]{}/<>!?|\-—#$&=_*+]+'), x -> x <> '')) AS DOUBLE) AS ntoks,
+        |    CAST(length(text) AS DOUBLE) AS nchars,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS DOUBLE) AS alnum,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text),
+        |      '[ \t\r\n,.:;''"()\[\]{}/<>!?|\-—#$&=_*+]+'),
+        |      x -> list_contains(['the','and','of','to','a','in','is','that','for','with'], x))) AS DOUBLE) AS stophits
+        |  FROM nrm),
+        |scored AS (
+        |  SELECT doc_id, CAST(ntoks AS BIGINT) AS n_tokens,
+        |    round(least(ntoks / 64.0, 1.0) * 0.25
+        |      + (alnum / greatest(nchars, 1.0)) * 0.25
+        |      + least(stophits / greatest(ntoks, 1.0) * 4.0, 1.0) * 0.25
+        |      + least(nchars / greatest(ntoks, 1.0) / 8.0, 1.0) * 0.25, 4) AS quality
+        |  FROM q),
+        |k AS (SELECT min(doc_id) AS doc_id FROM nrm GROUP BY md5(text))
+        |SELECT s.doc_id, s.n_tokens, s.quality
+        |FROM scored s JOIN k USING (doc_id)
+        |WHERE s.quality >= 0.6
+        |  AND md5('' || CAST(s.doc_id AS VARCHAR)) <
+        |      '80000000000000000000000000000000'""".stripMargin,
     "q_skew_join" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
