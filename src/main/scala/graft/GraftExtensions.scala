@@ -33,7 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_nfc"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[NfcNormalize].getName, "graft_nfc"),
-        (children: Seq[Expression]) => NfcNormalize(children.head)))
+        GraftExtensions.nfcBuilder))
     // graft_hyperplane_sigs(emb, planesPerTable, tables[, planeOffset]):
     // one LSH bucket signature per table (foldable int literals only)
     ext.injectFunction(
@@ -45,6 +45,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** Builder for `graft_nfc`, exposed for registry-path tests. Wrong
+    * arity fails analysis with a clear message (the default
+    * `children.head` would silently drop extra arguments).
+    */
+  val nfcBuilder: Seq[Expression] => Expression = {
+    case Seq(child) => NfcNormalize(child)
+    case other => throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "USER_RAISED_EXCEPTION",
+      messageParameters = Map("errorMessage" ->
+        s"graft_nfc takes exactly 1 argument, got ${other.length}"))
+  }
+
   /** The exact builder injected for `graft_hyperplane_sigs`, exposed so
     * tests can drive its error path directly. Raises a clear
     * analysis-time error instead of an opaque NPE when a shape argument

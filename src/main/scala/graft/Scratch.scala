@@ -101,14 +101,8 @@ object Scratch {
               // worst-case boilerplate: every synthetic 10-token line
               // exists in >= 20 copies; first-occurrence dedup must
               // collapse them map-side (min partial agg), never k^2
-              val toks = col("__toks")
-              val withLines = big
-                .select(col("doc_id"), split(col("text"), " ").as("__toks"))
-                .select(col("doc_id"), array_join(transform(
-                  sequence(lit(0), floor((size(toks) - 1) / lit(10)).cast("int")),
-                  i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10)))), "\n")
-                  .as("text"))
-              val d = ops.TextAnalysis.dedupLines(withLines)
+              val d = ops.TextAnalysis.dedupLines(
+                ops.TextAnalysis.synthesizeLines(big, 10))
               val kept = d.agg(sum("n_kept"), sum("n_lines")).first()
               println(s"docs=${d.count()} keptLines=${kept.getLong(0)} " +
                 s"totalLines=${kept.getLong(1)}")

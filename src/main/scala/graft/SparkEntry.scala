@@ -163,9 +163,11 @@ object SparkEntry {
       }
       m
     }
+    // no persist(): ngramJaccard returns an eagerly localCheckpoint'd
+    // result (materialized blocks), so memoizing the DataFrame is enough
     perSession.getOrElseUpdate(dir,
       Dedup.ngramJaccard(t(s, dir, "documents"),
-        n = 3, minJ = 0.05, maxShingleFreq = 2000).persist())
+        n = 3, minJ = 0.05, maxShingleFreq = 2000))
   }
 
   private def queryVec(s: SparkSession, dir: String): Seq[Double] =
@@ -713,17 +715,9 @@ object SparkEntry {
     // first — one line per 10 whitespace tokens (the dedup itself is
     // the operator under test; the split just gives it lines, same
     // pattern as text_scrub_pii's synthetic PII)
-    "dedup_lines" -> ((s, dir) => {
-      val toks = col("__toks")
-      val withLines = t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("__toks"))
-        .select(col("doc_id"),
-          array_join(transform(
-            sequence(lit(0), floor((size(toks) - 1) / lit(10)).cast("int")),
-            i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10)))), "\n")
-            .as("text"))
-      TextAnalysis.dedupLines(withLines)
-    }),
+    "dedup_lines" -> ((s, dir) =>
+      TextAnalysis.dedupLines(
+        TextAnalysis.synthesizeLines(t(s, dir, "documents"), 10))),
     // benchmark decontamination: flag docs sharing a 5-gram with the
     // held-out "benchmark" subset (doc_id % 97 == 7) — broadcast join
     // of benchmark shingles against the corpus shingle scan

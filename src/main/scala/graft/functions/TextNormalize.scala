@@ -3,6 +3,7 @@ package graft.functions
 import java.text.Normalizer
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -34,6 +35,14 @@ final class NfcKernel extends Serializable {
 case class NfcNormalize(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
+
+  // a non-string argument must fail at analysis with a clear message,
+  // not at execution with a ClassCastException (isInstanceOf covers
+  // collated string types)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_nfc requires a STRING argument, got ${child.dataType.sql}")
 
   @transient private lazy val kernel = new NfcKernel
 

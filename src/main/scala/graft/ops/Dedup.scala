@@ -473,7 +473,14 @@ object Dedup {
     */
   def incrementalExact(oldDigests: DataFrame, newDocs: DataFrame,
                        textCol: String = "text"): DataFrame = {
-    val d = newDocs.select(col("doc_id"), md5(col(textCol)).as("digest"))
+    // NULL text would make md5 NULL and silently vanish through the
+    // digest joins — classify those rows explicitly instead of losing
+    // them (every arriving doc must leave with a status)
+    val invalid = newDocs.filter(col(textCol).isNull)
+      .select(col("doc_id"), lit(null).cast("string").as("digest"),
+        lit("invalid").as("status"))
+    val d = newDocs.filter(col(textCol).isNotNull)
+      .select(col("doc_id"), md5(col(textCol)).as("digest"))
     val firstInBatch = d.groupBy("digest").agg(min("doc_id").as("first_id"))
     d.join(oldDigests.select(col("digest"), lit(true).as("__at_rest")).distinct(),
         Seq("digest"), "left")
@@ -482,6 +489,7 @@ object Dedup {
         when(col("__at_rest"), "dup_corpus")
           .when(col("doc_id") > col("first_id"), "dup_batch")
           .otherwise("new").as("status"))
+      .unionByName(invalid)
   }
 
   /** Benchmark-contamination check (the decontamination pass every

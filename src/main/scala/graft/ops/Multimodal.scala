@@ -55,7 +55,7 @@ object Multimodal {
       */
     def decodeImage(payload: Array[Byte]): Option[BufferedImage] =
       try Option(ImageIO.read(new ByteArrayInputStream(payload)))
-      catch { case _: Throwable => None }
+      catch { case scala.util.control.NonFatal(_) => None }
 
     /** Aspect-preserving scale into a `targetW x targetH` box. */
     def scaleInto(img: BufferedImage, targetW: Int, targetH: Int): BufferedImage = {
@@ -122,15 +122,16 @@ object Multimodal {
       * peak, bits, 0]` (8 floats, the shared feature shape); None when
       * the bytes are not a decodable audio stream or not 16-bit PCM.
       */
-    def decodeAudio(payload: Array[Byte]): Option[Array[Float]] =
+    def decodeAudio(payload: Array[Byte]): Option[Array[Float]] = {
+      var ais: javax.sound.sampled.AudioInputStream = null
       try {
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new ByteArrayInputStream(payload))
         val fmt = ais.getFormat
         if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-            fmt.getSampleSizeInBits != 16) { ais.close(); None }
+            fmt.getSampleSizeInBits != 16) None
         else {
-          val bytes = ais.readAllBytes(); ais.close()
+          val bytes = ais.readAllBytes()
           val n = bytes.length / 2
           var i = 0; var sumSq = 0.0; var peak = 0.0
           while (i + 1 < bytes.length) {
@@ -147,7 +148,11 @@ object Multimodal {
             math.sqrt(sumSq / math.max(n, 1)).toFloat, peak.toFloat,
             fmt.getSampleSizeInBits.toFloat, 0f))
         }
-      } catch { case _: Throwable => None }
+      // NonFatal only: an OOM/VM error must propagate, not silently
+      // become plausible-looking stub features
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally if (ais != null) ais.close()
+    }
 
     /** Decode + featurize audio: real JDK path when the bytes are a
       * PCM container, deterministic stub otherwise.

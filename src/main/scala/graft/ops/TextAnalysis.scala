@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.search.Analyzer
@@ -245,6 +246,26 @@ object TextAnalysis {
           .as("dup_trigram_frac"))
   }
 
+  /** Re-segment single-line text into one line per `tokensPerLine`
+    * whitespace tokens. Gives line-based operators line structure on
+    * corpora that have none; shared by the `dedup_lines` query entry,
+    * its DuckDB oracle's mirrored SQL, and the `stress:lines` mode so
+    * the three can never drift apart.
+    */
+  def synthesizeLines(docs: DataFrame, tokensPerLine: Int,
+                      textCol: String = "text"): DataFrame = {
+    require(tokensPerLine > 0, s"tokensPerLine must be positive, got $tokensPerLine")
+    val toks = col("__toks")
+    docs.select(col("doc_id"), split(col(textCol), " ").as("__toks"))
+      .select(col("doc_id"),
+        array_join(transform(
+          sequence(lit(0),
+            floor((size(toks) - 1) / lit(tokensPerLine)).cast("int")),
+          i => concat_ws(" ",
+            slice(toks, i * tokensPerLine + 1, lit(tokensPerLine)))), "\n")
+          .as(textCol))
+  }
+
   /** Corpus-level exact line dedup (RefinedWeb/CCNet-style boilerplate
     * removal): a line instance survives iff it is the FIRST occurrence
     * of that exact line across the whole corpus, ordered by
@@ -292,12 +313,17 @@ object TextAnalysis {
     *
     * Shape: one posexplode to spans, a `(span -> distinct-doc count)`
     * aggregate (two-phase, partial map-side), a join back on the span
-    * key (fanout 1 per occurrence), then per-document coverage as a
-    * higher-order-function mask — no window, every shuffle keyed on
-    * span or doc_id. Suffix-array implementations find spans of ANY
-    * length; fixed-k covering spans is the standard scalable
-    * approximation (any duplicated run >= k tokens is fully covered
-    * by its k-windows, so the removed set is identical for runs >= k).
+    * key (fanout 1 per occurrence), then duplicated starts merged into
+    * DISJOINT covered intervals per document (islands via a doc-keyed
+    * window — partition size bounded by the doc's own length, no hot
+    * key) before the higher-order-function mask. Disjoint intervals of
+    * width >= k mean at most n_tokens/k interval checks per token, so
+    * the mask stays near-linear even when every span is duplicated
+    * (the boilerplate-heavy case this operator exists for).
+    * Suffix-array implementations find spans of ANY length; fixed-k
+    * covering spans is the standard scalable approximation (any
+    * duplicated run >= k tokens is fully covered by its k-windows, so
+    * the removed set is identical for runs >= k).
     */
   def spanDedup(docs: DataFrame, k: Int = 8, minDocs: Int = 2,
                 textCol: String = "text"): DataFrame = {
@@ -315,14 +341,28 @@ object TextAnalysis {
       .agg(countDistinct("doc_id").as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .select("span")
-    val coveredStarts = spans.join(dupSpans, Seq("span"))
-      .groupBy("doc_id").agg(collect_list(col("start")).as("starts"))
-    tokenized.join(coveredStarts, Seq("doc_id"), "left")
+    // merge overlapping/adjacent [start, start+k) windows into islands:
+    // a start past the running max end opens a new interval
+    val byStart = Window.partitionBy("doc_id").orderBy("start")
+    val runningEnd = max(col("start") + k)
+      .over(byStart.rowsBetween(Window.unboundedPreceding, -1))
+    val intervals = spans.join(dupSpans, Seq("span"))
+      .select(col("doc_id"), col("start"))
+      .withColumn("new_island",
+        when(runningEnd.isNull || col("start") > runningEnd, 1).otherwise(0))
+      .withColumn("island", sum(col("new_island")).over(byStart))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min("start").as("s"), max(col("start") + k).as("e"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("intervals"))
+    tokenized.join(intervals, Seq("doc_id"), "left")
       .select(col("doc_id"), toks,
-        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+        coalesce(col("intervals"), array().cast("array<struct<s:int,e:int>>"))
+          .as("ivs"))
       .select(col("doc_id"), toks,
         filter(sequence(lit(0), size(toks) - 1),
-          i => !exists(col("starts"), s => i >= s && i < s + k)).as("keep"))
+          i => !exists(col("ivs"),
+            v => i >= v.getField("s") && i < v.getField("e"))).as("keep"))
       .select(col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         (size(toks) - size(col("keep"))).cast("long").as("n_removed"),

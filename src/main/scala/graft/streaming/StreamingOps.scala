@@ -58,30 +58,48 @@ object StreamingOps {
   }
 
   /** Continuous index maintenance: consume a parquet-backed document
-    * stream batch-by-batch and APPEND each batch's per-(term, doc)
-    * stats to the at-rest stats table — the streaming driver for
+    * stream batch-by-batch and land each batch's per-(term, doc)
+    * stats in the at-rest stats table — the streaming driver for
     * [[graft.search.Indexer.incrementalPostings]]'s append-only
     * contract. The per-document work (tokenize, stem, position
     * collect) runs exactly once per document, in the arrival batch;
     * scores are NOT stored because every TF-IDF weight depends on the
     * global df/docNum — derive a queryable posting table on demand
-    * with [[graft.search.Indexer.postingsFromStats]] (one aggregate +
-    * join over the compact stats table, no corpus re-scan).
+    * with [[graft.search.Indexer.postingsFromStats]] over
+    * [[maintainedStats]].
+    *
+    * Exactly-once at rest: each micro-batch OVERWRITES its own
+    * `batch=<id>` directory, so foreachBatch's at-least-once replay
+    * (after a crash or a restart without `checkpointDir`) rewrites the
+    * same rows instead of appending duplicates. Pass `checkpointDir`
+    * so a restarted query resumes from the recorded offsets instead of
+    * reprocessing the directory; pass `schema` to start the query
+    * before any document has arrived (inferring it needs one file).
     */
   def streamingIndexMaintenance(spark: SparkSession, docsPath: String,
                                 statsPath: String,
-                                stopWords: Seq[String] = Seq.empty)
+                                stopWords: Seq[String] = Seq.empty,
+                                schema: Option[org.apache.spark.sql.types.StructType] = None,
+                                checkpointDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val schema = spark.read.parquet(docsPath).schema
-    spark.readStream.schema(schema)
+    val docSchema = schema.getOrElse(spark.read.parquet(docsPath).schema)
+    val writer = spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", 1).parquet(docsPath)
       .writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.search.Indexer.termDocStats(batch.toDF(), stopWords)
-          .write.mode("append").parquet(statsPath)
+          .write.mode("overwrite").parquet(s"$statsPath/batch=$batchId")
       }
-      .start()
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
   }
+
+  /** The maintained stats table: the `batch=<id>` ownership directories
+    * surface as a partition column, dropped here so consumers see
+    * exactly the `termDocStats` schema.
+    */
+  def maintainedStats(spark: SparkSession, statsPath: String): DataFrame =
+    spark.read.parquet(statsPath).drop("batch")
 
   /** Streaming exact dedup: `dropDuplicates` on the content key with a
     * watermark bounding state — the streaming form of

@@ -244,6 +244,29 @@ class RoundFiveSpec extends AnyFunSuite {
     assert(out == "café")
   }
 
+  test("graft_nfc rejects wrong arity and non-string args at analysis time") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc", GraftExtensions.nfcBuilder, "scala_udf")
+    val arity = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_nfc('a', 'b')").collect()
+    }
+    assert(arity.getMessage.contains("graft_nfc takes exactly 1 argument"))
+    val typed = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_nfc(array(1, 2))").collect()
+    }
+    assert(typed.getMessage.contains("graft_nfc requires a STRING argument"))
+  }
+
+  test("incrementalExact reports NULL-text rows as invalid, never drops them") {
+    import spark.implicits._
+    val atRest = Seq("old").toDF("text").select(md5(col("text")).as("digest"))
+    val batch = Seq((1L, "fresh"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val r = graft.ops.Dedup.incrementalExact(atRest, batch).collect()
+      .map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(r == Map(1L -> "new", 2L -> "invalid"))
+  }
+
   test("normalizeText strips controls, collapses whitespace, trims") {
     import spark.implicits._
     val docs = Seq((1L, " ab\tc  d ")).toDF("doc_id", "text")
@@ -323,17 +346,34 @@ class RoundFiveSpec extends AnyFunSuite {
         .filter(_.getName.endsWith(".parquet")).head
       Files.copy(part.toPath, Paths.get(streamDir, s"batch$par.parquet"))
     }
+    val ckpt = s"$base/ckpt"
     val q = graft.streaming.StreamingOps
-      .streamingIndexMaintenance(spark, streamDir, statsPath)
+      .streamingIndexMaintenance(spark, streamDir, statsPath,
+        checkpointDir = Some(ckpt))
     try q.processAllAvailable() finally q.stop()
     // >1 micro-batch actually ran (maxFilesPerTrigger=1 -> 2 files = 2)
     assert(q.recentProgress.count(_.numInputRows > 0) == 2)
-    val maintained = search.Indexer.postingsFromStats(
-      spark.read.parquet(statsPath),
+    def stats() = graft.streaming.StreamingOps.maintainedStats(spark, statsPath)
+    val maintained = search.Indexer.postingsFromStats(stats(),
       search.Indexer.docCount(spark.read.parquet(streamDir)))
     val rebuilt = search.Indexer.postings(docs)
     assert(maintained.exceptAll(rebuilt).count() == 0 &&
       rebuilt.exceptAll(maintained).count() == 0)
+    val nStats = stats().count()
+    // restart from the same checkpoint: offsets are recorded, nothing
+    // is reprocessed, the stats table is unchanged
+    val q2 = graft.streaming.StreamingOps
+      .streamingIndexMaintenance(spark, streamDir, statsPath,
+        checkpointDir = Some(ckpt))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(stats().count() == nStats)
+    // restart WITHOUT the checkpoint: everything replays, but each
+    // batch overwrites its own batch=<id> dir -> still no duplicates
+    val q3 = graft.streaming.StreamingOps
+      .streamingIndexMaintenance(spark, streamDir, statsPath)
+    try q3.processAllAvailable() finally q3.stop()
+    assert(stats().count() == nStats &&
+      stats().exceptAll(search.Indexer.termDocStats(docs, Seq.empty)).count() == 0)
   }
 
   test("pivot cells sum to the orders row count") {
