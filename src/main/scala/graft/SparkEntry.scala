@@ -83,31 +83,35 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("search_cnf")(spark, "/root/testdata/sf0.001")
 
+  /** Per-(session, sf dir) memo for session-scoped artifacts (built
+    * index, ANN layout, near-dup pair list). NOT a WeakHashMap: a
+    * cached DataFrame strongly references its own SparkSession, and a
+    * WeakHashMap value that refers to its key pins the entry forever
+    * (its javadoc's documented trap) — eviction instead happens by
+    * dropping entries whose SparkContext has stopped, checked on every
+    * access.
+    */
+  private final class SessionCache[V] {
+    private val m =
+      new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), V]()
+    def getOrElseUpdate(s: SparkSession, dir: String, build: => V): V = {
+      val it = m.keySet.iterator()
+      while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+      m.computeIfAbsent((s, dir), _ => build)
+    }
+  }
+
   /** Materialized-index cache, one per (session, sf dir): the Spark
     * analogue of the reference's persisted inverted index + query cache
     * (SURVEY.md §2.8 X2) — queries hit a built index, they don't re-run
     * the indexing pipeline. First search query in a session pays the
     * build; the rest reuse the in-memory columnar cache.
     */
-  private val indexCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        scala.collection.concurrent.TrieMap[String, DataFrame]]())
+  private val indexCache = new SessionCache[DataFrame]
 
-  private def cachedIndex(s: SparkSession, dir: String): DataFrame = {
-    // weak session key: a stopped, dereferenced session's cached index
-    // DataFrames become collectable instead of pinning the session
-    val perSession = indexCache.synchronized {
-      var m = indexCache.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-        indexCache.put(s, m)
-      }
-      m
-    }
-    perSession.getOrElseUpdate(dir,
+  private def cachedIndex(s: SparkSession, dir: String): DataFrame =
+    indexCache.getOrElseUpdate(s, dir,
       Indexer.postings(t(s, dir, "documents")).persist())
-  }
 
   /** ANN index at rest, one per (session, sf dir): LSH signatures and
     * the IVF assignment persisted once (signature/centroid/assignment
@@ -116,28 +120,16 @@ object SparkEntry {
     * query vector (vec_id 0) is excluded at build time so probes rank
     * only the corpus.
     */
-  private val annCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        scala.collection.concurrent.TrieMap[String, (String, AnnIndex.IvfModel)]]())
+  private val annCache = new SessionCache[(String, AnnIndex.IvfModel)]
 
-  private def annIndex(s: SparkSession, dir: String): (String, AnnIndex.IvfModel) = {
-    val perSession = annCache.synchronized {
-      var m = annCache.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, (String, AnnIndex.IvfModel)]
-        annCache.put(s, m)
-      }
-      m
-    }
-    perSession.getOrElseUpdate(dir, {
+  private def annIndex(s: SparkSession, dir: String): (String, AnnIndex.IvfModel) =
+    annCache.getOrElseUpdate(s, dir, {
       val base = java.nio.file.Files.createTempDirectory("graft-ann-").toString
       val e = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
       val lshPath = s"$base/lsh"
       AnnIndex.lshWrite(e, lshPath, planes = AnnPlanes)
       (lshPath, AnnIndex.ivfWrite(e, s"$base/ivf", k = IvfClusters))
     })
-  }
 
   private val AnnPlanes = 12
   private val IvfClusters = 16
@@ -145,30 +137,16 @@ object SparkEntry {
   /** Near-dup pair list, one per (session, sf dir): the dedup pipeline
     * computes the verified pair list ONCE and both consumers (connected
     * components, keep-best keeper selection) read it — exactly how a
-    * production dedup run is staged. Same weak-session pattern as the
-    * index cache; the pair list is tiny (pairs at minJ), so persisting
-    * it costs nothing.
+    * production dedup run is staged. No persist(): ngramJaccard returns
+    * an eagerly localCheckpoint'd result (materialized blocks), so
+    * memoizing the DataFrame is enough.
     */
-  private val pairsCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        scala.collection.concurrent.TrieMap[String, DataFrame]]())
+  private val pairsCache = new SessionCache[DataFrame]
 
-  private def cachedPairs(s: SparkSession, dir: String): DataFrame = {
-    val perSession = pairsCache.synchronized {
-      var m = pairsCache.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-        pairsCache.put(s, m)
-      }
-      m
-    }
-    // no persist(): ngramJaccard returns an eagerly localCheckpoint'd
-    // result (materialized blocks), so memoizing the DataFrame is enough
-    perSession.getOrElseUpdate(dir,
+  private def cachedPairs(s: SparkSession, dir: String): DataFrame =
+    pairsCache.getOrElseUpdate(s, dir,
       Dedup.ngramJaccard(t(s, dir, "documents"),
         n = 3, minJ = 0.05, maxShingleFreq = 2000))
-  }
 
   private def queryVec(s: SparkSession, dir: String): Seq[Double] =
     t(s, dir, "embeddings").filter(col("vec_id") === 0).select("embedding")
