@@ -219,6 +219,15 @@ object SparkEntry {
     "search_and" -> ((s, dir) => searchScores(s, dir, "spark and data")),
     "search_or" -> ((s, dir) => searchScores(s, dir, "spark or data")),
     "search_and_not" -> ((s, dir) => searchScores(s, dir, "spark and not data")),
+    // N queries -> ONE job over the shared session index (the reference
+    // pays a full MapReduce job per query)
+    "search_batch" -> ((s, dir) => {
+      val ranked = SearchEngine.searchMany(
+        Seq("spark and data", "spark or data"),
+        cachedIndex(s, dir), t(s, dir, "documents"))
+      ranked.select(col("query"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+    }),
     "search_cnf" -> ((s, dir) =>
       searchScores(s, dir, "(spark or data) and join and not dup")),
     "search_phrase" -> ((s, dir) => searchScores(s, dir, "spark data")),
@@ -874,6 +883,21 @@ object SparkEntry {
           |FROM (SELECT * FROM sc WHERE term = 'spark') a
           |FULL OUTER JOIN (SELECT * FROM sc WHERE term = 'data') b
           |  ON a.doc_id = b.doc_id""").stripMargin,
+    "search_batch" ->
+      // UNION ALL of the search_and / search_or oracles verbatim,
+      // tagged by query string
+      (OracleTfidfCte +
+        """SELECT 'spark and data' AS query, q1.doc_id, q1.score FROM (
+          |  SELECT a.doc_id, round(a.score * b.score, 4) AS score
+          |  FROM sc a JOIN sc b USING (doc_id)
+          |  WHERE a.term = 'spark' AND b.term = 'data') q1
+          |UNION ALL
+          |SELECT 'spark or data' AS query, q2.doc_id, q2.score FROM (
+          |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+          |         round(COALESCE(a.score, 0) + COALESCE(b.score, 0), 4) AS score
+          |  FROM (SELECT * FROM sc WHERE term = 'spark') a
+          |  FULL OUTER JOIN (SELECT * FROM sc WHERE term = 'data') b
+          |    ON a.doc_id = b.doc_id) q2""").stripMargin,
     "search_and_not" ->
       (OracleTfidfCte +
         """SELECT a.doc_id, round(a.score, 4) AS score

@@ -54,6 +54,20 @@ object SearchEngine {
     resolved.orderBy(desc("score"), asc("doc_id"))
   }
 
+  /** Batch retrieval: evaluate N queries in ONE Spark job, results
+    * tagged by query string. The reference runs a full MapReduce job
+    * per query (`code/query/QueryMapred.java`); here the compiled
+    * plans union, so the scheduler amortizes the (session-cached)
+    * index across every query in the batch — the shape a query
+    * front-end's request queue actually needs.
+    */
+  def searchMany(queries: Seq[String], index: DataFrame, docs: DataFrame,
+                 stopWords: Set[String] = Set.empty): DataFrame =
+    queries.map(q =>
+        search(q, index, docs, stopWords)
+          .select(lit(q).as("query"), col("doc_id"), col("score")))
+      .reduce(_ unionByName _)
+
   /** One result page (1-based `page`): top `page*PageSize` rows only are
     * ever sorted/collected (TakeOrdered), then the window numbers that
     * small prefix. Mirrors `SearchResult` paging + overflow clamp to the
