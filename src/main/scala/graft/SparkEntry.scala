@@ -219,6 +219,15 @@ object SparkEntry {
     "search_and" -> ((s, dir) => searchScores(s, dir, "spark and data")),
     "search_or" -> ((s, dir) => searchScores(s, dir, "spark or data")),
     "search_and_not" -> ((s, dir) => searchScores(s, dir, "spark and not data")),
+    // operational monitoring over the built index: one aggregate row
+    // (stem map is injective on this corpus, so stemmed counts equal
+    // raw-token counts — same argument as postings_stemmed)
+    "index_stats" -> ((s, dir) =>
+      cachedIndex(s, dir).agg(
+        countDistinct("term").as("n_terms"),
+        count(lit(1)).cast("long").as("n_postings"),
+        max("df").as("max_df"),
+        sum("tf").cast("long").as("total_tf"))),
     // N queries -> ONE job over the shared session index (the reference
     // pays a full MapReduce job per query)
     "search_batch" -> ((s, dir) => {
@@ -883,6 +892,13 @@ object SparkEntry {
           |FROM (SELECT * FROM sc WHERE term = 'spark') a
           |FULL OUTER JOIN (SELECT * FROM sc WHERE term = 'data') b
           |  ON a.doc_id = b.doc_id""").stripMargin,
+    "index_stats" ->
+      (OracleTfidfCte +
+        """SELECT
+          |  (SELECT CAST(count(DISTINCT term) AS BIGINT) FROM tf) AS n_terms,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM tf) AS n_postings,
+          |  (SELECT CAST(max(df) AS BIGINT) FROM dfreq) AS max_df,
+          |  (SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS total_tf""").stripMargin,
     "search_batch" ->
       // UNION ALL of the search_and / search_or oracles verbatim,
       // tagged by query string

@@ -329,6 +329,22 @@ class RoundFiveSpec extends AnyFunSuite {
       byLevel("both") == total)
   }
 
+  // ---- batch search ----
+
+  test("searchMany equals the per-query searches, tagged by query") {
+    val docs = sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val idx = search.Indexer.postings(docs)
+    val qs = Seq("spark and data", "spark or data")
+    val batch = search.SearchEngine.searchMany(qs, idx, docs)
+    qs.foreach { q =>
+      val single = search.SearchEngine.search(q, idx, docs)
+        .select(col("doc_id"), col("score"))
+      val tagged = batch.filter(col("query") === q).select("doc_id", "score")
+      assert(tagged.exceptAll(single).count() == 0 &&
+        single.exceptAll(tagged).count() == 0)
+    }
+  }
+
   // ---- streaming index maintenance ----
 
   test("streaming index maintenance equals a full batch rebuild") {
