@@ -97,7 +97,19 @@ object SparkEntry {
     def getOrElseUpdate(s: SparkSession, dir: String, build: => V): V = {
       val it = m.keySet.iterator()
       while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
-      m.computeIfAbsent((s, dir), _ => build)
+      val k = (s, dir)
+      val existing = m.get(k)
+      if (existing != null) existing
+      else {
+        // build OUTSIDE the map's bin lock: these builds run minutes of
+        // Spark jobs, and computeIfAbsent would block every other key
+        // hashing to the bin for the duration. A racing duplicate build
+        // is possible (same as TrieMap.getOrElseUpdate) and harmless —
+        // first writer wins, the loser's artifact is just dropped.
+        val v = build
+        val prev = m.putIfAbsent(k, v)
+        if (prev != null) prev else v
+      }
     }
   }
 
@@ -228,8 +240,9 @@ object SparkEntry {
         count(lit(1)).cast("long").as("n_postings"),
         max("df").as("max_df"),
         sum("tf").cast("long").as("total_tf"))),
-    // N queries -> ONE job over the shared session index (the reference
-    // pays a full MapReduce job per query)
+    // N queries unioned into one evaluation over the shared session
+    // index (the reference pays a full MapReduce pipeline per query;
+    // per-query compile jobs remain)
     "search_batch" -> ((s, dir) => {
       val ranked = SearchEngine.searchMany(
         Seq("spark and data", "spark or data"),

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{DataType, NullType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** The normalization kernel behind [[NfcNormalize]], shipped to
@@ -38,9 +38,11 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 
   // a non-string argument must fail at analysis with a clear message,
   // not at execution with a ClassCastException (isInstanceOf covers
-  // collated string types)
+  // collated string types; NullType keeps graft_nfc(NULL) -> NULL
+  // working like every built-in string function)
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    if (child.dataType.isInstanceOf[StringType] || child.dataType == NullType)
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"graft_nfc requires a STRING argument, got ${child.dataType.sql}")
 

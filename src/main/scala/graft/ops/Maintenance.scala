@@ -13,13 +13,22 @@ import org.apache.spark.sql.SparkSession
   */
 object Maintenance {
 
-  /** Total data bytes + file count of a parquet directory. */
+  /** Total data bytes + file count of a parquet directory, RECURSIVE —
+    * partitioned layouts (e.g. streaming maintenance's `batch=<id>`
+    * ownership dirs) keep their data one level down, and a
+    * non-recursive listing would report an empty table.
+    */
   def parquetStats(spark: SparkSession, path: String): (Long, Int) = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(p)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    (files.map(_.getLen).sum, files.length)
+    var bytes = 0L
+    var n = 0
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) { bytes += f.getLen; n += 1 }
+    }
+    (bytes, n)
   }
 
   /** Rewrite `inPath` into `outPath` with files bin-packed toward
@@ -33,13 +42,21 @@ object Maintenance {
     * Output goes to a fresh directory rather than in-place: at scale
     * the swap must be atomic (rename / metastore pointer flip), and
     * overwriting the directory being read is not.
+    *
+    * Compacting a partitioned layout surfaces the partition dirs as
+    * data columns in the flat output — pass them in `dropColumns` when
+    * they are pure bookkeeping (e.g. streaming maintenance's `batch`
+    * ownership column, which is meaningless once the files are merged;
+    * a compacted stats table must not be replayed into without a
+    * checkpoint).
     */
   def compactParquet(spark: SparkSession, inPath: String, outPath: String,
-                     targetBytes: Long, shuffle: Boolean = false): Int = {
+                     targetBytes: Long, shuffle: Boolean = false,
+                     dropColumns: Seq[String] = Nil): Int = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val (total, _) = parquetStats(spark, inPath)
     val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    val df = spark.read.parquet(inPath)
+    val df = dropColumns.foldLeft(spark.read.parquet(inPath))(_ drop _)
     (if (shuffle) df.repartition(n) else df.coalesce(n))
       .write.mode("overwrite").parquet(outPath)
     n

@@ -54,19 +54,26 @@ object SearchEngine {
     resolved.orderBy(desc("score"), asc("doc_id"))
   }
 
-  /** Batch retrieval: evaluate N queries in ONE Spark job, results
+  /** Batch retrieval: evaluate N queries as one unioned plan, results
     * tagged by query string. The reference runs a full MapReduce job
-    * per query (`code/query/QueryMapred.java`); here the compiled
-    * plans union, so the scheduler amortizes the (session-cached)
-    * index across every query in the batch — the shape a query
-    * front-end's request queue actually needs.
+    * per query (`code/query/QueryMapred.java`); here the batch shares
+    * the (session-cached) index and evaluates in a single final job —
+    * per-query COMPILATION still runs its own small jobs (the eager
+    * slice materialization and the per-term stats fetch inside
+    * [[search]]), so an N-query batch is ~2N planning jobs + 1
+    * evaluation, not N full pipelines. An empty batch yields an empty
+    * tagged result.
     */
   def searchMany(queries: Seq[String], index: DataFrame, docs: DataFrame,
                  stopWords: Set[String] = Set.empty): DataFrame =
-    queries.map(q =>
-        search(q, index, docs, stopWords)
-          .select(lit(q).as("query"), col("doc_id"), col("score")))
-      .reduce(_ unionByName _)
+    if (queries.isEmpty)
+      docs.sparkSession.range(0)
+        .select(lit("").as("query"), col("id").as("doc_id"), lit(0.0).as("score"))
+    else
+      queries.map(q =>
+          search(q, index, docs, stopWords)
+            .select(lit(q).as("query"), col("doc_id"), col("score")))
+        .reduce(_ unionByName _)
 
   /** One result page (1-based `page`): top `page*PageSize` rows only are
     * ever sorted/collected (TakeOrdered), then the window numbers that

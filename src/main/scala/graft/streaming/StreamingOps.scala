@@ -75,6 +75,10 @@ object StreamingOps {
     * so a restarted query resumes from the recorded offsets instead of
     * reprocessing the directory; pass `schema` to start the query
     * before any document has arrived (inferring it needs one file).
+    * `statsPath` must be owned exclusively by this writer: parquet
+    * files laid down flat by anything else make partition discovery
+    * reject the mixed layout, and they would never be owned by a
+    * replayable batch.
     */
   def streamingIndexMaintenance(spark: SparkSession, docsPath: String,
                                 statsPath: String,
@@ -96,10 +100,21 @@ object StreamingOps {
 
   /** The maintained stats table: the `batch=<id>` ownership directories
     * surface as a partition column, dropped here so consumers see
-    * exactly the `termDocStats` schema.
+    * exactly the `termDocStats` schema. Before the first micro-batch
+    * lands (a query started on an empty ingest dir via the `schema`
+    * param) the path does not exist yet — consumers polling the table
+    * get an empty stats DataFrame, not a PATH_NOT_FOUND crash.
     */
-  def maintainedStats(spark: SparkSession, statsPath: String): DataFrame =
-    spark.read.parquet(statsPath).drop("batch")
+  def maintainedStats(spark: SparkSession, statsPath: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(statsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "term STRING, doc_id BIGINT, tf BIGINT, positions ARRAY<INT>"))
+    else spark.read.parquet(statsPath).drop("batch")
+  }
 
   /** Streaming exact dedup: `dropDuplicates` on the content key with a
     * watermark bounding state — the streaming form of

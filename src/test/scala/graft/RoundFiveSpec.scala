@@ -255,6 +255,8 @@ class RoundFiveSpec extends AnyFunSuite {
       spark.sql("SELECT graft_nfc(array(1, 2))").collect()
     }
     assert(typed.getMessage.contains("graft_nfc requires a STRING argument"))
+    // NULL literal stays accepted (NullType) and yields NULL
+    assert(spark.sql("SELECT graft_nfc(NULL) AS s").collect()(0).isNullAt(0))
   }
 
   test("incrementalExact reports NULL-text rows as invalid, never drops them") {
@@ -345,6 +347,13 @@ class RoundFiveSpec extends AnyFunSuite {
     }
   }
 
+  test("searchMany of an empty batch returns an empty tagged result") {
+    val docs = sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val idx = search.Indexer.postings(docs)
+    val r = search.SearchEngine.searchMany(Seq.empty, idx, docs)
+    assert(r.columns.toSeq == Seq("query", "doc_id", "score") && r.count() == 0)
+  }
+
   // ---- streaming index maintenance ----
 
   test("streaming index maintenance equals a full batch rebuild") {
@@ -390,6 +399,23 @@ class RoundFiveSpec extends AnyFunSuite {
     try q3.processAllAvailable() finally q3.stop()
     assert(stats().count() == nStats &&
       stats().exceptAll(search.Indexer.termDocStats(docs, Seq.empty)).count() == 0)
+    // compacting the batch=<id> layout: recursive stats see the files,
+    // the ownership column drops, rows survive
+    val (bytes, files) = graft.ops.Maintenance.parquetStats(spark, statsPath)
+    assert(bytes > 0 && files >= 2)
+    graft.ops.Maintenance.compactParquet(spark, statsPath, s"$base/packed",
+      targetBytes = bytes, dropColumns = Seq("batch"))
+    val packed = spark.read.parquet(s"$base/packed")
+    assert(packed.exceptAll(stats()).count() == 0 &&
+      stats().exceptAll(packed).count() == 0)
+  }
+
+  test("maintainedStats on a not-yet-written path is an empty stats table") {
+    val missing = java.nio.file.Files
+      .createTempDirectory("graft-missing-").toString + "/never_written"
+    val r = graft.streaming.StreamingOps.maintainedStats(spark, missing)
+    assert(r.count() == 0 &&
+      r.columns.toSeq == Seq("term", "doc_id", "tf", "positions"))
   }
 
   test("pivot cells sum to the orders row count") {
