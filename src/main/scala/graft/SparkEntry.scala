@@ -414,6 +414,34 @@ object SparkEntry {
           coalesce(col("F"), lit(0L)).as("F"),
           coalesce(col("O"), lit(0L)).as("O"),
           coalesce(col("P"), lit(0L)).as("P"))),
+    // explicit cross join (the one join type not yet covered): tiny
+    // dimension x dimension, the only legitimate cross-join shape
+    "q_cross_join" -> ((s, dir) =>
+      t(s, dir, "region").select(col("r_name"))
+        .crossJoin(t(s, dir, "nation").select(col("n_name")))),
+    // set operators beyond UNION: INTERSECT / EXCEPT with their SQL
+    // distinct semantics
+    "q_set_ops" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      val open = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O").select("o_custkey")
+      urgent.intersect(open).withColumn("op", lit("both"))
+        .unionByName(urgent.except(open).withColumn("op", lit("urgent_only")))
+    }),
+    // exact distinct aggregation (two-phase under the hood)
+    "q_count_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("n_parts"),
+          countDistinct("l_suppkey").as("n_supps"),
+          count(lit(1)).as("n_rows"))),
+    // edit distance (near-dup titles/headers): classic DP levenshtein,
+    // identical across engines on these ASCII prefixes
+    "text_edit_distance" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        levenshtein(substring(col("text"), 1, 40),
+          substring(regexp_replace(col("text"), "a", "o"), 1, 40))
+          .as("edit_dist"))),
     // explicit skew mitigation, oracle-checked equal to the plain forms:
     // salted join (hot keys split across saltFactor reducers, right side
     // replicated) and two-phase salted aggregation (sum of
@@ -1523,6 +1551,29 @@ object SparkEntry {
         |WHERE s.quality >= 0.6
         |  AND md5('' || CAST(s.doc_id AS VARCHAR)) <
         |      '80000000000000000000000000000000'""".stripMargin,
+    "q_cross_join" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    "q_set_ops" ->
+      """WITH urgent AS (SELECT o_custkey FROM orders
+        |               WHERE o_orderpriority = '1-URGENT'),
+        |open_o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |SELECT o_custkey, 'both' AS op
+        |FROM (SELECT o_custkey FROM urgent INTERSECT SELECT o_custkey FROM open_o)
+        |UNION ALL
+        |SELECT o_custkey, 'urgent_only' AS op
+        |FROM (SELECT o_custkey FROM urgent EXCEPT SELECT o_custkey FROM open_o)""".stripMargin,
+    "q_count_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "text_edit_distance" ->
+      """SELECT doc_id,
+        |  CAST(levenshtein(substr(text, 1, 40),
+        |    substr(regexp_replace(text, 'a', 'o', 'g'), 1, 40)) AS INT)
+        |    AS edit_dist
+        |FROM documents""".stripMargin,
     "q_skew_join" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
