@@ -116,6 +116,80 @@ object StreamingOps {
     else spark.read.parquet(statsPath).drop("batch")
   }
 
+  /** Continuous clean-ingest — the end-to-end training-data front
+    * door: each arriving micro-batch is normalized
+    * ([[graft.ops.TextAnalysis.normalizeText]]), exact-deduped against
+    * the at-rest digest table AND within itself
+    * ([[graft.ops.Dedup.incrementalExact]]), and only the genuinely
+    * new documents land in the clean corpus; their digests join the
+    * digest table so later batches see them. Both writes are
+    * `batch=<id>`-owned overwrites (same exactly-once-at-rest contract
+    * as [[streamingIndexMaintenance]]).
+    *
+    * Replay subtlety: the digest table is SELF-referential — a
+    * replayed batch would find its own first-attempt digests at rest
+    * and classify all its documents `dup_corpus`, landing an empty
+    * batch. Classification therefore reads the digest table WITH THE
+    * BATCH'S OWN `batch=<id>` PARTITION EXCLUDED, so a replay sees
+    * exactly the pre-batch state and rewrites identical output.
+    */
+  def streamingCleanIngest(spark: SparkSession, docsPath: String,
+                           cleanPath: String, digestPath: String,
+                           schema: Option[org.apache.spark.sql.types.StructType] = None,
+                           checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val docSchema = schema.getOrElse(spark.read.parquet(docsPath).schema)
+    val writer = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(docsPath)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sp = batch.sparkSession
+        val normalized = graft.ops.TextAnalysis.normalizeText(batch.toDF())
+          .withColumn("text", col("norm_text")).drop("norm_text")
+        val atRest = digestsAtRest(sp, digestPath, excludeBatch = batchId)
+        val classified =
+          graft.ops.Dedup.incrementalExact(atRest, normalized)
+            .filter(col("status") === "new").select("doc_id", "digest")
+            .localCheckpoint(true) // both writes read it; plan must not
+                                   // re-resolve against the digest dir
+                                   // this batch is about to write into
+        normalized.join(classified.select("doc_id"), Seq("doc_id"))
+          .write.mode("overwrite").parquet(s"$cleanPath/batch=$batchId")
+        classified.select("digest")
+          .write.mode("overwrite").parquet(s"$digestPath/batch=$batchId")
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
+
+  /** The at-rest digest table, minus one batch's own partition (see
+    * [[streamingCleanIngest]]'s replay note); empty-safe before the
+    * first batch lands.
+    */
+  private def digestsAtRest(spark: SparkSession, digestPath: String,
+                            excludeBatch: Long): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(digestPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL("digest STRING"))
+    else spark.read.parquet(digestPath)
+      .filter(col("batch") =!= excludeBatch).select("digest")
+  }
+
+  /** The clean corpus written by [[streamingCleanIngest]], ownership
+    * column dropped; empty-safe before the first batch lands.
+    */
+  def cleanCorpus(spark: SparkSession, cleanPath: String,
+                  docSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(cleanPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
+    else spark.read.parquet(cleanPath).drop("batch")
+  }
+
   /** Streaming exact dedup: `dropDuplicates` on the content key with a
     * watermark bounding state — the streaming form of
     * [[graft.ops.Dedup.exact]] for continuous ingestion (state evicts

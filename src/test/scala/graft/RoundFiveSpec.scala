@@ -410,6 +410,51 @@ class RoundFiveSpec extends AnyFunSuite {
       stats().exceptAll(packed).count() == 0)
   }
 
+  test("streamingCleanIngest lands only new docs; replays rewrite identically") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-ingest-").toString
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    def land(name: String, mtime: Long, rows: Seq[(Long, String)]): Unit = {
+      val tmp = s"$base/$name-tmp"
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = Paths.get(in, s"$name.parquet")
+      Files.copy(part.toPath, dst)
+      // strictly increasing mtimes pin the file->batch order, which
+      // checkpoint-less replay idempotency depends on
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    land("b0", 1000000, Seq((1L, "alpha text one"), (2L, "beta text two")))
+    land("b1", 2000000, Seq((102L, "alpha text one"), // dup of doc 1
+      (6L, "gamma three"), (106L, "gamma three")))    // within-batch dup
+    land("b2", 3000000, Seq((206L, "gamma three"),    // dup of doc 6
+      (9L, "delta four")))
+    val clean = s"$base/clean"; val digests = s"$base/digests"
+    val ckpt = s"$base/ckpt"
+    val schema = spark.read.parquet(s"$in/b0.parquet").schema
+    def run(cp: Option[String]): Unit = {
+      val q = graft.streaming.StreamingOps.streamingCleanIngest(
+        spark, in, clean, digests, schema = Some(schema), checkpointDir = cp)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(Some(ckpt))
+    def cleanIds() = graft.streaming.StreamingOps
+      .cleanCorpus(spark, clean, schema).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(cleanIds() == Set(1L, 2L, 6L, 9L))
+    // checkpoint resume: nothing reprocessed, corpus unchanged
+    run(Some(ckpt))
+    assert(cleanIds() == Set(1L, 2L, 6L, 9L))
+    // full replay without checkpoint: same file order (pinned mtimes),
+    // each batch excludes its own digests -> identical rewrite
+    run(None)
+    assert(cleanIds() == Set(1L, 2L, 6L, 9L))
+  }
+
   test("maintainedStats on a not-yet-written path is an empty stats table") {
     val missing = java.nio.file.Files
       .createTempDirectory("graft-missing-").toString + "/never_written"
