@@ -85,18 +85,11 @@ object StreamingOps {
                                 stopWords: Seq[String] = Seq.empty,
                                 schema: Option[org.apache.spark.sql.types.StructType] = None,
                                 checkpointDir: Option[String] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val docSchema = schema.getOrElse(spark.read.parquet(docsPath).schema)
-    val writer = spark.readStream.schema(docSchema)
-      .option("maxFilesPerTrigger", 1).parquet(docsPath)
-      .writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.search.Indexer.termDocStats(batch.toDF(), stopWords)
-          .write.mode("overwrite").parquet(s"$statsPath/batch=$batchId")
-      }
-    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
-    writer.start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    batchOwnedStream(spark, docsPath, schema, checkpointDir) { (batch, batchId) =>
+      graft.search.Indexer.termDocStats(batch, stopWords)
+        .write.mode("overwrite").parquet(s"$statsPath/batch=$batchId")
+    }
 
   /** The maintained stats table: the `batch=<id>` ownership directories
     * surface as a partition column, dropped here so consumers see
@@ -105,16 +98,9 @@ object StreamingOps {
     * param) the path does not exist yet — consumers polling the table
     * get an empty stats DataFrame, not a PATH_NOT_FOUND crash.
     */
-  def maintainedStats(spark: SparkSession, statsPath: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(statsPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "term STRING, doc_id BIGINT, tf BIGINT, positions ARRAY<INT>"))
-    else spark.read.parquet(statsPath).drop("batch")
-  }
+  def maintainedStats(spark: SparkSession, statsPath: String): DataFrame =
+    emptySafeParquet(spark, statsPath,
+      "term STRING, doc_id BIGINT, tf BIGINT, positions ARRAY<INT>")
 
   /** Continuous clean-ingest — the end-to-end training-data front
     * door: each arriving micro-batch is normalized
@@ -122,72 +108,125 @@ object StreamingOps {
     * the at-rest digest table AND within itself
     * ([[graft.ops.Dedup.incrementalExact]]), and only the genuinely
     * new documents land in the clean corpus; their digests join the
-    * digest table so later batches see them. Both writes are
-    * `batch=<id>`-owned overwrites (same exactly-once-at-rest contract
-    * as [[streamingIndexMaintenance]]).
+    * digest table so later batches see them. NULL-text rows
+    * (`invalid` status) are quarantined under `rejectPath` — never
+    * silently dropped. All three writes are `batch=<id>`-owned
+    * overwrites.
     *
     * Replay subtlety: the digest table is SELF-referential — a
     * replayed batch would find its own first-attempt digests at rest
     * and classify all its documents `dup_corpus`, landing an empty
     * batch. Classification therefore reads the digest table WITH THE
-    * BATCH'S OWN `batch=<id>` PARTITION EXCLUDED, so a replay sees
-    * exactly the pre-batch state and rewrites identical output.
+    * BATCH'S OWN `batch=<id>` PARTITION EXCLUDED. That makes a replay
+    * idempotent ONLY while the file->batch assignment is stable, so
+    * unlike [[streamingIndexMaintenance]] (whose at-rest union is
+    * batch-independent) this query ALWAYS runs with a checkpoint: by
+    * default it lives at `<digestPath>/_checkpoint`, co-located with
+    * the state it guards (underscore-prefixed, so parquet discovery
+    * ignores it). Deleting the checkpoint forces a full reprocess,
+    * which rewrites identical output only if the directory listing
+    * order is unchanged.
     */
   def streamingCleanIngest(spark: SparkSession, docsPath: String,
-                           cleanPath: String, digestPath: String,
+                           cleanPath: String, rejectPath: String,
+                           digestPath: String,
                            schema: Option[org.apache.spark.sql.types.StructType] = None,
                            checkpointDir: Option[String] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val docSchema = schema.getOrElse(spark.read.parquet(docsPath).schema)
-    val writer = spark.readStream.schema(docSchema)
-      .option("maxFilesPerTrigger", 1).parquet(docsPath)
-      .writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val sp = batch.sparkSession
-        val normalized = graft.ops.TextAnalysis.normalizeText(batch.toDF())
-          .withColumn("text", col("norm_text")).drop("norm_text")
-        val atRest = digestsAtRest(sp, digestPath, excludeBatch = batchId)
-        val classified =
-          graft.ops.Dedup.incrementalExact(atRest, normalized)
-            .filter(col("status") === "new").select("doc_id", "digest")
-            .localCheckpoint(true) // both writes read it; plan must not
-                                   // re-resolve against the digest dir
-                                   // this batch is about to write into
-        normalized.join(classified.select("doc_id"), Seq("doc_id"))
-          .write.mode("overwrite").parquet(s"$cleanPath/batch=$batchId")
-        classified.select("digest")
-          .write.mode("overwrite").parquet(s"$digestPath/batch=$batchId")
-      }
-    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
-    writer.start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    batchOwnedStream(spark, docsPath, schema,
+      Some(checkpointDir.getOrElse(s"$digestPath/_checkpoint"))) { (batch, batchId) =>
+      val sp = batch.sparkSession
+      // one normalize pass feeds the classifier and both doc writes
+      val normalized = graft.ops.TextAnalysis.normalizeText(batch)
+        .withColumn("text", col("norm_text")).drop("norm_text")
+        .localCheckpoint(true)
+      val atRest = digestsAtRest(sp, digestPath, excludeBatch = batchId)
+      // eager: the digest write below must not re-resolve a plan that
+      // reads the digest dir this batch is about to write into
+      val classified = graft.ops.Dedup.incrementalExact(atRest, normalized)
+        .localCheckpoint(true)
+      normalized.join(
+          classified.filter(col("status") === "new").select("doc_id"),
+          Seq("doc_id"))
+        .write.mode("overwrite").parquet(s"$cleanPath/batch=$batchId")
+      normalized.join(
+          classified.filter(col("status") === "invalid").select("doc_id"),
+          Seq("doc_id"))
+        .write.mode("overwrite").parquet(s"$rejectPath/batch=$batchId")
+      classified.filter(col("status") === "new").select("digest")
+        .write.mode("overwrite").parquet(s"$digestPath/batch=$batchId")
+    }
 
   /** The at-rest digest table, minus one batch's own partition (see
     * [[streamingCleanIngest]]'s replay note); empty-safe before the
     * first batch lands.
     */
   private def digestsAtRest(spark: SparkSession, digestPath: String,
-                            excludeBatch: Long): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(digestPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL("digest STRING"))
-    else spark.read.parquet(digestPath)
+                            excludeBatch: Long): DataFrame =
+    emptySafeParquet(spark, digestPath, "digest STRING",
+      keepBatch = true)
       .filter(col("batch") =!= excludeBatch).select("digest")
-  }
 
   /** The clean corpus written by [[streamingCleanIngest]], ownership
-    * column dropped; empty-safe before the first batch lands.
+    * column dropped; empty-safe before the first batch lands. Also
+    * reads the reject quarantine (same layout).
     */
   def cleanCorpus(spark: SparkSession, cleanPath: String,
-                  docSchema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(cleanPath)
+                  docSchema: org.apache.spark.sql.types.StructType): DataFrame =
+    emptySafeParquet(spark, cleanPath, docSchema.toDDL)
+
+  /** Shared scaffold of the batch-owned ingestion streams: parquet file
+    * source (one file per trigger), explicit-or-inferred schema, and a
+    * foreachBatch body that owns `batch=<id>` output directories.
+    */
+  private def batchOwnedStream(spark: SparkSession, docsPath: String,
+                               schema: Option[org.apache.spark.sql.types.StructType],
+                               checkpointDir: Option[String])(
+      body: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val docSchema = schema.getOrElse(spark.read.parquet(docsPath).schema)
+    val writer = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(docsPath)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        body(batch.toDF(), batchId)
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
+
+  /** Read a `batch=<id>`-partitioned parquet table, returning an empty
+    * DataFrame of `fallbackDdl` when the path does not exist yet (a
+    * consumer polling before the first micro-batch lands must see an
+    * empty table, not PATH_NOT_FOUND). The ownership column is dropped
+    * unless `keepBatch` is set. When the path exists but the fallback
+    * schema omits `batch`, consumers see exactly the payload schema.
+    */
+  private def emptySafeParquet(spark: SparkSession, path: String,
+                               fallbackDdl: String,
+                               keepBatch: Boolean = false): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
-    else spark.read.parquet(cleanPath).drop("batch")
+    // "no data yet" covers both a missing path and an existing-but-
+    // dataless one (e.g. only the co-located _checkpoint dir, which
+    // parquet discovery ignores but schema inference chokes on)
+    def visible(f: org.apache.hadoop.fs.Path): Boolean = {
+      val n = f.getName; !n.startsWith("_") && !n.startsWith(".")
+    }
+    def hasData(dir: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(dir).exists { st =>
+        visible(st.getPath) &&
+          (if (st.isFile) st.getPath.getName.endsWith(".parquet")
+           else hasData(st.getPath))
+      }
+    if (!fs.exists(p) || !hasData(p)) {
+      val base = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(fallbackDdl))
+      if (keepBatch) base.withColumn("batch", lit(0)) else base
+    }
+    else if (keepBatch) spark.read.parquet(path)
+    else spark.read.parquet(path).drop("batch")
   }
 
   /** Streaming exact dedup: `dropDuplicates` on the content key with a

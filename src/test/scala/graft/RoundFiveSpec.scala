@@ -415,7 +415,7 @@ class RoundFiveSpec extends AnyFunSuite {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-ingest-").toString
     val in = s"$base/in"; Files.createDirectories(Paths.get(in))
-    def land(name: String, mtime: Long, rows: Seq[(Long, String)]): Unit = {
+    def land(name: String, mtime: Long, rows: Seq[(Long, Option[String])]): Unit = {
       val tmp = s"$base/$name-tmp"
       rows.toDF("doc_id", "text").coalesce(1)
         .write.mode("overwrite").parquet(tmp)
@@ -424,35 +424,45 @@ class RoundFiveSpec extends AnyFunSuite {
       val dst = Paths.get(in, s"$name.parquet")
       Files.copy(part.toPath, dst)
       // strictly increasing mtimes pin the file->batch order, which
-      // checkpoint-less replay idempotency depends on
+      // forced (checkpoint-deleted) replay idempotency depends on
       Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(mtime))
     }
-    land("b0", 1000000, Seq((1L, "alpha text one"), (2L, "beta text two")))
-    land("b1", 2000000, Seq((102L, "alpha text one"), // dup of doc 1
-      (6L, "gamma three"), (106L, "gamma three")))    // within-batch dup
-    land("b2", 3000000, Seq((206L, "gamma three"),    // dup of doc 6
-      (9L, "delta four")))
-    val clean = s"$base/clean"; val digests = s"$base/digests"
-    val ckpt = s"$base/ckpt"
+    land("b0", 1000000, Seq(
+      (1L, Some("alpha text one")), (2L, Some("beta text two"))))
+    land("b1", 2000000, Seq(
+      (102L, Some("alpha text one")),                   // dup of doc 1
+      (6L, Some("gamma three")), (106L, Some("gamma three")))) // in-batch dup
+    land("b2", 3000000, Seq(
+      (206L, Some("gamma three")),                      // dup of doc 6
+      (9L, Some("delta four")),
+      (999L, None)))                                    // NULL text -> reject
+    val clean = s"$base/clean"; val rejects = s"$base/rejects"
+    val digests = s"$base/digests"
     val schema = spark.read.parquet(s"$in/b0.parquet").schema
-    def run(cp: Option[String]): Unit = {
+    def run(): Unit = {
+      // default checkpoint: co-located at <digests>/_checkpoint
       val q = graft.streaming.StreamingOps.streamingCleanIngest(
-        spark, in, clean, digests, schema = Some(schema), checkpointDir = cp)
+        spark, in, clean, rejects, digests, schema = Some(schema))
       try q.processAllAvailable() finally q.stop()
     }
-    run(Some(ckpt))
-    def cleanIds() = graft.streaming.StreamingOps
-      .cleanCorpus(spark, clean, schema).select("doc_id")
+    run()
+    def ids(path: String) = graft.streaming.StreamingOps
+      .cleanCorpus(spark, path, schema).select("doc_id")
       .collect().map(_.getLong(0)).toSet
-    assert(cleanIds() == Set(1L, 2L, 6L, 9L))
-    // checkpoint resume: nothing reprocessed, corpus unchanged
-    run(Some(ckpt))
-    assert(cleanIds() == Set(1L, 2L, 6L, 9L))
-    // full replay without checkpoint: same file order (pinned mtimes),
-    // each batch excludes its own digests -> identical rewrite
-    run(None)
-    assert(cleanIds() == Set(1L, 2L, 6L, 9L))
+    assert(ids(clean) == Set(1L, 2L, 6L, 9L))
+    assert(ids(rejects) == Set(999L)) // quarantined, not dropped
+    // resume from the co-located checkpoint: nothing reprocessed
+    run()
+    assert(ids(clean) == Set(1L, 2L, 6L, 9L))
+    // forced full replay (checkpoint deleted): same file order (pinned
+    // mtimes), each batch excludes its own digests -> identical rewrite
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rm); p.delete()
+    }
+    rm(new java.io.File(s"$digests/_checkpoint"))
+    run()
+    assert(ids(clean) == Set(1L, 2L, 6L, 9L) && ids(rejects) == Set(999L))
   }
 
   test("maintainedStats on a not-yet-written path is an empty stats table") {
