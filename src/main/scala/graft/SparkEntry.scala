@@ -32,6 +32,20 @@ object SparkEntry {
     * shingle-set sizes, and pairwise intersection counts — shared by the
     * exact-Jaccard pair oracle and the cluster oracle built on it.
     */
+  /** Mixture recipe for `text_mixture_sample`: exact per-source take
+    * counts (src10 larger than any sf0.01 stratum — kept whole; strata
+    * outside the recipe drop). The oracle CASE is built from this same
+    * map so query and oracle cannot drift.
+    */
+  private val MixTargets: Map[String, Long] =
+    ((0 to 9).map(i => s"src$i" -> 10L) ++
+      Seq("src10" -> 1000L, "src11" -> 25L)).toMap
+
+  private def mixTargetCase: String =
+    "CASE source " + MixTargets.toSeq.sortBy(_._1)
+      .map { case (s, n) => s"WHEN '$s' THEN $n" }
+      .mkString(" ") + " ELSE 0 END"
+
   private val OracleNgramCte: String =
     """toks0 AS (
       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
@@ -414,6 +428,14 @@ object SparkEntry {
           coalesce(col("F"), lit(0L)).as("F"),
           coalesce(col("O"), lit(0L)).as("O"),
           coalesce(col("P"), lit(0L)).as("P"))),
+    // unpivot/melt: wide measure columns to (measure, val) rows —
+    // pure row expansion, no shuffle, scales with the scan
+    "q_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem").unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "val")),
     // explicit cross join (the one join type not yet covered): tiny
     // dimension x dimension, the only legitimate cross-join shape
     "q_cross_join" -> ((s, dir) =>
@@ -721,6 +743,17 @@ object SparkEntry {
       TextAnalysis.stratifiedHashSample(t(s, dir, "documents"),
           "doc_id", "lang", rates = Map("en" -> 0.1, "de" -> 0.5),
           defaultRate = 1.0)
+        .select("doc_id", "lang", "source")),
+    // sequence packing: where each doc lands in the ctx-window stream.
+    // bucketSize 64 forces many buckets at sf0.01 so the two-level
+    // prefix sum is exercised against the single-window oracle
+    "text_pack_sequences" -> ((s, dir) =>
+      TextAnalysis.packSequences(t(s, dir, "documents"),
+        ctxLen = 512, bucketSize = 64)),
+    // exact-count mixture: take exactly N docs per source in
+    // reproducible hash order; sources outside the recipe are dropped
+    "text_mixture_sample" -> ((s, dir) =>
+      TextAnalysis.mixtureTake(t(s, dir, "documents"), "source", MixTargets)
         .select("doc_id", "lang", "source")),
     // the prep pipeline composed end-to-end in ONE lazy DAG: normalize
     // -> quality gate -> exact-dedup keeper -> reproducible 50% sample.
@@ -1608,6 +1641,34 @@ object SparkEntry {
         |  count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
         |  count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
         |  count(*) FILTER (WHERE o_orderstatus = 'P') AS P
-        |FROM orders GROUP BY 1""".stripMargin
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""".stripMargin,
+    // single global window in the oracle; the Spark side must reproduce
+    // it with its two-level bucketed scan (bucketSize 64 in the entry)
+    "text_pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        |  FROM toks)
+        |SELECT doc_id, n_tokens, start_tok,
+        |       CAST(start_tok // 512 AS BIGINT) AS seq_first,
+        |       CAST((start_tok + n_tokens - 1) // 512 AS BIGINT) AS seq_last,
+        |       CAST((start_tok + n_tokens - 1) // 512 - start_tok // 512 + 1 AS BIGINT) AS n_seqs
+        |FROM cum WHERE n_tokens > 0""".stripMargin,
+    "text_mixture_sample" ->
+      s"""SELECT doc_id, lang, source FROM (
+         |  SELECT doc_id, lang, source,
+         |         ROW_NUMBER() OVER (PARTITION BY source
+         |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= $mixTargetCase""".stripMargin
   )
 }

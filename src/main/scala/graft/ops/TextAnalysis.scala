@@ -371,6 +371,77 @@ object TextAnalysis {
           .as("clean_text"))
   }
 
+  /** Sequence packing — where each document lands when the corpus is
+    * concatenated in `doc_id` order and split into fixed `ctxLen`-token
+    * training sequences: global token start offset, first/last sequence
+    * id spanned, sequence count. Token-empty documents occupy no
+    * sequence and are dropped.
+    *
+    * The global prefix sum is a two-level scan, NOT one global window
+    * (which would move the whole corpus to a single partition): an
+    * explicit `doc_id DIV bucketSize` bucket gives a within-bucket
+    * running sum (shuffle on bucket, parallel across buckets), bucket
+    * totals aggregate to one tiny row per bucket whose own prefix sum
+    * runs over thousands of rows, and the per-bucket offsets broadcast
+    * back. At 100 B docs and bucketSize 2^20 the single-partition step
+    * sees ~100k rows of two longs — trivially driver-scale — while the
+    * corpus-sized work stays fully parallel.
+    */
+  def packSequences(docs: DataFrame, ctxLen: Int, bucketSize: Long = 1L << 20,
+                    textCol: String = "text"): DataFrame = {
+    require(ctxLen > 0, s"ctxLen must be positive, got $ctxLen")
+    require(bucketSize > 0, s"bucketSize must be positive, got $bucketSize")
+    val toks = docs.select(col("doc_id"),
+      size(filter(split(col(textCol), "\\s+"), t => length(t) > 0))
+        .cast("long").as("n_tokens"),
+      expr(s"doc_id DIV $bucketSize").as("__bucket"))
+    val inBucket = Window.partitionBy("__bucket").orderBy("doc_id")
+    val bucketPrefix = Window.orderBy("__bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy("__bucket").agg(sum("n_tokens").as("__btotal"))
+      .select(col("__bucket"),
+        coalesce(sum("__btotal").over(bucketPrefix), lit(0L)).as("__bprefix"))
+    toks
+      .withColumn("__incl", sum("n_tokens").over(inBucket))
+      .join(broadcast(offsets), Seq("__bucket"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("start_tok", col("__bprefix") + col("__incl") - col("n_tokens"))
+      .withColumn("seq_first", expr(s"start_tok DIV $ctxLen"))
+      .withColumn("seq_last", expr(s"(start_tok + n_tokens - 1) DIV $ctxLen"))
+      .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+        col("seq_first"), col("seq_last"),
+        (col("seq_last") - col("seq_first") + 1).as("n_seqs"))
+  }
+
+  /** Exact-count mixture sampling — compose a training mix by taking,
+    * per stratum (source, domain, ...), exactly `targets(stratum)`
+    * documents (fewer only if the stratum is smaller), chosen in the
+    * reproducible hash order `md5(salt || key)` with the key as tie
+    * break. Unlike the rate-based [[stratifiedHashSample]] this hits
+    * requested counts exactly — the contract data-mixing recipes are
+    * written in. Strata absent from `targets` take `defaultTarget`
+    * (default 0: not in the recipe, not in the mix).
+    *
+    * One shuffle, on the stratum key. A dominant stratum makes that
+    * window skewed; at 100 TB pre-thin it with [[hashSample]] at a rate
+    * safely above target/count, then trim exactly here — the window
+    * then ranks only the ~target survivors.
+    */
+  def mixtureTake(df: DataFrame, strataCol: String, targets: Map[String, Long],
+                  keyCol: String = "doc_id", defaultTarget: Long = 0L,
+                  salt: String = ""): DataFrame = {
+    (targets.values ++ Seq(defaultTarget)).foreach(n =>
+      require(n >= 0, s"targets must be non-negative, got $n"))
+    val order = Window.partitionBy(strataCol)
+      .orderBy(md5(concat(lit(salt), col(keyCol).cast("string"))), col(keyCol))
+    val target = targets.toSeq.sortBy(_._1).foldLeft(lit(defaultTarget)) {
+      case (acc, (stratum, n)) =>
+        when(col(strataCol) === stratum, lit(n)).otherwise(acc)
+    }
+    df.withColumn("__rk", row_number().over(order))
+      .filter(col("__rk") <= target).drop("__rk")
+  }
+
   /** Canonical text normalization: Unicode NFC (native expression —
     * see [[graft.functions.NfcNormalize]]), strip C0 control chars and
     * DEL (newline and tab survive the strip; tab then collapses), and

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TextAnalysis
+
+/** Round-6 surface: sequence packing (two-level prefix sum) and
+  * exact-count mixture sampling.
+  */
+class RoundSixSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // ---- sequence packing ----
+
+  private def toksDoc(id: Long, n: Int) = (id, Seq.fill(n)("w").mkString(" "))
+
+  test("packSequences offsets are the doc_id-ordered running sum") {
+    import spark.implicits._
+    // token counts 3,5,0,4,7 -> starts 0,3,8(skipped: empty),8,12
+    val docs = Seq(toksDoc(1, 3), toksDoc(2, 5), (3L, ""), toksDoc(4, 4),
+      toksDoc(5, 7)).toDF("doc_id", "text")
+    val out = TextAnalysis.packSequences(docs, ctxLen = 5, bucketSize = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "start_tok", "seq_first", "seq_last", "n_seqs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 0L, 0L, 0L, 1L),   // tokens [0,3)   in seq 0
+      (2L, 5L, 3L, 0L, 1L, 2L),   // tokens [3,8)   span seqs 0-1
+      (4L, 4L, 8L, 1L, 2L, 2L),   // tokens [8,12)  span seqs 1-2
+      (5L, 7L, 12L, 2L, 3L, 2L))) // tokens [12,19) span seqs 2-3
+  }
+
+  test("packSequences is bucket-size invariant and partitioning invariant") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => toksDoc(i, (i % 13).toInt))
+      .toDF("doc_id", "text")
+    def run(bucket: Long, parts: Int) =
+      TextAnalysis.packSequences(docs.repartition(parts), ctxLen = 7,
+          bucketSize = bucket)
+        .orderBy("doc_id").collect().toSeq
+    val base = run(1L << 20, 4) // one bucket: degenerate single window
+    assert(run(3, 4) == base)   // 34 buckets
+    assert(run(3, 1) == base)
+    assert(run(1, 7) == base)   // one bucket per doc: pure prefix join
+  }
+
+  test("packSequences total tokens equal the last doc's end offset") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => toksDoc(i, (i % 7).toInt + 1))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.packSequences(docs, ctxLen = 11, bucketSize = 8)
+    val total = out.agg(sum("n_tokens")).collect()(0).getLong(0)
+    val lastEnd = out.orderBy(col("start_tok").desc).limit(1)
+      .select(col("start_tok") + col("n_tokens")).collect()(0).getLong(0)
+    assert(total == lastEnd)
+  }
+
+  // ---- exact-count mixture ----
+
+  test("mixtureTake hits exact per-stratum counts, capped by stratum size") {
+    import spark.implicits._
+    val docs = (1L to 90L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")
+    val out = TextAnalysis.mixtureTake(docs, "source",
+      Map("s0" -> 10L, "s1" -> 100L)) // s2 absent -> dropped
+    val counts = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("s0" -> 10L, "s1" -> 30L))
+  }
+
+  test("mixtureTake is partitioning invariant and prefix-monotone") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")
+    def ids(df: org.apache.spark.sql.DataFrame, targets: Map[String, Long]) =
+      TextAnalysis.mixtureTake(df, "source", targets)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val take10 = ids(docs, Map("s0" -> 10L, "s1" -> 10L))
+    assert(ids(docs.repartition(13), Map("s0" -> 10L, "s1" -> 10L)) == take10)
+    // growing a target only adds documents (hash order is a fixed ranking)
+    val take20 = ids(docs, Map("s0" -> 20L, "s1" -> 10L))
+    assert(take10.subsetOf(take20) && take20.size == take10.size + 10)
+  }
+
+  test("mixtureTake rejects negative targets") {
+    import spark.implicits._
+    val docs = Seq((1L, "a")).toDF("doc_id", "source")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.mixtureTake(docs, "source", Map("a" -> -1L))
+    }
+  }
+}
