@@ -41,6 +41,23 @@ object SparkEntry {
     ((0 to 9).map(i => s"src$i" -> 10L) ++
       Seq("src10" -> 1000L, "src11" -> 25L)).toMap
 
+  /** Split recipe for `text_split_assign`; the oracle CASE below is
+    * built from the same list AND the same double-summed cumulative
+    * thresholds (0.8 + 0.1 != 0.9 in IEEE — both sides must use the
+    * identical scanLeft sum).
+    */
+  private val SplitSpec: Seq[(String, Double)] =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  private def splitCase: String = {
+    val uppers = SplitSpec.scanLeft(0.0)(_ + _._2).tail
+      .map(c => TextAnalysis.hexThreshold(math.min(1.0, c)))
+    val whens = SplitSpec.map(_._1).zip(uppers).dropRight(1)
+      .map { case (n, u) => s"WHEN md5(CAST(doc_id AS VARCHAR)) < '$u' THEN '$n'" }
+      .mkString(" ")
+    s"CASE $whens ELSE '${SplitSpec.last._1}' END"
+  }
+
   private def mixTargetCase: String =
     "CASE source " + MixTargets.toSeq.sortBy(_._1)
       .map { case (s, n) => s"WHEN '$s' THEN $n" }
@@ -755,6 +772,16 @@ object SparkEntry {
     "text_mixture_sample" -> ((s, dir) =>
       TextAnalysis.mixtureTake(t(s, dir, "documents"), "source", MixTargets)
         .select("doc_id", "lang", "source")),
+    // the packed-batch work order: which docs fill each ctx window,
+    // with per-doc token occupancy
+    "text_pack_manifest" -> ((s, dir) =>
+      TextAnalysis.packManifest(t(s, dir, "documents"),
+        ctxLen = 512, bucketSize = 64)),
+    // disjoint+complete train/val/test assignment from md5 ranges:
+    // stable under corpus growth, reproducible across engines
+    "text_split_assign" -> ((s, dir) =>
+      TextAnalysis.splitAssign(t(s, dir, "documents"), SplitSpec)
+        .select("doc_id", "split")),
     // the prep pipeline composed end-to-end in ONE lazy DAG: normalize
     // -> quality gate -> exact-dedup keeper -> reproducible 50% sample.
     // Catalyst fuses the scan/projection chain; the only shuffles are
@@ -1669,6 +1696,28 @@ object SparkEntry {
          |         ROW_NUMBER() OVER (PARTITION BY source
          |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
          |  FROM documents)
-         |WHERE rk <= $mixTargetCase""".stripMargin
+         |WHERE rk <= $mixTargetCase""".stripMargin,
+    "text_pack_manifest" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        |  FROM toks),
+        |packed AS (
+        |  SELECT doc_id, n_tokens, start_tok,
+        |         start_tok // 512 AS seq_first,
+        |         (start_tok + n_tokens - 1) // 512 AS seq_last
+        |  FROM cum WHERE n_tokens > 0)
+        |SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+        |       CAST(LEAST((seq_id + 1) * 512, start_tok + n_tokens)
+        |            - GREATEST(seq_id * 512, start_tok) AS BIGINT) AS seq_tokens
+        |FROM (SELECT doc_id, n_tokens, start_tok,
+        |             unnest(generate_series(seq_first, seq_last)) AS seq_id
+        |      FROM packed)""".stripMargin,
+    "text_split_assign" ->
+      s"SELECT doc_id, $splitCase AS split FROM documents"
   )
 }

@@ -442,6 +442,49 @@ object TextAnalysis {
       .filter(col("__rk") <= target).drop("__rk")
   }
 
+  /** The packed-batch manifest — the inverse view of [[packSequences]]:
+    * one row per (sequence, document) occupancy, with how many of the
+    * sequence's `ctxLen` tokens the document fills. This is the actual
+    * work order a training loader consumes ("sequence 17 = tail of doc
+    * 40, all of doc 41, head of doc 42"). Row expansion is bounded: a
+    * doc spanning k sequences emits k rows, total rows =
+    * total_tokens/ctxLen + n_docs. Same shuffles as [[packSequences]].
+    */
+  def packManifest(docs: DataFrame, ctxLen: Int, bucketSize: Long = 1L << 20,
+                   textCol: String = "text"): DataFrame =
+    packSequences(docs, ctxLen, bucketSize, textCol)
+      .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq_id"))
+      .select(col("seq_id"), col("doc_id"),
+        // the doc's token range clipped to this sequence's window
+        (least((col("seq_id") + 1) * ctxLen, col("start_tok") + col("n_tokens"))
+          - greatest(col("seq_id") * ctxLen, col("start_tok"))).as("seq_tokens"))
+
+  /** Deterministic train/validation/test split: every document gets
+    * exactly one split label from disjoint md5 ranges (same portable
+    * membership rule as [[hashSample]]), so the assignment is complete,
+    * disjoint, reproducible across engines and partitionings, and
+    * stable under corpus growth — a document's split never changes
+    * when other documents arrive. Fractions must sum to at most 1;
+    * any remainder falls into the last named split.
+    */
+  def splitAssign(df: DataFrame, splits: Seq[(String, Double)],
+                  keyCol: String = "doc_id", salt: String = ""): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 >= 0), "split fractions must be non-negative")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9,
+      s"split fractions must sum to <= 1, got ${splits.map(_._2).sum}")
+    val h = md5(concat(lit(salt), col(keyCol).cast("string")))
+    // cumulative upper thresholds; the last split absorbs the remainder
+    val uppers = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(c => hexThreshold(math.min(1.0, c)))
+    val label = splits.map(_._1).zip(uppers).dropRight(1)
+      .foldRight(lit(splits.last._1): Column) { case ((name, upper), acc) =>
+        when(h < upper, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", label)
+  }
+
   /** Canonical text normalization: Unicode NFC (native expression —
     * see [[graft.functions.NfcNormalize]]), strip C0 control chars and
     * DEL (newline and tab survive the strip; tab then collapses), and

@@ -90,6 +90,52 @@ class RoundSixSpec extends AnyFunSuite {
     assert(take10.subsetOf(take20) && take20.size == take10.size + 10)
   }
 
+  // ---- pack manifest ----
+
+  test("packManifest partitions each sequence's token budget exactly") {
+    import spark.implicits._
+    val docs = Seq(toksDoc(1, 3), toksDoc(2, 5), toksDoc(3, 4), toksDoc(4, 9))
+      .toDF("doc_id", "text") // 21 tokens, ctx 5 -> seqs 0..4
+    val m = TextAnalysis.packManifest(docs, ctxLen = 5, bucketSize = 2)
+    val bySeq = m.groupBy("seq_id").agg(sum("seq_tokens").as("filled"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every sequence is exactly full except the last (21 = 4*5 + 1)
+    assert(bySeq == Map(0L -> 5L, 1L -> 5L, 2L -> 5L, 3L -> 5L, 4L -> 1L))
+    // per-doc occupancy sums back to the doc's token count
+    val byDoc = m.groupBy("doc_id").agg(sum("seq_tokens").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc == Map(1L -> 3L, 2L -> 5L, 3L -> 4L, 4L -> 9L))
+  }
+
+  // ---- split assignment ----
+
+  test("splitAssign is complete, disjoint, and stable under corpus growth") {
+    import spark.implicits._
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val small = (1L to 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val grown = (1L to 400L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.splitAssign(df, splits)
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = assign(small)
+    assert(a.size == 200 && a.values.toSet.subsetOf(Set("train", "val", "test")))
+    val b = assign(grown)
+    // growth never reassigns an existing document
+    assert(a.forall { case (id, s) => b(id) == s })
+    // rough proportions (md5 is uniform; 400 docs)
+    val frac = b.values.count(_ == "train").toDouble / b.size
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
+  }
+
+  test("splitAssign rejects fractions summing over 1") {
+    import spark.implicits._
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.splitAssign(docs, Seq("a" -> 0.8, "b" -> 0.3))
+    }
+  }
+
   test("mixtureTake rejects negative targets") {
     import spark.implicits._
     val docs = Seq((1L, "a")).toDF("doc_id", "source")
