@@ -386,14 +386,30 @@ object TextAnalysis {
     * back. At 100 B docs and bucketSize 2^20 the single-partition step
     * sees ~100k rows of two longs — trivially driver-scale — while the
     * corpus-sized work stays fully parallel.
+    *
+    * The window branch and the bucket-totals branch each count tokens
+    * from the text scan (two scans of the text column). At 100 TB,
+    * materialize the two-long token-count projection once (persist or
+    * a parquet side table) and call [[packSequencesFromCounts]] on it —
+    * the heavy text scan then runs once. Requires a unique `doc_id`
+    * (ties would share a running-sum value).
     */
   def packSequences(docs: DataFrame, ctxLen: Int, bucketSize: Long = 1L << 20,
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text"): DataFrame =
+    packSequencesFromCounts(
+      docs.select(col("doc_id"),
+        size(filter(split(col(textCol), "\\s+"), t => length(t) > 0))
+          .cast("long").as("n_tokens")),
+      ctxLen, bucketSize)
+
+  /** [[packSequences]] over a precomputed `(doc_id, n_tokens)` table —
+    * the at-scale entry point: count once, pack from the narrow table.
+    */
+  def packSequencesFromCounts(counts: DataFrame, ctxLen: Int,
+                              bucketSize: Long = 1L << 20): DataFrame = {
     require(ctxLen > 0, s"ctxLen must be positive, got $ctxLen")
     require(bucketSize > 0, s"bucketSize must be positive, got $bucketSize")
-    val toks = docs.select(col("doc_id"),
-      size(filter(split(col(textCol), "\\s+"), t => length(t) > 0))
-        .cast("long").as("n_tokens"),
+    val toks = counts.select(col("doc_id"), col("n_tokens").cast("long"),
       expr(s"doc_id DIV $bucketSize").as("__bucket"))
     val inBucket = Window.partitionBy("__bucket").orderBy("doc_id")
     val bucketPrefix = Window.orderBy("__bucket")

@@ -65,6 +65,20 @@ class RoundSixSpec extends AnyFunSuite {
     assert(total == lastEnd)
   }
 
+  test("packSequencesFromCounts equals packSequences on the counted projection") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => toksDoc(i, (i % 5).toInt)).toDF("doc_id", "text")
+    val counts = docs.select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+          .cast("long").as("n_tokens"))
+      .localCheckpoint(true) // the at-scale shape: count once, pack narrow
+    val a = TextAnalysis.packSequences(docs, 7, 4)
+      .orderBy("doc_id").collect().toSeq
+    val b = TextAnalysis.packSequencesFromCounts(counts, 7, 4)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
   // ---- exact-count mixture ----
 
   test("mixtureTake hits exact per-stratum counts, capped by stratum size") {
