@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AnnIndex, Dedup, Multimodal, Similarity, Skew, TextAnalysis}
+import graft.ops.{AnnIndex, Dedup, Multimodal, ScalableRank, Similarity, Skew, TextAnalysis}
 import graft.search.{Indexer, SearchEngine}
 import graft.sources.Tables
 import graft.streaming.StreamingOps
@@ -445,6 +445,17 @@ object SparkEntry {
           coalesce(col("F"), lit(0L)).as("F"),
           coalesce(col("O"), lit(0L)).as("O"),
           coalesce(col("P"), lit(0L)).as("P"))),
+    // global total-order analytics WITHOUT the single-partition sort
+    // Spark plans for ORDER-BY-only windows: two-level bucketed rank
+    // (ScalableRank), bit-identical to row_number/ntile
+    "q_global_rank" -> ((s, dir) =>
+      ScalableRank.globalRowNumber(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        "n_chars", "doc_id", bucketWidth = 256)),
+    "q_ntile" -> ((s, dir) =>
+      ScalableRank.globalNtile(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        10, "n_chars", "doc_id", bucketWidth = 256)),
     // unpivot/melt: wide measure columns to (measure, val) rows —
     // pure row expansion, no shuffle, scales with the scan
     "q_unpivot" -> ((s, dir) =>
@@ -1718,6 +1729,14 @@ object SparkEntry {
         |             unnest(generate_series(seq_first, seq_last)) AS seq_id
         |      FROM packed)""".stripMargin,
     "text_split_assign" ->
-      s"SELECT doc_id, $splitCase AS split FROM documents"
+      s"SELECT doc_id, $splitCase AS split FROM documents",
+    "q_global_rank" ->
+      """SELECT doc_id, n_chars,
+        |       CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rk
+        |FROM documents""".stripMargin,
+    "q_ntile" ->
+      """SELECT doc_id, n_chars,
+        |       CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS INT) AS tile
+        |FROM documents""".stripMargin
   )
 }

@@ -150,6 +150,29 @@ class RoundSixSpec extends AnyFunSuite {
     }
   }
 
+  // ---- scalable global rank / ntile ----
+
+  test("globalRowNumber and globalNtile match the single-window forms") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 157L).map(i => (i, (i * 37) % 19)).toDF("id", "k")
+    val w = Window.orderBy(col("k"), col("id"))
+    val wantRk = df.withColumn("rk", row_number().over(w).cast("long"))
+      .orderBy("id").collect().toSeq
+    val gotRk = graft.ops.ScalableRank
+      .globalRowNumber(df, "k", "id", bucketWidth = 4)
+      .orderBy("id").select("id", "k", "rk").collect().toSeq
+    assert(gotRk == wantRk)
+    for (tiles <- Seq(1, 7, 10, 157, 200)) {
+      val want = df.withColumn("tile", ntile(tiles).over(w))
+        .orderBy("id").collect().toSeq
+      val got = graft.ops.ScalableRank
+        .globalNtile(df.repartition(11), tiles, "k", "id", bucketWidth = 4)
+        .orderBy("id").select("id", "k", "tile").collect().toSeq
+      assert(got == want, s"tiles=$tiles")
+    }
+  }
+
   test("mixtureTake rejects negative targets") {
     import spark.implicits._
     val docs = Seq((1L, "a")).toDF("doc_id", "source")
