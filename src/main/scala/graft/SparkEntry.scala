@@ -50,9 +50,7 @@ object SparkEntry {
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
   private def splitCase: String = {
-    val uppers = SplitSpec.scanLeft(0.0)(_ + _._2).tail
-      .map(c => TextAnalysis.hexThreshold(math.min(1.0, c)))
-    val whens = SplitSpec.map(_._1).zip(uppers).dropRight(1)
+    val whens = TextAnalysis.splitThresholds(SplitSpec).dropRight(1)
       .map { case (n, u) => s"WHEN md5(CAST(doc_id AS VARCHAR)) < '$u' THEN '$n'" }
       .mkString(" ")
     s"CASE $whens ELSE '${SplitSpec.last._1}' END"

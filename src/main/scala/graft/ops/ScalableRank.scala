@@ -3,63 +3,97 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Global total-order analytics without a global window.
   *
   * Spark plans `ROW_NUMBER() OVER (ORDER BY x)` (no PARTITION BY) as a
   * single-partition sort — the whole table through one task. These
-  * helpers compute the same numbers with the two-level scheme also used
-  * by [[TextAnalysis.packSequences]]: an explicit monotone bucket of
-  * the order key keeps the row-sized work partitioned; only the
-  * per-bucket row counts (thousands of rows of two longs) cross a
-  * single partition; per-bucket rank offsets broadcast back.
-  *
-  * The bucket expression MUST be monotone non-decreasing in the order
-  * key (`key DIV bucketWidth` is, for integral keys) — then
-  * (bucket asc, key asc, tie asc) is the global order.
+  * helpers compute the same numbers with a two-level scheme: an
+  * explicit monotone bucket of the order key keeps the row-sized work
+  * partitioned; only the per-bucket totals (thousands of rows of two
+  * longs) cross a single partition; per-bucket offsets broadcast back.
+  * [[TextAnalysis.packSequences]] builds on the same scaffold
+  * ([[exclusivePrefixSum]]).
   */
 object ScalableRank {
 
-  /** 1-based global row number ordered by `(orderCol, tieCol)`, both
-    * integral; `(orderCol, tieCol)` must be unique (`tieCol` is
-    * typically the primary key). `bucketWidth` buckets the order key:
-    * pick it so the expected rows per bucket stay in the millions and
-    * the bucket count in the thousands.
+  /** The shared two-level scaffold: adds `__prefix` = the EXCLUSIVE
+    * global running sum of `value` in the total order
+    * (`bucket` asc nulls first, `orderCols` asc), and — when
+    * `withTotal` — `__total` = the grand total, computed inside the
+    * same tiny single-partition window (no extra scan of `df`).
+    * `bucket` must be monotone non-decreasing in `orderCols` and
+    * `(orderCols)` must be unique per row (ties would share a running
+    * sum — the default RANGE frame is deliberate, making tie results
+    * deterministic rather than partition-dependent).
+    */
+  private[ops] def exclusivePrefixSum(df: DataFrame, bucket: Column,
+                                      orderCols: Seq[Column], value: Column,
+                                      withTotal: Boolean = false): DataFrame = {
+    val b = df.withColumn("__bucket", bucket).withColumn("__v", value.cast("long"))
+    val inBucket = Window.partitionBy("__bucket").orderBy(orderCols: _*)
+    val prefixW = Window.orderBy(col("__bucket").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totalW = Window.orderBy(col("__bucket").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = b.groupBy("__bucket").agg(sum("__v").as("__btotal"))
+      .select(col("__bucket"),
+        coalesce(sum("__btotal").over(prefixW), lit(0L)).as("__boffset"),
+        (if (withTotal) sum("__btotal").over(totalW) else lit(0L)).as("__total"))
+    val joined = b
+      .withColumn("__incl", sum("__v").over(inBucket))
+      .join(broadcast(offsets), b("__bucket") <=> offsets("__bucket"))
+      .drop(offsets("__bucket"))
+      .withColumn("__prefix", col("__boffset") + col("__incl") - col("__v"))
+      .drop("__bucket", "__incl", "__boffset", "__v")
+    if (withTotal) joined else joined.drop("__total")
+  }
+
+  private def integralBucket(df: DataFrame, orderCol: String,
+                             bucketWidth: Long): Column = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val dt = df.schema(orderCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"orderCol $orderCol must be integral for DIV bucketing, got $dt")
+    // NULL keys sort first under Spark's default ASC NULLS FIRST; give
+    // them the lowest bucket so the join keeps them and offsets stay
+    // exact (a genuine Long.MinValue key with bucketWidth 1 would share
+    // the bucket — harmless, same bucket only means same shuffle key)
+    when(col(orderCol).isNull, lit(Long.MinValue))
+      .otherwise(expr(s"CAST($orderCol AS BIGINT) DIV $bucketWidth"))
+  }
+
+  /** 1-based global row number ordered by `(orderCol, tieCol)` —
+    * `orderCol` integral, NULLS FIRST (Spark's window default);
+    * `(orderCol, tieCol)` must be unique (`tieCol` is typically the
+    * primary key). `bucketWidth` buckets the order key: pick it so
+    * expected rows per bucket stay in the millions and the bucket
+    * count in the thousands.
     */
   def globalRowNumber(df: DataFrame, orderCol: String, tieCol: String,
                       bucketWidth: Long = 1L << 10,
-                      outCol: String = "rk"): DataFrame = {
-    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
-    val bucketed = df.withColumn("__bucket",
-      expr(s"CAST($orderCol AS BIGINT) DIV $bucketWidth"))
-    val inBucket = Window.partitionBy("__bucket")
-      .orderBy(col(orderCol), col(tieCol))
-    val bucketPrefix = Window.orderBy("__bucket")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketed.groupBy("__bucket").agg(count(lit(1)).as("__bn"))
-      .select(col("__bucket"),
-        coalesce(sum("__bn").over(bucketPrefix), lit(0L)).as("__boffset"))
-    bucketed
-      .withColumn("__rn", row_number().over(inBucket))
-      .join(broadcast(offsets), Seq("__bucket"))
-      .withColumn(outCol, col("__boffset") + col("__rn"))
-      .drop("__bucket", "__rn", "__boffset")
-  }
+                      outCol: String = "rk"): DataFrame =
+    exclusivePrefixSum(df, integralBucket(df, orderCol, bucketWidth),
+      Seq(col(orderCol).asc_nulls_first, col(tieCol)), lit(1L))
+      .withColumn(outCol, col("__prefix") + 1).drop("__prefix")
 
   /** SQL-standard NTILE over the same scalable global order: the first
     * `n mod tiles` tiles hold `ceil(n/tiles)` rows, the rest
     * `floor(n/tiles)` — bit-identical to `NTILE(k) OVER (ORDER BY ...)`
-    * but without the single-partition sort. One extra 1-row aggregate
-    * (the total count) broadcasts into the tile arithmetic.
+    * but without the single-partition sort. The total row count rides
+    * out of the bucket-totals window, so no extra scan and no cross
+    * join.
     */
   def globalNtile(df: DataFrame, tiles: Int, orderCol: String, tieCol: String,
                   bucketWidth: Long = 1L << 10,
                   outCol: String = "tile"): DataFrame = {
     require(tiles > 0, s"tiles must be positive, got $tiles")
-    val ranked = globalRowNumber(df, orderCol, tieCol, bucketWidth, "__gr")
-    val total = df.agg(count(lit(1)).as("__n"))
-    // q = n DIV k rows per small tile, m = n % k tiles hold q+1 rows
-    ranked.crossJoin(broadcast(total))
+    exclusivePrefixSum(df, integralBucket(df, orderCol, bucketWidth),
+      Seq(col(orderCol).asc_nulls_first, col(tieCol)), lit(1L),
+      withTotal = true)
+      .withColumn("__gr", col("__prefix") + 1)
+      .withColumnRenamed("__total", "__n")
       .withColumn(outCol,
         expr(s"""CASE
                  |  WHEN __n DIV $tiles = 0 THEN __gr
@@ -69,6 +103,6 @@ object ScalableRank {
                  |    + (__gr - 1 - (__n % $tiles) * (__n DIV $tiles + 1))
                  |      DIV (__n DIV $tiles) + 1
                  |END""".stripMargin).cast("int"))
-      .drop("__gr", "__n")
+      .drop("__prefix", "__gr", "__n")
   }
 }

@@ -409,19 +409,11 @@ object TextAnalysis {
                               bucketSize: Long = 1L << 20): DataFrame = {
     require(ctxLen > 0, s"ctxLen must be positive, got $ctxLen")
     require(bucketSize > 0, s"bucketSize must be positive, got $bucketSize")
-    val toks = counts.select(col("doc_id"), col("n_tokens").cast("long"),
-      expr(s"doc_id DIV $bucketSize").as("__bucket"))
-    val inBucket = Window.partitionBy("__bucket").orderBy("doc_id")
-    val bucketPrefix = Window.orderBy("__bucket")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = toks.groupBy("__bucket").agg(sum("n_tokens").as("__btotal"))
-      .select(col("__bucket"),
-        coalesce(sum("__btotal").over(bucketPrefix), lit(0L)).as("__bprefix"))
-    toks
-      .withColumn("__incl", sum("n_tokens").over(inBucket))
-      .join(broadcast(offsets), Seq("__bucket"))
+    ScalableRank.exclusivePrefixSum(
+        counts.select(col("doc_id"), col("n_tokens").cast("long")),
+        expr(s"doc_id DIV $bucketSize"), Seq(col("doc_id")), col("n_tokens"))
       .filter(col("n_tokens") > 0)
-      .withColumn("start_tok", col("__bprefix") + col("__incl") - col("n_tokens"))
+      .withColumnRenamed("__prefix", "start_tok")
       .withColumn("seq_first", expr(s"start_tok DIV $ctxLen"))
       .withColumn("seq_last", expr(s"(start_tok + n_tokens - 1) DIV $ctxLen"))
       .select(col("doc_id"), col("n_tokens"), col("start_tok"),
@@ -448,13 +440,22 @@ object TextAnalysis {
                   salt: String = ""): DataFrame = {
     (targets.values ++ Seq(defaultTarget)).foreach(n =>
       require(n >= 0, s"targets must be non-negative, got $n"))
+    // NULL keys have no hash position in the ranking and would tie
+    // nondeterministically — they are never selected
+    val keyed = df.filter(col(keyCol).isNotNull)
+    // with defaultTarget 0, strata outside the recipe contribute
+    // nothing: drop them BEFORE the shuffle, not after the window
+    val candidates =
+      if (defaultTarget == 0L)
+        keyed.filter(col(strataCol).isin(targets.keys.toSeq: _*))
+      else keyed
     val order = Window.partitionBy(strataCol)
       .orderBy(md5(concat(lit(salt), col(keyCol).cast("string"))), col(keyCol))
     val target = targets.toSeq.sortBy(_._1).foldLeft(lit(defaultTarget)) {
       case (acc, (stratum, n)) =>
         when(col(strataCol) === stratum, lit(n)).otherwise(acc)
     }
-    df.withColumn("__rk", row_number().over(order))
+    candidates.withColumn("__rk", row_number().over(order))
       .filter(col("__rk") <= target).drop("__rk")
   }
 
@@ -486,19 +487,31 @@ object TextAnalysis {
     */
   def splitAssign(df: DataFrame, splits: Seq[(String, Double)],
                   keyCol: String = "doc_id", salt: String = ""): DataFrame = {
+    val h = md5(concat(lit(salt), col(keyCol).cast("string")))
+    val label = splitThresholds(splits).dropRight(1)
+      .foldRight(lit(splits.last._1): Column) { case ((name, upper), acc) =>
+        when(h < upper, lit(name)).otherwise(acc)
+      }
+    // a NULL key has no hash position: NULL split, never a silent
+    // landing in the remainder split — filter or repair upstream
+    df.withColumn("split",
+      when(col(keyCol).isNull, lit(null: String)).otherwise(label))
+  }
+
+  /** The `(name, cumulative md5 upper bound)` list [[splitAssign]]
+    * labels by — exposed so an external oracle builds its CASE from
+    * the SAME thresholds (including the exact IEEE cumulative sums:
+    * 0.8 + 0.1 != 0.9 in doubles). The last split's bound absorbs any
+    * remainder.
+    */
+  def splitThresholds(splits: Seq[(String, Double)]): Seq[(String, String)] = {
     require(splits.nonEmpty, "need at least one split")
     require(splits.forall(_._2 >= 0), "split fractions must be non-negative")
     require(splits.map(_._2).sum <= 1.0 + 1e-9,
       s"split fractions must sum to <= 1, got ${splits.map(_._2).sum}")
-    val h = md5(concat(lit(salt), col(keyCol).cast("string")))
-    // cumulative upper thresholds; the last split absorbs the remainder
     val uppers = splits.scanLeft(0.0)(_ + _._2).tail
       .map(c => hexThreshold(math.min(1.0, c)))
-    val label = splits.map(_._1).zip(uppers).dropRight(1)
-      .foldRight(lit(splits.last._1): Column) { case ((name, upper), acc) =>
-        when(h < upper, lit(name)).otherwise(acc)
-      }
-    df.withColumn("split", label)
+    splits.map(_._1).zip(uppers)
   }
 
   /** Canonical text normalization: Unicode NFC (native expression —

@@ -173,6 +173,46 @@ class RoundSixSpec extends AnyFunSuite {
     }
   }
 
+  test("globalRowNumber ranks NULL order keys first without dropping rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(1L)), (4L, None))
+      .toDF("id", "k")
+    val got = graft.ops.ScalableRank
+      .globalRowNumber(df, "k", "id", bucketWidth = 2)
+      .orderBy("id").select("id", "rk").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    // Spark window default: ASC NULLS FIRST, tie-broken by id
+    val want = df.withColumn("rk",
+        row_number().over(Window.orderBy(col("k").asc_nulls_first, col("id")))
+          .cast("long"))
+      .orderBy("id").select("id", "rk").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got == want && got.toMap == Map(1L -> 4L, 2L -> 1L, 3L -> 3L, 4L -> 2L))
+  }
+
+  test("globalRowNumber rejects a non-integral order column") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("id", "k")
+    intercept[IllegalArgumentException] {
+      graft.ops.ScalableRank.globalRowNumber(df, "k", "id")
+    }
+  }
+
+  test("mixtureTake never selects NULL-key rows; splitAssign labels them NULL") {
+    import spark.implicits._
+    val docs = ((1L to 30L).map(i => Some(i) -> "s0") ++
+      Seq((None: Option[Long]) -> "s0")).toDF("doc_id", "source")
+    val picked = TextAnalysis.mixtureTake(docs, "source", Map("s0" -> 31L))
+    assert(picked.count() == 30 &&
+      picked.filter(col("doc_id").isNull).count() == 0)
+    val labeled = TextAnalysis.splitAssign(docs, Seq("train" -> 0.5, "test" -> 0.5))
+    assert(labeled.filter(col("doc_id").isNull).select("split")
+      .collect().map(_.isNullAt(0)).toSeq == Seq(true))
+    assert(labeled.filter(col("doc_id").isNotNull)
+      .filter(col("split").isNull).count() == 0)
+  }
+
   test("mixtureTake rejects negative targets") {
     import spark.implicits._
     val docs = Seq((1L, "a")).toDF("doc_id", "source")
