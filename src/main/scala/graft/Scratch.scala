@@ -106,6 +106,34 @@ object Scratch {
               val kept = d.agg(sum("n_kept"), sum("n_lines")).first()
               println(s"docs=${d.count()} keptLines=${kept.getLong(0)} " +
                 s"totalLines=${kept.getLong(1)}")
+            case "pack" =>
+              // 100k docs through the two-level prefix sum (bucketSize
+              // 4096 -> ~5k buckets incl. the 20 id-shifted copies);
+              // invariant: last end offset == total token count, and
+              // the manifest refills every doc exactly
+              val p = ops.TextAnalysis.packSequences(big, ctxLen = 2048,
+                bucketSize = 4096)
+              val total = p.agg(sum("n_tokens")).first().getLong(0)
+              val lastEnd = p.orderBy(col("start_tok").desc).limit(1)
+                .select(col("start_tok") + col("n_tokens")).first().getLong(0)
+              val m = ops.TextAnalysis.packManifest(big, ctxLen = 2048,
+                bucketSize = 4096)
+              val refill = m.agg(sum("seq_tokens")).first().getLong(0)
+              println(s"docs=${p.count()} tokens=$total lastEnd=$lastEnd " +
+                s"manifestRows=${m.count()} refill=$refill " +
+                (if (total == lastEnd && total == refill) "OK" else "MISMATCH"))
+            case "rank" =>
+              // global ntile over 100k rows without a global window;
+              // invariant vs the arithmetic: tile sizes differ by <= 1
+              val t = ops.ScalableRank.globalNtile(
+                big.select(col("doc_id"), length(col("text")).as("len")),
+                100, "len", "doc_id", bucketWidth = 64)
+              val sizes = t.groupBy("tile").count()
+              val mm = sizes.agg(min("count"), max("count"), count(lit(1))).first()
+              println(s"rows=${t.count()} tiles=${mm.getLong(2)} " +
+                s"minTile=${mm.getLong(0)} maxTile=${mm.getLong(1)} " +
+                (if (mm.getLong(1) - mm.getLong(0) <= 1 && mm.getLong(2) == 100)
+                  "OK" else "MISMATCH"))
             case "spans" =>
               // with 20 copies of every doc, EVERY span is duplicated:
               // maximal removal, and the span->count agg + fanout-1
