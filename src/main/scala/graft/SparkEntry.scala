@@ -786,6 +786,11 @@ object SparkEntry {
     "text_pack_manifest" -> ((s, dir) =>
       TextAnalysis.packManifest(t(s, dir, "documents"),
         ctxLen = 512, bucketSize = 64)),
+    // the materialized training stream: each ctx window's text
+    // assembled from its docs' fragments in stream order
+    "text_pack_emit" -> ((s, dir) =>
+      TextAnalysis.packEmit(t(s, dir, "documents"),
+        ctxLen = 512, bucketSize = 64)),
     // disjoint+complete train/val/test assignment from md5 ranges:
     // stable under corpus growth, reproducible across engines
     "text_split_assign" -> ((s, dir) =>
@@ -1728,6 +1733,37 @@ object SparkEntry {
         |      FROM packed)""".stripMargin,
     "text_split_assign" ->
       s"SELECT doc_id, $splitCase AS split FROM documents",
+    // DuckDB list_slice is 1-based with INCLUSIVE end: begin gs-S+1,
+    // end ge-S reproduce Spark's slice(start, length) exactly
+    "text_pack_emit" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |counts AS (
+        |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+        |cum AS (
+        |  SELECT doc_id, t, n_tokens,
+        |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        |  FROM counts),
+        |packed AS (
+        |  SELECT doc_id, t, n_tokens, start_tok,
+        |         start_tok // 512 AS seq_first,
+        |         (start_tok + n_tokens - 1) // 512 AS seq_last
+        |  FROM cum WHERE n_tokens > 0),
+        |expl AS (
+        |  SELECT doc_id, t, n_tokens, start_tok,
+        |         unnest(generate_series(seq_first, seq_last)) AS seq_id
+        |  FROM packed),
+        |frags AS (
+        |  SELECT seq_id, start_tok,
+        |         list_slice(t,
+        |           CAST(GREATEST(seq_id * 512, start_tok) - start_tok + 1 AS BIGINT),
+        |           CAST(LEAST((seq_id + 1) * 512, start_tok + n_tokens) - start_tok AS BIGINT)) AS frag
+        |  FROM expl)
+        |SELECT CAST(seq_id AS BIGINT) AS seq_id,
+        |       CAST(SUM(len(frag)) AS BIGINT) AS seq_tokens,
+        |       array_to_string(flatten(list(frag ORDER BY start_tok)), ' ') AS seq_text
+        |FROM frags GROUP BY seq_id""".stripMargin,
     "q_global_rank" ->
       """SELECT doc_id, n_chars,
         |       CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rk

@@ -477,6 +477,36 @@ object TextAnalysis {
         (least((col("seq_id") + 1) * ctxLen, col("start_tok") + col("n_tokens"))
           - greatest(col("seq_id") * ctxLen, col("start_tok"))).as("seq_tokens"))
 
+  /** Materialized training sequences — the final step of the packing
+    * pipeline: each `ctxLen`-token window's text, assembled from its
+    * documents' fragments in stream order. One extra shuffle beyond
+    * [[packSequences]] (fragments group by `seq_id`), and the rows it
+    * moves are bounded: total_tokens/ctxLen + n_docs fragments. The
+    * last sequence may be short; every other one is exactly `ctxLen`
+    * tokens.
+    */
+  def packEmit(docs: DataFrame, ctxLen: Int, bucketSize: Long = 1L << 20,
+               textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("__toks"))
+    val packed = packSequences(docs, ctxLen, bucketSize, textCol)
+      .join(toks, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("start_tok"), col("__toks"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq_id"))
+    val gs = greatest(col("seq_id") * ctxLen, col("start_tok"))
+    val ge = least((col("seq_id") + 1) * ctxLen, col("start_tok") + col("n_tokens"))
+    packed
+      .select(col("seq_id"), col("start_tok"),
+        slice(col("__toks"), (gs - col("start_tok") + 1).cast("int"),
+          (ge - gs).cast("int")).as("frag"))
+      .groupBy("seq_id")
+      .agg(sum(size(col("frag"))).cast("long").as("seq_tokens"),
+        array_join(
+          flatten(transform(
+            sort_array(collect_list(struct(col("start_tok"), col("frag")))),
+            s => s.getField("frag"))), " ").as("seq_text"))
+  }
+
   /** Deterministic train/validation/test split: every document gets
     * exactly one split label from disjoint md5 ranges (same portable
     * membership rule as [[hashSample]]), so the assignment is complete,

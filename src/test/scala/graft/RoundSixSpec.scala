@@ -79,6 +79,20 @@ class RoundSixSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("packEmit sequences concatenate back to the doc_id-ordered corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "d e f g h"), (3L, ""), (4L, "i j"),
+      (5L, "k l m n o p q")).toDF("doc_id", "text")
+    val seqs = TextAnalysis.packEmit(docs, ctxLen = 4, bucketSize = 2)
+      .orderBy("seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(seqs.toSeq == Seq(
+      (0L, 4L, "a b c d"), (1L, 4L, "e f g h"), (2L, 4L, "i j k l"),
+      (3L, 4L, "m n o p"), (4L, 1L, "q")))
+    // reconstruction: all full windows, short tail, lossless stream
+    assert(seqs.map(_._3).mkString(" ") == "a b c d e f g h i j k l m n o p q")
+  }
+
   // ---- exact-count mixture ----
 
   test("mixtureTake hits exact per-stratum counts, capped by stratum size") {
