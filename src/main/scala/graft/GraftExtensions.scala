@@ -34,6 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[NfcNormalize].getName, "graft_nfc"),
         GraftExtensions.nfcBuilder))
+    // NFC is idempotent: nested graft_nfc collapses to one pass
+    ext.injectOptimizerRule(_ => graft.plans.NfcIdempotence)
     // graft_hyperplane_sigs(emb, planesPerTable, tables[, planeOffset]):
     // one LSH bucket signature per table (foldable int literals only)
     ext.injectFunction(

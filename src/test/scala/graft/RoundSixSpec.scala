@@ -227,6 +227,32 @@ class RoundSixSpec extends AnyFunSuite {
       .filter(col("split").isNull).count() == 0)
   }
 
+  // ---- optimizer rule ----
+
+  test("NfcIdempotence collapses nested graft_nfc to a single pass") {
+    import spark.implicits._
+    import graft.functions.NfcNormalize
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.NfcIdempotence
+    try {
+      // spark.range source: a local Seq would be folded away whole by
+      // ConvertToLocalRelation before the pass count can be observed
+      val s0 = concat(lit("caf\u00e9 "), col("id").cast("string")).as("s")
+      val df = spark.range(2).select(s0)
+        .select(NfcNormalize.nfc(NfcNormalize.nfc(NfcNormalize.nfc(col("s")))).as("n"))
+      val passes = df.queryExecution.optimizedPlan.collect { case p =>
+        p.expressions.map(_.collect { case e: NfcNormalize => e }.size).sum
+      }.sum
+      assert(passes == 1, s"expected 1 NfcNormalize, got $passes")
+      assert(df.collect().map(_.getString(0)).sorted.toSeq ==
+        Seq("caf\u00e9 0", "caf\u00e9 1"))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.NfcIdempotence)
+    }
+  }
+
   test("mixtureTake rejects negative targets") {
     import spark.implicits._
     val docs = Seq((1L, "a")).toDF("doc_id", "source")
