@@ -443,6 +443,15 @@ object SparkEntry {
           coalesce(col("F"), lit(0L)).as("F"),
           coalesce(col("O"), lit(0L)).as("O"),
           coalesce(col("P"), lit(0L)).as("P"))),
+    // exact grouped quantiles (the approx sketch has q_approx_sketch):
+    // sort-based percentile, partitioning-invariant; l_quantity is
+    // integer-valued so the interpolation is engine-exact
+    "q_group_quantiles" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(percentile(col("l_quantity"), lit(0.25)).as("q1"),
+          percentile(col("l_quantity"), lit(0.5)).as("med"),
+          percentile(col("l_quantity"), lit(0.75)).as("q3"),
+          min("l_quantity").as("qmin"), max("l_quantity").as("qmax"))),
     // global total-order analytics WITHOUT the single-partition sort
     // Spark plans for ORDER-BY-only windows: two-level bucketed rank
     // (ScalableRank), bit-identical to row_number/ntile
@@ -1764,6 +1773,13 @@ object SparkEntry {
         |       CAST(SUM(len(frag)) AS BIGINT) AS seq_tokens,
         |       array_to_string(flatten(list(frag ORDER BY start_tok)), ' ') AS seq_text
         |FROM frags GROUP BY seq_id""".stripMargin,
+    "q_group_quantiles" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.25) AS q1,
+        |       quantile_cont(l_quantity, 0.5) AS med,
+        |       quantile_cont(l_quantity, 0.75) AS q3,
+        |       min(l_quantity) AS qmin, max(l_quantity) AS qmax
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q_global_rank" ->
       """SELECT doc_id, n_chars,
         |       CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rk
