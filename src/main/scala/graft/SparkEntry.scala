@@ -53,7 +53,9 @@ object SparkEntry {
     val whens = TextAnalysis.splitThresholds(SplitSpec).dropRight(1)
       .map { case (n, u) => s"WHEN md5(CAST(doc_id AS VARCHAR)) < '$u' THEN '$n'" }
       .mkString(" ")
-    s"CASE $whens ELSE '${SplitSpec.last._1}' END"
+    // NULL guard mirrors splitAssign: a NULL key gets a NULL split,
+    // never the remainder label the CASE's ELSE would hand it
+    s"CASE WHEN doc_id IS NULL THEN NULL $whens ELSE '${SplitSpec.last._1}' END"
   }
 
   private def mixTargetCase: String =
@@ -1780,13 +1782,15 @@ object SparkEntry {
         |       quantile_cont(l_quantity, 0.75) AS q3,
         |       min(l_quantity) AS qmin, max(l_quantity) AS qmax
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // NULLS FIRST mirrors ScalableRank (= Spark's window default);
+    // DuckDB's bare ORDER BY would sort NULL keys last
     "q_global_rank" ->
       """SELECT doc_id, n_chars,
-        |       CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rk
+        |       CAST(row_number() OVER (ORDER BY n_chars NULLS FIRST, doc_id) AS BIGINT) AS rk
         |FROM documents""".stripMargin,
     "q_ntile" ->
       """SELECT doc_id, n_chars,
-        |       CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS INT) AS tile
+        |       CAST(ntile(10) OVER (ORDER BY n_chars NULLS FIRST, doc_id) AS INT) AS tile
         |FROM documents""".stripMargin
   )
 }

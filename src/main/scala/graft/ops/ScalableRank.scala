@@ -37,16 +37,18 @@ object ScalableRank {
       .rowsBetween(Window.unboundedPreceding, -1)
     val totalW = Window.orderBy(col("__bucket").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // the offsets side renames its key: joining two attributes of the
+    // same lineage would lean on Dataset's self-join disambiguation
+    // heuristic (and log a trivially-true-predicate warning)
     val offsets = b.groupBy("__bucket").agg(sum("__v").as("__btotal"))
-      .select(col("__bucket"),
+      .select(col("__bucket").as("__obucket"),
         coalesce(sum("__btotal").over(prefixW), lit(0L)).as("__boffset"),
         (if (withTotal) sum("__btotal").over(totalW) else lit(0L)).as("__total"))
     val joined = b
       .withColumn("__incl", sum("__v").over(inBucket))
-      .join(broadcast(offsets), b("__bucket") <=> offsets("__bucket"))
-      .drop(offsets("__bucket"))
+      .join(broadcast(offsets), col("__bucket") <=> col("__obucket"))
       .withColumn("__prefix", col("__boffset") + col("__incl") - col("__v"))
-      .drop("__bucket", "__incl", "__boffset", "__v")
+      .drop("__bucket", "__obucket", "__incl", "__boffset", "__v")
     if (withTotal) joined else joined.drop("__total")
   }
 

@@ -404,21 +404,36 @@ object TextAnalysis {
 
   /** [[packSequences]] over a precomputed `(doc_id, n_tokens)` table —
     * the at-scale entry point: count once, pack from the narrow table.
+    * NULL `doc_id` rows have no place in the doc_id-ordered stream and
+    * are dropped; duplicate doc_ids violate the unique-key precondition
+    * (RANGE-frame peers would share a running sum — overlapping
+    * ranges), as everywhere in this engine.
     */
   def packSequencesFromCounts(counts: DataFrame, ctxLen: Int,
-                              bucketSize: Long = 1L << 20): DataFrame = {
+                              bucketSize: Long = 1L << 20): DataFrame =
+    packPrefix(
+      counts.select(col("doc_id"), col("n_tokens").cast("long")),
+      ctxLen, bucketSize)
+      .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+        col("seq_first"), col("seq_last"),
+        (col("seq_last") - col("seq_first") + 1).as("n_seqs"))
+
+  /** Shared core of the packing family: global offsets + spanned
+    * sequence range for any frame carrying `doc_id` and `n_tokens`
+    * (extra columns ride through — [[packEmit]] keeps its token arrays
+    * aboard instead of re-joining them).
+    */
+  private def packPrefix(withCounts: DataFrame, ctxLen: Int,
+                         bucketSize: Long): DataFrame = {
     require(ctxLen > 0, s"ctxLen must be positive, got $ctxLen")
     require(bucketSize > 0, s"bucketSize must be positive, got $bucketSize")
     ScalableRank.exclusivePrefixSum(
-        counts.select(col("doc_id"), col("n_tokens").cast("long")),
+        withCounts.filter(col("doc_id").isNotNull),
         expr(s"doc_id DIV $bucketSize"), Seq(col("doc_id")), col("n_tokens"))
       .filter(col("n_tokens") > 0)
       .withColumnRenamed("__prefix", "start_tok")
       .withColumn("seq_first", expr(s"start_tok DIV $ctxLen"))
       .withColumn("seq_last", expr(s"(start_tok + n_tokens - 1) DIV $ctxLen"))
-      .select(col("doc_id"), col("n_tokens"), col("start_tok"),
-        col("seq_first"), col("seq_last"),
-        (col("seq_last") - col("seq_first") + 1).as("n_seqs"))
   }
 
   /** Exact-count mixture sampling — compose a training mix by taking,
@@ -487,11 +502,14 @@ object TextAnalysis {
     */
   def packEmit(docs: DataFrame, ctxLen: Int, bucketSize: Long = 1L << 20,
                textCol: String = "text"): DataFrame = {
+    // the token arrays ride the prefix-sum frame (packPrefix keeps
+    // extra columns) — no third tokenize pass, no corpus-wide re-join
     val toks = docs.select(col("doc_id"),
       filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("__toks"))
-    val packed = packSequences(docs, ctxLen, bucketSize, textCol)
-      .join(toks, Seq("doc_id"))
-      .select(col("doc_id"), col("n_tokens"), col("start_tok"), col("__toks"),
+    val packed = packPrefix(
+        toks.withColumn("n_tokens", size(col("__toks")).cast("long")),
+        ctxLen, bucketSize)
+      .select(col("n_tokens"), col("start_tok"), col("__toks"),
         explode(sequence(col("seq_first"), col("seq_last"))).as("seq_id"))
     val gs = greatest(col("seq_id") * ctxLen, col("start_tok"))
     val ge = least((col("seq_id") + 1) * ctxLen, col("start_tok") + col("n_tokens"))
