@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AnnIndex, Dedup, Multimodal, ScalableRank, Similarity, Skew, TextAnalysis}
+import graft.ops.{AnnIndex, Dedup, Maintenance, Multimodal, ScalableRank, Similarity, Skew, TextAnalysis}
 import graft.search.{Indexer, SearchEngine}
 import graft.sources.Tables
 import graft.streaming.StreamingOps
@@ -522,6 +522,17 @@ object SparkEntry {
           dayofmonth(col("ts")).as("d"))
         .agg(count(lit(1)).as("n"), min(hour(col("ts"))).as("min_h"),
           max(hour(col("ts"))).as("max_h"))),
+    // Z-order (Morton) key over two join/filter dimensions — the
+    // multi-dim clustering key Maintenance.zorderLayout writes by.
+    // Oracle-checked per row; the layout itself (range partition +
+    // in-file sort + footer-stats pruning) is asserted in a spec
+    "q_zorder" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))
+        .withColumn("zkey", Maintenance.zorderKey(
+          pmod(col("l_partkey"), lit(65536L)),
+          pmod(col("l_suppkey"), lit(65536L))))),
     // running aggregate + lag. The synthetic lineitem has NO unique
     // (orderkey, linenumber) key (unlike real TPC-H), so the ORDER BY
     // lists enough columns for a total order — full rows are unique —
@@ -880,6 +891,12 @@ object SparkEntry {
             // compose them), a C0 control char, a tab, a space run
             lit("  cafe\u0301 \u0001ctl\there A\u030A"))))
         .select("doc_id", "norm_text")),
+    // BPE training statistics pass: adjacent char-pair counts weighted
+    // by word frequency. The corpus-sized work is ONE word-count
+    // aggregate; the pair explode runs on the vocabulary table
+    "text_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(
+        TextAnalysis.wordFrequencies(t(s, dir, "documents")))),
 
     // ---- multimodal plumbing ----
     "media_stats" -> ((s, dir) =>
@@ -1560,6 +1577,28 @@ object SparkEntry {
         |    '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
         |    '[ \t]+', ' ', 'g')) AS norm_text
         |FROM documents""".stripMargin,
+    "text_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT lower(w) AS word, count(*) AS freq
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+        |  WHERE w <> '' GROUP BY 1),
+        |ex AS (
+        |  SELECT word, freq, unnest(generate_series(1, len(word) - 1)) AS i
+        |  FROM words WHERE len(word) >= 2)
+        |SELECT substr(word, i, 2) AS pair,
+        |       CAST(sum(freq) AS BIGINT) AS pair_count
+        |FROM ex GROUP BY 1""".stripMargin,
+    "q_zorder" -> {
+      // per-row 16-bit interleave spelled out as shift/mask terms (no
+      // grouping: lineitem rows are not unique on any short key)
+      val terms = (0 until 16).flatMap { i => Seq(
+        s"((((l_partkey % 65536) >> $i) & 1) << ${2 * i + 1})",
+        s"((((l_suppkey % 65536) >> $i) & 1) << ${2 * i})")
+      }
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  CAST(${terms.mkString(" + ")} AS BIGINT) AS zkey
+         |FROM lineitem""".stripMargin
+    },
     "dedup_incremental" ->
       """WITH c AS (SELECT DISTINCT md5(text) AS digest FROM documents
         |           WHERE doc_id < 250),

@@ -61,4 +61,42 @@ object Maintenance {
       .write.mode("overwrite").parquet(outPath)
     n
   }
+
+  /** Z-order (Morton) key: bit-interleave the low 16 bits of each
+    * column, first column taking the most significant position of each
+    * bit group. Values are clamped into [0, 2^16) — pre-scale (e.g.
+    * `pmod`, range-bucket) anything wider. Up to 3 columns fit a
+    * positive long. Pure shift/mask algebra — fully codegen'd, no UDF.
+    */
+  def zorderKey(cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val bits = 16
+    val n = cols.length
+    require(n >= 1 && n * bits < 64, s"1..3 columns supported, got $n")
+    val terms = for {
+      (c, j) <- cols.zipWithIndex
+      clamped = greatest(lit(0L), least(lit((1L << bits) - 1), c.cast("long")))
+      i <- 0 until bits
+    } yield shiftleft(shiftright(clamped, i).bitwiseAND(lit(1L)),
+      i * n + (n - 1 - j))
+    terms.reduce(_ + _)
+  }
+
+  /** Rewrite a table Z-ordered on `cols`: range-partition by the
+    * interleaved key, sort each partition by it, drop the key. Rows
+    * close in ALL `cols` land in the same parquet files, so each
+    * file's min/max footer stats are narrow in EVERY dimension and a
+    * filter on any one of them prunes most files — the multi-dim
+    * analogue of a single-column sort layout (same idea as Delta/
+    * Iceberg `OPTIMIZE ZORDER BY`). One shuffle, scales with the scan.
+    */
+  def zorderLayout(df: org.apache.spark.sql.DataFrame, cols: Seq[String],
+                   numFiles: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(cols.nonEmpty, "need at least one layout column")
+    df.withColumn("__zkey", zorderKey(cols.map(col): _*))
+      .repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+  }
 }

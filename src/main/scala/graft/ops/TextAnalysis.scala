@@ -576,4 +576,108 @@ object TextAnalysis {
         graft.functions.NfcNormalize.nfc(col(textCol)),
         "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""),
         "[ \\t]+", " ")))
+
+  // ---- BPE tokenizer training ------------------------------------
+
+  /** Corpus word-frequency table `(word, freq)`: plain whitespace
+    * split, lowercased, empties dropped. This is the ONLY corpus-sized
+    * pass BPE training makes — one hash aggregate with map-side
+    * partial aggregation; everything after runs on the distinct-word
+    * (vocabulary-sized) table, which at 100 TB is millions of rows,
+    * not trillions of tokens.
+    */
+  def wordFrequencies(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(split(col(textCol), " ", -1)).as("w"))
+      .filter(col("w") =!= "")
+      .select(lower(col("w")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Adjacent character-pair counts weighted by word frequency — the
+    * statistics pass of BPE iteration 0 (symbols = characters). Pure
+    * column algebra: a `transform(sequence)` HOF explodes each word's
+    * `len-1` pairs, one partial-aggregated sum per pair. Runs on the
+    * vocabulary table, so the explode fan-out is bounded by word
+    * length, never corpus size.
+    */
+  def bpePairCounts(words: DataFrame): DataFrame =
+    words.filter(length(col("word")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"
+      )).as("pair"))
+      .groupBy("pair").agg(sum("freq").as("pair_count"))
+
+  /** Distributed BPE training: `merges` greedy merge rounds over the
+    * corpus vocabulary. Each round is two small Spark jobs on the
+    * cached vocabulary table — a weighted pair count + an argmax
+    * (`TakeOrdered`, ties broken lexicographically so the result is
+    * deterministic) — and a symbol-rewrite expression; only the single
+    * winning pair crosses the driver per round. The reference pipeline
+    * has no tokenizer training; this is the standard scale design
+    * (Sennrich et al. 2016 learn_bpe, re-expressed relationally).
+    *
+    * Word boundaries are hard (no cross-word pairs, no end-of-word
+    * marker — a caller wanting GPT-style `</w>` appends it to `word`
+    * first). Returns the learned merge list in order.
+    */
+  def bpeTrain(docs: DataFrame, merges: Int,
+               textCol: String = "text"): Seq[(String, String)] = {
+    require(merges >= 0, s"merges must be non-negative, got $merges")
+    val spark = docs.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    var vocab = wordFrequencies(docs, textCol)
+      .select(split(col("word"), "").as("symbols"), col("freq"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val learned = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    try {
+      var i = 0
+      var dry = false
+      while (i < merges && !dry) {
+        val top = vocab.filter(size(col("symbols")) >= 2)
+          .select(col("freq"), explode(expr(
+            """transform(sequence(0, size(symbols) - 2),
+              |  i -> struct(symbols[i] AS l, symbols[i + 1] AS r))""".stripMargin
+          )).as("pair"))
+          .groupBy(col("pair.l").as("l"), col("pair.r").as("r"))
+          .agg(sum("freq").as("n"))
+          .orderBy(col("n").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (top.isEmpty) dry = true
+        else {
+          val (l, r) = (top(0).getString(0), top(0).getString(1))
+          learned += ((l, r))
+          // greedy leftmost non-overlapping rewrite of (l, r) -> l+r,
+          // exactly learn_bpe's semantics, as one aggregate() HOF:
+          // carry the pending symbol, emit merged or flushed
+          val rewritten = vocab.select(expr(
+            s"""aggregate(symbols,
+               |  named_struct('out', CAST(array() AS ARRAY<STRING>),
+               |    'pend', CAST(NULL AS STRING)),
+               |  (acc, s) -> CASE
+               |    WHEN acc.pend IS NULL
+               |      THEN named_struct('out', acc.out, 'pend', s)
+               |    WHEN acc.pend = ${sqlLit(l)} AND s = ${sqlLit(r)}
+               |      THEN named_struct(
+               |        'out', array_append(acc.out, ${sqlLit(l + r)}),
+               |        'pend', CAST(NULL AS STRING))
+               |    ELSE named_struct('out', array_append(acc.out, acc.pend),
+               |      'pend', s) END,
+               |  acc -> CASE WHEN acc.pend IS NULL THEN acc.out
+               |    ELSE array_append(acc.out, acc.pend) END)""".stripMargin
+          ).as("symbols"), col("freq"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          rewritten.count() // materialize before unpersisting the parent
+          vocab.unpersist()
+          vocab = rewritten
+          i += 1
+        }
+      }
+      learned.toList
+    } finally vocab.unpersist()
+  }
+
+  /** SQL string literal with quotes/backslashes escaped (merge symbols
+    * may contain either once user text gets exotic).
+    */
+  private def sqlLit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 }

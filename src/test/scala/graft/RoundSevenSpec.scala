@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Maintenance, TextAnalysis}
+
+/** Round-7 surface: distributed BPE training and Z-order layout. */
+class RoundSevenSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // ---- BPE ----
+
+  /** Naive in-memory learn_bpe (Sennrich et al. 2016): the executable
+    * spec bpeTrain must match. Greedy leftmost non-overlapping merges,
+    * argmax ties broken lexicographically.
+    */
+  private def naiveBpe(corpus: Seq[String], merges: Int): Seq[(String, String)] = {
+    var vocab: Map[Vector[String], Long] = corpus
+      .flatMap(_.split(" ", -1)).filter(_.nonEmpty).map(_.toLowerCase)
+      .groupBy(identity).map { case (w, ws) => (w.map(_.toString).toVector, ws.size.toLong) }
+    val learned = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    var continueLoop = true
+    for (_ <- 1 to merges if continueLoop) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      if (counts.isEmpty) continueLoop = false
+      else {
+        val best = counts.toSeq.minBy { case ((l, r), n) => (-n, l, r) }._1
+        learned += best
+        vocab = vocab.groupMapReduce { case (syms, _) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == best._1 && syms(i + 1) == best._2) {
+              out += (best._1 + best._2); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.result()
+        }(_._2)(_ + _)
+      }
+    }
+    learned.toList
+  }
+
+  test("bpeTrain matches the naive reference on a hand corpus") {
+    import spark.implicits._
+    val corpus = Seq("low low low low low", "lower lower", "newest newest",
+      "newest newest newest newest", "widest widest widest")
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, merges = 8)
+    assert(got == naiveBpe(corpus, 8))
+    // classic result: 'es'/'est' family and 'lo'/'low' family emerge
+    assert(got.take(2).toSet.subsetOf(Set(("e", "s"), ("es", "t"), ("l", "o"))))
+  }
+
+  test("bpeTrain matches the naive reference on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val corpus = Seq.fill(30)(
+        Seq.fill(rnd.nextInt(8) + 1)(
+          Seq.fill(rnd.nextInt(5) + 1)("abcd" (rnd.nextInt(4))).mkString
+        ).mkString(" "))
+      val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      assert(TextAnalysis.bpeTrain(docs, merges = 5) == naiveBpe(corpus, 5),
+        s"trial $trial")
+    }
+  }
+
+  test("bpeTrain stops early when no pairs remain") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text") // 1-char words only
+    assert(TextAnalysis.bpeTrain(docs, merges = 5) == Nil)
+  }
+
+  test("bpePairCounts weights pairs by word frequency") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab ba"), (2L, "ab abc")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairCounts(
+      TextAnalysis.wordFrequencies(docs))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // words: ab x3, ba x1, abc x1 -> pairs ab:3+1, ba:1, bc:1
+    assert(got == Map("ab" -> 4L, "ba" -> 1L, "bc" -> 1L))
+  }
+
+  // ---- Z-order ----
+
+  /** Scala reference interleave for the spec. */
+  private def zref(xs: Seq[Long]): Long = {
+    val n = xs.length
+    var acc = 0L
+    for ((x, j) <- xs.zipWithIndex; i <- 0 until 16) {
+      val clamped = math.min(math.max(x, 0L), 65535L)
+      acc |= (((clamped >> i) & 1L) << (i * n + (n - 1 - j)))
+    }
+    acc
+  }
+
+  test("zorderKey matches the reference interleave, incl. clamping") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq((0L, 0L), (65535L, 65535L), (-5L, 70000L), (1L, 2L)) ++
+      Seq.fill(50)((rnd.nextLong() % 100000, rnd.nextLong() % 100000))
+    val got = rows.toDF("x", "y")
+      .withColumn("z", Maintenance.zorderKey(col("x"), col("y")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (x, y, z) => assert(z == zref(Seq(x, y)), s"($x,$y)") }
+  }
+
+  test("zorderKey three columns stays positive and injective on clamped input") {
+    import spark.implicits._
+    val rows = for (x <- 0L to 7L; y <- 0L to 7L; w <- 0L to 7L) yield (x, y, w)
+    val got = rows.toDF("x", "y", "w")
+      .withColumn("z", Maintenance.zorderKey(col("x"), col("y"), col("w")))
+      .collect().map(_.getLong(3))
+    assert(got.forall(_ >= 0))
+    assert(got.distinct.length == rows.length)
+  }
+
+  test("zorderLayout narrows per-file ranges in BOTH dimensions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(20000)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val df = rows.toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder-").toString
+    Maintenance.zorderLayout(df, Seq("x", "y"), numFiles = 16)
+      .write.mode("overwrite").parquet(dir)
+    // per-file (max-min) spread in each dim: a z-ordered layout confines
+    // each of 16 files to roughly a 1/4 x 1/4 tile (spread ~16k); an
+    // unsorted write leaves every file spanning ~the full 65536 range
+    val spreads = spark.read.parquet(dir)
+      .withColumn("f", input_file_name())
+      .groupBy("f")
+      .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(spreads.length == 16)
+    val avgX = spreads.map(_._1).sum / spreads.length
+    val avgY = spreads.map(_._2).sum / spreads.length
+    assert(avgX < 30000, s"avg x-spread $avgX not clustered")
+    assert(avgY < 30000, s"avg y-spread $avgY not clustered")
+    // and the layout is lossless
+    assert(spark.read.parquet(dir).count() == rows.length)
+  }
+}
