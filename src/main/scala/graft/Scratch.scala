@@ -143,6 +143,16 @@ object Scratch {
                 count(when(col("clean_text").isNull, 1))).first()
               println(s"docs=${d.count()} removed=${agg.getLong(0)}/" +
                 s"${agg.getLong(1)} emptied=${agg.getLong(2)}")
+            case "bpe" =>
+              // 10 merge rounds over the 100k-doc corpus: corpus size
+              // only affects the one word-count aggregate; every round
+              // runs on the (deduplicated) vocabulary table. Encode
+              // then re-tokenizes the corpus via the vocab join
+              val merges = ops.TextAnalysis.bpeTrain(big, merges = 10)
+              val enc = ops.TextAnalysis.bpeEncode(big, merges)
+              val toks = enc.agg(sum(size(col("tokens")))).first().getLong(0)
+              println(s"merges=${merges.size} docs=${enc.count()} tokens=$toks " +
+                s"first=${merges.headOption}")
           }
         } else if (n == "idx-stem-nopersist") {
           search.Indexer.postings(search.Indexer.documents(spark, sfDir))

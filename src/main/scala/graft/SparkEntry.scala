@@ -897,6 +897,13 @@ object SparkEntry {
     "text_bpe_pairs" -> ((s, dir) =>
       TextAnalysis.bpePairCounts(
         TextAnalysis.wordFrequencies(t(s, dir, "documents")))),
+    // unigram-LM quality score (CCNet-style perplexity filter with a
+    // unigram model): mean log10 token probability per doc. Rounded to
+    // 6 decimals: the avg's summation order is partitioning-dependent
+    // at ~1e-13 while the round grid is 1e-6
+    "text_unigram_logprob" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(t(s, dir, "documents"))
+        .select(col("doc_id"), round(col("avg_logprob"), 6).as("avg_logprob"))),
 
     // ---- multimodal plumbing ----
     "media_stats" -> ((s, dir) =>
@@ -1588,6 +1595,18 @@ object SparkEntry {
         |SELECT substr(word, i, 2) AS pair,
         |       CAST(sum(freq) AS BIGINT) AS pair_count
         |FROM ex GROUP BY 1""".stripMargin,
+    "text_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lower(w) AS word
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+        |  WHERE w <> ''),
+        |freqs AS (SELECT word, count(*) AS freq FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) AS total FROM toks)
+        |SELECT doc_id,
+        |       round(avg(log10(CAST(freq AS DOUBLE) / total)), 6)
+        |         AS avg_logprob
+        |FROM toks JOIN freqs USING (word), tot
+        |GROUP BY 1""".stripMargin,
     "q_zorder" -> {
       // per-row 16-bit interleave spelled out as shift/mask terms (no
       // grouping: lineitem rows are not unique on any short key)

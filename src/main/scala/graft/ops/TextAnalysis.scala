@@ -645,25 +645,8 @@ object TextAnalysis {
         else {
           val (l, r) = (top(0).getString(0), top(0).getString(1))
           learned += ((l, r))
-          // greedy leftmost non-overlapping rewrite of (l, r) -> l+r,
-          // exactly learn_bpe's semantics, as one aggregate() HOF:
-          // carry the pending symbol, emit merged or flushed
-          val rewritten = vocab.select(expr(
-            s"""aggregate(symbols,
-               |  named_struct('out', CAST(array() AS ARRAY<STRING>),
-               |    'pend', CAST(NULL AS STRING)),
-               |  (acc, s) -> CASE
-               |    WHEN acc.pend IS NULL
-               |      THEN named_struct('out', acc.out, 'pend', s)
-               |    WHEN acc.pend = ${sqlLit(l)} AND s = ${sqlLit(r)}
-               |      THEN named_struct(
-               |        'out', array_append(acc.out, ${sqlLit(l + r)}),
-               |        'pend', CAST(NULL AS STRING))
-               |    ELSE named_struct('out', array_append(acc.out, acc.pend),
-               |      'pend', s) END,
-               |  acc -> CASE WHEN acc.pend IS NULL THEN acc.out
-               |    ELSE array_append(acc.out, acc.pend) END)""".stripMargin
-          ).as("symbols"), col("freq"))
+          val rewritten = vocab
+            .select(mergeRewrite("symbols", l, r).as("symbols"), col("freq"))
             .persist(StorageLevel.MEMORY_AND_DISK)
           rewritten.count() // materialize before unpersisting the parent
           vocab.unpersist()
@@ -673,6 +656,85 @@ object TextAnalysis {
       }
       learned.toList
     } finally vocab.unpersist()
+  }
+
+  /** Greedy leftmost non-overlapping rewrite of adjacent `(l, r)` to
+    * the merged symbol `l+r` in a symbol-array column — exactly
+    * learn_bpe's merge semantics — as one `aggregate()` HOF carrying
+    * (emitted prefix, pending symbol). One pass over a short array,
+    * no shuffle.
+    */
+  private def mergeRewrite(symbolsCol: String, l: String, r: String): Column =
+    expr(
+      s"""aggregate($symbolsCol,
+         |  named_struct('out', CAST(array() AS ARRAY<STRING>),
+         |    'pend', CAST(NULL AS STRING)),
+         |  (acc, s) -> CASE
+         |    WHEN acc.pend IS NULL
+         |      THEN named_struct('out', acc.out, 'pend', s)
+         |    WHEN acc.pend = ${sqlLit(l)} AND s = ${sqlLit(r)}
+         |      THEN named_struct(
+         |        'out', array_append(acc.out, ${sqlLit(l + r)}),
+         |        'pend', CAST(NULL AS STRING))
+         |    ELSE named_struct('out', array_append(acc.out, acc.pend),
+         |      'pend', s) END,
+         |  acc -> CASE WHEN acc.pend IS NULL THEN acc.out
+         |    ELSE array_append(acc.out, acc.pend) END)""".stripMargin)
+
+  /** Apply a learned merge list to the vocabulary: each merge is one
+    * HOF pass over each word's (short) symbol array — `merges.size`
+    * chained projections, Catalyst fuses them, no shuffle. Returns
+    * `(word, freq, tokens ARRAY<STRING>)`.
+    */
+  def bpeSegmentVocab(words: DataFrame,
+                      merges: Seq[(String, String)]): DataFrame = {
+    val seed = words.withColumn("tokens", split(col("word"), ""))
+    merges.foldLeft(seed) { case (df, (l, r)) =>
+      df.withColumn("tokens", mergeRewrite("tokens", l, r))
+    }
+  }
+
+  /** Encode the corpus with a learned BPE merge list. The per-word
+    * merge work happens once per DISTINCT word (on the segmented
+    * vocabulary), never per token: the token stream only pays a word →
+    * tokens equi-join and an order-restoring re-assembly keyed on
+    * doc_id. Returns `(doc_id, tokens ARRAY<STRING>)` with tokens in
+    * document order.
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+                textCol: String = "text"): DataFrame = {
+    val vocabToks = bpeSegmentVocab(wordFrequencies(docs, textCol), merges)
+      .select("word", "tokens")
+    docs.select(col("doc_id"),
+        posexplode(split(col(textCol), " ", -1)).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"), col("pos"), lower(col("w")).as("word"))
+      .join(vocabToks, "word")
+      .groupBy("doc_id")
+      .agg(flatten(expr(
+        "transform(array_sort(collect_list(struct(pos, tokens))), x -> x.tokens)"
+      )).as("tokens"))
+  }
+
+  /** Mean unigram log10-probability per document — the classic cheap
+    * LM-quality filter (CCNet-style, with a unigram model in place of
+    * KenLM): score(doc) = avg over tokens of log10(freq(word) /
+    * total_tokens). Two corpus passes (vocabulary aggregate, then a
+    * token → vocab equi-join with per-doc partial-aggregated avg);
+    * the 1-row total rides in via a broadcast cross join.
+    */
+  def unigramLogProb(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = docs.select(col("doc_id"),
+        explode(split(col(textCol), " ", -1)).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"), lower(col("w")).as("word"))
+    val freqs = wordFrequencies(docs, textCol)
+    val total = freqs.agg(sum("freq").as("total"))
+    words.join(freqs, "word")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(avg(log10(col("freq").cast("double") / col("total")))
+        .as("avg_logprob"))
   }
 
   /** SQL string literal with quotes/backslashes escaped (merge symbols

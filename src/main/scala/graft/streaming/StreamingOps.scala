@@ -240,6 +240,21 @@ object StreamingOps {
     events.withWatermark("ts", watermark)
       .dropDuplicates(keyCols :+ "ts")
 
+  /** Streaming dedup where duplicates of a key may carry DIFFERENT
+    * event times (re-crawl, producer retry, backfill overlap) —
+    * [[streamingDedup]]'s `ts`-in-key form would pass those through.
+    * `dropDuplicatesWithinWatermark` keeps the first arrival per key
+    * and GUARANTEES state eviction once the watermark passes the first
+    * occurrence plus `delay`: state is one row per distinct key per
+    * delay window, bounded regardless of how late duplicates straggle
+    * in (they are only deduped if within the window — the documented
+    * trade for bounded state at 100 TB/day).
+    */
+  def streamingDedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+                                    delay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Stream-stream interval join — the streaming form of
     * [[graft.ops.TemporalJoins.rangeJoin]]: pairs of rows in the same
     * key group with `0 < ts_b - ts_a <= maxGap`. Both sides carry a

@@ -95,6 +95,86 @@ class RoundSevenSpec extends AnyFunSuite {
     assert(got == Map("ab" -> 4L, "ba" -> 1L, "bc" -> 1L))
   }
 
+  /** Naive encode with a learned merge list: per word, apply merges in
+    * order (greedy leftmost), then concatenate per doc in token order.
+    */
+  private def naiveEncode(corpus: Seq[String],
+                          merges: Seq[(String, String)]): Map[Int, Vector[String]] = {
+    def segment(w: String): Vector[String] =
+      merges.foldLeft(w.map(_.toString).toVector) { case (syms, (l, r)) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result()
+      }
+    corpus.zipWithIndex.map { case (t, i) =>
+      i -> t.split(" ", -1).filter(_.nonEmpty).map(_.toLowerCase)
+        .toVector.flatMap(segment)
+    }.toMap
+  }
+
+  test("bpeEncode matches the naive reference and preserves token order") {
+    import spark.implicits._
+    val corpus = Seq("low lower lowest", "newest newest low", "wide widest")
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, merges = 6)
+    val got = TextAnalysis.bpeEncode(docs, merges)
+      .collect().map(r => r.getLong(0).toInt -> r.getSeq[String](1).toVector)
+      .toMap
+    assert(got == naiveEncode(corpus, merges))
+    // round trip: concatenating a doc's tokens reproduces its words
+    val joined = got(0).mkString
+    assert(joined == "lowlowerlowest")
+  }
+
+  test("unigramLogProb: uniform corpus scores log10(freq/total) exactly") {
+    import spark.implicits._
+    // 4 'a' + 4 'b' tokens -> p=0.5 for both words in every doc
+    val docs = Seq((1L, "a b a b"), (2L, "b a b a")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(docs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    got.values.foreach(v => assert(math.abs(v - math.log10(0.5)) < 1e-12))
+    // rarer words score lower: a doc of hapaxes vs a doc of the mode
+    val skew = Seq((1L, "x x x x x x"), (2L, "q r s")).toDF("doc_id", "text")
+    val s2 = TextAnalysis.unigramLogProb(skew)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(s2(2L) < s2(1L))
+  }
+
+  // ---- streaming dedup with drifting duplicate timestamps ----
+
+  test("streamingDedupWithinWatermark collapses duplicates with DIFFERENT ts") {
+    val sfDir = "/root/testdata/sf0.001"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_ddww_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(streamDir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // duplicate every event with a DRIFTED timestamp (+1s): the ts-in-key
+    // dedup would keep both copies; within-watermark dedup must not
+    val drifted = stream.unionByName(
+      stream.withColumn("ts", col("ts") + expr("INTERVAL 1 SECOND")))
+    val q = graft.streaming.StreamingOps
+      .streamingDedupWithinWatermark(drifted, Seq("event_id"), "1 hour")
+      .writeStream.format("memory").queryName("ddww_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("ddww_test").count()
+      val expected = graft.sources.Tables.events(spark, sfDir).count()
+      assert(n == expected)
+    } finally q.stop()
+  }
+
   // ---- Z-order ----
 
   /** Scala reference interleave for the spec. */
