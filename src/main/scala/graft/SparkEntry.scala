@@ -897,6 +897,17 @@ object SparkEntry {
     "text_bpe_pairs" -> ((s, dir) =>
       TextAnalysis.bpePairCounts(
         TextAnalysis.wordFrequencies(t(s, dir, "documents")))),
+    // sketch-accelerated EXACT top-k words: Misra-Gries candidates per
+    // partition + exact count of candidates only — the giant
+    // distinct-key shuffle never happens; completeness is runtime-
+    // checked (kth count vs N/capacity) with a full-agg fallback
+    "top_words_sketch" -> ((s, dir) =>
+      graft.ops.HeavyHitters.topK(
+        t(s, dir, "documents")
+          .select(explode(split(col("text"), " ", -1)).as("w"))
+          .filter(col("w") =!= "").select(lower(col("w")).as("word")),
+        "word", k = 25, capacity = 1024)
+        .select(col("key").as("word"), col("n"))),
     // unigram-LM quality score (CCNet-style perplexity filter with a
     // unigram model): mean log10 token probability per doc. Rounded to
     // 6 decimals: the avg's summation order is partitioning-dependent
@@ -1595,6 +1606,17 @@ object SparkEntry {
         |SELECT substr(word, i, 2) AS pair,
         |       CAST(sum(freq) AS BIGINT) AS pair_count
         |FROM ex GROUP BY 1""".stripMargin,
+    "top_words_sketch" ->
+      // the oracle is the PLAIN top-k: the sketch only proposes, the
+      // output contract is exact; kth-boundary ties break by word asc
+      // in both engines
+      """WITH toks AS (
+        |  SELECT lower(w) AS word
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+        |  WHERE w <> '')
+        |SELECT word, CAST(count(*) AS BIGINT) AS n
+        |FROM toks GROUP BY 1
+        |ORDER BY n DESC, word LIMIT 25""".stripMargin,
     "text_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, lower(w) AS word

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact top-k heavy hitters without shuffling the full key space.
+  *
+  * The plain `groupBy(key).count().orderBy.limit(k)` shuffles one row
+  * per DISTINCT key — at 100 TB with a web-scale vocabulary that
+  * shuffle is the bottleneck. Here each input partition builds a
+  * Misra-Gries summary (the "frequent" algorithm) of `capacity`
+  * counters; the union of summaries is a provable candidate SUPERSET
+  * of every key with global count >= N/capacity: a key with global
+  * share >= 1/capacity has per-partition share >= 1/capacity > 1/(capacity+1)
+  * in at least one partition (weighted pigeonhole), and Misra-Gries
+  * never zeroes a key whose partition count exceeds n_p/(capacity+1).
+  * One exact count restricted to the candidates (broadcast semi-join,
+  * bounded key set) then decides — the output is EXACT, the sketch
+  * only proposes.
+  *
+  * Completeness is checked, not assumed: if the k-th exact candidate
+  * count falls below N/capacity the guarantee does not cover rank k
+  * and the operator falls back to the plain full aggregation
+  * (correctness is never traded; capacity only buys the fast path).
+  * Ties break by key ascending, so the result is deterministic.
+  */
+object HeavyHitters {
+
+  /** Misra-Gries over one iterator: at most `capacity` counters; a
+    * miss with a full table decrements every counter (amortized O(1):
+    * each decrement event burns `capacity` units of total count, so at
+    * most n/capacity events occur). Returns the surviving keys —
+    * counts are discarded; the exact phase recounts.
+    */
+  private[graft] def misraGriesKeys(it: Iterator[String],
+                                    capacity: Int): Iterator[String] = {
+    val counts = new java.util.HashMap[String, java.lang.Long](capacity * 2)
+    while (it.hasNext) {
+      val k = it.next()
+      val c = counts.get(k)
+      if (c != null) counts.put(k, c + 1L)
+      else if (counts.size() < capacity) counts.put(k, 1L)
+      else {
+        val e = counts.entrySet().iterator()
+        while (e.hasNext) {
+          val kv = e.next()
+          if (kv.getValue == 1L) e.remove() else kv.setValue(kv.getValue - 1L)
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    counts.keySet().iterator().asScala
+  }
+
+  /** Exact top-k of `keyCol` by count: sketch-proposed candidates +
+    * exact verification, full-aggregation fallback when the guarantee
+    * does not reach rank k. Output: `(key, n)` ordered by `n` desc,
+    * `key` asc — identical to the plain form under any partitioning.
+    */
+  def topK(df: DataFrame, keyCol: String, k: Int,
+           capacity: Int = 4096): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(capacity >= k, s"capacity ($capacity) must be >= k ($k)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = df.select(col(keyCol).cast("string").as("key"))
+      .filter(col("key").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val candidates = keys.as[String]
+        .mapPartitions(it => misraGriesKeys(it, capacity))
+        .toDF("key").distinct()
+      // exact phase: count ONLY candidate keys — the shuffle is bounded
+      // by (#partitions x capacity), not by the distinct-key count
+      val exact = keys.join(broadcast(candidates), "key")
+        .groupBy("key").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("key"))
+        .limit(k).collect()
+      val total = keys.count()
+      val guaranteed =
+        exact.length >= k && exact.last.getLong(1) >= total.toDouble / capacity
+      if (guaranteed) {
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(exact.toIndexedSeq, 1),
+          StructType(Seq(StructField("key", StringType),
+            StructField("n", LongType, nullable = false))))
+      } else {
+        // guarantee void at rank k (key space too flat for this
+        // capacity): exactness over speed — full aggregation
+        keys.groupBy("key").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("key")).limit(k)
+      }
+    } finally keys.unpersist()
+  }
+}

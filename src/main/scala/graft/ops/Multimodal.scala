@@ -177,6 +177,34 @@ object Multimodal {
 
     def frameSampleStub(payload: Array[Byte], everyN: Int): Int =
       math.max(1, payload.length / math.max(1, everyN))
+
+    /** Decode the sampled frames of a multi-frame container ImageIO can
+      * read (animated GIF — the one video-ish format with a JDK codec).
+      * Returns `(frame_no, png_bytes)` for frames `0, everyN, 2*everyN,
+      * …`; None when the payload is not such a container. The reader
+      * seeks directly to each sampled index — skipped frames are never
+      * pixel-decoded.
+      */
+    def decodeSampledFrames(payload: Array[Byte],
+                            everyN: Int): Option[Seq[(Int, Array[Byte])]] = {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          r.setInput(iis, false, false)
+          try {
+            val n = r.getNumImages(true)
+            if (n <= 1) None // single image: not a frame stream
+            else Some((0 until n by math.max(1, everyN)).map { f =>
+              (f, encodePng(r.read(f)))
+            })
+          } finally r.dispose()
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally if (iis != null) iis.close()
+    }
   }
 
   /** Decode + feature-extract + resize over partition-sized batches:
@@ -227,9 +255,13 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for video assets: keep every `everyN`-th frame
-    * (stub counts frames from the payload). Emits one row per sampled
-    * frame — the explode shape a real video pipeline produces.
+  /** Frame sampling for video assets: keep every `everyN`-th frame.
+    * Emits one row per sampled frame — the explode shape a real video
+    * pipeline produces. The decode is REAL when the payload is a
+    * multi-frame container the JDK can read (animated GIF): frame
+    * count comes from the container and `byte_len` is the sampled
+    * frame's PNG encoding. Other payloads (no JDK video codec) use the
+    * metadata stub, so mixed corpora never throw.
     */
   final case class Frame(media_id: Long, frame_no: Int, byte_len: Int)
 
@@ -238,8 +270,13 @@ object Multimodal {
     import spark.implicits._
     media.filter(_.kind == "video").mapPartitions { it =>
       it.flatMap { m =>
-        (0 until m.n_frames by math.max(1, everyN)).iterator
-          .map(f => Frame(m.media_id, f, m.payload.length / math.max(m.n_frames, 1)))
+        MediaCodec.decodeSampledFrames(m.payload, everyN) match {
+          case Some(frames) =>
+            frames.iterator.map { case (f, png) => Frame(m.media_id, f, png.length) }
+          case None =>
+            (0 until m.n_frames by math.max(1, everyN)).iterator
+              .map(f => Frame(m.media_id, f, m.payload.length / math.max(m.n_frames, 1)))
+        }
       }
     }
   }

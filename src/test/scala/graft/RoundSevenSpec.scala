@@ -147,6 +147,92 @@ class RoundSevenSpec extends AnyFunSuite {
     assert(s2(2L) < s2(1L))
   }
 
+  // ---- sketch-accelerated exact top-k ----
+
+  test("HeavyHitters.topK equals the plain aggregation on a skewed stream") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // Zipf-ish: key i appears ~ 5000/i times, plus a long flat tail
+    val rows = (1 to 60).flatMap(i => Seq.fill(5000 / i)(s"k$i")) ++
+      (1 to 3000).map(i => s"tail${rnd.nextInt(100000)}")
+    val df = rnd.shuffle(rows).toDF("word").repartition(7)
+    val plain = df.groupBy("word").count()
+      .orderBy(col("count").desc, col("word")).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val fast = graft.ops.HeavyHitters.topK(df, "word", 10, capacity = 256)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(fast == plain)
+    // partitioning invariance
+    val fast1 = graft.ops.HeavyHitters.topK(df.repartition(1), "word", 10,
+      capacity = 256).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(fast1 == plain)
+  }
+
+  test("HeavyHitters.topK falls back to exact aggregation on a flat key space") {
+    import spark.implicits._
+    // all-distinct keys: no key reaches N/capacity, guarantee void —
+    // the fallback must still return the exact (tie-broken) top-k
+    val df = (1 to 5000).map(i => f"u$i%05d").toDF("word").repartition(5)
+    val got = graft.ops.HeavyHitters.topK(df, "word", 5, capacity = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == (1 to 5).map(i => (f"u$i%05d", 1L)))
+  }
+
+  test("misraGriesKeys never drops a key above the frequency threshold") {
+    val stream = Seq.fill(400)("hot") ++ (1 to 600).map(i => s"x$i")
+    val rnd = new scala.util.Random(3)
+    for (_ <- 1 to 5) {
+      val kept = graft.ops.HeavyHitters
+        .misraGriesKeys(rnd.shuffle(stream).iterator, capacity = 16).toSet
+      // hot has share 0.4 > 1/17 — must survive any arrival order
+      assert(kept.contains("hot"))
+      assert(kept.size <= 16)
+    }
+  }
+
+  // ---- real multi-frame decode (animated GIF) ----
+
+  /** A real animated GIF with `n` 8x8 frames, written via the JDK's
+    * GIF ImageWriter sequence API.
+    */
+  private def animatedGif(n: Int): Array[Byte] = {
+    import javax.imageio.ImageIO
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val w = ImageIO.getImageWritersByFormatName("gif").next()
+    w.setOutput(ios)
+    w.prepareWriteSequence(null)
+    for (i <- 0 until n) {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(i * 20 % 256, 60, 120)); g.fillRect(0, 0, 8, 8)
+      g.dispose()
+      w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    w.endWriteSequence(); w.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  test("sampleFrames decodes REAL frames from an animated GIF payload") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val gif = animatedGif(10)
+    val media = Seq(
+      graft.ops.Multimodal.MediaRecord(1L, "video", gif, 8, 8, 0, 999),
+      // non-GIF payload: metadata stub path (n_frames = 6)
+      graft.ops.Multimodal.MediaRecord(2L, "video",
+        Array[Byte](1, 2, 3, 4, 5, 6, 7, 8), 0, 0, 0, 6)).toDS()
+    val frames = graft.ops.Multimodal.sampleFrames(media, everyN = 3)
+      .collect().groupBy(_.media_id)
+    // real container: 10 frames in the GIF (NOT the 999 in metadata),
+    // stride 3 -> frames 0,3,6,9, each a non-empty PNG encoding
+    assert(frames(1L).map(_.frame_no).sorted.toSeq == Seq(0, 3, 6, 9))
+    frames(1L).foreach(f => assert(f.byte_len > 50))
+    // stub path still strides the metadata count
+    assert(frames(2L).map(_.frame_no).sorted.toSeq == Seq(0, 3))
+  }
+
   // ---- streaming dedup with drifting duplicate timestamps ----
 
   test("streamingDedupWithinWatermark collapses duplicates with DIFFERENT ts") {
