@@ -646,6 +646,17 @@ object SparkEntry {
     // n) relational rounds, no adjacency list ever materialized.
     "dedup_clusters" -> ((s, dir) =>
       Dedup.clusters(cachedPairs(s, dir))),
+    // SemDeDup-style semantic dedup endgame: connected components over
+    // the EXACT embedding near-dup pair list (banded hyperplane-LSH
+    // candidates, exact cosine verify), one representative per cluster
+    // (latest vec_id wins — the deterministic "keep newest" policy)
+    "dedup_embedding_semantic" -> ((s, dir) =>
+      Dedup.clusters(
+        Dedup.embeddingNearDupBanded(t(s, dir, "embeddings"), minCos = 0.4,
+          planesPerTable = 3, tables = 32),
+        "vec_a", "vec_b")
+        .groupBy("cluster_id")
+        .agg(max("doc_id").as("keeper_id"), count(lit(1)).as("n_members"))),
     // the dedup endgame as one query: cluster the near-dup pairs, then
     // keep the best member per cluster (longest text, doc_id tiebreak)
     "dedup_keep_best" -> ((s, dir) => {
@@ -1240,6 +1251,23 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |        CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
+    "dedup_embedding_semantic" ->
+      // same exact pair list as dedup_embedding_exact, transitive
+      // closure, then the keep-newest representative per component
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |          CAST(b.embedding AS DOUBLE[])) >= 0.4),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |      UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |       FROM reach GROUP BY a)
+        |SELECT cluster_id, max(doc_id) AS keeper_id, count(*) AS n_members
+        |FROM cl GROUP BY 1""".stripMargin,
     "q_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
         |       COALESCE(l_linestatus, 'ALL') AS l_linestatus,

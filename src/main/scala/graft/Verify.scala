@@ -16,9 +16,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_VERIFY_ONLY=a,b,c: restrict to the named queries for
-    // local iteration; the driver never sets it (runs everything)
+    // local iteration; the driver never sets it (runs everything).
+    // Set-but-empty collapses to unset — a wrapper exporting "" must
+    // not silently verify zero queries and look green
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -71,26 +71,33 @@ object HeavyHitters {
         .mapPartitions(it => misraGriesKeys(it, capacity))
         .toDF("key").distinct()
       // exact phase: count ONLY candidate keys — the shuffle is bounded
-      // by (#partitions x capacity), not by the distinct-key count
-      val exact = keys.join(broadcast(candidates), "key")
+      // by (#partitions x capacity), not by the distinct-key count. NO
+      // broadcast hint: at 100 TB the candidate union itself can reach
+      // #partitions x capacity keys, past the driver's broadcast limit —
+      // AQE broadcasts when the set turns out small, shuffles otherwise
+      val exact = keys.join(candidates, Seq("key"), "left_semi")
         .groupBy("key").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("key"))
         .limit(k).collect()
       val total = keys.count()
       val guaranteed =
         exact.length >= k && exact.last.getLong(1) >= total.toDouble / capacity
-      if (guaranteed) {
-        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-        spark.createDataFrame(
-          spark.sparkContext.parallelize(exact.toIndexedSeq, 1),
-          StructType(Seq(StructField("key", StringType),
-            StructField("n", LongType, nullable = false))))
-      } else {
-        // guarantee void at rank k (key space too flat for this
-        // capacity): exactness over speed — full aggregation
-        keys.groupBy("key").agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("key")).limit(k)
-      }
+      // both paths materialize (k rows) BEFORE the finally unpersists
+      // `keys` — returning the lazy fallback plan would rescan the
+      // whole uncached input at the caller's first action
+      val rows =
+        if (guaranteed) exact.toIndexedSeq
+        else
+          // guarantee void at rank k (key space too flat for this
+          // capacity): exactness over speed — full aggregation
+          keys.groupBy("key").agg(count(lit(1)).as("n"))
+            .orderBy(col("n").desc, col("key")).limit(k)
+            .collect().toIndexedSeq
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("key", StringType),
+          StructField("n", LongType, nullable = false))))
     } finally keys.unpersist()
   }
 }

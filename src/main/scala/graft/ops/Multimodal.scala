@@ -187,9 +187,15 @@ object Multimodal {
       */
     def decodeSampledFrames(payload: Array[Byte],
                             everyN: Int): Option[Seq[(Int, Array[Byte])]] = {
-      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      // createImageInputStream sits INSIDE the try: it writes a disk
+      // cache by default and its IOException (full/unwritable tmp dir)
+      // must fall back to the stub, not kill the task
+      var iis: javax.imageio.stream.ImageInputStream = null
       try {
-        val readers = ImageIO.getImageReaders(iis)
+        iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+        val readers =
+          if (iis == null) java.util.Collections.emptyIterator[javax.imageio.ImageReader]()
+          else ImageIO.getImageReaders(iis)
         if (!readers.hasNext) None
         else {
           val r = readers.next()

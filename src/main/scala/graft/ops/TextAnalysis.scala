@@ -705,7 +705,7 @@ object TextAnalysis {
                 textCol: String = "text"): DataFrame = {
     val vocabToks = bpeSegmentVocab(wordFrequencies(docs, textCol), merges)
       .select("word", "tokens")
-    docs.select(col("doc_id"),
+    val encoded = docs.select(col("doc_id"),
         posexplode(split(col(textCol), " ", -1)).as(Seq("pos", "w")))
       .filter(col("w") =!= "")
       .select(col("doc_id"), col("pos"), lower(col("w")).as("word"))
@@ -714,14 +714,24 @@ object TextAnalysis {
       .agg(flatten(expr(
         "transform(array_sort(collect_list(struct(pos, tokens))), x -> x.tokens)"
       )).as("tokens"))
+    // token-less docs (empty/whitespace-only text) still get a row with
+    // an empty token array — every input doc_id appears in the output
+    docs.select("doc_id").join(encoded, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("tokens"), expr("CAST(array() AS ARRAY<STRING>)"))
+          .as("tokens"))
   }
 
   /** Mean unigram log10-probability per document — the classic cheap
     * LM-quality filter (CCNet-style, with a unigram model in place of
     * KenLM): score(doc) = avg over tokens of log10(freq(word) /
-    * total_tokens). Two corpus passes (vocabulary aggregate, then a
-    * token → vocab equi-join with per-doc partial-aggregated avg);
-    * the 1-row total rides in via a broadcast cross join.
+    * total_tokens). EXACTLY two corpus passes: the vocabulary
+    * aggregate, then the token → vocab equi-join with a per-doc
+    * partial-aggregated avg. The grand total rides on the vocab table
+    * via an unpartitioned window — that single-partition pass sees only
+    * the (word, freq) aggregate, never the corpus (a third
+    * `freqs.agg(sum)` subtree would re-run the whole corpus scan:
+    * Catalyst does not share subtrees across a crossJoin).
     */
   def unigramLogProb(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val words = docs.select(col("doc_id"),
@@ -729,9 +739,8 @@ object TextAnalysis {
       .filter(col("w") =!= "")
       .select(col("doc_id"), lower(col("w")).as("word"))
     val freqs = wordFrequencies(docs, textCol)
-    val total = freqs.agg(sum("freq").as("total"))
+      .withColumn("total", sum("freq").over(Window.partitionBy()))
     words.join(freqs, "word")
-      .crossJoin(broadcast(total))
       .groupBy("doc_id")
       .agg(avg(log10(col("freq").cast("double") / col("total")))
         .as("avg_logprob"))

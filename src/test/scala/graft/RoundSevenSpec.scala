@@ -119,7 +119,8 @@ class RoundSevenSpec extends AnyFunSuite {
 
   test("bpeEncode matches the naive reference and preserves token order") {
     import spark.implicits._
-    val corpus = Seq("low lower lowest", "newest newest low", "wide widest")
+    // includes a token-less doc: it must still appear, with zero tokens
+    val corpus = Seq("low lower lowest", "newest newest low", "wide widest", "  ")
     val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
     val merges = TextAnalysis.bpeTrain(docs, merges = 6)
