@@ -184,6 +184,19 @@ object SparkEntry {
     * an eagerly localCheckpoint'd result (materialized blocks), so
     * memoizing the DataFrame is enough.
     */
+  /** Embedding near-dup pair list, one per (session, sf dir): banded
+    * hyperplane-LSH candidates + exact cosine verify computed ONCE for
+    * both consumers (the pair query and the semantic-dedup endgame).
+    * Eager localCheckpoint: the pair list is tiny and the memo must
+    * hold materialized blocks, not a lazy plan.
+    */
+  private val embPairsCache = new SessionCache[DataFrame]
+
+  private def cachedEmbPairs(s: SparkSession, dir: String): DataFrame =
+    embPairsCache.getOrElseUpdate(s, dir,
+      Dedup.embeddingNearDupBanded(t(s, dir, "embeddings"), minCos = 0.4,
+        planesPerTable = 3, tables = 32).localCheckpoint(true))
+
   private val pairsCache = new SessionCache[DataFrame]
 
   private def cachedPairs(s: SparkSession, dir: String): DataFrame =
@@ -225,6 +238,13 @@ object SparkEntry {
       Indexer.postings(t(s, dir, "documents"), stem = false)
         .select(col("term"), col("doc_id"), col("tf"), col("df"),
           round(col("score"), 4).as("score"))),
+    // related-document retrieval: TF-IDF cosine of every doc against
+    // doc 42's term vector, sparse posting-join algebra (no dense
+    // vectors, no embedding model)
+    "search_more_like_this" -> ((s, dir) =>
+      graft.search.Scoring.moreLikeThis(
+        Indexer.postings(t(s, dir, "documents"), stem = false), 42L, 10)
+        .select(col("doc_id"), round(col("cosine"), 4).as("cosine"))),
     // incremental maintenance: 80% of the corpus is "already indexed"
     // (only its compact per-(term,doc) stats survive), the other 20%
     // arrives as a new batch — the output must equal a full rebuild
@@ -635,8 +655,7 @@ object SparkEntry {
     // join. Table/plane counts sized so the miss probability of a true
     // pair at cosine 0.4 is < 0.1% (asserted exact by the oracle row).
     "dedup_embedding" -> ((s, dir) =>
-      Dedup.embeddingNearDupBanded(t(s, dir, "embeddings"), minCos = 0.4,
-        planesPerTable = 3, tables = 32)
+      cachedEmbPairs(s, dir)
         .select(col("vec_a"), col("vec_b"), round(col("cosine"), 4).as("cosine"))),
     "dedup_embedding_exact" -> ((s, dir) =>
       Dedup.embeddingNearDupExact(t(s, dir, "embeddings"), minCos = 0.4)
@@ -651,10 +670,7 @@ object SparkEntry {
     // candidates, exact cosine verify), one representative per cluster
     // (latest vec_id wins — the deterministic "keep newest" policy)
     "dedup_embedding_semantic" -> ((s, dir) =>
-      Dedup.clusters(
-        Dedup.embeddingNearDupBanded(t(s, dir, "embeddings"), minCos = 0.4,
-          planesPerTable = 3, tables = 32),
-        "vec_a", "vec_b")
+      Dedup.clusters(cachedEmbPairs(s, dir), "vec_a", "vec_b")
         .groupBy("cluster_id")
         .agg(max("doc_id").as("keeper_id"), count(lit(1)).as("n_members"))),
     // the dedup endgame as one query: cluster the near-dup pairs, then
@@ -1004,6 +1020,19 @@ object SparkEntry {
         """SELECT tf.term, tf.doc_id, tf.tf, dfreq.df,
           |       round((1 + log10(tf.tf)) * ln(CAST(n.doc_num AS DOUBLE) / dfreq.df), 4) AS score
           |FROM tf JOIN dfreq USING (term) CROSS JOIN n""").stripMargin,
+    "search_more_like_this" ->
+      (OracleTfidfCte +
+        """, q AS (SELECT term, score AS qw FROM sc WHERE doc_id = 42),
+          |nr AS (SELECT doc_id, sqrt(sum(score * score)) AS nrm
+          |       FROM sc GROUP BY 1),
+          |qn AS (SELECT sqrt(sum(qw * qw)) AS qnorm FROM q),
+          |dots AS (SELECT sc.doc_id, sum(sc.score * q.qw) AS dot
+          |         FROM sc JOIN q USING (term)
+          |         WHERE sc.doc_id <> 42 GROUP BY 1)
+          |SELECT d.doc_id, round(d.dot / (nr.nrm * qn.qnorm), 4) AS cosine
+          |FROM dots d JOIN nr USING (doc_id) CROSS JOIN qn
+          |ORDER BY d.dot / (nr.nrm * qn.qnorm) DESC, d.doc_id
+          |LIMIT 10""").stripMargin,
     "bm25_postings" ->
       (OracleTfidfCte +
         """, dls AS (SELECT doc_id, count(*) AS dl FROM kept GROUP BY 1),

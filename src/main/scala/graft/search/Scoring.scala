@@ -51,4 +51,33 @@ object Scoring {
         bm25Term(col("tf"), col("dl"), col("avgdl"),
           col("doc_num"), col("df")).as("score"))
   }
+
+  /** "More like this": top-k documents ranked by TF-IDF cosine against
+    * one document's term-weight vector — related-document retrieval
+    * over the same posting table the boolean engine uses, no embedding
+    * model required. The query vector is ONE document's postings (tiny
+    * → broadcast); the corpus side pays one semi-joined scan of the
+    * posting table for the dot products plus one per-doc norm
+    * aggregate. Sparse algebra throughout — the (term, doc) posting
+    * relation IS the sparse matrix, no dense vectors ever materialize,
+    * so a hot term never concentrates on one executor beyond its
+    * posting rows.
+    */
+  def moreLikeThis(postings: DataFrame, docId: Long, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val q = postings.filter(col("doc_id") === docId)
+      .select(col("term"), col("score").as("qw"))
+    val qNorm = q.agg(sqrt(sum(col("qw") * col("qw"))).as("qnorm"))
+    val norms = postings.groupBy("doc_id")
+      .agg(sqrt(sum(col("score") * col("score"))).as("nrm"))
+    postings.filter(col("doc_id") =!= docId)
+      .join(broadcast(q), "term")
+      .groupBy("doc_id").agg(sum(col("score") * col("qw")).as("dot"))
+      .join(norms, "doc_id")
+      .crossJoin(broadcast(qNorm))
+      .select(col("doc_id"),
+        (col("dot") / (col("nrm") * col("qnorm"))).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -148,6 +148,25 @@ class RoundSevenSpec extends AnyFunSuite {
     assert(s2(2L) < s2(1L))
   }
 
+  // ---- more-like-this (sparse TF-IDF cosine) ----
+
+  test("moreLikeThis ranks the near-duplicate first and skips disjoint docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma epsilon"), // shares 3 of 4 terms with doc 1
+      (3L, "alpha zeta eta theta"),     // shares 1 term
+      (4L, "omega psi chi")             // shares nothing
+    ).toDF("doc_id", "text")
+    val p = graft.search.Indexer.postings(docs, stem = false)
+    val got = graft.search.Scoring.moreLikeThis(p, 1L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // doc 4 shares no term: absent; 2 beats 3; self excluded
+    assert(got.map(_._1).toSeq == Seq(2L, 3L))
+    assert(got(0)._2 > got(1)._2)
+    assert(got.forall { case (_, c) => c > 0 && c <= 1.0 + 1e-9 })
+  }
+
   // ---- sketch-accelerated exact top-k ----
 
   test("HeavyHitters.topK equals the plain aggregation on a skewed stream") {
