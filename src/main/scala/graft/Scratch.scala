@@ -143,6 +143,31 @@ object Scratch {
                 count(when(col("clean_text").isNull, 1))).first()
               println(s"docs=${d.count()} removed=${agg.getLong(0)}/" +
                 s"${agg.getLong(1)} emptied=${agg.getLong(2)}")
+            case "hh" =>
+              // sketch top-k vs plain top-k over the 100k-doc token
+              // stream: identical results (guaranteed path on this
+              // Zipf-ish corpus), bounded candidate shuffle
+              val words = big
+                .select(explode(split(col("text"), " ", -1)).as("w"))
+                .filter(col("w") =!= "")
+                .select(lower(col("w")).as("word"))
+              // plain first: the first job over the exploded stream
+              // pays codegen/file-cache warmup, and the sketch should
+              // not be billed for it. On THIS corpus (tiny vocab) the
+              // plain groupBy is already cheap — the sketch's win
+              // condition is a key space too wide to shuffle, which a
+              // word-soup corpus cannot exhibit; match=true is the
+              // assertion that matters here.
+              val t0h = System.nanoTime()
+              val plain = words.groupBy("word").count()
+                .orderBy(col("count").desc, col("word")).limit(25)
+                .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+              val t1h = System.nanoTime()
+              val fast = ops.HeavyHitters.topK(words, "word", 25, 1024)
+                .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+              val t2h = System.nanoTime()
+              println(f"plain=${(t1h - t0h) / 1e9}%.1fs sketch=${(t2h - t1h) / 1e9}%.1fs " +
+                s"match=${fast == plain} top=${fast.headOption}")
             case "bpe" =>
               // 10 merge rounds over the 100k-doc corpus: corpus size
               // only affects the one word-count aggregate; every round

@@ -177,13 +177,6 @@ object SparkEntry {
   private val AnnPlanes = 12
   private val IvfClusters = 16
 
-  /** Near-dup pair list, one per (session, sf dir): the dedup pipeline
-    * computes the verified pair list ONCE and both consumers (connected
-    * components, keep-best keeper selection) read it — exactly how a
-    * production dedup run is staged. No persist(): ngramJaccard returns
-    * an eagerly localCheckpoint'd result (materialized blocks), so
-    * memoizing the DataFrame is enough.
-    */
   /** Embedding near-dup pair list, one per (session, sf dir): banded
     * hyperplane-LSH candidates + exact cosine verify computed ONCE for
     * both consumers (the pair query and the semantic-dedup endgame).
@@ -197,6 +190,13 @@ object SparkEntry {
       Dedup.embeddingNearDupBanded(t(s, dir, "embeddings"), minCos = 0.4,
         planesPerTable = 3, tables = 32).localCheckpoint(true))
 
+  /** Near-dup pair list, one per (session, sf dir): the dedup pipeline
+    * computes the verified pair list ONCE and both consumers (connected
+    * components, keep-best keeper selection) read it — exactly how a
+    * production dedup run is staged. No persist(): ngramJaccard returns
+    * an eagerly localCheckpoint'd result (materialized blocks), so
+    * memoizing the DataFrame is enough.
+    */
   private val pairsCache = new SessionCache[DataFrame]
 
   private def cachedPairs(s: SparkSession, dir: String): DataFrame =
@@ -1028,7 +1028,8 @@ object SparkEntry {
           |qn AS (SELECT sqrt(sum(qw * qw)) AS qnorm FROM q),
           |dots AS (SELECT sc.doc_id, sum(sc.score * q.qw) AS dot
           |         FROM sc JOIN q USING (term)
-          |         WHERE sc.doc_id <> 42 GROUP BY 1)
+          |         WHERE sc.doc_id <> 42 GROUP BY 1
+          |         HAVING sum(sc.score * q.qw) > 0)
           |SELECT d.doc_id, round(d.dot / (nr.nrm * qn.qnorm), 4) AS cosine
           |FROM dots d JOIN nr USING (doc_id) CROSS JOIN qn
           |ORDER BY d.dot / (nr.nrm * qn.qnorm) DESC, d.doc_id

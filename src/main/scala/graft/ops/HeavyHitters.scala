@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   * share >= 1/capacity has per-partition share >= 1/capacity > 1/(capacity+1)
   * in at least one partition (weighted pigeonhole), and Misra-Gries
   * never zeroes a key whose partition count exceeds n_p/(capacity+1).
-  * One exact count restricted to the candidates (broadcast semi-join,
-  * bounded key set) then decides — the output is EXACT, the sketch
-  * only proposes.
+  * One exact count restricted to the candidates (semi-join on the
+  * bounded candidate set; AQE picks broadcast vs shuffle, since the
+  * candidate union can outgrow the driver's broadcast limit) then
+  * decides — the output is EXACT, the sketch only proposes.
   *
   * Completeness is checked, not assumed: if the k-th exact candidate
   * count falls below N/capacity the guarantee does not cover rank k
@@ -33,10 +34,21 @@ object HeavyHitters {
     * counts are discarded; the exact phase recounts.
     */
   private[graft] def misraGriesKeys(it: Iterator[String],
-                                    capacity: Int): Iterator[String] = {
+                                    capacity: Int): Iterator[String] =
+    misraGriesSummary(it, capacity).collect { case (k, _) if k != null => k }
+
+  /** [[misraGriesKeys]] plus one trailing `(null, partitionRowCount)`
+    * row, so the grand total N rides out of the SAME pass — topK then
+    * scans its input exactly twice (summary, exact count) with no
+    * full-input persist and no separate count job.
+    */
+  private[graft] def misraGriesSummary(it: Iterator[String],
+                                       capacity: Int): Iterator[(String, Long)] = {
     val counts = new java.util.HashMap[String, java.lang.Long](capacity * 2)
+    var n = 0L
     while (it.hasNext) {
       val k = it.next()
+      n += 1L
       val c = counts.get(k)
       if (c != null) counts.put(k, c + 1L)
       else if (counts.size() < capacity) counts.put(k, 1L)
@@ -49,7 +61,8 @@ object HeavyHitters {
       }
     }
     import scala.jdk.CollectionConverters._
-    counts.keySet().iterator().asScala
+    counts.keySet().iterator().asScala.map((_, 0L)) ++
+      Iterator.single((null: String, n))
   }
 
   /** Exact top-k of `keyCol` by count: sketch-proposed candidates +
@@ -63,13 +76,22 @@ object HeavyHitters {
     require(capacity >= k, s"capacity ($capacity) must be >= k ($k)")
     val spark = df.sparkSession
     import spark.implicits._
+    // the raw key stream is NOT persisted: at the 100 TB design point
+    // caching the input costs more than its two scans (summary, exact);
+    // only the tiny per-partition summary is persisted
     val keys = df.select(col(keyCol).cast("string").as("key"))
       .filter(col("key").isNotNull)
+    val summary = keys.as[String]
+      .mapPartitions(it => misraGriesSummary(it, capacity))
+      .toDF("key", "cnt")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val candidates = keys.as[String]
-        .mapPartitions(it => misraGriesKeys(it, capacity))
-        .toDF("key").distinct()
+      // one action materializes the summary; total rides the same pass
+      // as the null-key rows — no separate count() job over the input
+      val total = summary.filter(col("key").isNull)
+        .agg(coalesce(sum("cnt"), lit(0L))).first().getLong(0)
+      val candidates = summary.filter(col("key").isNotNull)
+        .select("key").distinct()
       // exact phase: count ONLY candidate keys — the shuffle is bounded
       // by (#partitions x capacity), not by the distinct-key count. NO
       // broadcast hint: at 100 TB the candidate union itself can reach
@@ -79,12 +101,10 @@ object HeavyHitters {
         .groupBy("key").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("key"))
         .limit(k).collect()
-      val total = keys.count()
       val guaranteed =
         exact.length >= k && exact.last.getLong(1) >= total.toDouble / capacity
-      // both paths materialize (k rows) BEFORE the finally unpersists
-      // `keys` — returning the lazy fallback plan would rescan the
-      // whole uncached input at the caller's first action
+      // both paths materialize (k rows) inside the try — the result
+      // must not be a lazy plan over the unpersisted summary
       val rows =
         if (guaranteed) exact.toIndexedSeq
         else
@@ -98,6 +118,6 @@ object HeavyHitters {
         spark.sparkContext.parallelize(rows, 1),
         StructType(Seq(StructField("key", StringType),
           StructField("n", LongType, nullable = false))))
-    } finally keys.unpersist()
+    } finally summary.unpersist()
   }
 }

@@ -73,6 +73,10 @@ object Scoring {
     postings.filter(col("doc_id") =!= docId)
       .join(broadcast(q), "term")
       .groupBy("doc_id").agg(sum(col("score") * col("qw")).as("dot"))
+      // dot > 0 also guards the division: an all-zero-score doc (every
+      // term in every document -> idf 0) has nrm = 0, and 0/0 = NaN
+      // would sort ABOVE every real cosine in a descending order
+      .filter(col("dot") > 0)
       .join(norms, "doc_id")
       .crossJoin(broadcast(qNorm))
       .select(col("doc_id"),
