@@ -167,6 +167,18 @@ class RoundSevenSpec extends AnyFunSuite {
     assert(got.forall { case (_, c) => c > 0 && c <= 1.0 + 1e-9 })
   }
 
+  test("moreLikeThis plans joins, never a cartesian product over postings") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, s"w$i w${i % 7} shared tok${i % 3}"))
+      .toDF("doc_id", "text")
+    val p = graft.search.Indexer.postings(docs, stem = false)
+    val plan = graft.search.Scoring.moreLikeThis(p, 1L, 5)
+      .queryExecution.executedPlan.toString
+    // the only cross join is the 1-row qNorm broadcast; the posting
+    // self-join must stay a key join
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   // ---- sketch-accelerated exact top-k ----
 
   test("HeavyHitters.topK equals the plain aggregation on a skewed stream") {
