@@ -924,6 +924,14 @@ object SparkEntry {
     "text_bpe_pairs" -> ((s, dir) =>
       TextAnalysis.bpePairCounts(
         TextAnalysis.wordFrequencies(t(s, dir, "documents")))),
+    // length-distribution report: fixed-width histogram over n_chars —
+    // the standard pre-training corpus length audit. Exact integer bin
+    // counts, one partial-aggregated pass
+    "text_length_hist" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(floor(col("n_chars") / lit(256)).as("bucket"))
+        .agg(count(lit(1)).as("n"), min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"))),
     // sketch-accelerated EXACT top-k words: Misra-Gries candidates per
     // partition + exact count of candidates only — the giant
     // distinct-key shuffle never happens; completeness is runtime-
@@ -1664,6 +1672,11 @@ object SparkEntry {
         |SELECT substr(word, i, 2) AS pair,
         |       CAST(sum(freq) AS BIGINT) AS pair_count
         |FROM ex GROUP BY 1""".stripMargin,
+    "text_length_hist" ->
+      """SELECT CAST(floor(n_chars / 256.0) AS BIGINT) AS bucket,
+        |       count(*) AS n, min(n_chars) AS min_chars,
+        |       max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1""".stripMargin,
     "top_words_sketch" ->
       // the oracle is the PLAIN top-k: the sketch only proposes, the
       // output contract is exact; kth-boundary ties break by word asc
