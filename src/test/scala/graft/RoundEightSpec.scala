@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Dedup
+
+/** Round-8 surface: bounded MinHash-LSH candidate generation
+  * (exact-set collapse, bucket cap, minimum agreeing bands).
+  */
+class RoundEightSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Brute-force exact Jaccard pairs over word 3-gram shingle sets. */
+  private def naivePairs(texts: Seq[(Long, String)], minJ: Double): Set[(Long, Long, Double)] = {
+    def sh(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toVector
+      (if (toks.length < 3) Vector.empty
+       else toks.sliding(3).map(_.mkString(" ")).toVector).toSet
+    }
+    val sets = texts.map { case (id, t) => (id, sh(t)) }.filter(_._2.nonEmpty)
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if j >= minJ
+    } yield (a, b, j)).toSet
+  }
+
+  private def collected(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("minHashLshVerified finds every duplicate pair even when duplicate groups dwarf the bucket cap") {
+    import spark.implicits._
+    // 30 copies of one text (group size 30 >> maxBucket 4) + a near-dup
+    // pair + unrelated docs: the exact-set collapse must carry the
+    // duplicate mass past the cap with recall 1
+    val texts: Seq[(Long, String)] =
+      (0L until 30L).map(i => (i, "the quick brown fox jumps over the lazy dog tonight")) ++
+      Seq(
+        (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (101L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        (200L, "completely different words about spark shuffles and joins"),
+        (201L, "short"))
+    val docs = texts.toDF("doc_id", "text")
+    val got = collected(Dedup.minHashLshVerified(docs, n = 3, numHashes = 32,
+      bands = 32, minJ = 0.2, maxBucket = 4, minBands = 2))
+    assert(got == naivePairs(texts, 0.2))
+    // the duplicate group alone contributes 30*29/2 pairs at jaccard 1.0
+    assert(got.count(_._3 == 1.0) >= 435)
+  }
+
+  test("minHashLshVerified respects the bucket cap: boilerplate-only buckets generate no candidates") {
+    import spark.implicits._
+    // every doc shares ONE hot shingle ("alpha beta gamma") but is
+    // otherwise unique; with maxBucket smaller than the corpus, any
+    // band whose min lands on the hot shingle is dropped, and since no
+    // true pair exists at minJ the output must be empty (a cross join
+    // would instead have to consider all 40*39/2 pairs)
+    val texts: Seq[(Long, String)] = (0L until 40L).map(i =>
+      (i, s"alpha beta gamma unique$i token$i word$i extra$i more$i"))
+    val got = Dedup.minHashLshVerified(texts.toDF("doc_id", "text"),
+      n = 3, numHashes = 32, bands = 32, minJ = 0.5, maxBucket = 8, minBands = 2)
+    assert(got.count() == 0)
+  }
+
+  test("minHashLshVerified matches ngramJaccard on the test corpus at the entry's config") {
+    val docs = graft.search.Indexer.documents(spark, "/root/testdata/sf0.001")
+    val v = Dedup.minHashLshVerified(docs, n = 3, numHashes = 32,
+      bands = 32, minJ = 0.2, maxBucket = 16, minBands = 2)
+    val e = Dedup.ngramJaccard(docs, n = 3, minJ = 0.2)
+    assert(v.exceptAll(e).count() == 0 && e.exceptAll(v).count() == 0)
+  }
+
+  test("shingles and shingleSets agree (explode of the set array = distinct shingle rows)") {
+    val docs = graft.search.Indexer.documents(spark, "/root/testdata/sf0.001").limit(100)
+    val viaRows = Dedup.shingles(docs, 3)
+    val viaSets = Dedup.shingleSets(docs, 3)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    assert(viaRows.exceptAll(viaSets).count() == 0 &&
+      viaSets.exceptAll(viaRows).count() == 0)
+    // set arrays are canonical: sorted, no duplicates
+    val bad = Dedup.shingleSets(docs, 3).filter(
+      col("sh") =!= sort_array(array_distinct(col("sh")))).count()
+    assert(bad == 0)
+  }
+}
