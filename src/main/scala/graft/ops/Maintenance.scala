@@ -67,6 +67,13 @@ object Maintenance {
     * bit group. Values are clamped into [0, 2^16) — pre-scale (e.g.
     * `pmod`, range-bucket) anything wider. Up to 3 columns fit a
     * positive long. Pure shift/mask algebra — fully codegen'd, no UDF.
+    *
+    * Null policy: a NULL dimension contributes 0 — null rows cluster
+    * into the minimum corner of the curve (the multi-dim analogue of
+    * NULLS FIRST in a sort layout), keeping their files' min/max stats
+    * narrow instead of polluting the max corner. (Without the explicit
+    * guard, `greatest`/`least` SKIP nulls, so a null would silently
+    * clamp to 65535 — the max corner.)
     */
   def zorderKey(cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
@@ -75,7 +82,8 @@ object Maintenance {
     require(n >= 1 && n * bits < 64, s"1..3 columns supported, got $n")
     val terms = for {
       (c, j) <- cols.zipWithIndex
-      clamped = greatest(lit(0L), least(lit((1L << bits) - 1), c.cast("long")))
+      clamped = when(c.isNull, lit(0L))
+        .otherwise(greatest(lit(0L), least(lit((1L << bits) - 1), c.cast("long"))))
       i <- 0 until bits
     } yield shiftleft(shiftright(clamped, i).bitwiseAND(lit(1L)),
       i * n + (n - 1 - j))
@@ -89,6 +97,8 @@ object Maintenance {
     * filter on any one of them prunes most files — the multi-dim
     * analogue of a single-column sort layout (same idea as Delta/
     * Iceberg `OPTIMIZE ZORDER BY`). One shuffle, scales with the scan.
+    * Rows with a NULL layout column cluster into the minimum-corner
+    * files (see [[zorderKey]]'s null policy).
     */
   def zorderLayout(df: org.apache.spark.sql.DataFrame, cols: Seq[String],
                    numFiles: Int): org.apache.spark.sql.DataFrame = {

@@ -50,6 +50,14 @@ object Multimodal {
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
     import javax.imageio.ImageIO
 
+    // By default every ImageIO read/write/createImageInputStream spools
+    // through a disk-backed cache FILE — per-row temp-file IO on the
+    // executor hot path, and a full or unwritable tmp dir silently
+    // degrades decodes to the stub. All our sources are byte arrays, so
+    // force in-memory streams once per executor JVM (object init runs on
+    // first use in each executor).
+    ImageIO.setUseCache(false)
+
     /** Decode image bytes; None when the payload is not a decodable
       * image. ImageIO is executor-local and stateless (pure bytes in).
       */
@@ -187,9 +195,10 @@ object Multimodal {
       */
     def decodeSampledFrames(payload: Array[Byte],
                             everyN: Int): Option[Seq[(Int, Array[Byte])]] = {
-      // createImageInputStream sits INSIDE the try: it writes a disk
-      // cache by default and its IOException (full/unwritable tmp dir)
-      // must fall back to the stub, not kill the task
+      // createImageInputStream sits INSIDE the try: with the object-init
+      // setUseCache(false) it returns an in-memory stream (no per-row
+      // temp file), but it is still declared to throw IOException and a
+      // failure must fall back to the stub, not kill the task
       var iis: javax.imageio.stream.ImageInputStream = null
       try {
         iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))

@@ -664,7 +664,7 @@ object TextAnalysis {
     * (emitted prefix, pending symbol). One pass over a short array,
     * no shuffle.
     */
-  private def mergeRewrite(symbolsCol: String, l: String, r: String): Column =
+  private[graft] def mergeRewrite(symbolsCol: String, l: String, r: String): Column =
     expr(
       s"""aggregate($symbolsCol,
          |  named_struct('out', CAST(array() AS ARRAY<STRING>),
@@ -681,17 +681,46 @@ object TextAnalysis {
          |  acc -> CASE WHEN acc.pend IS NULL THEN acc.out
          |    ELSE array_append(acc.out, acc.pend) END)""".stripMargin)
 
-  /** Apply a learned merge list to the vocabulary: each merge is one
-    * HOF pass over each word's (short) symbol array — `merges.size`
-    * chained projections, Catalyst fuses them, no shuffle. Returns
-    * `(word, freq, tokens ARRAY<STRING>)`.
+  /** Apply a learned merge list to the vocabulary: the whole list runs
+    * as ONE executor-side pass per word (a UDF closing over the merge
+    * array — broadcast with the task, one greedy leftmost rewrite per
+    * merge, identical semantics to [[mergeRewrite]], equivalence-
+    * tested). Returns `(word, freq, tokens ARRAY<STRING>)`, no shuffle.
+    *
+    * Deliberately NOT the chained-HOF form (`merges.foldLeft` of
+    * [[mergeRewrite]] projections): Catalyst collapses that chain into
+    * one expression whose depth grows linearly with the merge count, so
+    * a realistic 10k–50k-merge tokenizer blows up analysis time and
+    * interpreted-eval depth long before the data is touched. The HOF
+    * stays the right tool where [[bpeTrain]] uses it — exactly one
+    * merge per round.
     */
   def bpeSegmentVocab(words: DataFrame,
                       merges: Seq[(String, String)]): DataFrame = {
-    val seed = words.withColumn("tokens", split(col("word"), ""))
-    merges.foldLeft(seed) { case (df, (l, r)) =>
-      df.withColumn("tokens", mergeRewrite("tokens", l, r))
+    val mergeArr: Array[(String, String)] = merges.toArray
+    val segment = udf { (syms: Seq[String]) =>
+      if (syms == null) null
+      else {
+        var cur = syms.toArray
+        var m = 0
+        while (m < mergeArr.length) {
+          val (l, r) = mergeArr(m)
+          val out = new Array[String](cur.length)
+          var i = 0
+          var j = 0
+          while (i < cur.length) {
+            if (i + 1 < cur.length && cur(i) == l && cur(i + 1) == r) {
+              out(j) = l + r; i += 2
+            } else { out(j) = cur(i); i += 1 }
+            j += 1
+          }
+          cur = if (j < cur.length) java.util.Arrays.copyOf(out, j) else out
+          m += 1
+        }
+        cur.toSeq
+      }
     }
+    words.withColumn("tokens", segment(split(col("word"), "")))
   }
 
   /** Encode the corpus with a learned BPE merge list. The per-word

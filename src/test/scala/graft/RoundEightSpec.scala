@@ -80,6 +80,51 @@ class RoundEightSpec extends AnyFunSuite {
     assert(v.exceptAll(e).count() == 0 && e.exceptAll(v).count() == 0)
   }
 
+  test("bpeSegmentVocab (executor-side pass) matches the chained mergeRewrite HOF") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val words = Seq(("lowest", 5L), ("lower", 3L), ("newest", 7L),
+      ("wideness", 2L), ("a", 1L), ("lle", 4L)).toDF("word", "freq")
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t"),
+      ("n", "e"), ("l", "l"))
+    val viaUdf = TextAnalysis.bpeSegmentVocab(words, merges)
+    // the reference semantics: one greedy leftmost HOF rewrite per merge
+    val viaHof = merges.foldLeft(words.withColumn("tokens", split(col("word"), ""))) {
+      case (df, (l, r)) => df.withColumn("tokens",
+        TextAnalysis.mergeRewrite("tokens", l, r))
+    }
+    assert(viaUdf.exceptAll(viaHof).count() == 0 &&
+      viaHof.exceptAll(viaUdf).count() == 0)
+  }
+
+  test("bpeSegmentVocab handles a long merge list without plan blowup") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val words = Seq(("aaaaaaaaaa", 2L)).toDF("word", "freq")
+    // 2000 merges would be a 2000-deep expression in the chained-HOF
+    // form; the executor-side pass must stay flat and fast
+    val merges = Seq(("a", "a")) ++ (1 to 1999).map(i => (s"x$i", s"y$i"))
+    val got = TextAnalysis.bpeSegmentVocab(words, merges)
+      .select("tokens").as[Seq[String]].head()
+    assert(got == Seq("aa", "aa", "aa", "aa", "aa"))
+  }
+
+  test("zorderKey sends NULL dimensions to the minimum corner, not the max") {
+    import spark.implicits._
+    import graft.ops.Maintenance
+    val df = Seq((Some(3L), Some(5L)), (None, Some(5L)), (Some(3L), None),
+      (Option.empty[Long], Option.empty[Long])).toDF("x", "y")
+    val keys = df.select(Maintenance.zorderKey(col("x"), col("y")).as("k"))
+      .as[Long].collect()
+    val kBoth = keys(0)
+    assert(keys(3) == 0L)           // all-null row = origin
+    assert(keys(1) < kBoth && keys(2) < kBoth) // null dim zeroes its bits
+    // and equals the key with the null dimension replaced by 0
+    val zeroX = df.select(Maintenance.zorderKey(lit(0L), col("y")).as("k"))
+      .as[Long].collect()(1)
+    assert(keys(1) == zeroX)
+  }
+
   test("shingles and shingleSets agree (explode of the set array = distinct shingle rows)") {
     val docs = graft.search.Indexer.documents(spark, "/root/testdata/sf0.001").limit(100)
     val viaRows = Dedup.shingles(docs, 3)
