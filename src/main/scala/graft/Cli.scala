@@ -83,9 +83,14 @@ object Search {
     println(s"$total/$totalPagesL")
     val pageDf = SearchEngine.page(ranked,
       math.min(page, math.max(math.min(totalPages, maxPages), 1)))
-    // stored-corpus view: first line is the title (reference convention)
+    // stored-corpus view: first line is the title (reference convention).
+    // Derived directly from the documents table — same page frame the
+    // XML path produces (titles are "doc-<id>" by the dump convention),
+    // without serializing to <page> XML and re-parsing it (one fewer
+    // scan; byte-identical output, checked on the smoke corpus).
     val corpus = graft.sources.Corpus.split(
-      graft.sources.XmlScan.parsePages(graft.sources.XmlScan.toPageXml(docs)), "text")
+      docs.select(col("doc_id"),
+        concat(lit("doc-"), col("doc_id")).as("title"), col("text")), "text")
     SearchEngine.renderCorpusPage(pageDf, corpus, query).collect().foreach { r =>
       print(s"${r.getLong(0)}\n${r.getString(2)}\n${r.getString(3)}$$RST$$")
     }

@@ -386,6 +386,27 @@ object Scratch {
           val onlyV = v.exceptAll(e).count(); val onlyE = e.exceptAll(v).count()
           println(s"minhash verified=${v.count()} exact=${e.count()} onlyV=$onlyV onlyE=$onlyE "
             + (if (onlyV == 0 && onlyE == 0) "MATCH" else "DIFF"))
+        } else if (n.startsWith("embband-cand:")) {
+          // embband-cand:<planes>:<tables> — distinct candidate-pair
+          // volume of the banded hyperplane LSH (threshold-independent):
+          // the pruning evidence for the NOTES candidates-per-config table
+          import org.apache.spark.sql.functions._
+          val parts = n.split(":")
+          val (p, tb) = (parts(1).toInt, parts(2).toInt)
+          val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          val sigTables = graft.functions.VectorExpressions
+            .hyperplaneSignatures(col("embedding"), p, tb)
+          val buckets = emb
+            .select(col("vec_id"), posexplode(sigTables).as(Seq("tbl", "bucket")))
+          val nCand = buckets
+            .select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"))
+            .join(buckets.select(col("tbl"), col("bucket"), col("vec_id").as("vec_b")),
+              Seq("tbl", "bucket"))
+            .filter(col("vec_a") < col("vec_b"))
+            .select("vec_a", "vec_b").distinct().count()
+          val nVec = emb.count()
+          println(s"embband-cand(planes=$p,tables=$tb): vectors=$nVec " +
+            s"candidatePairs=$nCand allPairs=${nVec * (nVec - 1) / 2}")
         } else if (n.startsWith("embband-vs-exact")) {
           // embband-vs-exact[:minCos:planes:tables]
           val parts = n.split(":")

@@ -664,6 +664,23 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       cachedEmbPairs(s, dir)
         .select(col("vec_a"), col("vec_b"), round(col("cosine"), 4).as("cosine"))),
+    // the PRODUCTION-threshold variant: at minCos=0.9 eight planes per
+    // table prune where three can't — measured at sf0.1 (2000 vectors,
+    // 1,999,000 pairs): 272,212 candidates (13.6%) vs 1,957,513 (98%)
+    // for the 3-plane config, which at a 0.4 threshold on near-random
+    // vectors is intrinsic (a random pair hits one 3-plane table with
+    // p=1/8, so 32 tables catch 98.6% of ALL pairs — low thresholds
+    // simply do not prune; see NOTES). 32 tables hold the strict
+    // entry's recall bound at 1-(1-(1-acos(0.9)/pi)^8)^32 = 99.998%.
+    // This corpus's embeddings are near-random (max pairwise cosine
+    // 0.60), so the exact result here is legitimately empty — the
+    // oracle row asserts the empty set against the same DuckDB SQL, and
+    // the >= 0.9 capability itself is pinned by a spec on constructed
+    // clustered vectors (RoundEightSpec).
+    "dedup_embedding_strict" -> ((s, dir) =>
+      Dedup.embeddingNearDupBanded(t(s, dir, "embeddings"), minCos = 0.9,
+        planesPerTable = 8, tables = 32)
+        .select(col("vec_a"), col("vec_b"), round(col("cosine"), 4).as("cosine"))),
     "dedup_embedding_exact" -> ((s, dir) =>
       Dedup.embeddingNearDupExact(t(s, dir, "embeddings"), minCos = 0.4)
         .select(col("vec_a"), col("vec_b"), round(col("cosine"), 4).as("cosine"))),
@@ -1247,6 +1264,15 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |        CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
+    "dedup_embedding_strict" ->
+      // exact pair list at the production threshold 0.9 — empty on this
+      // near-random corpus, and the oracle asserts exactly that
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |         CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])) >= 0.9""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,

@@ -160,7 +160,16 @@ object Similarity {
           .getField("cid").as("cluster"))
     }
 
-    var assigned = assign(centroids)
+    // each round's assignment is eagerly localCheckpointed (same pattern
+    // as Dedup.clusters): the per-dimension mean aggregation then reads
+    // the materialized (vec_id, embedding, cluster) rows instead of
+    // re-deriving the k-cosine assignment from the embeddings source —
+    // exactly one embeddings scan per iteration (the re-assign), and the
+    // returned table is already materialized for the caller's probes.
+    // Blocks are GC-reclaimed once the previous round's plan is dropped;
+    // checkpointing does not change values, so the rounded means (and
+    // the IVF determinism pin) are unaffected.
+    var assigned = assign(centroids).localCheckpoint(true)
     for (_ <- 1 to iterations) {
       // new centroid = per-dimension mean of members (posexplode + avg).
       // The mean is rounded to 9 dp: double summation order varies with
@@ -178,7 +187,7 @@ object Similarity {
           (c, vec)
         }.toArray
       if (means.nonEmpty) centroids = means
-      assigned = assign(centroids)
+      assigned = assign(centroids).localCheckpoint(true)
     }
     (assigned, centroids)
   }

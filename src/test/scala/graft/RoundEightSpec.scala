@@ -80,6 +80,37 @@ class RoundEightSpec extends AnyFunSuite {
     assert(v.exceptAll(e).count() == 0 && e.exceptAll(v).count() == 0)
   }
 
+  test("embeddingNearDupBanded at the production threshold (0.9, 8 planes, 32 tables) is exact on a clustered corpus") {
+    import spark.implicits._
+    // deterministic clustered vectors: 5 cluster centers, 8 members each
+    // at cosine >= ~0.99 to their center (small deterministic
+    // perturbation), plus 60 unrelated vectors — the >= 0.9 pair set is
+    // the within-cluster pairs, exactly
+    def unit(seed: Int, dim: Int): Array[Double] = {
+      val v = Array.tabulate(dim)(j =>
+        (((seed * 2654435761L + j * 40503L) % 1000003L).toDouble / 1000003.0) - 0.5)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val dim = 16
+    val clustered = for {
+      c <- 0 until 5; m <- 0 until 8
+      base = unit(c + 1, dim)
+      noise = unit(1000 + c * 8 + m, dim)
+    } yield ((c * 8 + m).toLong,
+      base.zip(noise).map { case (b, e) => (b + 0.05 * e).toFloat }.toSeq)
+    val loose = (0 until 60).map(i =>
+      ((1000 + i).toLong, unit(5000 + i, dim).map(_.toFloat).toSeq))
+    val emb = (clustered ++ loose).toDF("vec_id", "embedding")
+    val banded = graft.ops.Dedup.embeddingNearDupBanded(emb, minCos = 0.9,
+      planesPerTable = 8, tables = 32)
+    val exact = graft.ops.Dedup.embeddingNearDupExact(emb, minCos = 0.9)
+    assert(banded.exceptAll(exact).count() == 0 &&
+      exact.exceptAll(banded).count() == 0)
+    // the clusters are real: every within-cluster pair is present
+    assert(exact.count() >= 5 * (8 * 7) / 2)
+  }
+
   test("bpeSegmentVocab (executor-side pass) matches the chained mergeRewrite HOF") {
     import spark.implicits._
     import graft.ops.TextAnalysis
