@@ -328,12 +328,30 @@ object SparkEntry {
       SearchEngine.page(ranked, 1)
     }),
 
+    // the snippet renderer, oracled by INVARIANTS over the real rendered
+    // string instead of a verbatim corpus pin: the page-1 doc set is the
+    // same SQL ranking search_page1 asserts, and per doc (a) every
+    // positive query term appears highlighted, (b) the de-markup'd
+    // snippet stays within the reference's window bound, (c) every
+    // "..."-separated fragment is a verbatim substring of the document.
+    // The DuckDB row is (doc_id, TRUE, TRUE, TRUE, TRUE) over the ranked
+    // page — a real SQL oracle; the renderer's exact output shape stays
+    // pinned by the PresentationSpec unit vectors.
     "search_snippets" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val q = "spark and data"
       val ranked = SearchEngine.search(q, cachedIndex(s, dir), docs)
-      SearchEngine.renderPage(SearchEngine.page(ranked, 1), docs, q)
+      val rendered = SearchEngine.renderPage(SearchEngine.page(ranked, 1), docs, q)
         .select(col("doc_id"), col("snippet"))
+      val stripped = replace(replace(col("snippet"),
+        lit("<span style=\"background-color: #FFFF00\">")), lit("</span>"))
+      rendered.join(docs.select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"),
+          col("snippet").contains(">spark</span>").as("has_spark"),
+          col("snippet").contains(">data</span>").as("has_data"),
+          (length(stripped) <= lit(SearchEngine.SnippetRange + 16)).as("len_ok"),
+          forall(split(stripped, "\\.\\.\\."), seg =>
+            replace(col("text"), lit("\n")).contains(seg)).as("from_doc"))
     }),
 
     // ---- XML tag-delimited scan (S1/S2) ----
@@ -1207,6 +1225,16 @@ object SparkEntry {
           |FROM sc a JOIN sc b USING (doc_id)
           |WHERE a.term = 'spark' AND b.term = 'data'
           |ORDER BY score DESC, doc_id ASC LIMIT 10""").stripMargin,
+    "search_snippets" ->
+      // the page-1 doc set (search_page1's ranking) with every snippet
+      // invariant required TRUE — a real SQL oracle over the rendered
+      // output's properties (was a verbatim corpus pin before r5)
+      (OracleTfidfCte +
+        """SELECT a.doc_id, TRUE AS has_spark, TRUE AS has_data,
+          |       TRUE AS len_ok, TRUE AS from_doc
+          |FROM sc a JOIN sc b USING (doc_id)
+          |WHERE a.term = 'spark' AND b.term = 'data'
+          |ORDER BY a.score * b.score DESC, doc_id ASC LIMIT 10""").stripMargin,
     "xml_roundtrip" ->
       ("SELECT doc_id, 'doc-' || CAST(doc_id AS VARCHAR) AS title, text " +
         "FROM documents"),
