@@ -34,6 +34,18 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Spread a small input across the cluster before CPU-heavy row work.
+    * Parquet cannot split a single row group, so a small-file corpus
+    * arrives as one partition and tokenization+shingling would run on
+    * one core — and with no downstream shuffle before a checkpoint,
+    * STAY single-partition for every consumer. At scale (input
+    * partitions >= defaultParallelism) this is a no-op.
+    */
+  private def spread(docs: DataFrame): DataFrame = {
+    val target = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
+  }
+
   /** Word-`n`-gram shingles of a document, distinct, as one row per
     * shingle: `(doc_id, shingle STRING)`. Built from codegen'd
     * higher-order array functions — no UDF, and dedup happens INSIDE the
@@ -42,18 +54,19 @@ object Dedup {
     * shuffle.
     */
   def shingles(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame =
-    docs.select(col("doc_id"), Analyzer.tokensCol(col(textCol)).as("__toks"))
+    spread(docs).select(col("doc_id"), Analyzer.tokensCol(col(textCol)).as("__toks"))
       .select(col("doc_id"),
         explode(array_distinct(shingleArray(col("__toks"), n))).as("shingle"))
 
   /** Each document's distinct shingle SET as one sorted array row:
     * `(doc_id, sh ARRAY<STRING>)`. Sorted so the array is a canonical
     * set key — two documents have equal `sh` iff their shingle sets are
-    * equal — usable directly as a groupBy/partitionBy key. Map-side only
-    * (no shuffle); docs with fewer than `n` tokens yield an empty array.
+    * equal — usable directly as a groupBy/partitionBy key. No shuffle of
+    * shingle data (tokenize/shingle/dedup all inside the row); docs with
+    * fewer than `n` tokens yield an empty array.
     */
   def shingleSets(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame =
-    docs.select(col("doc_id"), Analyzer.tokensCol(col(textCol)).as("__toks"))
+    spread(docs).select(col("doc_id"), Analyzer.tokensCol(col(textCol)).as("__toks"))
       .select(col("doc_id"),
         sort_array(array_distinct(shingleArray(col("__toks"), n))).as("sh"))
 
