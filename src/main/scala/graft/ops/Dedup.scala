@@ -34,17 +34,11 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
-  /** Spread a small input across the cluster before CPU-heavy row work.
-    * Parquet cannot split a single row group, so a small-file corpus
-    * arrives as one partition and tokenization+shingling would run on
-    * one core — and with no downstream shuffle before a checkpoint,
-    * STAY single-partition for every consumer. At scale (input
-    * partitions >= defaultParallelism) this is a no-op.
+  /** See [[Analyzer.spread]] — tokenize/shingle work must not inherit a
+    * single-row-group input's one-partition layout, especially with no
+    * downstream shuffle before a checkpoint.
     */
-  private def spread(docs: DataFrame): DataFrame = {
-    val target = docs.sparkSession.sparkContext.defaultParallelism
-    if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
-  }
+  private def spread(docs: DataFrame): DataFrame = Analyzer.spread(docs)
 
   /** Word-`n`-gram shingles of a document, distinct, as one row per
     * shingle: `(doc_id, shingle STRING)`. Built from codegen'd

@@ -216,7 +216,8 @@ object TextAnalysis {
     * with the scan. All ratios are exact integer-count divisions
     * (bit-identical across engines, no rounding needed).
     */
-  def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def repetitionStats(docs0: DataFrame, textCol: String = "text"): DataFrame = {
+    val docs = graft.search.Analyzer.spread(docs0)
     val toks = col("__toks")
     def grams(n: Int): Column =
       if (n == 1) transform(toks, t => struct(lit(1).as("n"), t.as("gram")))
@@ -280,8 +281,9 @@ object TextAnalysis {
     * can split the skewed join, while a window would put each hot
     * line's whole partition on one task.
     */
-  def dedupLines(docs: DataFrame, textCol: String = "text",
+  def dedupLines(docs0: DataFrame, textCol: String = "text",
                  lineSep: String = "\n"): DataFrame = {
+    val docs = graft.search.Analyzer.spread(docs0)
     val lines = docs
       .select(col("doc_id"),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(lineSep)))
@@ -325,9 +327,10 @@ object TextAnalysis {
     * duplicated run >= k tokens is fully covered by its k-windows, so
     * the removed set is identical for runs >= k).
     */
-  def spanDedup(docs: DataFrame, k: Int = 8, minDocs: Int = 2,
+  def spanDedup(docs0: DataFrame, k: Int = 8, minDocs: Int = 2,
                 textCol: String = "text"): DataFrame = {
     require(k > 0 && minDocs >= 2, s"need k > 0, minDocs >= 2; got $k, $minDocs")
+    val docs = graft.search.Analyzer.spread(docs0)
     val toks = col("__toks")
     val tokenized = docs.select(col("doc_id"), split(col(textCol), " ").as("__toks"))
     val spans = tokenized
@@ -587,7 +590,8 @@ object TextAnalysis {
     * not trillions of tokens.
     */
   def wordFrequencies(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(explode(split(col(textCol), " ", -1)).as("w"))
+    graft.search.Analyzer.spread(docs)
+      .select(explode(split(col(textCol), " ", -1)).as("w"))
       .filter(col("w") =!= "")
       .select(lower(col("w")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -734,7 +738,7 @@ object TextAnalysis {
                 textCol: String = "text"): DataFrame = {
     val vocabToks = bpeSegmentVocab(wordFrequencies(docs, textCol), merges)
       .select("word", "tokens")
-    val encoded = docs.select(col("doc_id"),
+    val encoded = graft.search.Analyzer.spread(docs).select(col("doc_id"),
         posexplode(split(col(textCol), " ", -1)).as(Seq("pos", "w")))
       .filter(col("w") =!= "")
       .select(col("doc_id"), col("pos"), lower(col("w")).as("word"))
@@ -762,7 +766,8 @@ object TextAnalysis {
     * `freqs.agg(sum)` subtree would re-run the whole corpus scan:
     * Catalyst does not share subtrees across a crossJoin).
     */
-  def unigramLogProb(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def unigramLogProb(docs0: DataFrame, textCol: String = "text"): DataFrame = {
+    val docs = graft.search.Analyzer.spread(docs0)
     val words = docs.select(col("doc_id"),
         explode(split(col(textCol), " ", -1)).as("w"))
       .filter(col("w") =!= "")

@@ -35,13 +35,34 @@ object Analyzer {
   def tokensCol(text: Column, delimRegex: String = IndexDelimRegex): Column =
     filter(split(lower(text), delimRegex), t => length(t) > 0)
 
+  /** Spread a small input across the cluster before CPU-heavy per-row
+    * work (tokenize/stem/shingle). Parquet cannot split a single row
+    * group, so a small-file corpus arrives as ONE partition and all
+    * map-side work before the first exchange runs on one core. At scale
+    * (input partitions >= defaultParallelism) this is a no-op; streaming
+    * frames pass through untouched (micro-batch sizing is the stream's
+    * own concern, and `.rdd` is illegal on an unbounded frame).
+    */
+  def spread(df: DataFrame): DataFrame =
+    if (df.isStreaming) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      // hash on all columns, NOT round-robin: repartition(n) sorts each
+      // partition locally first (spark.sql.execution.sortBeforeRepartition
+      // determinism guard) — a full sort of the text rows that costs more
+      // than the parallelism buys on cheap pipelines
+      if (df.rdd.getNumPartitions < target)
+        df.repartition(target, df.columns.map(col).toIndexedSeq: _*)
+      else df
+    }
+
   /** Explode a document table into one row per token with its 1-based
     * position: `(…keyCols, pos INT, token STRING)`.
     */
   def tokenize(docs: DataFrame, textCol: String, keyCols: Seq[String],
                delimRegex: String = IndexDelimRegex): DataFrame = {
     val keys = keyCols.map(col)
-    docs
+    spread(docs)
       .select(keys :+ posexplode(tokensCol(col(textCol), delimRegex)).as(Seq("pos0", "token")): _*)
       .select(keys :+ (col("pos0") + 1).as("pos") :+ col("token"): _*)
   }
