@@ -330,7 +330,9 @@ object TextAnalysis {
   def spanDedup(docs0: DataFrame, k: Int = 8, minDocs: Int = 2,
                 textCol: String = "text"): DataFrame = {
     require(k > 0 && minDocs >= 2, s"need k > 0, minDocs >= 2; got $k, $minDocs")
-    val docs = graft.search.Analyzer.spread(docs0)
+    // forced spread: the k-gram explode + interval mask dominate the
+    // text shuffle even on a tiny corpus (measured 30% at sf0.1)
+    val docs = graft.search.Analyzer.spread(docs0, minBytesPerPartition = 0L)
     val toks = col("__toks")
     val tokenized = docs.select(col("doc_id"), split(col(textCol), " ").as("__toks"))
     val spans = tokenized

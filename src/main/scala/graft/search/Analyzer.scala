@@ -35,23 +35,35 @@ object Analyzer {
   def tokensCol(text: Column, delimRegex: String = IndexDelimRegex): Column =
     filter(split(lower(text), delimRegex), t => length(t) > 0)
 
-  /** Spread a small input across the cluster before CPU-heavy per-row
-    * work (tokenize/stem/shingle). Parquet cannot split a single row
-    * group, so a small-file corpus arrives as ONE partition and all
-    * map-side work before the first exchange runs on one core. At scale
-    * (input partitions >= defaultParallelism) this is a no-op; streaming
-    * frames pass through untouched (micro-batch sizing is the stream's
-    * own concern, and `.rdd` is illegal on an unbounded frame).
+  /** Spread an under-partitioned LARGE input across the cluster before
+    * CPU-heavy per-row work (tokenize/stem/shingle). Parquet cannot
+    * split a single row group, so a giant single-row-group file arrives
+    * as ONE partition and all map-side work before the first exchange
+    * runs on one core. The repartition shuffles the full text column,
+    * so it only pays for itself when each inherited partition is big
+    * (default gate: >= 64 MiB/partition, measured at sf0.1 where the
+    * unconditional version cost 20-70% on every light tokenize
+    * pipeline); `minBytesPerPartition = 0` forces the spread for
+    * operators whose downstream per-row work dominates any shuffle
+    * (e.g. [[graft.ops.TextAnalysis.spanDedup]]'s interval mask,
+    * measured 30% faster spread even on a 3 MB corpus). At scale
+    * (input partitions >= defaultParallelism) this is a no-op;
+    * streaming frames pass through untouched (micro-batch sizing is
+    * the stream's own concern, and `.rdd` is illegal on an unbounded
+    * frame).
     */
-  def spread(df: DataFrame): DataFrame =
+  def spread(df: DataFrame, minBytesPerPartition: Long = 64L << 20): DataFrame =
     if (df.isStreaming) df
     else {
       val target = df.sparkSession.sparkContext.defaultParallelism
+      val parts = df.rdd.getNumPartitions
+      lazy val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        .min(BigInt(Long.MaxValue)).toLong
       // hash on all columns, NOT round-robin: repartition(n) sorts each
       // partition locally first (spark.sql.execution.sortBeforeRepartition
-      // determinism guard) — a full sort of the text rows that costs more
-      // than the parallelism buys on cheap pipelines
-      if (df.rdd.getNumPartitions < target)
+      // determinism guard) — a full sort of the text rows on top of the
+      // shuffle
+      if (parts < target && bytes / parts.max(1) >= minBytesPerPartition)
         df.repartition(target, df.columns.map(col).toIndexedSeq: _*)
       else df
     }

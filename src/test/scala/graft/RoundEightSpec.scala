@@ -156,6 +156,22 @@ class RoundEightSpec extends AnyFunSuite {
     assert(keys(1) == zeroX)
   }
 
+  test("spread is size-gated: tiny inputs pass through, forced spread repartitions") {
+    import graft.search.Analyzer
+    val docs = graft.search.Indexer.documents(spark, "/root/testdata/sf0.001")
+    val small = docs.coalesce(1)
+    // a few-hundred-KB single partition is far under the 64 MiB gate:
+    // the shuffle would cost more than the parallelism buys
+    assert(Analyzer.spread(small).rdd.getNumPartitions == 1)
+    // forced (minBytesPerPartition = 0) spreads to defaultParallelism
+    assert(Analyzer.spread(small, minBytesPerPartition = 0L)
+      .rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+    // already-parallel inputs are untouched even when forced
+    val wide = docs.repartition(spark.sparkContext.defaultParallelism + 4)
+    assert(Analyzer.spread(wide, minBytesPerPartition = 0L)
+      .rdd.getNumPartitions == spark.sparkContext.defaultParallelism + 4)
+  }
+
   test("shingles and shingleSets agree (explode of the set array = distinct shingle rows)") {
     val docs = graft.search.Indexer.documents(spark, "/root/testdata/sf0.001").limit(100)
     val viaRows = Dedup.shingles(docs, 3)
