@@ -51,12 +51,14 @@ object Scratch {
               // corpus: exact-set collapse must bring the LSH back to
               // base-corpus size, and the bucket cap bounds candidate
               // generation at bands·reps·(cap-1)/2 regardless of input
-              val groups = ops.Dedup.shingleSets(big, 3)
-                .withColumn("rep", min("doc_id").over(
-                  org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+              val keyed = ops.Dedup.shingleSets(big, 3)
+                .select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"),
+                  md5(concat_ws("\u0000", col("sh"))).as("k"))
                 .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              val groups = keyed.join(
+                keyed.groupBy("k").agg(min("doc_id").as("rep")), "k")
               val nDocs = groups.count()
-              val reps = groups.filter(size(col("sh")) > 0 && col("doc_id") === col("rep"))
+              val reps = groups.filter(col("nsh") > 0 && col("doc_id") === col("rep"))
               val nReps = reps.count()
               val banded = reps.select(col("doc_id"), posexplode(
                   transform(sequence(lit(0), lit(31)), bnd =>
@@ -75,7 +77,7 @@ object Scratch {
                 .groupBy("a", "b").agg(count(lit(1)).as("nb"))
                 .filter(col("nb") >= 2).count()
               val bound = 32L * nReps * (cap - 1) / 2
-              groups.unpersist()
+              keyed.unpersist()
               val pairs = ops.Dedup.minHashLshVerified(big, 3, 32, 32, 0.2, cap, 2).count()
               println(s"docs=$nDocs reps=$nReps candidatePairs=$nCand " +
                 s"bound=$bound withinBound=${nCand <= bound} pairs(j>=0.2)=$pairs")
@@ -240,12 +242,17 @@ object Scratch {
             println(f"  $label%-28s ${(System.nanoTime() - s) / 1e9}%.2f s  $r")
             r
           }
-          val groups = ops.Dedup.shingleSets(docs, 3)
-            .withColumn("rep", min("doc_id").over(
-              org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+          // mirrors minHashLshVerified's digest-based collapse
+          val keyed = ops.Dedup.shingleSets(docs, 3)
+            .select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"),
+              md5(concat_ws("\u0000", col("sh"))).as("k"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          timed("set groups")(groups.count())
-          val reps = groups.filter(size(col("sh")) > 0 && col("doc_id") === col("rep"))
+          timed("keyed sets")(keyed.count())
+          val repIds = keyed.groupBy("k").agg(min("doc_id").as("rep"))
+          val groups = keyed.join(repIds, "k")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          timed("set groups (digest)")(groups.count())
+          val reps = groups.filter(col("nsh") > 0 && col("doc_id") === col("rep"))
           timed("representatives")(reps.count())
           val banded = reps.select(col("doc_id"), posexplode(
               transform(sequence(lit(0), lit(31)), bnd =>

@@ -202,22 +202,28 @@ object Dedup {
       .filter(col("est_jaccard") >= minJ)
   }
 
-  /** Per-document membership in its exact-duplicate shingle-set group:
-    * `(doc_id, sh, rep)` where `rep` is the smallest doc_id with an
-    * IDENTICAL shingle set (`sh` is the sorted distinct shingle array —
-    * the canonical set key). One shuffle (window min over the array
-    * key); representatives are the rows with `doc_id == rep`.
+  /** Per-document shingle set with its canonical 128-bit set digest:
+    * `(doc_id, sh, nsh, k)` where `k = md5` of the NUL-joined sorted
+    * set (tokens are alphanumeric, so NUL cannot occur in data) and
+    * `nsh = size(sh)`. Two documents share `k` iff their shingle sets
+    * are identical — the same identity-by-digest assumption [[exact]]
+    * makes for whole texts. The digest replaces the previous
+    * ARRAY<STRING>-keyed window: grouping now shuffles and compares
+    * 32-hex keys instead of sorting every partition by a multi-KB
+    * string array (measured ~2× on the set-collapse stage), and the
+    * group-min aggregation is a codegen'd fixed-width hash aggregate
+    * instead of a window sort.
     */
-  private def setGroups(docs: DataFrame, n: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
-    // no size(sh) > 0 filter HERE: a pre-window filter's predicate gets
-    // pushed below the projection, inlining the tokenizer expression into
-    // the shingle transform lambda — re-tokenizing per array element
-    // (measured 6× slower). Shingle-less docs ride through as one group
-    // and are excluded AFTER the persist barrier, where `sh` is a
-    // materialized column.
-    shingleSets(docs, n).withColumn("rep", min("doc_id").over(w))
-  }
+  private def keyedSets(docs: DataFrame, n: Int): DataFrame =
+    // no size(sh) > 0 filter HERE: a filter below the projection gets
+    // pushed under it, inlining the tokenizer expression into the
+    // shingle transform lambda — re-tokenizing per array element
+    // (measured 6× slower). Shingle-less docs ride through as one
+    // digest group and are excluded AFTER the persist barrier, where
+    // `nsh` is a materialized column.
+    shingleSets(docs, n).select(col("doc_id"), col("sh"),
+      size(col("sh")).as("nsh"),
+      md5(concat_ws("\u0000", col("sh"))).as("k"))
 
   /** MinHash LSH with EXACT verification: LSH banding proposes candidate
     * pairs (bounded-key bucket shuffle, no all-pairs), then the true
@@ -228,8 +234,9 @@ object Dedup {
     * covers every true pair.
     *
     * Exact-duplicate mass is factored out BEFORE the LSH: documents with
-    * identical shingle sets collapse to one representative (one window-
-    * min shuffle on the canonical sorted-array key). Within-group pairs
+    * identical shingle sets collapse to one representative (a narrow
+    * min-aggregate on the 128-bit set digest — see [[keyedSets]] — then
+    * one join to tag every doc with its rep). Within-group pairs
     * are emitted directly at Jaccard 1.0 and cross-group pairs expand
     * from verified representative pairs (identical sets ⇒ identical
     * Jaccard), both output-bounded — so a 20×-duplicated corpus costs
@@ -258,8 +265,9 @@ object Dedup {
     * 0 of 25 at sf0.01 (Scratch minhash-bucketstats; the oracle row
     * asserts exactness end-to-end).
     *
-    * Everything outside the two bounded shuffles (set-group window,
-    * bucket join) is map-side column algebra: shingle sets via
+    * Everything outside the bounded shuffles (set-digest aggregate,
+    * rep-tag join, bucket join) is map-side column algebra: shingle
+    * sets via
     * `array_distinct` (no distinct shuffle), signatures/banding as
     * nested higher-order functions over the per-doc array (no
     * groupByKey), verification as `array_intersect` on two id-equi-joins
@@ -273,24 +281,45 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(minBands >= 1 && minBands <= bands, "minBands must be in [1, bands]")
     val rows = numHashes / bands
-    // (doc_id, sh, rep): persisted once, consumed by banding, the verify
-    // joins, the within-group self-join, and both expansion joins
-    val groups = setGroups(docs, n)
+    // (doc_id, sh, nsh, k): persisted once (map-side only — no shuffle
+    // feeds the persist), consumed by the rep aggregate, the rep-tag
+    // join, and the rep shingle-table below
+    val keyed = keyedSets(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // shingle-less docs (fewer than n tokens) can't pair — excluded here,
-    // against the persisted rows, NOT before the window (see setGroups)
-    val nonEmpty = groups.filter(size(col("sh")) > 0)
+    // smallest doc_id per distinct set: a fixed-width codegen hash
+    // aggregate over (k, doc_id) — the arrays never enter the shuffle
+    val repIds = keyed.groupBy("k").agg(min("doc_id").as("rep"))
+    // tag every doc with its rep; at small scale AQE broadcasts the
+    // narrow repIds side, at scale it is a sort-merge join whose sort
+    // key is the 32-hex digest, never the array. Persisted because the
+    // verify/expansion joins read it five times; materialized by the
+    // eager banded checkpoint below, after which `keyed` is dropped.
+    // Shingle-less docs (fewer than n tokens) can't pair — excluded
+    // here, against the persisted rows, NOT below the projection (see
+    // keyedSets)
+    val groups = keyed.join(repIds, "k")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nonEmpty = groups.filter(col("nsh") > 0)
     val reps = nonEmpty.filter(col("doc_id") === col("rep"))
+      .select("doc_id", "sh")
     // per-band bucket = hash of the band's minhash rows, computed
     // directly from the persisted `sh` attribute (nested lambdas stay
     // cheap: `sh` is a column reference, so nothing is re-derived per
-    // element) — one pass, numHashes × |sh| xxhash64 calls per doc
+    // element) — one pass, numHashes × |sh| xxhash64 calls per doc.
+    // Eager localCheckpoint: the banded rows are tiny (bands rows per
+    // rep) but their plan is referenced by THREE consumers (bucket
+    // sizes, the kept semi-join, both self-join sides) — without the
+    // barrier the signature hashing runs once per consumer.
     val banded = reps.select(col("doc_id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)), bnd =>
           xxhash64(concat_ws(",",
             transform(sequence(bnd * rows, (bnd + 1) * rows - 1),
               i => array_min(transform(col("sh"), s => xxhash64(s, i))))), bnd)))
       .as(Seq("band", "bucket")))
+      .localCheckpoint(true)
+    // the eager checkpoint above just materialized both caches; only
+    // `groups` is read from here on, so the pre-join cache can go now
+    keyed.unpersist()
     // bucket sizes via partial-agg groupBy; the oversized-bucket list is
     // tiny so the semi-join back onto the banded rows broadcasts
     // (measured faster than a window count over the same key, whose
