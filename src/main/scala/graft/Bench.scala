@@ -80,8 +80,10 @@ object Bench {
     // bench-context effects; the driver never sets it
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    // Parquet metadata-only count (no data scan) decides the gate.
-    val embeddingRows = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    // Parquet metadata-only count (no data scan) decides the gate; a
+    // dataset dir without an embeddings table just means nothing to gate
+    val embeddingRows = scala.util.Try(
+      spark.read.parquet(s"$sfDir/embeddings.parquet").count()).getOrElse(0L)
     val skipped =
       if (embeddingRows > cartesianRowBound) scaleGatedBaselines else Set.empty[String]
     val names = SparkEntry.queries.toSeq.sortBy(_._1)

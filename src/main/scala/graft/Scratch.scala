@@ -53,7 +53,7 @@ object Scratch {
               // generation at bands·reps·(cap-1)/2 regardless of input
               val keyed = ops.Dedup.shingleSets(big, 3)
                 .select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"),
-                  md5(concat_ws("\u0000", col("sh"))).as("k"))
+                  ops.Dedup.setDigest(col("sh")).as("k"))
                 .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
               val groups = keyed.join(
                 keyed.groupBy("k").agg(min("doc_id").as("rep")), "k")
@@ -245,7 +245,7 @@ object Scratch {
           // mirrors minHashLshVerified's digest-based collapse
           val keyed = ops.Dedup.shingleSets(docs, 3)
             .select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"),
-              md5(concat_ws("\u0000", col("sh"))).as("k"))
+              ops.Dedup.setDigest(col("sh")).as("k"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           timed("keyed sets")(keyed.count())
           val repIds = keyed.groupBy("k").agg(min("doc_id").as("rep"))

@@ -347,8 +347,11 @@ object SparkEntry {
         lit("<span style=\"background-color: #FFFF00\">")), lit("</span>"))
       rendered.join(docs.select(col("doc_id"), col("text")), "doc_id")
         .select(col("doc_id"),
-          col("snippet").contains(">spark</span>").as("has_spark"),
-          col("snippet").contains(">data</span>").as("has_data"),
+          // lower() first: the renderer highlights case-insensitively
+          // (">Spark</span>" is a correct rendering), so the invariant
+          // must not depend on the corpus text's case
+          lower(col("snippet")).contains(">spark</span>").as("has_spark"),
+          lower(col("snippet")).contains(">data</span>").as("has_data"),
           (length(stripped) <= lit(SearchEngine.SnippetRange + 16)).as("len_ok"),
           forall(split(stripped, "\\.\\.\\."), seg =>
             replace(col("text"), lit("\n")).contains(seg)).as("from_doc"))

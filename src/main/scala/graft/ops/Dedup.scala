@@ -203,10 +203,13 @@ object Dedup {
   }
 
   /** Per-document shingle set with its canonical 128-bit set digest:
-    * `(doc_id, sh, nsh, k)` where `k = md5` of the NUL-joined sorted
-    * set (tokens are alphanumeric, so NUL cannot occur in data) and
+    * `(doc_id, sh, nsh, k)` where `k = md5` of the length-prefixed
+    * join of the sorted set (`<len>:<shingle>` per element, netstring
+    * style — injective for ANY shingle content, including tokens that
+    * carry control bytes the delimiter regex does not strip) and
     * `nsh = size(sh)`. Two documents share `k` iff their shingle sets
-    * are identical — the same identity-by-digest assumption [[exact]]
+    * are identical, up to the 128-bit digest-collision assumption —
+    * the same identity-by-digest assumption [[exact]]
     * makes for whole texts. The digest replaces the previous
     * ARRAY<STRING>-keyed window: grouping now shuffles and compares
     * 32-hex keys instead of sorting every partition by a multi-KB
@@ -223,7 +226,16 @@ object Dedup {
     // `nsh` is a materialized column.
     shingleSets(docs, n).select(col("doc_id"), col("sh"),
       size(col("sh")).as("nsh"),
-      md5(concat_ws("\u0000", col("sh"))).as("k"))
+      setDigest(col("sh")).as("k"))
+
+  /** Injective 128-bit digest of a sorted string array: md5 over the
+    * netstring-style `<len>:<element>` concatenation — unambiguous for
+    * ANY element content (a plain separator join is not, when elements
+    * can contain the separator). Shared by [[keyedSets]] and the
+    * Scratch profile/stress mirrors.
+    */
+  def setDigest(sh: Column): Column =
+    md5(array_join(transform(sh, s => concat(length(s), lit(":"), s)), ""))
 
   /** MinHash LSH with EXACT verification: LSH banding proposes candidate
     * pairs (bounded-key bucket shuffle, no all-pairs), then the true

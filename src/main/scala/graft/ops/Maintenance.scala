@@ -68,7 +68,9 @@ object Maintenance {
     * `pmod`, range-bucket) anything wider. Up to 3 columns fit a
     * positive long. Pure shift/mask algebra — fully codegen'd, no UDF.
     *
-    * Null policy: a NULL dimension contributes 0 — null rows cluster
+    * Null policy: a NULL dimension (including a non-null value whose
+    * cast to long is null, e.g. a non-numeric string) contributes 0 —
+    * such rows cluster
     * into the minimum corner of the curve (the multi-dim analogue of
     * NULLS FIRST in a sort layout), keeping their files' min/max stats
     * narrow instead of polluting the max corner. (Without the explicit
@@ -82,8 +84,13 @@ object Maintenance {
     require(n >= 1 && n * bits < 64, s"1..3 columns supported, got $n")
     val terms = for {
       (c, j) <- cols.zipWithIndex
-      clamped = when(c.isNull, lit(0L))
-        .otherwise(greatest(lit(0L), least(lit((1L << bits) - 1), c.cast("long"))))
+      // guard on the POST-cast value: a non-null input whose cast to
+      // long is null (e.g. a non-numeric string) must also take the
+      // null policy, not slip past isNull into null-skipping
+      // greatest/least (which would clamp it to the max corner)
+      asLong = c.cast("long")
+      clamped = when(asLong.isNull, lit(0L))
+        .otherwise(greatest(lit(0L), least(lit((1L << bits) - 1), asLong)))
       i <- 0 until bits
     } yield shiftleft(shiftright(clamped, i).bitwiseAND(lit(1L)),
       i * n + (n - 1 - j))

@@ -53,8 +53,12 @@ object Analyzer {
     * frame).
     */
   def spread(df: DataFrame, minBytesPerPartition: Long = 64L << 20): DataFrame =
-    if (df.isStreaming) df
+    if (df.isStreaming || !narrowLineage(df.queryExecution.optimizedPlan)) df
     else {
+      // .rdd is only consulted on exchange-free plans (see narrowLineage):
+      // under AQE, Dataset.rdd on a plan WITH exchanges eagerly executes
+      // every upstream shuffle stage just to learn the partition count,
+      // and those stages are not reused by the later real action
       val target = df.sparkSession.sparkContext.defaultParallelism
       val parts = df.rdd.getNumPartitions
       lazy val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -67,6 +71,27 @@ object Analyzer {
         df.repartition(target, df.columns.map(col).toIndexedSeq: _*)
       else df
     }
+
+  /** True when the plan is scan + narrow operators only (no joins,
+    * aggregates, windows, sorts, repartitions — nothing that plans an
+    * exchange). A frame downstream of an exchange is already spread by
+    * that shuffle's partitioning, and probing its partition count via
+    * `.rdd` under AQE would eagerly run the upstream stages.
+    */
+  private def narrowLineage(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case _: LeafNode => true
+      case _: Project | _: Filter | _: Generate | _: SubqueryAlias |
+           _: Union | _: LocalLimit =>
+        p.children.forall(narrowLineage)
+      // coalesce: no exchange, narrows the partition count — exactly
+      // the shape spread exists to widen
+      case r: Repartition if !r.shuffle => p.children.forall(narrowLineage)
+      case _ => false
+    }
+  }
 
   /** Explode a document table into one row per token with its 1-based
     * position: `(…keyCols, pos INT, token STRING)`.
