@@ -63,6 +63,27 @@ object SparkEntry {
       .map { case (s, n) => s"WHEN '$s' THEN $n" }
       .mkString(" ") + " ELSE 0 END"
 
+  /** Shared by dedup_incremental and dedup_incremental_bloom (the Bloom
+    * prefilter cannot change the classification — no false negatives,
+    * and positives are exact-confirmed by the join).
+    */
+  private val OracleIncrementalSql: String =
+    """WITH c AS (SELECT DISTINCT md5(text) AS digest FROM documents
+      |           WHERE doc_id < 250),
+      |b AS (
+      |  SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id >= 250
+      |  UNION ALL
+      |  SELECT doc_id + 1000, md5(text) FROM documents WHERE doc_id < 30
+      |  UNION ALL
+      |  SELECT doc_id + 2000, md5(text) FROM documents
+      |  WHERE doc_id >= 250 AND doc_id < 260),
+      |f AS (SELECT digest, min(doc_id) AS first_id FROM b GROUP BY 1)
+      |SELECT b.doc_id, b.digest,
+      |  CASE WHEN c.digest IS NOT NULL THEN 'dup_corpus'
+      |       WHEN b.doc_id > f.first_id THEN 'dup_batch'
+      |       ELSE 'new' END AS status
+      |FROM b LEFT JOIN c USING (digest) JOIN f USING (digest)""".stripMargin
+
   private val OracleNgramCte: String =
     """toks0 AS (
       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
@@ -506,6 +527,34 @@ object SparkEntry {
       ScalableRank.globalNtile(
         t(s, dir, "documents").select("doc_id", "n_chars"),
         10, "n_chars", "doc_id", bucketWidth = 256)),
+    // deterministic per-epoch training-order shuffle: pseudorandom but
+    // reproducible global positions via the same two-level prefix sum
+    // (no single-partition sort); the order is md5-keyed so any engine
+    // reproduces it
+    "text_global_shuffle" -> ((s, dir) =>
+      ScalableRank.deterministicShuffle(
+        t(s, dir, "documents").select("doc_id"), "doc_id", seed = 42)),
+    // SCD-1 MERGE INTO as one full outer join: update, delete, and
+    // insert rows applied to a snapshot in a single pass. The change
+    // batch is derived deterministically from customer so every merge
+    // case occurs
+    "q_upsert" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      val changes =
+        c.filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey"), col("c_name"),
+            (col("c_acctbal") + 100.0).as("c_acctbal"),
+            lit(false).as("_deleted"))
+        .unionByName(c.filter(col("c_custkey") % 10 === 1)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            lit(true).as("_deleted")))
+        .unionByName(c.filter(col("c_custkey") % 10 === 2)
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            concat(lit("copy of "), col("c_name")).as("c_name"),
+            lit(0.0).as("c_acctbal"), lit(false).as("_deleted")))
+      Maintenance.upsert(c, changes, Seq("c_custkey"))
+    }),
     // unpivot/melt: wide measure columns to (measure, val) rows —
     // pure row expansion, no shuffle, scales with the scan
     "q_unpivot" -> ((s, dir) =>
@@ -947,6 +996,22 @@ object SparkEntry {
       Dedup.incrementalExact(
         corpus.select(md5(col("text")).as("digest")), batch)
     }),
+    // the same append-only classification with the at-rest probe join
+    // Bloom-pruned: output-identical to dedup_incremental (same oracle
+    // SQL), but only the Bloom-positive batch slice joins the at-rest
+    // digest table — the per-batch cost a 100 TB corpus actually pays
+    "dedup_incremental_bloom" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") < 250)
+        .select(md5(col("text")).as("digest"))
+      val batch = d.filter(col("doc_id") >= 250).select("doc_id", "text")
+        .unionByName(d.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 1000).as("doc_id"), col("text")))
+        .unionByName(d.filter(col("doc_id") >= 250 && col("doc_id") < 260)
+          .select((col("doc_id") + 2000).as("doc_id"), col("text")))
+      val bloom = Dedup.digestBloom(corpus, expectedItems = 300)
+      Dedup.incrementalExactBloom(corpus, bloom, batch)
+    }),
     // exact duplicate-span removal: strip every 8-token span occurring
     // in >= 2 docs, rebuild the survivors (substring dedup)
     "text_span_dedup" -> ((s, dir) =>
@@ -995,6 +1060,18 @@ object SparkEntry {
     "text_unigram_logprob" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(t(s, dir, "documents"))
         .select(col("doc_id"), round(col("avg_logprob"), 6).as("avg_logprob"))),
+    // bigram-LM quality score: mean conditional log-prob over in-doc
+    // bigrams under the corpus MLE — the next rung above the unigram
+    // score; round(6) since double-sum order is partitioning-dependent
+    "text_bigram_logprob" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          round(col("avg_bigram_logprob"), 6).as("avg_bigram_logprob"))),
+    // full winnowing (MOSS) fingerprint selection: min-hash of each
+    // w-window of word-k-gram hashes, rightmost-min tie rule — pure
+    // map-side HOF algebra, portable md5-hex ordering
+    "text_winnowing" -> ((s, dir) =>
+      TextAnalysis.winnow(t(s, dir, "documents"), k = 4, w = 4)),
 
     // ---- multimodal plumbing ----
     "media_stats" -> ((s, dir) =>
@@ -1764,6 +1841,72 @@ object SparkEntry {
         |         AS avg_logprob
         |FROM toks JOIN freqs USING (word), tot
         |GROUP BY 1""".stripMargin,
+    "text_bigram_logprob" ->
+      """WITH t0 AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split(text, ' '), w -> lower(w)),
+        |                w -> w <> '') AS arr
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, arr[i] || ' ' || arr[i + 1] AS bigram
+        |  FROM t0, unnest(generate_series(1, len(arr) - 1)) AS u(i)
+        |  WHERE len(arr) >= 2),
+        |counts AS (SELECT bigram, count(*) AS freq FROM bi GROUP BY 1),
+        |ctx AS (
+        |  SELECT bigram, freq,
+        |         sum(freq) OVER (PARTITION BY string_split(bigram, ' ')[1])
+        |           AS ctx_total
+        |  FROM counts)
+        |SELECT doc_id,
+        |       round(avg(log10(CAST(freq AS DOUBLE) / ctx_total)), 6)
+        |         AS avg_bigram_logprob
+        |FROM bi JOIN ctx USING (bigram)
+        |GROUP BY 1""".stripMargin,
+    "text_winnowing" ->
+      // the same fixed-width (md5hex || 10^10-pos) encoding as the
+      // Spark side: lexicographic min = (hash ASC, pos DESC), the
+      // robust-winnowing rightmost-min tie rule
+      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+        |g AS (
+        |  SELECT doc_id, i AS pos, len(arr) - 3 AS ng,
+        |         md5(array_to_string(arr[i : i + 3], ' ')) ||
+        |           lpad(CAST(10000000000 - i AS VARCHAR), 10, '0') AS m
+        |  FROM t0, unnest(generate_series(1, len(arr) - 3)) AS u(i)
+        |  WHERE len(arr) >= 4),
+        |sel AS (
+        |  SELECT doc_id, pos, ng,
+        |         min(m) OVER (PARTITION BY doc_id ORDER BY pos
+        |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mm
+        |  FROM g)
+        |SELECT DISTINCT doc_id,
+        |  CAST(10000000000 - CAST(substr(mm, 33, 10) AS BIGINT) AS INT) AS pos,
+        |  substr(mm, 1, 32) AS fp
+        |FROM sel WHERE pos <= greatest(ng - 3, 1)""".stripMargin,
+    "text_global_shuffle" ->
+      """SELECT doc_id,
+        |       CAST(row_number() OVER (
+        |         ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id)
+        |         AS BIGINT) AS shuffle_pos
+        |FROM documents""".stripMargin,
+    "q_upsert" ->
+      """WITH c AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |ch AS (
+        |  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal,
+        |         false AS del
+        |  FROM c WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal, true FROM c
+        |  WHERE c_custkey % 10 = 1
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'copy of ' || c_name, 0.0, false
+        |  FROM c WHERE c_custkey % 10 = 2)
+        |SELECT coalesce(ch.c_custkey, c.c_custkey) AS c_custkey,
+        |       CASE WHEN ch.c_custkey IS NOT NULL THEN ch.c_name
+        |            ELSE c.c_name END AS c_name,
+        |       CASE WHEN ch.c_custkey IS NOT NULL THEN ch.c_acctbal
+        |            ELSE c.c_acctbal END AS c_acctbal
+        |FROM c FULL OUTER JOIN ch ON c.c_custkey = ch.c_custkey
+        |WHERE NOT coalesce(ch.del, false)""".stripMargin,
     "q_zorder" -> {
       // per-row 16-bit interleave spelled out as shift/mask terms (no
       // grouping: lineitem rows are not unique on any short key)
@@ -1775,22 +1918,10 @@ object SparkEntry {
          |  CAST(${terms.mkString(" + ")} AS BIGINT) AS zkey
          |FROM lineitem""".stripMargin
     },
-    "dedup_incremental" ->
-      """WITH c AS (SELECT DISTINCT md5(text) AS digest FROM documents
-        |           WHERE doc_id < 250),
-        |b AS (
-        |  SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id >= 250
-        |  UNION ALL
-        |  SELECT doc_id + 1000, md5(text) FROM documents WHERE doc_id < 30
-        |  UNION ALL
-        |  SELECT doc_id + 2000, md5(text) FROM documents
-        |  WHERE doc_id >= 250 AND doc_id < 260),
-        |f AS (SELECT digest, min(doc_id) AS first_id FROM b GROUP BY 1)
-        |SELECT b.doc_id, b.digest,
-        |  CASE WHEN c.digest IS NOT NULL THEN 'dup_corpus'
-        |       WHEN b.doc_id > f.first_id THEN 'dup_batch'
-        |       ELSE 'new' END AS status
-        |FROM b LEFT JOIN c USING (digest) JOIN f USING (digest)""".stripMargin,
+    "dedup_incremental" -> OracleIncrementalSql,
+    // the Bloom-pruned variant is output-identical BY CONSTRUCTION
+    // (no false negatives; positives exact-confirmed) — same oracle
+    "dedup_incremental_bloom" -> OracleIncrementalSql,
     "text_span_dedup" ->
       """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
         |sp AS (

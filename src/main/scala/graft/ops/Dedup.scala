@@ -622,6 +622,64 @@ object Dedup {
       .unionByName(invalid)
   }
 
+  /** Build the reusable Bloom-filter artifact over the at-rest digest
+    * table for [[incrementalExactBloom]]: one partial-aggregated scan,
+    * built once per corpus epoch and reused across every arriving
+    * batch (persist it driver-side or re-broadcast per job). Size the
+    * filter from the digest count: ~1.2 GB per 10^9 digests at 1% fpp
+    * — executor-memory scale well past billion-document corpora.
+    */
+  def digestBloom(oldDigests: DataFrame, expectedItems: Long,
+                  fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
+    oldDigests.stat.bloomFilter("digest", expectedItems, fpp)
+
+  /** [[incrementalExact]] with the at-rest probe join pruned by a Bloom
+    * filter over the corpus digests — output-identical (Bloom has no
+    * false negatives, and positives are exact-confirmed by the join),
+    * but only the Bloom-POSITIVE slice of the batch enters the join
+    * against the huge at-rest digest table. For the common
+    * mostly-novel batch, the join's batch side shrinks to roughly
+    * (true dups + fpp * new), so the shuffle that classifies a batch
+    * is bounded by its duplicate mass, not its size. Pair with a
+    * digest table bucketed on `digest` at rest
+    * ([[graft.ops.Bucketing]]) and the at-rest side never reshuffles
+    * either.
+    *
+    * The membership probe is a broadcast-UDF filter (Spark exposes no
+    * column function for sketch probes); it is a single boolean per
+    * row outside every hot aggregation, and the plan stays whole-stage
+    * codegen around it.
+    */
+  def incrementalExactBloom(oldDigests: DataFrame,
+                            bloom: org.apache.spark.util.sketch.BloomFilter,
+                            newDocs: DataFrame,
+                            textCol: String = "text"): DataFrame = {
+    val spark = newDocs.sparkSession
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((d: String) => d != null && bc.value.mightContainString(d))
+    val invalid = newDocs.filter(col(textCol).isNull)
+      .select(col("doc_id"), lit(null).cast("string").as("digest"),
+        lit("invalid").as("status"))
+    val d = newDocs.filter(col(textCol).isNotNull)
+      .select(col("doc_id"), md5(col(textCol)).as("digest"),
+        mightContain(md5(col(textCol))).as("__maybe"))
+    val firstInBatch = d.groupBy("digest").agg(min("doc_id").as("first_id"))
+    // only the Bloom-positive slice probes the at-rest table; negatives
+    // are definitively new-to-corpus and skip the join entirely
+    val probed = d.filter(col("__maybe"))
+      .join(oldDigests.select(col("digest"), lit(true).as("__at_rest")).distinct(),
+        Seq("digest"), "left")
+    val fresh = d.filter(!col("__maybe"))
+      .withColumn("__at_rest", lit(null).cast("boolean"))
+    probed.unionByName(fresh)
+      .join(firstInBatch, Seq("digest"))
+      .select(col("doc_id"), col("digest"),
+        when(col("__at_rest"), "dup_corpus")
+          .when(col("doc_id") > col("first_id"), "dup_batch")
+          .otherwise("new").as("status"))
+      .unionByName(invalid)
+  }
+
   /** Benchmark-contamination check (the decontamination pass every
     * LLM-training pipeline runs): flag corpus documents sharing at
     * least one word-`n`-gram with a held-out benchmark/eval set, with

@@ -116,4 +116,45 @@ object Maintenance {
       .sortWithinPartitions("__zkey")
       .drop("__zkey")
   }
+
+  /** SCD-1 MERGE: apply a change batch to a snapshot, returning the new
+    * snapshot — the Delta/Iceberg `MERGE INTO` pattern as one full
+    * outer join (matched + `deleteCol` → drop; matched → change row
+    * wins; unmatched change → insert; unmatched snapshot → carry).
+    *
+    * `changes` must carry every snapshot column plus the boolean
+    * `deleteCol`, and be UNIQUE per key (pre-reduce a CDC stream to
+    * its latest row per key first — see
+    * [[graft.streaming.StreamingOps]] for the streaming half).
+    * A delete for an absent key is a no-op, an upsert for an absent
+    * key an insert — the usual idempotent-merge contract.
+    *
+    * Scale: one shuffle of each side on the key. With the snapshot
+    * bucketed on the key at rest ([[graft.ops.Bucketing]]) only the
+    * (small) change batch moves; AQE handles the skewed-key case. The
+    * anti-join-free single-join form means each side is scanned once.
+    */
+  def upsert(snapshot: org.apache.spark.sql.DataFrame,
+             changes: org.apache.spark.sql.DataFrame,
+             keyCols: Seq[String],
+             deleteCol: String = "_deleted"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "need at least one key column")
+    val valueCols = snapshot.columns.filterNot(keyCols.contains)
+    // rename the change side's values: after a full outer join both
+    // sides' columns survive and bare names would be ambiguous
+    val ch = changes.select(
+      (keyCols.map(col) :+ col(deleteCol).as("__del") :+
+        lit(true).as("__chp")) ++
+        valueCols.map(c => col(c).as(s"__ch_$c")): _*)
+    snapshot
+      .join(ch, keyCols, "full_outer")
+      // matched-and-deleted rows drop; carry rows have no change row
+      // (an explicit presence marker, NOT __del.isNotNull — a sloppy
+      // NULL delete flag must read as "upsert", never as "carry")
+      .filter(!coalesce(col("__del"), lit(false)))
+      .select(keyCols.map(col) ++ valueCols.map(c =>
+        when(coalesce(col("__chp"), lit(false)), col(s"__ch_$c"))
+          .otherwise(col(c)).as(c)): _*)
+  }
 }

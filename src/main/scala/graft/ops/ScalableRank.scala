@@ -80,6 +80,34 @@ object ScalableRank {
       Seq(col(orderCol).asc_nulls_first, col(tieCol)), lit(1L))
       .withColumn(outCol, col("__prefix") + 1).drop("__prefix")
 
+  /** Deterministic global training-order shuffle: assigns every row a
+    * 1-based `shuffle_pos` in the pseudorandom total order
+    * `(md5(key || ':' || seed) ASC, key ASC)` — the standard "shuffle
+    * the corpus once per epoch, reproducibly" step in front of
+    * sequence packing / batch emission. Same two-level prefix-sum
+    * scaffold as [[globalRowNumber]]: rows are bucketed by the first 4
+    * hex digits of the hash (a monotone prefix of the hex-string
+    * order, 65k buckets), so no single-partition sort of the corpus
+    * ever runs; only the 65k bucket totals cross one partition.
+    *
+    * `keyCol` must be unique and non-null (it is the tie-break and the
+    * hash input). Different seeds give independent-looking orders;
+    * the same seed gives the same order on any cluster layout. The
+    * hash is md5 of a STRING rendering, so any engine can reproduce
+    * the order (DuckDB oracle: `ROW_NUMBER() OVER (ORDER BY
+    * md5(key || ':' || seed), key)`).
+    */
+  def deterministicShuffle(df: DataFrame, keyCol: String, seed: Long,
+                           outCol: String = "shuffle_pos"): DataFrame = {
+    val h = md5(concat(col(keyCol).cast("string"), lit(":" + seed)))
+    val in = df.withColumn("__h", h)
+    exclusivePrefixSum(in,
+      conv(substring(col("__h"), 1, 4), 16, 10).cast("long"),
+      Seq(col("__h"), col(keyCol)), lit(1L))
+      .withColumn(outCol, col("__prefix") + 1)
+      .drop("__prefix", "__h")
+  }
+
   /** SQL-standard NTILE over the same scalable global order: the first
     * `n mod tiles` tiles hold `ceil(n/tiles)` rows, the rest
     * `floor(n/tiles)` — bit-identical to `NTILE(k) OVER (ORDER BY ...)`

@@ -91,6 +91,57 @@ object TextAnalysis {
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .groupBy("doc_id").agg(min("h").as("fingerprint"))
 
+  /** Full winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    * SIGMOD '03 — the MOSS algorithm) over word `k`-grams: slide a
+    * window of `w` consecutive gram hashes over each document and keep
+    * the minimum hash of every window, rightmost position on hash
+    * ties ("robust winnowing"). Output `(doc_id, pos, fp)` — the
+    * distinct selected `(position, hash)` fingerprints. Guarantee: any
+    * shared token run of >= `w + k - 1` tokens between two documents
+    * yields at least one shared fingerprint, while only ~`2/(w+1)` of
+    * gram hashes are kept — the standard index for partial-overlap /
+    * plagiarism-style detection where [[fingerprints]]' single global
+    * min is too coarse and full shingle sets too large.
+    *
+    * Engine-portable hash: the gram hash is md5 hex (identical in any
+    * engine), and the window minimum runs on `md5hex || (10^10 - pos)`
+    * zero-padded — a fixed-width encoding whose lexicographic order is
+    * exactly (hash ASC, pos DESC), so the tie rule costs nothing.
+    *
+    * Scale: entirely map-side — per-document HOF column algebra, NO
+    * shuffle, no per-doc window exec; cost is O(grams * (k + w)) per
+    * document. The gram-hash array is let-bound as a lambda variable
+    * (single-element `transform`) rather than a projected column:
+    * CollapseProject would inline a named projection into the window
+    * lambda and re-hash every gram per window — the quadratic
+    * pushdown-into-HOF trap (NOTES round-9).
+    */
+  def winnow(docs0: DataFrame, k: Int = 4, w: Int = 4,
+             textCol: String = "text"): DataFrame = {
+    require(k > 0 && w > 0, s"need k > 0, w > 0; got k=$k, w=$w")
+    val docs = graft.search.Analyzer.spread(docs0)
+    val toks = col("__toks")
+    val big = 10000000000L // > any token position; keeps the suffix 10 digits
+    val encExpr = when(size(toks) >= k,
+        transform(sequence(lit(1), size(toks) - (k - 1)),
+          i => concat(md5(concat_ws(" ", slice(toks, i, lit(k)))),
+            lpad((lit(big) - i).cast("string"), 10, "0"))))
+      .otherwise(array().cast("array<string>"))
+    docs
+      .select(col("doc_id"), split(col(textCol), " ").as("__toks"))
+      .select(col("doc_id"),
+        explode(transform(array(encExpr), enc =>
+          when(size(enc) > 0,
+            array_distinct(transform(
+              sequence(lit(1), greatest(size(enc) - (w - 1), lit(1))),
+              j => array_min(slice(enc, j, lit(w))))))
+            .otherwise(array().cast("array<string>"))).getItem(0)).as("m"))
+      .select(col("doc_id"),
+        (lit(big) - substring(col("m"), 33, 10).cast("long")).cast("int")
+          .as("pos"),
+        substring(col("m"), 1, 32).as("fp"))
+  }
+
   /** Exact content digest (md5 of the raw text) — the degenerate
     * fingerprint used by exact dedup; kept as its own operator for the
     * oracle row.
@@ -780,6 +831,47 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(avg(log10(col("freq").cast("double") / col("total")))
         .as("avg_logprob"))
+  }
+
+  /** Mean bigram conditional log10-probability per document — one step
+    * up from [[unigramLogProb]] on the cheap-LM quality ladder:
+    * score(doc) = avg over in-doc bigrams (a b) of
+    * log10(c(a b) / c(a *)) under the corpus MLE (every scored bigram
+    * was observed, so no smoothing is needed for finiteness).
+    *
+    * Corpus passes: the bigram lists are built map-side from each
+    * document's token array (`zip_with` of the two shifted slices — no
+    * positions shuffle, no self-join), aggregated once into the bigram
+    * table; the per-context total `c(a *)` rides on that aggregate via
+    * a window partitioned by the context word (vocabulary-sized input,
+    * properly partitioned); the score join re-reads the bigram rows.
+    * Documents with fewer than two tokens have no bigrams and drop out
+    * (same contract as a doc with no tokens in [[unigramLogProb]]).
+    */
+  def bigramLogProb(docs0: DataFrame, textCol: String = "text"): DataFrame = {
+    val docs = graft.search.Analyzer.spread(docs0)
+    val toks = col("__toks")
+    // both slices reference the token-array column several times, which
+    // keeps CollapseProject from inlining the tokenizer (alias used
+    // more than once); the zip_with lambda itself touches only its own
+    // variables
+    val bigramsExpr = when(size(toks) >= 2,
+        zip_with(slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val bi = docs
+      .select(col("doc_id"),
+        filter(transform(split(col(textCol), " ", -1), w => lower(w)),
+          w => w =!= "").as("__toks"))
+      .select(col("doc_id"), explode(bigramsExpr).as("bigram"))
+    val counts = bi.groupBy("bigram").agg(count(lit(1)).as("freq"))
+      .withColumn("ctx_total", sum("freq").over(
+        Window.partitionBy(split(col("bigram"), " ").getItem(0))))
+    bi.join(counts, "bigram")
+      .groupBy("doc_id")
+      .agg(avg(log10(col("freq").cast("double") / col("ctx_total")))
+        .as("avg_bigram_logprob"))
   }
 
   /** SQL string literal with quotes/backslashes escaped (merge symbols

@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Maintenance, ScalableRank, TextAnalysis}
+
+/** Round-10 surface: winnowing fingerprints, SCD-1 upsert,
+  * deterministic global shuffle, Bloom-pruned incremental dedup,
+  * bigram-LM scoring.
+  */
+class RoundTenSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // ---- winnowing ----
+
+  /** Naive reference: full winnowing (robust tie rule — rightmost
+    * minimum) over word k-grams with the same md5-hex hash order.
+    */
+  private def naiveWinnow(text: String, k: Int, w: Int): Set[(Int, String)] = {
+    val toks = text.split(" ", -1).toVector
+    if (toks.length < k) return Set.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val grams = (0 to toks.length - k)
+      .map(i => (i + 1, h(toks.slice(i, i + k).mkString(" ")))).toVector
+    val anchors = 1 to math.max(grams.length - w + 1, 1)
+    anchors.map { j =>
+      val win = grams.slice(j - 1, j - 1 + w)
+      // min hash; rightmost position on ties
+      win.minBy { case (pos, hash) => (hash, -pos) }
+    }.toSet
+  }
+
+  private def winnowed(df: DataFrame): Map[Long, Set[(Int, String)]] =
+    df.collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getString(2))))
+      .groupBy(_._1).map { case (id, rs) => (id, rs.map(_._2).toSet) }
+
+  test("winnow matches the naive reference on random word soup") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docs = (1L to 40L).map { id =>
+      val n = 1 + rnd.nextInt(30)
+      (id, Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    for ((k, w) <- Seq((4, 4), (3, 5), (2, 2))) {
+      val got = winnowed(TextAnalysis.winnow(
+        docs.toDF("doc_id", "text"), k = k, w = w))
+      val want = docs.map { case (id, t) => (id, naiveWinnow(t, k, w)) }
+        .filter(_._2.nonEmpty).toMap
+      assert(got == want, s"mismatch at k=$k w=$w")
+    }
+  }
+
+  test("winnow guarantee: a shared run of >= w+k-1 tokens shares a fingerprint") {
+    import spark.implicits._
+    val shared = "one two three four five six seven" // 7 tokens = w+k-1 at 4,4
+    val docs = Seq(
+      (1L, s"aa bb cc $shared dd ee"),
+      (2L, s"xx $shared yy zz qq rr ss")).toDF("doc_id", "text")
+    val fps = winnowed(TextAnalysis.winnow(docs, k = 4, w = 4))
+    val common = fps(1L).map(_._2) intersect fps(2L).map(_._2)
+    assert(common.nonEmpty)
+  }
+
+  test("winnow edge cases: short docs, G < w, empty text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"),        // < k tokens: no grams, no rows
+      (2L, "a b c d e"),    // G=2 < w: one window over all grams
+      (3L, "")).toDF("doc_id", "text")
+    val got = winnowed(TextAnalysis.winnow(docs, k = 4, w = 4))
+    assert(!got.contains(1L) && !got.contains(3L))
+    assert(got(2L) == naiveWinnow("a b c d e", 4, 4))
+    assert(got(2L).size == 1)
+  }
+
+  // ---- upsert ----
+
+  test("upsert applies update, delete, insert, and carries the rest") {
+    import spark.implicits._
+    val snap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val changes = Seq(
+      (1L, "a2", 11.0, false),  // update
+      (2L, "b", 20.0, true),    // delete
+      (4L, "d", 40.0, false),   // insert
+      (9L, "x", 0.0, true))     // delete of absent key: no-op
+      .toDF("k", "name", "bal", "_deleted")
+    val got = Maintenance.upsert(snap, changes, Seq("k"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == Set((1L, "a2", 11.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("upsert treats a NULL delete flag as upsert, never as carry") {
+    import spark.implicits._
+    val snap = Seq((1L, "a")).toDF("k", "v")
+    val changes = Seq((1L, "a2")).toDF("k", "v")
+      .withColumn("_deleted", lit(null).cast("boolean"))
+    val got = Maintenance.upsert(snap, changes, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a2")))
+  }
+
+  // ---- deterministic shuffle ----
+
+  test("deterministicShuffle is bit-identical to the window row_number form") {
+    val docs = graft.search.Indexer.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id")
+    val h = md5(concat(col("doc_id").cast("string"), lit(":42")))
+    val want = docs.withColumn("shuffle_pos",
+      row_number().over(Window.orderBy(h, col("doc_id"))).cast("long"))
+    val got = ScalableRank.deterministicShuffle(docs, "doc_id", seed = 42)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("deterministicShuffle: different seeds give different orders, same seed stable") {
+    val docs = graft.search.Indexer.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id")
+    def posMap(seed: Long): Map[Long, Long] =
+      ScalableRank.deterministicShuffle(docs, "doc_id", seed)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val a = posMap(1)
+    assert(posMap(1) == a)
+    assert(posMap(2) != a)
+    // a permutation: positions are exactly 1..n
+    assert(a.values.toSeq.sorted == (1L to a.size).toSeq)
+  }
+
+  // ---- Bloom-pruned incremental dedup ----
+
+  test("incrementalExactBloom output-matches incrementalExact and prunes the probe") {
+    import spark.implicits._
+    val corpusDocs = (1L to 200L).map(i => (i, s"corpus doc $i"))
+    val corpus = corpusDocs.toDF("doc_id", "text")
+      .select(md5(col("text")).as("digest"))
+    // batch: 30 re-ingested dups, 170 novel, 5 within-batch dups, 1 null
+    val batch = ((1L to 30L).map(i => (i + 1000, s"corpus doc $i")) ++
+      (1L to 170L).map(i => (i + 2000, s"novel doc $i")) ++
+      (1L to 5L).map(i => (i + 3000, s"novel doc $i")))
+      .toDF("doc_id", "text")
+      .unionByName(Seq((4000L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val bloom = Dedup.digestBloom(corpus, expectedItems = 200, fpp = 0.001)
+    val got = Dedup.incrementalExactBloom(corpus, bloom, batch)
+      .as[(Long, Option[String], String)].collect().toSet
+    val want = Dedup.incrementalExact(corpus, batch)
+      .as[(Long, Option[String], String)].collect().toSet
+    assert(got == want)
+    assert(got.count(_._3 == "dup_corpus") == 30)
+    assert(got.count(_._3 == "invalid") == 1)
+    // the filter genuinely prunes: at fpp 0.001 (essentially) only the
+    // 30 true dups survive the Bloom probe out of 205 non-null rows
+    val surviving = batch.filter(col("text").isNotNull)
+      .select(md5(col("text")).as("d")).as[String].collect()
+      .count(bloom.mightContainString)
+    assert(surviving < 40, s"bloom should prune the novel mass, got $surviving")
+  }
+
+  // ---- bigram log-prob ----
+
+  test("bigramLogProb matches a naive bigram MLE") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b c"),
+      (2L, "a b"),
+      (3L, "c a  b"),  // double space: empty token filtered before pairing
+      (4L, "solo"))    // < 2 tokens: no row
+      .toDF("doc_id", "text")
+    val toks = Map(1L -> Seq("a", "b", "a", "b", "c"), 2L -> Seq("a", "b"),
+      3L -> Seq("c", "a", "b"))
+    val bis = toks.view.mapValues(ts => ts.zip(ts.tail).map { case (x, y) => s"$x $y" })
+    val all = bis.values.flatten.toSeq
+    val freq = all.groupBy(identity).view.mapValues(_.size).toMap
+    val ctx = all.groupBy(_.split(" ")(0)).view.mapValues(_.size).toMap
+    val want = bis.map { case (id, bs) =>
+      (id, bs.map(b => math.log10(freq(b).toDouble / ctx(b.split(" ")(0))))
+        .sum / bs.size)
+    }.toMap
+    val got = TextAnalysis.bigramLogProb(docs)
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == want.keySet)
+    for ((id, v) <- want) assert(math.abs(got(id) - v) < 1e-12, s"doc $id")
+  }
+}
