@@ -84,6 +84,31 @@ object SparkEntry {
       |       ELSE 'new' END AS status
       |FROM b LEFT JOIN c USING (digest) JOIN f USING (digest)""".stripMargin
 
+  /** Winnowing (k=4, w=4) fingerprint selection, shared by
+    * text_winnowing and dedup_winnow_pairs. Same fixed-width
+    * (md5hex || 10^10-pos) encoding as the Spark side: lexicographic
+    * min = (hash ASC, pos DESC), the robust-winnowing rightmost-min
+    * tie rule.
+    */
+  private val OracleWinnowCte: String =
+    """t0 AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+      |g AS (
+      |  SELECT doc_id, i AS pos, len(arr) - 3 AS ng,
+      |         md5(array_to_string(arr[i : i + 3], ' ')) ||
+      |           lpad(CAST(10000000000 - i AS VARCHAR), 10, '0') AS m
+      |  FROM t0, unnest(generate_series(1, len(arr) - 3)) AS u(i)
+      |  WHERE len(arr) >= 4),
+      |sel AS (
+      |  SELECT doc_id, pos, ng,
+      |         min(m) OVER (PARTITION BY doc_id ORDER BY pos
+      |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mm
+      |  FROM g),
+      |win AS (
+      |  SELECT DISTINCT doc_id,
+      |    CAST(10000000000 - CAST(substr(mm, 33, 10) AS BIGINT) AS INT) AS pos,
+      |    substr(mm, 1, 32) AS fp
+      |  FROM sel WHERE pos <= greatest(ng - 3, 1))""".stripMargin
+
   private val OracleNgramCte: String =
     """toks0 AS (
       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
@@ -1072,6 +1097,12 @@ object SparkEntry {
     // map-side HOF algebra, portable md5-hex ordering
     "text_winnowing" -> ((s, dir) =>
       TextAnalysis.winnow(t(s, dir, "documents"), k = 4, w = 4)),
+    // the MOSS detection step: partial-overlap candidate pairs sharing
+    // >= 2 winnowing fingerprints, corpus-boilerplate fingerprints
+    // capped out of the self-join (bounded candidate generation)
+    "dedup_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowPairs(t(s, dir, "documents"),
+        k = 4, w = 4, minShared = 2, maxFpFreq = 64)),
 
     // ---- multimodal plumbing ----
     "media_stats" -> ((s, dir) =>
@@ -1863,25 +1894,17 @@ object SparkEntry {
         |FROM bi JOIN ctx USING (bigram)
         |GROUP BY 1""".stripMargin,
     "text_winnowing" ->
-      // the same fixed-width (md5hex || 10^10-pos) encoding as the
-      // Spark side: lexicographic min = (hash ASC, pos DESC), the
-      // robust-winnowing rightmost-min tie rule
-      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
-        |g AS (
-        |  SELECT doc_id, i AS pos, len(arr) - 3 AS ng,
-        |         md5(array_to_string(arr[i : i + 3], ' ')) ||
-        |           lpad(CAST(10000000000 - i AS VARCHAR), 10, '0') AS m
-        |  FROM t0, unnest(generate_series(1, len(arr) - 3)) AS u(i)
-        |  WHERE len(arr) >= 4),
-        |sel AS (
-        |  SELECT doc_id, pos, ng,
-        |         min(m) OVER (PARTITION BY doc_id ORDER BY pos
-        |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mm
-        |  FROM g)
-        |SELECT DISTINCT doc_id,
-        |  CAST(10000000000 - CAST(substr(mm, 33, 10) AS BIGINT) AS INT) AS pos,
-        |  substr(mm, 1, 32) AS fp
-        |FROM sel WHERE pos <= greatest(ng - 3, 1)""".stripMargin,
+      ("WITH " + OracleWinnowCte + "\n" +
+        "SELECT doc_id, pos, fp FROM win"),
+    "dedup_winnow_pairs" ->
+      ("WITH " + OracleWinnowCte + ",\n" +
+        """fps AS (SELECT DISTINCT doc_id, fp FROM win),
+        |keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 64),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |      FROM fps a JOIN fps b USING (fp) JOIN keep USING (fp)
+        |      WHERE a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM p GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin),
     "text_global_shuffle" ->
       """SELECT doc_id,
         |       CAST(row_number() OVER (

@@ -622,6 +622,44 @@ object Dedup {
       .unionByName(invalid)
   }
 
+  /** Partial-overlap candidate pairs by shared winnowing fingerprints —
+    * the MOSS detection step on top of [[TextAnalysis.winnow]]: two
+    * documents pair when they share at least `minShared` distinct
+    * selected fingerprints. Winnowing's guarantee makes this a
+    * PARTIAL-overlap detector (any shared run of >= w+k-1 tokens
+    * shares a fingerprint), where [[minHashLshVerified]] targets
+    * whole-document similarity — plagiarism/quotation/boilerplate
+    * detection rather than near-dup collapse.
+    *
+    * Bounded candidate generation, same posture as the shingle-family
+    * ops: fingerprints hitting more than `maxFpFreq` distinct
+    * documents are dropped before the self-join (corpus-universal
+    * boilerplate — each survivor key yields at most maxFpFreq² pairs),
+    * and the join carries ids only. Output
+    * `(doc_a, doc_b, n_shared)`.
+    */
+  def winnowPairs(docs: DataFrame, k: Int = 4, w: Int = 4,
+                  minShared: Int = 2, maxFpFreq: Int = 64): DataFrame = {
+    require(minShared >= 1 && maxFpFreq >= 2,
+      s"need minShared >= 1, maxFpFreq >= 2; got $minShared, $maxFpFreq")
+    // a fingerprint can be selected at several positions of one doc —
+    // pair counting wants distinct (doc, fp). Eagerly materialized:
+    // three consumers (the frequency table and both self-join sides)
+    // would otherwise each re-run the winnowing scan of the corpus
+    val fps = TextAnalysis.winnow(docs, k, w)
+      .select(col("doc_id"), col("fp")).distinct().localCheckpoint(true)
+    val kept = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxFpFreq).select("fp"),
+      Seq("fp"))
+    kept.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Build the reusable Bloom-filter artifact over the at-rest digest
     * table for [[incrementalExactBloom]]: one partial-aggregated scan,
     * built once per corpus epoch and reused across every arriving

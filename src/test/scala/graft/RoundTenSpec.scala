@@ -87,6 +87,39 @@ class RoundTenSpec extends AnyFunSuite {
     assert(got(2L).size == 1)
   }
 
+  test("winnowPairs matches a naive shared-fingerprint count and honors the cap") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("red", "blue", "green", "gold", "gray", "teal", "pink")
+    def soup(n: Int) = Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    // some docs share a long run (guaranteed shared fingerprints)
+    val run = "k1 k2 k3 k4 k5 k6 k7 k8 k9"
+    val texts = (1L to 12L).map(id => (id, soup(15))) ++
+      Seq((20L, s"${soup(6)} $run ${soup(4)}"), (21L, s"$run ${soup(8)}"))
+    val docs = texts.toDF("doc_id", "text")
+    val naiveFps = texts.map { case (id, t) => (id, naiveWinnow(t, 4, 4).map(_._2)) }
+    val fpDocs = naiveFps.flatMap { case (id, fs) => fs.map(f => (f, id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def naivePairs(cap: Int, minShared: Int) = {
+      val kept = fpDocs.filter(_._2.size <= cap)
+      val counts = kept.values.toSeq
+        .flatMap(ds => for (a <- ds; b <- ds if a < b) yield (a, b))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      counts.filter(_._2 >= minShared)
+        .map { case ((a, b), n) => (a, b, n) }.toSet
+    }
+    for ((cap, minShared) <- Seq((64, 2), (3, 1))) {
+      val got = Dedup.winnowPairs(docs, k = 4, w = 4,
+          minShared = minShared, maxFpFreq = cap)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == naivePairs(cap, minShared), s"cap=$cap minShared=$minShared")
+    }
+    // the shared-run docs must pair (winnowing guarantee: run >= w+k-1)
+    assert(naivePairs(64, 2).exists(p => p._1 == 20L && p._2 == 21L) ==
+      Dedup.winnowPairs(docs, 4, 4, 2, 64).as[(Long, Long, Long)]
+        .collect().exists(p => p._1 == 20L && p._2 == 21L))
+  }
+
   // ---- upsert ----
 
   test("upsert applies update, delete, insert, and carries the rest") {
