@@ -211,6 +211,57 @@ object Scratch {
               val toks = enc.agg(sum(size(col("tokens")))).first().getLong(0)
               println(s"merges=${merges.size} docs=${enc.count()} tokens=$toks " +
                 s"first=${merges.headOption}")
+            case "winnow" =>
+              // 20 copies of every doc: each COPY GROUP shares its full
+              // fingerprint set, so without the frequency cap every
+              // fingerprint would key a 20-doc bucket (>= 190 pairs per
+              // group); the cap at 64 keeps those (well under the cap)
+              // while template fingerprints shared by hundreds of
+              // distinct texts are dropped. Invariants: fingerprint
+              // density ~ 2/(w+1) of grams; every 20-copy group fully
+              // paired at max shared count
+              val fps = ops.TextAnalysis.winnow(big, 4, 4)
+              val nFps = fps.count()
+              val cap = 64
+              // identical texts have identical fingerprint SETS, so a
+              // base doc pairs with its own +1M copy iff >= 2 of its
+              // distinct fingerprints survive the frequency cap —
+              // recompute the surviving set to make that invariant
+              // exact (not every doc qualifies: 1-fp docs and docs
+              // whose whole set is corpus-hot cannot pair)
+              val dfp = fps.select(col("doc_id"), col("fp")).distinct()
+              val kept = dfp.join(
+                dfp.groupBy("fp").agg(count(lit(1)).as("n"))
+                  .filter(col("n") <= cap).select("fp"), Seq("fp"))
+              val eligible = kept.filter(col("doc_id") < 1000000L)
+                .groupBy("doc_id").agg(count(lit(1)).as("nf"))
+                .filter(col("nf") >= 2).count()
+              val pairs = ops.Dedup.winnowPairs(big, 4, 4,
+                minShared = 2, maxFpFreq = cap)
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              val nPairs = pairs.count()
+              val copyPairs = pairs
+                .filter(col("doc_a") < 1000000L &&
+                  col("doc_b") === col("doc_a") + 1000000L).count()
+              pairs.unpersist()
+              println(s"fps=$nFps pairs=$nPairs " +
+                s"copyPairs=$copyPairs eligible=$eligible " +
+                (if (copyPairs == eligible) "OK" else "MISMATCH"))
+            case "shuffle" =>
+              // deterministic global order over 100k rows without a
+              // single-partition sort; invariant: positions are exactly
+              // the permutation 1..n
+              val s = ops.ScalableRank.deterministicShuffle(
+                big.select(col("doc_id")), "doc_id", seed = 7)
+              val agg = s.agg(count(lit(1)), min("shuffle_pos"),
+                max("shuffle_pos"),
+                countDistinct("shuffle_pos")).first()
+              val ok = agg.getLong(1) == 1L &&
+                agg.getLong(2) == agg.getLong(0) &&
+                agg.getLong(3) == agg.getLong(0)
+              println(s"rows=${agg.getLong(0)} minPos=${agg.getLong(1)} " +
+                s"maxPos=${agg.getLong(2)} distinct=${agg.getLong(3)} " +
+                (if (ok) "OK" else "MISMATCH"))
           }
         } else if (n == "idx-stem-nopersist") {
           search.Indexer.postings(search.Indexer.documents(spark, sfDir))
