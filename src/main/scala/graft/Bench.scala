@@ -81,9 +81,14 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // Parquet metadata-only count (no data scan) decides the gate; a
-    // dataset dir without an embeddings table just means nothing to gate
-    val embeddingRows = scala.util.Try(
-      spark.read.parquet(s"$sfDir/embeddings.parquet").count()).getOrElse(0L)
+    // dataset dir WITHOUT an embeddings table just means nothing to
+    // gate. Only absence is excusable — a present-but-unreadable table
+    // must fail loudly here, not silently disable the cartesian gate
+    val embPath = new org.apache.hadoop.fs.Path(s"$sfDir/embeddings.parquet")
+    val embeddingRows =
+      if (!embPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(embPath)) 0L
+      else spark.read.parquet(embPath.toString).count()
     val skipped =
       if (embeddingRows > cartesianRowBound) scaleGatedBaselines else Set.empty[String]
     val names = SparkEntry.queries.toSeq.sortBy(_._1)

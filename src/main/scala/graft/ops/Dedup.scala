@@ -637,6 +637,13 @@ object Dedup {
     * boilerplate — each survivor key yields at most maxFpFreq² pairs),
     * and the join carries ids only. Output
     * `(doc_a, doc_b, n_shared)`.
+    *
+    * Matching is EXACT on raw single-space tokens (the [[winnow]] /
+    * spanDedup convention), unlike the shingle family's
+    * `Analyzer.tokensCol` normalization (lowercase, delimiter strip) —
+    * deliberate: verbatim-copy detection wants byte-exact runs. For
+    * case/punctuation-robust matching, normalize the text column
+    * first (e.g. [[TextAnalysis.normalizeText]] + `lower`).
     */
   def winnowPairs(docs: DataFrame, k: Int = 4, w: Int = 4,
                   minShared: Int = 2, maxFpFreq: Int = 64): DataFrame = {
@@ -698,16 +705,19 @@ object Dedup {
     val invalid = newDocs.filter(col(textCol).isNull)
       .select(col("doc_id"), lit(null).cast("string").as("digest"),
         lit("invalid").as("status"))
+    // digest once per row; the probe UDF rides on the digest COLUMN in
+    // a separate projection so the firstInBatch aggregation's lineage
+    // never evaluates it
     val d = newDocs.filter(col(textCol).isNotNull)
-      .select(col("doc_id"), md5(col(textCol)).as("digest"),
-        mightContain(md5(col(textCol))).as("__maybe"))
+      .select(col("doc_id"), md5(col(textCol)).as("digest"))
+    val dm = d.withColumn("__maybe", mightContain(col("digest")))
     val firstInBatch = d.groupBy("digest").agg(min("doc_id").as("first_id"))
     // only the Bloom-positive slice probes the at-rest table; negatives
     // are definitively new-to-corpus and skip the join entirely
-    val probed = d.filter(col("__maybe"))
+    val probed = dm.filter(col("__maybe"))
       .join(oldDigests.select(col("digest"), lit(true).as("__at_rest")).distinct(),
         Seq("digest"), "left")
-    val fresh = d.filter(!col("__maybe"))
+    val fresh = dm.filter(!col("__maybe"))
       .withColumn("__at_rest", lit(null).cast("boolean"))
     probed.unionByName(fresh)
       .join(firstInBatch, Seq("digest"))
