@@ -147,6 +147,60 @@ class RoundTenSpec extends AnyFunSuite {
     assert(got == Set((1L, "a2")))
   }
 
+  test("streamingUpsert maintains the SCD-1 snapshot across batches and replay") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft-stream-ups-").toString
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    val snap = s"$base/snap"
+    val b0 = Seq(
+      (1L, "v1", 1L, false), (2L, "v2", 1L, false),
+      (3L, "v3", 1L, false), (4L, "v4", 1L, false))
+      .toDF("k", "v", "seq", "_deleted")
+    val b1 = Seq(
+      (1L, "v1b", 2L, false),  // update
+      (2L, "v2", 2L, true),    // delete
+      (3L, "v3b", 2L, false),  // superseded within the batch...
+      (3L, "v3b", 3L, true),   // ...by this delete (latest-per-key)
+      (5L, "v5", 2L, false))   // insert
+      .toDF("k", "v", "seq", "_deleted")
+    Seq(b0, b1).zipWithIndex.foreach { case (df, i) =>
+      val tmp = s"$base/half$i"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(in, s"batch$i.parquet"))
+    }
+    val snapSchema = org.apache.spark.sql.types.StructType(
+      b0.schema.filterNot(_.name == "_deleted"))
+    val q = graft.streaming.StreamingOps.streamingUpsert(
+      spark, in, snap, Seq("k"), "seq",
+      checkpointDir = Some(s"$base/ckpt"))
+    try q.processAllAvailable() finally q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) == 2)
+    def current() = graft.streaming.StreamingOps
+      .currentSnapshot(spark, snap, snapSchema)
+      .select("k", "v", "seq").as[(Long, String, Long)].collect().toSet
+    val want = Set((1L, "v1b", 2L), (4L, "v4", 1L), (5L, "v5", 2L))
+    assert(current() == want)
+    // the snapshot equals the batch upsert chain over the same changes
+    val chained = graft.ops.Maintenance.upsert(
+      graft.ops.Maintenance.upsert(
+        spark.createDataFrame(spark.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], snapSchema),
+        b0, Seq("k")),
+      // batch 1 reduced to latest-per-key by hand
+      b1.filter(!(col("k") === 3 && col("seq") === 2)), Seq("k"))
+      .select("k", "v", "seq").as[(Long, String, Long)].collect().toSet
+    assert(chained == want)
+    // replay WITHOUT the checkpoint: batch ids restart at 0, each
+    // version is rewritten from its same predecessor — idempotent
+    val q2 = graft.streaming.StreamingOps.streamingUpsert(
+      spark, in, snap, Seq("k"), "seq")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(current() == want)
+  }
+
   // ---- deterministic shuffle ----
 
   test("deterministicShuffle is bit-identical to the window row_number form") {
