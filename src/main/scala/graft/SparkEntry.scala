@@ -580,6 +580,12 @@ object SparkEntry {
             lit(0.0).as("c_acctbal"), lit(false).as("_deleted")))
       Maintenance.upsert(c, changes, Seq("c_custkey"))
     }),
+    // data-quality audit: per-column row/null/distinct counts + string
+    // min/max in one pass (ints/dates/strings only — float rendering
+    // is engine-specific)
+    "q_profile" -> ((s, dir) =>
+      Maintenance.profile(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_shipdate", "l_returnflag"))),
     // unpivot/melt: wide measure columns to (measure, val) rows —
     // pure row expansion, no shuffle, scales with the scan
     "q_unpivot" -> ((s, dir) =>
@@ -1930,6 +1936,17 @@ object SparkEntry {
         |            ELSE c.c_acctbal END AS c_acctbal
         |FROM c FULL OUTER JOIN ch ON c.c_custkey = ch.c_custkey
         |WHERE NOT coalesce(ch.del, false)""".stripMargin,
+    "q_profile" -> {
+      val cols = Seq("l_orderkey", "l_linenumber", "l_shipdate", "l_returnflag")
+      cols.map { c =>
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_val,
+           |  CAST(max($c) AS VARCHAR) AS max_val
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
     "q_zorder" -> {
       // per-row 16-bit interleave spelled out as shift/mask terms (no
       // grouping: lineitem rows are not unique on any short key)

@@ -117,6 +117,38 @@ object Maintenance {
       .drop("__zkey")
   }
 
+  /** Column profile — the standard pre-migration / data-quality audit:
+    * per column, row count, null count, exact distinct count, and
+    * min/max rendered as strings (one uniform output schema across
+    * column types). One logical pass: Spark plans the multi-column
+    * distinct aggregate with an Expand (input multiplied by the column
+    * count) — fine for an audit sweep; profile a column subset on very
+    * wide tables. Avoid floating-point columns: engines disagree on
+    * decimal text rendering, and a profile exists to be compared.
+    */
+  def profile(df: org.apache.spark.sql.DataFrame,
+              cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty, "need at least one column to profile")
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"__n_$c"),
+        count(col(c)).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // pivot the single stat row to one row per column
+    one.select(explode(array(cols.map(c => struct(
+        lit(c).as("column"),
+        col(s"__n_$c").as("n"),
+        (col(s"__n_$c") - col(s"__nn_$c")).as("n_null"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_val"),
+        col(s"__max_$c").as("max_val"))): _*)).as("p"))
+      .select(col("p.*"))
+  }
+
   /** SCD-1 MERGE: apply a change batch to a snapshot, returning the new
     * snapshot — the Delta/Iceberg `MERGE INTO` pattern as one full
     * outer join (matched + `deleteCol` → drop; matched → change row
