@@ -43,8 +43,10 @@ object Scratch {
           // the +i*1M copy-id scheme (and the winnow/shuffle cases'
           // doc_id < 1M base-copy filters) needs the base ids below 1M
           // — fail loudly on a corpus where copies would collide
-          require(base.agg(max("doc_id")).first().getLong(0) < 1000000L,
-            s"stress corpus at $sfDir has doc_id >= 1000000; copy ids would collide")
+          val maxIdRow = base.agg(max("doc_id")).first()
+          require(!maxIdRow.isNullAt(0) && maxIdRow.getLong(0) < 1000000L,
+            s"stress corpus at $sfDir is empty or has doc_id >= 1000000; " +
+              "copy ids would collide")
           val big = (0 until 20).map(i => base.withColumn("doc_id",
             col("doc_id") + lit(i * 1000000L))).reduce(_ unionByName _)
           n.stripPrefix("stress:") match {

@@ -130,9 +130,9 @@ object Maintenance {
               cols: Seq[String]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     require(cols.nonEmpty, "need at least one column to profile")
-    val aggs = cols.flatMap { c =>
-      Seq(count(lit(1)).as(s"__n_$c"),
-        count(col(c)).as(s"__nn_$c"),
+    // ONE shared total-row count; per-column aggregates after it
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
         count_distinct(col(c)).as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))
@@ -141,8 +141,8 @@ object Maintenance {
     // pivot the single stat row to one row per column
     one.select(explode(array(cols.map(c => struct(
         lit(c).as("column"),
-        col(s"__n_$c").as("n"),
-        (col(s"__n_$c") - col(s"__nn_$c")).as("n_null"),
+        col("__n").as("n"),
+        (col("__n") - col(s"__nn_$c")).as("n_null"),
         col(s"__nd_$c").as("n_distinct"),
         col(s"__min_$c").as("min_val"),
         col(s"__max_$c").as("max_val"))): _*)).as("p"))
@@ -161,6 +161,13 @@ object Maintenance {
     * A delete for an absent key is a no-op, an upsert for an absent
     * key an insert — the usual idempotent-merge contract.
     *
+    * With `seqCol` set (it must be a snapshot column), a matched
+    * change — update OR delete — only applies when its sequence is
+    * STRICTLY newer than the snapshot's: a stale or redelivered change
+    * (late backfill, at-least-once replay landing in a later batch)
+    * is a no-op instead of silently regressing the key. Unmatched
+    * changes always apply.
+    *
     * Scale: one shuffle of each side on the key. With the snapshot
     * bucketed on the key at rest ([[graft.ops.Bucketing]]) only the
     * (small) change batch moves; AQE handles the skewed-key case. The
@@ -169,24 +176,34 @@ object Maintenance {
   def upsert(snapshot: org.apache.spark.sql.DataFrame,
              changes: org.apache.spark.sql.DataFrame,
              keyCols: Seq[String],
-             deleteCol: String = "_deleted"): org.apache.spark.sql.DataFrame = {
+             deleteCol: String = "_deleted",
+             seqCol: Option[String] = None): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     require(keyCols.nonEmpty, "need at least one key column")
     val valueCols = snapshot.columns.filterNot(keyCols.contains)
+    seqCol.foreach(s => require(valueCols.contains(s),
+      s"seqCol $s must be a non-key snapshot column"))
     // rename the change side's values: after a full outer join both
     // sides' columns survive and bare names would be ambiguous
     val ch = changes.select(
       (keyCols.map(col) :+ col(deleteCol).as("__del") :+
         lit(true).as("__chp")) ++
         valueCols.map(c => col(c).as(s"__ch_$c")): _*)
+    // newer-than-snapshot guard; carry/insert rows (either side absent)
+    // pass it vacuously
+    val fresh = seqCol match {
+      case None => lit(true)
+      case Some(s) => col(s).isNull || col(s"__ch_$s") > col(s)
+    }
     snapshot
       .join(ch, keyCols, "full_outer")
-      // matched-and-deleted rows drop; carry rows have no change row
-      // (an explicit presence marker, NOT __del.isNotNull — a sloppy
-      // NULL delete flag must read as "upsert", never as "carry")
-      .filter(!coalesce(col("__del"), lit(false)))
+      // matched-and-deleted rows drop (stale deletes do not); carry
+      // rows have no change row (an explicit presence marker, NOT
+      // __del.isNotNull — a sloppy NULL delete flag must read as
+      // "upsert", never as "carry")
+      .filter(!(coalesce(col("__del"), lit(false)) && fresh))
       .select(keyCols.map(col) ++ valueCols.map(c =>
-        when(coalesce(col("__chp"), lit(false)), col(s"__ch_$c"))
+        when(coalesce(col("__chp"), lit(false)) && fresh, col(s"__ch_$c"))
           .otherwise(col(c)).as(c)): _*)
   }
 }

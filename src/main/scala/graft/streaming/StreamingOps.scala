@@ -204,15 +204,23 @@ object StreamingOps {
     * at-rest snapshot version.
     *
     * Exactly-once at rest via VERSIONED snapshots: batch `n` reads the
-    * latest `version=<id>` with `id < n` and OVERWRITES `version=<n>`,
-    * so an at-least-once replay of batch `n` reads the same
-    * predecessor and rewrites the same result instead of double-
-    * applying the changes. The snapshot schema is the change schema
-    * minus `deleteCol` (`seqCol` stays — it records each key's last
-    * applied change). Old versions are retained for time travel /
-    * concurrent readers; prune them like any retention job once
-    * readers move past (the pointer-flip analogue of
-    * [[graft.ops.Maintenance.compactParquet]]'s fresh-dir contract).
+    * latest COMPLETE (`_SUCCESS`-marked) `version=<id>` with `id < n`
+    * and OVERWRITES `version=<n>`, so an at-least-once replay of batch
+    * `n` reads the same predecessor and rewrites the same result
+    * instead of double-applying the changes; a version half-written by
+    * a crash (or mid-overwrite during the replay itself) has no
+    * `_SUCCESS` marker and is invisible to readers, which fall back to
+    * its predecessor. The snapshot schema is the change schema minus
+    * `deleteCol` (`seqCol` stays — it records each key's last applied
+    * change). The merge passes `seqCol` to
+    * [[graft.ops.Maintenance.upsert]], so a change whose sequence is
+    * not strictly newer than the snapshot's row is a NO-OP even when
+    * it arrives in a later micro-batch (late backfills and redelivered
+    * files cannot regress a key). Completed older versions are
+    * retained for time travel / concurrent readers; prune them like
+    * any retention job once readers move past (the pointer-flip
+    * analogue of [[graft.ops.Maintenance.compactParquet]]'s fresh-dir
+    * contract).
     *
     * Scale: per batch, one shuffle of the (small) change batch for the
     * latest-per-key reduce, then the [[graft.ops.Maintenance.upsert]]
@@ -229,6 +237,13 @@ object StreamingOps {
                       checkpointDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val changeSchema = schema.getOrElse(spark.read.parquet(changesPath).schema)
+    // fail at call time, not asynchronously inside the first
+    // micro-batch (where a misconfigured column name would surface
+    // only as a StreamingQueryException after the query "started")
+    val have = changeSchema.map(_.name).toSet
+    val missing = (keyCols :+ seqCol :+ deleteCol).filterNot(have)
+    require(missing.isEmpty,
+      s"change schema lacks column(s) ${missing.mkString(", ")}; has ${have.mkString(", ")}")
     val snapSchema = org.apache.spark.sql.types.StructType(
       changeSchema.filterNot(_.name == deleteCol))
     batchOwnedStream(spark, changesPath, Some(changeSchema), checkpointDir) {
@@ -242,7 +257,8 @@ object StreamingOps {
             (seqCol +: restCols).map(c => col(s"__m.$c")): _*)
         val prev = snapshotVersionBefore(spark, snapshotPath, batchId,
           snapSchema)
-        graft.ops.Maintenance.upsert(prev, latest, keyCols, deleteCol)
+        graft.ops.Maintenance
+          .upsert(prev, latest, keyCols, deleteCol, seqCol = Some(seqCol))
           .write.mode("overwrite").parquet(s"$snapshotPath/version=$batchId")
     }
   }
@@ -255,9 +271,13 @@ object StreamingOps {
       : DataFrame =
     snapshotVersionBefore(spark, snapshotPath, Long.MaxValue, fallbackSchema)
 
-  /** Latest `version=<id>` snapshot with `id < ltVersion`; an empty
-    * frame of `snapSchema` when none exists (first batch, or a replay
-    * of the first batch after a crash mid-write).
+  /** Latest COMPLETE `version=<id>` snapshot with `id < ltVersion`; an
+    * empty frame of `snapSchema` when none exists (first batch, or a
+    * replay of the first batch after a crash mid-write). Complete =
+    * the writer's `_SUCCESS` marker is present — a dir half-written by
+    * a crash, or currently being overwritten by a replay (overwrite
+    * deletes the marker first), is skipped in favor of its
+    * predecessor.
     */
   private def snapshotVersionBefore(spark: SparkSession, snapshotPath: String,
                                     ltVersion: Long,
@@ -269,7 +289,8 @@ object StreamingOps {
       if (!fs.exists(p)) Array.empty[Long]
       else fs.listStatus(p).flatMap { st =>
         val n = st.getPath.getName
-        if (st.isDirectory && n.startsWith("version="))
+        if (st.isDirectory && n.startsWith("version=") &&
+            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
           scala.util.Try(n.stripPrefix("version=").toLong).toOption
         else None
       }.filter(_ < ltVersion)

@@ -164,7 +164,12 @@ class RoundTenSpec extends AnyFunSuite {
       (3L, "v3b", 3L, true),   // ...by this delete (latest-per-key)
       (5L, "v5", 2L, false))   // insert
       .toDF("k", "v", "seq", "_deleted")
-    Seq(b0, b1).zipWithIndex.foreach { case (df, i) =>
+    val b2 = Seq(
+      (1L, "stale", 1L, false), // older than the applied seq 2: no-op
+      (4L, "v4", 0L, true),     // STALE delete: must not kill k4
+      (5L, "v5b", 3L, false))   // genuinely newer: applies
+      .toDF("k", "v", "seq", "_deleted")
+    Seq(b0, b1, b2).zipWithIndex.foreach { case (df, i) =>
       val tmp = s"$base/half$i"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
@@ -177,20 +182,24 @@ class RoundTenSpec extends AnyFunSuite {
       spark, in, snap, Seq("k"), "seq",
       checkpointDir = Some(s"$base/ckpt"))
     try q.processAllAvailable() finally q.stop()
-    assert(q.recentProgress.count(_.numInputRows > 0) == 2)
+    assert(q.recentProgress.count(_.numInputRows > 0) == 3)
     def current() = graft.streaming.StreamingOps
       .currentSnapshot(spark, snap, snapSchema)
       .select("k", "v", "seq").as[(Long, String, Long)].collect().toSet
-    val want = Set((1L, "v1b", 2L), (4L, "v4", 1L), (5L, "v5", 2L))
+    val want = Set((1L, "v1b", 2L), (4L, "v4", 1L), (5L, "v5b", 3L))
     assert(current() == want)
-    // the snapshot equals the batch upsert chain over the same changes
+    // the snapshot equals the seq-guarded batch upsert chain
+    val sq = Some("seq")
     val chained = graft.ops.Maintenance.upsert(
       graft.ops.Maintenance.upsert(
-        spark.createDataFrame(spark.sparkContext
-          .emptyRDD[org.apache.spark.sql.Row], snapSchema),
-        b0, Seq("k")),
-      // batch 1 reduced to latest-per-key by hand
-      b1.filter(!(col("k") === 3 && col("seq") === 2)), Seq("k"))
+        graft.ops.Maintenance.upsert(
+          spark.createDataFrame(spark.sparkContext
+            .emptyRDD[org.apache.spark.sql.Row], snapSchema),
+          b0, Seq("k"), seqCol = sq),
+        // batch 1 reduced to latest-per-key by hand
+        b1.filter(!(col("k") === 3 && col("seq") === 2)), Seq("k"),
+        seqCol = sq),
+      b2, Seq("k"), seqCol = sq)
       .select("k", "v", "seq").as[(Long, String, Long)].collect().toSet
     assert(chained == want)
     // replay WITHOUT the checkpoint: batch ids restart at 0, each
