@@ -485,9 +485,9 @@ object Scratch {
           println(s"embband($mc,$p,$tb) banded=${v.count()} exact=${e.count()} onlyV=$onlyV onlyE=$onlyE "
             + (if (onlyV == 0 && onlyE == 0) "MATCH" else "DIFF"))
         } else if (n.startsWith("lshtopk:") || n.startsWith("ivftopk:") ||
-            n.startsWith("quanttopk:")) {
+            n.startsWith("quanttopk:") || n.startsWith("pqtopk:")) {
           // lshtopk:<maxBitDiff> / ivftopk:<nProbe> / quanttopk:<rerank>
-          // — recall vs brute force
+          // / pqtopk:<rerank> — recall vs brute force
           import org.apache.spark.sql.functions._
           val param = n.split(":")(1).toInt
           val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -499,6 +499,8 @@ object Scratch {
           val res =
             if (n.startsWith("quanttopk:")) {
               ops.Similarity.quantizedTopK(e, qVec, 10, rerank = param)
+            } else if (n.startsWith("pqtopk:")) {
+              ops.Similarity.pqTopK(e, qVec, 10, rerank = param)
             } else if (n.startsWith("lshtopk:")) {
               ops.AnnIndex.lshWrite(e, s"$base/lsh", planes = 12)
               ops.AnnIndex.lshTopK(spark, s"$base/lsh", qVec, 10, planes = 12,

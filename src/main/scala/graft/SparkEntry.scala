@@ -869,6 +869,21 @@ object SparkEntry {
           rerank = 50)
         .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
     }),
+    // product-quantization ANN: the ADC scan reads each vector's
+    // 16-subspace code (16 bytes vs 256 — the 100 TB scan-width win),
+    // exact re-rank of the top 300 returns the true top-10. rerank sits
+    // at 1.5x the measured exactness threshold on the worst corpus
+    // (sf0.1 needs 200; near-random vectors are the hard case for
+    // coarse quantizers — same intrinsic ceiling as IVF/low-threshold
+    // LSH here), so it shares brute force's oracle
+    "sim_pq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qVec = e.filter(col("vec_id") === 0).select("embedding")
+        .first().getSeq[Float](0).map(_.toDouble)
+      Similarity.pqTopK(e.filter(col("vec_id") =!= 0), qVec, 10,
+          rerank = 300)
+        .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+    }),
     "sim_topk_brute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
@@ -1659,6 +1674,15 @@ object SparkEntry {
         |WHERE e.vec_id <> 0
         |ORDER BY cosine DESC, e.vec_id ASC LIMIT 10""".stripMargin,
     "sim_topk_brute" ->
+      """SELECT e.vec_id,
+        |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |         CAST(q.embedding AS DOUBLE[])), 4) AS cosine
+        |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cosine DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+    "sim_pq_topk" ->
+      // identical to sim_topk_brute: the ADC candidate cut must be
+      // invisible after exact re-ranking
       """SELECT e.vec_id,
         |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
         |         CAST(q.embedding AS DOUBLE[])), 4) AS cosine

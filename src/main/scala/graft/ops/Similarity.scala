@@ -192,6 +192,138 @@ object Similarity {
     (assigned, centroids)
   }
 
+  /** Product-quantization training + corpus encoding: the embedding is
+    * cut into `m` equal sub-vectors and each subspace learns its own
+    * `k`-centroid codebook (Lloyd rounds, L2 within the subspace — the
+    * PQ objective); a vector's code is its per-subspace nearest
+    * centroid ids (`m` small ints replacing `dims` floats — at
+    * m=16/k=32, 64 float dims compress to 16 bytes, a 16x scan-width
+    * cut, the whole point at 100 TB). All `m` subspaces train
+    * SIMULTANEOUSLY: one exploded (vec_id, subspace, sub-vector) table
+    * drives every round (not m separate k-means), the per-round mean
+    * update collects only m*k*(dims/m) doubles, and each round's
+    * assignment is eagerly localCheckpointed ([[ivfTrain]]'s pattern —
+    * one corpus scan per round). Means round to 9 dp so the trained
+    * codebook is partitioning-invariant. Deterministic init: the k
+    * vectors with smallest xxhash64(vec_id) seed every subspace.
+    *
+    * Returns the code table `(vec_id, codes ARRAY<INT>)` (codes(j) =
+    * centroid id in subspace j) and the codebooks
+    * `codebooks(j)(cid) = centroid` — at scale, persist both as the
+    * at-rest index artifact (train once, probe forever).
+    */
+  def pqTrainEncode(embeddings: DataFrame, m: Int = 8, k: Int = 16,
+                    iterations: Int = 2)
+      : (DataFrame, Array[Array[Array[Double]]]) = {
+    val dims = embeddings.select(size(col("embedding"))).first().getInt(0)
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    val sub = dims / m
+    // (vec_id, j, subvec DOUBLE) — one row per vector per subspace,
+    // materialized once and reused by every training round
+    val subs = embeddings.select(col("vec_id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)), j =>
+          transform(slice(col("embedding"), j * sub + 1, lit(sub)),
+            x => x.cast("double")))).as(Seq("j", "subvec")))
+      .localCheckpoint(true)
+    // init: the k hash-smallest vectors seed all m codebooks
+    val initIds = embeddings.select(col("vec_id"))
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h", "vec_id").limit(k)
+      .collect().map(_.getLong(0))
+    var codebooks: Array[Array[Array[Double]]] = {
+      val seed = subs
+        .filter(col("vec_id").isInCollection(initIds.toIndexedSeq))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      val byId = initIds.zipWithIndex.toMap
+      val cb = Array.fill(m, k)(Array.empty[Double])
+      seed.foreach { case (id, j, v) => cb(j)(byId(id)) = v }
+      cb
+    }
+    // nested literal [j][cid] -> (cid, cvec, ||cvec||^2); nearest-by-L2
+    // via argmax of 2<x,c> - <c,c> (the <x,x> term is rank-invariant)
+    def cbArr(cb: Array[Array[Array[Double]]]): Column =
+      array(cb.toIndexedSeq.map(cents => array(cents.zipWithIndex.toIndexedSeq.map {
+        case (v, cid) => struct(lit(cid).as("cid"),
+          array(v.toIndexedSeq.map(lit): _*).as("cvec"),
+          lit(v.map(x => x * x).sum).as("cc"))
+      }: _*)): _*)
+    def assign(cb: Array[Array[Array[Double]]]): DataFrame =
+      subs.select(col("vec_id"), col("j"), col("subvec"),
+        array_max(transform(element_at(cbArr(cb), col("j") + 1), c =>
+          struct((dotCol(col("subvec"), c.getField("cvec")) * 2 -
+            c.getField("cc")).as("s"), c.getField("cid").as("cid"))))
+          .getField("cid").as("cid"))
+    var assigned = assign(codebooks).localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val means = assigned
+        .select(col("j"), col("cid"),
+          posexplode(col("subvec")).as(Seq("dim", "v")))
+        .groupBy("j", "cid", "dim").agg(round(avg(col("v")), 9).as("mv"))
+        .collect()
+      val next = codebooks.map(_.map(_.clone))
+      means.groupBy(r => (r.getInt(0), r.getInt(1))).foreach {
+        case ((j, cid), rows) =>
+          val vec = new Array[Double](sub)
+          rows.foreach(r => vec(r.getInt(2)) = r.getDouble(3))
+          next(j)(cid) = vec // empty clusters keep their old centroid
+      }
+      codebooks = next
+      assigned = assign(codebooks).localCheckpoint(true)
+    }
+    val codes = assigned
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("cid")))),
+        p => p.getField("cid")).as("codes"))
+    (codes, codebooks)
+  }
+
+  /** PQ top-k with exact re-rank: the asymmetric-distance (ADC) scan
+    * reads only each vector's m-byte code — per subspace, the
+    * query-to-centroid dot products and centroid norms are m*k driver
+    * constants baked into the plan — ranks the corpus by approximate
+    * cosine, keeps `rerank` candidates, and scores just those exactly.
+    * Both cuts plan as TakeOrderedAndProject; the full-width embedding
+    * column is only read for the `rerank` survivors. Output equals
+    * brute force whenever the true top-k survives the ADC cut (the
+    * PQ recall sweep in Scratch `pqtopk:<rerank>` sizes the margin).
+    */
+  def pqTopK(embeddings: DataFrame, query: Seq[Double], topK: Int,
+             m: Int = 16, k: Int = 32, rerank: Int = 100,
+             iterations: Int = 2): DataFrame = {
+    val (codes, codebooks) = pqTrainEncode(embeddings, m, k, iterations)
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    val sub = query.length / m
+    // adc(j)(cid) = <q_j, c>, nrm(j)(cid) = <c, c>
+    val adc = codebooks.zipWithIndex.map { case (cents, j) =>
+      val qj = query.slice(j * sub, (j + 1) * sub)
+      cents.map(c => c.zip(qj).map { case (a, b) => a * b }.sum)
+    }
+    val nrm = codebooks.map(_.map(_.map(x => x * x).sum))
+    def tab(t: Array[Array[Double]]): Column =
+      array(t.toIndexedSeq.map(r => array(r.toIndexedSeq.map(lit): _*)): _*)
+    val idx = sequence(lit(0), lit(m - 1))
+    val approxDot = aggregate(
+      zip_with(idx, col("codes"), (j, c) =>
+        element_at(element_at(tab(adc), j + 1), c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val approxNormSq = aggregate(
+      zip_with(idx, col("codes"), (j, c) =>
+        element_at(element_at(tab(nrm), j + 1), c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val candidates = codes
+      .select(col("vec_id"),
+        (approxDot / (sqrt(approxNormSq) * qNorm + lit(1e-12))).as("acos"))
+      .orderBy(desc("acos"), asc("vec_id"))
+      .limit(rerank)
+    val q = array(query.map(lit): _*)
+    candidates
+      .join(embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("vec_id"), cosineCol(col("embedding"), q).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(topK)
+  }
+
   /** IVF-pruned top-k: rank centroids against the query on the driver
     * (k dot products), scan only the `nProbe` nearest clusters, exact
     * cosine re-rank inside them.

@@ -235,6 +235,28 @@ class RoundTenSpec extends AnyFunSuite {
     assert(a.values.toSeq.sorted == (1L to a.size).toSeq)
   }
 
+  // ---- product quantization ----
+
+  test("pqTopK equals brute force after exact re-rank; codes are m ints < k") {
+    import graft.ops.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") =!= 0)
+    val qVec = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") === 0).select("embedding")
+      .first().getSeq[Float](0).map(_.toDouble)
+    def ranked(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e4))).toSet
+    val got = ranked(Similarity.pqTopK(e, qVec, 10, rerank = 300))
+    val want = ranked(Similarity.bruteForceTopK(e, qVec, 10))
+    assert(got == want)
+    val (codes, codebooks) = Similarity.pqTrainEncode(e, m = 16, k = 32)
+    assert(codebooks.length == 16 && codebooks.forall(_.length == 32))
+    assert(codebooks.flatten.forall(_.length == 4)) // 64 dims / 16 subspaces
+    val c = codes.select(col("codes")).collect().map(_.getSeq[Int](0))
+    assert(c.forall(cs => cs.length == 16 && cs.forall(x => x >= 0 && x < 32)))
+    assert(codes.count() == e.count())
+  }
+
   // ---- Bloom-pruned incremental dedup ----
 
   test("incrementalExactBloom output-matches incrementalExact and prunes the probe") {
