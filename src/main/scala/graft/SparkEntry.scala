@@ -209,15 +209,18 @@ object SparkEntry {
     * query vector (vec_id 0) is excluded at build time so probes rank
     * only the corpus.
     */
-  private val annCache = new SessionCache[(String, AnnIndex.IvfModel)]
+  private val annCache =
+    new SessionCache[(String, AnnIndex.IvfModel, AnnIndex.PqModel)]
 
-  private def annIndex(s: SparkSession, dir: String): (String, AnnIndex.IvfModel) =
+  private def annIndex(s: SparkSession, dir: String)
+      : (String, AnnIndex.IvfModel, AnnIndex.PqModel) =
     annCache.getOrElseUpdate(s, dir, {
       val base = java.nio.file.Files.createTempDirectory("graft-ann-").toString
       val e = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
       val lshPath = s"$base/lsh"
       AnnIndex.lshWrite(e, lshPath, planes = AnnPlanes)
-      (lshPath, AnnIndex.ivfWrite(e, s"$base/ivf", k = IvfClusters))
+      (lshPath, AnnIndex.ivfWrite(e, s"$base/ivf", k = IvfClusters),
+        AnnIndex.pqWrite(e, s"$base/pq"))
     })
 
   private val AnnPlanes = 12
@@ -869,19 +872,17 @@ object SparkEntry {
           rerank = 50)
         .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
     }),
-    // product-quantization ANN: the ADC scan reads each vector's
-    // 16-subspace code (16 bytes vs 256 — the 100 TB scan-width win),
-    // exact re-rank of the top 300 returns the true top-10. rerank sits
-    // at 1.5x the measured exactness threshold on the worst corpus
-    // (sf0.1 needs 200; near-random vectors are the hard case for
-    // coarse quantizers — same intrinsic ceiling as IVF/low-threshold
-    // LSH here), so it shares brute force's oracle
+    // product-quantization ANN probing the PERSISTED (vec_id,
+    // embedding, codes) table: the ADC cut's scan column-prunes to the
+    // 16-byte codes (16x scan-width vs the float vectors — the 100 TB
+    // win), exact re-rank of the top 300 returns the true top-10.
+    // rerank sits at 1.5x the measured exactness threshold on the
+    // worst corpus (sf0.1 needs 200; near-random vectors are the hard
+    // case for coarse quantizers — same intrinsic ceiling as
+    // IVF/low-threshold LSH here), so it shares brute force's oracle
     "sim_pq_topk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val qVec = e.filter(col("vec_id") === 0).select("embedding")
-        .first().getSeq[Float](0).map(_.toDouble)
-      Similarity.pqTopK(e.filter(col("vec_id") =!= 0), qVec, 10,
-          rerank = 300)
+      val (_, _, pq) = annIndex(s, dir)
+      AnnIndex.pqTopK(s, pq, queryVec(s, dir), 10, rerank = 300)
         .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
     }),
     "sim_topk_brute" -> ((s, dir) => {
@@ -900,7 +901,7 @@ object SparkEntry {
     // candidate set provably contains the true top-10 on this corpus —
     // the oracle row asserts exact agreement with brute force
     "sim_lsh_topk" -> ((s, dir) => {
-      val (lshPath, _) = annIndex(s, dir)
+      val (lshPath, _, _) = annIndex(s, dir)
       AnnIndex.lshTopK(s, lshPath, queryVec(s, dir), 10,
         planes = AnnPlanes, maxBitDiff = 8)
         .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
@@ -909,7 +910,7 @@ object SparkEntry {
     // only nProbe cluster directories (PartitionFilters — asserted in
     // SparkIntegrationSpec); oracle = brute-force top-k
     "sim_ivf_topk" -> ((s, dir) => {
-      val (_, ivf) = annIndex(s, dir)
+      val (_, ivf, _) = annIndex(s, dir)
       AnnIndex.ivfTopK(s, ivf, queryVec(s, dir), 10, nProbe = 6)
         .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
     }),

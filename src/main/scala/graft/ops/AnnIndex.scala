@@ -100,4 +100,50 @@ object AnnIndex {
       .orderBy(desc("cosine"), asc("vec_id"))
       .limit(topK)
   }
+
+  final case class PqModel(path: String, codebooks: Array[Array[Array[Double]]])
+
+  /** Build + persist the PQ index: ONE columnar table `(vec_id,
+    * embedding, codes)` — the ADC scan's column pruning reads only the
+    * m-byte `codes` column (the narrow-scan win needs no sidecar), and
+    * the exact re-rank fetches `embedding` for just the survivors.
+    * Codebooks land as the tiny `<path>.codebooks` parquet (m*k rows
+    * of statistics, like IVF's centroids).
+    */
+  def pqWrite(embeddings: DataFrame, path: String, m: Int = 16, k: Int = 32,
+              iterations: Int = 2): PqModel = {
+    val spark = embeddings.sparkSession
+    val (codes, codebooks) = Similarity.pqTrainEncode(embeddings, m, k, iterations)
+    embeddings.select(col("vec_id"), col("embedding"))
+      .join(codes, Seq("vec_id"))
+      .write.mode("overwrite").parquet(path)
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (cents, j) =>
+      cents.zipWithIndex.map { case (v, cid) => (j, cid, v.toSeq) }
+    }.toSeq.toDF("j", "cid", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path.codebooks")
+    PqModel(path, codebooks)
+  }
+
+  /** Reload a persisted PQ model's codebooks (m*k rows — statistics). */
+  def pqLoad(spark: SparkSession, path: String): PqModel = {
+    val rows = spark.read.parquet(s"$path.codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val k = rows.map(_._2).max + 1
+    val cb = Array.fill(m, k)(Array.empty[Double])
+    rows.foreach { case (j, cid, v) => cb(j)(cid) = v }
+    PqModel(path, cb)
+  }
+
+  /** PQ top-k over the persisted index: ADC cut over the stored codes
+    * column (no re-encode, no re-train), exact re-rank of the
+    * survivors against the stored embeddings.
+    */
+  def pqTopK(spark: SparkSession, model: PqModel, query: Seq[Double],
+             topK: Int, rerank: Int = 300): DataFrame = {
+    val at = spark.read.parquet(model.path)
+    Similarity.pqAdcTopK(at.select("vec_id", "codes"),
+      at.select("vec_id", "embedding"), model.codebooks, query, topK, rerank)
+  }
 }

@@ -292,6 +292,20 @@ object Similarity {
              m: Int = 16, k: Int = 32, rerank: Int = 100,
              iterations: Int = 2): DataFrame = {
     val (codes, codebooks) = pqTrainEncode(embeddings, m, k, iterations)
+    pqAdcTopK(codes, embeddings, codebooks, query, topK, rerank)
+  }
+
+  /** The ADC probe against an already-encoded corpus — shared by
+    * [[pqTopK]] (fresh) and [[AnnIndex]]'s persisted-artifact path.
+    * `codes` needs `(vec_id, codes)`, `embeddings` `(vec_id,
+    * embedding)`; they may be the same columnar table (the scan stage
+    * then reads ONLY the codes column — column pruning delivers the
+    * narrow-scan win without a separate sidecar).
+    */
+  def pqAdcTopK(codes: DataFrame, embeddings: DataFrame,
+                codebooks: Array[Array[Array[Double]]], query: Seq[Double],
+                topK: Int, rerank: Int): DataFrame = {
+    val m = codebooks.length
     val qNorm = math.sqrt(query.map(x => x * x).sum)
     val sub = query.length / m
     // adc(j)(cid) = <q_j, c>, nrm(j)(cid) = <c, c>

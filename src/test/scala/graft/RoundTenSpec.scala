@@ -257,6 +257,32 @@ class RoundTenSpec extends AnyFunSuite {
     assert(codes.count() == e.count())
   }
 
+  test("persisted PQ probe equals the fresh path; ADC scan prunes to the codes column") {
+    import graft.ops.{AnnIndex, Similarity}
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") =!= 0)
+    val qVec = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") === 0).select("embedding")
+      .first().getSeq[Float](0).map(_.toDouble)
+    val path = java.nio.file.Files.createTempDirectory("graft-pq-").toString + "/pq"
+    AnnIndex.pqWrite(e, path)
+    // reload from disk: the codebooks round-trip through parquet
+    val model = AnnIndex.pqLoad(spark, path)
+    val probe = AnnIndex.pqTopK(spark, model, qVec, 10, rerank = 300)
+    def ranked(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e4))).toSet
+    assert(ranked(probe) == ranked(Similarity.bruteForceTopK(e, qVec, 10)))
+    // the candidate (ADC) stage's scan of the index table must NOT read
+    // the wide embedding column — column pruning is the scan-width win.
+    // (executedPlan is the AQE wrapper; its string carries the final
+    // plan's FileScans after the collect above finalized it)
+    val plan = probe.queryExecution.executedPlan.toString
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(readSchemas.exists(s => s.contains("codes") && !s.contains("embedding")),
+      s"no codes-only scan found; ReadSchemas: ${readSchemas.mkString(" | ")}")
+  }
+
   // ---- Bloom-pruned incremental dedup ----
 
   test("incrementalExactBloom output-matches incrementalExact and prunes the probe") {
