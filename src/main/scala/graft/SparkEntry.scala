@@ -917,6 +917,22 @@ object SparkEntry {
     "sim_knn_label" -> ((s, dir) =>
       Similarity.knnWithinLabel(t(s, dir, "embeddings"), 3)
         .select(col("vec_a"), col("vec_b"), round(col("cosine"), 4).as("cosine"))),
+    // BATCH ANN over the persisted PQ codes: top-10 per query for a
+    // query TABLE in one distributed plan (broadcast partial-dot join
+    // + per-query rank windows — no per-query driver constants, no
+    // per-query jobs); exact re-rank per query, brute-force oracle
+    "sim_pq_batch" -> ((s, dir) => {
+      val (_, _, pq) = annIndex(s, dir)
+      val at = s.read.parquet(pq.path)
+      val queries = t(s, dir, "embeddings")
+        .filter(col("vec_id") <= 2)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      Similarity.pqBatchTopK(at.select("vec_id", "codes"),
+          at.select("vec_id", "embedding"), queries, pq.codebooks,
+          topK = 10, rerank = 300)
+        .select(col("q_id"), col("vec_id"), col("rank"),
+          round(col("cosine"), 4).as("cosine"))
+    }),
 
     // ---- text analysis ----
     "text_quality" -> ((s, dir) =>
@@ -1690,6 +1706,21 @@ object SparkEntry {
         |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |WHERE e.vec_id <> 0
         |ORDER BY cosine DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+    "sim_pq_batch" ->
+      // per-query brute force: the batch ADC cut must be invisible
+      // after the per-query exact re-rank
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        |           FROM embeddings WHERE vec_id <= 2),
+        |s AS (SELECT q_id, e.vec_id,
+        |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |          CAST(q_emb AS DOUBLE[])) AS cos
+        |      FROM embeddings e, q WHERE e.vec_id <> 0),
+        |r AS (SELECT q_id, vec_id,
+        |        row_number() OVER (PARTITION BY q_id
+        |          ORDER BY cos DESC, vec_id ASC) AS rk, cos
+        |      FROM s)
+        |SELECT q_id, vec_id, CAST(rk AS INT) AS rank, round(cos, 4) AS cosine
+        |FROM r WHERE rk <= 10""".stripMargin,
     "text_token_counts" ->
       """SELECT doc_id,
         |       len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS ws_tokens,

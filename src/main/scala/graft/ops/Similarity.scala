@@ -338,6 +338,73 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Batch ANN over the PQ-encoded corpus: top-`topK` per query for a
+    * whole QUERY TABLE `(q_id, embedding)` in one distributed plan —
+    * the shape an embedding-search service actually runs at scale,
+    * where per-query driver-constant ADC tables ([[pqAdcTopK]]) would
+    * mean one Spark job per query.
+    *
+    * Plan: the per-(query, subspace, centroid) partial dots (Q*m*k
+    * rows — thousands of queries fit comfortably) BROADCAST-join the
+    * map-side exploded `(vec_id, j, cid)` code stream; one
+    * (q_id, vec_id) hash aggregate sums the m partials; per-vector
+    * approximate norms are query-independent and computed WITHOUT the
+    * explode (HOF over the codes array). Per-query candidate and
+    * final cuts are rank-windows partitioned by q_id — no global
+    * sort, no per-query job. Exact re-rank of `rerank` survivors per
+    * query equals brute force under the same margin as [[pqTopK]].
+    */
+  def pqBatchTopK(codes: DataFrame, embeddings: DataFrame, queries: DataFrame,
+                  codebooks: Array[Array[Array[Double]]], topK: Int,
+                  rerank: Int = 300): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    // (j, cid, cvec) literal — reused by the query-side partial dots
+    val cbArr = array(codebooks.toIndexedSeq.map(cents =>
+      array(cents.toIndexedSeq.map(v =>
+        array(v.toIndexedSeq.map(lit): _*)): _*)): _*)
+    val nrmArr = array(codebooks.toIndexedSeq.map(cents =>
+      array(cents.toIndexedSeq.map(v => lit(v.map(x => x * x).sum)): _*)): _*)
+    // query-side: (q_id, qnorm, j, cid, pdot) — Q*m*k rows, broadcast
+    val qparts = queries
+      .select(col("q_id"),
+        sqrt(dotCol(col("embedding"), col("embedding"))).as("qnorm"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)), j =>
+          transform(slice(col("embedding"), j * sub + 1, lit(sub)),
+            x => x.cast("double")))).as(Seq("j", "subvec")))
+      .select(col("q_id"), col("qnorm"), col("j"),
+        posexplode(transform(element_at(cbArr, col("j") + 1), c =>
+          dotCol(col("subvec"), c))).as(Seq("cid", "pdot")))
+    // vector-side: approx norm without exploding; the code stream
+    // explodes map-side to (vec_id, j, cid)
+    val vecNorm = sqrt(aggregate(
+      zip_with(sequence(lit(0), lit(m - 1)), col("codes"), (j, c) =>
+        element_at(element_at(nrmArr, j + 1), c + 1)),
+      lit(0.0), (acc, x) => acc + x))
+    val exploded = codes.select(col("vec_id"), vecNorm.as("vnorm"),
+      posexplode(col("codes")).as(Seq("j", "cid")))
+    val byQ = Window.partitionBy("q_id")
+    val candidates = exploded
+      .join(broadcast(qparts), Seq("j", "cid"))
+      .groupBy("q_id", "vec_id")
+      .agg((sum("pdot") / (first("vnorm") * first("qnorm") + lit(1e-12)))
+        .as("acos"))
+      .withColumn("__rk", row_number().over(
+        byQ.orderBy(desc("acos"), asc("vec_id"))))
+      .filter(col("__rk") <= rerank)
+      .select("q_id", "vec_id")
+    candidates
+      .join(embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("q_id"),
+        col("embedding").as("__q_emb"))), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineCol(col("embedding"), col("__q_emb")).as("cosine"))
+      .withColumn("rank", row_number().over(
+        byQ.orderBy(desc("cosine"), asc("vec_id"))))
+      .filter(col("rank") <= topK)
+      .select("q_id", "vec_id", "rank", "cosine")
+  }
+
   /** IVF-pruned top-k: rank centroids against the query on the driver
     * (k dot products), scan only the `nProbe` nearest clusters, exact
     * cosine re-rank inside them.

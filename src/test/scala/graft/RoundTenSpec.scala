@@ -283,6 +283,28 @@ class RoundTenSpec extends AnyFunSuite {
       s"no codes-only scan found; ReadSchemas: ${readSchemas.mkString(" | ")}")
   }
 
+  test("pqBatchTopK equals per-query brute force at sf0.1 (the worst corpus)") {
+    import graft.ops.Similarity
+    val all = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val e = all.filter(col("vec_id") =!= 0)
+    val (codes, cbs) = Similarity.pqTrainEncode(e, m = 16, k = 32)
+    val queries = all.filter(col("vec_id") <= 2)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val got = Similarity.pqBatchTopK(codes, e, queries, cbs, 10, rerank = 300)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        math.round(r.getDouble(3) * 1e4))).toSet
+    val want = queries.collect().flatMap { qr =>
+      val qid = qr.getLong(0)
+      val qv = qr.getSeq[Float](1).map(_.toDouble)
+      Similarity.bruteForceTopK(e, qv, 10).collect().zipWithIndex.map {
+        case (r, i) =>
+          (qid, r.getLong(0), i + 1, math.round(r.getDouble(1) * 1e4))
+      }
+    }.toSet
+    assert(got == want)
+  }
+
   // ---- Bloom-pruned incremental dedup ----
 
   test("incrementalExactBloom output-matches incrementalExact and prunes the probe") {
