@@ -209,19 +209,32 @@ object SparkEntry {
     * query vector (vec_id 0) is excluded at build time so probes rank
     * only the corpus.
     */
-  private val annCache =
-    new SessionCache[(String, AnnIndex.IvfModel, AnnIndex.PqModel)]
+  // one cache per index kind: a probe builds ONLY its own artifact (an
+  // LSH-only iteration must not pay PQ training)
+  private val lshCache = new SessionCache[String]
+  private val ivfCache = new SessionCache[AnnIndex.IvfModel]
+  private val pqCache = new SessionCache[AnnIndex.PqModel]
 
-  private def annIndex(s: SparkSession, dir: String)
-      : (String, AnnIndex.IvfModel, AnnIndex.PqModel) =
-    annCache.getOrElseUpdate(s, dir, {
-      val base = java.nio.file.Files.createTempDirectory("graft-ann-").toString
-      val e = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
-      val lshPath = s"$base/lsh"
-      AnnIndex.lshWrite(e, lshPath, planes = AnnPlanes)
-      (lshPath, AnnIndex.ivfWrite(e, s"$base/ivf", k = IvfClusters),
-        AnnIndex.pqWrite(e, s"$base/pq"))
+  private def annCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+
+  private def annTmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-ann-").toString
+
+  private def lshIndex(s: SparkSession, dir: String): String =
+    lshCache.getOrElseUpdate(s, dir, {
+      val p = s"${annTmp()}/lsh"
+      AnnIndex.lshWrite(annCorpus(s, dir), p, planes = AnnPlanes)
+      p
     })
+
+  private def ivfIndex(s: SparkSession, dir: String): AnnIndex.IvfModel =
+    ivfCache.getOrElseUpdate(s, dir,
+      AnnIndex.ivfWrite(annCorpus(s, dir), s"${annTmp()}/ivf", k = IvfClusters))
+
+  private def pqIndex(s: SparkSession, dir: String): AnnIndex.PqModel =
+    pqCache.getOrElseUpdate(s, dir,
+      AnnIndex.pqWrite(annCorpus(s, dir), s"${annTmp()}/pq"))
 
   private val AnnPlanes = 12
   private val IvfClusters = 16
@@ -881,7 +894,7 @@ object SparkEntry {
     // case for coarse quantizers — same intrinsic ceiling as
     // IVF/low-threshold LSH here), so it shares brute force's oracle
     "sim_pq_topk" -> ((s, dir) => {
-      val (_, _, pq) = annIndex(s, dir)
+      val pq = pqIndex(s, dir)
       AnnIndex.pqTopK(s, pq, queryVec(s, dir), 10, rerank = 300)
         .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
     }),
@@ -901,7 +914,7 @@ object SparkEntry {
     // candidate set provably contains the true top-10 on this corpus —
     // the oracle row asserts exact agreement with brute force
     "sim_lsh_topk" -> ((s, dir) => {
-      val (lshPath, _, _) = annIndex(s, dir)
+      val lshPath = lshIndex(s, dir)
       AnnIndex.lshTopK(s, lshPath, queryVec(s, dir), 10,
         planes = AnnPlanes, maxBitDiff = 8)
         .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
@@ -910,7 +923,7 @@ object SparkEntry {
     // only nProbe cluster directories (PartitionFilters — asserted in
     // SparkIntegrationSpec); oracle = brute-force top-k
     "sim_ivf_topk" -> ((s, dir) => {
-      val (_, ivf, _) = annIndex(s, dir)
+      val ivf = ivfIndex(s, dir)
       AnnIndex.ivfTopK(s, ivf, queryVec(s, dir), 10, nProbe = 6)
         .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
     }),
@@ -922,7 +935,7 @@ object SparkEntry {
     // + per-query rank windows — no per-query driver constants, no
     // per-query jobs); exact re-rank per query, brute-force oracle
     "sim_pq_batch" -> ((s, dir) => {
-      val (_, _, pq) = annIndex(s, dir)
+      val pq = pqIndex(s, dir)
       val at = s.read.parquet(pq.path)
       val queries = t(s, dir, "embeddings")
         .filter(col("vec_id") <= 2)

@@ -198,7 +198,9 @@ object Similarity {
     * PQ objective); a vector's code is its per-subspace nearest
     * centroid ids (`m` small ints replacing `dims` floats — at
     * m=16/k=32, 64 float dims compress to 16 bytes, a 16x scan-width
-    * cut, the whole point at 100 TB). All `m` subspaces train
+    * cut, the whole point at 100 TB). A corpus smaller than `k`
+    * shrinks the codebooks to its size (same as [[ivfTrain]] — no
+    * phantom empty centroids). All `m` subspaces train
     * SIMULTANEOUSLY: one exploded (vec_id, subspace, sub-vector) table
     * drives every round (not m separate k-means), the per-round mean
     * update collects only m*k*(dims/m) doubles, and each round's
@@ -212,7 +214,26 @@ object Similarity {
     * `codebooks(j)(cid) = centroid` — at scale, persist both as the
     * at-rest index artifact (train once, probe forever).
     */
-  def pqTrainEncode(embeddings: DataFrame, m: Int = 8, k: Int = 16,
+  /** `m` double-cast sub-vectors of an embedding column — the one
+    * definition of PQ's subspace slicing, shared by training and the
+    * batch probe.
+    */
+  private def subspaceArr(emb: Column, m: Int, sub: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)), j =>
+      transform(slice(emb, j * sub + 1, lit(sub)), x => x.cast("double")))
+
+  /** Nested literal `[j][cid] -> cvec` of a trained codebook. */
+  private def codebookVecLit(cb: Array[Array[Array[Double]]]): Column =
+    array(cb.toIndexedSeq.map(cents =>
+      array(cents.toIndexedSeq.map(v =>
+        array(v.toIndexedSeq.map(lit): _*)): _*)): _*)
+
+  /** Nested literal `[j][cid] -> ||cvec||^2` of a trained codebook. */
+  private def codebookNormLit(cb: Array[Array[Array[Double]]]): Column =
+    array(cb.toIndexedSeq.map(cents =>
+      array(cents.toIndexedSeq.map(v => lit(v.map(x => x * x).sum)): _*)): _*)
+
+  def pqTrainEncode(embeddings: DataFrame, m: Int = 16, k: Int = 32,
                     iterations: Int = 2)
       : (DataFrame, Array[Array[Array[Double]]]) = {
     val dims = embeddings.select(size(col("embedding"))).first().getInt(0)
@@ -221,22 +242,25 @@ object Similarity {
     // (vec_id, j, subvec DOUBLE) — one row per vector per subspace,
     // materialized once and reused by every training round
     val subs = embeddings.select(col("vec_id"),
-        posexplode(transform(sequence(lit(0), lit(m - 1)), j =>
-          transform(slice(col("embedding"), j * sub + 1, lit(sub)),
-            x => x.cast("double")))).as(Seq("j", "subvec")))
+        posexplode(subspaceArr(col("embedding"), m, sub))
+          .as(Seq("j", "subvec")))
       .localCheckpoint(true)
-    // init: the k hash-smallest vectors seed all m codebooks
+    // init: the (up to) k hash-smallest vectors seed all m codebooks;
+    // a corpus below k shrinks the codebooks rather than leaving
+    // phantom empty centroids that would win the argmax at score 0
     val initIds = embeddings.select(col("vec_id"))
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h", "vec_id").limit(k)
       .collect().map(_.getLong(0))
+    require(initIds.nonEmpty, "cannot train PQ on an empty corpus")
+    val kEff = initIds.length
     var codebooks: Array[Array[Array[Double]]] = {
       val seed = subs
         .filter(col("vec_id").isInCollection(initIds.toIndexedSeq))
         .collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
       val byId = initIds.zipWithIndex.toMap
-      val cb = Array.fill(m, k)(Array.empty[Double])
+      val cb = Array.fill(m, kEff)(Array.empty[Double])
       seed.foreach { case (id, j, v) => cb(j)(byId(id)) = v }
       cb
     }
@@ -307,7 +331,9 @@ object Similarity {
                 topK: Int, rerank: Int): DataFrame = {
     val m = codebooks.length
     val qNorm = math.sqrt(query.map(x => x * x).sum)
-    val sub = query.length / m
+    val sub = codebooks(0)(0).length
+    require(query.length == m * sub,
+      s"query has ${query.length} dims; the codebooks were trained on ${m * sub}")
     // adc(j)(cid) = <q_j, c>, nrm(j)(cid) = <c, c>
     val adc = codebooks.zipWithIndex.map { case (cents, j) =>
       val qj = query.slice(j * sub, (j + 1) * sub)
@@ -359,36 +385,50 @@ object Similarity {
                   rerank: Int = 300): DataFrame = {
     val m = codebooks.length
     val sub = codebooks(0)(0).length
-    // (j, cid, cvec) literal — reused by the query-side partial dots
-    val cbArr = array(codebooks.toIndexedSeq.map(cents =>
-      array(cents.toIndexedSeq.map(v =>
-        array(v.toIndexedSeq.map(lit): _*)): _*)): _*)
-    val nrmArr = array(codebooks.toIndexedSeq.map(cents =>
-      array(cents.toIndexedSeq.map(v => lit(v.map(x => x * x).sum)): _*)): _*)
+    // cheap fail-fast on dimensionality: a mismatched query would be
+    // sliced into misaligned subvectors and score silent garbage (the
+    // query table is small — one tiny job at plan-build time)
+    val qdims = queries.select(size(col("embedding")).as("d"))
+      .distinct().collect().map(_.getInt(0))
+    require(qdims.forall(_ == m * sub),
+      s"query dims ${qdims.mkString(",")} != codebook dims ${m * sub}")
     // query-side: (q_id, qnorm, j, cid, pdot) — Q*m*k rows, broadcast
     val qparts = queries
       .select(col("q_id"),
         sqrt(dotCol(col("embedding"), col("embedding"))).as("qnorm"),
-        posexplode(transform(sequence(lit(0), lit(m - 1)), j =>
-          transform(slice(col("embedding"), j * sub + 1, lit(sub)),
-            x => x.cast("double")))).as(Seq("j", "subvec")))
+        posexplode(subspaceArr(col("embedding"), m, sub))
+          .as(Seq("j", "subvec")))
       .select(col("q_id"), col("qnorm"), col("j"),
-        posexplode(transform(element_at(cbArr, col("j") + 1), c =>
-          dotCol(col("subvec"), c))).as(Seq("cid", "pdot")))
+        posexplode(transform(element_at(codebookVecLit(codebooks), col("j") + 1),
+          c => dotCol(col("subvec"), c))).as(Seq("cid", "pdot")))
     // vector-side: approx norm without exploding; the code stream
     // explodes map-side to (vec_id, j, cid)
     val vecNorm = sqrt(aggregate(
       zip_with(sequence(lit(0), lit(m - 1)), col("codes"), (j, c) =>
-        element_at(element_at(nrmArr, j + 1), c + 1)),
+        element_at(element_at(codebookNormLit(codebooks), j + 1), c + 1)),
       lit(0.0), (acc, x) => acc + x))
     val exploded = codes.select(col("vec_id"), vecNorm.as("vnorm"),
       posexplode(col("codes")).as(Seq("j", "cid")))
     val byQ = Window.partitionBy("q_id")
-    val candidates = exploded
+    val scored = exploded
       .join(broadcast(qparts), Seq("j", "cid"))
       .groupBy("q_id", "vec_id")
       .agg((sum("pdot") / (first("vnorm") * first("qnorm") + lit(1e-12)))
         .as("acos"))
+    // two-phase per-query candidate cut: a single rank window per q_id
+    // would funnel EVERY corpus vector's score for a query into one
+    // task (a per-query full-corpus sort — the thing this operator
+    // exists to avoid). Phase 1 takes the per-(query, vec-hash-bucket)
+    // top-rerank (each window holds ~N/buckets rows); phase 2 ranks
+    // only buckets*rerank survivors per query. The true per-query
+    // top-rerank is contained in the union of per-bucket top-reranks.
+    val buckets = 32
+    val byQBucket = Window.partitionBy("q_id", "__b")
+    val candidates = scored
+      .withColumn("__b", pmod(xxhash64(col("vec_id")), lit(buckets)))
+      .withColumn("__rk1", row_number().over(
+        byQBucket.orderBy(desc("acos"), asc("vec_id"))))
+      .filter(col("__rk1") <= rerank)
       .withColumn("__rk", row_number().over(
         byQ.orderBy(desc("acos"), asc("vec_id"))))
       .filter(col("__rk") <= rerank)
