@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AnnIndex, Dedup, Maintenance, Multimodal, ScalableRank, Similarity, Skew, TextAnalysis}
+import graft.ops.{AnnIndex, Dedup, Graph, Maintenance, Multimodal, ScalableRank, Similarity, Skew, TextAnalysis}
 import graft.search.{Indexer, SearchEngine}
 import graft.sources.Tables
 import graft.streaming.StreamingOps
@@ -307,6 +307,14 @@ object SparkEntry {
       graft.search.Scoring.moreLikeThis(
         Indexer.postings(t(s, dir, "documents"), stem = false), 42L, 10)
         .select(col("doc_id"), round(col("cosine"), 4).as("cosine"))),
+    // hybrid retrieval: BM25 keyword ranking + embedding-cosine ranking
+    // fused by reciprocal ranks (RRF) — both candidate lists are
+    // pool-bounded TakeOrdered plans, the fusion join sees <= 2*pool
+    // rows; vec_id 0 is the query vector itself and is excluded
+    "search_hybrid" -> ((s, dir) =>
+      graft.search.Scoring.hybridRrf(t(s, dir, "documents"),
+        t(s, dir, "embeddings").filter(col("vec_id") =!= 0),
+        Seq("spark", "data"), queryVec(s, dir), k = 10)),
     // incremental maintenance: 80% of the corpus is "already indexed"
     // (only its compact per-(term,doc) stats survive), the other 20%
     // arrives as a new batch — the output must equal a full rebuild
@@ -670,6 +678,19 @@ object SparkEntry {
         .withColumn("zkey", Maintenance.zorderKey(
           pmod(col("l_partkey"), lit(65536L)),
           pmod(col("l_suppkey"), lit(65536L))))),
+    // PageRank power iteration (3 rounds, d=0.85) over the undirected
+    // customer-supplier trade graph; each round is one edge-join +
+    // one aggregation with a checkpointed rank vector (flat plans) —
+    // the link-authority primitive next to dedup's connected components
+    "q_pagerank" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      Graph.pageRank(edges, iterations = 3)
+        .select(col("node"), round(col("rank"), 8).as("rank"))
+    }),
     // running aggregate + lag. The synthetic lineitem has NO unique
     // (orderkey, linenumber) key (unlike real TPC-H), so the ORDER BY
     // lists enough columns for a total order — full rows are unique —
@@ -1143,6 +1164,22 @@ object SparkEntry {
       TextAnalysis.bigramLogProb(t(s, dir, "documents"))
         .select(col("doc_id"),
           round(col("avg_bigram_logprob"), 6).as("avg_bigram_logprob"))),
+    // hashing-trick linear classifier inference (fastText-shaped):
+    // broadcast model-sized weight table, one per-doc mean aggregate;
+    // the demo weights are a deterministic function of the feature id
+    // so the oracle can rebuild the identical model
+    "text_classifier_score" -> ((s, dir) =>
+      TextAnalysis.classifierScore(t(s, dir, "documents"),
+          TextAnalysis.hashedWeights(s, 4096), dim = 4096)
+        .select(col("doc_id"), round(col("prob"), 6).as("prob"))),
+    // DSIR importance log-weights: target = the English slice; one
+    // conditional aggregation builds both unigram LMs, vocabulary-sized
+    // model tables, per-doc sum of the smoothed log-likelihood ratio
+    "text_dsir_weights" -> ((s, dir) =>
+      TextAnalysis.dsirWeights(t(s, dir, "documents"),
+          col("lang") === "en")
+        .select(col("doc_id"),
+          round(col("dsir_logweight"), 6).as("dsir_logweight"))),
     // full winnowing (MOSS) fingerprint selection: min-hash of each
     // w-window of word-k-gram hashes, rightmost-min tie rule — pure
     // map-side HOF algebra, portable md5-hex ordering
@@ -1266,6 +1303,46 @@ object SparkEntry {
           |  WHERE tf.term IN ('spark', 'data'))
           |SELECT doc_id, round(sum(score), 4) AS score
           |FROM bm GROUP BY 1 HAVING count(*) = 2""").stripMargin,
+    "search_hybrid" ->
+      // ranks are computed over 4-decimal-rounded scores with doc_id
+      // tie-break (deterministic across engines); pool = 100 per
+      // modality, RRF c = 60, fused top 10
+      (OracleTfidfCte +
+        """, dls AS (SELECT doc_id, count(*) AS dl FROM kept GROUP BY 1),
+          |g AS (SELECT avg(dl) AS avgdl, count(*) AS doc_num FROM dls),
+          |bm AS (
+          |  SELECT tf.term, tf.doc_id,
+          |    ln(1.0 + (g.doc_num - dfreq.df + 0.5) / (dfreq.df + 0.5))
+          |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dls.dl / g.avgdl)) AS score
+          |  FROM tf JOIN dfreq USING (term) JOIN dls USING (doc_id) CROSS JOIN g
+          |  WHERE tf.term IN ('spark', 'data')),
+          |bmdoc AS (
+          |  SELECT doc_id, round(sum(score), 4) AS bm25
+          |  FROM bm GROUP BY 1 HAVING count(*) = 2),
+          |trank AS (
+          |  SELECT doc_id, text_rank FROM (
+          |    SELECT doc_id,
+          |           row_number() OVER (ORDER BY bm25 DESC, doc_id) AS text_rank
+          |    FROM bmdoc) WHERE text_rank <= 100),
+          |vcos AS (
+          |  SELECT e.vec_id AS doc_id,
+          |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+          |           CAST(q.embedding AS DOUBLE[])), 4) AS cos
+          |  FROM embeddings e,
+          |       (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+          |  WHERE e.vec_id <> 0),
+          |vrank AS (
+          |  SELECT doc_id, vec_rank FROM (
+          |    SELECT doc_id,
+          |           row_number() OVER (ORDER BY cos DESC, doc_id) AS vec_rank
+          |    FROM vcos) WHERE vec_rank <= 100)
+          |SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+          |       round(COALESCE(1.0 / (60 + t.text_rank), 0) +
+          |             COALESCE(1.0 / (60 + v.vec_rank), 0), 6) AS rrf,
+          |       CAST(t.text_rank AS BIGINT) AS text_rank,
+          |       CAST(v.vec_rank AS BIGINT) AS vec_rank
+          |FROM trank t FULL OUTER JOIN vrank v ON t.doc_id = v.doc_id
+          |ORDER BY rrf DESC, COALESCE(t.doc_id, v.doc_id) LIMIT 10""").stripMargin,
     "postings_stemmed" ->
       // corpus-specific oracle: the 31-word vocabulary's Porter stems as
       // a CASE map (the stemmer itself is pinned by 41 unit vectors and
@@ -1968,6 +2045,47 @@ object SparkEntry {
         |         AS avg_bigram_logprob
         |FROM bi JOIN ctx USING (bigram)
         |GROUP BY 1""".stripMargin,
+    "text_classifier_score" ->
+      // the weight table is rebuilt from the same deterministic formula
+      // and the same portable md5-based feature hash the Spark side uses
+      """WITH toks AS (
+        |  SELECT doc_id, lower(t) AS word
+        |  FROM documents,
+        |       unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS u(t)),
+        |feats AS (
+        |  SELECT doc_id,
+        |         CAST('0x' || substr(md5(word), 1, 8) AS BIGINT) % 4096 AS fid
+        |  FROM toks),
+        |w AS (
+        |  SELECT f AS fid,
+        |         CAST((f * 2654435761) % 10007 AS DOUBLE) / 10007.0 - 0.5 AS weight
+        |  FROM range(4096) t(f))
+        |SELECT doc_id,
+        |       round(1.0 / (1.0 + exp(-(sum(weight) / count(*)))), 6) AS prob
+        |FROM feats JOIN w USING (fid)
+        |GROUP BY 1""".stripMargin,
+    "text_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS is_tgt, lower(t) AS word
+        |  FROM documents,
+        |       unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS u(t)),
+        |vocab AS (
+        |  SELECT word, count(*) AS raw_ct,
+        |         sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS tgt_ct
+        |  FROM toks GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(raw_ct) AS DOUBLE) AS raw_total,
+        |         CAST(sum(tgt_ct) AS DOUBLE) AS tgt_total,
+        |         CAST(count(*) AS DOUBLE) AS vsize
+        |  FROM vocab),
+        |scored AS (
+        |  SELECT word,
+        |         log10((tgt_ct + 0.5) / (tgt_total + 0.5 * vsize)) -
+        |         log10((raw_ct + 0.5) / (raw_total + 0.5 * vsize)) AS llr
+        |  FROM vocab CROSS JOIN tot)
+        |SELECT doc_id, round(sum(llr), 6) AS dsir_logweight
+        |FROM toks JOIN scored USING (word)
+        |GROUP BY 1""".stripMargin,
     "text_winnowing" ->
       ("WITH " + OracleWinnowCte + "\n" +
         "SELECT doc_id, pos, fp FROM win"),
@@ -2027,6 +2145,34 @@ object SparkEntry {
          |  CAST(${terms.mkString(" + ")} AS BIGINT) AS zkey
          |FROM lineitem""".stripMargin
     },
+    "q_pagerank" ->
+      // three unrolled power-iteration rounds; (1.0 - 0.85) is spelled
+      // as the same IEEE subtraction the Spark side computes
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |und AS (SELECT src, dst FROM e0
+        |        UNION SELECT dst AS src, src AS dst FROM e0),
+        |deg AS (SELECT src, count(*) AS outdeg FROM und GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM deg),
+        |r0 AS (SELECT src AS node, 1.0 / nn AS rank FROM deg, n),
+        |r1 AS (SELECT u.dst AS node,
+        |              (1.0 - 0.85) / min(n.nn) + 0.85 * sum(r.rank / d.outdeg) AS rank
+        |       FROM und u JOIN r0 r ON u.src = r.node
+        |                  JOIN deg d ON u.src = d.src CROSS JOIN n
+        |       GROUP BY u.dst),
+        |r2 AS (SELECT u.dst AS node,
+        |              (1.0 - 0.85) / min(n.nn) + 0.85 * sum(r.rank / d.outdeg) AS rank
+        |       FROM und u JOIN r1 r ON u.src = r.node
+        |                  JOIN deg d ON u.src = d.src CROSS JOIN n
+        |       GROUP BY u.dst),
+        |r3 AS (SELECT u.dst AS node,
+        |              (1.0 - 0.85) / min(n.nn) + 0.85 * sum(r.rank / d.outdeg) AS rank
+        |       FROM und u JOIN r2 r ON u.src = r.node
+        |                  JOIN deg d ON u.src = d.src CROSS JOIN n
+        |       GROUP BY u.dst)
+        |SELECT node, round(rank, 8) AS rank FROM r3""".stripMargin,
     "dedup_incremental" -> OracleIncrementalSql,
     // the Bloom-pruned variant is output-identical BY CONSTRUCTION
     // (no false negatives; positives exact-confirmed) — same oracle

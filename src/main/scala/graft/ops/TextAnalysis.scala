@@ -874,6 +874,102 @@ object TextAnalysis {
         .as("avg_bigram_logprob"))
   }
 
+  /** Portable hashed-feature index: first 8 hex chars of md5 as an
+    * unsigned 32-bit value, mod `dim`. Any engine with md5 reproduces
+    * it (DuckDB: `CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) % dim`),
+    * unlike Spark's xxhash64/Murmur which are engine-specific. Used by
+    * the hashing-trick classifier features below.
+    */
+  def hashFeature(c: Column, dim: Int): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long") % dim
+
+  /** Deterministic demo weight table for [[classifierScore]]:
+    * weight(f) = ((f * 2654435761) mod 10007) / 10007 - 0.5 — a
+    * Weyl-ish spread over [-0.5, 0.5) that any engine can recompute.
+    * A real deployment would load learned fastText/regression weights
+    * here; the inference path is identical.
+    */
+  def hashedWeights(spark: org.apache.spark.sql.SparkSession,
+                    dim: Int): DataFrame =
+    spark.range(dim).select(col("id").as("fid"),
+      (((col("id") * lit(2654435761L)) % 10007L).cast("double") / 10007.0
+        - 0.5).as("weight"))
+
+  /** fastText-style linear quality-classifier INFERENCE over
+    * hashing-trick bag-of-words features: each token hashes to one of
+    * `dim` feature ids ([[hashFeature]]); the document margin is the
+    * MEAN of the matched feature weights (fastText's average-of-input-
+    * vectors with a 1-d "vector"), squashed through a sigmoid.
+    *
+    * Scale posture: the weight table is model-sized (`dim` rows) and
+    * broadcast — the corpus-sized token stream never shuffles for the
+    * join; the per-doc mean is ONE hash aggregation with map-side
+    * partial combine. This is the shape of every cheap learned quality
+    * filter in a training-data pipeline (fastText lid/quality, logistic
+    * spam scores): score = sigmoid(w . phi(doc) + b).
+    *
+    * Documents with no tokens have no features and drop out (same
+    * contract as [[unigramLogProb]]).
+    */
+  def classifierScore(docs0: DataFrame, weights: DataFrame,
+                      bias: Double = 0.0, dim: Int = 4096,
+                      textCol: String = "text"): DataFrame = {
+    val docs = graft.search.Analyzer.spread(docs0)
+    val feats = docs.select(col("doc_id"),
+        explode(split(col(textCol), " ", -1)).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"), hashFeature(lower(col("w")), dim).as("fid"))
+    feats.join(broadcast(weights), "fid")
+      .groupBy("doc_id")
+      .agg((sum("weight") / count(lit(1)) + bias).as("margin"))
+      .select(col("doc_id"),
+        (lit(1.0) / (lit(1.0) + exp(-col("margin")))).as("prob"))
+  }
+
+  /** DSIR importance log-weights (Xie et al. 2023, "Data Selection
+    * with Importance Resampling"): score each raw document by how much
+    * more likely its tokens are under the TARGET distribution than
+    * under the RAW corpus distribution —
+    * log w(doc) = sum over tokens of
+    * log10 p_tgt(tok) - log10 p_raw(tok), with add-alpha smoothing
+    * over the SHARED vocabulary (so unseen-in-target tokens are finite
+    * penalties, not -inf). Resampling then keeps docs proportionally
+    * to exp(log w) — the sampling itself is [[hashSample]] /
+    * [[mixtureTake]] territory; this computes the weights.
+    *
+    * Scale posture: ONE corpus-sized aggregation builds both unigram
+    * models at once (conditional count on the target flag — the target
+    * corpus is a subset, so one scan suffices); totals and vocabulary
+    * size ride on the vocabulary-sized aggregate via unpartitioned
+    * windows (never over the corpus); the score join re-reads tokens
+    * once with a per-doc partial-aggregated sum. Two corpus passes
+    * total, model tables stay vocabulary-sized.
+    */
+  def dsirWeights(docs0: DataFrame, isTarget: Column, alpha: Double = 0.5,
+                  textCol: String = "text"): DataFrame = {
+    val docs = graft.search.Analyzer.spread(docs0)
+    val words = docs.select(col("doc_id"), isTarget.as("is_tgt"),
+        explode(split(col(textCol), " ", -1)).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"), col("is_tgt"), lower(col("w")).as("word"))
+    val vocab = words.groupBy("word").agg(
+      count(lit(1)).as("raw_ct"),
+      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tgt_ct"))
+    val all = Window.partitionBy()
+    val scored = vocab.select(col("word"),
+        col("raw_ct"), col("tgt_ct"),
+        sum("raw_ct").over(all).as("raw_total"),
+        sum("tgt_ct").over(all).as("tgt_total"),
+        count(lit(1)).over(all).as("vsize"))
+      .select(col("word"),
+        (log10((col("tgt_ct") + alpha) / (col("tgt_total") + lit(alpha) * col("vsize"))) -
+          log10((col("raw_ct") + alpha) / (col("raw_total") + lit(alpha) * col("vsize"))))
+          .as("llr"))
+    words.join(scored, "word")
+      .groupBy("doc_id")
+      .agg(sum("llr").as("dsir_logweight"))
+  }
+
   /** SQL string literal with quotes/backslashes escaped (merge symbols
     * may contain either once user text gets exotic).
     */

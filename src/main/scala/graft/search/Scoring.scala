@@ -1,7 +1,10 @@
 package graft.search
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
 
 /** Ranking functions over the posting statistics. The reference ships
   * only its TF-IDF variant (mixed log bases, `code/inverted/
@@ -82,6 +85,59 @@ object Scoring {
       .select(col("doc_id"),
         (col("dot") / (col("nrm") * col("qnorm"))).as("cosine"))
       .orderBy(col("cosine").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Hybrid retrieval: BM25 keyword ranking fused with embedding-cosine
+    * ranking by reciprocal-rank fusion (Cormack et al. 2009):
+    * rrf(d) = sum over rankings of 1 / (c + rank(d)), missing from a
+    * ranking contributes 0. RRF needs only RANKS, so the two scores
+    * never have to be calibrated against each other — the standard
+    * first-stage retriever for RAG-style pipelines (keyword recall +
+    * semantic recall in one list).
+    *
+    * Scale posture: each modality produces a `pool`-bounded candidate
+    * list via `orderBy.limit` — planned as per-partition TakeOrdered +
+    * driver merge, never a global sort of the corpus. The rank windows
+    * and the fusion join then run over at most `2 * pool` rows (the
+    * single-partition window is pool-bounded by construction). Scores
+    * are rounded to 4 decimals BEFORE ranking so ranks are reproducible
+    * across engines (ties break on doc_id).
+    *
+    * BM25 side is conjunctive over `terms` (every term present), the
+    * same contract as the `search_bm25` entry it shares statistics
+    * with.
+    */
+  def hybridRrf(docs: DataFrame, embeddings: DataFrame,
+                terms: Seq[String], query: Seq[Double], k: Int,
+                pool: Int = 100, c: Int = 60,
+                stem: Boolean = true): DataFrame = {
+    require(k >= 1 && pool >= k, s"need pool >= k >= 1: k=$k pool=$pool")
+    require(terms.nonEmpty, "hybridRrf needs at least one query term")
+    val byText = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val text = bm25Postings(docs, stem = stem)
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(round(sum("score"), 4).as("bm25"), count(lit(1)).as("__nt"))
+      .filter(col("__nt") === terms.size)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(pool)
+      .select(col("doc_id"), row_number().over(byText).as("text_rank"))
+    val q = array(query.map(lit): _*)
+    val byVec = Window.orderBy(col("cos").desc, col("doc_id"))
+    val vec = embeddings
+      .select(col("vec_id").as("doc_id"),
+        round(Similarity.cosineCol(col("embedding"), q), 4).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id"))
+      .limit(pool)
+      .select(col("doc_id"), row_number().over(byVec).as("vec_rank"))
+    text.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(coalesce(lit(1.0) / (col("text_rank") + c), lit(0.0)) +
+          coalesce(lit(1.0) / (col("vec_rank") + c), lit(0.0)), 6).as("rrf"),
+        col("text_rank").cast("long").as("text_rank"),
+        col("vec_rank").cast("long").as("vec_rank"))
+      .orderBy(col("rrf").desc, col("doc_id"))
       .limit(k)
   }
 }
