@@ -55,6 +55,19 @@ class RoundElevenSpec extends AnyFunSuite {
     for ((k, v) <- want) assert(math.abs(got(k) - v) < 1e-12, s"node $k")
   }
 
+  test("pageRank is invariant to adjacency chunking (maxFanout=1)") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("d", "e"),
+      ("e", "f"), ("x", "y"), ("y", "z"), ("z", "x"))
+    val got = Graph.pageRank(edges.toDF("src", "dst"), iterations = 3,
+        maxFanout = 1L) // every neighbor in its own chunk row
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = naivePageRank(edges, 3)
+    assert(got.keySet === want.keySet)
+    for ((k, v) <- want) assert(math.abs(got(k) - v) < 1e-12, s"node $k")
+  }
+
   test("pageRank rank vector sums to 1 after every iteration count") {
     val s = spark
     import s.implicits._
