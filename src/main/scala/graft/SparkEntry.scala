@@ -565,6 +565,12 @@ object SparkEntry {
           percentile(col("l_quantity"), lit(0.5)).as("med"),
           percentile(col("l_quantity"), lit(0.75)).as("q3"),
           min("l_quantity").as("qmin"), max("l_quantity").as("qmax"))),
+    // EXACT global quantiles by distributed selection: histogram pass
+    // + targeted in-bucket pick — no global sort, no full-rank pass,
+    // unlike percentile (single-task) or percentile_approx (inexact)
+    "q_exact_quantile" -> ((s, dir) =>
+      ScalableRank.globalQuantiles(t(s, dir, "lineitem"),
+        "l_extendedprice", Seq(0.25, 0.5, 0.75), bucketWidth = 1000.0)),
     // global total-order analytics WITHOUT the single-partition sort
     // Spark plans for ORDER-BY-only windows: two-level bucketed rank
     // (ScalableRank), bit-identical to row_number/ntile
@@ -947,6 +953,14 @@ object SparkEntry {
       val ivf = ivfIndex(s, dir)
       AnnIndex.ivfTopK(s, ivf, queryVec(s, dir), 10, nProbe = 6)
         .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+    }),
+    // nearest-centroid assignment (k-means E step): 8 fixed centroids
+    // broadcast, per-vector argmax over exactly k rounded cosines
+    "sim_cluster_assign" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cluster"), col("embedding").as("centroid"))
+      Similarity.assignToCentroids(e, cents)
     }),
     "sim_knn_label" -> ((s, dir) =>
       Similarity.knnWithinLabel(t(s, dir, "embeddings"), 3)
@@ -1780,6 +1794,30 @@ object SparkEntry {
         |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |WHERE e.vec_id <> 0
         |ORDER BY cosine DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+    "q_exact_quantile" ->
+      // the value at row ceil(q*n) of the sorted column; ties don't
+      // matter (the value at a fixed rank is tie-invariant)
+      """WITH o AS (
+        |  SELECT l_extendedprice,
+        |         row_number() OVER (ORDER BY l_extendedprice) AS rn
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT count(*) AS n FROM o),
+        |ks AS (SELECT CAST(q AS DOUBLE) AS q,
+        |              CAST(ceil(q * n.n) AS BIGINT) AS k
+        |       FROM (VALUES (0.25), (0.5), (0.75)) v(q), n)
+        |SELECT ks.q, o.l_extendedprice
+        |FROM ks JOIN o ON o.rn = ks.k""".stripMargin,
+    "sim_cluster_assign" ->
+      """SELECT vec_id, cluster, cos FROM (
+        |  SELECT e.vec_id, c.vec_id AS cluster,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |           CAST(c.embedding AS DOUBLE[])), 4) AS cos,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |             CAST(c.embedding AS DOUBLE[])), 4) DESC, c.vec_id) AS rn
+        |  FROM embeddings e CROSS JOIN
+        |       (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) c) t
+        |WHERE rn = 1""".stripMargin,
     "sim_topk_brute" ->
       """SELECT e.vec_id,
         |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),

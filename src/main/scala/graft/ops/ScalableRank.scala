@@ -135,4 +135,61 @@ object ScalableRank {
                  |END""".stripMargin).cast("int"))
       .drop("__prefix", "__gr", "__n")
   }
+
+  /** EXACT global quantiles by distributed selection — the value at
+    * row `ceil(q * n)` of the sorted column, for each `q`, computed
+    * WITHOUT a global sort and WITHOUT ranking every row:
+    *
+    *  1. one scan builds a monotone-bucket histogram
+    *     (`floor(value / bucketWidth)` — order-preserving for any
+    *     doubles, so bucket order = value order);
+    *  2. cumulative counts over the BUCKET-sized histogram locate, for
+    *     each quantile, the bucket holding its target rank and the
+    *     residual rank inside it (plan-side join, no driver collect);
+    *  3. a second scan touches ONLY the target buckets (broadcast
+    *     semi-shaped join) and picks the residual-th smallest value
+    *     per quantile — the only sort that runs is over one bucket's
+    *     rows per quantile.
+    *
+    * Ties are harmless: the value at a fixed rank is the same under
+    * any tie ordering. NULLs are excluded (SQL quantile semantics).
+    * Pick `bucketWidth` so a bucket's rows fit an executor —
+    * the in-bucket selection sorts one bucket per quantile.
+    *
+    * Unlike `percentile_approx`, the result is exact; unlike
+    * `percentile`, nothing corpus-sized concentrates on one task.
+    */
+  def globalQuantiles(df: DataFrame, valueCol: String, qs: Seq[Double],
+                      bucketWidth: Double): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile fraction")
+    require(qs.forall(q => q > 0.0 && q <= 1.0), s"fractions in (0, 1]: $qs")
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = df.select(col(valueCol).cast("double").as("__val"))
+      .filter(col("__val").isNotNull)
+      .withColumn("__bucket", floor(col("__val") / bucketWidth).cast("long"))
+    val hist = b.groupBy("__bucket").agg(count(lit(1)).as("__cnt"))
+    val before = Window.orderBy("__bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.orderBy("__bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // bucket-sized input: only histogram rows cross the single
+    // partition these windows imply (the scaffold's usual contract)
+    val cum = hist.select(col("__bucket"), col("__cnt"),
+      coalesce(sum("__cnt").over(before), lit(0L)).as("__before"),
+      sum("__cnt").over(whole).as("__n"))
+    val targets = cum.crossJoin(qs.toDF("q"))
+      .withColumn("__k", ceil(col("q") * col("__n")).cast("long"))
+      .filter(col("__before") < col("__k") &&
+        col("__k") <= col("__before") + col("__cnt"))
+      .select(col("q"), col("__bucket").as("__tbucket"),
+        (col("__k") - col("__before")).as("__resid"))
+    val inTarget = b.join(broadcast(targets),
+      col("__bucket") === col("__tbucket"))
+    val w = Window.partitionBy("q").orderBy("__val")
+    inTarget.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === col("__resid"))
+      .select(col("q"), col("__val").as(valueCol))
+  }
 }

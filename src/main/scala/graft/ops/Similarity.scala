@@ -488,4 +488,26 @@ object Similarity {
       .filter(col("rn") <= k)
       .drop("rn")
   }
+
+  /** Nearest-centroid assignment — the k-means classify/E step as a
+    * standalone operator (cluster labeling for diversity analysis,
+    * topic bucketing, IVF routing). `centroids` is model-sized
+    * (`cluster`, `centroid`) and broadcasts; the corpus side pays one
+    * k-fanout projection plus a per-vector argmax window over exactly
+    * k rows (bounded fanout — nothing corpus-sized shuffles beyond the
+    * k-way expansion). Cosines are rounded to 4 decimals BEFORE the
+    * argmax so the winner is reproducible across engines; ties break
+    * on the lowest cluster id.
+    */
+  def assignToCentroids(embeddings: DataFrame, centroids: DataFrame,
+                        embCol: String = "embedding"): DataFrame = {
+    val scored = embeddings.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("cluster"),
+        round(cosineCol(col(embCol), col("centroid")), 4).as("cos"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(desc("cos"), asc("cluster"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Graph, TextAnalysis}
+import graft.ops.{Graph, ScalableRank, TextAnalysis}
 import graft.search.Scoring
 
 /** Round-11 surface: PageRank power iteration, hashing-trick
@@ -148,6 +148,67 @@ class RoundElevenSpec extends AnyFunSuite {
     val tgtMean = rows.filter(_._3).map(r => got(r._1)).sum / 2
     val rawMean = rows.filterNot(_._3).map(r => got(r._1)).sum / 2
     assert(tgtMean > rawMean)
+  }
+
+  // ---- exact global quantiles ----
+
+  test("globalQuantiles picks the value at rank ceil(q*n) for any bucket width") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    // duplicates, negatives, and a null — exclusion + ties covered
+    val vals = Seq.fill(500)(math.floor(rnd.nextDouble() * 200 - 100) / 4.0)
+    val df = (vals.map(Option(_)) :+ Option.empty[Double]).toDF("v")
+    val sorted = vals.sorted
+    val qs = Seq(0.01, 0.25, 0.5, 0.75, 1.0)
+    val want = qs.map(q =>
+      q -> sorted(math.ceil(q * vals.size).toLong.toInt - 1)).toMap
+    for (width <- Seq(0.1, 7.0, 1000.0)) {
+      val got = ScalableRank.globalQuantiles(df, "v", qs, width)
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      assert(got === want, s"width=$width")
+    }
+  }
+
+  test("globalQuantiles second scan touches only target buckets") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 1000).map(_.toDouble).toDF("v")
+    val plan = ScalableRank.globalQuantiles(df, "v", Seq(0.5), 100.0)
+      .queryExecution.executedPlan.toString
+    // the in-bucket selection join must broadcast the tiny target list
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  // ---- nearest-centroid assignment ----
+
+  test("assignToCentroids matches the naive argmax with id tie-break") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+    val embs = (0L until 40L).map(i => (i, vec()))
+    val cents = (0L until 5L).map(i => (i, vec()))
+    val got = graft.ops.Similarity.assignToCentroids(
+        embs.toDF("vec_id", "embedding"),
+        cents.toDF("cluster", "centroid"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    for ((id, e) <- embs) {
+      val scored = cents.map { case (c, ce) =>
+        (c, BigDecimal(cos(e, ce))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      val best = scored.minBy { case (c, v) => (-v, c) }
+      assert(got(id)._1 === best._1, s"vec $id")
+      assert(math.abs(got(id)._2 - best._2) < 1e-9, s"vec $id cos")
+    }
   }
 
   // ---- hybrid RRF retrieval ----
