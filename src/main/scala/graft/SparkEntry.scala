@@ -697,6 +697,17 @@ object SparkEntry {
       Graph.pageRank(edges, iterations = 3)
         .select(col("node"), round(col("rank"), 8).as("rank"))
     }),
+    // synchronous label propagation (2 rounds) over the same trade
+    // graph — deterministic argmax (count desc, label asc), per-round
+    // shuffles node-sized, hub argmax split across hash buckets
+    "q_label_prop" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      Graph.labelPropagation(edges, iterations = 2)
+    }),
     // running aggregate + lag. The synthetic lineitem has NO unique
     // (orderkey, linenumber) key (unlike real TPC-H), so the ORDER BY
     // lists enough columns for a total order — full rows are unique —
@@ -2211,6 +2222,31 @@ object SparkEntry {
         |                  JOIN deg d ON u.src = d.src CROSS JOIN n
         |       GROUP BY u.dst)
         |SELECT node, round(rank, 8) AS rank FROM r3""".stripMargin,
+    "q_label_prop" ->
+      // two unrolled synchronous LPA rounds; argmax = (count DESC,
+      // label ASC) row_number, the same deterministic rule as the
+      // Spark side
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |und AS (SELECT src, dst FROM e0
+        |        UNION SELECT dst AS src, src AS dst FROM e0),
+        |c1 AS (SELECT u.dst AS node, u.src AS label, count(*) AS c
+        |       FROM und u GROUP BY 1, 2),
+        |l1 AS (SELECT node, label FROM (
+        |         SELECT node, label,
+        |                row_number() OVER (PARTITION BY node
+        |                  ORDER BY c DESC, label) AS rn
+        |         FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT u.dst AS node, l.label, count(*) AS c
+        |       FROM und u JOIN l1 l ON u.src = l.node GROUP BY 1, 2),
+        |l2 AS (SELECT node, label FROM (
+        |         SELECT node, label,
+        |                row_number() OVER (PARTITION BY node
+        |                  ORDER BY c DESC, label) AS rn
+        |         FROM c2) WHERE rn = 1)
+        |SELECT node, label FROM l2""".stripMargin,
     "dedup_incremental" -> OracleIncrementalSql,
     // the Bloom-pruned variant is output-identical BY CONSTRUCTION
     // (no false negatives; positives exact-confirmed) — same oracle

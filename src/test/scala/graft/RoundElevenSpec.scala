@@ -79,6 +79,42 @@ class RoundElevenSpec extends AnyFunSuite {
     }
   }
 
+  // ---- label propagation ----
+
+  /** Naive reference: synchronous LPA, argmax by (count desc, label
+    * asc), neighbors only (self excluded until adopted).
+    */
+  private def naiveLpa(edges: Seq[(String, String)],
+                       iters: Int): Map[String, String] = {
+    val und = (edges ++ edges.map { case (a, b) => (b, a) }).distinct
+    val nodes = und.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val inN = und.groupBy(_._2).map { case (k, v) => k -> v.map(_._1) }
+    var lab = nodes.map(v => v -> v).toMap
+    for (_ <- 1 to iters) {
+      lab = nodes.map { v =>
+        val counts = inN(v).map(lab).groupBy(identity)
+          .map { case (l, o) => (l, o.size) }
+        v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    lab
+  }
+
+  test("labelPropagation matches the naive synchronous reference") {
+    val s = spark
+    import s.implicits._
+    // two triangles joined by one bridge edge — communities should
+    // separate; plus a pendant node
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("p", "q"), ("q", "r"), ("r", "p"), ("c", "p"), ("a", "t"))
+    for (iters <- 1 to 3; buckets <- Seq(1, 64)) {
+      val got = Graph.labelPropagation(edges.toDF("src", "dst"), iters,
+          buckets = buckets)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got === naiveLpa(edges, iters), s"iters=$iters buckets=$buckets")
+    }
+  }
+
   // ---- classifier inference ----
 
   private def md5Feature(tok: String, dim: Int): Long = {
