@@ -708,6 +708,41 @@ object SparkEntry {
           concat(lit("s"), col("l_suppkey")).as("dst"))
       Graph.labelPropagation(edges, iterations = 2)
     }),
+    // connected components over the STRONG trade graph (pairs that
+    // traded >= 4 line items — 73 components at sf0.01, not one giant
+    // blob); node encoding custkey*2 / suppkey*2+1 keeps ids disjoint
+    // and integer so the min-label component id is oracle-expressible
+    "q_connected_components" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).cast("long").as("src"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 4)
+        .select("src", "dst")
+      Graph.connectedComponents(edges)
+    }),
+    // per-node triangle count + local clustering coefficient of the
+    // repeat-co-purchase graph (parts co-ordered in >= 2 baskets);
+    // degree-ordered orientation bounds the wedge join at m^1.5
+    "q_triangles" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val co = Graph.bipartiteProject(
+        l.select(col("l_orderkey").as("g"), col("l_partkey").as("i")),
+        "g", "i", maxFanout = 1000, minShared = 2L)
+      Graph.triangleCounts(
+        co.select(col("item_a").as("src"), col("item_b").as("dst")))
+    }),
+    // "bought together" top-100: part pairs by basket-neighborhood
+    // Jaccard (int-derived IEEE division — reproducible unrounded, so
+    // the top-k cut is deterministic without a rounding grid)
+    "q_graph_related" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      Graph.relatedByNeighbors(
+        l.select(col("l_orderkey").as("g"), col("l_partkey").as("i")),
+        "g", "i", k = 100, minShared = 2L)
+    }),
     // running aggregate + lag. The synthetic lineitem has NO unique
     // (orderkey, linenumber) key (unlike real TPC-H), so the ORDER BY
     // lists enough columns for a total order — full rows are unique —
@@ -1189,6 +1224,13 @@ object SparkEntry {
       TextAnalysis.bigramLogProb(t(s, dir, "documents"))
         .select(col("doc_id"),
           round(col("avg_bigram_logprob"), 6).as("avg_bigram_logprob"))),
+    // PMI collocation mining (multi-word-expression discovery): corpus
+    // bigrams with freq >= 5 scored log10(p(ab)/(p(a)p(b))); per-row
+    // arithmetic on exact counts, round(6) only to absorb cross-engine
+    // log10 last-ulp differences
+    "text_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(t(s, dir, "documents"), minFreq = 5L)
+        .select(col("bigram"), col("freq"), round(col("pmi"), 6).as("pmi"))),
     // hashing-trick linear classifier inference (fastText-shaped):
     // broadcast model-sized weight table, one per-doc mean aggregate;
     // the demo weights are a deterministic function of the feature id
@@ -2094,6 +2136,31 @@ object SparkEntry {
         |         AS avg_bigram_logprob
         |FROM bi JOIN ctx USING (bigram)
         |GROUP BY 1""".stripMargin,
+    "text_collocations" ->
+      // identical tokenization to text_bigram_logprob; PMI is the same
+      // IEEE expression order as the Spark side, totals cast out of
+      // DuckDB's HUGEINT sum
+      """WITH t0 AS (
+        |  SELECT list_filter(list_transform(string_split(text, ' '),
+        |           w -> lower(w)), w -> w <> '') AS arr
+        |  FROM documents),
+        |uni AS (SELECT t AS word, count(*) AS f
+        |        FROM t0, unnest(arr) AS u(t) GROUP BY 1),
+        |nu AS (SELECT CAST(sum(f) AS BIGINT) AS n_uni FROM uni),
+        |bi AS (SELECT arr[i] || ' ' || arr[i + 1] AS bigram,
+        |              count(*) AS freq
+        |       FROM t0, unnest(generate_series(1, len(arr) - 1)) AS u(i)
+        |       WHERE len(arr) >= 2 GROUP BY 1),
+        |nb AS (SELECT CAST(sum(freq) AS BIGINT) AS n_bi FROM bi),
+        |sel AS (SELECT bigram, freq FROM bi WHERE freq >= 5)
+        |SELECT bigram, freq,
+        |       round(log10((CAST(freq AS DOUBLE) / n_bi) /
+        |               ((CAST(f1.f AS DOUBLE) / n_uni) *
+        |                (CAST(f2.f AS DOUBLE) / n_uni))), 6) AS pmi
+        |FROM sel
+        |JOIN uni f1 ON f1.word = string_split(sel.bigram, ' ')[1]
+        |JOIN uni f2 ON f2.word = string_split(sel.bigram, ' ')[2]
+        |CROSS JOIN nu CROSS JOIN nb""".stripMargin,
     "text_classifier_score" ->
       // the weight table is rebuilt from the same deterministic formula
       // and the same portable md5-based feature hash the Spark side uses
@@ -2247,6 +2314,80 @@ object SparkEntry {
         |                  ORDER BY c DESC, label) AS rn
         |         FROM c2) WHERE rn = 1)
         |SELECT node, label FROM l2""".stripMargin,
+    "q_connected_components" ->
+      // min-reachable-label components via transitive closure; the
+      // Spark side's large/small-star rounds converge to the same
+      // smallest-reachable-id labeling
+      """WITH RECURSIVE p AS (
+        |  SELECT CAST(o_custkey * 2 AS BIGINT) AS src,
+        |         CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst, count(*) AS n
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2),
+        |e0 AS (SELECT src, dst FROM p WHERE n >= 4),
+        |e AS (SELECT src AS a, dst AS b FROM e0
+        |      UNION SELECT dst, src FROM e0),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+        |SELECT a AS node, least(a, min(b)) AS component
+        |FROM reach GROUP BY a""".stripMargin,
+    "q_triangles" ->
+      // same degree-ordered orientation as the Spark side: edge
+      // directed low (degree, node) -> high, wedge pairs ordered the
+      // same way, one closing-edge join; coefficient is the identical
+      // IEEE expression (2.0 * t / (d * (d - 1)))
+      """WITH b AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        |           FROM lineitem),
+        |kept AS (SELECT g FROM b GROUP BY g
+        |         HAVING count(*) BETWEEN 2 AND 1000),
+        |c AS (SELECT b.g, b.i FROM b JOIN kept USING (g)),
+        |co AS (SELECT a.i AS pa, b2.i AS pb
+        |       FROM c a JOIN c b2 ON a.g = b2.g AND a.i < b2.i
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT pa AS x, pb AS y FROM co
+        |        UNION ALL SELECT pb, pa FROM co),
+        |deg AS (SELECT x AS node, count(*) AS d FROM sym GROUP BY 1),
+        |orient AS (
+        |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND co.pa < co.pb)
+        |              THEN co.pa ELSE co.pb END AS src,
+        |         CASE WHEN da.d < db.d OR (da.d = db.d AND co.pa < co.pb)
+        |              THEN co.pb ELSE co.pa END AS dst
+        |  FROM co JOIN deg da ON da.node = co.pa
+        |          JOIN deg db ON db.node = co.pb),
+        |od AS (SELECT o.src, o.dst, d.d AS dd
+        |       FROM orient o JOIN deg d ON d.node = o.dst),
+        |tri AS (
+        |  SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+        |  FROM od o1 JOIN od o2 ON o1.src = o2.src
+        |    AND (o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.dst < o2.dst))
+        |  JOIN orient o3 ON o3.src = o1.dst AND o3.dst = o2.dst),
+        |pn AS (SELECT node, count(*) AS triangles FROM (
+        |         SELECT u AS node FROM tri
+        |         UNION ALL SELECT v FROM tri
+        |         UNION ALL SELECT w FROM tri)
+        |       GROUP BY 1)
+        |SELECT deg.node, deg.d AS degree,
+        |       COALESCE(pn.triangles, 0) AS triangles,
+        |       CASE WHEN deg.d >= 2
+        |            THEN 2.0 * COALESCE(pn.triangles, 0) / (deg.d * (deg.d - 1))
+        |            ELSE 0.0 END AS clustering_coeff
+        |FROM deg LEFT JOIN pn ON pn.node = deg.node""".stripMargin,
+    "q_graph_related" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        |           FROM lineitem),
+        |kept AS (SELECT g FROM b GROUP BY g
+        |         HAVING count(*) BETWEEN 2 AND 10000),
+        |c AS (SELECT b.g, b.i FROM b JOIN kept USING (g)),
+        |ideg AS (SELECT i, count(*) AS d FROM c GROUP BY 1),
+        |co AS (SELECT a.i AS item_a, b2.i AS item_b, count(*) AS shared
+        |       FROM c a JOIN c b2 ON a.g = b2.g AND a.i < b2.i
+        |       GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT item_a, item_b, shared,
+        |       CAST(shared AS DOUBLE) / (da.d + db.d - shared) AS jaccard
+        |FROM co JOIN ideg da ON da.i = item_a
+        |        JOIN ideg db ON db.i = item_b
+        |ORDER BY jaccard DESC, item_a, item_b
+        |LIMIT 100""".stripMargin,
     "dedup_incremental" -> OracleIncrementalSql,
     // the Bloom-pruned variant is output-identical BY CONSTRUCTION
     // (no false negatives; positives exact-confirmed) — same oracle

@@ -132,4 +132,167 @@ object Graph {
     }
     labels
   }
+
+  /** Connected components over a generic numeric edge list: every
+    * endpoint is labeled with the smallest node id reachable through
+    * any chain of edges. Thin façade over [[Dedup.clusters]] — the
+    * alternating large-star/small-star algorithm (O(log n) rounds,
+    * bounded shuffles, nothing but the convergence counter on the
+    * driver) is shared, not duplicated.
+    *
+    * @param edges (src, dst) pairs castable to long, any orientation
+    * @return (node, component) — one row per distinct endpoint
+    */
+  def connectedComponents(edges: DataFrame): DataFrame =
+    Dedup.clusters(edges, "src", "dst")
+      .select(col("doc_id").as("node"), col("cluster_id").as("component"))
+
+  /** Bipartite-to-unipartite projection — the co-occurrence graph:
+    * items sharing a group become an edge weighted by how many groups
+    * they share (market-basket co-purchase, terms sharing documents,
+    * suppliers sharing customers).
+    *
+    * Scale posture: one distinct + one group-sized aggregate fold each
+    * group into a sorted item array; the ordered-pair explode then
+    * runs MAP-SIDE (no self-join shuffle keyed on the group), and the
+    * pair count partial-aggregates before crossing the wire. The
+    * per-group O(fanout²) blow-up is the intrinsic cost of exact
+    * co-occurrence; `maxFanout` caps it by DROPPING groups above the
+    * cap — the standard hub policy (a group connected to everything
+    * contributes near-zero association signal but quadratic pairs).
+    * Callers needing the hubs' contribution must pre-aggregate or
+    * sample them explicitly.
+    *
+    * @param pairs     rows containing `groupCol` and `itemCol`
+    * @param maxFanout drop groups with more than this many distinct
+    *                  items (hub cap; the drop is exact and documented,
+    *                  not a silent sample)
+    * @param minShared keep item pairs sharing at least this many groups
+    * @return (item_a, item_b, shared) with item_a < item_b
+    */
+  def bipartiteProject(pairs: DataFrame, groupCol: String, itemCol: String,
+                       maxFanout: Int = 10000,
+                       minShared: Long = 1L): DataFrame = {
+    require(maxFanout >= 2, s"maxFanout must be >= 2: $maxFanout")
+    val sets = pairs.select(col(groupCol).as("__g"), col(itemCol).as("__i"))
+      .distinct()
+      .groupBy("__g")
+      .agg(sort_array(collect_set(col("__i"))).as("items"))
+      .filter(size(col("items")).between(2, maxFanout))
+    // all ordered pairs of the sorted array, built map-side; the array
+    // is an aggregate output so the filter above is a HAVING, not a
+    // pushable predicate (no HOF-inlining trap)
+    val pairsExpr = flatten(transform(
+      sequence(lit(1), size(col("items")) - 1),
+      i => transform(sequence(i + 1, size(col("items"))),
+        j => struct(element_at(col("items"), i).as("item_a"),
+          element_at(col("items"), j).as("item_b")))))
+    sets.select(explode(pairsExpr).as("p"))
+      .groupBy(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /** Per-node triangle count and local clustering coefficient by
+    * degree-ordered edge orientation (the node-iterator bound): each
+    * undirected edge is directed from its lower (degree, node)
+    * endpoint to the higher, so every out-degree is O(√m) and the
+    * wedge self-join materializes Σ outdeg² ≤ m^1.5 candidate wedges —
+    * the optimal exact-counting bound, each triangle enumerated
+    * exactly once. Both joins key on node/edge ids; nothing reaches
+    * the driver.
+    *
+    * `clustering_coeff = 2·T / (d·(d−1))` is an exact int-derived IEEE
+    * division (no summation, no rounding needed for cross-engine
+    * reproducibility).
+    *
+    * @param edges (src, dst) pairs, any orientation, duplicates ok
+    * @return (node, degree, triangles, clustering_coeff)
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    // canonical undirected edge set, materialized once: the degree
+    // aggregate, the orientation join and the closing-edge probe all
+    // consume it (multiple-consumer re-execution trap)
+    val canon = edges
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val deg = canon.select(col("a").as("node"))
+      .union(canon.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val withDeg = canon
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
+    // rank = (degree, node): a strict total order (ids are unique), so
+    // orientation is deterministic; keep the head's rank on the edge
+    // row for the wedge-ordering predicate below
+    val oriented = withDeg.select(
+        when(struct(col("da").as("d"), col("a").as("n")) <
+            struct(col("db").as("d"), col("b").as("n")),
+          struct(col("a").as("src"), col("b").as("dst"), col("db").as("dd")))
+        .otherwise(
+          struct(col("b").as("src"), col("a").as("dst"), col("da").as("dd")))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.dd").as("dd"))
+      .localCheckpoint() // consumed 3×: two wedge sides + closing probe
+    val wedges = oriented.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
+      .join(oriented.select(col("src"), col("dst").as("w"), col("dd").as("dw")),
+        "src")
+      .filter(struct(col("dv").as("d"), col("v").as("n")) <
+        struct(col("dw").as("d"), col("w").as("n")))
+    // rank(v) < rank(w), so the closing edge {v, w} — if present — is
+    // oriented v → w: one equi-join closes every wedge
+    val tris = wedges.join(
+      oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    val perNode = tris
+      .select(explode(array(col("src"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("clustering_coeff",
+        when(col("degree") >= 2,
+          lit(2.0) * col("triangles") / (col("degree") * (col("degree") - 1)))
+        .otherwise(lit(0.0)))
+  }
+
+  /** Top-k most-related item pairs by neighborhood Jaccard over a
+    * bipartite (group, item) relation — the "customers who bought this
+    * also bought" primitive: J(a,b) = |G_a ∩ G_b| / |G_a ∪ G_b| where
+    * G_x is the set of groups containing x, computed on the hub-capped
+    * projection of [[bipartiteProject]] (degrees come from the SAME
+    * capped set, so the ratio is internally consistent).
+    *
+    * Jaccard is an int-derived IEEE division — exactly reproducible
+    * across engines, so the (jaccard DESC, item_a, item_b) top-k cut
+    * is deterministic without rounding. Plans as
+    * TakeOrderedAndProject: only k rows cross the wire.
+    */
+  def relatedByNeighbors(pairs: DataFrame, groupCol: String, itemCol: String,
+                         k: Int, maxFanout: Int = 10000,
+                         minShared: Long = 1L): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val distinctPairs = pairs
+      .select(col(groupCol).as("__g"), col(itemCol).as("__i"))
+      .distinct()
+      .localCheckpoint() // consumed twice: cap filter + degree count
+    val keptGroups = distinctPairs.groupBy("__g")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, maxFanout))
+      .select("__g")
+    val capped = distinctPairs.join(keptGroups, "__g")
+    val ideg = capped.groupBy("__i").agg(count(lit(1)).as("d"))
+    val co = bipartiteProject(capped, "__g", "__i", maxFanout, minShared)
+    co.join(ideg.select(col("__i").as("item_a"), col("d").as("da")), "item_a")
+      .join(ideg.select(col("__i").as("item_b"), col("d").as("db")), "item_b")
+      .select(col("item_a"), col("item_b"), col("shared"),
+        (col("shared").cast("double") /
+          (col("da") + col("db") - col("shared"))).as("jaccard"))
+      .orderBy(desc("jaccard"), asc("item_a"), asc("item_b"))
+      .limit(k)
+  }
 }

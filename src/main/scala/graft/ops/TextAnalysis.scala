@@ -874,6 +874,61 @@ object TextAnalysis {
         .as("avg_bigram_logprob"))
   }
 
+  /** Collocation mining by pointwise mutual information: for every
+    * corpus bigram with `freq >= minFreq`,
+    * `pmi = log10( p(ab) / (p(a)·p(b)) )` with p(ab) = f_ab / N_bigrams
+    * and p(x) = f_x / N_tokens — high-PMI bigrams are the multi-word
+    * expressions ("new york") a tokenizer or phrase index should treat
+    * as units.
+    *
+    * Scale posture: two map-only corpus scans (unigram and bigram
+    * explodes — stateless tokenization recomputes; nothing corpus-sized
+    * is ever materialized) partial-aggregate down to the two
+    * VOCABULARY-sized count tables, which are localCheckpointed — they
+    * each have multiple consumers (totals + joins) and a lazy re-read
+    * would re-run the corpus explode per consumer. The corpus totals
+    * ride as broadcast 1-row aggregates of the checkpointed vocab
+    * tables, never through the driver. PMI itself is pure per-row
+    * arithmetic on exact integer counts — no summation-order
+    * sensitivity (log10 of an int-derived ratio).
+    *
+    * @return (bigram, freq, pmi) for bigrams with freq >= minFreq
+    */
+  def collocations(docs0: DataFrame, textCol: String = "text",
+                   minFreq: Long = 5L): DataFrame = {
+    require(minFreq >= 1, s"minFreq must be >= 1: $minFreq")
+    val docs = graft.search.Analyzer.spread(docs0)
+    val toks = col("__toks")
+    val bigramsExpr = when(size(toks) >= 2,
+        zip_with(slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val tokenized = docs.select(
+      filter(transform(split(col(textCol), " ", -1), w => lower(w)),
+        w => w =!= "").as("__toks"))
+    val uni = tokenized.select(explode(toks).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("f"))
+      .localCheckpoint() // 3 consumers: total + both PMI joins
+    val uniTotal = uni.agg(sum("f").as("n_uni"))
+    val bi0 = tokenized.select(explode(bigramsExpr).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("freq"))
+      .localCheckpoint() // 2 consumers: total (unfiltered) + minFreq cut
+    val biTotal = bi0.agg(sum("freq").as("n_bi"))
+    val bi = bi0.filter(col("freq") >= minFreq)
+    bi
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("word").as("w1"), col("f").as("f1")), "w1")
+      .join(uni.select(col("word").as("w2"), col("f").as("f2")), "w2")
+      .crossJoin(broadcast(uniTotal))
+      .crossJoin(broadcast(biTotal))
+      .select(col("bigram"), col("freq"),
+        log10((col("freq").cast("double") / col("n_bi")) /
+          ((col("f1").cast("double") / col("n_uni")) *
+            (col("f2").cast("double") / col("n_uni")))).as("pmi"))
+  }
+
   /** Portable hashed-feature index: first 8 hex chars of md5 as an
     * unsigned 32-bit value, mod `dim`. Any engine with md5 reproduces
     * it (DuckDB: `CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) % dim`),
