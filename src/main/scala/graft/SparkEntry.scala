@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AnnIndex, Dedup, Graph, Maintenance, Multimodal, ScalableRank, Similarity, Skew, TextAnalysis}
+import graft.ops.{AnnIndex, Dedup, EventAnalytics, Graph, Maintenance, Multimodal, ScalableRank, Similarity, Skew, TextAnalysis}
 import graft.search.{Indexer, SearchEngine}
 import graft.sources.Tables
 import graft.streaming.StreamingOps
@@ -796,6 +796,16 @@ object SparkEntry {
         .select(col("window_start").cast("timestamp_ntz").as("window_start"),
           col("event_type"), col("n_events"),
           round(col("total_value"), 2).as("total_value"))),
+    // strict-order funnel view -> click -> purchase: greedy earliest
+    // match per step, one user-keyed aggregate per step; counts stay
+    // distributed (union of 1-row aggregates)
+    "q_funnel" -> ((s, dir) =>
+      EventAnalytics.funnel(t(s, dir, "events"),
+        Seq("view", "click", "purchase"))),
+    // weekly cohort retention: cohort = Monday-truncated first-event
+    // week; exact integer day math for the offset
+    "q_retention" -> ((s, dir) =>
+      EventAnalytics.retention(t(s, dir, "events"))),
     "q_sessionize" -> ((s, dir) =>
       StreamingOps.sessionizeBatch(t(s, dir, "events"), 30L * 60 * 1000)
         .select(col("user_id"),
@@ -1060,6 +1070,16 @@ object SparkEntry {
     // reproducible 25% sample keyed on doc_id: membership is a pure
     // function of the key (portable md5 threshold), never of
     // partitioning or corpus size
+    // exact systematic PPS sample: 100 equally-spaced picks over the
+    // cumulative token-count line in doc_id order — pure integer
+    // arithmetic (no transcendental random keys), bit-reproducible on
+    // any engine, sum(n_picks) = 100 exactly
+    "text_pps_sample" -> ((s, dir) => {
+      val weighted = t(s, dir, "documents").select(col("doc_id"),
+        size(filter(split(col("text"), " ", -1), w => w =!= ""))
+          .cast("long").as("n_tokens"))
+      ScalableRank.ppsSample(weighted, "n_tokens", k = 100, keyCol = "doc_id")
+    }),
     "text_hash_sample" -> ((s, dir) =>
       TextAnalysis.hashSample(t(s, dir, "documents"), "doc_id", rate = 0.25)
         .select("doc_id", "lang", "source")),
@@ -1697,6 +1717,30 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |       count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_funnel" ->
+      // same greedy earliest-match recurrence, one CTE per step
+      """WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.ts) AS t
+        |       FROM events e JOIN s0 ON e.user_id = s0.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t
+        |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1)
+        |SELECT 0 AS step_index, 'view' AS step, count(*) AS n_users FROM s0
+        |UNION ALL SELECT 1, 'click', count(*) FROM s1
+        |UNION ALL SELECT 2, 'purchase', count(*) FROM s2""".stripMargin,
+    "q_retention" ->
+      """WITH w AS (SELECT DISTINCT user_id,
+        |             CAST(date_trunc('week', ts) AS DATE) AS wk
+        |           FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_week FROM w GROUP BY 1)
+        |SELECT cohort_week,
+        |       CAST(date_diff('day', cohort_week, wk) // 7 AS INT)
+        |         AS week_offset,
+        |       count(DISTINCT w.user_id) AS n_users
+        |FROM w JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, ts, event_id, value,
@@ -1820,6 +1864,28 @@ object SparkEntry {
         |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g'),
         |    '\+?[0-9][0-9()./ -]{5,}[0-9]', '[PHONE]', 'g') AS clean_text
         |FROM documents""".stripMargin,
+    "text_pps_sample" ->
+      // same two floor divisions: f(x) = (2kx + W - 1) // 2W, picks =
+      // f(cum + w) - f(cum), all BIGINT (DuckDB sums cast out of
+      // HUGEINT)
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |           x -> x <> '')) AS BIGINT) AS weight
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, weight,
+        |         CAST(COALESCE(sum(weight) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS cum,
+        |         CAST(sum(weight) OVER () AS BIGINT) AS tw
+        |  FROM w)
+        |SELECT * FROM (
+        |  SELECT doc_id, weight,
+        |         CAST((200 * (cum + weight) + tw - 1) // (2 * tw)
+        |           - (200 * cum + tw - 1) // (2 * tw) AS BIGINT) AS n_picks
+        |  FROM c)
+        |WHERE n_picks >= 1""".stripMargin,
     "text_hash_sample" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE md5('' || CAST(doc_id AS VARCHAR)) < '40000000000000000000000000000000'""".stripMargin,

@@ -192,4 +192,43 @@ object ScalableRank {
       .filter(col("__rn") === col("__resid"))
       .select(col("q"), col("__val").as(valueCol))
   }
+
+  /** Systematic probability-proportional-to-size (PPS) sampling with
+    * EXACT integer arithmetic: lay the rows on a line in `keyCol`
+    * order, each occupying a segment of length `weightCol`; drop `k`
+    * equally-spaced picks at positions `(2j+1)·W / (2k)`, j = 0..k−1
+    * (W = total weight) and return each row hit at least once with its
+    * hit count. Every comparison is integer (`(2j+1)·W < 2k·x`
+    * rearranged into two floor divisions), so the sample is
+    * bit-reproducible on any engine — no transcendental "random" keys
+    * — and Σ n_picks = k exactly. A row with weight ≥ W/k can be hit
+    * multiple times (its multiplicity is the resampling count, the
+    * standard PPS-with-replacement reading); zero-weight rows are
+    * never picked.
+    *
+    * Same two-level prefix-sum scaffold as [[globalRowNumber]]: the
+    * cumulative weight never runs a global window. Overflow bound:
+    * needs `2·k·W < 2^63`.
+    *
+    * @param keyCol unique integral order/identity column
+    * @return rows with (keyCol, weight, n_picks), n_picks >= 1
+    */
+  def ppsSample(df: DataFrame, weightCol: String, k: Int, keyCol: String,
+                bucketWidth: Long = 1L << 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val in = df.select(col(keyCol), col(weightCol).cast("long").as("weight"))
+    val pref = exclusivePrefixSum(in,
+      integralBucket(in, keyCol, bucketWidth),
+      Seq(col(keyCol).asc_nulls_first), col("weight"), withTotal = true)
+    // f(x) = #{ j >= 0 : (2j+1)·W < 2k·x } = (2k·x + W − 1) div 2W for
+    // x >= 0; picks in this row's segment = f(cum + w) − f(cum)
+    // W = 0 (empty/all-zero input) must yield no picks, not an ANSI
+    // divide-by-zero
+    pref.select(col(keyCol), col("weight"),
+        when(col("__total") > 0,
+          expr(s"(2L * $k * (__prefix + weight) + __total - 1) div (2L * __total)") -
+            expr(s"(2L * $k * __prefix + __total - 1) div (2L * __total)"))
+          .otherwise(lit(0L)).as("n_picks"))
+      .filter(col("n_picks") >= 1)
+  }
 }

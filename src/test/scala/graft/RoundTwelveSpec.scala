@@ -4,7 +4,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Graph, TextAnalysis}
+import java.sql.Timestamp
+
+import graft.ops.{EventAnalytics, Graph, ScalableRank, TextAnalysis}
 
 /** Round-12 surface: connected-components façade, bipartite
   * co-occurrence projection, degree-ordered triangle counting,
@@ -144,6 +146,88 @@ class RoundTwelveSpec extends AnyFunSuite {
     assert(asMap((3L, 4L)) === 1.0 / 2.0)
     // sorted by jaccard desc then keys
     assert(got.map(_._4).sliding(2).forall(w => w(0) >= w(1)))
+  }
+
+  // ---- funnel ----
+
+  test("funnel counts greedy earliest-match step completion") {
+    val s = spark
+    import s.implicits._
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val events = Seq(
+      // u1 completes a->b->c in order
+      (1L, "a", ts(0)), (1L, "b", ts(1)), (1L, "c", ts(2)),
+      // u2 has b BEFORE a, then no later b: stops after a
+      (2L, "b", ts(0)), (2L, "a", ts(1)), (2L, "c", ts(2)),
+      // u3 completes with interleaved noise and late events
+      (3L, "x", ts(0)), (3L, "a", ts(5)), (3L, "b", ts(5)), // tie: NOT after
+      (3L, "b", ts(6)), (3L, "c", ts(7)),
+      // u4 never does step a
+      (4L, "b", ts(0)), (4L, "c", ts(1)))
+      .toDF("user_id", "event_type", "ts")
+    val got = EventAnalytics.funnel(events, Seq("a", "b", "c"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got === Seq((0, "a", 3L), (1, "b", 2L), (2, "c", 2L)))
+  }
+
+  // ---- retention ----
+
+  test("retention cohorts by first week with integer offsets") {
+    val s = spark
+    import s.implicits._
+    // 2024-01-01 is a Monday
+    def day(d: Int) = Timestamp.valueOf(f"2024-01-${d}%02d 10:00:00")
+    val events = Seq(
+      (1L, day(1)), (1L, day(2)),          // w0 twice -> one w0 row
+      (1L, day(9)),                        // w1
+      (2L, day(3)),                        // w0 only
+      (3L, day(10)), (3L, day(22)))        // cohort w1, active offset 2
+      .toDF("user_id", "ts")
+    val got = EventAnalytics.retention(events)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("2024-01-01", 0) -> 2L, ("2024-01-01", 1) -> 1L,
+      ("2024-01-08", 0) -> 1L, ("2024-01-08", 2) -> 1L))
+  }
+
+  // ---- PPS systematic sampling ----
+
+  private def naivePps(weights: Seq[(Long, Long)], k: Int)
+      : Map[Long, Long] = {
+    val total = weights.map(_._2).sum
+    var cum = 0L
+    val picks = scala.collection.mutable.Map.empty[Long, Long]
+    for ((id, w) <- weights.sortBy(_._1)) {
+      // picks j with cum <= (2j+1)*total/(2k) < cum + w, exactly
+      val n = (0 until k).count { j =>
+        val pos2 = (2L * j + 1) * total // position * 2k
+        2L * k * cum <= pos2 && pos2 < 2L * k * (cum + w)
+      }
+      if (n > 0) picks(id) = n.toLong
+      cum += w
+    }
+    picks.toMap
+  }
+
+  test("ppsSample matches the exact systematic grid and sums to k") {
+    val s = spark
+    import s.implicits._
+    val weights = Seq((1L, 5L), (2L, 0L), (3L, 100L), (4L, 1L),
+      (5L, 17L), (6L, 3L), (7L, 0L), (8L, 41L))
+    for (k <- Seq(1, 3, 10, 50)) {
+      val got = ScalableRank.ppsSample(weights.toDF("doc_id", "w"), "w",
+          k, "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got === naivePps(weights, k), s"k=$k")
+      assert(got.values.sum === k.toLong, s"k=$k total")
+      assert(!got.contains(2L) && !got.contains(7L), "zero weight picked")
+    }
+    // all-zero weights: no picks, no divide-by-zero
+    val empty = ScalableRank.ppsSample(
+      Seq((1L, 0L), (2L, 0L)).toDF("doc_id", "w"), "w", 5, "doc_id")
+    assert(empty.count() === 0L)
   }
 
   // ---- PMI collocations ----
