@@ -300,6 +300,12 @@ object SparkEntry {
       Indexer.postings(t(s, dir, "documents"), stem = false)
         .select(col("term"), col("doc_id"), col("tf"), col("df"),
           round(col("score"), 4).as("score"))),
+    // per-document top-5 TF-IDF keywords: doc_id-partitioned window
+    // (millions of small partitions, no global sort), raw-score ranks
+    // with term tie-break — reproducible across engines
+    "doc_keywords" -> ((s, dir) =>
+      graft.search.Scoring.docKeywords(
+        Indexer.postings(t(s, dir, "documents"), stem = false), 5)),
     // related-document retrieval: TF-IDF cosine of every doc against
     // doc 42's term vector, sparse posting-join algebra (no dense
     // vectors, no embedding model)
@@ -609,6 +615,23 @@ object SparkEntry {
             concat(lit("copy of "), col("c_name")).as("c_name"),
             lit(0.0).as("c_acctbal"), lit(false).as("_deleted")))
       Maintenance.upsert(c, changes, Seq("c_custkey"))
+    }),
+    // declarative quality gate: 7 constraint checks over orders in ONE
+    // aggregation pass + one anti-join (referential integrity vs
+    // customer); unique:o_custkey is the deliberate failing check
+    "q_quality_audit" -> ((s, dir) => {
+      import graft.ops.Quality
+      import graft.ops.Quality._
+      Quality.audit(t(s, dir, "orders"), Seq(
+        NotNull("o_custkey"),
+        Unique("o_orderkey"),
+        Unique("o_custkey"),
+        InRange("o_totalprice", 0.0, 600000.0),
+        Satisfies("status_known",
+          col("o_orderstatus").isin("F", "O", "P"), 1.0),
+        Satisfies("recent",
+          col("o_orderdate") >= lit("1995-01-01").cast("timestamp"), 0.3),
+        ForeignKey("o_custkey", t(s, dir, "customer"), "c_custkey")))
     }),
     // data-quality audit: per-column row/null/distinct counts + string
     // min/max in one pass (ints/dates/strings only — float rendering
@@ -1356,6 +1379,16 @@ object SparkEntry {
         """SELECT tf.term, tf.doc_id, tf.tf, dfreq.df,
           |       round((1 + log10(tf.tf)) * ln(CAST(n.doc_num AS DOUBLE) / dfreq.df), 4) AS score
           |FROM tf JOIN dfreq USING (term) CROSS JOIN n""").stripMargin,
+    "doc_keywords" ->
+      (OracleTfidfCte +
+        """, ranked AS (
+          |  SELECT doc_id, term, score,
+          |         row_number() OVER (PARTITION BY doc_id
+          |                            ORDER BY score DESC, term) AS rank
+          |  FROM sc)
+          |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+          |       round(score, 4) AS score
+          |FROM ranked WHERE rank <= 5""").stripMargin,
     "search_more_like_this" ->
       (OracleTfidfCte +
         """, q AS (SELECT term, score AS qw FROM sc WHERE doc_id = 42),
@@ -2305,6 +2338,64 @@ object SparkEntry {
         |            ELSE c.c_acctbal END AS c_acctbal
         |FROM c FULL OUTER JOIN ch ON c.c_custkey = ch.c_custkey
         |WHERE NOT coalesce(ch.del, false)""".stripMargin,
+    "q_quality_audit" ->
+      // same metric formulas, same IEEE divisions of exact counts;
+      // empty-table guard (CASE den=0) mirrors Quality.frac
+      """SELECT 'not_null:o_custkey' AS "check",
+        |  CASE WHEN count(*) = 0 THEN 1.0
+        |       ELSE CAST(count(o_custkey) AS DOUBLE) / count(*) END AS metric,
+        |  (CASE WHEN count(*) = 0 THEN 1.0
+        |        ELSE CAST(count(o_custkey) AS DOUBLE) / count(*) END) >= 1.0 AS passed
+        |FROM orders
+        |UNION ALL
+        |SELECT 'unique:o_orderkey',
+        |  CASE WHEN count(o_orderkey) = 0 THEN 1.0
+        |       ELSE CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(o_orderkey) END,
+        |  (CASE WHEN count(o_orderkey) = 0 THEN 1.0
+        |        ELSE CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(o_orderkey) END) = 1.0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'unique:o_custkey',
+        |  CASE WHEN count(o_custkey) = 0 THEN 1.0
+        |       ELSE CAST(count(DISTINCT o_custkey) AS DOUBLE) / count(o_custkey) END,
+        |  (CASE WHEN count(o_custkey) = 0 THEN 1.0
+        |        ELSE CAST(count(DISTINCT o_custkey) AS DOUBLE) / count(o_custkey) END) = 1.0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'in_range:o_totalprice',
+        |  CASE WHEN count(o_totalprice) = 0 THEN 1.0
+        |       ELSE CAST(count(CASE WHEN o_totalprice BETWEEN 0.0 AND 600000.0
+        |                            THEN 1 END) AS DOUBLE) / count(o_totalprice) END,
+        |  (CASE WHEN count(o_totalprice) = 0 THEN 1.0
+        |        ELSE CAST(count(CASE WHEN o_totalprice BETWEEN 0.0 AND 600000.0
+        |                             THEN 1 END) AS DOUBLE) / count(o_totalprice) END) = 1.0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'satisfies:status_known',
+        |  CASE WHEN count(*) = 0 THEN 1.0
+        |       ELSE CAST(count(CASE WHEN o_orderstatus IN ('F', 'O', 'P')
+        |                            THEN 1 END) AS DOUBLE) / count(*) END,
+        |  (CASE WHEN count(*) = 0 THEN 1.0
+        |        ELSE CAST(count(CASE WHEN o_orderstatus IN ('F', 'O', 'P')
+        |                             THEN 1 END) AS DOUBLE) / count(*) END) >= 1.0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'satisfies:recent',
+        |  CASE WHEN count(*) = 0 THEN 1.0
+        |       ELSE CAST(count(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01'
+        |                            THEN 1 END) AS DOUBLE) / count(*) END,
+        |  (CASE WHEN count(*) = 0 THEN 1.0
+        |        ELSE CAST(count(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01'
+        |                             THEN 1 END) AS DOUBLE) / count(*) END) >= 0.3
+        |FROM orders
+        |UNION ALL
+        |SELECT 'foreign_key:o_custkey',
+        |  CAST(count(*) AS DOUBLE),
+        |  CAST(count(*) AS DOUBLE) = 0.0
+        |FROM orders o
+        |WHERE o.o_custkey IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM customer c
+        |                  WHERE c.c_custkey = o.o_custkey)""".stripMargin,
     "q_profile" -> {
       val cols = Seq("l_orderkey", "l_linenumber", "l_shipdate", "l_returnflag")
       cols.map { c =>

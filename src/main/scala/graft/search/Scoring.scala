@@ -88,6 +88,32 @@ object Scoring {
       .limit(k)
   }
 
+  /** Top-`k` TF-IDF keywords per document — the classic document
+    * summarization / tagging primitive over the same posting table the
+    * search engine uses. Output `(doc_id, rank, term, score)`, rank
+    * 1-based by descending score with the term as the deterministic
+    * tie-break.
+    *
+    * Scale posture: the window is partitioned by `doc_id` — millions of
+    * small partitions, never a global sort; each partition holds one
+    * document's postings (bounded by that document's vocabulary). The
+    * rank filter keeps `k` rows per doc, so output is corpus-sized ×
+    * k, and the raw (unrounded) score is what ranks — posting scores
+    * are bit-reproducible across engines (the tfidf_postings oracle
+    * hash-matches them), so no pre-round is needed for portable ranks.
+    */
+  def docKeywords(postings: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    postings
+      .select(col("doc_id"), col("term"), col("score"),
+        row_number().over(byDoc).as("rank"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), round(col("score"), 4).as("score"))
+  }
+
   /** Hybrid retrieval: BM25 keyword ranking fused with embedding-cosine
     * ranking by reciprocal-rank fusion (Cormack et al. 2009):
     * rrf(d) = sum over rankings of 1 / (c + rank(d)), missing from a

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Quality
+import graft.search.{Indexer, Scoring}
+
+/** Round-13 surface: per-doc TF-IDF keywords, declarative quality
+  * audit.
+  */
+class RoundThirteenSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // ---- docKeywords ----
+
+  test("docKeywords ranks per-doc terms by score with term tie-break") {
+    val s = spark
+    import s.implicits._
+    // doc 1: "rare" appears once in the corpus (high idf), "common" in
+    // all docs (idf 0); doc 1 repeats "boost" (tf lift)
+    val docs = Seq(
+      (1L, "rare boost boost common alpha"),
+      (2L, "common alpha beta"),
+      (3L, "common beta gamma")).toDF("doc_id", "text")
+    val postings = Indexer.postings(docs, stem = false)
+    val got = Scoring.docKeywords(postings, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    // per-doc expected order: doc 1 rare/boost both score
+    // (1+log10(tf))*ln(3/df): rare = 1*ln(3) = 1.0986,
+    // boost = (1+log10(2))*ln(3) = 1.429 -> boost rank 1, rare rank 2
+    assert(got.contains((1L, 1L, "boost")) && got.contains((1L, 2L, "rare")))
+    // every doc emits at most k rows, ranks are 1-based contiguous
+    val byDoc = Scoring.docKeywords(postings, 2)
+      .groupBy("doc_id").agg(collect_list("rank").as("rs"))
+      .collect().map(_.getSeq[Long](1).sorted)
+    assert(byDoc.forall(rs => rs == (1L to rs.size).toSeq && rs.size <= 2))
+  }
+
+  test("docKeywords equals a naive per-doc top-k over the posting table") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "spark data engine spark"),
+      (2L, "data quality spark audit"),
+      (3L, "quality audit gate"),
+      (4L, "engine gate spark data")).toDF("doc_id", "text")
+    val postings = Indexer.postings(docs, stem = false)
+    val naive = postings
+      .collect()
+      .map(r => (r.getLong(1), r.getString(0), r.getDouble(5)))
+      .groupBy(_._1)
+      .flatMap { case (doc, rows) =>
+        rows.toSeq.sortBy { case (_, term, score) => (-score, term) }
+          .take(3).zipWithIndex
+          .map { case ((d, t, sc), i) =>
+            (d, i + 1L, t,
+              BigDecimal(sc).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble) }
+      }.toSet
+    val got = Scoring.docKeywords(postings, 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    assert(got === naive)
+  }
+
+  // ---- Quality.audit ----
+
+  test("audit computes metrics and verdicts for every check kind") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (Some(1L), Some(10.0), "a"),
+      (Some(2L), Some(20.0), "b"),
+      (Some(2L), Some(999.0), "a"),
+      (None, Some(30.0), "c")).toDF("k", "v", "tag")
+    val dim = Seq(1L, 2L).toDF("id")
+    import Quality._
+    val got = Quality.audit(rows, Seq(
+      NotNull("k", 0.5),
+      NotNull("k", 0.9),
+      Unique("k"),
+      InRange("v", 0.0, 100.0),
+      Satisfies("tag_a", col("tag") === "a", 0.5),
+      ForeignKey("k", dim, "id")))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    assert(got.length === 6)
+    val byIdx = got.toIndexedSeq
+    assert(byIdx(0) === (("not_null:k", 0.75, true)))
+    assert(byIdx(1) === (("not_null:k", 0.75, false)))
+    assert(byIdx(2) === (("unique:k", 2.0 / 3.0, false)))
+    assert(byIdx(3) === (("in_range:v", 0.75, false)))
+    assert(byIdx(4) === (("satisfies:tag_a", 0.5, true)))
+    assert(byIdx(5) === (("foreign_key:k", 0.0, true)))
+  }
+
+  test("audit flags foreign-key violations and ignores null keys") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(Some(1L), Some(7L), Some(7L), None).toDF("k")
+    val dim = Seq(1L, 2L).toDF("id")
+    import Quality._
+    val got = Quality.audit(rows, Seq(ForeignKey("k", dim, "id")))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    // the two k=7 rows violate; the NULL row is ignored
+    assert(got.toSeq === Seq(("foreign_key:k", 2.0, false)))
+  }
+
+  test("audit passes vacuously on an empty table") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Option[Long], Option[Double])].toDF("k", "v")
+    import Quality._
+    val got = Quality.audit(empty, Seq(
+      NotNull("k"), Unique("k"), InRange("v", 0.0, 1.0),
+      Satisfies("never", col("k") > 100, 1.0)))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    assert(got.forall { case (_, m, p) => m === 1.0 && p })
+  }
+}
