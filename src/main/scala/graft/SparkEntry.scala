@@ -616,6 +616,23 @@ object SparkEntry {
             lit(0.0).as("c_acctbal"), lit(false).as("_deleted")))
       Maintenance.upsert(c, changes, Seq("c_custkey"))
     }),
+    // Pearson correlation per return flag from EXACT decimal moments:
+    // decimal sums are partitioning-invariant, the final formula runs
+    // in double over exact inputs — bit-reproducible with NO rounding
+    "q_stats_corr" -> ((s, dir) =>
+      graft.ops.Stats.pearson(t(s, dir, "lineitem"),
+        Seq("l_returnflag"), "l_quantity", "l_extendedprice")),
+    // 7-day trailing moving average of daily order revenue: the window
+    // runs over the DAILY aggregate (calendar-bounded, documented) and
+    // the frame sum is an exact decimal — no rounding needed
+    "q_moving_avg" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+      graft.ops.Stats.movingAverage(daily, "day", "revenue", 7)
+        .select(col("day"), col("revenue").cast("double").as("revenue"),
+          col("moving_avg"))
+    }),
     // declarative quality gate: 7 constraint checks over orders in ONE
     // aggregation pass + one anti-join (referential integrity vs
     // customer); unique:o_custkey is the deliberate failing check
@@ -730,6 +747,20 @@ object SparkEntry {
         .select(concat(lit("c"), col("o_custkey")).as("src"),
           concat(lit("s"), col("l_suppkey")).as("dst"))
       Graph.labelPropagation(edges, iterations = 2)
+    }),
+    // multi-source BFS over the trade graph: hop distance from the
+    // custkey%50 seed customers, 3 frontier rounds — each round joins
+    // the chunked adjacency with the FRONTIER only (node-sized
+    // shuffles, checkpointed state, early exit on empty frontier)
+    "q_bfs_dist" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      val sources = o.filter(col("o_custkey") % 50 === 0)
+        .select(concat(lit("c"), col("o_custkey")).as("node")).distinct()
+      Graph.bfsDistances(edges, sources, maxDepth = 3)
     }),
     // connected components over the STRONG trade graph (pairs that
     // traded >= 4 line items — 73 components at sf0.01, not one giant
@@ -2338,6 +2369,65 @@ object SparkEntry {
         |            ELSE c.c_acctbal END AS c_acctbal
         |FROM c FULL OUTER JOIN ch ON c.c_custkey = ch.c_custkey
         |WHERE NOT coalesce(ch.del, false)""".stripMargin,
+    "q_stats_corr" ->
+      // same exact-decimal moments, same double formula — unrounded.
+      // Moments cross to double VIA VARCHAR: DuckDB's direct
+      // decimal->double cast is 1 ulp off correctly-rounded on
+      // int128-backed decimals; strtod (and Java BigDecimal) round
+      // correctly, so the string hop makes the doubles bit-identical
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(19,4))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS sy,
+        |    sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS sxx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy,
+        |    sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE) > 0
+        |        AND CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE) - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE) > 0
+        |       THEN (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+        |            / (sqrt(CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+        |               * sqrt(CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE) - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)))
+        |  END AS corr
+        |FROM m""".stripMargin,
+    "q_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT day, CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(sum(CAST(rev AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    / count(*) OVER w AS moving_avg
+        |FROM daily
+        |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_bfs_dist" ->
+      // three unrolled frontier rounds over the undirected trade
+      // graph; seeds = custkey%50 customers that have orders
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |und AS (SELECT src, dst FROM e0
+        |        UNION SELECT dst AS src, src AS dst FROM e0),
+        |d0 AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS node
+        |       FROM orders WHERE o_custkey % 50 = 0),
+        |d1 AS (SELECT DISTINCT u.dst AS node FROM und u
+        |       JOIN d0 ON u.src = d0.node
+        |       WHERE u.dst NOT IN (SELECT node FROM d0)),
+        |d2 AS (SELECT DISTINCT u.dst AS node FROM und u
+        |       JOIN d1 ON u.src = d1.node
+        |       WHERE u.dst NOT IN (SELECT node FROM d0 UNION ALL
+        |                           SELECT node FROM d1)),
+        |d3 AS (SELECT DISTINCT u.dst AS node FROM und u
+        |       JOIN d2 ON u.src = d2.node
+        |       WHERE u.dst NOT IN (SELECT node FROM d0 UNION ALL
+        |                           SELECT node FROM d1 UNION ALL
+        |                           SELECT node FROM d2))
+        |SELECT node, CAST(0 AS BIGINT) AS dist FROM d0
+        |UNION ALL SELECT node, 1 FROM d1
+        |UNION ALL SELECT node, 2 FROM d2
+        |UNION ALL SELECT node, 3 FROM d3""".stripMargin,
     "q_quality_audit" ->
       // same metric formulas, same IEEE divisions of exact counts;
       // empty-table guard (CASE den=0) mirrors Quality.frac

@@ -147,6 +147,47 @@ object Graph {
     Dedup.clusters(edges, "src", "dst")
       .select(col("doc_id").as("node"), col("cluster_id").as("component"))
 
+  /** Multi-source BFS: the shortest hop distance from any node in
+    * `sources` to every node reachable within `maxDepth` hops of the
+    * UNDIRECTED view of `edges` — the crawl-frontier / link-distance
+    * primitive (how many hops from a seed set is each page).
+    *
+    * Frontier expansion: each round joins the chunked adjacency with
+    * the CURRENT frontier only (not the full visited set), explodes
+    * its neighbor chunks map-side, and anti-joins the visited set to
+    * keep first discoveries. Every shuffle is node-sized; per-round
+    * state is checkpointed (flat plans); the loop exits early on an
+    * empty frontier (one cheap `isEmpty` job per round, bounded by
+    * `maxDepth`). Sources not present in the graph are still emitted
+    * at distance 0 — the caller's seed set is the contract.
+    *
+    * @param sources one column `node`, same type as the edge endpoints
+    * @return (node, dist) with dist in [0, maxDepth]
+    */
+  def bfsDistances(edges: DataFrame, sources: DataFrame, maxDepth: Int,
+                   maxFanout: Long = 100000L): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0: $maxDepth")
+    val adj = chunkedAdjacency(edges, maxFanout)
+    var visited = sources.select(col("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint()
+    var frontier = visited
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val d = depth
+      val next = adj.join(frontier, adj("src") === frontier("node"))
+        .select(explode(col("dsts")).as("node"))
+        .distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .select(col("node"), lit(d.toLong).as("dist"))
+        .localCheckpoint()
+      visited = visited.union(next).localCheckpoint()
+      frontier = next
+    }
+    visited
+  }
+
   /** Bipartite-to-unipartite projection — the co-occurrence graph:
     * items sharing a group become an edge weighted by how many groups
     * they share (market-basket co-purchase, terms sharing documents,

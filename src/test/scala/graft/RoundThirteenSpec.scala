@@ -4,11 +4,11 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.Quality
+import graft.ops.{Graph, Quality, Stats}
 import graft.search.{Indexer, Scoring}
 
 /** Round-13 surface: per-doc TF-IDF keywords, declarative quality
-  * audit.
+  * audit, multi-source BFS, exact-moment statistics.
   */
 class RoundThirteenSpec extends AnyFunSuite {
 
@@ -114,6 +114,65 @@ class RoundThirteenSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
     // the two k=7 rows violate; the NULL row is ignored
     assert(got.toSeq === Seq(("foreign_key:k", 2.0, false)))
+  }
+
+  // ---- bfsDistances ----
+
+  test("bfsDistances labels hop distance and stops at maxDepth") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3-4-5, separate component 10-11, isolated source 99
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("src", "dst")
+    val sources = Seq(1L, 99L).toDF("node")
+    val got = Graph.bfsDistances(edges, sources, maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // depth capped at 2: nodes 4, 5 unreached; component {10,11}
+    // unreachable; isolated source 99 still present at 0
+    assert(got === Map(1L -> 0L, 99L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("bfsDistances takes the shortest of multiple source paths") {
+    val s = spark
+    import s.implicits._
+    // ring 1-2-3-4-5-6-1 with sources at 1 and 4: max dist is 1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 1L)).toDF("src", "dst")
+    val got = Graph.bfsDistances(edges, Seq(1L, 4L).toDF("node"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 4L -> 0L, 2L -> 1L, 3L -> 1L,
+      5L -> 1L, 6L -> 1L))
+  }
+
+  // ---- Stats ----
+
+  test("pearson matches Spark's builtin corr and nulls zero variance") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(("a", 1.0, 2.0), ("a", 2.0, 4.5), ("a", 3.0, 5.5),
+      ("a", 4.0, 9.0), ("b", 1.0, 7.0), ("b", 2.0, 7.0))
+      .toDF("g", "x", "y")
+    val got = Stats.pearson(rows, Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val builtin = rows.filter(col("g") === "a")
+      .agg(corr("x", "y")).collect()(0).getDouble(0)
+    assert(math.abs(got("a").get - builtin) < 1e-12)
+    assert(got("b").isEmpty) // y has zero variance
+  }
+
+  test("movingAverage matches a naive trailing-window mean") {
+    val s = spark
+    import s.implicits._
+    val vals = Seq(10.0, 20.0, 5.0, 45.0, 100.0, 2.5, 7.5)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("t", "v")
+    val got = Stats.movingAverage(df, "t", "v", 3)
+      .orderBy("t").collect().map(_.getDouble(2)).toSeq
+    val naive = vals.indices.map { i =>
+      val w = vals.slice(math.max(0, i - 2), i + 1); w.sum / w.size
+    }
+    assert(got.zip(naive).forall { case (a, b) => math.abs(a - b) < 1e-12 })
   }
 
   test("audit passes vacuously on an empty table") {
