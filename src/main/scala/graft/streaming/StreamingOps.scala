@@ -175,6 +175,41 @@ object StreamingOps {
                   docSchema: org.apache.spark.sql.types.StructType): DataFrame =
     emptySafeParquet(spark, cleanPath, docSchema.toDDL)
 
+  /** Streaming data-quality gate — [[graft.ops.Quality.audit]] run as
+    * an ingest admission check: each arriving micro-batch is audited
+    * against the declared constraints; a batch that passes EVERY check
+    * lands under `acceptPath`, a batch with any failing check is
+    * quarantined WHOLE under `quarantinePath` (batch-level gating: a
+    * violating batch signals an upstream fault, and admitting its
+    * "clean" rows would publish a sample biased by the very fault
+    * being detected). Every batch's audit rows land under `auditPath`
+    * with the batch id — the quality time-series is itself a queryable
+    * table. All three writes are `batch=<id>`-owned overwrites, so
+    * at-least-once replay rewrites instead of double-applying.
+    *
+    * Per batch: the audit is one aggregation pass + one anti-join per
+    * FK check over the BATCH (not the corpus); the verdict that
+    * crosses the driver is checks-sized.
+    */
+  def streamingQualityGate(spark: SparkSession, docsPath: String,
+                           acceptPath: String, quarantinePath: String,
+                           auditPath: String,
+                           checks: Seq[graft.ops.Quality.Check],
+                           schema: Option[org.apache.spark.sql.types.StructType] = None,
+                           checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    batchOwnedStream(spark, docsPath, schema, checkpointDir) { (batch, batchId) =>
+      val audit = graft.ops.Quality.audit(batch, checks)
+        .localCheckpoint(true)
+      val ok = audit.agg(min(col("passed"))).collect()(0).getBoolean(0)
+      // the batch id rides on the partition directory (batch=<id>),
+      // like every batch-owned write here — readers of the base dir
+      // recover it via partition discovery
+      audit.write.mode("overwrite").parquet(s"$auditPath/batch=$batchId")
+      val dest = if (ok) acceptPath else quarantinePath
+      batch.write.mode("overwrite").parquet(s"$dest/batch=$batchId")
+    }
+
   /** Shared scaffold of the batch-owned ingestion streams: parquet file
     * source (one file per trigger), explicit-or-inferred schema, and a
     * foreachBatch body that owns `batch=<id>` output directories.

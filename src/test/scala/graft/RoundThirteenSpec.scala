@@ -175,6 +175,49 @@ class RoundThirteenSpec extends AnyFunSuite {
     assert(got.zip(naive).forall { case (a, b) => math.abs(a - b) < 1e-12 })
   }
 
+  test("streamingQualityGate admits clean batches, quarantines violators") {
+    import java.nio.file.{Files, Paths}
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft-qgate-").toString
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    def land(name: String, mtime: Long,
+             rows: Seq[(Option[Long], Double)]): Unit = {
+      val tmp = s"$base/$name-tmp"
+      rows.toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = Paths.get(in, s"$name.parquet")
+      Files.copy(part.toPath, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    land("b0", 1000000, Seq((Some(1L), 5.0), (Some(2L), 7.0)))   // clean
+    land("b1", 2000000, Seq((Some(3L), 5.0), (None, 900.0)))     // null key + range
+    val accept = s"$base/accept"; val quar = s"$base/quarantine"
+    val audit = s"$base/audit"
+    val schema = spark.read.parquet(s"$in/b0.parquet").schema
+    import Quality._
+    val q = graft.streaming.StreamingOps.streamingQualityGate(
+      spark, in, accept, quar, audit,
+      Seq(NotNull("k"), InRange("v", 0.0, 100.0)), schema = Some(schema))
+    try q.processAllAvailable() finally q.stop()
+    val accepted = spark.read.parquet(accept)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(accepted === Set(1L, 2L))
+    val quarantined = spark.read.parquet(quar)
+      .select("v").collect().map(_.getDouble(0)).toSet
+    assert(quarantined === Set(5.0, 900.0))
+    // the audit table records both batches' verdicts
+    val verdicts = spark.read.parquet(audit)
+      .select(col("batch").cast("long"), col("check"), col("passed"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+      .toSet
+    assert(verdicts === Set(
+      (0L, "not_null:k", true), (0L, "in_range:v", true),
+      (1L, "not_null:k", false), (1L, "in_range:v", false)))
+  }
+
   test("audit passes vacuously on an empty table") {
     val s = spark
     import s.implicits._
