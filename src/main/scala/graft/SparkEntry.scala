@@ -633,6 +633,17 @@ object SparkEntry {
         .select(col("day"), col("revenue").cast("double").as("revenue"),
           col("moving_avg"))
     }),
+    // trailing 28-day z-score over daily revenue — anomaly detection
+    // for pipeline monitoring; the current row is excluded from its
+    // own baseline, moments are exact decimals (no rounding at all)
+    "q_anomaly" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+      graft.ops.Stats.movingZScore(daily, "day", "revenue", 28)
+        .select(col("day"), col("revenue").cast("double").as("revenue"),
+          col("z"))
+    }),
     // declarative quality gate: 7 constraint checks over orders in ONE
     // aggregation pass + one anti-join (referential integrity vs
     // customer); unique:o_custkey is the deliberate failing check
@@ -735,6 +746,20 @@ object SparkEntry {
         .select(concat(lit("c"), col("o_custkey")).as("src"),
           concat(lit("s"), col("l_suppkey")).as("dst"))
       Graph.pageRank(edges, iterations = 3)
+        .select(col("node"), round(col("rank"), 8).as("rank"))
+    }),
+    // personalized PageRank: teleport mass concentrated on the
+    // custkey%50 seed customers — proximity-to-seed ranking over the
+    // same chunked-adjacency scaffold (node-sized rounds)
+    "q_ppr" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      val sources = o.filter(col("o_custkey") % 50 === 0)
+        .select(concat(lit("c"), col("o_custkey")).as("node")).distinct()
+      Graph.personalizedPageRank(edges, sources, iterations = 3)
         .select(col("node"), round(col("rank"), 8).as("rank"))
     }),
     // synchronous label propagation (2 rounds) over the same trade
@@ -1134,6 +1159,14 @@ object SparkEntry {
           .cast("long").as("n_tokens"))
       ScalableRank.ppsSample(weighted, "n_tokens", k = 100, keyCol = "doc_id")
     }),
+    // Efraimidis-Spirakis weighted sampling without replacement:
+    // top-100 by ln(u)/w key (u deterministic from md5, ln rounded
+    // to 8dp BEFORE the weight division for cross-engine ranks);
+    // plans as TakeOrdered, never a global sort
+    "text_weighted_sample" -> ((s, dir) =>
+      TextAnalysis.weightedSample(t(s, dir, "documents"),
+          "doc_id", "n_chars", k = 100, salt = "es1")
+        .select("doc_id", "n_chars", "es_key")),
     "text_hash_sample" -> ((s, dir) =>
       TextAnalysis.hashSample(t(s, dir, "documents"), "doc_id", rate = 0.25)
         .select("doc_id", "lang", "source")),
@@ -1961,6 +1994,17 @@ object SparkEntry {
         |  CASE WHEN lang = 'en' THEN '1999999999999a000000000000000000'
         |       WHEN lang = 'de' THEN '80000000000000000000000000000000'
         |       ELSE 'ffffffffffffffffffffffffffffffff' END""".stripMargin,
+    "text_weighted_sample" ->
+      // same exact u = (h + 0.5)/2^32, ln rounded to 8dp BEFORE the
+      // weight division (ln differs by 1 ulp between libm and the JVM
+      // on ~0.1% of inputs; the rounded value is engine-identical and
+      // the division of identical doubles is bit-exact)
+      """SELECT doc_id, n_chars,
+        |  round(ln((CAST('0x' || substr(md5('es1' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |                 AS BIGINT) + 0.5) / 4294967296.0), 8)
+        |    / CAST(n_chars AS DOUBLE) AS es_key
+        |FROM documents WHERE n_chars > 0
+        |ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin,
     "postings_incremental" ->
       // identical to tfidf_postings: incremental maintenance must be
       // indistinguishable from a full rebuild over the combined corpus
@@ -2401,6 +2445,28 @@ object SparkEntry {
         |    / count(*) OVER w AS moving_avg
         |FROM daily
         |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_anomaly" ->
+      // same exact decimal frame moments; sums and the daily revenue
+      // cross to double via VARCHAR (the correctly-rounded bridge —
+      // both are int128-backed decimals)
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |m AS (
+        |  SELECT day, CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue,
+        |    count(rev) OVER w AS n,
+        |    CAST(CAST(sum(CAST(rev AS DECIMAL(19,2))) OVER w AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(CAST(rev AS DECIMAL(19,2)) * CAST(rev AS DECIMAL(19,2))) OVER w AS VARCHAR) AS DOUBLE) AS sxx
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING))
+        |SELECT day, revenue,
+        |  CASE WHEN n >= 28 AND CAST(n AS DOUBLE) * sxx - sx * sx > 0
+        |       THEN (revenue - sx / CAST(n AS DOUBLE))
+        |            / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+        |                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+        |  END AS z
+        |FROM m""".stripMargin,
     "q_bfs_dist" ->
       // three unrolled frontier rounds over the undirected trade
       // graph; seeds = custkey%50 customers that have orders
@@ -2535,6 +2601,51 @@ object SparkEntry {
         |       FROM und u JOIN r2 r ON u.src = r.node
         |                  JOIN deg d ON u.src = d.src CROSS JOIN n
         |       GROUP BY u.dst)
+        |SELECT node, round(rank, 8) AS rank FROM r3""".stripMargin,
+    "q_ppr" ->
+      // personalized teleport: (1.0 - 0.85) / |S| on seed nodes, 0
+      // elsewhere — the same IEEE expressions the Scala side computes
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |und AS (SELECT src, dst FROM e0
+        |        UNION SELECT dst AS src, src AS dst FROM e0),
+        |deg AS (SELECT src, count(*) AS outdeg FROM und GROUP BY 1),
+        |s AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS node
+        |      FROM orders WHERE o_custkey % 50 = 0),
+        |sn AS (SELECT CAST(count(*) AS DOUBLE) AS sn FROM s),
+        |r0 AS (SELECT d.src AS node,
+        |              CASE WHEN s.node IS NOT NULL THEN 1.0 / sn.sn
+        |                   ELSE 0.0 END AS rank
+        |       FROM deg d LEFT JOIN s ON d.src = s.node CROSS JOIN sn),
+        |r1 AS (SELECT c.node,
+        |              CASE WHEN s.node IS NOT NULL
+        |                   THEN (1.0 - 0.85) / sn.sn ELSE 0.0 END
+        |              + 0.85 * c.contrib AS rank
+        |       FROM (SELECT u.dst AS node, sum(r.rank / d.outdeg) AS contrib
+        |             FROM und u JOIN r0 r ON u.src = r.node
+        |                        JOIN deg d ON u.src = d.src
+        |             GROUP BY u.dst) c
+        |       LEFT JOIN s ON c.node = s.node CROSS JOIN sn),
+        |r2 AS (SELECT c.node,
+        |              CASE WHEN s.node IS NOT NULL
+        |                   THEN (1.0 - 0.85) / sn.sn ELSE 0.0 END
+        |              + 0.85 * c.contrib AS rank
+        |       FROM (SELECT u.dst AS node, sum(r.rank / d.outdeg) AS contrib
+        |             FROM und u JOIN r1 r ON u.src = r.node
+        |                        JOIN deg d ON u.src = d.src
+        |             GROUP BY u.dst) c
+        |       LEFT JOIN s ON c.node = s.node CROSS JOIN sn),
+        |r3 AS (SELECT c.node,
+        |              CASE WHEN s.node IS NOT NULL
+        |                   THEN (1.0 - 0.85) / sn.sn ELSE 0.0 END
+        |              + 0.85 * c.contrib AS rank
+        |       FROM (SELECT u.dst AS node, sum(r.rank / d.outdeg) AS contrib
+        |             FROM und u JOIN r2 r ON u.src = r.node
+        |                        JOIN deg d ON u.src = d.src
+        |             GROUP BY u.dst) c
+        |       LEFT JOIN s ON c.node = s.node CROSS JOIN sn)
         |SELECT node, round(rank, 8) AS rank FROM r3""".stripMargin,
     "q_label_prop" ->
       // two unrolled synchronous LPA rounds; argmax = (count DESC,

@@ -90,6 +90,52 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank: the teleport distribution concentrates on
+    * `sources` instead of being uniform — rank becomes proximity to
+    * the seed set (the classic recommendation / related-entity
+    * primitive: "nodes important FROM these nodes' perspective").
+    *
+    * rank_0 = 1/|S| on sources, 0 elsewhere;
+    * rank_{t+1}(v) = (1−d)/|S|·[v ∈ S] + d · Σ rank_t(u)/outdeg(u).
+    *
+    * Same per-round shape as [[pageRank]] (node-sized shuffles over
+    * the checkpointed chunked adjacency); the seed membership joins in
+    * as a node-keyed flag (AQE broadcasts a small seed set), and the
+    * only driver value is the seed count.
+    *
+    * @param sources one column `node`; nodes absent from the graph
+    *                contribute teleport mass but no link mass
+    */
+  def personalizedPageRank(edges: DataFrame, sources: DataFrame,
+                           iterations: Int, damping: Double = 0.85,
+                           maxFanout: Long = 100000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val adj = chunkedAdjacency(edges, maxFanout)
+    // two consumers (count + every round's join): materialize once
+    val seeds = sources.select(col("node")).distinct()
+      .withColumn("__s", lit(1)).localCheckpoint()
+    val sN = seeds.count()
+    require(sN > 0, "personalizedPageRank needs a non-empty source set")
+    val nodes = adj.select(col("src").as("node")).distinct()
+    var ranks = nodes.join(seeds, Seq("node"), "left")
+      .select(col("node"),
+        when(col("__s").isNotNull, lit(1.0 / sN)).otherwise(lit(0.0))
+          .as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      ranks = adj.join(ranks, adj("src") === ranks("node"))
+        .select(explode(col("dsts")).as("node"),
+          (col("rank") / col("outdeg")).as("__c"))
+        .groupBy("node").agg(sum(col("__c")).as("__in"))
+        .join(seeds, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("__s").isNotNull, lit((1.0 - damping) / sN))
+            .otherwise(lit(0.0)) + lit(damping) * col("__in")).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   /** Synchronous label propagation (community detection): every node
     * starts labeled with its own id; each round it adopts the most
     * frequent label among its NEIGHBORS (self excluded), most-frequent

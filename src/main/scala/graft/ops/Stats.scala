@@ -52,6 +52,38 @@ object Stats {
         .as("corr")): _*)
   }
 
+  /** Trailing-window z-score — time-series anomaly detection for
+    * pipeline monitoring (a batch whose volume/quality metric jumps
+    * N sigmas off its own trailing distribution): for each row,
+    * `z = (x − mean) / stddev` over the `k` rows STRICTLY BEFORE it
+    * (the current row is excluded so an anomaly cannot dilute its own
+    * baseline). Rows with fewer than `k` predecessors or zero
+    * variance get NULL.
+    *
+    * Same exact-moment recipe as [[pearson]]: the frame accumulates
+    * decimal `Σx, Σx²` (order-invariant), and mean / sample-stddev /
+    * z evaluate in double over exact inputs — bit-reproducible, no
+    * rounding. Empty `partitionCols` ⇒ one global window: only legal
+    * on dimension-sized inputs (per-day aggregates).
+    */
+  def movingZScore(df: DataFrame, orderCol: String, valueCol: String,
+                   k: Int, partitionCols: Seq[String] = Nil): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    val w0 =
+      if (partitionCols.isEmpty) Window.orderBy(col(orderCol))
+      else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    val w = w0.rowsBetween(-k, -1)
+    val xd = col(valueCol).cast("decimal(18,2)")
+    val x = xd.cast("double")
+    val n = count(xd).over(w).cast("double")
+    val sx = sum(xd).over(w).cast("double")
+    val sxx = sum(xd * xd).over(w).cast("double")
+    val varN = n * sxx - sx * sx // n²·(n−1)/n · sample variance
+    df.withColumn("z",
+      when(count(xd).over(w) >= k && varN > 0,
+        (x - sx / n) / sqrt(varN / (n * (n - lit(1.0))))))
+  }
+
   /** Trailing `k`-row moving average of `valueCol` (cast to
     * DECIMAL(18,2)) ordered by `orderCol` within `partitionCols`:
     * frame sum is an exact decimal (order-invariant), the average is

@@ -218,6 +218,37 @@ object TextAnalysis {
       lit(hexThreshold(rate)))
   }
 
+  /** Efraimidis–Spirakis weighted sampling without replacement (A-ES,
+    * IPL 2006): each row draws `key = ln(u) / w` from a deterministic
+    * per-key uniform `u` and keeps the k LARGEST keys — selection
+    * probability proportional to weight, single pass, and the top-k
+    * plans as per-partition TakeOrdered + driver merge (never a global
+    * sort). The quality-weighted corpus subsample: weight by token
+    * count, quality score, or importance weight.
+    *
+    * Engine portability: `u = (h + 0.5) / 2³²` from the first 8 md5
+    * hex digits is EXACT double arithmetic, but `ln` is only
+    * 1-ulp-accurate and measurably differs between libm and the JVM
+    * (~0.1 % of inputs), so the key rounds `ln(u)` to 8 decimals
+    * FIRST and then divides by the weight — the division of identical
+    * doubles by an identical weight is bit-exact, so ranks reproduce
+    * (ties break on the key column). Zero/negative weights are
+    * excluded (a zero weight must never be sampled; ln(u)/0 would be
+    * -Inf-vs-NaN noise instead).
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int, salt: String = ""): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val h = conv(substring(
+      md5(concat(lit(salt), col(keyCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    val u = (h + lit(0.5)) / lit(4294967296.0)
+    df.filter(col(weightCol) > 0)
+      .withColumn("es_key", round(log(u), 8) / col(weightCol).cast("double"))
+      .orderBy(col("es_key").desc, col(keyCol))
+      .limit(k)
+  }
+
   /** Stratified hash sampling: per-stratum rates (e.g. downsample the
     * dominant language, keep the rare ones whole) with the same
     * portable, partitioning-invariant membership rule as

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Graph, Quality, Stats}
+import graft.ops.{Graph, Quality, Stats, TextAnalysis}
 import graft.search.{Indexer, Scoring}
 
 /** Round-13 surface: per-doc TF-IDF keywords, declarative quality
@@ -173,6 +173,72 @@ class RoundThirteenSpec extends AnyFunSuite {
       val w = vals.slice(math.max(0, i - 2), i + 1); w.sum / w.size
     }
     assert(got.zip(naive).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
+  test("movingZScore matches a naive trailing-window z computation") {
+    val s = spark
+    import s.implicits._
+    val vals = Seq(10.0, 12.0, 11.0, 13.0, 9.0, 50.0, 11.0, 12.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("t", "v")
+    val got = Stats.movingZScore(df, "t", "v", 3)
+      .orderBy("t").collect()
+      .map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    val naive = vals.indices.map { i =>
+      if (i < 3) None
+      else {
+        val w = vals.slice(i - 3, i)
+        val mean = w.sum / 3
+        val sd = math.sqrt(w.map(x => (x - mean) * (x - mean)).sum / 2)
+        if (sd > 0) Some((vals(i) - mean) / sd) else None
+      }
+    }
+    got.zip(naive).foreach {
+      case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9)
+      case (a, b)             => assert(a.isEmpty && b.isEmpty)
+    }
+    // the spike at index 5 is the clear anomaly
+    assert(got(5).get > 10)
+  }
+
+  test("personalizedPageRank concentrates rank near the seed set") {
+    val s = spark
+    import s.implicits._
+    // barbell: seed side {1,2,3} triangle - bridge - far side {4,5,6}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 4L)).toDF("src", "dst")
+    val got = Graph.personalizedPageRank(edges, Seq(1L).toDF("node"),
+      iterations = 8).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // total mass conserved (symmetrized graph, no dangling nodes)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // the seed outranks everything; its neighbors outrank the far side
+    assert(got(1L) === got.values.max)
+    assert(math.min(got(2L), got(3L)) > math.max(got(5L), got(6L)))
+  }
+
+  test("weightedSample selects heavier rows more often and is exact-k") {
+    val s = spark
+    import s.implicits._
+    // 50 heavy rows (w=100) vs 950 light rows (w=1): a 30-row sample
+    // must over-represent the heavy minority
+    val rows = (0L until 1000L).map(i =>
+      (i, if (i < 50) 100L else 1L)).toDF("id", "w")
+    val got = TextAnalysis.weightedSample(rows, "id", "w", 30, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === 30)
+    val heavy = got.count(_._2 == 100L)
+    // expected heavy share ~ 50*100/(50*100+950) = 84%; demand > half
+    assert(heavy > 15, s"heavy rows sampled: $heavy of 30")
+    // deterministic: same salt reproduces the identical sample
+    val again = TextAnalysis.weightedSample(rows, "id", "w", 30, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === again.toSeq)
+    // zero-weight rows can never be sampled
+    val withZero = (0L until 10L).map(i => (i, if (i == 0) 0L else 1L))
+      .toDF("id", "w")
+    val z = TextAnalysis.weightedSample(withZero, "id", "w", 10, salt = "t")
+      .collect().map(_.getLong(0))
+    assert(z.length === 9 && !z.contains(0L))
   }
 
   test("streamingQualityGate admits clean batches, quarantines violators") {
