@@ -254,6 +254,46 @@ object Scratch {
               println(s"fps=$nFps pairs=$nPairs " +
                 s"copyPairs=$copyPairs eligible=$eligible " +
                 (if (copyPairs == eligible) "OK" else "MISMATCH"))
+            case "graph" =>
+              // graph ops at 262k nodes with EXACT closed-form
+              // invariants. (1) full binary tree (2^18 - 1 nodes):
+              // BFS level d from the root holds exactly 2^d nodes;
+              // PageRank mass is conserved at 1.0. (2) 50k-leaf star
+              // with maxFanout 1024 (forces adjacency chunk splits):
+              // every leaf lands at dist 1, the hub outranks every
+              // leaf, mass still 1.0.
+              val nTree = (1 << 18) - 1
+              val tree = spark.range(1, nTree)
+                .select(col("id").as("src"),
+                  ((col("id") - 1) / 2).cast("long").as("dst"))
+              val bfs = ops.Graph.bfsDistances(tree,
+                spark.range(1).select(col("id").as("node")), maxDepth = 17)
+              val levels = bfs.groupBy("dist").count()
+                .orderBy("dist").collect()
+              val levelsOk = levels.length == 18 && levels.forall(r =>
+                r.getLong(1) == (1L << r.getLong(0).toInt))
+              val pr = ops.Graph.pageRank(tree, iterations = 2)
+              val mass = pr.agg(sum("rank")).first().getDouble(0)
+              val star = spark.range(1, 50001)
+                .select(col("id").as("src"), lit(0L).as("dst"))
+              val sd = ops.Graph.bfsDistances(star,
+                spark.range(1).select(col("id").as("node")),
+                maxDepth = 3, maxFanout = 1024)
+                .groupBy("dist").count().orderBy("dist").collect()
+              val starOk = sd.length == 2 && sd(0).getLong(1) == 1 &&
+                sd(1).getLong(1) == 50000
+              val spr = ops.Graph.pageRank(star, iterations = 3,
+                maxFanout = 1024)
+              val hub = spr.filter(col("node") === 0).first().getDouble(1)
+              val topLeaf = spr.filter(col("node") =!= 0)
+                .agg(max("rank")).first().getDouble(0)
+              val smass = spr.agg(sum("rank")).first().getDouble(0)
+              println(f"treeLevelsOK=$levelsOk treeMass=$mass%.9f " +
+                f"starLevelsOK=$starOk hubRank=$hub%.6f " +
+                f"maxLeafRank=$topLeaf%.6f starMass=$smass%.9f " +
+                (if (levelsOk && math.abs(mass - 1.0) < 1e-6 && starOk &&
+                  hub > topLeaf && math.abs(smass - 1.0) < 1e-6)
+                  "OK" else "MISMATCH"))
             case "shuffle" =>
               // deterministic global order over 100k rows without a
               // single-partition sort; invariant: positions are exactly

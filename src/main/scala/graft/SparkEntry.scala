@@ -633,6 +633,21 @@ object SparkEntry {
         .select(col("day"), col("revenue").cast("double").as("revenue"),
           col("moving_avg"))
     }),
+    // RANGE frame (vs q_moving_avg's ROWS frame): trailing 30 VALUE
+    // days of revenue per day — gaps in the calendar shrink the frame,
+    // they don't stretch it; exact decimal frame sum, cast at the end
+    "q_range_frame" -> ((s, dir) => {
+      val w = Window.orderBy(col("epoch_day"))
+        .rangeBetween(-29, Window.currentRow)
+      t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+        .withColumn("epoch_day", datediff(col("day"), lit("1970-01-01")))
+        .withColumn("rev30",
+          sum(col("revenue").cast("decimal(18,2)")).over(w).cast("double"))
+        .select(col("day"), col("revenue").cast("double").as("revenue"),
+          col("rev30"))
+    }),
     // trailing 28-day z-score over daily revenue — anomaly detection
     // for pipeline monitoring; the current row is excluded from its
     // own baseline, moments are exact decimals (no rounding at all)
@@ -2445,6 +2460,22 @@ object SparkEntry {
         |    / count(*) OVER w AS moving_avg
         |FROM daily
         |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_range_frame" ->
+      // RANGE frame on the integer epoch-day key; frame sums stay
+      // below 2^53 raw so the direct decimal->double cast is exact
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |d2 AS (SELECT day, rev,
+        |         datediff('day', DATE '1970-01-01', day) AS epoch_day
+        |       FROM daily)
+        |SELECT day, CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(sum(CAST(rev AS DECIMAL(18,2)))
+        |         OVER (ORDER BY epoch_day
+        |               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+        |       AS DOUBLE) AS rev30
+        |FROM d2""".stripMargin,
     "q_anomaly" ->
       // same exact decimal frame moments; sums and the daily revenue
       // cross to double via VARCHAR (the correctly-rounded bridge —
