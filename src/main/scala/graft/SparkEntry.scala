@@ -900,6 +900,35 @@ object SparkEntry {
     // week; exact integer day math for the offset
     "q_retention" -> ((s, dir) =>
       EventAnalytics.retention(t(s, dir, "events"))),
+    // first-order Markov transition matrix: per-user lead() window
+    // (user-bounded partitions), then a |types|²-row normalize — the
+    // conditional probability is an exact-integer IEEE division
+    "q_event_transitions" -> ((s, dir) =>
+      EventAnalytics.transitions(t(s, dir, "events"))),
+    // interval islands: ship-to-delivery spans [shipdate,
+    // shipdate + quantity days] merged per supplier into maximal
+    // covered windows — one key-bounded window + one aggregate
+    "q_interval_merge" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val iv = l.select(col("l_suppkey"),
+        col("l_shipdate").cast("date").as("s"),
+        date_add(col("l_shipdate").cast("date"),
+          col("l_quantity").cast("int")).as("e"))
+      graft.ops.TemporalJoins.mergeIntervals(iv, Seq("l_suppkey"), "s", "e")
+    }),
+    // incremental aggregate maintenance: the pre/post-cutoff halves are
+    // aggregated separately and state-merged — output ≡ the one-pass
+    // recompute (the oracle) because (count, sum) states merge exactly
+    // over a disjoint row split (l_quantity is integer-valued)
+    "q_agg_incremental" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      def state(df: DataFrame) = df.groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+      Maintenance.mergeCountSum(
+        state(l.filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))),
+        state(l.filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))),
+        Seq("l_suppkey"), "n", "sum_qty")
+    }),
     "q_sessionize" -> ((s, dir) =>
       StreamingOps.sessionizeBatch(t(s, dir, "events"), 30L * 60 * 1000)
         .select(col("user_id"),
@@ -1853,6 +1882,40 @@ object SparkEntry {
         |       count(DISTINCT w.user_id) AS n_users
         |FROM w JOIN c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+    "q_event_transitions" ->
+      """WITH nx AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n
+        |      FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       CAST(n AS DOUBLE) /
+        |         CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        |FROM c""".stripMargin,
+    "q_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS s,
+        |         CAST(l_shipdate AS DATE) + CAST(l_quantity AS INT) AS e
+        |  FROM lineitem),
+        |f AS (
+        |  SELECT l_suppkey, s, e,
+        |         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY l_suppkey
+        |                ORDER BY s, e
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |              DATE '0001-01-01') THEN 1 ELSE 0 END AS nw
+        |  FROM iv),
+        |g AS (
+        |  SELECT *, sum(nw) OVER (PARTITION BY l_suppkey ORDER BY s, e
+        |              ROWS UNBOUNDED PRECEDING) AS span
+        |  FROM f)
+        |SELECT l_suppkey, min(s) AS span_start, max(e) AS span_end,
+        |       CAST(count(*) AS BIGINT) AS n_intervals
+        |FROM g GROUP BY l_suppkey, span""".stripMargin,
+    "q_agg_incremental" ->
+      """SELECT l_suppkey, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, ts, event_id, value,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product-analytics primitives over an event stream `(user_id, ts,
@@ -56,6 +57,37 @@ object EventAnalytics {
           col("n_users"))
     }
     perStep.reduce(_ unionByName _)
+  }
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: for every consecutive pair of events of one user
+    * (ordered by `(tsCol, tieCol)` — the tie column makes the order
+    * total, so `lead` is deterministic), count the `from → to`
+    * transition and report its conditional probability
+    * `p = n / Σ n over from_type`.
+    *
+    * Scale posture: the only event-sized shuffle is the per-user
+    * window (user-bounded partitions — the sessionization precedent);
+    * the transition table itself is |event types|² rows, so the
+    * normalizing window over `from_type` runs on a bounded table no
+    * matter the corpus size. `p` is an IEEE division of two exact
+    * integers — engine-identical unrounded.
+    *
+    * @return (from_type, to_type, n, p)
+    */
+  def transitions(events: DataFrame, userCol: String = "user_id",
+                  typeCol: String = "event_type", tsCol: String = "ts",
+                  tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    val counts = events
+      .select(col(userCol), col(tsCol), col(tieCol),
+        col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val norm = Window.partitionBy("from_type")
+    counts.withColumn("p",
+      col("n").cast("double") / sum(col("n")).over(norm).cast("double"))
   }
 
   /** Weekly cohort retention: users are cohorted by the ISO week

@@ -206,4 +206,37 @@ object Maintenance {
         when(coalesce(col("__chp"), lit(false)) && fresh, col(s"__ch_$c"))
           .otherwise(col(c)).as(c)): _*)
   }
+
+  /** Incremental aggregate maintenance: merge two partial
+    * `(count, sum)` aggregation states into the state of their union —
+    * the materialized-view refresh primitive. Appending a batch to a
+    * 100 TB fact table re-aggregates ONLY the batch and merges the two
+    * group-sized state tables; the base table is never rescanned.
+    * count/sum (and anything derived from them — avg = sum/count) are
+    * the classic self-merging states; the merged output is exactly the
+    * full recompute because both are associative-commutative over a
+    * disjoint row partition.
+    *
+    * One full-outer join on the group key (group-sized sides). Sums
+    * must be exact-typed (integer-valued doubles, longs, or decimals)
+    * for the merge to be bit-equal to the recompute at any batch
+    * split.
+    */
+  def mergeCountSum(base: org.apache.spark.sql.DataFrame,
+                    delta: org.apache.spark.sql.DataFrame,
+                    keyCols: Seq[String],
+                    countCol: String = "n",
+                    sumCol: String = "total"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "need at least one key column")
+    val d = delta.select(keyCols.map(col) :+ col(countCol).as("__dn") :+
+      col(sumCol).as("__ds"): _*)
+    base
+      .join(d, keyCols, "full_outer")
+      .select(keyCols.map(col) :+
+        (coalesce(col(countCol), lit(0L)) + coalesce(col("__dn"), lit(0L)))
+          .as(countCol) :+
+        (coalesce(col(sumCol), lit(0d)) + coalesce(col("__ds"), lit(0d)))
+          .as(sumCol): _*)
+  }
 }

@@ -131,4 +131,44 @@ object TemporalJoins {
       .filter(col("gap_us") > 0 && col("gap_us") <= maxGapUs)
       .drop("__bin")
   }
+
+  /** Merge overlapping intervals per key (the "islands" problem):
+    * intervals `[startCol, endCol]` of one key group collapse into
+    * maximal covered spans — availability windows, outage coverage,
+    * contiguous validity ranges. Intervals touch when
+    * `next.start <= running max end` (closed-interval semantics:
+    * back-to-back intervals sharing an endpoint merge).
+    *
+    * One shuffle: a per-key window ordered by `(start, end)` computes
+    * the running max end over the strict prefix; a span starts where
+    * the current start exceeds it; the span id is the running count of
+    * starts; a final per-(key, span) aggregate emits the span. Ties in
+    * `(start, end)` leave the intra-tie order undefined, but the
+    * OUTPUT is order-invariant: equal-start intervals always overlap,
+    * so they always land in the same span, and per-span min/max/count
+    * don't depend on which tied row carried the span flag.
+    *
+    * Scale: partitions are key-bounded (the sessionization /
+    * running-total precedent); nothing global, nothing on the driver.
+    *
+    * @return keys ++ (span_start, span_end, n_intervals)
+    */
+  def mergeIntervals(df: DataFrame, keys: Seq[String], startCol: String,
+                     endCol: String): DataFrame = {
+    val order = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol))
+      .over(order.rowsBetween(Window.unboundedPreceding, -1))
+    df.select(keys.map(col) :+ col(startCol) :+ col(endCol): _*)
+      .withColumn("__new",
+        when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
+      .withColumn("__span", sum(col("__new"))
+        .over(order.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(keys.map(col) :+ col("__span"): _*)
+      .agg(min(col(startCol)).as("span_start"),
+        max(col(endCol)).as("span_end"),
+        count(lit(1)).as("n_intervals"))
+      .select(keys.map(col) :+ col("span_start") :+ col("span_end") :+
+        col("n_intervals"): _*)
+  }
 }
