@@ -828,6 +828,21 @@ object SparkEntry {
       Graph.triangleCounts(
         co.select(col("item_a").as("src"), col("item_b").as("dst")))
     }),
+    // k-core peeling (k=3, 3 bounded rounds) over the n>=3 strong trade
+    // graph: per round one node-sized degree aggregate + two edge-sized
+    // semi-joins, checkpointed state, early exit at the fixpoint;
+    // oracle = 3 unrolled peel rounds
+    "q_kcore" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).cast("long").as("src"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 3)
+        .select("src", "dst")
+      Graph.kCore(edges, k = 3, maxRounds = 3)
+    }),
     // "bought together" top-100: part pairs by basket-neighborhood
     // Jaccard (int-derived IEEE division — reproducible unrounded, so
     // the top-k cut is deterministic without a rounding grid)
@@ -1221,6 +1236,16 @@ object SparkEntry {
           "doc_id", "lang", rates = Map("en" -> 0.1, "de" -> 0.5),
           defaultRate = 1.0)
         .select("doc_id", "lang", "source")),
+    // per-domain cap (C4-style): keep at most 40 docs per language in
+    // reproducible hash order, with per-key ranks — the hub-safe
+    // two-window top-k (bucket thin, then rank ≤ k·buckets survivors),
+    // never a full sort of a hot domain's partition
+    "text_domain_cap" -> ((s, dir) =>
+      ScalableRank.perKeyTopK(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          md5(concat(col("doc_id").cast("string"), lit(":17"))).as("__h")),
+        Seq("lang"), Seq(col("__h").asc), "doc_id", k = 40)
+        .select(col("lang"), col("doc_id"), col("rank"))),
     // sequence packing: where each doc lands in the ctx-window stream.
     // bucketSize 64 forces many buckets at sf0.01 so the two-level
     // prefix sum is exercised against the single-window oracle
@@ -2072,6 +2097,14 @@ object SparkEntry {
         |  CASE WHEN lang = 'en' THEN '1999999999999a000000000000000000'
         |       WHEN lang = 'de' THEN '80000000000000000000000000000000'
         |       ELSE 'ffffffffffffffffffffffffffffffff' END""".stripMargin,
+    "text_domain_cap" ->
+      """SELECT lang, doc_id, rank FROM (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':17'), doc_id)
+        |           AS rank
+        |  FROM documents)
+        |WHERE rank <= 40""".stripMargin,
     "text_weighted_sample" ->
       // same exact u = (h + 0.5)/2^32, ln rounded to 8dp BEFORE the
       // weight division (ln differs by 1 ulp between libm and the JVM
@@ -2824,6 +2857,27 @@ object SparkEntry {
         |            THEN 2.0 * COALESCE(pn.triangles, 0) / (deg.d * (deg.d - 1))
         |            ELSE 0.0 END AS clustering_coeff
         |FROM deg LEFT JOIN pn ON pn.node = deg.node""".stripMargin,
+    "q_kcore" ->
+      // 3 unrolled peel rounds; extra rounds past the fixpoint are
+      // no-ops, so the bounded form is exactly comparable
+      """WITH tr AS (SELECT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |            GROUP BY 1, 2 HAVING count(*) >= 3),
+        |e0 AS (SELECT src, dst FROM tr UNION SELECT dst, src FROM tr),
+        |k0 AS (SELECT src FROM e0 GROUP BY src HAVING count(*) >= 3),
+        |e1 AS (SELECT e.src, e.dst FROM e0 e
+        |       WHERE e.src IN (SELECT src FROM k0)
+        |         AND e.dst IN (SELECT src FROM k0)),
+        |k1 AS (SELECT src FROM e1 GROUP BY src HAVING count(*) >= 3),
+        |e2 AS (SELECT e.src, e.dst FROM e1 e
+        |       WHERE e.src IN (SELECT src FROM k1)
+        |         AND e.dst IN (SELECT src FROM k1)),
+        |k2 AS (SELECT src FROM e2 GROUP BY src HAVING count(*) >= 3),
+        |e3 AS (SELECT e.src, e.dst FROM e2 e
+        |       WHERE e.src IN (SELECT src FROM k2)
+        |         AND e.dst IN (SELECT src FROM k2))
+        |SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        |FROM e3 GROUP BY 1""".stripMargin,
     "q_graph_related" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
         |           FROM lineitem),

@@ -193,6 +193,52 @@ object Graph {
     Dedup.clusters(edges, "src", "dst")
       .select(col("doc_id").as("node"), col("cluster_id").as("component"))
 
+  /** k-core peeling, `maxRounds` rounds: repeatedly delete nodes of
+    * degree < k (and their incident edges) from the undirected view of
+    * `edges`. The fixpoint is the k-core — the standard density filter
+    * (spam/bot subgraph mining, community cores). Bounding the rounds
+    * keeps the operator oracle-expressible (an unrolled round is a
+    * degree aggregate + two semi-joins); a converged graph exits
+    * early, and extra rounds past the fixpoint are no-ops, so the
+    * bounded form equals the fixpoint whenever convergence happens
+    * within the budget.
+    *
+    * Per round: one degree aggregate (node-sized) + two edge-sized
+    * semi-joins against the surviving-node set, state
+    * localCheckpointed (flat plans); the only driver value is the
+    * per-round emptiness probe. Edge-sized work per round is intrinsic
+    * to peeling — there is no node-sized shortcut that maintains exact
+    * degrees under deletion.
+    *
+    * @return (node, deg) for nodes surviving `maxRounds` peels, with
+    *         their degree in the peeled subgraph
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    var und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      round += 1
+      val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+        .localCheckpoint() // consumed twice: the probe + the keep set
+      if (deg.filter(col("deg") < k).isEmpty) converged = true
+      else {
+        val keep = deg.filter(col("deg") >= k).select("src")
+        und = und
+          .join(keep, Seq("src"), "left_semi")
+          .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+          .localCheckpoint()
+      }
+    }
+    und.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+  }
+
   /** Multi-source BFS: the shortest hop distance from any node in
     * `sources` to every node reachable within `maxDepth` hops of the
     * UNDIRECTED view of `edges` — the crawl-frontier / link-distance

@@ -108,6 +108,39 @@ object ScalableRank {
       .drop("__prefix", "__h")
   }
 
+  /** Hub-safe per-key top-k: the k smallest rows per key under
+    * `(orderCols, tieCol)`, with their 1-based per-key rank — a
+    * per-key `row_number() <= k` whose window partitions stay BOUNDED
+    * even when one key holds half the corpus. Rows are pre-thinned per
+    * (key, hash-bucket of the tie column): the true per-key top-k all
+    * survive bucket-level top-k (each is top-k within its own bucket a
+    * fortiori), so the second window ranks at most `k × buckets` rows
+    * per key and reproduces the exact global per-key ranks. The
+    * two-window pattern is [[graft.ops.Graph.labelPropagation]]'s hub
+    * argmax, generalized.
+    *
+    * `tieCol` must be unique per key (it makes the order total, so
+    * ranks are deterministic at any partitioning).
+    */
+  def perKeyTopK(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
+                 tieCol: String, k: Int, buckets: Int = 256,
+                 outCol: String = "rank"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val fullOrder = orderCols :+ col(tieCol).asc
+    val perBucket = Window
+      .partitionBy(keyCols.map(col) :+ col("__b"): _*)
+      .orderBy(fullOrder: _*)
+    val perKey = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(fullOrder: _*)
+    df.withColumn("__b", pmod(xxhash64(col(tieCol)), lit(buckets)))
+      .withColumn("__rb", row_number().over(perBucket))
+      .filter(col("__rb") <= k)
+      .withColumn(outCol, row_number().over(perKey))
+      .filter(col(outCol) <= k)
+      .drop("__b", "__rb")
+  }
+
   /** SQL-standard NTILE over the same scalable global order: the first
     * `n mod tiles` tiles hold `ceil(n/tiles)` rows, the rest
     * `floor(n/tiles)` — bit-identical to `NTILE(k) OVER (ORDER BY ...)`

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{EventAnalytics, Maintenance, TemporalJoins}
+import graft.ops.{EventAnalytics, Graph, Maintenance, ScalableRank, TemporalJoins}
 
 /** Round-14 surface: Markov event transitions, interval islands,
   * incremental aggregate maintenance.
@@ -136,5 +136,71 @@ class RoundFourteenSpec extends AnyFunSuite {
     val got = Maintenance.mergeCountSum(base, delta, Seq("k"), "n", "total")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == Set((1L, 3L, 10.0), (2L, 3L, 12.0), (3L, 4L, 1.0)))
+  }
+
+  // ---- kCore ----
+
+  /** Brute-force peel to the fixpoint on in-memory pairs. */
+  private def bruteKCore(edges: Seq[(Long, Long)], k: Int,
+                         rounds: Int): Map[Long, Int] = {
+    var e = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    var r = 0
+    var changed = true
+    while (r < rounds && changed) {
+      r += 1
+      val deg = e.groupBy(_._1).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = e.filter { case (a, b) => keep(a) && keep(b) }
+      changed = next.size != e.size
+      e = next
+    }
+    e.groupBy(_._1).view.mapValues(_.size).toMap
+  }
+
+  test("kCore matches a brute-force peel on a random graph") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(5)
+    val edges = (1 to 150).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val df = edges.toDF("src", "dst")
+    for (k <- Seq(2, 3, 4); rounds <- Seq(1, 3)) {
+      val got = Graph.kCore(df, k, rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1).toInt)).toMap
+      assert(got == bruteKCore(edges, k, rounds), s"k=$k rounds=$rounds")
+    }
+  }
+
+  test("kCore of a triangle plus pendant drops only the pendant at k=2") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.kCore(df, k = 2, maxRounds = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
+  // ---- perKeyTopK ----
+
+  test("perKeyTopK equals the naive per-key window at any bucket count") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 400).map(i =>
+      (s"k${rnd.nextInt(4)}", i.toLong, rnd.nextInt(1000)))
+    val df = rows.toDF("key", "id", "score")
+    val naive = rows.groupBy(_._1).flatMap { case (k, rs) =>
+      rs.sortBy(r => (r._3, r._2)).take(7).zipWithIndex
+        .map { case ((key, id, sc), i) => (key, id, sc, i + 1) }
+    }.toSet
+    for (buckets <- Seq(1, 8, 64)) {
+      val got = ScalableRank.perKeyTopK(df, Seq("key"),
+          Seq(col("score").asc), "id", k = 7, buckets = buckets)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+        .toSet
+      assert(got == naive, s"buckets=$buckets")
+    }
   }
 }
