@@ -1400,6 +1400,18 @@ object SparkEntry {
       TextAnalysis.bigramLogProb(t(s, dir, "documents"))
         .select(col("doc_id"),
           round(col("avg_bigram_logprob"), 6).as("avg_bigram_logprob"))),
+    // Stupid Backoff scoring under a HELD-OUT LM (the src0-src9 half,
+    // selected by length(source) = 4): seen bigrams score the
+    // conditional MLE, unseen ones back off to 0.4 · unigram, OOV
+    // takes pseudo-count 0.5 — round(6) absorbs cross-engine log10
+    // last-ulp differences (the bigram_logprob precedent)
+    "text_stupid_backoff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.stupidBackoff(d, d.filter(length(col("source")) === 4))
+        .select(col("doc_id"),
+          round(col("avg_backoff_logprob"), 6).as("avg_backoff_logprob"),
+          col("n_backoff"))
+    }),
     // PMI collocation mining (multi-word-expression discovery): corpus
     // bigrams with freq >= 5 scored log10(p(ab)/(p(a)p(b))); per-row
     // arithmetic on exact counts, round(6) only to absorb cross-engine
@@ -1434,6 +1446,12 @@ object SparkEntry {
     "dedup_winnow_pairs" -> ((s, dir) =>
       Dedup.winnowPairs(t(s, dir, "documents"),
         k = 4, w = 4, minShared = 2, maxFpFreq = 64)),
+    // SymSpell fuzzy self-join: complete deletion-neighborhood
+    // candidates + exact Levenshtein verify, so the output IS the
+    // brute-force pair list (the oracle) while the cost is a banded
+    // equi-join on deletion keys
+    "q_fuzzy_join" -> ((s, dir) =>
+      Dedup.fuzzyPairs(t(s, dir, "part"), "p_name", maxDist = 2)),
 
     // ---- multimodal plumbing ----
     "media_stats" -> ((s, dir) =>
@@ -2499,6 +2517,48 @@ object SparkEntry {
         |      WHERE a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared
         |FROM p GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin),
+    "q_fuzzy_join" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM n a JOIN n b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+    "text_stupid_backoff" ->
+      // identical tokenization + expression shapes as the Spark side;
+      // sums cast out of HUGEINT before any double math
+      """WITH t0 AS (
+        |  SELECT doc_id, length(source) AS slen,
+        |    list_filter(list_transform(string_split(text, ' '), w -> lower(w)),
+        |                w -> w <> '') AS arr
+        |  FROM documents),
+        |bilm AS (
+        |  SELECT arr[i] || ' ' || arr[i + 1] AS bigram, count(*) AS cab
+        |  FROM t0, unnest(generate_series(1, len(arr) - 1)) AS u(i)
+        |  WHERE len(arr) >= 2 AND slen = 4 GROUP BY 1),
+        |ctx AS (
+        |  SELECT bigram, cab,
+        |         sum(cab) OVER (PARTITION BY string_split(bigram, ' ')[1])
+        |           AS ctxt
+        |  FROM bilm),
+        |unilm AS (SELECT t AS word, count(*) AS cb
+        |          FROM t0, unnest(arr) AS u(t) WHERE slen = 4 GROUP BY 1),
+        |n AS (SELECT coalesce(CAST(sum(cb) AS BIGINT), 1) AS nn FROM unilm),
+        |bi AS (
+        |  SELECT doc_id, arr[i] || ' ' || arr[i + 1] AS bigram
+        |  FROM t0, unnest(generate_series(1, len(arr) - 1)) AS u(i)
+        |  WHERE len(arr) >= 2)
+        |SELECT bi.doc_id,
+        |       round(avg(CASE WHEN c.cab IS NOT NULL
+        |         THEN log10(CAST(c.cab AS DOUBLE) / c.ctxt)
+        |         ELSE log10(0.4 * coalesce(CAST(u.cb AS DOUBLE), 0.5) / n.nn)
+        |         END), 6) AS avg_backoff_logprob,
+        |       CAST(sum(CASE WHEN c.cab IS NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_backoff
+        |FROM bi
+        |LEFT JOIN ctx c USING (bigram)
+        |LEFT JOIN unilm u ON u.word = string_split(bi.bigram, ' ')[2]
+        |CROSS JOIN n
+        |GROUP BY 1""".stripMargin,
     "text_global_shuffle" ->
       """SELECT doc_id,
         |       CAST(row_number() OVER (

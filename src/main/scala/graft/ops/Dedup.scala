@@ -751,6 +751,55 @@ object Dedup {
       .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** Fuzzy self-join by symmetric deletes (SymSpell): every pair of
+    * distinct `nameCol` values within Levenshtein distance `maxDist`
+    * (1 or 2) — record linkage / typo clustering without the O(n²)
+    * all-pairs distance matrix.
+    *
+    * Candidate generation is COMPLETE: if lev(a, b) <= d, an optimal
+    * alignment lets each side delete at most d characters (a deletes
+    * its substituted/deleted positions, b its substituted/inserted
+    * ones) to reach a common string, so a and b share a key in their
+    * depth-d deletion neighborhoods. The output is therefore exactly
+    * the brute-force pair list (the oracle is the naive quadratic
+    * form); the cost profile is the banded equi-join on deletion keys
+    * — |name| + |name|²/2 keys per distinct name at d=2, bounded
+    * candidates per key.
+    *
+    * `maxBucket` drops deletion keys shared by more than that many
+    * names (the hot-bucket k² guard, same policy as `maxShingleFreq`
+    * in [[ngramJaccard]]); a dropped key can lose pairs, so the bound
+    * is a documented recall trade only when it actually fires — size
+    * it above the expected bucket maximum for exact output.
+    */
+  def fuzzyPairs(df: DataFrame, nameCol: String, maxDist: Int = 2,
+                 maxBucket: Long = 100000L): DataFrame = {
+    require(maxDist == 1 || maxDist == 2, s"maxDist must be 1 or 2: $maxDist")
+    val deleteNeighborhood = udf { (s: String) =>
+      if (s == null) Seq.empty[String]
+      else {
+        val out = scala.collection.mutable.LinkedHashSet(s)
+        for (i <- s.indices) out += s.substring(0, i) + s.substring(i + 1)
+        if (maxDist >= 2)
+          for (v <- out.toList; i <- v.indices)
+            out += v.substring(0, i) + v.substring(i + 1)
+        out.toSeq
+      }
+    }
+    val names = df.select(col(nameCol).as("name")).distinct()
+      .withColumn("__v", explode(deleteNeighborhood(col("name"))))
+      .localCheckpoint() // consumed 3x: bucket count + both join sides
+    val okKeys = names.groupBy("__v").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket).select("__v")
+    val nv = names.join(okKeys, "__v")
+    nv.select(col("__v"), col("name").as("name_a"))
+      .join(nv.select(col("__v"), col("name").as("name_b")), Seq("__v"))
+      .filter(col("name_a") < col("name_b"))
+      .select("name_a", "name_b").distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+  }
+
   def embeddingNearDup(embeddings: DataFrame, minCos: Double = 0.95,
                        planes: Int = 8): DataFrame = {
     val sigCol = Similarity.hyperplaneSignature(col("embedding"), planes)

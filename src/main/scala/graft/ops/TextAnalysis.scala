@@ -905,6 +905,69 @@ object TextAnalysis {
         .as("avg_bigram_logprob"))
   }
 
+  /** Stupid Backoff (Brants et al. 2007) bigram scoring against a
+    * HELD-OUT language model: each in-doc bigram (a b) scores
+    * `log10(c(a b) / c(a ·))` when the LM saw the bigram, else backs
+    * off to `log10(alpha · c(b) / N)` (unigram MLE, `alpha = 0.4`);
+    * an OOV continuation word takes pseudo-count 0.5. Unlike
+    * [[bigramLogProb]] the LM corpus (`lmDocs0`) is distinct from the
+    * scored corpus, so the backoff path actually fires — the standard
+    * "score candidate data under a clean-reference LM" quality filter.
+    *
+    * Corpus passes: one bigram aggregate + one unigram aggregate over
+    * the LM slice (map-side list building, vocabulary-sized outputs;
+    * context totals and N ride on those aggregates via
+    * vocabulary-partitioned / single-tiny-partition windows), then one
+    * scored-corpus bigram stream LEFT-joined against both tables.
+    * Docs with fewer than two tokens drop (the [[bigramLogProb]]
+    * contract).
+    *
+    * @return (doc_id, avg_backoff_logprob, n_backoff) — n_backoff is
+    *         the count of bigrams that took the backoff path
+    */
+  def stupidBackoff(docs0: DataFrame, lmDocs0: DataFrame,
+                    alpha: Double = 0.4,
+                    textCol: String = "text"): DataFrame = {
+    val toks = col("__toks")
+    val bigramsExpr = when(size(toks) >= 2,
+        zip_with(slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    def bigramStream(d: DataFrame): DataFrame = d
+      .select(col("doc_id"),
+        filter(transform(split(col(textCol), " ", -1), w => lower(w)),
+          w => w =!= "").as("__toks"))
+      .select(col("doc_id"), explode(bigramsExpr).as("bigram"))
+    val lmDocs = graft.search.Analyzer.spread(lmDocs0)
+    val biLm = bigramStream(lmDocs)
+      .groupBy("bigram").agg(count(lit(1)).as("__cab"))
+      .withColumn("__ctx", sum("__cab").over(
+        Window.partitionBy(split(col("bigram"), " ").getItem(0))))
+    val uniLm = lmDocs.select(
+        explode(filter(transform(split(col(textCol), " ", -1), w => lower(w)),
+          w => w =!= "")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("__cb"))
+      .localCheckpoint() // consumed twice: the N total + the score join
+    // N as a broadcast 1-row aggregate of the vocabulary-sized table
+    // (never an unpartitioned window over the scored stream); 1-token
+    // floor keeps the expression total on an empty LM
+    val nTotal = uniLm.agg(coalesce(sum("__cb"), lit(1L)).as("__n"))
+    bigramStream(graft.search.Analyzer.spread(docs0))
+      .join(biLm, Seq("bigram"), "left")
+      .withColumn("word", split(col("bigram"), " ").getItem(1))
+      .join(uniLm, Seq("word"), "left")
+      .crossJoin(broadcast(nTotal))
+      .withColumn("__term", when(col("__cab").isNotNull,
+          log10(col("__cab").cast("double") / col("__ctx")))
+        .otherwise(log10(
+          lit(alpha) * coalesce(col("__cb").cast("double"), lit(0.5)) /
+            col("__n"))))
+      .groupBy("doc_id")
+      .agg(avg(col("__term")).as("avg_backoff_logprob"),
+        sum(when(col("__cab").isNull, 1L).otherwise(0L)).as("n_backoff"))
+  }
+
   /** Collocation mining by pointwise mutual information: for every
     * corpus bigram with `freq >= minFreq`,
     * `pmi = log10( p(ab) / (p(a)·p(b)) )` with p(ab) = f_ab / N_bigrams
