@@ -12,7 +12,15 @@ import org.apache.spark.sql.SparkSession
   * "query_count":N,"skipped":[...]}` with NO per-query map — at 100+
   * queries the full line outgrew the driver's stdout tail window and
   * parsed as null (round-4 regression). The full per-query detail is
-  * written to SPARK_GRAFT_BENCH_OUT (default /tmp/bench.json).
+  * written to SPARK_GRAFT_BENCH_OUT (default `BENCH_DETAIL.json` in
+  * the repo working directory, so the per-round detail is COMMITTED —
+  * round-over-round diffs of a query's {min,med,max,plan} tell a plan
+  * change from host noise: same plan fingerprint + overlapping
+  * [min,max] bands = noise; a changed fingerprint = structural).
+  * The fingerprint is an md5 of the physical plan string with exprIds
+  * normalized out, so it is stable across JVMs for the same plan
+  * shape and flips when a join strategy / aggregate mode / scan
+  * pushdown changes.
   * Stdout is unprefixed — build.sbt sets `run / outputStrategy :=
   * StdoutOutput` so the forked JVM's stdout is not wrapped in sbt's
   * "[info]" logger.
@@ -42,7 +50,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_DETAIL.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -58,9 +66,33 @@ object Bench {
     // warm-up: JVM/codegen/parquet-footer costs land here, not in timings
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
+    // plan fingerprint per query, captured on the first pass: md5/8 of
+    // the physical plan string with per-run ids (exprIds, plan ids,
+    // cached-rdd numbers) normalized out — cross-round-stable for the
+    // same plan shape, flips on a structural change
+    val planFp = scala.collection.mutable.Map.empty[String, String]
+
+    def fingerprint(df: org.apache.spark.sql.DataFrame): String = {
+      val raw = df.queryExecution.executedPlan.toString
+        .replaceAll("#\\d+", "#")
+        .replaceAll("\\bplan_id=\\d+", "plan_id=")
+        .replaceAll("\\[id=#?\\d*\\]", "")
+        .replaceAll("LocalTableScan \\[.*", "LocalTableScan")
+        .replaceAll("Scan ExistingRDD\\[.*", "Scan ExistingRDD")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(raw.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+    }
+
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      try {
+        val df = fn(spark, sfDir)
+        if (!planFp.contains(name))
+          try planFp(name) = fingerprint(df)
+          catch { case _: Throwable => planFp(name) = "err" }
+        df.write.format("noop").mode("overwrite").save()
+      }
       catch {
         case _: Throwable =>
           try fn(spark, sfDir).count()
@@ -104,8 +136,16 @@ object Bench {
     val results = names.map { case (name, _) =>
       name -> median(passes.map(_(name)))
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
+    // detail per query: median (the headline number), min/max (the
+    // noise band — overlapping bands across rounds = host variance,
+    // disjoint bands + same plan = real), plan fingerprint (flips only
+    // on a structural plan change)
+    val qs = results.map { case (k, med) =>
+      val xs = passes.map(_(k))
+      val fp = planFp.getOrElse(k, "err")
+      "\"" + k + "\":" +
+        f"""{"med":$med%.3f,"min":${xs.min}%.3f,"max":${xs.max}%.3f,"plan":"$fp"}"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val skippedJson = skipped.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =

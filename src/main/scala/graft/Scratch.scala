@@ -294,6 +294,50 @@ object Scratch {
                 (if (levelsOk && math.abs(mass - 1.0) < 1e-6 && starOk &&
                   hub > topLeaf && math.abs(smass - 1.0) < 1e-6)
                   "OK" else "MISMATCH"))
+            case "graph2" =>
+              // label propagation + k-core at 100k+ nodes with EXACT
+              // closed-form invariants. (1) 1,000 disjoint 100-leaf
+              // stars (101k nodes): after 2 synchronous rounds every
+              // leaf carries min(leaf ids of its star) and every hub
+              // carries its own id (round 1: leaf<-hub id, hub<-min
+              // leaf; round 2: leaf<-that min, hub<-hub id by count-
+              // majority of |leaves| identical neighbor labels).
+              // (2) 20k disjoint 5-cliques (100k nodes, degree 4)
+              // unioned with a 10k-leaf star (leaf degree 1, and the
+              // hub's edges all vanish with the leaves): the 3-core is
+              // exactly the clique nodes — peeling must remove leaves
+              // in round 1, the then-isolated hub in round 2, and
+              // nothing else.
+              val nStars = 1000L
+              val leavesPer = 100L
+              // hubs: 0..999; leaves of hub h: 1000 + h*100 + j
+              val starEdges = spark.range(nStars * leavesPer)
+                .select((col("id") / leavesPer).cast("long").as("src"),
+                  (col("id") + 1000L).as("dst"))
+              val lp = ops.Graph.labelPropagation(starEdges, iterations = 2)
+              val leafOk = lp.filter(col("node") >= 1000L)
+                .withColumn("want", ((col("node") - 1000L) / leavesPer)
+                  .cast("long") * leavesPer + 1000L)
+                .filter(col("label") =!= col("want")).count()
+              val hubOk = lp.filter(col("node") < 1000L)
+                .filter(col("label") =!= col("node")).count()
+              // cliques: node n in clique n/5; all 10 in-clique pairs
+              val cliqueNodes = spark.range(100000L)
+              val cliqueEdges = cliqueNodes.alias("a")
+                .join(cliqueNodes.alias("b"),
+                  (col("a.id") / 5).cast("long") === (col("b.id") / 5).cast("long") &&
+                    col("a.id") < col("b.id"))
+                .select(col("a.id").as("src"), col("b.id").as("dst"))
+              val starTail = spark.range(100000L, 110000L)
+                .select(col("id").as("src"), lit(200000L).as("dst"))
+              val core = ops.Graph.kCore(cliqueEdges.unionByName(starTail),
+                k = 3, maxRounds = 8)
+              val coreN = core.count()
+              val starSurvivors = core.filter(col("node") >= 100000L).count()
+              println(s"lpWrongLeaves=$leafOk lpWrongHubs=$hubOk " +
+                s"coreNodes=$coreN starSurvivors=$starSurvivors " +
+                (if (leafOk == 0 && hubOk == 0 && coreN == 100000L &&
+                  starSurvivors == 0) "OK" else "MISMATCH"))
             case "shuffle" =>
               // deterministic global order over 100k rows without a
               // single-partition sort; invariant: positions are exactly
@@ -574,10 +618,10 @@ object Scratch {
             "sim_ivf_topk" ->
               ("honest ANN result: probe recall < 1 on near-random vectors " +
                 "(brute-equality oracle would need nProbe=14/16 - no pruning left), " +
-                "so the deterministic probe outcome is pinned"),
-            "q_approx_sketch" ->
-              ("HLL register estimate (1947 vs 2000 exact) is Spark-specific; " +
-                "partitioning-invariant (registers merge by max) hence pinnable"))
+                "so the deterministic probe outcome is pinned"))
+          // q_approx_sketch is NOT pinned here: its median half is real
+          // DuckDB SQL (quantile_cont); only the HLL column rides on an
+          // inline VALUES join in SparkEntry.oracleSql.
           def sqlLit(v: Any): String = v match {
             case null => "NULL"
             case s: String => "'" + s.replace("'", "''") + "'"
@@ -598,7 +642,7 @@ object Scratch {
           sb.append("  *\n")
           sb.append("  * Corpus-pinned expected outputs (driver correctness corpus, sf0.01)\n")
           sb.append("  * for operators whose values are deterministic but engine-specific\n")
-          sb.append("  * (xxhash64 fingerprints, HLL sketches, the IVF probe) — the same\n")
+          sb.append("  * (xxhash64 fingerprints, the IVF probe) — the same\n")
           sb.append("  * pattern as postings_stemmed's stem-map oracle. Each operator's\n")
           sb.append("  * ALGORITHM is pinned by unit/property tests; these rows pin the\n")
           sb.append("  * end-to-end result against regressions. Every entry carries the\n")

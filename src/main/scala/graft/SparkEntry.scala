@@ -218,6 +218,68 @@ object SparkEntry {
   private def annCorpus(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
 
+  /** Trade-graph chunked adjacency, one per (session, sf dir): four
+    * graph queries (pagerank, personalized pagerank, label propagation,
+    * BFS) iterate over the SAME undirected customer-supplier graph, so
+    * the edge-sized fold (orders ⨝ lineitem → distinct symmetrized
+    * edges → adjacency chunks) is paid once per session and every
+    * algorithm starts from the checkpointed node-sized adjacency. At
+    * 100 TB the fold dominates a 3-round node-sized iteration — this
+    * turns four edge shuffles into one.
+    */
+  private val adjCache = new SessionCache[DataFrame]
+
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+  }
+
+  private def tradeAdjacency(s: SparkSession, dir: String): DataFrame =
+    adjCache.getOrElseUpdate(s, dir,
+      Graph.chunkedAdjacency(tradeEdges(s, dir)))
+
+  /** Strong-trade pair counts, one per (session, sf dir): the
+    * edge-sized orders ⨝ lineitem join folded to per-(customer,
+    * supplier) trade counts. Connected components (n ≥ 4) and k-core
+    * (n ≥ 3) consume the SAME fold at different strength thresholds,
+    * so the join + aggregate is paid once and each query is a filter
+    * of the checkpointed pair-sized table — the threshold filter
+    * happens after the fold either way, so sharing it changes no
+    * rows. Node encoding custkey*2 / suppkey*2+1 keeps ids disjoint
+    * and integer so min-label component ids stay oracle-expressible.
+    */
+  private val tradePairCache = new SessionCache[DataFrame]
+
+  private def tradePairCounts(s: SparkSession, dir: String): DataFrame =
+    tradePairCache.getOrElseUpdate(s, dir, {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).cast("long").as("src"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+    })
+
+  /** Distinct (order, part) basket pairs, one per (session, sf dir):
+    * the lineitem-sized scan + distinct shuffle feeding BOTH
+    * co-purchase projections (triangles' bipartite projection and the
+    * related-items neighborhood Jaccard). The downstream ops re-group
+    * the checkpointed distinct set (pair-sized), never re-scan
+    * lineitem.
+    */
+  private val basketPairCache = new SessionCache[DataFrame]
+
+  private def basketPairs(s: SparkSession, dir: String): DataFrame =
+    basketPairCache.getOrElseUpdate(s, dir,
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("g"), col("l_partkey").as("i"))
+        .distinct()
+        .localCheckpoint())
+
   private def annTmp(): String =
     java.nio.file.Files.createTempDirectory("graft-ann-").toString
 
@@ -755,75 +817,51 @@ object SparkEntry {
     // one aggregation with a checkpointed rank vector (flat plans) —
     // the link-authority primitive next to dedup's connected components
     "q_pagerank" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      val l = t(s, dir, "lineitem")
-      val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
-      Graph.pageRank(edges, iterations = 3)
+      val edges = tradeEdges(s, dir)
+      Graph.pageRank(edges, iterations = 3,
+        prebuiltAdj = Some(tradeAdjacency(s, dir)))
         .select(col("node"), round(col("rank"), 8).as("rank"))
     }),
     // personalized PageRank: teleport mass concentrated on the
     // custkey%50 seed customers — proximity-to-seed ranking over the
     // same chunked-adjacency scaffold (node-sized rounds)
     "q_ppr" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      val l = t(s, dir, "lineitem")
-      val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
-      val sources = o.filter(col("o_custkey") % 50 === 0)
+      val edges = tradeEdges(s, dir)
+      val sources = t(s, dir, "orders").filter(col("o_custkey") % 50 === 0)
         .select(concat(lit("c"), col("o_custkey")).as("node")).distinct()
-      Graph.personalizedPageRank(edges, sources, iterations = 3)
+      Graph.personalizedPageRank(edges, sources, iterations = 3,
+        prebuiltAdj = Some(tradeAdjacency(s, dir)))
         .select(col("node"), round(col("rank"), 8).as("rank"))
     }),
     // synchronous label propagation (2 rounds) over the same trade
     // graph — deterministic argmax (count desc, label asc), per-round
     // shuffles node-sized, hub argmax split across hash buckets
     "q_label_prop" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      val l = t(s, dir, "lineitem")
-      val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
-      Graph.labelPropagation(edges, iterations = 2)
+      Graph.labelPropagation(tradeEdges(s, dir), iterations = 2,
+        prebuiltAdj = Some(tradeAdjacency(s, dir)))
     }),
     // multi-source BFS over the trade graph: hop distance from the
     // custkey%50 seed customers, 3 frontier rounds — each round joins
     // the chunked adjacency with the FRONTIER only (node-sized
     // shuffles, checkpointed state, early exit on empty frontier)
     "q_bfs_dist" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      val l = t(s, dir, "lineitem")
-      val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
-      val sources = o.filter(col("o_custkey") % 50 === 0)
+      val sources = t(s, dir, "orders").filter(col("o_custkey") % 50 === 0)
         .select(concat(lit("c"), col("o_custkey")).as("node")).distinct()
-      Graph.bfsDistances(edges, sources, maxDepth = 3)
+      Graph.bfsDistances(tradeEdges(s, dir), sources, maxDepth = 3,
+        prebuiltAdj = Some(tradeAdjacency(s, dir)))
     }),
     // connected components over the STRONG trade graph (pairs that
     // traded >= 4 line items — 73 components at sf0.01, not one giant
     // blob); node encoding custkey*2 / suppkey*2+1 keeps ids disjoint
     // and integer so the min-label component id is oracle-expressible
-    "q_connected_components" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      val l = t(s, dir, "lineitem")
-      val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
-        .groupBy((col("o_custkey") * 2).cast("long").as("src"),
-          (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
-        .agg(count(lit(1)).as("n"))
-        .filter(col("n") >= 4)
-        .select("src", "dst")
-      Graph.connectedComponents(edges)
-    }),
+    "q_connected_components" -> ((s, dir) =>
+      Graph.connectedComponents(tradePairCounts(s, dir)
+        .filter(col("n") >= 4).select("src", "dst"))),
     // per-node triangle count + local clustering coefficient of the
     // repeat-co-purchase graph (parts co-ordered in >= 2 baskets);
     // degree-ordered orientation bounds the wedge join at m^1.5
     "q_triangles" -> ((s, dir) => {
-      val l = t(s, dir, "lineitem")
-      val co = Graph.bipartiteProject(
-        l.select(col("l_orderkey").as("g"), col("l_partkey").as("i")),
+      val co = Graph.bipartiteProject(basketPairs(s, dir),
         "g", "i", maxFanout = 1000, minShared = 2L)
       Graph.triangleCounts(
         co.select(col("item_a").as("src"), col("item_b").as("dst")))
@@ -832,26 +870,15 @@ object SparkEntry {
     // graph: per round one node-sized degree aggregate + two edge-sized
     // semi-joins, checkpointed state, early exit at the fixpoint;
     // oracle = 3 unrolled peel rounds
-    "q_kcore" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      val l = t(s, dir, "lineitem")
-      val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
-        .groupBy((col("o_custkey") * 2).cast("long").as("src"),
-          (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
-        .agg(count(lit(1)).as("n"))
-        .filter(col("n") >= 3)
-        .select("src", "dst")
-      Graph.kCore(edges, k = 3, maxRounds = 3)
-    }),
+    "q_kcore" -> ((s, dir) =>
+      Graph.kCore(tradePairCounts(s, dir)
+        .filter(col("n") >= 3).select("src", "dst"), k = 3, maxRounds = 3)),
     // "bought together" top-100: part pairs by basket-neighborhood
     // Jaccard (int-derived IEEE division — reproducible unrounded, so
     // the top-k cut is deterministic without a rounding grid)
-    "q_graph_related" -> ((s, dir) => {
-      val l = t(s, dir, "lineitem")
-      Graph.relatedByNeighbors(
-        l.select(col("l_orderkey").as("g"), col("l_partkey").as("i")),
-        "g", "i", k = 100, minShared = 2L)
-    }),
+    "q_graph_related" -> ((s, dir) =>
+      Graph.relatedByNeighbors(basketPairs(s, dir),
+        "g", "i", k = 100, minShared = 2L)),
     // running aggregate + lag. The synthetic lineitem has NO unique
     // (orderkey, linenumber) key (unlike real TPC-H), so the ORDER BY
     // lists enough columns for a total order — full rows are unique —
@@ -1011,14 +1038,30 @@ object SparkEntry {
     // simply do not prune; see NOTES). 32 tables hold the strict
     // entry's recall bound at 1-(1-(1-acos(0.9)/pi)^8)^32 = 99.998%.
     // This corpus's embeddings are near-random (max pairwise cosine
-    // 0.60), so the exact result here is legitimately empty — the
-    // oracle row asserts the empty set against the same DuckDB SQL, and
-    // the >= 0.9 capability itself is pinned by a spec on constructed
-    // clustered vectors (RoundEightSpec).
-    "dedup_embedding_strict" -> ((s, dir) =>
-      Dedup.embeddingNearDupBanded(t(s, dir, "embeddings"), minCos = 0.9,
+    // 0.60), so on the raw table the >= 0.9 result is legitimately
+    // empty — which made the oracle row vacuous (VERDICT r5). The query
+    // therefore PLANTS near-dups derived inside the query itself: every
+    // vec_id % 100 == 3 vector gets a twin (id + 100000) with the FIRST
+    // component negated — sign flip is exact in float, so both engines
+    // see bit-identical inputs, and cos(orig, twin) = 1 - 2·e0²/‖e‖²
+    // lands in [0.92, 0.997] on this corpus (≥ 0.9 with margin, checked
+    // against the brute-force DuckDB oracle). Twin-twin and twin-other
+    // cosines mirror the original near-random pairs (< 0.9), so the
+    // exact answer is exactly the five planted pairs — the oracle row
+    // now asserts a NON-EMPTY pair set at the production threshold; the
+    // clustered-vector spec (RoundEightSpec) still pins the capability
+    // on a denser geometry.
+    "dedup_embedding_strict" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = e.filter(col("vec_id") % 100 === 3)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          concat(array(negate(element_at(col("embedding"), 1))),
+            slice(col("embedding"), lit(2), size(col("embedding")) - 1))
+            .as("embedding"))
+      Dedup.embeddingNearDupBanded(e.unionByName(planted), minCos = 0.9,
         planesPerTable = 8, tables = 32)
-        .select(col("vec_a"), col("vec_b"), round(col("cosine"), 4).as("cosine"))),
+        .select(col("vec_a"), col("vec_b"), round(col("cosine"), 4).as("cosine"))
+    }),
     "dedup_embedding_exact" -> ((s, dir) =>
       Dedup.embeddingNearDupExact(t(s, dir, "embeddings"), minCos = 0.4)
         .select(col("vec_a"), col("vec_b"), round(col("cosine"), 4).as("cosine"))),
@@ -1449,9 +1492,12 @@ object SparkEntry {
     // SymSpell fuzzy self-join: complete deletion-neighborhood
     // candidates + exact Levenshtein verify, so the output IS the
     // brute-force pair list (the oracle) while the cost is a banded
-    // equi-join on deletion keys
+    // equi-join on deletion keys. failOnDrop: the DuckDB oracle IS the
+    // brute force, so a fired hot-bucket cap must error loudly here,
+    // never surface as an unexplained hash mismatch
     "q_fuzzy_join" -> ((s, dir) =>
-      Dedup.fuzzyPairs(t(s, dir, "part"), "p_name", maxDist = 2)),
+      Dedup.fuzzyPairs(t(s, dir, "part"), "p_name", maxDist = 2,
+        failOnDrop = true)),
 
     // ---- multimodal plumbing ----
     "media_stats" -> ((s, dir) =>
@@ -1473,6 +1519,34 @@ object SparkEntry {
         .as[Multimodal.MediaRecord]
       Multimodal.extractFeatures(media, 64, 64)
         .select(col("media_id"), col("kind"), col("byte_len"))
+    }),
+    // REAL container-level video indexing (closes the r5 video stub):
+    // each video-kind row is serialized into a structurally valid
+    // MJPEG-AVI (RIFF writer) with n_frames frames of deterministic
+    // sizes 10 + (id+i) % 50, then AviContainer.frameIndex WALKS the
+    // RIFF chunk tree (movi LIST, ##dc chunks, WORD padding) — no pixel
+    // decode — and the oracle independently predicts per-media frame
+    // count + total frame bytes. A wrong size field, missed pad byte,
+    // or mis-nested LIST shifts every later offset and breaks the sums.
+    "media_video_frames" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val mkAvi = udf { (id: Long, n: Int, w: Int, h: Int) =>
+        val frames = (0 until n).map { i =>
+          val len = 10 + ((id + i) % 50).toInt
+          Array.tabulate[Byte](len)(j => ((id + i + j) & 0xff).toByte)
+        }
+        Multimodal.AviContainer.write(frames, w, h)
+      }
+      val media = Multimodal.syntheticMedia(t(s, dir, "documents"))
+        .filter(col("kind") === "video")
+        .withColumn("payload",
+          mkAvi(col("media_id"), col("n_frames"), col("width"), col("height")))
+        .as[Multimodal.MediaRecord]
+      Multimodal.videoFrameIndex(media)
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum("byte_len").as("total_frame_bytes"))
     }),
     // resize stage end-to-end: synthetic payloads are not decodable
     // images, so the metadata-scaling stub path runs (the real ImageIO
@@ -1803,12 +1877,21 @@ object SparkEntry {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |        CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
     "dedup_embedding_strict" ->
-      // exact pair list at the production threshold 0.9 — empty on this
-      // near-random corpus, and the oracle asserts exactly that
-      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      // exact brute-force pair list at the production threshold over the
+      // corpus PLUS the planted first-component-negated twins — the five
+      // (orig, twin) pairs are the full answer, so the row is non-vacuous
+      """WITH planted AS (
+        |  SELECT vec_id + 100000 AS vec_id,
+        |         list_prepend(-embedding[1], embedding[2:]) AS embedding
+        |  FROM embeddings WHERE vec_id % 100 = 3
+        |), alle AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id, embedding FROM planted
+        |)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |         CAST(b.embedding AS DOUBLE[])), 4) AS cosine
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |FROM alle a JOIN alle b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |        CAST(b.embedding AS DOUBLE[])) >= 0.9""".stripMargin,
     "q1_agg" ->
@@ -1877,6 +1960,22 @@ object SparkEntry {
         |       FROM reach GROUP BY a)
         |SELECT cluster_id, max(doc_id) AS keeper_id, count(*) AS n_members
         |FROM cl GROUP BY 1""".stripMargin,
+    // HYBRID oracle: the median half is REAL DuckDB SQL (quantile_cont
+    // matches Spark's linearly-interpolated exact percentile); only the
+    // HLL estimate rides on a pinned VALUES join — DuckDB's approx HLL
+    // uses different registers, so Spark's 1947-vs-2000-exact value is
+    // engine-specific but partitioning-invariant (registers merge by
+    // max), pinned at sf0.01
+    "q_approx_sketch" ->
+      """SELECT m.l_returnflag,
+        |       CAST(h.approx_parts AS BIGINT) AS approx_parts,
+        |       m.median_price
+        |FROM (SELECT l_returnflag,
+        |        round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price
+        |      FROM lineitem GROUP BY l_returnflag) m
+        |JOIN (VALUES ('N', 1947), ('R', 1947), ('A', 1947))
+        |  AS h(l_returnflag, approx_parts)
+        |  ON m.l_returnflag = h.l_returnflag""".stripMargin,
     "q_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
         |       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
@@ -2230,6 +2329,16 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
         |       CAST((doc_id % 300) // 30 + 1 AS BIGINT) AS n_sampled
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+    // predicts the AVI round trip in closed form: the container walk
+    // must surface exactly n_frames chunks whose sizes are the writer's
+    // deterministic 10 + (id+i) % 50 — wrong padding/nesting breaks it
+    "media_video_frames" ->
+      """SELECT d.doc_id AS media_id,
+        |       CAST(count(*) AS BIGINT) AS n_frames,
+        |       CAST(sum(10 + (d.doc_id + g.i) % 50) AS BIGINT) AS total_frame_bytes
+        |FROM documents d, generate_series(0, 299) g(i)
+        |WHERE d.doc_id % 3 = 2 AND g.i <= d.doc_id % 300
+        |GROUP BY 1""".stripMargin,
     "media_features" ->
       """SELECT doc_id AS media_id,
         |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'

@@ -770,14 +770,34 @@ object Dedup {
     * names (the hot-bucket k² guard, same policy as `maxShingleFreq`
     * in [[ngramJaccard]]); a dropped key can lose pairs, so the bound
     * is a documented recall trade only when it actually fires — size
-    * it above the expected bucket maximum for exact output.
+    * it above the expected bucket maximum for exact output. When it
+    * DOES fire, the drop is loud, not silent: the dropped-key count is
+    * logged to stderr, and `failOnDrop = true` turns it into an error
+    * — use that wherever the exact-equals-brute-force contract is
+    * load-bearing (the correctness oracle does).
+    *
+    * `maxNameLen` bounds the per-row candidate blow-up: at d=2 a name
+    * of length L explodes into O(L²) keys (O(L³) bytes), so an
+    * unbounded nameCol could blow executor memory on one row. Names
+    * longer than the bound fail fast with a clear message — fuzzy
+    * matching on kilobyte strings wants shingle Jaccard
+    * ([[ngramJaccard]]), not symmetric deletes.
     */
   def fuzzyPairs(df: DataFrame, nameCol: String, maxDist: Int = 2,
-                 maxBucket: Long = 100000L): DataFrame = {
+                 maxBucket: Long = 100000L,
+                 maxNameLen: Int = 256,
+                 failOnDrop: Boolean = false): DataFrame = {
     require(maxDist == 1 || maxDist == 2, s"maxDist must be 1 or 2: $maxDist")
+    require(maxNameLen >= 1, s"maxNameLen must be >= 1: $maxNameLen")
+    val lenBound = maxNameLen // avoid capturing `this` in the udf closure
     val deleteNeighborhood = udf { (s: String) =>
       if (s == null) Seq.empty[String]
       else {
+        if (s.length > lenBound) throw new IllegalArgumentException(
+          s"fuzzyPairs: name of length ${s.length} exceeds maxNameLen=" +
+            s"$lenBound — the depth-$maxDist deletion neighborhood is " +
+            "O(len^2) keys/row; raise maxNameLen deliberately or use " +
+            "ngramJaccard for long strings")
         val out = scala.collection.mutable.LinkedHashSet(s)
         for (i <- s.indices) out += s.substring(0, i) + s.substring(i + 1)
         if (maxDist >= 2)
@@ -789,8 +809,20 @@ object Dedup {
     val names = df.select(col(nameCol).as("name")).distinct()
       .withColumn("__v", explode(deleteNeighborhood(col("name"))))
       .localCheckpoint() // consumed 3x: bucket count + both join sides
-    val okKeys = names.groupBy("__v").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxBucket).select("__v")
+    val keyCounts = names.groupBy("__v").agg(count(lit(1)).as("__n"))
+      .localCheckpoint() // consumed twice: the drop probe + the keep set
+    // the exact-output claim is CHECKED, not assumed: count the dropped
+    // hot keys (group-sized aggregate, one extra scan of a checkpointed
+    // key table) and surface any loss
+    val dropped = keyCounts.filter(col("__n") > maxBucket).count()
+    if (dropped > 0) {
+      val msg = s"fuzzyPairs: $dropped deletion key(s) exceeded " +
+        s"maxBucket=$maxBucket and were dropped from candidate " +
+        "generation — pairs may be missing; raise maxBucket for exact output"
+      if (failOnDrop) throw new IllegalStateException(msg)
+      else System.err.println(s"[graft] WARN $msg")
+    }
+    val okKeys = keyCounts.filter(col("__n") <= maxBucket).select("__v")
     val nv = names.join(okKeys, "__v")
     nv.select(col("__v"), col("name").as("name_a"))
       .join(nv.select(col("__v"), col("name").as("name_b")), Seq("__v"))

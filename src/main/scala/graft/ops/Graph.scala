@@ -38,9 +38,17 @@ object Graph {
     * AND the adjacency fold both consume it, and two lazy consumers
     * would re-run the whole upstream edge derivation (the
     * multiple-consumer re-execution trap).
+    *
+    * PUBLIC so callers running several algorithms over the SAME graph
+    * (rank + communities + BFS over one trade graph is the normal
+    * shape) can fold the edge list once and pass the result to each
+    * via `prebuiltAdj` — at 100 TB the fold (edge-sized shuffle +
+    * distinct) dominates a 3-round node-sized iteration, so paying it
+    * once instead of once per algorithm is the difference between one
+    * edge shuffle and four.
     */
-  private def chunkedAdjacency(edges: DataFrame,
-                               maxFanout: Long): DataFrame = {
+  def chunkedAdjacency(edges: DataFrame,
+                       maxFanout: Long = 100000L): DataFrame = {
     require(maxFanout >= 1, s"maxFanout must be >= 1: $maxFanout")
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -65,15 +73,18 @@ object Graph {
     * rank_{t+1}(v) = (1-d)/N + d * sum over in-neighbors u of
     * rank_t(u) / outdeg(u).
     *
-    * @param edges     (src, dst) pairs, any orientation, duplicates ok
-    * @param maxFanout expected adjacency-chunk size bound
+    * @param edges       (src, dst) pairs, any orientation, duplicates ok
+    * @param maxFanout   expected adjacency-chunk size bound
+    * @param prebuiltAdj a [[chunkedAdjacency]] of the same graph, to
+    *                    share the edge-sized fold across algorithms
     * @return (node, rank) — one row per distinct endpoint
     */
   def pageRank(edges: DataFrame, iterations: Int,
                damping: Double = 0.85,
-               maxFanout: Long = 100000L): DataFrame = {
+               maxFanout: Long = 100000L,
+               prebuiltAdj: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
-    val adj = chunkedAdjacency(edges, maxFanout)
+    val adj = prebuiltAdj.getOrElse(chunkedAdjacency(edges, maxFanout))
     val n = adj.select(countDistinct("src")).collect()(0).getLong(0)
     require(n > 0, "pageRank needs a non-empty edge list")
     var ranks = adj.select(col("src").as("node")).distinct()
@@ -108,9 +119,10 @@ object Graph {
     */
   def personalizedPageRank(edges: DataFrame, sources: DataFrame,
                            iterations: Int, damping: Double = 0.85,
-                           maxFanout: Long = 100000L): DataFrame = {
+                           maxFanout: Long = 100000L,
+                           prebuiltAdj: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
-    val adj = chunkedAdjacency(edges, maxFanout)
+    val adj = prebuiltAdj.getOrElse(chunkedAdjacency(edges, maxFanout))
     // two consumers (count + every round's join): materialize once
     val seeds = sources.select(col("node")).distinct()
       .withColumn("__s", lit(1)).localCheckpoint()
@@ -154,10 +166,11 @@ object Graph {
     */
   def labelPropagation(edges: DataFrame, iterations: Int,
                        maxFanout: Long = 100000L,
-                       buckets: Int = 64): DataFrame = {
+                       buckets: Int = 64,
+                       prebuiltAdj: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
-    val adj = chunkedAdjacency(edges, maxFanout)
+    val adj = prebuiltAdj.getOrElse(chunkedAdjacency(edges, maxFanout))
     var labels = adj.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     val perBucket = Window.partitionBy("node", "__b")
@@ -257,9 +270,10 @@ object Graph {
     * @return (node, dist) with dist in [0, maxDepth]
     */
   def bfsDistances(edges: DataFrame, sources: DataFrame, maxDepth: Int,
-                   maxFanout: Long = 100000L): DataFrame = {
+                   maxFanout: Long = 100000L,
+                   prebuiltAdj: Option[DataFrame] = None): DataFrame = {
     require(maxDepth >= 0, s"maxDepth must be >= 0: $maxDepth")
-    val adj = chunkedAdjacency(edges, maxFanout)
+    val adj = prebuiltAdj.getOrElse(chunkedAdjacency(edges, maxFanout))
     var visited = sources.select(col("node")).distinct()
       .withColumn("dist", lit(0L))
       .localCheckpoint()

@@ -220,7 +220,13 @@ object Maintenance {
     * One full-outer join on the group key (group-sized sides). Sums
     * must be exact-typed (integer-valued doubles, longs, or decimals)
     * for the merge to be bit-equal to the recompute at any batch
-    * split.
+    * split; the zero fill-ins and the merged output are cast to the
+    * BASE state's own column types, so a long or decimal sum state
+    * merges exactly (never widened through double) and the output
+    * schema equals the recompute's. The join is null-safe on the
+    * keys (`<=>`), so a NULL group key merges into ONE row — the
+    * same grouping a one-pass GROUP BY produces — instead of two
+    * never-matching ones.
     */
   def mergeCountSum(base: org.apache.spark.sql.DataFrame,
                     delta: org.apache.spark.sql.DataFrame,
@@ -229,14 +235,24 @@ object Maintenance {
                     sumCol: String = "total"): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     require(keyCols.nonEmpty, "need at least one key column")
-    val d = delta.select(keyCols.map(col) :+ col(countCol).as("__dn") :+
-      col(sumCol).as("__ds"): _*)
+    val cntType = base.schema(countCol).dataType
+    val sumType = base.schema(sumCol).dataType
+    // rename EVERY delta column: the null-safe join keeps both sides'
+    // key columns and bare names would be ambiguous
+    val d = delta.select(keyCols.map(k => col(k).as(s"__dk_$k")) :+
+      col(countCol).cast(cntType).as("__dn") :+
+      col(sumCol).cast(sumType).as("__ds"): _*)
+    val cond = keyCols.map(k => base(k) <=> d(s"__dk_$k")).reduce(_ && _)
     base
-      .join(d, keyCols, "full_outer")
-      .select(keyCols.map(col) :+
-        (coalesce(col(countCol), lit(0L)) + coalesce(col("__dn"), lit(0L)))
-          .as(countCol) :+
-        (coalesce(col(sumCol), lit(0d)) + coalesce(col("__ds"), lit(0d)))
-          .as(sumCol): _*)
+      .join(d, cond, "full_outer")
+      // coalesce re-unifies the keys; a NULL-key group (both sides
+      // null) correctly stays null
+      .select(keyCols.map(k => coalesce(base(k), d(s"__dk_$k")).as(k)) :+
+        (coalesce(col(countCol), lit(0).cast(cntType)) +
+          coalesce(col("__dn"), lit(0).cast(cntType)))
+          .cast(cntType).as(countCol) :+
+        (coalesce(col(sumCol), lit(0).cast(sumType)) +
+          coalesce(col("__ds"), lit(0).cast(sumType)))
+          .cast(sumType).as(sumCol): _*)
   }
 }

@@ -8,10 +8,14 @@ import org.apache.spark.sql.functions._
   * batches. The Spark-side contract (schema, batch iteration,
   * partitioning, output shape) is real and tested. The IMAGE codec is
   * real (`javax.imageio`) and the AUDIO codec is real for PCM
-  * WAV/AIFF/AU (`javax.sound.sampled`) — both ship with the JDK; only
-  * VIDEO (no JDK codec) and undecodable payloads fall back to the
-  * deterministic stub, so pipelines over mixed/raw corpora never throw.
-  * Swap the stub for JavaCPP/FFmpeg without touching any plumbing.
+  * WAV/AIFF/AU (`javax.sound.sampled`) — both ship with the JDK. VIDEO
+  * is real at the CONTAINER level ([[Multimodal.AviContainer]]: RIFF
+  * chunk walk over MJPEG-AVI — frame counts/offsets/sizes with no
+  * pixel decode; animated GIF additionally pixel-decodes via ImageIO);
+  * per-frame PIXEL decode of other codecs has no JDK implementation
+  * and falls back to the deterministic stub, so pipelines over
+  * mixed/raw corpora never throw. Swap the stub for JavaCPP/FFmpeg
+  * without touching any plumbing.
   */
 object Multimodal {
 
@@ -321,4 +325,147 @@ object Multimodal {
       (pmod(col("doc_id"), lit(480)) + 16).cast("int").as("height"),
       lit(16000).as("sample_rate"),
       (pmod(col("doc_id"), lit(300)) + 1).cast("int").as("n_frames"))
+
+  /** Minimal-but-real RIFF/AVI container codec: write an MJPEG-AVI
+    * from frame byte blobs, and index the frames of any AVI by walking
+    * its chunk structure — NO pixel decode, which is exactly what a
+    * 100 TB video ingest needs first: frame counts, offsets and sizes
+    * for splitting/sampling decisions before any (GPU-bound) decode.
+    *
+    * The format is public (Microsoft RIFF/AVI spec): little-endian
+    * `u32` sizes, fourcc-tagged chunks, chunks padded to WORD
+    * boundaries (an odd-sized chunk is followed by one pad byte that
+    * its size field does NOT count), frames live inside the `movi`
+    * LIST under `##dc`/`##db` fourccs. The walker honors all of that,
+    * so it indexes real MJPEG-AVI files, not just our writer's output
+    * (the writer exists because the test corpus has no real videos).
+    */
+  object AviContainer {
+    private val FrameRate = 30
+
+    private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+    private def u32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+    private def chunk(fcc: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray
+      fourcc(fcc) ++ u32(body.length.toLong) ++ body ++ pad
+    }
+
+    private def list(listType: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", fourcc(listType) ++ body)
+
+    /** Serialize frames into a structurally valid MJPEG-AVI: RIFF(AVI )
+      * { LIST(hdrl){ avih, LIST(strl){ strh, strf } }, LIST(movi){
+      * 00dc* }, idx1 }. Frame bytes are taken as-is (MJPEG frames are
+      * standalone JPEGs; the container does not care).
+      */
+    def write(frames: Seq[Array[Byte]], width: Int, height: Int): Array[Byte] = {
+      val maxBytes = if (frames.isEmpty) 0 else frames.map(_.length).max
+      // MainAVIHeader: dwMicroSecPerFrame, dwMaxBytesPerSec, dwPadding,
+      // dwFlags(HASINDEX), dwTotalFrames, dwInitialFrames, dwStreams,
+      // dwSuggestedBufferSize, dwWidth, dwHeight, dwReserved[4]
+      val avih = chunk("avih", Array(
+        u32(1000000L / FrameRate), u32(maxBytes.toLong * FrameRate), u32(0),
+        u32(0x10), u32(frames.length.toLong), u32(0), u32(1),
+        u32(maxBytes.toLong), u32(width.toLong), u32(height.toLong),
+        u32(0), u32(0), u32(0), u32(0)).flatten)
+      // AVIStreamHeader: fccType=vids, fccHandler=MJPG, flags, prio+lang,
+      // initial, scale, rate, start, length, bufsize, quality, sample,
+      // rcFrame(4 u16 ~ 2 u32)
+      val strh = chunk("strh", fourcc("vids") ++ fourcc("MJPG") ++ Array(
+        u32(0), u32(0), u32(0), u32(1), u32(FrameRate.toLong), u32(0),
+        u32(frames.length.toLong), u32(maxBytes.toLong), u32(0xffffffffL),
+        u32(0), u32(0), u32((height.toLong << 16) | width.toLong)).flatten)
+      // BITMAPINFOHEADER: biSize=40, w, h, planes|bitcount, MJPG,
+      // sizeimage, xppm, yppm, clrused, clrimportant
+      val strf = chunk("strf", Array(
+        u32(40), u32(width.toLong), u32(height.toLong), u32(0x180001L)).flatten
+        ++ fourcc("MJPG")
+        ++ Array(u32(width.toLong * height * 3), u32(0), u32(0), u32(0),
+          u32(0)).flatten)
+      val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+      val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+      // idx1 entries are relative to the 'movi' list-type fourcc
+      val idx = new scala.collection.mutable.ArrayBuffer[Byte]()
+      var off = 4L // past the 'movi' fourcc
+      frames.foreach { f =>
+        idx ++= fourcc("00dc"); idx ++= u32(0x10) // AVIIF_KEYFRAME
+        idx ++= u32(off); idx ++= u32(f.length.toLong)
+        off += 8L + f.length + (f.length % 2)
+      }
+      val body = fourcc("AVI ") ++ hdrl ++ movi ++ chunk("idx1", idx.toArray)
+      fourcc("RIFF") ++ u32(body.length.toLong) ++ body
+    }
+
+    private def readU32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+    private def fccAt(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+
+    /** Walk the container and index its video frames: `(frame_no,
+      * payload_offset, byte_len)` per `##dc`/`##db` chunk in `movi`
+      * order, offsets absolute into the file — enough to later decode
+      * any single frame with one ranged read. None when the bytes are
+      * not a RIFF/AVI container; truncated/corrupt containers yield
+      * the frames indexed before the walk fails (never throws).
+      */
+    def frameIndex(avi: Array[Byte]): Option[Seq[(Int, Long, Int)]] = {
+      if (avi.length < 12 || fccAt(avi, 0) != "RIFF" || fccAt(avi, 8) != "AVI ")
+        return None
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Int)]
+      val end = math.min(avi.length.toLong, 8L + readU32(avi, 4))
+      def walk(from: Long, to: Long, inMovi: Boolean): Unit = {
+        var p = from
+        while (p + 8 <= to) {
+          val fcc = fccAt(avi, p.toInt)
+          val size = readU32(avi, p.toInt + 4)
+          val dataStart = p + 8
+          if (fcc == "LIST" && size >= 4 && dataStart + 4 <= to) {
+            // a truncated LIST still yields its complete leading chunks:
+            // recurse into the readable prefix instead of bailing
+            val listType = fccAt(avi, dataStart.toInt)
+            walk(dataStart + 4, math.min(dataStart + size, to),
+              inMovi || listType == "movi")
+            if (dataStart + size > to) return
+          } else if (dataStart + size > to) {
+            return // truncated leaf chunk: keep what we have
+          } else if (inMovi && fcc.length == 4 &&
+              fcc(0).isDigit && fcc(1).isDigit &&
+              (fcc.substring(2) == "dc" || fcc.substring(2) == "db")) {
+            frames += ((frames.length, dataStart, size.toInt))
+          }
+          p = dataStart + size + (size % 2) // WORD-align past the pad byte
+        }
+      }
+      walk(12L, end, inMovi = false)
+      Some(frames.toSeq)
+    }
+  }
+
+  /** Container-level video frame indexing over a media table: wrap the
+    * walker in one `mapPartitions` pass (bytes never leave the
+    * executor) and emit a row per indexed frame. Non-AVI payloads
+    * produce no rows — a mixed corpus filters itself.
+    */
+  final case class IndexedFrame(media_id: Long, frame_no: Int,
+                                offset: Long, byte_len: Int)
+
+  def videoFrameIndex(media: Dataset[MediaRecord])(
+      implicit spark: SparkSession): Dataset[IndexedFrame] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        AviContainer.frameIndex(m.payload) match {
+          case Some(frames) => frames.iterator.map { case (no, off, len) =>
+            IndexedFrame(m.media_id, no, off, len) }
+          case None => Iterator.empty
+        }
+      }
+    }
+  }
 }

@@ -32,13 +32,13 @@ object StreamingOps {
     */
   def streamingWindowedCounts(spark: SparkSession, eventsPath: String,
                               windowLen: String = "1 hour"): DataFrame = {
-    // driver testdata stores ts as INT64 TIMESTAMP(NANOS): read nanos as
-    // long and floor to micros, same as sources.Tables.events
+    // normalize either events-ts revision (nanos-as-long or NTZ micros)
+    // to TIMESTAMP, same as the batch loader
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsPath).schema
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(eventsPath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = graft.sources.Tables.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(eventsPath))
     windowedCounts(stream.withWatermark("ts", "1 hour"), windowLen)
   }
 

@@ -163,9 +163,9 @@ class RoundFourSpec extends AnyFunSuite {
       java.nio.file.Paths.get(dir, "events.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(dir).schema
-    def stream() = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def stream() = graft.sources.Tables.normalizeEventTs(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir))
       .select("user_id", "event_id", "ts")
     val q = graft.streaming.StreamingOps.streamRangeJoin(
         stream(), stream(), Seq("user_id"), "ts")

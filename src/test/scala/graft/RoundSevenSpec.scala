@@ -275,8 +275,8 @@ class RoundSevenSpec extends AnyFunSuite {
       streamDir.resolve("events.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(streamDir.toString).schema
-    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = graft.sources.Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(streamDir.toString))
     // duplicate every event with a DRIFTED timestamp (+1s): the ts-in-key
     // dedup would keep both copies; within-watermark dedup must not
     val drifted = stream.unionByName(

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Multimodal
+import graft.ops.Multimodal.AviContainer
+
+/** Round-16 surface: the RIFF/AVI container codec (real chunk walk, no
+  * pixel decode) and its Spark plumbing.
+  */
+class RoundSixteenSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def frames(ns: Int*): Seq[Array[Byte]] =
+    ns.zipWithIndex.map { case (n, i) =>
+      Array.tabulate[Byte](n)(j => ((i * 31 + j) & 0xff).toByte)
+    }
+
+  test("AVI round trip: every frame indexed with exact offset and bytes") {
+    val fs = frames(10, 25, 40, 7)
+    val avi = AviContainer.write(fs, 320, 240)
+    val idx = AviContainer.frameIndex(avi).get
+    assert(idx.map(_._1) === Seq(0, 1, 2, 3))
+    assert(idx.map(_._3) === fs.map(_.length))
+    // the offsets must address the ORIGINAL frame bytes inside the file
+    idx.zip(fs).foreach { case ((_, off, len), f) =>
+      assert(avi.slice(off.toInt, off.toInt + len).toSeq === f.toSeq)
+    }
+  }
+
+  test("odd-sized frames are WORD-padded but sizes stay exact") {
+    // all odd lengths: a walker that forgets the pad byte desyncs after
+    // the first frame and misreads every later fourcc
+    val fs = frames(3, 5, 7, 9, 11)
+    val idx = AviContainer.frameIndex(AviContainer.write(fs, 16, 16)).get
+    assert(idx.map(_._3) === Seq(3, 5, 7, 9, 11))
+  }
+
+  test("zero-frame and single-frame containers index cleanly") {
+    assert(AviContainer.frameIndex(AviContainer.write(Nil, 16, 16)).get.isEmpty)
+    val one = AviContainer.frameIndex(AviContainer.write(frames(13), 16, 16)).get
+    assert(one.map(_._3) === Seq(13))
+  }
+
+  test("non-AVI payloads return None, truncated AVI returns the safe prefix") {
+    assert(AviContainer.frameIndex("not a movie".getBytes).isEmpty)
+    assert(AviContainer.frameIndex(Array[Byte](1, 2, 3)).isEmpty)
+    // RIFF but not AVI
+    val wav = "RIFF".getBytes ++ Array[Byte](4, 0, 0, 0) ++ "WAVE".getBytes
+    assert(AviContainer.frameIndex(wav).isEmpty)
+    val full = AviContainer.write(frames(20, 20, 20), 16, 16)
+    val idxFull = AviContainer.frameIndex(full).get
+    assert(idxFull.length === 3)
+    // cut inside the third frame: the walk keeps the two complete ones
+    val cut = full.take(idxFull(2)._2.toInt + 5)
+    val idxCut = AviContainer.frameIndex(cut).get
+    assert(idxCut.length === 2)
+    assert(idxCut === idxFull.take(2))
+  }
+
+  test("videoFrameIndex filters non-AVI rows and preserves per-media counts") {
+    implicit val sp: SparkSession = spark
+    import sp.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "video", AviContainer.write(frames(4, 6), 8, 8),
+        8, 8, 0, 2),
+      Multimodal.MediaRecord(2L, "video", "garbage".getBytes, 8, 8, 0, 5),
+      Multimodal.MediaRecord(3L, "video", AviContainer.write(frames(9), 8, 8),
+        8, 8, 0, 1)).toDS()
+    val got = Multimodal.videoFrameIndex(media).collect()
+      .groupBy(_.media_id).view.mapValues(_.map(_.byte_len).sorted.toSeq).toMap
+    assert(got === Map(1L -> Seq(4, 6), 3L -> Seq(9)))
+  }
+}

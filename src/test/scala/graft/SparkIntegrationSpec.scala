@@ -179,8 +179,8 @@ class SparkIntegrationSpec extends AnyFunSuite {
       streamDir.resolve("events.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(streamDir.toString).schema
-    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = graft.sources.Tables.normalizeEventTs(
+        spark.readStream.schema(schema).parquet(streamDir.toString))
       .withWatermark("ts", "1 minute")
     val q = StreamingOps.sessionizeNative(stream, "30 minutes")
       .writeStream.format("memory").queryName("sess_native")
@@ -321,9 +321,9 @@ class SparkIntegrationSpec extends AnyFunSuite {
       streamDir.resolve("events.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(streamDir.toString).schema
-    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      // duplicate every event by unioning with itself
+    val stream = graft.sources.Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(streamDir.toString))
+    // duplicate every event by unioning with itself
     val doubled = stream.unionByName(stream)
     val q = StreamingOps.streamingDedup(doubled, Seq("event_id"))
       .writeStream.format("memory").queryName("dedup_test")

@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Per-query bench delta report: old vs new BENCH_DETAIL files.
+
+Usage: tools/bench_diff.py OLD.json NEW.json [--threshold 1.5]
+
+Accepts either detail format:
+  flat   : {"queries": {"name": 1.234, ...}}                  (<= r5)
+  banded : {"queries": {"name": {"med":..,"min":..,"max":..,
+                                 "plan":".."}, ...}}          (>= r6)
+
+For each query present in both files it prints the median ratio
+new/old and classifies the delta:
+
+  PLAN   the plan fingerprint changed (structural — a join strategy,
+         aggregate mode, or pushdown flipped; always investigate)
+  NOISE  ratio exceeds the threshold but the [min,max] bands overlap
+         (host variance can explain it)
+  DRIFT  ratio exceeds the threshold, bands are disjoint, same plan
+         (real slowdown with a non-plan cause: data, caching, GC)
+  ok     within threshold
+
+Flat-format inputs have no bands/fingerprints, so band and plan
+checks degrade gracefully (every over-threshold delta reports as
+DRIFT? with a trailing '?').
+"""
+import argparse
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        d = json.load(f)
+    out = {}
+    for name, v in d.get("queries", {}).items():
+        if isinstance(v, dict):
+            out[name] = (v["med"], v.get("min"), v.get("max"), v.get("plan"))
+        else:
+            out[name] = (float(v), None, None, None)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--threshold", type=float, default=1.5)
+    a = ap.parse_args()
+    old, new = load(a.old), load(a.new)
+    shared = sorted(set(old) & set(new))
+    if not shared:
+        print("no shared queries between the two files", file=sys.stderr)
+        return 1
+    rows = []
+    for q in shared:
+        om, olo, ohi, op = old[q]
+        nm, nlo, nhi, np_ = new[q]
+        ratio = nm / om if om > 0 else float("inf")
+        plan_changed = op is not None and np_ is not None and op != np_
+        bands_known = None not in (olo, ohi, nlo, nhi)
+        overlap = bands_known and not (nlo > ohi or olo > nhi)
+        if plan_changed:
+            tag = "PLAN"
+        elif ratio > a.threshold or ratio < 1 / a.threshold:
+            if bands_known:
+                tag = "NOISE" if overlap else "DRIFT"
+            else:
+                tag = "DRIFT?"
+        else:
+            tag = "ok"
+        rows.append((q, om, nm, ratio, tag))
+    rows.sort(key=lambda r: -r[3])
+    print(f"{'query':40s} {'old':>8s} {'new':>8s} {'ratio':>7s}  flag")
+    for q, om, nm, ratio, tag in rows:
+        if tag != "ok":
+            print(f"{q:40s} {om:8.3f} {nm:8.3f} {ratio:7.2f}  {tag}")
+    flagged = sum(1 for r in rows if r[4] != "ok")
+    to = sum(v[0] for v in old.values())
+    tn = sum(v[0] for v in new.values())
+    print(f"-- {len(shared)} shared queries, {flagged} flagged; "
+          f"shared-total {to:.1f}s -> {tn:.1f}s "
+          f"(x{tn / to:.2f}); only-old: {sorted(set(old) - set(new))}; "
+          f"only-new: {sorted(set(new) - set(old))}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
