@@ -280,6 +280,17 @@ object SparkEntry {
         .distinct()
         .localCheckpoint())
 
+  /** Trigram posting table, one per (session, sf dir) — the substring
+    * analogue of the term index cache: the corpus-sized build is paid
+    * once, every `search_substring` probe is a broadcast semi-join.
+    */
+  private val trigramCache = new SessionCache[DataFrame]
+
+  private def trigramIndex(s: SparkSession, dir: String): DataFrame =
+    trigramCache.getOrElseUpdate(s, dir,
+      graft.search.SubstringIndex.trigramPostings(t(s, dir, "documents"))
+        .persist())
+
   private def annTmp(): String =
     java.nio.file.Files.createTempDirectory("graft-ann-").toString
 
@@ -441,6 +452,14 @@ object SparkEntry {
     }),
     "search_cnf" -> ((s, dir) =>
       searchScores(s, dir, "(spark or data) and join and not dup")),
+    // trigram substring index (pg_trgm / code-search design): LIKE
+    // '%needle%' as a bounded index probe — broadcast the needle's gram
+    // set against the session-cached posting table, require ALL grams
+    // per doc, exact contains-verify only the candidates. Output is
+    // exactly the brute-force LIKE row set (the oracle computes it)
+    "search_substring" -> ((s, dir) =>
+      graft.search.SubstringIndex.search(
+        t(s, dir, "documents"), trigramIndex(s, dir), "merge batch")),
     "search_phrase" -> ((s, dir) => searchScores(s, dir, "spark data")),
     "search_not_or" -> ((s, dir) =>
       searchScores(s, dir, "join and not (spark or data)")),
@@ -1768,6 +1787,9 @@ object SparkEntry {
           |FROM ors o JOIN sc j ON j.term = 'join' AND j.doc_id = o.doc_id
           |WHERE NOT EXISTS (
           |  SELECT 1 FROM sc d WHERE d.term = 'dup' AND d.doc_id = o.doc_id)""").stripMargin,
+    "search_substring" ->
+      """SELECT doc_id FROM documents
+        |WHERE position('merge batch' IN lower(text)) > 0""".stripMargin,
     "search_phrase" ->
       (OracleTfidfCte +
         """, dist AS (

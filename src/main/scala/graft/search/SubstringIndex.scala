@@ -1,0 +1,81 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Trigram substring index: makes `LIKE '%needle%'` an index probe
+  * instead of a full corpus scan — the pg_trgm / code-search design
+  * (public: PostgreSQL pg_trgm, Google Code Search trigram paper).
+  *
+  * Build: every document contributes its distinct lowercase character
+  * n-grams → a `(gram, doc_id)` posting table, written like the term
+  * index (range-partitioned by gram, min/max footer stats prune
+  * probes). Corpus-linear size, one shuffle to build.
+  *
+  * Query: a literal needle of length >= n REQUIRES each of its
+  * consecutive n-grams, so candidates = docs containing ALL of them —
+  * a broadcast semi-join of the (tiny) needle-gram set against the
+  * posting table + a per-doc gram count, then ONE exact
+  * `contains` verify over just the candidate rows. At 100 TB the
+  * expensive scan happens once at build; a probe touches the needle's
+  * gram partitions and verifies a candidate set that rare trigrams
+  * have already cut to near the true answer. Needles shorter than n
+  * have no gram to require — that IS a corpus scan, and `search`
+  * falls back to one explicitly rather than pretending to prune.
+  */
+object SubstringIndex {
+
+  /** Distinct lowercase n-gram postings `(gram, doc_id)`. Sliding
+    * windows are generated map-side (`transform` over an index
+    * `sequence` — codegen'd, no UDF); `array_distinct` collapses
+    * within-doc repeats BEFORE the explode so the shuffle carries each
+    * (doc, gram) once, not once per occurrence.
+    */
+  def trigramPostings(docs: DataFrame, n: Int = 3): DataFrame = {
+    require(n >= 2, s"n must be >= 2: $n")
+    docs.select(col("doc_id"), lower(col("text")).as("__t"))
+      .select(col("doc_id"),
+        explode(array_distinct(when(length(col("__t")) >= n,
+            expr(s"transform(sequence(1, length(__t) - ${n - 1}), " +
+              s"i -> substring(__t, i, $n))"))
+          .otherwise(array().cast("array<string>")))).as("gram"))
+  }
+
+  /** The needle's required gram set (consecutive windows, deduped).
+    * Empty when the needle is shorter than n.
+    */
+  def requiredGrams(needle: String, n: Int = 3): Seq[String] =
+    needle.toLowerCase.sliding(n).filter(_.length == n).toSeq.distinct
+
+  /** Candidate doc ids: contain ALL required grams. The gram set is
+    * needle-sized — always broadcast; the posting join partial-
+    * aggregates per doc before the count check.
+    */
+  def candidates(postings: DataFrame, needle: String, n: Int = 3): DataFrame = {
+    val grams = requiredGrams(needle, n)
+    require(grams.nonEmpty,
+      s"needle '$needle' is shorter than the gram width $n — no gram to " +
+        "require; use SubstringIndex.search, which scan-falls-back explicitly")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val need = grams.toDF("gram")
+    postings.join(broadcast(need), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") === grams.size)
+      .select("doc_id")
+  }
+
+  /** Exact substring search: candidate probe + `contains` verify, or
+    * an explicit corpus scan when the needle is too short to index.
+    * Output is exactly the brute-force `LIKE '%needle%'` row set.
+    */
+  def search(docs: DataFrame, postings: DataFrame, needle: String,
+             n: Int = 3): DataFrame = {
+    val verified =
+      if (requiredGrams(needle, n).isEmpty) docs
+      else docs.join(candidates(postings, needle, n), "doc_id")
+    verified
+      .filter(contains(lower(col("text")), lit(needle.toLowerCase)))
+      .select(col("doc_id"))
+  }
+}

@@ -67,6 +67,59 @@ class RoundSixteenSpec extends AnyFunSuite {
     assert(idxCut === idxFull.take(2))
   }
 
+  test("SubstringIndex equals brute-force LIKE on adversarial corpora") {
+    implicit val sp: SparkSession = spark
+    import sp.implicits._
+    // repeats, shared grams, case differences, needle at ends, 1-char
+    // docs (no gram at all), gram-superset-but-no-substring docs
+    val docs = Seq(
+      (1L, "abcabcabc"), (2L, "ABCABC"), (3L, "xxabcx"), (4L, "abc"),
+      (5L, "a"), (6L, "bcab"), (7L, "cabba"), (8L, "acbacb"),
+      (9L, "zzzabczzz"), (10L, "ab")).toDF("doc_id", "text")
+    val postings = graft.search.SubstringIndex.trigramPostings(docs)
+    for (needle <- Seq("abc", "abca", "bca", "ABC", "cab", "acb")) {
+      val got = graft.search.SubstringIndex.search(docs, postings, needle)
+        .collect().map(_.getLong(0)).toSet
+      val want = docs.filter(lower(col("text"))
+          .contains(needle.toLowerCase)).collect().map(_.getLong(0)).toSet
+      assert(got === want, s"needle $needle")
+    }
+  }
+
+  test("SubstringIndex short needles fall back to an explicit scan") {
+    implicit val sp: SparkSession = spark
+    import sp.implicits._
+    val docs = Seq((1L, "xyz"), (2L, "zzz"), (3L, "aZb")).toDF("doc_id", "text")
+    val postings = graft.search.SubstringIndex.trigramPostings(docs)
+    assert(graft.search.SubstringIndex.requiredGrams("ab").isEmpty)
+    val got = graft.search.SubstringIndex.search(docs, postings, "Z")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L, 3L))
+    // candidates() refuses un-indexable needles rather than scanning
+    intercept[IllegalArgumentException] {
+      graft.search.SubstringIndex.candidates(postings, "ab")
+    }
+  }
+
+  test("SubstringIndex candidates are a superset of the exact answer") {
+    implicit val sp: SparkSession = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 200L).map(i =>
+      (i, (0 until 30).map(_ => "abcd" (rnd.nextInt(4))).mkString))
+      .toDF("doc_id", "text")
+    val postings = graft.search.SubstringIndex.trigramPostings(docs)
+    val needle = "abca"
+    val cand = graft.search.SubstringIndex.candidates(postings, needle)
+      .collect().map(_.getLong(0)).toSet
+    val exact = docs.filter(col("text").contains(needle))
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(cand))
+    val got = graft.search.SubstringIndex.search(docs, postings, needle)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === exact)
+  }
+
   test("videoFrameIndex filters non-AVI rows and preserves per-media counts") {
     implicit val sp: SparkSession = spark
     import sp.implicits._
