@@ -338,6 +338,30 @@ object Scratch {
                 s"coreNodes=$coreN starSurvivors=$starSurvivors " +
                 (if (leafOk == 0 && hubOk == 0 && coreN == 100000L &&
                   starSurvivors == 0) "OK" else "MISMATCH"))
+            case "substr" =>
+              // trigram substring index over the 20x corpus (100k
+              // docs): postings build + two probes. EXACT invariant:
+              // every duplicated copy matches, so probe hits must be
+              // exactly 20x the base corpus's brute-force count, and
+              // the probe must equal ITS brute force on the big corpus
+              val postings = search.SubstringIndex.trigramPostings(big)
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              val nPostings = postings.count()
+              val needle = "merge batch"
+              val hits = search.SubstringIndex.search(big, postings, needle).count()
+              val baseBrute = base.filter(
+                contains(lower(col("text")), lit(needle))).count()
+              val bigBrute = big.filter(
+                contains(lower(col("text")), lit(needle))).count()
+              val likeHits = search.SubstringIndex.searchLike(
+                big, postings, "%merge batch%fast%").count()
+              val likeBrute = big.filter(
+                lower(col("text")).like("%merge batch%fast%")).count()
+              postings.unpersist()
+              println(s"postings=$nPostings hits=$hits expect=${20 * baseBrute} " +
+                s"likeHits=$likeHits " +
+                (if (hits == 20 * baseBrute && hits == bigBrute &&
+                  likeHits == likeBrute) "OK" else "MISMATCH"))
             case "shuffle" =>
               // deterministic global order over 100k rows without a
               // single-partition sort; invariant: positions are exactly

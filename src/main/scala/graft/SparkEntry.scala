@@ -339,6 +339,17 @@ object SparkEntry {
       Dedup.ngramJaccard(t(s, dir, "documents"),
         n = 3, minJ = 0.05, maxShingleFreq = 2000))
 
+  /** Cluster labeling over the cached pair list, one per (session, sf
+    * dir): connected components is O(log n) checkpointed rounds —
+    * worth paying once, not once per consumer (dedup_clusters,
+    * dedup_keep_best both read it; the label table is node-sized).
+    */
+  private val clustersCache = new SessionCache[DataFrame]
+
+  private def cachedClusters(s: SparkSession, dir: String): DataFrame =
+    clustersCache.getOrElseUpdate(s, dir,
+      Dedup.clusters(cachedPairs(s, dir)).localCheckpoint())
+
   private def queryVec(s: SparkSession, dir: String): Seq[Double] =
     t(s, dir, "embeddings").filter(col("vec_id") === 0).select("embedding")
       .collect()(0).getSeq[Float](0).map(_.toDouble)
@@ -460,6 +471,11 @@ object SparkEntry {
     "search_substring" -> ((s, dir) =>
       graft.search.SubstringIndex.search(
         t(s, dir, "documents"), trigramIndex(s, dir), "merge batch")),
+    // %-wildcard LIKE over the same trigram index: every literal
+    // segment's grams are required, the like verify enforces order
+    "search_like" -> ((s, dir) =>
+      graft.search.SubstringIndex.searchLike(
+        t(s, dir, "documents"), trigramIndex(s, dir), "%merge batch%fast%")),
     "search_phrase" -> ((s, dir) => searchScores(s, dir, "spark data")),
     "search_not_or" -> ((s, dir) =>
       searchScores(s, dir, "join and not (spark or data)")),
@@ -1087,8 +1103,7 @@ object SparkEntry {
     // connected components over the exact near-dup pair list: the dedup
     // endgame (keep doc_id == cluster_id). Large-star/small-star, O(log
     // n) relational rounds, no adjacency list ever materialized.
-    "dedup_clusters" -> ((s, dir) =>
-      Dedup.clusters(cachedPairs(s, dir))),
+    "dedup_clusters" -> ((s, dir) => cachedClusters(s, dir)),
     // SemDeDup-style semantic dedup endgame: connected components over
     // the EXACT embedding near-dup pair list (banded hyperplane-LSH
     // candidates, exact cosine verify), one representative per cluster
@@ -1101,7 +1116,7 @@ object SparkEntry {
     // keep the best member per cluster (longest text, doc_id tiebreak)
     "dedup_keep_best" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val cl = Dedup.clusters(cachedPairs(s, dir))
+      val cl = cachedClusters(s, dir)
       val w = Window.partitionBy("cluster_id")
         .orderBy(desc("n_chars"), asc("doc_id"))
       cl.join(docs.select("doc_id", "n_chars"), "doc_id")
@@ -1790,6 +1805,9 @@ object SparkEntry {
     "search_substring" ->
       """SELECT doc_id FROM documents
         |WHERE position('merge batch' IN lower(text)) > 0""".stripMargin,
+    "search_like" ->
+      """SELECT doc_id FROM documents
+        |WHERE lower(text) LIKE '%merge batch%fast%'""".stripMargin,
     "search_phrase" ->
       (OracleTfidfCte +
         """, dist AS (

@@ -78,4 +78,35 @@ object SubstringIndex {
       .filter(contains(lower(col("text")), lit(needle.toLowerCase)))
       .select(col("doc_id"))
   }
+
+  /** `LIKE`-pattern search over the same index: `%`-wildcard patterns
+    * (e.g. `%merge%batch%`) probe with the union of every literal
+    * segment's required grams — each segment must appear somewhere, so
+    * ALL segment grams are required — then one `like` verify on the
+    * candidates enforces order and adjacency. Segments shorter than
+    * the gram width contribute no grams; if NO segment is indexable
+    * the probe degenerates to the explicit scan, same policy as
+    * [[search]]. The pattern must carry its own leading/trailing `%`
+    * if substring (not whole-string) semantics are wanted — this is
+    * SQL LIKE, verbatim.
+    */
+  def searchLike(docs: DataFrame, postings: DataFrame, pattern: String,
+                 n: Int = 3): DataFrame = {
+    val lowered = pattern.toLowerCase
+    val grams = lowered.split('%').filter(_.nonEmpty).toSeq
+      .flatMap(requiredGrams(_, n)).distinct
+    val verified =
+      if (grams.isEmpty) docs
+      else {
+        val spark = postings.sparkSession
+        import spark.implicits._
+        val need = grams.toDF("gram")
+        val cand = postings.join(broadcast(need), "gram")
+          .groupBy("doc_id").agg(count(lit(1)).as("__hits"))
+          .filter(col("__hits") === grams.size)
+          .select("doc_id")
+        docs.join(cand, "doc_id")
+      }
+    verified.filter(lower(col("text")).like(lowered)).select(col("doc_id"))
+  }
 }

@@ -120,6 +120,37 @@ class RoundSixteenSpec extends AnyFunSuite {
     assert(got === exact)
   }
 
+  test("searchLike equals brute-force LIKE, falls back on gram-less patterns") {
+    implicit val sp: SparkSession = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "beta alpha"), (3L, "ALPHA GAMMA"),
+      (4L, "gam ma alpha beta"), (5L, "betagamma"), (6L, "x")
+    ).toDF("doc_id", "text")
+    val postings = graft.search.SubstringIndex.trigramPostings(docs)
+    for (pat <- Seq("%alpha%gamma%", "%beta%", "%gamma", "alpha%",
+        "%a%b%", "%zz%")) {
+      val got = graft.search.SubstringIndex.searchLike(docs, postings, pat)
+        .collect().map(_.getLong(0)).toSet
+      val want = docs.filter(lower(col("text")).like(pat.toLowerCase))
+        .collect().map(_.getLong(0)).toSet
+      assert(got === want, s"pattern $pat")
+    }
+  }
+
+  test("substring probe plans a broadcast of the needle grams, not a shuffle") {
+    implicit val sp: SparkSession = spark
+    import sp.implicits._
+    val docs = (1L to 50L).map(i => (i, s"document number $i payload"))
+      .toDF("doc_id", "text")
+    val postings = graft.search.SubstringIndex.trigramPostings(docs)
+    val plan = graft.search.SubstringIndex
+      .candidates(postings, "document number")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected a broadcast join for the gram set, got:\n$plan")
+  }
+
   test("videoFrameIndex filters non-AVI rows and preserves per-media counts") {
     implicit val sp: SparkSession = spark
     import sp.implicits._
