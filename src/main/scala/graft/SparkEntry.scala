@@ -1533,6 +1533,39 @@ object SparkEntry {
       Dedup.fuzzyPairs(t(s, dir, "part"), "p_name", maxDist = 2,
         failOnDrop = true)),
 
+    // SCD-2 history maintenance: one change batch versioned into a
+    // valid_from/valid_to history — changed keys close + re-insert,
+    // value-identical changes are no-ops (idempotent replay), new keys
+    // insert, closed history carries without shuffling. The oracle
+    // enumerates the same four branches independently.
+    "q_scd2" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val d = (x: String) => lit(java.sql.Date.valueOf(x))
+      val history = c.select(col("c_custkey"), col("c_mktsegment"),
+          col("c_nationkey"), d("2024-01-01").as("valid_from"),
+          lit(null).cast("date").as("valid_to"))
+        .unionByName(c.filter(col("c_custkey") % 20 === 7)
+          .select(col("c_custkey"), lit("OLD").as("c_mktsegment"),
+            col("c_nationkey"), d("2023-01-01").as("valid_from"),
+            d("2024-01-01").as("valid_to")))
+      val changes = c.filter(col("c_custkey") % 10 === 3)
+        .select(col("c_custkey"), lit("UPDATED").as("c_mktsegment"),
+          col("c_nationkey"), d("2024-06-01").as("ts"))
+        .unionByName(c.filter(col("c_custkey") % 10 === 4)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("c_nationkey"), d("2024-06-01").as("ts")))
+        .unionByName(c.filter(col("c_custkey") % 50 === 0)
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            lit("NEW").as("c_mktsegment"), col("c_nationkey"),
+            d("2024-06-01").as("ts")))
+      // dates rendered as strings for the cross-engine compare (pandas
+      // reads Spark DATE as objects but DuckDB DATE as datetime64)
+      Maintenance.scd2Apply(history, changes, Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+          col("valid_from").cast("string").as("valid_from"),
+          col("valid_to").cast("string").as("valid_to"))
+    }),
+
     // ---- multimodal plumbing ----
     "media_stats" -> ((s, dir) =>
       Multimodal.mediaStats(Multimodal.syntheticMedia(t(s, dir, "documents")))
@@ -1808,6 +1841,29 @@ object SparkEntry {
     "search_like" ->
       """SELECT doc_id FROM documents
         |WHERE lower(text) LIKE '%merge batch%fast%'""".stripMargin,
+    // the four SCD-2 branches enumerated directly: carried closed rows,
+    // closed-out changed rows, surviving current rows (incl. the %10=4
+    // no-op batch), new versions + first versions of new keys
+    "q_scd2" ->
+      """SELECT c_custkey, 'OLD' AS c_mktsegment, c_nationkey,
+        |       '2023-01-01' AS valid_from, '2024-01-01' AS valid_to
+        |FROM customer WHERE c_custkey % 20 = 7
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, c_nationkey,
+        |       '2024-01-01', '2024-06-01'
+        |FROM customer WHERE c_custkey % 10 = 3
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, c_nationkey,
+        |       '2024-01-01', CAST(NULL AS VARCHAR)
+        |FROM customer WHERE c_custkey % 10 <> 3
+        |UNION ALL
+        |SELECT c_custkey, 'UPDATED', c_nationkey, '2024-06-01',
+        |       CAST(NULL AS VARCHAR)
+        |FROM customer WHERE c_custkey % 10 = 3
+        |UNION ALL
+        |SELECT c_custkey + 1000000, 'NEW', c_nationkey,
+        |       '2024-06-01', CAST(NULL AS VARCHAR)
+        |FROM customer WHERE c_custkey % 50 = 0""".stripMargin,
     "search_phrase" ->
       (OracleTfidfCte +
         """, dist AS (

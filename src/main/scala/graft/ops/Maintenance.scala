@@ -222,6 +222,72 @@ object Maintenance {
           .otherwise(col(c)).as(c)): _*)
   }
 
+  /** SCD-2 MERGE: apply a change batch to a versioned history table,
+    * returning the new history — the warehouse `valid_from`/`valid_to`
+    * interval pattern ([[upsert]] is the SCD-1 "overwrite in place"
+    * sibling). History rows with `validTo IS NULL` are current; a
+    * matched change whose values DIFFER closes the current row
+    * (`validTo = change ts`) and inserts a new current version
+    * (`validFrom = ts`); a value-identical change is a NO-OP (replayed
+    * batches are idempotent); an unmatched change inserts a first
+    * version; closed history is carried verbatim.
+    *
+    * `changes` must carry every key/value column plus `tsCol`, be
+    * UNIQUE per key (pre-reduce a CDC stream to its latest row per
+    * key), have non-null `tsCol`, and each ts must be later than the
+    * matched current row's `validFrom` for intervals to stay sane
+    * (not enforced — enforcing would cost a pass).
+    *
+    * Scale: the key-shuffle join touches ONLY the current rows and the
+    * (small) change batch; the closed partition — the bulk of a
+    * year-old 100 TB history — is a scan-through union that never
+    * shuffles. Value comparison is null-safe (`<=>`), so NULL→value
+    * and value→NULL transitions version correctly.
+    */
+  def scd2Apply(history: org.apache.spark.sql.DataFrame,
+                changes: org.apache.spark.sql.DataFrame,
+                keyCols: Seq[String],
+                tsCol: String = "ts",
+                validFrom: String = "valid_from",
+                validTo: String = "valid_to"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "need at least one key column")
+    val valueCols = history.columns
+      .filterNot(c => keyCols.contains(c) || c == validFrom || c == validTo)
+    val cur = history.filter(col(validTo).isNull)
+      .withColumn("__curp", lit(true))
+    val closed = history.filter(col(validTo).isNotNull)
+    val ch = changes.select(
+      keyCols.map(k => col(k).as(s"__k_$k")) ++
+        valueCols.map(v => col(v).as(s"__ch_$v")) :+
+        col(tsCol).cast(history.schema(validFrom).dataType).as("__ts") :+
+        lit(true).as("__chp"): _*)
+    val cond = keyCols.map(k => cur(k) <=> ch(s"__k_$k")).reduce(_ && _)
+    val j = cur.join(ch, cond, "full_outer").localCheckpoint(false)
+    val matched = coalesce(col("__curp"), lit(false)) &&
+      coalesce(col("__chp"), lit(false))
+    val differ = valueCols.map(v => !(col(v) <=> col(s"__ch_$v")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val outCols = keyCols ++ valueCols ++ Seq(validFrom, validTo)
+    // branch 1: closed-out versions of matched-and-changed current rows
+    val closedOut = j.filter(matched && differ)
+      .select(keyCols.map(col) ++ valueCols.map(col) :+
+        col(validFrom) :+ col("__ts").as(validTo): _*)
+    // branch 2: surviving current rows (no change row, or identical)
+    val carried = j.filter(coalesce(col("__curp"), lit(false)) &&
+        (!coalesce(col("__chp"), lit(false)) || !differ))
+      .select(outCols.map(col): _*)
+    // branch 3: new current versions (changed or brand-new keys)
+    val inserted = j.filter(coalesce(col("__chp"), lit(false)) &&
+        (!coalesce(col("__curp"), lit(false)) || differ))
+      .select(keyCols.map(k => col(s"__k_$k").as(k)) ++
+        valueCols.map(v => col(s"__ch_$v").as(v)) :+
+        col("__ts").as(validFrom) :+
+        lit(null).cast(history.schema(validTo).dataType).as(validTo): _*)
+    closed.select(outCols.map(col): _*)
+      .unionByName(closedOut).unionByName(carried).unionByName(inserted)
+  }
+
   /** Incremental aggregate maintenance: merge two partial
     * `(count, sum)` aggregation states into the state of their union —
     * the materialized-view refresh primitive. Appending a batch to a

@@ -151,6 +151,43 @@ class RoundSixteenSpec extends AnyFunSuite {
       s"expected a broadcast join for the gram set, got:\n$plan")
   }
 
+  test("scd2Apply versions changes, no-ops identical rows, keeps closed history") {
+    val s = spark
+    import s.implicits._
+    def dt(x: String) = java.sql.Date.valueOf(x)
+    val history = Seq(
+      ("a", Option("v1"), dt("2024-01-01"), Option.empty[java.sql.Date]),
+      ("a", Option("v0"), dt("2023-01-01"), Option(dt("2024-01-01"))),
+      ("b", Option("w1"), dt("2024-01-01"), Option.empty[java.sql.Date]),
+      ("c", Option.empty[String], dt("2024-01-01"), Option.empty[java.sql.Date])
+    ).toDF("k", "v", "valid_from", "valid_to")
+    val changes = Seq(
+      ("a", Option("v2"), dt("2024-06-01")), // changed -> close + insert
+      ("b", Option("w1"), dt("2024-06-01")), // identical -> no-op
+      ("c", Option("x1"), dt("2024-06-01")), // NULL -> value transition
+      ("d", Option("z1"), dt("2024-06-01")) // brand-new key
+    ).toDF("k", "v", "ts")
+    val out = graft.ops.Maintenance.scd2Apply(history, changes, Seq("k"))
+    val rows = out.collect().map(r => (r.getString(0), Option(r.getString(1)),
+      r.getDate(2).toString, Option(r.getDate(3)).map(_.toString))).toSet
+    assert(rows === Set(
+      ("a", Some("v0"), "2023-01-01", Some("2024-01-01")),
+      ("a", Some("v1"), "2024-01-01", Some("2024-06-01")),
+      ("a", Some("v2"), "2024-06-01", None),
+      ("b", Some("w1"), "2024-01-01", None),
+      ("c", None, "2024-01-01", Some("2024-06-01")),
+      ("c", Some("x1"), "2024-06-01", None),
+      ("d", Some("z1"), "2024-06-01", None)))
+    // idempotent replay: applying the same batch again changes nothing
+    val replay = graft.ops.Maintenance.scd2Apply(out, changes, Seq("k"))
+      .collect().map(r => (r.getString(0), Option(r.getString(1)),
+        r.getDate(2).toString, Option(r.getDate(3)).map(_.toString))).toSet
+    assert(replay === rows)
+    // interval integrity: exactly one current row per live key
+    val currents = rows.toSeq.filter(_._4.isEmpty).groupBy(_._1)
+    assert(currents.values.forall(_.size == 1))
+  }
+
   test("videoFrameIndex filters non-AVI rows and preserves per-media counts") {
     implicit val sp: SparkSession = spark
     import sp.implicits._
