@@ -298,6 +298,58 @@ object StreamingOps {
     }
   }
 
+  /** Streaming SCD-2 history maintenance — the CDC driver for
+    * [[graft.ops.Maintenance.scd2Apply]]: each micro-batch is reduced
+    * to its latest row per key (max `tsCol`, remaining columns break
+    * exact ties deterministically), versioned into the previous
+    * history (changed keys close + re-insert, identical rows no-op,
+    * new keys insert), and written as the next at-rest history
+    * version. Same exactly-once-at-rest contract as
+    * [[streamingUpsert]]: batch `n` reads the latest COMPLETE
+    * `version=<id>` with `id < n` and overwrites `version=<n>`, so
+    * replays rewrite the same result; half-written versions have no
+    * `_SUCCESS` marker and are invisible. The value-identical no-op in
+    * scd2Apply gives the same redelivery safety `seqCol` gives the
+    * SCD-1 path: a redelivered change matches the version it already
+    * created and changes nothing. Changes arriving with a ts OLDER
+    * than a key's current `valid_from` inherit scd2Apply's caveat
+    * (intervals can invert) — feed a time-ordered CDC stream.
+    *
+    * History schema: change schema minus `tsCol`, plus
+    * `valid_from`/`valid_to` of `tsCol`'s type.
+    */
+  def streamingScd2(spark: SparkSession, changesPath: String,
+                    historyPath: String, keyCols: Seq[String],
+                    tsCol: String = "ts",
+                    schema: Option[org.apache.spark.sql.types.StructType] = None,
+                    checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val changeSchema = schema.getOrElse(spark.read.parquet(changesPath).schema)
+    val have = changeSchema.map(_.name).toSet
+    val missing = (keyCols :+ tsCol).filterNot(have)
+    require(missing.isEmpty,
+      s"change schema lacks column(s) ${missing.mkString(", ")}; has ${have.mkString(", ")}")
+    val tsType = changeSchema(tsCol).dataType
+    val histSchema = org.apache.spark.sql.types.StructType(
+      changeSchema.filterNot(_.name == tsCol) ++ Seq(
+        org.apache.spark.sql.types.StructField("valid_from", tsType),
+        org.apache.spark.sql.types.StructField("valid_to", tsType)))
+    batchOwnedStream(spark, changesPath, Some(changeSchema), checkpointDir) {
+      (batch, batchId) =>
+        val restCols = changeSchema.map(_.name)
+          .filterNot(c => keyCols.contains(c) || c == tsCol)
+        val latest = batch
+          .groupBy(keyCols.map(col): _*)
+          .agg(max(struct((tsCol +: restCols).map(col): _*)).as("__m"))
+          .select(keyCols.map(col) ++
+            (tsCol +: restCols).map(c => col(s"__m.$c")): _*)
+        val prev = snapshotVersionBefore(spark, historyPath, batchId,
+          histSchema)
+        graft.ops.Maintenance.scd2Apply(prev, latest, keyCols, tsCol)
+          .write.mode("overwrite").parquet(s"$historyPath/version=$batchId")
+    }
+  }
+
   /** The latest written snapshot version (empty with `fallbackSchema`'s
     * shape before the first batch lands).
     */

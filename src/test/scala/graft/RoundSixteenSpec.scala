@@ -188,6 +188,56 @@ class RoundSixteenSpec extends AnyFunSuite {
     assert(currents.values.forall(_.size == 1))
   }
 
+  test("streamingScd2 maintains the versioned history across batches and replay") {
+    val s = spark
+    import s.implicits._
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft-stream-scd2-").toString
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    val hist = s"$base/hist"
+    val b0 = Seq((1L, "v1", 10L), (2L, "v2", 10L)).toDF("k", "v", "ts")
+    val b1 = Seq(
+      (1L, "v1b", 20L), // change -> close + new version
+      (2L, "v2", 20L), // identical -> no-op
+      (3L, "v3a", 19L), // superseded within the batch (latest-per-key)...
+      (3L, "v3", 20L)) // ...by this row
+      .toDF("k", "v", "ts")
+    Seq(b0, b1).zipWithIndex.foreach { case (df, i) =>
+      val tmp = s"$base/half$i"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(in, s"batch$i.parquet"))
+    }
+    val histSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("valid_from",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("valid_to",
+        org.apache.spark.sql.types.LongType)))
+    val q = graft.streaming.StreamingOps.streamingScd2(
+      spark, in, hist, Seq("k"), checkpointDir = Some(s"$base/ckpt"))
+    try q.processAllAvailable() finally q.stop()
+    def current() = graft.streaming.StreamingOps
+      .currentSnapshot(spark, hist, histSchema)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    val want = Set(
+      (1L, "v1", 10L, Some(20L)), (1L, "v1b", 20L, None),
+      (2L, "v2", 10L, None),
+      (3L, "v3", 20L, None))
+    assert(current() === want)
+    // replay WITHOUT the checkpoint: versions are rewritten from the
+    // same predecessors — history unchanged
+    val q2 = graft.streaming.StreamingOps.streamingScd2(
+      spark, in, hist, Seq("k"))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(current() === want)
+  }
+
   test("videoFrameIndex filters non-AVI rows and preserves per-media counts") {
     implicit val sp: SparkSession = spark
     import sp.implicits._
