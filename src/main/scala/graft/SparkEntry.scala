@@ -1399,6 +1399,16 @@ object SparkEntry {
         d.filter(pmod(col("doc_id"), lit(97)) =!= 7),
         d.filter(pmod(col("doc_id"), lit(97)) === 7), n = 5)
     }),
+    // FUZZY decontamination: near-dup Jaccard between the corpus and the
+    // held-out split — catches paraphrased leakage the exact-shingle
+    // check above misses; held-out shingles broadcast, the corpus is
+    // never shuffled on shingle keys
+    "text_fuzzy_contamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.crossJaccard(
+        d.filter(pmod(col("doc_id"), lit(97)) =!= 7),
+        d.filter(pmod(col("doc_id"), lit(97)) === 7), n = 3, minJ = 0.02)
+    }),
     // append-only exact dedup: docs < 250 are the at-rest corpus; the
     // arriving batch is the rest plus deterministic re-ingested copies
     // (+1000 = copies of corpus docs, +2000 = copies of batch docs) so
@@ -2568,6 +2578,28 @@ object SparkEntry {
         |                       ORDER BY line_no)
         |  END AS clean_text
         |FROM r GROUP BY doc_id""".stripMargin,
+    "text_fuzzy_contamination" ->
+      """WITH toks0 AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |    '[ \t\r\n,.:;''"()\[\]{}/<>!?|\-—#$&=_*+]+'), x -> x <> '') AS arr
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         array_to_string(arr[i : i + 2], ' ') AS shingle
+        |  FROM toks0, unnest(generate_series(1, greatest(len(arr) - 2, 1))) AS u(i)
+        |  WHERE len(arr) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |  WHERE a.doc_id % 97 <> 7 AND b.doc_id % 97 = 7
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.02""".stripMargin,
     "text_contamination" ->
       """WITH toks0 AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),

@@ -136,6 +136,43 @@ object Dedup {
       .localCheckpoint(true)
   }
 
+  /** Cross-corpus near-dup Jaccard — FUZZY decontamination: every
+    * (corpus doc, held-out doc) pair with shingle Jaccard >= `minJ`.
+    * The exact-overlap check ([[benchmarkContamination]]) misses
+    * paraphrased/partially-rewritten benchmark leakage; this catches
+    * any pair sharing enough n-gram mass, with the exact Jaccard as
+    * the score.
+    *
+    * Scale shape: the held-out side is benchmark-sized by definition,
+    * so its shingle table BROADCASTS — the 100 TB corpus is scanned
+    * once and never shuffled on shingle keys; only candidate (doc_a,
+    * doc_b) rows reach the pair aggregate, partial-aggregated
+    * map-side. Anything big enough to break the broadcast is not a
+    * held-out set — dedup corpora against each other with
+    * [[ngramJaccard]] on their union instead.
+    *
+    * @return (doc_a = corpus doc, doc_b = held-out doc, jaccard)
+    */
+  def crossJaccard(corpus: DataFrame, heldout: DataFrame, n: Int,
+                   minJ: Double): DataFrame = {
+    val shA = shingles(corpus, n)
+    // consumed twice (join + sizes): the held-out table is small, so an
+    // eager checkpoint is cheap and stops double tokenization
+    val shB = shingles(heldout, n).localCheckpoint(true)
+    val sizesA = shA.groupBy("doc_id").agg(count(lit(1)).as("na"))
+    val sizesB = shB.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+    shA.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(broadcast(shB.select(col("doc_id").as("doc_b"), col("shingle"))),
+        Seq("shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+      .join(sizesA.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .join(broadcast(sizesB.withColumnRenamed("doc_id", "doc_b")), "doc_b")
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("na") + col("nb") - col("n_common")))
+      .filter(col("jaccard") >= minJ)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** MinHash signature: `numHashes` permutation-style hash functions
     * `h_i(x) = min over shingles of xxhash64(shingle, seed=i)`. Pure
     * column algebra: the per-document min for every hash function is one

@@ -79,6 +79,35 @@ object SubstringIndex {
       .select(col("doc_id"))
   }
 
+  /** Write the posting table at rest, range-partitioned and sorted by
+    * gram — the same layout contract as the term index
+    * ([[Indexer]] writeIndex): each parquet file covers a narrow gram
+    * range, so its footer min/max statistics prune probes down to the
+    * needle's gram files. Build once, probe forever.
+    */
+  def writeIndex(postings: DataFrame, path: String, numFiles: Int = 64): Unit =
+    postings.repartitionByRange(numFiles, col("gram"))
+      .sortWithinPartitions("gram")
+      .write.mode("overwrite").parquet(path)
+
+  /** Probe the at-rest index: the needle's gram set becomes an
+    * `IN`-filter that REACHES THE SCAN (PushedFilters + min/max file
+    * pruning — asserted by spec), so a probe reads only the gram
+    * files it needs, never the whole index. Same all-grams-required
+    * candidate semantics as [[candidates]].
+    */
+  def probeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                 needle: String, n: Int = 3): DataFrame = {
+    val grams = requiredGrams(needle, n)
+    require(grams.nonEmpty,
+      s"needle '$needle' is shorter than the gram width $n")
+    spark.read.parquet(path)
+      .filter(col("gram").isin(grams: _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") === grams.size)
+      .select("doc_id")
+  }
+
   /** `LIKE`-pattern search over the same index: `%`-wildcard patterns
     * (e.g. `%merge%batch%`) probe with the union of every literal
     * segment's required grams — each segment must appear somewhere, so

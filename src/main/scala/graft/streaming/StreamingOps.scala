@@ -350,6 +350,38 @@ object StreamingOps {
     }
   }
 
+  /** Retention for the versioned-snapshot stores ([[streamingUpsert]] /
+    * [[streamingScd2]]): delete all but the newest `keepLast` COMPLETE
+    * versions, plus crashed half-writes older than the oldest survivor
+    * (an incomplete dir NEWER than a kept version may be a write in
+    * flight and is left alone). Readers pinned to a pruned version must
+    * have moved on — same contract as any warehouse VACUUM. Returns the
+    * deleted version ids.
+    */
+  def pruneSnapshotVersions(spark: SparkSession, snapshotPath: String,
+                            keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
+    val p = new org.apache.hadoop.fs.Path(snapshotPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    val dirs = fs.listStatus(p).filter(st => st.isDirectory &&
+      st.getPath.getName.startsWith("version="))
+      .flatMap(st => scala.util.Try(
+        st.getPath.getName.stripPrefix("version=").toLong).toOption
+        .map(_ -> st.getPath))
+    val complete = dirs.filter { case (_, path) =>
+      fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")) }
+    val keep = complete.map(_._1).sorted.takeRight(keepLast).toSet
+    if (keep.isEmpty) return Seq.empty // nothing complete: prune nothing
+    val oldestKept = keep.min
+    val doomed = dirs.filter { case (id, _) =>
+      (complete.exists(_._1 == id) && !keep.contains(id)) || // old complete
+        (!complete.exists(_._1 == id) && id < oldestKept) // stale half-write
+    }
+    doomed.foreach { case (_, path) => fs.delete(path, true) }
+    doomed.map(_._1).sorted.toSeq
+  }
+
   /** The latest written snapshot version (empty with `fallbackSchema`'s
     * shape before the first batch lands).
     */

@@ -238,6 +238,78 @@ class RoundSixteenSpec extends AnyFunSuite {
     assert(current() === want)
   }
 
+  test("crossJaccard equals the union-corpus pair list restricted to cross pairs") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "pack my box with five dozen liquor jugs right now"),
+      (3L, "the quick brown fox leaps over the lazy dog today"),
+      (4L, "completely unrelated text about spark query planning")
+    ).toDF("doc_id", "text")
+    val heldout = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog today"),
+      (102L, "spark query planning text completely different here")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.crossJaccard(corpus, heldout, n = 3, minJ = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = graft.ops.Dedup
+      .ngramJaccard(corpus.unionByName(heldout), n = 3, minJ = 0.1)
+      .filter(col("doc_a") <= 4 && col("doc_b") >= 101)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === want)
+    assert(got.exists { case (a, b, j) => a == 1L && b == 101L && j == 1.0 })
+    // the held-out shingle table must broadcast, never shuffle the corpus
+    val plan = graft.ops.Dedup.crossJaccard(corpus, heldout, n = 3, minJ = 0.1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("at-rest substring index probe pushes the gram IN-filter to the scan") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 100L).map(i => (i, s"payload text number $i here"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-trgm-").toString
+    graft.search.SubstringIndex.writeIndex(
+      graft.search.SubstringIndex.trigramPostings(docs), s"$dir/idx",
+      numFiles = 8)
+    val probe = graft.search.SubstringIndex.probeIndex(spark, s"$dir/idx",
+      "payload text")
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(gram"), plan)
+    // probe candidates verify to the exact answer
+    val got = docs.join(probe, "doc_id")
+      .filter(lower(col("text")).contains("payload text"))
+      .count()
+    assert(got === 100L)
+  }
+
+  test("pruneSnapshotVersions keeps the newest complete versions only") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-prune-").toString
+    val df = Seq((1L, "x")).toDF("k", "v")
+    for (i <- 0L to 4L) df.write.mode("overwrite").parquet(s"$base/version=$i")
+    // fake a crashed half-write: version=5 without _SUCCESS
+    df.write.mode("overwrite").parquet(s"$base/version=5")
+    new java.io.File(s"$base/version=5/_SUCCESS").delete()
+    // and a stale old half-write: version=-1 pre-dating everything
+    df.write.mode("overwrite").parquet(s"$base/version=-1")
+    new java.io.File(s"$base/version=-1/_SUCCESS").delete()
+    val deleted = graft.streaming.StreamingOps
+      .pruneSnapshotVersions(spark, base, keepLast = 2)
+    assert(deleted === Seq(-1L, 0L, 1L, 2L))
+    val left = new java.io.File(base).listFiles().map(_.getName).toSet
+    // newest two complete versions kept; the NEWER half-write (maybe a
+    // write in flight) untouched
+    assert(left === Set("version=3", "version=4", "version=5"))
+    // current snapshot still reads the newest complete version
+    val cur = graft.streaming.StreamingOps.currentSnapshot(spark, base,
+      df.schema).collect()
+    assert(cur.length === 1)
+  }
+
   test("videoFrameIndex filters non-AVI rows and preserves per-media counts") {
     implicit val sp: SparkSession = spark
     import sp.implicits._
