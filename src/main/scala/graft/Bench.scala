@@ -77,6 +77,12 @@ object Bench {
         .replaceAll("#\\d+", "#")
         .replaceAll("\\bplan_id=\\d+", "plan_id=")
         .replaceAll("\\[id=#?\\d*\\]", "")
+        // lambda ids are assigned in JVM class-LOAD order, so they shift
+        // whenever the suite composition changes; object hashcodes are
+        // per-instance — both are identity noise, not plan shape
+        .replaceAll("\\$Lambda\\$\\d+/0x[0-9a-fA-F]+", "\\$Lambda")
+        .replaceAll("\\$\\$Lambda/0x[0-9a-fA-F]+", "\\$Lambda")
+        .replaceAll("@[0-9a-f]+", "@")
         .replaceAll("LocalTableScan \\[.*", "LocalTableScan")
         .replaceAll("Scan ExistingRDD\\[.*", "Scan ExistingRDD")
       java.security.MessageDigest.getInstance("MD5")

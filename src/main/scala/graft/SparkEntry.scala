@@ -301,6 +301,21 @@ object SparkEntry {
       graft.search.SubstringIndex.trigramPostings(t(s, dir, "documents"))
         .persist())
 
+  /** The AT-REST variant: gram-range-partitioned parquet written once
+    * per (session, sf dir); probes read it back with the gram IN-filter
+    * pushed to the scan — the layout a 100 TB deployment keeps.
+    */
+  private val trigramDiskCache = new SessionCache[String]
+
+  private def trigramDiskIndex(s: SparkSession, dir: String): String =
+    trigramDiskCache.getOrElseUpdate(s, dir, {
+      val p = s"${annTmp()}/trgm"
+      graft.search.SubstringIndex.writeIndex(
+        graft.search.SubstringIndex.trigramPostings(t(s, dir, "documents")),
+        p, numFiles = 16)
+      p
+    })
+
   private def annTmp(): String =
     java.nio.file.Files.createTempDirectory("graft-ann-").toString
 
@@ -484,6 +499,16 @@ object SparkEntry {
     "search_like" -> ((s, dir) =>
       graft.search.SubstringIndex.searchLike(
         t(s, dir, "documents"), trigramIndex(s, dir), "%merge batch%fast%")),
+    // the AT-REST probe path: parquet index written once per session,
+    // the needle's grams pushed as an IN-filter into the scan (footer
+    // min/max pruning), exact contains verify on candidates — output
+    // identical to the in-memory probe and to brute force
+    "search_substring_at_rest" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .join(graft.search.SubstringIndex.probeIndex(
+          s, trigramDiskIndex(s, dir), "window sort"), "doc_id")
+        .filter(contains(lower(col("text")), lit("window sort")))
+        .select(col("doc_id"))),
     "search_phrase" -> ((s, dir) => searchScores(s, dir, "spark data")),
     "search_not_or" -> ((s, dir) =>
       searchScores(s, dir, "join and not (spark or data)")),
@@ -1859,6 +1884,9 @@ object SparkEntry {
     "search_like" ->
       """SELECT doc_id FROM documents
         |WHERE lower(text) LIKE '%merge batch%fast%'""".stripMargin,
+    "search_substring_at_rest" ->
+      """SELECT doc_id FROM documents
+        |WHERE position('window sort' IN lower(text)) > 0""".stripMargin,
     // the four SCD-2 branches enumerated directly: carried closed rows,
     // closed-out changed rows, surviving current rows (incl. the %10=4
     // no-op batch), new versions + first versions of new keys
