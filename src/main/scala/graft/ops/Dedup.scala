@@ -153,18 +153,58 @@ object Dedup {
     *
     * @return (doc_a = corpus doc, doc_b = held-out doc, jaccard)
     */
+  /** @param maxHeldoutDf candidate-generation guard: a shingle present
+    *   in MORE than this many held-out docs multiplies every matching
+    *   corpus row by its held-out df — benchmark boilerplate ("of the",
+    *   shared prompts) is exactly such a shingle, and at corpus scale
+    *   the fanout is the whole cost. Over-cap shingles are dropped from
+    *   CANDIDATE GENERATION ONLY; surviving candidates get their TRUE
+    *   Jaccard from the full shingle sets, so any pair sharing at least
+    *   one sub-cap shingle is scored exactly. Only pairs whose ENTIRE
+    *   overlap is ubiquitous boilerplate are lost — the same documented
+    *   trade as [[ngramJaccard]]'s `maxShingleFreq`. Adaptive: when no
+    *   held-out shingle exceeds the cap (one held-out-sized aggregate
+    *   to check), the single-phase exact path runs unchanged.
+    */
   def crossJaccard(corpus: DataFrame, heldout: DataFrame, n: Int,
-                   minJ: Double): DataFrame = {
+                   minJ: Double, maxHeldoutDf: Int = 1000): DataFrame = {
     val shA = shingles(corpus, n)
-    // consumed twice (join + sizes): the held-out table is small, so an
-    // eager checkpoint is cheap and stops double tokenization
+    // consumed repeatedly (guard probe, join sides, sizes): the
+    // held-out table is small, so an eager checkpoint is cheap and
+    // stops repeated tokenization
     val shB = shingles(heldout, n).localCheckpoint(true)
     val sizesA = shA.groupBy("doc_id").agg(count(lit(1)).as("na"))
     val sizesB = shB.groupBy("doc_id").agg(count(lit(1)).as("nb"))
-    shA.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(broadcast(shB.select(col("doc_id").as("doc_b"), col("shingle"))),
-        Seq("shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    val dfB = shB.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    val guardTriggers = !dfB.filter(col("__df") > maxHeldoutDf).isEmpty
+    val inter =
+      if (!guardTriggers) {
+        shA.select(col("doc_id").as("doc_a"), col("shingle"))
+          .join(broadcast(
+            shB.select(col("doc_id").as("doc_b"), col("shingle"))),
+            Seq("shingle"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+      } else {
+        // two-phase: candidates from sub-cap shingles (fanout <= cap
+        // per corpus shingle row), TRUE n_common from the full sets —
+        // both phases broadcast the held-out side; the corpus is still
+        // never shuffled on shingle keys
+        val rare = shB.join(broadcast(
+            dfB.filter(col("__df") <= maxHeldoutDf).select("shingle")),
+          Seq("shingle"))
+        val candidates = shA.select(col("doc_id").as("doc_a"), col("shingle"))
+          .join(broadcast(rare.select(col("doc_id").as("doc_b"), col("shingle"))),
+            Seq("shingle"))
+          .select("doc_a", "doc_b").distinct()
+        val bSide = shB.select(col("doc_id").as("__b_id"),
+          col("shingle").as("__b_sh"))
+        candidates
+          .join(shA.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+          .join(broadcast(bSide),
+            col("doc_b") === col("__b_id") && col("shingle") === col("__b_sh"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+      }
+    inter
       .join(sizesA.withColumnRenamed("doc_id", "doc_a"), "doc_a")
       .join(broadcast(sizesB.withColumnRenamed("doc_id", "doc_b")), "doc_b")
       .withColumn("jaccard", col("n_common").cast("double") /

@@ -310,6 +310,38 @@ class RoundSixteenSpec extends AnyFunSuite {
     assert(cur.length === 1)
   }
 
+  test("crossJaccard hot-shingle guard keeps exact scores for rare-shingle pairs") {
+    val s = spark
+    import s.implicits._
+    // every held-out doc shares the boilerplate prefix (its shingles are
+    // over-cap at maxHeldoutDf=2); each also has a distinctive tail
+    val boiler = "the quick brown fox jumps over"
+    val corpus = Seq(
+      (1L, s"$boiler alpha beta gamma delta"),
+      (2L, s"$boiler epsilon zeta eta theta"),
+      (3L, s"$boiler only boilerplate here now")
+    ).toDF("doc_id", "text")
+    val heldout = Seq(
+      (101L, s"$boiler alpha beta gamma delta"),
+      (102L, s"$boiler epsilon zeta eta theta"),
+      (103L, s"$boiler iota kappa lambda mu")
+    ).toDF("doc_id", "text")
+    val exact = graft.ops.Dedup
+      .crossJaccard(corpus, heldout, n = 3, minJ = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val guarded = graft.ops.Dedup
+      .crossJaccard(corpus, heldout, n = 3, minJ = 0.3, maxHeldoutDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the true near-dup pairs (1,101) and (2,102) share RARE shingles,
+    // so the guard finds them and scores them with the FULL overlap
+    // (boilerplate included) — identical to the unguarded exact run
+    assert(guarded.map(t => (t._1, t._2)) === Set((1L, 101L), (2L, 102L)))
+    assert(guarded === exact.filter(t => Set((1L, 101L), (2L, 102L))((t._1, t._2))))
+    // the unguarded run ALSO surfaces boilerplate-only pairs (doc 3 x
+    // everything) — exactly the pairs the guard documents away
+    assert(exact.map(t => (t._1, t._2)).contains((3L, 103L)))
+  }
+
   test("videoFrameIndex filters non-AVI rows and preserves per-media counts") {
     implicit val sp: SparkSession = spark
     import sp.implicits._
