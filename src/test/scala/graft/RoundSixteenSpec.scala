@@ -342,6 +342,57 @@ class RoundSixteenSpec extends AnyFunSuite {
     assert(exact.map(t => (t._1, t._2)).contains((3L, 103L)))
   }
 
+  test("AVI round trip holds under randomized frame counts and sizes") {
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 25) {
+      val fs = (0 until rnd.nextInt(20)).map { i =>
+        Array.tabulate[Byte](rnd.nextInt(200))(j => ((i * 7 + j) & 0xff).toByte)
+      }
+      val avi = AviContainer.write(fs, 1 + rnd.nextInt(64), 1 + rnd.nextInt(64))
+      val idx = AviContainer.frameIndex(avi).get
+      assert(idx.length === fs.length)
+      idx.zip(fs).foreach { case ((no, off, len), f) =>
+        assert(len === f.length)
+        assert(avi.slice(off.toInt, off.toInt + len).toSeq === f.toSeq, s"frame $no")
+      }
+    }
+  }
+
+  test("scd2Apply over a random change sequence keeps one current row per key") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(99)
+    def dt(day: Int) = java.sql.Date.valueOf(f"2024-01-$day%02d")
+    var history = Seq.empty[(String, String, java.sql.Date, Option[java.sql.Date])]
+      .toDF("k", "v", "valid_from", "valid_to")
+    val liveKeys = scala.collection.mutable.Map.empty[String, String]
+    for (day <- 2 to 9) {
+      val batch = (1 to 5).map { _ =>
+        val k = s"k${rnd.nextInt(6)}"
+        (k, s"v${rnd.nextInt(4)}", dt(day))
+      }.groupBy(_._1).map(_._2.last).toSeq // unique per key, latest wins
+      batch.foreach { case (k, v, _) => liveKeys(k) = v }
+      history = graft.ops.Maintenance.scd2Apply(
+        history, batch.toDF("k", "v", "ts"), Seq("k"))
+    }
+    val rows = history.collect().map(r => (r.getString(0), r.getString(1),
+      r.getDate(2), Option(r.getDate(3))))
+    // exactly one current row per live key, with the latest value
+    val current = rows.filter(_._4.isEmpty)
+    assert(current.map(_._1).toSet === liveKeys.keySet)
+    assert(current.groupBy(_._1).values.forall(_.length == 1))
+    current.foreach { case (k, v, _, _) => assert(liveKeys(k) === v) }
+    // closed intervals are well-formed and non-overlapping per key
+    rows.groupBy(_._1).values.foreach { versions =>
+      val sorted = versions.sortBy(_._3.getTime)
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, Some(to)), (_, _, from, _)) =>
+          assert(!from.before(to)) // next version starts at/after the close
+        case _ =>
+      }
+    }
+  }
+
   test("videoFrameIndex filters non-AVI rows and preserves per-media counts") {
     implicit val sp: SparkSession = spark
     import sp.implicits._
