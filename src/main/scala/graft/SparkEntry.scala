@@ -1576,6 +1576,22 @@ object SparkEntry {
       Dedup.fuzzyPairs(t(s, dir, "part"), "p_name", maxDist = 2,
         failOnDrop = true)),
 
+    // incremental quantile maintenance: exact fixed-width bucket states
+    // built INDEPENDENTLY on a 3/4 base and 1/4 delta split, merged
+    // (bucket-sized shuffle), quantiles read from the merged state. The
+    // oracle computes the same quantiles from the FULL table — passing
+    // means merge(state(base), state(delta)) ≡ state(base ∪ delta),
+    // the property percentile_approx's split-dependent partials lack
+    "q_hist_quantile_incremental" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val base = Maintenance.histogramState(
+        l.filter(col("l_orderkey") % 4 =!= 0), "l_extendedprice", 1000.0)
+      val delta = Maintenance.histogramState(
+        l.filter(col("l_orderkey") % 4 === 0), "l_extendedprice", 1000.0)
+      Maintenance.histogramQuantiles(
+        Maintenance.mergeHistograms(base, delta), 1000.0,
+        Seq(0.25, 0.5, 0.75))
+    }),
     // SCD-2 history maintenance: one change batch versioned into a
     // valid_from/valid_to history — changed keys close + re-insert,
     // value-identical changes are no-ops (idempotent replay), new keys
@@ -1887,6 +1903,18 @@ object SparkEntry {
     "search_substring_at_rest" ->
       """SELECT doc_id FROM documents
         |WHERE position('window sort' IN lower(text)) > 0""".stripMargin,
+    "q_hist_quantile_incremental" ->
+      """WITH st AS (
+        |  SELECT CAST(floor(l_extendedprice / 1000) AS BIGINT) AS bucket,
+        |         count(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT sum(n) AS total FROM st),
+        |cum AS (SELECT bucket, sum(n) OVER (ORDER BY bucket) AS c FROM st),
+        |qs(q) AS (VALUES (0.25), (0.5), (0.75))
+        |SELECT CAST(q AS DOUBLE) AS q,
+        |       (SELECT min(bucket) FROM cum, tot
+        |        WHERE cum.c >= ceil(q * tot.total)) * 1000.0 AS value_lo
+        |FROM qs""".stripMargin,
     // the four SCD-2 branches enumerated directly: carried closed rows,
     // closed-out changed rows, surviving current rows (incl. the %10=4
     // no-op batch), new versions + first versions of new keys

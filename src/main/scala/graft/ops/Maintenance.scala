@@ -222,6 +222,61 @@ object Maintenance {
           .otherwise(col(c)).as(c)): _*)
   }
 
+  /** Mergeable histogram state — the QUANTILE sibling of
+    * [[mergeCountSum]]: exact fixed-width bucket counts are
+    * associative-commutative over any row partition, so appending a
+    * batch to a 100 TB fact table re-buckets ONLY the batch and merges
+    * two bucket-sized states ([[mergeHistograms]] — exactly equal to
+    * re-bucketing the union, unlike `percentile_approx`, whose
+    * quantile-summary partials depend on the split). Quantiles read
+    * from the merged state carry a deterministic ±`width` error bound
+    * — tighten by re-bucketing at a smaller width, never by rescanning
+    * history. NULLs are excluded (SQL aggregate semantics).
+    */
+  def histogramState(df: org.apache.spark.sql.DataFrame, valueCol: String,
+                     width: Double): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(width > 0, s"width must be > 0: $width")
+    df.filter(col(valueCol).isNotNull)
+      .select(floor(col(valueCol) / width).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+  }
+
+  /** Exact state merge: bucket-sized shuffle, result ≡ re-bucketing
+    * the unioned inputs at any split.
+    */
+  def mergeHistograms(a: org.apache.spark.sql.DataFrame,
+                      b: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    a.unionByName(b).groupBy("bucket").agg(sum("n").as("n"))
+  }
+
+  /** Quantile read over a histogram state: for each q the LOWER BOUND
+    * of the bucket holding the ceil(q·total)-th value — deterministic,
+    * engine-portable (integer ranks, no interpolation), true quantile
+    * within +width. The cumulative window runs over the BUCKET table —
+    * state-sized (value_range / width rows), not corpus-sized; a
+    * single-partition sort over it is the intended cost.
+    */
+  def histogramQuantiles(state: org.apache.spark.sql.DataFrame,
+                         width: Double, qs: Seq[Double])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0, 1]: $qs")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = state.withColumn("__cum", sum("n").over(w))
+      .crossJoin(state.agg(sum("n").as("__total")))
+    qs.map { q =>
+      cum.filter(col("__cum") >= ceil(lit(q) * col("__total")))
+        .orderBy("bucket").limit(1)
+        .select(lit(q).as("q"), (col("bucket") * width).as("value_lo"))
+    }.reduce(_ unionByName _)
+  }
+
   /** SCD-2 MERGE: apply a change batch to a versioned history table,
     * returning the new history — the warehouse `valid_from`/`valid_to`
     * interval pattern ([[upsert]] is the SCD-1 "overwrite in place"

@@ -52,7 +52,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_cluster_assign", // broadcast centroid table (model-sized)
     "sim_topk_brute", // one query vector crossed into the scan
     "text_collocations", // 1-row corpus token total for PMI
-    "text_stupid_backoff") // 1-row corpus total for backoff normalization
+    "text_stupid_backoff", // 1-row corpus total for backoff normalization
+    "q_hist_quantile_incremental") // 1-row histogram total drives the rank
 
   test("no query plans an accidental cartesian / nested-loop join") {
     val dir = "/root/testdata/sf0.001"

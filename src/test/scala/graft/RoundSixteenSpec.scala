@@ -393,6 +393,37 @@ class RoundSixteenSpec extends AnyFunSuite {
     }
   }
 
+  test("histogram state is split-invariant; quantiles bound the exact value") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(21)
+    val values = (1 to 2000).map(_ => rnd.nextDouble() * 5000)
+    val df = values.toDF("x")
+    val width = 100.0
+    val full = graft.ops.Maintenance.histogramState(df, "x", width)
+    for (seed <- 1 to 3) {
+      val r = new scala.util.Random(seed)
+      val mask = values.map(_ => r.nextBoolean())
+      val a = values.zip(mask).filter(_._2).map(_._1).toDF("x")
+      val b = values.zip(mask).filterNot(_._2).map(_._1).toDF("x")
+      val merged = graft.ops.Maintenance.mergeHistograms(
+        graft.ops.Maintenance.histogramState(a, "x", width),
+        graft.ops.Maintenance.histogramState(b, "x", width))
+      assert(merged.except(full).isEmpty && full.except(merged).isEmpty,
+        s"split seed $seed")
+    }
+    // the q-quantile read is the true quantile's bucket lower bound:
+    // value_lo <= exact < value_lo + width
+    val got = graft.ops.Maintenance
+      .histogramQuantiles(full, width, Seq(0.25, 0.5, 0.75))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val sorted = values.sorted
+    for ((q, lo) <- got) {
+      val exact = sorted(math.ceil(q * sorted.size).toInt - 1)
+      assert(lo <= exact && exact < lo + width, s"q=$q lo=$lo exact=$exact")
+    }
+  }
+
   test("videoFrameIndex filters non-AVI rows and preserves per-media counts") {
     implicit val sp: SparkSession = spark
     import sp.implicits._
