@@ -338,6 +338,33 @@ object Scratch {
                 s"coreNodes=$coreN starSurvivors=$starSurvivors " +
                 (if (leafOk == 0 && hubOk == 0 && coreN == 100000L &&
                   starSurvivors == 0) "OK" else "MISMATCH"))
+            case "crossjac" =>
+              // fuzzy decontamination at 100k corpus docs vs a 500-doc
+              // held-out set (the base corpus — every duplicated copy
+              // is a true match). Invariants: (1) with the cap above
+              // every held-out df the guard is a no-op and the pair
+              // set equals the unguarded run; (2) a tight cap still
+              // finds every copy pair (copies share their doc's RARE
+              // shingles) while generating boundedly fewer candidates.
+              val ho = base.limit(500).localCheckpoint(true)
+              val exactPairs = ops.Dedup.crossJaccard(big, ho, 3, 0.8,
+                maxHeldoutDf = Int.MaxValue)
+              val guardedPairs = ops.Dedup.crossJaccard(big, ho, 3, 0.8,
+                maxHeldoutDf = 25)
+              val nExact = exactPairs.count()
+              val nGuarded = guardedPairs.count()
+              val diff = exactPairs.select("doc_a", "doc_b")
+                .exceptAll(guardedPairs.select("doc_a", "doc_b")).count()
+              // every held-out doc must rediscover its 20 id-shifted
+              // copies at j >= 0.8 (identical text -> jaccard 1.0; the
+              // i=0 copy keeps the original id, so 20 pairs per doc)
+              val copies = guardedPairs
+                .filter(col("doc_a") % 1000000L === col("doc_b"))
+                .count()
+              println(s"exact=$nExact guarded=$nGuarded lost=$diff " +
+                s"copyPairs=$copies expectCopies=${500 * 20} " +
+                (if (diff == 0 && nExact == nGuarded && copies == 500L * 20)
+                  "OK" else "MISMATCH"))
             case "substr" =>
               // trigram substring index over the 20x corpus (100k
               // docs): postings build + two probes. EXACT invariant:
