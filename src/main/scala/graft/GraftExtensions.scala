@@ -47,6 +47,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** Register the same functions + optimizer rule on an ALREADY-BUILT
+    * session: `withExtensions` only works at builder time, but a host
+    * application (or the driver's Verify/Bench harness) hands us a
+    * live session. Uses the session's own function registry and
+    * `experimental.extraOptimizations` — both public, both
+    * session-scoped — and is idempotent (re-install replaces the
+    * functions and adds the rule at most once).
+    */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_cosine",
+      exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_dot",
+      exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_nfc", nfcBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_hyperplane_sigs",
+      hyperplaneSigsBuilder, "scala_udf")
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.NfcIdempotence))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.NfcIdempotence
+  }
+
   /** Builder for `graft_nfc`, exposed for registry-path tests. Wrong
     * arity fails analysis with a clear message (the default
     * `children.head` would silently drop extra arguments).

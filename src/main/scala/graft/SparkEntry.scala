@@ -509,6 +509,28 @@ object SparkEntry {
           s, trigramDiskIndex(s, dir), "window sort"), "doc_id")
         .filter(contains(lower(col("text")), lit("window sort")))
         .select(col("doc_id"))),
+    // incremental maintenance of the trigram index (the substring
+    // sibling of postings_incremental): 80% of the corpus is "already
+    // indexed" — with the doc_id%10==2 slice indexed from a STALE
+    // truncated revision — and the batch re-ingests those updated docs
+    // plus the 20% new ones. mergePostings re-grams ONLY the batch and
+    // anti-joins its ids out of the old postings, so a probe through
+    // the merged index must equal brute-force LIKE over the TRUE
+    // corpus (the oracle); the merge-equals-rebuild spec pins exact
+    // posting-set equality
+    "substring_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val stale = pmod(col("doc_id"), lit(10)) === 2
+      val baseDocs = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .select(col("doc_id"),
+          when(stale, substring(col("text"), 1, 40))
+            .otherwise(col("text")).as("text"))
+      val batch = docs.filter(
+        pmod(col("doc_id"), lit(5)) === 0 || stale)
+      val merged = graft.search.SubstringIndex.mergePostings(
+        graft.search.SubstringIndex.trigramPostings(baseDocs), batch)
+      graft.search.SubstringIndex.search(docs, merged, "hash join")
+    }),
     "search_phrase" -> ((s, dir) => searchScores(s, dir, "spark data")),
     "search_not_or" -> ((s, dir) =>
       searchScores(s, dir, "join and not (spark or data)")),
@@ -1121,8 +1143,13 @@ object SparkEntry {
     // on a denser geometry.
     "dedup_embedding_strict" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      // twin ids live ABOVE the real id range at every scale factor:
+      // the offset is derived from max(vec_id), not a hard-coded bound
+      // that a bigger corpus would collide with (the oracle derives
+      // the identical offset with a scalar subquery)
+      val off = e.agg(max("vec_id")).first().getAs[Number](0).longValue + 1L
       val planted = e.filter(col("vec_id") % 100 === 3)
-        .select((col("vec_id") + 100000).as("vec_id"),
+        .select((col("vec_id") + off).as("vec_id"),
           concat(array(negate(element_at(col("embedding"), 1))),
             slice(col("embedding"), lit(2), size(col("embedding")) - 1))
             .as("embedding"))
@@ -1231,14 +1258,36 @@ object SparkEntry {
     }),
     "sim_topk_brute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
+      // limit(1): vec_id is unique so this is a no-op on the data, but
+      // it puts a PROVABLE 1-row bound on the broadcast side — the
+      // plan audit verifies the bound instead of trusting the filter
       val q = e.filter(col("vec_id") === 0)
-        .select(col("embedding").as("q_emb"))
+        .select(col("embedding").as("q_emb")).limit(1)
       e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"),
           round(Similarity.cosineCol(col("embedding"), col("q_emb")), 4).as("cosine"))
         .orderBy(desc("cosine"), asc("vec_id"))
         .limit(10)
+    }),
+    // the SQL extension surface end-to-end: GraftExtensions' native
+    // Catalyst expressions (graft_cosine / graft_dot) driven through
+    // spark.sql over a temp view — the exact path a SQL-only user
+    // takes (install() registers on the live session; builder-time
+    // withExtensions is spec-covered). Brute-force top-10 semantics,
+    // so the oracle is the same SQL DuckDB runs natively; the added
+    // norm column pushes graft_dot through the same plan
+    "q_sql_native" -> ((s, dir) => {
+      GraftExtensions.install(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("graft_emb")
+      s.sql(
+        """SELECT e.vec_id,
+          |       round(graft_cosine(e.embedding, q.embedding), 4) AS cosine,
+          |       round(sqrt(graft_dot(e.embedding, e.embedding)), 4) AS norm
+          |FROM graft_emb e,
+          |     (SELECT embedding FROM graft_emb WHERE vec_id = 0 LIMIT 1) q
+          |WHERE e.vec_id <> 0
+          |ORDER BY cosine DESC, e.vec_id ASC LIMIT 10""".stripMargin)
     }),
     // probes against the PERSISTED signature table (no per-query
     // signature recompute); the bit-diff radius is sized so the pruned
@@ -1262,8 +1311,11 @@ object SparkEntry {
     // broadcast, per-vector argmax over exactly k rounded cosines
     "sim_cluster_assign" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
+      // limit(8) is a no-op (vec_id unique) that makes the broadcast
+      // side's model-sized bound provable at plan time
       val cents = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cluster"), col("embedding").as("centroid"))
+        .limit(8)
       Similarity.assignToCentroids(e, cents)
     }),
     "sim_knn_label" -> ((s, dir) =>
@@ -1589,7 +1641,7 @@ object SparkEntry {
       val delta = Maintenance.histogramState(
         l.filter(col("l_orderkey") % 4 === 0), "l_extendedprice", 1000.0)
       Maintenance.histogramQuantiles(
-        Maintenance.mergeHistograms(base, delta), 1000.0,
+        Maintenance.mergeHistograms(base, delta),
         Seq(0.25, 0.5, 0.75))
     }),
     // SCD-2 history maintenance: one change batch versioned into a
@@ -1618,8 +1670,11 @@ object SparkEntry {
             lit("NEW").as("c_mktsegment"), col("c_nationkey"),
             d("2024-06-01").as("ts")))
       // dates rendered as strings for the cross-engine compare (pandas
-      // reads Spark DATE as objects but DuckDB DATE as datetime64)
-      Maintenance.scd2Apply(history, changes, Seq("c_custkey"))
+      // reads Spark DATE as objects but DuckDB DATE as datetime64);
+      // failOnOutOfOrder: the ordering precondition is audited, not
+      // assumed — an out-of-order batch fails loudly here
+      Maintenance.scd2Apply(history, changes, Seq("c_custkey"),
+        failOnOutOfOrder = true)
         .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
           col("valid_from").cast("string").as("valid_from"),
           col("valid_to").cast("string").as("valid_to"))
@@ -1903,6 +1958,9 @@ object SparkEntry {
     "search_substring_at_rest" ->
       """SELECT doc_id FROM documents
         |WHERE position('window sort' IN lower(text)) > 0""".stripMargin,
+    "substring_incremental" ->
+      """SELECT doc_id FROM documents
+        |WHERE position('hash join' IN lower(text)) > 0""".stripMargin,
     "q_hist_quantile_incremental" ->
       """WITH st AS (
         |  SELECT CAST(floor(l_extendedprice / 1000) AS BIGINT) AS bucket,
@@ -2051,7 +2109,7 @@ object SparkEntry {
       // corpus PLUS the planted first-component-negated twins — the five
       // (orig, twin) pairs are the full answer, so the row is non-vacuous
       """WITH planted AS (
-        |  SELECT vec_id + 100000 AS vec_id,
+        |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS vec_id,
         |         list_prepend(-embedding[1], embedding[2:]) AS embedding
         |  FROM embeddings WHERE vec_id % 100 = 3
         |), alle AS (
@@ -2447,6 +2505,15 @@ object SparkEntry {
       """SELECT e.vec_id,
         |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
         |         CAST(q.embedding AS DOUBLE[])), 4) AS cosine
+        |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cosine DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+    "q_sql_native" ->
+      """SELECT e.vec_id,
+        |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |         CAST(q.embedding AS DOUBLE[])), 4) AS cosine,
+        |       round(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |         CAST(e.embedding AS DOUBLE[]))), 4) AS norm
         |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |WHERE e.vec_id <> 0
         |ORDER BY cosine DESC, e.vec_id ASC LIMIT 10""".stripMargin,

@@ -232,24 +232,39 @@ object Maintenance {
     * from the merged state carry a deterministic ±`width` error bound
     * — tighten by re-bucketing at a smaller width, never by rescanning
     * history. NULLs are excluded (SQL aggregate semantics).
+    *
+    * The state CARRIES its bucket width (constructor-checked field,
+    * not a caller-remembered convention): bucket ids are meaningless
+    * without it, and merging states built at different widths would
+    * silently produce garbage counts — [[mergeHistograms]] refuses
+    * instead.
     */
+  final case class HistState(width: Double,
+                             buckets: org.apache.spark.sql.DataFrame) {
+    require(width > 0, s"width must be > 0: $width")
+  }
+
   def histogramState(df: org.apache.spark.sql.DataFrame, valueCol: String,
-                     width: Double): org.apache.spark.sql.DataFrame = {
+                     width: Double): HistState = {
     import org.apache.spark.sql.functions._
     require(width > 0, s"width must be > 0: $width")
-    df.filter(col(valueCol).isNotNull)
+    HistState(width, df.filter(col(valueCol).isNotNull)
       .select(floor(col(valueCol) / width).cast("long").as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .groupBy("bucket").agg(count(lit(1)).as("n")))
   }
 
   /** Exact state merge: bucket-sized shuffle, result ≡ re-bucketing
-    * the unioned inputs at any split.
+    * the unioned inputs at any split. Widths must agree — bucket id k
+    * means [k·width, (k+1)·width), so a cross-width merge is not a
+    * histogram of anything.
     */
-  def mergeHistograms(a: org.apache.spark.sql.DataFrame,
-                      b: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+  def mergeHistograms(a: HistState, b: HistState): HistState = {
     import org.apache.spark.sql.functions._
-    a.unionByName(b).groupBy("bucket").agg(sum("n").as("n"))
+    require(a.width == b.width,
+      s"cannot merge histogram states with different bucket widths: " +
+        s"${a.width} vs ${b.width}")
+    HistState(a.width, a.buckets.unionByName(b.buckets)
+      .groupBy("bucket").agg(sum("n").as("n")))
   }
 
   /** Quantile read over a histogram state: for each q the LOWER BOUND
@@ -259,17 +274,17 @@ object Maintenance {
     * state-sized (value_range / width rows), not corpus-sized; a
     * single-partition sort over it is the intended cost.
     */
-  def histogramQuantiles(state: org.apache.spark.sql.DataFrame,
-                         width: Double, qs: Seq[Double])
+  def histogramQuantiles(state: HistState, qs: Seq[Double])
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
       s"quantiles must be in (0, 1]: $qs")
+    val width = state.width
     val w = org.apache.spark.sql.expressions.Window
       .orderBy("bucket")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val cum = state.withColumn("__cum", sum("n").over(w))
-      .crossJoin(state.agg(sum("n").as("__total")))
+    val cum = state.buckets.withColumn("__cum", sum("n").over(w))
+      .crossJoin(state.buckets.agg(sum("n").as("__total")))
     qs.map { q =>
       cum.filter(col("__cum") >= ceil(lit(q) * col("__total")))
         .orderBy("bucket").limit(1)
@@ -290,8 +305,19 @@ object Maintenance {
     * `changes` must carry every key/value column plus `tsCol`, be
     * UNIQUE per key (pre-reduce a CDC stream to its latest row per
     * key), have non-null `tsCol`, and each ts must be later than the
-    * matched current row's `validFrom` for intervals to stay sane
-    * (not enforced — enforcing would cost a pass).
+    * matched current row's `validFrom` for intervals to stay sane.
+    * With `failOnOutOfOrder = true` that precondition is AUDITED: a
+    * matched, value-differing change whose ts is `<= validFrom` —
+    * i.e. one that would actually WRITE a crossed interval (a
+    * value-identical replay is a no-op and exempt) — fails the whole
+    * apply loudly instead of silently corrupting history. The audit
+    * is a count over the join result the apply materializes anyway
+    * (localCheckpoint), so it costs one pass over the current∪batch
+    * rows, never the closed bulk — same guard pattern as
+    * `Dedup.fuzzyPairs`' hot-bucket `failOnDrop`. At 100 TB an
+    * out-of-order CDC batch (late backfill, clock skew, a replayed
+    * topic) is a when, not an if — `q_scd2` and the streaming SCD-2
+    * driver both opt in.
     *
     * Scale: the key-shuffle join touches ONLY the current rows and the
     * (small) change batch; the closed partition — the bulk of a
@@ -304,7 +330,8 @@ object Maintenance {
                 keyCols: Seq[String],
                 tsCol: String = "ts",
                 validFrom: String = "valid_from",
-                validTo: String = "valid_to"): org.apache.spark.sql.DataFrame = {
+                validTo: String = "valid_to",
+                failOnOutOfOrder: Boolean = false): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     require(keyCols.nonEmpty, "need at least one key column")
     val valueCols = history.columns
@@ -323,6 +350,16 @@ object Maintenance {
       coalesce(col("__chp"), lit(false))
     val differ = valueCols.map(v => !(col(v) <=> col(s"__ch_$v")))
       .reduceOption(_ || _).getOrElse(lit(false))
+    if (failOnOutOfOrder) {
+      // only changes that would WRITE can cross an interval; an
+      // identical replay is a no-op regardless of its ts
+      val bad = j.filter(matched && differ && col("__ts") <= col(validFrom))
+        .count()
+      require(bad == 0,
+        s"scd2Apply: $bad matched change(s) have $tsCol <= the current " +
+          s"row's $validFrom — out-of-order CDC batch would write " +
+          "crossed intervals; reorder or drop the stale changes")
+    }
     val outCols = keyCols ++ valueCols ++ Seq(validFrom, validTo)
     // branch 1: closed-out versions of matched-and-changed current rows
     val closedOut = j.filter(matched && differ)

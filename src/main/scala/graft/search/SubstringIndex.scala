@@ -79,6 +79,39 @@ object SubstringIndex {
       .select(col("doc_id"))
   }
 
+  /** Incremental index maintenance — the substring sibling of the term
+    * index's `incrementalPostings`: fold a batch of new or re-ingested
+    * documents into an existing posting table WITHOUT re-gramming the
+    * corpus. The batch's doc ids are anti-joined out of the existing
+    * postings (an update replaces the doc's grams; for a brand-new id
+    * the anti-join is a no-op), then the batch's own postings union
+    * in. Because [[trigramPostings]] emits each (doc, gram) exactly
+    * once with no cross-doc state, postings are a disjoint per-doc
+    * union — so the merge is EXACTLY the full rebuild over
+    * (old \ batch) ∪ batch, proven by the merge-equals-rebuild spec.
+    * At 100 TB an append re-grams only the batch and streams the
+    * existing index through one anti-join (batch id set broadcast-
+    * sized); nothing corpus-sized shuffles.
+    */
+  def mergePostings(existing: DataFrame, newDocs: DataFrame,
+                    n: Int = 3): DataFrame = {
+    val newIds = newDocs.select("doc_id").distinct()
+    existing.join(newIds, Seq("doc_id"), "left_anti")
+      .unionByName(trigramPostings(newDocs, n))
+  }
+
+  /** At-rest incremental maintenance: read the existing index, merge
+    * the batch ([[mergePostings]]), write the result to a FRESH path
+    * in the same range-partitioned layout — same atomic-swap contract
+    * as [[graft.ops.Maintenance.compactParquet]] (never overwrite the
+    * directory being probed).
+    */
+  def mergeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                 outPath: String, newDocs: DataFrame, n: Int = 3,
+                 numFiles: Int = 64): Unit =
+    writeIndex(mergePostings(spark.read.parquet(path), newDocs, n),
+      outPath, numFiles)
+
   /** Write the posting table at rest, range-partitioned and sorted by
     * gram — the same layout contract as the term index
     * ([[Indexer]] writeIndex): each parquet file covers a narrow gram
@@ -112,17 +145,27 @@ object SubstringIndex {
     * (e.g. `%merge%batch%`) probe with the union of every literal
     * segment's required grams — each segment must appear somewhere, so
     * ALL segment grams are required — then one `like` verify on the
-    * candidates enforces order and adjacency. Segments shorter than
-    * the gram width contribute no grams; if NO segment is indexable
-    * the probe degenerates to the explicit scan, same policy as
-    * [[search]]. The pattern must carry its own leading/trailing `%`
-    * if substring (not whole-string) semantics are wanted — this is
-    * SQL LIKE, verbatim.
+    * candidates enforces order and adjacency. BOTH wildcards break a
+    * literal segment: `_` matches any one character, so the literal
+    * runs around it (`a_c` → `a`, `c`) are what must appear verbatim —
+    * treating `_` as a gram character would demand the three-char
+    * gram `a_c` literally and silently drop true matches. Segments
+    * shorter than the gram width contribute no grams; if NO segment
+    * is indexable the probe degenerates to the explicit scan, same
+    * policy as [[search]]. The pattern must carry its own leading/
+    * trailing `%` if substring (not whole-string) semantics are
+    * wanted — this is SQL LIKE, verbatim. Escape sequences are NOT
+    * supported (`\` in the pattern is rejected): the gram deriver
+    * would read an escaped wildcard as a wildcard while the `like`
+    * verify reads it as a literal, and the two must agree.
     */
   def searchLike(docs: DataFrame, postings: DataFrame, pattern: String,
                  n: Int = 3): DataFrame = {
+    require(!pattern.contains("\\"),
+      s"LIKE pattern '$pattern' contains an escape character — escape " +
+        "sequences are not supported by the trigram probe")
     val lowered = pattern.toLowerCase
-    val grams = lowered.split('%').filter(_.nonEmpty).toSeq
+    val grams = lowered.split(Array('%', '_')).filter(_.nonEmpty).toSeq
       .flatMap(requiredGrams(_, n)).distinct
     val verified =
       if (grams.isEmpty) docs

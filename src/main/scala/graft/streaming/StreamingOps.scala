@@ -312,8 +312,12 @@ object StreamingOps {
     * scd2Apply gives the same redelivery safety `seqCol` gives the
     * SCD-1 path: a redelivered change matches the version it already
     * created and changes nothing. Changes arriving with a ts OLDER
-    * than a key's current `valid_from` inherit scd2Apply's caveat
-    * (intervals can invert) — feed a time-ordered CDC stream.
+    * than a key's current `valid_from` would invert intervals, so the
+    * driver passes scd2Apply's `failOnOutOfOrder` audit (on by
+    * default): a time-disordered batch fails the micro-batch loudly —
+    * and, because versions are batch-owned and replayable, a fixed
+    * upstream can simply replay it — instead of silently corrupting
+    * the at-rest history.
     *
     * History schema: change schema minus `tsCol`, plus
     * `valid_from`/`valid_to` of `tsCol`'s type.
@@ -322,7 +326,8 @@ object StreamingOps {
                     historyPath: String, keyCols: Seq[String],
                     tsCol: String = "ts",
                     schema: Option[org.apache.spark.sql.types.StructType] = None,
-                    checkpointDir: Option[String] = None)
+                    checkpointDir: Option[String] = None,
+                    failOnOutOfOrder: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val changeSchema = schema.getOrElse(spark.read.parquet(changesPath).schema)
     val have = changeSchema.map(_.name).toSet
@@ -345,7 +350,8 @@ object StreamingOps {
             (tsCol +: restCols).map(c => col(s"__m.$c")): _*)
         val prev = snapshotVersionBefore(spark, historyPath, batchId,
           histSchema)
-        graft.ops.Maintenance.scd2Apply(prev, latest, keyCols, tsCol)
+        graft.ops.Maintenance.scd2Apply(prev, latest, keyCols, tsCol,
+            failOnOutOfOrder = failOnOutOfOrder)
           .write.mode("overwrite").parquet(s"$historyPath/version=$batchId")
     }
   }

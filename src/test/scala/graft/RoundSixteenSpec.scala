@@ -128,13 +128,24 @@ class RoundSixteenSpec extends AnyFunSuite {
       (4L, "gam ma alpha beta"), (5L, "betagamma"), (6L, "x")
     ).toDF("doc_id", "text")
     val postings = graft.search.SubstringIndex.trigramPostings(docs)
-    for (pat <- Seq("%alpha%gamma%", "%beta%", "%gamma", "alpha%",
-        "%a%b%", "%zz%")) {
+    // '_' patterns: the any-char wildcard must BREAK the literal
+    // segment for gram derivation ("gam_ma" requires "gam" and "ma",
+    // not the literal gram "m_m") or true matches drop — doc 4
+    // ("gam ma alpha beta") matches "%gam_ma%" only if '_' segments
+    val pats = Seq("%alpha%gamma%", "%beta%", "%gamma", "alpha%",
+      "%a%b%", "%zz%", "%gam_ma%", "%alpha_beta%", "%bet_%", "_lpha%",
+      "%al_ha_gamma%")
+    for (pat <- pats) {
       val got = graft.search.SubstringIndex.searchLike(docs, postings, pat)
         .collect().map(_.getLong(0)).toSet
       val want = docs.filter(lower(col("text")).like(pat.toLowerCase))
         .collect().map(_.getLong(0)).toSet
       assert(got === want, s"pattern $pat")
+    }
+    // escape sequences would desync gram derivation from the verify —
+    // rejected loudly, not silently wrong
+    intercept[IllegalArgumentException] {
+      graft.search.SubstringIndex.searchLike(docs, postings, "%100\\%%")
     }
   }
 
@@ -409,13 +420,14 @@ class RoundSixteenSpec extends AnyFunSuite {
       val merged = graft.ops.Maintenance.mergeHistograms(
         graft.ops.Maintenance.histogramState(a, "x", width),
         graft.ops.Maintenance.histogramState(b, "x", width))
-      assert(merged.except(full).isEmpty && full.except(merged).isEmpty,
+      assert(merged.buckets.except(full.buckets).isEmpty &&
+        full.buckets.except(merged.buckets).isEmpty,
         s"split seed $seed")
     }
     // the q-quantile read is the true quantile's bucket lower bound:
     // value_lo <= exact < value_lo + width
     val got = graft.ops.Maintenance
-      .histogramQuantiles(full, width, Seq(0.25, 0.5, 0.75))
+      .histogramQuantiles(full, Seq(0.25, 0.5, 0.75))
       .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
     val sorted = values.sorted
     for ((q, lo) <- got) {
