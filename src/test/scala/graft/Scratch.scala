@@ -404,6 +404,102 @@ object Scratch {
               println(s"rows=${agg.getLong(0)} minPos=${agg.getLong(1)} " +
                 s"maxPos=${agg.getLong(2)} distinct=${agg.getLong(3)} " +
                 (if (ok) "OK" else "MISMATCH"))
+            case "scd2" =>
+              // SCD-2 apply at a 20x change volume: a history over the
+              // full duplicated corpus (one current row per key, plus a
+              // closed version for 5% of keys) takes ONE batch touching
+              // EVERY key — half changed, a quarter value-identical
+              // no-ops, a quarter brand-new keys. Invariants: exact
+              // output-size identity (+1 row per changed key, +1 per
+              // new key), exactly one current row per key, zero
+              // crossed or overlapping intervals anywhere, and the
+              // ordering audit passes in-order but rejects a stale
+              // batch instead of writing inverted intervals.
+              def dt(x: String) = to_date(lit(x))
+              val history = big.select(col("doc_id").as("k"),
+                  md5(col("text")).as("v"), dt("2024-01-01").as("valid_from"),
+                  lit(null).cast("date").as("valid_to"))
+                .unionByName(big.filter(col("doc_id") % 20 === 7)
+                  .select(col("doc_id").as("k"), lit("old").as("v"),
+                    dt("2023-01-01").as("valid_from"),
+                    dt("2024-01-01").as("valid_to")))
+                .localCheckpoint(true)
+              val changed = big.filter(col("doc_id") % 4 < 2)
+                .select(col("doc_id").as("k"), md5(reverse(col("text"))).as("v"))
+              val fresh = big.filter(col("doc_id") % 4 === 3)
+                .select((col("doc_id") + 20000000L).as("k"), lit("new").as("v"))
+              val changes = changed
+                .unionByName(big.filter(col("doc_id") % 4 === 2)
+                  .select(col("doc_id").as("k"), md5(col("text")).as("v")))
+                .unionByName(fresh)
+                .withColumn("ts", dt("2024-06-01")).localCheckpoint(true)
+              val nHist = history.count()
+              val tApply = System.nanoTime()
+              val out = ops.Maintenance.scd2Apply(history, changes, Seq("k"),
+                failOnOutOfOrder = true).localCheckpoint(true)
+              val nOut = out.count()
+              val applySec = (System.nanoTime() - tApply) / 1e9
+              val sizeOk = nOut == nHist + changed.count() + fresh.count()
+              val cur = out.filter(col("valid_to").isNull).localCheckpoint(true)
+              val oneCur = cur.groupBy("k").count()
+                .filter(col("count") =!= 1).count() == 0
+              val crossed = out.filter(col("valid_to").isNotNull &&
+                col("valid_to") <= col("valid_from")).count()
+              val overlap = out.filter(col("valid_to").isNotNull)
+                .join(cur.select(col("k"), col("valid_from").as("cur_from")), "k")
+                .filter(col("valid_to") > col("cur_from")).count()
+              val rejected =
+                try {
+                  ops.Maintenance.scd2Apply(history,
+                    changes.withColumn("ts", dt("2020-01-01")), Seq("k"),
+                    failOnOutOfOrder = true).count()
+                  false
+                } catch { case _: IllegalArgumentException => true }
+              println(f"hist=$nHist out=$nOut applySec=$applySec%.2f " +
+                s"sizeOk=$sizeOk oneCurrent=$oneCur crossed=$crossed " +
+                s"overlap=$overlap staleRejected=$rejected " +
+                (if (sizeOk && oneCur && crossed == 0 && overlap == 0 &&
+                  rejected) "OK" else "MISMATCH"))
+            case "statemerge" =>
+              // mergeable aggregation states at 20x rows: for BOTH
+              // mergeCountSum and the width-carrying histogram state,
+              // merge(state(A), state(B)) over a disjoint split must
+              // EXACTLY equal state(A ∪ B) — multiset equality of the
+              // state tables, plus equal quantile reads. Sums are
+              // integer-valued doubles, so the equality is exact, not
+              // approximate.
+              val vals = big.select(col("doc_id"),
+                  (col("doc_id") % 1000).as("g"),
+                  length(col("text")).cast("double").as("x"))
+                .localCheckpoint(true)
+              val a = vals.filter(col("doc_id") % 2 === 0)
+              val b = vals.filter(col("doc_id") % 2 =!= 0)
+              def countSum(df: org.apache.spark.sql.DataFrame) =
+                df.groupBy("g").agg(count(lit(1)).as("n"), sum("x").as("total"))
+              val tCs = System.nanoTime()
+              val mergedCs = ops.Maintenance.mergeCountSum(
+                countSum(a), countSum(b), Seq("g")).localCheckpoint(true)
+              val csSec = (System.nanoTime() - tCs) / 1e9
+              val fullCs = countSum(vals)
+              val csDiff = mergedCs.exceptAll(fullCs).count() +
+                fullCs.exceptAll(mergedCs).count()
+              val tH = System.nanoTime()
+              val mergedH = ops.Maintenance.mergeHistograms(
+                ops.Maintenance.histogramState(a, "x", 5.0),
+                ops.Maintenance.histogramState(b, "x", 5.0))
+              val fullH = ops.Maintenance.histogramState(vals, "x", 5.0)
+              val hDiff = mergedH.buckets.exceptAll(fullH.buckets).count() +
+                fullH.buckets.exceptAll(mergedH.buckets).count()
+              val hSec = (System.nanoTime() - tH) / 1e9
+              val qm = ops.Maintenance.histogramQuantiles(mergedH,
+                Seq(0.25, 0.5, 0.75)).collect().map(_.getDouble(1)).toSeq
+              val qf = ops.Maintenance.histogramQuantiles(fullH,
+                Seq(0.25, 0.5, 0.75)).collect().map(_.getDouble(1)).toSeq
+              println(f"rows=${vals.count()} groups=${fullCs.count()} " +
+                f"csSec=$csSec%.2f hSec=$hSec%.2f csDiff=$csDiff " +
+                s"histDiff=$hDiff quantiles=$qm " +
+                (if (csDiff == 0 && hDiff == 0 && qm == qf) "OK"
+                else "MISMATCH"))
           }
         } else if (n == "idx-stem-nopersist") {
           search.Indexer.postings(search.Indexer.documents(spark, sfDir))

@@ -75,8 +75,10 @@ def main():
         if tag != "ok":
             print(f"{q:40s} {om:8.3f} {nm:8.3f} {ratio:7.2f}  {tag}")
     flagged = sum(1 for r in rows if r[4] != "ok")
-    to = sum(v[0] for v in old.values())
-    tn = sum(v[0] for v in new.values())
+    # totals over the SHARED set only: added/removed queries would
+    # otherwise skew the ratio and misread as drift
+    to = sum(old[q][0] for q in shared)
+    tn = sum(new[q][0] for q in shared)
     print(f"-- {len(shared)} shared queries, {flagged} flagged; "
           f"shared-total {to:.1f}s -> {tn:.1f}s "
           f"(x{tn / to:.2f}); only-old: {sorted(set(old) - set(new))}; "
