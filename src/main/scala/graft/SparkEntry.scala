@@ -125,6 +125,12 @@ object SparkEntry {
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** [[OracleNgramCte]] with the corpus swapped for another CTE/table —
+    * the incremental-clusters oracle shingles a UNION corpus.
+    */
+  private def ngramCteOver(src: String): String =
+    OracleNgramCte.replace("FROM documents)", s"FROM $src)")
+
   /** The raw-token DuckDB CTE mirroring Indexer.postings (minus
     * stemming): tokenize with the reference delimiter set, 1-based
     * positions over non-empty tokens, alnum/digit filters, tf, df,
@@ -1741,7 +1747,67 @@ object SparkEntry {
       Multimodal.resizeImages(media, 64, 64)
         .select(col("media_id"), col("kind"), col("width"), col("height"),
           length(col("payload")).as("byte_len"))
-    })
+    }),
+    // ---- round-7 additions ----
+    // Oracle-exact Lloyd k-means (seeds = 4 smallest vec_ids, one
+    // integer-scaled centroid update, argmax over 9-dp-rounded
+    // cosines): the DuckDB oracle replays the identical round unrolled
+    // — the clustering itself is oracle-checked, not just spec-pinned
+    "sim_kmeans" -> ((s, dir) =>
+      Similarity.kMeansExact(t(s, dir, "embeddings"), k = 4, rounds = 1)),
+    // Incremental connected components: the base half's pair list is
+    // contracted to its label table once; a delta batch (rest of the
+    // corpus + planted copies of base docs, ids above max(doc_id) at
+    // ANY scale factor) contributes only its cross pairs (crossJaccard,
+    // batch side broadcast) + intra pairs. Star edges from the labels
+    // preserve base connectivity exactly, so merge ≡ rebuild — the
+    // oracle computes clusters of the FULL union from scratch
+    "dedup_clusters_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val maxId = docs.agg(max("doc_id")).first().getAs[Number](0).longValue
+      val half = maxId / 2
+      val planted = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + maxId + 1).as("doc_id"), col("text"))
+      val base = docs.filter(col("doc_id") < half)
+      val delta = docs.filter(col("doc_id") >= half).unionByName(planted)
+      val baseLabels = Dedup.clusters(Dedup.ngramJaccard(base, 3, 0.05))
+      val cross = Dedup.crossJaccard(base, delta, 3, 0.05,
+        maxHeldoutDf = Int.MaxValue)
+      val intra = Dedup.ngramJaccard(delta, 3, 0.05)
+      Dedup.clustersIncremental(baseLabels,
+        cross.select("doc_a", "doc_b").unionByName(intra.select("doc_a", "doc_b")))
+    }),
+    // CCNet head/middle/tail perplexity thirds over the bigram-LM
+    // score — the published quality-bucketing design; tertiles via the
+    // scalable NTILE (no single-partition sort)
+    "text_perplexity_buckets" -> ((s, dir) =>
+      TextAnalysis.perplexityBuckets(t(s, dir, "documents"))),
+    // Keyed diff of two snapshot versions: delta-sized audit output
+    // (added / removed / changed + which columns), one full outer join
+    "q_snapshot_diff" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val newSnap = c.filter(col("c_custkey") % 10 =!= 1)
+        .select(col("c_custkey"), col("c_name"),
+          when(col("c_custkey") % 10 === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")).as("c_acctbal"),
+          when(col("c_custkey") % 10 === 2, (col("c_nationkey") + 1) % 25)
+            .otherwise(col("c_nationkey")).as("c_nationkey"))
+        .unionByName(c.filter(col("c_custkey") % 10 === 3)
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            concat(lit("clone of "), col("c_name")).as("c_name"),
+            lit(0.0).as("c_acctbal"), col("c_nationkey")))
+      Maintenance.snapshotDiff(c, newSnap, Seq("c_custkey"))
+    }),
+    // Target-size compaction plan over the documents "file" listing:
+    // bin = floor(exclusive running byte sum / 8 KiB), running sum via
+    // the two-level prefix-sum scaffold (no global-ORDER window)
+    "q_compaction_plan" -> ((s, dir) =>
+      Maintenance.compactionPlan(
+        t(s, dir, "documents")
+          .select(col("doc_id"), octet_length(col("text")).as("sz")),
+        "doc_id", "sz", targetBytes = 8192)
+        .select(col("doc_id"), col("bytes"), col("bin")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3541,6 +3607,142 @@ object SparkEntry {
     "q_ntile" ->
       """SELECT doc_id, n_chars,
         |       CAST(ntile(10) OVER (ORDER BY n_chars NULLS FIRST, doc_id) AS INT) AS tile
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // ---- round-7 additions ----
+    "sim_kmeans" ->
+      // the identical exact-arithmetic Lloyd round, unrolled: seed
+      // assignment -> integer-scaled centroid update -> final
+      // assignment; argmax over 9-dp-rounded cosines, ties to the
+      // smaller centroid id
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings),
+        |seeds AS (SELECT vec_id AS c_id, emb AS cvec FROM e
+        |          ORDER BY vec_id LIMIT 4),
+        |a1r AS (
+        |  SELECT e.vec_id, s.c_id,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY round(list_cosine_similarity(e.emb, s.cvec), 9)
+        |             DESC, s.c_id ASC) AS rn
+        |  FROM e CROSS JOIN seeds s),
+        |a1 AS (SELECT vec_id, c_id AS cluster FROM a1r WHERE rn = 1),
+        |u1 AS (
+        |  SELECT a1.cluster, t.i AS dim,
+        |         CAST(sum(CAST(floor(e.emb[t.i] * 1e9) AS BIGINT)) AS BIGINT) AS s,
+        |         count(*) AS n
+        |  FROM a1 JOIN e USING (vec_id),
+        |       unnest(generate_series(1, 64)) AS t(i)
+        |  GROUP BY 1, 2),
+        |c1new AS (
+        |  SELECT cluster AS c_id,
+        |         list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e9
+        |              ORDER BY dim) AS cvec
+        |  FROM u1 GROUP BY 1),
+        |c1 AS (
+        |  SELECT s.c_id, COALESCE(n.cvec, s.cvec) AS cvec
+        |  FROM seeds s LEFT JOIN c1new n USING (c_id)),
+        |a2r AS (
+        |  SELECT e.vec_id, c.c_id,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY round(list_cosine_similarity(e.emb, c.cvec), 9)
+        |             DESC, c.c_id ASC) AS rn
+        |  FROM e CROSS JOIN c1 c)
+        |SELECT vec_id, c_id AS cluster FROM a2r WHERE rn = 1""".stripMargin,
+    "dedup_clusters_incremental" ->
+      // full-recompute clusters over the UNION corpus (originals +
+      // planted copies of doc_id < 10 at max(doc_id)+1 offset) — the
+      // merge path must equal this exactly
+      ("WITH RECURSIVE uni AS (\n" +
+        "  SELECT doc_id, text FROM documents\n" +
+        "  UNION ALL\n" +
+        "  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text\n" +
+        "  FROM documents WHERE doc_id < 10),\n" +
+        ngramCteOver("uni") + ",\n" +
+        """pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.05),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |      UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a""".stripMargin),
+    "text_perplexity_buckets" ->
+      // the text_bigram_logprob score + SQL NTILE tertiles over
+      // (logprob, doc_id); tile 3 = highest logprob = head
+      """WITH t0 AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split(text, ' '), w -> lower(w)),
+        |                w -> w <> '') AS arr
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, arr[i] || ' ' || arr[i + 1] AS bigram
+        |  FROM t0, unnest(generate_series(1, len(arr) - 1)) AS u(i)
+        |  WHERE len(arr) >= 2),
+        |counts AS (SELECT bigram, count(*) AS freq FROM bi GROUP BY 1),
+        |ctx AS (
+        |  SELECT bigram, freq,
+        |         sum(freq) OVER (PARTITION BY string_split(bigram, ' ')[1])
+        |           AS ctx_total
+        |  FROM counts),
+        |lp AS (
+        |  SELECT doc_id,
+        |         round(avg(log10(CAST(freq AS DOUBLE) / ctx_total)), 6)
+        |           AS logprob
+        |  FROM bi JOIN ctx USING (bigram)
+        |  GROUP BY 1),
+        |nt AS (SELECT doc_id, logprob,
+        |              ntile(3) OVER (ORDER BY logprob, doc_id) AS tile
+        |       FROM lp)
+        |SELECT doc_id, logprob,
+        |       CASE tile WHEN 3 THEN 'head' WHEN 2 THEN 'middle'
+        |                 ELSE 'tail' END AS bucket
+        |FROM nt""".stripMargin,
+    "q_snapshot_diff" ->
+      // keyed full-outer diff; changed_cols = sorted comma-joined
+      // value columns whose values differ (NULL-safe)
+      """WITH o AS (SELECT c_custkey, c_name, c_acctbal, c_nationkey
+        |           FROM customer),
+        |n AS (
+        |  SELECT c_custkey, c_name,
+        |         CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0
+        |              ELSE c_acctbal END AS c_acctbal,
+        |         CASE WHEN c_custkey % 10 = 2 THEN (c_nationkey + 1) % 25
+        |              ELSE c_nationkey END AS c_nationkey
+        |  FROM customer WHERE c_custkey % 10 <> 1
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'clone of ' || c_name, 0.0, c_nationkey
+        |  FROM customer WHERE c_custkey % 10 = 3)
+        |SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+        |  CASE WHEN o.c_custkey IS NULL THEN 'added'
+        |       WHEN n.c_custkey IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status,
+        |  CASE WHEN o.c_custkey IS NOT NULL AND n.c_custkey IS NOT NULL THEN
+        |    concat_ws(',',
+        |      CASE WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal
+        |           THEN 'c_acctbal' END,
+        |      CASE WHEN o.c_name IS DISTINCT FROM n.c_name
+        |           THEN 'c_name' END,
+        |      CASE WHEN o.c_nationkey IS DISTINCT FROM n.c_nationkey
+        |           THEN 'c_nationkey' END)
+        |  END AS changed_cols
+        |FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey
+        |WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+        |   OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+        |   OR o.c_name IS DISTINCT FROM n.c_name
+        |   OR o.c_nationkey IS DISTINCT FROM n.c_nationkey""".stripMargin,
+    "q_compaction_plan" ->
+      // bin = floor(exclusive running byte sum / 8 KiB) in doc_id
+      // order; strlen = DuckDB byte length = Spark octet_length
+      """WITH p AS (
+        |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS bytes,
+        |         CAST(COALESCE(SUM(strlen(text)) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS pfx
+        |  FROM documents)
+        |SELECT doc_id, bytes,
+        |       CAST(floor(pfx / 8192.0) AS BIGINT) AS bin
+        |FROM p""".stripMargin
   )
 }

@@ -665,6 +665,40 @@ object Dedup {
       .localCheckpoint(true)
   }
 
+  /** Incremental connected components — the cluster-maintenance form
+    * of [[clusters]] for a continuously-ingesting near-dup pipeline:
+    * instead of re-running candidate generation + star contraction
+    * over the whole corpus when a batch arrives, fold the EXISTING
+    * label table and only the DELTA-touching pairs.
+    *
+    * The base pair list is equivalence-preserved by its label table:
+    * `doc_id -> cluster_id` star edges reproduce exactly the base
+    * connectivity (every member reaches its cluster min in one hop),
+    * so `clusters(starEdges ∪ newPairs) = clusters(basePairs ∪
+    * newPairs)` — merge ≡ rebuild, with the base side shrunk from
+    * edge-sized to node-sized and already contracted to depth 1
+    * (fewer star rounds). `newPairs` must be every qualifying pair
+    * with at least one endpoint in the batch (the batch×corpus cross
+    * pairs — [[crossJaccard]] with the batch as the broadcast side —
+    * plus the batch's intra pairs via [[ngramJaccard]]); pairs wholly
+    * inside the old corpus are already folded into the labels.
+    *
+    * Scale: the 100 TB corpus is never re-shuffled on shingle keys —
+    * candidate generation touches the batch (and one corpus scan for
+    * the cross pairs); contraction shuffles node-sized label edges
+    * plus the delta. A batch with no qualifying pairs costs one
+    * batch-sized scan.
+    */
+  def clustersIncremental(baseLabels: DataFrame, newPairs: DataFrame,
+                          aCol: String = "doc_a", bCol: String = "doc_b",
+                          maxIter: Int = 25): DataFrame = {
+    val starEdges = baseLabels
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(aCol), col("cluster_id").as(bCol))
+    clusters(starEdges.unionByName(newPairs.select(aCol, bCol)),
+      aCol, bCol, maxIter)
+  }
+
   /** Append-only exact dedup — the incremental form of [[exact]] for a
     * continuously-ingesting pipeline: given the at-rest digest table of
     * the already-ingested corpus, classify each arriving document as

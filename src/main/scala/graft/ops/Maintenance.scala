@@ -428,4 +428,97 @@ object Maintenance {
           coalesce(col("__ds"), lit(0).cast(sumType)))
           .cast(sumType).as(sumCol): _*)
   }
+
+  /** Keyed diff of two snapshot versions — the audit half of the
+    * versioned-store family ([[upsert]] / [[scd2Apply]] /
+    * `pruneSnapshotVersions`): WHAT changed between version A and
+    * version B, as one row per differing key with
+    * `status ∈ {added, removed, changed}` and, for changed rows, the
+    * sorted comma-joined list of value columns whose values differ
+    * (NULL-safe: NULL→x and x→NULL both count as a change, NULL→NULL
+    * does not). Unchanged keys produce NO row, so the output is
+    * delta-sized — the property that makes snapshot diffing usable as
+    * a 100 TB regression gate (diff two daily versions, alert on an
+    * unexpected churn profile) rather than a full-table dump.
+    *
+    * Both inputs must share the full schema; keys must be unique per
+    * side (the versioned-store invariant [[upsert]] maintains).
+    *
+    * Scale: one full outer join — one shuffle of each side on the
+    * key, delta-sized output. With both versions bucketed on the key
+    * at rest ([[graft.ops.Bucketing]]) the shuffle disappears
+    * entirely; there is no window, no collect, no skew-prone
+    * secondary key.
+    */
+  def snapshotDiff(oldSnap: org.apache.spark.sql.DataFrame,
+                   newSnap: org.apache.spark.sql.DataFrame,
+                   keyCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(oldSnap.columns.sorted.sameElements(newSnap.columns.sorted),
+      s"snapshot schemas differ: ${oldSnap.columns.mkString(",")} vs " +
+        newSnap.columns.mkString(","))
+    val valueCols = oldSnap.columns.filterNot(keyCols.contains).toSeq
+    // rename the new side wholesale: after a full outer join both
+    // sides' columns survive and bare names would be ambiguous
+    val n = newSnap.select(
+      keyCols.map(k => col(k).as(s"__nk_$k")) ++
+        valueCols.map(c => col(c).as(s"__n_$c")) :+
+        lit(true).as("__np"): _*)
+    val o = oldSnap.select(
+      keyCols.map(col) ++ valueCols.map(col) :+ lit(true).as("__op"): _*)
+    val cond = keyCols.map(k => o(k) <=> n(s"__nk_$k")).reduce(_ && _)
+    val diffs = valueCols.map(c =>
+      when(!(col(c) <=> col(s"__n_$c")), lit(c)))
+    o.join(n, cond, "full_outer")
+      .withColumn("status",
+        when(col("__op").isNull, lit("added"))
+          .otherwise(when(col("__np").isNull, lit("removed"))
+            .otherwise(lit("changed"))))
+      // concat_ws skips NULLs, so unchanged columns vanish; the column
+      // order is the (fixed) schema order — deterministic, and sorted
+      // there so both engines emit the identical string
+      .withColumn("changed_cols",
+        when(col("status") === "changed",
+          concat_ws(",", valueCols.sorted.map(c =>
+            when(!(col(c) <=> col(s"__n_$c")), lit(c))): _*))
+          .otherwise(lit(null)))
+      .filter(col("status") =!= "changed" || col("changed_cols") =!= "")
+      .select(keyCols.map(k => coalesce(col(k), col(s"__nk_$k")).as(k)) :+
+        col("status") :+ col("changed_cols"): _*)
+  }
+
+  /** Target-size compaction plan: assign items (files, row groups,
+    * documents) to output bins of roughly `targetBytes` by cumulative
+    * size in a stable total order — `bin = floor(exclusive running
+    * byte sum / targetBytes)`, i.e. a bin closes once the running sum
+    * crosses the next multiple of the target, and an item straddling
+    * a boundary belongs to the bin where it STARTS (so bins can
+    * exceed the target by at most one item — the same batching
+    * contract as Spark's own file-scan packing; no item is ever
+    * split). Returns the input plus `bytes` and `bin`.
+    *
+    * The running sum comes from [[ScalableRank]]'s two-level
+    * exclusive-prefix-sum scaffold, NOT `SUM() OVER (ORDER BY …)` —
+    * a global-ORDER window plans as a single-partition sort, the one
+    * shape that cannot survive a 100 TB file listing. Here the
+    * row-sized work stays partitioned by an explicit monotone bucket
+    * of the order key; only per-bucket totals (two longs each) cross
+    * one partition.
+    *
+    * `orderCol` must be integral and unique (it is both the packing
+    * order and the prefix-sum tie-break); `sizeCol` must be
+    * non-negative.
+    */
+  def compactionPlan(items: org.apache.spark.sql.DataFrame,
+                     orderCol: String, sizeCol: String, targetBytes: Long,
+                     bucketWidth: Long = 1L << 10)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    ScalableRank.prefixSumBy(items, orderCol, sizeCol, bucketWidth)
+      .withColumn("bytes", col(sizeCol).cast("long"))
+      .withColumn("bin", floor(col("__prefix") / targetBytes))
+      .drop("__prefix")
+  }
 }

@@ -141,6 +141,48 @@ object ScalableRank {
       .drop("__b", "__rb")
   }
 
+  /** Exclusive global running sum of `valueCol` in `orderCol` order
+    * (integral, unique, NULLS FIRST), as `__prefix` — the raw
+    * two-level scaffold for cumulative-size planning
+    * ([[Maintenance.compactionPlan]]). Same contract as
+    * [[globalRowNumber]] with the row count replaced by a value.
+    */
+  def prefixSumBy(df: DataFrame, orderCol: String, valueCol: String,
+                  bucketWidth: Long = 1L << 10): DataFrame =
+    exclusivePrefixSum(df, integralBucket(df, orderCol, bucketWidth),
+      Seq(col(orderCol).asc_nulls_first), col(valueCol))
+
+  /** [[globalNtile]] with a caller-supplied order and bucket — for
+    * non-integral order keys (e.g. a rounded double score): `bucket`
+    * must be integral and monotone non-decreasing in `orderCols`, and
+    * `orderCols` must be unique per row. The tile split is the same
+    * SQL NTILE arithmetic, so a single-partition
+    * `NTILE(k) OVER (ORDER BY …)` oracle reproduces it exactly.
+    */
+  def globalNtileBy(df: DataFrame, tiles: Int, orderCols: Seq[Column],
+                    bucket: Column, outCol: String = "tile"): DataFrame = {
+    require(tiles > 0, s"tiles must be positive, got $tiles")
+    exclusivePrefixSum(df, bucket, orderCols, lit(1L), withTotal = true)
+      .withColumn("__gr", col("__prefix") + 1)
+      .withColumnRenamed("__total", "__n")
+      .withColumn(outCol, ntileExpr(tiles))
+      .drop("__prefix", "__gr", "__n")
+  }
+
+  /** The SQL NTILE arithmetic over `__gr` (1-based global rank) and
+    * `__n` (total rows) — shared by [[globalNtile]] and
+    * [[globalNtileBy]].
+    */
+  private def ntileExpr(tiles: Int): Column =
+    expr(s"""CASE
+            |  WHEN __n DIV $tiles = 0 THEN __gr
+            |  WHEN __gr <= (__n % $tiles) * (__n DIV $tiles + 1)
+            |    THEN (__gr - 1) DIV (__n DIV $tiles + 1) + 1
+            |  ELSE (__n % $tiles)
+            |    + (__gr - 1 - (__n % $tiles) * (__n DIV $tiles + 1))
+            |      DIV (__n DIV $tiles) + 1
+            |END""".stripMargin).cast("int")
+
   /** SQL-standard NTILE over the same scalable global order: the first
     * `n mod tiles` tiles hold `ceil(n/tiles)` rows, the rest
     * `floor(n/tiles)` — bit-identical to `NTILE(k) OVER (ORDER BY ...)`
@@ -157,15 +199,7 @@ object ScalableRank {
       withTotal = true)
       .withColumn("__gr", col("__prefix") + 1)
       .withColumnRenamed("__total", "__n")
-      .withColumn(outCol,
-        expr(s"""CASE
-                 |  WHEN __n DIV $tiles = 0 THEN __gr
-                 |  WHEN __gr <= (__n % $tiles) * (__n DIV $tiles + 1)
-                 |    THEN (__gr - 1) DIV (__n DIV $tiles + 1) + 1
-                 |  ELSE (__n % $tiles)
-                 |    + (__gr - 1 - (__n % $tiles) * (__n DIV $tiles + 1))
-                 |      DIV (__n DIV $tiles) + 1
-                 |END""".stripMargin).cast("int"))
+      .withColumn(outCol, ntileExpr(tiles))
       .drop("__prefix", "__gr", "__n")
   }
 

@@ -192,6 +192,79 @@ object Similarity {
     (assigned, centroids)
   }
 
+  /** Oracle-exact Lloyd k-means — the cross-engine-REPRODUCIBLE
+    * clustering primitive (SemDeDup-style corpus partitioning, IVF
+    * coarse quantizers, topic bucketing). [[ivfTrain]]'s rounded-mean
+    * update is partitioning-invariant but not bit-portable (the
+    * double `avg` sums in partition order); here every source of
+    * run-to-run or engine-to-engine wobble is removed:
+    *
+    *  - seeds: the `k` smallest `vec_id`s (no hash, no RNG);
+    *  - assignment: argmax of cosine ROUNDED to 9 dp, ties to the
+    *    smallest centroid id — a flip needs two centroids within
+    *    1e-9 of each other;
+    *  - update: per-dimension means from INTEGER-scaled sums —
+    *    `sum(floor(component * 1e9))` as a long is
+    *    associative-commutative EXACTLY, then one double division
+    *    sequence (`s / n / 1e9`) both engines execute identically.
+    *
+    * The result is decided by exact integer arithmetic plus fixed
+    * IEEE expression sequences, so a SQL engine can replay it
+    * unrolled (the `sim_kmeans` DuckDB oracle does). Long-sum
+    * headroom: |component| <= 9 means overflow needs > 1e9 members
+    * per cluster per dimension — raise the scale factor down to 1e6
+    * before that corpus exists.
+    *
+    * `rounds` = centroid updates; assignments run `rounds + 1` times
+    * (seed assignment included). Empty clusters keep their previous
+    * centroid. Per round: one embeddings scan for the re-assignment,
+    * one k×dims-sized collect (model, not data) — same shape as
+    * [[ivfTrain]]. Returns `(vec_id, cluster)`.
+    */
+  def kMeansExact(embeddings: DataFrame, k: Int, rounds: Int = 1): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rounds >= 0, s"rounds must be >= 0: $rounds")
+    val e = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    var cents: Array[(Long, Array[Double])] = e.orderBy("vec_id").limit(k)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+    def assign(cs: Array[(Long, Array[Double])]): DataFrame = {
+      val centArr = array(cs.toIndexedSeq.map { case (cid, v) =>
+        struct(lit(cid).as("cid"), array(v.toIndexedSeq.map(lit): _*).as("cvec"))
+      }: _*)
+      // argmax via array_min over (-cos9, cid) structs: smallest
+      // negated rounded cosine = largest cosine, ties to smallest cid
+      e.select(col("vec_id"), col("emb"),
+        array_min(transform(centArr, c =>
+          struct((-round(cosineCol(col("emb"), c.getField("cvec")), 9))
+            .as("negcos"), c.getField("cid").as("cid"))))
+          .getField("cid").as("cluster"))
+    }
+
+    var assigned = assign(cents).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val sums = assigned
+        .select(col("cluster"), posexplode(col("emb")).as(Seq("dim", "v")))
+        .groupBy("cluster", "dim")
+        .agg(sum(floor(col("v") * lit(1e9))).as("s"), count("*").as("n"))
+        .collect()
+      val updated: Map[Long, Array[Double]] = sums.groupBy(_.getLong(0))
+        .map { case (c, rows) =>
+          val dims = cents.head._2.length
+          val vec = new Array[Double](dims)
+          rows.foreach { r =>
+            vec(r.getInt(1)) = r.getLong(2).toDouble / r.getLong(3).toDouble / 1e9
+          }
+          (c, vec)
+        }
+      cents = cents.map { case (cid, prev) => (cid, updated.getOrElse(cid, prev)) }
+      assigned = assign(cents).localCheckpoint(true)
+    }
+    assigned.select("vec_id", "cluster")
+  }
+
   /** Product-quantization training + corpus encoding: the embedding is
     * cut into `m` equal sub-vectors and each subspace learns its own
     * `k`-centroid codebook (Lloyd rounds, L2 within the subspace — the

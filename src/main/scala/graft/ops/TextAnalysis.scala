@@ -905,6 +905,41 @@ object TextAnalysis {
         .as("avg_bigram_logprob"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): rank every
+    * document by its LM score ([[bigramLogProb]]) and split the corpus
+    * into equal thirds — `head` (highest log-prob = lowest perplexity,
+    * the cleanest slice), `middle`, `tail` (the noisiest, typically
+    * dropped or down-weighted when building a training mix). CCNet
+    * computes the thirds PER LANGUAGE over a wiki-trained 5-gram LM;
+    * the bucketing mechanics here are the published design with this
+    * library's in-corpus bigram LM as the scorer (compose with
+    * [[stupidBackoff]] for a held-out LM, or `groupBy(lang)` upstream
+    * for per-language thirds).
+    *
+    * The tertile split is [[ScalableRank.globalNtileBy]] — SQL-NTILE
+    * arithmetic over the scalable two-level prefix-sum order, never a
+    * single-partition sort of the corpus. Order is (logprob ROUNDED
+    * to 6 dp, doc_id): the rounding makes the rank order engine-
+    * portable (the `text_bigram_logprob` precedent), the unique
+    * doc_id makes it total. Docs with fewer than two tokens have no
+    * score and drop (the [[bigramLogProb]] contract).
+    *
+    * @return (doc_id, logprob, bucket ∈ {head, middle, tail})
+    */
+  def perplexityBuckets(docs: DataFrame,
+                        textCol: String = "text"): DataFrame = {
+    val lp = bigramLogProb(docs, textCol)
+      .select(col("doc_id"), round(col("avg_bigram_logprob"), 6).as("logprob"))
+    ScalableRank.globalNtileBy(lp, 3,
+      Seq(col("logprob").asc, col("doc_id").asc),
+      floor(col("logprob") * 10), outCol = "tile")
+      .withColumn("bucket",
+        when(col("tile") === 3, "head")
+          .when(col("tile") === 2, "middle")
+          .otherwise("tail"))
+      .select("doc_id", "logprob", "bucket")
+  }
+
   /** Stupid Backoff (Brants et al. 2007) bigram scoring against a
     * HELD-OUT language model: each in-doc bigram (a b) scores
     * `log10(c(a b) / c(a ·))` when the LM saw the bigram, else backs
