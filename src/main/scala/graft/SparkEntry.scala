@@ -1735,6 +1735,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_frames"),
           sum("byte_len").as("total_frame_bytes"))
     }),
+    // REAL per-frame PIXEL decode (closes the r6 "no JDK video codec"
+    // stub for MJPEG): each video row becomes an MJPEG-AVI whose
+    // SAMPLED frames (every 30th) are real JPEGs of deterministic dims
+    // 16+(id+i)%16 x 16+(id+i)%12 (unsampled frames are junk bytes the
+    // decoder must never touch), then videoFrameDecode walks the
+    // container and ImageIO-decodes just the sampled byte ranges. The
+    // oracle predicts the DECODED dimensions — a stub echoing metadata
+    // or a decode of the wrong byte range cannot match.
+    "media_video_decode" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val mkAvi = udf { (id: Long, n: Int, w: Int, h: Int) =>
+        val frames = (0 until n).map { i =>
+          if (i % 30 == 0)
+            Multimodal.MediaCodec.syntheticJpegFrame(
+              16 + ((id + i) % 16).toInt, 16 + ((id + i) % 12).toInt, id + i)
+          else Array.tabulate[Byte](4)(j => ((id + i + j) & 0xff).toByte)
+        }
+        Multimodal.AviContainer.write(frames, w, h)
+      }
+      val media = Multimodal.syntheticMedia(t(s, dir, "documents"))
+        .filter(col("kind") === "video")
+        .withColumn("payload",
+          mkAvi(col("media_id"), col("n_frames"), col("width"), col("height")))
+        .as[Multimodal.MediaRecord]
+      Multimodal.videoFrameDecode(media, 30)
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_decoded"),
+          sum("width").as("sum_width"),
+          sum("height").as("sum_height"))
+    }),
     // resize stage end-to-end: synthetic payloads are not decodable
     // images, so the metadata-scaling stub path runs (the real ImageIO
     // path is pinned by RoundTwoSpec's PNG round-trip tests) — its
@@ -2640,6 +2671,17 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_frames,
         |       CAST(sum(10 + (d.doc_id + g.i) % 50) AS BIGINT) AS total_frame_bytes
         |FROM documents d, generate_series(0, 299) g(i)
+        |WHERE d.doc_id % 3 = 2 AND g.i <= d.doc_id % 300
+        |GROUP BY 1""".stripMargin,
+    // predicts the PIXEL-decoded dims of every sampled MJPEG frame in
+    // closed form — only a real JPEG decode of the correctly-sliced
+    // chunk bytes reproduces them
+    "media_video_decode" ->
+      """SELECT d.doc_id AS media_id,
+        |       CAST(count(*) AS BIGINT) AS n_decoded,
+        |       CAST(sum(16 + (d.doc_id + g.i) % 16) AS BIGINT) AS sum_width,
+        |       CAST(sum(16 + (d.doc_id + g.i) % 12) AS BIGINT) AS sum_height
+        |FROM documents d, generate_series(0, 299, 30) g(i)
         |WHERE d.doc_id % 3 = 2 AND g.i <= d.doc_id % 300
         |GROUP BY 1""".stripMargin,
     "media_features" ->

@@ -10,12 +10,14 @@ import org.apache.spark.sql.functions._
   * real (`javax.imageio`) and the AUDIO codec is real for PCM
   * WAV/AIFF/AU (`javax.sound.sampled`) — both ship with the JDK. VIDEO
   * is real at the CONTAINER level ([[Multimodal.AviContainer]]: RIFF
-  * chunk walk over MJPEG-AVI — frame counts/offsets/sizes with no
-  * pixel decode; animated GIF additionally pixel-decodes via ImageIO);
-  * per-frame PIXEL decode of other codecs has no JDK implementation
-  * and falls back to the deterministic stub, so pipelines over
-  * mixed/raw corpora never throw. Swap the stub for JavaCPP/FFmpeg
-  * without touching any plumbing.
+  * chunk walk over any AVI — frame counts/offsets/sizes with no pixel
+  * decode) AND at the PIXEL level for the two formats whose frames a
+  * JDK codec can decode: MJPEG-AVI (each `##dc` chunk is a standalone
+  * JPEG — [[Multimodal.videoFrameDecode]]) and animated GIF (multi-
+  * frame ImageIO read). Codecs with no JDK implementation (H.264 etc.,
+  * non-PCM audio) fall back to the deterministic stub, so pipelines
+  * over mixed/raw corpora never throw. Swap the stub for
+  * JavaCPP/FFmpeg without touching any plumbing.
   */
 object Multimodal {
 
@@ -86,6 +88,27 @@ object Multimodal {
       val bos = new ByteArrayOutputStream()
       ImageIO.write(img, "png", bos)
       bos.toByteArray
+    }
+
+    def encodeJpeg(img: BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+
+    /** Deterministic solid-color JPEG of exact dims `w x h` — the
+      * test/bench stand-in for a real MJPEG frame (the corpus has no
+      * real videos). Only the DIMENSIONS are asserted downstream, so
+      * JPEG encoder variation across JVMs can't break an oracle.
+      */
+    def syntheticJpegFrame(w: Int, h: Int, seed: Long): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try {
+        g.setColor(new java.awt.Color(((seed * 2654435761L) & 0xffffffL).toInt))
+        g.fillRect(0, 0, w, h)
+      } finally g.dispose()
+      encodeJpeg(img)
     }
 
     /** Image features after a real decode: output dims, per-channel RGB
@@ -293,8 +316,17 @@ object Multimodal {
           case Some(frames) =>
             frames.iterator.map { case (f, png) => Frame(m.media_id, f, png.length) }
           case None =>
-            (0 until m.n_frames by math.max(1, everyN)).iterator
-              .map(f => Frame(m.media_id, f, m.payload.length / math.max(m.n_frames, 1)))
+            // AVI payload: REAL frame sizes from the container walk (no
+            // pixel decode needed for sizes) — only non-container bytes
+            // fall through to the metadata stub
+            AviContainer.frameIndex(m.payload) match {
+              case Some(idx) if idx.nonEmpty =>
+                idx.iterator.filter(_._1 % math.max(1, everyN) == 0)
+                  .map { case (f, _, len) => Frame(m.media_id, f, len) }
+              case _ =>
+                (0 until m.n_frames by math.max(1, everyN)).iterator
+                  .map(f => Frame(m.media_id, f, m.payload.length / math.max(m.n_frames, 1)))
+            }
         }
       }
     }
@@ -444,6 +476,58 @@ object Multimodal {
       }
       walk(12L, end, inMovi = false)
       Some(frames.toSeq)
+    }
+
+    /** REAL pixel decode of an MJPEG-AVI's sampled frames: every
+      * `##dc` chunk in an MJPEG stream is a standalone JPEG, and JPEG
+      * IS a JDK codec — so the walk ([[frameIndex]]) finds the sampled
+      * frames and `javax.imageio` decodes just their bytes. Frames
+      * `0, everyN, 2·everyN, …`; skipped frames are never sliced or
+      * decoded (the ranged-read discipline a 100 TB decode stage
+      * needs — index once, then touch only the sampled byte ranges).
+      * A sampled chunk that is not decodable (a non-MJPEG stream in an
+      * AVI wrapper) yields no entry rather than throwing; None when
+      * the bytes are not a RIFF/AVI container at all.
+      */
+    def decodeSampledFrames(avi: Array[Byte], everyN: Int)
+        : Option[Seq[(Int, java.awt.image.BufferedImage)]] =
+      frameIndex(avi).map { frames =>
+        val step = math.max(1, everyN)
+        frames.iterator
+          .filter { case (no, _, _) => no % step == 0 }
+          .flatMap { case (no, off, len) =>
+            MediaCodec.decodeImage(
+              java.util.Arrays.copyOfRange(avi, off.toInt, off.toInt + len))
+              .map(img => (no, img))
+          }.toSeq
+      }
+  }
+
+  /** One pixel-decoded video frame: dimensions come from the actual
+    * JPEG decode, not container metadata — a wrong decode cannot echo
+    * the input.
+    */
+  final case class DecodedFrame(media_id: Long, frame_no: Int,
+                                width: Int, height: Int)
+
+  /** Pixel-decode the sampled frames of every MJPEG-AVI payload — the
+    * stage after [[videoFrameIndex]] in a real ingest: index first
+    * (cheap, all container walks), then decode only the sampled frame
+    * ranges. One `mapPartitions` pass, bytes never leave the executor;
+    * non-AVI payloads and non-JPEG frame streams produce no rows, so a
+    * mixed corpus filters itself, same contract as [[videoFrameIndex]].
+    */
+  def videoFrameDecode(media: Dataset[MediaRecord], everyN: Int)(
+      implicit spark: SparkSession): Dataset[DecodedFrame] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        AviContainer.decodeSampledFrames(m.payload, everyN) match {
+          case Some(frames) => frames.iterator.map { case (no, img) =>
+            DecodedFrame(m.media_id, no, img.getWidth, img.getHeight) }
+          case None => Iterator.empty
+        }
+      }
     }
   }
 

@@ -436,6 +436,52 @@ class RoundSixteenSpec extends AnyFunSuite {
     }
   }
 
+  test("MJPEG pixel decode: sampled frames decode to their exact dims") {
+    // real JPEGs at sampled positions, junk elsewhere — the decoder
+    // must slice exactly the sampled chunks and pixel-decode them
+    val dims = Seq((17, 23), (31, 19), (24, 24), (40, 16), (16, 40))
+    val fs = dims.zipWithIndex.flatMap { case ((w, h), i) =>
+      Multimodal.MediaCodec.syntheticJpegFrame(w, h, i.toLong) ::
+        List.fill(2)(Array[Byte](1, 2, 3)) // junk frames, never sampled
+    }
+    val avi = AviContainer.write(fs, 64, 64)
+    val got = AviContainer.decodeSampledFrames(avi, 3).get
+    assert(got.map(_._1) === Seq(0, 3, 6, 9, 12))
+    assert(got.map { case (_, img) => (img.getWidth, img.getHeight) } === dims)
+    // non-JPEG sampled chunks skip cleanly instead of throwing
+    val junkAvi = AviContainer.write(frames(8, 8, 8), 16, 16)
+    assert(AviContainer.decodeSampledFrames(junkAvi, 1).get.isEmpty)
+    // non-AVI bytes: None, same contract as frameIndex
+    assert(AviContainer.decodeSampledFrames("nope".getBytes, 1).isEmpty)
+  }
+
+  test("videoFrameDecode emits decoded dims per sampled frame, skips non-AVI") {
+    implicit val sp: SparkSession = spark
+    import sp.implicits._
+    val avi1 = AviContainer.write(Seq(
+      Multimodal.MediaCodec.syntheticJpegFrame(20, 10, 1L),
+      Array[Byte](9, 9), // unsampled junk
+      Multimodal.MediaCodec.syntheticJpegFrame(12, 34, 2L)), 64, 64)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "video", avi1, 64, 64, 0, 3),
+      Multimodal.MediaRecord(2L, "video", "garbage".getBytes, 8, 8, 0, 5)).toDS()
+    val got = Multimodal.videoFrameDecode(media, 2).collect().sortBy(_.frame_no)
+    assert(got.toSeq === Seq(
+      Multimodal.DecodedFrame(1L, 0, 20, 10),
+      Multimodal.DecodedFrame(1L, 2, 12, 34)))
+  }
+
+  test("sampleFrames uses real container frame sizes for AVI payloads") {
+    implicit val sp: SparkSession = spark
+    import sp.implicits._
+    val avi = AviContainer.write(frames(10, 25, 40, 7, 13, 9), 16, 16)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "video", avi, 16, 16, 0, 6)).toDS()
+    val got = Multimodal.sampleFrames(media, 2).collect().sortBy(_.frame_no)
+    // frames 0, 2, 4 with their TRUE chunk sizes, not payload/n_frames
+    assert(got.map(f => (f.frame_no, f.byte_len)).toSeq === Seq((0, 10), (2, 40), (4, 13)))
+  }
+
   test("videoFrameIndex filters non-AVI rows and preserves per-media counts") {
     implicit val sp: SparkSession = spark
     import sp.implicits._
