@@ -292,6 +292,91 @@ object Maintenance {
     }.reduce(_ unionByName _)
   }
 
+  /** Mergeable DISTINCT-COUNT state: a KMV (k-minimum-values) sketch
+    * per group key, stored RELATIONALLY as `(keys..., h)` rows — the
+    * k smallest distinct `xxhash64` values of the counted column
+    * (public design: Bar-Yossef et al. 2002 "Counting distinct
+    * elements in a data stream"; the θ-sketch family). The estimator
+    * is EXACT while a group holds fewer than k distinct values (the
+    * state IS the distinct hash set) and (k-1)/θ once it saturates,
+    * with standard error ≈ 1/√(k−2) — so the same state that is an
+    * exact incremental COUNT(DISTINCT) at validation scale degrades
+    * gracefully into a bounded-error sketch at 100 TB, where the
+    * exact recompute would rescan the corpus.
+    *
+    * Contract with [[mergeCountSum]]/[[HistState]]: the state of a
+    * row-partition union is EXACTLY `mergeKmv` of the parts' states
+    * (min-k of a union = min-k of the union of min-k's — proven by
+    * the merge-equals-rebuild spec), so appending a batch to a fact
+    * table re-sketches ONLY the batch. State size ≤ k rows per group.
+    *
+    * Build is two-level like a map-side combine: each input partition
+    * contracts to its own ≤ k hashes per group FIRST (the
+    * `spark_partition_id` pre-group bounds every `collect_set` buffer
+    * by one partition's rows), then the global contraction merges
+    * partials — no corpus-sized per-key set ever materializes.
+    */
+  final case class KmvState(k: Int, mins: org.apache.spark.sql.DataFrame) {
+    require(k >= 2, s"k must be >= 2: $k")
+  }
+
+  def kmvState(df: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+               valueCol: String, k: Int): KmvState = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "need at least one key column")
+    val partial = df
+      .filter(col(valueCol).isNotNull)
+      .select(keyCols.map(col) :+ xxhash64(col(valueCol)).as("h") :+
+        spark_partition_id().as("__pid"): _*)
+      .groupBy((keyCols :+ "__pid").map(col): _*)
+      .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("__hs"))
+      .select(keyCols.map(col) :+ explode(col("__hs")).as("h"): _*)
+    KmvState(k, contract(partial, keyCols, k))
+  }
+
+  /** Re-contract a hash-row table to ≤ k smallest distinct per group. */
+  private def contract(rows: org.apache.spark.sql.DataFrame,
+                       keyCols: Seq[String], k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    rows.groupBy(keyCols.map(col): _*)
+      .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("__hs"))
+      .select(keyCols.map(col) :+ explode(col("__hs")).as("h"): _*)
+  }
+
+  /** Merge two KMV states over the same grouping: union + re-contract.
+    * Equals the full rebuild over the unioned inputs at ANY split.
+    */
+  def mergeKmv(a: KmvState, b: KmvState, keyCols: Seq[String]): KmvState = {
+    require(a.k == b.k,
+      s"cannot merge KMV states with different k: ${a.k} vs ${b.k}")
+    KmvState(a.k, contract(a.mins.unionByName(b.mins), keyCols, a.k))
+  }
+
+  /** Read the distinct-count estimate per group: exact row count below
+    * k; `(k-1)/θ` at saturation, where θ is the k-th smallest hash
+    * normalized into (0,1) over the full unsigned 64-bit hash space.
+    * Output `n_distinct` is BIGINT (rounded at saturation) so the
+    * schema — and, below k, the VALUE — matches an exact
+    * `COUNT(DISTINCT)`.
+    */
+  def kmvDistinct(state: KmvState, keyCols: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    // unsigned normalization: map the signed Long hash range onto
+    // (0,1); the greatest() floor keeps the (ANSI-throwing) division
+    // defined even for the 2^-64 corner hash
+    val theta = greatest(
+      max(col("h")).cast("double") / pow(lit(2d), lit(64d)) + lit(0.5),
+      lit(java.lang.Double.MIN_VALUE))
+    state.mins.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"), theta.as("__theta"))
+      .select(keyCols.map(col) :+
+        when(col("__n") < state.k, col("__n"))
+          .otherwise(round(lit(state.k - 1) / col("__theta")))
+          .cast("long").as("n_distinct"): _*)
+  }
+
   /** SCD-2 MERGE: apply a change batch to a versioned history table,
     * returning the new history — the warehouse `valid_from`/`valid_to`
     * interval pattern ([[upsert]] is the SCD-1 "overwrite in place"

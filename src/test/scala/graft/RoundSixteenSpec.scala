@@ -436,6 +436,45 @@ class RoundSixteenSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV distinct state: merge equals rebuild at any split; exact below k, bounded above") {
+    implicit val sp: SparkSession = spark
+    import sp.implicits._
+    import graft.ops.Maintenance
+    val rnd = new scala.util.Random(7)
+    // group g0 stays below k (exact regime); g1/g2 saturate the sketch
+    val rows = (1 to 5000).map { i =>
+      val g = i % 3
+      (s"g$g", rnd.nextInt(if (g == 0) 40 else if (g == 1) 800 else 2500))
+    }
+    val df = rows.toDF("k", "v")
+    val full = Maintenance.kmvState(df, Seq("k"), "v", k = 64)
+    for (seed <- 1 to 3) {
+      val r2 = new scala.util.Random(seed)
+      val flags = rows.map(_ => r2.nextBoolean())
+      val a = rows.zip(flags).collect { case (r, true) => r }.toDF("k", "v")
+      val b = rows.zip(flags).collect { case (r, false) => r }.toDF("k", "v")
+      val merged = Maintenance.mergeKmv(
+        Maintenance.kmvState(a, Seq("k"), "v", 64),
+        Maintenance.kmvState(b, Seq("k"), "v", 64), Seq("k"))
+      assert(merged.mins.except(full.mins).isEmpty &&
+        full.mins.except(merged.mins).isEmpty, s"split seed $seed")
+    }
+    // mismatched k must be rejected, same contract as mergeHistograms
+    intercept[IllegalArgumentException] {
+      Maintenance.mergeKmv(full,
+        Maintenance.kmvState(df, Seq("k"), "v", 128), Seq("k"))
+    }
+    val est = Maintenance.kmvDistinct(full, Seq("k")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = rows.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    assert(est("g0") === truth("g0").toLong) // below k: exact, not approximate
+    for (g <- Seq("g1", "g2")) { // saturated: ~4 standard errors
+      val rel = math.abs(est(g).toDouble / truth(g) - 1)
+      assert(rel < 4.0 / math.sqrt(62.0),
+        s"$g est=${est(g)} true=${truth(g)} rel=$rel")
+    }
+  }
+
   test("MJPEG pixel decode: sampled frames decode to their exact dims") {
     // real JPEGs at sampled positions, junk elsewhere — the decoder
     // must slice exactly the sampled chunks and pixel-decode them
