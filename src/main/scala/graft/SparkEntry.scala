@@ -595,6 +595,18 @@ object SparkEntry {
     "xml_roundtrip" -> ((s, dir) =>
       graft.sources.XmlScan.parsePages(
         graft.sources.XmlScan.toPageXml(t(s, dir, "documents")))),
+    // JSONL codec round trip (the ingest format LLM corpora actually
+    // ship in): to_json → from_json under the explicit schema, a
+    // map-only codegen'd round trip — any escaping/unicode/null
+    // asymmetry between the two directions breaks the hash
+    "jsonl_roundtrip" -> ((s, dir) =>
+      graft.sources.DelimitedScan.parseJsonl(
+        graft.sources.DelimitedScan.toJsonl(t(s, dir, "documents")))),
+    // CSV dialect round trip: RFC quote-doubling, embedded delimiters/
+    // quotes survive because a per-row codec never line-splits
+    "csv_roundtrip" -> ((s, dir) =>
+      graft.sources.DelimitedScan.parseCsvLines(
+        graft.sources.DelimitedScan.toCsvLines(t(s, dir, "documents")))),
 
     // ---- corpus_type split + title-as-first-line (reference parity) ----
     // ctype "text": cleaned string (entities decoded); ctype "html":
@@ -2164,6 +2176,11 @@ object SparkEntry {
     "xml_roundtrip" ->
       ("SELECT doc_id, 'doc-' || CAST(doc_id AS VARCHAR) AS title, text " +
         "FROM documents"),
+    // codec round trips must reproduce the table bit-for-bit
+    "jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "csv_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "corpus_split_text" ->
       ("SELECT doc_id, 'doc-' || CAST(doc_id AS VARCHAR) || chr(10) || " +
         "replace(replace(text, '&#60;', '<'), '&#62;', '>') AS content FROM documents"),

@@ -356,6 +356,48 @@ object StreamingOps {
     }
   }
 
+  /** Streaming COUNT(DISTINCT) maintenance — the KMV driver: each
+    * micro-batch is sketched ([[graft.ops.Maintenance.kmvState]], only
+    * the batch is ever hashed) and merged into the previous at-rest
+    * state version ([[graft.ops.Maintenance.mergeKmv]]). Because KMV
+    * merge ≡ rebuild at any row split, the state after batch `n`
+    * EQUALS the batch-free sketch of every row seen so far — the
+    * batch-parity spec asserts set equality, not approximation. Read
+    * the per-group estimate with [[graft.ops.Maintenance.kmvDistinct]]
+    * over [[currentSnapshot]] (exact below k distinct per group,
+    * `(k-1)/θ` beyond). Exactly-once at rest via `version=<id>`
+    * ownership: a replayed batch re-reads the same predecessor and
+    * rewrites the same ≤ k-rows-per-group state — and the merge is
+    * additionally IDEMPOTENT (re-merging rows already in the state is
+    * a no-op union of a subset), so even cross-version redelivery
+    * cannot inflate a distinct count, unlike a count/sum state.
+    */
+  def streamingDistinctCount(spark: SparkSession, rowsPath: String,
+                             statePath: String, keyCols: Seq[String],
+                             valueCol: String, k: Int,
+                             schema: Option[org.apache.spark.sql.types.StructType] = None,
+                             checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val rowSchema = schema.getOrElse(spark.read.parquet(rowsPath).schema)
+    val have = rowSchema.map(_.name).toSet
+    val missing = (keyCols :+ valueCol).filterNot(have)
+    require(missing.isEmpty,
+      s"row schema lacks column(s) ${missing.mkString(", ")}; has ${have.mkString(", ")}")
+    val stateSchema = org.apache.spark.sql.types.StructType(
+      keyCols.map(c => rowSchema(c)) :+
+        org.apache.spark.sql.types.StructField("h",
+          org.apache.spark.sql.types.LongType))
+    batchOwnedStream(spark, rowsPath, Some(rowSchema), checkpointDir) {
+      (batch, batchId) =>
+        val prev = graft.ops.Maintenance.KmvState(k,
+          snapshotVersionBefore(spark, statePath, batchId, stateSchema))
+        graft.ops.Maintenance.mergeKmv(prev,
+            graft.ops.Maintenance.kmvState(batch, keyCols, valueCol, k),
+            keyCols)
+          .mins.write.mode("overwrite").parquet(s"$statePath/version=$batchId")
+    }
+  }
+
   /** Retention for the versioned-snapshot stores ([[streamingUpsert]] /
     * [[streamingScd2]]): delete all but the newest `keepLast` COMPLETE
     * versions, plus crashed half-writes older than the oldest survivor
