@@ -1815,6 +1815,13 @@ object SparkEntry {
     // — the clustering itself is oracle-checked, not just spec-pinned
     "sim_kmeans" -> ((s, dir) =>
       Similarity.kMeansExact(t(s, dir, "embeddings"), k = 4, rounds = 1)),
+    // MMR diversity re-ranking: top-20 cosine pool, greedy 5-pick with
+    // λ=0.7 / diversity 0.3 — the DuckDB oracle replays the greedy
+    // selection unrolled step by step (same device as sim_kmeans), so
+    // the SELECTION ORDER is oracle-checked, not just the pool
+    "sim_mmr_rerank" -> ((s, dir) =>
+      Similarity.mmrRerank(t(s, dir, "embeddings").filter(col("vec_id") =!= 0),
+        queryVec(s, dir), poolSize = 20, k = 5)),
     // Incremental connected components: the base half's pair list is
     // contracted to its label table once; a delta batch (rest of the
     // corpus + planted copies of base docs, ids above max(doc_id) at
@@ -3691,6 +3698,51 @@ object SparkEntry {
         |       CAST(ntile(10) OVER (ORDER BY n_chars NULLS FIRST, doc_id) AS INT) AS tile
         |FROM documents""".stripMargin,
     // ---- round-7 additions ----
+    // the greedy MMR selection, unrolled: each step scores the
+    // remaining pool as 0.7*qcos - 0.3*max(cos to selected) over
+    // 4-dp-rounded cosines, ties to the smaller vec_id
+    "sim_mmr_rerank" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0),
+        |pool AS (
+        |  SELECT e.vec_id,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.e), 4) AS qcos,
+        |         CAST(e.embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings e, q WHERE e.vec_id <> 0
+        |  ORDER BY qcos DESC, e.vec_id LIMIT 20),
+        |pw AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |         round(list_cosine_similarity(a.emb, b.emb), 4) AS pcos
+        |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+        |p1 AS (SELECT vec_id, 0.7 * qcos AS score FROM pool ORDER BY score DESC, vec_id LIMIT 1),
+        |sel1 AS (SELECT vec_id FROM p1),
+        |p2 AS (
+        |  SELECT p.vec_id, 0.7 * p.qcos - 0.3 * (SELECT max(pcos) FROM pw
+        |      WHERE pw.va = p.vec_id AND pw.vb IN (SELECT vec_id FROM sel1)) AS score
+        |  FROM pool p WHERE p.vec_id NOT IN (SELECT vec_id FROM sel1)
+        |  ORDER BY score DESC, p.vec_id LIMIT 1),
+        |sel2 AS (SELECT vec_id FROM sel1 UNION ALL SELECT vec_id FROM p2),
+        |p3 AS (
+        |  SELECT p.vec_id, 0.7 * p.qcos - 0.3 * (SELECT max(pcos) FROM pw
+        |      WHERE pw.va = p.vec_id AND pw.vb IN (SELECT vec_id FROM sel2)) AS score
+        |  FROM pool p WHERE p.vec_id NOT IN (SELECT vec_id FROM sel2)
+        |  ORDER BY score DESC, p.vec_id LIMIT 1),
+        |sel3 AS (SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM p3),
+        |p4 AS (
+        |  SELECT p.vec_id, 0.7 * p.qcos - 0.3 * (SELECT max(pcos) FROM pw
+        |      WHERE pw.va = p.vec_id AND pw.vb IN (SELECT vec_id FROM sel3)) AS score
+        |  FROM pool p WHERE p.vec_id NOT IN (SELECT vec_id FROM sel3)
+        |  ORDER BY score DESC, p.vec_id LIMIT 1),
+        |sel4 AS (SELECT vec_id FROM sel3 UNION ALL SELECT vec_id FROM p4),
+        |p5 AS (
+        |  SELECT p.vec_id, 0.7 * p.qcos - 0.3 * (SELECT max(pcos) FROM pw
+        |      WHERE pw.va = p.vec_id AND pw.vb IN (SELECT vec_id FROM sel4)) AS score
+        |  FROM pool p WHERE p.vec_id NOT IN (SELECT vec_id FROM sel4)
+        |  ORDER BY score DESC, p.vec_id LIMIT 1)
+        |SELECT 1 AS mmr_rank, vec_id, score FROM p1
+        |UNION ALL SELECT 2, vec_id, score FROM p2
+        |UNION ALL SELECT 3, vec_id, score FROM p3
+        |UNION ALL SELECT 4, vec_id, score FROM p4
+        |UNION ALL SELECT 5, vec_id, score FROM p5""".stripMargin,
     "sim_kmeans" ->
       // the identical exact-arithmetic Lloyd round, unrolled: seed
       // assignment -> integer-scaled centroid update -> final

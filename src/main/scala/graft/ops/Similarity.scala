@@ -583,4 +583,90 @@ object Similarity {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Maximal-marginal-relevance re-ranking (public: Carbonell &
+    * Goldstein 1998) — the diversity-aware retrieval endgame: pick k
+    * results that are relevant to the query but NOT redundant with
+    * each other, `score(d | S) = λ·cos(q,d) − w·max_{s∈S} cos(d,s)`
+    * (`w` is the diversity weight, conventionally `1−λ`; it is a
+    * SEPARATE parameter so both constants are exact decimal literals —
+    * computing `1.0 − 0.7` would bake 0.30000000000000004 into every
+    * score and diverge from any engine that writes `0.3`).
+    *
+    * Scale shape: the corpus-sized work is ONE distributed top-`poolSize`
+    * cosine scan (per-partition TakeOrdered, no shuffle — same plan as
+    * [[bruteForceTopK]]). The greedy selection is inherently sequential,
+    * so it runs driver-side over the POOL ONLY — a model-sized
+    * candidate set (≤ ~100 rows × dim), the same bounded-driver-state
+    * argument as IVF centroids and PQ codebooks. All cosines are
+    * rounded to 4 decimals BEFORE selection (pairwise cosines computed
+    * driver-side with the exact [[graft.functions.VectorExpressions]]
+    * formula: left-to-right double accumulation, `dot/(√na·√nb)`), so
+    * every comparison is over engine-portable values; ties break on
+    * the lowest vec_id.
+    */
+  def mmrRerank(embeddings: DataFrame, query: Seq[Double], poolSize: Int,
+                k: Int, lambda: Double = 0.7,
+                diversityWeight: Double = 0.3): DataFrame = {
+    require(k >= 1 && poolSize >= k, s"need 1 <= k <= poolSize: k=$k pool=$poolSize")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = array(query.map(lit): _*)
+    val pool: Array[(Long, Double, Array[Double])] = embeddings
+      .select(col("vec_id"),
+        round(cosineCol(col("embedding"), q), 4).as("qcos"), col("embedding"))
+      .orderBy(desc("qcos"), asc("vec_id")).limit(poolSize)
+      .collect()
+      .map { r =>
+        val emb: Array[Double] = r.get(2) match {
+          // collection.Seq, NOT the default immutable.Seq alias — Row
+          // arrays come back as mutable.ArraySeq
+          case s: scala.collection.Seq[_] =>
+            s.map(_.asInstanceOf[Number].doubleValue).toArray
+          case a: Array[Float] => a.map(_.toDouble)
+          case a: Array[Double] => a
+          case l: java.util.List[_] =>
+            val out = new Array[Double](l.size); var i = 0
+            while (i < out.length) {
+              out(i) = l.get(i).asInstanceOf[Number].doubleValue; i += 1 }
+            out
+          case other => throw new IllegalArgumentException(
+            s"unexpected embedding runtime type: ${other.getClass.getName}")
+        }
+        (r.getLong(0), r.getDouble(1), emb)
+      }
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val n = pool.length
+    val pcos = Array.tabulate(n, n)((i, j) =>
+      if (i == j) 0.0 else round4(cos(pool(i)._3, pool(j)._3)))
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    while (picks.length < math.min(k, n)) {
+      var bestIdx = -1; var bestScore = 0.0
+      for (i <- 0 until n if !selected.contains(i)) {
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.iterator.map(j => pcos(i)(j)).max
+        val score = lambda * pool(i)._2 - diversityWeight * maxSim
+        // exact-tie scores break on the lowest vec_id (two candidates
+        // with DIFFERENT qcos can tie after the diversity term, and
+        // pool order is qcos-major — not vec_id order)
+        if (bestIdx < 0 || score > bestScore ||
+            (score == bestScore && pool(i)._1 < pool(bestIdx)._1)) {
+          bestIdx = i; bestScore = score
+        }
+      }
+      selected += bestIdx
+      picks += ((picks.length + 1, pool(bestIdx)._1, bestScore))
+    }
+    picks.toSeq.toDF("mmr_rank", "vec_id", "score")
+  }
 }

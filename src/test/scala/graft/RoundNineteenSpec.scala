@@ -55,6 +55,29 @@ class RoundNineteenSpec extends AnyFunSuite {
     assert(withBad.filter(col("doc_id").isNull).count() === 1)
   }
 
+  test("MMR re-ranking demotes near-duplicates that plain top-k keeps") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (1L, Array(0.9f, 0.4359f, 0.0f)), // closest to q (qcos 0.9)
+      (2L, Array(0.9f, 0.436f, 0.0f)), // near-dup of 1 — 2nd by cosine
+      (3L, Array(0.8f, -0.6f, 0.0f))) // diverse (qcos 0.8, far from 1)
+      .toDF("vec_id", "embedding")
+    val q = Seq(1.0, 0.0, 0.0)
+    // plain top-2 keeps the near-dup pair
+    val top2 = graft.ops.Similarity.bruteForceTopK(emb, q, 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top2 === Seq(1L, 2L))
+    // MMR's diversity term swaps the redundant 2 for the diverse 3
+    val mmr = graft.ops.Similarity.mmrRerank(emb, q, poolSize = 3, k = 2)
+      .orderBy("mmr_rank").collect().map(_.getLong(1)).toSeq
+    assert(mmr === Seq(1L, 3L))
+    // scores decrease along the ranking and rank 1 is pure relevance
+    val scored = graft.ops.Similarity.mmrRerank(emb, q, poolSize = 3, k = 3)
+      .orderBy("mmr_rank").collect().map(r => (r.getInt(0), r.getDouble(2)))
+    assert(scored.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
   test("streaming KMV distinct state equals the batch-free sketch; replay-safe") {
     val s = spark
     import s.implicits._
