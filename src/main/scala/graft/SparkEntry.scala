@@ -1593,6 +1593,28 @@ object SparkEntry {
           .filter(col("w") =!= "").select(lower(col("w")).as("word")),
         "word", k = 25, capacity = 1024)
         .select(col("key").as("word"), col("n"))),
+    // incremental top-k maintenance: mergeable Misra-Gries states
+    // built on the odd/even doc_id halves, merged, then read exactly —
+    // history is never re-sketched (only the bounded-key exact
+    // candidate count touches the full corpus), completing the
+    // mergeable-state family (KMV = distinct, histogram = quantiles,
+    // MG = top-k). The read is EXACT (candidates + verify + fallback),
+    // so the oracle is the plain top-k
+    "q_topk_incremental" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(col("text"), " ", -1)).as("w"))
+        .filter(col("w") =!= "")
+        .select(col("doc_id"), lower(col("w")).as("word"))
+      def state(half: DataFrame) =
+        graft.ops.HeavyHitters.mgState(half, "word", capacity = 1024)
+      val merged = graft.ops.HeavyHitters.mergeMg(
+        state(words.filter(col("doc_id") % 2 === 0)),
+        state(words.filter(col("doc_id") % 2 === 1)), capacity = 1024)
+      graft.ops.HeavyHitters.topKFromState(merged, words, "word",
+          k = 25, capacity = 1024)
+        .select(col("key").as("word"), col("n"))
+    }),
     // unigram-LM quality score (CCNet-style perplexity filter with a
     // unigram model): mean log10 token probability per doc. Rounded to
     // 6 decimals: the avg's summation order is partitioning-dependent
@@ -2922,6 +2944,16 @@ object SparkEntry {
       // the oracle is the PLAIN top-k: the sketch only proposes, the
       // output contract is exact; kth-boundary ties break by word asc
       // in both engines
+      """WITH toks AS (
+        |  SELECT lower(w) AS word
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+        |  WHERE w <> '')
+        |SELECT word, CAST(count(*) AS BIGINT) AS n
+        |FROM toks GROUP BY 1
+        |ORDER BY n DESC, word LIMIT 25""".stripMargin,
+    // the merged-state read is exact (candidates + verify + fallback),
+    // so the incremental maintenance path must EQUAL the plain top-k
+    "q_topk_incremental" ->
       """WITH toks AS (
         |  SELECT lower(w) AS word
         |  FROM documents, unnest(string_split(text, ' ')) AS t(w)

@@ -65,6 +65,135 @@ object HeavyHitters {
       Iterator.single((null: String, n))
   }
 
+  /** [[misraGriesSummary]] with the surviving COUNTS kept (not zeroed):
+    * the building block for the mergeable state below. Per-partition
+    * deficit bound: `true_count - mg_count <= n_p / (capacity + 1)`.
+    */
+  private[graft] def misraGriesCounts(it: Iterator[String],
+                                      capacity: Int): Iterator[(String, Long)] = {
+    val counts = new java.util.HashMap[String, java.lang.Long](capacity * 2)
+    var n = 0L
+    while (it.hasNext) {
+      val k = it.next()
+      n += 1L
+      val c = counts.get(k)
+      if (c != null) counts.put(k, c + 1L)
+      else if (counts.size() < capacity) counts.put(k, 1L)
+      else {
+        val e = counts.entrySet().iterator()
+        while (e.hasNext) {
+          val kv = e.next()
+          if (kv.getValue == 1L) e.remove() else kv.setValue(kv.getValue - 1L)
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    counts.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue.longValue)) ++
+      Iterator.single((null: String, n))
+  }
+
+  /** Contract a (key, cnt) counter table to at most `capacity`
+    * counters by the Misra-Gries subtraction rule (Agarwal et al.
+    * 2012, "Mergeable Summaries"): subtract the `(capacity+1)`-th
+    * largest count from every counter and drop the non-positive ones.
+    * Adds at most that subtracted value to every key's deficit while
+    * the total-count row (null key) rides through untouched — so the
+    * state-wide invariant `true - est <= N / (capacity + 1)` is
+    * preserved across any merge tree.
+    *
+    * The ranking window is over the COUNTER table (<= 2*capacity rows
+    * after a merge, #partitions*capacity after a build) — state-sized,
+    * never corpus-sized, so the unpartitioned window is the right
+    * plan. The 1-row threshold frame is crossed back in broadcast.
+    */
+  private def contract(counters: DataFrame, capacity: Int): DataFrame = {
+    val nonNull = counters.filter(col("key").isNotNull)
+    val ranked = nonNull.withColumn("r",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("key").asc)))
+    val thr = ranked.filter(col("r") === capacity + 1)
+      .agg(coalesce(max("cnt"), lit(0L)).as("thr"))
+    nonNull.crossJoin(broadcast(thr))
+      .select(col("key"), (col("cnt") - col("thr")).as("cnt"))
+      .filter(col("cnt") > 0)
+      .unionByName(counters.filter(col("key").isNull))
+  }
+
+  /** Mergeable Misra-Gries heavy-hitter STATE over `keyCol`: at most
+    * `capacity` `(key, cnt)` counter rows (counts are UNDERestimates
+    * with deficit <= N/(capacity+1)) plus one `(null, N)` total row —
+    * the same relational-state shape as the KMV distinct sketch and
+    * the mergeable histogram. Build once per ingest batch; maintain
+    * the corpus-wide state with [[mergeMg]] instead of re-sketching
+    * history. One pass over the batch, state-sized output.
+    */
+  def mgState(df: DataFrame, keyCol: String, capacity: Int = 4096): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val perPart = df.select(col(keyCol).cast("string").as("key"))
+      .filter(col("key").isNotNull)
+      .as[String]
+      .mapPartitions(it => misraGriesCounts(it, capacity))
+      .toDF("key", "cnt")
+    // fold per-partition summaries: counter sums group by key, the
+    // null-key partition totals sum into the grand total, then one
+    // contraction restores the <= capacity bound
+    contract(perPart.groupBy("key").agg(sum("cnt").as("cnt")), capacity)
+  }
+
+  /** Merge two MG states built with the same `capacity`: sum counters
+    * key-wise (totals likewise) and contract. `merge(state(A),
+    * state(B))` carries the same deficit bound as `state(A union B)`
+    * — the algebra incremental top-k maintenance needs: sketch only
+    * the delta, fold it into yesterday's state.
+    */
+  def mergeMg(a: DataFrame, b: DataFrame, capacity: Int = 4096): DataFrame =
+    contract(a.unionByName(b).groupBy("key").agg(sum("cnt").as("cnt")),
+      capacity)
+
+  /** EXACT top-k read off a (possibly merged) MG state: the state's
+    * counter keys are a provable candidate superset of every key with
+    * true count >= N/(capacity+1) (a missing key's deficit would
+    * exceed the bound), so one exact count restricted to candidates
+    * decides. Completeness is runtime-checked exactly as in [[topK]]:
+    * if the k-th exact candidate count falls below N/(capacity+1) the
+    * guarantee does not reach rank k and the full aggregation decides
+    * instead — exactness is never traded. The incremental win vs
+    * [[topK]] is the SKETCH pass: history is never re-sketched, only
+    * the exact candidate count (a bounded-key semi-join aggregation)
+    * touches the full corpus.
+    */
+  def topKFromState(state: DataFrame, raw: DataFrame, keyCol: String,
+                    k: Int, capacity: Int = 4096): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = raw.sparkSession
+    val st = state.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = st.filter(col("key").isNull)
+        .agg(coalesce(sum("cnt"), lit(0L))).first().getLong(0)
+      val candidates = st.filter(col("key").isNotNull).select("key").distinct()
+      val keys = raw.select(col(keyCol).cast("string").as("key"))
+        .filter(col("key").isNotNull)
+      val exact = keys.join(candidates, Seq("key"), "left_semi")
+        .groupBy("key").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("key"))
+        .limit(k).collect()
+      val guaranteed = exact.length >= k &&
+        exact.last.getLong(1) >= total.toDouble / (capacity + 1)
+      val rows =
+        if (guaranteed) exact.toIndexedSeq
+        else keys.groupBy("key").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("key")).limit(k)
+          .collect().toIndexedSeq
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("key", StringType),
+          StructField("n", LongType, nullable = false))))
+    } finally st.unpersist()
+  }
+
   /** Exact top-k of `keyCol` by count: sketch-proposed candidates +
     * exact verification, full-aggregation fallback when the guarantee
     * does not reach rank k. Output: `(key, n)` ordered by `n` desc,

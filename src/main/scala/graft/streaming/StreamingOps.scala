@@ -398,6 +398,44 @@ object StreamingOps {
     }
   }
 
+  /** Streaming heavy-hitter maintenance: each micro-batch is sketched
+    * into a mergeable Misra-Gries state
+    * ([[graft.ops.HeavyHitters.mgState]] — only the batch is scanned)
+    * and folded into the previous at-rest state version
+    * ([[graft.ops.HeavyHitters.mergeMg]]). The state after batch `n`
+    * carries the standard merged-MG deficit bound over EVERY row seen
+    * so far (`true - est <= N/(capacity+1)`), so
+    * [[graft.ops.HeavyHitters.topKFromState]] over [[currentSnapshot]]
+    * reads an exact, completeness-checked top-k without ever
+    * re-sketching history. Exactly-once at rest via the same
+    * `version=<id>` ownership as the KMV driver: a replayed batch
+    * re-reads the same predecessor and rewrites the same state.
+    * Unlike KMV, the MG merge is NOT idempotent (counters are additive),
+    * so cross-version redelivery of raw rows would inflate counts —
+    * the batch-owned versioning is the correctness boundary here.
+    */
+  def streamingTopKState(spark: SparkSession, rowsPath: String,
+                         statePath: String, keyCol: String, capacity: Int,
+                         schema: Option[org.apache.spark.sql.types.StructType] = None,
+                         checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val rowSchema = schema.getOrElse(spark.read.parquet(rowsPath).schema)
+    require(rowSchema.map(_.name).contains(keyCol),
+      s"row schema lacks column $keyCol; has ${rowSchema.map(_.name).mkString(", ")}")
+    val stateSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType)))
+    batchOwnedStream(spark, rowsPath, Some(rowSchema), checkpointDir) {
+      (batch, batchId) =>
+        val prev = snapshotVersionBefore(spark, statePath, batchId, stateSchema)
+        graft.ops.HeavyHitters.mergeMg(prev,
+            graft.ops.HeavyHitters.mgState(batch, keyCol, capacity), capacity)
+          .write.mode("overwrite").parquet(s"$statePath/version=$batchId")
+    }
+  }
+
   /** Retention for the versioned-snapshot stores ([[streamingUpsert]] /
     * [[streamingScd2]]): delete all but the newest `keepLast` COMPLETE
     * versions, plus crashed half-writes older than the oldest survivor

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.HeavyHitters
+
+/** Round-20 surface: mergeable Misra-Gries top-k states (the third
+  * member of the mergeable-state family after the KMV distinct sketch
+  * and the exact-histogram quantile state).
+  */
+class RoundTwentySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Skewed synthetic key stream: key `k` (0-based) appears with
+    * multiplicity ~ n/(k+1) (Zipf-ish), plus a long uniform tail.
+    */
+  private def zipfKeys(n: Int, hot: Int, seed: Int): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(seed)
+    val rows = (0 until n).map { i =>
+      val r = rnd.nextDouble()
+      val k = if (r < 0.7) (rnd.nextInt(hot) min (rnd.nextInt(hot))) // skew to low ids
+              else hot + rnd.nextInt(n / 4 + 1) // tail
+      (i.toLong, s"k$k")
+    }
+    rows.toDF("row_id", "word").repartition(7)
+  }
+
+  private def plainTopK(df: DataFrame, k: Int): Seq[(String, Long)] =
+    df.groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(k).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  private def readTopK(state: DataFrame, raw: DataFrame, k: Int,
+                       capacity: Int): Seq[(String, Long)] =
+    HeavyHitters.topKFromState(state, raw, "word", k, capacity)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  test("merged MG state reads the exact top-k at any split") {
+    val df = zipfKeys(20000, 40, seed = 11)
+    val want = plainTopK(df, 15)
+    for (seed <- Seq(1, 2, 3)) {
+      val split = pmod(xxhash64(col("row_id"), lit(seed)), lit(2))
+      val a = HeavyHitters.mgState(df.filter(split === 0), "word", 256)
+      val b = HeavyHitters.mgState(df.filter(split === 1), "word", 256)
+      val merged = HeavyHitters.mergeMg(a, b, 256)
+      assert(readTopK(merged, df, 15, 256) === want, s"split seed $seed")
+    }
+  }
+
+  test("MG state respects the capacity bound and carries the exact total") {
+    val df = zipfKeys(30000, 60, seed = 7)
+    val st = HeavyHitters.mgState(df, "word", capacity = 128)
+    val counters = st.filter(col("key").isNotNull).collect()
+    assert(counters.length <= 128)
+    val total = st.filter(col("key").isNull)
+      .agg(sum("cnt")).first().getLong(0)
+    assert(total === df.count())
+  }
+
+  test("counter deficit bound: true - est in [0, N/(capacity+1)] after a merge") {
+    val df = zipfKeys(20000, 30, seed = 23)
+    val cap = 200
+    val split = pmod(xxhash64(col("row_id")), lit(2))
+    val merged = HeavyHitters.mergeMg(
+      HeavyHitters.mgState(df.filter(split === 0), "word", cap),
+      HeavyHitters.mgState(df.filter(split === 1), "word", cap), cap)
+    val n = df.count()
+    val truth = df.groupBy("word").agg(count(lit(1)).as("true_n"))
+    val joined = merged.filter(col("key").isNotNull)
+      .join(truth, col("key") === col("word"))
+      .select(col("key"), col("cnt"), col("true_n")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val deficit = r.getLong(2) - r.getLong(1)
+      assert(deficit >= 0L, s"over-estimate for ${r.getString(0)}")
+      assert(deficit <= n / (cap + 1) + 1,
+        s"deficit bound broken for ${r.getString(0)}: $deficit > ${n / (cap + 1)}")
+    }
+    // completeness: every key with true count > N/(cap+1) is a candidate
+    val bound = n.toDouble / (cap + 1)
+    val mustHave = truth.filter(col("true_n") > bound)
+      .select(col("word")).collect().map(_.getString(0)).toSet
+    val have = merged.filter(col("key").isNotNull)
+      .select("key").collect().map(_.getString(0)).toSet
+    assert(mustHave.subsetOf(have))
+  }
+
+  test("streaming MG state reads the exact top-k; replay rewrites identical versions") {
+    val s = spark
+    import s.implicits._
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft-stream-mg-").toString
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    val all = zipfKeys(8000, 25, seed = 31).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    all.grouped(4000).zipWithIndex.foreach { case (rows, i) =>
+      val tmp = s"$base/half$i"
+      rows.toDF("row_id", "word").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(in, s"batch$i.parquet"))
+    }
+    val stateSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType)))
+    val q = graft.streaming.StreamingOps.streamingTopKState(
+      spark, in, s"$base/state", "word", capacity = 256,
+      checkpointDir = Some(s"$base/ckpt"))
+    try q.processAllAvailable() finally q.stop()
+    def state() = graft.streaming.StreamingOps
+      .currentSnapshot(spark, s"$base/state", stateSchema)
+    def stateSet() = state().collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    val allDf = all.toDF("row_id", "word")
+    assert(readTopK(state(), allDf, 12, 256) === plainTopK(allDf, 12))
+    // replay without the checkpoint: every version is batch-owned and
+    // rewrites deterministically — the state is bit-identical
+    val before = stateSet()
+    val q2 = graft.streaming.StreamingOps.streamingTopKState(
+      spark, in, s"$base/state", "word", capacity = 256)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(stateSet() === before)
+    // total row equals every row ever streamed
+    assert(state().filter(col("key").isNull)
+      .agg(sum("cnt")).first().getLong(0) === all.length.toLong)
+  }
+
+  test("undersized capacity falls back to the full aggregation, still exact") {
+    val df = zipfKeys(5000, 25, seed = 5)
+    // capacity 4 cannot cover rank 10 on this distribution: the read
+    // must detect the void guarantee and still return the exact answer
+    val st = HeavyHitters.mgState(df, "word", capacity = 4)
+    assert(readTopK(st, df, 10, 4) === plainTopK(df, 10))
+  }
+}
