@@ -162,6 +162,32 @@ object SparkEntry {
       |)
       |""".stripMargin
 
+  /** Unrolled power-iteration oracle ([[graft.ops.Similarity.powerIteration]]
+    * with iterations=3, backScale=1e4, d=64): every contraction is a
+    * floor-scaled integer sum, so the replay is bit-exact — see the
+    * operator's scaladoc for the arithmetic discipline.
+    */
+  private val OraclePowerIterSql: String = {
+    def step(k: Int, rDef: String): String =
+      s"""r$k AS ($rDef),
+         |s$k AS (SELECT dims.i AS i,
+         |  CAST(sum(CAST(floor(e.emb[dims.i] * (r$k.r / 1e9) * 1e4) AS BIGINT)) AS BIGINT) AS s
+         |  FROM e JOIN r$k USING (vec_id), dims GROUP BY 1),
+         |n$k AS (SELECT sqrt(CAST(CAST(sum(CAST(s AS HUGEINT) * s) AS BIGINT) AS DOUBLE)) AS nrm FROM s$k),
+         |v$k AS (SELECT i, CAST(s AS DOUBLE) / (SELECT nrm FROM n$k) AS v FROM s$k)""".stripMargin
+    val later = (2 to 3).map { k =>
+      step(k,
+        s"""SELECT vec_id,
+           |  CAST(sum(CAST(floor(e.emb[v${k - 1}.i] * v${k - 1}.v * 1e9) AS BIGINT)) AS BIGINT) AS r
+           |  FROM e, v${k - 1} GROUP BY 1""".stripMargin)
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |dims AS (SELECT CAST(unnest(generate_series(1, 64)) AS INT) AS i),
+       |${step(1, "SELECT vec_id, CAST(floor(emb[1] * 1e9) AS BIGINT) AS r FROM e")},
+       |$later
+       |SELECT CAST(i - 1 AS INT) AS dim, v AS component FROM v3""".stripMargin
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("search_cnf")(spark, "/root/testdata/sf0.001")
@@ -1844,6 +1870,13 @@ object SparkEntry {
     "sim_mmr_rerank" -> ((s, dir) =>
       Similarity.mmrRerank(t(s, dir, "embeddings").filter(col("vec_id") =!= 0),
         queryVec(s, dir), poolSize = 20, k = 5)),
+    // dominant singular direction by bit-portable power iteration:
+    // floor-scaled integer contractions make every round exactly
+    // associative-commutative, so the DuckDB oracle replays all three
+    // rounds unrolled and the doubles compare with == (the kMeansExact
+    // discipline extended to distributed linear algebra)
+    "sim_power_iteration" -> ((s, dir) =>
+      Similarity.powerIteration(t(s, dir, "embeddings"), iterations = 3)),
     // Incremental connected components: the base half's pair list is
     // contracted to its label table once; a delta batch (rest of the
     // corpus + planted copies of base docs, ids above max(doc_id) at
@@ -3775,6 +3808,7 @@ object SparkEntry {
         |UNION ALL SELECT 3, vec_id, score FROM p3
         |UNION ALL SELECT 4, vec_id, score FROM p4
         |UNION ALL SELECT 5, vec_id, score FROM p5""".stripMargin,
+    "sim_power_iteration" -> OraclePowerIterSql,
     "sim_kmeans" ->
       // the identical exact-arithmetic Lloyd round, unrolled: seed
       // assignment -> integer-scaled centroid update -> final

@@ -669,4 +669,75 @@ object Similarity {
     }
     picks.toSeq.toDF("mmr_rank", "vec_id", "score")
   }
+
+  /** Dominant singular direction of the embedding matrix by BIT-PORTABLE
+    * distributed power iteration — the building block for PCA whitening,
+    * spectral outlier screens, and 1-D spectral ordering of a corpus.
+    * `v_{t+1} = normalize(Xᵀ (X v_t))` without ever materializing the
+    * d×d Gram matrix: each round is ONE embeddings scan computing the
+    * per-row projection then a d-sized per-dimension aggregation —
+    * model-sized (d) driver state, corpus never shuffles beyond a
+    * d×partitions partial-combine, so the round cost at 100 TB is the
+    * scan, exactly like [[ivfTrain]]'s E step.
+    *
+    * Every cross-engine wobble source is removed (the [[kMeansExact]]
+    * discipline, extended to linear algebra): both contractions are
+    * sums of per-term `floor(product · scale)` INTEGERS — associative-
+    * commutative exactly, so partitioning and aggregation order cannot
+    * change a bit:
+    *
+    *  - projection: `r_row = Σ_i floor(x_i · v_i · 1e9)` (a long);
+    *  - back-projection: `s_dim = Σ_rows floor(x_dim · (r/1e9) · backScale)`;
+    *  - normalize: `v_i = s_i / sqrt(Σ s_i²)` — the squared sum must
+    *    fit a LONG (both engines then make ONE correctly-rounded
+    *    long→double conversion; hugeint→double is double-rounded in
+    *    some engines), then one IEEE sqrt and one division per
+    *    component.
+    *
+    * A SQL engine replays it unrolled (the `sim_power_iteration`
+    * DuckDB oracle does, bit-exact — the checker compares doubles with
+    * `==`). `backScale` trades floor-truncation noise (~1/backScale
+    * relative, irrelevant after normalization) against long headroom:
+    * `Σ s²  <= d · (n · max|x| · backScale)²` must stay under 2⁶³ —
+    * the default 1e4 covers ~65k unit-norm rows per... per corpus with
+    * d=64; the guard fails LOUDLY telling the caller to lower it
+    * rather than wrapping silently. Starts from the basis vector e₀;
+    * an all-zero projection round keeps the previous direction
+    * (degenerate input guard). Returns one row per dimension:
+    * `(dim, component)`.
+    */
+  def powerIteration(embeddings: DataFrame, iterations: Int = 3,
+                     backScale: Double = 1e4): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val d = embeddings.select(size(col("embedding"))).first().getInt(0)
+    val e = embeddings.select(col("embedding").cast("array<double>").as("emb"))
+    var v: Array[Double] = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
+    for (_ <- 1 to iterations) {
+      val vLit = array(v.toIndexedSeq.map(lit): _*)
+      val projected = e.select(col("emb"),
+        aggregate(
+          zip_with(col("emb"), vLit, (x, vi) => floor(x * vi * lit(1e9))),
+          lit(0L), (acc, t) => acc + t).as("r"))
+      val sums = projected
+        .select(posexplode(col("emb")).as(Seq("dim", "x")),
+          (col("r") / lit(1e9)).as("rv"))
+        .groupBy("dim")
+        .agg(sum(floor(col("x") * col("rv") * lit(backScale))).as("s"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      val s = new Array[Long](d)
+      sums.foreach { case (i, si) => s(i) = si }
+      val sumsq = s.iterator.map(si => BigInt(si) * BigInt(si)).sum
+      require(sumsq.isValidLong,
+        s"powerIteration norm² overflows long ($sumsq): lower backScale " +
+          s"(currently $backScale) for this corpus size")
+      if (sumsq != 0) {
+        val norm = math.sqrt(sumsq.toLong.toDouble)
+        v = s.map(_.toDouble / norm)
+      }
+    }
+    v.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("dim", "component")
+  }
 }

@@ -138,6 +138,58 @@ class RoundTwentySpec extends AnyFunSuite {
       .agg(sum("cnt")).first().getLong(0) === all.length.toLong)
   }
 
+  private def syntheticEmbeddings(n: Int, d: Int, seed: Int): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(seed)
+    // low-rank + noise: a clear dominant direction along u
+    val u = Array.tabulate(d)(i => math.sin(i + 1.0))
+    val un = math.sqrt(u.map(x => x * x).sum)
+    val rows = (0 until n).map { i =>
+      val w = rnd.nextGaussian() * 3.0
+      val vec = Array.tabulate(d)(j =>
+        (w * u(j) / un + rnd.nextGaussian() * 0.3).toFloat)
+      (i.toLong, vec.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("power iteration: partitioning-invariant, unit output, finds the dominant direction") {
+    val df = syntheticEmbeddings(400, 16, seed = 3)
+    def run(parts: Int) =
+      graft.ops.Similarity.powerIteration(df.repartition(parts), iterations = 5)
+        .orderBy("dim").collect().map(_.getDouble(1))
+    val a = run(1)
+    val b = run(13)
+    assert(a.toSeq === b.toSeq, "bit-identical across partitionings")
+    val norm = math.sqrt(a.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-9)
+    // agreement with an exact double-precision driver-side power
+    // iteration on the same data (floor truncation is ~1e-4 relative)
+    val x = df.orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    var v = Array.tabulate(16)(i => if (i == 0) 1.0 else 0.0)
+    for (_ <- 1 to 5) {
+      val s = new Array[Double](16)
+      x.foreach { row =>
+        val r = row.indices.map(i => row(i) * v(i)).sum
+        row.indices.foreach(i => s(i) += row(i) * r)
+      }
+      val nn = math.sqrt(s.map(t => t * t).sum)
+      v = s.map(_ / nn)
+    }
+    val cosAgainstExact = math.abs(a.zip(v).map { case (p, q) => p * q }.sum)
+    assert(cosAgainstExact > 0.999, s"cos vs exact iteration = $cosAgainstExact")
+  }
+
+  test("power iteration overflow guard fails loudly instead of wrapping") {
+    val df = syntheticEmbeddings(4000, 8, seed = 9)
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Similarity.powerIteration(df, iterations = 1, backScale = 1e15)
+    }
+    assert(e.getMessage.contains("backScale"))
+  }
+
   test("undersized capacity falls back to the full aggregation, still exact") {
     val df = zipfKeys(5000, 25, seed = 5)
     // capacity 4 cannot cover rank 10 on this distribution: the read
