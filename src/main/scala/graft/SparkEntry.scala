@@ -188,6 +188,47 @@ object SparkEntry {
        |SELECT CAST(i - 1 AS INT) AS dim, v AS component FROM v3""".stripMargin
   }
 
+  /** Retrieval-eval oracle, generated from the SAME integer discount
+    * tables as [[graft.ops.Similarity.retrievalEval]] (k=10, queries =
+    * vec_id < 8, relevance = same label) — metric doubles compare
+    * with `==`.
+    */
+  private val OracleRetrievalEvalSql: String = {
+    val d = graft.ops.Similarity.ndcgDiscountsMicro(10)
+    val p = graft.ops.Similarity.ndcgIdealPrefixMicro(10)
+    val dCase = d.zipWithIndex
+      .map { case (v, i) => s"WHEN ${i + 1} THEN $v" }.mkString(" ")
+    val pCase = p.zipWithIndex
+      .map { case (v, i) => s"WHEN ${i + 1} THEN $v" }.mkString(" ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+       |           FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb, label AS q_label
+       |      FROM e WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT q.q_id, q.q_label, e.vec_id, e.label,
+       |         list_cosine_similarity(e.emb, q.q_emb) AS cos
+       |  FROM e, q WHERE e.vec_id <> q.q_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |             ORDER BY cos DESC, vec_id) AS rank FROM scored),
+       |topk AS (SELECT * FROM ranked WHERE rank <= 10),
+       |lc AS (SELECT label, count(*) AS n_label FROM e GROUP BY 1),
+       |ag AS (SELECT q_id, q_label,
+       |         CAST(coalesce(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits,
+       |         min(CASE WHEN label = q_label THEN rank END) AS first_rel,
+       |         CAST(coalesce(sum(CASE WHEN label = q_label THEN (CASE rank $dCase END) END), 0) AS BIGINT) AS dcg
+       |       FROM topk GROUP BY 1, 2)
+       |SELECT q_id, hits, CAST(n_label - 1 AS BIGINT) AS n_rel,
+       |       CAST(hits AS DOUBLE) / 10 AS precision_at_k,
+       |       CASE WHEN n_label - 1 = 0 THEN 0.0
+       |            ELSE CAST(hits AS DOUBLE) / (n_label - 1) END AS recall_at_k,
+       |       CASE WHEN first_rel IS NULL THEN 0.0
+       |            ELSE 1.0 / first_rel END AS mrr,
+       |       CASE WHEN n_label - 1 = 0 THEN 0.0
+       |            ELSE CAST(dcg AS DOUBLE) /
+       |                 (CASE least(n_label - 1, 10) $pCase END) END AS ndcg_at_k
+       |FROM ag JOIN lc ON lc.label = ag.q_label""".stripMargin
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("search_cnf")(spark, "/root/testdata/sf0.001")
@@ -1870,6 +1911,16 @@ object SparkEntry {
     "sim_mmr_rerank" -> ((s, dir) =>
       Similarity.mmrRerank(t(s, dir, "embeddings").filter(col("vec_id") =!= 0),
         queryVec(s, dir), poolSize = 20, k = 5)),
+    // retrieval-quality eval of the exact cosine ranking vs label
+    // ground truth (precision/recall/MRR/NDCG@10 per query): the eval
+    // harness run before trusting an ANN layout or a new encoder. All
+    // metric arithmetic is exact cross-engine (integer hits/ranks,
+    // single divisions, integer-tabulated NDCG discounts shared with
+    // the generated oracle)
+    "sim_retrieval_eval" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.retrievalEval(e, e.filter(col("vec_id") < 8), k = 10)
+    }),
     // dominant singular direction by bit-portable power iteration:
     // floor-scaled integer contractions make every round exactly
     // associative-commutative, so the DuckDB oracle replays all three
@@ -3809,6 +3860,7 @@ object SparkEntry {
         |UNION ALL SELECT 4, vec_id, score FROM p4
         |UNION ALL SELECT 5, vec_id, score FROM p5""".stripMargin,
     "sim_power_iteration" -> OraclePowerIterSql,
+    "sim_retrieval_eval" -> OracleRetrievalEvalSql,
     "sim_kmeans" ->
       // the identical exact-arithmetic Lloyd round, unrolled: seed
       // assignment -> integer-scaled centroid update -> final

@@ -740,4 +740,101 @@ object Similarity {
     v.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
       .toDF("dim", "component")
   }
+
+  /** NDCG discount table in exact integer micro-units:
+    * `D(r) = round(1e9 / log2(r + 1))` for ranks 1..`k`. Tabulating the
+    * irrational discounts as fixed integers makes the DCG sum
+    * associative-commutative EXACTLY (no double-summation-order wobble)
+    * and removes any cross-engine `log2` last-ulp question — the SQL
+    * oracle embeds the SAME integers. Shared so both sides are
+    * generated from one source of truth.
+    */
+  private[graft] def ndcgDiscountsMicro(k: Int): Array[Long] =
+    Array.tabulate(k)(i =>
+      math.round(1e9 / (math.log(i + 2.0) / math.log(2.0))))
+
+  /** Prefix sums of [[ndcgDiscountsMicro]]: `P(j)` = ideal DCG of `j`
+    * relevant documents, in micro-units.
+    */
+  private[graft] def ndcgIdealPrefixMicro(k: Int): Array[Long] =
+    ndcgDiscountsMicro(k).scanLeft(0L)(_ + _).tail
+
+  /** Retrieval-quality evaluation of exact cosine ranking against
+    * label ground truth — the eval harness every embedding pipeline
+    * needs before trusting an ANN index or a trained encoder: for each
+    * query vector, rank the rest of the corpus by cosine and score
+    * precision@k, recall@k, MRR@k and NDCG@k with relevance =
+    * same-label.
+    *
+    * Scale shape: the query set is MODEL-sized (collected and inlined
+    * as a literal struct array — no join, the corpus scan stays in
+    * whole-stage codegen); ranking is the two-phase per-(query,
+    * vec-hash-bucket) cut from [[pqBatchTopK]], so no per-query
+    * full-corpus sort ever lands in one task; label totals are a
+    * label-sized aggregate. One corpus scan total.
+    *
+    * Every metric is EXACT cross-engine arithmetic: hit counts and
+    * first-relevant ranks are integers, precision/recall/MRR are
+    * single divisions, and DCG/IDCG are integer sums of the tabulated
+    * [[ndcgDiscountsMicro]] discounts divided once at the end — the
+    * DuckDB oracle (generated from the same constants) compares
+    * doubles with `==`.
+    */
+  def retrievalEval(embeddings: DataFrame, queries: DataFrame,
+                    k: Int = 10, buckets: Int = 32): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val qRows = queries.select("vec_id", "embedding", "label").collect()
+    require(qRows.nonEmpty && qRows.length <= 1024,
+      s"query set must be model-sized (1..1024 rows): ${qRows.length}")
+    val qLit = array(qRows.toIndexedSeq.map { r =>
+      val emb = r.get(1) match {
+        case s: scala.collection.Seq[_] =>
+          s.map(x => x.asInstanceOf[Number].doubleValue)
+        case other => throw new IllegalArgumentException(
+          s"unexpected embedding type ${other.getClass.getName}")
+      }
+      struct(lit(r.getLong(0)).as("q_id"),
+        array(emb.toIndexedSeq.map(lit): _*).as("q_emb"),
+        lit(r.getInt(2)).as("q_label"))
+    }: _*)
+    val discounts = ndcgDiscountsMicro(k)
+    val prefix = ndcgIdealPrefixMicro(k)
+    val dLit = array(discounts.toIndexedSeq.map(lit): _*)
+    val pLit = array(prefix.toIndexedSeq.map(lit): _*)
+
+    val scored = embeddings
+      .select(col("vec_id"), col("label"), col("embedding"), explode(qLit).as("q"))
+      .filter(col("vec_id") =!= col("q.q_id"))
+      .select(col("q.q_id").as("q_id"), col("q.q_label").as("q_label"),
+        col("vec_id"), col("label"),
+        cosineCol(col("embedding"), col("q.q_emb")).as("cos"))
+    val w1 = Window.partitionBy(col("q_id"), pmod(col("vec_id"), lit(buckets)))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val w2 = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val topk = scored
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= k)
+      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+
+    val rel = col("label") === col("q_label")
+    val perQ = topk.groupBy("q_id", "q_label").agg(
+      sum(when(rel, 1L).otherwise(0L)).as("hits"),
+      min(when(rel, col("rank"))).as("first_rel"),
+      coalesce(sum(when(rel, element_at(dLit, col("rank")))), lit(0L)).as("dcg"))
+    val labelCounts = embeddings.groupBy(col("label").as("q_label"))
+      .agg(count(lit(1)).as("n_label"))
+    perQ.join(broadcast(labelCounts), "q_label")
+      .select(col("q_id"), col("hits"),
+        (col("n_label") - 1).as("n_rel"),
+        (col("hits").cast("double") / lit(k)).as("precision_at_k"),
+        when(col("n_label") - 1 === 0, 0.0)
+          .otherwise(col("hits").cast("double") / (col("n_label") - 1))
+          .as("recall_at_k"),
+        when(col("first_rel").isNull, 0.0)
+          .otherwise(lit(1.0) / col("first_rel")).as("mrr"),
+        when(col("n_label") - 1 === 0, 0.0)
+          .otherwise(col("dcg").cast("double") /
+            element_at(pLit, least(col("n_label") - 1, lit(k)).cast("int")))
+          .as("ndcg_at_k"))
+  }
 }

@@ -190,6 +190,44 @@ class RoundTwentySpec extends AnyFunSuite {
     assert(e.getMessage.contains("backScale"))
   }
 
+  test("retrieval eval: hand-checked metrics, bucket-count invariant") {
+    val s = spark
+    import s.implicits._
+    // 1-d embeddings: ranking by cosine = ranking by sign match, with
+    // vec_id tie-breaks; query 0 (label 0, +1). Corpus: vec 1..6
+    // alternate labels; positives 1,3,5 (cos=1), negatives 2,4,6 (cos=-1)
+    val rows = (0L to 6L).map(i =>
+      (i, Seq(if (i % 2 == 0 && i > 0) -1.0f else 1.0f), (i % 2).toInt match {
+        case _ if i == 0 => 0
+        case x => if (x == 1) 0 else 1 // odd ids share label 0 with the query
+      }))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = graft.ops.Similarity.retrievalEval(
+        df, df.filter(col("vec_id") === 0), k = 4)
+      .collect().head
+    // ranking: cos=1 group first by vec_id (1,3,5) then cos=-1 (2,4,6);
+    // top-4 = [1,3,5,2] -> hits=3, n_rel=3, first_rel=1
+    assert(out.getAs[Long]("hits") === 3L)
+    assert(out.getAs[Long]("n_rel") === 3L)
+    assert(out.getAs[Double]("precision_at_k") === 0.75)
+    assert(out.getAs[Double]("recall_at_k") === 1.0)
+    assert(out.getAs[Double]("mrr") === 1.0)
+    // the 3 relevant docs hold ranks 1..3, so DCG = IDCG(3): ndcg = 1
+    val d = graft.ops.Similarity.ndcgDiscountsMicro(4)
+    val p = graft.ops.Similarity.ndcgIdealPrefixMicro(4)
+    assert(p(2) === d(0) + d(1) + d(2))
+    assert(out.getAs[Double]("ndcg_at_k") === 1.0)
+
+    // two-phase bucketing is a pure plan choice: any bucket count
+    // returns identical rows
+    val e = syntheticEmbeddings(300, 8, seed = 17)
+      .withColumn("label", pmod(col("vec_id"), lit(5)).cast("int"))
+    def runB(b: Int) = graft.ops.Similarity.retrievalEval(
+        e, e.filter(col("vec_id") < 6), k = 10, buckets = b)
+      .orderBy("q_id").collect().map(_.toSeq).toSeq
+    assert(runB(1) === runB(32))
+  }
+
   test("undersized capacity falls back to the full aggregation, still exact") {
     val df = zipfKeys(5000, 25, seed = 5)
     // capacity 4 cannot cover rank 10 on this distribution: the read
