@@ -229,6 +229,45 @@ object SparkEntry {
        |FROM ag JOIN lc ON lc.label = ag.q_label""".stripMargin
   }
 
+  /** Unrolled logistic-regression-training oracle
+    * ([[graft.ops.TextAnalysis.trainLogReg]] with iterations=3,
+    * lr=0.5, label = lang='en'): fast-sigmoid squashing and
+    * floor-scaled integer gradient sums make each round bit-exact —
+    * weight doubles compare with `==`.
+    */
+  private val OracleTrainLogRegSql: String = {
+    def iter(k: Int): String =
+      s"""e$k AS (SELECT q.*, (0.5 + 0.5 * (z / (1.0 + abs(z)))) - y AS err
+         |  FROM (SELECT f.*, (w.a0 * f0 + w.a1 * f1 + w.a2 * f2 + w.a3 * f3) AS z
+         |        FROM f, w${k - 1} w) q),
+         |g$k AS (SELECT count(*) AS n,
+         |  sum(CAST(floor(err * f0 * 1e6) AS BIGINT)) AS g0,
+         |  sum(CAST(floor(err * f1 * 1e6) AS BIGINT)) AS g1,
+         |  sum(CAST(floor(err * f2 * 1e6) AS BIGINT)) AS g2,
+         |  sum(CAST(floor(err * f3 * 1e6) AS BIGINT)) AS g3 FROM e$k),
+         |w$k AS (SELECT
+         |  w.a0 - 0.5 * (CAST(g.g0 AS DOUBLE) / 1e6 / g.n) AS a0,
+         |  w.a1 - 0.5 * (CAST(g.g1 AS DOUBLE) / 1e6 / g.n) AS a1,
+         |  w.a2 - 0.5 * (CAST(g.g2 AS DOUBLE) / 1e6 / g.n) AS a2,
+         |  w.a3 - 0.5 * (CAST(g.g3 AS DOUBLE) / 1e6 / g.n) AS a3
+         |  FROM w${k - 1} w, g$k g)""".stripMargin
+    s"""WITH f AS (SELECT
+       |  CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |  1.0 AS f0,
+       |  n_chars / 1000.0 AS f1,
+       |  len(list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '')) / 100.0 AS f2,
+       |  CASE WHEN n_chars = 0 THEN 0.0
+       |       ELSE CAST(length(regexp_replace(coalesce(text, ''), '[^0-9]', '', 'g')) AS DOUBLE) / n_chars
+       |  END AS f3
+       |FROM documents),
+       |w0 AS (SELECT 0.0 AS a0, 0.0 AS a1, 0.0 AS a2, 0.0 AS a3),
+       |${(1 to 3).map(iter).mkString(",\n")}
+       |SELECT 0 AS feature, a0 AS weight FROM w3
+       |UNION ALL SELECT 1, a1 FROM w3
+       |UNION ALL SELECT 2, a2 FROM w3
+       |UNION ALL SELECT 3, a3 FROM w3""".stripMargin
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("search_cnf")(spark, "/root/testdata/sf0.001")
@@ -1723,6 +1762,15 @@ object SparkEntry {
       TextAnalysis.classifierScore(t(s, dir, "documents"),
           TextAnalysis.hashedWeights(s, 4096), dim = 4096)
         .select(col("doc_id"), round(col("prob"), 6).as("prob"))),
+    // distributed full-batch logistic-regression TRAINING (the learn
+    // step whose inference twin is classifierScore): 3 GD rounds, one
+    // corpus aggregation per round, model-sized driver state. Fast
+    // sigmoid + floor-scaled integer gradients make every round
+    // bit-exact cross-engine — the oracle replays the rounds unrolled
+    // and the weight doubles compare with ==
+    "text_train_logreg" -> ((s, dir) =>
+      TextAnalysis.trainLogReg(t(s, dir, "documents"),
+        when(col("lang") === "en", 1.0).otherwise(0.0))),
     // DSIR importance log-weights: target = the English slice; one
     // conditional aggregation builds both unigram LMs, vocabulary-sized
     // model tables, per-doc sum of the smoothed log-likelihood ratio
@@ -3103,6 +3151,7 @@ object SparkEntry {
         |JOIN uni f1 ON f1.word = string_split(sel.bigram, ' ')[1]
         |JOIN uni f2 ON f2.word = string_split(sel.bigram, ' ')[2]
         |CROSS JOIN nu CROSS JOIN nb""".stripMargin,
+    "text_train_logreg" -> OracleTrainLogRegSql,
     "text_classifier_score" ->
       // the weight table is rebuilt from the same deterministic formula
       // and the same portable md5-based feature hash the Spark side uses

@@ -1154,6 +1154,67 @@ object TextAnalysis {
       .agg(sum("llr").as("dsir_logweight"))
   }
 
+  /** Distributed full-batch logistic-regression TRAINING for a cheap
+    * quality/language filter — the learn step whose inference twin is
+    * [[classifierScore]]. Four exact-rational document features (bias,
+    * chars/1000, words/100, digit ratio) against a 0/1 label column;
+    * `iterations` rounds of gradient descent where each round is ONE
+    * corpus-sized aggregation producing a 4-long gradient — the
+    * textbook distributed-LR shape (k passes over data, model-sized
+    * driver state, broadcast weights).
+    *
+    * Bit-portable by construction (the [[graft.ops.Similarity.powerIteration]]
+    * discipline): the squashing function is the FAST SIGMOID
+    * `σ̃(z) = 0.5 + 0.5·z/(1+|z|)` — same shape and gradient sign as
+    * the logistic, but built only from +,*,/,abs so no cross-engine
+    * `exp` ulp question exists; per-row error×feature products are
+    * floor-scaled to integers before summation (associative-
+    * commutative exactly — partitioning cannot change a bit); the
+    * weight update is one fixed double expression both engines
+    * execute identically. The `text_train_logreg` DuckDB oracle
+    * replays all rounds unrolled and compares weights with `==`.
+    *
+    * `labelCol` must already be a 0.0/1.0 DOUBLE column (the caller
+    * decides null semantics). Returns `(feature, weight)` — one row
+    * per feature index.
+    */
+  def trainLogReg(docs: DataFrame, labelCol: Column, iterations: Int = 3,
+                  lr: Double = 0.5): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val text = coalesce(col("text"), lit(""))
+    val f = docs.select(
+      labelCol.cast("double").as("y"),
+      lit(1.0).as("f0"),
+      (col("n_chars") / lit(1000.0)).as("f1"),
+      (size(filter(split(text, " ", -1), w => w =!= lit("")))
+        / lit(100.0)).as("f2"),
+      when(col("n_chars") === 0, 0.0)
+        .otherwise(length(regexp_replace(text, "[^0-9]", "")).cast("double")
+          / col("n_chars")).as("f3"))
+    var w = Array.fill(4)(0.0)
+    for (_ <- 1 to iterations) {
+      val z = lit(w(0)) * col("f0") + lit(w(1)) * col("f1") +
+        lit(w(2)) * col("f2") + lit(w(3)) * col("f3")
+      val err = (lit(0.5) + lit(0.5) * (z / (lit(1.0) + abs(z)))) - col("y")
+      val grads = f.select(col("f0"), col("f1"), col("f2"), col("f3"),
+          err.as("err"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("err") * col("f0") * lit(1e6))).as("g0"),
+          sum(floor(col("err") * col("f1") * lit(1e6))).as("g1"),
+          sum(floor(col("err") * col("f2") * lit(1e6))).as("g2"),
+          sum(floor(col("err") * col("f3") * lit(1e6))).as("g3"))
+        .first()
+      val n = grads.getLong(0)
+      require(n > 0, "trainLogReg needs a non-empty corpus")
+      w = Array.tabulate(4)(j =>
+        w(j) - lr * (grads.getLong(j + 1).toDouble / 1e6 / n))
+    }
+    w.zipWithIndex.map { case (wj, j) => (j, wj) }.toSeq
+      .toDF("feature", "weight")
+  }
+
   /** SQL string literal with quotes/backslashes escaped (merge symbols
     * may contain either once user text gets exotic).
     */

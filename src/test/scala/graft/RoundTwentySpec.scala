@@ -228,6 +228,38 @@ class RoundTwentySpec extends AnyFunSuite {
     assert(runB(1) === runB(32))
   }
 
+  test("logreg training: partitioning-invariant, learns a separable signal, null-safe") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(41)
+    // digit-heavy docs are labeled 1: f3 (digit ratio) separates
+    val rows = (0 until 300).map { i =>
+      val digits = if (i % 2 == 0) "12345 678 90 " * 4 else ""
+      val words = Seq.fill(5 + rnd.nextInt(10))("word").mkString(" ")
+      val text = digits + words
+      (i.toLong, text, if (i % 2 == 0) "en" else "de", "src0",
+        text.length.toLong)
+    } :+ ((300L, null.asInstanceOf[String], null.asInstanceOf[String], "src1", 0L))
+    val docs = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val label = when(col("lang") === "en", 1.0).otherwise(0.0)
+    def weights(parts: Int) = graft.ops.TextAnalysis.trainLogReg(
+        docs.repartition(parts), label, iterations = 4)
+      .orderBy("feature").collect().map(_.getDouble(1))
+    val w = weights(1)
+    assert(w.toSeq === weights(11).toSeq, "bit-identical across partitionings")
+    assert(w(3) > 0, s"digit-ratio weight should be positive: ${w.toSeq}")
+    // the trained model separates better than chance on its own data
+    val scored = docs.select(label.as("y"),
+      (lit(w(0)) + lit(w(1)) * (col("n_chars") / 1000.0) +
+        lit(w(2)) * (size(split(coalesce(col("text"), lit("")), " ", -1)) / 100.0) +
+        lit(w(3)) * when(col("n_chars") === 0, 0.0)
+          .otherwise(length(regexp_replace(coalesce(col("text"), lit("")),
+            "[^0-9]", "")).cast("double") / col("n_chars"))).as("z"))
+    val acc = scored.select(avg(when((col("z") >= 0) === (col("y") === 1.0), 1.0)
+      .otherwise(0.0))).first().getDouble(0)
+    assert(acc > 0.9, s"train accuracy $acc")
+  }
+
   test("undersized capacity falls back to the full aggregation, still exact") {
     val df = zipfKeys(5000, 25, seed = 5)
     // capacity 4 cannot cover rank 10 on this distribution: the read
