@@ -1232,6 +1232,20 @@ object SparkEntry {
     // same (n, minJ, maxShingleFreq) as the session pair cache — read
     // it instead of re-deriving the identical pair list
     "dedup_ngram_jaccard" -> ((s, dir) => cachedPairs(s, dir)),
+    // ASYMMETRIC containment near-dup (doc-in-doc): quote/subset
+    // contamination scores near-zero Jaccard but 1.0 containment. Ten
+    // planted half-prefix docs (ids above max(doc_id) at any scale
+    // factor) guarantee non-vacuous subset pairs; both directions are
+    // exact integer divisions, so no rounding is needed
+    "dedup_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "n_chars")
+      val maxId = docs.agg(max("doc_id")).first().getAs[Number](0).longValue
+      val planted = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + maxId + 1).as("doc_id"),
+          expr("substring(text, 1, cast(floor(n_chars / 2) as int))").as("text"))
+      Dedup.containmentPairs(
+        docs.select("doc_id", "text").unionByName(planted), n = 3, minC = 0.5)
+    }),
     // LSH banding proposes candidates, exact Jaccard decides: the output
     // is the exact pair list at minJ (oracle = the DuckDB pair list), the
     // cost profile is the banded candidate shuffle. Identical shingle
@@ -2636,6 +2650,24 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.05""".stripMargin),
+    "dedup_containment" ->
+      // both containment directions are exact integer divisions; the
+      // planted half-prefix docs replicate the Spark-side planting
+      ("""WITH alldocs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+        |         substr(text, 1, CAST(floor(n_chars / 2) AS BIGINT)) AS text
+        |  FROM documents WHERE doc_id < 10),
+        |""".stripMargin + ngramCteOver("alldocs") + "\n" +
+        """SELECT doc_a, doc_b,
+        |       CAST(n_common AS DOUBLE) / sa.n_sh AS containment_a,
+        |       CAST(n_common AS DOUBLE) / sb.n_sh AS containment_b
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE greatest(CAST(n_common AS DOUBLE) / sa.n_sh,
+        |               CAST(n_common AS DOUBLE) / sb.n_sh) >= 0.5""".stripMargin),
     "dedup_clusters" ->
       // transitive closure of the exact pair list (tiny components at
       // oracle scale), then min reachable id per node

@@ -95,32 +95,9 @@ object Dedup {
       !sh.groupBy("shingle").agg(count("*").as("freq"))
         .filter(col("freq") > maxShingleFreq).isEmpty
     val inter =
-      if (maxShingleFreq == Int.MaxValue || !guardTriggers) {
-        // exact mode: one self-equi-join on the shingle key
-        sh.select(col("doc_id").as("doc_a"), col("shingle"))
-          .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
-          .filter(col("doc_a") < col("doc_b"))
-          .groupBy("doc_a", "doc_b").agg(count("*").as("n_common"))
-      } else {
-        // guarded mode: hot shingles are dropped from CANDIDATE
-        // GENERATION only — the anti-joined self-join proposes pairs
-        // (bounded: <= maxShingleFreq^2 rows per shingle) and the true
-        // Jaccard is then computed over the FULL shingle sets via a
-        // pair-bounded join (cost = candidates x doc size, never the
-        // hot shingle's k^2). The hot list is small, so it broadcasts.
-        val hot = sh.groupBy("shingle").agg(count("*").as("freq"))
-          .filter(col("freq") > maxShingleFreq)
-        val filtered = sh.join(broadcast(hot.select("shingle")), Seq("shingle"), "left_anti")
-        val candidates = filtered.select(col("doc_id").as("doc_a"), col("shingle"))
-          .join(filtered.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct()
-        val bSide = sh.select(col("doc_id").as("b_id"), col("shingle").as("b_sh"))
-        candidates
-          .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-          .join(bSide, col("doc_b") === col("b_id") && col("shingle") === col("b_sh"))
-          .groupBy("doc_a", "doc_b").agg(count("*").as("n_common"))
-      }
+      if (maxShingleFreq == Int.MaxValue || !guardTriggers)
+        exactPairCommonCounts(sh)
+      else guardedPairCommonCounts(sh, maxShingleFreq)
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n_shingles", "na"), "doc_a")
@@ -133,6 +110,75 @@ object Dedup {
       // checkpoint the SMALL result so the returned plan stops
       // referencing the big shingle-table blocks — they become
       // GC-reclaimable now instead of living as long as the result plan
+      .localCheckpoint(true)
+  }
+
+  /** Exact per-pair common-shingle counts: one self-equi-join on the
+    * shingle key. `(doc_a < doc_b, n_common)`.
+    */
+  private def exactPairCommonCounts(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count("*").as("n_common"))
+
+  /** Guarded per-pair common-shingle counts: hot shingles are dropped
+    * from CANDIDATE GENERATION only — the anti-joined self-join
+    * proposes pairs (bounded: <= maxShingleFreq^2 rows per shingle)
+    * and the true overlap is then computed over the FULL shingle sets
+    * via a pair-bounded join (cost = candidates x doc size, never the
+    * hot shingle's k^2). The hot list is small, so it broadcasts.
+    */
+  private def guardedPairCommonCounts(sh: DataFrame,
+                                      maxShingleFreq: Int): DataFrame = {
+    val hot = sh.groupBy("shingle").agg(count("*").as("freq"))
+      .filter(col("freq") > maxShingleFreq)
+    val filtered = sh.join(broadcast(hot.select("shingle")), Seq("shingle"), "left_anti")
+    val candidates = filtered.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(filtered.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val bSide = sh.select(col("doc_id").as("b_id"), col("shingle").as("b_sh"))
+    candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(bSide, col("doc_b") === col("b_id") && col("shingle") === col("b_sh"))
+      .groupBy("doc_a", "doc_b").agg(count("*").as("n_common"))
+  }
+
+  /** ASYMMETRIC near-dup: shingle CONTAINMENT (Broder 1997's other
+    * resemblance measure) — `C(A in B) = |sh(A) ∩ sh(B)| / |sh(A)|`.
+    * Jaccard misses doc-in-doc relationships (a tweet quoted inside an
+    * article scores near 0 Jaccard but 1.0 containment), which is
+    * exactly the shape of quote/boilerplate/subset contamination in a
+    * training corpus. Emits one row per unordered pair with BOTH
+    * directions scored, keeping pairs where either direction reaches
+    * `minC`.
+    *
+    * Same scale shape as [[ngramJaccard]] (shared candidate machinery):
+    * bounded-key shingle equi-join, optional hot-shingle cap that drops
+    * ubiquitous shingles from candidate generation only — surviving
+    * pairs always score their TRUE containment from full shingle sets.
+    */
+  def containmentPairs(docs: DataFrame, n: Int, minC: Double,
+                       maxShingleFreq: Int = Int.MaxValue): DataFrame = {
+    val sh = shingles(docs, n).localCheckpoint(true)
+    val sizes = sh.groupBy("doc_id").agg(count("*").as("n_shingles"))
+    def guardTriggers: Boolean =
+      !sh.groupBy("shingle").agg(count("*").as("freq"))
+        .filter(col("freq") > maxShingleFreq).isEmpty
+    val inter =
+      if (maxShingleFreq == Int.MaxValue || !guardTriggers)
+        exactPairCommonCounts(sh)
+      else guardedPairCommonCounts(sh, maxShingleFreq)
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_shingles", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_shingles", "nb"), "doc_b")
+      .withColumn("containment_a", col("n_common").cast("double") / col("na"))
+      .withColumn("containment_b", col("n_common").cast("double") / col("nb"))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= minC)
+      .select("doc_a", "doc_b", "containment_a", "containment_b")
       .localCheckpoint(true)
   }
 

@@ -260,6 +260,34 @@ class RoundTwentySpec extends AnyFunSuite {
     assert(acc > 0.9, s"train accuracy $acc")
   }
 
+  test("containment catches doc-in-doc pairs that Jaccard misses") {
+    val s = spark
+    import s.implicits._
+    val quote = "the quick brown fox jumps over the lazy dog tonight"
+    val article = (1 to 40).map(i => s"segment$i filler$i word$i").mkString(" ") +
+      " " + quote + " " + (41 to 80).map(i => s"segment$i filler$i word$i").mkString(" ")
+    val docs = Seq((1L, quote), (2L, article), (3L, "unrelated text entirely about ships"))
+      .toDF("doc_id", "text")
+    val cont = graft.ops.Dedup.containmentPairs(docs, n = 3, minC = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(cont.length === 1)
+    val (a, b, ca, cb) = cont.head
+    assert((a, b) === (1L, 2L))
+    assert(ca === 1.0, "every quote shingle appears in the article")
+    assert(cb < 0.3, "the article is not contained in the quote")
+    // the same pair scores low Jaccard: the symmetric measure misses it
+    val j = graft.ops.Dedup.ngramJaccard(docs, n = 3, minJ = 0.0)
+      .filter(col("doc_a") === 1 && col("doc_b") === 2)
+      .collect().head.getDouble(2)
+    assert(j < 0.3, s"jaccard should be small: $j")
+    // hot-shingle guard: identical output when every pair still shares
+    // a sub-cap shingle
+    val guarded = graft.ops.Dedup.containmentPairs(docs, n = 3, minC = 0.9,
+      maxShingleFreq = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(guarded.toSet === cont.toSet)
+  }
+
   test("undersized capacity falls back to the full aggregation, still exact") {
     val df = zipfKeys(5000, 25, seed = 5)
     // capacity 4 cannot cover rank 10 on this distribution: the read
