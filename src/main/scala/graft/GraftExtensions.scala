@@ -34,6 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[NfcNormalize].getName, "graft_nfc"),
         GraftExtensions.nfcBuilder))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_stem"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.PorterStem].getName, "graft_stem"),
+        GraftExtensions.stemBuilder))
     // NFC is idempotent: nested graft_nfc collapses to one pass
     ext.injectOptimizerRule(_ => graft.plans.NfcIdempotence)
     // graft_hyperplane_sigs(emb, planesPerTable, tables[, planeOffset]):
@@ -62,6 +67,7 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("graft_dot",
       exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_nfc", nfcBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_stem", stemBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("graft_hyperplane_sigs",
       hyperplaneSigsBuilder, "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(graft.plans.NfcIdempotence))
@@ -79,6 +85,15 @@ object GraftExtensions {
       errorClass = "USER_RAISED_EXCEPTION",
       messageParameters = Map("errorMessage" ->
         s"graft_nfc takes exactly 1 argument, got ${other.length}"))
+  }
+
+  /** Builder for `graft_stem` (same arity contract as [[nfcBuilder]]). */
+  val stemBuilder: Seq[Expression] => Expression = {
+    case Seq(child) => graft.functions.PorterStem(child)
+    case other => throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "USER_RAISED_EXCEPTION",
+      messageParameters = Map("errorMessage" ->
+        s"graft_stem takes exactly 1 argument, got ${other.length}"))
   }
 
   /** The exact builder injected for `graft_hyperplane_sigs`, exposed so

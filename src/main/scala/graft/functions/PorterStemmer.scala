@@ -219,3 +219,67 @@ object PorterStemmer {
     }
   }
 }
+
+/** The stemming kernel behind [[PorterStem]], shipped to executors as
+  * a codegen reference object (the [[NfcKernel]] pattern). Fast path:
+  * when stemming changes nothing (short tokens, already-stemmed words,
+  * numbers) the ORIGINAL UTF8String is returned — no re-encode.
+  */
+final class PorterStemKernel extends Serializable {
+  def stem(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    val out = PorterStemmer.stem(str)
+    if (out == str) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(out)
+  }
+}
+
+/** `STRING -> STRING` Porter stemming as a native Catalyst expression.
+  * The stemmer runs once per TOKEN of the whole corpus in the postings
+  * build — the hottest scalar call in the engine — so it must live
+  * INSIDE whole-stage codegen rather than behind a `ScalaUDF` (which
+  * pays a UTF8String→String→UTF8String conversion plus the null-
+  * wrapper closure per row and blocks expression-level optimizations).
+  * Also registered as `graft_stem` in SQL via [[graft.GraftExtensions]].
+  */
+case class PorterStem(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{DataType, NullType, StringType}
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType] || child.dataType == NullType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_stem requires a STRING argument, got ${child.dataType.sql}")
+
+  @transient private lazy val kernel = new PorterStemKernel
+
+  override def nullSafeEval(v: Any): Any =
+    kernel.stem(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val k = ctx.addReferenceObj("stemKernel", kernel,
+        classOf[PorterStemKernel].getName)
+      s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $k.stem($c);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(child = newChild)
+}
+
+object PorterStem {
+  /** Column-API entry point. */
+  def stemCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      PorterStem(org.apache.spark.sql.GraftSqlBridge.expression(c)))
+}

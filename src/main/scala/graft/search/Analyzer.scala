@@ -16,8 +16,9 @@ import graft.functions.PorterStemmer
   * even for tokens later dropped by the digit/alnum/stop-word filters.
   *
   * Everything here is built from codegen'd `org.apache.spark.sql.functions`
-  * (split / filter / transform / posexplode); the only UDF in the whole
-  * indexing path is the Porter stemmer.
+  * (split / filter / transform / posexplode); the Porter stemmer is a
+  * native Catalyst expression ([[graft.functions.PorterStem]]), so the
+  * whole indexing path runs UDF-free inside whole-stage codegen.
   */
 object Analyzer {
 
@@ -111,8 +112,8 @@ object Analyzer {
   def isIndexableToken(token: Column): Column =
     token.rlike("^[a-z0-9]+$") && !token.rlike("^[0-9]+$")
 
-  /** Porter-stemmer UDF — the one scalar function Spark has no built-in
-    * for (reference `util/Stemmer.java`).
+  /** Porter stemming (reference `util/Stemmer.java`) — the native
+    * codegen'd expression; see [[graft.functions.PorterStem]].
     */
-  val stemUdf = udf((s: String) => if (s == null) null else PorterStemmer.stem(s))
+  def stemCol(c: Column): Column = graft.functions.PorterStem.stemCol(c)
 }

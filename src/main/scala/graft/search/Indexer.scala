@@ -77,7 +77,7 @@ object Indexer {
       if (stopWords.isEmpty) toks
       else toks.filter(!col("token").isin(stopWords: _*))
     kept.withColumn("term",
-      if (stem) Analyzer.stemUdf(col("token")) else col("token"))
+      if (stem) Analyzer.stemCol(col("token")) else col("token"))
   }
 
   /** Term-frequency + sorted absolute positions per (term, doc):

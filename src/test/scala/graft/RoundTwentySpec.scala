@@ -288,6 +288,34 @@ class RoundTwentySpec extends AnyFunSuite {
     assert(guarded.toSet === cont.toSet)
   }
 
+  test("native PorterStem expression: equals the Scala stemmer, null-safe, UDF-free plan, SQL-registered") {
+    val s = spark
+    import s.implicits._
+    val words = Seq("running", "caresses", "ponies", "relational", "rate",
+      "agreed", "feed", "sky", "123", "x1y2z3", "", "a", "traditional",
+      "probate", "controllable", "roll") ++
+      (1 to 200).map(i => scala.util.Random.alphanumeric.take(i % 12 + 1)
+        .mkString.toLowerCase)
+    val df = (words.map(Option(_)) :+ None).toDF("w")
+    val got = df.select(graft.functions.PorterStem.stemCol(col("w")).as("t"))
+      .collect().map(r => Option(r.getString(0)))
+    val want = (words.map(w => Option(graft.functions.PorterStemmer.stem(w)))
+      :+ None)
+    assert(got.toSeq === want)
+    // the postings build plans no ScalaUDF: stemming is native codegen
+    val docs = Seq((1L, "running ponies agreed")).toDF("doc_id", "text")
+    val plan = graft.search.Indexer.postings(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"postings plan still has a UDF:\n$plan")
+    // SQL surface
+    graft.GraftExtensions.install(s)
+    assert(s.sql("SELECT graft_stem('running') AS t").first().getString(0) === "run")
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      s.sql("SELECT graft_stem('a', 'b')").collect()
+    }
+    assert(err.getMessage.contains("exactly 1 argument"))
+  }
+
   test("undersized capacity falls back to the full aggregation, still exact") {
     val df = zipfKeys(5000, 25, seed = 5)
     // capacity 4 cannot cover rank 10 on this distribution: the read

@@ -500,6 +500,52 @@ object Scratch {
                 s"histDiff=$hDiff quantiles=$qm " +
                 (if (csDiff == 0 && hDiff == 0 && qm == qf) "OK"
                 else "MISMATCH"))
+            case "mgmerge" =>
+              // mergeable Misra-Gries top-k at 20x: a wide key space
+              // (word 3-gram shingles of the 20x corpus), states built
+              // on a disjoint split, merged, read — the EXACT top-25
+              // must equal the plain aggregation, and the merged state
+              // must respect the capacity bound. Invariants, not just
+              // wall-time.
+              val keys = ops.Dedup.shingles(big, 3)
+                .select(col("doc_id"), col("shingle").as("word"))
+                .localCheckpoint(true)
+              val cap = 4096
+              val t0m = System.nanoTime()
+              val merged = ops.HeavyHitters.mergeMg(
+                ops.HeavyHitters.mgState(keys.filter(col("doc_id") % 2 === 0), "word", cap),
+                ops.HeavyHitters.mgState(keys.filter(col("doc_id") % 2 =!= 0), "word", cap),
+                cap).localCheckpoint(true)
+              val stateSec = (System.nanoTime() - t0m) / 1e9
+              val nCounters = merged.filter(col("key").isNotNull).count()
+              val t1m = System.nanoTime()
+              val got = ops.HeavyHitters.topKFromState(merged, keys, "word", 25, cap)
+                .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+              val readSec = (System.nanoTime() - t1m) / 1e9
+              val want = keys.groupBy("word").agg(count(lit(1)).as("n"))
+                .orderBy(col("n").desc, col("word")).limit(25)
+                .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+              println(f"rows=${keys.count()} counters=$nCounters " +
+                f"stateSec=$stateSec%.2f readSec=$readSec%.2f " +
+                (if (got == want && nCounters <= cap) "OK" else "MISMATCH"))
+            case "power" =>
+              // bit-portable power iteration at 20x embeddings: the
+              // backScale=1e4 long-headroom argument must hold (no
+              // overflow guard trip) and the result must stay
+              // bit-identical across partitionings at this scale
+              val base20 = (0 until 20).map(i =>
+                  sources.Tables(spark, sfDir, "embeddings")
+                    .withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+                .reduce(_ unionByName _).localCheckpoint(true)
+              val t0p = System.nanoTime()
+              val va = ops.Similarity.powerIteration(base20.repartition(7), 3)
+                .orderBy("dim").collect().map(_.getDouble(1)).toSeq
+              val sec = (System.nanoTime() - t0p) / 1e9
+              val vb = ops.Similarity.powerIteration(base20.repartition(64), 3)
+                .orderBy("dim").collect().map(_.getDouble(1)).toSeq
+              val nrm = math.sqrt(va.map(x => x * x).sum)
+              println(f"rows=${base20.count()} sec=$sec%.2f norm=$nrm%.9f " +
+                (if (va == vb && math.abs(nrm - 1.0) < 1e-9) "OK" else "MISMATCH"))
           }
         } else if (n == "idx-stem-nopersist") {
           search.Indexer.postings(search.Indexer.documents(spark, sfDir))
