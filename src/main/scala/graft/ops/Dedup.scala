@@ -79,12 +79,22 @@ object Dedup {
     * single self-join exact path runs instead.
     */
   def ngramJaccard(docs: DataFrame, n: Int, minJ: Double,
-                   maxShingleFreq: Int = Int.MaxValue): DataFrame = {
+                   maxShingleFreq: Int = Int.MaxValue): DataFrame =
     // the shingle table feeds the guard probe, both join sides, and the
     // size aggregate — eager localCheckpoint computes the
     // tokenize+explode+distinct once instead of once per consumer
     // (blocks are GC-reclaimed; see clusters for why not persist())
-    val sh = shingles(docs, n).localCheckpoint(true)
+    ngramJaccardFromShingles(shingles(docs, n).localCheckpoint(true),
+      minJ, maxShingleFreq)
+
+  /** [[ngramJaccard]] over a PREBUILT (doc_id, shingle) table — the
+    * session-shared-artifact entry point: one corpus shingle pass can
+    * feed the self-join pairs, cross-corpus decontamination, and
+    * containment scoring instead of each rebuilding it. The caller
+    * owns materialization (pass an eagerly checkpointed table).
+    */
+  def ngramJaccardFromShingles(sh: DataFrame, minJ: Double,
+                               maxShingleFreq: Int = Int.MaxValue): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count("*").as("n_shingles"))
     // adaptive: when the guard is off OR no shingle actually exceeds it
     // (one cheap aggregation to check — planning-time statistics, like
@@ -160,8 +170,15 @@ object Dedup {
     * pairs always score their TRUE containment from full shingle sets.
     */
   def containmentPairs(docs: DataFrame, n: Int, minC: Double,
-                       maxShingleFreq: Int = Int.MaxValue): DataFrame = {
-    val sh = shingles(docs, n).localCheckpoint(true)
+                       maxShingleFreq: Int = Int.MaxValue): DataFrame =
+    containmentFromShingles(shingles(docs, n).localCheckpoint(true),
+      minC, maxShingleFreq)
+
+  /** [[containmentPairs]] over a prebuilt shingle table (see
+    * [[ngramJaccardFromShingles]]).
+    */
+  def containmentFromShingles(sh: DataFrame, minC: Double,
+                              maxShingleFreq: Int = Int.MaxValue): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count("*").as("n_shingles"))
     def guardTriggers: Boolean =
       !sh.groupBy("shingle").agg(count("*").as("freq"))
@@ -213,8 +230,17 @@ object Dedup {
     *   to check), the single-phase exact path runs unchanged.
     */
   def crossJaccard(corpus: DataFrame, heldout: DataFrame, n: Int,
-                   minJ: Double, maxHeldoutDf: Int = 1000): DataFrame = {
-    val shA = shingles(corpus, n)
+                   minJ: Double, maxHeldoutDf: Int = 1000): DataFrame =
+    crossJaccardFromShingles(shingles(corpus, n), heldout, n, minJ,
+      maxHeldoutDf)
+
+  /** [[crossJaccard]] with a PREBUILT corpus shingle table (see
+    * [[ngramJaccardFromShingles]]) — at 100 TB the corpus shingle pass
+    * IS the cost, so a session/pipeline that also self-joins the same
+    * shingles must not pay it twice.
+    */
+  def crossJaccardFromShingles(shA: DataFrame, heldout: DataFrame, n: Int,
+                               minJ: Double, maxHeldoutDf: Int = 1000): DataFrame = {
     // consumed repeatedly (guard probe, join sides, sizes): the
     // held-out table is small, so an eager checkpoint is cheap and
     // stops repeated tokenization
