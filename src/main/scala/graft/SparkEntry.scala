@@ -1739,6 +1739,10 @@ object SparkEntry {
     // MG = top-k). The read is EXACT (candidates + verify + fallback),
     // so the oracle is the plain top-k
     "q_topk_incremental" -> ((s, dir) => {
+      // the token stream is NOT materialized: like topK's raw key
+      // stream, re-deriving the cheap explode per pass costs less than
+      // caching a corpus-sized intermediate (measured ~equal at sf0.1,
+      // and the 100 TB answer is categorical)
       val words = t(s, dir, "documents")
         .select(col("doc_id"),
           explode(split(col("text"), " ", -1)).as("w"))
