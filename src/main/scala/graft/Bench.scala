@@ -79,8 +79,8 @@ object Bench {
     // same plan shape, flips on a structural change
     val planFp = scala.collection.mutable.Map.empty[String, String]
 
-    def fingerprint(df: org.apache.spark.sql.DataFrame): String = {
-      val raw = df.queryExecution.executedPlan.toString
+    def normalizedPlan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
         .replaceAll("#\\d+", "#")
         .replaceAll("\\bplan_id=\\d+", "plan_id=")
         .replaceAll("\\[id=#?\\d*\\]", "")
@@ -89,20 +89,40 @@ object Bench {
         // per-instance — both are identity noise, not plan shape
         .replaceAll("\\$Lambda\\$\\d+/0x[0-9a-fA-F]+", "\\$Lambda")
         .replaceAll("\\$\\$Lambda/0x[0-9a-fA-F]+", "\\$Lambda")
+        // HOF lambda VARIABLE names (lambda x_3#) draw from a
+        // session-global counter — suite composition shifted every
+        // HOF query's fingerprint (the r5 lambda-class-id bug's
+        // second face, found diffing SPARK_GRAFT_BENCH_PLANS dumps)
+        .replaceAll("\\blambda (\\w+?)_\\d+#", "lambda $1_#")
         .replaceAll("@[0-9a-f]+", "@")
         .replaceAll("LocalTableScan \\[.*", "LocalTableScan")
         .replaceAll("Scan ExistingRDD\\[.*", "Scan ExistingRDD")
+
+    def fingerprint(df: org.apache.spark.sql.DataFrame): String =
       java.security.MessageDigest.getInstance("MD5")
-        .digest(raw.getBytes("UTF-8"))
+        .digest(normalizedPlan(df).getBytes("UTF-8"))
         .take(4).map("%02x".format(_)).mkString
-    }
+
+    // SPARK_GRAFT_BENCH_PLANS=<dir>: dump each query's NORMALIZED plan
+    // text (the exact fingerprint input) — `diff` two dumps to
+    // root-cause a PLAN flag instead of guessing from an 8-hex digest
+    val planDumpDir = sys.env.get("SPARK_GRAFT_BENCH_PLANS")
+    planDumpDir.foreach(d =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
 
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
         if (!planFp.contains(name))
-          try planFp(name) = fingerprint(df)
+          try {
+            planFp(name) = fingerprint(df)
+            planDumpDir.foreach { d =>
+              java.nio.file.Files.writeString(
+                java.nio.file.Paths.get(d, s"$name.plan"),
+                normalizedPlan(df))
+            }
+          }
           catch { case _: Throwable => planFp(name) = "err" }
         df.write.format("noop").mode("overwrite").save()
       }
