@@ -1390,6 +1390,23 @@ object SparkEntry {
           col("asof_ts").cast("timestamp_ntz").as("asof_ts"),
           col("asof_event_id"), col("asof_value"))
     }),
+    // nearest as-of (closest view in EITHER direction per purchase,
+    // ties backward): still one shuffle+sort — both candidates come
+    // from two frames over the same ascending window order
+    "q_asof_nearest" -> ((s, dir) => {
+      val e = graft.sources.Tables.events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val views = e.filter(col("event_type") === "view")
+        .select("user_id", "ts", "event_id", "value")
+      graft.ops.TemporalJoins.asOfJoin(purchases, views,
+          keys = Seq("user_id"), tsCol = "ts",
+          rightPayload = Seq("event_id", "value"), direction = "nearest")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          col("asof_ts").cast("timestamp_ntz").as("asof_ts"),
+          col("asof_event_id"), col("asof_value"))
+    }),
     // range join (pairs of same-user events within 6 hours): bucket-bin
     // equi-join + exact predicate, never a per-user cross product
     "q_range_join" -> ((s, dir) => {
@@ -2757,6 +2774,28 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type='signup') l
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='purchase') r
         |  ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
+    // DuckDB has no nearest ASOF: compose the backward and forward
+    // ASOF joins and pick the closer (ties backward — same rule as the
+    // operator)
+    "q_asof_nearest" ->
+      """SELECT l.event_id, l.user_id, l.ts,
+        |  CASE WHEN b.ts IS NOT NULL AND (f.ts IS NULL OR
+        |         date_diff('microsecond', b.ts, l.ts) <=
+        |         date_diff('microsecond', l.ts, f.ts))
+        |       THEN b.ts ELSE f.ts END AS asof_ts,
+        |  CASE WHEN b.ts IS NOT NULL AND (f.ts IS NULL OR
+        |         date_diff('microsecond', b.ts, l.ts) <=
+        |         date_diff('microsecond', l.ts, f.ts))
+        |       THEN b.event_id ELSE f.event_id END AS asof_event_id,
+        |  CASE WHEN b.ts IS NOT NULL AND (f.ts IS NULL OR
+        |         date_diff('microsecond', b.ts, l.ts) <=
+        |         date_diff('microsecond', l.ts, f.ts))
+        |       THEN b.value ELSE f.value END AS asof_value
+        |FROM (SELECT * FROM events WHERE event_type='purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='view') b
+        |  ON l.user_id = b.user_id AND l.ts >= b.ts
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='view') f
+        |  ON l.user_id = f.user_id AND l.ts <= f.ts""".stripMargin,
     "q_range_join" ->
       """SELECT a.user_id, a.event_id AS event_id_a, b.event_id AS event_id_b,
         |       date_diff('microsecond', a.ts, b.ts) AS gap_us

@@ -37,37 +37,28 @@ object TemporalJoins {
     * `expr("INTERVAL 10 MINUTES")`) nulls payloads older than
     * `left.ts - tolerance`.
     */
+  /** `direction = "nearest"` matches the CLOSEST right row in either
+    * direction (ties prefer the backward match, so a right row at
+    * exactly left's timestamp always wins). Still ONE shuffle+sort:
+    * both the latest-preceding and earliest-following candidates come
+    * from two frames over the SAME ascending window order, then a
+    * per-row distance compare picks. `tolerance` bounds EACH side
+    * before the pick (an out-of-tolerance backward match must not
+    * shadow an in-tolerance forward one).
+    */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, rightPayload: Seq[String],
                prefix: String = "asof_",
                direction: String = "backward",
                tolerance: Option[Column] = None): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward|forward, got $direction")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
+    if (direction == "nearest")
+      return asOfNearest(left, right, keys, tsCol, rightPayload, prefix,
+        tolerance)
     val payloadCols = (tsCol +: rightPayload.filterNot(_ == tsCol))
     val leftCols = left.columns.toSeq
-    val lTagged = left
-      .withColumn("__side", lit(1))
-      .withColumn("__asof", lit(null).cast(
-        org.apache.spark.sql.types.StructType(payloadCols.map(c =>
-          org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))))
-    val rTagged = right
-      // SQL as-of semantics: a right row with a NULL key or NULL ts can
-      // never satisfy the equi+inequality predicate, so it must not
-      // become anyone's match (the NULL-key window partition would
-      // otherwise pair NULL with NULL, and a NULL ts sorts first and
-      // would become every row's "predecessor")
-      .filter((keys :+ tsCol).map(col(_).isNotNull).reduce(_ && _))
-      .select(keys.map(col) :+ col(tsCol) :+
-        struct(payloadCols.map(col): _*).as("__asof"): _*)
-      .withColumn("__side", lit(0))
-    // align schemas: right rows carry null for left-only columns
-    val rAligned = rTagged.select(leftCols.map(c =>
-      if (keys.contains(c) || c == tsCol) col(c)
-      else lit(null).cast(left.schema(c).dataType).as(c)) ++
-      Seq(col("__side"), col("__asof")): _*)
-    val unioned = lTagged.select((leftCols.map(col) ++
-      Seq(col("__side"), col("__asof"))): _*).unionByName(rAligned)
+    val unioned = tagAndUnion(left, right, keys, tsCol, payloadCols)
     // backward: ascending ts, right (side 0) before left at equal ts so
     // left sees it; forward: descending ts, same tie rule
     val ord =
@@ -91,6 +82,78 @@ object TemporalJoins {
       case None => withAsof
     }
     bounded.select(leftCols.map(col) ++
+      payloadCols.map(c => col("__hit")(c).as(prefix + c)): _*)
+  }
+
+  /** Shared tag-and-union scaffold of the as-of family: left rows carry
+    * `__side = 1` and a null payload struct; right rows (NULL keys/ts
+    * dropped — they can never satisfy the equi+inequality predicate)
+    * carry `__side = 0` and their payload struct, schema-aligned to the
+    * left columns.
+    */
+  private def tagAndUnion(left: DataFrame, right: DataFrame,
+                          keys: Seq[String], tsCol: String,
+                          payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val lTagged = left
+      .withColumn("__side", lit(1))
+      .withColumn("__asof", lit(null).cast(
+        org.apache.spark.sql.types.StructType(payloadCols.map(c =>
+          org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))))
+    val rTagged = right
+      .filter((keys :+ tsCol).map(col(_).isNotNull).reduce(_ && _))
+      .select(keys.map(col) :+ col(tsCol) :+
+        struct(payloadCols.map(col): _*).as("__asof"): _*)
+      .withColumn("__side", lit(0))
+    val rAligned = rTagged.select(leftCols.map(c =>
+      if (keys.contains(c) || c == tsCol) col(c)
+      else lit(null).cast(left.schema(c).dataType).as(c)) ++
+      Seq(col("__side"), col("__asof")): _*)
+    lTagged.select((leftCols.map(col) ++
+      Seq(col("__side"), col("__asof"))): _*).unionByName(rAligned)
+  }
+
+  /** Nearest-direction as-of: see [[asOfJoin]]'s scaladoc. Both
+    * candidates come from one ascending sort — the backward hit from
+    * the `unbounded preceding..current` frame, the forward hit from
+    * `current..unbounded following` (a right row at exactly left's ts
+    * sorts BEFORE the left row, so it is a distance-0 backward hit and
+    * wins regardless) — then one exact microsecond-distance compare
+    * picks, ties to backward.
+    */
+  private def asOfNearest(left: DataFrame, right: DataFrame,
+                          keys: Seq[String], tsCol: String,
+                          rightPayload: Seq[String], prefix: String,
+                          tolerance: Option[Column]): DataFrame = {
+    val payloadCols = (tsCol +: rightPayload.filterNot(_ == tsCol))
+    val leftCols = left.columns.toSeq
+    val unioned = tagAndUnion(left, right, keys, tsCol, payloadCols)
+    val base = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+    val wBack = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val leftNullable = (keys :+ tsCol).map(col(_).isNull).reduce(_ || _)
+    def bound(hit: Column, backward: Boolean): Column = tolerance match {
+      case Some(tol) =>
+        when(if (backward) hit(tsCol) >= col(tsCol) - tol
+             else hit(tsCol) <= col(tsCol) + tol, hit)
+      case None => hit
+    }
+    val distB = unix_micros(col(tsCol)) - unix_micros(col("__b")(tsCol))
+    val distF = unix_micros(col("__f")(tsCol)) - unix_micros(col(tsCol))
+    val picked = unioned
+      .withColumn("__b", last(col("__asof"), ignoreNulls = true).over(wBack))
+      .withColumn("__f", first(col("__asof"), ignoreNulls = true).over(wFwd))
+      .filter(col("__side") === 1)
+      .withColumn("__b", bound(col("__b"), backward = true))
+      .withColumn("__f", bound(col("__f"), backward = false))
+      .withColumn("__hit",
+        when(leftNullable, lit(null))
+          .when(col("__b").isNull, col("__f"))
+          .when(col("__f").isNull, col("__b"))
+          .when(distB <= distF, col("__b"))
+          .otherwise(col("__f")))
+    picked.select(leftCols.map(col) ++
       payloadCols.map(c => col("__hit")(c).as(prefix + c)): _*)
   }
 

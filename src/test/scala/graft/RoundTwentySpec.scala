@@ -316,6 +316,38 @@ class RoundTwentySpec extends AnyFunSuite {
     assert(err.getMessage.contains("exactly 1 argument"))
   }
 
+  test("nearest as-of: picks the closer side, per-side tolerance, backward ties") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val left = Seq((1L, 1, ts(100)), (2L, 1, ts(200)), (3L, 2, ts(50)))
+      .toDF("id", "k", "ts")
+    val right = Seq(
+      (1, ts(90), "b90"), // 10s before left 100
+      (1, ts(104), "f104"), // 4s after left 100 -> nearer, forward wins
+      (1, ts(195), "b195"), (1, ts(205), "f205"), // equidistant at 200 -> backward
+      (2, ts(10), "b10") // only backward for left 50
+    ).toDF("k", "ts", "tag")
+    def run(tol: Option[org.apache.spark.sql.Column]) =
+      graft.ops.TemporalJoins.asOfJoin(left, right, Seq("k"), "ts",
+          Seq("tag"), direction = "nearest", tolerance = tol)
+        .orderBy("id").collect()
+        .map(r => Option(r.getAs[String]("asof_tag"))).toSeq
+    assert(run(None) === Seq(Some("f104"), Some("b195"), Some("b10")))
+    // per-side tolerance: 30s nulls the id=3 backward-only match (40s
+    // away) but must NOT shadow in-tolerance matches elsewhere
+    assert(run(Some(expr("INTERVAL 30 SECONDS"))) ===
+      Seq(Some("f104"), Some("b195"), None))
+    // tolerance that excludes backward but keeps forward: the pick must
+    // happen AFTER per-side bounding (5s: b90 is 10s away, f104 is 4s)
+    val tight = graft.ops.TemporalJoins.asOfJoin(
+        left.filter(col("id") === 1), right.filter(col("tag") === "b90"),
+        Seq("k"), "ts", Seq("tag"), direction = "nearest",
+        tolerance = Some(expr("INTERVAL 5 SECONDS")))
+      .collect().map(r => Option(r.getAs[String]("asof_tag"))).toSeq
+    assert(tight === Seq(None))
+  }
+
   test("undersized capacity falls back to the full aggregation, still exact") {
     val df = zipfKeys(5000, 25, seed = 5)
     // capacity 4 cannot cover rank 10 on this distribution: the read
