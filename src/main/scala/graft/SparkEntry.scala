@@ -268,6 +268,46 @@ object SparkEntry {
        |UNION ALL SELECT 3, a3 FROM w3""".stripMargin
   }
 
+  /** The exact-arithmetic Lloyd round unrolled (shared by `sim_kmeans`
+    * and `sim_cluster_quality`): seed assignment → integer-scaled
+    * centroid update → final assignment; argmax over 9-dp-rounded
+    * cosines, ties to the smaller centroid id. Ends at `a2r` (final
+    * assignment ranking) with `c1` = the trained centroids.
+    */
+  private val OracleKmeansCte: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |           FROM embeddings),
+      |seeds AS (SELECT vec_id AS c_id, emb AS cvec FROM e
+      |          ORDER BY vec_id LIMIT 4),
+      |a1r AS (
+      |  SELECT e.vec_id, s.c_id,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY round(list_cosine_similarity(e.emb, s.cvec), 9)
+      |             DESC, s.c_id ASC) AS rn
+      |  FROM e CROSS JOIN seeds s),
+      |a1 AS (SELECT vec_id, c_id AS cluster FROM a1r WHERE rn = 1),
+      |u1 AS (
+      |  SELECT a1.cluster, t.i AS dim,
+      |         CAST(sum(CAST(floor(e.emb[t.i] * 1e9) AS BIGINT)) AS BIGINT) AS s,
+      |         count(*) AS n
+      |  FROM a1 JOIN e USING (vec_id),
+      |       unnest(generate_series(1, 64)) AS t(i)
+      |  GROUP BY 1, 2),
+      |c1new AS (
+      |  SELECT cluster AS c_id,
+      |         list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e9
+      |              ORDER BY dim) AS cvec
+      |  FROM u1 GROUP BY 1),
+      |c1 AS (
+      |  SELECT s.c_id, COALESCE(n.cvec, s.cvec) AS cvec
+      |  FROM seeds s LEFT JOIN c1new n USING (c_id)),
+      |a2r AS (
+      |  SELECT e.vec_id, c.c_id,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY round(list_cosine_similarity(e.emb, c.cvec), 9)
+      |             DESC, c.c_id ASC) AS rn
+      |  FROM e CROSS JOIN c1 c)""".stripMargin
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("search_cnf")(spark, "/root/testdata/sf0.001")
@@ -2005,6 +2045,12 @@ object SparkEntry {
     // — the clustering itself is oracle-checked, not just spec-pinned
     "sim_kmeans" -> ((s, dir) =>
       Similarity.kMeansExact(t(s, dir, "embeddings"), k = 4, rounds = 1)),
+    // per-cluster quality audit over the same exact clustering (the
+    // SemDeDup check before trusting a corpus partition): count, mean
+    // and min centroid cosine per cluster — model-sized broadcast join
+    // + one cluster-keyed aggregate
+    "sim_cluster_quality" -> ((s, dir) =>
+      Similarity.clusterQuality(t(s, dir, "embeddings"), k = 4, rounds = 1)),
     // MMR diversity re-ranking: top-20 cosine pool, greedy 5-pick with
     // λ=0.7 / diversity 0.3 — the DuckDB oracle replays the greedy
     // selection unrolled step by step (same device as sim_kmeans), so
@@ -4013,43 +4059,19 @@ object SparkEntry {
     "sim_power_iteration" -> OraclePowerIterSql,
     "sim_retrieval_eval" -> OracleRetrievalEvalSql,
     "sim_kmeans" ->
-      // the identical exact-arithmetic Lloyd round, unrolled: seed
-      // assignment -> integer-scaled centroid update -> final
-      // assignment; argmax over 9-dp-rounded cosines, ties to the
-      // smaller centroid id
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-        |           FROM embeddings),
-        |seeds AS (SELECT vec_id AS c_id, emb AS cvec FROM e
-        |          ORDER BY vec_id LIMIT 4),
-        |a1r AS (
-        |  SELECT e.vec_id, s.c_id,
-        |         row_number() OVER (PARTITION BY e.vec_id
-        |           ORDER BY round(list_cosine_similarity(e.emb, s.cvec), 9)
-        |             DESC, s.c_id ASC) AS rn
-        |  FROM e CROSS JOIN seeds s),
-        |a1 AS (SELECT vec_id, c_id AS cluster FROM a1r WHERE rn = 1),
-        |u1 AS (
-        |  SELECT a1.cluster, t.i AS dim,
-        |         CAST(sum(CAST(floor(e.emb[t.i] * 1e9) AS BIGINT)) AS BIGINT) AS s,
-        |         count(*) AS n
-        |  FROM a1 JOIN e USING (vec_id),
-        |       unnest(generate_series(1, 64)) AS t(i)
-        |  GROUP BY 1, 2),
-        |c1new AS (
-        |  SELECT cluster AS c_id,
-        |         list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e9
-        |              ORDER BY dim) AS cvec
-        |  FROM u1 GROUP BY 1),
-        |c1 AS (
-        |  SELECT s.c_id, COALESCE(n.cvec, s.cvec) AS cvec
-        |  FROM seeds s LEFT JOIN c1new n USING (c_id)),
-        |a2r AS (
-        |  SELECT e.vec_id, c.c_id,
-        |         row_number() OVER (PARTITION BY e.vec_id
-        |           ORDER BY round(list_cosine_similarity(e.emb, c.cvec), 9)
-        |             DESC, c.c_id ASC) AS rn
-        |  FROM e CROSS JOIN c1 c)
-        |SELECT vec_id, c_id AS cluster FROM a2r WHERE rn = 1""".stripMargin,
+      (OracleKmeansCte +
+        "\nSELECT vec_id, c_id AS cluster FROM a2r WHERE rn = 1"),
+    // per-cluster audit over the SAME replayed Lloyd round: member
+    // count, mean (round 6 — double-sum order) and min (exact on the
+    // 9-dp grid) cosine to the trained centroid
+    "sim_cluster_quality" ->
+      (OracleKmeansCte + ",\n" +
+        """a2 AS (SELECT vec_id, c_id AS cluster FROM a2r WHERE rn = 1)
+        |SELECT a2.cluster, CAST(count(*) AS BIGINT) AS n_members,
+        |       round(avg(round(list_cosine_similarity(e.emb, c.cvec), 9)), 6) AS mean_cos,
+        |       min(round(list_cosine_similarity(e.emb, c.cvec), 9)) AS min_cos
+        |FROM a2 JOIN e USING (vec_id) JOIN c1 c ON c.c_id = a2.cluster
+        |GROUP BY 1""".stripMargin),
     "dedup_clusters_incremental" ->
       // full-recompute clusters over the UNION corpus (originals +
       // planted copies of doc_id < 10 at max(doc_id)+1 offset) — the

@@ -221,7 +221,16 @@ object Similarity {
     * one k×dims-sized collect (model, not data) — same shape as
     * [[ivfTrain]]. Returns `(vec_id, cluster)`.
     */
-  def kMeansExact(embeddings: DataFrame, k: Int, rounds: Int = 1): DataFrame = {
+  def kMeansExact(embeddings: DataFrame, k: Int, rounds: Int = 1): DataFrame =
+    kMeansExactModel(embeddings, k, rounds)._1.select("vec_id", "cluster")
+
+  /** [[kMeansExact]] exposing the trained MODEL too: returns the
+    * assigned frame `(vec_id, emb, cluster)` plus the final centroids
+    * (model-sized driver state) — what [[clusterQuality]] and any IVF
+    * layout build need without re-deriving the assignment.
+    */
+  def kMeansExactModel(embeddings: DataFrame, k: Int, rounds: Int = 1)
+      : (DataFrame, Array[(Long, Array[Double])]) = {
     require(k >= 1, s"k must be >= 1: $k")
     require(rounds >= 0, s"rounds must be >= 0: $rounds")
     val e = embeddings.select(col("vec_id"),
@@ -262,7 +271,33 @@ object Similarity {
       cents = cents.map { case (cid, prev) => (cid, updated.getOrElse(cid, prev)) }
       assigned = assign(cents).localCheckpoint(true)
     }
-    assigned.select("vec_id", "cluster")
+    (assigned, cents)
+  }
+
+  /** Per-cluster quality audit over the [[kMeansExact]] clustering —
+    * the SemDeDup-style check run before trusting a corpus partition:
+    * member count, mean and minimum cosine to the trained centroid per
+    * cluster. One broadcast-hash join of the model-sized centroid
+    * table against the (already materialized) assignment, one
+    * cluster-keyed aggregate. Cosines are rounded to 9 dp before
+    * aggregating (the [[kMeansExact]] grid), `min` is then exact and
+    * order-free; the mean is rounded to 6 dp because double summation
+    * order is partitioning-dependent at ~1e-15 — the oracle replays
+    * the identical Lloyd round and aggregates the same way.
+    */
+  def clusterQuality(embeddings: DataFrame, k: Int, rounds: Int = 1): DataFrame = {
+    val (assigned, cents) = kMeansExactModel(embeddings, k, rounds)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centsDf = cents.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("cluster", "cvec")
+    assigned.join(broadcast(centsDf), "cluster")
+      .select(col("cluster"),
+        round(cosineCol(col("emb"), col("cvec")), 9).as("cos9"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        round(avg(col("cos9")), 6).as("mean_cos"),
+        min(col("cos9")).as("min_cos"))
   }
 
   /** Product-quantization training + corpus encoding: the embedding is

@@ -348,6 +348,27 @@ class RoundTwentySpec extends AnyFunSuite {
     assert(tight === Seq(None))
   }
 
+  test("cluster quality audit: partitions the corpus, bounds hold, tight clusters score high") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    // two well-separated directions -> 2 tight clusters
+    val rows = (0 until 200).map { i =>
+      val base = if (i % 2 == 0) Array(1.0, 0.0, 0.0, 0.0)
+                 else Array(0.0, 1.0, 0.0, 0.0)
+      (i.toLong, base.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = graft.ops.Similarity.clusterQuality(df, k = 2, rounds = 2)
+      .collect()
+    assert(q.map(_.getAs[Long]("n_members")).sum === 200L)
+    q.foreach { r =>
+      assert(r.getAs[Double]("mean_cos") >= r.getAs[Double]("min_cos"))
+      assert(r.getAs[Double]("mean_cos") > 0.95,
+        s"tight synthetic cluster should score high: $r")
+    }
+  }
+
   test("undersized capacity falls back to the full aggregation, still exact") {
     val df = zipfKeys(5000, 25, seed = 5)
     // capacity 4 cannot cover rank 10 on this distribution: the read
