@@ -235,7 +235,7 @@ object SparkEntry {
     * floor-scaled integer gradient sums make each round bit-exact —
     * weight doubles compare with `==`.
     */
-  private val OracleTrainLogRegSql: String = {
+  private def oracleLogRegCte(iterations: Int, lr: String): String = {
     def iter(k: Int): String =
       s"""e$k AS (SELECT q.*, (0.5 + 0.5 * (z / (1.0 + abs(z)))) - y AS err
          |  FROM (SELECT f.*, (w.a0 * f0 + w.a1 * f1 + w.a2 * f2 + w.a3 * f3) AS z
@@ -246,10 +246,10 @@ object SparkEntry {
          |  sum(CAST(floor(err * f2 * 1e6) AS BIGINT)) AS g2,
          |  sum(CAST(floor(err * f3 * 1e6) AS BIGINT)) AS g3 FROM e$k),
          |w$k AS (SELECT
-         |  w.a0 - 0.5 * (CAST(g.g0 AS DOUBLE) / 1e6 / g.n) AS a0,
-         |  w.a1 - 0.5 * (CAST(g.g1 AS DOUBLE) / 1e6 / g.n) AS a1,
-         |  w.a2 - 0.5 * (CAST(g.g2 AS DOUBLE) / 1e6 / g.n) AS a2,
-         |  w.a3 - 0.5 * (CAST(g.g3 AS DOUBLE) / 1e6 / g.n) AS a3
+         |  w.a0 - $lr * (CAST(g.g0 AS DOUBLE) / 1e6 / g.n) AS a0,
+         |  w.a1 - $lr * (CAST(g.g1 AS DOUBLE) / 1e6 / g.n) AS a1,
+         |  w.a2 - $lr * (CAST(g.g2 AS DOUBLE) / 1e6 / g.n) AS a2,
+         |  w.a3 - $lr * (CAST(g.g3 AS DOUBLE) / 1e6 / g.n) AS a3
          |  FROM w${k - 1} w, g$k g)""".stripMargin
     s"""WITH f AS (SELECT
        |  CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
@@ -261,12 +261,32 @@ object SparkEntry {
        |  END AS f3
        |FROM documents),
        |w0 AS (SELECT 0.0 AS a0, 0.0 AS a1, 0.0 AS a2, 0.0 AS a3),
-       |${(1 to 3).map(iter).mkString(",\n")}
-       |SELECT 0 AS feature, a0 AS weight FROM w3
-       |UNION ALL SELECT 1, a1 FROM w3
-       |UNION ALL SELECT 2, a2 FROM w3
-       |UNION ALL SELECT 3, a3 FROM w3""".stripMargin
+       |${(1 to iterations).map(iter).mkString(",\n")}""".stripMargin
   }
+
+  private val OracleTrainLogRegSql: String =
+    oracleLogRegCte(3, "0.5") + """
+      |SELECT 0 AS feature, a0 AS weight FROM w3
+      |UNION ALL SELECT 1, a1 FROM w3
+      |UNION ALL SELECT 2, a2 FROM w3
+      |UNION ALL SELECT 3, a3 FROM w3""".stripMargin
+
+  /** Calibration oracle: the shared unrolled-training CTE (trained
+    * harder — 6 rounds at lr 5 — so scores actually spread across
+    * buckets), one scoring pass with the 6-dp-rounded fast-sigmoid
+    * probability, centile buckets.
+    */
+  private val OracleCalibrationSql: String =
+    oracleLogRegCte(6, "5.0") + """,
+      |scored AS (
+      |  SELECT y, round((0.5 + 0.5 * (z / (1.0 + abs(z)))), 6) AS p
+      |  FROM (SELECT f.*, (w.a0 * f0 + w.a1 * f1 + w.a2 * f2 + w.a3 * f3) AS z
+      |        FROM f, w6 w) q)
+      |SELECT CAST(floor(p * 100) AS INT) AS bucket,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       sum(y) / count(*) AS mean_label,
+      |       round(avg(p), 6) AS mean_prob
+      |FROM scored GROUP BY 1""".stripMargin
 
   /** The exact-arithmetic Lloyd round unrolled (shared by `sim_kmeans`
     * and `sim_cluster_quality`): seed assignment → integer-scaled
@@ -804,6 +824,33 @@ object SparkEntry {
         .groupBy("c_custkey", "c_mktsegment")
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"), count("*").as("n_items"))
+    }),
+    // typed Dataset cogroup (KeyValueGroupedDataset.cogroup): per-key
+    // reconciliation with an imperative typed function — the
+    // Dataset[T]/Encoder surface. Same shuffle shape as a join (both
+    // sides hash on the key; per-key memory = that key's rows, bounded
+    // by orders-per-customer); the fold inside the function replaces a
+    // join + aggregate pair. Iterator order within a key is undefined,
+    // so the double fold rounds at 2 dp like every revenue aggregate
+    "q_cogroup" -> ((s, dir) => {
+      import s.implicits._
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").cast("long"), col("c_acctbal").cast("double"))
+        .as[(Long, Double)]
+      val ords = t(s, dir, "orders")
+        .select(col("o_custkey").cast("long"), col("o_totalprice").cast("double"))
+        .as[(Long, Double)]
+      cust.groupByKey(_._1).cogroup(ords.groupByKey(_._1)) { (k, cs, os) =>
+        val c = cs.toSeq
+        if (c.isEmpty) Iterator.empty
+        else {
+          var n = 0L; var tot = 0.0
+          os.foreach { o => n += 1L; tot += o._2 }
+          Iterator((k, c.head._2, n, tot))
+        }
+      }.toDF("c_custkey", "acctbal", "n_orders", "total_spent")
+        .select(col("c_custkey"), col("acctbal"), col("n_orders"),
+          round(col("total_spent"), 2).as("total_spent"))
     }),
     "q_broadcast_join" -> ((s, dir) => {
       val p = t(s, dir, "part")
@@ -1864,6 +1911,15 @@ object SparkEntry {
     "text_train_logreg" -> ((s, dir) =>
       TextAnalysis.trainLogReg(t(s, dir, "documents"),
         when(col("lang") === "en", 1.0).otherwise(0.0))),
+    // reliability-diagram calibration of the trained filter: centile
+    // buckets of the 6-dp fast-sigmoid probability vs the empirical
+    // positive rate — the table a production threshold is read off.
+    // Empirical rates are exact integer divisions; the oracle shares
+    // the unrolled-training CTE
+    "text_classifier_calibration" -> ((s, dir) =>
+      TextAnalysis.calibrationReport(t(s, dir, "documents"),
+        when(col("lang") === "en", 1.0).otherwise(0.0),
+        iterations = 6, lr = 5.0)),
     // DSIR importance log-weights: target = the English slice; one
     // conditional aggregation builds both unigram LMs, vocabulary-sized
     // model tables, per-doc sum of the smoothed log-likelihood ratio
@@ -2541,6 +2597,13 @@ object SparkEntry {
       """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1""".stripMargin,
+    // the typed cogroup computes exactly a left-join + aggregate
+    "q_cogroup" ->
+      """SELECT c_custkey, c_acctbal AS acctbal,
+        |       CAST(count(o_custkey) AS BIGINT) AS n_orders,
+        |       round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
     "q_semi_join" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem
@@ -3300,6 +3363,7 @@ object SparkEntry {
         |JOIN uni f2 ON f2.word = string_split(sel.bigram, ' ')[2]
         |CROSS JOIN nu CROSS JOIN nb""".stripMargin,
     "text_train_logreg" -> OracleTrainLogRegSql,
+    "text_classifier_calibration" -> OracleCalibrationSql,
     "text_classifier_score" ->
       // the weight table is rebuilt from the same deterministic formula
       // and the same portable md5-based feature hash the Spark side uses

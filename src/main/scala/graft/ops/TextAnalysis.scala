@@ -1178,13 +1178,15 @@ object TextAnalysis {
     * decides null semantics). Returns `(feature, weight)` — one row
     * per feature index.
     */
-  def trainLogReg(docs: DataFrame, labelCol: Column, iterations: Int = 3,
-                  lr: Double = 0.5): DataFrame = {
-    require(iterations >= 1, s"iterations must be >= 1: $iterations")
-    val spark = docs.sparkSession
-    import spark.implicits._
+  /** The exact-rational feature projection shared by [[trainLogReg]]
+    * and [[calibrationReport]]: `(y, f0 bias, f1 chars/1000,
+    * f2 words/100, f3 digit ratio)` — every value is an integer or a
+    * single division of integers, so both engines hold identical
+    * doubles.
+    */
+  private[graft] def logRegFeatures(docs: DataFrame, labelCol: Column): DataFrame = {
     val text = coalesce(col("text"), lit(""))
-    val f = docs.select(
+    docs.select(
       labelCol.cast("double").as("y"),
       lit(1.0).as("f0"),
       (col("n_chars") / lit(1000.0)).as("f1"),
@@ -1193,11 +1195,28 @@ object TextAnalysis {
       when(col("n_chars") === 0, 0.0)
         .otherwise(length(regexp_replace(text, "[^0-9]", "")).cast("double")
           / col("n_chars")).as("f3"))
+  }
+
+  /** Fast-sigmoid margin/probability columns for a weight vector (the
+    * inference twin of one [[trainLogReg]] round's forward pass).
+    */
+  private def fastSigmoid(z: Column): Column =
+    lit(0.5) + lit(0.5) * (z / (lit(1.0) + abs(z)))
+
+  private def marginCol(w: Array[Double]): Column =
+    lit(w(0)) * col("f0") + lit(w(1)) * col("f1") +
+      lit(w(2)) * col("f2") + lit(w(3)) * col("f3")
+
+  /** [[trainLogReg]] returning the raw weight vector (driver-side
+    * model) instead of a DataFrame.
+    */
+  def trainLogRegWeights(docs: DataFrame, labelCol: Column,
+                         iterations: Int = 3, lr: Double = 0.5): Array[Double] = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val f = logRegFeatures(docs, labelCol)
     var w = Array.fill(4)(0.0)
     for (_ <- 1 to iterations) {
-      val z = lit(w(0)) * col("f0") + lit(w(1)) * col("f1") +
-        lit(w(2)) * col("f2") + lit(w(3)) * col("f3")
-      val err = (lit(0.5) + lit(0.5) * (z / (lit(1.0) + abs(z)))) - col("y")
+      val err = fastSigmoid(marginCol(w)) - col("y")
       val grads = f.select(col("f0"), col("f1"), col("f2"), col("f3"),
           err.as("err"))
         .agg(count(lit(1)).as("n"),
@@ -1211,8 +1230,42 @@ object TextAnalysis {
       w = Array.tabulate(4)(j =>
         w(j) - lr * (grads.getLong(j + 1).toDouble / 1e6 / n))
     }
-    w.zipWithIndex.map { case (wj, j) => (j, wj) }.toSeq
+    w
+  }
+
+  def trainLogReg(docs: DataFrame, labelCol: Column, iterations: Int = 3,
+                  lr: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainLogRegWeights(docs, labelCol, iterations, lr)
+      .zipWithIndex.map { case (wj, j) => (j, wj) }.toSeq
       .toDF("feature", "weight")
+  }
+
+  /** Calibration (reliability-diagram) report for the trained filter:
+    * train [[trainLogReg]]'s model, score every document with the
+    * fast-sigmoid probability ROUNDED to 6 dp, bucket into
+    * `prob ∈ [b/100, (b+1)/100)` CENTILES (the decile convention
+    * collapses to one row when a weak model concentrates its scores —
+    * the finer grid keeps the report informative), and report per
+    * bucket the
+    * count, the empirical positive rate and the mean predicted
+    * probability — a well-calibrated filter has `mean_label ≈
+    * mean_prob` per bucket, and a threshold picked off this table has
+    * a known precision. One extra corpus pass after training; the
+    * empirical rate is an exact integer division, the mean probability
+    * rounds at 6 dp (double-sum order).
+    */
+  def calibrationReport(docs: DataFrame, labelCol: Column,
+                        iterations: Int = 3, lr: Double = 0.5): DataFrame = {
+    val w = trainLogRegWeights(docs, labelCol, iterations, lr)
+    val scored = logRegFeatures(docs, labelCol)
+      .select(col("y"), round(fastSigmoid(marginCol(w)), 6).as("p"))
+      .withColumn("bucket", floor(col("p") * 100).cast("int"))
+    scored.groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("y")) / count(lit(1))).as("mean_label"),
+        round(avg(col("p")), 6).as("mean_prob"))
   }
 
   /** SQL string literal with quotes/backslashes escaped (merge symbols
