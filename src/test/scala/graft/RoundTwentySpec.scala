@@ -369,6 +369,42 @@ class RoundTwentySpec extends AnyFunSuite {
     }
   }
 
+  test("mergeable-state family: three-way chained merges match any grouping") {
+    val s = spark
+    import s.implicits._
+    val df = zipfKeys(9000, 30, seed = 19)
+    val cap = 256
+    val thirds = (0 to 2).map(i => df.filter(pmod(col("row_id"), lit(3)) === i))
+    def st(d: org.apache.spark.sql.DataFrame) =
+      HeavyHitters.mgState(d, "word", cap)
+    // MG: ((a+b)+c) and (a+(b+c)) both read the exact top-k
+    val leftAssoc = HeavyHitters.mergeMg(
+      HeavyHitters.mergeMg(st(thirds(0)), st(thirds(1)), cap), st(thirds(2)), cap)
+    val rightAssoc = HeavyHitters.mergeMg(
+      st(thirds(0)), HeavyHitters.mergeMg(st(thirds(1)), st(thirds(2)), cap), cap)
+    val want = plainTopK(df, 12)
+    assert(readTopK(leftAssoc, df, 12, cap) === want)
+    assert(readTopK(rightAssoc, df, 12, cap) === want)
+    // KMV: both groupings equal the single-build state exactly
+    val vals = df.select(lit("g").as("k"),
+      pmod(xxhash64(col("row_id")), lit(997)).as("v"))
+    val parts = (0 to 2).map(i =>
+      vals.filter(pmod(col("v"), lit(3)) === i))
+    def kst(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Maintenance.kmvState(d, Seq("k"), "v", k = 64)
+    def kset(st: graft.ops.Maintenance.KmvState) =
+      st.mins.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val kLeft = graft.ops.Maintenance.mergeKmv(
+      graft.ops.Maintenance.mergeKmv(kst(parts(0)), kst(parts(1)), Seq("k")),
+      kst(parts(2)), Seq("k"))
+    val kRight = graft.ops.Maintenance.mergeKmv(kst(parts(0)),
+      graft.ops.Maintenance.mergeKmv(kst(parts(1)), kst(parts(2)), Seq("k")),
+      Seq("k"))
+    val kFull = kset(kst(vals))
+    assert(kset(kLeft) === kFull)
+    assert(kset(kRight) === kFull)
+  }
+
   test("undersized capacity falls back to the full aggregation, still exact") {
     val df = zipfKeys(5000, 25, seed = 5)
     // capacity 4 cannot cover rank 10 on this distribution: the read
