@@ -328,6 +328,45 @@ object SparkEntry {
       |             DESC, c.c_id ASC) AS rn
       |  FROM e CROSS JOIN c1 c)""".stripMargin
 
+  /** Quote-level containment-decontamination oracle: shingle both
+    * splits (corpus with the planted quotes, held-out), count common
+    * shingles per cross pair, divide by the HELD-OUT doc's shingle
+    * count — exact integer division, no rounding. Template-substituted
+    * (not interpolated) so the tokenizer regex keeps its backslashes.
+    */
+  private val OracleCrossContainmentSql: String = {
+    def shingleCte(src: String, t: String, sh: String): String =
+      """@T AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |    '[ \t\r\n,.:;''"()\[\]{}/<>!?|\-—#$&=_*+]+'), x -> x <> '') AS arr
+        |  FROM @SRC),
+        |@SH AS (
+        |  SELECT DISTINCT doc_id,
+        |         array_to_string(arr[i : i + 2], ' ') AS shingle
+        |  FROM @T, unnest(generate_series(1, greatest(len(arr) - 2, 1))) AS u(i)
+        |  WHERE len(arr) >= 3)""".stripMargin
+        .replace("@SRC", src).replace("@T", t).replace("@SH", sh)
+    """WITH held AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 7),
+      |corpus AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id < 5
+      |              THEN text || ' ' || (SELECT text FROM documents WHERE doc_id = 7)
+      |              ELSE text END AS text
+      |  FROM documents WHERE doc_id % 97 <> 7),
+      |""".stripMargin +
+      shingleCte("corpus", "ta", "sha") + ",\n" +
+      shingleCte("held", "tb", "shb") + ",\n" +
+      """szb AS (SELECT doc_id, count(*) AS n_sh FROM shb GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      |  FROM sha a JOIN shb b ON a.shingle = b.shingle
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |       CAST(n_common AS DOUBLE) / szb.n_sh AS containment
+      |FROM inter JOIN szb ON szb.doc_id = doc_b
+      |WHERE CAST(n_common AS DOUBLE) / szb.n_sh >= 0.6""".stripMargin
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("search_cnf")(spark, "/root/testdata/sf0.001")
@@ -1778,6 +1817,23 @@ object SparkEntry {
       Dedup.crossJaccardFromShingles(
         cachedShingles(s, dir).filter(pmod(col("doc_id"), lit(97)) =!= 7),
         d.filter(pmod(col("doc_id"), lit(97)) === 7), n = 3, minJ = 0.02)
+    }),
+    // quote-level decontamination: corpus docs CONTAINING a held-out
+    // doc — a benchmark item pasted inside a long article scores ~0
+    // Jaccard but containment ~1. Five corpus docs get held-out doc 7
+    // appended, so the entry is non-vacuous at any scale factor;
+    // containment = n_common / |held-out shingles| is an exact
+    // integer division
+    "text_containment_contamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val quoted = d.filter(col("doc_id") === 7)
+        .select("text").first().getString(0)
+      val corpus = d.filter(pmod(col("doc_id"), lit(97)) =!= 7)
+        .select(col("doc_id"),
+          when(col("doc_id") < 5, concat(col("text"), lit(" "), lit(quoted)))
+            .otherwise(col("text")).as("text"))
+      Dedup.crossContainment(corpus,
+        d.filter(pmod(col("doc_id"), lit(97)) === 7), n = 3, minC = 0.6)
     }),
     // append-only exact dedup: docs < 250 are the at-rest corpus; the
     // arriving batch is the rest plus deterministic re-ingested copies
@@ -3236,6 +3292,7 @@ object SparkEntry {
         |                       ORDER BY line_no)
         |  END AS clean_text
         |FROM r GROUP BY doc_id""".stripMargin,
+    "text_containment_contamination" -> OracleCrossContainmentSql,
     "text_fuzzy_contamination" ->
       """WITH toks0 AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),

@@ -241,6 +241,59 @@ object Dedup {
     */
   def crossJaccardFromShingles(shA: DataFrame, heldout: DataFrame, n: Int,
                                minJ: Double, maxHeldoutDf: Int = 1000): DataFrame = {
+    val (inter, sizesA, sizesB) = crossScaffold(shA, heldout, n, maxHeldoutDf)
+    inter
+      .join(sizesA.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .join(broadcast(sizesB.withColumnRenamed("doc_id", "doc_b")), "doc_b")
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("na") + col("nb") - col("n_common")))
+      .filter(col("jaccard") >= minJ)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Quote-level decontamination: corpus documents CONTAINING a
+    * held-out document — `C(B in A) = |sh(A) ∩ sh(B)| / |sh(B)| >=
+    * minC` with `B` held-out. A benchmark item quoted verbatim inside
+    * a much longer training document scores near-ZERO Jaccard (the
+    * union is dominated by the article) but containment ~1 — the
+    * leakage shape [[crossJaccard]]'s symmetric score misses.
+    * Completes the decontamination ladder: exact shingle overlap →
+    * fuzzy Jaccard → asymmetric containment. Same scale shape as
+    * [[crossJaccard]] (held-out side broadcast, corpus never shuffled
+    * on shingle keys, hot-shingle candidate cap with TRUE score from
+    * the full sets).
+    *
+    * @return (doc_a = corpus doc, doc_b = held-out doc, containment)
+    */
+  def crossContainment(corpus: DataFrame, heldout: DataFrame, n: Int,
+                       minC: Double, maxHeldoutDf: Int = 1000): DataFrame =
+    crossContainmentFromShingles(shingles(corpus, n), heldout, n, minC,
+      maxHeldoutDf)
+
+  /** [[crossContainment]] with a prebuilt corpus shingle table (see
+    * [[ngramJaccardFromShingles]]).
+    */
+  def crossContainmentFromShingles(shA: DataFrame, heldout: DataFrame,
+                                   n: Int, minC: Double,
+                                   maxHeldoutDf: Int = 1000): DataFrame = {
+    val (inter, _, sizesB) = crossScaffold(shA, heldout, n, maxHeldoutDf)
+    inter
+      .join(broadcast(sizesB.withColumnRenamed("doc_id", "doc_b")), "doc_b")
+      .withColumn("containment",
+        col("n_common").cast("double") / col("nb"))
+      .filter(col("containment") >= minC)
+      .select("doc_a", "doc_b", "containment")
+  }
+
+  /** Shared cross-corpus machinery of [[crossJaccardFromShingles]] and
+    * [[crossContainmentFromShingles]]: per-pair common-shingle counts
+    * (single-phase broadcast join, or the two-phase candidates+verify
+    * shape when a held-out shingle exceeds `maxHeldoutDf`) plus both
+    * sides' per-doc shingle counts.
+    */
+  private def crossScaffold(shA: DataFrame, heldout: DataFrame, n: Int,
+                            maxHeldoutDf: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     // consumed repeatedly (guard probe, join sides, sizes): the
     // held-out table is small, so an eager checkpoint is cheap and
     // stops repeated tokenization
@@ -276,13 +329,7 @@ object Dedup {
             col("doc_b") === col("__b_id") && col("shingle") === col("__b_sh"))
           .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
       }
-    inter
-      .join(sizesA.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-      .join(broadcast(sizesB.withColumnRenamed("doc_id", "doc_b")), "doc_b")
-      .withColumn("jaccard", col("n_common").cast("double") /
-        (col("na") + col("nb") - col("n_common")))
-      .filter(col("jaccard") >= minJ)
-      .select("doc_a", "doc_b", "jaccard")
+    (inter, sizesA, sizesB)
   }
 
   /** MinHash signature: `numHashes` permutation-style hash functions

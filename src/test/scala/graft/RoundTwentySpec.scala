@@ -405,6 +405,30 @@ class RoundTwentySpec extends AnyFunSuite {
     assert(kset(kRight) === kFull)
   }
 
+  test("cross-containment decontamination catches quoted held-out docs that Jaccard misses") {
+    val s = spark
+    import s.implicits._
+    val bench = "what is the capital of france answer paris of course"
+    val article = (1 to 50).map(i => s"tok$i word$i filler$i").mkString(" ") +
+      " " + bench + " " + (51 to 100).map(i => s"tok$i word$i filler$i").mkString(" ")
+    val corpus = Seq((1L, article), (2L, "nothing related here at all today"))
+      .toDF("doc_id", "text")
+    val held = Seq((100L, bench)).toDF("doc_id", "text")
+    val hits = graft.ops.Dedup.crossContainment(corpus, held, n = 3, minC = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.toSeq === Seq((1L, 100L, 1.0)))
+    // the same pair is invisible to the symmetric fuzzy check at any
+    // usable threshold
+    val j = graft.ops.Dedup.crossJaccard(corpus, held, n = 3, minJ = 0.0)
+      .filter(col("doc_a") === 1).collect().head.getDouble(2)
+    assert(j < 0.1, s"jaccard should be tiny: $j")
+    // hot-shingle guard parity: capping still finds the pair exactly
+    val guarded = graft.ops.Dedup.crossContainment(corpus, held, n = 3,
+      minC = 0.9, maxHeldoutDf = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(guarded.toSeq === hits.toSeq)
+  }
+
   test("undersized capacity falls back to the full aggregation, still exact") {
     val df = zipfKeys(5000, 25, seed = 5)
     // capacity 4 cannot cover rank 10 on this distribution: the read
