@@ -114,16 +114,19 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
-        if (!planFp.contains(name))
-          try {
-            planFp(name) = fingerprint(df)
-            planDumpDir.foreach { d =>
-              java.nio.file.Files.writeString(
-                java.nio.file.Paths.get(d, s"$name.plan"),
-                normalizedPlan(df))
-            }
-          }
+        if (!planFp.contains(name)) {
+          // fingerprint first, in its own try: an IO failure in the
+          // optional plan dump must not overwrite a computed
+          // fingerprint with "err" (it is tooling, not plan state)
+          try planFp(name) = fingerprint(df)
           catch { case _: Throwable => planFp(name) = "err" }
+          planDumpDir.foreach { d =>
+            try java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(d, s"$name.plan"), normalizedPlan(df))
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] plan dump $name failed: $e") }
+          }
+        }
         df.write.format("noop").mode("overwrite").save()
       }
       catch {

@@ -154,9 +154,9 @@ object HeavyHitters {
 
   /** EXACT top-k read off a (possibly merged) MG state: the state's
     * counter keys are a provable candidate superset of every key with
-    * true count >= N/(capacity+1) (a missing key's deficit would
-    * exceed the bound), so one exact count restricted to candidates
-    * decides. Completeness is runtime-checked exactly as in [[topK]]:
+    * true count STRICTLY ABOVE N/(capacity+1) (a missing key's deficit
+    * would exceed the bound; a key exactly at it can be absent), so
+    * one exact count restricted to candidates decides. Completeness is runtime-checked exactly as in [[topK]]:
     * if the k-th exact candidate count falls below N/(capacity+1) the
     * guarantee does not reach rank k and the full aggregation decides
     * instead — exactness is never traded. The incremental win vs
@@ -179,8 +179,13 @@ object HeavyHitters {
         .groupBy("key").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("key"))
         .limit(k).collect()
+      // STRICT >: the MG superset property only covers keys with true
+      // count strictly greater than N/(capacity+1) — a key exactly AT
+      // the bound can be absent from the state, so an exact tie at
+      // rank k falls back to the full aggregation (exactness over
+      // speed at the boundary)
       val guaranteed = exact.length >= k &&
-        exact.last.getLong(1) >= total.toDouble / (capacity + 1)
+        exact.last.getLong(1) > total.toDouble / (capacity + 1)
       val rows =
         if (guaranteed) exact.toIndexedSeq
         else keys.groupBy("key").agg(count(lit(1)).as("n"))
@@ -230,8 +235,10 @@ object HeavyHitters {
         .groupBy("key").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("key"))
         .limit(k).collect()
+      // STRICT > (same boundary as topKFromState): the candidate
+      // superset only covers counts strictly above the deficit bound
       val guaranteed =
-        exact.length >= k && exact.last.getLong(1) >= total.toDouble / capacity
+        exact.length >= k && exact.last.getLong(1) > total.toDouble / capacity
       // both paths materialize (k rows) inside the try — the result
       // must not be a lazy plan over the unpersisted summary
       val rows =

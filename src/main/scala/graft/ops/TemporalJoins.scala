@@ -27,9 +27,10 @@ object TemporalJoins {
     * The right payload rides in ONE struct column, so `last(_,
     * ignoreNulls)` selects the latest right ROW even when individual
     * payload fields are legitimately null. Left rows win ties (a right
-    * row at exactly left's timestamp is visible to it); rows of the
-    * same side with identical (keys, ts) have no defined order — keep
-    * the right side unique per (keys, ts) for deterministic output.
+    * row at exactly left's timestamp is visible to it); several right
+    * rows sharing (keys, ts) are ordered by their payload struct, so
+    * the pick is deterministic (largest payload for backward/nearest-
+    * backward, smallest for forward) rather than partition-order.
     *
     * Output: every left row + `prefix`-renamed right payload columns
     * (null where no right row qualifies — a LEFT as-of join), with
@@ -60,10 +61,16 @@ object TemporalJoins {
     val leftCols = left.columns.toSeq
     val unioned = tagAndUnion(left, right, keys, tsCol, payloadCols)
     // backward: ascending ts, right (side 0) before left at equal ts so
-    // left sees it; forward: descending ts, same tie rule
+    // left sees it; forward: descending ts, same tie rule. The payload
+    // struct is the FINAL sort key: several right rows sharing
+    // (keys, ts) would otherwise have no defined order and last() would
+    // pick nondeterministically — the struct compares field-wise
+    // (tsCol first, then the payload columns), so the pick is total
+    // (identical payloads tie, but then either pick is the same row)
     val ord =
-      if (direction == "backward") Seq(col(tsCol).asc, col("__side").asc)
-      else Seq(col(tsCol).desc, col("__side").asc)
+      if (direction == "backward")
+        Seq(col(tsCol).asc, col("__side").asc, col("__asof").asc)
+      else Seq(col(tsCol).desc, col("__side").asc, col("__asof").asc)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // a left row with a NULL key or NULL ts matches nothing either
@@ -128,8 +135,12 @@ object TemporalJoins {
     val payloadCols = (tsCol +: rightPayload.filterNot(_ == tsCol))
     val leftCols = left.columns.toSeq
     val unioned = tagAndUnion(left, right, keys, tsCol, payloadCols)
+    // the trailing payload-struct key makes the order total when right
+    // rows share (keys, ts) — same determinism rule as the
+    // backward/forward path (last() takes the largest payload, first()
+    // the smallest; both are fixed picks instead of partition-order)
     val base = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy(col(tsCol).asc, col("__side").asc, col("__asof").asc)
     val wBack = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wFwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val leftNullable = (keys :+ tsCol).map(col(_).isNull).reduce(_ || _)
