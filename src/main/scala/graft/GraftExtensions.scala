@@ -39,6 +39,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[graft.functions.PorterStem].getName, "graft_stem"),
         GraftExtensions.stemBuilder))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_min_token_distance"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.MinTokenDistance].getName,
+          "graft_min_token_distance"),
+        GraftExtensions.minTokenDistanceBuilder))
     // NFC is idempotent: nested graft_nfc collapses to one pass
     ext.injectOptimizerRule(_ => graft.plans.NfcIdempotence)
     // graft_hyperplane_sigs(emb, planesPerTable, tables[, planeOffset]):
@@ -70,6 +76,8 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("graft_stem", stemBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("graft_hyperplane_sigs",
       hyperplaneSigsBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_min_token_distance",
+      minTokenDistanceBuilder, "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(graft.plans.NfcIdempotence))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.NfcIdempotence
@@ -94,6 +102,15 @@ object GraftExtensions {
       errorClass = "USER_RAISED_EXCEPTION",
       messageParameters = Map("errorMessage" ->
         s"graft_stem takes exactly 1 argument, got ${other.length}"))
+  }
+
+  /** Builder for `graft_min_token_distance` (arity 2). */
+  val minTokenDistanceBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => graft.functions.MinTokenDistance(a, b)
+    case other => throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "USER_RAISED_EXCEPTION",
+      messageParameters = Map("errorMessage" ->
+        s"graft_min_token_distance takes exactly 2 arguments, got ${other.length}"))
   }
 
   /** The exact builder injected for `graft_hyperplane_sigs`, exposed so

@@ -40,9 +40,13 @@ object QueryCompiler {
   /** Exact min token distance between two ABSOLUTE position lists (the
     * index stores absolute positions; Parquet handles delta encoding).
     * Two-pointer scan — the clean form of the reference's skip-ahead walk
-    * over gap lists (`util/QueryParser.java:210-248`).
+    * over gap lists (`util/QueryParser.java:210-248`). This Scala form is
+    * the executable SPEC; the plan uses the codegen'd
+    * [[graft.functions.MinTokenDistance]] expression (equivalence is
+    * property-tested), keeping every phrase-AND inside whole-stage
+    * codegen — no ScalaUDF remains anywhere in the query hot path.
     */
-  private[search] def minDistanceAbs(a: Seq[Int], b: Seq[Int]): Option[Int] = {
+  private[graft] def minDistanceAbs(a: Seq[Int], b: Seq[Int]): Option[Int] = {
     if (a == null || b == null || a.isEmpty || b.isEmpty) return None
     var i = 0; var j = 0; var best = Int.MaxValue
     while (i < a.length && j < b.length) {
@@ -52,8 +56,6 @@ object QueryCompiler {
     }
     if (best == Int.MaxValue) None else Some(best)
   }
-
-  private val minDistUdf = udf((a: Seq[Int], b: Seq[Int]) => minDistanceAbs(a, b))
 
   /** Broadcast the build side when its posting-list cardinality is known
     * to be small; otherwise leave the choice to AQE.
@@ -76,7 +78,8 @@ object QueryCompiler {
     val joined = l.join(maybeBroadcast(r, b.est), "doc_id")
     val score: Column =
       if (proximity) {
-        val withD = joined.withColumn("d", minDistUdf(col("p1"), col("p2")))
+        val withD = joined.withColumn("d",
+          graft.functions.MinTokenDistance.of(col("p1"), col("p2")))
         // d = 0 (same position, e.g. phrase "w w") must give exponent
         // 1/0 = Infinity like plain-double arithmetic; ANSI mode throws
         // DIVIDE_BY_ZERO even for doubles, so the zero case branches

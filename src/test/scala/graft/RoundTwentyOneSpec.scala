@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.MinTokenDistance
+import graft.search.QueryCompiler
+
+/** Round-21 surface: the native codegen'd min-token-distance expression
+  * that replaced the last ScalaUDF in the query hot path (phrase
+  * proximity, reference `util/QueryParser.java:204-253`).
+  */
+class RoundTwentyOneSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Random ASCENDING position list (the index invariant). */
+  private def sortedPositions(rnd: scala.util.Random, maxLen: Int): Seq[Int] =
+    Seq.fill(rnd.nextInt(maxLen + 1))(rnd.nextInt(500)).sorted
+
+  test("MinTokenDistance === minDistanceAbs over random sorted lists (codegen path)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val cases: Seq[(Seq[Int], Seq[Int])] =
+      (1 to 400).map(_ => (sortedPositions(rnd, 8), sortedPositions(rnd, 8))) ++
+        Seq((Seq.empty, Seq(1, 2)), (Seq(3), Seq.empty), (Seq.empty, Seq.empty),
+          (Seq(7), Seq(7)), (Seq(0, 1000000), Seq(500000)))
+    val df = cases.toDF("a", "b")
+      .select(col("a"), col("b"), MinTokenDistance.of(col("a"), col("b")).as("d"))
+    val got = df.collect().map(r =>
+      (r.getSeq[Int](0), r.getSeq[Int](1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2))))
+    got.foreach { case (a, b, d) =>
+      assert(d === QueryCompiler.minDistanceAbs(a, b), s"a=$a b=$b")
+    }
+    // the plan must be pure codegen: no ScalaUDF anywhere
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"expected no UDF in plan:\n$plan")
+  }
+
+  test("MinTokenDistance interpreted eval matches codegen semantics incl. nulls") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, IntegerType}
+    def lit2(v: Seq[Int]): Literal =
+      Literal.create(v, ArrayType(IntegerType, containsNull = false))
+    def evalOf(a: Any, b: Any): Any = MinTokenDistance(
+      a.asInstanceOf[Literal], b.asInstanceOf[Literal]).eval(null)
+    assert(evalOf(lit2(Seq(1, 5, 9)), lit2(Seq(7))) === 2)
+    assert(evalOf(lit2(Seq(4)), lit2(Seq(4))) === 0)
+    assert(evalOf(lit2(Seq.empty), lit2(Seq(1))) === null)
+    val nullArr = Literal.create(null, ArrayType(IntegerType, containsNull = false))
+    assert(evalOf(nullArr, lit2(Seq(1))) === null)
+    assert(evalOf(lit2(Seq(1)), nullArr) === null)
+    val rnd = new scala.util.Random(7)
+    (1 to 300).foreach { _ =>
+      val a = sortedPositions(rnd, 10); val b = sortedPositions(rnd, 10)
+      val want: Any = QueryCompiler.minDistanceAbs(a, b).map(Int.box).orNull
+      assert(evalOf(lit2(a), lit2(b)) === want, s"a=$a b=$b")
+    }
+  }
+
+  test("graft_min_token_distance registers through the SQL surface") {
+    GraftExtensions.install(spark)
+    val r = spark.sql(
+      "SELECT graft_min_token_distance(array(1, 5, 11), array(8)) AS d," +
+        " graft_min_token_distance(CAST(array() AS ARRAY<INT>), array(3)) AS e")
+      .first()
+    assert(r.getInt(0) === 3)
+    assert(r.isNullAt(1))
+    // arity error is an analysis-time message, not an opaque NPE
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_min_token_distance(array(1))").collect())
+    assert(e.getMessage.contains("exactly 2 arguments"))
+  }
+
+  test("phrase search plans UDF-free and still proximity-boosts adjacent terms") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), // "alpha beta" adjacent, d = 1
+      (2L, "alpha gamma beta delta"), // d = 2
+      (3L, "alpha gamma delta epsilon zeta beta"), // d = 5
+      (4L, "gamma delta epsilon") // keeps df < docNum so scores are nonzero
+    ).toDF("doc_id", "text")
+    val index = graft.search.Indexer.postings(docs)
+    // phrase = juxtaposition in the reference grammar ("alpha beta")
+    val res = graft.search.SearchEngine.search("alpha beta", index, docs)
+      .select("doc_id", "score")
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"phrase path still plans a UDF:\n$plan")
+    val scores = res.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.keySet === Set(1L, 2L, 3L))
+    // the proximity exponent 1 + 1/d differs per doc (d = 1, 2, 5), so
+    // all three scores must be pairwise distinct; exact VALUES are
+    // pinned by the sf0.01 search_phrase oracle, not re-derived here
+    assert(scores.values.toSet.size === 3, scores.toString)
+  }
+
+  test("sim_ivf_topk (the driver entry itself) prunes cluster partitions at rest") {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata") +
+      "/sf0.001"
+    val df = SparkEntry.queries("sim_ivf_topk")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the probe's scan must carry a NON-EMPTY PartitionFilters entry on
+    // the cluster directory column — directory-level pruning, so a
+    // 1000-executor probe reads nProbe/k of the corpus
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cluster.*"),
+      s"expected cluster PartitionFilters in the probe scan:\n$plan")
+    assert(df.count() === 10)
+  }
+}
