@@ -903,10 +903,48 @@ object Dedup {
     * batch (persist it driver-side or re-broadcast per job). Size the
     * filter from the digest count: ~1.2 GB per 10^9 digests at 1% fpp
     * — executor-memory scale well past billion-document corpora.
+    *
+    * Uses Spark's NATIVE `BloomFilterAggregate` (the expression behind
+    * runtime row-group filters) over `xxhash64(digest)` instead of
+    * `df.stat.bloomFilter` — the returned serialized binary is probed
+    * by the codegen'd `BloomFilterMightContain` expression, so the
+    * whole membership path stays inside whole-stage codegen (no
+    * ScalaUDF). Build and probe hash identically (xxhash64), so the
+    * no-false-negative contract is preserved.
     */
   def digestBloom(oldDigests: DataFrame, expectedItems: Long,
-                  fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
-    oldDigests.stat.bloomFilter("digest", expectedItems, fpp)
+                  fpp: Double = 0.01): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(
+        org.apache.spark.sql.GraftSqlBridge.expression(
+          xxhash64(col("digest"))),
+        Literal(expectedItems), Literal(numBits))
+      .toAggregateExpression()
+    val bin = oldDigests.filter(col("digest").isNotNull)
+      .select(org.apache.spark.sql.GraftSqlBridge.column(agg).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    if (bin != null) bin
+    else { // empty at-rest corpus: a valid always-negative filter
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.spark.util.sketch.BloomFilter
+        .create(math.max(expectedItems, 1L), fpp).writeTo(bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Codegen'd membership probe against a [[digestBloom]] artifact:
+    * `might_contain(<filter literal>, xxhash64(digest))`.
+    */
+  def bloomMightContain(bloom: Array[Byte], digest: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    org.apache.spark.sql.GraftSqlBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        Literal(bloom, org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.GraftSqlBridge.expression(xxhash64(digest))))
+  }
 
   /** [[incrementalExact]] with the at-rest probe join pruned by a Bloom
     * filter over the corpus digests — output-identical (Bloom has no
@@ -920,27 +958,25 @@ object Dedup {
     * ([[graft.ops.Bucketing]]) and the at-rest side never reshuffles
     * either.
     *
-    * The membership probe is a broadcast-UDF filter (Spark exposes no
-    * column function for sketch probes); it is a single boolean per
-    * row outside every hot aggregation, and the plan stays whole-stage
-    * codegen around it.
+    * The membership probe is the native `BloomFilterMightContain`
+    * expression over the serialized filter literal ([[bloomMightContain]])
+    * — a single codegen'd boolean per row, no ScalaUDF anywhere in the
+    * plan (the filter binary ships with the plan exactly like Spark's
+    * own injected runtime filters).
     */
   def incrementalExactBloom(oldDigests: DataFrame,
-                            bloom: org.apache.spark.util.sketch.BloomFilter,
+                            bloom: Array[Byte],
                             newDocs: DataFrame,
                             textCol: String = "text"): DataFrame = {
-    val spark = newDocs.sparkSession
-    val bc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((d: String) => d != null && bc.value.mightContainString(d))
     val invalid = newDocs.filter(col(textCol).isNull)
       .select(col("doc_id"), lit(null).cast("string").as("digest"),
         lit("invalid").as("status"))
-    // digest once per row; the probe UDF rides on the digest COLUMN in
-    // a separate projection so the firstInBatch aggregation's lineage
+    // digest once per row; the probe rides on the digest COLUMN in a
+    // separate projection so the firstInBatch aggregation's lineage
     // never evaluates it
     val d = newDocs.filter(col(textCol).isNotNull)
       .select(col("doc_id"), md5(col(textCol)).as("digest"))
-    val dm = d.withColumn("__maybe", mightContain(col("digest")))
+    val dm = d.withColumn("__maybe", bloomMightContain(bloom, col("digest")))
     val firstInBatch = d.groupBy("digest").agg(min("doc_id").as("first_id"))
     // only the Bloom-positive slice probes the at-rest table; negatives
     // are definitively new-to-corpus and skip the join entirely

@@ -102,10 +102,49 @@ class PlanAuditSpec extends AnyFunSuite {
         })
   }
 
+  /** Entries whose plans may still contain a ScalaUDF, by documented
+    * contract: the snippet highlight wrapper runs on one PAGE of
+    * results (≤10 rows after the TakeOrdered cut — presentation
+    * formatting, not a data path); the two video entries' UDF is the
+    * synthetic MJPEG-AVI WRITER (`mkAvi` — test-fixture input
+    * synthesis, since the driver corpus ships no real video binary),
+    * not the container walk / pixel decode under test. Everything
+    * else — including every search scoring path and the Bloom-pruned
+    * incremental dedup — must plan UDF-free (native codegen
+    * expressions).
+    */
+  private val scalaUdfByContract = Set("search_snippets", "search_batch",
+    "media_video_decode", "media_video_frames")
+
   test("allowlists only name live queries (a rename can't orphan an exemption)") {
     val keys = SparkEntry.queries.keySet
-    val stale = (cartesianByContract ++ scalarBroadcastOk).filterNot(keys)
+    val stale = (cartesianByContract ++ scalarBroadcastOk ++ scalaUdfByContract)
+      .filterNot(keys)
     assert(stale.isEmpty, s"allowlisted names not in SparkEntry.queries: $stale")
+  }
+
+  test("no query outside the presentation allowlist plans a ScalaUDF") {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata") +
+      "/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if scalaUdfByContract.contains(name) => None
+      case (name, fn) =>
+        val planned =
+          try Right(allNodes(fn(spark, dir).queryExecution.executedPlan))
+          catch { case e: Throwable => Left(s"PLANNING FAILED: $e") }
+        planned match {
+          case Left(err) => Some(name -> err)
+          case Right(nodes) =>
+            val udfs = nodes.flatMap(_.expressions).flatMap(_.collect {
+              case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+            })
+            if (udfs.nonEmpty)
+              Some(name -> s"plans ScalaUDF: ${udfs.map(_.udfName).distinct}")
+            else None
+        }
+    }
+    assert(offenders.isEmpty,
+      offenders.map { case (n, why) => s"$n: $why" }.mkString("\n"))
   }
 
   test("no query plans an accidental cartesian / nested-loop join; " +

@@ -329,9 +329,14 @@ class RoundTenSpec extends AnyFunSuite {
     // the filter genuinely prunes: at fpp 0.001 (essentially) only the
     // 30 true dups survive the Bloom probe out of 205 non-null rows
     val surviving = batch.filter(col("text").isNotNull)
-      .select(md5(col("text")).as("d")).as[String].collect()
-      .count(bloom.mightContainString)
+      .select(md5(col("text")).as("digest"))
+      .filter(Dedup.bloomMightContain(bloom, col("digest")))
+      .count()
     assert(surviving < 40, s"bloom should prune the novel mass, got $surviving")
+    // the probe is the native might_contain expression — no ScalaUDF
+    val plan = Dedup.incrementalExactBloom(corpus, bloom, batch)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"bloom probe still plans a UDF:\n$plan")
   }
 
   // ---- bigram log-prob ----
