@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
-  final case class IvfModel(path: String, centroids: Array[(Int, Array[Double])])
+  final case class IvfModel(path: String, centroids: Array[(Long, Array[Double])])
 
   /** Build + persist the IVF index: Lloyd-assigned clusters written
     * partitioned by `cluster`, centroids as `<path>.centroids`.
@@ -42,23 +42,17 @@ object AnnIndex {
   def ivfLoad(spark: SparkSession, path: String): IvfModel = {
     val centroids = spark.read.parquet(s"$path.centroids")
       .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     IvfModel(path, centroids)
   }
 
-  private def cos(a: Array[Double], b: Seq[Double]): Double = {
-    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    while (i < math.min(a.length, b.length)) {
-      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-    }
-    dot / (math.sqrt(na) * math.sqrt(nb))
-  }
-
-  /** The `nProbe` cluster ids nearest to `query` — ranked driver-side. */
-  def probeClusters(model: IvfModel, query: Seq[Double], nProbe: Int): Seq[Int] =
-    model.centroids.sortBy { case (_, v) => -cos(v, query) }
-      .take(nProbe).map(_._1).toSeq
+  /** The `nProbe` cluster ids nearest to `query` — ranked driver-side
+    * on the 9-dp cosine grid ([[Similarity.probeOrder]]), so the SQL
+    * oracle replays the ranking exactly.
+    */
+  def probeClusters(model: IvfModel, query: Seq[Double], nProbe: Int): Seq[Long] =
+    Similarity.probeOrder(model.centroids, query).take(nProbe)
 
   /** Top-k over ONLY the probed cluster partitions of a persisted IVF
     * index — `cluster` is a partition directory, so `isin(probes)` prunes

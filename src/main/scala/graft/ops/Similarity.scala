@@ -128,68 +128,53 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF (inverted-file) ANN index: k centroids learned by a
-    * deterministic Lloyd iteration (seedless init = the k vectors with
-    * the smallest xxhash64(vec_id)), each vector assigned to its nearest
-    * centroid. Returns the assignment table
-    * `(vec_id, embedding, cluster)`; centroids come back via the second
-    * return as driver-side arrays (k * dim doubles — statistics, not
-    * data). At 100 TB the assignment is computed once and persisted
-    * partitioned by `cluster`, so a probe reads only nProbe partitions.
+  /** IVF (inverted-file) ANN index, trained by the ORACLE-EXACT Lloyd
+    * iteration ([[kMeansExactModel]]): seeds = the `k` smallest
+    * `vec_id`s, assignment by 9-dp-rounded cosine argmax with ties to
+    * the smallest centroid id, integer-scaled centroid update — fully
+    * bit-portable, so a SQL engine can replay the TRAINING and the
+    * PROBE end-to-end (the `sim_ivf_topk` oracle does exactly that;
+    * this replaced the xxhash64-seeded rounded-mean variant whose
+    * engine-specific init had forced a pinned oracle). Cluster ids are
+    * the seed `vec_id`s. Returns the assignment table `(vec_id,
+    * embedding, cluster)` — `embedding` keeps the SOURCE column
+    * type/width (the training's double cast is not persisted) — and
+    * the trained centroids (k * dim doubles — statistics, not data).
+    * At 100 TB the assignment is computed once and persisted
+    * partitioned by `cluster`, so a probe reads only nProbe
+    * partitions.
     */
   def ivfTrain(embeddings: DataFrame, k: Int, iterations: Int = 2)
-      : (DataFrame, Array[(Int, Array[Double])]) = {
-    val dims = embeddings.select(size(col("embedding"))).first().getInt(0)
-    // deterministic init: k vectors with smallest hash of vec_id
-    var centroids: Array[(Int, Array[Double])] = embeddings
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("h", xxhash64(col("vec_id")))
-      .orderBy("h").limit(k).collect()
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Float](1).map(_.toDouble).toArray) }
+      : (DataFrame, Array[(Long, Array[Double])]) = {
+    val (assigned, cents) = kMeansExactModel(embeddings, k, iterations)
+    // reattach the original embedding column: one vec_id equi-join of
+    // the source against the (localCheckpointed) node-sized assignment
+    val out = embeddings.select(col("vec_id"), col("embedding"))
+      .join(assigned.select("vec_id", "cluster"), Seq("vec_id"))
+    (out, cents)
+  }
 
-    def assign(cents: Array[(Int, Array[Double])]): DataFrame = {
-      val centArr = array(cents.toIndexedSeq.map { case (id, v) =>
-        struct(lit(id).as("cid"), array(v.toIndexedSeq.map(lit): _*).as("cvec"))
-      }: _*)
-      // nearest centroid by cosine: array_max over (cosine, cid) structs
-      embeddings.select(col("vec_id"), col("embedding"),
-        array_max(transform(centArr, c =>
-          struct(cosineCol(col("embedding"), c.getField("cvec")).as("cos"),
-            c.getField("cid").as("cid"))))
-          .getField("cid").as("cluster"))
+  /** Deterministic IVF probe ranking shared by the fresh and at-rest
+    * paths: centroid ids ordered by cosine to the query ROUNDED to
+    * 9 dp (descending), ties to the smaller id — the same grid as the
+    * training argmax, so the SQL oracle replays the ranking exactly
+    * (a flip needs two centroids within 1e-9 of each other). HALF_UP
+    * rounding matches both Spark's `round` and DuckDB's `round`
+    * (half away from zero).
+    */
+  def probeOrder(centroids: Array[(Long, Array[Double])],
+                 query: Seq[Double]): Seq[Long] = {
+    def cos(a: Array[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
     }
-
-    // each round's assignment is eagerly localCheckpointed (same pattern
-    // as Dedup.clusters): the per-dimension mean aggregation then reads
-    // the materialized (vec_id, embedding, cluster) rows instead of
-    // re-deriving the k-cosine assignment from the embeddings source —
-    // exactly one embeddings scan per iteration (the re-assign), and the
-    // returned table is already materialized for the caller's probes.
-    // Blocks are GC-reclaimed once the previous round's plan is dropped;
-    // checkpointing does not change values, so the rounded means (and
-    // the IVF determinism pin) are unaffected.
-    var assigned = assign(centroids).localCheckpoint(true)
-    for (_ <- 1 to iterations) {
-      // new centroid = per-dimension mean of members (posexplode + avg).
-      // The mean is rounded to 9 dp: double summation order varies with
-      // partitioning, and an unrounded ~1e-16 wobble could flip a
-      // marginal assignment between runs — rounding makes the trained
-      // model partitioning-invariant (the IVF determinism spec relies
-      // on it).
-      val means = assigned
-        .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy("cluster", "dim").agg(round(avg(col("v")), 9).as("m"))
-        .collect().groupBy(_.getInt(0))
-        .map { case (c, rows) =>
-          val vec = new Array[Double](dims)
-          rows.foreach(r => vec(r.getInt(1)) = r.getDouble(2))
-          (c, vec)
-        }.toArray
-      if (means.nonEmpty) centroids = means
-      assigned = assign(centroids).localCheckpoint(true)
-    }
-    (assigned, centroids)
+    centroids.sortBy { case (cid, v) =>
+      (BigDecimal(-cos(v, query))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP), cid)
+    }.map(_._1).toSeq
   }
 
   /** Oracle-exact Lloyd k-means — the cross-engine-REPRODUCIBLE
@@ -560,18 +545,9 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, query: Seq[Double], topK: Int,
               k: Int = 16, nProbe: Int = 4): DataFrame = {
     val (assigned, centroids) = ivfTrain(embeddings, k)
-    def cos(a: Array[Double], b: Seq[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < math.min(a.length, b.length)) {
-        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    val probes = centroids.sortBy { case (_, v) => -cos(v, query) }
-      .take(nProbe).map(_._1)
+    val probes = probeOrder(centroids, query).take(nProbe)
     val q = array(query.map(lit): _*)
-    assigned.filter(col("cluster").isin(probes.toSeq: _*))
+    assigned.filter(col("cluster").isin(probes: _*))
       .select(col("vec_id"), cosineCol(col("embedding"), q).as("cosine"))
       .orderBy(desc("cosine"), asc("vec_id"))
       .limit(topK)

@@ -801,17 +801,17 @@ object Scratch {
           // a one-line justification for why no real SQL oracle exists;
           // anything that CAN be SQL-checked must not be added here
           // (search_snippets was unpinned to invariant SQL in r5).
+          // sim_ivf_topk was unpinned in r8: ivfTrain now uses the
+          // oracle-exact Lloyd (smallest-vec_id seeds, integer-scaled
+          // update) and the probe ranks on the 9-dp cosine grid, so the
+          // whole train+probe replays as an unrolled DuckDB CTE.
           val pinned = Seq(
             "text_fingerprint" ->
               ("rolling xxhash64 fingerprint: DuckDB has no xxhash64 " +
                 "(hash() is a different function), so the value is engine-specific"),
             "dedup_simhash" ->
               ("64-bit simhash = majority vote over xxhash64 bits - " +
-                "not derivable without xxhash64; pair ALGORITHM is property-tested"),
-            "sim_ivf_topk" ->
-              ("honest ANN result: probe recall < 1 on near-random vectors " +
-                "(brute-equality oracle would need nProbe=14/16 - no pruning left), " +
-                "so the deterministic probe outcome is pinned"))
+                "not derivable without xxhash64; pair ALGORITHM is property-tested"))
           // q_approx_sketch is NOT pinned here: its median half is real
           // DuckDB SQL (quantile_cont); only the HLL column rides on an
           // inline VALUES join in SparkEntry.oracleSql.
@@ -835,7 +835,7 @@ object Scratch {
           sb.append("  *\n")
           sb.append("  * Corpus-pinned expected outputs (driver correctness corpus, sf0.01)\n")
           sb.append("  * for operators whose values are deterministic but engine-specific\n")
-          sb.append("  * (xxhash64 fingerprints, the IVF probe) — the same\n")
+          sb.append("  * (xxhash64 fingerprints) — the same\n")
           sb.append("  * pattern as postings_stemmed's stem-map oracle. Each operator's\n")
           sb.append("  * ALGORITHM is pinned by unit/property tests; these rows pin the\n")
           sb.append("  * end-to-end result against regressions. Every entry carries the\n")
