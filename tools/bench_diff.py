@@ -19,6 +19,15 @@ new/old and classifies the delta:
          (real slowdown with a non-plan cause: data, caching, GC)
   ok     within threshold
 
+Basis: when BOTH files carry a solo_med for a query (the bench's
+fresh-session re-runs of its heaviest entries), the ratio compares
+solo_med vs solo_med — suite medians conflate session-cache builds
+and suite pressure (measured 1.3-1.9x on the heaviest entries), so
+the solo number is the truthful per-query cost. The `basis` column
+labels which number each row compared ('solo' or 'suite'). Bands
+only exist for suite runs, so over-threshold solo deltas classify
+directly as DRIFT (solo runs are already pressure-free).
+
 Flat-format inputs have no bands/fingerprints, so band and plan
 checks degrade gracefully (every over-threshold delta reports as
 DRIFT? with a trailing '?').
@@ -34,9 +43,10 @@ def load(path):
     out = {}
     for name, v in d.get("queries", {}).items():
         if isinstance(v, dict):
-            out[name] = (v["med"], v.get("min"), v.get("max"), v.get("plan"))
+            out[name] = (v["med"], v.get("min"), v.get("max"), v.get("plan"),
+                         v.get("solo_med"))
         else:
-            out[name] = (float(v), None, None, None)
+            out[name] = (float(v), None, None, None, None)
     return out
 
 
@@ -53,27 +63,34 @@ def main():
         return 1
     rows = []
     for q in shared:
-        om, olo, ohi, op = old[q]
-        nm, nlo, nhi, np_ = new[q]
-        ratio = nm / om if om > 0 else float("inf")
+        om, olo, ohi, op, osolo = old[q]
+        nm, nlo, nhi, np_, nsolo = new[q]
+        # prefer the solo basis whenever both rounds measured it: the
+        # suite median hides session-cache builds and suite pressure
+        solo = osolo is not None and nsolo is not None
+        oeff, neff = (osolo, nsolo) if solo else (om, nm)
+        basis = "solo" if solo else "suite"
+        ratio = neff / oeff if oeff > 0 else float("inf")
         plan_changed = op is not None and np_ is not None and op != np_
-        bands_known = None not in (olo, ohi, nlo, nhi)
+        bands_known = (not solo) and None not in (olo, ohi, nlo, nhi)
         overlap = bands_known and not (nlo > ohi or olo > nhi)
         if plan_changed:
             tag = "PLAN"
         elif ratio > a.threshold or ratio < 1 / a.threshold:
             if bands_known:
                 tag = "NOISE" if overlap else "DRIFT"
+            elif solo:
+                tag = "DRIFT"
             else:
                 tag = "DRIFT?"
         else:
             tag = "ok"
-        rows.append((q, om, nm, ratio, tag))
+        rows.append((q, oeff, neff, ratio, tag, basis))
     rows.sort(key=lambda r: -r[3])
-    print(f"{'query':40s} {'old':>8s} {'new':>8s} {'ratio':>7s}  flag")
-    for q, om, nm, ratio, tag in rows:
+    print(f"{'query':40s} {'old':>8s} {'new':>8s} {'ratio':>7s}  basis  flag")
+    for q, om, nm, ratio, tag, basis in rows:
         if tag != "ok":
-            print(f"{q:40s} {om:8.3f} {nm:8.3f} {ratio:7.2f}  {tag}")
+            print(f"{q:40s} {om:8.3f} {nm:8.3f} {ratio:7.2f}  {basis:5s}  {tag}")
     flagged = sum(1 for r in rows if r[4] != "ok")
     # totals over the SHARED set only: added/removed queries would
     # otherwise skew the ratio and misread as drift
