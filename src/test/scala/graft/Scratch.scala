@@ -546,6 +546,71 @@ object Scratch {
               val nrm = math.sqrt(va.map(x => x * x).sum)
               println(f"rows=${base20.count()} sec=$sec%.2f norm=$nrm%.9f " +
                 (if (va == vb && math.abs(nrm - 1.0) < 1e-9) "OK" else "MISMATCH"))
+            case "mleval" =>
+              // retrieval eval at 20x embeddings: every metric is exact
+              // integer/single-division arithmetic, so the full 8-query
+              // report must be IDENTICAL (==, doubles included) across
+              // partitionings — partial-agg order cannot change a bit
+              val base20 = (0 until 20).map(i =>
+                  sources.Tables(spark, sfDir, "embeddings")
+                    .withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+                .reduce(_ unionByName _).localCheckpoint(true)
+              val queries = base20.filter(col("vec_id") < 8)
+              def evalRows(parts: Int): Seq[Seq[Any]] =
+                ops.Similarity.retrievalEval(base20.repartition(parts), queries, 10)
+                  .orderBy("q_id").collect().map(_.toSeq.toList).toSeq
+              val t0e = System.nanoTime()
+              val ra = evalRows(7)
+              val sec2 = (System.nanoTime() - t0e) / 1e9
+              val rb = evalRows(64)
+              println(f"rows=${base20.count()} queries=${ra.length} sec=$sec2%.2f " +
+                (if (ra == rb && ra.length == 8) "OK" else "MISMATCH"))
+            case "mmr" =>
+              // MMR re-rank at 20x: the corpus-sized stage is the one
+              // top-pool cosine cut; with all cosines rounded to 4 dp
+              // and vec_id tie-breaks, the greedy SELECTION ORDER must
+              // be stable across partitionings (the 20 identical copies
+              // of every vector are the worst tie storm possible)
+              val base20 = (0 until 20).map(i =>
+                  sources.Tables(spark, sfDir, "embeddings")
+                    .withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+                .reduce(_ unionByName _).localCheckpoint(true)
+              val qv = sources.Tables(spark, sfDir, "embeddings")
+                .filter(col("vec_id") === 0).select("embedding")
+                .collect()(0).getSeq[Float](0).map(_.toDouble)
+              def picks(parts: Int): Seq[(Int, Long, Double)] =
+                ops.Similarity.mmrRerank(
+                    base20.filter(col("vec_id") % 1000000L =!= 0L).repartition(parts),
+                    qv, poolSize = 50, k = 5)
+                  .orderBy("mmr_rank").collect()
+                  .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+              val t0r = System.nanoTime()
+              val pa = picks(7)
+              val sec3 = (System.nanoTime() - t0r) / 1e9
+              val pb = picks(64)
+              println(f"rows=${base20.count()} sec=$sec3%.2f picks=$pa " +
+                (if (pa == pb && pa.length == 5) "OK" else "MISMATCH"))
+            case "logreg" =>
+              // logreg training at 20x docs: the per-round gradient is a
+              // sum of floor-scaled integers, so the trained WEIGHTS
+              // must be bit-identical (==) across partitionings; the
+              // calibration report over the same model must agree too
+              val label = pmod(col("doc_id"), lit(2)).cast("double")
+              def weights(parts: Int): Seq[Double] =
+                ops.TextAnalysis.trainLogRegWeights(
+                  big.repartition(parts), label, iterations = 3).toSeq
+              val t0l = System.nanoTime()
+              val wa = weights(7)
+              val sec4 = (System.nanoTime() - t0l) / 1e9
+              val wb = weights(64)
+              def calib(parts: Int): Seq[Seq[Any]] =
+                ops.TextAnalysis.calibrationReport(
+                    big.repartition(parts), label, iterations = 3)
+                  .orderBy("bucket").collect().map(_.toSeq.toList).toSeq
+              val ca = calib(7); val cb = calib(64)
+              println(f"rows=${big.count()} sec=$sec4%.2f w=$wa " +
+                s"calibBuckets=${ca.length} " +
+                (if (wa == wb && ca == cb) "OK" else "MISMATCH"))
           }
         } else if (n == "idx-stem-nopersist") {
           search.Indexer.postings(search.Indexer.documents(spark, sfDir))
