@@ -104,6 +104,91 @@ class RoundTwentyOneSpec extends AnyFunSuite {
     assert(scores.values.toSet.size === 3, scores.toString)
   }
 
+  /** Write one parquet FILE into a streaming source dir (atomic from
+    * the file source's perspective).
+    */
+  private def stage(dir: String, name: String,
+                    df: org.apache.spark.sql.DataFrame): Unit = {
+    import java.nio.file.{Files, Paths}
+    val tmp = s"$dir/__tmp_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(part.toPath, Paths.get(dir, s"$name.parquet"))
+  }
+
+  test("streaming state drivers under a staged CROSS-VERSION redelivery") {
+    val s = spark
+    import s.implicits._
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val base = Files.createTempDirectory("graft-stream-redeliver-").toString
+
+    // ---- KMV distinct: a late at-least-once upstream re-emits batch0
+    // as a brand-new file; the RESUMED query folds it as a NEW state
+    // version — and the idempotent KMV merge must not inflate anything
+    val kin = s"$base/kmv-in"; Files.createDirectories(Paths.get(kin))
+    val a = (1 to 300).map(i => ("g" + (i % 2), i % 37))
+    val b = (301 to 600).map(i => ("g" + (i % 2), i % 53))
+    stage(kin, "batch0", a.toDF("k", "v"))
+    stage(kin, "batch1", b.toDF("k", "v"))
+    val kState = s"$base/kmv-state"; val kCkpt = s"$base/kmv-ckpt"
+    def runKmv(): Unit = {
+      val q = graft.streaming.StreamingOps.streamingDistinctCount(
+        spark, kin, kState, Seq("k"), "v", k = 32,
+        checkpointDir = Some(kCkpt))
+      try q.processAllAvailable() finally q.stop()
+    }
+    runKmv()
+    stage(kin, "batch2_redelivered", a.toDF("k", "v"))
+    runKmv() // resumes from the checkpoint: ONLY the new file, new version
+    val kmvSchema = StructType(Seq(StructField("k", StringType),
+      StructField("h", LongType)))
+    val got = graft.streaming.StreamingOps
+      .currentSnapshot(spark, kState, kmvSchema)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = graft.ops.Maintenance
+      .kmvState((a ++ b).toDF("k", "v"), Seq("k"), "v", 32)
+      .mins.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === want, "redelivered rows must be a no-op union")
+
+    // ---- MG top-k: counters are ADDITIVE (documented contract), so
+    // after the same staged redelivery the state accounts the rows as
+    // delivered — and the completeness-checked read over the delivered
+    // multiset must still be EXACT
+    val min0 = s"$base/mg-in"; Files.createDirectories(Paths.get(min0))
+    val wa = (0 until 1500).map(i => (i.toLong, "k" + math.min(i % 40, i % 17)))
+    val wb = (1500 until 3000).map(i => (i.toLong, "k" + math.min(i % 40, i % 13)))
+    stage(min0, "batch0", wa.toDF("row_id", "word"))
+    stage(min0, "batch1", wb.toDF("row_id", "word"))
+    val mState = s"$base/mg-state"; val mCkpt = s"$base/mg-ckpt"
+    def runMg(): Unit = {
+      val q = graft.streaming.StreamingOps.streamingTopKState(
+        spark, min0, mState, "word", capacity = 256,
+        checkpointDir = Some(mCkpt))
+      try q.processAllAvailable() finally q.stop()
+    }
+    runMg()
+    stage(min0, "batch2_redelivered", wa.toDF("row_id", "word"))
+    runMg()
+    val mgSchema = StructType(Seq(StructField("key", StringType),
+      StructField("cnt", LongType)))
+    val state = graft.streaming.StreamingOps
+      .currentSnapshot(spark, mState, mgSchema)
+    val delivered = (wa ++ wb ++ wa).toDF("row_id", "word")
+    val gotTop = graft.ops.HeavyHitters
+      .topKFromState(state, delivered, "word", 10, 256)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val wantTop = delivered.groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(gotTop === wantTop)
+    // the state's total row equals every row DELIVERED (incl. the
+    // duplicate batch) — additive by design, unlike the KMV sketch
+    assert(state.filter(col("key").isNull).agg(sum("cnt")).first().getLong(0)
+      === delivered.count())
+  }
+
   test("sim_ivf_topk (the driver entry itself) prunes cluster partitions at rest") {
     val dir = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata") +
       "/sf0.001"
