@@ -1504,6 +1504,18 @@ object SparkEntry {
       Dedup.clusters(cachedEmbPairs(s, dir), "vec_a", "vec_b")
         .groupBy("cluster_id")
         .agg(max("doc_id").as("keeper_id"), count(lit(1)).as("n_members"))),
+    // the TRUE SemDeDup shape (cluster-partitioned pair search): the
+    // oracle-exact k-means partitions the corpus (k=8, 1 round) and
+    // near-dups are searched WITHIN clusters only — the pair join is
+    // bounded by sum(|cluster|^2), never n^2, and at 100 TB each
+    // cluster partition dedups independently. The oracle replays
+    // training AND pruning end-to-end (shared unrolled-Lloyd CTE).
+    // Complements dedup_embedding_semantic (LSH-banded candidates +
+    // CC): LSH bounds by bucket caps, SemDeDup by the trained
+    // partition (cross-cluster misses = the documented recall cost).
+    "dedup_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(t(s, dir, "embeddings"), k = 8, rounds = 1,
+        minCos = 0.4)),
     // the dedup endgame as one query: cluster the near-dup pairs, then
     // keep the best member per cluster (longest text, doc_id tiebreak)
     "dedup_keep_best" -> ((s, dir) => {
@@ -1658,6 +1670,22 @@ object SparkEntry {
       val ivf = ivfIndex(s, dir)
       AnnIndex.ivfTopK(s, ivf, queryVec(s, dir), 10, nProbe = 6)
         .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+    }),
+    // IVF/index MAINTENANCE: a NEW vector batch routes against the
+    // already-trained centroids (no retrain, no old-corpus re-read) —
+    // the assignment a 100 TB layout appends as new cluster-partition
+    // files. Train on the 80% base (exact Lloyd, k=8, 1 round),
+    // classify the 20% batch by broadcast nearest-centroid argmax;
+    // the oracle replays training AND the out-of-fold assignment.
+    "sim_ivf_incremental" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val base = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val batch = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+      val (_, cents) = Similarity.kMeansExactModel(base, k = 8, rounds = 1)
+      import s.implicits._
+      val centsDf = cents.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+        .toDF("cluster", "centroid")
+      Similarity.assignToCentroids(batch, centsDf)
     }),
     // nearest-centroid assignment (k-means E step): 8 fixed centroids
     // broadcast, per-vector argmax over exactly k rounded cosines
@@ -4223,6 +4251,45 @@ object SparkEntry {
         |       min(round(list_cosine_similarity(e.emb, c.cvec), 9)) AS min_cos
         |FROM a2 JOIN e USING (vec_id) JOIN c1 c ON c.c_id = a2.cluster
         |GROUP BY 1""".stripMargin),
+    // SemDeDup replayed end-to-end: the k=8 unrolled-Lloyd training,
+    // then within-cluster pairs on the 4-dp cosine grid and the
+    // min-id keeper rule
+    "dedup_semdedup" ->
+      (oracleLloydCte(8, 1) + ",\n" +
+        """pairs AS (
+        |  SELECT ab.vec_id AS vec_id, ab.cluster AS cluster,
+        |         aa.vec_id AS kept_cand,
+        |         round(list_cosine_similarity(ea.emb, eb.emb), 4) AS cos
+        |  FROM a2 aa JOIN a2 ab ON aa.cluster = ab.cluster
+        |       AND aa.vec_id < ab.vec_id
+        |  JOIN e ea ON ea.vec_id = aa.vec_id
+        |  JOIN e eb ON eb.vec_id = ab.vec_id
+        |  WHERE round(list_cosine_similarity(ea.emb, eb.emb), 4) >= 0.4),
+        |r AS (SELECT vec_id, cluster, kept_cand, cos,
+        |             row_number() OVER (PARTITION BY vec_id
+        |                                ORDER BY kept_cand) AS rn
+        |      FROM pairs)
+        |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |       CAST(cluster AS BIGINT) AS cluster,
+        |       CAST(kept_cand AS BIGINT) AS kept_by, cos
+        |FROM r WHERE rn = 1""".stripMargin),
+    // maintenance assignment replayed: train on the base split (the
+    // shared unrolled-Lloyd CTE with a WHERE), then the batch's
+    // out-of-fold 4-dp-rounded argmax against the trained centroids
+    "sim_ivf_incremental" ->
+      (oracleLloydCte(8, 1, " WHERE vec_id % 5 <> 0") + ",\n" +
+        """batch AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS bemb
+        |           FROM embeddings WHERE vec_id % 5 = 0),
+        |r AS (
+        |  SELECT b.vec_id, c.c_id AS cluster,
+        |         round(list_cosine_similarity(b.bemb, c.cvec), 4) AS cos,
+        |         row_number() OVER (PARTITION BY b.vec_id
+        |           ORDER BY round(list_cosine_similarity(b.bemb, c.cvec), 4)
+        |             DESC, c.c_id ASC) AS rn
+        |  FROM batch b CROSS JOIN c1 c)
+        |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |       CAST(cluster AS BIGINT) AS cluster, cos
+        |FROM r WHERE rn = 1""".stripMargin),
     // the IVF serving path replayed END-TO-END (unpinned in r8): the
     // same unrolled exact-Lloyd training (k=16, 2 rounds, query vector
     // excluded — AnnIndex.ivfWrite's defaults), then the probe ranks

@@ -553,6 +553,53 @@ object Similarity {
       .limit(topK)
   }
 
+  /** SemDeDup-style cluster-partitioned semantic dedup (the method of
+    * Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the corpus
+    * with the oracle-exact k-means, then look for near-duplicates
+    * ONLY within each cluster — the pair search shrinks from O(n²)
+    * to Σ|cluster|², and at 100 TB each cluster partition dedups
+    * independently (embarrassingly parallel across the persisted
+    * cluster-partitioned layout [[ivfTrain]] already writes). This is
+    * the clustering-bounded complement of the LSH-banded pair path
+    * ([[graft.ops.Dedup.embeddingNearDupBanded]]): LSH bounds by
+    * bucket caps with a recall argument; SemDeDup bounds by the
+    * trained partition with cross-cluster misses as the documented
+    * recall cost.
+    *
+    * Prune rule (deterministic, relation-algebraic): a vector is
+    * PRUNED iff a SMALLER-vec_id member of its cluster has rounded
+    * cosine >= `minCos` with it; the smallest such neighbor is
+    * reported as the keeper. (The paper keeps the member closest to
+    * the centroid per duplicate group; the min-id rule is the same
+    * candidate geometry with an engine-portable, tie-free decision.)
+    * Cosines round to 4 dp before the threshold — every comparison is
+    * on the same grid the SQL oracle computes, which replays training
+    * AND pruning end-to-end (the `dedup_semdedup` row).
+    *
+    * Returns the prune list `(vec_id, cluster, kept_by, cos)` —
+    * subtract it from the corpus to materialize the deduplicated set.
+    */
+  def semDedup(embeddings: DataFrame, k: Int, rounds: Int = 1,
+               minCos: Double = 0.4): DataFrame = {
+    val (assigned, _) = kMeansExactModel(embeddings, k, rounds)
+    val lo = assigned.select(col("cluster"), col("vec_id").as("kept_cand"),
+      col("emb").as("emb_a"))
+    val hi = assigned.select(col("cluster"), col("vec_id"),
+      col("emb").as("emb_b"))
+    lo.join(hi, Seq("cluster"))
+      .filter(col("kept_cand") < col("vec_id"))
+      .select(col("cluster"), col("vec_id"), col("kept_cand"),
+        round(cosineCol(col("emb_a"), col("emb_b")), 4).as("cos"))
+      .filter(col("cos") >= minCos)
+      // smallest qualifying neighbor wins; the struct min carries its
+      // cosine along (kept_cand is unique per (vec_id, cluster) pair)
+      .groupBy("vec_id", "cluster")
+      .agg(min(struct(col("kept_cand"), col("cos"))).as("m"))
+      .select(col("vec_id"), col("cluster"),
+        col("m.kept_cand").as("kept_by"), col("m.cos").as("cos"))
+  }
+
   /** All-pairs k-nearest-neighbors per label group (a bounded-key
     * shuffle join on `label`), exact within group: for corpora where a
     * coarse partitioner (label / IVF centroid) already exists. Returns

@@ -189,6 +189,69 @@ class RoundTwentyOneSpec extends AnyFunSuite {
       === delivered.count())
   }
 
+  test("native SnippetHighlight equals the Scala render; page render plans UDF-free") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, ("filler " * 80) + "alpha " + ("pad " * 70) + "beta end"),
+      (3L, "unrelated words only here")).toDF("doc_id", "text")
+    val index = graft.search.Indexer.postings(docs)
+    val ranked = graft.search.SearchEngine.search("alpha beta", index, docs)
+    val page = graft.search.SearchEngine.page(ranked, 1)
+    val rendered = graft.search.SearchEngine.renderPage(page, docs, "alpha beta")
+    val plan = rendered.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"page render still plans a UDF:\n$plan")
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val hl = graft.search.QueryParser.highlightWords("alpha beta")
+    val got = rendered.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (id, snippet) =>
+      val want = graft.search.SearchEngine.highlightWrap(
+        graft.search.SearchEngine.snippetOf(texts(id), hl), hl)
+      assert(snippet === want, s"doc $id")
+    }
+    // NULL content renders NULL (the old closure-UDF contract)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val nullOut = graft.functions.SnippetHighlight(
+      Literal.create(null, StringType),
+      Literal.create(Seq("x"), ArrayType(StringType))).eval(null)
+    assert(nullOut === null)
+  }
+
+  test("semDedup prunes planted twins within their cluster, partitioning-invariant") {
+    val s = spark
+    import s.implicits._
+    // two groups on orthogonal base directions; within a group every
+    // vector carries a UNIQUE secondary dim, so non-twin cosines are
+    // exactly 0.8 (within group) or 0 (across) — only the planted
+    // exact twins of vectors 3 and 23 reach the 0.9 threshold, and a
+    // twin's IDENTICAL embedding guarantees it lands in its
+    // original's cluster whatever the k-means split does
+    def vec(hot: (Int, Float)*): Seq[Float] = {
+      val v = Array.fill(20)(0.0f); hot.foreach { case (d, x) => v(d) = x }
+      v.toSeq
+    }
+    val rows =
+      (0 until 8).map(i => (i.toLong, vec(0 -> 1.0f, (2 + i) -> 0.5f))) ++
+      (20 until 28).map(i => (i.toLong, vec(1 -> 1.0f, (10 + i - 20) -> 0.5f))) ++
+      Seq((100L, vec(0 -> 1.0f, 5 -> 0.5f)),  // twin of vec 3 (dim 2+3)
+          (123L, vec(1 -> 1.0f, 13 -> 0.5f))) // twin of vec 23 (dim 10+3)
+    val emb = rows.toDF("vec_id", "embedding")
+    def run(parts: Int): Seq[(Long, Long, Long, Double)] =
+      graft.ops.Similarity.semDedup(emb.repartition(parts), k = 2,
+          rounds = 1, minCos = 0.9)
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    val got = run(3)
+    assert(got.map(p => (p._1, p._3, p._4)) ===
+      Seq((100L, 3L, 1.0), (123L, 23L, 1.0)), got.toString)
+    // deterministic under any partitioning (exact-Lloyd + 4-dp grid)
+    assert(got === run(11))
+  }
+
   test("sim_ivf_topk (the driver entry itself) prunes cluster partitions at rest") {
     val dir = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata") +
       "/sf0.001"
