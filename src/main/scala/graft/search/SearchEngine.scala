@@ -100,7 +100,7 @@ object SearchEngine {
     * window around each hit, coalesce overlapping windows into intervals,
     * clamp to the content bounds, join with "...".
     */
-  private[search] def snippetOf(content: String, highlights: Seq[String]): String = {
+  private[graft] def snippetOf(content: String, highlights: Seq[String]): String = {
     if (content == null) return null
     val lower = content.toLowerCase
     val hits = highlights.flatMap { h =>
@@ -156,7 +156,7 @@ object SearchEngine {
   /** F10: wrap each highlight word (and its Capitalized form) in the
     * reference's yellow span (`util/CorpusFetcher.java:121-122,186-190`).
     */
-  private[search] def highlightWrap(text: String, highlights: Seq[String]): String = {
+  private[graft] def highlightWrap(text: String, highlights: Seq[String]): String = {
     val start = "<span style=\"background-color: #FFFF00\">"
     val end = "</span>"
     var result = text
@@ -168,10 +168,13 @@ object SearchEngine {
     result
   }
 
-  private val snippetUdf =
-    udf((content: String, highlights: Seq[String]) =>
-      if (content == null) null
-      else highlightWrap(snippetOf(content, highlights), highlights))
+  /** Page render as the native codegen'd [[graft.functions.SnippetHighlight]]
+    * expression (NULL content -> NULL, same as the old closure UDF).
+    */
+  private def snippetCol(content: org.apache.spark.sql.Column,
+                         highlights: Seq[String]): org.apache.spark.sql.Column =
+    graft.functions.SnippetHighlight.of(content,
+      array(highlights.map(lit): _*).cast("array<string>"))
 
   /** J9 + F9/F10/F11: join a ranked page with the corpus (the result side
     * is tiny -> broadcast, the reference's loop of MapFile point-gets)
@@ -181,7 +184,7 @@ object SearchEngine {
     val highlights = QueryParser.highlightWords(query)
     docs.join(broadcast(pageDf), "doc_id")
       .select(col("doc_id"), col("score"),
-        snippetUdf(col("text"), lit(highlights.toArray)).as("snippet"))
+        snippetCol(col("text"), highlights).as("snippet"))
       .orderBy(desc("score"), asc("doc_id"))
   }
 
@@ -196,7 +199,7 @@ object SearchEngine {
     val body = graft.sources.Corpus.bodyOf(col("content"))
     corpus.join(broadcast(pageDf), "doc_id")
       .select(col("doc_id"), col("score"), title.as("title"),
-        snippetUdf(body, lit(highlights.toArray)).as("snippet"))
+        snippetCol(body, highlights).as("snippet"))
       .orderBy(desc("score"), asc("doc_id"))
   }
 

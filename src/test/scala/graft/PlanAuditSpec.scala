@@ -68,6 +68,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_quality_audit", // 1-row audit metrics crossed into check rows
     "search_hybrid", // one query vector + 1-row corpus stats
     "sim_cluster_assign", // broadcast centroid table (model-sized)
+    "sim_ivf_incremental", // broadcast trained-centroid table (8 rows)
     "sim_topk_brute", // one query vector crossed into the scan
     "q_sql_native", // same query-vector scalar, through the SQL surface
     "text_collocations", // 1-row corpus token total for PMI
@@ -103,17 +104,15 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   /** Entries whose plans may still contain a ScalaUDF, by documented
-    * contract: the snippet highlight wrapper runs on one PAGE of
-    * results (≤10 rows after the TakeOrdered cut — presentation
-    * formatting, not a data path); the two video entries' UDF is the
-    * synthetic MJPEG-AVI WRITER (`mkAvi` — test-fixture input
-    * synthesis, since the driver corpus ships no real video binary),
-    * not the container walk / pixel decode under test. Everything
-    * else — including every search scoring path and the Bloom-pruned
-    * incremental dedup — must plan UDF-free (native codegen
-    * expressions).
+    * contract — ONLY the two video entries, whose UDF is the synthetic
+    * MJPEG-AVI WRITER (`mkAvi` — test-fixture input synthesis, since
+    * the driver corpus ships no real video binary), not the container
+    * walk / pixel decode under test. Every actual operator path —
+    * search scoring, page rendering (native `SnippetHighlight`),
+    * Bloom-pruned incremental dedup — must plan UDF-free (native
+    * codegen expressions).
     */
-  private val scalaUdfByContract = Set("search_snippets", "search_batch",
+  private val scalaUdfByContract = Set(
     "media_video_decode", "media_video_frames")
 
   test("allowlists only name live queries (a rename can't orphan an exemption)") {
