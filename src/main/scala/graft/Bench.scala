@@ -95,6 +95,11 @@ object Bench {
         // second face, found diffing SPARK_GRAFT_BENCH_PLANS dumps)
         .replaceAll("\\blambda (\\w+?)_\\d+#", "lambda $1_#")
         .replaceAll("@[0-9a-f]+", "@")
+        // session-scoped at-rest artifacts (LSH/IVF/PQ/trigram) live in
+        // per-run random temp dirs — the PATH is run identity, not plan
+        // shape, and left unnormalized it flipped every at-rest probe's
+        // fingerprint each round (found diffing r7->r8 PLAN flags)
+        .replaceAll("graft-ann-\\w+", "graft-ann-")
         .replaceAll("LocalTableScan \\[.*", "LocalTableScan")
         .replaceAll("Scan ExistingRDD\\[.*", "Scan ExistingRDD")
 
