@@ -79,6 +79,39 @@ object Bench {
     // same plan shape, flips on a structural change
     val planFp = scala.collection.mutable.Map.empty[String, String]
 
+    // RewriteDistinctAggregates (and other exprId-ordered rewrites)
+    // order attribute lists, expand groups and gid assignment by
+    // EXPRESSION ID — which depends on how many expressions the
+    // session allocated before this query, i.e. suite composition,
+    // not plan shape (r8: q_count_distinct's Expand had
+    // l_partkey/l_suppkey swapped depending on its neighbors).
+    // exprIds themselves are normalized away below; this erases the
+    // residual ORDER by sorting bracket lists innermost-out — scoped
+    // to aggregate/expand/hash-partitioning lines so semantically
+    // ordered lists (Sort keys, window orderings) keep their order —
+    // plus the gid tags that bind differently per run.
+    def canonicalizeLists(line: String): String = {
+      var cur = line
+        .replaceAll("\\bgid#\\d* = \\d+", "gid = N")
+        .replaceAll(", (\\d+)\\]", ", N]")
+      val sortArgs = (s: String) =>
+        s.split(",").map(_.trim).sorted.mkString(", ")
+      cur = "hashpartitioning\\(([^()]*)\\)".r.replaceAllIn(cur, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          s"hashpartitioning(${sortArgs(m.group(1))})"))
+      val inner = "\\[([^\\[\\]]*)\\]".r
+      var changed = true
+      while (changed) {
+        changed = false
+        cur = inner.replaceAllIn(cur, m => {
+          changed = true
+          java.util.regex.Matcher.quoteReplacement(
+            "⟦" + sortArgs(m.group(1)) + "⟧")
+        })
+      }
+      cur.replace('⟦', '[').replace('⟧', ']')
+    }
+
     def normalizedPlan(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.executedPlan.toString
         .replaceAll("#\\d+", "#")
@@ -102,6 +135,13 @@ object Bench {
         .replaceAll("graft-ann-\\w+", "graft-ann-")
         .replaceAll("LocalTableScan \\[.*", "LocalTableScan")
         .replaceAll("Scan ExistingRDD\\[.*", "Scan ExistingRDD")
+        // list canonicalization LAST (ids already erased, so ordering
+        // is purely name-based)
+        .linesIterator.map(l =>
+          if (l.contains("HashAggregate") || l.contains("Expand") ||
+              l.contains("hashpartitioning")) canonicalizeLists(l)
+          else l)
+        .mkString("\n")
 
     def fingerprint(df: org.apache.spark.sql.DataFrame): String =
       java.security.MessageDigest.getInstance("MD5")
