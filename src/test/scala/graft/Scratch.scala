@@ -590,6 +590,40 @@ object Scratch {
               val pb = picks(64)
               println(f"rows=${base20.count()} sec=$sec3%.2f picks=$pa " +
                 (if (pa == pb && pa.length == 5) "OK" else "MISMATCH"))
+            case "semdedup" =>
+              // cluster-partitioned SemDeDup at 20x embeddings: k=64
+              // bounds the within-cluster pair join at ~sum(625^2);
+              // the 20 identical copies of every vector are the
+              // densest possible near-dup mass. Invariants: identical
+              // output across partitionings (exact Lloyd + 4-dp grid),
+              // and every copy group fully pruned down to its min id
+              // (copies are bitwise equal, so they always share the
+              // argmax cluster — within-cluster search cannot miss
+              // them)
+              val base20 = (0 until 20).map(i =>
+                  sources.Tables(spark, sfDir, "embeddings")
+                    .withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+                .reduce(_ unionByName _).localCheckpoint(true)
+              val nBase = base20.filter(col("vec_id") < 1000000L).count()
+              def prune(parts: Int) =
+                ops.Similarity.semDedup(base20.repartition(parts), k = 64,
+                  rounds = 1, minCos = 0.9999)
+              val t0s = System.nanoTime()
+              val pa = prune(7).localCheckpoint(true)
+              val secS = (System.nanoTime() - t0s) / 1e9
+              val nPruned = pa.count()
+              // every one of the 19*nBase non-original copies must be
+              // pruned (a copy always has its smaller-id original in
+              // its own cluster at cos 1.0; a distinct base pair may
+              // also clear the threshold, so >= not ==)
+              val copiesPruned = pa.filter(col("vec_id") >= 1000000L).count()
+              val pb = prune(64)
+              val d = pa.exceptAll(pb).count() + pb.exceptAll(pa).count()
+              println(f"rows=${base20.count()} pruned=$nPruned " +
+                f"copiesPruned=$copiesPruned/${19 * nBase} sec=$secS%.2f " +
+                (if (copiesPruned == 19 * nBase && nPruned >= copiesPruned
+                     && d == 0) "OK"
+                 else s"MISMATCH diff=$d"))
             case "logreg" =>
               // logreg training at 20x docs: the per-round gradient is a
               // sum of floor-scaled integers, so the trained WEIGHTS
