@@ -53,6 +53,77 @@ object Bench {
     */
   val cartesianRowBound: Long = 1000L
 
+  // RewriteDistinctAggregates (and other exprId-ordered rewrites)
+  // order attribute lists, expand groups and gid assignment by
+  // EXPRESSION ID — which depends on how many expressions the
+  // session allocated before this query, i.e. suite composition,
+  // not plan shape (r8: q_count_distinct's Expand had
+  // l_partkey/l_suppkey swapped depending on its neighbors).
+  // exprIds themselves are normalized away below; this erases the
+  // residual ORDER by sorting bracket lists innermost-out — scoped
+  // to aggregate/expand/hash-partitioning lines so semantically
+  // ordered lists (Sort keys, window orderings) keep their order —
+  // plus the gid tags that bind differently per run.
+  private[graft] def canonicalizeLists(line: String): String = {
+    var cur = line
+      .replaceAll("\\bgid#\\d* = \\d+", "gid = N")
+      .replaceAll(", (\\d+)\\]", ", N]")
+    val sortArgs = (s: String) =>
+      s.split(",").map(_.trim).sorted.mkString(", ")
+    cur = "hashpartitioning\\(([^()]*)\\)".r.replaceAllIn(cur, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"hashpartitioning(${sortArgs(m.group(1))})"))
+    val inner = "\\[([^\\[\\]]*)\\]".r
+    var changed = true
+    while (changed) {
+      changed = false
+      cur = inner.replaceAllIn(cur, m => {
+        changed = true
+        java.util.regex.Matcher.quoteReplacement(
+          "⟦" + sortArgs(m.group(1)) + "⟧")
+      })
+    }
+    cur.replace('⟦', '[').replace('⟧', ']')
+  }
+
+  /** The exact fingerprint input (exposed for the stability spec). */
+  def normalizedPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+      .replaceAll("#\\d+", "#")
+      .replaceAll("\\bplan_id=\\d+", "plan_id=")
+      .replaceAll("\\[id=#?\\d*\\]", "")
+      // lambda ids are assigned in JVM class-LOAD order, so they shift
+      // whenever the suite composition changes; object hashcodes are
+      // per-instance — both are identity noise, not plan shape
+      .replaceAll("\\$Lambda\\$\\d+/0x[0-9a-fA-F]+", "\\$Lambda")
+      .replaceAll("\\$\\$Lambda/0x[0-9a-fA-F]+", "\\$Lambda")
+      // HOF lambda VARIABLE names (lambda x_3#) draw from a
+      // session-global counter — suite composition shifted every
+      // HOF query's fingerprint (the r5 lambda-class-id bug's
+      // second face, found diffing SPARK_GRAFT_BENCH_PLANS dumps)
+      .replaceAll("\\blambda (\\w+?)_\\d+#", "lambda $1_#")
+      .replaceAll("@[0-9a-f]+", "@")
+      // session-scoped at-rest artifacts (LSH/IVF/PQ/trigram) live in
+      // per-run random temp dirs — the PATH is run identity, not plan
+      // shape, and left unnormalized it flipped every at-rest probe's
+      // fingerprint each round (found diffing r7->r8 PLAN flags)
+      .replaceAll("graft-ann-\\w+", "graft-ann-")
+      .replaceAll("LocalTableScan \\[.*", "LocalTableScan")
+      .replaceAll("Scan ExistingRDD\\[.*", "Scan ExistingRDD")
+      // list canonicalization LAST (ids already erased, so ordering
+      // is purely name-based)
+      .linesIterator.map(l =>
+        if (l.contains("HashAggregate") || l.contains("Expand") ||
+            l.contains("hashpartitioning")) canonicalizeLists(l)
+        else l)
+      .mkString("\n")
+
+  /** md5/8 of [[normalizedPlan]] — suite-composition-stable. */
+  def fingerprint(df: org.apache.spark.sql.DataFrame): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(normalizedPlan(df).getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -79,74 +150,7 @@ object Bench {
     // same plan shape, flips on a structural change
     val planFp = scala.collection.mutable.Map.empty[String, String]
 
-    // RewriteDistinctAggregates (and other exprId-ordered rewrites)
-    // order attribute lists, expand groups and gid assignment by
-    // EXPRESSION ID — which depends on how many expressions the
-    // session allocated before this query, i.e. suite composition,
-    // not plan shape (r8: q_count_distinct's Expand had
-    // l_partkey/l_suppkey swapped depending on its neighbors).
-    // exprIds themselves are normalized away below; this erases the
-    // residual ORDER by sorting bracket lists innermost-out — scoped
-    // to aggregate/expand/hash-partitioning lines so semantically
-    // ordered lists (Sort keys, window orderings) keep their order —
-    // plus the gid tags that bind differently per run.
-    def canonicalizeLists(line: String): String = {
-      var cur = line
-        .replaceAll("\\bgid#\\d* = \\d+", "gid = N")
-        .replaceAll(", (\\d+)\\]", ", N]")
-      val sortArgs = (s: String) =>
-        s.split(",").map(_.trim).sorted.mkString(", ")
-      cur = "hashpartitioning\\(([^()]*)\\)".r.replaceAllIn(cur, m =>
-        java.util.regex.Matcher.quoteReplacement(
-          s"hashpartitioning(${sortArgs(m.group(1))})"))
-      val inner = "\\[([^\\[\\]]*)\\]".r
-      var changed = true
-      while (changed) {
-        changed = false
-        cur = inner.replaceAllIn(cur, m => {
-          changed = true
-          java.util.regex.Matcher.quoteReplacement(
-            "⟦" + sortArgs(m.group(1)) + "⟧")
-        })
-      }
-      cur.replace('⟦', '[').replace('⟧', ']')
-    }
-
-    def normalizedPlan(df: org.apache.spark.sql.DataFrame): String =
-      df.queryExecution.executedPlan.toString
-        .replaceAll("#\\d+", "#")
-        .replaceAll("\\bplan_id=\\d+", "plan_id=")
-        .replaceAll("\\[id=#?\\d*\\]", "")
-        // lambda ids are assigned in JVM class-LOAD order, so they shift
-        // whenever the suite composition changes; object hashcodes are
-        // per-instance — both are identity noise, not plan shape
-        .replaceAll("\\$Lambda\\$\\d+/0x[0-9a-fA-F]+", "\\$Lambda")
-        .replaceAll("\\$\\$Lambda/0x[0-9a-fA-F]+", "\\$Lambda")
-        // HOF lambda VARIABLE names (lambda x_3#) draw from a
-        // session-global counter — suite composition shifted every
-        // HOF query's fingerprint (the r5 lambda-class-id bug's
-        // second face, found diffing SPARK_GRAFT_BENCH_PLANS dumps)
-        .replaceAll("\\blambda (\\w+?)_\\d+#", "lambda $1_#")
-        .replaceAll("@[0-9a-f]+", "@")
-        // session-scoped at-rest artifacts (LSH/IVF/PQ/trigram) live in
-        // per-run random temp dirs — the PATH is run identity, not plan
-        // shape, and left unnormalized it flipped every at-rest probe's
-        // fingerprint each round (found diffing r7->r8 PLAN flags)
-        .replaceAll("graft-ann-\\w+", "graft-ann-")
-        .replaceAll("LocalTableScan \\[.*", "LocalTableScan")
-        .replaceAll("Scan ExistingRDD\\[.*", "Scan ExistingRDD")
-        // list canonicalization LAST (ids already erased, so ordering
-        // is purely name-based)
-        .linesIterator.map(l =>
-          if (l.contains("HashAggregate") || l.contains("Expand") ||
-              l.contains("hashpartitioning")) canonicalizeLists(l)
-          else l)
-        .mkString("\n")
-
-    def fingerprint(df: org.apache.spark.sql.DataFrame): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(normalizedPlan(df).getBytes("UTF-8"))
-        .take(4).map("%02x".format(_)).mkString
+    // (normalizedPlan/fingerprint live on the object — spec-testable)
 
     // SPARK_GRAFT_BENCH_PLANS=<dir>: dump each query's NORMALIZED plan
     // text (the exact fingerprint input) — `diff` two dumps to

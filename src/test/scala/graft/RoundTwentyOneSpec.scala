@@ -252,6 +252,37 @@ class RoundTwentyOneSpec extends AnyFunSuite {
     assert(got === run(11))
   }
 
+  test("plan fingerprints are expression-counter invariant (distinct-rewrite lists)") {
+    // the r8 leak: RewriteDistinctAggregates orders expand groups /
+    // gid binding / grouping lists by expression id, so a query's
+    // fingerprint depended on how many expressions the session had
+    // allocated before it (suite composition). Reproduce the scenario:
+    // the same multi-distinct aggregate planned in a FRESH session vs
+    // a session that first burned thousands of expression ids must
+    // fingerprint identically.
+    def q(s: SparkSession): org.apache.spark.sql.DataFrame = {
+      import s.implicits._
+      Seq(("a", 1L, 2L), ("b", 3L, 4L)).toDF("k", "x", "y")
+        .groupBy("k")
+        .agg(countDistinct("x").as("nx"), countDistinct("y").as("ny"),
+          count(lit(1)).as("n"))
+    }
+    val fresh = spark.newSession()
+    val fp1 = Bench.fingerprint(q(fresh))
+    val burned = spark.newSession()
+    (1 to 40).foreach { i =>
+      import burned.implicits._
+      // each plan allocates a batch of exprIds in `burned`
+      Seq((i.toLong, i.toString)).toDF("a", "b")
+        .select((col("a") + i).as("c"), upper(col("b")).as("d"))
+        .queryExecution.executedPlan
+    }
+    val fp2 = Bench.fingerprint(q(burned))
+    assert(fp1 === fp2,
+      s"fingerprint shifted with session expression count:\n" +
+        s"${Bench.normalizedPlan(q(fresh))}\nvs\n${Bench.normalizedPlan(q(burned))}")
+  }
+
   test("sim_ivf_topk (the driver entry itself) prunes cluster partitions at rest") {
     val dir = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata") +
       "/sf0.001"
