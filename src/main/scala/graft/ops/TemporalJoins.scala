@@ -29,8 +29,11 @@ object TemporalJoins {
     * payload fields are legitimately null. Left rows win ties (a right
     * row at exactly left's timestamp is visible to it); several right
     * rows sharing (keys, ts) are ordered by their payload struct, so
-    * the pick is deterministic (largest payload for backward/nearest-
-    * backward, smallest for forward) rather than partition-order.
+    * the pick is deterministic rather than partition-order: backward
+    * and forward both take the LARGEST payload (`last()` over the
+    * ascending-payload tie run); nearest takes the largest on its
+    * backward frame and the smallest on its forward frame (`first()`).
+    * Pinned by spec with duplicate-(keys, ts) rows.
     *
     * Output: every left row + `prefix`-renamed right payload columns
     * (null where no right row qualifies — a LEFT as-of join), with

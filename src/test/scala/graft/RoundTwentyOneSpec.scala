@@ -252,6 +252,29 @@ class RoundTwentyOneSpec extends AnyFunSuite {
     assert(got === run(11))
   }
 
+  test("as-of joins pick deterministically among duplicate-(key, ts) right rows") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d")
+    val left = Seq(("k", ts(10)), ("k", ts(1))).toDF("k", "ts")
+    // two right rows at the SAME (key, ts): pre-fix the pick was
+    // partition-order; now the payload struct is the final sort key
+    val right = Seq(("k", ts(5), "lo"), ("k", ts(5), "hi")).toDF("k", "ts", "v")
+    def picks(dir: String, parts: Int): Map[java.sql.Timestamp, String] =
+      graft.ops.TemporalJoins.asOfJoin(left.repartition(parts),
+          right.repartition(parts), Seq("k"), "ts", Seq("v"), direction = dir)
+        .collect().map(r => r.getTimestamp(1) ->
+          (if (r.isNullAt(3)) null else r.getString(3))).toMap
+    // backward/forward: last() over the ascending-payload tie run =
+    // LARGEST payload ("lo" > "hi"); nearest: largest on the backward
+    // frame, smallest (first()) on the forward frame
+    assert(picks("backward", 3) === Map(ts(10) -> "lo", ts(1) -> null))
+    assert(picks("forward", 3) === Map(ts(1) -> "lo", ts(10) -> null))
+    assert(picks("nearest", 3) === Map(ts(10) -> "lo", ts(1) -> "hi"))
+    for (dir <- Seq("backward", "forward", "nearest"))
+      assert(picks(dir, 1) === picks(dir, 7), s"$dir not partition-stable")
+  }
+
   test("plan fingerprints are expression-counter invariant (distinct-rewrite lists)") {
     // the r8 leak: RewriteDistinctAggregates orders expand groups /
     // gid binding / grouping lists by expression id, so a query's
