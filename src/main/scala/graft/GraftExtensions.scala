@@ -45,6 +45,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[graft.functions.MinTokenDistance].getName,
           "graft_min_token_distance"),
         GraftExtensions.minTokenDistanceBuilder))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_snippet"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.SnippetHighlight].getName, "graft_snippet"),
+        GraftExtensions.snippetBuilder))
     // NFC is idempotent: nested graft_nfc collapses to one pass
     ext.injectOptimizerRule(_ => graft.plans.NfcIdempotence)
     // graft_hyperplane_sigs(emb, planesPerTable, tables[, planeOffset]):
@@ -78,6 +83,7 @@ object GraftExtensions {
       hyperplaneSigsBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("graft_min_token_distance",
       minTokenDistanceBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_snippet", snippetBuilder, "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(graft.plans.NfcIdempotence))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.NfcIdempotence
@@ -111,6 +117,15 @@ object GraftExtensions {
       errorClass = "USER_RAISED_EXCEPTION",
       messageParameters = Map("errorMessage" ->
         s"graft_min_token_distance takes exactly 2 arguments, got ${other.length}"))
+  }
+
+  /** Builder for `graft_snippet` (arity 2: content, highlight array). */
+  val snippetBuilder: Seq[Expression] => Expression = {
+    case Seq(c, h) => graft.functions.SnippetHighlight(c, h)
+    case other => throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "USER_RAISED_EXCEPTION",
+      messageParameters = Map("errorMessage" ->
+        s"graft_snippet takes exactly 2 arguments, got ${other.length}"))
   }
 
   /** The exact builder injected for `graft_hyperplane_sigs`, exposed so

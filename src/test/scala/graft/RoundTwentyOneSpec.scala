@@ -252,6 +252,17 @@ class RoundTwentyOneSpec extends AnyFunSuite {
     assert(got === run(11))
   }
 
+  test("graft_snippet registers through the SQL surface") {
+    GraftExtensions.install(spark)
+    val got = spark.sql(
+      "SELECT graft_snippet('alpha beta gamma', array('beta')) AS s").first()
+      .getString(0)
+    val want = graft.search.SearchEngine.highlightWrap(
+      graft.search.SearchEngine.snippetOf("alpha beta gamma", Seq("beta")),
+      Seq("beta"))
+    assert(got === want)
+  }
+
   test("as-of joins pick deterministically among duplicate-(key, ts) right rows") {
     val s = spark
     import s.implicits._
