@@ -579,10 +579,25 @@ object Similarity {
     *
     * Returns the prune list `(vec_id, cluster, kept_by, cos)` —
     * subtract it from the corpus to materialize the deduplicated set.
+    *
+    * `maxClusterSize` is the quadratic knife-edge guard (the
+    * hot-shingle-guard philosophy: degrade LOUDLY, never silently):
+    * the pair join costs Σ|cluster|², so one degenerate giant cluster
+    * — k too small for the corpus, or a pathological embedding mass —
+    * turns the method quadratic. The size check reads the node-sized
+    * assignment (one tiny aggregate) and fails with the fix (raise k
+    * or the bound) instead of launching the blowup join.
     */
   def semDedup(embeddings: DataFrame, k: Int, rounds: Int = 1,
-               minCos: Double = 0.4): DataFrame = {
+               minCos: Double = 0.4,
+               maxClusterSize: Long = 1000000L): DataFrame = {
     val (assigned, _) = kMeansExactModel(embeddings, k, rounds)
+    val biggest = assigned.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .agg(coalesce(max("n"), lit(0L))).first().getLong(0)
+    require(biggest <= maxClusterSize,
+      s"semDedup: largest cluster has $biggest members (> $maxClusterSize); " +
+        "the within-cluster pair join would be quadratic in it - raise k " +
+        "(more, smaller partitions) or maxClusterSize if the cost is intended")
     val lo = assigned.select(col("cluster"), col("vec_id").as("kept_cand"),
       col("emb").as("emb_a"))
     val hi = assigned.select(col("cluster"), col("vec_id"),

@@ -250,6 +250,12 @@ class RoundTwentyOneSpec extends AnyFunSuite {
       Seq((100L, 3L, 1.0), (123L, 23L, 1.0)), got.toString)
     // deterministic under any partitioning (exact-Lloyd + 4-dp grid)
     assert(got === run(11))
+    // the quadratic knife-edge degrades LOUDLY: a cluster bigger than
+    // the bound fails with guidance before the pair join launches
+    val e = intercept[IllegalArgumentException](
+      graft.ops.Similarity.semDedup(emb, k = 1, rounds = 0, minCos = 0.9,
+        maxClusterSize = 5))
+    assert(e.getMessage.contains("raise k"))
   }
 
   test("graft_snippet registers through the SQL surface") {
