@@ -64,15 +64,67 @@ object Bench {
   // to aggregate/expand/hash-partitioning lines so semantically
   // ordered lists (Sort keys, window orderings) keep their order —
   // plus the gid tags that bind differently per run.
+  /** Split on TOP-LEVEL commas only — list items may nest parens or
+    * brackets with their own commas (`cast(a# as bigint)`,
+    * `sum(a#, b#)`), which a bare `split(",")` would shred.
+    */
+  private[graft] def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var start = 0; var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.map(_.trim).toSeq
+  }
+
+  private def sortArgs(s: String): String =
+    splitTopLevel(s).sorted.mkString(", ")
+
+  /** Sort the argument list of every `fn(...)` call in `line`,
+    * scanning to the BALANCED close paren — a `[^()]*` regex cannot
+    * match an argument list that itself contains parens (e.g.
+    * `hashpartitioning(cast(k# as bigint), v#, 32)`), which would
+    * leave exactly the exprId-dependent orders this canonicalization
+    * exists to erase.
+    */
+  private def sortCallArgs(line: String, fn: String): String = {
+    val tag = fn + "("
+    val sb = new StringBuilder
+    var i = 0
+    while (i < line.length) {
+      val at = line.indexOf(tag, i)
+      if (at < 0) { sb.append(line.substring(i)); i = line.length }
+      else {
+        sb.append(line.substring(i, at)).append(tag)
+        var j = at + tag.length; var depth = 1
+        while (j < line.length && depth > 0) {
+          val c = line.charAt(j)
+          if (c == '(') depth += 1 else if (c == ')') depth -= 1
+          if (depth > 0) j += 1
+        }
+        if (depth == 0) {
+          sb.append(sortArgs(line.substring(at + tag.length, j))).append(')')
+          i = j + 1
+        } else { // unbalanced tail: emit as-is
+          sb.append(line.substring(at + tag.length)); i = line.length
+        }
+      }
+    }
+    sb.toString
+  }
+
   private[graft] def canonicalizeLists(line: String): String = {
     var cur = line
       .replaceAll("\\bgid#\\d* = \\d+", "gid = N")
       .replaceAll(", (\\d+)\\]", ", N]")
-    val sortArgs = (s: String) =>
-      s.split(",").map(_.trim).sorted.mkString(", ")
-    cur = "hashpartitioning\\(([^()]*)\\)".r.replaceAllIn(cur, m =>
-      java.util.regex.Matcher.quoteReplacement(
-        s"hashpartitioning(${sortArgs(m.group(1))})"))
+    cur = sortCallArgs(cur, "hashpartitioning")
     val inner = "\\[([^\\[\\]]*)\\]".r
     var changed = true
     while (changed) {
@@ -118,11 +170,15 @@ object Bench {
         else l)
       .mkString("\n")
 
+  /** md5/8 of a pre-normalized plan string. */
+  def fingerprintOf(np: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(np.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+
   /** md5/8 of [[normalizedPlan]] — suite-composition-stable. */
   def fingerprint(df: org.apache.spark.sql.DataFrame): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(normalizedPlan(df).getBytes("UTF-8"))
-      .take(4).map("%02x".format(_)).mkString
+    fingerprintOf(normalizedPlan(df))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -164,14 +220,18 @@ object Bench {
       try {
         val df = fn(spark, sfDir)
         if (!planFp.contains(name)) {
-          // fingerprint first, in its own try: an IO failure in the
-          // optional plan dump must not overwrite a computed
-          // fingerprint with "err" (it is tooling, not plan state)
-          try planFp(name) = fingerprint(df)
-          catch { case _: Throwable => planFp(name) = "err" }
-          planDumpDir.foreach { d =>
+          // normalize ONCE: the fingerprint hashes this exact string
+          // and the optional dump writes the same string (byte-
+          // identical to the fingerprint input by construction). The
+          // dump write gets its own try: an IO failure there is
+          // tooling, not plan state, and must not turn a computed
+          // fingerprint into "err".
+          val np = try Some(normalizedPlan(df))
+                   catch { case _: Throwable => None }
+          planFp(name) = np.map(fingerprintOf).getOrElse("err")
+          for (d <- planDumpDir; text <- np) {
             try java.nio.file.Files.writeString(
-              java.nio.file.Paths.get(d, s"$name.plan"), normalizedPlan(df))
+              java.nio.file.Paths.get(d, s"$name.plan"), text)
             catch { case e: Throwable =>
               System.err.println(s"[bench] plan dump $name failed: $e") }
           }

@@ -3162,7 +3162,7 @@ object SparkEntry {
         |      FROM embeddings e, q WHERE e.vec_id <> 0),
         |r AS (SELECT q_id, vec_id,
         |        row_number() OVER (PARTITION BY q_id
-        |          ORDER BY cos DESC, vec_id ASC) AS rk, cos
+        |          ORDER BY round(cos, 4) DESC, vec_id ASC) AS rk, cos
         |      FROM s)
         |SELECT q_id, vec_id, CAST(rk AS INT) AS rank, round(cos, 4) AS cosine
         |FROM r WHERE rk <= 10""".stripMargin,

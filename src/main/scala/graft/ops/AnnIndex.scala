@@ -65,7 +65,7 @@ object AnnIndex {
     spark.read.parquet(model.path)
       .filter(col("cluster").isin(probes: _*))
       .select(col("vec_id"), Similarity.cosineCol(col("embedding"), q).as("cosine"))
-      .orderBy(desc("cosine"), asc("vec_id"))
+      .orderBy(Similarity.topKCut: _*)
       .limit(topK)
   }
 
@@ -91,7 +91,7 @@ object AnnIndex {
     spark.read.parquet(path)
       .filter(bit_count(col("sig").bitwiseXOR(qSig)) <= maxBitDiff)
       .select(col("vec_id"), Similarity.cosineCol(col("embedding"), q).as("cosine"))
-      .orderBy(desc("cosine"), asc("vec_id"))
+      .orderBy(Similarity.topKCut: _*)
       .limit(topK)
   }
 

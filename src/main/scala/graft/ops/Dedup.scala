@@ -910,28 +910,57 @@ object Dedup {
     * by the codegen'd `BloomFilterMightContain` expression, so the
     * whole membership path stays inside whole-stage codegen (no
     * ScalaUDF). Build and probe hash identically (xxhash64), so the
-    * no-false-negative contract is preserved.
+    * no-false-negative contract is preserved. Requests larger than the
+    * runtime-filter session caps temporarily raise those caps so the
+    * aggregate cannot silently shrink the filter — see the inline
+    * comment.
     */
   def digestBloom(oldDigests: DataFrame, expectedItems: Long,
                   fpp: Double = 0.01): Array[Byte] = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedItems, fpp)
-    val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
-      .BloomFilterAggregate(
-        org.apache.spark.sql.GraftSqlBridge.expression(
-          xxhash64(col("digest"))),
-        Literal(expectedItems), Literal(numBits))
-      .toAggregateExpression()
-    val bin = oldDigests.filter(col("digest").isNotNull)
-      .select(org.apache.spark.sql.GraftSqlBridge.column(agg).as("bf"))
-      .head().getAs[Array[Byte]](0)
-    if (bin != null) bin
-    else { // empty at-rest corpus: a valid always-negative filter
-      val bos = new java.io.ByteArrayOutputStream()
-      org.apache.spark.util.sketch.BloomFilter
-        .create(math.max(expectedItems, 1L), fpp).writeTo(bos)
-      bos.toByteArray
+    // BloomFilterAggregate SILENTLY caps its size at the runtime-filter
+    // session confs (maxNumItems 4e6 / maxNumBits 6.7e7 by default —
+    // Math.min in the aggregate, no error; df.stat.bloomFilter
+    // delegates to the SAME aggregate in Spark 4, so it offers no
+    // escape): a billion-digest corpus would get an 8 MB filter whose
+    // fpp saturates toward 1, quietly degrading the probe pruning to
+    // "probe everything". Raise the caps to cover the request for the
+    // duration of the build, restoring them after. (Both must rise
+    // together: a capped item count with uncapped bits would mis-size
+    // the hash-function count.) The bump is session-visible while the
+    // one aggregate job runs; it only LOOSENS an upper bound on any
+    // concurrently-planned runtime filter, never tightens one.
+    val conf = oldDigests.sparkSession.conf
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (oldItems, oldBits) = (conf.get(itemsKey), conf.get(bitsKey))
+    val bumped = expectedItems > oldItems.toLong || numBits > oldBits.toLong
+    if (bumped) {
+      conf.set(itemsKey, math.max(expectedItems, oldItems.toLong).toString)
+      conf.set(bitsKey, math.max(numBits, oldBits.toLong).toString)
+    }
+    try {
+      val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(
+          org.apache.spark.sql.GraftSqlBridge.expression(
+            xxhash64(col("digest"))),
+          Literal(expectedItems), Literal(numBits))
+        .toAggregateExpression()
+      val bin = oldDigests.filter(col("digest").isNotNull)
+        .select(org.apache.spark.sql.GraftSqlBridge.column(agg).as("bf"))
+        .head().getAs[Array[Byte]](0)
+      if (bin != null) bin
+      else { // empty at-rest corpus: a valid always-negative filter
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.spark.util.sketch.BloomFilter
+          .create(math.max(expectedItems, 1L), fpp).writeTo(bos)
+        bos.toByteArray
+      }
+    } finally if (bumped) {
+      conf.set(itemsKey, oldItems)
+      conf.set(bitsKey, oldBits)
     }
   }
 

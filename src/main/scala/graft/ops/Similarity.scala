@@ -27,6 +27,21 @@ object Similarity {
   def cosineCol(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.cosine(a, b)
 
+  /** The FINAL top-k cut ordering shared by every single-query exact-
+    * cosine path (brute, int8 re-rank, LSH, IVF, PQ): descending on
+    * the 4-dp HALF_UP-rounded cosine, ties to the smaller `vec_id` —
+    * the SAME grid the SQL oracles rank on (`round(cos, 4) AS cosine
+    * ... ORDER BY cosine DESC, vec_id`). Cutting on the RAW double
+    * instead would disagree with the oracle whenever two candidates
+    * straddle the k-th slot within 5e-5 of each other (raw ordering
+    * keeps the raw-higher one, the grid keeps the smaller id).
+    * Candidate pre-cuts (ADC / quantized / bit-radius) stay raw —
+    * they are recall heuristics sized to cover the true top-k, not
+    * membership decisions.
+    */
+  private[graft] def topKCut: Seq[Column] =
+    Seq(round(col("cosine"), 4).desc, col("vec_id").asc)
+
   /** Brute-force cosine top-k against a constant query vector: one
     * codegen'd scan computing the similarity, then `orderBy.limit` which
     * Spark plans as per-partition TakeOrdered + driver merge of k rows —
@@ -36,7 +51,7 @@ object Similarity {
     val q = array(query.map(lit): _*)
     embeddings
       .select(col("vec_id"), cosineCol(col("embedding"), q).as("cosine"))
-      .orderBy(desc("cosine"), asc("vec_id"))
+      .orderBy(topKCut: _*)
       .limit(k)
   }
 
@@ -87,7 +102,7 @@ object Similarity {
     val q = array(query.map(lit): _*)
     candidates
       .select(col("vec_id"), cosineCol(col("embedding"), q).as("cosine"))
-      .orderBy(desc("cosine"), asc("vec_id"))
+      .orderBy(topKCut: _*)
       .limit(k)
   }
 
@@ -124,7 +139,7 @@ object Similarity {
       .withColumn("bit_diff", bit_count(col("sig").bitwiseXOR(qSig)))
       .filter(col("bit_diff") <= maxBitDiff)
       .select(col("vec_id"), cosineCol(col("embedding"), q).as("cosine"))
-      .orderBy(desc("cosine"), asc("vec_id"))
+      .orderBy(topKCut: _*)
       .limit(k)
   }
 
@@ -172,7 +187,12 @@ object Similarity {
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
     centroids.sortBy { case (cid, v) =>
-      (BigDecimal(-cos(v, query))
+      // a zero-norm query or centroid makes the cosine NaN (0/0);
+      // rank such degenerate pairs LAST (below the true cosine range)
+      // instead of feeding BigDecimal a NaN (NumberFormatException)
+      val c = cos(v, query)
+      val safe = if (java.lang.Double.isNaN(c)) -2.0 else c
+      (BigDecimal(-safe)
         .setScale(9, BigDecimal.RoundingMode.HALF_UP), cid)
     }.map(_._1).toSeq
   }
@@ -453,7 +473,7 @@ object Similarity {
     candidates
       .join(embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .select(col("vec_id"), cosineCol(col("embedding"), q).as("cosine"))
-      .orderBy(desc("cosine"), asc("vec_id"))
+      .orderBy(topKCut: _*)
       .limit(topK)
   }
 
@@ -532,8 +552,12 @@ object Similarity {
         col("embedding").as("__q_emb"))), Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
         cosineCol(col("embedding"), col("__q_emb")).as("cosine"))
+      // per-query final rank on the SAME 4-dp grid as the single-query
+      // cuts ([[topKCut]]) — sf0.1 has a real rank-10 tie (two vectors
+      // at rounded cosine 0.3064) where a raw-double rank disagrees
+      // with both the brute path and the rounded-ranking SQL oracle
       .withColumn("rank", row_number().over(
-        byQ.orderBy(desc("cosine"), asc("vec_id"))))
+        byQ.orderBy(round(col("cosine"), 4).desc, col("vec_id").asc)))
       .filter(col("rank") <= topK)
       .select("q_id", "vec_id", "rank", "cosine")
   }
@@ -549,7 +573,7 @@ object Similarity {
     val q = array(query.map(lit): _*)
     assigned.filter(col("cluster").isin(probes: _*))
       .select(col("vec_id"), cosineCol(col("embedding"), q).as("cosine"))
-      .orderBy(desc("cosine"), asc("vec_id"))
+      .orderBy(topKCut: _*)
       .limit(topK)
   }
 

@@ -69,11 +69,16 @@ object TemporalJoins {
     // (keys, ts) would otherwise have no defined order and last() would
     // pick nondeterministically — the struct compares field-wise
     // (tsCol first, then the payload columns), so the pick is total
-    // (identical payloads tie, but then either pick is the same row)
+    // (identical payloads tie, but then either pick is the same row).
+    // Only when the struct is ORDERABLE: a map-typed payload column
+    // would fail analysis as a sort key, so such payloads keep the
+    // (documented) partition-order pick on duplicate (keys, ts) rows
+    // instead of rejecting the join outright.
+    val tieKey = payloadTieKey(right, payloadCols)
     val ord =
       if (direction == "backward")
-        Seq(col(tsCol).asc, col("__side").asc, col("__asof").asc)
-      else Seq(col(tsCol).desc, col("__side").asc, col("__asof").asc)
+        Seq(col(tsCol).asc, col("__side").asc) ++ tieKey
+      else Seq(col(tsCol).desc, col("__side").asc) ++ tieKey
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // a left row with a NULL key or NULL ts matches nothing either
@@ -93,6 +98,22 @@ object TemporalJoins {
     }
     bounded.select(leftCols.map(col) ++
       payloadCols.map(c => col("__hit")(c).as(prefix + c)): _*)
+  }
+
+  /** The duplicate-(keys, ts) tie-break key of the as-of family: the
+    * payload struct, when every payload column's type is orderable
+    * (sortable by Catalyst). Non-orderable payloads (e.g. a MAP column)
+    * cannot be sort keys at all — for them the tie pick on duplicate
+    * right (keys, ts) rows falls back to partition order, which is the
+    * pre-existing behavior for a constraint the engine cannot express.
+    */
+  private def payloadTieKey(right: DataFrame,
+                            payloadCols: Seq[String]): Seq[Column] = {
+    val t = org.apache.spark.sql.types.StructType(payloadCols.map(c =>
+      org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
+    if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(t))
+      Seq(col("__asof").asc)
+    else Seq.empty
   }
 
   /** Shared tag-and-union scaffold of the as-of family: left rows carry
@@ -141,9 +162,11 @@ object TemporalJoins {
     // the trailing payload-struct key makes the order total when right
     // rows share (keys, ts) — same determinism rule as the
     // backward/forward path (last() takes the largest payload, first()
-    // the smallest; both are fixed picks instead of partition-order)
+    // the smallest; both are fixed picks instead of partition-order);
+    // omitted for non-orderable payload types (see payloadTieKey)
     val base = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__side").asc, col("__asof").asc)
+      .orderBy(Seq(col(tsCol).asc, col("__side").asc) ++
+        payloadTieKey(right, payloadCols): _*)
     val wBack = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wFwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val leftNullable = (keys :+ tsCol).map(col(_).isNull).reduce(_ || _)

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Similarity, TemporalJoins}
+
+/** Round-22 surface: edge fixes from review — Bloom sizing past the
+  * runtime-filter conf caps, the shared 4-dp grid on every ANN final
+  * cut, NaN-safe IVF probe ranking, orderable-payload detection in the
+  * as-of tie key, and balanced-paren plan canonicalization.
+  */
+class RoundTwentyTwoSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("digestBloom keeps its requested size past the runtime-filter caps") {
+    val s = spark
+    import s.implicits._
+    val digests = (1 to 500).map(i => s"doc-$i").toDF("digest")
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (oldItems, oldBits) = (s.conf.get(itemsKey), s.conf.get(bitsKey))
+    try {
+      // shrink the session caps far below the request: the native
+      // aggregate would SILENTLY build a 64-bit filter (Math.min
+      // against the conf) whose fpp saturates — the fallback must
+      // honor the requested sizing instead
+      s.conf.set(itemsKey, "100")
+      s.conf.set(bitsKey, "64")
+      val bin = Dedup.digestBloom(digests, expectedItems = 10000, fpp = 0.01)
+      val bf = org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(bin))
+      assert(bf.bitSize() > 64,
+        s"filter was capped to ${bf.bitSize()} bits — conf cap leaked in")
+      // no false negatives: every inserted digest is bloom-positive
+      // through the same codegen'd probe the batch path plans
+      val neg = digests
+        .filter(!Dedup.bloomMightContain(bin, col("digest"))).count()
+      assert(neg === 0L, s"$neg false negatives")
+      // and the filter actually prunes: disjoint probes mostly miss
+      val misses = (1 to 500).map(i => s"other-$i").toDF("digest")
+        .filter(!Dedup.bloomMightContain(bin, col("digest"))).count()
+      assert(misses > 450L, s"only $misses of 500 disjoint probes pruned")
+    } finally {
+      s.conf.set(itemsKey, oldItems)
+      s.conf.set(bitsKey, oldBits)
+    }
+  }
+
+  test("ANN final cut decides 4-dp ties on the oracle grid (smaller vec_id)") {
+    val s = spark
+    import s.implicits._
+    // ids 2 and 3 straddle the k-th slot within 5e-5: raw cosines
+    // 0.249996 (id 2) < 0.250004 (id 3), both 0.2500 on the 4-dp grid.
+    // The SQL oracles rank `round(cos, 4) DESC, vec_id ASC`, keeping
+    // id 2 — a raw-double cut would keep id 3 and hash-mismatch.
+    def unit(c: Double): Array[Float] =
+      Array(c.toFloat, math.sqrt(1.0 - c * c).toFloat, 0.0f)
+    val emb = Seq(
+      (1L, unit(0.9)),
+      (2L, unit(0.249996)),
+      (3L, unit(0.250004))).toDF("vec_id", "embedding")
+    val q = Seq(1.0, 0.0, 0.0)
+    val brute = Similarity.bruteForceTopK(emb, q, 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(brute === Seq(1L, 2L), s"brute cut off-grid: $brute")
+    // same grid through the IVF path (k=1: single cluster, all probed)
+    val ivf = Similarity.ivfTopK(emb, q, 2, k = 1, nProbe = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ivf === Seq(1L, 2L), s"ivf cut off-grid: $ivf")
+  }
+
+  test("probeOrder ranks degenerate (NaN-cosine) pairs last, no crash") {
+    val cents = Array(
+      (10L, Array(0.0, 0.0)), // zero centroid: cosine NaN vs any query
+      (11L, Array(1.0, 0.0)),
+      (12L, Array(0.0, 1.0)))
+    val order = Similarity.probeOrder(cents, Seq(1.0, 0.0))
+    assert(order.head === 11L && order.last === 10L, order.toString)
+    // zero-norm QUERY: every cosine NaN — deterministic id order, no
+    // NumberFormatException from BigDecimal(NaN)
+    val allNaN = Similarity.probeOrder(cents, Seq(0.0, 0.0))
+    assert(allNaN === Seq(10L, 11L, 12L), allNaN.toString)
+  }
+
+  test("as-of joins accept a non-orderable (map) payload column") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, 100L), (1L, 200L)).toDF("k", "sec")
+      .select(col("k"), col("sec"), timestamp_seconds(col("sec")).as("ts"))
+    val r = Seq((1L, 50L, "x"), (1L, 150L, "y")).toDF("k", "sec", "v")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"),
+        map(lit("tag"), col("v")).as("attrs"))
+    // a MAP payload cannot be a sort key: the join must still run
+    // (tie pick on duplicate (k, ts) right rows is partition-order
+    // for such payloads — the documented fallback), not fail analysis
+    val want = Map(
+      // left 100: back=50s("x"), fwd=150s("y") — nearest ties to back
+      "backward" -> Map(100L -> "x", 200L -> "y"),
+      "forward" -> Map(100L -> "y", 200L -> null),
+      "nearest" -> Map(100L -> "x", 200L -> "y"))
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val got = TemporalJoins.asOfJoin(l, r, Seq("k"), "ts", Seq("attrs"),
+          direction = dir)
+        .select(col("sec"), col("asof_attrs")("tag").as("tag"))
+        .collect().map(x => (x.getLong(0), x.getString(1))).toMap
+      assert(got === want(dir), s"$dir: $got")
+    }
+  }
+
+  test("plan canonicalization survives parens inside hashpartitioning args") {
+    val a = "Exchange hashpartitioning(cast(k# as bigint), " +
+      "knownfloatingpointnormalized(v#), 32), ENSURE_REQUIREMENTS"
+    val b = "Exchange hashpartitioning(knownfloatingpointnormalized(v#), " +
+      "cast(k# as bigint), 32), ENSURE_REQUIREMENTS"
+    assert(Bench.canonicalizeLists(a) === Bench.canonicalizeLists(b))
+    // content is preserved, only order is canonical
+    assert(Bench.canonicalizeLists(a).contains("cast(k# as bigint)"))
+    // bracket lists with comma-bearing calls stay intact item-wise
+    val c = "HashAggregate(keys=[b#, a#], functions=[sum(if((gid = N)) x# else null)])"
+    val d = "HashAggregate(keys=[a#, b#], functions=[sum(if((gid = N)) x# else null)])"
+    assert(Bench.canonicalizeLists(c) === Bench.canonicalizeLists(d))
+    assert(Bench.canonicalizeLists(c)
+      .contains("sum(if((gid = N)) x# else null)"))
+    // top-level split respects nesting depth
+    assert(Bench.splitTopLevel("cast(k# as bigint), f(a#, b#), 32") ===
+      Seq("cast(k# as bigint)", "f(a#, b#)", "32"))
+  }
+}

@@ -930,7 +930,7 @@ object Scratch {
           }
           val sb = new StringBuilder
           sb.append("package graft\n\n")
-          sb.append("/** GENERATED by `runMain graft.Scratch <sfDir> genpins` — do not edit.\n")
+          sb.append("/** GENERATED by `Test/runMain graft.Scratch <sfDir> genpins` — do not edit.\n")
           sb.append("  *\n")
           sb.append("  * Corpus-pinned expected outputs (driver correctness corpus, sf0.01)\n")
           sb.append("  * for operators whose values are deterministic but engine-specific\n")
