@@ -73,8 +73,12 @@ object Bench {
     var depth = 0; var start = 0; var i = 0
     while (i < s.length) {
       s.charAt(i) match {
-        case '(' | '[' => depth += 1
-        case ')' | ']' => depth -= 1
+        // ⟦/⟧ are canonicalizeLists' already-sorted-bracket markers:
+        // they nest like brackets, so an outer pass over
+        // "⟦a#, null⟧, ⟦b#, null⟧" must split at the top-level comma
+        // only, not inside the rewritten inner lists
+        case '(' | '[' | '⟦' => depth += 1
+        case ')' | ']' | '⟧' => depth -= 1
         case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
         case _ =>
       }

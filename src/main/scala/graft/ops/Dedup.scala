@@ -941,7 +941,7 @@ object Dedup {
       conf.set(itemsKey, math.max(expectedItems, oldItems.toLong).toString)
       conf.set(bitsKey, math.max(numBits, oldBits.toLong).toString)
     }
-    try {
+    val out = try {
       val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
         .BloomFilterAggregate(
           org.apache.spark.sql.GraftSqlBridge.expression(
@@ -962,6 +962,21 @@ object Dedup {
       conf.set(itemsKey, oldItems)
       conf.set(bitsKey, oldBits)
     }
+    // degrade LOUDLY, never silently: verify the BUILT filter kept the
+    // requested size (the sketch rounds bits UP to a word multiple, so
+    // < numBits can only mean the aggregate capped it — e.g. a
+    // concurrent digestBloom's finally-restore re-capping the confs
+    // between this call's set and its job submission, or a future
+    // Spark hardening the caps). A shrunken filter has saturated fpp
+    // and would quietly un-prune every probe.
+    val builtBits = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(out)).bitSize()
+    require(builtBits >= numBits,
+      s"digestBloom: built filter has $builtBits bits < requested " +
+        s"$numBits (the session runtime-filter caps shrank it — " +
+        "serialize digestBloom calls on this session, or raise " +
+        s"$bitsKey/$itemsKey before calling)")
+    out
   }
 
   /** Codegen'd membership probe against a [[digestBloom]] artifact:

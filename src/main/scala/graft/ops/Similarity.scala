@@ -37,7 +37,11 @@ object Similarity {
     * keeps the raw-higher one, the grid keeps the smaller id).
     * Candidate pre-cuts (ADC / quantized / bit-radius) stay raw —
     * they are recall heuristics sized to cover the true top-k, not
-    * membership decisions.
+    * membership decisions. NOTE the grid slightly strengthens what
+    * "cover" means: a pre-cut must also retain candidates that tie
+    * with the raw #k at 4 dp (they can win the slot by id). The
+    * margins here are far wider than 5e-5 of cosine, and the oracle
+    * gate re-verifies coverage on every corpus change.
     */
   private[graft] def topKCut: Seq[Column] =
     Seq(round(col("cosine"), 4).desc, col("vec_id").asc)
@@ -556,8 +560,7 @@ object Similarity {
       // cuts ([[topKCut]]) — sf0.1 has a real rank-10 tie (two vectors
       // at rounded cosine 0.3064) where a raw-double rank disagrees
       // with both the brute path and the rounded-ranking SQL oracle
-      .withColumn("rank", row_number().over(
-        byQ.orderBy(round(col("cosine"), 4).desc, col("vec_id").asc)))
+      .withColumn("rank", row_number().over(byQ.orderBy(topKCut: _*)))
       .filter(col("rank") <= topK)
       .select("q_id", "vec_id", "rank", "cosine")
   }

@@ -108,13 +108,20 @@ object TemporalJoins {
     * pre-existing behavior for a constraint the engine cannot express.
     */
   private def payloadTieKey(right: DataFrame,
-                            payloadCols: Seq[String]): Seq[Column] = {
-    val t = org.apache.spark.sql.types.StructType(payloadCols.map(c =>
-      org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
-    if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(t))
+                            payloadCols: Seq[String]): Seq[Column] =
+    if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(
+        payloadStructType(right, payloadCols)))
       Seq(col("__asof").asc)
     else Seq.empty
-  }
+
+  /** The `__asof` payload struct's type — single definition shared by
+    * the orderability check and tagAndUnion's null-struct cast, so the
+    * two can never drift apart.
+    */
+  private def payloadStructType(right: DataFrame, payloadCols: Seq[String])
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(payloadCols.map(c =>
+      org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
 
   /** Shared tag-and-union scaffold of the as-of family: left rows carry
     * `__side = 1` and a null payload struct; right rows (NULL keys/ts
@@ -128,9 +135,8 @@ object TemporalJoins {
     val leftCols = left.columns.toSeq
     val lTagged = left
       .withColumn("__side", lit(1))
-      .withColumn("__asof", lit(null).cast(
-        org.apache.spark.sql.types.StructType(payloadCols.map(c =>
-          org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))))
+      .withColumn("__asof",
+        lit(null).cast(payloadStructType(right, payloadCols)))
     val rTagged = right
       .filter((keys :+ tsCol).map(col(_).isNotNull).reduce(_ && _))
       .select(keys.map(col) :+ col(tsCol) :+

@@ -133,5 +133,14 @@ class RoundTwentyTwoSpec extends AnyFunSuite {
     // top-level split respects nesting depth
     assert(Bench.splitTopLevel("cast(k# as bigint), f(a#, b#), 32") ===
       Seq("cast(k# as bigint)", "f(a#, b#)", "32"))
+    // NESTED bracket lists (Expand's group-of-lists): the outer pass
+    // must treat each already-canonicalized inner list as one item,
+    // not shred it at its commas
+    val e1 = "Expand [[a#, null, N], [null, b#, N]], [a#, b#, gid#]"
+    val e2 = "Expand [[null, b#, N], [a#, null, N]], [b#, a#, gid#]"
+    assert(Bench.canonicalizeLists(e1) === Bench.canonicalizeLists(e2))
+    // inner lists survive intact (items sorted: "N" < "a#" < "null")
+    assert(Bench.canonicalizeLists(e1).contains("[N, a#, null]"),
+      Bench.canonicalizeLists(e1))
   }
 }
