@@ -142,5 +142,17 @@ class RoundTwentyTwoSpec extends AnyFunSuite {
     // inner lists survive intact (items sorted: "N" < "a#" < "null")
     assert(Bench.canonicalizeLists(e1).contains("[N, a#, null]"),
       Bench.canonicalizeLists(e1))
+    // Expand's POSITIONAL gid binding (which distinct column lands in
+    // group 1 vs 2 is exprId-order = run identity — observed flipping
+    // q_quality_audit's fingerprint between identical-HEAD runs):
+    // erasing the leading gid literal makes the two bindings
+    // canonicalize identically
+    val g1 = "Expand [[0, x#, null, null, a#L, b#L], " +
+      "[1, null, null, null, a#L], [2, null, null, null, b#L]], " +
+      "[x#, gid#, a#L, b#L]"
+    val g2 = "Expand [[0, x#, null, null, a#L, b#L], " +
+      "[1, null, null, null, b#L], [2, null, null, null, a#L]], " +
+      "[x#, gid#, a#L, b#L]"
+    assert(Bench.canonicalizeLists(g1) === Bench.canonicalizeLists(g2))
   }
 }

@@ -990,6 +990,14 @@ object Scratch {
         } else if (n.startsWith("explain:")) {
           val q = n.stripPrefix("explain:")
           SparkEntry.queries(q)(spark, sfDir).explain("formatted")
+        } else if (n.startsWith("plan:")) {
+          // the EXACT fingerprint input (Bench.normalizedPlan) — dump
+          // from two runs/compositions and `diff` to root-cause a
+          // fingerprint flip without a full bench pass
+          val q = n.stripPrefix("plan:")
+          val df = SparkEntry.queries(q)(spark, sfDir)
+          println(s"FP=${Bench.fingerprint(df)}")
+          println(Bench.normalizedPlan(df))
         } else if (n.startsWith("search:")) {
           val docs = search.Indexer.documents(spark, sfDir)
           val idx = search.Indexer.postings(docs)
