@@ -540,6 +540,21 @@ object SparkEntry {
   private def annTmp(): String =
     java.nio.file.Files.createTempDirectory("graft-ann-").toString
 
+  private val orcCache = new SessionCache[String]
+
+  /** Documents written ORC once per (session, sf dir) — the at-rest
+    * artifact behind `orc_roundtrip`. Lives under a `graft-ann-` temp
+    * dir so the path normalizes out of plan fingerprints like every
+    * other session artifact.
+    */
+  private def orcStore(s: SparkSession, dir: String): String =
+    orcCache.getOrElseUpdate(s, dir, {
+      val p = s"${annTmp()}/docs_orc"
+      t(s, dir, "documents").select("doc_id", "lang", "text")
+        .write.mode("overwrite").orc(p)
+      p
+    })
+
   private def lshIndex(s: SparkSession, dir: String): String =
     lshCache.getOrElseUpdate(s, dir, {
       val p = s"${annTmp()}/lsh"
@@ -859,6 +874,15 @@ object SparkEntry {
     "csv_roundtrip" -> ((s, dir) =>
       graft.sources.DelimitedScan.parseCsvLines(
         graft.sources.DelimitedScan.toCsvLines(t(s, dir, "documents")))),
+    // ORC round trip AT REST: documents written columnar-ORC once per
+    // session, then a pruned+filtered read back — the second built-in
+    // columnar at-rest format next to Parquet (same writer/reader API
+    // at 100 TB; predicate pushdown + column pruning on the ORC scan
+    // are plan-asserted in RoundTwentyTwoSpec)
+    "orc_roundtrip" -> ((s, dir) =>
+      s.read.orc(orcStore(s, dir))
+        .filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id"), md5(col("text")).as("digest"))),
 
     // ---- corpus_type split + title-as-first-line (reference parity) ----
     // ctype "text": cleaned string (entities decoded); ctype "html":
@@ -2627,6 +2651,10 @@ object SparkEntry {
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "csv_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "orc_roundtrip" ->
+      // identity through the ORC write/read: the digest of what comes
+      // back must equal the digest of what went in
+      "SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 7 = 0",
     "corpus_split_text" ->
       ("SELECT doc_id, 'doc-' || CAST(doc_id AS VARCHAR) || chr(10) || " +
         "replace(replace(text, '&#60;', '<'), '&#62;', '>') AS content FROM documents"),

@@ -343,6 +343,54 @@ object Multimodal {
       sum(length(col("payload"))).as("total_bytes"),
       avg(length(col("payload"))).as("avg_bytes"))
 
+  /** Classify a payload's media kind from its MAGIC BYTES — container
+    * truth, never the file extension (a 100 TB crawl corpus lies about
+    * extensions constantly). Covers exactly the containers the codecs
+    * above understand: PNG/JPEG/GIF/BMP → image, RIFF-WAVE / FORM-AIFF
+    * / Sun .snd → audio, RIFF-AVI → video; anything else → "binary"
+    * (travels through the pipeline on the stub path, never throws).
+    */
+  def classifyPayload(b: Array[Byte]): String = {
+    @inline def at(i: Int, c: Char) = b(i) == c.toByte
+    if (b.length >= 12 && at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F'))
+      (if (at(8, 'A') && at(9, 'V') && at(10, 'I')) "video"
+       else if (at(8, 'W') && at(9, 'A') && at(10, 'V') && at(11, 'E')) "audio"
+       else "binary")
+    else if (b.length >= 12 && at(0, 'F') && at(1, 'O') && at(2, 'R') &&
+      at(3, 'M') && at(8, 'A') && at(9, 'I') && at(10, 'F')) "audio" // AIFF/AIFC
+    else if (b.length >= 4 && at(0, '.') && at(1, 's') && at(2, 'n') &&
+      at(3, 'd')) "audio" // Sun/NeXT AU
+    else if (b.length >= 8 && (b(0) & 0xff) == 0x89 && at(1, 'P') &&
+      at(2, 'N') && at(3, 'G')) "image"
+    else if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff) "image" // JPEG SOI
+    else if (b.length >= 6 && at(0, 'G') && at(1, 'I') && at(2, 'F') &&
+      at(3, '8')) "image"
+    else if (b.length >= 2 && at(0, 'B') && at(1, 'M')) "image"
+    else "binary"
+  }
+
+  /** Ingest a raw media corpus laid out as FILES — the shape a 100 TB
+    * crawl actually lands in — through Spark's built-in `binaryFile`
+    * source into the [[MediaRecord]] table. One row per file, content
+    * read on executors (files parallelize across tasks;
+    * `spark.sql.files.maxPartitionBytes` batches small files per task).
+    * `kind` comes from [[classifyPayload]] magic bytes; `media_id` is
+    * the xxhash64 of the file path — stable across re-ingests, no
+    * driver-side id assignment. Dimension/rate metadata is left 0 at
+    * ingest (the decode stages probe the container when they need it);
+    * [[extractFeatures]]/[[mediaStats]] run unchanged on the result.
+    */
+  def ingestBinaryFiles(spark: SparkSession, glob: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(glob)
+      .select(xxhash64(col("path")).as("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        MediaRecord(id, classifyPayload(bytes), bytes, 0, 0, 0, 0)
+      }
+  }
+
   /** Synthesize a deterministic media table from the documents corpus —
     * the test/bench stand-in for a real binary source: payload bytes are
     * the document text, kind round-robins by doc_id.

@@ -116,6 +116,64 @@ class RoundTwentyTwoSpec extends AnyFunSuite {
     }
   }
 
+  test("ORC at-rest round trip pushes filters and prunes columns") {
+    val s = spark
+    import s.implicits._
+    val p = java.nio.file.Files.createTempDirectory("graft-orc-").toString
+    Seq((1L, "en", "alpha"), (7L, "de", "beta"), (14L, "en", "gamma"))
+      .toDF("doc_id", "lang", "text").write.mode("overwrite").orc(p)
+    val back = s.read.orc(p)
+      .filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+    val got = back.collect().map(_.getLong(0)).toSet
+    assert(got === Set(7L, 14L))
+    // the scan must carry the pushed residual (isnotnull at minimum)
+    // and read ONLY the two referenced columns — lang never leaves disk
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id)]"), plan)
+    assert(plan.contains("struct<doc_id:bigint,text:string>"), plan)
+  }
+
+  test("binaryFile ingest classifies real containers by magic bytes") {
+    import graft.ops.Multimodal
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-media-")
+    // real PNG (JDK encoder)
+    val img = new java.awt.image.BufferedImage(4, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(1, 1, 0xff8800)
+    val pngOut = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", pngOut)
+    java.nio.file.Files.write(dir.resolve("a.png"), pngOut.toByteArray)
+    // real 8 kHz 16-bit mono WAV (JDK encoder) — extension lies (.dat)
+    val pcm = Array.tabulate[Byte](1600)(i => (i % 64).toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, pcm.length / 2)
+    val wavOut = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wavOut)
+    java.nio.file.Files.write(dir.resolve("b.dat"), wavOut.toByteArray)
+    // real MJPEG-AVI container (the codec's own writer)
+    java.nio.file.Files.write(dir.resolve("c.avi"),
+      Multimodal.AviContainer.write(
+        Seq(Array.tabulate[Byte](9)(_.toByte)), 16, 16))
+    // junk bytes
+    java.nio.file.Files.write(dir.resolve("d.bin"),
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))
+    val media = Multimodal.ingestBinaryFiles(s, dir.toString + "/*")
+    val kinds = media.collect().map(m =>
+      (m.payload.length, m.kind)).toMap // payload len distinguishes files
+    assert(media.count() === 4)
+    assert(kinds.values.toSet === Set("image", "audio", "video", "binary"))
+    // the ingested table drives the REAL codecs end-to-end: the WAV's
+    // feature vector carries its true sample rate in slot 0
+    implicit val sp: SparkSession = s
+    val feats = Multimodal.extractFeatures(media, 2, 2).collect()
+    val audioFeat = feats.find(_.kind == "audio").get.feature
+    assert(audioFeat(0) === 8000f, audioFeat.toSeq.toString)
+  }
+
   test("plan canonicalization survives parens inside hashpartitioning args") {
     val a = "Exchange hashpartitioning(cast(k# as bigint), " +
       "knownfloatingpointnormalized(v#), 32), ENSURE_REQUIREMENTS"
