@@ -129,14 +129,15 @@ object Bench {
       .replaceAll("\\bgid#\\d* = \\d+", "gid = N")
       .replaceAll(", (\\d+)\\]", ", N]")
     // Expand binds gid VALUES to its projection groups POSITIONALLY
-    // ([[0, ...], [1, ...o_custkey], [2, ...o_orderkey]]), and which
-    // distinct-column group gets gid 1 vs 2 is exprId-order — i.e.
-    // run identity (observed flipping q_quality_audit's fingerprint
-    // between identical-HEAD bench runs). Erase the leading gid
-    // literal so the groups sort purely by content; the conditions
-    // referencing the gid are already normalized to `gid = N` above.
-    if (cur.contains("Expand"))
-      cur = cur.replaceAll("\\[(\\d+), ", "[G, ")
+    // (raw: [[null, null, 0, ...], [null, null, 1, ..., o_custkey]]),
+    // and which distinct-column group gets gid 1 vs 2 is exprId-order
+    // — i.e. run identity (observed flipping q_quality_audit's
+    // fingerprint between identical-HEAD bench runs). The literal's
+    // POSITION inside the group is exprId-order too, so the erasure is
+    // structural, not a leading-anchor regex: when sorting an Expand
+    // line's bracket lists below, every pure-integer item becomes "G".
+    // The gid-comparison conditions are already `gid = N` from above.
+    val gidNeutral = cur.contains("Expand")
     cur = sortCallArgs(cur, "hashpartitioning")
     val inner = "\\[([^\\[\\]]*)\\]".r
     var changed = true
@@ -144,8 +145,13 @@ object Bench {
       changed = false
       cur = inner.replaceAllIn(cur, m => {
         changed = true
+        val items = splitTopLevel(m.group(1))
+        val neutral =
+          if (gidNeutral)
+            items.map(i => if (i.nonEmpty && i.forall(_.isDigit)) "G" else i)
+          else items
         java.util.regex.Matcher.quoteReplacement(
-          "⟦" + sortArgs(m.group(1)) + "⟧")
+          "⟦" + neutral.sorted.mkString(", ") + "⟧")
       })
     }
     cur.replace('⟦', '[').replace('⟧', ']')
@@ -308,6 +314,18 @@ object Bench {
     val soloN = sys.env.getOrElse("SPARK_GRAFT_BENCH_SOLO", "10").toInt
     val soloTargets = results.sortBy(-_._2).take(soloN).map(_._1)
     val solo = soloTargets.map { name =>
+      // Clean slate BEFORE the target, not after: with cleanup
+      // trailing each target, a solo run measured the suite's + prior
+      // targets' accumulated storage/GC debris — observed as a ~10×
+      // inverted solo (warm 14–30 s vs first-run 2 s, different query
+      // each run: q_topk_incremental once, text_repetition once)
+      // while standalone warm re-measurement showed 2–5 s. The
+      // explicit System.gc() compacts the heap so a 48g full-GC storm
+      // does not land inside the timed loop.
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
       val fn = SparkEntry.queries(name)
       val fresh = spark.newSession()
       def one(): Double = {
@@ -319,9 +337,6 @@ object Bench {
       }
       val first = one()
       val warm = (1 to runs).map(_ => one())
-      fresh.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.valuesIterator
-        .foreach(_.unpersist(blocking = false))
       name -> (first, median(warm))
     }.toMap
     // detail per query: median (the headline number), min/max (the

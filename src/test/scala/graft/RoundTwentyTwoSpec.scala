@@ -202,15 +202,50 @@ class RoundTwentyTwoSpec extends AnyFunSuite {
       Bench.canonicalizeLists(e1))
     // Expand's POSITIONAL gid binding (which distinct column lands in
     // group 1 vs 2 is exprId-order = run identity — observed flipping
-    // q_quality_audit's fingerprint between identical-HEAD runs):
-    // erasing the leading gid literal makes the two bindings
-    // canonicalize identically
-    val g1 = "Expand [[0, x#, null, null, a#L, b#L], " +
-      "[1, null, null, null, a#L], [2, null, null, null, b#L]], " +
+    // q_quality_audit's fingerprint between identical-HEAD runs). The
+    // gid literal's POSITION inside each group is exprId-order as
+    // well (raw plans emit it mid-list: [null, null, 1, ..., a#L]),
+    // so the erasure must be item-structural, not a leading anchor —
+    // the two bindings below canonicalize identically
+    val g1 = "Expand [[null, x#, 0, null, a#L, b#L], " +
+      "[null, null, 1, null, a#L], [null, null, 2, null, b#L]], " +
       "[x#, gid#, a#L, b#L]"
-    val g2 = "Expand [[0, x#, null, null, a#L, b#L], " +
-      "[1, null, null, null, b#L], [2, null, null, null, a#L]], " +
+    val g2 = "Expand [[null, x#, 0, null, a#L, b#L], " +
+      "[null, null, 1, null, b#L], [null, null, 2, null, a#L]], " +
       "[x#, gid#, a#L, b#L]"
     assert(Bench.canonicalizeLists(g1) === Bench.canonicalizeLists(g2))
+    assert(!Bench.canonicalizeLists(g1).matches(".*[\\[, ]\\d+[,\\]].*"),
+      Bench.canonicalizeLists(g1))
+  }
+
+  test("q_quality_audit's Expand plan normalizes gid-neutral") {
+    val s = spark
+    val df = SparkEntry.queries("q_quality_audit")(s, "/root/testdata/sf0.001")
+    val np = Bench.normalizedPlan(df)
+    val expandLines = np.linesIterator.filter(_.contains("Expand")).toSeq
+    assert(expandLines.nonEmpty, np.take(400))
+    // no bare integer item may survive in any bracket list of an
+    // Expand line — a left-over gid literal is run identity and
+    // flipped this query's fingerprint between identical-HEAD runs
+    expandLines.foreach { l =>
+      assert(!l.replaceAll("\\(.*?\\)", "").matches(".*[\\[, ]\\d+[,\\]].*"), l)
+      assert(l.contains("G"), l)
+    }
+    // and the fingerprint is invariant to session expression count —
+    // the burn shifts every exprId, which is what reorders the raw
+    // gid binding between runs
+    val fresh = s.newSession()
+    val fp1 = Bench.fingerprint(
+      SparkEntry.queries("q_quality_audit")(fresh, "/root/testdata/sf0.001"))
+    val burned = s.newSession()
+    (1 to 40).foreach { i =>
+      import burned.implicits._
+      Seq((i.toLong, i.toString)).toDF("a", "b")
+        .select((col("a") + i).as("c"), upper(col("b")).as("d"))
+        .queryExecution.executedPlan
+    }
+    val fp2 = Bench.fingerprint(
+      SparkEntry.queries("q_quality_audit")(burned, "/root/testdata/sf0.001"))
+    assert(fp1 === fp2, "q_quality_audit fingerprint shifted with exprId count")
   }
 }
