@@ -135,8 +135,15 @@ object Bench {
     // fingerprint between identical-HEAD bench runs). The literal's
     // POSITION inside the group is exprId-order too, so the erasure is
     // structural, not a leading-anchor regex: when sorting an Expand
-    // line's bracket lists below, every pure-integer item becomes "G".
-    // The gid-comparison conditions are already `gid = N` from above.
+    // line's bracket lists below, every pure-integer item becomes "G"
+    // — including items the `, N]` rule above already rewrote (a
+    // list-FINAL gid becomes "N" there; leaving it would re-split the
+    // fingerprint by gid position, N vs G). The deliberate cost: a
+    // GENUINE literal-constant change projected through an Expand
+    // does not flip the fingerprint — stability against run identity
+    // is worth more here than literal sensitivity, and the timing
+    // bands still catch behavior changes. The gid-comparison
+    // conditions are already `gid = N` from above.
     val gidNeutral = cur.contains("Expand")
     cur = sortCallArgs(cur, "hashpartitioning")
     val inner = "\\[([^\\[\\]]*)\\]".r
@@ -148,7 +155,8 @@ object Bench {
         val items = splitTopLevel(m.group(1))
         val neutral =
           if (gidNeutral)
-            items.map(i => if (i.nonEmpty && i.forall(_.isDigit)) "G" else i)
+            items.map(i =>
+              if (i == "N" || (i.nonEmpty && i.forall(_.isDigit))) "G" else i)
           else items
         java.util.regex.Matcher.quoteReplacement(
           "⟦" + neutral.sorted.mkString(", ") + "⟧")

@@ -24,7 +24,8 @@ object Multimodal {
   /** One media asset: payload + typed metadata. */
   final case class MediaRecord(
       media_id: Long,
-      kind: String, // "image" | "audio" | "video"
+      kind: String, // "image" | "audio" | "video" | "binary" (unknown
+      // container, from [[classifyPayload]] — rides the stub path)
       payload: Array[Byte],
       width: Int,
       height: Int,
@@ -366,7 +367,10 @@ object Multimodal {
       (b(2) & 0xff) == 0xff) "image" // JPEG SOI
     else if (b.length >= 6 && at(0, 'G') && at(1, 'I') && at(2, 'F') &&
       at(3, '8')) "image"
-    else if (b.length >= 2 && at(0, 'B') && at(1, 'M')) "image"
+    else if (b.length >= 14 && at(0, 'B') && at(1, 'M') &&
+      b(6) == 0 && b(7) == 0 && b(8) == 0 && b(9) == 0) "image" // BMP:
+    // 'BM' alone collides with text ("BM25..."); the four reserved
+    // bytes at offsets 6-9 are zero in any real BMP
     else "binary"
   }
 

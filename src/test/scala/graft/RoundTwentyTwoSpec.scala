@@ -118,17 +118,14 @@ class RoundTwentyTwoSpec extends AnyFunSuite {
 
   test("ORC at-rest round trip pushes filters and prunes columns") {
     val s = spark
-    import s.implicits._
-    val p = java.nio.file.Files.createTempDirectory("graft-orc-").toString
-    Seq((1L, "en", "alpha"), (7L, "de", "beta"), (14L, "en", "gamma"))
-      .toDF("doc_id", "lang", "text").write.mode("overwrite").orc(p)
-    val back = s.read.orc(p)
-      .filter(pmod(col("doc_id"), lit(7)) === 0)
-      .select(col("doc_id"), md5(col("text")).as("digest"))
-    val got = back.collect().map(_.getLong(0)).toSet
-    assert(got === Set(7L, 14L))
-    // the scan must carry the pushed residual (isnotnull at minimum)
-    // and read ONLY the two referenced columns — lang never leaves disk
+    // drive the REGISTERED entry, not a copy — the plan assertions
+    // must fail if the entry itself ever drifts (added column, a
+    // cache() blocking pushdown, ...)
+    val back = SparkEntry.queries("orc_roundtrip")(s, "/root/testdata/sf0.001")
+    assert(back.count() > 0)
+    // the ORC scan must carry the pushed residual (isnotnull at
+    // minimum) and read ONLY the two referenced columns of the
+    // 3-column at-rest table — lang never leaves disk
     val plan = back.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(doc_id)]"), plan)
     assert(plan.contains("struct<doc_id:bigint,text:string>"), plan)
@@ -197,8 +194,9 @@ class RoundTwentyTwoSpec extends AnyFunSuite {
     val e1 = "Expand [[a#, null, N], [null, b#, N]], [a#, b#, gid#]"
     val e2 = "Expand [[null, b#, N], [a#, null, N]], [b#, a#, gid#]"
     assert(Bench.canonicalizeLists(e1) === Bench.canonicalizeLists(e2))
-    // inner lists survive intact (items sorted: "N" < "a#" < "null")
-    assert(Bench.canonicalizeLists(e1).contains("[N, a#, null]"),
+    // inner lists survive intact (items sorted; the N placeholder maps
+    // to G on Expand lines — see the gid-neutralization cases below)
+    assert(Bench.canonicalizeLists(e1).contains("[G, a#, null]"),
       Bench.canonicalizeLists(e1))
     // Expand's POSITIONAL gid binding (which distinct column lands in
     // group 1 vs 2 is exprId-order = run identity — observed flipping
@@ -216,6 +214,12 @@ class RoundTwentyTwoSpec extends AnyFunSuite {
     assert(Bench.canonicalizeLists(g1) === Bench.canonicalizeLists(g2))
     assert(!Bench.canonicalizeLists(g1).matches(".*[\\[, ]\\d+[,\\]].*"),
       Bench.canonicalizeLists(g1))
+    // a list-FINAL gid goes through the earlier `, N]` rewrite instead
+    // of the digit map — both positions must land on the same "G"
+    // (N vs G would re-split the fingerprint by gid position)
+    val h1 = "Expand [[a#L, null, 1], [b#L, null, 2]], [gid#, a#L, b#L]"
+    val h2 = "Expand [[a#L, 1, null], [b#L, 2, null]], [gid#, a#L, b#L]"
+    assert(Bench.canonicalizeLists(h1) === Bench.canonicalizeLists(h2))
   }
 
   test("q_quality_audit's Expand plan normalizes gid-neutral") {
@@ -229,7 +233,9 @@ class RoundTwentyTwoSpec extends AnyFunSuite {
     // flipped this query's fingerprint between identical-HEAD runs
     expandLines.foreach { l =>
       assert(!l.replaceAll("\\(.*?\\)", "").matches(".*[\\[, ]\\d+[,\\]].*"), l)
-      assert(l.contains("G"), l)
+      // the erased gid shows up as a standalone G item (list-delimited,
+      // not merely any capital G on the line)
+      assert(l.matches(".*[\\[, ]G[,\\]].*"), l)
     }
     // and the fingerprint is invariant to session expression count —
     // the burn shifts every exprId, which is what reorders the raw
