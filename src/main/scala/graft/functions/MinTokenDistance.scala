@@ -12,26 +12,36 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   * to executors as a codegen reference object (the PorterStemKernel
   * pattern). Two-pointer scan over two ASCENDING absolute position
   * lists — the clean form of the reference's skip-ahead walk over gap
-  * lists (`util/QueryParser.java:210-248`). Elements are assumed
-  * non-null (index-built position lists contain only positions).
+  * lists (`util/QueryParser.java:210-248`). NULL elements are SKIPPED
+  * (defined, not assumed away): index-built position lists never
+  * contain them, but the function is on the public SQL surface
+  * (`graft_min_token_distance`) and a parquet round-trip reads arrays
+  * back as containsNull=true — an unguarded `getInt` would silently
+  * read a null slot as 0 and return a wrong distance. `sort_array`
+  * puts nulls FIRST ascending, so real inputs keep the single-pass
+  * two-pointer shape; arbitrary null placement is still correct
+  * because every null slot is stepped over before it is read.
   */
 final class MinTokenDistanceKernel extends Serializable {
-  /** Returns the exact minimum |a_i - b_j|, or -1 when either list is
-    * empty (the SQL NULL sentinel — codegen cannot return boxed null).
+  /** Returns the exact minimum |a_i - b_j| over the NON-NULL elements,
+    * or -1 when either list has none (the SQL NULL sentinel — codegen
+    * cannot return boxed null).
     */
   def minDist(a: ArrayData, b: ArrayData): Int = {
     val n = a.numElements()
     val m = b.numElements()
-    if (n == 0 || m == 0) return -1
     var i = 0; var j = 0; var best = Int.MaxValue
+    while (i < n && a.isNullAt(i)) i += 1
+    while (j < m && b.isNullAt(j)) j += 1
     while (i < n && j < m) {
       val x = a.getInt(i)
       val y = b.getInt(j)
       val d = if (x >= y) x - y else y - x
       if (d < best) best = d
-      if (x < y) i += 1 else j += 1
+      if (x < y) { i += 1; while (i < n && a.isNullAt(i)) i += 1 }
+      else { j += 1; while (j < m && b.isNullAt(j)) j += 1 }
     }
-    best
+    if (best == Int.MaxValue) -1 else best
   }
 }
 

@@ -14,12 +14,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * up-to-3rd occurrences, then wrap each highlight (and its
   * Capitalized form) in the yellow span — the composition of
   * `SearchEngine.snippetOf` and `highlightWrap`
-  * (`util/CorpusFetcher.java:120-194`). Highlight elements are
-  * assumed non-null (they come from the parsed query as a literal).
+  * (`util/CorpusFetcher.java:120-194`). NULL highlight elements are
+  * FILTERED (defined, not assumed away): the query path passes a
+  * parsed-word literal array, but `graft_snippet` is on the public
+  * SQL surface where a user array can carry null slots — an unguarded
+  * `getUTF8String` would NPE at runtime.
   */
 final class SnippetHighlightKernel extends Serializable {
   def render(content: UTF8String, highlights: ArrayData): UTF8String = {
     val hl: Seq[String] = (0 until highlights.numElements())
+      .filter(i => !highlights.isNullAt(i))
       .map(i => highlights.getUTF8String(i).toString)
     UTF8String.fromString(
       graft.search.SearchEngine.highlightWrap(

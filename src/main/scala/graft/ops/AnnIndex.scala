@@ -38,6 +38,53 @@ object AnnIndex {
     IvfModel(path, centroids)
   }
 
+  /** [[ivfWrite]] with ORACLE-EXACT Lloyd training
+    * ([[Similarity.kMeansExactModel]] — integer-scaled sums, 9-dp
+    * argmax) instead of the rounded-mean variant: the build path for
+    * layouts whose downstream rows must be replayable by a SQL engine
+    * end-to-end (train → append → probe). Same at-rest shape:
+    * assignment partitioned by `cluster`, centroids alongside.
+    */
+  def ivfWriteExact(embeddings: DataFrame, path: String, k: Int = 8,
+                    rounds: Int = 1): IvfModel = {
+    val spark = embeddings.sparkSession
+    val (assigned, centroids) = Similarity.kMeansExactModel(embeddings, k, rounds)
+    // reattach the source embedding column (the training's double cast
+    // is not persisted) — one vec_id equi-join against the
+    // localCheckpointed node-sized assignment, as in ivfTrain
+    embeddings.select(col("vec_id"), col("embedding"))
+      .join(assigned.select("vec_id", "cluster"), Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+    import spark.implicits._
+    centroids.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("cid", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path.centroids")
+    IvfModel(path, centroids)
+  }
+
+  /** IVF index MAINTENANCE, physically: route a NEW vector batch
+    * against the already-trained centroids ([[Similarity
+    * .assignToCentroids]] — no retrain, no old-corpus re-read) and
+    * APPEND the assigned rows as new files into the existing
+    * cluster-partitioned layout. `mode("append")` + `partitionBy`
+    * lays each batch row into its cluster's directory alongside the
+    * base files, so a subsequent [[ivfTopK]] probe prunes base and
+    * delta identically — the at-rest third of the train-once →
+    * append-deltas → probe lifecycle a 100 TB corpus runs daily.
+    * Append-only contract (no dedup against resident vec_ids), same
+    * as [[graft.search.Indexer.incrementalPostings]].
+    */
+  def ivfAppend(model: IvfModel, batch: DataFrame): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val centsDf = model.centroids.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("cluster", "centroid")
+    batch.select(col("vec_id"), col("embedding"))
+      .join(Similarity.assignToCentroids(batch, centsDf)
+        .select("vec_id", "cluster"), Seq("vec_id"))
+      .write.mode("append").partitionBy("cluster").parquet(model.path)
+  }
+
   /** Reload a persisted model's centroids (k rows — statistics). */
   def ivfLoad(spark: SparkSession, path: String): IvfModel = {
     val centroids = spark.read.parquet(s"$path.centroids")

@@ -932,52 +932,67 @@ object Dedup {
     // the hash-function count.) The bump is session-visible while the
     // one aggregate job runs; it only LOOSENS an upper bound on any
     // concurrently-planned runtime filter, never tightens one.
-    val conf = oldDigests.sparkSession.conf
-    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val (oldItems, oldBits) = (conf.get(itemsKey), conf.get(bitsKey))
-    val bumped = expectedItems > oldItems.toLong || numBits > oldBits.toLong
-    if (bumped) {
-      conf.set(itemsKey, math.max(expectedItems, oldItems.toLong).toString)
-      conf.set(bitsKey, math.max(numBits, oldBits.toLong).toString)
-    }
-    val out = try {
-      val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
-        .BloomFilterAggregate(
-          org.apache.spark.sql.GraftSqlBridge.expression(
-            xxhash64(col("digest"))),
-          Literal(expectedItems), Literal(numBits))
-        .toAggregateExpression()
-      val bin = oldDigests.filter(col("digest").isNotNull)
-        .select(org.apache.spark.sql.GraftSqlBridge.column(agg).as("bf"))
-        .head().getAs[Array[Byte]](0)
-      if (bin != null) bin
-      else { // empty at-rest corpus: a valid always-negative filter
-        val bos = new java.io.ByteArrayOutputStream()
-        org.apache.spark.util.sketch.BloomFilter
-          .create(math.max(expectedItems, 1L), fpp).writeTo(bos)
-        bos.toByteArray
+    // The whole set/build/restore window is serialized under a
+    // JVM-global lock: two concurrent builds on one session would
+    // otherwise race (one call's finally-restore re-caps the other's
+    // in-flight build, turning a valid request into the require()
+    // failure below). Builds on DIFFERENT sessions sharing the JVM
+    // serialize too — cheaper than reasoning about which SessionConf
+    // instances alias, and an epoch-level artifact build is not a
+    // hot path.
+    val out = Dedup.BloomBuildLock.synchronized {
+      val conf = oldDigests.sparkSession.conf
+      val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+      val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+      val (oldItems, oldBits) = (conf.get(itemsKey), conf.get(bitsKey))
+      val bumped = expectedItems > oldItems.toLong || numBits > oldBits.toLong
+      if (bumped) {
+        conf.set(itemsKey, math.max(expectedItems, oldItems.toLong).toString)
+        conf.set(bitsKey, math.max(numBits, oldBits.toLong).toString)
       }
-    } finally if (bumped) {
-      conf.set(itemsKey, oldItems)
-      conf.set(bitsKey, oldBits)
+      try {
+        val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(
+            org.apache.spark.sql.GraftSqlBridge.expression(
+              xxhash64(col("digest"))),
+            Literal(expectedItems), Literal(numBits))
+          .toAggregateExpression()
+        val bin = oldDigests.filter(col("digest").isNotNull)
+          .select(org.apache.spark.sql.GraftSqlBridge.column(agg).as("bf"))
+          .head().getAs[Array[Byte]](0)
+        if (bin != null) bin
+        else { // empty at-rest corpus: a valid always-negative filter
+          val bos = new java.io.ByteArrayOutputStream()
+          org.apache.spark.util.sketch.BloomFilter
+            .create(math.max(expectedItems, 1L), fpp).writeTo(bos)
+          bos.toByteArray
+        }
+      } finally if (bumped) {
+        conf.set(itemsKey, oldItems)
+        conf.set(bitsKey, oldBits)
+      }
     }
     // degrade LOUDLY, never silently: verify the BUILT filter kept the
     // requested size (the sketch rounds bits UP to a word multiple, so
-    // < numBits can only mean the aggregate capped it — e.g. a
-    // concurrent digestBloom's finally-restore re-capping the confs
-    // between this call's set and its job submission, or a future
-    // Spark hardening the caps). A shrunken filter has saturated fpp
-    // and would quietly un-prune every probe.
+    // < numBits can only mean the aggregate capped it — concurrent
+    // builds are serialized by BloomBuildLock above, so the remaining
+    // causes are an out-of-band conf write or a future Spark hardening
+    // the caps). A shrunken filter has saturated fpp and would quietly
+    // un-prune every probe.
     val builtBits = org.apache.spark.util.sketch.BloomFilter
       .readFrom(new java.io.ByteArrayInputStream(out)).bitSize()
     require(builtBits >= numBits,
       s"digestBloom: built filter has $builtBits bits < requested " +
         s"$numBits (the session runtime-filter caps shrank it — " +
-        "serialize digestBloom calls on this session, or raise " +
-        s"$bitsKey/$itemsKey before calling)")
+        "something re-capped spark.sql.optimizer.runtime.bloomFilter." +
+        "maxNumBits/maxNumItems during the build)")
     out
   }
+
+  /** Serializes [[digestBloom]]'s conf-bump/build/restore window —
+    * see the inline comment there.
+    */
+  private[graft] object BloomBuildLock
 
   /** Codegen'd membership probe against a [[digestBloom]] artifact:
     * `might_contain(<filter literal>, xxhash64(digest))`.

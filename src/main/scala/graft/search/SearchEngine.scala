@@ -26,9 +26,20 @@ object SearchEngine {
     * A top-level negated result (e.g. the query `not a`) resolves against
     * the corpus with a left-anti join — the universe the reference leaves
     * implicit (SURVEY.md §2.5); score 0 since negated docs carry none.
+    *
+    * `materializeSlice = false` keeps the pruned term slice LAZY instead
+    * of localCheckpointing it: the right mode when `index` is an AT-REST
+    * parquet posting table (the reference's persisted term-partitioned
+    * index, `code/query/QueryMapred.java:126-162`) — each query leaf then
+    * re-reads the index as its own `term IN (...)`-pushed scan, which the
+    * term-range layout prunes to the query's files via footer min/max
+    * stats, exactly the reference's query-time partition pruning. The
+    * default (true) is for a DERIVED index, where laziness would re-run
+    * the whole indexing pipeline per leaf.
     */
   def search(query: String, index: DataFrame, docs: DataFrame,
-             stopWords: Set[String] = Set.empty): DataFrame = {
+             stopWords: Set[String] = Set.empty,
+             materializeSlice: Boolean = true): DataFrame = {
     val ast = new QueryParser(stopWords).parse(query.toLowerCase)
     val terms = QueryCompiler.leafTerms(ast)
     // Prune the index to the query's terms ONCE and materialize the
@@ -39,9 +50,11 @@ object SearchEngine {
     // GC-cleaned once the query's DataFrames are unreferenced.
     val slice =
       if (terms.isEmpty) index.limit(0)
-      else index.filter(col("term").isin(terms.distinct: _*))
-        .select("term", "doc_id", "score", "positions")
-        .localCheckpoint(true)
+      else {
+        val pruned = index.filter(col("term").isin(terms.distinct: _*))
+          .select("term", "doc_id", "score", "positions")
+        if (materializeSlice) pruned.localCheckpoint(true) else pruned
+      }
     val stats = QueryCompiler.termStats(slice, terms)
     val node = QueryCompiler.compile(ast, slice, stats)
     val resolved = node.tpe match {

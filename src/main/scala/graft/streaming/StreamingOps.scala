@@ -102,6 +102,36 @@ object StreamingOps {
     emptySafeParquet(spark, statsPath,
       "term STRING, doc_id BIGINT, tf BIGINT, positions ARRAY<INT>")
 
+  /** The SERVING read over a [[streamingIndexMaintenance]]-maintained
+    * stats table: the posting table a search actually runs against.
+    * Two steps on top of [[maintainedStats]]:
+    *
+    *  1. dedup by `(term, doc_id)` — a cross-version REDELIVERY (an
+    *     at-least-once upstream re-emitting an old batch as a brand-new
+    *     file) lands the same stats rows under a new `batch=` id, and
+    *     the serving read must not double-count them into df/tf. Under
+    *     the maintenance path's append-only, content-stable contract
+    *     (a document's stats never change once landed) the duplicate
+    *     rows are bit-identical, so any-row-wins is EXACT — the same
+    *     idempotence argument as the KMV merge, pushed to read time
+    *     because the term-stats union itself is additive.
+    *  2. derive scores with [[graft.search.Indexer.postingsFromStats]]
+    *     — the identical df/docNum aggregate the batch build runs, so
+    *     serving equals a from-scratch rebuild to the last bit.
+    *
+    * `doc_num` counts the INDEXED documents (distinct `doc_id` in the
+    * stats): equal to the corpus count whenever every document has at
+    * least one indexable term; a corpus with fully-stopworded documents
+    * should maintain its own doc-count table alongside.
+    */
+  def servedPostings(spark: SparkSession, statsPath: String): DataFrame = {
+    val stats = maintainedStats(spark, statsPath)
+      .dropDuplicates("term", "doc_id")
+    val docNum = stats.select("doc_id").distinct()
+      .agg(count(lit(1)).as("doc_num"))
+    graft.search.Indexer.postingsFromStats(stats, docNum)
+  }
+
   /** Continuous clean-ingest — the end-to-end training-data front
     * door: each arriving micro-batch is normalized
     * ([[graft.ops.TextAnalysis.normalizeText]]), exact-deduped against

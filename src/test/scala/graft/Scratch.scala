@@ -645,6 +645,99 @@ object Scratch {
               println(f"rows=${big.count()} sec=$sec4%.2f w=$wa " +
                 s"calibBuckets=${ca.length} " +
                 (if (wa == wb && ca == cb) "OK" else "MISMATCH"))
+            case "semdedupguard" =>
+              // SemDeDup's quadratic knife-edge must fail LOUDLY: a
+              // degenerate corpus where every vector is identical
+              // collapses all 20x rows into the first seed's cluster
+              // (cosine 1.0 to every centroid, tie to the smallest
+              // cid), and the within-cluster pair join would be
+              // |corpus|^2 — the guard require must fire with the
+              // remedy in the message, never start the join
+              val one = sources.Tables(spark, sfDir, "embeddings")
+                .filter(col("vec_id") === 0).select("embedding")
+                .collect()(0).getSeq[Float](0)
+              val degenerate = (0 until 20).map(i =>
+                  sources.Tables(spark, sfDir, "embeddings")
+                    .withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+                .reduce(_ unionByName _)
+                .withColumn("embedding",
+                  array(one.map(lit): _*).cast("array<float>"))
+                .localCheckpoint(true)
+              val nRows = degenerate.count()
+              val verdict = try {
+                ops.Similarity.semDedup(degenerate, k = 64, rounds = 1,
+                  minCos = 0.9999, maxClusterSize = 10000L).count()
+                s"MISSED-GUARD (pair join ran over a $nRows-member cluster)"
+              } catch {
+                case e: IllegalArgumentException
+                    if e.getMessage.contains("largest cluster") &&
+                      e.getMessage.contains("raise k") =>
+                  s"OK guard fired at rows=$nRows: '${e.getMessage.take(70)}...'"
+              }
+              println(verdict)
+            case "ivfassign" =>
+              // IVF maintenance assignment at 20x: batch routing
+              // against FIXED trained centroids is a broadcast argmax
+              // on the 4-dp cosine grid — the assignment must be
+              // IDENTICAL across partitionings, and every bitwise copy
+              // must land in its original's cluster
+              val e0 = sources.Tables(spark, sfDir, "embeddings")
+              val (_, cents) = ops.Similarity.kMeansExactModel(
+                e0.filter(col("vec_id") % 5 =!= 0), k = 8, rounds = 1)
+              import spark.implicits._
+              val centsDf = cents.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+                .toDF("cluster", "centroid")
+              val batch20 = (0 until 20).map(i =>
+                  e0.filter(col("vec_id") % 5 === 0)
+                    .withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+                .reduce(_ unionByName _).localCheckpoint(true)
+              def assign(parts: Int): Map[Long, Long] =
+                ops.Similarity.assignToCentroids(
+                    batch20.repartition(parts), centsDf)
+                  .select("vec_id", "cluster").collect()
+                  .map(r => (r.getLong(0), r.getLong(1))).toMap
+              val t0a = System.nanoTime()
+              val aa = assign(7)
+              val secA = (System.nanoTime() - t0a) / 1e9
+              val ab = assign(64)
+              val copyStable = aa.forall { case (id, c) =>
+                aa(id % 1000000L) == c }
+              println(f"rows=${batch20.count()} sec=$secA%.2f " +
+                (if (aa == ab && copyStable && aa.nonEmpty) "OK"
+                 else "MISMATCH"))
+            case "ingest" =>
+              // many-file binaryFile ingest: 3000 tiny files (PNG/WAV/
+              // opaque round-robin) through ingestBinaryFiles — one row
+              // per file, kinds from magic bytes, path-hash ids
+              // distinct; small files batch per task via
+              // files.maxPartitionBytes, no driver-side content reads
+              val dir = java.nio.file.Files
+                .createTempDirectory("graft-ingest-stress-")
+              val png = Array[Byte](0x89.toByte, 'P', 'N', 'G',
+                13, 10, 26, 10) ++ Array.fill[Byte](24)(0)
+              val wav = "RIFF".getBytes("US-ASCII") ++
+                Array[Byte](36, 0, 0, 0) ++
+                "WAVE".getBytes("US-ASCII") ++ Array.fill[Byte](20)(0)
+              val txt = "plain text payload, not a container"
+                .getBytes("UTF-8")
+              val nFiles = 3000
+              (0 until nFiles).foreach { i =>
+                val payload = (i % 3) match {
+                  case 0 => png; case 1 => wav; case _ => txt }
+                java.nio.file.Files.write(
+                  dir.resolve(f"f$i%05d.bin"), payload)
+              }
+              val t0i = System.nanoTime()
+              val rec = ops.Multimodal
+                .ingestBinaryFiles(spark, dir.toString + "/*.bin")
+              val kinds = rec.groupBy("kind").count().collect()
+                .map(r => (r.getString(0), r.getLong(1))).toMap
+              val nIds = rec.select("media_id").distinct().count()
+              val secI = (System.nanoTime() - t0i) / 1e9
+              println(f"files=$nFiles sec=$secI%.2f kinds=$kinds " +
+                (if (kinds == Map("image" -> 1000L, "audio" -> 1000L,
+                       "binary" -> 1000L) && nIds == nFiles) "OK"
+                 else "MISMATCH"))
           }
         } else if (n == "idx-stem-nopersist") {
           search.Indexer.postings(search.Indexer.documents(spark, sfDir))
@@ -939,6 +1032,12 @@ object Scratch {
           sb.append("  * ALGORITHM is pinned by unit/property tests; these rows pin the\n")
           sb.append("  * end-to-end result against regressions. Every entry carries the\n")
           sb.append("  * one-line reason a real SQL oracle is impossible for it.\n")
+          sb.append("  *\n")
+          sb.append("  * CROSS-CHECKED by `python3 tools/check_pins.py <sfDir>`: an\n")
+          sb.append("  * independent pure-Python xxhash64 (tools/xxhash64.py, public\n")
+          sb.append("  * spec) recomputes every row from the parquet corpus — run it\n")
+          sb.append("  * after every genpins; a corrupted pin is caught by something\n")
+          sb.append("  * other than the engine that generated it.\n")
           sb.append("  */\n")
           sb.append("object PinnedOracles {\n  val sql: Map[String, String] = Map(\n")
           for (((q, why), qi) <- pinned.zipWithIndex) {
