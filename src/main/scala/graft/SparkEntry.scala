@@ -863,6 +863,19 @@ object SparkEntry {
       graft.search.SubstringIndex.search(docs, merged, "hash join")
     }),
     "search_phrase" -> ((s, dir) => searchScores(s, dir, "spark data")),
+    // the PROXIMITY path over the persisted index: positions read back
+    // from parquet carry containsNull=true, so this row drives the
+    // native MinTokenDistance kernel's defined null-skip semantics
+    // against real at-rest arrays (not just the session-cached ones);
+    // same oracle as search_phrase — the physical read path must not
+    // move a value
+    "search_phrase_at_rest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = Indexer.readIndex(s, invertedDiskIndex(s, dir))
+      SearchEngine.search("spark data", idx, docs,
+          materializeSlice = false)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     "search_not_or" -> ((s, dir) =>
       searchScores(s, dir, "join and not (spark or data)")),
     // the full reference stop-word flow: derive top-2 stop words from the
@@ -2669,6 +2682,21 @@ object SparkEntry {
         |       '2024-06-01', CAST(NULL AS VARCHAR)
         |FROM customer WHERE c_custkey % 50 = 0""".stripMargin,
     "search_phrase" ->
+      (OracleTfidfCte +
+        """, dist AS (
+          |  SELECT p1.doc_id, min(abs(p1.pos - p2.pos)) AS d
+          |  FROM kept p1 JOIN kept p2 USING (doc_id)
+          |  WHERE p1.token = 'spark' AND p2.token = 'data'
+          |  GROUP BY 1)
+          |SELECT a.doc_id,
+          |       round(CASE WHEN dist.d IS NOT NULL
+          |         THEN pow(a.score * b.score, 1.0 + 1.0 / dist.d)
+          |         ELSE a.score * b.score END, 4) AS score
+          |FROM sc a JOIN sc b USING (doc_id) LEFT JOIN dist USING (doc_id)
+          |WHERE a.term = 'spark' AND b.term = 'data'""").stripMargin,
+    // search_phrase verbatim — the at-rest variant differs only in the
+    // physical read path (lazy pruned scans over the persisted index)
+    "search_phrase_at_rest" ->
       (OracleTfidfCte +
         """, dist AS (
           |  SELECT p1.doc_id, min(abs(p1.pos - p2.pos)) AS d

@@ -56,6 +56,23 @@ class RoundTwentyThreeSpec extends AnyFunSuite {
     assert(df.count() === 10)
   }
 
+  test("search_phrase_at_rest drives proximity over parquet-read positions " +
+      "with exact cached-path parity") {
+    // the at-rest read hands MinTokenDistance containsNull=true arrays
+    // (parquet's array schema) — the kernel's null-skip semantics must
+    // leave every proximity-boosted score identical to the
+    // session-cached path
+    def rows(name: String): Set[(Long, Double)] =
+      SparkEntry.queries(name)(spark, testdata)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val atRest = rows("search_phrase_at_rest")
+    assert(atRest.nonEmpty)
+    assert(atRest === rows("search_phrase"))
+    val plan = SparkEntry.queries("search_phrase_at_rest")(spark, testdata)
+      .queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*[Tt]erm.*"))
+  }
+
   test("ivfAppend lands the delta physically: base∪delta served by one " +
       "pruned layout, no retrain") {
     val s = spark
