@@ -561,6 +561,45 @@ object SparkEntry {
       model
     })
 
+  /** Streaming-maintained stats table, one per (session, sf dir): the
+    * corpus staged as two parquet batch files through the REAL
+    * checkpointed [[StreamingOps.streamingIndexMaintenance]] lineage,
+    * then the first batch RE-EMITTED as a brand-new file into the
+    * resumed query — a cross-version redelivery — so the at-rest table
+    * carries duplicate `(term, doc_id)` rows and
+    * [[StreamingOps.servedPostings]]'s dedup is load-bearing in the
+    * oracle check, not decorative.
+    */
+  private val streamStatsCache = new SessionCache[String]
+
+  private def streamedStats(s: SparkSession, dir: String): String =
+    streamStatsCache.getOrElseUpdate(s, dir, {
+      val root = annTmp()
+      val in = s"$root/in"; val stats = s"$root/stats"; val ckpt = s"$root/ckpt"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val docs = t(s, dir, "documents")
+      def stage(name: String, df: DataFrame): Unit = {
+        val tmp = s"$root/__tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(in, s"$name.parquet"))
+      }
+      def run(): Unit = {
+        val q = StreamingOps.streamingIndexMaintenance(s, in, stats,
+          checkpointDir = Some(ckpt))
+        try q.processAllAvailable() finally q.stop()
+      }
+      val b0 = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      stage("b0", b0)
+      stage("b1", docs.filter(pmod(col("doc_id"), lit(2)) =!= 0))
+      run()
+      stage("b2_redelivered", b0)
+      run()
+      stats
+    })
+
   /** The reference's HEADLINE physical artifact at rest: the stemmed
     * posting table written term-range-partitioned + term-sorted once
     * per (session, sf dir) via [[Indexer.writeIndex]] (the Spark form
@@ -792,6 +831,21 @@ object SparkEntry {
       val idx = Indexer.readIndex(s, invertedDiskIndex(s, dir))
       SearchEngine.search("spark and data", idx, docs,
           materializeSlice = false)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // streaming maintenance SERVING an oracle-checked search: the
+    // corpus arrives through the real checkpointed
+    // streamingIndexMaintenance lineage (two staged batches + batch 0
+    // re-emitted as a brand-new file into the resumed query — a
+    // cross-version redelivery), and the query runs over
+    // servedPostings. Scores must equal search_and's oracle EXACTLY:
+    // the maintained at-rest stats, the redelivery dedup, and the
+    // served df/docNum derivation are all load-bearing — the index a
+    // 100 TB pipeline actually serves from is the one streaming
+    // maintains
+    "search_streamed_index" -> ((s, dir) => {
+      val served = StreamingOps.servedPostings(s, streamedStats(s, dir))
+      SearchEngine.search("spark and data", served, t(s, dir, "documents"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
     "search_or" -> ((s, dir) => searchScores(s, dir, "spark or data")),
@@ -2575,6 +2629,15 @@ object SparkEntry {
         |       round((1 + log10(tf.tf)) * ln(CAST(n.doc_num AS DOUBLE) / dfreq.df), 4) AS score
         |FROM tf JOIN dfreq USING (term) CROSS JOIN n""").stripMargin,
     "search_and" ->
+      (OracleTfidfCte +
+        """SELECT a.doc_id, round(a.score * b.score, 4) AS score
+          |FROM sc a JOIN sc b USING (doc_id)
+          |WHERE a.term = 'spark' AND b.term = 'data'""").stripMargin,
+    // identical semantics to search_and — the entry differs only in
+    // WHO BUILT the index (the checkpointed streaming maintenance
+    // lineage, redelivered batch included), which must not change a
+    // single value
+    "search_streamed_index" ->
       (OracleTfidfCte +
         """SELECT a.doc_id, round(a.score * b.score, 4) AS score
           |FROM sc a JOIN sc b USING (doc_id)
