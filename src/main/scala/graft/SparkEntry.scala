@@ -162,6 +162,32 @@ object SparkEntry {
       |)
       |""".stripMargin
 
+  /** Exact pair list at minJ=0.2 (LSH only generates candidates; the
+    * exact Jaccard decides membership) — shared by `dedup_minhash` and
+    * `dedup_minhash_incremental`, whose outputs must be identical.
+    */
+  private val OracleMinhashPairsSql: String =
+    """WITH toks0 AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+      |    '[ \t\r\n,.:;''"()\[\]{}/<>!?|\-—#$&=_*+]+'), x -> x <> '') AS arr
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         array_to_string(arr[i : i + 2], ' ') AS shingle
+      |  FROM toks0, unnest(generate_series(1, greatest(len(arr) - 2, 1))) AS u(i)
+      |  WHERE len(arr) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |       CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2""".stripMargin
+
   /** Unrolled power-iteration oracle ([[graft.ops.Similarity.powerIteration]]
     * with iterations=3, backScale=1e4, d=64): every contraction is a
     * floor-scaled integer sum, so the replay is bit-exact — see the
@@ -561,6 +587,83 @@ object SparkEntry {
       model
     })
 
+  /** Keys erased by the targeted-delete lifecycle — contiguous low ids,
+    * so on the 10-file doc_id-range layout they all live in the first
+    * file(s) and the delete rewrites those alone (the spec asserts the
+    * rest stay byte-identical).
+    */
+  private[graft] val DeletedKeys = Seq(7L, 8L, 42L)
+
+  /** The targeted-delete lifecycle at rest, one per (session, sf dir):
+    * documents written doc_id-range-partitioned + sorted (10 files),
+    * then [[DeletedKeys]] erased via [[Maintenance.deleteWhere]] —
+    * copy-on-write, only the files whose key range holds a hit are
+    * rewritten. `q_targeted_delete` reads the post-delete layout.
+    */
+  private val deletedDocsCache = new SessionCache[String]
+
+  private def deletedDocsLayout(s: SparkSession, dir: String): String =
+    deletedDocsCache.getOrElseUpdate(s, dir, {
+      val p = s"${annTmp()}/docs_del"
+      t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        .repartitionByRange(10, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(p)
+      graft.ops.Maintenance.deleteWhere(s, p, "doc_id", DeletedKeys)
+      p
+    })
+
+  /** The transaction-log table lifecycle, one per (session, sf dir):
+    * two appends (80% then 20% of documents), a logged copy-on-write
+    * delete of [[DeletedKeys]], then compaction-as-commit — four
+    * versions, every one still time-travel readable because commits
+    * never touch existing data files. `q_timetravel` reads v1 (full
+    * corpus, pre-delete) and head (post-delete, post-compaction) in
+    * one result.
+    */
+  private val txlogCache = new SessionCache[String]
+
+  private def txlogTable(s: SparkSession, dir: String): String =
+    txlogCache.getOrElseUpdate(s, dir, {
+      val p = s"${annTmp()}/txtable"
+      graft.ops.TxLog.init(p)
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      graft.ops.TxLog.append(s, p,
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+      graft.ops.TxLog.append(s, p,
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0))
+      graft.ops.TxLog.deleteWhere(s, p, "doc_id", DeletedKeys)
+      graft.ops.TxLog.compact(s, p, targetBytes = 16L << 20)
+      p
+    })
+
+  /** The MinHash dedup index lifecycle at rest, one per (session, sf
+    * dir) — the third index family physically completed next to the
+    * inverted index and IVF: build the rep-level artifacts (dict /
+    * membership / banded buckets / verified rep pairs) from the 80%
+    * base split via [[Dedup.minhashIndexWrite]], then route the 20%
+    * batch against the stored digests and bucket index and APPEND the
+    * delta as `gen=1` partition files ([[Dedup.minhashIndexAppend]] —
+    * batch-only per-doc work, candidate-only re-reads).
+    * `dedup_minhash_incremental` serves the full pair list from the
+    * updated layout.
+    */
+  private val minhashDiskCache = new SessionCache[String]
+
+  private def minhashDiskIndex(s: SparkSession, dir: String): String =
+    minhashDiskCache.getOrElseUpdate(s, dir, {
+      val p = s"${annTmp()}/minhash"
+      val docs = t(s, dir, "documents")
+      Dedup.minhashIndexWrite(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        p, n = 3, numHashes = 32, bands = 32, minJ = 0.2,
+        maxBucket = 16, minBands = 2)
+      Dedup.minhashIndexAppend(s, p,
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), docs,
+        n = 3, numHashes = 32, bands = 32, minJ = 0.2,
+        maxBucket = 16, minBands = 2)
+      p
+    })
+
   /** Streaming-maintained stats table, one per (session, sf dir): the
     * corpus staged as two parquet batch files through the REAL
     * checkpointed [[StreamingOps.streamingIndexMaintenance]] lineage,
@@ -929,6 +1032,22 @@ object SparkEntry {
       SearchEngine.search("spark data", idx, docs,
           materializeSlice = false)
         .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // prefix query over the PERSISTED index — the RANGE-predicate class
+    // the term-range partitioning exists for: `term LIKE 's%'` reaches
+    // the scan as a pushed StringStartsWith, and the boundary-file
+    // layout prunes every file outside [s, t) via footer min/max stats
+    // (the reference prunes point terms the same way,
+    // code/query/QueryMapred.java:126-162; a range is the natural
+    // extension its TotalOrderPartitioner layout supports). "s" expands
+    // to six index terms (scan slow small sort spark stream — all
+    // Porter fixed points, so the raw-token oracle is exact); score =
+    // n-ary OR (sum, F5) with the matched-term count alongside
+    "search_prefix_at_rest" -> ((s, dir) => {
+      val idx = Indexer.readIndex(s, invertedDiskIndex(s, dir))
+      SearchEngine.searchPrefix("s", idx)
+        .select(col("doc_id"), round(col("score"), 4).as("score"),
+          col("n_terms"))
     }),
     "search_not_or" -> ((s, dir) =>
       searchScores(s, dir, "join and not (spark or data)")),
@@ -1348,6 +1467,30 @@ object SparkEntry {
         .withColumn("zkey", Maintenance.zorderKey(
           pmod(col("l_partkey"), lit(65536L)),
           pmod(col("l_suppkey"), lit(65536L))))),
+    // targeted-rewrite delete (GDPR erasure): three doc_ids removed
+    // from the doc_id-range-partitioned layout by rewriting ONLY the
+    // file(s) whose key range holds them ([[Maintenance.deleteWhere]],
+    // copy-on-write) — the entry reads the post-delete table, so the
+    // oracle's NOT IN asserts both halves: the keys are gone AND every
+    // other row survived the swap untouched. The physical claim (hit
+    // discovery stats-pruned, untouched files byte-identical) is
+    // spec-asserted on the same layout
+    "q_targeted_delete" -> ((s, dir) =>
+      s.read.parquet(deletedDocsLayout(s, dir))
+        .select("doc_id", "lang", "n_chars")),
+    // transaction-log table: one result spanning two snapshots of the
+    // SAME at-rest table — v1 (time travel: the full pre-delete
+    // corpus, still readable because the logged delete removed files
+    // from the LOG, not the disk) and head (after the copy-on-write
+    // delete and a compaction commit, which must be logically
+    // invisible). The oracle's two branches pin both
+    "q_timetravel" -> ((s, dir) => {
+      val p = txlogTable(s, dir)
+      graft.ops.TxLog.snapshot(s, p, Some(1L)).select("doc_id")
+        .withColumn("snap", lit("v1"))
+        .unionByName(graft.ops.TxLog.snapshot(s, p).select("doc_id")
+          .withColumn("snap", lit("head")))
+    }),
     // PageRank power iteration (3 rounds, d=0.85) over the undirected
     // customer-supplier trade graph; each round is one edge-join +
     // one aggregation with a checkpointed rank vector (flat plans) —
@@ -1587,6 +1730,15 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minHashLshVerified(t(s, dir, "documents"), n = 3, numHashes = 32,
         bands = 32, minJ = 0.2, maxBucket = 16, minBands = 2)),
+    // the incremental lifecycle of the same dedup, served from the
+    // at-rest index ([[minhashDiskIndex]]): base built from 80% of the
+    // corpus, the 20% batch routed against the stored digest dict +
+    // bucket index and physically appended (gen=1 files), the pair
+    // list expanded from the updated membership/reppairs artifacts —
+    // same oracle as dedup_minhash, so append ≡ rebuild is
+    // oracle-gated every round, not just spec'd
+    "dedup_minhash_incremental" -> ((s, dir) =>
+      Dedup.minhashServePairs(s, minhashDiskIndex(s, dir))),
     // maxHamming 3 = the recall bound of the 4x16-bit-chunk candidate
     // generation (pigeonhole); above 3 the output would silently
     // under-approximate
@@ -2772,6 +2924,14 @@ object SparkEntry {
           |         ELSE a.score * b.score END, 4) AS score
           |FROM sc a JOIN sc b USING (doc_id) LEFT JOIN dist USING (doc_id)
           |WHERE a.term = 'spark' AND b.term = 'data'""").stripMargin,
+    // six-term n-ary OR via prefix expansion; sum over ≤ 6 per-doc
+    // scores rounds identically across engines (same argument as
+    // search_bm25's round(sum(...), 4))
+    "search_prefix_at_rest" ->
+      (OracleTfidfCte +
+        """SELECT doc_id, round(sum(score), 4) AS score,
+          |       CAST(count(*) AS BIGINT) AS n_terms
+          |FROM sc WHERE term LIKE 's%' GROUP BY 1""").stripMargin,
     "search_not_or" ->
       (OracleTfidfCte +
         """SELECT j.doc_id, round(j.score, 4) AS score
@@ -2839,29 +2999,10 @@ object SparkEntry {
         |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |WHERE e.vec_id <> 0
         |ORDER BY cosine DESC, e.vec_id ASC LIMIT 10""".stripMargin,
-    "dedup_minhash" ->
-      // exact pair list at minJ=0.2 (LSH only generates candidates; the
-      // exact Jaccard decides membership)
-      """WITH toks0 AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
-        |    '[ \t\r\n,.:;''"()\[\]{}/<>!?|\-—#$&=_*+]+'), x -> x <> '') AS arr
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |         array_to_string(arr[i : i + 2], ' ') AS shingle
-        |  FROM toks0, unnest(generate_series(1, greatest(len(arr) - 2, 1))) AS u(i)
-        |  WHERE len(arr) >= 3),
-        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        |       CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON sa.doc_id = doc_a
-        |JOIN sizes sb ON sb.doc_id = doc_b
-        |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2""".stripMargin,
+    "dedup_minhash" -> OracleMinhashPairsSql,
+    // append ≡ rebuild: the incremental lifecycle must reproduce the
+    // exact full-corpus pair list
+    "dedup_minhash_incremental" -> OracleMinhashPairsSql,
     "dedup_embedding" ->
       // exact pair list at minCos=0.4 (banded LSH generates candidates;
       // the exact cosine decides membership)
@@ -3973,6 +4114,18 @@ object SparkEntry {
          |  CAST(${terms.mkString(" + ")} AS BIGINT) AS zkey
          |FROM lineitem""".stripMargin
     },
+    // survivors of the copy-on-write erase — NOT IN checks both the
+    // removal and the untouched remainder
+    "q_targeted_delete" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id NOT IN (7, 8, 42)""".stripMargin,
+    // v1 = pre-delete corpus via time travel; head = post-delete,
+    // post-compaction (the compaction commit must not move a row)
+    "q_timetravel" ->
+      """SELECT doc_id, 'v1' AS snap FROM documents
+        |UNION ALL
+        |SELECT doc_id, 'head' AS snap FROM documents
+        |WHERE doc_id NOT IN (7, 8, 42)""".stripMargin,
     "q_pagerank" ->
       // three unrolled power-iteration rounds; (1.0 - 0.85) is spelled
       // as the same IEEE subtraction the Spark side computes

@@ -582,6 +582,203 @@ object Dedup {
     result
   }
 
+  // ---------- MinHash LSH index at rest (incremental lifecycle) ----
+
+  /** Banded min-hash bucket rows `(rep, band, bucket)` for rep shingle
+    * sets `(rep, sh)` — the SAME banding expression as
+    * [[minHashLshVerified]]'s inline form, so a bucket is a pure
+    * function of (set, band) and base/delta banding agree by
+    * construction (a delta rep lands in exactly the bucket a full
+    * rebuild would put it in).
+    */
+  private def bandedBuckets(reps: DataFrame, numHashes: Int,
+                            bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    reps.select(col("rep"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)), bnd =>
+          xxhash64(concat_ws(",",
+            transform(sequence(bnd * rows, (bnd + 1) * rows - 1),
+              i => array_min(transform(col("sh"), s => xxhash64(s, i))))), bnd)))
+      .as(Seq("band", "bucket")))
+      .select("rep", "band", "bucket")
+  }
+
+  /** Bucket-capped, minBands-filtered candidate rep pairs between
+    * `probe` banded rows and `all` banded rows (probe ⊆ all; at least
+    * one side of every pair is a probe rep). Caps are computed over
+    * `all` — the post-append population — so the kept-bucket decision
+    * is EXACTLY the one a full rebuild would make. `countDistinct`
+    * on band de-duplicates the probe×all double-count when both reps
+    * of a pair are probes (a pair shares at most one bucket per band,
+    * so distinct-band count = agreeing-band count, the same statistic
+    * [[minHashLshVerified]] thresholds).
+    */
+  private def cappedCandidates(probe: DataFrame, all: DataFrame,
+                               maxBucket: Int, minBands: Int): DataFrame = {
+    val keptBuckets = all.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket)
+      .select("band", "bucket")
+    val keptAll = all.join(keptBuckets, Seq("band", "bucket"), "left_semi")
+    val keptProbe = probe.join(keptBuckets, Seq("band", "bucket"), "left_semi")
+    keptProbe.select(col("band"), col("bucket"), col("rep").as("pa"))
+      .join(keptAll.select(col("band"), col("bucket"), col("rep").as("pb")),
+        Seq("band", "bucket"))
+      .filter(col("pa") =!= col("pb"))
+      .select(least(col("pa"), col("pb")).as("rep_a"),
+        greatest(col("pa"), col("pb")).as("rep_b"), col("band"))
+      .groupBy("rep_a", "rep_b").agg(countDistinct("band").as("__nb"))
+      .filter(col("__nb") >= minBands)
+      .select("rep_a", "rep_b")
+  }
+
+  /** Exact-Jaccard verification of candidate rep pairs against a
+    * shingle-set lookup `(rep, sh)` — the same single-division
+    * arithmetic as [[minHashLshVerified]], so a pair's jaccard is
+    * identical no matter which lifecycle computed it.
+    */
+  private def verifyPairs(cand: DataFrame, shTbl: DataFrame,
+                          minJ: Double): DataFrame =
+    cand
+      .join(shTbl.select(col("rep").as("rep_a"), col("sh").as("sh_a")), "rep_a")
+      .join(shTbl.select(col("rep").as("rep_b"), col("sh").as("sh_b")), "rep_b")
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
+      .filter(col("jaccard") >= minJ)
+      .select("rep_a", "rep_b", "jaccard")
+
+  private def writeGen(df: DataFrame, dir: String, gen: Int): Unit =
+    df.withColumn("gen", lit(gen))
+      .write.mode(if (gen == 0) "overwrite" else "append")
+      .partitionBy("gen").parquet(dir)
+
+  /** Build the at-rest MinHash dedup index of a corpus under `path` —
+    * the third index family to get the full persisted lifecycle next
+    * to the inverted index ([[graft.search.Indexer.writeIndex]]) and
+    * IVF ([[AnnIndex.ivfWriteExact]]). Four artifacts, all rep-level
+    * (exact-duplicate mass collapsed, as in [[minHashLshVerified]]),
+    * each written `partitionBy(gen)` so later appends land as new
+    * `gen=N` partition files without touching the base:
+    *
+    *  - `dict`       (k, rep): 128-bit set digest → representative —
+    *                 the routing table a delta batch matches against;
+    *  - `membership` (doc_id, rep): every non-empty doc's group;
+    *  - `banded`     (rep, band, bucket): the LSH bucket index;
+    *  - `reppairs`   (rep_a, rep_b, jaccard): verified near-dup rep
+    *                 pairs at `minJ`.
+    *
+    * What is deliberately NOT stored: shingle arrays. At 100 TB the
+    * set payloads dwarf the index; verification re-derives shingles
+    * only for candidate docs ([[minhashIndexAppend]]), the same
+    * "re-read only candidates" posture as the reference's doc fetch.
+    */
+  def minhashIndexWrite(docs: DataFrame, path: String, n: Int = 3,
+                        numHashes: Int = 32, bands: Int = 32,
+                        minJ: Double = 0.2, maxBucket: Int = 16,
+                        minBands: Int = 1): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val keyed = keyedSets(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repIds = keyed.groupBy("k").agg(min("doc_id").as("rep"))
+    val nonEmpty = keyed.join(repIds, "k").filter(col("nsh") > 0)
+    writeGen(nonEmpty.filter(col("doc_id") === col("rep"))
+      .select("k", "rep"), s"$path/dict", 0)
+    writeGen(nonEmpty.select("doc_id", "rep"), s"$path/membership", 0)
+    val reps = nonEmpty.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id").as("rep"), col("sh"))
+    val banded = bandedBuckets(reps, numHashes, bands).localCheckpoint(true)
+    writeGen(banded, s"$path/banded", 0)
+    writeGen(verifyPairs(cappedCandidates(banded, banded, maxBucket, minBands),
+      reps, minJ), s"$path/reppairs", 0)
+    keyed.unpersist()
+  }
+
+  /** Route a NEW batch against the at-rest index and physically append
+    * the delta — per-document work (tokenize, shingle, min-hash) for
+    * the batch only, never a base re-scan:
+    *
+    *  1. batch sets matching a stored digest ADOPT the existing rep
+    *     (identical set ⇒ identical jaccard to everything — their
+    *     pairs come free through the membership expansion);
+    *  2. genuinely new sets form new groups, are banded, and appended
+    *     into `banded` as `gen=1` files;
+    *  3. candidates = new reps × post-append population, with bucket
+    *     caps computed over the SAME post-append banded table a full
+    *     rebuild would see;
+    *  4. verification re-derives shingle sets from `corpus` for the
+    *     candidate reps ONLY (a bounded semi-join re-read, not a
+    *     corpus scan);
+    *  5. the new verified pairs append into `reppairs`.
+    *
+    * After the append, [[minhashServePairs]] over the updated layout
+    * equals a full rebuild's pair list — the oracle row checks it
+    * against the exact SQL pair list every round.
+    */
+  def minhashIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                         path: String, batch: DataFrame, corpus: DataFrame,
+                         n: Int = 3, numHashes: Int = 32, bands: Int = 32,
+                         minJ: Double = 0.2, maxBucket: Int = 16,
+                         minBands: Int = 1): Unit = {
+    val dict = spark.read.parquet(s"$path/dict")
+    // eager checkpoint first: an nsh filter directly on the lazy
+    // projection would be pushed under it and inline the tokenizer
+    // into the predicate (the measured-6× trap — see keyedSets)
+    val bk = keyedSets(batch, n).localCheckpoint(true)
+    val nonEmptyB = bk.filter(col("nsh") > 0)
+    val adopted = nonEmptyB.join(dict.select("k", "rep"), "k")
+      .select("doc_id", "rep")
+    val newSets = nonEmptyB.join(dict.select("k"), Seq("k"), "left_anti")
+    val newRepIds = newSets.groupBy("k").agg(min("doc_id").as("rep"))
+    val newGroups = newSets.join(newRepIds, "k").localCheckpoint(true)
+    writeGen(adopted.unionByName(newGroups.select("doc_id", "rep")),
+      s"$path/membership", 1)
+    writeGen(newRepIds.select("k", "rep"), s"$path/dict", 1)
+    val newReps = newGroups.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id").as("rep"), col("sh"))
+    writeGen(bandedBuckets(newReps, numHashes, bands), s"$path/banded", 1)
+    // candidates over the POST-APPEND at-rest bucket index: the delta
+    // probes what the layout now physically holds
+    val allBanded = spark.read.parquet(s"$path/banded")
+    val cand = cappedCandidates(allBanded.filter(col("gen") === 1),
+      allBanded, maxBucket, minBands).localCheckpoint(true)
+    val candIds = cand.select(col("rep_a").as("doc_id"))
+      .unionByName(cand.select(col("rep_b").as("doc_id"))).distinct()
+    val shTbl = keyedSets(
+        corpus.join(candIds, Seq("doc_id"), "left_semi"), n)
+      .select(col("doc_id").as("rep"), col("sh"))
+    writeGen(verifyPairs(cand, shTbl, minJ), s"$path/reppairs", 1)
+  }
+
+  /** Serve the full near-dup pair list from the at-rest index alone:
+    * verified rep pairs expanded over the membership table (cross
+    * pairs inherit the reps' jaccard — identical sets — and same-group
+    * pairs are exact duplicates at 1.0). Pure joins over the two
+    * narrow persisted artifacts; after [[minhashIndexAppend]] the
+    * served list covers base∪batch with no recomputation — the same
+    * serve-from-what-the-pipeline-maintains posture as
+    * `search_streamed_index`.
+    */
+  def minhashServePairs(spark: org.apache.spark.sql.SparkSession,
+                        path: String): DataFrame = {
+    val membership = spark.read.parquet(s"$path/membership")
+      .select("doc_id", "rep")
+    val repPairs = spark.read.parquet(s"$path/reppairs")
+      .select("rep_a", "rep_b", "jaccard")
+    val crossPairs = repPairs
+      .join(membership.select(col("rep").as("rep_a"), col("doc_id").as("da")),
+        "rep_a")
+      .join(membership.select(col("rep").as("rep_b"), col("doc_id").as("db")),
+        "rep_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
+    val withinPairs = membership.select(col("rep"), col("doc_id").as("doc_a"))
+      .join(membership.select(col("rep"), col("doc_id").as("doc_b")), "rep")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
+    crossPairs.unionByName(withinPairs)
+  }
+
   /** SimHash: 64-bit weighted-majority fingerprint of a document's
     * shingle hashes. For each bit position, sum +1/-1 votes across
     * shingles; the sign of the sum is the bit. Near-dups = fingerprints

@@ -62,6 +62,72 @@ object Maintenance {
     n
   }
 
+  /** Result of a [[deleteWhere]]: how much of the table the delete
+    * physically touched. `filesTotal` counts the layout BEFORE the
+    * rewrite.
+    */
+  final case class DeleteResult(filesTotal: Int, filesRewritten: Int,
+                                rowsDeleted: Long)
+
+  /** Targeted-rewrite delete (the GDPR / right-to-be-forgotten
+    * primitive): remove every row whose `keyCol` is in `keys` by
+    * rewriting ONLY the parquet files that contain a hit, leaving
+    * every other file byte-identical on disk. Copy-on-write delete, the
+    * Delta/Iceberg `DELETE WHERE` shape.
+    *
+    * Two scans, both bounded: (1) hit discovery — the `IN` predicate is
+    * pushed into the parquet scan, so on a key-sorted / range- or
+    * Z-ordered layout the footer min/max stats skip every file whose
+    * key range misses the list and the job reads only candidate row
+    * groups (plan-asserted in the spec); `_metadata.file_path` names
+    * the files that actually contain hits. (2) rewrite — only those
+    * files are re-read and anti-filtered; survivors land as new files
+    * and the originals are dropped. At 100 TB deleting a handful of
+    * keys from a sorted layout rewrites a handful of files, not the
+    * table — and the more selective the layout (sort/Z-order), the
+    * cheaper the delete, which is why erasure SLAs are a LAYOUT
+    * decision, not just a compute one.
+    *
+    * The swap here is plain FS delete+rename; at scale the same two
+    * phases commit through a transaction log / metastore pointer flip
+    * (remove(old files) + add(new files) atomically). Append-only
+    * readers are unaffected: untouched files keep their identity.
+    */
+  def deleteWhere(spark: SparkSession, path: String, keyCol: String,
+                  keys: Seq[Long]): DeleteResult = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "deleteWhere: empty key list")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, nTotal) = parquetStats(spark, path)
+    val hit = col(keyCol).isin(keys: _*)
+    // per-file hit counts: one stats-pruned scan; the aggregate output
+    // is file-sized (bounded by the candidate file count), never
+    // row-sized
+    val affected = spark.read.parquet(path)
+      .filter(hit)
+      .select(col("_metadata.file_path").as("f"))
+      .groupBy("f").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    if (affected.isEmpty) return DeleteResult(nTotal, 0, 0L)
+    val rowsDeleted = affected.map(_._2).sum
+    val tmp = new Path(root.getParent, root.getName + "__delete_tmp")
+    spark.read.parquet(affected.map(_._1): _*)
+      .filter(!hit)
+      .write.mode("overwrite").parquet(tmp.toString)
+    affected.foreach { case (f, _) =>
+      fs.delete(new Path(new java.net.URI(f)), false)
+    }
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val parts = fs.listStatus(tmp)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    parts.zipWithIndex.foreach { case (st, i) =>
+      fs.rename(st.getPath, new Path(root, f"part-del-$uid-$i%05d.parquet"))
+    }
+    fs.delete(tmp, true)
+    DeleteResult(nTotal, affected.length, rowsDeleted)
+  }
+
   /** Z-order (Morton) key: bit-interleave the low 16 bits of each
     * column, first column taking the most significant position of each
     * bit group. Values are clamped into [0, 2^16) — pre-scale (e.g.

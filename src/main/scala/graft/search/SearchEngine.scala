@@ -67,6 +67,30 @@ object SearchEngine {
     resolved.orderBy(desc("score"), asc("doc_id"))
   }
 
+  /** Prefix query (`spar*` style — the Lucene-PrefixQuery extension the
+    * reference's grammar lacks): expand the prefix against the INDEX's
+    * term dictionary — no stemming of the prefix, standard
+    * expanded-term semantics — and score each doc as the n-ary OR of
+    * its matching terms (OR = sum, F5), with the distinct matched-term
+    * count alongside.
+    *
+    * Built for the AT-REST index: `term.startsWith(prefix)` is a
+    * `StringStartsWith` predicate Spark pushes into the parquet scan,
+    * and on [[Indexer.writeIndex]]'s term-range-partitioned,
+    * term-sorted layout the footer min/max stats prune every file
+    * outside the `[prefix, prefix∞)` range — the same boundary-file
+    * pruning the reference applies to point terms
+    * (`code/query/QueryMapred.java:126-162`), extended to the RANGE
+    * predicate class the range partitioning exists for. The group-by
+    * shuffles only the pruned slice. The index has one row per
+    * (term, doc), so `count(*)` is the distinct matched-term count.
+    */
+  def searchPrefix(prefix: String, index: DataFrame): DataFrame =
+    index.filter(col("term").startsWith(prefix))
+      .groupBy("doc_id")
+      .agg(sum("score").as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(desc("score"), asc("doc_id"))
+
   /** Batch retrieval: evaluate N queries as one unioned plan, results
     * tagged by query string. The reference runs a full MapReduce job
     * per query (`code/query/QueryMapred.java`); here the batch shares

@@ -1,0 +1,247 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Maintenance}
+import graft.search.Indexer
+
+/** Round-24 surface: range-predicate pruning over the persisted
+  * term-partitioned index (prefix search), the copy-on-write targeted
+  * delete (untouched files byte-identical), and the at-rest MinHash
+  * dedup index lifecycle (build → route → append → serve ≡ rebuild).
+  */
+class RoundTwentyFourSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def testdata: String =
+    sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+
+  private def docs: DataFrame =
+    graft.sources.Tables(spark, testdata, "documents")
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  // ---------------- search_prefix_at_rest ----------------
+
+  test("search_prefix_at_rest (the driver entry itself) pushes the " +
+      "StartsWith range predicate into the persisted index scan") {
+    val df = SparkEntry.queries("search_prefix_at_rest")(spark, testdata)
+    val plan = df.queryExecution.executedPlan.toString
+    // the range-predicate class the term-range layout exists for:
+    // LIKE 's%' must reach the parquet scan as StringStartsWith, where
+    // footer min/max stats on the term-sorted files prune everything
+    // outside [s, t)
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*StringStartsWith\\(term,s\\).*"),
+      s"expected StringStartsWith(term,s) pushed into the index scan:\n$plan")
+    assert(!plan.contains("Scan ExistingRDD"),
+      "the at-rest prefix query must read the parquet layout lazily")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // "s" expands to six index terms; no doc can match more
+    assert(rows.map(_.getLong(2)).max <= 6L)
+  }
+
+  test("searchPrefix equals the by-hand n-ary OR over the same index") {
+    val idx = Indexer.postings(docs)
+    val got = graft.search.SearchEngine.searchPrefix("s", idx)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val want = idx
+      .filter(col("term").isin("scan", "slow", "small", "sort", "spark", "stream"))
+      .groupBy("doc_id")
+      .agg(sum("score").as("score"), count(lit(1)).as("n_terms"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  // ---------------- targeted-rewrite delete ----------------
+
+  private def sha256(p: java.nio.file.Path): String = {
+    val md = MessageDigest.getInstance("SHA-256")
+    md.digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString
+  }
+
+  private def parquetChecksums(dir: String): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => p.getFileName.toString -> sha256(p)).toMap
+  }
+
+  test("deleteWhere rewrites only the files holding hits; every other " +
+      "file stays byte-identical") {
+    val p = tmpDir("graft-del-") + "/t"
+    docs.select("doc_id", "lang", "n_chars")
+      .repartitionByRange(10, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.parquet(p)
+    val before = parquetChecksums(p)
+    assert(before.size == 10)
+    // hit discovery is a stats-pruned scan: the IN predicate reaches
+    // the parquet reader
+    val discovery = spark.read.parquet(p)
+      .filter(col("doc_id").isin(7L, 8L, 42L))
+      .select(col("_metadata.file_path"))
+    val dPlan = discovery.queryExecution.executedPlan.toString
+    assert(dPlan.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(doc_id.*"),
+      s"expected In(doc_id, ...) pushed into the discovery scan:\n$dPlan")
+
+    val res = Maintenance.deleteWhere(spark, p, "doc_id", Seq(7L, 8L, 42L))
+    assert(res.rowsDeleted === 3L)
+    assert(res.filesTotal === 10)
+    // 500 ids over 10 range files: 7, 8, 42 all live in the first file
+    assert(res.filesRewritten === 1,
+      s"contiguous low keys must rewrite one range file, got $res")
+    val after = parquetChecksums(p)
+    // untouched files keep name AND bytes; rewritten originals are gone
+    val untouched = before.keySet.intersect(after.keySet)
+    assert(untouched.size === before.size - res.filesRewritten)
+    untouched.foreach(f => assert(before(f) === after(f),
+      s"untouched file $f must stay byte-identical"))
+    assert((after.keySet -- before.keySet).forall(_.startsWith("part-del-")))
+    // the table itself: keys gone, everything else intact
+    val left = spark.read.parquet(p)
+    assert(left.filter(col("doc_id").isin(7L, 8L, 42L)).count() === 0)
+    assert(left.count() === docs.count() - 3)
+  }
+
+  test("deleteWhere with no hits is a physical no-op") {
+    val p = tmpDir("graft-del-") + "/t"
+    docs.select("doc_id", "lang")
+      .repartitionByRange(4, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.parquet(p)
+    val before = parquetChecksums(p)
+    val res = Maintenance.deleteWhere(spark, p, "doc_id", Seq(1000000L))
+    assert(res === Maintenance.DeleteResult(4, 0, 0L))
+    assert(parquetChecksums(p) === before)
+  }
+
+  // ---------------- at-rest MinHash incremental lifecycle ----------------
+
+  test("minhash index append ≡ rebuild: the served pair list equals " +
+      "minHashLshVerified over the full corpus, and the delta is " +
+      "physically at rest as gen=1 files") {
+    val p = tmpDir("graft-mh-") + "/mh"
+    val base = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    Dedup.minhashIndexWrite(base, p, n = 3, numHashes = 32, bands = 32,
+      minJ = 0.2, maxBucket = 16, minBands = 2)
+    val gen0 = Seq("dict", "membership", "banded", "reppairs")
+      .map(a => a -> parquetChecksums(s"$p/$a/gen=0")).toMap
+    Dedup.minhashIndexAppend(spark, p, batch, docs, n = 3, numHashes = 32,
+      bands = 32, minJ = 0.2, maxBucket = 16, minBands = 2)
+    // the delta landed as new gen=1 partition files; gen=0 untouched
+    Seq("dict", "membership", "banded", "reppairs").foreach { a =>
+      assert(parquetChecksums(s"$p/$a/gen=0") === gen0(a),
+        s"append must not rewrite base artifact $a")
+      assert(Files.exists(Paths.get(s"$p/$a/gen=1")),
+        s"append must land gen=1 files in $a")
+    }
+    // routing: every appended dict digest is genuinely new, and every
+    // non-empty batch doc is in the membership exactly once
+    val dict = spark.read.parquet(s"$p/dict")
+    val g0k = dict.filter(col("gen") === 0).select("k")
+    val g1k = dict.filter(col("gen") === 1).select("k")
+    assert(g1k.join(g0k, Seq("k"), "left_semi").count() === 0,
+      "a batch set matching a stored digest must adopt, not re-insert")
+    val membership = spark.read.parquet(s"$p/membership")
+    assert(membership.groupBy("doc_id").count().filter(col("count") > 1)
+      .count() === 0)
+    // serve ≡ rebuild, exactly (same jaccard arithmetic on both paths)
+    def key(df: DataFrame): Map[(Long, Long), Double] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val served = key(Dedup.minhashServePairs(spark, p))
+    val rebuilt = key(Dedup.minHashLshVerified(docs, n = 3, numHashes = 32,
+      bands = 32, minJ = 0.2, maxBucket = 16, minBands = 2))
+    assert(served.keySet === rebuilt.keySet)
+    served.keySet.foreach(k => assert(served(k) === rebuilt(k),
+      s"jaccard must be identical for $k"))
+    assert(served.nonEmpty)
+  }
+
+  // ---------------- transaction-log table ----------------
+
+  test("txlog lifecycle: atomic commits, time travel, logged delete " +
+      "keeps history, compaction is logically invisible, vacuum " +
+      "reclaims with a retention floor") {
+    import graft.ops.TxLog
+    val root = tmpDir("graft-txlog-") + "/t"
+    TxLog.init(root)
+    val d = docs.select("doc_id", "lang")
+    val v0 = TxLog.append(spark, root, d.filter(col("doc_id") < 400))
+    val v1 = TxLog.append(spark, root, d.filter(col("doc_id") >= 400))
+    assert((v0, v1) === (0L, 1L))
+    val n = d.count()
+    assert(TxLog.snapshot(spark, root, Some(0L)).count() === 400)
+    assert(TxLog.snapshot(spark, root).count() === n)
+
+    val beforeDelete = TxLog.resolve(root).files
+    val v2 = TxLog.deleteWhere(spark, root, "doc_id", Seq(7L, 8L, 42L))
+    assert(v2 === 2L)
+    assert(TxLog.snapshot(spark, root).count() === n - 3)
+    // the logged delete removed files from the LOG only: v1 still
+    // reads the full pre-delete corpus off the same disk
+    beforeDelete.foreach(f =>
+      assert(Files.exists(Paths.get(root, f)), s"history file $f must stay"))
+    assert(TxLog.snapshot(spark, root, Some(1L)).count() === n)
+
+    val v3 = TxLog.compact(spark, root, targetBytes = 64L << 20)
+    assert(v3 === 3L)
+    val head = TxLog.resolve(root)
+    assert(head.files.size === 1, s"compaction must bin-pack: $head")
+    // logically invisible: same rows before and after the compaction
+    def ids(v: Long): Set[Long] = TxLog.snapshot(spark, root, Some(v))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(3) === ids(2))
+    assert(!ids(3).contains(7L))
+
+    // a concurrent writer racing to an existing version must fail
+    // loudly, not overwrite the commit
+    val e = intercept[IllegalStateException] {
+      TxLog.writeCommit(root, 3L, Seq.empty, Seq.empty)
+    }
+    assert(e.getMessage.contains("conflict"))
+
+    // vacuum to the compacted version: pre-compaction files go,
+    // head still reads, vacuumed versions refuse loudly
+    val removed = TxLog.vacuum(root, retainFrom = 3L)
+    assert(removed > 0)
+    assert(TxLog.snapshot(spark, root).count() === n - 3)
+    assert(intercept[IllegalArgumentException] {
+      TxLog.snapshot(spark, root, Some(1L))
+    }.getMessage.contains("not in txlog"))
+  }
+
+  test("q_timetravel (the driver entry itself) reads two versions of " +
+      "one at-rest table") {
+    val df = SparkEntry.queries("q_timetravel")(spark, testdata)
+    val bySnap = df.groupBy("snap").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val n = docs.count()
+    assert(bySnap === Map("v1" -> n, "head" -> (n - 3)))
+  }
+
+  test("dedup_minhash_incremental (the driver entry itself) matches " +
+      "dedup_minhash exactly") {
+    def rows(name: String): Set[(Long, Long, Double)] =
+      SparkEntry.queries(name)(spark, testdata)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inc = rows("dedup_minhash_incremental")
+    assert(inc.nonEmpty)
+    assert(inc === rows("dedup_minhash"))
+  }
+}

@@ -738,6 +738,118 @@ object Scratch {
                 (if (kinds == Map("image" -> 1000L, "audio" -> 1000L,
                        "binary" -> 1000L) && nIds == nFiles) "OK"
                  else "MISMATCH"))
+            case "minhashappend" =>
+              // at-rest MinHash lifecycle at 20x: base = copies 0..15
+              // (80k docs), batch = copies 16..19 (pure bitwise
+              // copies — every set already in the dict, so routing
+              // must ADOPT all of them and mint zero new digests) plus
+              // planted near-dup edits (3 appended tokens) that MUST
+              // become gen=1 reps and pair with their originals. The
+              // whole append+serve is re-run from a copied base index
+              // under repartition(7) vs (64) — output must be
+              // identical (exceptAll 0/0 both ways)
+              val base16 = (0 until 16).map(i => base.withColumn("doc_id",
+                  col("doc_id") + lit(i * 1000000L))).reduce(_ unionByName _)
+              val copies = (16 until 20).map(i => base.withColumn("doc_id",
+                  col("doc_id") + lit(i * 1000000L))).reduce(_ unionByName _)
+              // the appended third token carries the doc_id so two
+              // edits of EXACT-DUPLICATE originals still form distinct
+              // new sets (the corpus plants exact dups)
+              val edited = base.filter(col("doc_id") % 100 === 1)
+                .withColumn("doc_id", col("doc_id") + lit(20000000L))
+                .withColumn("text",
+                  concat(col("text"), lit(" zzalpha zzbeta zz"),
+                    col("doc_id").cast("string")))
+              val batchMh = copies.unionByName(edited).localCheckpoint(true)
+              val nBatch = batchMh.count()
+              val nEdited = edited.count()
+              val rootMh = java.nio.file.Files
+                .createTempDirectory("graft-mhapp-")
+              val basePath = s"$rootMh/base"
+              val t0m = System.nanoTime()
+              ops.Dedup.minhashIndexWrite(base16, basePath, 3, 32, 32,
+                0.2, 16, 2)
+              val secBuild = (System.nanoTime() - t0m) / 1e9
+              def copyTree(from: String, to: String): Unit = {
+                val src = java.nio.file.Paths.get(from)
+                java.nio.file.Files.walk(src).forEach { f =>
+                  val dst = java.nio.file.Paths.get(to)
+                    .resolve(src.relativize(f))
+                  if (java.nio.file.Files.isDirectory(f))
+                    java.nio.file.Files.createDirectories(dst)
+                  else java.nio.file.Files.copy(f, dst)
+                }
+              }
+              def appendServe(parts: Int): (String, Long, Long) = {
+                val p = s"$rootMh/idx$parts"
+                copyTree(basePath, p)
+                ops.Dedup.minhashIndexAppend(spark, p,
+                  batchMh.repartition(parts), base16.unionByName(batchMh),
+                  3, 32, 32, 0.2, 16, 2)
+                val newDigests = spark.read.parquet(s"$p/dict")
+                  .filter(col("gen") === 1).count()
+                val adoptedRows = spark.read.parquet(s"$p/membership")
+                  .filter(col("gen") === 1).count()
+                (p, newDigests, adoptedRows)
+              }
+              val t1m = System.nanoTime()
+              val (pa, newA, memA) = appendServe(7)
+              val secApp = (System.nanoTime() - t1m) / 1e9
+              val (pb, newB, memB) = appendServe(64)
+              val servedA = ops.Dedup.minhashServePairs(spark, pa)
+              val servedB = ops.Dedup.minhashServePairs(spark, pb)
+              val onlyA = servedA.exceptAll(servedB).count()
+              val onlyB = servedB.exceptAll(servedA).count()
+              // every planted edit must pair with its original at the
+              // appended-tokens jaccard (high), through gen=1 reps
+              val editPairs = servedA
+                .filter(col("doc_b") >= 20000000L && col("doc_a") < 16000000L)
+                .select((col("doc_b") - 20000000L).as("orig"), col("doc_a"))
+                .filter(col("orig") === col("doc_a") % 1000000L)
+                .select("orig").distinct().count()
+              println(f"build=$secBuild%.1fs append=$secApp%.1fs " +
+                f"batch=$nBatch newDigests=$newA adopted=$memA " +
+                f"editPairs=$editPairs/$nEdited " +
+                (if (newA == nEdited && newB == nEdited && memA == nBatch &&
+                     memB == memA && onlyA == 0 && onlyB == 0 &&
+                     editPairs == nEdited) "OK" else "MISMATCH"))
+            case "targeteddelete" =>
+              // copy-on-write delete at 20x: 100k rows over 40 range
+              // files; five keys scattered across the id range must
+              // rewrite at most five files, every other file must stay
+              // byte-identical (same name + same bytes)
+              val p = java.nio.file.Files
+                .createTempDirectory("graft-delstress-").toString + "/t"
+              big.select("doc_id", "lang", "n_chars")
+                .repartitionByRange(40, col("doc_id"))
+                .sortWithinPartitions("doc_id")
+                .write.parquet(p)
+              def sums(dir: String): Map[String, Long] = {
+                import scala.jdk.CollectionConverters._
+                java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+                  .iterator().asScala
+                  .filter(_.getFileName.toString.endsWith(".parquet"))
+                  .map(f => f.getFileName.toString ->
+                    java.util.Arrays.hashCode(
+                      java.nio.file.Files.readAllBytes(f)).toLong)
+                  .toMap
+              }
+              val before = sums(p)
+              val keys = Seq(5L, 1000003L, 7000042L, 15000099L, 19000001L)
+              val t0d = System.nanoTime()
+              val res = ops.Maintenance.deleteWhere(spark, p, "doc_id", keys)
+              val secD = (System.nanoTime() - t0d) / 1e9
+              val after = sums(p)
+              val untouched = before.keySet.intersect(after.keySet)
+              val identical = untouched.forall(f => before(f) == after(f))
+              val nLeft = spark.read.parquet(p).count()
+              println(f"files=${before.size} rewritten=${res.filesRewritten} " +
+                f"deleted=${res.rowsDeleted} sec=$secD%.2f " +
+                (if (res.rowsDeleted == keys.size &&
+                     res.filesRewritten <= keys.size &&
+                     untouched.size == before.size - res.filesRewritten &&
+                     identical && nLeft == 100000L - keys.size) "OK"
+                 else "MISMATCH"))
           }
         } else if (n == "idx-stem-nopersist") {
           search.Indexer.postings(search.Indexer.documents(spark, sfDir))
