@@ -1491,6 +1491,17 @@ object SparkEntry {
         .unionByName(graft.ops.TxLog.snapshot(s, p).select("doc_id")
           .withColumn("snap", lit("head")))
     }),
+    // log-based CDC from v0 (the 80% base append) to head: the second
+    // append surfaces as inserts, the copy-on-write delete as exactly
+    // its three deleted rows, and the compaction commit cancels out of
+    // the net file algebra entirely — all computed from the files the
+    // log says changed, never a table rescan
+    "q_table_changes" -> ((s, dir) => {
+      val p = txlogTable(s, dir)
+      graft.ops.TxLog.changesBetween(s, p, 0L,
+          graft.ops.TxLog.resolve(p).version)
+        .select("doc_id", "lang", "n_chars", "change")
+    }),
     // PageRank power iteration (3 rounds, d=0.85) over the undirected
     // customer-supplier trade graph; each round is one edge-join +
     // one aggregation with a checkpointed rank vector (flat plans) —
@@ -4126,6 +4137,15 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, 'head' AS snap FROM documents
         |WHERE doc_id NOT IN (7, 8, 42)""".stripMargin,
+    // v0→head net change: the 20% append inserts (none of the deleted
+    // keys are ≡0 mod 5, so no overlap), the delete removes its three
+    // rows, the compaction contributes nothing
+    "q_table_changes" ->
+      """SELECT doc_id, lang, n_chars, 'insert' AS change FROM documents
+        |WHERE doc_id % 5 = 0
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars, 'delete' AS change FROM documents
+        |WHERE doc_id IN (7, 8, 42)""".stripMargin,
     "q_pagerank" ->
       // three unrolled power-iteration rounds; (1.0 - 0.85) is spelled
       // as the same IEEE subtraction the Spark side computes

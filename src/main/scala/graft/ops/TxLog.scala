@@ -67,12 +67,14 @@ object TxLog {
 
   private[graft] def writeCommit(root: String, version: Long,
                                  adds: Seq[String],
-                                 removes: Seq[String]): Unit = {
+                                 removes: Seq[String],
+                                 batchId: Option[Long] = None): Unit = {
     (adds ++ removes).foreach(p =>
       require(SafePath.matches(p), s"unsafe path in commit: $p"))
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val bid = batchId.map(b => s""","batchId":$b""").getOrElse("")
     val json =
-      s"""{"v":$version,"adds":${arr(adds)},"removes":${arr(removes)}}"""
+      s"""{"v":$version,"adds":${arr(adds)},"removes":${arr(removes)}$bid}"""
     val tmp = Paths.get(logDir(root), s".tmp-${UUID.randomUUID()}")
     Files.writeString(tmp, json)
     try {
@@ -209,6 +211,77 @@ object TxLog {
       spark.read.parquet(snap.files.map(f => s"$root/$f"): _*).coalesce(n))
     writeCommit(root, snap.version + 1, adds, snap.files)
     snap.version + 1
+  }
+
+  /** Stream-source batch ids already committed to the log (from the
+    * commits' optional `batchId` field) — the idempotency ledger for
+    * [[streamingAppend]].
+    */
+  def committedBatchIds(root: String): Set[Long] =
+    versionsOnDisk(root).flatMap { v =>
+      """"batchId":(\d+)""".r
+        .findFirstMatchIn(
+          Files.readString(Paths.get(logDir(root), f"$v%08d.json")))
+        .map(_.group(1).toLong)
+    }.toSet
+
+  /** Commit one micro-batch idempotently: a batch id already present
+    * in the log is a REPLAY (Structured Streaming re-delivers the
+    * last batch after a failure) and must not land twice — the check
+    * here plus the version-conflict guard in [[writeCommit]] give the
+    * foreachBatch sink exactly-once table semantics, the same
+    * txn-ledger idea as the Delta streaming sink. Returns the
+    * committed version, or None when the batch was a replay.
+    */
+  def commitBatch(spark: SparkSession, root: String, batch: DataFrame,
+                  batchId: Long): Option[Long] = {
+    if (committedBatchIds(root).contains(batchId)) return None
+    val adds = stage(spark, root, batch)
+    val next = versionsOnDisk(root).lastOption.map(_ + 1).getOrElse(0L)
+    writeCommit(root, next, adds, Seq.empty, Some(batchId))
+    Some(next)
+  }
+
+  /** Continuous ingestion INTO the log: every micro-batch becomes an
+    * atomic, idempotent table version via [[commitBatch]]. Callers
+    * own the query lifecycle (start/stop/await).
+    */
+  def streamingAppend(df: DataFrame, root: String,
+                      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatch(batch.sparkSession, root, batch, batchId): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** Log-based change-data-capture between two versions: rows added
+    * and removed, computed from the CHANGED FILES ONLY — the log names
+    * exactly which files each interval touched, so the diff never
+    * rescans the table (at 100 TB, diffing two snapshots by content is
+    * a full double scan; diffing by log is proportional to the
+    * change). The net multiset algebra `added \ removed` /
+    * `removed \ added` makes rewrites that move rows between files —
+    * compaction, copy-on-write survivor rewrites — cancel out, so a
+    * compaction interval reports zero changes and a targeted delete
+    * reports exactly the deleted rows.
+    */
+  def changesBetween(spark: SparkSession, root: String, fromV: Long,
+                     toV: Long): DataFrame = {
+    require(fromV <= toV, s"changesBetween: $fromV > $toV")
+    val from = resolve(root, Some(fromV)).files.toSet
+    val to = resolve(root, Some(toV)).files.toSet
+    val addedF = (to -- from).toSeq.sorted
+    val removedF = (from -- to).toSeq.sorted
+    def read(fs: Seq[String]): DataFrame =
+      if (fs.nonEmpty) spark.read.parquet(fs.map(f => s"$root/$f"): _*)
+      else snapshot(spark, root, Some(toV)).limit(0)
+    val added = read(addedF)
+    val removed = read(removedF)
+    added.exceptAll(removed).withColumn("change", lit("insert"))
+      .unionByName(removed.exceptAll(added)
+        .withColumn("change", lit("delete")))
   }
 
   /** Physically remove data files unreferenced by every version >=

@@ -226,6 +226,65 @@ class RoundTwentyFourSpec extends AnyFunSuite {
     }.getMessage.contains("not in txlog"))
   }
 
+  test("streamingAppend commits each micro-batch atomically and " +
+      "replays idempotently (exactly-once table semantics)") {
+    import graft.ops.TxLog
+    val root0 = tmpDir("graft-txstream-")
+    val in = s"$root0/in"; val table = s"$root0/t"; val ckpt = s"$root0/ckpt"
+    Files.createDirectories(Paths.get(in))
+    TxLog.init(table)
+    val d = docs.select("doc_id", "lang")
+    def stageFile(name: String, df: DataFrame): Unit = {
+      val tmp = s"$root0/__$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(in, s"$name.parquet"))
+    }
+    stageFile("b0", d.filter(col("doc_id") < 250))
+    stageFile("b1", d.filter(col("doc_id") >= 250))
+    val stream = spark.readStream.schema(d.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = TxLog.streamingAppend(stream, table, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    assert(TxLog.snapshot(spark, table).count() === d.count())
+    val vBefore = TxLog.resolve(table).version
+    assert(vBefore === 1L, "two files at one per trigger = two commits")
+    val usedIds = TxLog.committedBatchIds(table)
+    assert(usedIds === Set(0L, 1L))
+    // a re-delivered batch (same batchId, fresh frame) must be a no-op
+    assert(TxLog.commitBatch(spark, table,
+      d.filter(col("doc_id") < 250), usedIds.max).isEmpty)
+    assert(TxLog.resolve(table).version === vBefore)
+    assert(TxLog.snapshot(spark, table).count() === d.count())
+    // a genuinely new batch commits
+    assert(TxLog.commitBatch(spark, table,
+      d.filter(col("doc_id") === 0), 99L).contains(2L))
+    assert(TxLog.snapshot(spark, table).count() === d.count() + 1)
+  }
+
+  test("changesBetween reads changed files only and reports net row " +
+      "changes: compaction intervals are empty, delete intervals are " +
+      "exactly the deleted rows") {
+    import graft.ops.TxLog
+    val root = tmpDir("graft-txcdc-") + "/t"
+    TxLog.init(root)
+    val d = docs.select("doc_id", "lang")
+    TxLog.append(spark, root, d.filter(col("doc_id") < 400))
+    TxLog.append(spark, root, d.filter(col("doc_id") >= 400))
+    TxLog.deleteWhere(spark, root, "doc_id", Seq(5L))
+    TxLog.compact(spark, root, 64L << 20)
+    assert(TxLog.changesBetween(spark, root, 2L, 3L).count() === 0,
+      "a compaction moves rows between files but changes nothing")
+    val del = TxLog.changesBetween(spark, root, 1L, 2L).collect()
+    assert(del.length === 1 && del(0).getLong(0) === 5L &&
+      del(0).getString(2) === "delete")
+    val full = TxLog.changesBetween(spark, root, 0L, 3L)
+    assert(full.filter(col("change") === "insert").count() === 100)
+    assert(full.filter(col("change") === "delete").collect()
+      .map(_.getLong(0)).toSeq === Seq(5L))
+  }
+
   test("q_timetravel (the driver entry itself) reads two versions of " +
       "one at-rest table") {
     val df = SparkEntry.queries("q_timetravel")(spark, testdata)
