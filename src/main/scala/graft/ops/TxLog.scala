@@ -131,7 +131,13 @@ object TxLog {
     val snap = resolve(root, version)
     require(snap.files.nonEmpty,
       s"version ${snap.version} of $root has no live files")
-    spark.read.parquet(snap.files.map(f => s"$root/$f"): _*)
+    // mergeSchema: commits may evolve the schema (append with new
+    // columns); older files read the missing columns as null. At
+    // production scale the merged schema would live IN the log
+    // (Delta's metadata action) instead of being re-derived from
+    // footers — the semantics are the same
+    spark.read.option("mergeSchema", "true")
+      .parquet(snap.files.map(f => s"$root/$f"): _*)
   }
 
   /** Stage `df` as new immutable data files and return their relative
@@ -274,11 +280,24 @@ object TxLog {
     val to = resolve(root, Some(toV)).files.toSet
     val addedF = (to -- from).toSeq.sorted
     val removedF = (from -- to).toSeq.sorted
-    def read(fs: Seq[String]): DataFrame =
-      if (fs.nonEmpty) spark.read.parquet(fs.map(f => s"$root/$f"): _*)
-      else snapshot(spark, root, Some(toV)).limit(0)
-    val added = read(addedF)
-    val removed = read(removedF)
+    if (addedF.isEmpty && removedF.isEmpty) {
+      val empty = snapshot(spark, root, Some(toV)).limit(0)
+      return empty.withColumn("change", lit(""))
+    }
+    // ONE read over the union of changed files (mergeSchema unifies an
+    // evolved schema across the interval), then split by which side of
+    // the diff each file is on — so the two excepts compare identical
+    // schemas even when the interval added columns. Files are keyed by
+    // NAME: data-file names are UUID-unique by construction, and the
+    // name dodges the file-URI scheme variance of `file_path`
+    val addedNames = addedF.map(f => Paths.get(f).getFileName.toString)
+    val all = spark.read.option("mergeSchema", "true")
+      .parquet((addedF ++ removedF).map(f => s"$root/$f"): _*)
+      .withColumn("__added",
+        element_at(split(col("_metadata.file_path"), "/"), -1)
+          .isin(addedNames: _*))
+    val added = all.filter(col("__added")).drop("__added")
+    val removed = all.filter(!col("__added")).drop("__added")
     added.exceptAll(removed).withColumn("change", lit("insert"))
       .unionByName(removed.exceptAll(added)
         .withColumn("change", lit("delete")))

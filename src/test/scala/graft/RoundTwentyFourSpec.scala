@@ -285,6 +285,30 @@ class RoundTwentyFourSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSeq === Seq(5L))
   }
 
+  test("txlog schema evolution: a commit may add columns — old files " +
+      "read them as null, time travel keeps the old shape, CDC spans " +
+      "the change") {
+    import graft.ops.TxLog
+    val root = tmpDir("graft-txschema-") + "/t"
+    TxLog.init(root)
+    TxLog.append(spark, root,
+      docs.select("doc_id", "lang").filter(col("doc_id") < 100))
+    TxLog.append(spark, root,
+      docs.select("doc_id", "lang", "n_chars").filter(col("doc_id") >= 100))
+    val head = TxLog.snapshot(spark, root)
+    assert(head.columns.sorted.toSeq === Seq("doc_id", "lang", "n_chars"))
+    assert(head.filter(col("doc_id") < 100 && col("n_chars").isNull)
+      .count() === 100)
+    assert(head.filter(col("doc_id") >= 100 && col("n_chars").isNotNull)
+      .count() === 400)
+    assert(TxLog.snapshot(spark, root, Some(0L)).columns.sorted.toSeq ===
+      Seq("doc_id", "lang"))
+    val ch = TxLog.changesBetween(spark, root, 0L, 1L)
+    assert(ch.columns.contains("n_chars"))
+    assert(ch.filter(col("change") === "insert").count() === 400)
+    assert(ch.filter(col("change") === "delete").count() === 0)
+  }
+
   test("q_timetravel (the driver entry itself) reads two versions of " +
       "one at-rest table") {
     val df = SparkEntry.queries("q_timetravel")(spark, testdata)

@@ -850,6 +850,36 @@ object Scratch {
                      untouched.size == before.size - res.filesRewritten &&
                      identical && nLeft == 100000L - keys.size) "OK"
                  else "MISMATCH"))
+            case "txlog" =>
+              // transaction-log table at 20x: 20 append commits
+              // (100k rows), a logged delete, a compaction — then time
+              // travel to the middle, the head count, and log-based
+              // CDC over the delete+compact interval (exactly the five
+              // deleted rows, compaction cancelled out)
+              val rootT = java.nio.file.Files
+                .createTempDirectory("graft-txstress-").toString + "/t"
+              ops.TxLog.init(rootT)
+              val t0t = System.nanoTime()
+              (0 until 20).foreach { i =>
+                ops.TxLog.append(spark, rootT, base
+                  .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+                  .select("doc_id", "lang", "n_chars"))
+              }
+              val keysT = Seq(5L, 1000003L, 7000042L, 15000099L, 19000001L)
+              ops.TxLog.deleteWhere(spark, rootT, "doc_id", keysT)
+              ops.TxLog.compact(spark, rootT, 64L << 20)
+              val secT = (System.nanoTime() - t0t) / 1e9
+              val headT = ops.TxLog.resolve(rootT)
+              val nHead = ops.TxLog.snapshot(spark, rootT).count()
+              val nV9 = ops.TxLog.snapshot(spark, rootT, Some(9L)).count()
+              val cdc = ops.TxLog.changesBetween(spark, rootT, 19L, 21L)
+              val nDelT = cdc.filter(col("change") === "delete").count()
+              val nInsT = cdc.filter(col("change") === "insert").count()
+              println(f"versions=${headT.version + 1} sec=$secT%.1f " +
+                f"head=$nHead v9=$nV9 cdc=$nInsT/$nDelT " +
+                (if (headT.version == 21L && nHead == 100000L - 5 &&
+                     nV9 == 50000L && nDelT == 5 && nInsT == 0) "OK"
+                 else "MISMATCH"))
           }
         } else if (n == "idx-stem-nopersist") {
           search.Indexer.postings(search.Indexer.documents(spark, sfDir))
