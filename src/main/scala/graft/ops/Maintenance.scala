@@ -110,6 +110,15 @@ object Maintenance {
       .groupBy("f").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     if (affected.isEmpty) return DeleteResult(nTotal, 0, 0L)
+    // flat layouts only: replacement files land directly under `root`,
+    // so a hit inside a partition subdirectory would silently lose its
+    // partition values on rewrite — refuse instead
+    affected.foreach { case (f, _) =>
+      val parent = new Path(new java.net.URI(f)).getParent
+      require(fs.makeQualified(parent) == fs.makeQualified(root),
+        s"deleteWhere supports flat parquet layouts only; $f sits in a " +
+          "partition subdirectory (rewrite would drop its partition values)")
+    }
     val rowsDeleted = affected.map(_._2).sum
     val tmp = new Path(root.getParent, root.getName + "__delete_tmp")
     spark.read.parquet(affected.map(_._1): _*)

@@ -85,11 +85,14 @@ object SearchEngine {
     * shuffles only the pruned slice. The index has one row per
     * (term, doc), so `count(*)` is the distinct matched-term count.
     */
-  def searchPrefix(prefix: String, index: DataFrame): DataFrame =
+  def searchPrefix(prefix: String, index: DataFrame): DataFrame = {
+    require(prefix.nonEmpty,
+      "searchPrefix: empty prefix would scan and sum the whole index")
     index.filter(col("term").startsWith(prefix))
       .groupBy("doc_id")
       .agg(sum("score").as("score"), count(lit(1)).as("n_terms"))
       .orderBy(desc("score"), asc("doc_id"))
+  }
 
   /** Batch retrieval: evaluate N queries as one unioned plan, results
     * tagged by query string. The reference runs a full MapReduce job

@@ -309,6 +309,54 @@ class RoundTwentyFourSpec extends AnyFunSuite {
     assert(ch.filter(col("change") === "delete").count() === 0)
   }
 
+  test("txlog differential fuzz: 40 random append/delete/compact ops " +
+      "track an in-memory model at head AND at every historical version") {
+    import graft.ops.TxLog
+    val rnd = new scala.util.Random(20260815L)
+    val root = tmpDir("graft-txfuzz-") + "/t"
+    TxLog.init(root)
+    val s = spark
+    import s.implicits._
+    var nextId = 0L
+    // model: the expected id set after each committed version
+    val history = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    var live = Set.empty[Long]
+    (0 until 40).foreach { _ =>
+      rnd.nextInt(4) match {
+        case 0 | 1 => // append 1..50 fresh ids
+          val k = 1 + rnd.nextInt(50)
+          val ids = (nextId until nextId + k).toSet
+          nextId += k
+          TxLog.append(spark, root,
+            ids.toSeq.sorted.toDF("doc_id"))
+          live ++= ids
+          history += live
+        case 2 if live.nonEmpty => // delete up to 5 existing ids
+          val victims = rnd.shuffle(live.toSeq).take(1 + rnd.nextInt(5))
+          TxLog.deleteWhere(spark, root, "doc_id", victims)
+          live --= victims
+          history += live
+        case 3 if live.nonEmpty => // compact (logical no-op)
+          TxLog.compact(spark, root, 1L << 20)
+          history += live
+        case _ => // delete/compact on an empty table: skip
+      }
+      // head always matches the model
+      if (live.nonEmpty)
+        assert(TxLog.snapshot(spark, root).select("doc_id")
+          .collect().map(_.getLong(0)).toSet === live)
+    }
+    // every historical version still replays to its recorded state
+    history.zipWithIndex.foreach { case (expect, v) =>
+      if (expect.nonEmpty)
+        assert(TxLog.snapshot(spark, root, Some(v.toLong)).select("doc_id")
+          .collect().map(_.getLong(0)).toSet === expect,
+          s"version $v must replay to its model state")
+      assert(TxLog.resolve(root, Some(v.toLong)).version === v.toLong)
+    }
+    assert(history.size >= 20, "fuzz must exercise a real op mix")
+  }
+
   test("q_timetravel (the driver entry itself) reads two versions of " +
       "one at-rest table") {
     val df = SparkEntry.queries("q_timetravel")(spark, testdata)
