@@ -637,6 +637,34 @@ object SparkEntry {
       p
     })
 
+  /** The logged-MERGE lifecycle, one per (session, sf dir): documents
+    * appended key-clustered (range layout, so the merge's stats-pruned
+    * hit discovery touches few files), then one [[graft.ops.TxLog
+    * .upsert]] commit (10% of keys updated in place + 2% new keys
+    * appended), then an `OPTIMIZE ZORDER` commit — which must be
+    * logically invisible, so `q_txlog_merge`'s oracle pins the merge
+    * AND the optimize in one read.
+    */
+  private val txlogMergeCache = new SessionCache[String]
+
+  private def txlogMergeTable(s: SparkSession, dir: String): String =
+    txlogMergeCache.getOrElseUpdate(s, dir, {
+      val p = s"${annTmp()}/txmerge"
+      graft.ops.TxLog.init(p)
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      graft.ops.TxLog.append(s, p,
+        docs.repartitionByRange(8, col("doc_id"))
+          .sortWithinPartitions("doc_id"))
+      val updates = docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+        .withColumn("lang", lit("xx"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            lit("new").as("lang"), col("n_chars")))
+      graft.ops.TxLog.upsert(s, p, updates, "doc_id")
+      graft.ops.TxLog.optimize(s, p, Seq("doc_id"), numFiles = 4)
+      p
+    })
+
   /** The MinHash dedup index lifecycle at rest, one per (session, sf
     * dir) — the third index family physically completed next to the
     * inverted index and IVF: build the rep-level artifacts (dict /
@@ -1491,6 +1519,12 @@ object SparkEntry {
         .unionByName(graft.ops.TxLog.snapshot(s, p).select("doc_id")
           .withColumn("snap", lit("head")))
     }),
+    // MERGE INTO + OPTIMIZE as commits: updates replace same-key rows,
+    // new keys append, and the Z-order rewrite that follows must not
+    // move a value — one snapshot read pins all three commits
+    "q_txlog_merge" -> ((s, dir) =>
+      graft.ops.TxLog.snapshot(s, txlogMergeTable(s, dir))
+        .select("doc_id", "lang", "n_chars")),
     // log-based CDC from v0 (the 80% base append) to head: the second
     // append surfaces as inserts, the copy-on-write delete as exactly
     // its three deleted rows, and the compaction commit cancels out of
@@ -4137,6 +4171,17 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, 'head' AS snap FROM documents
         |WHERE doc_id NOT IN (7, 8, 42)""".stripMargin,
+    // merge semantics spelled out: updated keys take the new lang, new
+    // keys append, everything else unchanged — and the optimize commit
+    // after the merge must leave all of it untouched
+    "q_txlog_merge" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 10 = 3 THEN 'xx' ELSE lang END AS lang,
+        |       n_chars
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS doc_id, 'new' AS lang, n_chars
+        |FROM documents WHERE doc_id % 50 = 0""".stripMargin,
     // v0→head net change: the 20% append inserts (none of the deleted
     // keys are ≡0 mod 5, so no overlap), the delete removes its three
     // rows, the compaction contributes nothing

@@ -202,6 +202,58 @@ object TxLog {
     next
   }
 
+  /** MERGE INTO as a commit (logged upsert): rows of `updates` replace
+    * same-key rows, unmatched keys append — the most-used lakehouse
+    * mutation, in its copy-on-write form. Only the files that CONTAIN
+    * a matched key are rewritten (hit discovery is a stats-pruned
+    * semi-join, so on a key-clustered layout — sorted or
+    * [[optimize]]d — a small update touches a small file set); rows in
+    * every other file are untouched on disk. `updates` must be unique
+    * per key and share the table's schema (the caller pre-reduces a
+    * CDC stream, same contract as [[Maintenance.upsert]]).
+    */
+  def upsert(spark: SparkSession, root: String, updates: DataFrame,
+             keyCol: String): Long = {
+    val snap = resolve(root)
+    val keys = updates.select(keyCol).distinct()
+    // _metadata resolves only on the scan itself — project it before
+    // the semi-join
+    val hitAbs = spark.read.option("mergeSchema", "true")
+      .parquet(snap.files.map(f => s"$root/$f"): _*)
+      .select(col(keyCol), col("_metadata.file_path").as("__f"))
+      .join(keys, Seq(keyCol), "left_semi")
+      .select("__f").distinct().collect().map(_.getString(0))
+    val survivors =
+      if (hitAbs.isEmpty) updates.limit(0)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(hitAbs.toIndexedSeq: _*)
+        .join(keys, Seq(keyCol), "left_anti")
+    val adds = stage(spark, root, survivors.unionByName(updates))
+    val removes = hitAbs.toSeq.map { u =>
+      val p = Paths.get(new java.net.URI(u)).toString
+      p.stripPrefix(Paths.get(root).toAbsolutePath.toString + "/")
+    }
+    writeCommit(root, snap.version + 1, adds, removes)
+    snap.version + 1
+  }
+
+  /** OPTIMIZE ZORDER BY as a commit: rewrite the live set Z-ordered on
+    * `cols` ([[Maintenance.zorderLayout]]) and publish the layout
+    * atomically — logically a no-op (a [[changesBetween]] over the
+    * interval is empty), physically the clustering that makes later
+    * key predicates, [[deleteWhere]] hit discovery, and [[upsert]]
+    * rewrites prune to few files. History before the rewrite stays
+    * readable.
+    */
+  def optimize(spark: SparkSession, root: String, cols: Seq[String],
+               numFiles: Int): Long = {
+    val snap = resolve(root)
+    val adds = stage(spark, root,
+      Maintenance.zorderLayout(snapshot(spark, root), cols, numFiles))
+    writeCommit(root, snap.version + 1, adds, snap.files)
+    snap.version + 1
+  }
+
   /** Compaction as a commit: bin-pack the live files toward
     * `targetBytes` and publish the packed files while REMOVING every
     * previous live file — logically a no-op (same rows), physically

@@ -309,6 +309,49 @@ class RoundTwentyFourSpec extends AnyFunSuite {
     assert(ch.filter(col("change") === "delete").count() === 0)
   }
 
+  test("txlog upsert rewrites only key-hit files and optimize is a " +
+      "logically empty commit that re-clusters the layout") {
+    import graft.ops.TxLog
+    val root = tmpDir("graft-txmerge-") + "/t"
+    TxLog.init(root)
+    val d = docs.select("doc_id", "lang")
+    TxLog.append(spark, root,
+      d.repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id"))
+    val filesV0 = TxLog.resolve(root).files.toSet
+    assert(filesV0.size === 8)
+    val s = spark
+    import s.implicits._
+    // two updated keys in the same low range file + one brand-new key
+    val updates = Seq((3L, "up"), (7L, "up"), (9999L, "new"))
+      .toDF("doc_id", "lang")
+    val v1 = TxLog.upsert(spark, root, updates, "doc_id")
+    val rewritten = filesV0 -- TxLog.resolve(root).files.toSet
+    assert(rewritten.size === 1,
+      s"keys 3 and 7 live in one range file; got $rewritten")
+    val head = TxLog.snapshot(spark, root)
+    assert(head.count() === d.count() + 1)
+    assert(head.filter(col("doc_id").isin(3L, 7L, 9999L))
+      .select("lang").collect().map(_.getString(0)).toSet === Set("up", "new"))
+    // CDC over the merge interval: exactly the replaced + new rows
+    val ch = TxLog.changesBetween(spark, root, 0L, v1)
+    assert(ch.filter(col("change") === "insert").count() === 3)
+    assert(ch.filter(col("change") === "delete").count() === 2)
+
+    val v2 = TxLog.optimize(spark, root, Seq("doc_id"), numFiles = 3)
+    assert(TxLog.resolve(root).files.size === 3)
+    assert(TxLog.changesBetween(spark, root, v1, v2).count() === 0,
+      "optimize must be logically invisible")
+    assert(TxLog.snapshot(spark, root).count() === d.count() + 1)
+  }
+
+  test("q_txlog_merge (the driver entry itself) pins the merge and the " +
+      "optimize in one snapshot") {
+    val df = SparkEntry.queries("q_txlog_merge")(spark, testdata)
+    val n = docs.count()
+    assert(df.count() === n + n / 50)
+    assert(df.filter(col("lang") === "xx").count() === n / 10)
+  }
+
   test("txlog differential fuzz: 40 random append/delete/compact ops " +
       "track an in-memory model at head AND at every historical version") {
     import graft.ops.TxLog
