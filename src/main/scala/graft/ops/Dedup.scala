@@ -702,10 +702,18 @@ object Dedup {
     *     (identical set ⇒ identical jaccard to everything — their
     *     pairs come free through the membership expansion);
     *  2. genuinely new sets form new groups, are banded, and appended
-    *     into `banded` as `gen=1` files;
+    *     into `banded` as a new `gen=N` generation;
     *  3. candidates = new reps × post-append population, with bucket
     *     caps computed over the SAME post-append banded table a full
-    *     rebuild would see;
+    *     rebuild would see. Pairs persisted by EARLIER generations are
+    *     not retroactively re-capped: if a batch pushes a bucket past
+    *     `maxBucket`, a from-scratch rebuild would drop that bucket's
+    *     candidates while the index keeps its already-verified pairs —
+    *     strictly MORE recall, never less, and every kept pair is
+    *     exact-verified at `minJ`, so the output stays a subset of the
+    *     true pair list either way (on the test corpora the caps sit
+    *     far from this edge and append ≡ rebuild exactly — the oracle
+    *     row asserts it every round);
     *  4. verification re-derives shingle sets from `corpus` for the
     *     candidate reps ONLY (a bounded semi-join re-read, not a
     *     corpus scan);
@@ -720,6 +728,17 @@ object Dedup {
                          n: Int = 3, numHashes: Int = 32, bands: Int = 32,
                          minJ: Double = 0.2, maxBucket: Int = 16,
                          minBands: Int = 1): Unit = {
+    // each append is its own generation — a second batch must not
+    // re-probe (and re-append) the first batch's pairs
+    val nextGen = {
+      import scala.jdk.CollectionConverters._
+      val d = java.nio.file.Paths.get(s"$path/banded")
+      val s = java.nio.file.Files.list(d)
+      try 1 + s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("gen="))
+        .map(_.stripPrefix("gen=").toInt).max
+      finally s.close()
+    }
     val dict = spark.read.parquet(s"$path/dict")
     // eager checkpoint first: an nsh filter directly on the lazy
     // projection would be pushed under it and inline the tokenizer
@@ -732,22 +751,23 @@ object Dedup {
     val newRepIds = newSets.groupBy("k").agg(min("doc_id").as("rep"))
     val newGroups = newSets.join(newRepIds, "k").localCheckpoint(true)
     writeGen(adopted.unionByName(newGroups.select("doc_id", "rep")),
-      s"$path/membership", 1)
-    writeGen(newRepIds.select("k", "rep"), s"$path/dict", 1)
+      s"$path/membership", nextGen)
+    writeGen(newRepIds.select("k", "rep"), s"$path/dict", nextGen)
     val newReps = newGroups.filter(col("doc_id") === col("rep"))
       .select(col("doc_id").as("rep"), col("sh"))
-    writeGen(bandedBuckets(newReps, numHashes, bands), s"$path/banded", 1)
+    writeGen(bandedBuckets(newReps, numHashes, bands), s"$path/banded",
+      nextGen)
     // candidates over the POST-APPEND at-rest bucket index: the delta
     // probes what the layout now physically holds
     val allBanded = spark.read.parquet(s"$path/banded")
-    val cand = cappedCandidates(allBanded.filter(col("gen") === 1),
+    val cand = cappedCandidates(allBanded.filter(col("gen") === nextGen),
       allBanded, maxBucket, minBands).localCheckpoint(true)
     val candIds = cand.select(col("rep_a").as("doc_id"))
       .unionByName(cand.select(col("rep_b").as("doc_id"))).distinct()
     val shTbl = keyedSets(
         corpus.join(candIds, Seq("doc_id"), "left_semi"), n)
       .select(col("doc_id").as("rep"), col("sh"))
-    writeGen(verifyPairs(cand, shTbl, minJ), s"$path/reppairs", 1)
+    writeGen(verifyPairs(cand, shTbl, minJ), s"$path/reppairs", nextGen)
   }
 
   /** Serve the full near-dup pair list from the at-rest index alone:

@@ -121,17 +121,27 @@ object Maintenance {
     }
     val rowsDeleted = affected.map(_._2).sum
     val tmp = new Path(root.getParent, root.getName + "__delete_tmp")
+    // NULL-safe survivor filter: `!isin` is NULL for a NULL key and a
+    // bare filter would silently erase NULL-key rows from the rewrite
     spark.read.parquet(affected.map(_._1): _*)
-      .filter(!hit)
+      .filter(col(keyCol).isNull || !hit)
       .write.mode("overwrite").parquet(tmp.toString)
-    affected.foreach { case (f, _) =>
-      fs.delete(new Path(new java.net.URI(f)), false)
-    }
+    // publish replacements BEFORE dropping originals, and fail loudly
+    // on a false rename (Hadoop FileSystems report failure by boolean,
+    // not exception): a partial failure then leaves survivor rows
+    // duplicated — recoverable — never destroyed. True atomicity is
+    // [[graft.ops.TxLog.deleteWhere]]'s job.
     val uid = java.util.UUID.randomUUID().toString.take(8)
     val parts = fs.listStatus(tmp)
       .filter(_.getPath.getName.endsWith(".parquet"))
     parts.zipWithIndex.foreach { case (st, i) =>
-      fs.rename(st.getPath, new Path(root, f"part-del-$uid-$i%05d.parquet"))
+      val target = new Path(root, f"part-del-$uid-$i%05d.parquet")
+      require(fs.rename(st.getPath, target),
+        s"deleteWhere: rename ${st.getPath} -> $target failed; " +
+          "originals left in place, survivors still in " + tmp)
+    }
+    affected.foreach { case (f, _) =>
+      fs.delete(new Path(new java.net.URI(f)), false)
     }
     fs.delete(tmp, true)
     DeleteResult(nTotal, affected.length, rowsDeleted)

@@ -50,15 +50,30 @@ object TxLog {
     Files.createDirectories(Paths.get(dataDir(root)))
   }
 
-  private def versionsOnDisk(root: String): Seq[Long] = {
+  /** `Files.list` holds a directory stream open until closed — leak
+    * one per resolve in a long-lived streaming driver and the process
+    * runs out of descriptors. Every listing goes through here.
+    */
+  private def listNames(dir: java.nio.file.Path): Seq[String] = {
     import scala.jdk.CollectionConverters._
-    val d = Paths.get(logDir(root))
-    if (!Files.exists(d)) Seq.empty
-    else Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.endsWith(".json"))
-      .map(_.stripSuffix(".json").toLong).toSeq.sorted
+    if (!Files.exists(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString).toList
+      finally s.close()
+    }
   }
+
+  private def versionsOnDisk(root: String): Seq[Long] =
+    listNames(Paths.get(logDir(root)))
+      .filter(n => n.endsWith(".json") && !n.endsWith(".checkpoint.json")
+        && !n.startsWith("."))
+      .map(_.stripSuffix(".json").toLong).sorted
+
+  private def checkpointsOnDisk(root: String): Seq[Long] =
+    listNames(Paths.get(logDir(root)))
+      .filter(_.endsWith(".checkpoint.json"))
+      .map(_.stripSuffix(".checkpoint.json").toLong).sorted
 
   // data-file names are UUID-based and commit JSON is hand-rolled, so
   // the path grammar is locked down at write time — a quote or comma
@@ -105,14 +120,25 @@ object TxLog {
     (v, arr("adds"), arr("removes"))
   }
 
-  /** Resolve the file set at `version` (latest when None). */
+  /** Resolve the file set at `version` (latest when None): start from
+    * the newest checkpoint at or below it (a [[vacuum]] writes one
+    * before truncating the log, so the replay prefix is always
+    * complete), then replay the commits after it.
+    */
   def resolve(root: String, version: Option[Long] = None): Snapshot = {
     val vs = versionsOnDisk(root)
     require(vs.nonEmpty, s"txlog at $root has no commits")
     val upTo = version.getOrElse(vs.max)
     require(vs.contains(upTo), s"version $upTo not in txlog (have $vs)")
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    vs.filter(_ <= upTo).foreach { v =>
+    val cp = checkpointsOnDisk(root).filter(_ <= upTo).lastOption
+    cp.foreach { c =>
+      val json = Files.readString(
+        Paths.get(logDir(root), f"$c%08d.checkpoint.json"))
+      val (_, files, _) = parseCommit(json)
+      files.foreach(live += _)
+    }
+    vs.filter(v => v <= upTo && cp.forall(v > _)).foreach { v =>
       val (_, adds, removes) =
         parseCommit(Files.readString(Paths.get(logDir(root), f"$v%08d.json")))
       removes.foreach(live -= _)
@@ -148,16 +174,15 @@ object TxLog {
     val uid = UUID.randomUUID().toString.take(8)
     val tmp = s"$root/_staged-$uid"
     df.write.parquet(tmp)
-    import scala.jdk.CollectionConverters._
-    val parts = Files.list(Paths.get(tmp)).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    val parts = listNames(Paths.get(tmp))
+      .filter(_.endsWith(".parquet")).sorted
     val rels = parts.zipWithIndex.map { case (p, i) =>
       val rel = f"data/part-$uid-$i%05d.parquet"
-      Files.move(p, Paths.get(root, rel))
+      Files.move(Paths.get(tmp, p), Paths.get(root, rel))
       rel
     }
     // the staging dir (with its _SUCCESS marker) is bookkeeping only
-    Files.list(Paths.get(tmp)).iterator().asScala.foreach(Files.delete)
+    listNames(Paths.get(tmp)).foreach(n => Files.delete(Paths.get(tmp, n)))
     Files.delete(Paths.get(tmp))
     rels
   }
@@ -182,7 +207,11 @@ object TxLog {
     val snap = resolve(root)
     val hit = col(keyCol).isin(keys: _*)
     val abs = snap.files.map(f => s"$root/$f")
-    val affectedAbs = spark.read.parquet(abs: _*)
+    // mergeSchema on both reads: the table may be schema-evolved and a
+    // sampled pre-evolution footer would silently drop newer columns
+    // from the rewritten survivors
+    val affectedAbs = spark.read.option("mergeSchema", "true")
+      .parquet(abs: _*)
       .filter(hit)
       .select(col("_metadata.file_path"))
       .distinct().collect().map(_.getString(0))
@@ -191,8 +220,12 @@ object TxLog {
       writeCommit(root, next, Seq.empty, Seq.empty)
       return next
     }
-    val adds = stage(spark,
-      root, spark.read.parquet(affectedAbs.toIndexedSeq: _*).filter(!hit))
+    // NULL-safe survivor filter: `!isin` is NULL for a NULL key, and a
+    // bare filter would silently erase NULL-key rows from the rewrite
+    val adds = stage(spark, root,
+      spark.read.option("mergeSchema", "true")
+        .parquet(affectedAbs.toIndexedSeq: _*)
+        .filter(col(keyCol).isNull || !hit))
     // normalize the scan's file URIs back to log-relative paths
     val removes = affectedAbs.toSeq.map { u =>
       val p = Paths.get(new java.net.URI(u)).toString
@@ -265,8 +298,10 @@ object TxLog {
     val snap = resolve(root)
     val total = snap.files.map(f => Files.size(Paths.get(root, f))).sum
     val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    val adds = stage(spark, root,
-      spark.read.parquet(snap.files.map(f => s"$root/$f"): _*).coalesce(n))
+    // snapshot(), not a raw read: the live set may be schema-evolved,
+    // and compacting through a sampled pre-evolution footer would drop
+    // the newer columns from the ONLY remaining copy of every row
+    val adds = stage(spark, root, snapshot(spark, root).coalesce(n))
     writeCommit(root, snap.version + 1, adds, snap.files)
     snap.version + 1
   }
@@ -295,9 +330,27 @@ object TxLog {
                   batchId: Long): Option[Long] = {
     if (committedBatchIds(root).contains(batchId)) return None
     val adds = stage(spark, root, batch)
-    val next = versionsOnDisk(root).lastOption.map(_ + 1).getOrElse(0L)
-    writeCommit(root, next, adds, Seq.empty, Some(batchId))
-    Some(next)
+    // the ledger check above is check-then-act: a replay racing the
+    // original could pass it and land the batch twice at DIFFERENT
+    // versions. Close the window with the commit file as the
+    // serialization point — on a version conflict, re-read the ledger
+    // (which now includes the racing commit) and either bail out as a
+    // replay or retry at the advanced version
+    var out: Option[Option[Long]] = None
+    while (out.isEmpty) {
+      val next = versionsOnDisk(root).lastOption.map(_ + 1).getOrElse(0L)
+      if (committedBatchIds(root).contains(batchId)) {
+        adds.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
+        out = Some(None)
+      } else
+        try {
+          writeCommit(root, next, adds, Seq.empty, Some(batchId))
+          out = Some(Some(next))
+        } catch {
+          case _: IllegalStateException => // conflict: loop re-checks
+        }
+    }
+    out.get
   }
 
   /** Continuous ingestion INTO the log: every micro-batch becomes an
@@ -348,8 +401,24 @@ object TxLog {
       .withColumn("__added",
         element_at(split(col("_metadata.file_path"), "/"), -1)
           .isin(addedNames: _*))
-    val added = all.filter(col("__added")).drop("__added")
-    val removed = all.filter(!col("__added")).drop("__added")
+    val added0 = all.filter(col("__added")).drop("__added")
+    val removed0 = all.filter(!col("__added")).drop("__added")
+    // align to the TABLE's schema at toV, not the changed files': an
+    // interval touching only pre-evolution files would otherwise come
+    // back without the newer columns and break CDC consumers selecting
+    // the table shape. (A fully-deleted toV has no schema to align to
+    // — the changed-file schema is then all there is.)
+    val tgt =
+      if (resolve(root, Some(toV)).files.nonEmpty)
+        snapshot(spark, root, Some(toV)).schema
+      else added0.schema
+    def align(df: DataFrame): DataFrame =
+      df.select(tgt.fields.toIndexedSeq.map { f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    val added = align(added0)
+    val removed = align(removed0)
     added.exceptAll(removed).withColumn("change", lit("insert"))
       .unionByName(removed.exceptAll(added)
         .withColumn("change", lit("delete")))
@@ -358,7 +427,11 @@ object TxLog {
   /** Physically remove data files unreferenced by every version >=
     * `retainFrom` (and drop the older commit files): the explicit,
     * retention-floored reclamation step. Returns the removed file
-    * count. Time travel to versions >= `retainFrom` is unaffected;
+    * count. Before truncating the log, the FULL live set at
+    * `retainFrom` is written as a checkpoint — without it, any
+    * retained version still referencing a file added by a truncated
+    * commit would silently lose it on replay (the prefix would be
+    * gone). Time travel to versions >= `retainFrom` is unaffected;
     * older versions become unreadable BY CHOICE — that is the
     * contract's point.
     */
@@ -366,15 +439,28 @@ object TxLog {
     val vs = versionsOnDisk(root)
     require(vs.contains(retainFrom),
       s"retainFrom $retainFrom must be an existing version (have $vs)")
+    // checkpoint first (replay base for every retained version); same
+    // JSON shape as a commit — the full live set as `adds`
+    val cpPath = Paths.get(logDir(root), f"$retainFrom%08d.checkpoint.json")
+    if (!Files.exists(cpPath)) {
+      val files = resolve(root, Some(retainFrom)).files
+      def arr(xs: Seq[String]) =
+        xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val tmp = Paths.get(logDir(root), s".tmp-cp-${UUID.randomUUID()}")
+      Files.writeString(tmp,
+        s"""{"v":$retainFrom,"adds":${arr(files)},"removes":[]}""")
+      Files.createLink(cpPath, tmp)
+      Files.delete(tmp)
+    }
     val referenced = vs.filter(_ >= retainFrom)
       .flatMap(v => resolve(root, Some(v)).files).toSet
-    import scala.jdk.CollectionConverters._
-    val onDisk = Files.list(Paths.get(dataDir(root))).iterator().asScala
-      .map(p => "data/" + p.getFileName.toString).toSeq
+    val onDisk = listNames(Paths.get(dataDir(root))).map("data/" + _)
     val doomed = onDisk.filterNot(referenced)
     doomed.foreach(f => Files.delete(Paths.get(root, f)))
     vs.filter(_ < retainFrom).foreach(v =>
       Files.delete(Paths.get(logDir(root), f"$v%08d.json")))
+    checkpointsOnDisk(root).filter(_ < retainFrom).foreach(c =>
+      Files.delete(Paths.get(logDir(root), f"$c%08d.checkpoint.json")))
     doomed.size
   }
 }

@@ -352,6 +352,115 @@ class RoundTwentyFourSpec extends AnyFunSuite {
     assert(df.filter(col("lang") === "xx").count() === n / 10)
   }
 
+  test("vacuum to a NON-compaction version checkpoints the live set " +
+      "first — retained snapshots keep files added by truncated commits") {
+    import graft.ops.TxLog
+    val root = tmpDir("graft-txvac-") + "/t"
+    TxLog.init(root)
+    val d = docs.select("doc_id", "lang")
+    TxLog.append(spark, root, d.filter(col("doc_id") < 100))
+    TxLog.append(spark, root, d.filter(col("doc_id") >= 100))
+    // retainFrom=1 is a plain append: v1's live set still references
+    // v0's files, whose commit is about to be truncated
+    val removed = TxLog.vacuum(root, retainFrom = 1L)
+    assert(removed === 0, "every data file is still referenced")
+    assert(TxLog.snapshot(spark, root, Some(1L)).count() === d.count(),
+      "the checkpoint must preserve v0's files in v1's replay")
+    assert(TxLog.snapshot(spark, root).count() === d.count())
+    // and the log keeps working past the checkpoint
+    TxLog.append(spark, root, d.filter(col("doc_id") === 0))
+    assert(TxLog.snapshot(spark, root).count() === d.count() + 1)
+  }
+
+  test("compact and deleteWhere keep evolved columns: the only copy of " +
+      "a schema-evolved row must survive a rewrite") {
+    import graft.ops.TxLog
+    val root = tmpDir("graft-txevo-") + "/t"
+    TxLog.init(root)
+    TxLog.append(spark, root,
+      docs.select("doc_id", "lang").filter(col("doc_id") < 100))
+    TxLog.append(spark, root,
+      docs.select("doc_id", "lang", "n_chars").filter(col("doc_id") >= 100))
+    TxLog.compact(spark, root, 64L << 20)
+    val afterCompact = TxLog.snapshot(spark, root)
+    assert(afterCompact.columns.contains("n_chars"),
+      "compaction must not sample a pre-evolution footer for the schema")
+    assert(afterCompact.filter(col("n_chars").isNotNull).count() === 400)
+    TxLog.deleteWhere(spark, root, "doc_id", Seq(150L))
+    val afterDelete = TxLog.snapshot(spark, root)
+    assert(afterDelete.filter(col("n_chars").isNotNull).count() === 399)
+  }
+
+  test("deleteWhere keeps NULL-key rows in rewritten files (both the " +
+      "flat and the logged form)") {
+    import graft.ops.{Maintenance, TxLog}
+    val s = spark
+    import s.implicits._
+    val withNulls = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "b"), (null, "null-row-1"), (3L, "c"),
+      (null, "null-row-2"))
+      .toDF("doc_id", "lang")
+    // flat form
+    val p = tmpDir("graft-delnull-") + "/t"
+    withNulls.coalesce(1).write.parquet(p)
+    val res = Maintenance.deleteWhere(spark, p, "doc_id", Seq(2L))
+    assert(res.rowsDeleted === 1)
+    val left = spark.read.parquet(p)
+    assert(left.count() === 4)
+    assert(left.filter(col("doc_id").isNull).count() === 2,
+      "NULL-key rows must survive the rewrite")
+    // logged form
+    val root = tmpDir("graft-txnull-") + "/t"
+    TxLog.init(root)
+    TxLog.append(spark, root, withNulls.coalesce(1))
+    TxLog.deleteWhere(spark, root, "doc_id", Seq(2L))
+    val tleft = TxLog.snapshot(spark, root)
+    assert(tleft.count() === 4)
+    assert(tleft.filter(col("doc_id").isNull).count() === 2)
+  }
+
+  test("a second minhash append is its own generation: no re-probed " +
+      "pairs, serve still equals the full rebuild") {
+    val p = tmpDir("graft-mh2-") + "/mh"
+    val b0 = docs.filter(pmod(col("doc_id"), lit(5)).isin(1L, 2L, 3L))
+    val b1 = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+    val b2 = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    Dedup.minhashIndexWrite(b0, p, n = 3, numHashes = 32, bands = 32,
+      minJ = 0.2, maxBucket = 16, minBands = 2)
+    Dedup.minhashIndexAppend(spark, p, b1, b0.unionByName(b1), n = 3,
+      numHashes = 32, bands = 32, minJ = 0.2, maxBucket = 16, minBands = 2)
+    Dedup.minhashIndexAppend(spark, p, b2, docs, n = 3,
+      numHashes = 32, bands = 32, minJ = 0.2, maxBucket = 16, minBands = 2)
+    assert(Files.exists(Paths.get(s"$p/banded/gen=2")),
+      "the second append must land as its own generation")
+    val served = Dedup.minhashServePairs(spark, p)
+    assert(served.groupBy("doc_a", "doc_b").count()
+      .filter(col("count") > 1).count() === 0,
+      "a re-probed earlier generation would duplicate pairs")
+    val rebuilt = Dedup.minHashLshVerified(docs, n = 3, numHashes = 32,
+      bands = 32, minJ = 0.2, maxBucket = 16, minBands = 2)
+    assert(served.count() === rebuilt.count())
+    assert(served.exceptAll(rebuilt).count() === 0)
+  }
+
+  test("changesBetween over an interval touching only pre-evolution " +
+      "files still returns the table's current schema") {
+    import graft.ops.TxLog
+    val root = tmpDir("graft-txcdcevo-") + "/t"
+    TxLog.init(root)
+    TxLog.append(spark, root, docs.select("doc_id", "lang")
+      .filter(col("doc_id") < 100).coalesce(1))
+    TxLog.append(spark, root,
+      docs.select("doc_id", "lang", "n_chars").filter(col("doc_id") >= 100))
+    val v2 = TxLog.deleteWhere(spark, root, "doc_id", Seq(5L))
+    val ch = TxLog.changesBetween(spark, root, 1L, v2)
+    assert(ch.columns.contains("n_chars"),
+      "CDC must come back in the table's shape, not the changed files'")
+    val del = ch.filter(col("change") === "delete").collect()
+    assert(del.map(_.getLong(0)).toSeq === Seq(5L))
+    assert(ch.select("doc_id", "lang", "n_chars", "change").count() === 1)
+  }
+
   test("txlog differential fuzz: 40 random append/delete/compact ops " +
       "track an in-memory model at head AND at every historical version") {
     import graft.ops.TxLog
