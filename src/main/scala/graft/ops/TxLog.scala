@@ -80,16 +80,43 @@ object TxLog {
   // in a path would corrupt the log
   private val SafePath = "[A-Za-z0-9._/\\-=]+".r
 
+  // the ops a commit can record (Delta's commitInfo operation field,
+  // reduced to this log's vocabulary); locked down like paths are —
+  // the JSON is hand-rolled
+  private val SafeOp = "[a-z-]+".r
+
+  /** Exact row count of staged parquet files from their FOOTERS — the
+    * commit-time stats a lakehouse log carries. O(files touched) like
+    * the commit itself: a footer read is a few KB regardless of file
+    * size, so logging row counts costs nothing even when the files
+    * hold millions of rows. Removed files are copy-on-write survivors
+    * still on disk, so their footers are readable too.
+    */
+  private def parquetRows(root: String, files: Seq[String]): Long =
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$root/$f"),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+
   private[graft] def writeCommit(root: String, version: Long,
                                  adds: Seq[String],
                                  removes: Seq[String],
+                                 op: String = "append",
                                  batchId: Option[Long] = None): Unit = {
     (adds ++ removes).foreach(p =>
       require(SafePath.matches(p), s"unsafe path in commit: $p"))
+    require(SafeOp.matches(op), s"unsafe op in commit: $op")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val bid = batchId.map(b => s""","batchId":$b""").getOrElse("")
+    val rows = parquetRows(root, adds)
+    val rowsRemoved = parquetRows(root, removes)
     val json =
-      s"""{"v":$version,"adds":${arr(adds)},"removes":${arr(removes)}$bid}"""
+      s"""{"v":$version,"op":"$op","adds":${arr(adds)},""" +
+        s""""removes":${arr(removes)},"rows":$rows,""" +
+        s""""rowsRemoved":$rowsRemoved$bid}"""
     val tmp = Paths.get(logDir(root), s".tmp-${UUID.randomUUID()}")
     Files.writeString(tmp, json)
     try {
@@ -191,7 +218,7 @@ object TxLog {
   def append(spark: SparkSession, root: String, df: DataFrame): Long = {
     val adds = stage(spark, root, df)
     val next = versionsOnDisk(root).lastOption.map(_ + 1).getOrElse(0L)
-    writeCommit(root, next, adds, Seq.empty)
+    writeCommit(root, next, adds, Seq.empty, op = "append")
     next
   }
 
@@ -217,7 +244,7 @@ object TxLog {
       .distinct().collect().map(_.getString(0))
     val next = snap.version + 1
     if (affectedAbs.isEmpty) {
-      writeCommit(root, next, Seq.empty, Seq.empty)
+      writeCommit(root, next, Seq.empty, Seq.empty, op = "delete")
       return next
     }
     // NULL-safe survivor filter: `!isin` is NULL for a NULL key, and a
@@ -231,7 +258,7 @@ object TxLog {
       val p = Paths.get(new java.net.URI(u)).toString
       p.stripPrefix(Paths.get(root).toAbsolutePath.toString + "/")
     }
-    writeCommit(root, next, adds, removes)
+    writeCommit(root, next, adds, removes, op = "delete")
     next
   }
 
@@ -266,7 +293,7 @@ object TxLog {
       val p = Paths.get(new java.net.URI(u)).toString
       p.stripPrefix(Paths.get(root).toAbsolutePath.toString + "/")
     }
-    writeCommit(root, snap.version + 1, adds, removes)
+    writeCommit(root, snap.version + 1, adds, removes, op = "merge")
     snap.version + 1
   }
 
@@ -283,7 +310,7 @@ object TxLog {
     val snap = resolve(root)
     val adds = stage(spark, root,
       Maintenance.zorderLayout(snapshot(spark, root), cols, numFiles))
-    writeCommit(root, snap.version + 1, adds, snap.files)
+    writeCommit(root, snap.version + 1, adds, snap.files, op = "optimize")
     snap.version + 1
   }
 
@@ -302,7 +329,7 @@ object TxLog {
     // and compacting through a sampled pre-evolution footer would drop
     // the newer columns from the ONLY remaining copy of every row
     val adds = stage(spark, root, snapshot(spark, root).coalesce(n))
-    writeCommit(root, snap.version + 1, adds, snap.files)
+    writeCommit(root, snap.version + 1, adds, snap.files, op = "compact")
     snap.version + 1
   }
 
@@ -344,7 +371,8 @@ object TxLog {
         out = Some(None)
       } else
         try {
-          writeCommit(root, next, adds, Seq.empty, Some(batchId))
+          writeCommit(root, next, adds, Seq.empty, op = "streaming-append",
+            batchId = Some(batchId))
           out = Some(Some(next))
         } catch {
           case _: IllegalStateException => // conflict: loop re-checks
@@ -423,6 +451,40 @@ object TxLog {
       .unionByName(removed.exceptAll(added)
         .withColumn("change", lit("delete")))
   }
+
+  /** One commit's full ledger entry — what `DESCRIBE HISTORY` exposes.
+    * `rows`/`rowsRemoved` are the footer-exact counts logged at commit
+    * time; absent on pre-stats commits (lenient parse), never guessed.
+    */
+  final case class CommitInfo(version: Long, op: String,
+                              adds: Seq[String], removes: Seq[String],
+                              rows: Option[Long], rowsRemoved: Option[Long],
+                              batchId: Option[Long])
+
+  /** Parse one commit's ledger entry. Per-version (not a whole-log
+    * scan) so a distributed history reader can hand each executor its
+    * own slice of commit files — see the `graft-table-history` source.
+    */
+  def commitInfoAt(root: String, version: Long): CommitInfo = {
+    val json = Files.readString(
+      Paths.get(logDir(root), f"$version%08d.json"))
+    val (v, adds, removes) = parseCommit(json)
+    def num(key: String): Option[Long] =
+      s""""$key":(\\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
+    val op = """"op":"([a-z-]+)"""".r.findFirstMatchIn(json)
+      .map(_.group(1)).getOrElse("unknown")
+    CommitInfo(v, op, adds, removes, num("rows"), num("rowsRemoved"),
+      num("batchId"))
+  }
+
+  /** The commit ledger, oldest first (versions still on disk only —
+    * vacuum truncates history by contract).
+    */
+  def history(root: String): Seq[CommitInfo] =
+    versionsOnDisk(root).map(commitInfoAt(root, _))
+
+  /** Committed versions still on disk, ascending. */
+  def versions(root: String): Seq[Long] = versionsOnDisk(root)
 
   /** Physically remove data files unreferenced by every version >=
     * `retainFrom` (and drop the older commit files): the explicit,

@@ -1,0 +1,198 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.StreamingFrame
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.ops.TxLog
+
+/** Structured-Streaming READ side of the [[graft.ops.TxLog]] table —
+  * the lakehouse "stream the table" shape (Delta's streaming source):
+  * offsets are COMMIT VERSIONS, so a micro-batch is an exact,
+  * replayable log interval, not a file listing heuristic.
+  *
+  *  - First batch: the full snapshot at the stream's start version
+  *    (or, with `startingVersion`, every change from that version on —
+  *    no initial snapshot).
+  *  - Every later batch: [[TxLog.changesBetween]] over the offset
+  *    interval — computed from the CHANGED FILES the log names, so a
+  *    batch costs O(change), never a table rescan; compaction and
+  *    OPTIMIZE intervals net out to zero rows and are never re-emitted.
+  *  - Append-only by default: an interval whose commits include a
+  *    data-changing op (`delete` / `merge`) fails LOUDLY — silently
+  *    dropping or double-emitting changed rows is how downstream
+  *    training sets rot. Opt into `cdc = true` to receive the full
+  *    change feed instead, with a `change` column (`insert`/`delete`).
+  *  - Deterministic replay: a batch is a pure function of the log, so
+  *    checkpoint recovery re-reads exactly the same rows ([[TxLog]]
+  *    data files are immutable until an explicit vacuum, which is the
+  *    documented retention contract).
+  *  - `maxVersionsPerTrigger` bounds how many commits one micro-batch
+  *    may cover (admission control for a backlogged stream).
+  *
+  * Registered as `graft-table` (META-INF services):
+  * `spark.readStream.format("graft-table").load(root)`.
+  */
+class GraftTableSourceProvider extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) =
+    (shortName(), GraftTableSource.schemaFor(sqlContext, schema, parameters))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): Source =
+    new GraftTableSource(sqlContext, schema, parameters)
+}
+
+object GraftTableSource {
+  private[sources] def opt(parameters: Map[String, String],
+                           key: String): Option[String] =
+    parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(key) => v
+    }
+
+  private[sources] def rootOf(parameters: Map[String, String]): String =
+    opt(parameters, "path").getOrElse(
+      throw new IllegalArgumentException(
+        "graft-table source requires a path: .load(tableRoot)"))
+
+  /** Table schema at the latest version (+ the `change` column in cdc
+    * mode). A user-supplied schema wins — the way to stream a table
+    * whose latest snapshot is momentarily empty.
+    */
+  private[sources] def schemaFor(sqlContext: SQLContext,
+                                 user: Option[StructType],
+                                 parameters: Map[String, String])
+      : StructType = {
+    val root = rootOf(parameters)
+    val cdc = opt(parameters, "cdc").exists(_.toBoolean)
+    val base = user.getOrElse(
+      TxLog.snapshot(sqlContext.sparkSession, root).schema)
+    if (cdc && !base.fieldNames.contains("change"))
+      StructType(base.fields :+ StructField("change", StringType))
+    else base
+  }
+}
+
+class GraftTableSource(sqlContext: SQLContext,
+                       userSchema: Option[StructType],
+                       parameters: Map[String, String]) extends Source {
+  import GraftTableSource._
+
+  private val spark = sqlContext.sparkSession
+  private val root = rootOf(parameters)
+  private val cdc = opt(parameters, "cdc").exists(_.toBoolean)
+  private val startingVersion =
+    opt(parameters, "startingVersion").map(_.toLong)
+  private val maxVersionsPerTrigger =
+    opt(parameters, "maxVersionsPerTrigger").map(_.toLong)
+  maxVersionsPerTrigger.foreach(m => require(m > 0,
+    s"maxVersionsPerTrigger must be positive: $m"))
+  startingVersion.foreach(sv => require(sv >= 0,
+    s"startingVersion must be >= 0: $sv"))
+
+  override val schema: StructType =
+    schemaFor(sqlContext, userSchema, parameters)
+
+  /** Newest version this source has handed out in a batch — the base
+    * the per-trigger version budget counts from. Recovery populates it:
+    * Spark replays the last checkpointed batch through [[getBatch]]
+    * before asking for a new offset.
+    */
+  private var lastBatchEnd: Option[Long] = None
+
+  // a plain class, NOT a case class: the Offset base compares offsets
+  // by their json, and a case-class equals would stop matching the
+  // SerializedOffset a checkpoint recovery hands back
+  private class VersionOffset(v: Long) extends Offset {
+    override def json: String = v.toString
+  }
+  private def VersionOffset(v: Long) = new VersionOffset(v)
+
+  private def versionOf(o: Offset): Long = o.json.trim.toLong
+
+  override def getOffset: Option[Offset] = {
+    val vs = TxLog.versions(root)
+    if (vs.isEmpty) return None
+    val latest = vs.max
+    val capped = (maxVersionsPerTrigger, batchBase) match {
+      case (Some(m), Some(base)) => math.min(latest, base + m)
+      case _ => latest
+    }
+    // never regress below what a previous batch already covered
+    val end = math.max(capped, lastBatchEnd.getOrElse(Long.MinValue))
+    if (lastBatchEnd.contains(end)) None else Some(VersionOffset(end))
+  }
+
+  /** Where the next trigger's version budget starts counting: the last
+    * batch end, or (fresh start in `startingVersion` mode) just before
+    * that version. A fresh default-mode start has no base — the first
+    * batch is the snapshot, taken whole.
+    */
+  private def batchBase: Option[Long] =
+    lastBatchEnd.orElse(startingVersion.map(_ - 1))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endV = versionOf(end)
+    lastBatchEnd = Some(math.max(endV, lastBatchEnd.getOrElse(Long.MinValue)))
+    val batch = start.map(versionOf) match {
+      case Some(fromV) => changes(fromV, endV)
+      case None =>
+        startingVersion match {
+          case Some(sv) if sv > 0 => changes(sv - 1, endV)
+          // sv = 0 and the default both start from "nothing": the net
+          // content at endV IS the change set since before version 0
+          case _ =>
+            val snap = TxLog.snapshot(spark, root, Some(endV))
+            if (cdc) snap.withColumn("change", lit("insert")) else snap
+        }
+    }
+    StreamingFrame(align(batch))
+  }
+
+  /** The (fromV, toV] interval as rows. Append-only mode refuses
+    * data-changing commits LOUDLY (the log's `op` field names them —
+    * a metadata check, no data read); compaction/optimize intervals
+    * are logically empty and pass through as zero rows.
+    */
+  private def changes(fromV: Long, toV: Long): DataFrame = {
+    if (!cdc) {
+      val changing = TxLog.versions(root)
+        .filter(v => v > fromV && v <= toV)
+        .map(v => (v, TxLog.commitInfoAt(root, v).op))
+        .filter { case (_, op) => op == "delete" || op == "merge" }
+      if (changing.nonEmpty) throw new IllegalStateException(
+        s"graft-table stream over $root is append-only but commits " +
+          s"${changing.mkString(", ")} change existing rows; restart " +
+          "with .option(\"cdc\", \"true\") to consume the change feed")
+    }
+    val diff = TxLog.changesBetween(spark, root, fromV, toV)
+    if (cdc) diff else diff.filter(col("change") === "insert").drop("change")
+  }
+
+  /** Project every batch onto the SOURCE's fixed schema: an interval
+    * older than a column's arrival null-fills it; a column added after
+    * the stream started is ignored until a restart picks up the new
+    * schema — the same restart contract Delta's source has.
+    */
+  private def align(df: DataFrame): DataFrame =
+    df.select(schema.fields.toIndexedSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}

@@ -1,0 +1,350 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TxLog
+
+/** Round-25 surface: streaming READS of the transaction-log table —
+  * the `graft-table` V1 streaming source (offsets = commit versions,
+  * initial snapshot + log-interval increments, append-only guard, CDC
+  * mode, checkpoint recovery, admission control) — plus the commit
+  * ledger (`op` + footer-exact row stats) those reads are driven by.
+  */
+class RoundTwentyFiveSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def testdata: String =
+    sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+
+  private def docs: DataFrame =
+    graft.sources.Tables(spark, testdata, "documents")
+      .select("doc_id", "lang", "n_chars")
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def idSet(df: DataFrame): Set[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+  private def ids(a: Long, b: Long): Set[Long] =
+    idSet(docs.filter(col("doc_id") >= a && col("doc_id") < b))
+
+  // ---------------- commit ledger ----------------
+
+  test("the commit ledger records op + footer-exact row stats per version") {
+    val root = tmpDir("t25-ledger")
+    TxLog.init(root)
+    val d = docs
+    TxLog.append(spark, root, d.filter(col("doc_id") < 200))
+    TxLog.deleteWhere(spark, root, "doc_id", Seq(5L, 6L))
+    TxLog.compact(spark, root, targetBytes = 64L << 20)
+    TxLog.upsert(spark, root,
+      d.filter(col("doc_id") === 3L).withColumn("lang", lit("xx")), "doc_id")
+    TxLog.optimize(spark, root, Seq("doc_id"), numFiles = 2)
+
+    val h = TxLog.history(root)
+    assert(h.map(_.version) === Seq(0L, 1L, 2L, 3L, 4L))
+    assert(h.map(_.op) === Seq("append", "delete", "compact", "merge",
+      "optimize"))
+    val n0 = d.filter(col("doc_id") < 200).count()
+    // append: all staged rows, nothing removed
+    assert(h(0).rows === Some(n0) && h(0).rowsRemoved === Some(0L))
+    // delete: the rewrite drops exactly the two hit rows
+    assert(h(1).rowsRemoved.get - h(1).rows.get === 2L)
+    // compact: logically a no-op — rows in == rows out
+    assert(h(2).rows === h(2).rowsRemoved)
+    assert(h(2).rows === Some(n0 - 2))
+    // merge of one existing key: survivors + 1 update vs the hit files
+    assert(h(3).rows === h(3).rowsRemoved)
+    // optimize: logically a no-op over the full live set
+    assert(h(4).rows === h(4).rowsRemoved)
+    assert(h(4).rows === Some(n0 - 2))
+    assert(h.forall(_.batchId.isEmpty))
+  }
+
+  test("streaming commits carry their batch id in the ledger") {
+    val root = tmpDir("t25-ledger-bid")
+    TxLog.init(root)
+    TxLog.commitBatch(spark, root, docs.limit(5), batchId = 7L)
+    val h = TxLog.history(root)
+    assert(h.head.op === "streaming-append")
+    assert(h.head.batchId === Some(7L))
+  }
+
+  // ---------------- graft-table streaming source ----------------
+
+  test("graft-table stream: initial snapshot, per-commit increments, " +
+      "compaction silence, exactly-once content") {
+    val root = tmpDir("t25-stream")
+    val ckpt = tmpDir("t25-stream-ckpt")
+    TxLog.init(root)
+    val d = docs
+    TxLog.append(spark, root, d.filter(col("doc_id") < 300))
+
+    val q = spark.readStream.format("graft-table").load(root)
+      .writeStream.format("memory").queryName("t25_stream")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(idSet(spark.table("t25_stream")) === ids(0, 300))
+
+      TxLog.append(spark, root,
+        d.filter(col("doc_id") >= 300 && col("doc_id") < 500))
+      q.processAllAvailable()
+      assert(idSet(spark.table("t25_stream")) === ids(0, 500))
+
+      // a compaction interval is logically empty: nothing re-emitted
+      TxLog.compact(spark, root, targetBytes = 64L << 20)
+      q.processAllAvailable()
+      assert(spark.table("t25_stream").count() === ids(0, 500).size)
+
+      TxLog.append(spark, root,
+        d.filter(col("doc_id") >= 500 && col("doc_id") < 600))
+      q.processAllAvailable()
+      val got = spark.table("t25_stream")
+      assert(idSet(got) === ids(0, 600))
+      // exactly once: multiset, not just set
+      assert(got.count() === ids(0, 600).size)
+    } finally q.stop()
+  }
+
+  test("graft-table stream: checkpoint recovery resumes at the " +
+      "committed version — only new commits are emitted") {
+    val root = tmpDir("t25-resume")
+    val ckpt = tmpDir("t25-resume-ckpt")
+    TxLog.init(root)
+    val d = docs
+    TxLog.append(spark, root, d.filter(col("doc_id") < 300))
+
+    // foreachBatch, not the memory sink: memory does not support
+    // checkpoint recovery, and recovery is exactly what this test is
+    val gotA = scala.collection.mutable.Set.empty[Long]
+    val q1 = spark.readStream.format("graft-table").load(root)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        gotA.synchronized { gotA ++= idSet(b) }: Unit
+      }
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q1.processAllAvailable()
+      assert(gotA.toSet === ids(0, 300))
+    } finally q1.stop()
+
+    // commits while the stream is DOWN
+    TxLog.append(spark, root,
+      d.filter(col("doc_id") >= 300 && col("doc_id") < 450))
+
+    // a fresh buffer: whatever lands here came from the RESUMED
+    // offsets, so the initial snapshot must NOT be replayed
+    val gotB = scala.collection.mutable.Set.empty[Long]
+    val q2 = spark.readStream.format("graft-table").load(root)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        gotB.synchronized { gotB ++= idSet(b) }: Unit
+      }
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q2.processAllAvailable()
+      assert(gotB.toSet === ids(300, 450))
+    } finally q2.stop()
+  }
+
+  test("graft-table stream is append-only by default: a delete commit " +
+      "fails the stream loudly, naming the cdc escape hatch") {
+    val root = tmpDir("t25-guard")
+    val ckpt = tmpDir("t25-guard-ckpt")
+    TxLog.init(root)
+    TxLog.append(spark, root, docs.filter(col("doc_id") < 200))
+
+    val q = spark.readStream.format("graft-table").load(root)
+      .writeStream.format("memory").queryName("t25_guard")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      TxLog.deleteWhere(spark, root, "doc_id", Seq(7L))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(m =>
+        m.contains("append-only") && m.contains("cdc")))
+    } finally q.stop()
+  }
+
+  test("graft-table stream in cdc mode delivers the delete feed and " +
+      "reconstructs the table net of changes") {
+    val root = tmpDir("t25-cdc")
+    val ckpt = tmpDir("t25-cdc-ckpt")
+    TxLog.init(root)
+    val d = docs
+    TxLog.append(spark, root, d.filter(col("doc_id") < 300))
+
+    val q = spark.readStream.format("graft-table")
+      .option("cdc", "true").load(root)
+      .writeStream.format("memory").queryName("t25_cdc")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      // the initial snapshot arrives as inserts
+      assert(spark.table("t25_cdc").groupBy("change").count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap ===
+        Map("insert" -> ids(0, 300).size.toLong))
+
+      TxLog.deleteWhere(spark, root, "doc_id", Seq(5L, 6L, 7L))
+      TxLog.append(spark, root,
+        d.filter(col("doc_id") >= 300 && col("doc_id") < 400))
+      q.processAllAvailable()
+
+      val feed = spark.table("t25_cdc")
+      assert(idSet(feed.filter(col("change") === "delete")) ===
+        Set(5L, 6L, 7L))
+      // net reconstruction == the table's live snapshot
+      val net = feed.groupBy("doc_id").agg(
+        sum(when(col("change") === "insert", 1).otherwise(-1)).as("n"))
+        .filter(col("n") > 0)
+      assert(idSet(net) === idSet(TxLog.snapshot(spark, root)))
+    } finally q.stop()
+  }
+
+  test("graft-table stream with startingVersion skips the snapshot and " +
+      "starts at that commit") {
+    val root = tmpDir("t25-sv")
+    val ckpt = tmpDir("t25-sv-ckpt")
+    TxLog.init(root)
+    val d = docs
+    TxLog.append(spark, root, d.filter(col("doc_id") < 100)) // v0
+    TxLog.append(spark, root,
+      d.filter(col("doc_id") >= 100 && col("doc_id") < 200)) // v1
+    TxLog.append(spark, root,
+      d.filter(col("doc_id") >= 200 && col("doc_id") < 250)) // v2
+
+    val q = spark.readStream.format("graft-table")
+      .option("startingVersion", "1").load(root)
+      .writeStream.format("memory").queryName("t25_sv")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(idSet(spark.table("t25_sv")) === ids(100, 250))
+    } finally q.stop()
+  }
+
+  // ---------------- graft-table-history (DataSource V2) ----------------
+
+  private def historyTable(prefix: String): String = {
+    val root = tmpDir(prefix)
+    TxLog.init(root)
+    val d = docs
+    TxLog.append(spark, root, d.filter(col("doc_id") < 200))            // v0
+    TxLog.append(spark, root,
+      d.filter(col("doc_id") >= 200 && col("doc_id") < 350))            // v1
+    TxLog.deleteWhere(spark, root, "doc_id", Seq(5L, 6L))               // v2
+    TxLog.compact(spark, root, targetBytes = 64L << 20)                 // v3
+    TxLog.commitBatch(spark, root,
+      d.filter(col("doc_id") >= 350 && col("doc_id") < 360), 11L)       // v4
+    root
+  }
+
+  test("graft-table-history batch read matches the ledger exactly") {
+    val root = historyTable("t25-hist")
+    val got = spark.read.format("graft-table-history").load(root)
+      .orderBy("version")
+      .select("version", "op", "n_adds", "n_removes", "rows_added",
+        "rows_removed", "batch_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6))))
+    val want = TxLog.history(root).map(ci => (ci.version, ci.op,
+      ci.adds.size, ci.removes.size, ci.rows, ci.rowsRemoved, ci.batchId))
+    assert(got.toSeq === want)
+    assert(got.map(_._2).toSeq ===
+      Seq("append", "append", "delete", "compact", "streaming-append"))
+    assert(got.last._7 === Some(11L))
+  }
+
+  test("graft-table-history pushes version bounds into the listing and " +
+      "prunes columns — both visible in the executed plan") {
+    val root = historyTable("t25-hist-push")
+    val df = spark.read.format("graft-table-history").load(root)
+      .filter(col("version") >= 1 && col("version") <= 3)
+      .select("version", "op")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("versionBounds=[1, 3]"), plan)
+    assert(plan.contains("cols=[version,op]"), plan)
+    assert(df.orderBy("version").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "append"), (2L, "delete"), (3L, "compact")))
+
+    // equality pins both bounds
+    val eq = spark.read.format("graft-table-history").load(root)
+      .filter(col("version") === 2)
+    assert(eq.queryExecution.executedPlan.toString
+      .contains("versionBounds=[2, 2]"))
+    assert(eq.select("op").head().getString(0) === "delete")
+  }
+
+  test("graft-table-history streams the ledger with offsets = versions") {
+    val root = tmpDir("t25-hist-stream")
+    val ckpt = tmpDir("t25-hist-stream-ckpt")
+    TxLog.init(root)
+    val d = docs
+    TxLog.append(spark, root, d.filter(col("doc_id") < 100))
+
+    val q = spark.readStream.format("graft-table-history").load(root)
+      .writeStream.format("memory").queryName("t25_hist_stream")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("t25_hist_stream").select("version", "op")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+        Seq((0L, "append")))
+
+      TxLog.deleteWhere(spark, root, "doc_id", Seq(1L))
+      TxLog.compact(spark, root, targetBytes = 64L << 20)
+      q.processAllAvailable()
+      val feed = spark.table("t25_hist_stream").orderBy("version")
+      // exactly one event per commit — the ledger stream double-counts
+      // nothing even though processAllAvailable triggered repeatedly
+      assert(feed.select("version", "op").collect().map(r =>
+        (r.getLong(0), r.getString(1))).toSeq ===
+        Seq((0L, "append"), (1L, "delete"), (2L, "compact")))
+    } finally q.stop()
+  }
+
+  test("maxVersionsPerTrigger bounds each micro-batch's commit span") {
+    val root = tmpDir("t25-rate")
+    val ckpt = tmpDir("t25-rate-ckpt")
+    TxLog.init(root)
+    val d = docs
+    (0 until 6).foreach(i => TxLog.append(spark, root,
+      d.filter(col("doc_id") >= i * 50 && col("doc_id") < (i + 1) * 50)))
+
+    val q = spark.readStream.format("graft-table")
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "2").load(root)
+      .writeStream.format("memory").queryName("t25_rate")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(idSet(spark.table("t25_rate")) === ids(0, 300))
+      // 6 commits / 2 per trigger = 3 batches, each ending on an even
+      // version boundary
+      val ends = q.recentProgress.toSeq
+        .filter(_.numInputRows > 0)
+        .map(_.sources.head.endOffset.trim.toLong)
+      assert(ends === Seq(1L, 3L, 5L))
+    } finally q.stop()
+  }
+}
