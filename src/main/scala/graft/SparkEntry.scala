@@ -731,6 +731,83 @@ object SparkEntry {
       stats
     })
 
+  /** Streamed consumption of a txlog table, one per (session, sf dir):
+    * what a downstream pipeline actually RECEIVES from the
+    * `graft-table` streaming source, landed as two parquet feeds.
+    *
+    * `feed_append` (append-only consumer, attached from v0): initial
+    * snapshot, two incremental appends, and a compaction interval in
+    * the middle that must contribute ZERO rows — exactly-once is in
+    * the oracle hash, a re-emitted row would flip it. The consumer
+    * detaches before any data-changing commit.
+    *
+    * `feed_cdc` (cdc consumer, `startingVersion=0`,
+    * `maxVersionsPerTrigger=1` so every commit is its own
+    * micro-batch): replays the WHOLE lifecycle including the
+    * copy-on-write delete — the change feed carries each slice's
+    * inserts exactly once plus exactly the deleted rows as deletes.
+    */
+  private val txlogStreamCache = new SessionCache[String]
+
+  private def txlogStreamFeeds(s: SparkSession, dir: String): String =
+    txlogStreamCache.getOrElseUpdate(s, dir, {
+      val root = annTmp()
+      val table = s"$root/table"
+      graft.ops.TxLog.init(table)
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      def slice(k: Int) = docs.filter(pmod(col("doc_id"), lit(4)) === k)
+      graft.ops.TxLog.append(s, table, slice(0))                    // v0
+      val qA = s.readStream.format("graft-table").load(table)
+        .writeStream.format("parquet")
+        .option("path", s"$root/feed_append")
+        .option("checkpointLocation", s"$root/ckpt_append").start()
+      try {
+        qA.processAllAvailable()
+        graft.ops.TxLog.append(s, table, slice(1))                  // v1
+        qA.processAllAvailable()
+        graft.ops.TxLog.compact(s, table, targetBytes = 16L << 20)  // v2
+        qA.processAllAvailable()
+        graft.ops.TxLog.append(s, table, slice(2))                  // v3
+        qA.processAllAvailable()
+      } finally qA.stop()
+      // data-changing commits land AFTER the append-only consumer
+      // detached (it would — correctly — refuse them)
+      graft.ops.TxLog.deleteWhere(s, table, "doc_id", DeletedKeys)  // v4
+      graft.ops.TxLog.append(s, table, slice(3))                    // v5
+      val qC = s.readStream.format("graft-table")
+        .option("cdc", "true").option("startingVersion", "0")
+        .option("maxVersionsPerTrigger", "1").load(table)
+        .writeStream.format("parquet")
+        .option("path", s"$root/feed_cdc")
+        .option("checkpointLocation", s"$root/ckpt_cdc").start()
+      try qC.processAllAvailable() finally qC.stop()
+      root
+    })
+
+  /** A txlog lifecycle with a file-count-deterministic layout (every
+    * stage coalesced), one per (session, sf dir) — the table behind
+    * `q_table_history`, whose ledger (op, file counts, footer-exact
+    * row stats) is read back through the `graft-table-history`
+    * DataSource V2 connector. Deleted keys are all ≡0 mod 3, so the
+    * delete's copy-on-write rewrite hits exactly v0's one file.
+    */
+  private val txlogHistoryCache = new SessionCache[String]
+
+  private def txlogHistoryTable(s: SparkSession, dir: String): String =
+    txlogHistoryCache.getOrElseUpdate(s, dir, {
+      val p = s"${annTmp()}/txhist"
+      graft.ops.TxLog.init(p)
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      graft.ops.TxLog.append(s, p,
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0).coalesce(1))  // v0
+      graft.ops.TxLog.append(s, p,
+        docs.filter(pmod(col("doc_id"), lit(3)) === 1).coalesce(1))  // v1
+      graft.ops.TxLog.deleteWhere(s, p, "doc_id", Seq(3L, 9L, 27L))  // v2
+      graft.ops.TxLog.compact(s, p, targetBytes = 1L << 30)          // v3
+      graft.ops.TxLog.optimize(s, p, Seq("doc_id"), numFiles = 2)    // v4
+      p
+    })
+
   /** The reference's HEADLINE physical artifact at rest: the stemmed
     * posting table written term-range-partitioned + term-sorted once
     * per (session, sf dir) via [[Indexer.writeIndex]] (the Spark form
@@ -1536,6 +1613,31 @@ object SparkEntry {
           graft.ops.TxLog.resolve(p).version)
         .select("doc_id", "lang", "n_chars", "change")
     }),
+    // the table consumed AS A STREAM (graft-table source, offsets =
+    // commit versions): the at-rest feed a downstream pipeline
+    // actually received — snapshot + two incremental appends, with a
+    // compaction interval that must contribute NOTHING (exactly-once
+    // is in the oracle hash)
+    "q_table_stream_read" -> ((s, dir) => {
+      val p = txlogStreamFeeds(s, dir)
+      s.read.parquet(s"$p/feed_append").select("doc_id", "lang", "n_chars")
+    }),
+    // the cdc consumer's change feed over the same lifecycle, one
+    // commit per micro-batch: every slice's inserts exactly once, the
+    // copy-on-write delete as exactly its (present) keys, compaction
+    // silent — log-based CDC through the streaming surface
+    "q_table_cdc_feed" -> ((s, dir) => {
+      val p = txlogStreamFeeds(s, dir)
+      s.read.parquet(s"$p/feed_cdc")
+        .select("doc_id", "lang", "n_chars", "change")
+    }),
+    // DESCRIBE HISTORY through the DataSource V2 connector: per-commit
+    // op + file counts + footer-exact row stats, column-pruned (the
+    // adds/removes path arrays are never materialized)
+    "q_table_history" -> ((s, dir) =>
+      s.read.format("graft-table-history").load(txlogHistoryTable(s, dir))
+        .select("version", "op", "n_adds", "n_removes",
+          "rows_added", "rows_removed")),
     // PageRank power iteration (3 rounds, d=0.85) over the undirected
     // customer-supplier trade graph; each round is one edge-join +
     // one aggregation with a checkpointed rank vector (flat plans) —
@@ -4191,6 +4293,45 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, lang, n_chars, 'delete' AS change FROM documents
         |WHERE doc_id IN (7, 8, 42)""".stripMargin,
+    // the append-only consumer saw slices 0..2 exactly once each (the
+    // compaction interval nets to zero rows); the delete and slice 3
+    // landed after it detached
+    "q_table_stream_read" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 4 IN (0, 1, 2)""".stripMargin,
+    // the cdc replay: every slice inserted exactly once; deletes are
+    // the keys PRESENT at delete time (7 ≡ 3 mod 4 was not yet
+    // appended, so only 8 and 42 fall)
+    "q_table_cdc_feed" ->
+      """SELECT doc_id, lang, n_chars, 'insert' AS change FROM documents
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars, 'delete' AS change FROM documents
+        |WHERE doc_id IN (7, 8, 42) AND doc_id % 4 <> 3""".stripMargin,
+    // the ledger recomputed from first principles: per-version op and
+    // file counts follow from the coalesced layout, and the row stats
+    // are slice counts over documents (3, 9, 27 are the deleted keys,
+    // all ≡0 mod 3 — the rewrite touches only v0's file)
+    "q_table_history" ->
+      """WITH n0 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents
+        |            WHERE doc_id % 3 = 0),
+        |     n1 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents
+        |            WHERE doc_id % 3 = 1)
+        |SELECT CAST(0 AS BIGINT) AS version, 'append' AS op,
+        |       CAST(1 AS INTEGER) AS n_adds, CAST(0 AS INTEGER) AS n_removes,
+        |       (SELECT c FROM n0) AS rows_added,
+        |       CAST(0 AS BIGINT) AS rows_removed
+        |UNION ALL
+        |SELECT 1, 'append', 1, 0, (SELECT c FROM n1), 0
+        |UNION ALL
+        |SELECT 2, 'delete', 1, 1, (SELECT c FROM n0) - 3, (SELECT c FROM n0)
+        |UNION ALL
+        |SELECT 3, 'compact', 1, 2,
+        |       (SELECT c FROM n0) + (SELECT c FROM n1) - 3,
+        |       (SELECT c FROM n0) + (SELECT c FROM n1) - 3
+        |UNION ALL
+        |SELECT 4, 'optimize', 2, 1,
+        |       (SELECT c FROM n0) + (SELECT c FROM n1) - 3,
+        |       (SELECT c FROM n0) + (SELECT c FROM n1) - 3""".stripMargin,
     "q_pagerank" ->
       // three unrolled power-iteration rounds; (1.0 - 0.85) is spelled
       // as the same IEEE subtraction the Spark side computes
