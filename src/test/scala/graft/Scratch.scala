@@ -880,6 +880,62 @@ object Scratch {
                 (if (headT.version == 21L && nHead == 100000L - 5 &&
                      nV9 == 50000L && nDelT == 5 && nInsT == 0) "OK"
                  else "MISMATCH"))
+            case "tablestream" =>
+              // the graft-table streaming source at 20x: replay a
+              // 21-commit lifecycle (20 appends of 5k rows + one
+              // compaction) from version 0 at 4 commits per
+              // micro-batch, then consume one live append — the
+              // landed feed must equal the final snapshot EXACTLY
+              // (multiset: no loss, no double-emit, compaction
+              // interval contributing nothing), and the DSv2 ledger
+              // read must prune to the pushed version range
+              val rootS = java.nio.file.Files
+                .createTempDirectory("graft-tsstress-").toString
+              val tableS = s"$rootS/t"
+              ops.TxLog.init(tableS)
+              val t0s = System.nanoTime()
+              (0 until 20).foreach { i =>
+                ops.TxLog.append(spark, tableS, base
+                  .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+                  .select("doc_id", "lang", "n_chars"))
+              }
+              ops.TxLog.compact(spark, tableS, 64L << 20) // v20, silent
+              val qS = spark.readStream.format("graft-table")
+                .option("startingVersion", "0")
+                .option("maxVersionsPerTrigger", "4").load(tableS)
+                .writeStream.format("parquet")
+                .option("path", s"$rootS/feed")
+                .option("checkpointLocation", s"$rootS/ckpt").start()
+              val nBatches = try {
+                qS.processAllAvailable()
+                // one live append consumed by the running stream
+                ops.TxLog.append(spark, tableS, base
+                  .withColumn("doc_id", col("doc_id") + lit(20000000L))
+                  .select("doc_id", "lang", "n_chars"))
+                qS.processAllAvailable()
+                qS.recentProgress.count(_.numInputRows > 0)
+              } finally qS.stop()
+              val secS = (System.nanoTime() - t0s) / 1e9
+              val feed = spark.read.parquet(s"$rootS/feed")
+              val snap = ops.TxLog.snapshot(spark, tableS)
+              val onlyFeed = feed.exceptAll(snap).count()
+              val onlySnap = snap.exceptAll(feed).count()
+              val nFeed = feed.count()
+              // DSv2 ledger at scale: pushed version range opens only
+              // its own commit files
+              val hist = spark.read.format("graft-table-history")
+                .load(tableS)
+              val slice = hist.filter(col("version") >= 5 &&
+                col("version") <= 9)
+              val planS = slice.queryExecution.executedPlan.toString
+              val histOk = slice.count() == 5 &&
+                planS.contains("versionBounds=[5, 9]") &&
+                hist.filter(col("op") === "append").count() == 21 &&
+                hist.filter(col("op") === "compact").count() == 1
+              println(f"sec=$secS%.1f feed=$nFeed batches=$nBatches " +
+                f"onlyFeed=$onlyFeed onlySnap=$onlySnap histOk=$histOk " +
+                (if (onlyFeed == 0 && onlySnap == 0 &&
+                     nFeed == 105000L && histOk) "OK" else "MISMATCH"))
           }
         } else if (n == "idx-stem-nopersist") {
           search.Indexer.postings(search.Indexer.documents(spark, sfDir))
