@@ -239,6 +239,59 @@ class RoundTwentyFiveSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("medallion chain: bronze txlog → graft-table stream → derived " +
+      "silver txlog, incremental propagation surviving a restart") {
+    val bronze = tmpDir("t25-bronze")
+    val silver = tmpDir("t25-silver")
+    val ckpt = tmpDir("t25-medallion-ckpt")
+    TxLog.init(bronze); TxLog.init(silver)
+    val d = docs
+    def slice(k: Int): DataFrame =
+      d.filter(col("doc_id") % 4 === k && col("doc_id") < 400)
+    def refine(df: DataFrame): DataFrame =
+      df.filter(col("n_chars") > 50)
+        .withColumn("lang", upper(col("lang")))
+    def silverIds: Set[Long] = idSet(TxLog.snapshot(spark, silver))
+    def wantIds(ks: Int*): Set[Long] =
+      ks.flatMap(k => idSet(refine(slice(k)))).toSet
+
+    TxLog.append(spark, bronze, slice(0))
+    def startSilver() = TxLog.streamingAppend(
+      refine(spark.readStream.format("graft-table").load(bronze)),
+      silver, ckpt)
+
+    val sq = startSilver()
+    try {
+      sq.processAllAvailable()
+      assert(silverIds === wantIds(0))
+
+      // two appends and a compaction land in bronze; the silver table
+      // must advance by exactly the refined increments (compaction
+      // interval: nothing)
+      TxLog.append(spark, bronze, slice(1))
+      TxLog.compact(spark, bronze, targetBytes = 64L << 20)
+      TxLog.append(spark, bronze, slice(2))
+      sq.processAllAvailable()
+      assert(silverIds === wantIds(0, 1, 2))
+      assert(TxLog.snapshot(spark, silver).count() ===
+        wantIds(0, 1, 2).size)
+    } finally sq.stop()
+
+    // bronze keeps moving while silver is down; the restarted chain
+    // resumes from BOTH checkpointed cursors (bronze offset in the
+    // stream checkpoint, batch ids in silver's ledger)
+    TxLog.append(spark, bronze, slice(3))
+    val sq2 = startSilver()
+    try {
+      sq2.processAllAvailable()
+      assert(silverIds === wantIds(0, 1, 2, 3))
+      assert(TxLog.snapshot(spark, silver).count() ===
+        wantIds(0, 1, 2, 3).size)
+      // every silver version is an idempotent streaming commit
+      assert(TxLog.history(silver).forall(_.op === "streaming-append"))
+    } finally sq2.stop()
+  }
+
   // ---------------- graft-table-history (DataSource V2) ----------------
 
   private def historyTable(prefix: String): String = {
