@@ -239,6 +239,57 @@ class RoundTwentyFiveSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("vacuum vs stream cursor: retention at the cursor resumes " +
+      "cleanly; vacuum past it fails the resumed batch loudly") {
+    val root = tmpDir("t25-vac")
+    val ckpt = tmpDir("t25-vac-ckpt")
+    TxLog.init(root)
+    val d = docs
+    (0 until 4).foreach(i => TxLog.append(spark, root,
+      d.filter(col("doc_id") >= i * 50 && col("doc_id") < (i + 1) * 50)))
+
+    val got = scala.collection.mutable.Set.empty[Long]
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-table").load(root)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          got.synchronized { got ++= idSet(b) }: Unit
+        }
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // cursor now at v3
+    assert(got.toSet === ids(0, 200))
+
+    // a vacuum that respects the cursor: time travel below 3 dies,
+    // but the stream's next interval (3, 4] replays fine
+    TxLog.vacuum(root, retainFrom = 3L)
+    TxLog.append(spark, root,
+      d.filter(col("doc_id") >= 200 && col("doc_id") < 220)) // v4
+    run()
+    assert(got.toSet === ids(0, 220))
+
+    // a vacuum PAST the cursor (retainFrom = 5 after the cursor's 4):
+    // the resumed interval needs version 4 and must fail loudly, not
+    // silently skip rows
+    TxLog.append(spark, root,
+      d.filter(col("doc_id") >= 220 && col("doc_id") < 230)) // v5
+    TxLog.vacuum(root, retainFrom = 5L)
+    TxLog.append(spark, root,
+      d.filter(col("doc_id") >= 230 && col("doc_id") < 240)) // v6
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft-table").load(root)
+        .writeStream
+        .foreachBatch { (_: DataFrame, _: Long) => (): Unit }
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("not in txlog")))
+  }
+
   test("medallion chain: bronze txlog → graft-table stream → derived " +
       "silver txlog, incremental propagation surviving a restart") {
     val bronze = tmpDir("t25-bronze")
