@@ -79,9 +79,14 @@ object GraftTableSource {
     val cdc = opt(parameters, "cdc").exists(_.toBoolean)
     val base = user.getOrElse(
       TxLog.snapshot(sqlContext.sparkSession, root).schema)
-    if (cdc && !base.fieldNames.contains("change"))
+    if (cdc) {
+      // loud, not silent: the feed column would otherwise OVERWRITE a
+      // same-named data column in every batch
+      require(!base.fieldNames.contains("change"),
+        s"cdc mode reserves the 'change' column name, but the table at " +
+          s"$root already has one")
       StructType(base.fields :+ StructField("change", StringType))
-    else base
+    } else base
   }
 }
 

@@ -239,6 +239,26 @@ class RoundTwentyFiveSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("filter-metadata truncation drift normalizes out of plan " +
+      "fingerprints (the r9 q_asof_forward solo-vs-suite flip)") {
+    // the same id-erased scan line as Spark abbreviates it under two
+    // exprId regimes: small ids (cut falls late) vs wide suite-grown
+    // ids (cut falls early, mid-token)
+    val late = "+- FileScan parquet [e#L] Batched: true, DataFilters: " +
+      "[isnotnull(event_type#), isnotnull(ts#), (event_type# = " +
+      "purchase), isnotnull(user_id#L), ..., Format: Parquet, " +
+      "PartitionFilters: [], PushedFilters: [IsNotNull(event_type)]"
+    val early = "+- FileScan parquet [e#L] Batched: true, DataFilters: " +
+      "[isnotnull(event_type#), isnotnull(ts#), (event_type# = pur..., " +
+      "Format: Parquet, PartitionFilters: [], PushedFilters: " +
+      "[IsNotNull(event_type)]"
+    assert(Bench.recutFilterMetadata(late) ===
+      Bench.recutFilterMetadata(early))
+    // the full PushedFilters text survives — it carries the signal
+    assert(Bench.recutFilterMetadata(late)
+      .contains("PushedFilters: [IsNotNull(event_type)]"))
+  }
+
   test("vacuum vs stream cursor: retention at the cursor resumes " +
       "cleanly; vacuum past it fails the resumed batch loudly") {
     val root = tmpDir("t25-vac")
