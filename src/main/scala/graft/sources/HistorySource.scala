@@ -7,7 +7,9 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType, StructField, StructType}
@@ -95,12 +97,49 @@ class GraftHistoryTable(root: String) extends Table with SupportsRead {
   * column set; everything else stays a residual filter for Spark.
   */
 class GraftHistoryScanBuilder(root: String) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var lo = Long.MinValue
   private var hi = Long.MaxValue
   private var pushed = Array.empty[Filter]
   private var required: StructType = GraftHistoryTable.Schema
+  private var aggFuncs: Option[Seq[String]] = None
+  private var limit: Option[Int] = None
+
+  private def isVersion(e: org.apache.spark.sql.connector.expressions
+      .Expression): Boolean = e match {
+    case nr: NamedReference => nr.fieldNames.toSeq == Seq("version")
+    case _ => false
+  }
+
+  /** Ungrouped COUNT(*) / MIN(version) / MAX(version) are answered
+    * from the log LISTING alone — no commit file is ever opened (the
+    * file name IS the version). Pushed as partial results; Spark's
+    * final aggregate over the single returned row is a no-op
+    * sum/min/max.
+    */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (agg.groupByExpressions.nonEmpty) return false
+    val fs = agg.aggregateExpressions
+    val tokens = fs.toSeq.map {
+      case _: CountStar => "count"
+      case m: Min if isVersion(m.column) => "min"
+      case m: Max if isVersion(m.column) => "max"
+      case _ => return false
+    }
+    if (tokens.isEmpty) return false
+    aggFuncs = Some(tokens)
+    true
+  }
+
+  /** LIMIT over the ledger: only the first N in-bounds commit files
+    * are opened. Spark re-applies the limit (partial push).
+    */
+  override def pushLimit(n: Int): Boolean = {
+    limit = Some(n)
+    true
+  }
 
   private def long(v: Any): Option[Long] = v match {
     case n: Number => Some(n.longValue())
@@ -132,24 +171,81 @@ class GraftHistoryScanBuilder(root: String) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftHistoryScan(root, lo, hi, required)
+  override def build(): Scan =
+    new GraftHistoryScan(root, lo, hi, required, aggFuncs, limit)
 }
 
 class GraftHistoryScan(root: String, lo: Long, hi: Long,
-                       required: StructType) extends Scan {
-  override def readSchema(): StructType = required
-  // bounds + columns in the plan text: the pushdowns are assertable
-  // from .explain, the same way parquet's PushedFilters are
+                       required: StructType,
+                       agg: Option[Seq[String]] = None,
+                       limit: Option[Int] = None) extends Scan {
+
+  override def readSchema(): StructType = agg match {
+    case Some(fs) => StructType(fs.map {
+      case "count" => StructField("count(*)", LongType, nullable = false)
+      case f => StructField(s"$f(version)", LongType, nullable = true)
+    })
+    case None => required
+  }
+
+  // bounds + columns + pushed aggregates/limit in the plan text: the
+  // pushdowns are assertable from .explain, the same way parquet's
+  // PushedFilters are
   override def description(): String = {
     val b = s"[${if (lo == Long.MinValue) "-inf" else lo}, " +
       s"${if (hi == Long.MaxValue) "inf" else hi}]"
+    val extras = agg.map(fs => s" pushedAggregates=${fs.mkString("[", ",", "]")}")
+      .getOrElse("") + limit.map(n => s" pushedLimit=$n").getOrElse("")
     s"GraftHistoryScan versionBounds=$b cols=" +
-      required.fieldNames.mkString("[", ",", "]")
+      required.fieldNames.mkString("[", ",", "]") + extras
   }
-  override def toBatch: Batch = new GraftHistoryBatch(root, lo, hi, required)
+
+  override def toBatch: Batch = agg match {
+    case Some(fs) => new GraftHistoryAggBatch(root, lo, hi, fs)
+    case None => new GraftHistoryBatch(root, lo, hi, required, limit)
+  }
+
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
     new GraftHistoryMicroBatch(root, lo, hi, required)
+}
+
+/** The listing-only answer to a pushed aggregate: one row, computed on
+  * the driver from the (bounds-filtered) version list. No commit file
+  * is opened — count/min/max over a corrupted-ledger table still work,
+  * which is how the spec proves the pushdown is real.
+  */
+case class GraftHistoryAggPartition(n: Long, min: Option[Long],
+                                    max: Option[Long],
+                                    funcs: Seq[String]) extends InputPartition
+
+class GraftHistoryAggBatch(root: String, lo: Long, hi: Long,
+                           funcs: Seq[String]) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] = {
+    val vs = TxLog.versions(root).filter(v => v >= lo && v <= hi)
+    Array(GraftHistoryAggPartition(vs.size.toLong, vs.headOption,
+      vs.lastOption, funcs))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftHistoryAggReaderFactory
+}
+
+object GraftHistoryAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[GraftHistoryAggPartition]
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow =
+        new GenericInternalRow(gp.funcs.map {
+          case "count" => Long.box(gp.n)
+          case "min" => gp.min.map(Long.box).orNull
+          case "max" => gp.max.map(Long.box).orNull
+        }.toArray[Any])
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** One partition = one slice of commit files. The version LIST is
@@ -160,20 +256,23 @@ case class GraftHistoryPartition(root: String, versions: Array[Long])
     extends InputPartition
 
 class GraftHistoryBatch(root: String, lo: Long, hi: Long,
-                        required: StructType) extends Batch {
+                        required: StructType,
+                        limit: Option[Int] = None) extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
-    GraftHistoryRead.partitions(root, lo, hi)
+    GraftHistoryRead.partitions(root, lo, hi, limit)
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftHistoryReaderFactory(required)
 }
 
 object GraftHistoryRead {
-  def partitions(root: String, lo: Long, hi: Long): Array[InputPartition] =
-    TxLog.versions(root)
-      .filter(v => v >= lo && v <= hi)
+  def partitions(root: String, lo: Long, hi: Long,
+                 limit: Option[Int] = None): Array[InputPartition] = {
+    val inBounds = TxLog.versions(root).filter(v => v >= lo && v <= hi)
+    limit.fold(inBounds)(n => inBounds.take(n))
       .grouped(GraftHistoryTable.VersionsPerPartition)
       .map(g => GraftHistoryPartition(root, g.toArray): InputPartition)
       .toArray
+  }
 }
 
 class GraftHistoryReaderFactory(required: StructType)

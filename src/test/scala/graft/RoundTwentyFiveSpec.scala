@@ -419,6 +419,37 @@ class RoundTwentyFiveSpec extends AnyFunSuite {
     assert(eq.select("op").head().getString(0) === "delete")
   }
 
+  test("graft-table-history answers COUNT/MIN/MAX(version) from the " +
+      "listing alone — proven on a corrupted ledger — and pushes LIMIT") {
+    val root = historyTable("t25-hist-agg")
+    def hist = spark.read.format("graft-table-history").load(root)
+
+    val agg = hist.agg(count(lit(1)).as("n"), min("version").as("lo"),
+      max("version").as("hi"))
+    assert(agg.queryExecution.executedPlan.toString
+      .contains("pushedAggregates=[count,min,max]"))
+    assert(agg.head() === org.apache.spark.sql.Row(5L, 0L, 4L))
+
+    // bounds compose with the pushed aggregate
+    val bounded = hist.filter(col("version") >= 2).agg(count(lit(1)))
+    assert(bounded.head().getLong(0) === 3L)
+
+    // LIMIT opens only the first N commit files
+    val lim = hist.orderBy("version").limit(2)
+    val limPlan = spark.read.format("graft-table-history").load(root)
+      .limit(2).queryExecution.executedPlan.toString
+    assert(limPlan.contains("pushedLimit=2"), limPlan)
+    assert(lim.collect().map(_.getLong(0)).toSeq === Seq(0L, 1L))
+
+    // the proof the aggregate never opens a commit file: corrupt one
+    // on disk — row reads must now fail, the pushed count must not
+    Files.writeString(
+      java.nio.file.Paths.get(root, "_txlog", "00000002.json"),
+      "this is not a commit")
+    assert(hist.agg(count(lit(1))).head().getLong(0) === 5L)
+    intercept[Exception] { hist.select("op").collect() }
+  }
+
   test("graft-table-history streams the ledger with offsets = versions") {
     val root = tmpDir("t25-hist-stream")
     val ckpt = tmpDir("t25-hist-stream-ckpt")
