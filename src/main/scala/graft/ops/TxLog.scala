@@ -214,12 +214,33 @@ object TxLog {
     rels
   }
 
-  /** Append `df` as a new version; returns the committed version. */
+  /** Append `df` as a new version; returns the committed version.
+    *
+    * Appends never conflict SEMANTICALLY — two racing writers just
+    * need distinct version slots. So the data is staged ONCE and the
+    * commit retries at the advanced tip when it loses a version race
+    * (the same loop [[commitBatch]] runs); mutations that DERIVE from
+    * a snapshot (delete/upsert/compact/optimize) still fail loudly on
+    * conflict, because their file sets may be stale — the caller must
+    * re-derive, not re-stamp.
+    */
   def append(spark: SparkSession, root: String, df: DataFrame): Long = {
     val adds = stage(spark, root, df)
-    val next = versionsOnDisk(root).lastOption.map(_ + 1).getOrElse(0L)
-    writeCommit(root, next, adds, Seq.empty, op = "append")
-    next
+    var out: Option[Long] = None
+    var races = 0
+    while (out.isEmpty) {
+      val next = versionsOnDisk(root).lastOption.map(_ + 1).getOrElse(0L)
+      try {
+        writeCommit(root, next, adds, Seq.empty, op = "append")
+        out = Some(next)
+      } catch {
+        case e: IllegalStateException =>
+          races += 1
+          if (races >= 1000) throw new IllegalStateException(
+            s"txlog append at $root lost $races version races; giving up", e)
+      }
+    }
+    out.get
   }
 
   /** Logged copy-on-write delete: the [[Maintenance.deleteWhere]]

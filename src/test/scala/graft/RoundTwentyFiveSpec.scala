@@ -259,6 +259,36 @@ class RoundTwentyFiveSpec extends AnyFunSuite {
       .contains("PushedFilters: [IsNotNull(event_type)]"))
   }
 
+  test("concurrent appenders never lose a commit: version races " +
+      "converge to one contiguous log") {
+    val root = tmpDir("t25-race")
+    TxLog.init(root)
+    val d = docs
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = 8
+    val rounds = 4
+    val fs = (0 until writers).map { w =>
+      Future {
+        (0 until rounds).map { r =>
+          TxLog.append(spark, root, d
+            .filter(col("doc_id") >= (w * rounds + r) * 10 &&
+              col("doc_id") < (w * rounds + r) * 10 + 10))
+        }
+      }
+    }
+    val versions = Await.result(Future.sequence(fs), 5.minutes).flatten
+    // every writer got its own slot: all 32 versions, no gaps, no reuse
+    assert(versions.sorted === (0L until (writers * rounds)))
+    assert(TxLog.versions(root) === (0L until (writers * rounds)))
+    assert(TxLog.history(root).forall(_.op === "append"))
+    // and no rows were lost or duplicated in the races
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.count() === writers * rounds * 10)
+    assert(idSet(snap) === ids(0, writers * rounds * 10))
+  }
+
   test("vacuum vs stream cursor: retention at the cursor resumes " +
       "cleanly; vacuum past it fails the resumed batch loudly") {
     val root = tmpDir("t25-vac")
