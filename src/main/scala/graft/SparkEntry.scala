@@ -756,24 +756,29 @@ object SparkEntry {
       graft.ops.TxLog.init(table)
       val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
       def slice(k: Int) = docs.filter(pmod(col("doc_id"), lit(4)) === k)
-      graft.ops.TxLog.append(s, table, slice(0))                    // v0
+      // the CHECK gate is load-bearing on every commit below (and the
+      // cdc replay proves a metadata-only version 0 is a clean empty
+      // batch, not an error)
+      graft.ops.TxLog.addConstraint(s, table, "doc_id_present",
+        "doc_id IS NOT NULL AND n_chars >= 0")                      // v0
+      graft.ops.TxLog.append(s, table, slice(0))                    // v1
       val qA = s.readStream.format("graft-table").load(table)
         .writeStream.format("parquet")
         .option("path", s"$root/feed_append")
         .option("checkpointLocation", s"$root/ckpt_append").start()
       try {
         qA.processAllAvailable()
-        graft.ops.TxLog.append(s, table, slice(1))                  // v1
+        graft.ops.TxLog.append(s, table, slice(1))                  // v2
         qA.processAllAvailable()
-        graft.ops.TxLog.compact(s, table, targetBytes = 16L << 20)  // v2
+        graft.ops.TxLog.compact(s, table, targetBytes = 16L << 20)  // v3
         qA.processAllAvailable()
-        graft.ops.TxLog.append(s, table, slice(2))                  // v3
+        graft.ops.TxLog.append(s, table, slice(2))                  // v4
         qA.processAllAvailable()
       } finally qA.stop()
       // data-changing commits land AFTER the append-only consumer
       // detached (it would — correctly — refuse them)
-      graft.ops.TxLog.deleteWhere(s, table, "doc_id", DeletedKeys)  // v4
-      graft.ops.TxLog.append(s, table, slice(3))                    // v5
+      graft.ops.TxLog.deleteWhere(s, table, "doc_id", DeletedKeys)  // v5
+      graft.ops.TxLog.append(s, table, slice(3))                    // v6
       val qC = s.readStream.format("graft-table")
         .option("cdc", "true").option("startingVersion", "0")
         .option("maxVersionsPerTrigger", "1").load(table)

@@ -113,10 +113,14 @@ object TxLog {
     val bid = batchId.map(b => s""","batchId":$b""").getOrElse("")
     val rows = parquetRows(root, adds)
     val rowsRemoved = parquetRows(root, removes)
-    val json =
+    publishCommit(root, version,
       s"""{"v":$version,"op":"$op","adds":${arr(adds)},""" +
         s""""removes":${arr(removes)},"rows":$rows,""" +
-        s""""rowsRemoved":$rowsRemoved$bid}"""
+        s""""rowsRemoved":$rowsRemoved$bid}""")
+  }
+
+  private def publishCommit(root: String, version: Long,
+                            json: String): Unit = {
     val tmp = Paths.get(logDir(root), s".tmp-${UUID.randomUUID()}")
     Files.writeString(tmp, json)
     try {
@@ -226,6 +230,7 @@ object TxLog {
     */
   def append(spark: SparkSession, root: String, df: DataFrame): Long = {
     val adds = stage(spark, root, df)
+    validateStaged(spark, root, adds, "append")
     var out: Option[Long] = None
     var races = 0
     while (out.isEmpty) {
@@ -310,6 +315,7 @@ object TxLog {
         .parquet(hitAbs.toIndexedSeq: _*)
         .join(keys, Seq(keyCol), "left_anti")
     val adds = stage(spark, root, survivors.unionByName(updates))
+    validateStaged(spark, root, adds, "merge")
     val removes = hitAbs.toSeq.map { u =>
       val p = Paths.get(new java.net.URI(u)).toString
       p.stripPrefix(Paths.get(root).toAbsolutePath.toString + "/")
@@ -378,6 +384,7 @@ object TxLog {
                   batchId: Long): Option[Long] = {
     if (committedBatchIds(root).contains(batchId)) return None
     val adds = stage(spark, root, batch)
+    validateStaged(spark, root, adds, "streaming commit")
     // the ledger check above is check-then-act: a replay racing the
     // original could pass it and land the batch twice at DIFFERENT
     // versions. Close the window with the commit file as the
@@ -471,6 +478,116 @@ object TxLog {
     added.exceptAll(removed).withColumn("change", lit("insert"))
       .unionByName(removed.exceptAll(added)
         .withColumn("change", lit("delete")))
+  }
+
+  // constraint names and expressions live in the hand-rolled commit
+  // JSON, so both are grammar-locked at write time (no double quotes,
+  // no backslashes — single-quoted SQL string literals are fine)
+  private val SafeName = "[A-Za-z0-9_]+".r
+  private val SafeExpr = "[A-Za-z0-9_ ><=!+\\-*/().,%'&|]+".r
+
+  /** CHECK constraints currently in force: every `set-constraint`
+    * commit ≤ the tip, minus later `drop-constraint`s (latest wins per
+    * name). Read from the log, so a FRESH reader/writer session
+    * enforces the same contract — the constraint is table metadata,
+    * not session state.
+    */
+  def constraints(root: String): Map[String, String] = {
+    val cname = """"cname":"([A-Za-z0-9_]+)"""".r
+    val cexpr = """"cexpr":"([^"]*)"""".r
+    versionsOnDisk(root).foldLeft(Map.empty[String, String]) { (acc, v) =>
+      val json = Files.readString(Paths.get(logDir(root), f"$v%08d.json"))
+      val op = """"op":"([a-z-]+)"""".r.findFirstMatchIn(json).map(_.group(1))
+      (op, cname.findFirstMatchIn(json).map(_.group(1))) match {
+        case (Some("set-constraint"), Some(n)) =>
+          acc + (n -> cexpr.findFirstMatchIn(json).get.group(1))
+        case (Some("drop-constraint"), Some(n)) => acc - n
+        case _ => acc
+      }
+    }
+  }
+
+  /** Add a CHECK constraint as a commit: from this version on, every
+    * append / streaming commit / merge must satisfy `sqlExpr` row-wise
+    * (NULL counts as a violation, the CHECK contract). EXISTING rows
+    * are validated first — a constraint the table already violates is
+    * rejected loudly, never recorded. The data-quality gate of a
+    * continuously ingesting table: bad batches fail at the commit
+    * boundary instead of poisoning downstream consumers.
+    */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+                    sqlExpr: String): Long = {
+    require(SafeName.matches(name), s"unsafe constraint name: $name")
+    require(SafeExpr.matches(sqlExpr), s"unsafe constraint expr: $sqlExpr")
+    val vs = versionsOnDisk(root)
+    if (vs.nonEmpty && resolve(root).files.nonEmpty) {
+      val bad = violations(snapshot(spark, root), sqlExpr).count()
+      require(bad == 0L,
+        s"constraint '$name' ($sqlExpr) is violated by $bad existing " +
+          s"row(s) of $root; clean the table before adding it")
+    }
+    commitMetadata(root,
+      s""""cname":"$name","cexpr":"$sqlExpr"""", "set-constraint")
+  }
+
+  /** Drop a CHECK constraint (by commit, like everything else). */
+  def dropConstraint(root: String, name: String): Long = {
+    require(SafeName.matches(name), s"unsafe constraint name: $name")
+    require(constraints(root).contains(name),
+      s"no active constraint '$name' on $root (have " +
+        s"${constraints(root).keys.toSeq.sorted.mkString(", ")})")
+    commitMetadata(root, s""""cname":"$name"""", "drop-constraint")
+  }
+
+  /** Publish a data-free metadata commit, retrying version races like
+    * [[append]] does.
+    */
+  private def commitMetadata(root: String, fields: String,
+                             op: String): Long = {
+    var out: Option[Long] = None
+    var races = 0
+    while (out.isEmpty) {
+      val next = versionsOnDisk(root).lastOption.map(_ + 1).getOrElse(0L)
+      try {
+        publishCommit(root, next,
+          s"""{"v":$next,"op":"$op","adds":[],"removes":[],""" +
+            s""""rows":0,"rowsRemoved":0,$fields}""")
+        out = Some(next)
+      } catch {
+        case e: IllegalStateException =>
+          races += 1
+          if (races >= 1000) throw new IllegalStateException(
+            s"txlog $op at $root lost $races version races; giving up", e)
+      }
+    }
+    out.get
+  }
+
+  /** Rows failing a CHECK expression — false OR NULL both violate. */
+  private def violations(df: DataFrame, sqlExpr: String): DataFrame =
+    df.filter(!coalesce(expr(sqlExpr).cast("boolean"), lit(false)))
+
+  /** Validate freshly STAGED files (exactly the bytes that would land)
+    * against the active constraints; on violation the staged files are
+    * cleaned up and the commit never happens. Row-preserving rewrites
+    * (delete survivors, compaction, optimize) are exempt — they move
+    * rows, they don't admit new ones.
+    */
+  private def validateStaged(spark: SparkSession, root: String,
+                             adds: Seq[String], context: String): Unit = {
+    val cs = constraints(root)
+    if (cs.isEmpty || adds.isEmpty) return
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(adds.map(f => s"$root/$f"): _*)
+    cs.foreach { case (name, ex) =>
+      val bad = violations(df, ex).count()
+      if (bad > 0) {
+        adds.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
+        throw new IllegalArgumentException(
+          s"constraint '$name' ($ex) violated by $bad row(s); the " +
+            s"$context to $root was rejected and its staged files removed")
+      }
+    }
   }
 
   /** One commit's full ledger entry — what `DESCRIBE HISTORY` exposes.

@@ -157,7 +157,12 @@ class GraftTableSource(sqlContext: SQLContext,
         startingVersion match {
           case Some(sv) if sv > 0 => changes(sv - 1, endV)
           // sv = 0 and the default both start from "nothing": the net
-          // content at endV IS the change set since before version 0
+          // content at endV IS the change set since before version 0.
+          // An empty-at-endV table (e.g. a metadata-only commit like
+          // set-constraint at version 0) is a legitimate empty batch,
+          // not an error — align() below projects the source schema
+          case _ if TxLog.resolve(root, Some(endV)).files.isEmpty =>
+            spark.emptyDataFrame
           case _ =>
             val snap = TxLog.snapshot(spark, root, Some(endV))
             if (cdc) snap.withColumn("change", lit("insert")) else snap

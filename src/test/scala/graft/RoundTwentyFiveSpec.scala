@@ -259,6 +259,70 @@ class RoundTwentyFiveSpec extends AnyFunSuite {
       .contains("PushedFilters: [IsNotNull(event_type)]"))
   }
 
+  test("CHECK constraints gate commits: violating appends, merges, and " +
+      "streaming batches are rejected loudly with staged files cleaned") {
+    val root = tmpDir("t25-check")
+    TxLog.init(root)
+    val d = docs
+    TxLog.append(spark, root, d.filter(col("doc_id") < 100))
+    val vSet = TxLog.addConstraint(spark, root, "chars_positive",
+      "n_chars > 0 AND lang IS NOT NULL")
+    assert(TxLog.constraints(root) ===
+      Map("chars_positive" -> "n_chars > 0 AND lang IS NOT NULL"))
+    // a metadata commit is logically invisible to CDC
+    assert(TxLog.changesBetween(spark, root, vSet - 1, vSet).count() === 0)
+
+    def dataFiles: Int =
+      new java.io.File(s"$root/data").listFiles().length
+
+    // violating append: rejected, named, counted, staged files gone
+    val before = dataFiles
+    val tip = TxLog.resolve(root).version
+    val e = intercept[IllegalArgumentException] {
+      TxLog.append(spark, root, d.filter(col("doc_id") >= 100)
+        .limit(20).withColumn("n_chars", lit(-1)))
+    }
+    assert(e.getMessage.contains("chars_positive") &&
+      e.getMessage.contains("20 row(s)"))
+    assert(dataFiles === before)
+    assert(TxLog.resolve(root).version === tip)
+
+    // NULL is a violation (the CHECK contract), not a pass
+    intercept[IllegalArgumentException] {
+      TxLog.append(spark, root, d.limit(5)
+        .withColumn("lang", lit(null).cast("string")))
+    }
+
+    // a clean append still lands; a violating MERGE does not
+    TxLog.append(spark, root,
+      d.filter(col("doc_id") >= 100 && col("doc_id") < 150))
+    intercept[IllegalArgumentException] {
+      TxLog.upsert(spark, root, d.filter(col("doc_id") === 3)
+        .withColumn("n_chars", lit(0)), "doc_id")
+    }
+
+    // a violating streaming batch is rejected AND not marked committed
+    // — the fixed retry of the same batch id can land
+    intercept[IllegalArgumentException] {
+      TxLog.commitBatch(spark, root,
+        d.limit(3).withColumn("n_chars", lit(-5)), batchId = 99L)
+    }
+    assert(!TxLog.committedBatchIds(root).contains(99L))
+    assert(TxLog.commitBatch(spark, root, d.limit(3), batchId = 99L).nonEmpty)
+
+    // a constraint the existing data violates is never recorded
+    intercept[IllegalArgumentException] {
+      TxLog.addConstraint(spark, root, "impossible", "n_chars > 1000000")
+    }
+    assert(!TxLog.constraints(root).contains("impossible"))
+
+    // dropped by commit: the gate opens, the ledger shows the ops
+    TxLog.dropConstraint(root, "chars_positive")
+    TxLog.append(spark, root, d.limit(2).withColumn("n_chars", lit(-1)))
+    val ops = TxLog.history(root).map(_.op)
+    assert(ops.contains("set-constraint") && ops.contains("drop-constraint"))
+  }
+
   test("concurrent appenders never lose a commit: version races " +
       "converge to one contiguous log") {
     val root = tmpDir("t25-race")
