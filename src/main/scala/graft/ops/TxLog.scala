@@ -624,6 +624,33 @@ object TxLog {
   /** Committed versions still on disk, ascending. */
   def versions(root: String): Seq[Long] = versionsOnDisk(root)
 
+  /** Write a log checkpoint at `at` (the tip when None) WITHOUT
+    * removing anything: [[resolve]] replays from the newest checkpoint
+    * at or below its target, so a periodic checkpoint keeps snapshot
+    * resolution O(commits since last checkpoint) instead of O(table
+    * lifetime) — the Delta checkpoint-every-N-commits idea. Every
+    * version stays readable (this is vacuum's checkpoint step alone,
+    * decoupled from reclamation). Returns the checkpointed version.
+    */
+  def checkpoint(root: String, at: Option[Long] = None): Long = {
+    val vs = versionsOnDisk(root)
+    require(vs.nonEmpty, s"txlog at $root has no commits")
+    val v = at.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v not in txlog (have $vs)")
+    val cpPath = Paths.get(logDir(root), f"$v%08d.checkpoint.json")
+    if (!Files.exists(cpPath)) {
+      val files = resolve(root, Some(v)).files
+      def arr(xs: Seq[String]) =
+        xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val tmp = Paths.get(logDir(root), s".tmp-cp-${UUID.randomUUID()}")
+      Files.writeString(tmp,
+        s"""{"v":$v,"adds":${arr(files)},"removes":[]}""")
+      Files.createLink(cpPath, tmp)
+      Files.delete(tmp)
+    }
+    v
+  }
+
   /** Physically remove data files unreferenced by every version >=
     * `retainFrom` (and drop the older commit files): the explicit,
     * retention-floored reclamation step. Returns the removed file
@@ -639,19 +666,8 @@ object TxLog {
     val vs = versionsOnDisk(root)
     require(vs.contains(retainFrom),
       s"retainFrom $retainFrom must be an existing version (have $vs)")
-    // checkpoint first (replay base for every retained version); same
-    // JSON shape as a commit — the full live set as `adds`
-    val cpPath = Paths.get(logDir(root), f"$retainFrom%08d.checkpoint.json")
-    if (!Files.exists(cpPath)) {
-      val files = resolve(root, Some(retainFrom)).files
-      def arr(xs: Seq[String]) =
-        xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val tmp = Paths.get(logDir(root), s".tmp-cp-${UUID.randomUUID()}")
-      Files.writeString(tmp,
-        s"""{"v":$retainFrom,"adds":${arr(files)},"removes":[]}""")
-      Files.createLink(cpPath, tmp)
-      Files.delete(tmp)
-    }
+    // checkpoint first (replay base for every retained version)
+    checkpoint(root, Some(retainFrom))
     val referenced = vs.filter(_ >= retainFrom)
       .flatMap(v => resolve(root, Some(v)).files).toSet
     val onDisk = listNames(Paths.get(dataDir(root))).map("data/" + _)

@@ -259,6 +259,31 @@ class RoundTwentyFiveSpec extends AnyFunSuite {
       .contains("PushedFilters: [IsNotNull(event_type)]"))
   }
 
+  test("a standalone checkpoint bounds replay without removing history") {
+    val root = tmpDir("t25-cp")
+    TxLog.init(root)
+    val d = docs
+    (0 until 6).foreach(i => TxLog.append(spark, root,
+      d.filter(col("doc_id") >= i * 30 && col("doc_id") < (i + 1) * 30)))
+    TxLog.deleteWhere(spark, root, "doc_id", Seq(10L))
+    val before = (0L to 6L).map(v =>
+      idSet(TxLog.snapshot(spark, root, Some(v))))
+
+    assert(TxLog.checkpoint(root) === 6L)
+    // every version — including those BELOW the checkpoint — resolves
+    // to exactly what it did before (vacuum is the only thing that
+    // truncates, and it was never called)
+    val after = (0L to 6L).map(v =>
+      idSet(TxLog.snapshot(spark, root, Some(v))))
+    assert(after === before)
+    // and the checkpoint is the replay base: a commit after it still
+    // lands on top correctly
+    TxLog.append(spark, root,
+      d.filter(col("doc_id") >= 180 && col("doc_id") < 200))
+    assert(idSet(TxLog.snapshot(spark, root)) ===
+      (ids(0, 200) - 10L))
+  }
+
   test("CHECK constraints gate commits: violating appends, merges, and " +
       "streaming batches are rejected loudly with staged files cleaned") {
     val root = tmpDir("t25-check")
