@@ -492,19 +492,39 @@ object TxLog {
     * enforces the same contract — the constraint is table metadata,
     * not session state.
     */
-  def constraints(root: String): Map[String, String] = {
+  def constraints(root: String): Map[String, String] =
+    constraintsAt(root, versionsOnDisk(root).lastOption.getOrElse(-1L))
+
+  /** Active constraints at `upTo`: start from the newest checkpoint's
+    * recorded constraint set (a [[vacuum]] may have truncated the
+    * set-constraint commits themselves — the checkpoint carries the
+    * contract across the truncation), then fold the commits after it.
+    */
+  private def constraintsAt(root: String, upTo: Long): Map[String, String] = {
     val cname = """"cname":"([A-Za-z0-9_]+)"""".r
     val cexpr = """"cexpr":"([^"]*)"""".r
-    versionsOnDisk(root).foldLeft(Map.empty[String, String]) { (acc, v) =>
-      val json = Files.readString(Paths.get(logDir(root), f"$v%08d.json"))
-      val op = """"op":"([a-z-]+)"""".r.findFirstMatchIn(json).map(_.group(1))
-      (op, cname.findFirstMatchIn(json).map(_.group(1))) match {
-        case (Some("set-constraint"), Some(n)) =>
-          acc + (n -> cexpr.findFirstMatchIn(json).get.group(1))
-        case (Some("drop-constraint"), Some(n)) => acc - n
-        case _ => acc
+    val cp = checkpointsOnDisk(root).filter(_ <= upTo).lastOption
+    val fromCp: Map[String, String] = cp.map { c =>
+      val json = Files.readString(
+        Paths.get(logDir(root), f"$c%08d.checkpoint.json"))
+      """"cset":\{([^}]*)\}""".r.findFirstMatchIn(json).map(_.group(1))
+        .map(body => """"([A-Za-z0-9_]+)":"([^"]*)"""".r
+          .findAllMatchIn(body).map(m => m.group(1) -> m.group(2)).toMap)
+        .getOrElse(Map.empty)
+    }.getOrElse(Map.empty)
+    versionsOnDisk(root)
+      .filter(v => v <= upTo && cp.forall(v > _))
+      .foldLeft(fromCp) { (acc, v) =>
+        val json = Files.readString(Paths.get(logDir(root), f"$v%08d.json"))
+        val op = """"op":"([a-z-]+)"""".r.findFirstMatchIn(json)
+          .map(_.group(1))
+        (op, cname.findFirstMatchIn(json).map(_.group(1))) match {
+          case (Some("set-constraint"), Some(n)) =>
+            acc + (n -> cexpr.findFirstMatchIn(json).get.group(1))
+          case (Some("drop-constraint"), Some(n)) => acc - n
+          case _ => acc
+        }
       }
-    }
   }
 
   /** Add a CHECK constraint as a commit: from this version on, every
@@ -642,9 +662,14 @@ object TxLog {
       val files = resolve(root, Some(v)).files
       def arr(xs: Seq[String]) =
         xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+      // the checkpoint carries the ACTIVE CONSTRAINT SET too: a later
+      // vacuum may truncate the set-constraint commits themselves, and
+      // the contract must survive the truncation
+      val cset = constraintsAt(root, v)
+        .map { case (n, e) => s""""$n":"$e"""" }.mkString("{", ",", "}")
       val tmp = Paths.get(logDir(root), s".tmp-cp-${UUID.randomUUID()}")
       Files.writeString(tmp,
-        s"""{"v":$v,"adds":${arr(files)},"removes":[]}""")
+        s"""{"v":$v,"adds":${arr(files)},"removes":[],"cset":$cset}""")
       Files.createLink(cpPath, tmp)
       Files.delete(tmp)
     }

@@ -348,6 +348,24 @@ class RoundTwentyFiveSpec extends AnyFunSuite {
     assert(ops.contains("set-constraint") && ops.contains("drop-constraint"))
   }
 
+  test("a CHECK constraint survives vacuum truncating its own commit") {
+    val root = tmpDir("t25-check-vac")
+    TxLog.init(root)
+    val d = docs
+    TxLog.append(spark, root, d.filter(col("doc_id") < 50))       // v0
+    TxLog.addConstraint(spark, root, "pos", "n_chars > 0")        // v1
+    TxLog.append(spark, root,
+      d.filter(col("doc_id") >= 50 && col("doc_id") < 100))       // v2
+    // truncate past the set-constraint commit itself
+    TxLog.vacuum(root, retainFrom = 2L)
+    assert(!TxLog.versions(root).contains(1L))
+    // the contract crossed the truncation via the checkpoint
+    assert(TxLog.constraints(root) === Map("pos" -> "n_chars > 0"))
+    intercept[IllegalArgumentException] {
+      TxLog.append(spark, root, d.limit(3).withColumn("n_chars", lit(-1)))
+    }
+  }
+
   test("concurrent appenders never lose a commit: version races " +
       "converge to one contiguous log") {
     val root = tmpDir("t25-race")
