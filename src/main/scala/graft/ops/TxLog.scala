@@ -93,26 +93,36 @@ object TxLog {
     * still on disk, so their footers are readable too.
     */
   private def parquetRows(root: String, files: Seq[String]): Long =
-    files.map { f =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(s"$root/$f"),
-        new org.apache.hadoop.conf.Configuration())
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
-    }.sum
+    {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      files.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$root/$f"), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    }
 
+  /** `knownRows`/`knownRowsRemoved` let retry loops pass the footer
+    * counts computed before their first attempt — the staged file set
+    * is invariant across version races, so re-reading every footer per
+    * lost race would be pure waste.
+    */
   private[graft] def writeCommit(root: String, version: Long,
                                  adds: Seq[String],
                                  removes: Seq[String],
                                  op: String = "append",
-                                 batchId: Option[Long] = None): Unit = {
+                                 batchId: Option[Long] = None,
+                                 knownRows: Option[Long] = None,
+                                 knownRowsRemoved: Option[Long] = None)
+      : Unit = {
     (adds ++ removes).foreach(p =>
       require(SafePath.matches(p), s"unsafe path in commit: $p"))
     require(SafeOp.matches(op), s"unsafe op in commit: $op")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val bid = batchId.map(b => s""","batchId":$b""").getOrElse("")
-    val rows = parquetRows(root, adds)
-    val rowsRemoved = parquetRows(root, removes)
+    val rows = knownRows.getOrElse(parquetRows(root, adds))
+    val rowsRemoved = knownRowsRemoved.getOrElse(parquetRows(root, removes))
     publishCommit(root, version,
       s"""{"v":$version,"op":"$op","adds":${arr(adds)},""" +
         s""""removes":${arr(removes)},"rows":$rows,""" +
@@ -231,22 +241,43 @@ object TxLog {
   def append(spark: SparkSession, root: String, df: DataFrame): Long = {
     val adds = stage(spark, root, df)
     validateStaged(spark, root, adds, "append")
+    val rows = parquetRows(root, adds)
     var out: Option[Long] = None
     var races = 0
     while (out.isEmpty) {
       val next = versionsOnDisk(root).lastOption.map(_ + 1).getOrElse(0L)
       try {
-        writeCommit(root, next, adds, Seq.empty, op = "append")
+        writeCommit(root, next, adds, Seq.empty, op = "append",
+          knownRows = Some(rows), knownRowsRemoved = Some(0L))
         out = Some(next)
       } catch {
         case e: IllegalStateException =>
           races += 1
-          if (races >= 1000) throw new IllegalStateException(
-            s"txlog append at $root lost $races version races; giving up", e)
+          if (races >= 1000) {
+            adds.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
+            throw new IllegalStateException(
+              s"txlog append at $root lost $races version races; giving up", e)
+          }
+          // the commit that beat us may have been set-constraint: the
+          // gate must hold for the version this batch will actually
+          // land at, not the one it was first validated against
+          validateStaged(spark, root, adds, "append")
       }
     }
+    maybeAutoCheckpoint(root, out.get)
     out.get
   }
+
+  /** Delta-style periodic log checkpoint: every [[CheckpointInterval]]
+    * commits, the append paths write the replay base so snapshot and
+    * constraint resolution stay O(interval) on a long-lived table.
+    * Data-free and race-safe (a concurrent loser is a no-op).
+    */
+  private val CheckpointInterval = 64L
+
+  private def maybeAutoCheckpoint(root: String, version: Long): Unit =
+    if (version > 0 && version % CheckpointInterval == 0)
+      checkpoint(root, Some(version)): Unit
 
   /** Logged copy-on-write delete: the [[Maintenance.deleteWhere]]
     * mechanics (stats-pruned hit discovery, survivor rewrite of ONLY
@@ -385,12 +416,14 @@ object TxLog {
     if (committedBatchIds(root).contains(batchId)) return None
     val adds = stage(spark, root, batch)
     validateStaged(spark, root, adds, "streaming commit")
+    val rows = parquetRows(root, adds)
     // the ledger check above is check-then-act: a replay racing the
     // original could pass it and land the batch twice at DIFFERENT
     // versions. Close the window with the commit file as the
     // serialization point — on a version conflict, re-read the ledger
     // (which now includes the racing commit) and either bail out as a
-    // replay or retry at the advanced version
+    // replay or retry at the advanced version — re-validating first,
+    // since the winning commit may have been set-constraint
     var out: Option[Option[Long]] = None
     while (out.isEmpty) {
       val next = versionsOnDisk(root).lastOption.map(_ + 1).getOrElse(0L)
@@ -400,12 +433,15 @@ object TxLog {
       } else
         try {
           writeCommit(root, next, adds, Seq.empty, op = "streaming-append",
-            batchId = Some(batchId))
+            batchId = Some(batchId), knownRows = Some(rows),
+            knownRowsRemoved = Some(0L))
           out = Some(Some(next))
         } catch {
-          case _: IllegalStateException => // conflict: loop re-checks
+          case _: IllegalStateException =>
+            validateStaged(spark, root, adds, "streaming commit")
         }
     }
+    out.get.foreach(maybeAutoCheckpoint(root, _))
     out.get
   }
 
@@ -539,15 +575,20 @@ object TxLog {
                     sqlExpr: String): Long = {
     require(SafeName.matches(name), s"unsafe constraint name: $name")
     require(SafeExpr.matches(sqlExpr), s"unsafe constraint expr: $sqlExpr")
-    val vs = versionsOnDisk(root)
-    if (vs.nonEmpty && resolve(root).files.nonEmpty) {
-      val bad = violations(snapshot(spark, root), sqlExpr).count()
-      require(bad == 0L,
-        s"constraint '$name' ($sqlExpr) is violated by $bad existing " +
-          s"row(s) of $root; clean the table before adding it")
-    }
+    def validateExisting(): Unit =
+      if (versionsOnDisk(root).nonEmpty && resolve(root).files.nonEmpty) {
+        val bad = violations(snapshot(spark, root), sqlExpr).count()
+        require(bad == 0L,
+          s"constraint '$name' ($sqlExpr) is violated by $bad existing " +
+            s"row(s) of $root; clean the table before adding it")
+      }
+    validateExisting()
+    // re-validate after every lost version race: the commit that beat
+    // us may have appended violating rows — recording the constraint
+    // over them would create exactly the state the gate forbids
     commitMetadata(root,
-      s""""cname":"$name","cexpr":"$sqlExpr"""", "set-constraint")
+      s""""cname":"$name","cexpr":"$sqlExpr"""", "set-constraint",
+      onConflict = () => validateExisting())
   }
 
   /** Drop a CHECK constraint (by commit, like everything else). */
@@ -562,8 +603,8 @@ object TxLog {
   /** Publish a data-free metadata commit, retrying version races like
     * [[append]] does.
     */
-  private def commitMetadata(root: String, fields: String,
-                             op: String): Long = {
+  private def commitMetadata(root: String, fields: String, op: String,
+                             onConflict: () => Unit = () => ()): Long = {
     var out: Option[Long] = None
     var races = 0
     while (out.isEmpty) {
@@ -578,6 +619,7 @@ object TxLog {
           races += 1
           if (races >= 1000) throw new IllegalStateException(
             s"txlog $op at $root lost $races version races; giving up", e)
+          onConflict()
       }
     }
     out.get
@@ -597,16 +639,34 @@ object TxLog {
                              adds: Seq[String], context: String): Unit = {
     val cs = constraints(root)
     if (cs.isEmpty || adds.isEmpty) return
-    val df = spark.read.option("mergeSchema", "true")
+    val staged = spark.read.option("mergeSchema", "true")
       .parquet(adds.map(f => s"$root/$f"): _*)
+    // CHECK semantics for a schema-evolved batch: a table column the
+    // batch lacks evaluates as NULL — a counted violation, not an
+    // analysis error (the log supports evolved appends, so constraints
+    // must resolve against the TABLE's columns, not just the batch's)
+    val tableCols =
+      if (versionsOnDisk(root).nonEmpty && resolve(root).files.nonEmpty)
+        snapshot(spark, root).schema.fields.toSeq
+      else Seq.empty
+    val df = tableCols.filterNot(f => staged.columns.contains(f.name))
+      .foldLeft(staged)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
+    def reject(name: String, ex: String, why: String): Nothing = {
+      adds.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
+      throw new IllegalArgumentException(
+        s"constraint '$name' ($ex) $why; the $context to $root was " +
+          "rejected and its staged files removed")
+    }
     cs.foreach { case (name, ex) =>
-      val bad = violations(df, ex).count()
-      if (bad > 0) {
-        adds.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
-        throw new IllegalArgumentException(
-          s"constraint '$name' ($ex) violated by $bad row(s); the " +
-            s"$context to $root was rejected and its staged files removed")
-      }
+      val bad =
+        try violations(df, ex).count()
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            reject(name, ex, s"does not resolve against the batch " +
+              s"(${e.getMessage.linesIterator.next()})")
+        }
+      if (bad > 0) reject(name, ex, s"violated by $bad row(s)")
     }
   }
 
@@ -670,8 +730,15 @@ object TxLog {
       val tmp = Paths.get(logDir(root), s".tmp-cp-${UUID.randomUUID()}")
       Files.writeString(tmp,
         s"""{"v":$v,"adds":${arr(files)},"removes":[],"cset":$cset}""")
-      Files.createLink(cpPath, tmp)
-      Files.delete(tmp)
+      try {
+        Files.createLink(cpPath, tmp)
+        Files.delete(tmp)
+      } catch {
+        // checkpoint content at a version is deterministic: a racing
+        // writer already published the same thing — the loser is a
+        // clean no-op, not a failure
+        case _: FileAlreadyExistsException => Files.deleteIfExists(tmp): Unit
+      }
     }
     v
   }

@@ -150,12 +150,14 @@ class GraftHistoryScanBuilder(root: String) extends ScanBuilder
     val residual = filters.filterNot {
       case EqualTo("version", v) => long(v).exists { n =>
         lo = math.max(lo, n); hi = math.min(hi, n); true }
+      // Long-extreme literals would overflow the +-1: leave those as
+      // residual filters for Spark instead of claiming them
       case GreaterThan("version", v) => long(v).exists { n =>
-        lo = math.max(lo, n + 1); true }
+        n != Long.MaxValue && { lo = math.max(lo, n + 1); true } }
       case GreaterThanOrEqual("version", v) => long(v).exists { n =>
         lo = math.max(lo, n); true }
       case LessThan("version", v) => long(v).exists { n =>
-        hi = math.min(hi, n - 1); true }
+        n != Long.MinValue && { hi = math.min(hi, n - 1); true } }
       case LessThanOrEqual("version", v) => long(v).exists { n =>
         hi = math.min(hi, n); true }
       // version is non-nullable: IsNotNull is vacuously true

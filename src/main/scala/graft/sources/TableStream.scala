@@ -131,6 +131,13 @@ class GraftTableSource(sqlContext: SQLContext,
     val vs = TxLog.versions(root)
     if (vs.isEmpty) return None
     val latest = vs.max
+    // tip+1 is legal ("only future commits"); anything further is a
+    // typo'd option, and letting it reach changesBetween would kill
+    // the query with an error that never mentions startingVersion
+    startingVersion.filter(_ > latest + 1).foreach(sv =>
+      throw new IllegalArgumentException(
+        s"startingVersion $sv is past the log tip $latest of $root " +
+          s"(use at most ${latest + 1} to consume only future commits)"))
     val capped = (maxVersionsPerTrigger, batchBase) match {
       case (Some(m), Some(base)) => math.min(latest, base + m)
       case _ => latest
@@ -178,14 +185,21 @@ class GraftTableSource(sqlContext: SQLContext,
     */
   private def changes(fromV: Long, toV: Long): DataFrame = {
     if (!cdc) {
+      // fail CLOSED: only ops known to preserve rows pass; anything
+      // else — delete, merge, or an op this reader does not know
+      // (op-less legacy commits read back as "unknown") — fails loudly
+      // rather than silently dropping its changed rows
+      val rowPreserving = Set("append", "streaming-append", "compact",
+        "optimize", "set-constraint", "drop-constraint")
       val changing = TxLog.versions(root)
         .filter(v => v > fromV && v <= toV)
         .map(v => (v, TxLog.commitInfoAt(root, v).op))
-        .filter { case (_, op) => op == "delete" || op == "merge" }
+        .filterNot { case (_, op) => rowPreserving.contains(op) }
       if (changing.nonEmpty) throw new IllegalStateException(
         s"graft-table stream over $root is append-only but commits " +
-          s"${changing.mkString(", ")} change existing rows; restart " +
-          "with .option(\"cdc\", \"true\") to consume the change feed")
+          s"${changing.mkString(", ")} change existing rows (or carry " +
+          "an unknown op); restart with .option(\"cdc\", \"true\") to " +
+          "consume the change feed")
     }
     val diff = TxLog.changesBetween(spark, root, fromV, toV)
     if (cdc) diff else diff.filter(col("change") === "insert").drop("change")

@@ -348,6 +348,65 @@ class RoundTwentyFiveSpec extends AnyFunSuite {
     assert(ops.contains("set-constraint") && ops.contains("drop-constraint"))
   }
 
+  test("review edges: schema-evolved batch NULLs violate CHECK, " +
+      "unknown ops fail the append-only stream closed, startingVersion " +
+      "past the tip is named, Long-extreme version filters stay exact") {
+    val root = tmpDir("t25-edges")
+    TxLog.init(root)
+    val d = docs
+    TxLog.append(spark, root, d.filter(col("doc_id") < 50))
+    TxLog.addConstraint(spark, root, "pos", "n_chars > 0")
+
+    // a batch LACKING the constrained column: NULL violates (CHECK
+    // semantics), staged files cleaned, no analysis error escapes
+    val before = new java.io.File(s"$root/data").listFiles().length
+    val e1 = intercept[IllegalArgumentException] {
+      TxLog.append(spark, root,
+        d.filter(col("doc_id") >= 50).limit(4).select("doc_id", "lang"))
+    }
+    assert(e1.getMessage.contains("pos") &&
+      e1.getMessage.contains("4 row(s)"))
+    assert(new java.io.File(s"$root/data").listFiles().length === before)
+
+    // an op outside the known row-preserving set fails the
+    // append-only stream CLOSED instead of silently dropping rows —
+    // it must land in an INCREMENTAL interval (the initial snapshot
+    // is net content by design and re-emits no history)
+    val ckpt1 = tmpDir("t25-edges-ckpt1")
+    val q = spark.readStream.format("graft-table").load(root)
+      .writeStream.format("memory").queryName("t25_edges")
+      .option("checkpointLocation", ckpt1).start()
+    try {
+      q.processAllAvailable()
+      TxLog.writeCommit(root, 2L, Seq.empty, Seq.empty, op = "rewrite")
+      val e2 = intercept[Exception] { q.processAllAvailable() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      // the guard fires on the (0, 2] interval holding the unknown op
+      assert(messages(e2).exists(_.contains("unknown op")) ||
+        messages(e2).exists(_.contains("rewrite")))
+    } finally q.stop()
+
+    // startingVersion far past the tip dies naming the option
+    val e3 = intercept[Exception] {
+      val q2 = spark.readStream.format("graft-table")
+        .option("startingVersion", "10").load(root)
+        .writeStream.format("memory").queryName("t25_edges_sv")
+        .option("checkpointLocation", tmpDir("t25-edges-ckpt2")).start()
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def messages3(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages3(t.getCause)
+    assert(messages3(e3).exists(_.contains("startingVersion 10")))
+
+    // Long-extreme bounds stay residual filters, never wrap
+    val hist = spark.read.format("graft-table-history").load(root)
+    assert(hist.filter(col("version") < Long.MinValue).count() === 0)
+    assert(hist.filter(col("version") > Long.MaxValue).count() === 0)
+  }
+
   test("a CHECK constraint survives vacuum truncating its own commit") {
     val root = tmpDir("t25-check-vac")
     TxLog.init(root)
