@@ -1643,6 +1643,15 @@ object SparkEntry {
       s.read.format("graft-table-history").load(txlogHistoryTable(s, dir))
         .select("version", "op", "n_adds", "n_removes",
           "rows_added", "rows_removed")),
+    // data skipping from the LOG's recorded per-file [min,max]: the
+    // head of the history table is two Z-ordered files, and this
+    // narrow doc_id slice opens only the low-range one — file pruning
+    // decided before any listing or footer I/O (the spec asserts the
+    // single input file; the oracle pins the row semantics)
+    "q_table_skipping" -> ((s, dir) =>
+      graft.ops.TxLog.snapshotSlice(s, txlogHistoryTable(s, dir),
+          "doc_id", 0L, 100L)
+        .select("doc_id", "lang", "n_chars")),
     // PageRank power iteration (3 rounds, d=0.85) over the undirected
     // customer-supplier trade graph; each round is one edge-join +
     // one aggregation with a checkpointed rank vector (flat plans) —
@@ -4337,6 +4346,13 @@ object SparkEntry {
         |SELECT 4, 'optimize', 2, 1,
         |       (SELECT c FROM n0) + (SELECT c FROM n1) - 3,
         |       (SELECT c FROM n0) + (SELECT c FROM n1) - 3""".stripMargin,
+    // the slice's semantics, independent of which files were pruned:
+    // table = documents with doc_id % 3 in (0, 1) minus the deleted
+    // keys (3, 9, 27), sliced to doc_id <= 100
+    "q_table_skipping" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id <= 100 AND doc_id % 3 IN (0, 1)
+        |  AND doc_id NOT IN (3, 9, 27)""".stripMargin,
     "q_pagerank" ->
       // three unrolled power-iteration rounds; (1.0 - 0.85) is spelled
       // as the same IEEE subtraction the Spark side computes

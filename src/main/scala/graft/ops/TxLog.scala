@@ -103,17 +103,69 @@ object TxLog {
       }.sum
     }
 
-  /** `knownRows`/`knownRowsRemoved` let retry loops pass the footer
-    * counts computed before their first attempt — the staged file set
-    * is invariant across version races, so re-reading every footer per
-    * lost race would be pure waste.
+  /** Footer metadata of staged files: the exact row count PLUS
+    * per-column `[min, max]` for top-level integer columns — read in
+    * the SAME footer open as the row count, so logging data-skipping
+    * stats costs no extra I/O at commit time. Integer columns only:
+    * their JSON round-trip is exact, and id/count columns are what a
+    * lakehouse prunes on. Timestamp-annotated INT64 is excluded (its
+    * raw long is a representation detail, not a user-facing value).
+    */
+  private def parquetMeta(root: String, files: Seq[String])
+      : (Long, Map[String, Map[String, (Long, Long)]]) = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation
+    val conf = new org.apache.hadoop.conf.Configuration()
+    var rows = 0L
+    val stats = Map.newBuilder[String, Map[String, (Long, Long)]]
+    files.foreach { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$root/$f"), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        rows += r.getRecordCount
+        val byCol = scala.collection.mutable.Map.empty[String, (Long, Long)]
+        r.getFooter.getBlocks.asScala.foreach { b =>
+          b.getColumns.asScala.foreach { c =>
+            val name = c.getPath.toDotString
+            val pt = c.getPrimitiveType
+            val intLike =
+              (pt.getPrimitiveTypeName == INT64 ||
+                pt.getPrimitiveTypeName == INT32) &&
+                (pt.getLogicalTypeAnnotation == null ||
+                  pt.getLogicalTypeAnnotation
+                    .isInstanceOf[IntLogicalTypeAnnotation])
+            val st = c.getStatistics
+            if (intLike && SafeName.matches(name) && st != null &&
+                !st.isEmpty && st.hasNonNullValue) {
+              val mn = st.genericGetMin.asInstanceOf[Number].longValue()
+              val mx = st.genericGetMax.asInstanceOf[Number].longValue()
+              byCol(name) = byCol.get(name)
+                .fold((mn, mx))(p =>
+                  (math.min(p._1, mn), math.max(p._2, mx)))
+            }
+          }
+        }
+        if (byCol.nonEmpty) stats += f -> byCol.toMap
+      } finally r.close()
+    }
+    (rows, stats.result())
+  }
+
+  /** `knownMeta`/`knownRowsRemoved` let retry loops pass the footer
+    * metadata computed before their first attempt — the staged file
+    * set is invariant across version races, so re-reading every footer
+    * per lost race would be pure waste.
     */
   private[graft] def writeCommit(root: String, version: Long,
                                  adds: Seq[String],
                                  removes: Seq[String],
                                  op: String = "append",
                                  batchId: Option[Long] = None,
-                                 knownRows: Option[Long] = None,
+                                 knownMeta: Option[(Long,
+                                   Map[String, Map[String, (Long, Long)]])] =
+                                   None,
                                  knownRowsRemoved: Option[Long] = None)
       : Unit = {
     (adds ++ removes).foreach(p =>
@@ -121,12 +173,22 @@ object TxLog {
     require(SafeOp.matches(op), s"unsafe op in commit: $op")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val bid = batchId.map(b => s""","batchId":$b""").getOrElse("")
-    val rows = knownRows.getOrElse(parquetRows(root, adds))
+    val (rows, stats) = knownMeta.getOrElse(parquetMeta(root, adds))
     val rowsRemoved = knownRowsRemoved.getOrElse(parquetRows(root, removes))
+    // per-file integer [min,max] — the data-skipping index a reader
+    // prunes on without opening a single footer. Sorted for
+    // deterministic bytes.
+    val statsJson =
+      if (stats.isEmpty) ""
+      else ""","stats":""" + stats.toSeq.sortBy(_._1).map { case (f, cols) =>
+        s""""$f":""" + cols.toSeq.sortBy(_._1)
+          .map { case (c, (mn, mx)) => s""""$c":[$mn,$mx]""" }
+          .mkString("{", ",", "}")
+      }.mkString("{", ",", "}")
     publishCommit(root, version,
       s"""{"v":$version,"op":"$op","adds":${arr(adds)},""" +
         s""""removes":${arr(removes)},"rows":$rows,""" +
-        s""""rowsRemoved":$rowsRemoved$bid}""")
+        s""""rowsRemoved":$rowsRemoved$bid$statsJson}""")
   }
 
   private def publishCommit(root: String, version: Long,
@@ -241,14 +303,14 @@ object TxLog {
   def append(spark: SparkSession, root: String, df: DataFrame): Long = {
     val adds = stage(spark, root, df)
     validateStaged(spark, root, adds, "append")
-    val rows = parquetRows(root, adds)
+    val meta = parquetMeta(root, adds)
     var out: Option[Long] = None
     var races = 0
     while (out.isEmpty) {
       val next = versionsOnDisk(root).lastOption.map(_ + 1).getOrElse(0L)
       try {
         writeCommit(root, next, adds, Seq.empty, op = "append",
-          knownRows = Some(rows), knownRowsRemoved = Some(0L))
+          knownMeta = Some(meta), knownRowsRemoved = Some(0L))
         out = Some(next)
       } catch {
         case e: IllegalStateException =>
@@ -391,6 +453,52 @@ object TxLog {
     snap.version + 1
   }
 
+  /** The log's data-skipping index: per live-file, per integer-column
+    * `[min, max]` as recorded at commit time. Files from pre-stats
+    * commits (or carried across a vacuum by the checkpoint) simply
+    * have no entry — readers treat that as "cannot skip".
+    */
+  def fileStats(root: String): Map[String, Map[String, (Long, Long)]] = {
+    val fileObj = ("\"(data/" + "[A-Za-z0-9._/\\-=]+)\":\\{([^}]*)\\}").r
+    val colRange = """"([A-Za-z0-9_]+)":\[(-?\d+),(-?\d+)\]""".r
+    versionsOnDisk(root).flatMap { v =>
+      val json = Files.readString(Paths.get(logDir(root), f"$v%08d.json"))
+      fileObj.findAllMatchIn(json).map { m =>
+        m.group(1) -> colRange.findAllMatchIn(m.group(2))
+          .map(c => c.group(1) -> (c.group(2).toLong, c.group(3).toLong))
+          .toMap
+      }
+    }.toMap
+  }
+
+  /** Data-skipping read: the snapshot restricted to
+    * `lo <= colName <= hi`, with files pruned by the LOG-RECORDED
+    * stats BEFORE any listing or footer I/O — on a key-clustered
+    * layout ([[optimize]]/sorted appends) a narrow slice of a huge
+    * table opens only the files whose range overlaps, the same move
+    * Delta's data skipping makes. Files without recorded stats for
+    * `colName` are conservatively read (pre-stats commits,
+    * checkpoint-carried files, all-null chunks). Semantics are exactly
+    * `snapshot(...).filter(lo <= col && col <= hi)`.
+    */
+  def snapshotSlice(spark: SparkSession, root: String, colName: String,
+                    lo: Long, hi: Long,
+                    version: Option[Long] = None): DataFrame = {
+    val snap = resolve(root, version)
+    require(snap.files.nonEmpty,
+      s"version ${snap.version} of $root has no live files")
+    val st = fileStats(root)
+    val keep = snap.files.filter { f =>
+      st.get(f).flatMap(_.get(colName))
+        .forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }
+    val in = col(colName) >= lo && col(colName) <= hi
+    if (keep.isEmpty) snapshot(spark, root, version).filter(in).limit(0)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(keep.map(f => s"$root/$f"): _*)
+      .filter(in)
+  }
+
   /** Stream-source batch ids already committed to the log (from the
     * commits' optional `batchId` field) — the idempotency ledger for
     * [[streamingAppend]].
@@ -416,7 +524,7 @@ object TxLog {
     if (committedBatchIds(root).contains(batchId)) return None
     val adds = stage(spark, root, batch)
     validateStaged(spark, root, adds, "streaming commit")
-    val rows = parquetRows(root, adds)
+    val meta = parquetMeta(root, adds)
     // the ledger check above is check-then-act: a replay racing the
     // original could pass it and land the batch twice at DIFFERENT
     // versions. Close the window with the commit file as the
@@ -433,7 +541,7 @@ object TxLog {
       } else
         try {
           writeCommit(root, next, adds, Seq.empty, op = "streaming-append",
-            batchId = Some(batchId), knownRows = Some(rows),
+            batchId = Some(batchId), knownMeta = Some(meta),
             knownRowsRemoved = Some(0L))
           out = Some(Some(next))
         } catch {

@@ -348,6 +348,68 @@ class RoundTwentyFiveSpec extends AnyFunSuite {
     assert(ops.contains("set-constraint") && ops.contains("drop-constraint"))
   }
 
+  test("log-recorded file stats prune a sliced read to the overlapping " +
+      "files, conservatively reading stat-less files") {
+    val root = tmpDir("t25-skip")
+    TxLog.init(root)
+    val d = docs
+    // three key-clustered files: doc_id ranges [0,99], [100,199],
+    // [200,299]
+    (0 until 3).foreach(i => TxLog.append(spark, root,
+      d.filter(col("doc_id") >= i * 100 && col("doc_id") < (i + 1) * 100)
+        .coalesce(1)))
+
+    // the stats landed in the log with the true per-file ranges
+    val st = TxLog.fileStats(root)
+    assert(st.size === 3)
+    assert(st.values.map(_("doc_id")).toSet ===
+      Set((0L, 99L), (100L, 199L), (200L, 299L)))
+
+    // a slice inside the middle file opens ONLY that file
+    val slice = TxLog.snapshotSlice(spark, root, "doc_id", 120L, 150L)
+    assert(slice.inputFiles.length === 1)
+    assert(idSet(slice) === ids(120, 151))
+    // exact parity with the unpruned filter
+    assert(slice.exceptAll(TxLog.snapshot(spark, root)
+      .filter(col("doc_id") >= 120 && col("doc_id") <= 150)).count() === 0)
+
+    // a disjoint slice reads nothing but keeps the schema
+    val empty = TxLog.snapshotSlice(spark, root, "doc_id", 5000L, 6000L)
+    assert(empty.count() === 0)
+    assert(empty.columns.toSeq === Seq("doc_id", "lang", "n_chars"))
+
+    // a file with NO stats for the column (all-null chunk) is
+    // conservatively kept and its rows filter away normally
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val nullDf = spark.createDataFrame(
+      java.util.Arrays.asList(Row(null, "zz", 7L), Row(null, "zz", 8L)),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("lang", StringType), StructField("n_chars", LongType))))
+    TxLog.append(spark, root, nullDf.coalesce(1))
+    val afterNull = TxLog.snapshotSlice(spark, root, "doc_id", 120L, 150L)
+    assert(afterNull.inputFiles.length === 2) // middle file + null file
+    assert(idSet(afterNull) === ids(120, 151))
+
+    // stats survive compaction (the packed file gets fresh ranges) and
+    // slicing after a vacuum (stat-less checkpoint-carried files) stays
+    // correct, just unpruned
+    TxLog.compact(spark, root, targetBytes = 1L << 30)
+    assert(idSet(TxLog.snapshotSlice(spark, root, "doc_id", 120L, 150L))
+      === ids(120, 151))
+    TxLog.vacuum(root, retainFrom = TxLog.resolve(root).version)
+    assert(idSet(TxLog.snapshotSlice(spark, root, "doc_id", 120L, 150L))
+      === ids(120, 151))
+  }
+
+  test("q_table_skipping (the driver entry itself) opens only the " +
+      "low-range z-ordered file") {
+    val df = SparkEntry.queries("q_table_skipping")(spark, testdata)
+    assert(df.inputFiles.length === 1,
+      s"expected 1 pruned input file, got ${df.inputFiles.toSeq}")
+    assert(df.count() > 0)
+  }
+
   test("review edges: schema-evolved batch NULLs violate CHECK, " +
       "unknown ops fail the append-only stream closed, startingVersion " +
       "past the tip is named, Long-extreme version filters stay exact") {
