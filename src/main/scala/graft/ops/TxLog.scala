@@ -352,7 +352,22 @@ object TxLog {
     require(keys.nonEmpty, "txlog deleteWhere: empty key list")
     val snap = resolve(root)
     val hit = col(keyCol).isin(keys: _*)
-    val abs = snap.files.map(f => s"$root/$f")
+    // log-stats pre-prune: only files whose recorded [min,max] admits
+    // at least one key can hold a hit — the discovery scan never even
+    // LISTS the rest (on a key-clustered layout that is almost all of
+    // them). Stat-less files are conservatively scanned.
+    val st = fileStats(root)
+    val candidates = snap.files.filter { f =>
+      st.get(f).flatMap(_.get(keyCol)).forall { case (mn, mx) =>
+        keys.exists(k => k >= mn && k <= mx)
+      }
+    }
+    val next0 = snap.version + 1
+    if (candidates.isEmpty) {
+      writeCommit(root, next0, Seq.empty, Seq.empty, op = "delete")
+      return next0
+    }
+    val abs = candidates.map(f => s"$root/$f")
     // mergeSchema on both reads: the table may be schema-evolved and a
     // sampled pre-evolution footer would silently drop newer columns
     // from the rewritten survivors
