@@ -880,6 +880,39 @@ object Scratch {
                 (if (headT.version == 21L && nHead == 100000L - 5 &&
                      nV9 == 50000L && nDelT == 5 && nInsT == 0) "OK"
                  else "MISMATCH"))
+            case "tableskip" =>
+              // log-stats data skipping at 20x: one commit lands the
+              // 100k-row corpus as 100 key-range-clustered files with
+              // per-file [min,max] in the log; a narrow slice must
+              // open only the overlapping file(s), and a clustered
+              // delete's discovery must rewrite exactly one file
+              val rootK = java.nio.file.Files
+                .createTempDirectory("graft-skipstress-").toString + "/t"
+              ops.TxLog.init(rootK)
+              val t0k = System.nanoTime()
+              ops.TxLog.append(spark, rootK, big
+                .select("doc_id", "lang", "n_chars")
+                .repartitionByRange(100, col("doc_id"))
+                .sortWithinPartitions("doc_id"))
+              val nFiles = ops.TxLog.resolve(rootK).files.size
+              val statsK = ops.TxLog.fileStats(rootK)
+              val slice = ops.TxLog.snapshotSlice(spark, rootK,
+                "doc_id", 5000100L, 5000200L)
+              val nOpened = slice.inputFiles.length
+              val nSlice = slice.count()
+              val want = big.filter(col("doc_id") >= 5000100L &&
+                col("doc_id") <= 5000200L).count()
+              // clustered delete: keys inside ONE file's range
+              val v = ops.TxLog.deleteWhere(spark, rootK,
+                "doc_id", Seq(5000100L, 5000101L, 5000102L))
+              val ci = ops.TxLog.commitInfoAt(rootK, v)
+              val secK = (System.nanoTime() - t0k) / 1e9
+              println(f"sec=$secK%.1f files=$nFiles stats=${statsK.size} " +
+                f"sliceFiles=$nOpened slice=$nSlice/$want " +
+                f"deleteRewrote=${ci.removes.size} " +
+                (if (nFiles == 100 && statsK.size == 100 && nOpened <= 2 &&
+                     nSlice == want && nSlice > 0 &&
+                     ci.removes.size == 1) "OK" else "MISMATCH"))
             case "tablestream" =>
               // the graft-table streaming source at 20x: replay a
               // 21-commit lifecycle (20 appends of 5k rows + one
