@@ -637,6 +637,34 @@ object SparkEntry {
       p
     })
 
+  /** The merge-on-read delete lifecycle, one per (session, sf dir):
+    * documents appended doc_id-range-clustered (8 files), then every
+    * doc_id ≡ 3 (mod 19) erased via [[graft.ops.TxLog.deleteWhereDv]]
+    * — ONE tiny deletion-vector sidecar committed, ZERO data files
+    * rewritten (the scattered-delete shape where copy-on-write would
+    * rewrite all 8 range files) — then compaction, which purges the
+    * mask physically. `q_table_dv_delete` time-travels to the masked
+    * dv version through the purge; `q_table_dv_cdc` diffs the dv
+    * interval, whose FILE set is unchanged — the deletes are visible
+    * only through the mask algebra.
+    */
+  private val txlogDvCache = new SessionCache[(String, Long)]
+
+  private def txlogDvTable(s: SparkSession, dir: String): (String, Long) =
+    txlogDvCache.getOrElseUpdate(s, dir, {
+      val p = s"${annTmp()}/txdv"
+      graft.ops.TxLog.init(p)
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      graft.ops.TxLog.append(s, p,
+        docs.repartitionByRange(8, col("doc_id"))
+          .sortWithinPartitions("doc_id"))
+      val keys = docs.filter(pmod(col("doc_id"), lit(19)) === 3)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      val dvV = graft.ops.TxLog.deleteWhereDv(s, p, "doc_id", keys)
+      graft.ops.TxLog.compact(s, p, targetBytes = 16L << 20)
+      (p, dvV)
+    })
+
   /** The logged-MERGE lifecycle, one per (session, sf dir): documents
     * appended key-clustered (range layout, so the merge's stats-pruned
     * hit discovery touches few files), then one [[graft.ops.TxLog
@@ -1600,6 +1628,27 @@ object SparkEntry {
         .withColumn("snap", lit("v1"))
         .unionByName(graft.ops.TxLog.snapshot(s, p).select("doc_id")
           .withColumn("snap", lit("head")))
+    }),
+    // merge-on-read delete: every doc_id ≡ 3 (mod 19) is gone from the
+    // read, but the commit wrote only a (file, row-position) sidecar —
+    // zero data files rewritten (the spec asserts byte-identity; at
+    // 100 TB this is the difference between a KB and rewriting every
+    // file a scattered delete touches). The read is a time travel TO
+    // the dv version through a later compaction that purged the mask —
+    // so it also pins that purge left history intact
+    "q_table_dv_delete" -> ((s, dir) => {
+      val (p, dvV) = txlogDvTable(s, dir)
+      graft.ops.TxLog.snapshot(s, p, Some(dvV))
+        .select("doc_id", "lang", "n_chars")
+    }),
+    // CDC over the dv interval: the file set did NOT change (that is
+    // the point of merge-on-read), so the deletes are visible only
+    // through the mask diff — newly masked positions joined back to
+    // their rows. Exactly the deleted keys, no inserts
+    "q_table_dv_cdc" -> ((s, dir) => {
+      val (p, dvV) = txlogDvTable(s, dir)
+      graft.ops.TxLog.changesBetween(s, p, dvV - 1, dvV)
+        .select("doc_id", "lang", "n_chars", "change")
     }),
     // MERGE INTO + OPTIMIZE as commits: updates replace same-key rows,
     // new keys append, and the Z-order rewrite that follows must not
@@ -4287,6 +4336,16 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, 'head' AS snap FROM documents
         |WHERE doc_id NOT IN (7, 8, 42)""".stripMargin,
+    // the masked snapshot: everything except the dv-deleted residue
+    // class — independent of how the mask is stored or purged
+    "q_table_dv_delete" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 19 <> 3""".stripMargin,
+    // the dv interval's change feed: exactly the masked keys as
+    // deletes, nothing inserted
+    "q_table_dv_cdc" ->
+      """SELECT doc_id, lang, n_chars, 'delete' AS change FROM documents
+        |WHERE doc_id % 19 = 3""".stripMargin,
     // merge semantics spelled out: updated keys take the new lang, new
     // keys append, everything else unchanged — and the optimize commit
     // after the merge must leave all of it untouched

@@ -40,9 +40,12 @@ object TxLog {
   /** Live data files (relative paths) of the table at `version`
     * (latest when None), with the version actually resolved. Replays
     * add/remove actions in commit order — order matters because a
-    * compaction removes files an earlier commit added.
+    * compaction removes files an earlier commit added. `dvFiles` are
+    * the deletion-vector sidecars whose masks still apply to at least
+    * one live file ([[deleteWhereDv]]) — a reader must anti-join them.
     */
-  final case class Snapshot(version: Long, files: Seq[String])
+  final case class Snapshot(version: Long, files: Seq[String],
+                            dvFiles: Seq[String] = Seq.empty)
 
   /** Create an empty table root (no versions yet). */
   def init(root: String): Unit = {
@@ -166,13 +169,23 @@ object TxLog {
                                  knownMeta: Option[(Long,
                                    Map[String, Map[String, (Long, Long)]])] =
                                    None,
-                                 knownRowsRemoved: Option[Long] = None)
+                                 knownRowsRemoved: Option[Long] = None,
+                                 dv: Option[(String, Seq[String])] = None)
       : Unit = {
     (adds ++ removes).foreach(p =>
       require(SafePath.matches(p), s"unsafe path in commit: $p"))
     require(SafeOp.matches(op), s"unsafe op in commit: $op")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val bid = batchId.map(b => s""","batchId":$b""").getOrElse("")
+    // a deletion-vector commit names its sidecar and the data files it
+    // covers — covers let resolve() retire the DV once every covered
+    // file is rewritten out of the live set
+    val dvJson = dv.map { case (p, covers) =>
+      require(SafePath.matches(p), s"unsafe dv path in commit: $p")
+      covers.foreach(c =>
+        require(SafePath.matches(c), s"unsafe dv cover in commit: $c"))
+      s""","dv":"$p","dvCovers":${arr(covers)}"""
+    }.getOrElse("")
     val (rows, stats) = knownMeta.getOrElse(parquetMeta(root, adds))
     val rowsRemoved = knownRowsRemoved.getOrElse(parquetRows(root, removes))
     // per-file integer [min,max] — the data-skipping index a reader
@@ -188,7 +201,7 @@ object TxLog {
     publishCommit(root, version,
       s"""{"v":$version,"op":"$op","adds":${arr(adds)},""" +
         s""""removes":${arr(removes)},"rows":$rows,""" +
-        s""""rowsRemoved":$rowsRemoved$bid$statsJson}""")
+        s""""rowsRemoved":$rowsRemoved$bid$dvJson$statsJson}""")
   }
 
   private def publishCommit(root: String, version: Long,
@@ -223,6 +236,72 @@ object TxLog {
     (v, arr("adds"), arr("removes"))
   }
 
+  /** A commit's deletion-vector action, if any: (sidecar path, covered
+    * data files).
+    */
+  private def parseDv(json: String): Option[(String, Seq[String])] =
+    """"dv":"([^"]+)"""".r.findFirstMatchIn(json).map { m =>
+      val covers = """"dvCovers":\[([^\]]*)\]""".r.findFirstMatchIn(json)
+        .map(_.group(1)).filter(_.nonEmpty)
+        .map(_.split(",").toSeq
+          .map(_.stripPrefix("\"").stripSuffix("\"")))
+        .getOrElse(Seq.empty)
+      (m.group(1), covers)
+    }
+
+  /** The checkpoint's carried DV state: sidecar path → covered files
+    * still live at the checkpointed version.
+    */
+  private def parseDvState(json: String): Seq[(String, Seq[String])] =
+    """"dvs":\{([^}]*)\}""".r.findFirstMatchIn(json).map(_.group(1))
+      .map { body =>
+        """"([^"]+)":\[([^\]]*)\]""".r.findAllMatchIn(body).map { m =>
+          val covers =
+            if (m.group(2).isEmpty) Seq.empty[String]
+            else m.group(2).split(",").toSeq
+              .map(_.stripPrefix("\"").stripSuffix("\""))
+          m.group(1) -> covers
+        }.toSeq
+      }.getOrElse(Seq.empty)
+
+  /** Full replay state at `upTo`: the live file set plus the active
+    * deletion vectors with their still-live covers. A DV is retired the
+    * moment its last covered file is rewritten out of the live set
+    * (compaction / optimize / copy-on-write delete) — the rewrite read
+    * applied the mask, so the survivors no longer need it.
+    */
+  private def resolveState(root: String, upTo: Long)
+      : (Seq[String], Seq[(String, Seq[String])]) = {
+    val vs = versionsOnDisk(root)
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    val dvs =
+      scala.collection.mutable.LinkedHashMap.empty[String, Set[String]]
+    val cp = checkpointsOnDisk(root).filter(_ <= upTo).lastOption
+    cp.foreach { c =>
+      val json = Files.readString(
+        Paths.get(logDir(root), f"$c%08d.checkpoint.json"))
+      val (_, files, _) = parseCommit(json)
+      files.foreach(live += _)
+      parseDvState(json).foreach { case (p, cov) => dvs(p) = cov.toSet }
+    }
+    vs.filter(v => v <= upTo && cp.forall(v > _)).foreach { v =>
+      val json = Files.readString(Paths.get(logDir(root), f"$v%08d.json"))
+      val (_, adds, removes) = parseCommit(json)
+      removes.foreach { r =>
+        live -= r
+        if (dvs.nonEmpty) {
+          dvs.mapValuesInPlace((_, cov) => cov - r)
+          dvs.filterInPlace((_, cov) => cov.nonEmpty): Unit
+        }
+      }
+      adds.foreach(live += _)
+      parseDv(json).foreach { case (p, cov) =>
+        dvs(p) = dvs.getOrElse(p, Set.empty) ++ cov
+      }
+    }
+    (live.toSeq, dvs.toSeq.map { case (p, cov) => p -> cov.toSeq.sorted })
+  }
+
   /** Resolve the file set at `version` (latest when None): start from
     * the newest checkpoint at or below it (a [[vacuum]] writes one
     * before truncating the log, so the replay prefix is always
@@ -233,27 +312,62 @@ object TxLog {
     require(vs.nonEmpty, s"txlog at $root has no commits")
     val upTo = version.getOrElse(vs.max)
     require(vs.contains(upTo), s"version $upTo not in txlog (have $vs)")
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    val cp = checkpointsOnDisk(root).filter(_ <= upTo).lastOption
-    cp.foreach { c =>
-      val json = Files.readString(
-        Paths.get(logDir(root), f"$c%08d.checkpoint.json"))
-      val (_, files, _) = parseCommit(json)
-      files.foreach(live += _)
+    val (files, dvs) = resolveState(root, upTo)
+    Snapshot(upTo, files, dvs.map(_._1))
+  }
+
+  private def fileNameOf(rel: String): String =
+    Paths.get(rel).getFileName.toString
+
+  /** The union of the given deletion vectors as (file-name, position)
+    * rows, de-duplicated — two DVs may mask the same row (idempotent
+    * re-delete), and the mask is a set.
+    */
+  private def dvEntries(spark: SparkSession, root: String,
+                        dvFiles: Seq[String]): DataFrame =
+    spark.read.parquet(dvFiles.map(f => s"$root/$f"): _*)
+      .select(col("file"), col("pos")).distinct()
+
+  /** Apply a deletion-vector mask to a parquet SCAN (the frame must
+    * still expose `_metadata` — call this directly on the read, before
+    * any join/aggregate): anti-join on (file name, row position),
+    * keyed by name because data-file names are UUID-unique and the
+    * name dodges file-URI scheme variance. The DV side is broadcast:
+    * its cardinality is rows logically deleted but not yet compacted
+    * away, which the table's OPTIMIZE/compaction cadence bounds — a
+    * mask too big to broadcast means compaction is overdue (the same
+    * memory pressure a per-file DV bitmap reader has). Entries for
+    * files outside the scan simply never match. `keepKeys = true`
+    * leaves the `__dv_f`/`__dv_p` key columns on the output for
+    * callers that need the surviving rows' positions.
+    */
+  private[graft] def applyDvMask(spark: SparkSession, root: String,
+                                 scan: DataFrame, dvFiles: Seq[String],
+                                 keepKeys: Boolean = false): DataFrame = {
+    def keyed(df: DataFrame): DataFrame = df
+      .withColumn("__dv_f",
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("__dv_p", col("_metadata.row_index"))
+    if (dvFiles.isEmpty) {
+      if (keepKeys) keyed(scan) else scan
+    } else {
+      val dv = dvEntries(spark, root, dvFiles)
+        .withColumnRenamed("file", "__dv_file")
+        .withColumnRenamed("pos", "__dv_pos")
+      val left = keyed(scan)
+      val res = left.join(broadcast(dv),
+        left("__dv_f") === dv("__dv_file") &&
+          left("__dv_p") === dv("__dv_pos"),
+        "left_anti")
+      if (keepKeys) res else res.drop("__dv_f", "__dv_p")
     }
-    vs.filter(v => v <= upTo && cp.forall(v > _)).foreach { v =>
-      val (_, adds, removes) =
-        parseCommit(Files.readString(Paths.get(logDir(root), f"$v%08d.json")))
-      removes.foreach(live -= _)
-      adds.foreach(live += _)
-    }
-    Snapshot(upTo, live.toSeq)
   }
 
   /** Read the table at `version` (latest when None) — time travel.
     * A fully-deleted snapshot has no files to infer a schema from, so
     * reading one is a loud error rather than a guessed-schema empty
-    * frame.
+    * frame. Deletion-vector masks active at that version are applied
+    * transparently ([[applyDvMask]]).
     */
   def snapshot(spark: SparkSession, root: String,
                version: Option[Long] = None): DataFrame = {
@@ -265,8 +379,10 @@ object TxLog {
     // production scale the merged schema would live IN the log
     // (Delta's metadata action) instead of being re-derived from
     // footers — the semantics are the same
-    spark.read.option("mergeSchema", "true")
-      .parquet(snap.files.map(f => s"$root/$f"): _*)
+    applyDvMask(spark, root,
+      spark.read.option("mergeSchema", "true")
+        .parquet(snap.files.map(f => s"$root/$f"): _*),
+      snap.dvFiles)
   }
 
   /** Stage `df` as new immutable data files and return their relative
@@ -370,11 +486,15 @@ object TxLog {
     val abs = candidates.map(f => s"$root/$f")
     // mergeSchema on both reads: the table may be schema-evolved and a
     // sampled pre-evolution footer would silently drop newer columns
-    // from the rewritten survivors
-    val affectedAbs = spark.read.option("mergeSchema", "true")
-      .parquet(abs: _*)
+    // from the rewritten survivors. Both reads apply the active DV
+    // masks: an unmasked read would count already-deleted rows as hits
+    // and — fatally — RESURRECT them in the survivor rewrite
+    val affectedAbs = applyDvMask(spark, root,
+        spark.read.option("mergeSchema", "true").parquet(abs: _*)
+          .withColumn("__path", col("_metadata.file_path")),
+        snap.dvFiles)
       .filter(hit)
-      .select(col("_metadata.file_path"))
+      .select(col("__path"))
       .distinct().collect().map(_.getString(0))
     val next = snap.version + 1
     if (affectedAbs.isEmpty) {
@@ -384,8 +504,9 @@ object TxLog {
     // NULL-safe survivor filter: `!isin` is NULL for a NULL key, and a
     // bare filter would silently erase NULL-key rows from the rewrite
     val adds = stage(spark, root,
-      spark.read.option("mergeSchema", "true")
-        .parquet(affectedAbs.toIndexedSeq: _*)
+      applyDvMask(spark, root,
+        spark.read.option("mergeSchema", "true")
+          .parquet(affectedAbs.toIndexedSeq: _*), snap.dvFiles)
         .filter(col(keyCol).isNull || !hit))
     // normalize the scan's file URIs back to log-relative paths
     val removes = affectedAbs.toSeq.map { u =>
@@ -393,6 +514,73 @@ object TxLog {
       p.stripPrefix(Paths.get(root).toAbsolutePath.toString + "/")
     }
     writeCommit(root, next, adds, removes, op = "delete")
+    next
+  }
+
+  /** Merge-on-read delete (deletion vectors): instead of rewriting
+    * every file that holds a hit ([[deleteWhere]]'s copy-on-write), the
+    * commit publishes a tiny SIDECAR of (file name, row position) pairs
+    * and zero data files change — at 100 TB, erasing 1000 scattered
+    * rows under copy-on-write rewrites ~1000 large files, while this
+    * writes a few KB. Readers apply the mask transparently
+    * ([[snapshot]] / [[snapshotSlice]] anti-join the broadcast DV set
+    * on (file, `_metadata.row_index`)); rewrites ([[compact]] /
+    * [[optimize]] / copy-on-write paths) read MASKED rows, so they
+    * purge the vector physically and [[resolveState]] retires it once
+    * its last covered file leaves the live set. Every pre-delete
+    * version still time-travels to the unmasked rows, and [[vacuum]]
+    * retains the sidecar with the versions that reference it. Hit
+    * discovery is pre-pruned by the log's [[fileStats]] like the
+    * copy-on-write path.
+    */
+  def deleteWhereDv(spark: SparkSession, root: String, keyCol: String,
+                    keys: Seq[Long]): Long = {
+    require(keys.nonEmpty, "txlog deleteWhereDv: empty key list")
+    val snap = resolve(root)
+    val st = fileStats(root)
+    val candidates = snap.files.filter { f =>
+      st.get(f).flatMap(_.get(keyCol)).forall { case (mn, mx) =>
+        keys.exists(k => k >= mn && k <= mx)
+      }
+    }
+    val next = snap.version + 1
+    if (candidates.isEmpty) {
+      writeCommit(root, next, Seq.empty, Seq.empty, op = "delete-dv")
+      return next
+    }
+    // hits = rows matching a key that are not ALREADY masked (a
+    // re-delete of a masked row must be idempotent, not double-counted
+    // in the ledger); `isin` never matches NULL keys — correct DELETE
+    // WHERE key IN (...) semantics
+    val hits = applyDvMask(spark, root,
+        spark.read.option("mergeSchema", "true")
+          .parquet(candidates.map(f => s"$root/$f"): _*),
+        snap.dvFiles, keepKeys = true)
+      .filter(col(keyCol).isin(keys: _*))
+      .select(col("__dv_f").as("file"), col("__dv_p").as("pos"))
+    // only (file, count) comes to the driver — bounded by the pruned
+    // candidate set, never by the number of deleted rows
+    val perFile = hits.groupBy("file").agg(count(lit(1)).as("n")).collect()
+    if (perFile.isEmpty) {
+      writeCommit(root, next, Seq.empty, Seq.empty, op = "delete-dv")
+      return next
+    }
+    val nHits = perFile.map(_.getLong(1)).sum
+    val nameToRel = candidates.map(f => fileNameOf(f) -> f).toMap
+    val covers = perFile.map(r => nameToRel(r.getString(0))).toSeq.sorted
+    // one sidecar per commit, position-sorted for a compact encoding
+    val uid = UUID.randomUUID().toString.take(8)
+    val tmp = s"$root/_staged-dv-$uid"
+    hits.coalesce(1).sortWithinPartitions("file", "pos").write.parquet(tmp)
+    val parts = listNames(Paths.get(tmp)).filter(_.endsWith(".parquet"))
+    require(parts.size == 1, s"dv stage produced ${parts.size} files")
+    val dvRel = s"data/dv-$uid.parquet"
+    Files.move(Paths.get(tmp, parts.head), Paths.get(root, dvRel))
+    listNames(Paths.get(tmp)).foreach(n => Files.delete(Paths.get(tmp, n)))
+    Files.delete(Paths.get(tmp))
+    writeCommit(root, next, Seq.empty, Seq.empty, op = "delete-dv",
+      dv = Some((dvRel, covers)),
+      knownMeta = Some((0L, Map.empty)), knownRowsRemoved = Some(nHits))
     next
   }
 
@@ -410,17 +598,22 @@ object TxLog {
              keyCol: String): Long = {
     val snap = resolve(root)
     val keys = updates.select(keyCol).distinct()
-    // _metadata resolves only on the scan itself — project it before
-    // the semi-join
-    val hitAbs = spark.read.option("mergeSchema", "true")
-      .parquet(snap.files.map(f => s"$root/$f"): _*)
-      .select(col(keyCol), col("_metadata.file_path").as("__f"))
+    // _metadata resolves only on the scan itself — project it (and the
+    // DV mask keys) before the semi-join. Masked rows are not hits and
+    // must not survive into the rewrite
+    val hitAbs = applyDvMask(spark, root,
+        spark.read.option("mergeSchema", "true")
+          .parquet(snap.files.map(f => s"$root/$f"): _*)
+          .select(col(keyCol), col("_metadata.file_path").as("__f"),
+            col("_metadata")),
+        snap.dvFiles)
       .join(keys, Seq(keyCol), "left_semi")
       .select("__f").distinct().collect().map(_.getString(0))
     val survivors =
       if (hitAbs.isEmpty) updates.limit(0)
-      else spark.read.option("mergeSchema", "true")
-        .parquet(hitAbs.toIndexedSeq: _*)
+      else applyDvMask(spark, root,
+        spark.read.option("mergeSchema", "true")
+          .parquet(hitAbs.toIndexedSeq: _*), snap.dvFiles)
         .join(keys, Seq(keyCol), "left_anti")
     val adds = stage(spark, root, survivors.unionByName(updates))
     validateStaged(spark, root, adds, "merge")
@@ -509,8 +702,9 @@ object TxLog {
     }
     val in = col(colName) >= lo && col(colName) <= hi
     if (keep.isEmpty) snapshot(spark, root, version).filter(in).limit(0)
-    else spark.read.option("mergeSchema", "true")
-      .parquet(keep.map(f => s"$root/$f"): _*)
+    else applyDvMask(spark, root,
+      spark.read.option("mergeSchema", "true")
+        .parquet(keep.map(f => s"$root/$f"): _*), snap.dvFiles)
       .filter(in)
   }
 
@@ -596,44 +790,87 @@ object TxLog {
   def changesBetween(spark: SparkSession, root: String, fromV: Long,
                      toV: Long): DataFrame = {
     require(fromV <= toV, s"changesBetween: $fromV > $toV")
-    val from = resolve(root, Some(fromV)).files.toSet
-    val to = resolve(root, Some(toV)).files.toSet
+    val fromS = resolve(root, Some(fromV))
+    val toS = resolve(root, Some(toV))
+    val from = fromS.files.toSet
+    val to = toS.files.toSet
     val addedF = (to -- from).toSeq.sorted
     val removedF = (from -- to).toSeq.sorted
-    if (addedF.isEmpty && removedF.isEmpty) {
+    // DV sidecars are immutable, so identical sidecar SETS mean
+    // identical masks — the cheap no-DV-change test
+    val dvChanged = fromS.dvFiles.toSet != toS.dvFiles.toSet
+    if (addedF.isEmpty && removedF.isEmpty && !dvChanged) {
       val empty = snapshot(spark, root, Some(toV)).limit(0)
       return empty.withColumn("change", lit(""))
     }
-    // ONE read over the union of changed files (mergeSchema unifies an
-    // evolved schema across the interval), then split by which side of
-    // the diff each file is on — so the two excepts compare identical
-    // schemas even when the interval added columns. Files are keyed by
-    // NAME: data-file names are UUID-unique by construction, and the
-    // name dodges the file-URI scheme variance of `file_path`
-    val addedNames = addedF.map(f => Paths.get(f).getFileName.toString)
-    val all = spark.read.option("mergeSchema", "true")
-      .parquet((addedF ++ removedF).map(f => s"$root/$f"): _*)
-      .withColumn("__added",
-        element_at(split(col("_metadata.file_path"), "/"), -1)
-          .isin(addedNames: _*))
-    val added0 = all.filter(col("__added")).drop("__added")
-    val removed0 = all.filter(!col("__added")).drop("__added")
+    // the diff compares LOGICAL rows: each side's files are read under
+    // that side's DV masks, so a merge-on-read delete reports exactly
+    // its masked rows, and a later rewrite that purges the mask
+    // physically (compaction of a masked file) nets to zero. Files are
+    // keyed by NAME: data-file names are UUID-unique by construction,
+    // and the name dodges the file-URI scheme variance of `file_path`
+    def readSide(files: Seq[String], dv: Seq[String]): Option[DataFrame] =
+      if (files.isEmpty) None
+      else Some(applyDvMask(spark, root,
+        spark.read.option("mergeSchema", "true")
+          .parquet(files.map(f => s"$root/$f"): _*), dv))
+    val addedOpt = readSide(addedF, toS.dvFiles)
+    val removedOpt = readSide(removedF, fromS.dvFiles)
+    // rows newly masked on files live at BOTH ends of the interval:
+    // deletes the file algebra alone cannot see (the file never moved)
+    val grownOpt: Option[DataFrame] =
+      if (!dvChanged || toS.dvFiles.isEmpty) None
+      else {
+        import spark.implicits._
+        val after = dvEntries(spark, root, toS.dvFiles)
+        val grown =
+          if (fromS.dvFiles.isEmpty) after
+          else after.exceptAll(dvEntries(spark, root, fromS.dvFiles))
+        val common = (from & to).toSeq.sorted
+        val commonNames = common.map(fileNameOf).toDF("file")
+        val gc = grown.join(broadcast(commonNames), Seq("file"), "left_semi")
+        // the touched FILE list is driver-held (bounded by the file
+        // count, like the snapshot's own file list), never the rows
+        val touched = gc.select("file").distinct()
+          .collect().map(_.getString(0)).toSet
+        if (touched.isEmpty) None
+        else {
+          val paths = common.filter(f => touched(fileNameOf(f)))
+          val rows = spark.read.option("mergeSchema", "true")
+            .parquet(paths.map(f => s"$root/$f"): _*)
+            .withColumn("__dv_f",
+              element_at(split(col("_metadata.file_path"), "/"), -1))
+            .withColumn("__dv_p", col("_metadata.row_index"))
+          val right = gc.withColumnRenamed("file", "__dv_file")
+            .withColumnRenamed("pos", "__dv_pos")
+          Some(rows.join(broadcast(right),
+              rows("__dv_f") === right("__dv_file") &&
+                rows("__dv_p") === right("__dv_pos"), "left_semi")
+            .drop("__dv_f", "__dv_p"))
+        }
+      }
+    if (addedOpt.isEmpty && removedOpt.isEmpty && grownOpt.isEmpty) {
+      val empty = snapshot(spark, root, Some(toV)).limit(0)
+      return empty.withColumn("change", lit(""))
+    }
     // align to the TABLE's schema at toV, not the changed files': an
     // interval touching only pre-evolution files would otherwise come
     // back without the newer columns and break CDC consumers selecting
     // the table shape. (A fully-deleted toV has no schema to align to
     // — the changed-file schema is then all there is.)
     val tgt =
-      if (resolve(root, Some(toV)).files.nonEmpty)
-        snapshot(spark, root, Some(toV)).schema
-      else added0.schema
+      if (toS.files.nonEmpty) snapshot(spark, root, Some(toV)).schema
+      else (addedOpt.orElse(removedOpt).orElse(grownOpt)).get.schema
     def align(df: DataFrame): DataFrame =
       df.select(tgt.fields.toIndexedSeq.map { f =>
         if (df.columns.contains(f.name)) col(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
-    val added = align(added0)
-    val removed = align(removed0)
+    lazy val emptyTgt =
+      align((addedOpt.orElse(removedOpt).orElse(grownOpt)).get.limit(0))
+    val added = addedOpt.map(align).getOrElse(emptyTgt)
+    val removed = (removedOpt.toSeq ++ grownOpt.toSeq).map(align)
+      .reduceOption(_ unionByName _).getOrElse(emptyTgt)
     added.exceptAll(removed).withColumn("change", lit("insert"))
       .unionByName(removed.exceptAll(added)
         .withColumn("change", lit("delete")))
@@ -842,7 +1079,7 @@ object TxLog {
     require(vs.contains(v), s"version $v not in txlog (have $vs)")
     val cpPath = Paths.get(logDir(root), f"$v%08d.checkpoint.json")
     if (!Files.exists(cpPath)) {
-      val files = resolve(root, Some(v)).files
+      val (files, dvs) = resolveState(root, v)
       def arr(xs: Seq[String]) =
         xs.map("\"" + _ + "\"").mkString("[", ",", "]")
       // the checkpoint carries the ACTIVE CONSTRAINT SET too: a later
@@ -850,9 +1087,18 @@ object TxLog {
       // the contract must survive the truncation
       val cset = constraintsAt(root, v)
         .map { case (n, e) => s""""$n":"$e"""" }.mkString("{", ",", "}")
+      // ... and the active DELETION-VECTOR state (sidecar → covers),
+      // for the same reason: the delete-dv commits may be truncated
+      // while the masks they published still apply
+      val dvsJson =
+        if (dvs.isEmpty) ""
+        else ""","dvs":""" + dvs.map { case (p, cov) =>
+          s""""$p":${arr(cov)}"""
+        }.mkString("{", ",", "}")
       val tmp = Paths.get(logDir(root), s".tmp-cp-${UUID.randomUUID()}")
       Files.writeString(tmp,
-        s"""{"v":$v,"adds":${arr(files)},"removes":[],"cset":$cset}""")
+        s"""{"v":$v,"adds":${arr(files)},"removes":[],""" +
+          s""""cset":$cset$dvsJson}""")
       try {
         Files.createLink(cpPath, tmp)
         Files.delete(tmp)
@@ -883,8 +1129,13 @@ object TxLog {
       s"retainFrom $retainFrom must be an existing version (have $vs)")
     // checkpoint first (replay base for every retained version)
     checkpoint(root, Some(retainFrom))
+    // DV sidecars are referenced state like data files: dropping one
+    // that a retained version still masks with would silently
+    // resurrect its deleted rows
     val referenced = vs.filter(_ >= retainFrom)
-      .flatMap(v => resolve(root, Some(v)).files).toSet
+      .flatMap { v =>
+        val s = resolve(root, Some(v)); s.files ++ s.dvFiles
+      }.toSet
     val onDisk = listNames(Paths.get(dataDir(root))).map("data/" + _)
     val doomed = onDisk.filterNot(referenced)
     doomed.foreach(f => Files.delete(Paths.get(root, f)))

@@ -1,0 +1,305 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TxLog
+
+/** Round-26 surface: MERGE-ON-READ deletes (deletion vectors) in the
+  * transaction log — the scale-critical complement to copy-on-write:
+  * a scattered delete publishes one tiny (file, row-position) sidecar
+  * and rewrites ZERO data files; readers apply the mask transparently;
+  * rewrites purge it physically; history, CDC, streaming, checkpoint,
+  * and vacuum all stay coherent with it.
+  */
+class RoundTwentySixSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def testdata: String =
+    sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+
+  private def docs: DataFrame =
+    graft.sources.Tables(spark, testdata, "documents")
+      .select("doc_id", "lang", "n_chars")
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def idSet(df: DataFrame): Set[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+  private def sha256(p: java.nio.file.Path): String = {
+    val md = MessageDigest.getInstance("SHA-256")
+    md.digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString
+  }
+
+  private def dataChecksums(root: String): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(root, "data")
+    Files.list(dir).iterator().asScala
+      .map(p => p.getFileName.toString -> sha256(p)).toMap
+  }
+
+  /** A fresh table: docs appended doc_id-range-clustered as 8 files. */
+  private def freshTable(prefix: String): String = {
+    val root = tmpDir(prefix)
+    TxLog.init(root)
+    TxLog.append(spark, root,
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"))
+    root
+  }
+
+  /** Keys scattered across the whole doc_id range — a copy-on-write
+    * delete of these would rewrite (nearly) every range file.
+    */
+  private def scatteredKeys(n: Int): Seq[Long] =
+    docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+      .grouped(math.max(1, docs.count().toInt / n)).map(_.head)
+      .take(n).toSeq
+
+  // ---------------- the mask itself ----------------
+
+  test("deleteWhereDv masks the rows logically while rewriting ZERO " +
+      "data files — every pre-delete byte identical, one sidecar added") {
+    val root = freshTable("t26-dv")
+    val before = dataChecksums(root)
+    val keys = scatteredKeys(6)
+    assert(keys.size === 6)
+
+    val v = TxLog.deleteWhereDv(spark, root, "doc_id", keys)
+
+    // logical: exactly the keyed rows are gone
+    assert(idSet(TxLog.snapshot(spark, root)) ===
+      idSet(docs) -- keys)
+    // physical: the live file set did not move, no data file changed
+    val snap = TxLog.resolve(root)
+    assert(snap.files.toSet === TxLog.resolve(root, Some(0L)).files.toSet,
+      "a dv delete must not add or remove live data files")
+    val after = dataChecksums(root)
+    before.foreach { case (name, sum) =>
+      assert(after(name) === sum, s"data file $name was rewritten")
+    }
+    // exactly one new on-disk file: the dv sidecar, and it is tiny
+    val newFiles = after.keySet -- before.keySet
+    assert(newFiles.size === 1 && newFiles.head.startsWith("dv-"),
+      s"expected one dv sidecar, got $newFiles")
+    assert(Files.size(Paths.get(root, "data", newFiles.head)) < 16 * 1024)
+    assert(snap.dvFiles === Seq(s"data/${newFiles.head}"))
+    // ledger: the op is named and the logical count is exact
+    val ci = TxLog.commitInfoAt(root, v)
+    assert(ci.op === "delete-dv")
+    assert(ci.rowsRemoved === Some(keys.size.toLong))
+    assert(ci.adds.isEmpty && ci.removes.isEmpty)
+  }
+
+  test("time travel: the pre-delete version still reads the unmasked " +
+      "rows; the dv version is masked") {
+    val root = freshTable("t26-tt")
+    val keys = scatteredKeys(4)
+    val v = TxLog.deleteWhereDv(spark, root, "doc_id", keys)
+    assert(idSet(TxLog.snapshot(spark, root, Some(0L))) === idSet(docs))
+    assert(idSet(TxLog.snapshot(spark, root, Some(v))) ===
+      idSet(docs) -- keys)
+  }
+
+  test("a second dv delete unions with the first; re-deleting an " +
+      "already-masked key is idempotent and not double-counted") {
+    val root = freshTable("t26-union")
+    val k1 = scatteredKeys(4)
+    TxLog.deleteWhereDv(spark, root, "doc_id", k1)
+    val fresh = (idSet(docs) -- k1).toSeq.sorted.take(2)
+    val v2 = TxLog.deleteWhereDv(spark, root, "doc_id", k1.take(2) ++ fresh)
+    // only the two genuinely new rows count in the ledger
+    assert(TxLog.commitInfoAt(root, v2).rowsRemoved === Some(2L))
+    assert(idSet(TxLog.snapshot(spark, root)) ===
+      idSet(docs) -- k1 -- fresh)
+    assert(TxLog.resolve(root).dvFiles.size === 2)
+  }
+
+  test("snapshotSlice applies the mask on its log-stats-pruned read") {
+    val root = freshTable("t26-slice")
+    val all = docs.select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0))
+    val lo = all.head
+    val hi = all(all.length / 4)
+    val inRange = all.filter(k => k >= lo && k <= hi)
+    val key = inRange(inRange.length / 2)
+    TxLog.deleteWhereDv(spark, root, "doc_id", Seq(key))
+    val got = idSet(TxLog.snapshotSlice(spark, root, "doc_id", lo, hi))
+    assert(got === inRange.toSet - key)
+  }
+
+  // ---------------- interplay with the rewrite paths ----------------
+
+  test("a copy-on-write delete AFTER a dv delete neither resurrects " +
+      "masked rows nor miscounts hits") {
+    val root = freshTable("t26-cow")
+    val ks = scatteredKeys(8)
+    val (dvKeys, cowKeys) = ks.splitAt(4)
+    TxLog.deleteWhereDv(spark, root, "doc_id", dvKeys)
+    val v = TxLog.deleteWhere(spark, root, "doc_id", cowKeys)
+    assert(idSet(TxLog.snapshot(spark, root)) ===
+      idSet(docs) -- dvKeys -- cowKeys)
+    assert(TxLog.commitInfoAt(root, v).rowsRemoved.isDefined)
+    // the survivor rewrite retired every touched file's mask coverage;
+    // re-deleting a dv key must find nothing new
+    val v2 = TxLog.deleteWhereDv(spark, root, "doc_id", dvKeys)
+    assert(TxLog.commitInfoAt(root, v2).rowsRemoved === Some(0L))
+  }
+
+  test("MERGE INTO after a dv delete does not resurrect masked rows") {
+    val root = freshTable("t26-merge")
+    val ks = scatteredKeys(4)
+    TxLog.deleteWhereDv(spark, root, "doc_id", ks)
+    val updKey = (idSet(docs) -- ks).toSeq.sorted.head
+    val updates = docs.filter(col("doc_id") === updKey)
+      .withColumn("lang", lit("xx"))
+    TxLog.upsert(spark, root, updates, "doc_id")
+    val snap = TxLog.snapshot(spark, root)
+    assert(idSet(snap) === idSet(docs) -- ks)
+    assert(snap.filter(col("doc_id") === updKey)
+      .select("lang").collect().map(_.getString(0)).toSeq === Seq("xx"))
+  }
+
+  test("compaction purges the mask physically: the dv retires from the " +
+      "live state, rows stay correct, and the dv VERSION still masks") {
+    val root = freshTable("t26-compact")
+    val ks = scatteredKeys(4)
+    val dvV = TxLog.deleteWhereDv(spark, root, "doc_id", ks)
+    assert(TxLog.resolve(root).dvFiles.nonEmpty)
+    TxLog.compact(spark, root, targetBytes = 64L << 20)
+    assert(TxLog.resolve(root).dvFiles.isEmpty,
+      "compaction rewrote every covered file; the dv must retire")
+    assert(idSet(TxLog.snapshot(spark, root)) === idSet(docs) -- ks)
+    // the sidecar file stays on disk for time travel until vacuum
+    assert(idSet(TxLog.snapshot(spark, root, Some(dvV))) ===
+      idSet(docs) -- ks)
+  }
+
+  // ---------------- CDC ----------------
+
+  test("changesBetween over a dv interval reports exactly the masked " +
+      "rows as deletes; dv→compact nets to zero; the full span is clean") {
+    val root = freshTable("t26-cdc")
+    val ks = scatteredKeys(5)
+    val dvV = TxLog.deleteWhereDv(spark, root, "doc_id", ks)
+    val compV = TxLog.compact(spark, root, targetBytes = 64L << 20)
+
+    val dvDiff = TxLog.changesBetween(spark, root, dvV - 1, dvV)
+    assert(dvDiff.filter(col("change") === "insert").count() === 0L)
+    assert(idSet(dvDiff.filter(col("change") === "delete")) === ks.toSet)
+
+    // the compaction interval is logically empty even though every
+    // file moved — the masked rows were already gone on BOTH sides
+    assert(TxLog.changesBetween(spark, root, dvV, compV).count() === 0L)
+
+    // v0 → head span: the masked rows fall out as deletes (they were
+    // present at v0), the survivors cancel through the compaction
+    val span = TxLog.changesBetween(spark, root, 0L, compV)
+    assert(span.filter(col("change") === "insert").count() === 0L)
+    assert(idSet(span.filter(col("change") === "delete")) === ks.toSet)
+  }
+
+  // ---------------- streaming ----------------
+
+  test("the append-only graft-table stream refuses a delete-dv commit " +
+      "loudly; a cdc stream delivers its deletes") {
+    val root = freshTable("t26-stream")
+    val ckpt = tmpDir("t26-stream-ckpt")
+    val q = spark.readStream.format("graft-table").load(root)
+      .writeStream.format("memory").queryName("t26_guard")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val ks = scatteredKeys(3)
+      TxLog.deleteWhereDv(spark, root, "doc_id", ks)
+      val e = intercept[Exception] { q.processAllAvailable() }
+      assert(e.getMessage.contains("cdc") ||
+        Option(e.getCause).exists(_.getMessage.contains("cdc")),
+        s"the failure must name the cdc escape hatch: ${e.getMessage}")
+    } finally q.stop()
+
+    val ks2 = idSet(TxLog.snapshot(spark, root)).toSeq.sorted.take(2)
+    val ckpt2 = tmpDir("t26-cdc-ckpt")
+    val q2 = spark.readStream.format("graft-table").option("cdc", "true")
+      .load(root)
+      .writeStream.format("memory").queryName("t26_cdc")
+      .option("checkpointLocation", ckpt2).start()
+    try {
+      q2.processAllAvailable()
+      TxLog.deleteWhereDv(spark, root, "doc_id", ks2)
+      q2.processAllAvailable()
+      val feed = spark.sql(
+        "SELECT doc_id, change FROM t26_cdc WHERE change = 'delete'")
+        .collect().map(r => r.getLong(0)).toSet
+      assert(feed === ks2.toSet,
+        "the cdc stream must deliver exactly the dv-deleted keys")
+    } finally q2.stop()
+  }
+
+  // ---------------- checkpoint + vacuum ----------------
+
+  test("vacuum retains the sidecar with the versions that mask with it " +
+      "(checkpoint carries the dv state across log truncation), and a " +
+      "later vacuum past the purge reclaims it") {
+    val root = freshTable("t26-vacuum")
+    val ks = scatteredKeys(4)
+    val dvV = TxLog.deleteWhereDv(spark, root, "doc_id", ks)
+    TxLog.vacuum(root, retainFrom = dvV)
+    // the delete-dv commit itself survived (dvV >= retainFrom), but
+    // resolve now starts from the checkpoint — the masks must hold
+    assert(idSet(TxLog.snapshot(spark, root, Some(dvV))) ===
+      idSet(docs) -- ks)
+    assert(idSet(TxLog.snapshot(spark, root)) === idSet(docs) -- ks)
+    val dvName = TxLog.resolve(root).dvFiles.head
+    assert(Files.exists(Paths.get(root, dvName)))
+
+    // vacuum again with retainFrom past the dv commit: the mask state
+    // is carried ONLY by the checkpoint now — still correct
+    val compV = TxLog.compact(spark, root, targetBytes = 64L << 20)
+    TxLog.vacuum(root, retainFrom = compV)
+    assert(idSet(TxLog.snapshot(spark, root)) === idSet(docs) -- ks)
+    assert(!Files.exists(Paths.get(root, dvName)),
+      "after the purge nothing references the sidecar; vacuum reclaims it")
+  }
+
+  test("checkpoint alone (no vacuum) reproduces the masked state when " +
+      "resolve replays from it") {
+    val root = freshTable("t26-ckpt")
+    val ks = scatteredKeys(3)
+    val dvV = TxLog.deleteWhereDv(spark, root, "doc_id", ks)
+    TxLog.checkpoint(root, Some(dvV))
+    // resolve at dvV now starts from the checkpoint (newest cp <= v)
+    assert(TxLog.resolve(root, Some(dvV)).dvFiles.size === 1)
+    assert(idSet(TxLog.snapshot(spark, root, Some(dvV))) ===
+      idSet(docs) -- ks)
+  }
+
+  // ---------------- schema evolution ----------------
+
+  test("a schema-evolving append after a dv delete keeps the mask and " +
+      "merges the schema") {
+    val root = freshTable("t26-evolve")
+    val ks = scatteredKeys(3)
+    TxLog.deleteWhereDv(spark, root, "doc_id", ks)
+    TxLog.append(spark, root,
+      docs.limit(1)
+        .select(lit(9999999L).as("doc_id"), lit("zz").as("lang"),
+          lit(1L).as("n_chars"), lit(0.25).as("quality")))
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.columns.contains("quality"))
+    assert(idSet(snap) === (idSet(docs) -- ks) + 9999999L)
+  }
+}

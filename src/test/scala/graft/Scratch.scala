@@ -913,6 +913,61 @@ object Scratch {
                 (if (nFiles == 100 && statsK.size == 100 && nOpened <= 2 &&
                      nSlice == want && nSlice > 0 &&
                      ci.removes.size == 1) "OK" else "MISMATCH"))
+            case "tabledv" =>
+              // merge-on-read delete at 20x: 100k rows as 100
+              // key-clustered files, then 1000 keys scattered across
+              // the WHOLE range deleted two ways — the deletion-vector
+              // commit must rewrite ZERO data files and stage only a
+              // KB-scale sidecar, while the copy-on-write delete of
+              // the same keys rewrites (nearly) every file it hits.
+              // Reads after the dv must be exact
+              val keysDv = (0 until 20).flatMap(i =>
+                (0 until 50).map(j => i * 1000000L + j * 100L))
+              val rootDv = java.nio.file.Files
+                .createTempDirectory("graft-dvstress-").toString
+              val mkTable = { (p: String) =>
+                ops.TxLog.init(p)
+                ops.TxLog.append(spark, p, big
+                  .select("doc_id", "lang", "n_chars")
+                  .repartitionByRange(100, col("doc_id"))
+                  .sortWithinPartitions("doc_id"))
+              }
+              val t0dv = System.nanoTime()
+              val tDv = s"$rootDv/dv"; mkTable(tDv)
+              val filesBefore = ops.TxLog.resolve(tDv).files.toSet
+              val want = big.filter(col("doc_id").isin(keysDv: _*)).count()
+              val vDv = ops.TxLog.deleteWhereDv(spark, tDv,
+                "doc_id", keysDv)
+              val ciDv = ops.TxLog.commitInfoAt(tDv, vDv)
+              val snapDv = ops.TxLog.resolve(tDv)
+              val dvBytes = snapDv.dvFiles
+                .map(f => java.nio.file.Files.size(
+                  java.nio.file.Paths.get(tDv, f))).sum
+              val nAfter = ops.TxLog.snapshot(spark, tDv).count()
+              val total = big.count()
+              val secDv0 = (System.nanoTime() - t0dv) / 1e9
+              // same delete copy-on-write, for the physical contrast
+              val tCow = s"$rootDv/cow"; mkTable(tCow)
+              val t0cow = System.nanoTime()
+              val vCow = ops.TxLog.deleteWhere(spark, tCow,
+                "doc_id", keysDv)
+              val ciCow = ops.TxLog.commitInfoAt(tCow, vCow)
+              val cowBytes = ciCow.adds
+                .map(f => java.nio.file.Files.size(
+                  java.nio.file.Paths.get(tCow, f))).sum
+              val secCow = (System.nanoTime() - t0cow) / 1e9
+              println(f"sec=$secDv0%.1f cowSec=$secCow%.1f " +
+                f"deleted=$want dvRewrote=${ciDv.adds.size}/" +
+                f"${ciDv.removes.size} dvBytes=$dvBytes " +
+                f"cowRewrote=${ciCow.removes.size} cowBytes=$cowBytes " +
+                f"rows=$nAfter/${total - want} " +
+                (if (ciDv.adds.isEmpty && ciDv.removes.isEmpty &&
+                     ops.TxLog.resolve(tDv).files.toSet == filesBefore &&
+                     ciDv.rowsRemoved.contains(want) &&
+                     nAfter == total - want && want >= 900 &&
+                     dvBytes < 64 * 1024 &&
+                     ciCow.removes.size >= 50 &&
+                     cowBytes > 100L * dvBytes) "OK" else "MISMATCH"))
             case "tablestream" =>
               // the graft-table streaming source at 20x: replay a
               // 21-commit lifecycle (20 appends of 5k rows + one
