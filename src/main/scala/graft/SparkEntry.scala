@@ -665,6 +665,59 @@ object SparkEntry {
       (p, dvV)
     })
 
+  /** A lang-clustered txlog table, one per (session, sf dir): one
+    * append, range-partitioned + sorted on the STRING column `lang`,
+    * so the commit's footer sweep records per-file string `[min,max]`
+    * and a lang slice prunes to the overlapping files before any
+    * listing or footer I/O — the category/language/date-partition
+    * skipping shape. `q_table_skipping_str` reads the `de..en` slice.
+    */
+  private val txlogLangCache = new SessionCache[String]
+
+  private def txlogLangTable(s: SparkSession, dir: String): String =
+    txlogLangCache.getOrElseUpdate(s, dir, {
+      val p = s"${annTmp()}/txlang"
+      graft.ops.TxLog.init(p)
+      graft.ops.TxLog.append(s, p,
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+          .repartitionByRange(5, col("lang"), col("doc_id"))
+          .sortWithinPartitions("lang", "doc_id"))
+      p
+    })
+
+  /** The RESTORE lifecycle, one per (session, sf dir): documents
+    * appended range-clustered (v0), doc_id ≡ 5 (mod 23) erased
+    * merge-on-read (v1), doc_id ≡ 7 (mod 23) erased copy-on-write
+    * (v2 — rewrites retire part of v1's mask coverage), compaction
+    * (v3 — retires the rest), then RESTORE TO v1 (v4): the original
+    * files come back and v1's deletion-vector mask is REPUBLISHED,
+    * all pure metadata. `q_table_restore` reads the restored head
+    * (the copy-on-write delete and the compaction are undone, the dv
+    * delete is back in force); `q_table_restore_cdc` diffs the
+    * restore interval — exactly the copy-on-write-deleted rows
+    * return as inserts.
+    */
+  private val txlogRestoreCache = new SessionCache[(String, Long)]
+
+  private def txlogRestoreTable(s: SparkSession, dir: String)
+      : (String, Long) =
+    txlogRestoreCache.getOrElseUpdate(s, dir, {
+      val p = s"${annTmp()}/txrestore"
+      graft.ops.TxLog.init(p)
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      graft.ops.TxLog.append(s, p,
+        docs.repartitionByRange(8, col("doc_id"))
+          .sortWithinPartitions("doc_id"))
+      def keysMod(r: Long) = docs
+        .filter(pmod(col("doc_id"), lit(23)) === r)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      val dvV = graft.ops.TxLog.deleteWhereDv(s, p, "doc_id", keysMod(5))
+      graft.ops.TxLog.deleteWhere(s, p, "doc_id", keysMod(7))
+      graft.ops.TxLog.compact(s, p, targetBytes = 16L << 20)
+      val rv = graft.ops.TxLog.restore(s, p, dvV)
+      (p, rv)
+    })
+
   /** The logged-MERGE lifecycle, one per (session, sf dir): documents
     * appended key-clustered (range layout, so the merge's stats-pruned
     * hit discovery touches few files), then one [[graft.ops.TxLog
@@ -1648,6 +1701,33 @@ object SparkEntry {
     "q_table_dv_cdc" -> ((s, dir) => {
       val (p, dvV) = txlogDvTable(s, dir)
       graft.ops.TxLog.changesBetween(s, p, dvV - 1, dvV)
+        .select("doc_id", "lang", "n_chars", "change")
+    }),
+    // data skipping on a STRING column from the log's recorded
+    // per-file [min,max]: the lang-clustered layout serves the de..en
+    // slice from the overlapping files only, pruned before any
+    // listing or footer I/O (the spec asserts the file count; the
+    // oracle pins the row semantics)
+    "q_table_skipping_str" -> ((s, dir) =>
+      graft.ops.TxLog.snapshotSliceStr(s, txlogLangTable(s, dir),
+          "lang", "de", "en")
+        .select("doc_id", "lang", "n_chars")),
+    // RESTORE TABLE TO VERSION as a commit: a copy-on-write delete and
+    // a compaction are UNDONE by pure metadata (the immutable files
+    // come back, the target's deletion-vector mask is republished) —
+    // the at-scale answer to "a bad job deleted the wrong rows in a
+    // 100 TB table". The head must equal the dv version exactly
+    "q_table_restore" -> ((s, dir) => {
+      val (p, _) = txlogRestoreTable(s, dir)
+      graft.ops.TxLog.snapshot(s, p)
+        .select("doc_id", "lang", "n_chars")
+    }),
+    // CDC across the restore interval: exactly the rows the undone
+    // copy-on-write delete had removed come back as inserts — computed
+    // from the log's file-and-mask algebra, never a table rescan
+    "q_table_restore_cdc" -> ((s, dir) => {
+      val (p, rv) = txlogRestoreTable(s, dir)
+      graft.ops.TxLog.changesBetween(s, p, rv - 1, rv)
         .select("doc_id", "lang", "n_chars", "change")
     }),
     // MERGE INTO + OPTIMIZE as commits: updates replace same-key rows,
@@ -4346,6 +4426,22 @@ object SparkEntry {
     "q_table_dv_cdc" ->
       """SELECT doc_id, lang, n_chars, 'delete' AS change FROM documents
         |WHERE doc_id % 19 = 3""".stripMargin,
+    // the string slice's semantics, independent of which files were
+    // pruned (ASCII-only values, so DuckDB's and Spark's string
+    // orders agree)
+    "q_table_skipping_str" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang >= 'de' AND lang <= 'en'""".stripMargin,
+    // the restored head: the dv delete (mod-23 residue 5) is back in
+    // force, the undone copy-on-write delete (residue 7) is not
+    "q_table_restore" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 23 <> 5""".stripMargin,
+    // the restore interval's change feed: the copy-on-write-deleted
+    // rows return as inserts, nothing falls out
+    "q_table_restore_cdc" ->
+      """SELECT doc_id, lang, n_chars, 'insert' AS change FROM documents
+        |WHERE doc_id % 23 = 7""".stripMargin,
     // merge semantics spelled out: updated keys take the new lang, new
     // keys append, everything else unchanged — and the optimize commit
     // after the merge must leave all of it untouched

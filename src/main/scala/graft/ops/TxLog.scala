@@ -106,22 +106,41 @@ object TxLog {
       }.sum
     }
 
-  /** Footer metadata of staged files: the exact row count PLUS
-    * per-column `[min, max]` for top-level integer columns — read in
-    * the SAME footer open as the row count, so logging data-skipping
-    * stats costs no extra I/O at commit time. Integer columns only:
-    * their JSON round-trip is exact, and id/count columns are what a
-    * lakehouse prunes on. Timestamp-annotated INT64 is excluded (its
-    * raw long is a representation detail, not a user-facing value).
+  /** One file set's footer metadata: exact row count plus per-file,
+    * per-column `[min, max]` for integer and (safe-grammar) string
+    * columns.
     */
-  private def parquetMeta(root: String, files: Seq[String])
-      : (Long, Map[String, Map[String, (Long, Long)]]) = {
+  private[graft] final case class FileMeta(
+      rows: Long,
+      intStats: Map[String, Map[String, (Long, Long)]],
+      strStats: Map[String, Map[String, (String, String)]])
+
+  // string stat VALUES land in the hand-rolled commit JSON, so only
+  // values in this grammar are recorded (no quotes, no backslashes,
+  // ASCII only — so the byte order parquet compared by matches the
+  // string order readers prune by); anything else is simply not
+  // recorded, which readers treat as "cannot skip" — always correct
+  private val SafeStatValue = "[A-Za-z0-9._/\\-= ]{0,64}".r
+
+  /** Footer metadata of staged files: the exact row count PLUS
+    * per-column `[min, max]` for top-level integer and string columns
+    * — read in the SAME footer open as the row count, so logging
+    * data-skipping stats costs no extra I/O at commit time. Integer
+    * values JSON-round-trip exactly; strings are recorded only when
+    * they fit [[SafeStatValue]] (id, category, language, date-ish
+    * columns — what a lakehouse prunes on). Timestamp-annotated INT64
+    * is excluded (its raw long is a representation detail, not a
+    * user-facing value).
+    */
+  private def parquetMeta(root: String, files: Seq[String]): FileMeta = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    import org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.{
+      IntLogicalTypeAnnotation, StringLogicalTypeAnnotation}
     val conf = new org.apache.hadoop.conf.Configuration()
     var rows = 0L
     val stats = Map.newBuilder[String, Map[String, (Long, Long)]]
+    val strStats = Map.newBuilder[String, Map[String, (String, String)]]
     files.foreach { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(s"$root/$f"), conf)
@@ -129,6 +148,12 @@ object TxLog {
       try {
         rows += r.getRecordCount
         val byCol = scala.collection.mutable.Map.empty[String, (Long, Long)]
+        val byColS =
+          scala.collection.mutable.Map.empty[String, (String, String)]
+        // a column whose stats are unusable in ANY row group must not
+        // keep a partial range from the other groups — that would be
+        // a WRONG range, not a conservative one
+        val poisoned = scala.collection.mutable.Set.empty[String]
         r.getFooter.getBlocks.asScala.foreach { b =>
           b.getColumns.asScala.foreach { c =>
             val name = c.getPath.toDotString
@@ -139,21 +164,49 @@ object TxLog {
                 (pt.getLogicalTypeAnnotation == null ||
                   pt.getLogicalTypeAnnotation
                     .isInstanceOf[IntLogicalTypeAnnotation])
+            val strLike = pt.getPrimitiveTypeName == BINARY &&
+              pt.getLogicalTypeAnnotation
+                .isInstanceOf[StringLogicalTypeAnnotation]
             val st = c.getStatistics
-            if (intLike && SafeName.matches(name) && st != null &&
-                !st.isEmpty && st.hasNonNullValue) {
+            val usable = SafeName.matches(name) && st != null &&
+              !st.isEmpty && st.hasNonNullValue
+            if (intLike && usable) {
               val mn = st.genericGetMin.asInstanceOf[Number].longValue()
               val mx = st.genericGetMax.asInstanceOf[Number].longValue()
               byCol(name) = byCol.get(name)
                 .fold((mn, mx))(p =>
                   (math.min(p._1, mn), math.max(p._2, mx)))
+            } else if (strLike && SafeName.matches(name)) {
+              val vals =
+                if (usable) {
+                  val mn = st.genericGetMin
+                    .asInstanceOf[org.apache.parquet.io.api.Binary]
+                    .toStringUsingUTF8
+                  val mx = st.genericGetMax
+                    .asInstanceOf[org.apache.parquet.io.api.Binary]
+                    .toStringUsingUTF8
+                  if (SafeStatValue.matches(mn) && SafeStatValue.matches(mx))
+                    Some((mn, mx))
+                  else None
+                } else None
+              vals match {
+                case Some((mn, mx)) if !poisoned(name) =>
+                  byColS(name) = byColS.get(name)
+                    .fold((mn, mx))(p =>
+                      (if (mn < p._1) mn else p._1,
+                        if (mx > p._2) mx else p._2))
+                case _ =>
+                  poisoned += name
+                  byColS -= name: Unit
+              }
             }
           }
         }
         if (byCol.nonEmpty) stats += f -> byCol.toMap
+        if (byColS.nonEmpty) strStats += f -> byColS.toMap
       } finally r.close()
     }
-    (rows, stats.result())
+    FileMeta(rows, stats.result(), strStats.result())
   }
 
   /** `knownMeta`/`knownRowsRemoved` let retry loops pass the footer
@@ -166,11 +219,12 @@ object TxLog {
                                  removes: Seq[String],
                                  op: String = "append",
                                  batchId: Option[Long] = None,
-                                 knownMeta: Option[(Long,
-                                   Map[String, Map[String, (Long, Long)]])] =
-                                   None,
+                                 knownMeta: Option[FileMeta] = None,
                                  knownRowsRemoved: Option[Long] = None,
-                                 dv: Option[(String, Seq[String])] = None)
+                                 dv: Option[(String, Seq[String])] = None,
+                                 dvDrops: Seq[String] = Seq.empty,
+                                 dvSet: Seq[(String, Seq[String])] =
+                                   Seq.empty)
       : Unit = {
     (adds ++ removes).foreach(p =>
       require(SafePath.matches(p), s"unsafe path in commit: $p"))
@@ -186,22 +240,39 @@ object TxLog {
         require(SafePath.matches(c), s"unsafe dv cover in commit: $c"))
       s""","dv":"$p","dvCovers":${arr(covers)}"""
     }.getOrElse("")
-    val (rows, stats) = knownMeta.getOrElse(parquetMeta(root, adds))
+    // a restore commit deactivates masks published after its target
+    // (`dvDrops`) and republishes the target's mask state (`dvSet`) —
+    // pure metadata, the sidecar bytes already exist
+    (dvDrops ++ dvSet.flatMap { case (p, cov) => p +: cov }).foreach(p =>
+      require(SafePath.matches(p), s"unsafe dv path in commit: $p"))
+    val dvDropsJson =
+      if (dvDrops.isEmpty) "" else s""","dvDrops":${arr(dvDrops)}"""
+    val dvSetJson =
+      if (dvSet.isEmpty) ""
+      else ""","dvs":""" + dvSet.map { case (p, cov) =>
+        s""""$p":${arr(cov)}"""
+      }.mkString("{", ",", "}")
+    val meta = knownMeta.getOrElse(parquetMeta(root, adds))
     val rowsRemoved = knownRowsRemoved.getOrElse(parquetRows(root, removes))
-    // per-file integer [min,max] — the data-skipping index a reader
-    // prunes on without opening a single footer. Sorted for
-    // deterministic bytes.
+    // per-file [min,max] (integers bare, strings quoted) — the
+    // data-skipping index a reader prunes on without opening a single
+    // footer. Sorted for deterministic bytes.
+    val statFiles = (meta.intStats.keySet ++ meta.strStats.keySet)
+      .toSeq.sorted
     val statsJson =
-      if (stats.isEmpty) ""
-      else ""","stats":""" + stats.toSeq.sortBy(_._1).map { case (f, cols) =>
-        s""""$f":""" + cols.toSeq.sortBy(_._1)
+      if (statFiles.isEmpty) ""
+      else ""","stats":""" + statFiles.map { f =>
+        val ints = meta.intStats.getOrElse(f, Map.empty).toSeq.sortBy(_._1)
           .map { case (c, (mn, mx)) => s""""$c":[$mn,$mx]""" }
-          .mkString("{", ",", "}")
+        val strs = meta.strStats.getOrElse(f, Map.empty).toSeq.sortBy(_._1)
+          .map { case (c, (mn, mx)) => s""""$c":["$mn","$mx"]""" }
+        s""""$f":""" + (ints ++ strs).mkString("{", ",", "}")
       }.mkString("{", ",", "}")
     publishCommit(root, version,
       s"""{"v":$version,"op":"$op","adds":${arr(adds)},""" +
-        s""""removes":${arr(removes)},"rows":$rows,""" +
-        s""""rowsRemoved":$rowsRemoved$bid$dvJson$statsJson}""")
+        s""""removes":${arr(removes)},"rows":${meta.rows},""" +
+        s""""rowsRemoved":$rowsRemoved$bid$dvJson$dvDropsJson""" +
+        s"""$dvSetJson$statsJson}""")
   }
 
   private def publishCommit(root: String, version: Long,
@@ -294,10 +365,17 @@ object TxLog {
           dvs.filterInPlace((_, cov) => cov.nonEmpty): Unit
         }
       }
+      // a restore deactivates later masks BEFORE republishing its
+      // target's (a path may be in both — drop-then-set replaces)
+      """"dvDrops":\[([^\]]*)\]""".r.findFirstMatchIn(json)
+        .map(_.group(1)).filter(_.nonEmpty)
+        .foreach(_.split(",").foreach(p =>
+          dvs -= p.stripPrefix("\"").stripSuffix("\"")))
       adds.foreach(live += _)
       parseDv(json).foreach { case (p, cov) =>
         dvs(p) = dvs.getOrElse(p, Set.empty) ++ cov
       }
+      parseDvState(json).foreach { case (p, cov) => dvs(p) = cov.toSet }
     }
     (live.toSeq, dvs.toSeq.map { case (p, cov) => p -> cov.toSeq.sorted })
   }
@@ -580,7 +658,8 @@ object TxLog {
     Files.delete(Paths.get(tmp))
     writeCommit(root, next, Seq.empty, Seq.empty, op = "delete-dv",
       dv = Some((dvRel, covers)),
-      knownMeta = Some((0L, Map.empty)), knownRowsRemoved = Some(nHits))
+      knownMeta = Some(FileMeta(0L, Map.empty, Map.empty)),
+      knownRowsRemoved = Some(nHits))
     next
   }
 
@@ -661,6 +740,59 @@ object TxLog {
     snap.version + 1
   }
 
+  /** RESTORE TABLE TO VERSION AS OF — undo as a commit: the live state
+    * of `toVersion` is republished at the tip. Re-adds the files later
+    * commits removed, removes files added since, deactivates every
+    * deletion vector published after the target, and republishes the
+    * target's mask state — all PURE METADATA (data files and sidecars
+    * are immutable and still on disk until [[vacuum]]), so restoring a
+    * 100 TB table after a bad delete/merge costs one footer sweep of
+    * the re-added files, never a data rewrite. And because the restore
+    * is itself just a commit: history after it is intact, time travel
+    * INTO the undone interval still works, and [[changesBetween]] over
+    * the restore interval reports exactly the rows that came back /
+    * fell out (a restore round-trips CDC to empty). Constraints added
+    * AFTER the target are validated against the restored rows first
+    * (they never gated those rows); constraints the target already
+    * passed are not re-scanned. Fails loudly if vacuum reclaimed a
+    * file the target needs.
+    */
+  def restore(spark: SparkSession, root: String, toVersion: Long): Long = {
+    val cur = resolve(root)
+    require(toVersion <= cur.version,
+      s"restore target $toVersion is past the tip ${cur.version}")
+    require(versionsOnDisk(root).contains(toVersion),
+      s"version $toVersion not in txlog (vacuumed?)")
+    val (tFiles, tDvs) = resolveState(root, toVersion)
+    (tFiles ++ tDvs.map(_._1)).foreach(f =>
+      require(Files.exists(Paths.get(root, f)),
+        s"restore to $toVersion needs $f, which vacuum reclaimed; " +
+          "the target is only logically present in the log"))
+    val adds = tFiles.filterNot(cur.files.toSet).sorted
+    val removes = cur.files.filterNot(tFiles.toSet).sorted
+    // only the constraints that never gated the target's rows need a
+    // validation scan — the common restore (no constraint churn since
+    // the target) is zero-I/O beyond the re-added files' footers
+    val newConstraints = constraints(root) --
+      constraintsAt(root, toVersion).keySet
+    if (newConstraints.nonEmpty && tFiles.nonEmpty) {
+      val restored = applyDvMask(spark, root,
+        spark.read.option("mergeSchema", "true")
+          .parquet(tFiles.map(f => s"$root/$f"): _*),
+        tDvs.map(_._1))
+      newConstraints.foreach { case (name, ex) =>
+        val bad = violations(restored, ex).count()
+        require(bad == 0L,
+          s"restore to $toVersion would violate constraint '$name' " +
+            s"($ex) on $bad row(s); drop the constraint or pick a " +
+            "different target")
+      }
+    }
+    writeCommit(root, cur.version + 1, adds, removes, op = "restore",
+      dvDrops = cur.dvFiles, dvSet = tDvs)
+    cur.version + 1
+  }
+
   /** The log's data-skipping index: per live-file, per integer-column
     * `[min, max]` as recorded at commit time. Files from pre-stats
     * commits (or carried across a vacuum by the checkpoint) simply
@@ -677,6 +809,53 @@ object TxLog {
           .toMap
       }
     }.toMap
+  }
+
+  /** The string half of the skipping index: per live-file, per
+    * string-column `[min, max]` as recorded at commit time (values
+    * outside the safe grammar were never recorded — those files have
+    * no entry and are conservatively read).
+    */
+  def fileStatsStr(root: String): Map[String, Map[String, (String, String)]] = {
+    val fileObj = ("\"(data/" + "[A-Za-z0-9._/\\-=]+)\":\\{([^}]*)\\}").r
+    val colRange =
+      """"([A-Za-z0-9_]+)":\["([^"]*)","([^"]*)"\]""".r
+    versionsOnDisk(root).flatMap { v =>
+      val json = Files.readString(Paths.get(logDir(root), f"$v%08d.json"))
+      fileObj.findAllMatchIn(json).map { m =>
+        m.group(1) -> colRange.findAllMatchIn(m.group(2))
+          .map(c => c.group(1) -> (c.group(2), c.group(3)))
+          .toMap
+      }
+    }.filter(_._2.nonEmpty).toMap
+  }
+
+  /** [[snapshotSlice]] for a STRING column: the snapshot restricted to
+    * `lo <= colName <= hi` with files pruned by the log-recorded
+    * string ranges — the category/language/date-partition slice shape
+    * (`lang BETWEEN 'de' AND 'en'` over a lang-clustered layout opens
+    * only the overlapping files). Orders agree by construction: the
+    * recorded values are ASCII-only, where parquet's unsigned byte
+    * order, Spark's UTF8 order, and this method's String compare
+    * coincide. Stat-less files are conservatively read.
+    */
+  def snapshotSliceStr(spark: SparkSession, root: String, colName: String,
+                       lo: String, hi: String,
+                       version: Option[Long] = None): DataFrame = {
+    val snap = resolve(root, version)
+    require(snap.files.nonEmpty,
+      s"version ${snap.version} of $root has no live files")
+    val st = fileStatsStr(root)
+    val keep = snap.files.filter { f =>
+      st.get(f).flatMap(_.get(colName))
+        .forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }
+    val in = col(colName) >= lo && col(colName) <= hi
+    if (keep.isEmpty) snapshot(spark, root, version).filter(in).limit(0)
+    else applyDvMask(spark, root,
+      spark.read.option("mergeSchema", "true")
+        .parquet(keep.map(f => s"$root/$f"): _*), snap.dvFiles)
+      .filter(in)
   }
 
   /** Data-skipping read: the snapshot restricted to
@@ -816,19 +995,23 @@ object TxLog {
           .parquet(files.map(f => s"$root/$f"): _*), dv))
     val addedOpt = readSide(addedF, toS.dvFiles)
     val removedOpt = readSide(removedF, fromS.dvFiles)
-    // rows newly masked on files live at BOTH ends of the interval:
-    // deletes the file algebra alone cannot see (the file never moved)
-    val grownOpt: Option[DataFrame] =
-      if (!dvChanged || toS.dvFiles.isEmpty) None
+    // mask deltas on files live at BOTH ends of the interval: changes
+    // the file algebra alone cannot see (the file never moved). Growth
+    // (a merge-on-read delete) surfaces as deletes; shrink (a restore
+    // deactivating a later mask) surfaces as inserts — rows coming
+    // back
+    def maskDiffRows(aDvs: Seq[String], bDvs: Seq[String])
+        : Option[DataFrame] =
+      if (!dvChanged || aDvs.isEmpty) None
       else {
         import spark.implicits._
-        val after = dvEntries(spark, root, toS.dvFiles)
-        val grown =
-          if (fromS.dvFiles.isEmpty) after
-          else after.exceptAll(dvEntries(spark, root, fromS.dvFiles))
+        val a = dvEntries(spark, root, aDvs)
+        val diff =
+          if (bDvs.isEmpty) a
+          else a.exceptAll(dvEntries(spark, root, bDvs))
         val common = (from & to).toSeq.sorted
         val commonNames = common.map(fileNameOf).toDF("file")
-        val gc = grown.join(broadcast(commonNames), Seq("file"), "left_semi")
+        val gc = diff.join(broadcast(commonNames), Seq("file"), "left_semi")
         // the touched FILE list is driver-held (bounded by the file
         // count, like the snapshot's own file list), never the rows
         val touched = gc.select("file").distinct()
@@ -849,7 +1032,10 @@ object TxLog {
             .drop("__dv_f", "__dv_p"))
         }
       }
-    if (addedOpt.isEmpty && removedOpt.isEmpty && grownOpt.isEmpty) {
+    val grownOpt = maskDiffRows(toS.dvFiles, fromS.dvFiles)
+    val shrunkOpt = maskDiffRows(fromS.dvFiles, toS.dvFiles)
+    if (addedOpt.isEmpty && removedOpt.isEmpty && grownOpt.isEmpty &&
+        shrunkOpt.isEmpty) {
       val empty = snapshot(spark, root, Some(toV)).limit(0)
       return empty.withColumn("change", lit(""))
     }
@@ -860,15 +1046,18 @@ object TxLog {
     // — the changed-file schema is then all there is.)
     val tgt =
       if (toS.files.nonEmpty) snapshot(spark, root, Some(toV)).schema
-      else (addedOpt.orElse(removedOpt).orElse(grownOpt)).get.schema
+      else (addedOpt.orElse(removedOpt).orElse(grownOpt)
+        .orElse(shrunkOpt)).get.schema
     def align(df: DataFrame): DataFrame =
       df.select(tgt.fields.toIndexedSeq.map { f =>
         if (df.columns.contains(f.name)) col(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
     lazy val emptyTgt =
-      align((addedOpt.orElse(removedOpt).orElse(grownOpt)).get.limit(0))
-    val added = addedOpt.map(align).getOrElse(emptyTgt)
+      align((addedOpt.orElse(removedOpt).orElse(grownOpt)
+        .orElse(shrunkOpt)).get.limit(0))
+    val added = (addedOpt.toSeq ++ shrunkOpt.toSeq).map(align)
+      .reduceOption(_ unionByName _).getOrElse(emptyTgt)
     val removed = (removedOpt.toSeq ++ grownOpt.toSeq).map(align)
       .reduceOption(_ unionByName _).getOrElse(emptyTgt)
     added.exceptAll(removed).withColumn("change", lit("insert"))

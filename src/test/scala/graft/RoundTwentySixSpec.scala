@@ -287,6 +287,129 @@ class RoundTwentySixSpec extends AnyFunSuite {
       idSet(docs) -- ks)
   }
 
+  // ---------------- restore ----------------
+
+  test("restore is a pure-metadata undo: a bad copy-on-write delete " +
+      "rolls back with zero data writes, and CDC round-trips to empty") {
+    val root = freshTable("t26-restore")
+    val ks = scatteredKeys(5)
+    val before = dataChecksums(root)
+    TxLog.deleteWhere(spark, root, "doc_id", ks) // v1: the "bad" delete
+    val rv = TxLog.restore(spark, root, 0L)      // v2: undo it
+    assert(idSet(TxLog.snapshot(spark, root)) === idSet(docs))
+    // nothing new under data/ except the delete's own rewrites — the
+    // restore itself staged nothing
+    val ci = TxLog.commitInfoAt(root, rv)
+    assert(ci.op === "restore")
+    val newFiles = dataChecksums(root).keySet -- before.keySet
+    assert(newFiles.forall(f =>
+      TxLog.commitInfoAt(root, 1L).adds.contains(s"data/$f")),
+      "restore must not write data files of its own")
+    // the undone interval is still time-travel readable
+    assert(idSet(TxLog.snapshot(spark, root, Some(1L))) ===
+      idSet(docs) -- ks)
+    // CDC: the restore interval brings exactly the deleted rows back;
+    // the full round trip v0 → restored head is EMPTY
+    val diff = TxLog.changesBetween(spark, root, 1L, rv)
+    assert(diff.filter(col("change") === "delete").count() === 0L)
+    assert(idSet(diff.filter(col("change") === "insert")) === ks.toSet)
+    assert(TxLog.changesBetween(spark, root, 0L, rv).count() === 0L)
+  }
+
+  test("restore republishes the target's deletion-vector mask after a " +
+      "rewrite fully retired it, and mask-shrink CDC reports returns") {
+    val root = freshTable("t26-restore-dv")
+    val ks = scatteredKeys(4)
+    val dvV = TxLog.deleteWhereDv(spark, root, "doc_id", ks) // v1
+    val compV = TxLog.compact(spark, root, 64L << 20)        // v2
+    assert(TxLog.resolve(root).dvFiles.isEmpty)
+    val rv = TxLog.restore(spark, root, dvV)                 // v3
+    // the mask is active again — the head equals the dv version
+    assert(TxLog.resolve(root).dvFiles.nonEmpty)
+    assert(idSet(TxLog.snapshot(spark, root)) === idSet(docs) -- ks)
+    assert(TxLog.changesBetween(spark, root, dvV, rv).count() === 0L)
+    // compact → restore: the compacted file falls out, the originals
+    // return (still masked) — logically empty either way
+    assert(TxLog.changesBetween(spark, root, compV, rv).count() === 0L)
+
+    // now restore to v0 — pure mask SHRINK on the (restored) common
+    // files: the dv-deleted rows come back as inserts
+    val rv2 = TxLog.restore(spark, root, 0L)
+    assert(idSet(TxLog.snapshot(spark, root)) === idSet(docs))
+    val back = TxLog.changesBetween(spark, root, rv, rv2)
+    assert(back.filter(col("change") === "delete").count() === 0L)
+    assert(idSet(back.filter(col("change") === "insert")) === ks.toSet)
+  }
+
+  test("restore validates only the constraints added AFTER the target " +
+      "and fails loudly when the restored rows violate one") {
+    val root = freshTable("t26-restore-c")
+    val ks = scatteredKeys(3)
+    TxLog.deleteWhere(spark, root, "doc_id", ks) // v1
+    // this constraint holds NOW (the ks rows are gone) but the v0 rows
+    // violate it — restoring v0 must be rejected
+    TxLog.addConstraint(spark, root, "no_restored_keys",
+      s"doc_id <> ${ks.head}")
+    val e = intercept[IllegalArgumentException] {
+      TxLog.restore(spark, root, 0L)
+    }
+    assert(e.getMessage.contains("no_restored_keys"))
+    // with the constraint dropped the same restore lands
+    TxLog.dropConstraint(root, "no_restored_keys")
+    TxLog.restore(spark, root, 0L)
+    assert(idSet(TxLog.snapshot(spark, root)) === idSet(docs))
+  }
+
+  test("restore refuses a target whose files vacuum reclaimed") {
+    val root = freshTable("t26-restore-v")
+    val ks = scatteredKeys(3)
+    TxLog.deleteWhere(spark, root, "doc_id", ks)    // v1 rewrites hits
+    val compV = TxLog.compact(spark, root, 64L << 20) // v2
+    TxLog.vacuum(root, retainFrom = compV)
+    // v0/v1 commits are truncated — restore fails on the version check
+    val e = intercept[IllegalArgumentException] {
+      TxLog.restore(spark, root, 1L)
+    }
+    assert(e.getMessage.contains("not in txlog"))
+  }
+
+  // ---------------- string data skipping ----------------
+
+  test("commits record string [min,max] for safe values and a string " +
+      "slice prunes files by the log alone") {
+    val root = tmpDir("t26-strskip")
+    TxLog.init(root)
+    TxLog.append(spark, root,
+      docs.repartitionByRange(5, col("lang"), col("doc_id"))
+        .sortWithinPartitions("lang", "doc_id"))
+    val st = TxLog.fileStatsStr(root)
+    assert(st.nonEmpty && st.values.forall(_.contains("lang")))
+    val nFiles = TxLog.resolve(root).files.size
+    val slice = TxLog.snapshotSliceStr(spark, root, "lang", "de", "en")
+    assert(slice.inputFiles.length < nFiles,
+      s"the de..en slice must open fewer than all $nFiles files")
+    val want = idSet(docs.filter(col("lang") >= "de" && col("lang") <= "en"))
+    assert(idSet(slice) === want && want.nonEmpty)
+    // the entry itself (sf-dir fixture) prunes too
+    val entry = SparkEntry.queries("q_table_skipping_str")(spark, testdata)
+    assert(entry.inputFiles.length < 5)
+  }
+
+  test("string stats refuse unsafe values (quotes/non-ASCII) and a " +
+      "stat-less column is conservatively read, never mis-pruned") {
+    val root = tmpDir("t26-strsafe")
+    TxLog.init(root)
+    TxLog.append(spark, root,
+      docs.limit(4).withColumn("tag",
+        concat(lit("x\""), col("doc_id").cast("string"))))
+    // the unsafe quote means tag has NO recorded range...
+    assert(TxLog.fileStatsStr(root).values.forall(!_.contains("tag")))
+    // ...and a slice on it still returns exact rows (full read)
+    val got = TxLog.snapshotSliceStr(spark, root, "tag", "x", "x~")
+      .count()
+    assert(got === 4L)
+  }
+
   // ---------------- schema evolution ----------------
 
   test("a schema-evolving append after a dv delete keeps the mask and " +

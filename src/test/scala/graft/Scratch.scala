@@ -956,10 +956,22 @@ object Scratch {
                 .map(f => java.nio.file.Files.size(
                   java.nio.file.Paths.get(tCow, f))).sum
               val secCow = (System.nanoTime() - t0cow) / 1e9
+              // restore leg: undo the copy-on-write delete by pure
+              // metadata — zero data files written, the full corpus
+              // back, sub-commit wall time at 100 files
+              val cowV0 = ops.TxLog.resolve(tCow, Some(0L)).files.toSet
+              val cowHead = ops.TxLog.resolve(tCow).files.toSet
+              val t0res = System.nanoTime()
+              val vRes = ops.TxLog.restore(spark, tCow, 0L)
+              val secRes = (System.nanoTime() - t0res) / 1e9
+              val ciRes = ops.TxLog.commitInfoAt(tCow, vRes)
+              val nRestored = ops.TxLog.snapshot(spark, tCow).count()
               println(f"sec=$secDv0%.1f cowSec=$secCow%.1f " +
+                f"restoreSec=$secRes%.1f " +
                 f"deleted=$want dvRewrote=${ciDv.adds.size}/" +
                 f"${ciDv.removes.size} dvBytes=$dvBytes " +
                 f"cowRewrote=${ciCow.removes.size} cowBytes=$cowBytes " +
+                f"restored=$nRestored/$total " +
                 f"rows=$nAfter/${total - want} " +
                 (if (ciDv.adds.isEmpty && ciDv.removes.isEmpty &&
                      ops.TxLog.resolve(tDv).files.toSet == filesBefore &&
@@ -967,7 +979,10 @@ object Scratch {
                      nAfter == total - want && want >= 900 &&
                      dvBytes < 64 * 1024 &&
                      ciCow.removes.size >= 50 &&
-                     cowBytes > 100L * dvBytes) "OK" else "MISMATCH"))
+                     cowBytes > 100L * dvBytes &&
+                     ciRes.adds.toSet == cowV0 -- cowHead &&
+                     ciRes.removes.toSet == cowHead -- cowV0 &&
+                     nRestored == total) "OK" else "MISMATCH"))
             case "tablestream" =>
               // the graft-table streaming source at 20x: replay a
               // 21-commit lifecycle (20 appends of 5k rows + one
