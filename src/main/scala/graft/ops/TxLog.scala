@@ -150,10 +150,18 @@ object TxLog {
         val byCol = scala.collection.mutable.Map.empty[String, (Long, Long)]
         val byColS =
           scala.collection.mutable.Map.empty[String, (String, String)]
-        // a column whose stats are unusable in ANY row group must not
-        // keep a partial range from the other groups — that would be
-        // a WRONG range, not a conservative one
+        // a column with UNUSABLE stats in any row group (absent, or a
+        // string value outside the grammar) must not keep a partial
+        // range from the other groups — that would be a WRONG range,
+        // not a conservative one. An all-null group is different: it
+        // contributes no values, so the other groups' range IS the
+        // file's range — it neither widens nor poisons
         val poisoned = scala.collection.mutable.Set.empty[String]
+        def poison(name: String): Unit = {
+          poisoned += name
+          byCol -= name
+          byColS -= name: Unit
+        }
         r.getFooter.getBlocks.asScala.foreach { b =>
           b.getColumns.asScala.foreach { c =>
             val name = c.getPath.toDotString
@@ -168,36 +176,29 @@ object TxLog {
               pt.getLogicalTypeAnnotation
                 .isInstanceOf[StringLogicalTypeAnnotation]
             val st = c.getStatistics
-            val usable = SafeName.matches(name) && st != null &&
-              !st.isEmpty && st.hasNonNullValue
-            if (intLike && usable) {
-              val mn = st.genericGetMin.asInstanceOf[Number].longValue()
-              val mx = st.genericGetMax.asInstanceOf[Number].longValue()
-              byCol(name) = byCol.get(name)
-                .fold((mn, mx))(p =>
-                  (math.min(p._1, mn), math.max(p._2, mx)))
-            } else if (strLike && SafeName.matches(name)) {
-              val vals =
-                if (usable) {
-                  val mn = st.genericGetMin
-                    .asInstanceOf[org.apache.parquet.io.api.Binary]
-                    .toStringUsingUTF8
-                  val mx = st.genericGetMax
-                    .asInstanceOf[org.apache.parquet.io.api.Binary]
-                    .toStringUsingUTF8
-                  if (SafeStatValue.matches(mn) && SafeStatValue.matches(mx))
-                    Some((mn, mx))
-                  else None
-                } else None
-              vals match {
-                case Some((mn, mx)) if !poisoned(name) =>
+            if ((intLike || strLike) && SafeName.matches(name) &&
+                !poisoned(name)) {
+              if (st == null || st.isEmpty) poison(name)
+              else if (!st.hasNonNullValue) () // all-null group
+              else if (intLike) {
+                val mn = st.genericGetMin.asInstanceOf[Number].longValue()
+                val mx = st.genericGetMax.asInstanceOf[Number].longValue()
+                byCol(name) = byCol.get(name)
+                  .fold((mn, mx))(p =>
+                    (math.min(p._1, mn), math.max(p._2, mx)))
+              } else {
+                val mn = st.genericGetMin
+                  .asInstanceOf[org.apache.parquet.io.api.Binary]
+                  .toStringUsingUTF8
+                val mx = st.genericGetMax
+                  .asInstanceOf[org.apache.parquet.io.api.Binary]
+                  .toStringUsingUTF8
+                if (SafeStatValue.matches(mn) && SafeStatValue.matches(mx))
                   byColS(name) = byColS.get(name)
                     .fold((mn, mx))(p =>
                       (if (mn < p._1) mn else p._1,
                         if (mx > p._2) mx else p._2))
-                case _ =>
-                  poisoned += name
-                  byColS -= name: Unit
+                else poison(name)
               }
             }
           }
@@ -636,17 +637,9 @@ object TxLog {
         snap.dvFiles, keepKeys = true)
       .filter(col(keyCol).isin(keys: _*))
       .select(col("__dv_f").as("file"), col("__dv_p").as("pos"))
-    // only (file, count) comes to the driver — bounded by the pruned
-    // candidate set, never by the number of deleted rows
-    val perFile = hits.groupBy("file").agg(count(lit(1)).as("n")).collect()
-    if (perFile.isEmpty) {
-      writeCommit(root, next, Seq.empty, Seq.empty, op = "delete-dv")
-      return next
-    }
-    val nHits = perFile.map(_.getLong(1)).sum
-    val nameToRel = candidates.map(f => fileNameOf(f) -> f).toMap
-    val covers = perFile.map(r => nameToRel(r.getString(0))).toSeq.sorted
-    // one sidecar per commit, position-sorted for a compact encoding
+    // ONE pass over the candidate data: write the sidecar first, then
+    // derive the ledger stats (covers, hit count) by reading the
+    // KB-scale sidecar back — never by re-running the discovery scan
     val uid = UUID.randomUUID().toString.take(8)
     val tmp = s"$root/_staged-dv-$uid"
     hits.coalesce(1).sortWithinPartitions("file", "pos").write.parquet(tmp)
@@ -656,11 +649,62 @@ object TxLog {
     Files.move(Paths.get(tmp, parts.head), Paths.get(root, dvRel))
     listNames(Paths.get(tmp)).foreach(n => Files.delete(Paths.get(tmp, n)))
     Files.delete(Paths.get(tmp))
+    // only (file, count) comes to the driver — bounded by the pruned
+    // candidate set, never by the number of deleted rows
+    val perFile = spark.read.parquet(s"$root/$dvRel")
+      .groupBy("file").agg(count(lit(1)).as("n")).collect()
+    if (perFile.isEmpty) {
+      Files.delete(Paths.get(root, dvRel))
+      writeCommit(root, next, Seq.empty, Seq.empty, op = "delete-dv")
+      return next
+    }
+    val nHits = perFile.map(_.getLong(1)).sum
+    val nameToRel = candidates.map(f => fileNameOf(f) -> f).toMap
+    val covers = perFile.map(r => nameToRel(r.getString(0))).toSeq.sorted
     writeCommit(root, next, Seq.empty, Seq.empty, op = "delete-dv",
       dv = Some((dvRel, covers)),
       knownMeta = Some(FileMeta(0L, Map.empty, Map.empty)),
       knownRowsRemoved = Some(nHits))
     next
+  }
+
+  /** Deletion-vector maintenance: rewrite ONLY the files whose masked
+    * fraction reached `minFraction`, dropping their mask entries — the
+    * policy knob that keeps merge-on-read reads cheap without paying a
+    * full compaction. A file 50% logically deleted wastes half its
+    * scan I/O on rows the mask discards, so it is worth rewriting; a
+    * file with 3 masked rows out of a million is not. Per-file masked
+    * counts come from the DV sidecars (tiny) and row counts from one
+    * footer read per MASKED file (never the unmasked ones), so the
+    * decision costs O(masked files). The commit is logically a no-op —
+    * a [[changesBetween]] interval over it is empty — and resolve
+    * retires the rewritten files' mask coverage. Returns the committed
+    * version, or None when no file crossed the threshold (no empty
+    * commit is written).
+    */
+  def purgeMasks(spark: SparkSession, root: String,
+                 minFraction: Double): Option[Long] = {
+    require(minFraction > 0 && minFraction <= 1,
+      s"minFraction must be in (0, 1]: $minFraction")
+    val snap = resolve(root)
+    if (snap.dvFiles.isEmpty) return None
+    // masked rows per file NAME — bounded by the covered-file count
+    val maskedPerName = dvEntries(spark, root, snap.dvFiles)
+      .groupBy("file").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val candidates = snap.files.filter { f =>
+      maskedPerName.get(fileNameOf(f)).exists { masked =>
+        masked.toDouble / parquetRows(root, Seq(f)) >= minFraction
+      }
+    }
+    if (candidates.isEmpty) return None
+    val adds = stage(spark, root,
+      applyDvMask(spark, root,
+        spark.read.option("mergeSchema", "true")
+          .parquet(candidates.map(f => s"$root/$f"): _*),
+        snap.dvFiles))
+    writeCommit(root, snap.version + 1, adds, candidates, op = "purge")
+    Some(snap.version + 1)
   }
 
   /** MERGE INTO as a commit (logged upsert): rows of `updates` replace
@@ -772,16 +816,40 @@ object TxLog {
     val removes = cur.files.filterNot(tFiles.toSet).sorted
     // only the constraints that never gated the target's rows need a
     // validation scan — the common restore (no constraint churn since
-    // the target) is zero-I/O beyond the re-added files' footers
-    val newConstraints = constraints(root) --
-      constraintsAt(root, toVersion).keySet
+    // the target) is zero-I/O beyond the re-added files' footers.
+    // Diffed on (name, EXPR) pairs: a constraint REDEFINED under the
+    // same name since the target never gated those rows either
+    val newConstraints = (constraints(root).toSet --
+      constraintsAt(root, toVersion).toSet).toMap
     if (newConstraints.nonEmpty && tFiles.nonEmpty) {
-      val restored = applyDvMask(spark, root,
+      val restored0 = applyDvMask(spark, root,
         spark.read.option("mergeSchema", "true")
           .parquet(tFiles.map(f => s"$root/$f"): _*),
         tDvs.map(_._1))
+      // the CHECK contract for a pre-evolution target: a column the
+      // constraint references that the target lacks evaluates as NULL
+      // (a counted violation), not an analysis error — same as
+      // validateStaged. The current snapshot's schema names the
+      // columns that could be missing
+      val curCols =
+        if (cur.files.nonEmpty) snapshot(spark, root).schema.fields.toSeq
+        else Seq.empty
+      val restored = curCols
+        .filterNot(f => restored0.columns.contains(f.name))
+        .foldLeft(restored0)((d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType)))
       newConstraints.foreach { case (name, ex) =>
-        val bad = violations(restored, ex).count()
+        val bad =
+          try violations(restored, ex).count()
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              throw new IllegalArgumentException(
+                s"restore to $toVersion cannot be validated against " +
+                  s"constraint '$name' ($ex): it does not resolve " +
+                  s"against the target's schema " +
+                  s"(${e.getMessage.linesIterator.next()}); drop the " +
+                  "constraint or pick a different target")
+          }
         require(bad == 0L,
           s"restore to $toVersion would violate constraint '$name' " +
             s"($ex) on $bad row(s); drop the constraint or pick a " +
@@ -793,22 +861,29 @@ object TxLog {
     cur.version + 1
   }
 
+  /** Every commit's per-file stats object body, keyed by file path —
+    * the single place the stats-JSON grammar is scanned.
+    */
+  private def statBodies(root: String): Seq[(String, String)] = {
+    val fileObj = ("\"(data/" + "[A-Za-z0-9._/\\-=]+)\":\\{([^}]*)\\}").r
+    versionsOnDisk(root).flatMap { v =>
+      val json = Files.readString(Paths.get(logDir(root), f"$v%08d.json"))
+      fileObj.findAllMatchIn(json).map(m => m.group(1) -> m.group(2))
+    }
+  }
+
   /** The log's data-skipping index: per live-file, per integer-column
     * `[min, max]` as recorded at commit time. Files from pre-stats
     * commits (or carried across a vacuum by the checkpoint) simply
     * have no entry — readers treat that as "cannot skip".
     */
   def fileStats(root: String): Map[String, Map[String, (Long, Long)]] = {
-    val fileObj = ("\"(data/" + "[A-Za-z0-9._/\\-=]+)\":\\{([^}]*)\\}").r
     val colRange = """"([A-Za-z0-9_]+)":\[(-?\d+),(-?\d+)\]""".r
-    versionsOnDisk(root).flatMap { v =>
-      val json = Files.readString(Paths.get(logDir(root), f"$v%08d.json"))
-      fileObj.findAllMatchIn(json).map { m =>
-        m.group(1) -> colRange.findAllMatchIn(m.group(2))
-          .map(c => c.group(1) -> (c.group(2).toLong, c.group(3).toLong))
-          .toMap
-      }
-    }.toMap
+    statBodies(root).map { case (f, body) =>
+      f -> colRange.findAllMatchIn(body)
+        .map(c => c.group(1) -> (c.group(2).toLong, c.group(3).toLong))
+        .toMap
+    }.filter(_._2.nonEmpty).toMap
   }
 
   /** The string half of the skipping index: per live-file, per
@@ -817,17 +892,32 @@ object TxLog {
     * no entry and are conservatively read).
     */
   def fileStatsStr(root: String): Map[String, Map[String, (String, String)]] = {
-    val fileObj = ("\"(data/" + "[A-Za-z0-9._/\\-=]+)\":\\{([^}]*)\\}").r
-    val colRange =
-      """"([A-Za-z0-9_]+)":\["([^"]*)","([^"]*)"\]""".r
-    versionsOnDisk(root).flatMap { v =>
-      val json = Files.readString(Paths.get(logDir(root), f"$v%08d.json"))
-      fileObj.findAllMatchIn(json).map { m =>
-        m.group(1) -> colRange.findAllMatchIn(m.group(2))
-          .map(c => c.group(1) -> (c.group(2), c.group(3)))
-          .toMap
-      }
+    val colRange = """"([A-Za-z0-9_]+)":\["([^"]*)","([^"]*)"\]""".r
+    statBodies(root).map { case (f, body) =>
+      f -> colRange.findAllMatchIn(body)
+        .map(c => c.group(1) -> (c.group(2), c.group(3)))
+        .toMap
     }.filter(_._2.nonEmpty).toMap
+  }
+
+  /** The shared prune-read-mask-filter pipeline of the slice reads:
+    * files failing `keep` are never listed or opened, the survivors
+    * are read under the snapshot's DV masks, and `in` re-applies the
+    * exact predicate (pruning is an optimization, not the filter).
+    */
+  private def prunedSlice(spark: SparkSession, root: String,
+                          version: Option[Long],
+                          keep: String => Boolean,
+                          in: org.apache.spark.sql.Column): DataFrame = {
+    val snap = resolve(root, version)
+    require(snap.files.nonEmpty,
+      s"version ${snap.version} of $root has no live files")
+    val keepFiles = snap.files.filter(keep)
+    if (keepFiles.isEmpty) snapshot(spark, root, version).filter(in).limit(0)
+    else applyDvMask(spark, root,
+      spark.read.option("mergeSchema", "true")
+        .parquet(keepFiles.map(f => s"$root/$f"): _*), snap.dvFiles)
+      .filter(in)
   }
 
   /** [[snapshotSlice]] for a STRING column: the snapshot restricted to
@@ -842,20 +932,11 @@ object TxLog {
   def snapshotSliceStr(spark: SparkSession, root: String, colName: String,
                        lo: String, hi: String,
                        version: Option[Long] = None): DataFrame = {
-    val snap = resolve(root, version)
-    require(snap.files.nonEmpty,
-      s"version ${snap.version} of $root has no live files")
     val st = fileStatsStr(root)
-    val keep = snap.files.filter { f =>
-      st.get(f).flatMap(_.get(colName))
-        .forall { case (mn, mx) => mx >= lo && mn <= hi }
-    }
-    val in = col(colName) >= lo && col(colName) <= hi
-    if (keep.isEmpty) snapshot(spark, root, version).filter(in).limit(0)
-    else applyDvMask(spark, root,
-      spark.read.option("mergeSchema", "true")
-        .parquet(keep.map(f => s"$root/$f"): _*), snap.dvFiles)
-      .filter(in)
+    prunedSlice(spark, root, version,
+      f => st.get(f).flatMap(_.get(colName))
+        .forall { case (mn, mx) => mx >= lo && mn <= hi },
+      col(colName) >= lo && col(colName) <= hi)
   }
 
   /** Data-skipping read: the snapshot restricted to
@@ -871,20 +952,11 @@ object TxLog {
   def snapshotSlice(spark: SparkSession, root: String, colName: String,
                     lo: Long, hi: Long,
                     version: Option[Long] = None): DataFrame = {
-    val snap = resolve(root, version)
-    require(snap.files.nonEmpty,
-      s"version ${snap.version} of $root has no live files")
     val st = fileStats(root)
-    val keep = snap.files.filter { f =>
-      st.get(f).flatMap(_.get(colName))
-        .forall { case (mn, mx) => mx >= lo && mn <= hi }
-    }
-    val in = col(colName) >= lo && col(colName) <= hi
-    if (keep.isEmpty) snapshot(spark, root, version).filter(in).limit(0)
-    else applyDvMask(spark, root,
-      spark.read.option("mergeSchema", "true")
-        .parquet(keep.map(f => s"$root/$f"): _*), snap.dvFiles)
-      .filter(in)
+    prunedSlice(spark, root, version,
+      f => st.get(f).flatMap(_.get(colName))
+        .forall { case (mn, mx) => mx >= lo && mn <= hi },
+      col(colName) >= lo && col(colName) <= hi)
   }
 
   /** Stream-source batch ids already committed to the log (from the

@@ -189,8 +189,11 @@ class GraftTableSource(sqlContext: SQLContext,
       // else — delete, merge, or an op this reader does not know
       // (op-less legacy commits read back as "unknown") — fails loudly
       // rather than silently dropping its changed rows
+      // "purge" rewrites files whose deletion-vector mask crossed a
+      // threshold: the masked rows were already logically gone, so the
+      // interval is row-preserving like a compaction
       val rowPreserving = Set("append", "streaming-append", "compact",
-        "optimize", "set-constraint", "drop-constraint")
+        "optimize", "purge", "set-constraint", "drop-constraint")
       val changing = TxLog.versions(root)
         .filter(v => v > fromV && v <= toV)
         .map(v => (v, TxLog.commitInfoAt(root, v).op))

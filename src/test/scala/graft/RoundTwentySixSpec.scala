@@ -287,6 +287,46 @@ class RoundTwentySixSpec extends AnyFunSuite {
       idSet(docs) -- ks)
   }
 
+  // ---------------- mask maintenance ----------------
+
+  test("purgeMasks rewrites only files past the masked-fraction " +
+      "threshold; lightly masked files stay masked and byte-identical") {
+    val root = tmpDir("t26-purge")
+    TxLog.init(root)
+    // two explicit single-file appends: file A small (heavily masked
+    // below), file B the rest (one masked row)
+    val sorted = docs.orderBy("doc_id").collect().map(_.getLong(0))
+    val aKeys = sorted.take(6)
+    val inA = col("doc_id").isin(aKeys.toIndexedSeq: _*)
+    TxLog.append(spark, root, docs.filter(inA).coalesce(1))
+    TxLog.append(spark, root, docs.filter(!inA).coalesce(1))
+    // mask 50% of file A's rows, one row of file B
+    val dvKeys = aKeys.take(3) :+ sorted.last
+    TxLog.deleteWhereDv(spark, root, "doc_id", dvKeys.toIndexedSeq)
+    val before = dataChecksums(root)
+
+    val v = TxLog.purgeMasks(spark, root, minFraction = 0.3)
+    assert(v.nonEmpty)
+    val ci = TxLog.commitInfoAt(root, v.get)
+    assert(ci.op === "purge")
+    assert(ci.removes.size === 1, "only the heavily masked file rewrites")
+    // the lightly masked file is untouched on disk and STILL masked
+    val untouched = TxLog.resolve(root).files.map(fileNameOf(_)).toSet --
+      ci.adds.map(fileNameOf(_)).toSet
+    untouched.foreach(n => assert(dataChecksums(root)(n) === before(n)))
+    assert(TxLog.resolve(root).dvFiles.nonEmpty)
+    assert(idSet(TxLog.snapshot(spark, root)) === idSet(docs) -- dvKeys)
+    // logically a no-op
+    assert(TxLog.changesBetween(spark, root, v.get - 1, v.get)
+      .count() === 0L)
+    // file B's single masked row sits far below the threshold — the
+    // second purge commits nothing
+    assert(TxLog.purgeMasks(spark, root, minFraction = 0.3).isEmpty)
+  }
+
+  private def fileNameOf(rel: String): String =
+    Paths.get(rel).getFileName.toString
+
   // ---------------- restore ----------------
 
   test("restore is a pure-metadata undo: a bad copy-on-write delete " +
@@ -358,6 +398,21 @@ class RoundTwentySixSpec extends AnyFunSuite {
     TxLog.dropConstraint(root, "no_restored_keys")
     TxLog.restore(spark, root, 0L)
     assert(idSet(TxLog.snapshot(spark, root)) === idSet(docs))
+  }
+
+  test("a constraint REDEFINED under the same name since the target " +
+      "still gates the restore (the diff is on name+expr, not name)") {
+    val root = freshTable("t26-restore-redef")
+    val ks = scatteredKeys(3)
+    TxLog.addConstraint(spark, root, "gate", "n_chars >= 0") // v1, holds
+    TxLog.deleteWhere(spark, root, "doc_id", ks)             // v2
+    // redefinition passes NOW (the ks rows are gone) but the v1 rows
+    // violate it — restoring v1 must be rejected, not silently landed
+    TxLog.addConstraint(spark, root, "gate", s"doc_id <> ${ks.head}")
+    val e = intercept[IllegalArgumentException] {
+      TxLog.restore(spark, root, 1L)
+    }
+    assert(e.getMessage.contains("gate"))
   }
 
   test("restore refuses a target whose files vacuum reclaimed") {
