@@ -206,6 +206,19 @@ object Bench {
       // shape, and left unnormalized it flipped every at-rest probe's
       // fingerprint each round (found diffing r7->r8 PLAN flags)
       .replaceAll("graft-ann-\\w+", "graft-ann-")
+      // data-file NAMES are run identity wherever they appear in a
+      // FileScan Location: graft's stage() names them part-<uid8>-N /
+      // dv-<uid8>, and Spark's own writers embed task UUIDs
+      // (part-00000-<uuid>) — left raw they flipped every txlog-table
+      // entry's fingerprint per session (found root-causing the
+      // r9→r10 q_timetravel/q_txlog_merge PLAN flags with BENCH_PLANS
+      // dumps). The directory identity — WHICH table/artifact the
+      // scan reads — is preserved; only the file tail is erased, with
+      // the /data/ rule also absorbing a truncation cut that lands
+      // mid-name
+      .replaceAll("/data/[^,\\]]*", "/data/‥")
+      .replaceAll("part-[^,\\]\\s]*", "part-‥")
+      .replaceAll("\\bdv-[0-9a-f][^,\\]\\s]*", "dv-‥")
       .replaceAll("LocalTableScan \\[.*", "LocalTableScan")
       .replaceAll("Scan ExistingRDD\\[.*", "Scan ExistingRDD")
       // list canonicalization LAST (ids already erased, so ordering

@@ -1322,6 +1322,36 @@ object TxLog {
   def history(root: String): Seq[CommitInfo] =
     versionsOnDisk(root).map(commitInfoAt(root, _))
 
+  /** The version in force at wall-clock `tsMillis` — TIMESTAMP AS OF.
+    * Publish times are the commit files' mtimes (set by the atomic
+    * link at publish); like Delta, non-monotone raw times (clock skew,
+    * a copied log) are monotonized by running max before the lookup,
+    * so a later version never resolves to an earlier time. Loud when
+    * `tsMillis` predates the first retained commit (vacuum truncates
+    * history by contract).
+    */
+  def versionAt(root: String, tsMillis: Long): Long = {
+    val vs = versionsOnDisk(root)
+    require(vs.nonEmpty, s"txlog at $root has no commits")
+    val mono = vs.scanLeft((-1L, Long.MinValue)) { case ((_, acc), v) =>
+      val t = Files.getLastModifiedTime(
+        Paths.get(logDir(root), f"$v%08d.json")).toMillis
+      (v, math.max(acc, t))
+    }.drop(1)
+    val sel = mono.filter(_._2 <= tsMillis)
+    require(sel.nonEmpty,
+      s"no commit of $root at or before t=$tsMillis " +
+        s"(first retained commit is at t=${mono.head._2})")
+    sel.last._1
+  }
+
+  /** Read the table as of wall-clock `tsMillis` — time travel by
+    * timestamp ([[versionAt]] + [[snapshot]]).
+    */
+  def snapshotAt(spark: SparkSession, root: String,
+                 tsMillis: Long): DataFrame =
+    snapshot(spark, root, Some(versionAt(root, tsMillis)))
+
   /** Committed versions still on disk, ascending. */
   def versions(root: String): Seq[Long] = versionsOnDisk(root)
 

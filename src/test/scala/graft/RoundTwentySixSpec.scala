@@ -428,6 +428,39 @@ class RoundTwentySixSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not in txlog"))
   }
 
+  // ---------------- timestamp time travel ----------------
+
+  test("TIMESTAMP AS OF resolves by monotonized commit mtimes: exact " +
+      "boundaries, skewed clocks, and a too-early timestamp fails loud") {
+    import java.nio.file.attribute.FileTime
+    val root = tmpDir("t26-tsasof")
+    TxLog.init(root)
+    val sorted = docs.orderBy("doc_id").collect().map(_.getLong(0))
+    TxLog.append(spark, root, docs)                              // v0
+    TxLog.deleteWhere(spark, root, "doc_id", Seq(sorted.head))   // v1
+    TxLog.deleteWhereDv(spark, root, "doc_id", Seq(sorted.last)) // v2
+    def setT(v: Long, t: Long): Unit =
+      Files.setLastModifiedTime(
+        Paths.get(root, "_txlog", f"$v%08d.json"), FileTime.fromMillis(t))
+    setT(0L, 1000L); setT(1L, 2000L); setT(2L, 3000L)
+    assert(TxLog.versionAt(root, 1000L) === 0L) // boundary inclusive
+    assert(TxLog.versionAt(root, 1999L) === 0L)
+    assert(TxLog.versionAt(root, 2500L) === 1L)
+    assert(TxLog.versionAt(root, 9999L) === 2L)
+    assert(idSet(TxLog.snapshotAt(spark, root, 1500L)) === idSet(docs))
+    assert(idSet(TxLog.snapshotAt(spark, root, 9999L)) ===
+      idSet(docs) -- Seq(sorted.head, sorted.last))
+    val e = intercept[IllegalArgumentException] {
+      TxLog.versionAt(root, 999L)
+    }
+    assert(e.getMessage.contains("at or before"))
+    // clock skew: v1 stamped AFTER v2 — the running max keeps version
+    // order authoritative (v2 never resolves earlier than v1)
+    setT(1L, 5000L)
+    assert(TxLog.versionAt(root, 4000L) === 0L)
+    assert(TxLog.versionAt(root, 5000L) === 2L)
+  }
+
   // ---------------- string data skipping ----------------
 
   test("commits record string [min,max] for safe values and a string " +
