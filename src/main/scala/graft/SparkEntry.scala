@@ -685,6 +685,28 @@ object SparkEntry {
       p
     })
 
+  /** The shallow-clone branch, one per (session, sf dir): the dv
+    * table cloned ZERO-COPY at its dv version (the clone's v0 just
+    * references the source's files + mask — its own data dir starts
+    * empty), then a MERGE on the clone updates lang for doc_id ≡ 1
+    * (mod 31) — matched keys rewrite INTO the clone's root, dv-deleted
+    * keys in that residue re-enter as appends, and the SOURCE is never
+    * touched. `q_table_clone` reads the diverged branch head.
+    */
+  private val txlogCloneCache = new SessionCache[String]
+
+  private def txlogCloneTable(s: SparkSession, dir: String): String =
+    txlogCloneCache.getOrElseUpdate(s, dir, {
+      val (src, dvV) = txlogDvTable(s, dir)
+      val p = s"${annTmp()}/txclone"
+      graft.ops.TxLog.clone(s, src, p, Some(dvV))
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      graft.ops.TxLog.upsert(s, p,
+        docs.filter(pmod(col("doc_id"), lit(31)) === 1)
+          .withColumn("lang", lit("cl")), "doc_id")
+      p
+    })
+
   /** The RESTORE lifecycle, one per (session, sf dir): documents
     * appended range-clustered (v0), doc_id ≡ 5 (mod 23) erased
     * merge-on-read (v1), doc_id ≡ 7 (mod 23) erased copy-on-write
@@ -1711,6 +1733,13 @@ object SparkEntry {
     "q_table_skipping_str" -> ((s, dir) =>
       graft.ops.TxLog.snapshotSliceStr(s, txlogLangTable(s, dir),
           "lang", "de", "en")
+        .select("doc_id", "lang", "n_chars")),
+    // shallow clone + MERGE on the branch: the clone reads the
+    // source's masked files zero-copy, the merge's rewrites land under
+    // the clone's own root (the source stays byte-identical — spec),
+    // and dv-deleted keys in the update residue re-enter as appends
+    "q_table_clone" -> ((s, dir) =>
+      graft.ops.TxLog.snapshot(s, txlogCloneTable(s, dir))
         .select("doc_id", "lang", "n_chars")),
     // RESTORE TABLE TO VERSION as a commit: a copy-on-write delete and
     // a compaction are UNDONE by pure metadata (the immutable files
@@ -4432,6 +4461,15 @@ object SparkEntry {
     "q_table_skipping_str" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang >= 'de' AND lang <= 'en'""".stripMargin,
+    // the branch head: the dv mask (mod-19 residue 3) carried over,
+    // the merge re-langs residue-1-mod-31 keys in place and re-adds
+    // the masked ones in that residue
+    "q_table_clone" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 31 = 1 THEN 'cl' ELSE lang END AS lang,
+        |       n_chars
+        |FROM documents
+        |WHERE doc_id % 19 <> 3 OR doc_id % 31 = 1""".stripMargin,
     // the restored head: the dv delete (mod-23 residue 5) is back in
     // force, the undone copy-on-write delete (residue 7) is not
     "q_table_restore" ->

@@ -587,14 +587,21 @@ object TxLog {
         spark.read.option("mergeSchema", "true")
           .parquet(affectedAbs.toIndexedSeq: _*), snap.dvFiles)
         .filter(col(keyCol).isNull || !hit))
-    // normalize the scan's file URIs back to log-relative paths
-    val removes = affectedAbs.toSeq.map { u =>
-      val p = Paths.get(new java.net.URI(u)).toString
-      p.stripPrefix(Paths.get(root).toAbsolutePath.toString + "/")
-    }
+    val removes = affectedAbs.toSeq.map(relToRoot(root, _))
     writeCommit(root, next, adds, removes, op = "delete")
     next
   }
+
+  /** A scanned file URI as the log-relative path the commit stores —
+    * `data/...` for the table's own files, a `../`-style path for
+    * files a shallow [[clone]] references in its source (stripPrefix
+    * would silently keep those ABSOLUTE and corrupt the remove
+    * matching).
+    */
+  private def relToRoot(root: String, uri: String): String =
+    Paths.get(root).toAbsolutePath
+      .relativize(Paths.get(new java.net.URI(uri)).toAbsolutePath)
+      .toString
 
   /** Merge-on-read delete (deletion vectors): instead of rewriting
     * every file that holds a hit ([[deleteWhere]]'s copy-on-write), the
@@ -740,10 +747,7 @@ object TxLog {
         .join(keys, Seq(keyCol), "left_anti")
     val adds = stage(spark, root, survivors.unionByName(updates))
     validateStaged(spark, root, adds, "merge")
-    val removes = hitAbs.toSeq.map { u =>
-      val p = Paths.get(new java.net.URI(u)).toString
-      p.stripPrefix(Paths.get(root).toAbsolutePath.toString + "/")
-    }
+    val removes = hitAbs.toSeq.map(relToRoot(root, _))
     writeCommit(root, snap.version + 1, adds, removes, op = "merge")
     snap.version + 1
   }
@@ -861,11 +865,55 @@ object TxLog {
     cur.version + 1
   }
 
+  /** Shallow CLONE: a NEW table whose version 0 references the
+    * source's live files (and deletion-vector mask state) at
+    * `version` WITHOUT copying a byte — the zero-copy branch that
+    * makes "test the migration on production data" an O(metadata)
+    * operation at 100 TB. The clone's own commits (appends, deletes,
+    * merges — their rewrites too) land under ITS root; the source is
+    * never touched, and the clone's [[vacuum]] can only reclaim
+    * clone-local files (the reclaim listing is the clone's own data
+    * dir). Constraints active at the source version carry over as
+    * metadata commits. Same caveat as Delta's shallow clone: vacuuming
+    * the SOURCE below the cloned version breaks the clone's reads
+    * loudly. Returns the clone's version 0.
+    */
+  def clone(spark: SparkSession, srcRoot: String, dstRoot: String,
+            version: Option[Long] = None): Long = {
+    val snap = resolve(srcRoot, version)
+    require(snap.files.nonEmpty,
+      s"version ${snap.version} of $srcRoot has no live files to clone")
+    val (files, dvs) = resolveState(srcRoot, snap.version)
+    require(!Files.exists(Paths.get(logDir(dstRoot))) ||
+      versionsOnDisk(dstRoot).isEmpty,
+      s"clone target $dstRoot already has commits")
+    init(dstRoot)
+    val rel = Paths.get(dstRoot).toAbsolutePath
+      .relativize(Paths.get(srcRoot).toAbsolutePath).toString
+    val adds = files.map(f => s"$rel/$f")
+    val dvSet = dvs.map { case (p, cov) =>
+      (s"$rel/$p", cov.map(c => s"$rel/$c"))
+    }
+    // the footer sweep re-records the skipping stats under the
+    // clone-relative keys — the clone prunes like the source did
+    writeCommit(dstRoot, 0L, adds, Seq.empty, op = "clone", dvSet = dvSet)
+    constraintsAt(srcRoot, snap.version).toSeq.sortBy(_._1)
+      .foreach { case (n, ex) =>
+        commitMetadata(dstRoot, s""""cname":"$n","cexpr":"$ex"""",
+          "set-constraint"): Unit
+      }
+    0L
+  }
+
   /** Every commit's per-file stats object body, keyed by file path —
-    * the single place the stats-JSON grammar is scanned.
+    * the single place the stats-JSON grammar is scanned. The key must
+    * CONTAIN a `data/` segment (a shallow [[clone]]'s `../src/data/…`
+    * references qualify; the `cset`/`dvs` metadata objects never do).
     */
   private def statBodies(root: String): Seq[(String, String)] = {
-    val fileObj = ("\"(data/" + "[A-Za-z0-9._/\\-=]+)\":\\{([^}]*)\\}").r
+    val fileObj =
+      ("\"((?:[A-Za-z0-9._\\-=]+/|\\.\\./)*data/" +
+        "[A-Za-z0-9._/\\-=]+)\":\\{([^}]*)\\}").r
     versionsOnDisk(root).flatMap { v =>
       val json = Files.readString(Paths.get(logDir(root), f"$v%08d.json"))
       fileObj.findAllMatchIn(json).map(m => m.group(1) -> m.group(2))

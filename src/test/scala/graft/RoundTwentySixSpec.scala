@@ -428,6 +428,77 @@ class RoundTwentySixSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not in txlog"))
   }
 
+  // ---------------- shallow clone ----------------
+
+  test("clone references the source's files and mask state zero-copy; " +
+      "the branches then diverge without touching each other") {
+    val src = freshTable("t26-clone-src")
+    val ks = scatteredKeys(4)
+    val dvV = TxLog.deleteWhereDv(spark, src, "doc_id", ks)
+    val srcBytes = dataChecksums(src)
+
+    val dst = tmpDir("t26-clone-dst") + "/branch"
+    TxLog.clone(spark, src, dst, Some(dvV))
+    // zero-copy: the clone's data dir is EMPTY, yet it reads the
+    // masked source snapshot
+    assert(Files.list(Paths.get(dst, "data")).count() === 0L)
+    assert(idSet(TxLog.snapshot(spark, dst)) === idSet(docs) -- ks)
+
+    // diverge the clone: a copy-on-write delete rewrites INTO the
+    // clone's root; the source is byte-identical and logically intact
+    val more = (idSet(docs) -- ks).toSeq.sorted.take(2)
+    TxLog.deleteWhere(spark, dst, "doc_id", more)
+    assert(idSet(TxLog.snapshot(spark, dst)) === idSet(docs) -- ks -- more)
+    assert(dataChecksums(src) === srcBytes)
+    assert(idSet(TxLog.snapshot(spark, src)) === idSet(docs) -- ks)
+    assert(Files.list(Paths.get(dst, "data")).count() > 0L,
+      "the clone's rewrite must land under the clone's root")
+
+    // ... and the source diverges without affecting the clone
+    val srcMore = (idSet(docs) -- ks -- more).toSeq.sorted.takeRight(1)
+    TxLog.deleteWhereDv(spark, src, "doc_id", srcMore)
+    assert(idSet(TxLog.snapshot(spark, dst)) === idSet(docs) -- ks -- more)
+  }
+
+  test("clone carries the skipping stats and constraints; its vacuum " +
+      "reclaims only clone-local files") {
+    val src = tmpDir("t26-clone2-src") + "/t"
+    TxLog.init(src)
+    TxLog.append(spark, src,
+      docs.repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions("doc_id"))
+    TxLog.addConstraint(spark, src, "pos_chars", "n_chars >= 0")
+    val dst = tmpDir("t26-clone2-dst") + "/b"
+    TxLog.clone(spark, src, dst)
+
+    // stats carried: a narrow slice on the clone opens < all 4 files
+    val all = docs.select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0))
+    val slice = TxLog.snapshotSlice(spark, dst, "doc_id",
+      all.head, all(all.length / 8))
+    assert(slice.inputFiles.length < 4)
+    assert(idSet(slice) ===
+      all.filter(k => k >= all.head && k <= all(all.length / 8)).toSet)
+
+    // constraints carried: the violating append is rejected on the
+    // CLONE (and was never a source commit)
+    assert(TxLog.constraints(dst).contains("pos_chars"))
+    val e = intercept[IllegalArgumentException] {
+      TxLog.append(spark, dst,
+        docs.limit(1).withColumn("n_chars", lit(-1L)))
+    }
+    assert(e.getMessage.contains("pos_chars"))
+
+    // clone-local vacuum: append + compact on the clone, vacuum at the
+    // tip — source files all survive (reclaim lists only dst/data)
+    TxLog.append(spark, dst, docs.limit(3))
+    val cv = TxLog.compact(spark, dst, 64L << 20)
+    TxLog.vacuum(dst, retainFrom = cv)
+    assert(idSet(TxLog.snapshot(spark, src)) === idSet(docs),
+      "the clone's vacuum must never reclaim source files")
+    assert(TxLog.snapshot(spark, dst).count() === docs.count() + 3)
+  }
+
   // ---------------- timestamp time travel ----------------
 
   test("TIMESTAMP AS OF resolves by monotonized commit mtimes: exact " +
