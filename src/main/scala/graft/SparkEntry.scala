@@ -707,6 +707,33 @@ object SparkEntry {
       p
     })
 
+  /** The mask-purge lifecycle, one per (session, sf dir): two
+    * single-file appends split by doc_id parity, every doc_id ≡ 0
+    * (mod 10) erased merge-on-read (masking ~20% of the EVEN file,
+    * nothing in the odd one), then [[graft.ops.TxLog.purgeMasks]] at
+    * threshold 0.1 — the heavily masked file rewrites without its
+    * masked rows, the odd file stays byte-identical, the mask
+    * retires. `q_table_purge` reads the purged head.
+    */
+  private val txlogPurgeCache = new SessionCache[String]
+
+  private def txlogPurgeTable(s: SparkSession, dir: String): String =
+    txlogPurgeCache.getOrElseUpdate(s, dir, {
+      val p = s"${annTmp()}/txpurge"
+      graft.ops.TxLog.init(p)
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      graft.ops.TxLog.append(s, p,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0).coalesce(1))
+      graft.ops.TxLog.append(s, p,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1).coalesce(1))
+      val keys = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      graft.ops.TxLog.deleteWhereDv(s, p, "doc_id", keys)
+      val v = graft.ops.TxLog.purgeMasks(s, p, minFraction = 0.1)
+      require(v.nonEmpty, "purge lifecycle: threshold crossed by design")
+      p
+    })
+
   /** The RESTORE lifecycle, one per (session, sf dir): documents
     * appended range-clustered (v0), doc_id ≡ 5 (mod 23) erased
     * merge-on-read (v1), doc_id ≡ 7 (mod 23) erased copy-on-write
@@ -1740,6 +1767,13 @@ object SparkEntry {
     // and dv-deleted keys in the update residue re-enter as appends
     "q_table_clone" -> ((s, dir) =>
       graft.ops.TxLog.snapshot(s, txlogCloneTable(s, dir))
+        .select("doc_id", "lang", "n_chars")),
+    // deletion-vector maintenance: the heavily masked file rewrote
+    // without its masked rows (threshold policy), the lightly-touched
+    // file never moved — the purged head must read exactly what the
+    // mask read
+    "q_table_purge" -> ((s, dir) =>
+      graft.ops.TxLog.snapshot(s, txlogPurgeTable(s, dir))
         .select("doc_id", "lang", "n_chars")),
     // RESTORE TABLE TO VERSION as a commit: a copy-on-write delete and
     // a compaction are UNDONE by pure metadata (the immutable files
@@ -4470,6 +4504,12 @@ object SparkEntry {
         |       n_chars
         |FROM documents
         |WHERE doc_id % 19 <> 3 OR doc_id % 31 = 1""".stripMargin,
+    // the purged head: the mod-10 residue-0 rows are gone — whether a
+    // rewrite dropped them physically or the mask still hides them is
+    // the layout's business, not the reader's
+    "q_table_purge" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 10 <> 0""".stripMargin,
     // the restored head: the dv delete (mod-23 residue 5) is back in
     // force, the undone copy-on-write delete (residue 7) is not
     "q_table_restore" ->

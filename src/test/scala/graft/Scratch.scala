@@ -983,6 +983,55 @@ object Scratch {
                      ciRes.adds.toSet == cowV0 -- cowHead &&
                      ciRes.removes.toSet == cowHead -- cowV0 &&
                      nRestored == total) "OK" else "MISMATCH"))
+            case "tableclone" =>
+              // shallow clone at 20x: branching the 100-file / 100k-row
+              // table must copy ZERO bytes (the clone's data dir stays
+              // empty) and take O(metadata) wall time; a clustered
+              // delete on the branch rewrites one file INTO the
+              // branch's root and the source's file set and bytes are
+              // untouched
+              val rootC = java.nio.file.Files
+                .createTempDirectory("graft-clonestress-").toString
+              val srcC = s"$rootC/src"
+              ops.TxLog.init(srcC)
+              ops.TxLog.append(spark, srcC, big
+                .select("doc_id", "lang", "n_chars")
+                .repartitionByRange(100, col("doc_id"))
+                .sortWithinPartitions("doc_id"))
+              val srcFiles = ops.TxLog.resolve(srcC).files.toSet
+              val srcBytes = srcFiles.toSeq.map(f =>
+                java.nio.file.Files.size(
+                  java.nio.file.Paths.get(srcC, f))).sum
+              val dstC = s"$rootC/branch"
+              val t0c = System.nanoTime()
+              ops.TxLog.clone(spark, srcC, dstC)
+              val cloneSec = (System.nanoTime() - t0c) / 1e9
+              val dstData0 = {
+                val s0 = java.nio.file.Files.list(
+                  java.nio.file.Paths.get(dstC, "data"))
+                try s0.count() finally s0.close()
+              }
+              val nClone = ops.TxLog.snapshot(spark, dstC).count()
+              val vDel = ops.TxLog.deleteWhere(spark, dstC, "doc_id",
+                Seq(5000100L, 5000101L, 5000102L))
+              val ciDel = ops.TxLog.commitInfoAt(dstC, vDel)
+              val totalC = big.count()
+              val nBranch = ops.TxLog.snapshot(spark, dstC).count()
+              val nSrc = ops.TxLog.snapshot(spark, srcC).count()
+              val srcBytesAfter = srcFiles.toSeq.map(f =>
+                java.nio.file.Files.size(
+                  java.nio.file.Paths.get(srcC, f))).sum
+              val secC = (System.nanoTime() - t0c) / 1e9
+              println(f"sec=$secC%.1f cloneSec=$cloneSec%.1f " +
+                f"cloneDataFiles=$dstData0 clone=$nClone/$totalC " +
+                f"branchDelRewrote=${ciDel.removes.size} " +
+                f"branch=$nBranch/${totalC - 3} src=$nSrc/$totalC " +
+                (if (dstData0 == 0L && nClone == totalC &&
+                     ciDel.removes.size == 1 &&
+                     nBranch == totalC - 3 && nSrc == totalC &&
+                     ops.TxLog.resolve(srcC).files.toSet == srcFiles &&
+                     srcBytesAfter == srcBytes &&
+                     cloneSec < 30) "OK" else "MISMATCH"))
             case "tablestream" =>
               // the graft-table streaming source at 20x: replay a
               // 21-commit lifecycle (20 appends of 5k rows + one
