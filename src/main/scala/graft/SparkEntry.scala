@@ -685,6 +685,73 @@ object SparkEntry {
       p
     })
 
+  /** The null-skipping lifecycle, one per (session, sf dir): two
+    * single-file appends of documents split by doc_id parity — the
+    * EVEN file's `lang_opt` is entirely NULL, the ODD file's is fully
+    * populated — so the commit footer sweep records per-file null
+    * counts next to the `[min,max]` stats, and an `IS NOT NULL` read
+    * prunes the all-null file (an `IS NULL` read prunes the other)
+    * before any listing or footer I/O. `q_table_skipping_null` reads
+    * the `IS NOT NULL` slice.
+    */
+  private val txlogNullCache = new SessionCache[String]
+
+  private def txlogNullTable(s: SparkSession, dir: String): String =
+    txlogNullCache.getOrElseUpdate(s, dir, {
+      val p = s"${annTmp()}/txnull"
+      graft.ops.TxLog.init(p)
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      graft.ops.TxLog.append(s, p,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .withColumn("lang_opt", lit(null).cast("string"))
+          .select("doc_id", "lang_opt", "n_chars").coalesce(1))
+      graft.ops.TxLog.append(s, p,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .withColumn("lang_opt", col("lang"))
+          .select("doc_id", "lang_opt", "n_chars").coalesce(1))
+      p
+    })
+
+  /** The partitioned-table lifecycle, one per (session, sf dir): two
+    * appends of documents (split by doc_id parity, 2 input tasks each)
+    * HIVE-PARTITIONED on `lang` via [[graft.ops.TxLog.appendPartitioned]]
+    * — files land under `data/lang=<v>/`, each commit records its
+    * files' partition values in the log — then a copy-on-write delete
+    * of [[DeletedKeys]] (whose rewrite outputs carry no partition
+    * metadata: conservative reads, exercised deliberately).
+    * `q_table_partitioned` reads the `lang = 'en'` partition with the
+    * other partitions pruned FROM THE LOG before any listing (the spec
+    * asserts the files-opened count).
+    */
+  private val txlogPartCache = new SessionCache[String]
+
+  private def txlogPartTable(s: SparkSession, dir: String): String =
+    txlogPartCache.getOrElseUpdate(s, dir, {
+      val p = s"${annTmp()}/txpart"
+      graft.ops.TxLog.init(p)
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      graft.ops.TxLog.appendPartitioned(s, p,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .repartition(2, col("doc_id")), Seq("lang"))
+      graft.ops.TxLog.appendPartitioned(s, p,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .repartition(2, col("doc_id")), Seq("lang"))
+      graft.ops.TxLog.deleteWhere(s, p, "doc_id", DeletedKeys)
+      p
+    })
+
+  /** Spec accessors: the lifecycle roots the driver rows read, so the
+    * specs can assert the PHYSICAL claims (files opened, partition
+    * metadata) on the very tables the oracle-checked entries use.
+    */
+  private[graft] def txlogNullRootForSpec(s: SparkSession,
+                                          dir: String): String =
+    txlogNullTable(s, dir)
+
+  private[graft] def txlogPartRootForSpec(s: SparkSession,
+                                          dir: String): String =
+    txlogPartTable(s, dir)
+
   /** The shallow-clone branch, one per (session, sf dir): the dv
     * table cloned ZERO-COPY at its dv version (the clone's v0 just
     * references the source's files + mask — its own data dir starts
@@ -1724,12 +1791,17 @@ object SparkEntry {
     // from the LOG, not the disk) and head (after the copy-on-write
     // delete and a compaction commit, which must be logically
     // invisible). The oracle's two branches pin both
+    // both snapshots read through the graft-table DSv1 connector (the
+    // Delta shape: HadoopFsRelation over a log-backed FileIndex) —
+    // versionAsOf pins the pre-delete version, the head read resolves
+    // the tip; same rows as the TxLog.snapshot API, same oracle
     "q_timetravel" -> ((s, dir) => {
       val p = txlogTable(s, dir)
-      graft.ops.TxLog.snapshot(s, p, Some(1L)).select("doc_id")
-        .withColumn("snap", lit("v1"))
-        .unionByName(graft.ops.TxLog.snapshot(s, p).select("doc_id")
-          .withColumn("snap", lit("head")))
+      s.read.format("graft-table").option("versionAsOf", "1").load(p)
+        .select("doc_id").withColumn("snap", lit("v1"))
+        .unionByName(
+          s.read.format("graft-table").load(p)
+            .select("doc_id").withColumn("snap", lit("head")))
     }),
     // merge-on-read delete: every doc_id ≡ 3 (mod 19) is gone from the
     // read, but the commit wrote only a (file, row-position) sidecar —
@@ -1757,9 +1829,33 @@ object SparkEntry {
     // slice from the overlapping files only, pruned before any
     // listing or footer I/O (the spec asserts the file count; the
     // oracle pins the row semantics)
+    // the same slice as an ORDINARY filter on the connector read: the
+    // GraftFileIndex prunes files from the log's recorded per-file
+    // string [min,max] at plan time — no snapshotSliceStr call, the
+    // user predicate alone drives the skipping (spec asserts the file
+    // count on this entry's own plan)
     "q_table_skipping_str" -> ((s, dir) =>
-      graft.ops.TxLog.snapshotSliceStr(s, txlogLangTable(s, dir),
-          "lang", "de", "en")
+      s.read.format("graft-table").load(txlogLangTable(s, dir))
+        .filter(col("lang") >= "de" && col("lang") <= "en")
+        .select("doc_id", "lang", "n_chars")),
+    // IS NOT NULL data skipping from the log's per-file null counts
+    // (recorded in the same commit footer sweep as the [min,max]
+    // stats): the all-null file cannot serve a single row and is
+    // pruned before any listing or footer I/O — the spec asserts the
+    // single input file, the oracle pins the row semantics
+    "q_table_skipping_null" -> ((s, dir) =>
+      graft.ops.TxLog.snapshotSliceNull(s, txlogNullTable(s, dir),
+          "lang_opt", isNull = false)
+        .select("doc_id", "lang_opt", "n_chars")),
+    // hive-partitioned txlog table: the lang='en' partition read with
+    // every other partition pruned FROM THE LOG's recorded per-file
+    // partition values, before any listing — through a copy-on-write
+    // delete whose rewrite outputs carry no partition metadata and are
+    // conservatively read (the predicate re-applies; the spec asserts
+    // the files-opened count, the oracle pins the rows)
+    "q_table_partitioned" -> ((s, dir) =>
+      graft.ops.TxLog.snapshotPartition(s, txlogPartTable(s, dir),
+          Map("lang" -> "en"))
         .select("doc_id", "lang", "n_chars")),
     // shallow clone + MERGE on the branch: the clone reads the
     // source's masked files zero-copy, the merge's rewrites land under
@@ -1799,6 +1895,14 @@ object SparkEntry {
     "q_txlog_merge" -> ((s, dir) =>
       graft.ops.TxLog.snapshot(s, txlogMergeTable(s, dir))
         .select("doc_id", "lang", "n_chars")),
+    // the Delta CDF contract over the merge interval: the commit
+    // recorded its key column, so the removed-and-re-added residue-3
+    // keys pair into update_preimage/update_postimage rows (old lang /
+    // 'xx'), while the genuinely new +1000000 keys stay inserts — the
+    // oracle computes the pre/post pairs from first principles
+    "q_table_merge_cdc" -> ((s, dir) =>
+      graft.ops.TxLog.changesBetweenCdc(s, txlogMergeTable(s, dir), 0L, 1L)
+        .select("doc_id", "lang", "n_chars", "change_type")),
     // log-based CDC from v0 (the 80% base append) to head: the second
     // append surfaces as inserts, the copy-on-write delete as exactly
     // its three deleted rows, and the compaction commit cancels out of
@@ -1840,9 +1944,14 @@ object SparkEntry {
     // narrow doc_id slice opens only the low-range one — file pruning
     // decided before any listing or footer I/O (the spec asserts the
     // single input file; the oracle pins the row semantics)
+    // data skipping from an ORDINARY user filter through the
+    // graft-table connector: the narrow doc_id slice of the Z-ordered
+    // head opens only the low-range file, pruned by the FileIndex from
+    // the log's [min,max] before any listing or footer I/O — plus the
+    // standard parquet PushedFilters inside the surviving file
     "q_table_skipping" -> ((s, dir) =>
-      graft.ops.TxLog.snapshotSlice(s, txlogHistoryTable(s, dir),
-          "doc_id", 0L, 100L)
+      s.read.format("graft-table").load(txlogHistoryTable(s, dir))
+        .filter(col("doc_id") >= 0L && col("doc_id") <= 100L)
         .select("doc_id", "lang", "n_chars")),
     // PageRank power iteration (3 rounds, d=0.85) over the undirected
     // customer-supplier trade graph; each round is one edge-join +
@@ -4495,6 +4604,17 @@ object SparkEntry {
     "q_table_skipping_str" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang >= 'de' AND lang <= 'en'""".stripMargin,
+    // the IS NOT NULL slice's semantics: exactly the odd-parity rows
+    // (the even file's lang_opt is entirely NULL and contributes
+    // nothing, pruned or not)
+    "q_table_skipping_null" ->
+      """SELECT doc_id, lang AS lang_opt, n_chars FROM documents
+        |WHERE doc_id % 2 = 1""".stripMargin,
+    // the partition slice's semantics: the 'en' rows minus the
+    // targeted-delete keys, independent of which files were pruned
+    "q_table_partitioned" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang = 'en' AND doc_id NOT IN (7, 8, 42)""".stripMargin,
     // the branch head: the dv mask (mod-19 residue 3) carried over,
     // the merge re-langs residue-1-mod-31 keys in place and re-adds
     // the masked ones in that residue
@@ -4530,6 +4650,23 @@ object SparkEntry {
         |FROM documents
         |UNION ALL
         |SELECT doc_id + 1000000 AS doc_id, 'new' AS lang, n_chars
+        |FROM documents WHERE doc_id % 50 = 0""".stripMargin,
+    // the merge interval's CDF from first principles: every residue-3
+    // key pairs its original row (preimage) with the re-langed row
+    // (postimage); the +1000000 keys never existed before — inserts;
+    // nothing is deleted. (No original lang is 'xx', so no pre/post
+    // row can coincide.)
+    "q_table_merge_cdc" ->
+      """SELECT doc_id, lang, n_chars,
+        |       'update_preimage' AS change_type
+        |FROM documents WHERE doc_id % 10 = 3
+        |UNION ALL
+        |SELECT doc_id, 'xx' AS lang, n_chars,
+        |       'update_postimage' AS change_type
+        |FROM documents WHERE doc_id % 10 = 3
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS doc_id, 'new' AS lang, n_chars,
+        |       'insert' AS change_type
         |FROM documents WHERE doc_id % 50 = 0""".stripMargin,
     // v0→head net change: the 20% append inserts (none of the deleted
     // keys are ≡0 mod 5, so no overlap), the delete removes its three

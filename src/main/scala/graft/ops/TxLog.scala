@@ -1,6 +1,6 @@
 package graft.ops
 
-import java.nio.file.{FileAlreadyExistsException, Files, Paths}
+import java.nio.file.{FileAlreadyExistsException, Paths}
 import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * SAFE at 100 TB where "overwrite the directory" is not:
   *
   *  - every mutation (append / delete / compact) stages its data files
-  *    first, then publishes them with ONE atomic rename of a tiny JSON
+  *    first, then publishes them with ONE atomic write of a tiny JSON
   *    commit file — readers see the table before the commit or after
   *    it, never a half-written directory;
   *  - commits never modify or remove existing DATA files (copy-on-
@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   *    at version v replays the log prefix ≤ v ([[snapshot]] — time
   *    travel);
   *  - two writers racing to the same version collide on the commit
-  *    file's `Files.move` (no REPLACE_EXISTING) and the loser fails
-  *    LOUDLY with a conflict — optimistic concurrency, not silent
-  *    last-writer-wins;
+  *    file's exclusive publish ([[TxIo.putIfAbsent]] — link(2)
+  *    locally, `FileSystem.create(overwrite = false)` on HDFS/object
+  *    stores) and the loser fails LOUDLY with a conflict — optimistic
+  *    concurrency, not silent last-writer-wins;
   *  - storage is reclaimed only by an explicit [[vacuum]] with a
   *    retention floor, the same separation Delta draws between logical
   *    delete and physical removal.
@@ -37,6 +38,13 @@ object TxLog {
   private def logDir(root: String) = s"$root/_txlog"
   private def dataDir(root: String) = s"$root/data"
 
+  /** The metadata-plane I/O for `root` — POSIX link-atomic for local
+    * paths, the Hadoop `FileSystem` API (exclusive `create`) for any
+    * other scheme. See [[TxIo]] for the publish-atomicity contract and
+    * the object-store consistency assumptions.
+    */
+  private def io(root: String): TxIo = TxIo.forRoot(root)
+
   /** Live data files (relative paths) of the table at `version`
     * (latest when None), with the version actually resolved. Replays
     * add/remove actions in commit order — order matters because a
@@ -49,33 +57,37 @@ object TxLog {
 
   /** Create an empty table root (no versions yet). */
   def init(root: String): Unit = {
-    Files.createDirectories(Paths.get(logDir(root)))
-    Files.createDirectories(Paths.get(dataDir(root)))
+    io(root).mkdirs(logDir(root))
+    io(root).mkdirs(dataDir(root))
   }
 
-  /** `Files.list` holds a directory stream open until closed — leak
-    * one per resolve in a long-lived streaming driver and the process
-    * runs out of descriptors. Every listing goes through here.
+  /** All data files under `data/` as root-relative paths, recursing
+    * into partition subdirectories (`data/lang=en/...`).
     */
-  private def listNames(dir: java.nio.file.Path): Seq[String] = {
-    import scala.jdk.CollectionConverters._
-    if (!Files.exists(dir)) Seq.empty
-    else {
-      val s = Files.list(dir)
-      try s.iterator().asScala.map(_.getFileName.toString).toList
-      finally s.close()
-    }
-  }
+  private def listDataFiles(root: String): Seq[String] =
+    io(root).listRecursive(dataDir(root)).map("data/" + _)
+
+  private def commitPath(root: String, v: Long): String =
+    f"${logDir(root)}/$v%08d.json"
+
+  private def checkpointPath(root: String, v: Long): String =
+    f"${logDir(root)}/$v%08d.checkpoint.json"
+
+  private def readCommit(root: String, v: Long): String =
+    io(root).read(commitPath(root, v))
+
+  private def readCheckpoint(root: String, v: Long): String =
+    io(root).read(checkpointPath(root, v))
 
   private def versionsOnDisk(root: String): Seq[Long] =
-    listNames(Paths.get(logDir(root)))
+    io(root).list(logDir(root))
       .filter(n => n.endsWith(".json") && !n.endsWith(".checkpoint.json")
         && !n.startsWith("."))
       .map(_.stripSuffix(".json").toLong).sorted
 
   private def checkpointsOnDisk(root: String): Seq[Long] =
-    listNames(Paths.get(logDir(root)))
-      .filter(_.endsWith(".checkpoint.json"))
+    io(root).list(logDir(root))
+      .filter(n => n.endsWith(".checkpoint.json") && !n.startsWith("."))
       .map(_.stripSuffix(".checkpoint.json").toLong).sorted
 
   // data-file names are UUID-based and commit JSON is hand-rolled, so
@@ -87,6 +99,12 @@ object TxLog {
   // reduced to this log's vocabulary); locked down like paths are —
   // the JSON is hand-rolled
   private val SafeOp = "[a-z-]+".r
+
+  // partition VALUES appear both in data-file paths (data/lang=en/...)
+  // and in the hand-rolled commit JSON, so they take the intersection
+  // grammar: no '/', no '=', no quotes, no spaces ([[appendPartitioned]]
+  // additionally rejects NULL partition values loudly)
+  private val SafePartValue = "[A-Za-z0-9._\\-]{1,64}".r
 
   /** Exact row count of staged parquet files from their FOOTERS — the
     * commit-time stats a lakehouse log carries. O(files touched) like
@@ -108,12 +126,17 @@ object TxLog {
 
   /** One file set's footer metadata: exact row count plus per-file,
     * per-column `[min, max]` for integer and (safe-grammar) string
-    * columns.
+    * columns, per-file per-column NULL counts, and per-file row
+    * counts (the pair that makes `IS NULL` / `IS NOT NULL` skipping
+    * decidable: nulls == 0 skips `IS NULL`, nulls == rows skips
+    * `IS NOT NULL`).
     */
   private[graft] final case class FileMeta(
       rows: Long,
       intStats: Map[String, Map[String, (Long, Long)]],
-      strStats: Map[String, Map[String, (String, String)]])
+      strStats: Map[String, Map[String, (String, String)]],
+      nullStats: Map[String, Map[String, Long]] = Map.empty,
+      fileRows: Map[String, Long] = Map.empty)
 
   // string stat VALUES land in the hand-rolled commit JSON, so only
   // values in this grammar are recorded (no quotes, no backslashes,
@@ -141,15 +164,24 @@ object TxLog {
     var rows = 0L
     val stats = Map.newBuilder[String, Map[String, (Long, Long)]]
     val strStats = Map.newBuilder[String, Map[String, (String, String)]]
+    val nullStats = Map.newBuilder[String, Map[String, Long]]
+    val fileRows = Map.newBuilder[String, Long]
     files.foreach { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(s"$root/$f"), conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         rows += r.getRecordCount
+        fileRows += f -> r.getRecordCount
         val byCol = scala.collection.mutable.Map.empty[String, (Long, Long)]
         val byColS =
           scala.collection.mutable.Map.empty[String, (String, String)]
+        // null counts land for EVERY safe-named primitive column —
+        // they are type-agnostic; a row group whose footer lacks the
+        // count poisons that column's entry (a partial sum would be a
+        // WRONG count, not a conservative one)
+        val byColN = scala.collection.mutable.Map.empty[String, Long]
+        val nullPoisoned = scala.collection.mutable.Set.empty[String]
         // a column with UNUSABLE stats in any row group (absent, or a
         // string value outside the grammar) must not keep a partial
         // range from the other groups — that would be a WRONG range,
@@ -166,6 +198,14 @@ object TxLog {
           b.getColumns.asScala.foreach { c =>
             val name = c.getPath.toDotString
             val pt = c.getPrimitiveType
+            if (SafeName.matches(name) && !nullPoisoned(name)) {
+              val st0 = c.getStatistics
+              if (st0 == null || !st0.isNumNullsSet) {
+                nullPoisoned += name
+                byColN -= name: Unit
+              } else byColN(name) = byColN.getOrElse(name, 0L) +
+                st0.getNumNulls
+            }
             val intLike =
               (pt.getPrimitiveTypeName == INT64 ||
                 pt.getPrimitiveTypeName == INT32) &&
@@ -205,9 +245,11 @@ object TxLog {
         }
         if (byCol.nonEmpty) stats += f -> byCol.toMap
         if (byColS.nonEmpty) strStats += f -> byColS.toMap
+        if (byColN.nonEmpty) nullStats += f -> byColN.toMap
       } finally r.close()
     }
-    FileMeta(rows, stats.result(), strStats.result())
+    FileMeta(rows, stats.result(), strStats.result(),
+      nullStats.result(), fileRows.result())
   }
 
   /** `knownMeta`/`knownRowsRemoved` let retry loops pass the footer
@@ -225,13 +267,23 @@ object TxLog {
                                  dv: Option[(String, Seq[String])] = None,
                                  dvDrops: Seq[String] = Seq.empty,
                                  dvSet: Seq[(String, Seq[String])] =
-                                   Seq.empty)
+                                   Seq.empty,
+                                 parts: Map[String, Map[String, String]] =
+                                   Map.empty,
+                                 partCols: Seq[String] = Seq.empty,
+                                 mergeKey: Option[String] = None)
       : Unit = {
     (adds ++ removes).foreach(p =>
       require(SafePath.matches(p), s"unsafe path in commit: $p"))
     require(SafeOp.matches(op), s"unsafe op in commit: $op")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val bid = batchId.map(b => s""","batchId":$b""").getOrElse("")
+    // a merge commit names its key column, so CDC readers can pair its
+    // removed-and-re-added keys into update pre/post images
+    val mk = mergeKey.map { k =>
+      require(SafeName.matches(k), s"unsafe merge key in commit: $k")
+      s""","mergeKey":"$k""""
+    }.getOrElse("")
     // a deletion-vector commit names its sidecar and the data files it
     // covers — covers let resolve() retire the DV once every covered
     // file is rewritten out of the live set
@@ -269,28 +321,59 @@ object TxLog {
           .map { case (c, (mn, mx)) => s""""$c":["$mn","$mx"]""" }
         s""""$f":""" + (ints ++ strs).mkString("{", ",", "}")
       }.mkString("{", ",", "}")
+    // partition metadata: the table's declared partition columns and
+    // each file's partition values — the Delta shape, pruned from the
+    // LOG before any listing. Both are grammar-locked like everything
+    // else in the hand-rolled JSON; a per-file object whose body is
+    // exclusively "name":"value" pairs is uniquely a parts object (the
+    // [min,max] stats bodies always carry brackets, nstats bodies
+    // start with "#rows")
+    partCols.foreach(c =>
+      require(SafeName.matches(c), s"unsafe partition column: $c"))
+    parts.foreach { case (f, kv) =>
+      require(SafePath.matches(f), s"unsafe path in parts: $f")
+      kv.foreach { case (c, v) =>
+        require(SafeName.matches(c), s"unsafe partition column: $c")
+        require(SafePartValue.matches(v),
+          s"unsafe partition value for $c: '$v'")
+      }
+    }
+    val partColsJson =
+      if (partCols.isEmpty) "" else s""","partCols":${arr(partCols)}"""
+    val partsJson =
+      if (parts.isEmpty) ""
+      else ""","parts":""" + parts.toSeq.sortBy(_._1).map { case (f, kv) =>
+        s""""$f":""" + kv.toSeq.sortBy(_._1)
+          .map { case (c, v) => s""""$c":"$v"""" }.mkString("{", ",", "}")
+      }.mkString("{", ",", "}")
+    // per-file row + null counts — the IS NULL / IS NOT NULL half of
+    // the skipping index, from the SAME footer sweep. The "#rows"
+    // marker is outside both the column-name and path grammars, so it
+    // can never collide with either
+    val nullFiles = meta.fileRows.keySet.toSeq.sorted
+      .filter(f => meta.nullStats.getOrElse(f, Map.empty).nonEmpty)
+    val nstatsJson =
+      if (nullFiles.isEmpty) ""
+      else ""","nstats":""" + nullFiles.map { f =>
+        val cols = meta.nullStats(f).toSeq.sortBy(_._1)
+          .map { case (c, n) => s""""$c":$n""" }
+        s""""$f":""" + ((s""""#rows":${meta.fileRows(f)}""" +: cols)
+          .mkString("{", ",", "}"))
+      }.mkString("{", ",", "}")
     publishCommit(root, version,
       s"""{"v":$version,"op":"$op","adds":${arr(adds)},""" +
         s""""removes":${arr(removes)},"rows":${meta.rows},""" +
-        s""""rowsRemoved":$rowsRemoved$bid$dvJson$dvDropsJson""" +
-        s"""$dvSetJson$statsJson}""")
+        s""""rowsRemoved":$rowsRemoved$bid$mk$dvJson$dvDropsJson""" +
+        s"""$dvSetJson$partColsJson$partsJson$statsJson$nstatsJson}""")
   }
 
   private def publishCommit(root: String, version: Long,
                             json: String): Unit = {
-    val tmp = Paths.get(logDir(root), s".tmp-${UUID.randomUUID()}")
-    Files.writeString(tmp, json)
-    try {
-      // publish via hard link, NOT ATOMIC_MOVE: POSIX rename silently
-      // REPLACES an existing target (last-writer-wins — the exact
-      // corruption a log exists to prevent), while link(2) is both
-      // atomic for readers (full content appears at once) and
-      // exclusive (EEXIST when the version is already committed)
-      Files.createLink(Paths.get(logDir(root), f"$version%08d.json"), tmp)
-      Files.delete(tmp)
-    } catch {
+    // exclusive, atomic publish — link(2) locally, exclusive
+    // FileSystem.create on HDFS/object stores; see [[TxIo]]
+    try io(root).putIfAbsent(commitPath(root, version), json)
+    catch {
       case e: FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
         throw new IllegalStateException(
           s"txlog conflict: version $version was committed concurrently; " +
             "re-resolve the snapshot and retry", e)
@@ -350,14 +433,13 @@ object TxLog {
       scala.collection.mutable.LinkedHashMap.empty[String, Set[String]]
     val cp = checkpointsOnDisk(root).filter(_ <= upTo).lastOption
     cp.foreach { c =>
-      val json = Files.readString(
-        Paths.get(logDir(root), f"$c%08d.checkpoint.json"))
+      val json = readCheckpoint(root, c)
       val (_, files, _) = parseCommit(json)
       files.foreach(live += _)
       parseDvState(json).foreach { case (p, cov) => dvs(p) = cov.toSet }
     }
     vs.filter(v => v <= upTo && cp.forall(v > _)).foreach { v =>
-      val json = Files.readString(Paths.get(logDir(root), f"$v%08d.json"))
+      val json = readCommit(root, v)
       val (_, adds, removes) = parseCommit(json)
       removes.foreach { r =>
         live -= r
@@ -396,7 +478,7 @@ object TxLog {
   }
 
   private def fileNameOf(rel: String): String =
-    Paths.get(rel).getFileName.toString
+    rel.substring(rel.lastIndexOf('/') + 1)
 
   /** The union of the given deletion vectors as (file-name, position)
     * rows, de-duplicated — two DVs may mask the same row (idempotent
@@ -420,9 +502,39 @@ object TxLog {
     * leaves the `__dv_f`/`__dv_p` key columns on the output for
     * callers that need the surviving rows' positions.
     */
+  /** The mask-size guard READ paths run before broadcasting a mask:
+    * the broadcast is bounded by rows deleted-but-not-yet-purged, so
+    * make the bound LOUD before it becomes a broadcast failure. Row
+    * counts come from the sidecar FOOTERS (KB metadata reads, no job);
+    * `spark.graft.dv.maxRows` turns the warning into a hard gate.
+    * Maintenance paths (purgeMasks, compaction, rewrites) bypass it —
+    * they ARE the remedy and must stay runnable past the threshold.
+    */
+  private[graft] def dvGuard(spark: SparkSession, root: String,
+                             dvFiles: Seq[String]): Unit = {
+    if (dvFiles.isEmpty) return
+    val maskRows = parquetRows(root, dvFiles)
+    spark.conf.getOption("spark.graft.dv.maxRows").map(_.toLong)
+      .filter(maskRows > _).foreach { m =>
+        throw new IllegalStateException(
+          s"table at $root carries $maskRows un-purged deletion-" +
+            s"vector rows (> spark.graft.dv.maxRows = $m); run " +
+            "TxLog.purgeMasks (or compact/optimize) to retire masks " +
+            "before reading")
+      }
+    val warnAt = spark.conf.getOption("spark.graft.dv.warnRows")
+      .map(_.toLong).getOrElse(10000000L)
+    if (maskRows > warnAt)
+      org.slf4j.LoggerFactory.getLogger("graft.ops.TxLog").warn(
+        s"table at $root carries $maskRows un-purged deletion-vector " +
+          s"rows (warn threshold $warnAt); reads broadcast the mask — " +
+          "schedule TxLog.purgeMasks or a compaction")
+  }
+
   private[graft] def applyDvMask(spark: SparkSession, root: String,
                                  scan: DataFrame, dvFiles: Seq[String],
-                                 keepKeys: Boolean = false): DataFrame = {
+                                 keepKeys: Boolean = false,
+                                 guard: Boolean = false): DataFrame = {
     def keyed(df: DataFrame): DataFrame = df
       .withColumn("__dv_f",
         element_at(split(col("_metadata.file_path"), "/"), -1))
@@ -430,6 +542,7 @@ object TxLog {
     if (dvFiles.isEmpty) {
       if (keepKeys) keyed(scan) else scan
     } else {
+      if (guard) dvGuard(spark, root, dvFiles)
       val dv = dvEntries(spark, root, dvFiles)
         .withColumnRenamed("file", "__dv_file")
         .withColumnRenamed("pos", "__dv_pos")
@@ -449,7 +562,16 @@ object TxLog {
     * transparently ([[applyDvMask]]).
     */
   def snapshot(spark: SparkSession, root: String,
-               version: Option[Long] = None): DataFrame = {
+               version: Option[Long] = None): DataFrame =
+    snapshotImpl(spark, root, version, guard = true)
+
+  /** [[snapshot]] with the DV-size guard optional: maintenance paths
+    * (compaction, optimize, constraint validation) must stay runnable
+    * past the guard threshold — they are the remedy.
+    */
+  private def snapshotImpl(spark: SparkSession, root: String,
+                           version: Option[Long],
+                           guard: Boolean): DataFrame = {
     val snap = resolve(root, version)
     require(snap.files.nonEmpty,
       s"version ${snap.version} of $root has no live files")
@@ -461,7 +583,7 @@ object TxLog {
     applyDvMask(spark, root,
       spark.read.option("mergeSchema", "true")
         .parquet(snap.files.map(f => s"$root/$f"): _*),
-      snap.dvFiles)
+      snap.dvFiles, guard = guard)
   }
 
   /** Stage `df` as new immutable data files and return their relative
@@ -472,16 +594,21 @@ object TxLog {
     val uid = UUID.randomUUID().toString.take(8)
     val tmp = s"$root/_staged-$uid"
     df.write.parquet(tmp)
-    val parts = listNames(Paths.get(tmp))
+    // zero-row task files (empty input partitions, a survivor rewrite
+    // that kept nothing) are never published: at scale they are pure
+    // listing/footer noise, and a delete of EVERY row should leave a
+    // version with no live files, not one junk file
+    val parts = io(root).list(tmp)
       .filter(_.endsWith(".parquet")).sorted
+      .filter(p => parquetRows(root, Seq(s"_staged-$uid/$p")) > 0)
     val rels = parts.zipWithIndex.map { case (p, i) =>
       val rel = f"data/part-$uid-$i%05d.parquet"
-      Files.move(Paths.get(tmp, p), Paths.get(root, rel))
+      io(root).move(s"$tmp/$p", s"$root/$rel")
       rel
     }
     // the staging dir (with its _SUCCESS marker) is bookkeeping only
-    listNames(Paths.get(tmp)).foreach(n => Files.delete(Paths.get(tmp, n)))
-    Files.delete(Paths.get(tmp))
+    io(root).list(tmp).foreach(n => io(root).delete(s"$tmp/$n"))
+    io(root).delete(tmp)
     rels
   }
 
@@ -511,7 +638,7 @@ object TxLog {
         case e: IllegalStateException =>
           races += 1
           if (races >= 1000) {
-            adds.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
+            adds.foreach(f => io(root).deleteIfExists(s"$root/$f"))
             throw new IllegalStateException(
               s"txlog append at $root lost $races version races; giving up", e)
           }
@@ -523,6 +650,149 @@ object TxLog {
     }
     maybeAutoCheckpoint(root, out.get)
     out.get
+  }
+
+  /** Append `df` HIVE-PARTITIONED by `partCols`: data files land under
+    * `data/<col>=<value>/...`, the commit records each file's partition
+    * values (and the table's partition columns) in the log, and
+    * [[snapshotPartition]] / the `graft-table` connector prune whole
+    * partitions FROM THE LOG before any listing — the Delta partition
+    * shape. Two deliberate deviations from Hive, both scale-motivated:
+    *
+    *  - the partition columns STAY IN THE DATA FILES (the write
+    *    partitions by hidden duplicates that `partitionBy` consumes),
+    *    so every reader — snapshot, CDC, clone, a rewrite — reads a
+    *    self-contained file with no partition-value reconstruction,
+    *    and the per-file footer stats (min = max = value) make the
+    *    partition prunable through the ORDINARY stats index too. A
+    *    near-constant column is run-length dictionary noise on disk;
+    *  - NULL partition values are rejected loudly (no
+    *    `__HIVE_DEFAULT_PARTITION__`) — the log's path grammar could
+    *    not round-trip them.
+    *
+    * Later rewrites (delete survivors, compaction) stage plain files;
+    * their outputs simply carry no partition metadata — conservative
+    * reads, never wrong ones. Returns the committed version.
+    */
+  def appendPartitioned(spark: SparkSession, root: String, df: DataFrame,
+                        partCols: Seq[String]): Long = {
+    require(partCols.nonEmpty, "appendPartitioned: empty partition cols")
+    partCols.foreach { c =>
+      require(SafeName.matches(c), s"unsafe partition column: $c")
+      require(df.columns.contains(c),
+        s"partition column $c not in ${df.columns.mkString(", ")}")
+    }
+    val uid = UUID.randomUUID().toString.take(8)
+    val tmp = s"$root/_staged-$uid"
+    val dups = partCols.map(c => s"__pc_$c")
+    val staged = partCols.zip(dups).foldLeft(df) { case (d, (c, dc)) =>
+      d.withColumn(dc, col(c))
+    }
+    staged.write.partitionBy(dups: _*).parquet(tmp)
+    val leafFiles = io(root).listRecursive(tmp)
+      .filter(_.endsWith(".parquet")).sorted
+    val moved = leafFiles.zipWithIndex.map { case (rel, i) =>
+      val dirs = rel.split("/").toSeq.init
+      require(dirs.size == partCols.size,
+        s"unexpected staging layout for $rel")
+      val vals = partCols.zip(dirs).map { case (c, seg) =>
+        require(seg.startsWith(s"__pc_$c="),
+          s"unexpected staging dir $seg for partition column $c")
+        val v = seg.stripPrefix(s"__pc_$c=")
+        require(v != "__HIVE_DEFAULT_PARTITION__",
+          s"NULL partition value in column $c; partition columns " +
+            "must be non-null")
+        require(SafePartValue.matches(v),
+          s"unsafe partition value for $c: '$v'")
+        c -> v
+      }
+      val dir = vals.map { case (c, v) => s"$c=$v" }.mkString("/")
+      val target = f"data/$dir/part-$uid-$i%05d.parquet"
+      if (parquetRows(root, Seq(s"_staged-$uid/$rel")) == 0L) None
+      else {
+        io(root).mkdirs(s"$root/data/$dir")
+        io(root).move(s"$tmp/$rel", s"$root/$target")
+        Some(target -> vals.toMap)
+      }
+    }.flatten
+    io(root).deleteRecursive(tmp)
+    val adds = moved.map(_._1)
+    validateStaged(spark, root, adds, "partitioned append")
+    val meta = parquetMeta(root, adds)
+    var out: Option[Long] = None
+    var races = 0
+    while (out.isEmpty) {
+      val next = versionsOnDisk(root).lastOption.map(_ + 1).getOrElse(0L)
+      try {
+        writeCommit(root, next, adds, Seq.empty, op = "append",
+          knownMeta = Some(meta), knownRowsRemoved = Some(0L),
+          parts = moved.toMap, partCols = partCols)
+        out = Some(next)
+      } catch {
+        case e: IllegalStateException =>
+          races += 1
+          if (races >= 1000) {
+            adds.foreach(f => io(root).deleteIfExists(s"$root/$f"))
+            throw new IllegalStateException(
+              s"txlog partitioned append at $root lost $races version " +
+                "races; giving up", e)
+          }
+          validateStaged(spark, root, adds, "partitioned append")
+      }
+    }
+    maybeAutoCheckpoint(root, out.get)
+    out.get
+  }
+
+  /** The table's declared partition columns (the latest declaration in
+    * the log wins; empty for an unpartitioned table).
+    */
+  def partitionColumns(root: String): Seq[String] =
+    versionsOnDisk(root).flatMap { v =>
+      """"partCols":\[([^\]]*)\]""".r.findFirstMatchIn(readCommit(root, v))
+        .map(_.group(1)).filter(_.nonEmpty)
+        .map(_.split(",").toSeq
+          .map(_.stripPrefix("\"").stripSuffix("\"")))
+    }.lastOption.getOrElse(Seq.empty)
+
+  /** Each file's log-recorded partition values. A per-file object
+    * whose body is exclusively `"name":"value"` pairs is uniquely a
+    * parts object — the `[min,max]` stats bodies always carry
+    * brackets, nstats bodies start with `"#rows"`.
+    */
+  def filePartitions(root: String): Map[String, Map[String, String]] = {
+    val fileObj =
+      ("\"((?:[A-Za-z0-9._\\-=]+/|\\.\\./)*data/" +
+        "[A-Za-z0-9._/\\-=]+)\":\\{" +
+        "(\"[A-Za-z0-9_]+\":\"[A-Za-z0-9._\\-]+\"" +
+        "(?:,\"[A-Za-z0-9_]+\":\"[A-Za-z0-9._\\-]+\")*)\\}").r
+    val kv = """"([A-Za-z0-9_]+)":"([A-Za-z0-9._\-]+)"""".r
+    versionsOnDisk(root).flatMap { v =>
+      fileObj.findAllMatchIn(readCommit(root, v)).map { m =>
+        m.group(1) -> kv.findAllMatchIn(m.group(2))
+          .map(p => p.group(1) -> p.group(2)).toMap
+      }
+    }.toMap
+  }
+
+  /** Partition-pruned read: the snapshot restricted to the partitions
+    * matching every `(column -> value)` pair in `eq`, with whole
+    * partitions pruned FROM THE LOG before any listing or footer I/O —
+    * at 100 TB a single-partition read of a 10k-partition table lists
+    * 1/10k of the files. Files without partition metadata (plain
+    * appends, rewrite outputs) are conservatively read; the predicate
+    * re-applies exactly, so pruning is an optimization, never the
+    * filter.
+    */
+  def snapshotPartition(spark: SparkSession, root: String,
+                        eq: Map[String, String],
+                        version: Option[Long] = None): DataFrame = {
+    require(eq.nonEmpty, "snapshotPartition: empty partition filter")
+    val parts = filePartitions(root)
+    prunedSlice(spark, root, version,
+      f => parts.get(f).forall(kv =>
+        eq.forall { case (c, v) => kv.get(c).forall(_ == v) }),
+      eq.map { case (c, v) => col(c) === lit(v) }.reduce(_ && _))
   }
 
   /** Delta-style periodic log checkpoint: every [[CheckpointInterval]]
@@ -599,9 +869,32 @@ object TxLog {
     * matching).
     */
   private def relToRoot(root: String, uri: String): String =
-    Paths.get(root).toAbsolutePath
-      .relativize(Paths.get(new java.net.URI(uri)).toAbsolutePath)
-      .toString
+    relativize(root, uri)
+
+  /** Scheme-agnostic relative path from `base` to `target` (both
+    * directories/files on the SAME store): the `java.nio.Path`
+    * relativize semantics, restated over URI segments so it works for
+    * `hdfs://` / object-store paths too. `file:` and scheme-less paths
+    * are the same store.
+    */
+  private def relativize(base: String, target: String): String = {
+    def segs(s: String): (Option[String], Option[String], Seq[String]) = {
+      val u = new org.apache.hadoop.fs.Path(s).toUri
+      val scheme = Option(u.getScheme).filter(_ != "file")
+      val path =
+        if (scheme.isEmpty)
+          Paths.get(u.getPath).toAbsolutePath.normalize.toString
+        else u.getPath
+      (scheme, Option(u.getAuthority).filter(_.nonEmpty),
+        path.split("/").filter(_.nonEmpty).toSeq)
+    }
+    val (bs, ba, b) = segs(base)
+    val (ts, ta, t) = segs(target)
+    require(bs == ts && ba == ta,
+      s"cannot relativize across stores: $base vs $target")
+    val common = b.zip(t).takeWhile { case (x, y) => x == y }.length
+    (Seq.fill(b.length - common)("..") ++ t.drop(common)).mkString("/")
+  }
 
   /** Merge-on-read delete (deletion vectors): instead of rewriting
     * every file that holds a hit ([[deleteWhere]]'s copy-on-write), the
@@ -650,18 +943,18 @@ object TxLog {
     val uid = UUID.randomUUID().toString.take(8)
     val tmp = s"$root/_staged-dv-$uid"
     hits.coalesce(1).sortWithinPartitions("file", "pos").write.parquet(tmp)
-    val parts = listNames(Paths.get(tmp)).filter(_.endsWith(".parquet"))
+    val parts = io(root).list(tmp).filter(_.endsWith(".parquet"))
     require(parts.size == 1, s"dv stage produced ${parts.size} files")
     val dvRel = s"data/dv-$uid.parquet"
-    Files.move(Paths.get(tmp, parts.head), Paths.get(root, dvRel))
-    listNames(Paths.get(tmp)).foreach(n => Files.delete(Paths.get(tmp, n)))
-    Files.delete(Paths.get(tmp))
+    io(root).move(s"$tmp/${parts.head}", s"$root/$dvRel")
+    io(root).list(tmp).foreach(n => io(root).delete(s"$tmp/$n"))
+    io(root).delete(tmp)
     // only (file, count) comes to the driver — bounded by the pruned
     // candidate set, never by the number of deleted rows
     val perFile = spark.read.parquet(s"$root/$dvRel")
       .groupBy("file").agg(count(lit(1)).as("n")).collect()
     if (perFile.isEmpty) {
-      Files.delete(Paths.get(root, dvRel))
+      io(root).delete(s"$root/$dvRel")
       writeCommit(root, next, Seq.empty, Seq.empty, op = "delete-dv")
       return next
     }
@@ -748,7 +1041,8 @@ object TxLog {
     val adds = stage(spark, root, survivors.unionByName(updates))
     validateStaged(spark, root, adds, "merge")
     val removes = hitAbs.toSeq.map(relToRoot(root, _))
-    writeCommit(root, snap.version + 1, adds, removes, op = "merge")
+    writeCommit(root, snap.version + 1, adds, removes, op = "merge",
+      mergeKey = Some(keyCol))
     snap.version + 1
   }
 
@@ -763,8 +1057,8 @@ object TxLog {
   def optimize(spark: SparkSession, root: String, cols: Seq[String],
                numFiles: Int): Long = {
     val snap = resolve(root)
-    val adds = stage(spark, root,
-      Maintenance.zorderLayout(snapshot(spark, root), cols, numFiles))
+    val adds = stage(spark, root, Maintenance.zorderLayout(
+      snapshotImpl(spark, root, None, guard = false), cols, numFiles))
     writeCommit(root, snap.version + 1, adds, snap.files, op = "optimize")
     snap.version + 1
   }
@@ -778,12 +1072,13 @@ object TxLog {
   def compact(spark: SparkSession, root: String, targetBytes: Long): Long = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val snap = resolve(root)
-    val total = snap.files.map(f => Files.size(Paths.get(root, f))).sum
+    val total = snap.files.map(f => io(root).size(s"$root/$f")).sum
     val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
     // snapshot(), not a raw read: the live set may be schema-evolved,
     // and compacting through a sampled pre-evolution footer would drop
     // the newer columns from the ONLY remaining copy of every row
-    val adds = stage(spark, root, snapshot(spark, root).coalesce(n))
+    val adds = stage(spark, root,
+      snapshotImpl(spark, root, None, guard = false).coalesce(n))
     writeCommit(root, snap.version + 1, adds, snap.files, op = "compact")
     snap.version + 1
   }
@@ -813,7 +1108,7 @@ object TxLog {
       s"version $toVersion not in txlog (vacuumed?)")
     val (tFiles, tDvs) = resolveState(root, toVersion)
     (tFiles ++ tDvs.map(_._1)).foreach(f =>
-      require(Files.exists(Paths.get(root, f)),
+      require(io(root).exists(s"$root/$f"),
         s"restore to $toVersion needs $f, which vacuum reclaimed; " +
           "the target is only logically present in the log"))
     val adds = tFiles.filterNot(cur.files.toSet).sorted
@@ -836,7 +1131,8 @@ object TxLog {
       // validateStaged. The current snapshot's schema names the
       // columns that could be missing
       val curCols =
-        if (cur.files.nonEmpty) snapshot(spark, root).schema.fields.toSeq
+        if (cur.files.nonEmpty)
+          snapshotImpl(spark, root, None, guard = false).schema.fields.toSeq
         else Seq.empty
       val restored = curCols
         .filterNot(f => restored0.columns.contains(f.name))
@@ -884,19 +1180,23 @@ object TxLog {
     require(snap.files.nonEmpty,
       s"version ${snap.version} of $srcRoot has no live files to clone")
     val (files, dvs) = resolveState(srcRoot, snap.version)
-    require(!Files.exists(Paths.get(logDir(dstRoot))) ||
+    require(!io(dstRoot).exists(logDir(dstRoot)) ||
       versionsOnDisk(dstRoot).isEmpty,
       s"clone target $dstRoot already has commits")
     init(dstRoot)
-    val rel = Paths.get(dstRoot).toAbsolutePath
-      .relativize(Paths.get(srcRoot).toAbsolutePath).toString
+    val rel = relativize(dstRoot, srcRoot)
     val adds = files.map(f => s"$rel/$f")
     val dvSet = dvs.map { case (p, cov) =>
       (s"$rel/$p", cov.map(c => s"$rel/$c"))
     }
     // the footer sweep re-records the skipping stats under the
-    // clone-relative keys — the clone prunes like the source did
-    writeCommit(dstRoot, 0L, adds, Seq.empty, op = "clone", dvSet = dvSet)
+    // clone-relative keys — the clone prunes like the source did; the
+    // source's partition metadata is carried the same way
+    val srcParts = filePartitions(srcRoot)
+    val parts = files.flatMap(f =>
+      srcParts.get(f).map(kv => s"$rel/$f" -> kv)).toMap
+    writeCommit(dstRoot, 0L, adds, Seq.empty, op = "clone", dvSet = dvSet,
+      parts = parts, partCols = partitionColumns(srcRoot))
     constraintsAt(srcRoot, snap.version).toSeq.sortBy(_._1)
       .foreach { case (n, ex) =>
         commitMetadata(dstRoot, s""""cname":"$n","cexpr":"$ex"""",
@@ -915,7 +1215,7 @@ object TxLog {
       ("\"((?:[A-Za-z0-9._\\-=]+/|\\.\\./)*data/" +
         "[A-Za-z0-9._/\\-=]+)\":\\{([^}]*)\\}").r
     versionsOnDisk(root).flatMap { v =>
-      val json = Files.readString(Paths.get(logDir(root), f"$v%08d.json"))
+      val json = readCommit(root, v)
       fileObj.findAllMatchIn(json).map(m => m.group(1) -> m.group(2))
     }
   }
@@ -948,6 +1248,46 @@ object TxLog {
     }.filter(_._2.nonEmpty).toMap
   }
 
+  /** The null half of the skipping index: per live-file `(rows,
+    * column -> null count)` as recorded at commit time. Parsed by its
+    * own `"#rows"` marker (outside the column-name grammar), so it
+    * never collides with the `[min,max]` stats objects. Files from
+    * pre-nstats commits have no entry — readers treat that as "cannot
+    * skip".
+    */
+  def fileNullStats(root: String): Map[String, (Long, Map[String, Long])] = {
+    val fileObj =
+      ("\"((?:[A-Za-z0-9._\\-=]+/|\\.\\./)*data/" +
+        "[A-Za-z0-9._/\\-=]+)\":\\{\"#rows\":(\\d+)([^}]*)\\}").r
+    val colNulls = """"([A-Za-z0-9_]+)":(\d+)""".r
+    versionsOnDisk(root).flatMap { v =>
+      fileObj.findAllMatchIn(readCommit(root, v)).map { m =>
+        m.group(1) -> (m.group(2).toLong,
+          colNulls.findAllMatchIn(m.group(3))
+            .map(c => c.group(1) -> c.group(2).toLong).toMap)
+      }
+    }.toMap
+  }
+
+  /** `IS NULL` / `IS NOT NULL` data skipping: the snapshot restricted
+    * to rows where `colName` is (not) null, with files pruned by the
+    * log-recorded null counts — a file with zero nulls cannot serve
+    * `IS NULL`, a file whose null count equals its row count cannot
+    * serve `IS NOT NULL`. Files without recorded null stats for
+    * `colName` are conservatively read. Semantics are exactly
+    * `snapshot(...).filter(col(colName).isNull / .isNotNull)`.
+    */
+  def snapshotSliceNull(spark: SparkSession, root: String, colName: String,
+                        isNull: Boolean,
+                        version: Option[Long] = None): DataFrame = {
+    val st = fileNullStats(root)
+    prunedSlice(spark, root, version,
+      f => st.get(f).forall { case (rows, nulls) =>
+        nulls.get(colName).forall(n => if (isNull) n > 0 else n < rows)
+      },
+      if (isNull) col(colName).isNull else col(colName).isNotNull)
+  }
+
   /** The shared prune-read-mask-filter pipeline of the slice reads:
     * files failing `keep` are never listed or opened, the survivors
     * are read under the snapshot's DV masks, and `in` re-applies the
@@ -961,10 +1301,13 @@ object TxLog {
     require(snap.files.nonEmpty,
       s"version ${snap.version} of $root has no live files")
     val keepFiles = snap.files.filter(keep)
-    if (keepFiles.isEmpty) snapshot(spark, root, version).filter(in).limit(0)
+    if (keepFiles.isEmpty)
+      snapshotImpl(spark, root, version, guard = false)
+        .filter(in).limit(0)
     else applyDvMask(spark, root,
       spark.read.option("mergeSchema", "true")
-        .parquet(keepFiles.map(f => s"$root/$f"): _*), snap.dvFiles)
+        .parquet(keepFiles.map(f => s"$root/$f"): _*), snap.dvFiles,
+      guard = true)
       .filter(in)
   }
 
@@ -1007,17 +1350,33 @@ object TxLog {
       col(colName) >= lo && col(colName) <= hi)
   }
 
-  /** Stream-source batch ids already committed to the log (from the
-    * commits' optional `batchId` field) — the idempotency ledger for
-    * [[streamingAppend]].
+  /** Stream-source batch ids already committed to the log: the
+    * commits' optional `batchId` fields UNIONED with every
+    * checkpoint's carried `batchIds` set — the idempotency ledger for
+    * [[streamingAppend]]. The checkpoint carry matters: a [[vacuum]]
+    * that truncates past the last streaming commit would otherwise
+    * erase the ledger, and a checkpoint-recovery replay of that batch
+    * would land the same data twice.
     */
   def committedBatchIds(root: String): Set[Long] =
-    versionsOnDisk(root).flatMap { v =>
+    committedBatchIdsUpTo(root, Long.MaxValue)
+
+  private def committedBatchIdsUpTo(root: String, upTo: Long): Set[Long] = {
+    val fromCommits = versionsOnDisk(root).filter(_ <= upTo).flatMap { v =>
       """"batchId":(\d+)""".r
         .findFirstMatchIn(
-          Files.readString(Paths.get(logDir(root), f"$v%08d.json")))
+          readCommit(root, v))
         .map(_.group(1).toLong)
-    }.toSet
+    }
+    val fromCheckpoints = checkpointsOnDisk(root).filter(_ <= upTo)
+      .flatMap { c =>
+        """"batchIds":\[([^\]]*)\]""".r
+          .findFirstMatchIn(readCheckpoint(root, c))
+          .map(_.group(1)).filter(_.nonEmpty)
+          .map(_.split(",").toSeq.map(_.toLong)).getOrElse(Seq.empty)
+      }
+    (fromCommits ++ fromCheckpoints).toSet
+  }
 
   /** Commit one micro-batch idempotently: a batch id already present
     * in the log is a REPLAY (Structured Streaming re-delivers the
@@ -1041,10 +1400,11 @@ object TxLog {
     // replay or retry at the advanced version — re-validating first,
     // since the winning commit may have been set-constraint
     var out: Option[Option[Long]] = None
+    var races = 0
     while (out.isEmpty) {
       val next = versionsOnDisk(root).lastOption.map(_ + 1).getOrElse(0L)
       if (committedBatchIds(root).contains(batchId)) {
-        adds.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
+        adds.foreach(f => io(root).deleteIfExists(s"$root/$f"))
         out = Some(None)
       } else
         try {
@@ -1053,7 +1413,17 @@ object TxLog {
             knownRowsRemoved = Some(0L))
           out = Some(Some(next))
         } catch {
-          case _: IllegalStateException =>
+          case e: IllegalStateException =>
+            races += 1
+            // same bail-out as append: a pathological conflict stream
+            // must not spin this loop (and re-run validateStaged)
+            // forever
+            if (races >= 1000) {
+              adds.foreach(f => io(root).deleteIfExists(s"$root/$f"))
+              throw new IllegalStateException(
+                s"txlog streaming commit at $root lost $races version " +
+                  "races; giving up", e)
+            }
             validateStaged(spark, root, adds, "streaming commit")
         }
     }
@@ -1089,6 +1459,22 @@ object TxLog {
   def changesBetween(spark: SparkSession, root: String, fromV: Long,
                      toV: Long): DataFrame = {
     require(fromV <= toV, s"changesBetween: $fromV > $toV")
+    // the empty change set still needs the table's SCHEMA, and toV may
+    // have no live files (a fully-deleted table diffed against itself)
+    // — derive it from the nearest version that HAS files instead of
+    // requiring toV to be non-empty
+    def emptyChanges(): DataFrame = {
+      val vs = versionsOnDisk(root)
+      val src = vs.filter(_ <= toV).reverse
+        .find(v => resolveState(root, v)._1.nonEmpty)
+        .orElse(vs.filter(_ > toV)
+          .find(v => resolveState(root, v)._1.nonEmpty))
+      src match {
+        case Some(v) => snapshotImpl(spark, root, Some(v), guard = false)
+          .limit(0).withColumn("change", lit(""))
+        case None => spark.emptyDataFrame.withColumn("change", lit(""))
+      }
+    }
     val fromS = resolve(root, Some(fromV))
     val toS = resolve(root, Some(toV))
     val from = fromS.files.toSet
@@ -1098,10 +1484,8 @@ object TxLog {
     // DV sidecars are immutable, so identical sidecar SETS mean
     // identical masks — the cheap no-DV-change test
     val dvChanged = fromS.dvFiles.toSet != toS.dvFiles.toSet
-    if (addedF.isEmpty && removedF.isEmpty && !dvChanged) {
-      val empty = snapshot(spark, root, Some(toV)).limit(0)
-      return empty.withColumn("change", lit(""))
-    }
+    if (addedF.isEmpty && removedF.isEmpty && !dvChanged)
+      return emptyChanges()
     // the diff compares LOGICAL rows: each side's files are read under
     // that side's DV masks, so a merge-on-read delete reports exactly
     // its masked rows, and a later rewrite that purges the mask
@@ -1112,7 +1496,7 @@ object TxLog {
       if (files.isEmpty) None
       else Some(applyDvMask(spark, root,
         spark.read.option("mergeSchema", "true")
-          .parquet(files.map(f => s"$root/$f"): _*), dv))
+          .parquet(files.map(f => s"$root/$f"): _*), dv, guard = true))
     val addedOpt = readSide(addedF, toS.dvFiles)
     val removedOpt = readSide(removedF, fromS.dvFiles)
     // mask deltas on files live at BOTH ends of the interval: changes
@@ -1155,17 +1539,16 @@ object TxLog {
     val grownOpt = maskDiffRows(toS.dvFiles, fromS.dvFiles)
     val shrunkOpt = maskDiffRows(fromS.dvFiles, toS.dvFiles)
     if (addedOpt.isEmpty && removedOpt.isEmpty && grownOpt.isEmpty &&
-        shrunkOpt.isEmpty) {
-      val empty = snapshot(spark, root, Some(toV)).limit(0)
-      return empty.withColumn("change", lit(""))
-    }
+        shrunkOpt.isEmpty)
+      return emptyChanges()
     // align to the TABLE's schema at toV, not the changed files': an
     // interval touching only pre-evolution files would otherwise come
     // back without the newer columns and break CDC consumers selecting
     // the table shape. (A fully-deleted toV has no schema to align to
     // — the changed-file schema is then all there is.)
     val tgt =
-      if (toS.files.nonEmpty) snapshot(spark, root, Some(toV)).schema
+      if (toS.files.nonEmpty)
+        snapshotImpl(spark, root, Some(toV), guard = false).schema
       else (addedOpt.orElse(removedOpt).orElse(grownOpt)
         .orElse(shrunkOpt)).get.schema
     def align(df: DataFrame): DataFrame =
@@ -1183,6 +1566,53 @@ object TxLog {
     added.exceptAll(removed).withColumn("change", lit("insert"))
       .unionByName(removed.exceptAll(added)
         .withColumn("change", lit("delete")))
+  }
+
+  /** [[changesBetween]] in the Delta Change Data Feed shape: a
+    * `change_type` column with `insert` / `delete` /
+    * `update_preimage` / `update_postimage`. A MERGE commit removes a
+    * matched key's old row and re-adds its new one; the file algebra
+    * alone reads that as delete+insert, but the merge commit RECORDS
+    * its key column (`mergeKey`), so this feed pairs the two sides on
+    * it: a key present in both the net-removed and net-added rows is
+    * an UPDATE (old row = preimage, new row = postimage); keys on one
+    * side only stay inserts/deletes. Pairing applies when the
+    * interval's merge commits agree on ONE key column — mixed-key
+    * intervals (or none) degrade to the plain insert/delete feed,
+    * never to a wrong pairing. Rows a merge rewrote without changing
+    * cancel out of the net algebra and are absent here (the log diff
+    * cannot see them; Delta's CDC files record them — documented
+    * deviation).
+    */
+  def changesBetweenCdc(spark: SparkSession, root: String, fromV: Long,
+                        toV: Long): DataFrame = {
+    val diff = changesBetween(spark, root, fromV, toV)
+    val ins = diff.filter(col("change") === "insert").drop("change")
+    val del = diff.filter(col("change") === "delete").drop("change")
+    val mergeKeys = versionsOnDisk(root)
+      .filter(v => v > fromV && v <= toV)
+      .flatMap(v => """"mergeKey":"([A-Za-z0-9_]+)"""".r
+        .findFirstMatchIn(readCommit(root, v)).map(_.group(1)))
+      .distinct
+    mergeKeys match {
+      case Seq(k) =>
+        val updKeys = ins.select(k).intersect(del.select(k))
+        del.join(updKeys, Seq(k), "left_semi")
+          .withColumn("change_type", lit("update_preimage"))
+          .unionByName(ins.join(updKeys, Seq(k), "left_semi")
+            .withColumn("change_type", lit("update_postimage")))
+          .unionByName(ins.join(updKeys, Seq(k), "left_anti")
+            .withColumn("change_type", lit("insert")))
+          .unionByName(del.join(updKeys, Seq(k), "left_anti")
+            .withColumn("change_type", lit("delete")))
+          // semi-joins reorder the key column first; restore the
+          // table's column order for CDC consumers
+          .select((diff.columns.filter(_ != "change").map(col) :+
+            col("change_type")).toIndexedSeq: _*)
+      case _ =>
+        ins.withColumn("change_type", lit("insert"))
+          .unionByName(del.withColumn("change_type", lit("delete")))
+    }
   }
 
   // constraint names and expressions live in the hand-rolled commit
@@ -1210,8 +1640,7 @@ object TxLog {
     val cexpr = """"cexpr":"([^"]*)"""".r
     val cp = checkpointsOnDisk(root).filter(_ <= upTo).lastOption
     val fromCp: Map[String, String] = cp.map { c =>
-      val json = Files.readString(
-        Paths.get(logDir(root), f"$c%08d.checkpoint.json"))
+      val json = readCheckpoint(root, c)
       """"cset":\{([^}]*)\}""".r.findFirstMatchIn(json).map(_.group(1))
         .map(body => """"([A-Za-z0-9_]+)":"([^"]*)"""".r
           .findAllMatchIn(body).map(m => m.group(1) -> m.group(2)).toMap)
@@ -1220,7 +1649,7 @@ object TxLog {
     versionsOnDisk(root)
       .filter(v => v <= upTo && cp.forall(v > _))
       .foldLeft(fromCp) { (acc, v) =>
-        val json = Files.readString(Paths.get(logDir(root), f"$v%08d.json"))
+        val json = readCommit(root, v)
         val op = """"op":"([a-z-]+)"""".r.findFirstMatchIn(json)
           .map(_.group(1))
         (op, cname.findFirstMatchIn(json).map(_.group(1))) match {
@@ -1246,7 +1675,8 @@ object TxLog {
     require(SafeExpr.matches(sqlExpr), s"unsafe constraint expr: $sqlExpr")
     def validateExisting(): Unit =
       if (versionsOnDisk(root).nonEmpty && resolve(root).files.nonEmpty) {
-        val bad = violations(snapshot(spark, root), sqlExpr).count()
+        val bad = violations(
+          snapshotImpl(spark, root, None, guard = false), sqlExpr).count()
         require(bad == 0L,
           s"constraint '$name' ($sqlExpr) is violated by $bad existing " +
             s"row(s) of $root; clean the table before adding it")
@@ -1316,13 +1746,13 @@ object TxLog {
     // must resolve against the TABLE's columns, not just the batch's)
     val tableCols =
       if (versionsOnDisk(root).nonEmpty && resolve(root).files.nonEmpty)
-        snapshot(spark, root).schema.fields.toSeq
+        snapshotImpl(spark, root, None, guard = false).schema.fields.toSeq
       else Seq.empty
     val df = tableCols.filterNot(f => staged.columns.contains(f.name))
       .foldLeft(staged)((d, f) =>
         d.withColumn(f.name, lit(null).cast(f.dataType)))
     def reject(name: String, ex: String, why: String): Nothing = {
-      adds.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
+      adds.foreach(f => io(root).deleteIfExists(s"$root/$f"))
       throw new IllegalArgumentException(
         s"constraint '$name' ($ex) $why; the $context to $root was " +
           "rejected and its staged files removed")
@@ -1353,8 +1783,7 @@ object TxLog {
     * own slice of commit files — see the `graft-table-history` source.
     */
   def commitInfoAt(root: String, version: Long): CommitInfo = {
-    val json = Files.readString(
-      Paths.get(logDir(root), f"$version%08d.json"))
+    val json = readCommit(root, version)
     val (v, adds, removes) = parseCommit(json)
     def num(key: String): Option[Long] =
       s""""$key":(\\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
@@ -1382,8 +1811,7 @@ object TxLog {
     val vs = versionsOnDisk(root)
     require(vs.nonEmpty, s"txlog at $root has no commits")
     val mono = vs.scanLeft((-1L, Long.MinValue)) { case ((_, acc), v) =>
-      val t = Files.getLastModifiedTime(
-        Paths.get(logDir(root), f"$v%08d.json")).toMillis
+      val t = io(root).mtime(commitPath(root, v))
       (v, math.max(acc, t))
     }.drop(1)
     val sel = mono.filter(_._2 <= tsMillis)
@@ -1416,8 +1844,8 @@ object TxLog {
     require(vs.nonEmpty, s"txlog at $root has no commits")
     val v = at.getOrElse(vs.max)
     require(vs.contains(v), s"version $v not in txlog (have $vs)")
-    val cpPath = Paths.get(logDir(root), f"$v%08d.checkpoint.json")
-    if (!Files.exists(cpPath)) {
+    val cpPath = checkpointPath(root, v)
+    if (!io(root).exists(cpPath)) {
       val (files, dvs) = resolveState(root, v)
       def arr(xs: Seq[String]) =
         xs.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -1434,18 +1862,21 @@ object TxLog {
         else ""","dvs":""" + dvs.map { case (p, cov) =>
           s""""$p":${arr(cov)}"""
         }.mkString("{", ",", "}")
-      val tmp = Paths.get(logDir(root), s".tmp-cp-${UUID.randomUUID()}")
-      Files.writeString(tmp,
+      // ... and the streaming-batch idempotency ledger at v: vacuum
+      // may truncate the streaming commits themselves, and a replay of
+      // a truncated batch must still read as a replay
+      val bids = committedBatchIdsUpTo(root, v).toSeq.sorted
+      val bidsJson =
+        if (bids.isEmpty) ""
+        else s""","batchIds":${bids.mkString("[", ",", "]")}"""
+      try io(root).putIfAbsent(cpPath,
         s"""{"v":$v,"adds":${arr(files)},"removes":[],""" +
-          s""""cset":$cset$dvsJson}""")
-      try {
-        Files.createLink(cpPath, tmp)
-        Files.delete(tmp)
-      } catch {
+          s""""cset":$cset$dvsJson$bidsJson}""")
+      catch {
         // checkpoint content at a version is deterministic: a racing
         // writer already published the same thing — the loser is a
         // clean no-op, not a failure
-        case _: FileAlreadyExistsException => Files.deleteIfExists(tmp): Unit
+        case _: FileAlreadyExistsException => ()
       }
     }
     v
@@ -1462,7 +1893,8 @@ object TxLog {
     * older versions become unreadable BY CHOICE — that is the
     * contract's point.
     */
-  def vacuum(root: String, retainFrom: Long): Int = {
+  def vacuum(root: String, retainFrom: Long,
+             stagedGraceMillis: Long = 60L * 60 * 1000): Int = {
     val vs = versionsOnDisk(root)
     require(vs.contains(retainFrom),
       s"retainFrom $retainFrom must be an existing version (have $vs)")
@@ -1475,13 +1907,33 @@ object TxLog {
       .flatMap { v =>
         val s = resolve(root, Some(v)); s.files ++ s.dvFiles
       }.toSet
-    val onDisk = listNames(Paths.get(dataDir(root))).map("data/" + _)
-    val doomed = onDisk.filterNot(referenced)
-    doomed.foreach(f => Files.delete(Paths.get(root, f)))
+    // every file any commit or checkpoint on disk ever PUBLISHED. A
+    // data/ file outside this set was never committed: either a live
+    // writer's in-flight staging ([[stage]] moves files under data/
+    // BEFORE its commit publishes) or a dead writer's leftovers.
+    // Racing a concurrent writer and deleting its staged files would
+    // let its commit publish referencing now-missing bytes — silent
+    // data loss — so never-published files are reclaimed only past an
+    // age grace (Delta's retention-hours guard, scaled to staging)
+    val everPublished = (
+      vs.map(v => readCommit(root, v)) ++
+      checkpointsOnDisk(root).map(c => readCheckpoint(root, c)))
+      .flatMap { json =>
+        val (_, adds, _) = parseCommit(json)
+        adds ++ parseDv(json).map(_._1).toSeq ++
+          parseDvState(json).map(_._1)
+      }.toSet
+    val onDisk = listDataFiles(root)
+    val now = System.currentTimeMillis()
+    val doomed = onDisk.filterNot(referenced).filter { f =>
+      everPublished(f) ||
+        now - io(root).mtime(s"$root/$f") >= stagedGraceMillis
+    }
+    doomed.foreach(f => io(root).delete(s"$root/$f"))
     vs.filter(_ < retainFrom).foreach(v =>
-      Files.delete(Paths.get(logDir(root), f"$v%08d.json")))
+      io(root).delete(commitPath(root, v)))
     checkpointsOnDisk(root).filter(_ < retainFrom).foreach(c =>
-      Files.delete(Paths.get(logDir(root), f"$c%08d.checkpoint.json")))
+      io(root).delete(checkpointPath(root, c)))
     doomed.size
   }
 }

@@ -1,0 +1,323 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, BoundReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or, StartsWith, UnsafeProjection}
+import org.apache.spark.sql.execution.datasources.{FileFormat, FileIndex, HadoopFsRelation, PartitionDirectory, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.BaseRelation
+import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.ops.TxLog
+
+/** The BATCH read side of the [[graft.ops.TxLog]] table as a first-
+  * class Spark data source — the Delta architecture in miniature:
+  *
+  * {{{
+  * spark.read.format("graft-table")
+  *   .option("versionAsOf", 3)         // or timestampAsOf (millis)
+  *   .load(tableRoot)
+  *   .filter($"doc_id" <= 100)         // ANY user filter prunes files
+  * }}}
+  *
+  * The relation is a standard `HadoopFsRelation` over Spark's own
+  * vectorized parquet reader — full codegen, standard parquet footer
+  * pushdown (`PushedFilters` in the plan) — with TWO custom pieces:
+  *
+  *  - [[GraftFileIndex]]: file listing comes from the LOG's resolved
+  *    snapshot, and `listFiles` prunes it with the log-recorded
+  *    per-file `[min,max]` (int + safe-string), null-count, and
+  *    partition-value metadata against the query's own data filters —
+  *    data skipping from ANY predicate, before any listing or footer
+  *    I/O, not just the `snapshotSlice(col, lo, hi)` API;
+  *  - [[GraftParquetFileFormat]]: when the snapshot carries active
+  *    deletion vectors, each reader asks parquet for the real row
+  *    index of every row (the `_tmp_metadata_row_index` machinery, so
+  *    row-group/page skipping cannot desynchronize positions) and
+  *    drops masked rows INSIDE the scan — merge-on-read semantics with
+  *    no plan rewrite, the same shape as Delta's DV-aware file format.
+  *
+  * Time travel: `versionAsOf` pins a committed version,
+  * `timestampAsOf` (epoch millis) resolves through
+  * [[TxLog.versionAt]]'s monotonized commit-mtime lookup; at most one
+  * of the two may be set.
+  */
+private[sources] object GraftTableRelationBuilder {
+  import GraftTableSource.opt
+
+  def createRelation(sqlContext: SQLContext,
+                     parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = GraftTableSource.rootOf(parameters)
+    val versionAsOf = opt(parameters, "versionAsOf").map(_.toLong)
+    val timestampAsOf = opt(parameters, "timestampAsOf").map(_.toLong)
+    require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
+      "graft-table: set at most one of versionAsOf / timestampAsOf")
+    val version = versionAsOf
+      .orElse(timestampAsOf.map(TxLog.versionAt(root, _)))
+    val snap = TxLog.resolve(root, version)
+    require(snap.files.nonEmpty,
+      s"version ${snap.version} of $root has no live files")
+    val paths = snap.files.map(f => s"$root/$f")
+    // the merged schema of the live files — schema evolution reads
+    // older files' missing columns as null, like TxLog.snapshot
+    val schema = spark.read.option("mergeSchema", "true")
+      .parquet(paths: _*).schema
+    val index = new GraftFileIndex(spark, root, snap)
+    // the active masks as (file name -> sorted row positions), KB-
+    // scale by the purge/compaction contract (see TxLog.applyDvMask);
+    // shipped to readers in the format closure
+    TxLog.dvGuard(spark, root, snap.dvFiles)
+    val mask: Map[String, Array[Long]] =
+      if (snap.dvFiles.isEmpty) Map.empty
+      else spark.read.parquet(snap.dvFiles.map(f => s"$root/$f"): _*)
+        .select("file", "pos").distinct().collect()
+        .groupBy(_.getString(0))
+        .map { case (f, rows) => f -> rows.map(_.getLong(1)).sorted }
+    HadoopFsRelation(
+      location = index,
+      partitionSchema = StructType(Nil),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new GraftParquetFileFormat(mask),
+      options = Map("mergeSchema" -> "true"))(spark)
+  }
+}
+
+/** File listing from the transaction log: the live set of one resolved
+  * snapshot, pruned in `listFiles` by the log's recorded per-file
+  * stats against the query's data filters. Skipping is always
+  * conservative — a file without usable stats for a referenced column
+  * is kept, and Spark re-applies the full predicate to every row — so
+  * pruning is an optimization, never the filter.
+  */
+class GraftFileIndex(spark: SparkSession, root: String,
+                     snap: TxLog.Snapshot) extends FileIndex {
+
+  private val intStats = TxLog.fileStats(root)
+  private val strStats = TxLog.fileStatsStr(root)
+  private val nullStats = TxLog.fileNullStats(root)
+  private val partVals = TxLog.filePartitions(root)
+
+  // one statusful listing at construction (size/mtime for split
+  // planning); at production scale this would batch by parent
+  // directory against the namenode — the per-file getFileStatus here
+  // is the local-FS simplification of the same O(live files) metadata
+  // sweep the log already pays at resolve time
+  private val statuses: Seq[(String, FileStatus)] = {
+    val conf = spark.sessionState.newHadoopConf()
+    snap.files.map { f =>
+      val p = new Path(s"$root/$f")
+      f -> p.getFileSystem(conf).getFileStatus(p)
+    }
+  }
+
+  override def rootPaths: Seq[Path] = Seq(new Path(root))
+
+  override def partitionSchema: StructType = StructType(Nil)
+
+  override def sizeInBytes: Long = statuses.map(_._2.getLen).sum
+
+  override def inputFiles: Array[String] =
+    statuses.map(_._2.getPath.toString).toArray
+
+  override def refresh(): Unit = ()
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression])
+      : Seq[PartitionDirectory] = {
+    val kept = statuses.filter { case (f, _) =>
+      dataFilters.forall(mayMatch(f, _))
+    }
+    Seq(PartitionDirectory(InternalRow.empty, kept.map(_._2).toArray))
+  }
+
+  /** Could `file` hold a row satisfying `filter`? Unknown shapes and
+    * stat-less columns answer true (read it).
+    */
+  private def mayMatch(file: String, filter: Expression): Boolean = {
+    def attrOf(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      // a cast that only widens preserves order against the recorded
+      // longs; anything else is conservatively opaque
+      case Cast(a: AttributeReference, LongType, _, _) => Some(a.name)
+      case _ => None
+    }
+    def intRange(c: String): Option[(Long, Long)] =
+      intStats.get(file).flatMap(_.get(c))
+    def strRange(c: String): Option[(String, String)] =
+      strStats.get(file).flatMap(_.get(c))
+        .orElse(partVals.get(file).flatMap(_.get(c)).map(v => (v, v)))
+    def nulls(c: String): Option[(Long, Long)] =
+      nullStats.get(file).flatMap { case (rows, m) =>
+        m.get(c).map(n => (rows, n))
+      }
+    def litLong(l: Literal): Option[Long] = l.value match {
+      case null => None
+      case v: java.lang.Long => Some(v)
+      case v: java.lang.Integer => Some(v.toLong)
+      case v: java.lang.Short => Some(v.toLong)
+      case _ => None
+    }
+    def litStr(l: Literal): Option[String] = l.value match {
+      case v: UTF8String => Some(v.toString)
+      case _ => None
+    }
+    // can a value cmp v hold for some value in the recorded range?
+    def cmp(attr: Expression, lit: Literal,
+            intOk: ((Long, Long), Long) => Boolean,
+            strOk: ((String, String), String) => Boolean): Boolean =
+      attrOf(attr).forall { c =>
+        val byInt = litLong(lit)
+          .forall(v => intRange(c).forall(r => intOk(r, v)))
+        val byStr = litStr(lit)
+          .forall(v => strRange(c).forall(r => strOk(r, v)))
+        byInt && byStr
+      }
+    filter match {
+      case And(l, r) => mayMatch(file, l) && mayMatch(file, r)
+      case Or(l, r) => mayMatch(file, l) || mayMatch(file, r)
+      case EqualTo(a, l: Literal) =>
+        cmp(a, l, { case ((mn, mx), v) => v >= mn && v <= mx },
+          { case ((mn, mx), v) => v >= mn && v <= mx })
+      case EqualTo(l: Literal, a) => mayMatch(file, EqualTo(a, l))
+      case EqualNullSafe(a, l: Literal) =>
+        mayMatch(file, EqualTo(a, l))
+      case EqualNullSafe(l: Literal, a) => mayMatch(file, EqualTo(a, l))
+      case GreaterThan(a, l: Literal) =>
+        cmp(a, l, { case ((_, mx), v) => mx > v },
+          { case ((_, mx), v) => mx > v })
+      case GreaterThan(l: Literal, a) => mayMatch(file, LessThan(a, l))
+      case GreaterThanOrEqual(a, l: Literal) =>
+        cmp(a, l, { case ((_, mx), v) => mx >= v },
+          { case ((_, mx), v) => mx >= v })
+      case GreaterThanOrEqual(l: Literal, a) =>
+        mayMatch(file, LessThanOrEqual(a, l))
+      case LessThan(a, l: Literal) =>
+        cmp(a, l, { case ((mn, _), v) => mn < v },
+          { case ((mn, _), v) => mn < v })
+      case LessThan(l: Literal, a) => mayMatch(file, GreaterThan(a, l))
+      case LessThanOrEqual(a, l: Literal) =>
+        cmp(a, l, { case ((mn, _), v) => mn <= v },
+          { case ((mn, _), v) => mn <= v })
+      case LessThanOrEqual(l: Literal, a) =>
+        mayMatch(file, GreaterThanOrEqual(a, l))
+      case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists(v => mayMatch(file, EqualTo(a, v.asInstanceOf[Literal])))
+      case InSet(a, vs) =>
+        vs.exists(v =>
+          mayMatch(file, EqualTo(a, Literal.create(v, a.dataType))))
+      case StartsWith(a, l: Literal) =>
+        attrOf(a).forall { c =>
+          litStr(l).forall { p =>
+            strRange(c).forall { case (mn, mx) =>
+              // some s in [mn,mx] starts with p  <=>  the range
+              // overlaps [p, p + maxSuffix]
+              mx >= p && mn <= p + "￿"
+            }
+          }
+        }
+      case IsNull(a) =>
+        attrOf(a).forall(c => nulls(c).forall { case (_, n) => n > 0 })
+      case IsNotNull(a) =>
+        attrOf(a).forall(c =>
+          nulls(c).forall { case (rows, n) => n < rows })
+      case _ => true
+    }
+  }
+}
+
+/** Spark's parquet format with the table's deletion-vector masks
+  * applied INSIDE the scan. `mask` maps data-file NAMES to sorted
+  * masked row positions. When empty this is exactly ParquetFileFormat;
+  * when not, each reader appends parquet's row-index column to the
+  * read schema (real positions, immune to row-group/page skipping by
+  * pushed filters), drops masked rows, and projects the column back
+  * off. Batch (columnar) output is disabled only on masked tables —
+  * the row-level filter needs row iteration.
+  */
+class GraftParquetFileFormat(mask: Map[String, Array[Long]])
+    extends ParquetFileFormat {
+
+  // ParquetFileFormat.equals is class-based — two Graft formats with
+  // DIFFERENT masks would compare equal and could alias in plan/scan
+  // reuse. Reference equality keeps every masked relation distinct.
+  override def equals(other: Any): Boolean = other match {
+    case g: GraftParquetFileFormat => g eq this
+    case _ => false
+  }
+  override def hashCode(): Int = System.identityHashCode(this)
+
+  override def supportBatch(sparkSession: SparkSession,
+                            schema: StructType): Boolean =
+    mask.isEmpty && super.supportBatch(sparkSession, schema)
+
+  override def buildReaderWithPartitionValues(
+      sparkSession: SparkSession,
+      dataSchema: StructType,
+      partitionSchema: StructType,
+      requiredSchema: StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      options: Map[String, String],
+      hadoopConf: org.apache.hadoop.conf.Configuration)
+      : PartitionedFile => Iterator[InternalRow] = {
+    if (mask.isEmpty)
+      return super.buildReaderWithPartitionValues(sparkSession,
+        dataSchema, partitionSchema, requiredSchema, filters, options,
+        hadoopConf)
+    // the row-index request column: the TEMPORARY name is what the
+    // readers' row-index generators recognize, and it must be NULLABLE
+    // — the reader rejects a required-but-absent column as a data
+    // error before the generator ever runs
+    val withIdx = StructType(requiredSchema.fields :+ StructField(
+      ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType,
+      nullable = true))
+    val base = super.buildReaderWithPartitionValues(sparkSession,
+      dataSchema, partitionSchema, withIdx, filters, options, hadoopConf)
+    val n = requiredSchema.length
+    val dataTypes = requiredSchema.fields.map(_.dataType)
+    val localMask = mask
+    (file: PartitionedFile) => {
+      val name = file.toPath.getName
+      val fileMask = localMask.get(name)
+      val rows = base(file)
+      val strip = UnsafeProjection.create(
+        dataTypes.zipWithIndex.map { case (dt, i) =>
+          BoundReference(i, dt, nullable = true): Expression
+        }.toIndexedSeq)
+      val kept = fileMask match {
+        case None => rows
+        case Some(m) =>
+          rows.filter(r =>
+            java.util.Arrays.binarySearch(m, r.getLong(n)) < 0)
+      }
+      kept.map(strip)
+    }
+  }
+}
+
+/** The Structured-Streaming WRITE side: each micro-batch becomes one
+  * atomic, idempotent commit via [[TxLog.commitBatch]] — the medallion
+  * chain composes as
+  * `df.writeStream.format("graft-table").start(root)` with exactly-
+  * once table semantics across restarts (replayed batch ids are
+  * no-ops against the log's ledger). Append output mode only: the
+  * log's streaming contract is append-is-a-commit; aggregations
+  * should flow through foreachBatch + upsert.
+  */
+class GraftTableSink(root: String)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // the incoming frame is the streaming micro-batch plan; re-wrap it
+    // as a batch frame over the SAME physical rows before handing it
+    // to the log's writer (the standard V1 sink move)
+    val batch = org.apache.spark.sql.graft.StreamingFrame.unstream(data)
+    TxLog.commitBatch(batch.sparkSession, root, batch, batchId): Unit
+  }
+
+  override def toString: String = s"GraftTableSink($root)"
+}

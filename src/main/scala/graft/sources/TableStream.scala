@@ -1,10 +1,11 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.StreamingFrame
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.ops.TxLog
@@ -34,12 +35,44 @@ import graft.ops.TxLog
   *    may cover (admission control for a backlogged stream).
   *
   * Registered as `graft-table` (META-INF services):
-  * `spark.readStream.format("graft-table").load(root)`.
+  * `spark.readStream.format("graft-table").load(root)`. The same
+  * short name also serves BATCH reads with time travel and log-stats
+  * file skipping ([[GraftTableRelationBuilder]]) and the streaming
+  * SINK ([[GraftTableSink]] — exactly-once commits via the log's
+  * batch-id ledger), so the one format string covers the full
+  * read/write/stream surface of the table.
   */
 class GraftTableSourceProvider extends StreamSourceProvider
+    with RelationProvider with StreamSinkProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
+
+  /** Batch read: `spark.read.format("graft-table").load(root)` with
+    * optional versionAsOf / timestampAsOf — see
+    * [[GraftTableRelationBuilder]].
+    */
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String])
+      : BaseRelation =
+    GraftTableRelationBuilder.createRelation(sqlContext, parameters)
+
+  /** Streaming sink: `df.writeStream.format("graft-table")
+    * .start(root)` — each micro-batch is one atomic, idempotent
+    * commit.
+    */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-table sink: partitionBy is not supported; use " +
+        "TxLog.appendPartitioned for partitioned batch loads")
+    require(outputMode == OutputMode.Append(),
+      s"graft-table sink supports Append output mode, got $outputMode " +
+        "(route aggregations through foreachBatch + TxLog.upsert)")
+    new GraftTableSink(GraftTableSource.rootOf(parameters))
+  }
 
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType],
@@ -71,22 +104,36 @@ object GraftTableSource {
     * mode). A user-supplied schema wins — the way to stream a table
     * whose latest snapshot is momentarily empty.
     */
+  /** The change-feed column a cdc stream appends: `change`
+    * (insert/delete) by default, `change_type` (Delta CDF vocabulary,
+    * incl. update pre/post images) with `cdcImages = true`.
+    */
+  private[sources] def feedCol(parameters: Map[String, String])
+      : Option[String] = {
+    val cdc = opt(parameters, "cdc").exists(_.toBoolean)
+    val images = opt(parameters, "cdcImages").exists(_.toBoolean)
+    require(!images || cdc,
+      "graft-table: cdcImages = true requires cdc = true")
+    if (images) Some("change_type") else if (cdc) Some("change") else None
+  }
+
   private[sources] def schemaFor(sqlContext: SQLContext,
                                  user: Option[StructType],
                                  parameters: Map[String, String])
       : StructType = {
     val root = rootOf(parameters)
-    val cdc = opt(parameters, "cdc").exists(_.toBoolean)
     val base = user.getOrElse(
       TxLog.snapshot(sqlContext.sparkSession, root).schema)
-    if (cdc) {
-      // loud, not silent: the feed column would otherwise OVERWRITE a
-      // same-named data column in every batch
-      require(!base.fieldNames.contains("change"),
-        s"cdc mode reserves the 'change' column name, but the table at " +
-          s"$root already has one")
-      StructType(base.fields :+ StructField("change", StringType))
-    } else base
+    feedCol(parameters) match {
+      case Some(fc) =>
+        // loud, not silent: the feed column would otherwise OVERWRITE
+        // a same-named data column in every batch
+        require(!base.fieldNames.contains(fc),
+          s"cdc mode reserves the '$fc' column name, but the table at " +
+            s"$root already has one")
+        StructType(base.fields :+ StructField(fc, StringType))
+      case None => base
+    }
   }
 }
 
@@ -98,6 +145,7 @@ class GraftTableSource(sqlContext: SQLContext,
   private val spark = sqlContext.sparkSession
   private val root = rootOf(parameters)
   private val cdc = opt(parameters, "cdc").exists(_.toBoolean)
+  private val cdcImages = opt(parameters, "cdcImages").exists(_.toBoolean)
   private val startingVersion =
     opt(parameters, "startingVersion").map(_.toLong)
   private val maxVersionsPerTrigger =
@@ -172,7 +220,8 @@ class GraftTableSource(sqlContext: SQLContext,
             spark.emptyDataFrame
           case _ =>
             val snap = TxLog.snapshot(spark, root, Some(endV))
-            if (cdc) snap.withColumn("change", lit("insert")) else snap
+            GraftTableSource.feedCol(parameters)
+              .fold(snap)(fc => snap.withColumn(fc, lit("insert")))
         }
     }
     StreamingFrame(align(batch))
@@ -204,8 +253,15 @@ class GraftTableSource(sqlContext: SQLContext,
           "an unknown op); restart with .option(\"cdc\", \"true\") to " +
           "consume the change feed")
     }
-    val diff = TxLog.changesBetween(spark, root, fromV, toV)
-    if (cdc) diff else diff.filter(col("change") === "insert").drop("change")
+    if (cdcImages)
+      // the Delta-CDF-shaped feed: merge intervals pair their
+      // removed-and-re-added keys into update pre/post images
+      TxLog.changesBetweenCdc(spark, root, fromV, toV)
+    else {
+      val diff = TxLog.changesBetween(spark, root, fromV, toV)
+      if (cdc) diff
+      else diff.filter(col("change") === "insert").drop("change")
+    }
   }
 
   /** Project every batch onto the SOURCE's fixed schema: an interval

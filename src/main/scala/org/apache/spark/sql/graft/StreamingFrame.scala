@@ -20,4 +20,16 @@ object StreamingFrame {
     classic.sparkSession.internalCreateDataFrame(
       classic.queryExecution.toRdd, classic.schema, isStreaming = true)
   }
+
+  /** The inverse direction, for a V1 streaming SINK's `addBatch`: the
+    * micro-batch arrives flagged `isStreaming = true`, and handing it
+    * to a batch writer (`df.write`) would be rejected; re-wrap the
+    * same physical rows as a batch frame — the same
+    * `internalCreateDataFrame` call, `isStreaming = false`.
+    */
+  def unstream(df: DataFrame): DataFrame = {
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    classic.sparkSession.internalCreateDataFrame(
+      classic.queryExecution.toRdd, classic.schema, isStreaming = false)
+  }
 }

@@ -404,10 +404,26 @@ class RoundTwentyFiveSpec extends AnyFunSuite {
 
   test("q_table_skipping (the driver entry itself) opens only the " +
       "low-range z-ordered file") {
+    // the entry reads through the graft-table connector since r10:
+    // pruning happens in GraftFileIndex.listFiles at execution, so the
+    // claim is asserted on the executed scan's numFiles metric
+    // (df.inputFiles reports the UNPRUNED live set by FileIndex
+    // contract); RoundTwentySevenSpec holds the PushedFilters half
     val df = SparkEntry.queries("q_table_skipping")(spark, testdata)
-    assert(df.inputFiles.length === 1,
-      s"expected 1 pruned input file, got ${df.inputFiles.toSeq}")
-    assert(df.count() > 0)
+    // collect() on the frame's OWN QueryExecution: count() would spawn
+    // a separate one and leave this plan's scan metrics unpopulated
+    assert(df.collect().nonEmpty)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scans)
+      }
+    val files = scans(df.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    assert(files === 1L, s"expected 1 pruned input file, read $files")
   }
 
   test("review edges: schema-evolved batch NULLs violate CHECK, " +
@@ -585,9 +601,14 @@ class RoundTwentyFiveSpec extends AnyFunSuite {
       ks.flatMap(k => idSet(refine(slice(k)))).toSet
 
     TxLog.append(spark, bronze, slice(0))
-    def startSilver() = TxLog.streamingAppend(
-      refine(spark.readStream.format("graft-table").load(bronze)),
-      silver, ckpt)
+    // the chain composes declaratively through the graft-table SINK
+    // (StreamSinkProvider wrapping the idempotent commitBatch) — no
+    // hand-written foreachBatch
+    def startSilver() =
+      refine(spark.readStream.format("graft-table").load(bronze))
+        .writeStream.format("graft-table")
+        .option("checkpointLocation", ckpt)
+        .start(silver)
 
     val sq = startSilver()
     try {

@@ -549,9 +549,21 @@ class RoundTwentySixSpec extends AnyFunSuite {
       s"the de..en slice must open fewer than all $nFiles files")
     val want = idSet(docs.filter(col("lang") >= "de" && col("lang") <= "en"))
     assert(idSet(slice) === want && want.nonEmpty)
-    // the entry itself (sf-dir fixture) prunes too
+    // the entry itself (sf-dir fixture) prunes too — through the
+    // graft-table connector since r10, so the claim lives on the
+    // executed scan's numFiles metric (RoundTwentySevenSpec)
     val entry = SparkEntry.queries("q_table_skipping_str")(spark, testdata)
-    assert(entry.inputFiles.length < 5)
+    entry.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scans)
+      }
+    assert(scans(entry.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum < 5L)
   }
 
   test("string stats refuse unsafe values (quotes/non-ASCII) and a " +

@@ -913,6 +913,51 @@ object Scratch {
                 (if (nFiles == 100 && statsK.size == 100 && nOpened <= 2 &&
                      nSlice == want && nSlice > 0 &&
                      ci.removes.size == 1) "OK" else "MISMATCH"))
+            case "tablepart" =>
+              // partition pruning at 20x: the 2M-row corpus hive-
+              // partitioned by lang (5 partitions x up to 8 files per
+              // append); a one-partition read lists and opens only
+              // that partition's files — decided from the LOG before
+              // any listing — and the graft-table connector prunes
+              // the same way from an ordinary equality filter, with
+              // the numFiles metric as the proof
+              val rootP = java.nio.file.Files
+                .createTempDirectory("graft-partstress-").toString + "/t"
+              ops.TxLog.init(rootP)
+              val t0p = System.nanoTime()
+              ops.TxLog.appendPartitioned(spark, rootP, big
+                .select("doc_id", "lang", "n_chars")
+                .repartition(8, col("doc_id")), Seq("lang"))
+              val partsP = ops.TxLog.filePartitions(rootP)
+              val liveP = ops.TxLog.resolve(rootP).files
+              val enFiles = liveP.count(f =>
+                partsP.get(f).exists(_.get("lang").contains("en")))
+              val sliceP = ops.TxLog.snapshotPartition(spark, rootP,
+                Map("lang" -> "en"))
+              val nOpenedP = sliceP.inputFiles.length
+              val nP = sliceP.count()
+              val wantP = big.filter(col("lang") === "en").count()
+              val conn = spark.read.format("graft-table").load(rootP)
+                .filter(col("lang") === "en")
+              conn.collect()
+              def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+                  : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+                p match {
+                  case a: org.apache.spark.sql.execution.adaptive
+                      .AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+                  case s: org.apache.spark.sql.execution
+                      .FileSourceScanExec => Seq(s)
+                  case other => other.children.flatMap(scansOf)
+                }
+              val connFiles = scansOf(conn.queryExecution.executedPlan)
+                .map(_.metrics("numFiles").value).sum
+              val secP = (System.nanoTime() - t0p) / 1e9
+              println(f"sec=$secP%.1f live=${liveP.size} enFiles=$enFiles " +
+                f"sliceFiles=$nOpenedP slice=$nP/$wantP " +
+                f"connFiles=$connFiles " +
+                (if (nOpenedP == enFiles && nP == wantP && nP > 0 &&
+                     connFiles == enFiles.toLong &&
+                     enFiles < liveP.size) "OK" else "MISMATCH"))
             case "tabledv" =>
               // merge-on-read delete at 20x: 100k rows as 100
               // key-clustered files, then 1000 keys scattered across
