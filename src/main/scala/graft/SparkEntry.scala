@@ -737,6 +737,34 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(2)) === 1)
           .repartition(2, col("doc_id")), Seq("lang"))
       graft.ops.TxLog.deleteWhere(s, p, "doc_id", DeletedKeys)
+      // partition-scoped OPTIMIZE (the Delta OPTIMIZE ... WHERE
+      // shape): the fr partition compacts Z-ordered WITH its
+      // partition metadata carried onto the outputs; every other
+      // partition's files are untouched on disk
+      graft.ops.TxLog.optimizePartition(s, p, Map("lang" -> "fr"),
+        Seq("doc_id"), numFiles = 1)
+      p
+    })
+
+  /** The batch-writer lifecycle, one per (session, sf dir), driven
+    * ENTIRELY through the DataFrameWriter surface: an append commit
+    * (residue-0 docs), an atomic INSERT OVERWRITE replacing the live
+    * set (residue-1), then another append (residue-2) — three
+    * versions, the overwritten v0 still time-travel readable.
+    * `q_table_overwrite` reads head + v0 in one result.
+    */
+  private val txlogWriteCache = new SessionCache[String]
+
+  private def txlogWriteTable(s: SparkSession, dir: String): String =
+    txlogWriteCache.getOrElseUpdate(s, dir, {
+      val p = s"${annTmp()}/txwrite"
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .write.format("graft-table").mode("append").save(p)
+      docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+        .write.format("graft-table").mode("overwrite").save(p)
+      docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+        .write.format("graft-table").mode("append").save(p)
       p
     })
 
@@ -1857,6 +1885,27 @@ object SparkEntry {
       graft.ops.TxLog.snapshotPartition(s, txlogPartTable(s, dir),
           Map("lang" -> "en"))
         .select("doc_id", "lang", "n_chars")),
+    // the batch WRITE surface: append / atomic INSERT OVERWRITE /
+    // append through df.write.format("graft-table"), read back with
+    // the overwritten v0 still time-travel readable — one result pins
+    // the whole writer lifecycle
+    // partition-scoped OPTIMIZE: the fr partition was compacted
+    // Z-ordered with its partition metadata re-recorded, so this
+    // partition-pruned read serves from the rewritten file(s) — and
+    // must see exactly the same rows as before the maintenance
+    "q_table_optimize_part" -> ((s, dir) =>
+      graft.ops.TxLog.snapshotPartition(s, txlogPartTable(s, dir),
+          Map("lang" -> "fr"))
+        .select("doc_id", "lang", "n_chars")),
+    "q_table_overwrite" -> ((s, dir) => {
+      val p = txlogWriteTable(s, dir)
+      s.read.format("graft-table").load(p)
+        .select("doc_id", "lang", "n_chars").withColumn("snap", lit("head"))
+        .unionByName(
+          s.read.format("graft-table").option("versionAsOf", "0").load(p)
+            .select("doc_id", "lang", "n_chars")
+            .withColumn("snap", lit("v0")))
+    }),
     // shallow clone + MERGE on the branch: the clone reads the
     // source's masked files zero-copy, the merge's rewrites land under
     // the clone's own root (the source stays byte-identical — spec),
@@ -4615,6 +4664,21 @@ object SparkEntry {
     "q_table_partitioned" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang = 'en' AND doc_id NOT IN (7, 8, 42)""".stripMargin,
+    // the fr partition after its scoped optimize: same rows as any
+    // time (the maintenance is logically a no-op), minus the
+    // targeted-delete keys
+    "q_table_optimize_part" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang = 'fr' AND doc_id NOT IN (7, 8, 42)""".stripMargin,
+    // the writer lifecycle's semantics: head = the overwrite's
+    // residue-1 rows plus the later residue-2 append; v0 = the
+    // overwritten residue-0 append, intact under time travel
+    "q_table_overwrite" ->
+      """SELECT doc_id, lang, n_chars, 'head' AS snap FROM documents
+        |WHERE doc_id % 3 <> 0
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars, 'v0' AS snap FROM documents
+        |WHERE doc_id % 3 = 0""".stripMargin,
     // the branch head: the dv mask (mod-19 residue 3) carried over,
     // the merge re-langs residue-1-mod-31 keys in place and re-adds
     // the masked ones in that residue

@@ -795,6 +795,32 @@ object TxLog {
       eq.map { case (c, v) => col(c) === lit(v) }.reduce(_ && _))
   }
 
+  /** INSERT OVERWRITE as a commit: `df` becomes the ENTIRE live set in
+    * one atomic version — the previous files are removed (still
+    * time-travel readable until [[vacuum]]) and every active deletion
+    * vector is deactivated (nothing it masked is live any more). Fails
+    * loudly on a version race like the other derived mutations: the
+    * caller saw a snapshot and must re-decide, not re-stamp. Works on
+    * an empty (just-inited) table as version 0.
+    */
+  def overwrite(spark: SparkSession, root: String, df: DataFrame): Long = {
+    val cur =
+      if (versionsOnDisk(root).nonEmpty) Some(resolve(root)) else None
+    val adds = stage(spark, root, df)
+    validateStaged(spark, root, adds, "overwrite")
+    val next = cur.map(_.version + 1).getOrElse(0L)
+    writeCommit(root, next, adds, cur.map(_.files).getOrElse(Seq.empty),
+      op = "overwrite", dvDrops = cur.map(_.dvFiles).getOrElse(Seq.empty))
+    next
+  }
+
+  /** Has `root` any committed version yet? (`false` for a bare or
+    * never-inited directory — the SaveMode decisions of the batch
+    * writer key off this.)
+    */
+  def isTable(root: String): Boolean =
+    io(root).exists(logDir(root)) && versionsOnDisk(root).nonEmpty
+
   /** Delta-style periodic log checkpoint: every [[CheckpointInterval]]
     * commits, the append paths write the replay base so snapshot and
     * constraint resolution stay O(interval) on a long-lived table.
@@ -1060,6 +1086,42 @@ object TxLog {
     val adds = stage(spark, root, Maintenance.zorderLayout(
       snapshotImpl(spark, root, None, guard = false), cols, numFiles))
     writeCommit(root, snap.version + 1, adds, snap.files, op = "optimize")
+    snap.version + 1
+  }
+
+  /** OPTIMIZE scoped to a partition — the Delta `OPTIMIZE ... WHERE`
+    * shape: rewrite ONLY the files whose log-recorded partition values
+    * match every `(column -> value)` pair in `eq`, Z-ordered on
+    * `cols`, and RE-RECORD the partition values on the outputs, so
+    * partition pruning keeps working across maintenance (the global
+    * [[optimize]] rewrites the whole table and its outputs carry no
+    * partition metadata — correct but conservative). Every other
+    * partition's files are untouched on disk. Logically a no-op like
+    * any optimize: masked rows are dropped in the rewrite (never
+    * resurrected) and the mask coverage of the rewritten files
+    * retires. Returns the committed version.
+    */
+  def optimizePartition(spark: SparkSession, root: String,
+                        eq: Map[String, String], cols: Seq[String],
+                        numFiles: Int): Long = {
+    require(eq.nonEmpty, "optimizePartition: empty partition filter")
+    val snap = resolve(root)
+    val parts = filePartitions(root)
+    val hit = snap.files.filter(f => parts.get(f).exists(kv =>
+      eq.forall { case (c, v) => kv.get(c).contains(v) }))
+    require(hit.nonEmpty,
+      s"no live files of $root carry partition values $eq")
+    // the outputs inherit the partition metadata every input agrees
+    // on (at minimum the eq columns, by selection)
+    val common = hit.map(parts(_))
+      .reduce((a, b) => a.filter { case (k, v) => b.get(k).contains(v) })
+    val df = applyDvMask(spark, root,
+      spark.read.option("mergeSchema", "true")
+        .parquet(hit.map(f => s"$root/$f"): _*), snap.dvFiles)
+    val adds = stage(spark, root,
+      Maintenance.zorderLayout(df, cols, numFiles))
+    writeCommit(root, snap.version + 1, adds, hit, op = "optimize",
+      parts = adds.map(_ -> common).toMap)
     snap.version + 1
   }
 

@@ -103,16 +103,24 @@ class GraftFileIndex(spark: SparkSession, root: String,
   private val partVals = TxLog.filePartitions(root)
 
   // one statusful listing at construction (size/mtime for split
-  // planning); at production scale this would batch by parent
-  // directory against the namenode — the per-file getFileStatus here
-  // is the local-FS simplification of the same O(live files) metadata
-  // sweep the log already pays at resolve time
+  // planning), BATCHED by parent directory: one listStatus per
+  // directory instead of one getFileStatus per file — O(directories)
+  // round trips against a namenode/object store, not O(live files)
   private val statuses: Seq[(String, FileStatus)] = {
     val conf = spark.sessionState.newHadoopConf()
-    snap.files.map { f =>
-      val p = new Path(s"$root/$f")
-      f -> p.getFileSystem(conf).getFileStatus(p)
-    }
+    snap.files.groupBy(f => f.take(f.lastIndexOf('/').max(0)))
+      .toSeq.flatMap { case (dir, files) =>
+        val dirPath = new Path(s"$root/$dir")
+        val listed = dirPath.getFileSystem(conf).listStatus(dirPath)
+          .map(st => st.getPath.getName -> st).toMap
+        files.map { f =>
+          val name = f.substring(f.lastIndexOf('/') + 1)
+          f -> listed.getOrElse(name,
+            throw new IllegalStateException(
+              s"live file $f of $root is missing on storage " +
+                "(vacuumed concurrently?)"))
+        }
+      }.sortBy(_._1) // deterministic listing order
   }
 
   override def rootPaths: Seq[Path] = Seq(new Path(root))

@@ -1,10 +1,10 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.{DataFrame, SaveMode, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.StreamingFrame
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
@@ -43,10 +43,44 @@ import graft.ops.TxLog
   * read/write/stream surface of the table.
   */
 class GraftTableSourceProvider extends StreamSourceProvider
-    with RelationProvider with StreamSinkProvider
-    with DataSourceRegister {
+    with RelationProvider with CreatableRelationProvider
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
+
+  /** Batch write: `df.write.format("graft-table").mode(...).save(root)`
+    * — Append commits a new version ([[TxLog.append]]), Overwrite
+    * replaces the live set atomically ([[TxLog.overwrite]], history
+    * intact), ErrorIfExists/Ignore key off whether the root has any
+    * committed version. Every mode lands as ONE commit with the full
+    * constraint/stats/ledger machinery of the log.
+    */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val root = GraftTableSource.rootOf(parameters)
+    val exists = TxLog.isTable(root)
+    mode match {
+      case SaveMode.Append =>
+        if (!exists) TxLog.init(root)
+        TxLog.append(data.sparkSession, root, data): Unit
+      case SaveMode.Overwrite =>
+        if (!exists) TxLog.init(root)
+        TxLog.overwrite(data.sparkSession, root, data): Unit
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"graft-table at $root already has commits " +
+            "(mode = ErrorIfExists)")
+        TxLog.init(root)
+        TxLog.append(data.sparkSession, root, data): Unit
+      case SaveMode.Ignore =>
+        if (!exists) {
+          TxLog.init(root)
+          TxLog.append(data.sparkSession, root, data): Unit
+        }
+    }
+    createRelation(sqlContext, parameters)
+  }
 
   /** Batch read: `spark.read.format("graft-table").load(root)` with
     * optional versionAsOf / timestampAsOf — see

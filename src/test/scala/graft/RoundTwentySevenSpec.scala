@@ -366,6 +366,73 @@ class RoundTwentySevenSpec extends AnyFunSuite {
       .startsWith("update")).count() === 0L)
   }
 
+  test("optimizePartition rewrites ONE partition's files, carries the " +
+      "partition metadata onto the outputs, and leaves every other " +
+      "partition byte-identical") {
+    val root = tmpDir("t27optpart")
+    TxLog.init(root)
+    TxLog.appendPartitioned(spark, root,
+      docs.repartition(4, col("doc_id")), Seq("lang"))
+    val before = TxLog.resolve(root)
+    val partsBefore = TxLog.filePartitions(root)
+    val othersBefore = before.files.filterNot(f =>
+      partsBefore.get(f).exists(_.get("lang").contains("en")))
+    val sums = othersBefore.map(f =>
+      f -> java.nio.file.Files.size(java.nio.file.Paths.get(root, f))).toMap
+    val v = TxLog.optimizePartition(spark, root,
+      Map("lang" -> "en"), Seq("doc_id"), numFiles = 1)
+    // the en partition is now 1 file that still carries its values
+    val partsAfter = TxLog.filePartitions(root)
+    val after = TxLog.resolve(root)
+    val enAfter = after.files.filter(f =>
+      partsAfter.get(f).exists(_.get("lang").contains("en")))
+    assert(enAfter.size === 1)
+    // pruning still works across the maintenance: the slice opens
+    // exactly the rewritten file
+    val slice = TxLog.snapshotPartition(spark, root, Map("lang" -> "en"))
+    assert(slice.inputFiles.length === 1)
+    assert(idSet(slice) === idSet(docs.filter(col("lang") === "en")))
+    // other partitions untouched on disk
+    othersBefore.foreach { f =>
+      assert(after.files.contains(f))
+      assert(java.nio.file.Files.size(
+        java.nio.file.Paths.get(root, f)) === sums(f))
+    }
+    // logically a no-op: the optimize interval's change feed is empty
+    assert(TxLog.changesBetween(spark, root, v - 1, v).count() === 0L)
+  }
+
+  test("the batch writer: append / atomic overwrite / ErrorIfExists / " +
+      "Ignore land as commits, overwrite deactivates active masks, " +
+      "history stays time-travel readable") {
+    val root = tmpDir("t27write") + "/t"
+    val a = docs.filter(col("doc_id") < 100)
+    val b = docs.filter(col("doc_id") >= 100 && col("doc_id") < 150)
+    a.write.format("graft-table").mode("append").save(root) // v0
+    // a dv delete so the overwrite has a mask to deactivate
+    val someIds = a.select("doc_id").limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    TxLog.deleteWhereDv(spark, root, "doc_id", someIds) // v1
+    assert(TxLog.resolve(root).dvFiles.nonEmpty)
+    b.write.format("graft-table").mode("overwrite").save(root) // v2
+    assert(TxLog.resolve(root).dvFiles.isEmpty,
+      "overwrite must deactivate the previous masks")
+    assert(idSet(spark.read.format("graft-table").load(root)) === idSet(b))
+    // the pre-overwrite (masked) version still time-travels exactly
+    assert(idSet(spark.read.format("graft-table")
+      .option("versionAsOf", "1").load(root)) ===
+      idSet(a) -- someIds)
+    // ErrorIfExists refuses a table with commits; Ignore is a no-op
+    intercept[IllegalStateException] {
+      a.write.format("graft-table").mode("errorifexists").save(root)
+    }
+    a.write.format("graft-table").mode("ignore").save(root)
+    assert(idSet(spark.read.format("graft-table").load(root)) === idSet(b))
+    // and the whole lifecycle is ordinary commits in the ledger
+    assert(TxLog.history(root).map(_.op) ===
+      Seq("append", "delete-dv", "overwrite"))
+  }
+
   test("the cdcImages stream delivers update pre/post images for a " +
       "merge commit, exactly once") {
     val root = tmpDir("t27cdcimg")
