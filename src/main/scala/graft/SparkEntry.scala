@@ -1838,9 +1838,14 @@ object SparkEntry {
     // file a scattered delete touches). The read is a time travel TO
     // the dv version through a later compaction that purged the mask —
     // so it also pins that purge left history intact
+    // read through the graft-table connector at the dv version: the
+    // mask is applied INSIDE the parquet scan (row-index based, no
+    // plan rewrite) — the oracle pins merge-on-read semantics through
+    // the connector's own read path every round
     "q_table_dv_delete" -> ((s, dir) => {
       val (p, dvV) = txlogDvTable(s, dir)
-      graft.ops.TxLog.snapshot(s, p, Some(dvV))
+      s.read.format("graft-table")
+        .option("versionAsOf", dvV.toString).load(p)
         .select("doc_id", "lang", "n_chars")
     }),
     // CDC over the dv interval: the file set did NOT change (that is

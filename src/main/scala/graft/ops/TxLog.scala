@@ -271,7 +271,10 @@ object TxLog {
                                  parts: Map[String, Map[String, String]] =
                                    Map.empty,
                                  partCols: Seq[String] = Seq.empty,
-                                 mergeKey: Option[String] = None)
+                                 mergeKey: Option[String] = None,
+                                 schema: Option[
+                                   org.apache.spark.sql.types.StructType] =
+                                   None)
       : Unit = {
     (adds ++ removes).foreach(p =>
       require(SafePath.matches(p), s"unsafe path in commit: $p"))
@@ -283,6 +286,16 @@ object TxLog {
     val mk = mergeKey.map { k =>
       require(SafeName.matches(k), s"unsafe merge key in commit: $k")
       s""","mergeKey":"$k""""
+    }.getOrElse("")
+    // the table SCHEMA as of this commit (Delta's metadata action):
+    // recorded by the commits that can change it, so readers resolve
+    // the schema from ONE log read instead of a footer sweep of every
+    // live file — at 100 TB that sweep is the planning bottleneck.
+    // Base64 of StructType.json keeps the hand-rolled grammar safe
+    val schemaJson = schema.map { st =>
+      val b64 = java.util.Base64.getEncoder.encodeToString(
+        st.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      s""","schema":"$b64""""
     }.getOrElse("")
     // a deletion-vector commit names its sidecar and the data files it
     // covers — covers let resolve() retire the DV once every covered
@@ -363,8 +376,9 @@ object TxLog {
     publishCommit(root, version,
       s"""{"v":$version,"op":"$op","adds":${arr(adds)},""" +
         s""""removes":${arr(removes)},"rows":${meta.rows},""" +
-        s""""rowsRemoved":$rowsRemoved$bid$mk$dvJson$dvDropsJson""" +
-        s"""$dvSetJson$partColsJson$partsJson$statsJson$nstatsJson}""")
+        s""""rowsRemoved":$rowsRemoved$bid$mk$schemaJson$dvJson""" +
+        s"""$dvDropsJson$dvSetJson$partColsJson$partsJson""" +
+        s"""$statsJson$nstatsJson}""")
   }
 
   private def publishCommit(root: String, version: Long,
@@ -586,6 +600,67 @@ object TxLog {
       snap.dvFiles, guard = guard)
   }
 
+  /** The log-recorded table schema in force at `version` (the tip when
+    * None): the newest `schema` action at or below it, from commits or
+    * checkpoint carry — ONE log read instead of a footer sweep of
+    * every live file, which at 100 TB is the planning bottleneck this
+    * action exists to remove (Delta's metadata action). None on tables
+    * whose commits predate schema recording — readers fall back to the
+    * footer-merged schema.
+    */
+  def tableSchema(root: String, version: Option[Long] = None)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val vs = versionsOnDisk(root)
+    val cps = checkpointsOnDisk(root)
+    if (vs.isEmpty && cps.isEmpty) return None
+    val upTo = version.getOrElse((vs ++ cps).max)
+    val re = """"schema":"([A-Za-z0-9+/=]+)"""".r
+    val fromCommit = vs.filter(_ <= upTo).reverse.iterator
+      .map(v => v -> re.findFirstMatchIn(readCommit(root, v)))
+      .collectFirst { case (v, Some(m)) => v -> m.group(1) }
+    val fromCp = cps.filter(_ <= upTo).reverse.iterator
+      .map(c => c -> re.findFirstMatchIn(readCheckpoint(root, c)))
+      .collectFirst { case (c, Some(m)) => c -> m.group(1) }
+    (fromCommit.toSeq ++ fromCp.toSeq).sortBy(_._1).lastOption
+      .map { case (_, b64) =>
+        org.apache.spark.sql.types.DataType.fromJson(
+          new String(java.util.Base64.getDecoder.decode(b64),
+            java.nio.charset.StandardCharsets.UTF_8))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      }
+  }
+
+  /** Everything nullable at the top level — the shape a footer-merged
+    * schema has (schema evolution means any file may lack any column),
+    * so the recorded schema and the fallback agree.
+    */
+  private def asNullable(st: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      st.fields.map(_.copy(nullable = true)))
+
+  /** The schema a data commit records: the previously recorded schema
+    * widened by the batch's NEW columns (parquet-mergeSchema's
+    * top-level semantics; the schema never shrinks — Delta's
+    * contract). A same-name type conflict records nothing, so readers
+    * fall back to the footer sweep rather than trust a wrong action.
+    */
+  private def mergedSchemaFor(root: String,
+                              batch: org.apache.spark.sql.types.StructType)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val b = asNullable(batch)
+    tableSchema(root) match {
+      case None => Some(b)
+      case Some(prev) =>
+        val conflict = b.fields.exists(f =>
+          prev.fields.exists(g => g.name == f.name &&
+            g.dataType != f.dataType))
+        if (conflict) None
+        else Some(org.apache.spark.sql.types.StructType(prev.fields ++
+          b.fields.filterNot(f => prev.fieldNames.contains(f.name))))
+    }
+  }
+
   /** Stage `df` as new immutable data files and return their relative
     * paths (not yet visible — publish via a commit).
     */
@@ -631,8 +706,11 @@ object TxLog {
     while (out.isEmpty) {
       val next = versionsOnDisk(root).lastOption.map(_ + 1).getOrElse(0L)
       try {
+        // merged schema recomputed per attempt: the commit that beat
+        // us may have widened it
         writeCommit(root, next, adds, Seq.empty, op = "append",
-          knownMeta = Some(meta), knownRowsRemoved = Some(0L))
+          knownMeta = Some(meta), knownRowsRemoved = Some(0L),
+          schema = mergedSchemaFor(root, df.schema))
         out = Some(next)
       } catch {
         case e: IllegalStateException =>
@@ -726,7 +804,8 @@ object TxLog {
       try {
         writeCommit(root, next, adds, Seq.empty, op = "append",
           knownMeta = Some(meta), knownRowsRemoved = Some(0L),
-          parts = moved.toMap, partCols = partCols)
+          parts = moved.toMap, partCols = partCols,
+          schema = mergedSchemaFor(root, df.schema))
         out = Some(next)
       } catch {
         case e: IllegalStateException =>
@@ -760,19 +839,40 @@ object TxLog {
     * parts object — the `[min,max]` stats bodies always carry
     * brackets, nstats bodies start with `"#rows"`.
     */
-  def filePartitions(root: String): Map[String, Map[String, String]] = {
+  def filePartitions(root: String): Map[String, Map[String, String]] =
+    filePartitionsOf(commitTexts(root))
+
+  private def filePartitionsOf(texts: Seq[String])
+      : Map[String, Map[String, String]] = {
     val fileObj =
       ("\"((?:[A-Za-z0-9._\\-=]+/|\\.\\./)*data/" +
         "[A-Za-z0-9._/\\-=]+)\":\\{" +
         "(\"[A-Za-z0-9_]+\":\"[A-Za-z0-9._\\-]+\"" +
         "(?:,\"[A-Za-z0-9_]+\":\"[A-Za-z0-9._\\-]+\")*)\\}").r
     val kv = """"([A-Za-z0-9_]+)":"([A-Za-z0-9._\-]+)"""".r
-    versionsOnDisk(root).flatMap { v =>
-      fileObj.findAllMatchIn(readCommit(root, v)).map { m =>
+    texts.flatMap { json =>
+      fileObj.findAllMatchIn(json).map { m =>
         m.group(1) -> kv.findAllMatchIn(m.group(2))
           .map(p => p.group(1) -> p.group(2)).toMap
       }
     }.toMap
+  }
+
+  /** All four skipping indexes — int/string ranges, null counts,
+    * partition values — from ONE pass over the commit files. The
+    * connector's FileIndex needs them together; four separate sweeps
+    * of a long log would read every commit four times.
+    */
+  final case class SkippingIndex(
+      int: Map[String, Map[String, (Long, Long)]],
+      str: Map[String, Map[String, (String, String)]],
+      nulls: Map[String, (Long, Map[String, Long])],
+      parts: Map[String, Map[String, String]])
+
+  def skippingIndex(root: String): SkippingIndex = {
+    val texts = commitTexts(root)
+    SkippingIndex(fileStatsOf(texts), fileStatsStrOf(texts),
+      fileNullStatsOf(texts), filePartitionsOf(texts))
   }
 
   /** Partition-pruned read: the snapshot restricted to the partitions
@@ -810,7 +910,8 @@ object TxLog {
     validateStaged(spark, root, adds, "overwrite")
     val next = cur.map(_.version + 1).getOrElse(0L)
     writeCommit(root, next, adds, cur.map(_.files).getOrElse(Seq.empty),
-      op = "overwrite", dvDrops = cur.map(_.dvFiles).getOrElse(Seq.empty))
+      op = "overwrite", dvDrops = cur.map(_.dvFiles).getOrElse(Seq.empty),
+      schema = Some(asNullable(df.schema)))
     next
   }
 
@@ -1068,7 +1169,8 @@ object TxLog {
     validateStaged(spark, root, adds, "merge")
     val removes = hitAbs.toSeq.map(relToRoot(root, _))
     writeCommit(root, snap.version + 1, adds, removes, op = "merge",
-      mergeKey = Some(keyCol))
+      mergeKey = Some(keyCol),
+      schema = mergedSchemaFor(root, updates.schema))
     snap.version + 1
   }
 
@@ -1219,7 +1321,8 @@ object TxLog {
       }
     }
     writeCommit(root, cur.version + 1, adds, removes, op = "restore",
-      dvDrops = cur.dvFiles, dvSet = tDvs)
+      dvDrops = cur.dvFiles, dvSet = tDvs,
+      schema = tableSchema(root, Some(toVersion)))
     cur.version + 1
   }
 
@@ -1258,7 +1361,8 @@ object TxLog {
     val parts = files.flatMap(f =>
       srcParts.get(f).map(kv => s"$rel/$f" -> kv)).toMap
     writeCommit(dstRoot, 0L, adds, Seq.empty, op = "clone", dvSet = dvSet,
-      parts = parts, partCols = partitionColumns(srcRoot))
+      parts = parts, partCols = partitionColumns(srcRoot),
+      schema = tableSchema(srcRoot, Some(snap.version)))
     constraintsAt(srcRoot, snap.version).toSeq.sortBy(_._1)
       .foreach { case (n, ex) =>
         commitMetadata(dstRoot, s""""cname":"$n","cexpr":"$ex"""",
@@ -1267,19 +1371,23 @@ object TxLog {
     0L
   }
 
+  /** The whole log's commit texts, oldest first — the one read the
+    * single-pass index parsers share.
+    */
+  private def commitTexts(root: String): Seq[String] =
+    versionsOnDisk(root).map(readCommit(root, _))
+
   /** Every commit's per-file stats object body, keyed by file path —
     * the single place the stats-JSON grammar is scanned. The key must
     * CONTAIN a `data/` segment (a shallow [[clone]]'s `../src/data/…`
     * references qualify; the `cset`/`dvs` metadata objects never do).
     */
-  private def statBodies(root: String): Seq[(String, String)] = {
+  private def statBodies(texts: Seq[String]): Seq[(String, String)] = {
     val fileObj =
       ("\"((?:[A-Za-z0-9._\\-=]+/|\\.\\./)*data/" +
         "[A-Za-z0-9._/\\-=]+)\":\\{([^}]*)\\}").r
-    versionsOnDisk(root).flatMap { v =>
-      val json = readCommit(root, v)
-      fileObj.findAllMatchIn(json).map(m => m.group(1) -> m.group(2))
-    }
+    texts.flatMap(json =>
+      fileObj.findAllMatchIn(json).map(m => m.group(1) -> m.group(2)))
   }
 
   /** The log's data-skipping index: per live-file, per integer-column
@@ -1287,9 +1395,13 @@ object TxLog {
     * commits (or carried across a vacuum by the checkpoint) simply
     * have no entry — readers treat that as "cannot skip".
     */
-  def fileStats(root: String): Map[String, Map[String, (Long, Long)]] = {
+  def fileStats(root: String): Map[String, Map[String, (Long, Long)]] =
+    fileStatsOf(commitTexts(root))
+
+  private def fileStatsOf(texts: Seq[String])
+      : Map[String, Map[String, (Long, Long)]] = {
     val colRange = """"([A-Za-z0-9_]+)":\[(-?\d+),(-?\d+)\]""".r
-    statBodies(root).map { case (f, body) =>
+    statBodies(texts).map { case (f, body) =>
       f -> colRange.findAllMatchIn(body)
         .map(c => c.group(1) -> (c.group(2).toLong, c.group(3).toLong))
         .toMap
@@ -1301,9 +1413,14 @@ object TxLog {
     * outside the safe grammar were never recorded — those files have
     * no entry and are conservatively read).
     */
-  def fileStatsStr(root: String): Map[String, Map[String, (String, String)]] = {
+  def fileStatsStr(root: String)
+      : Map[String, Map[String, (String, String)]] =
+    fileStatsStrOf(commitTexts(root))
+
+  private def fileStatsStrOf(texts: Seq[String])
+      : Map[String, Map[String, (String, String)]] = {
     val colRange = """"([A-Za-z0-9_]+)":\["([^"]*)","([^"]*)"\]""".r
-    statBodies(root).map { case (f, body) =>
+    statBodies(texts).map { case (f, body) =>
       f -> colRange.findAllMatchIn(body)
         .map(c => c.group(1) -> (c.group(2), c.group(3)))
         .toMap
@@ -1317,13 +1434,17 @@ object TxLog {
     * pre-nstats commits have no entry — readers treat that as "cannot
     * skip".
     */
-  def fileNullStats(root: String): Map[String, (Long, Map[String, Long])] = {
+  def fileNullStats(root: String): Map[String, (Long, Map[String, Long])] =
+    fileNullStatsOf(commitTexts(root))
+
+  private def fileNullStatsOf(texts: Seq[String])
+      : Map[String, (Long, Map[String, Long])] = {
     val fileObj =
       ("\"((?:[A-Za-z0-9._\\-=]+/|\\.\\./)*data/" +
         "[A-Za-z0-9._/\\-=]+)\":\\{\"#rows\":(\\d+)([^}]*)\\}").r
     val colNulls = """"([A-Za-z0-9_]+)":(\d+)""".r
-    versionsOnDisk(root).flatMap { v =>
-      fileObj.findAllMatchIn(readCommit(root, v)).map { m =>
+    texts.flatMap { json =>
+      fileObj.findAllMatchIn(json).map { m =>
         m.group(1) -> (m.group(2).toLong,
           colNulls.findAllMatchIn(m.group(3))
             .map(c => c.group(1) -> c.group(2).toLong).toMap)
@@ -1472,7 +1593,8 @@ object TxLog {
         try {
           writeCommit(root, next, adds, Seq.empty, op = "streaming-append",
             batchId = Some(batchId), knownMeta = Some(meta),
-            knownRowsRemoved = Some(0L))
+            knownRowsRemoved = Some(0L),
+            schema = mergedSchemaFor(root, batch.schema))
           out = Some(Some(next))
         } catch {
           case e: IllegalStateException =>
@@ -1931,9 +2053,15 @@ object TxLog {
       val bidsJson =
         if (bids.isEmpty) ""
         else s""","batchIds":${bids.mkString("[", ",", "]")}"""
+      // ... and the schema action, for the same reason
+      val schemaJson = tableSchema(root, Some(v)).map { st =>
+        val b64 = java.util.Base64.getEncoder.encodeToString(
+          st.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        s""","schema":"$b64""""
+      }.getOrElse("")
       try io(root).putIfAbsent(cpPath,
         s"""{"v":$v,"adds":${arr(files)},"removes":[],""" +
-          s""""cset":$cset$dvsJson$bidsJson}""")
+          s""""cset":$cset$dvsJson$bidsJson$schemaJson}""")
       catch {
         // checkpoint content at a version is deterministic: a racing
         // writer already published the same thing — the loser is a

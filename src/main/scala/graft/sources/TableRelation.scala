@@ -62,10 +62,13 @@ private[sources] object GraftTableRelationBuilder {
     require(snap.files.nonEmpty,
       s"version ${snap.version} of $root has no live files")
     val paths = snap.files.map(f => s"$root/$f")
-    // the merged schema of the live files — schema evolution reads
-    // older files' missing columns as null, like TxLog.snapshot
-    val schema = spark.read.option("mergeSchema", "true")
-      .parquet(paths: _*).schema
+    // the table schema from the LOG's recorded schema action — one
+    // metadata read, no footer sweep of the live set (the 100 TB
+    // planning cost this action exists to remove). Tables whose
+    // commits predate schema recording fall back to the footer-merged
+    // schema; either way evolution reads missing columns as null
+    val schema = TxLog.tableSchema(root, Some(snap.version)).getOrElse(
+      spark.read.option("mergeSchema", "true").parquet(paths: _*).schema)
     val index = new GraftFileIndex(spark, root, snap)
     // the active masks as (file name -> sorted row positions), KB-
     // scale by the purge/compaction contract (see TxLog.applyDvMask);
@@ -97,10 +100,12 @@ private[sources] object GraftTableRelationBuilder {
 class GraftFileIndex(spark: SparkSession, root: String,
                      snap: TxLog.Snapshot) extends FileIndex {
 
-  private val intStats = TxLog.fileStats(root)
-  private val strStats = TxLog.fileStatsStr(root)
-  private val nullStats = TxLog.fileNullStats(root)
-  private val partVals = TxLog.filePartitions(root)
+  // all four skipping indexes from ONE pass over the commit files
+  private val idx = TxLog.skippingIndex(root)
+  private val intStats = idx.int
+  private val strStats = idx.str
+  private val nullStats = idx.nulls
+  private val partVals = idx.parts
 
   // one statusful listing at construction (size/mtime for split
   // planning), BATCHED by parent directory: one listStatus per

@@ -366,6 +366,44 @@ class RoundTwentySevenSpec extends AnyFunSuite {
       .startsWith("update")).count() === 0L)
   }
 
+  test("the log records the table schema (the Delta metadata action): " +
+      "evolution widens it, checkpoints carry it across vacuum, " +
+      "restore rolls it back, and the connector plans from it") {
+    val root = tmpDir("t27schema")
+    TxLog.init(root)
+    val a = docs.filter(col("doc_id") < 30)
+    TxLog.append(spark, root, a) // v0
+    assert(TxLog.tableSchema(root).get.fieldNames.toSeq ===
+      Seq("doc_id", "lang", "n_chars"))
+    TxLog.append(spark, root, a.withColumn("extra", lit(1L))) // v1
+    assert(TxLog.tableSchema(root).get.fieldNames.contains("extra"))
+    // the schema action time-travels: v0's recorded schema is narrow
+    assert(!TxLog.tableSchema(root, Some(0L)).get
+      .fieldNames.contains("extra"))
+    // the connector plans from the recorded schema; pre-evolution
+    // files null-fill the new column
+    val conn = spark.read.format("graft-table").load(root)
+    assert(conn.schema.fieldNames.toSet ===
+      TxLog.tableSchema(root).get.fieldNames.toSet)
+    assert(conn.filter(col("extra").isNull).count() === 30L)
+    assert(conn.count() === 60L)
+    // a row-preserving rewrite records no schema action; vacuum
+    // truncates the commits that DID record it — the checkpoint
+    // carries the action across
+    TxLog.compact(spark, root, 1L << 30) // v2
+    TxLog.vacuum(root, retainFrom = 2L)
+    assert(TxLog.tableSchema(root).get.fieldNames.contains("extra"))
+    // restore rolls the schema action back with the data
+    val root2 = tmpDir("t27schema2")
+    TxLog.init(root2)
+    TxLog.append(spark, root2, a) // v0
+    TxLog.append(spark, root2, a.withColumn("extra", lit(2L))) // v1
+    TxLog.restore(spark, root2, 0L) // v2
+    assert(!TxLog.tableSchema(root2).get.fieldNames.contains("extra"))
+    assert(!spark.read.format("graft-table").load(root2)
+      .schema.fieldNames.contains("extra"))
+  }
+
   test("optimizePartition rewrites ONE partition's files, carries the " +
       "partition metadata onto the outputs, and leaves every other " +
       "partition byte-identical") {
