@@ -156,8 +156,10 @@ object GraftTableSource {
                                  parameters: Map[String, String])
       : StructType = {
     val root = rootOf(parameters)
-    val base = user.getOrElse(
-      TxLog.snapshot(sqlContext.sparkSession, root).schema)
+    // the log-recorded schema action when present — one metadata read,
+    // no footer sweep, and no mask construction just to name columns
+    val base = user.getOrElse(TxLog.tableSchema(root).getOrElse(
+      TxLog.snapshot(sqlContext.sparkSession, root).schema))
     feedCol(parameters) match {
       case Some(fc) =>
         // loud, not silent: the feed column would otherwise OVERWRITE
