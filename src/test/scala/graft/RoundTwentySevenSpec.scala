@@ -303,6 +303,63 @@ class RoundTwentySevenSpec extends AnyFunSuite {
     assert(TxLog.partitionColumns(root) === Seq("lang"))
   }
 
+  test("multi-column partitioned appends nest hive dirs in declaration " +
+      "order and prune on any prefix of the partition filter") {
+    val root = tmpDir("t27part2")
+    TxLog.init(root)
+    val d = docs.withColumn("parity",
+      when(pmod(col("doc_id"), lit(2)) === 0, "even").otherwise("odd"))
+    TxLog.appendPartitioned(spark, root, d, Seq("lang", "parity"))
+    assert(TxLog.partitionColumns(root) === Seq("lang", "parity"))
+    val parts = TxLog.filePartitions(root)
+    val live = TxLog.resolve(root).files
+    assert(live.forall(f => f.contains("/lang=") && f.contains("/parity=")))
+    assert(live.forall(f => parts(f).keySet === Set("lang", "parity")))
+    // full partition filter: exactly that leaf's files
+    val leaf = TxLog.snapshotPartition(spark, root,
+      Map("lang" -> "en", "parity" -> "odd"))
+    val wantLeaf = live.filter(f => parts(f) ==
+      Map("lang" -> "en", "parity" -> "odd"))
+    assert(leaf.inputFiles.length === wantLeaf.size && wantLeaf.nonEmpty)
+    assert(idSet(leaf) === idSet(docs.filter(col("lang") === "en" &&
+      pmod(col("doc_id"), lit(2)) === 1)))
+    // prefix filter: every parity under one lang
+    val pref = TxLog.snapshotPartition(spark, root, Map("lang" -> "de"))
+    assert(pref.inputFiles.length ===
+      live.count(f => parts(f).get("lang").contains("de")))
+    assert(idSet(pref) === idSet(docs.filter(col("lang") === "de")))
+    // NULL partition values are rejected loudly, nothing committed
+    val before = TxLog.resolve(root).version
+    intercept[IllegalArgumentException] {
+      TxLog.appendPartitioned(spark, root,
+        d.withColumn("lang", lit(null).cast("string")).limit(3),
+        Seq("lang", "parity"))
+    }
+    assert(TxLog.resolve(root).version === before)
+  }
+
+  test("the connector reads a shallow clone: relative ../src/data " +
+      "references resolve through the FileIndex, masks and partition " +
+      "metadata included") {
+    val src = tmpDir("t27connclone-src")
+    TxLog.init(src)
+    TxLog.appendPartitioned(spark, src,
+      docs.repartition(2, col("doc_id")), Seq("lang"))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    TxLog.deleteWhereDv(spark, src, "doc_id", ids.take(7).toSeq)
+    val dst = tmpDir("t27connclone-dst") + "/branch"
+    TxLog.clone(spark, src, dst)
+    val conn = spark.read.format("graft-table").load(dst)
+    // zero-copy references + the source's mask, through the connector
+    assert(idSet(conn) === ids.drop(7).toSet)
+    // the carried partition metadata prunes on the clone too
+    val en = spark.read.format("graft-table").load(dst)
+      .filter(col("lang") === "en")
+    assert(idSet(en) ===
+      idSet(docs.filter(col("lang") === "en")) -- ids.take(7))
+    assert(filesRead(en) < TxLog.resolve(dst).files.size.toLong)
+  }
+
   test("the DV mask growth guard: reads fail loudly past " +
       "spark.graft.dv.maxRows, naming purgeMasks as the remedy") {
     val root = tmpDir("t27dvguard")
