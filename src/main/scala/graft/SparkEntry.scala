@@ -1880,27 +1880,32 @@ object SparkEntry {
       graft.ops.TxLog.snapshotSliceNull(s, txlogNullTable(s, dir),
           "lang_opt", isNull = false)
         .select("doc_id", "lang_opt", "n_chars")),
-    // hive-partitioned txlog table: the lang='en' partition read with
-    // every other partition pruned FROM THE LOG's recorded per-file
-    // partition values, before any listing — through a copy-on-write
-    // delete whose rewrite outputs carry no partition metadata and are
-    // conservatively read (the predicate re-applies; the spec asserts
-    // the files-opened count, the oracle pins the rows)
+    // hive-partitioned txlog table read THROUGH THE CONNECTOR: an
+    // ordinary .filter(lang = 'en') on format("graft-table"), with
+    // every other partition pruned by the GraftFileIndex from the
+    // LOG's recorded per-file partition values before any listing —
+    // no snapshotPartition call, the user predicate alone drives the
+    // pruning. The copy-on-write delete's rewrite outputs carry no
+    // partition metadata and are conservatively read (their footer
+    // lang [min,max] may still prune them; the predicate re-applies;
+    // the spec asserts the files-opened bounds on this entry's own
+    // plan, the oracle pins the rows)
     "q_table_partitioned" -> ((s, dir) =>
-      graft.ops.TxLog.snapshotPartition(s, txlogPartTable(s, dir),
-          Map("lang" -> "en"))
+      s.read.format("graft-table").load(txlogPartTable(s, dir))
+        .filter(col("lang") === "en")
         .select("doc_id", "lang", "n_chars")),
     // the batch WRITE surface: append / atomic INSERT OVERWRITE /
     // append through df.write.format("graft-table"), read back with
     // the overwritten v0 still time-travel readable — one result pins
     // the whole writer lifecycle
-    // partition-scoped OPTIMIZE: the fr partition was compacted
-    // Z-ordered with its partition metadata re-recorded, so this
-    // partition-pruned read serves from the rewritten file(s) — and
-    // must see exactly the same rows as before the maintenance
+    // partition-scoped OPTIMIZE, read through the connector: the fr
+    // partition was compacted Z-ordered with its partition metadata
+    // re-recorded on the output, so an ordinary .filter(lang = 'fr')
+    // prunes to (about) the one rewritten file from the log alone —
+    // and must see exactly the same rows as before the maintenance
     "q_table_optimize_part" -> ((s, dir) =>
-      graft.ops.TxLog.snapshotPartition(s, txlogPartTable(s, dir),
-          Map("lang" -> "fr"))
+      s.read.format("graft-table").load(txlogPartTable(s, dir))
+        .filter(col("lang") === "fr")
         .select("doc_id", "lang", "n_chars")),
     "q_table_overwrite" -> ((s, dir) => {
       val p = txlogWriteTable(s, dir)
@@ -1910,6 +1915,22 @@ object SparkEntry {
           s.read.format("graft-table").option("versionAsOf", "0").load(p)
             .select("doc_id", "lang", "n_chars")
             .withColumn("snap", lit("v0")))
+    }),
+    // the SQL SURFACE of the table: PURE SQL end to end — the
+    // `USING graft-table` DDL binds the table through the connector's
+    // RelationProvider (versionAsOf time travel included — spec), and
+    // the SELECT's WHERE plans through the SAME GraftFileIndex,
+    // pruning files from the log's recorded per-file string [min,max]
+    // exactly like the DataFrame path (spec-asserted on this entry's
+    // own executed plan). Direct `format`.`path` queries are a
+    // file-source-only Spark feature; the DDL route is the V1
+    // connector's SQL front door
+    "q_table_sql" -> ((s, dir) => {
+      val p = txlogLangTable(s, dir)
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_lang_table " +
+        s"USING `graft-table` OPTIONS (path '$p')")
+      s.sql("SELECT doc_id, lang, n_chars FROM graft_lang_table " +
+        "WHERE lang = 'en'")
     }),
     // shallow clone + MERGE on the branch: the clone reads the
     // source's masked files zero-copy, the merge's rewrites land under
@@ -4684,6 +4705,11 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, lang, n_chars, 'v0' AS snap FROM documents
         |WHERE doc_id % 3 = 0""".stripMargin,
+    // the SQL-by-path read is the whole single-append table filtered
+    // to one language — pruning is the plan's business, not the rows'
+    "q_table_sql" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang = 'en'""".stripMargin,
     // the branch head: the dv mask (mod-19 residue 3) carried over,
     // the merge re-langs residue-1-mod-31 keys in place and re-adds
     // the masked ones in that residue

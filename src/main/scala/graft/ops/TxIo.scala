@@ -35,7 +35,20 @@ import java.util.UUID
   * still flushing — commits are one-shot single-block writes, so the
   * window is the close() latency; a reader that fails to parse the TIP
   * commit should retry, the same contract Delta documents for
-  * eventually-flushed log stores.
+  * eventually-flushed log stores. The limit case — a publisher that
+  * CRASHED between the exclusive create and the close, leaving a
+  * zero-byte file that claims the version forever — is detected and
+  * self-healed by the log itself: `TxLog.versionsOnDisk` fails loudly
+  * on a young zero-byte tip (a live publisher may still be flushing)
+  * and QUARANTINES an aged-out one, freeing the version slot (see
+  * `TxLog.zeroByteTipGraceMillis`). On object stores where exclusive
+  * create is emulated as check-then-put (S3A without conditional PUT
+  * enabled), two racing writers can BOTH believe they won — the
+  * silent last-writer-wins the log exists to prevent. Such stores are
+  * supported only with a conditional-create capability (S3
+  * If-None-Match, GCS preconditions) or an external single-writer
+  * guarantee per table — the same LogStore requirement Delta
+  * documents for S3.
   */
 private[graft] trait TxIo {
   /** Publish `content` at `path` atomically and exclusively; throws
@@ -83,16 +96,26 @@ private[graft] object TxIo {
     */
   def forRoot(root: String): TxIo = {
     val uri = new org.apache.hadoop.fs.Path(root).toUri
-    if (uri.getScheme == null) LocalTxIo
-    else cache.computeIfAbsent(
-      s"${uri.getScheme}@${uri.getAuthority}",
-      _ => new HadoopTxIo(root))
+    wrapper(
+      if (uri.getScheme == null) LocalTxIo
+      else cache.computeIfAbsent(
+        s"${uri.getScheme}@${uri.getAuthority}",
+        _ => new HadoopTxIo(root)))
   }
 
   // one TxIo per (scheme, authority): Configuration parsing and
-  // FileSystem.get are too heavy for the per-listing call cadence
+  // FileSystem instantiation are too heavy for the per-listing call
+  // cadence
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, TxIo]()
+
+  /** Test seam: every TxIo handed out passes through this wrapper, so
+    * specs can interpose a counting/fault-injecting decorator and
+    * assert METADATA-PLANE costs (e.g. "a connector read touches
+    * O(checkpoint interval) commit files") or race outcomes
+    * deterministically. Identity in production.
+    */
+  @volatile private[graft] var wrapper: TxIo => TxIo = identity
 }
 
 private[graft] object LocalTxIo extends TxIo {
@@ -168,9 +191,22 @@ private[graft] object LocalTxIo extends TxIo {
 private[graft] class HadoopTxIo(root: String) extends TxIo {
   import org.apache.hadoop.fs.{FileSystem, Path}
 
-  private val conf = new org.apache.hadoop.conf.Configuration()
+  // the SESSION's Hadoop configuration when one is live — that is
+  // where spark.hadoop.* settings (object-store credentials,
+  // endpoints, timeouts) land, and a bare `new Configuration()` would
+  // silently ignore them all, breaking hdfs:///s3a:// roots on any
+  // real deployment
+  private val conf = org.apache.spark.sql.SparkSession.getActiveSession
+    .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+    .map(_.sessionState.newHadoopConf())
+    .getOrElse(new org.apache.hadoop.conf.Configuration())
   private val fs: FileSystem = {
-    val f = FileSystem.get(new Path(root).toUri, conf)
+    // newInstance, NOT get: the checksum settings below must apply to
+    // THIS metadata plane only — mutating the process-wide cached
+    // FileSystem would disable checksums for every other user of the
+    // same scheme (including Spark's own file: writes). The instance
+    // is held for the TxIo cache's lifetime (one per scheme@authority)
+    val f = FileSystem.newInstance(new Path(root).toUri, conf)
     // commit JSONs are their own integrity story (grammar-locked,
     // parse-validated); local-FS checksum sidecars would only litter
     // the log directory

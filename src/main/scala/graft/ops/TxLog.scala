@@ -79,11 +79,45 @@ object TxLog {
   private def readCheckpoint(root: String, v: Long): String =
     io(root).read(checkpointPath(root, v))
 
-  private def versionsOnDisk(root: String): Seq[Long] =
-    io(root).list(logDir(root))
+  /** How long a zero-byte TIP commit may sit before it is quarantined.
+    * [[HadoopTxIo.putIfAbsent]] reserves the commit name with an
+    * exclusive create and only then writes the content — a publisher
+    * that crashes in that window leaves a zero-byte file that claims
+    * the version forever. A zero-byte tip younger than the grace may
+    * be a live publisher still flushing: readers fail LOUDLY (and
+    * transiently — retry) rather than quarantine a commit in flight.
+    * Test seam; operationally the close() latency is milliseconds, so
+    * a minute of grace is orders of magnitude past any live flush.
+    */
+  private[graft] var zeroByteTipGraceMillis: Long = 60000L
+
+  private def versionsOnDisk(root: String): Seq[Long] = {
+    val vs = io(root).list(logDir(root))
       .filter(n => n.endsWith(".json") && !n.endsWith(".checkpoint.json")
         && !n.startsWith("."))
       .map(_.stripSuffix(".json").toLong).sorted
+    if (vs.isEmpty) return vs
+    // a zero-byte commit can never be valid (every real commit is a
+    // non-empty JSON object), and it can only be the TIP: writers
+    // resolve before committing, and resolve fails loudly on an
+    // unparseable commit, so nobody ever builds PAST one. Quarantine
+    // an aged-out claim (rename to a dot-name all listings skip) so
+    // the version slot frees up instead of bricking the table
+    val tip = commitPath(root, vs.last)
+    val tipSize = try io(root).size(tip) catch { case _: Exception => -1L }
+    if (tipSize != 0L) return vs
+    val age = try System.currentTimeMillis() - io(root).mtime(tip)
+      catch { case _: Exception => -1L }
+    if (age >= zeroByteTipGraceMillis) {
+      try io(root).move(tip, f"${logDir(root)}/.quarantine-${vs.last}%08d" +
+        s".json-${UUID.randomUUID().toString.take(8)}")
+      catch { case _: Exception => () } // a racing quarantiner won
+      versionsOnDisk(root) // re-list: the slot is free (or freed by the racer)
+    } else throw new IllegalStateException(
+      s"commit $tip is zero-byte: its publisher crashed mid-publish or " +
+        "is still flushing; retry the read — the dead claim is " +
+        s"quarantined automatically after ${zeroByteTipGraceMillis} ms")
+  }
 
   private def checkpointsOnDisk(root: String): Seq[Long] =
     io(root).list(logDir(root))
@@ -105,6 +139,29 @@ object TxLog {
   // grammar: no '/', no '=', no quotes, no spaces ([[appendPartitioned]]
   // additionally rejects NULL partition values loudly)
   private val SafePartValue = "[A-Za-z0-9._\\-]{1,64}".r
+
+  // the hand-rolled JSON's TOP-LEVEL keys. A user COLUMN with one of
+  // these names would emit `"batchId":3`-shaped fragments inside the
+  // stats/nstats/parts objects, and the findFirstMatchIn sweeps that
+  // parse commit text could pick the fragment up as the real field
+  // (e.g. a null-count for a column literally named `batchId` read
+  // back as a streaming ledger entry). So reserved names are simply
+  // never recorded in the per-column indexes (conservative reads,
+  // never wrong ones), and partition columns reject them loudly —
+  // a partition column named `dv` would otherwise fabricate a
+  // deletion-vector action out of its `"dv":"<value>"` pair.
+  private[graft] val ReservedKeys = Set(
+    "v", "op", "adds", "removes", "rows", "rowsRemoved", "batchId",
+    "batchIds", "mergeKey", "schema", "dv", "dvCovers", "dvDrops",
+    "dvs", "stats", "nstats", "parts", "partCols", "cset", "cname",
+    "cexpr")
+
+  /** A column name that may appear as a key inside the hand-rolled
+    * commit/checkpoint JSON: the safe grammar minus the reserved
+    * top-level vocabulary.
+    */
+  private def safeColName(name: String): Boolean =
+    SafeName.matches(name) && !ReservedKeys(name)
 
   /** Exact row count of staged parquet files from their FOOTERS — the
     * commit-time stats a lakehouse log carries. O(files touched) like
@@ -198,7 +255,7 @@ object TxLog {
           b.getColumns.asScala.foreach { c =>
             val name = c.getPath.toDotString
             val pt = c.getPrimitiveType
-            if (SafeName.matches(name) && !nullPoisoned(name)) {
+            if (safeColName(name) && !nullPoisoned(name)) {
               val st0 = c.getStatistics
               if (st0 == null || !st0.isNumNullsSet) {
                 nullPoisoned += name
@@ -216,7 +273,7 @@ object TxLog {
               pt.getLogicalTypeAnnotation
                 .isInstanceOf[StringLogicalTypeAnnotation]
             val st = c.getStatistics
-            if ((intLike || strLike) && SafeName.matches(name) &&
+            if ((intLike || strLike) && safeColName(name) &&
                 !poisoned(name)) {
               if (st == null || st.isEmpty) poison(name)
               else if (!st.hasNonNullValue) () // all-null group
@@ -320,20 +377,7 @@ object TxLog {
       }.mkString("{", ",", "}")
     val meta = knownMeta.getOrElse(parquetMeta(root, adds))
     val rowsRemoved = knownRowsRemoved.getOrElse(parquetRows(root, removes))
-    // per-file [min,max] (integers bare, strings quoted) — the
-    // data-skipping index a reader prunes on without opening a single
-    // footer. Sorted for deterministic bytes.
-    val statFiles = (meta.intStats.keySet ++ meta.strStats.keySet)
-      .toSeq.sorted
-    val statsJson =
-      if (statFiles.isEmpty) ""
-      else ""","stats":""" + statFiles.map { f =>
-        val ints = meta.intStats.getOrElse(f, Map.empty).toSeq.sortBy(_._1)
-          .map { case (c, (mn, mx)) => s""""$c":[$mn,$mx]""" }
-        val strs = meta.strStats.getOrElse(f, Map.empty).toSeq.sortBy(_._1)
-          .map { case (c, (mn, mx)) => s""""$c":["$mn","$mx"]""" }
-        s""""$f":""" + (ints ++ strs).mkString("{", ",", "}")
-      }.mkString("{", ",", "}")
+    val statsJson = statsJsonFrag(meta.intStats, meta.strStats)
     // partition metadata: the table's declared partition columns and
     // each file's partition values — the Delta shape, pruned from the
     // LOG before any listing. Both are grammar-locked like everything
@@ -342,37 +386,22 @@ object TxLog {
     // [min,max] stats bodies always carry brackets, nstats bodies
     // start with "#rows")
     partCols.foreach(c =>
-      require(SafeName.matches(c), s"unsafe partition column: $c"))
+      require(safeColName(c), s"unsafe partition column: $c"))
     parts.foreach { case (f, kv) =>
       require(SafePath.matches(f), s"unsafe path in parts: $f")
       kv.foreach { case (c, v) =>
-        require(SafeName.matches(c), s"unsafe partition column: $c")
+        require(safeColName(c), s"unsafe partition column: $c")
         require(SafePartValue.matches(v),
           s"unsafe partition value for $c: '$v'")
       }
     }
     val partColsJson =
       if (partCols.isEmpty) "" else s""","partCols":${arr(partCols)}"""
-    val partsJson =
-      if (parts.isEmpty) ""
-      else ""","parts":""" + parts.toSeq.sortBy(_._1).map { case (f, kv) =>
-        s""""$f":""" + kv.toSeq.sortBy(_._1)
-          .map { case (c, v) => s""""$c":"$v"""" }.mkString("{", ",", "}")
-      }.mkString("{", ",", "}")
-    // per-file row + null counts — the IS NULL / IS NOT NULL half of
-    // the skipping index, from the SAME footer sweep. The "#rows"
-    // marker is outside both the column-name and path grammars, so it
-    // can never collide with either
-    val nullFiles = meta.fileRows.keySet.toSeq.sorted
-      .filter(f => meta.nullStats.getOrElse(f, Map.empty).nonEmpty)
-    val nstatsJson =
-      if (nullFiles.isEmpty) ""
-      else ""","nstats":""" + nullFiles.map { f =>
-        val cols = meta.nullStats(f).toSeq.sortBy(_._1)
-          .map { case (c, n) => s""""$c":$n""" }
-        s""""$f":""" + ((s""""#rows":${meta.fileRows(f)}""" +: cols)
-          .mkString("{", ",", "}"))
-      }.mkString("{", ",", "}")
+    val partsJson = partsJsonFrag(parts)
+    val nstatsJson = nstatsJsonFrag(
+      meta.fileRows.map { case (f, r) =>
+        f -> (r, meta.nullStats.getOrElse(f, Map.empty))
+      })
     publishCommit(root, version,
       s"""{"v":$version,"op":"$op","adds":${arr(adds)},""" +
         s""""removes":${arr(removes)},"rows":${meta.rows},""" +
@@ -380,6 +409,73 @@ object TxLog {
         s"""$dvDropsJson$dvSetJson$partColsJson$partsJson""" +
         s"""$statsJson$nstatsJson}""")
   }
+
+  /** Per-file `[min,max]` stats as a `,"stats":{...}` JSON fragment
+    * (integers bare, strings quoted), shared by commits and
+    * checkpoints. Sorted for deterministic bytes; empty input emits
+    * nothing.
+    */
+  private def statsJsonFrag(
+      int: Map[String, Map[String, (Long, Long)]],
+      str: Map[String, Map[String, (String, String)]]): String = {
+    val statFiles = (int.keySet ++ str.keySet).toSeq.sorted
+    if (statFiles.isEmpty) ""
+    else ""","stats":""" + statFiles.map { f =>
+      val ints = int.getOrElse(f, Map.empty).toSeq.sortBy(_._1)
+        .map { case (c, (mn, mx)) => s""""$c":[$mn,$mx]""" }
+      val strs = str.getOrElse(f, Map.empty).toSeq.sortBy(_._1)
+        .map { case (c, (mn, mx)) => s""""$c":["$mn","$mx"]""" }
+      s""""$f":""" + (ints ++ strs).mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+  }
+
+  /** Per-file row + null counts as a `,"nstats":{...}` fragment — the
+    * IS NULL / IS NOT NULL half of the skipping index. The `"#rows"`
+    * marker is outside both the column-name and path grammars, so it
+    * can never collide with either. Files with no per-column counts
+    * are omitted.
+    */
+  private def nstatsJsonFrag(
+      nulls: Map[String, (Long, Map[String, Long])]): String = {
+    val nullFiles = nulls.keySet.toSeq.sorted
+      .filter(f => nulls(f)._2.nonEmpty)
+    if (nullFiles.isEmpty) ""
+    else ""","nstats":""" + nullFiles.map { f =>
+      val (rows, byCol) = nulls(f)
+      val cols = byCol.toSeq.sortBy(_._1)
+        .map { case (c, n) => s""""$c":$n""" }
+      s""""$f":""" + ((s""""#rows":$rows""" +: cols)
+        .mkString("{", ",", "}"))
+    }.mkString("{", ",", "}")
+  }
+
+  /** Per-file partition values as a `,"parts":{...}` fragment — see
+    * [[writeCommit]] for the shape-uniqueness argument (a per-file
+    * object whose body is exclusively `"name":"value"` pairs).
+    */
+  private def partsJsonFrag(
+      parts: Map[String, Map[String, String]]): String =
+    if (parts.isEmpty) ""
+    else ""","parts":""" + parts.toSeq.sortBy(_._1).map { case (f, kv) =>
+      s""""$f":""" + kv.toSeq.sortBy(_._1)
+        .map { case (c, v) => s""""$c":"$v"""" }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+
+  /** Run a derived mutation's single commit attempt; when it loses its
+    * version race (the loud-conflict contract — the caller saw a
+    * snapshot and must re-derive, not re-stamp), the loser's staged
+    * files are removed before the conflict propagates. Without this a
+    * lost OPTIMIZE/overwrite race would orphan a full rewrite's worth
+    * of data files until a vacuum's staging-grace sweep found them.
+    */
+  private def commitOrCleanup[A](root: String, staged: Seq[String])
+                                (commit: => A): A =
+    try commit
+    catch {
+      case e: IllegalStateException =>
+        staged.foreach(f => io(root).deleteIfExists(s"$root/$f"))
+        throw e
+    }
 
   private def publishCommit(root: String, version: Long,
                             json: String): Unit = {
@@ -615,19 +711,32 @@ object TxLog {
     if (vs.isEmpty && cps.isEmpty) return None
     val upTo = version.getOrElse((vs ++ cps).max)
     val re = """"schema":"([A-Za-z0-9+/=]+)"""".r
-    val fromCommit = vs.filter(_ <= upTo).reverse.iterator
-      .map(v => v -> re.findFirstMatchIn(readCommit(root, v)))
-      .collectFirst { case (v, Some(m)) => v -> m.group(1) }
-    val fromCp = cps.filter(_ <= upTo).reverse.iterator
-      .map(c => c -> re.findFirstMatchIn(readCheckpoint(root, c)))
-      .collectFirst { case (c, Some(m)) => c -> m.group(1) }
-    (fromCommit.toSeq ++ fromCp.toSeq).sortBy(_._1).lastOption
-      .map { case (_, b64) =>
-        org.apache.spark.sql.types.DataType.fromJson(
-          new String(java.util.Base64.getDecoder.decode(b64),
-            java.nio.charset.StandardCharsets.UTF_8))
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
+    // newest action wins, and the backward commit scan STOPS at the
+    // newest checkpoint (which carries the action): a long run of
+    // maintenance commits (delete/compact/optimize record no schema)
+    // must not cost O(versions) log reads per append attempt or
+    // connector read — the checkpoint is the backstop
+    val cp = cps.filter(_ <= upTo).lastOption
+    val fromSuffix = vs.filter(v => v <= upTo && cp.forall(v > _))
+      .reverse.iterator
+      .map(v => re.findFirstMatchIn(readCommit(root, v)))
+      .collectFirst { case Some(m) => m.group(1) }
+    val b64 = fromSuffix
+      .orElse(cp.flatMap(c =>
+        re.findFirstMatchIn(readCheckpoint(root, c)).map(_.group(1))))
+      .orElse {
+        // a checkpoint written before schema carry existed records no
+        // action — fall back to the (still on-disk) commits below it
+        cp.flatMap(c => vs.filter(_ <= c).reverse.iterator
+          .map(v => re.findFirstMatchIn(readCommit(root, v)))
+          .collectFirst { case Some(m) => m.group(1) })
       }
+    b64.map { s =>
+      org.apache.spark.sql.types.DataType.fromJson(
+        new String(java.util.Base64.getDecoder.decode(s),
+          java.nio.charset.StandardCharsets.UTF_8))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
   }
 
   /** Everything nullable at the top level — the shape a footer-merged
@@ -756,7 +865,7 @@ object TxLog {
                         partCols: Seq[String]): Long = {
     require(partCols.nonEmpty, "appendPartitioned: empty partition cols")
     partCols.foreach { c =>
-      require(SafeName.matches(c), s"unsafe partition column: $c")
+      require(safeColName(c), s"unsafe partition column: $c")
       require(df.columns.contains(c),
         s"partition column $c not in ${df.columns.mkString(", ")}")
     }
@@ -823,16 +932,24 @@ object TxLog {
     out.get
   }
 
-  /** The table's declared partition columns (the latest declaration in
-    * the log wins; empty for an unpartitioned table).
+  /** The table's declared partition columns at `version` (the tip when
+    * None; the latest declaration wins; empty for an unpartitioned
+    * table). Checkpoint + suffix replay like every other log index —
+    * the declaration survives vacuum through the checkpoint carry.
     */
-  def partitionColumns(root: String): Seq[String] =
-    versionsOnDisk(root).flatMap { v =>
-      """"partCols":\[([^\]]*)\]""".r.findFirstMatchIn(readCommit(root, v))
+  def partitionColumns(root: String,
+                       version: Option[Long] = None): Seq[String] = {
+    val texts = version match {
+      case Some(v) => indexTexts(root, v)
+      case None => indexTextsAtTip(root)
+    }
+    texts.flatMap { json =>
+      """"partCols":\[([^\]]*)\]""".r.findFirstMatchIn(json)
         .map(_.group(1)).filter(_.nonEmpty)
         .map(_.split(",").toSeq
           .map(_.stripPrefix("\"").stripSuffix("\"")))
     }.lastOption.getOrElse(Seq.empty)
+  }
 
   /** Each file's log-recorded partition values. A per-file object
     * whose body is exclusively `"name":"value"` pairs is uniquely a
@@ -840,7 +957,7 @@ object TxLog {
     * brackets, nstats bodies start with `"#rows"`.
     */
   def filePartitions(root: String): Map[String, Map[String, String]] =
-    filePartitionsOf(commitTexts(root))
+    filePartitionsOf(indexTextsAtTip(root))
 
   private def filePartitionsOf(texts: Seq[String])
       : Map[String, Map[String, String]] = {
@@ -869,8 +986,19 @@ object TxLog {
       nulls: Map[String, (Long, Map[String, Long])],
       parts: Map[String, Map[String, String]])
 
-  def skippingIndex(root: String): SkippingIndex = {
-    val texts = commitTexts(root)
+  /** All four indexes at `version` (the tip when None), replayed from
+    * checkpoint + suffix like [[resolve]] — O(checkpoint interval)
+    * metadata reads per planned query, and the stats survive a
+    * [[vacuum]]'s log truncation through the checkpoint carry. Time
+    * travel below the newest checkpoint replays an older checkpoint
+    * (or the untruncated prefix), exactly like resolve does.
+    */
+  def skippingIndex(root: String,
+                    version: Option[Long] = None): SkippingIndex = {
+    val texts = version match {
+      case Some(v) => indexTexts(root, v)
+      case None => indexTextsAtTip(root)
+    }
     SkippingIndex(fileStatsOf(texts), fileStatsStrOf(texts),
       fileNullStatsOf(texts), filePartitionsOf(texts))
   }
@@ -909,9 +1037,12 @@ object TxLog {
     val adds = stage(spark, root, df)
     validateStaged(spark, root, adds, "overwrite")
     val next = cur.map(_.version + 1).getOrElse(0L)
-    writeCommit(root, next, adds, cur.map(_.files).getOrElse(Seq.empty),
-      op = "overwrite", dvDrops = cur.map(_.dvFiles).getOrElse(Seq.empty),
-      schema = Some(asNullable(df.schema)))
+    commitOrCleanup(root, adds) {
+      writeCommit(root, next, adds, cur.map(_.files).getOrElse(Seq.empty),
+        op = "overwrite",
+        dvDrops = cur.map(_.dvFiles).getOrElse(Seq.empty),
+        schema = Some(asNullable(df.schema)))
+    }
     next
   }
 
@@ -985,7 +1116,9 @@ object TxLog {
           .parquet(affectedAbs.toIndexedSeq: _*), snap.dvFiles)
         .filter(col(keyCol).isNull || !hit))
     val removes = affectedAbs.toSeq.map(relToRoot(root, _))
-    writeCommit(root, next, adds, removes, op = "delete")
+    commitOrCleanup(root, adds) {
+      writeCommit(root, next, adds, removes, op = "delete")
+    }
     next
   }
 
@@ -1088,10 +1221,12 @@ object TxLog {
     val nHits = perFile.map(_.getLong(1)).sum
     val nameToRel = candidates.map(f => fileNameOf(f) -> f).toMap
     val covers = perFile.map(r => nameToRel(r.getString(0))).toSeq.sorted
-    writeCommit(root, next, Seq.empty, Seq.empty, op = "delete-dv",
-      dv = Some((dvRel, covers)),
-      knownMeta = Some(FileMeta(0L, Map.empty, Map.empty)),
-      knownRowsRemoved = Some(nHits))
+    commitOrCleanup(root, Seq(dvRel)) {
+      writeCommit(root, next, Seq.empty, Seq.empty, op = "delete-dv",
+        dv = Some((dvRel, covers)),
+        knownMeta = Some(FileMeta(0L, Map.empty, Map.empty)),
+        knownRowsRemoved = Some(nHits))
+    }
     next
   }
 
@@ -1130,7 +1265,9 @@ object TxLog {
         spark.read.option("mergeSchema", "true")
           .parquet(candidates.map(f => s"$root/$f"): _*),
         snap.dvFiles))
-    writeCommit(root, snap.version + 1, adds, candidates, op = "purge")
+    commitOrCleanup(root, adds) {
+      writeCommit(root, snap.version + 1, adds, candidates, op = "purge")
+    }
     Some(snap.version + 1)
   }
 
@@ -1168,9 +1305,11 @@ object TxLog {
     val adds = stage(spark, root, survivors.unionByName(updates))
     validateStaged(spark, root, adds, "merge")
     val removes = hitAbs.toSeq.map(relToRoot(root, _))
-    writeCommit(root, snap.version + 1, adds, removes, op = "merge",
-      mergeKey = Some(keyCol),
-      schema = mergedSchemaFor(root, updates.schema))
+    commitOrCleanup(root, adds) {
+      writeCommit(root, snap.version + 1, adds, removes, op = "merge",
+        mergeKey = Some(keyCol),
+        schema = mergedSchemaFor(root, updates.schema))
+    }
     snap.version + 1
   }
 
@@ -1187,7 +1326,10 @@ object TxLog {
     val snap = resolve(root)
     val adds = stage(spark, root, Maintenance.zorderLayout(
       snapshotImpl(spark, root, None, guard = false), cols, numFiles))
-    writeCommit(root, snap.version + 1, adds, snap.files, op = "optimize")
+    commitOrCleanup(root, adds) {
+      writeCommit(root, snap.version + 1, adds, snap.files,
+        op = "optimize")
+    }
     snap.version + 1
   }
 
@@ -1222,8 +1364,10 @@ object TxLog {
         .parquet(hit.map(f => s"$root/$f"): _*), snap.dvFiles)
     val adds = stage(spark, root,
       Maintenance.zorderLayout(df, cols, numFiles))
-    writeCommit(root, snap.version + 1, adds, hit, op = "optimize",
-      parts = adds.map(_ -> common).toMap)
+    commitOrCleanup(root, adds) {
+      writeCommit(root, snap.version + 1, adds, hit, op = "optimize",
+        parts = adds.map(_ -> common).toMap)
+    }
     snap.version + 1
   }
 
@@ -1243,7 +1387,10 @@ object TxLog {
     // the newer columns from the ONLY remaining copy of every row
     val adds = stage(spark, root,
       snapshotImpl(spark, root, None, guard = false).coalesce(n))
-    writeCommit(root, snap.version + 1, adds, snap.files, op = "compact")
+    commitOrCleanup(root, adds) {
+      writeCommit(root, snap.version + 1, adds, snap.files,
+        op = "compact")
+    }
     snap.version + 1
   }
 
@@ -1357,11 +1504,12 @@ object TxLog {
     // the footer sweep re-records the skipping stats under the
     // clone-relative keys — the clone prunes like the source did; the
     // source's partition metadata is carried the same way
-    val srcParts = filePartitions(srcRoot)
+    val srcParts = skippingIndex(srcRoot, Some(snap.version)).parts
     val parts = files.flatMap(f =>
       srcParts.get(f).map(kv => s"$rel/$f" -> kv)).toMap
     writeCommit(dstRoot, 0L, adds, Seq.empty, op = "clone", dvSet = dvSet,
-      parts = parts, partCols = partitionColumns(srcRoot),
+      parts = parts,
+      partCols = partitionColumns(srcRoot, Some(snap.version)),
       schema = tableSchema(srcRoot, Some(snap.version)))
     constraintsAt(srcRoot, snap.version).toSeq.sortBy(_._1)
       .foreach { case (n, ex) =>
@@ -1371,11 +1519,30 @@ object TxLog {
     0L
   }
 
-  /** The whole log's commit texts, oldest first — the one read the
-    * single-pass index parsers share.
+  /** The texts the skipping-index parsers replay: the newest
+    * CHECKPOINT at or below `upTo` (which carries the live set's
+    * per-file stats, null counts, and partition metadata — see
+    * [[checkpoint]]) plus the commits after it, oldest first. This is
+    * the same O(checkpoint interval) replay [[resolve]] does — on a
+    * long-lived table with 10k commits between vacuums, the previous
+    * whole-log sweep cost 10k metadata reads PER PLANNED QUERY, the
+    * exact planning bottleneck the checkpoint exists to remove. Later
+    * texts override earlier ones on key collision (restore re-records
+    * a re-added file's stats), matching commit order.
     */
-  private def commitTexts(root: String): Seq[String] =
-    versionsOnDisk(root).map(readCommit(root, _))
+  private def indexTexts(root: String, upTo: Long): Seq[String] = {
+    val cp = checkpointsOnDisk(root).filter(_ <= upTo).lastOption
+    cp.map(readCheckpoint(root, _)).toSeq ++
+      versionsOnDisk(root).filter(v => v <= upTo && cp.forall(v > _))
+        .map(readCommit(root, _))
+  }
+
+  private def indexTextsAtTip(root: String): Seq[String] = {
+    val vs = versionsOnDisk(root)
+    val cps = checkpointsOnDisk(root)
+    if (vs.isEmpty && cps.isEmpty) Seq.empty
+    else indexTexts(root, (vs ++ cps).max)
+  }
 
   /** Every commit's per-file stats object body, keyed by file path —
     * the single place the stats-JSON grammar is scanned. The key must
@@ -1396,7 +1563,7 @@ object TxLog {
     * have no entry — readers treat that as "cannot skip".
     */
   def fileStats(root: String): Map[String, Map[String, (Long, Long)]] =
-    fileStatsOf(commitTexts(root))
+    fileStatsOf(indexTextsAtTip(root))
 
   private def fileStatsOf(texts: Seq[String])
       : Map[String, Map[String, (Long, Long)]] = {
@@ -1415,7 +1582,7 @@ object TxLog {
     */
   def fileStatsStr(root: String)
       : Map[String, Map[String, (String, String)]] =
-    fileStatsStrOf(commitTexts(root))
+    fileStatsStrOf(indexTextsAtTip(root))
 
   private def fileStatsStrOf(texts: Seq[String])
       : Map[String, Map[String, (String, String)]] = {
@@ -1435,7 +1602,7 @@ object TxLog {
     * skip".
     */
   def fileNullStats(root: String): Map[String, (Long, Map[String, Long])] =
-    fileNullStatsOf(commitTexts(root))
+    fileNullStatsOf(indexTextsAtTip(root))
 
   private def fileNullStatsOf(texts: Seq[String])
       : Map[String, (Long, Map[String, Long])] = {
@@ -1644,19 +1811,29 @@ object TxLog {
                      toV: Long): DataFrame = {
     require(fromV <= toV, s"changesBetween: $fromV > $toV")
     // the empty change set still needs the table's SCHEMA, and toV may
-    // have no live files (a fully-deleted table diffed against itself)
-    // — derive it from the nearest version that HAS files instead of
-    // requiring toV to be non-empty
+    // have no live files (a fully-deleted table diffed against itself).
+    // The LOG-RECORDED schema at toV is the right source: one metadata
+    // read, and it can never leak a FUTURE column into the feed the way
+    // "nearest version with files" could (a fully-deleted prefix used
+    // to fall forward to a version ABOVE toV). Pre-schema-action tables
+    // keep the file-bearing-version fallback
     def emptyChanges(): DataFrame = {
-      val vs = versionsOnDisk(root)
-      val src = vs.filter(_ <= toV).reverse
-        .find(v => resolveState(root, v)._1.nonEmpty)
-        .orElse(vs.filter(_ > toV)
-          .find(v => resolveState(root, v)._1.nonEmpty))
-      src match {
-        case Some(v) => snapshotImpl(spark, root, Some(v), guard = false)
-          .limit(0).withColumn("change", lit(""))
-        case None => spark.emptyDataFrame.withColumn("change", lit(""))
+      tableSchema(root, Some(toV)) match {
+        case Some(st) =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            asNullable(st)).withColumn("change", lit(""))
+        case None =>
+          val vs = versionsOnDisk(root)
+          val src = vs.filter(_ <= toV).reverse
+            .find(v => resolveState(root, v)._1.nonEmpty)
+            .orElse(vs.filter(_ > toV)
+              .find(v => resolveState(root, v)._1.nonEmpty))
+          src match {
+            case Some(v) => snapshotImpl(spark, root, Some(v),
+              guard = false).limit(0).withColumn("change", lit(""))
+            case None => spark.emptyDataFrame.withColumn("change", lit(""))
+          }
       }
     }
     val fromS = resolve(root, Some(fromV))
@@ -1760,26 +1937,70 @@ object TxLog {
     * its key column (`mergeKey`), so this feed pairs the two sides on
     * it: a key present in both the net-removed and net-added rows is
     * an UPDATE (old row = preimage, new row = postimage); keys on one
-    * side only stay inserts/deletes. Pairing applies when the
-    * interval's merge commits agree on ONE key column — mixed-key
-    * intervals (or none) degrade to the plain insert/delete feed,
-    * never to a wrong pairing. Rows a merge rewrote without changing
-    * cancel out of the net algebra and are absent here (the log diff
-    * cannot see them; Delta's CDC files record them — documented
-    * deviation).
+    * side only stay inserts/deletes. The feed is computed PER COMMIT
+    * and unioned (Delta computes CDC per commit for the same reason):
+    * pairing runs inside one commit's own diff, so a merge can never
+    * pair its images with rows from an unrelated commit that touched
+    * the same key elsewhere in the interval, and mixed-key merge
+    * sequences pair each commit on its own key. Consequence of the
+    * per-commit shape: changes that would cancel across the interval
+    * (a delete at v+1, the same row re-appended at v+2) are REPORTED
+    * by this feed, exactly like Delta's CDF — the plain
+    * [[changesBetween]] keeps the interval-level net algebra. Rows a
+    * merge rewrote without changing cancel out of that commit's net
+    * algebra and are absent here (the log diff cannot see them;
+    * Delta's CDC files record them — documented deviation).
     */
   def changesBetweenCdc(spark: SparkSession, root: String, fromV: Long,
                         toV: Long): DataFrame = {
-    val diff = changesBetween(spark, root, fromV, toV)
+    require(fromV <= toV, s"changesBetweenCdc: $fromV > $toV")
+    // PER COMMIT, then union — the Delta CDC shape. Pairing inside one
+    // commit's own diff means a merge's update images can NEVER pair
+    // rows from unrelated commits that happen to share a key inside
+    // the requested interval (a deleteWhere of key k at v+1 and a
+    // plain re-append of k at v+2 are a delete and an insert, not a
+    // fabricated update). The interval-level net algebra stays the
+    // contract of the PLAIN feed ([[changesBetween]]); the CDF shape
+    // reports each commit's own changes.
+    val vs = versionsOnDisk(root).filter(v => v > fromV && v <= toV)
+    val feeds = (fromV +: vs.init).zip(vs).flatMap { case (prevV, v) =>
+      val json = readCommit(root, v)
+      // metadata-only commits (constraints) cannot change rows — skip
+      // the two-snapshot resolve entirely
+      val (_, adds, removes) = parseCommit(json)
+      val touches = adds.nonEmpty || removes.nonEmpty ||
+        json.contains("\"dv\":") || json.contains("\"dvDrops\":") ||
+        json.contains("\"dvs\":")
+      if (!touches) None
+      else Some(cdcOfCommit(spark, root, prevV, v, json))
+    }
+    if (feeds.isEmpty) {
+      // empty interval: the (empty) plain diff carries the schema
+      val d = changesBetween(spark, root, fromV, toV)
+      return d.withColumnRenamed("change", "change_type").limit(0)
+    }
+    // schema evolution inside the interval: later commits may carry
+    // columns earlier ones lack — null-fill across the union, then
+    // keep change_type last for CDC consumers
+    val u = feeds.reduce((a, b) =>
+      a.unionByName(b, allowMissingColumns = true))
+    u.select((u.columns.filter(_ != "change_type").map(col) :+
+      col("change_type")).toIndexedSeq: _*)
+  }
+
+  /** One commit's CDF slice: the (prevV, v] diff, with the commit's
+    * own `mergeKey` (if it is a merge) pairing its removed-and-re-added
+    * keys into update pre/post images. Non-merge commits label plain
+    * insert/delete.
+    */
+  private def cdcOfCommit(spark: SparkSession, root: String, prevV: Long,
+                          v: Long, json: String): DataFrame = {
+    val diff = changesBetween(spark, root, prevV, v)
     val ins = diff.filter(col("change") === "insert").drop("change")
     val del = diff.filter(col("change") === "delete").drop("change")
-    val mergeKeys = versionsOnDisk(root)
-      .filter(v => v > fromV && v <= toV)
-      .flatMap(v => """"mergeKey":"([A-Za-z0-9_]+)"""".r
-        .findFirstMatchIn(readCommit(root, v)).map(_.group(1)))
-      .distinct
-    mergeKeys match {
-      case Seq(k) =>
+    """"mergeKey":"([A-Za-z0-9_]+)"""".r.findFirstMatchIn(json)
+      .map(_.group(1)) match {
+      case Some(k) =>
         val updKeys = ins.select(k).intersect(del.select(k))
         del.join(updKeys, Seq(k), "left_semi")
           .withColumn("change_type", lit("update_preimage"))
@@ -1793,7 +2014,7 @@ object TxLog {
           // table's column order for CDC consumers
           .select((diff.columns.filter(_ != "change").map(col) :+
             col("change_type")).toIndexedSeq: _*)
-      case _ =>
+      case None =>
         ins.withColumn("change_type", lit("insert"))
           .unionByName(del.withColumn("change_type", lit("delete")))
     }
@@ -2059,9 +2280,29 @@ object TxLog {
           st.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         s""","schema":"$b64""""
       }.getOrElse("")
+      // ... and the SKIPPING INDEX for the live set — per-file
+      // [min,max] (int + string), row/null counts, partition values,
+      // and the partition-column declaration. With the carry, the
+      // connector's FileIndex and every stats-pruned read replay
+      // checkpoint + suffix in O(interval) exactly like resolve;
+      // without it they re-read EVERY commit since the last vacuum
+      // per planned query (Delta's checkpoint carries add-file stats
+      // for the same reason), and a vacuum's truncation would drop
+      // the surviving files' stats entirely. Dead files' entries are
+      // not carried — only live files are ever looked up
+      val live = files.toSet
+      val idx = skippingIndex(root, Some(v))
+      val statsJ = statsJsonFrag(
+        idx.int.filter(kv => live(kv._1)),
+        idx.str.filter(kv => live(kv._1)))
+      val nstatsJ = nstatsJsonFrag(idx.nulls.filter(kv => live(kv._1)))
+      val partsJ = partsJsonFrag(idx.parts.filter(kv => live(kv._1)))
+      val pcs = partitionColumns(root, Some(v))
+      val pcsJ = if (pcs.isEmpty) "" else s""","partCols":${arr(pcs)}"""
       try io(root).putIfAbsent(cpPath,
         s"""{"v":$v,"adds":${arr(files)},"removes":[],""" +
-          s""""cset":$cset$dvsJson$bidsJson$schemaJson}""")
+          s""""cset":$cset$dvsJson$bidsJson$schemaJson""" +
+          s"""$statsJ$nstatsJ$partsJ$pcsJ}""")
       catch {
         // checkpoint content at a version is deterministic: a racing
         // writer already published the same thing — the loser is a

@@ -1,0 +1,193 @@
+package graft.sources
+
+import java.util.Collections
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, V1Scan}
+import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.ops.TxLog
+
+/** SQL catalog for transaction-log tables — the DSv2 front door that
+  * makes the table addressable from PURE SQL, time travel included:
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.graft_table",
+  *   "graft.sources.GraftCatalog")
+  * spark.sql("SELECT * FROM graft_table.`/path/to/root`")
+  * spark.sql("SELECT * FROM graft_table.`/path/to/root` VERSION AS OF 3")
+  * spark.sql("... TIMESTAMP AS OF '2026-01-01 00:00:00'")
+  * }}}
+  *
+  * The identifier IS the table root (one back-quoted part — no
+  * namespace levels, like Delta's path-based `delta.`/path``), and
+  * `VERSION AS OF` / `TIMESTAMP AS OF` route through the catalog's
+  * versioned `loadTable` overloads into the same [[TxLog]] resolution
+  * the DataFrame reader uses. Read-only by design: mutations go
+  * through the logged writers (`df.write.format("graft-table")`,
+  * [[TxLog]] merge/delete/optimize) — a SQL INSERT bypassing the
+  * commit protocol is exactly what the log exists to prevent.
+  *
+  * Scans reuse the V1 relation ([[GraftTableRelationBuilder]] — the
+  * log-stats-pruning `GraftFileIndex` + DV-masking parquet format)
+  * through the DSv2 [[V1Scan]] bridge, so SQL and DataFrame reads
+  * plan through ONE code path. Data filters are replayed onto the
+  * inner relation (see [[GraftSqlTable.filterColumn]]) so the
+  * FileIndex prunes files for SQL queries exactly as it does for
+  * DataFrame reads; Spark re-applies the full predicate above the
+  * scan, so the replay is an optimization, never the filter.
+  */
+class GraftCatalog extends CatalogPlugin with TableCatalog {
+
+  private var catalogName: String = "graft_table"
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  private def rootOf(ident: Identifier): String = {
+    // `graft_table.`/root`` parses as one name part; tolerate dotted
+    // namespace crumbs by re-joining (a root path never contains dots
+    // that matter here — data-file grammar forbids none of this, the
+    // path is handed to TxLog verbatim)
+    val root = (ident.namespace() :+ ident.name()).mkString(".")
+    require(TxLog.isTable(root),
+      s"$catalogName: no committed graft table at '$root'")
+    root
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    new GraftSqlTable(rootOf(ident), None)
+
+  /** `VERSION AS OF n` — the SQL spelling of `versionAsOf`. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    new GraftSqlTable(rootOf(ident), Some(version.toLong))
+
+  /** `TIMESTAMP AS OF ts` — Spark hands epoch MICROSECONDS; the log's
+    * monotonized commit-mtime lookup works in millis.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = rootOf(ident)
+    new GraftSqlTable(root, Some(TxLog.versionAt(root, timestamp / 1000L)))
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty // path-addressed, like delta.`/path` — nothing to list
+
+  override def tableExists(ident: Identifier): Boolean =
+    TxLog.isTable((ident.namespace() :+ ident.name()).mkString("."))
+
+  private def readOnly: Nothing = throw new UnsupportedOperationException(
+    s"$catalogName is a read surface; write through " +
+      "df.write.format(\"graft-table\") or the TxLog API so every " +
+      "mutation is a logged commit")
+
+  @deprecated("inherited DSv2 signature", "")
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String])
+      : Table = readOnly
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table = readOnly
+  override def dropTable(ident: Identifier): Boolean = readOnly
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit = readOnly
+}
+
+/** One resolved (root, version) as a DSv2 table. The scan is the V1
+  * relation behind the [[V1Scan]] bridge — Spark plans a
+  * RowDataSourceScanExec whose rows come from the inner
+  * HadoopFsRelation execution, log-stats pruning and DV masks intact.
+  */
+private[sources] class GraftSqlTable(root: String, version: Option[Long])
+    extends Table with SupportsRead {
+
+  private def spark: SparkSession = SparkSession.active
+
+  private lazy val relation: BaseRelation =
+    GraftTableRelationBuilder.createRelation(spark.sqlContext,
+      Map("path" -> root) ++ version.map("versionAsOf" -> _.toString))
+
+  override def name(): String =
+    version.fold(root)(v => s"$root@v$v")
+
+  override def schema(): StructType = relation.schema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    Collections.singleton(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new ScanBuilder with SupportsPushDownFilters {
+      private var pushed: Array[Filter] = Array.empty
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pushed = filters
+        filters // ALL stay residual: Spark re-applies the exact
+        // predicate above the scan; the replay below only prunes
+      }
+
+      override def pushedFilters(): Array[Filter] = pushed
+
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = relation.schema
+
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T = {
+          val conds = pushed.flatMap(GraftSqlTable.filterColumn)
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = relation.schema
+            override def buildScan(): RDD[Row] = {
+              val df = context.sparkSession
+                .baseRelationToDataFrame(relation)
+              conds.foldLeft(df)(_ filter _).rdd
+            }
+          }.asInstanceOf[T]
+        }
+      }
+    }
+}
+
+private[sources] object GraftSqlTable {
+  /** A source Filter replayed as a Column on the inner relation, so
+    * the GraftFileIndex prunes and the parquet reader pushes down for
+    * SQL exactly as for DataFrame reads. Unsupported shapes drop out
+    * (None) — always safe, because the FULL predicate re-applies
+    * above the V1 scan; for AND the convertible side alone is still a
+    * superset, for OR/NOT both sides must convert or the whole shape
+    * drops.
+    */
+  def filterColumn(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, p) => Some(col(a).startsWith(p))
+    case sources.StringEndsWith(a, p) => Some(col(a).endsWith(p))
+    case sources.StringContains(a, p) => Some(col(a).contains(p))
+    case sources.And(l, r) =>
+      (filterColumn(l), filterColumn(r)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (one, other) => one.orElse(other) // superset — safe
+      }
+    case sources.Or(l, r) =>
+      for (a <- filterColumn(l); b <- filterColumn(r)) yield a || b
+    case sources.Not(c) => filterColumn(c).map(not)
+    case _ => None
+  }
+}

@@ -72,7 +72,9 @@ private[sources] object GraftTableRelationBuilder {
     val index = new GraftFileIndex(spark, root, snap)
     // the active masks as (file name -> sorted row positions), KB-
     // scale by the purge/compaction contract (see TxLog.applyDvMask);
-    // shipped to readers in the format closure
+    // shipped to readers as an explicit BROADCAST — one copy per
+    // executor via the torrent protocol, instead of riding every
+    // task's serialized reader closure
     TxLog.dvGuard(spark, root, snap.dvFiles)
     val mask: Map[String, Array[Long]] =
       if (snap.dvFiles.isEmpty) Map.empty
@@ -80,12 +82,13 @@ private[sources] object GraftTableRelationBuilder {
         .select("file", "pos").distinct().collect()
         .groupBy(_.getString(0))
         .map { case (f, rows) => f -> rows.map(_.getLong(1)).sorted }
+    val maskBc = spark.sparkContext.broadcast(mask)
     HadoopFsRelation(
       location = index,
       partitionSchema = StructType(Nil),
       dataSchema = schema,
       bucketSpec = None,
-      fileFormat = new GraftParquetFileFormat(mask),
+      fileFormat = new GraftParquetFileFormat(maskBc),
       options = Map("mergeSchema" -> "true"))(spark)
   }
 }
@@ -100,8 +103,10 @@ private[sources] object GraftTableRelationBuilder {
 class GraftFileIndex(spark: SparkSession, root: String,
                      snap: TxLog.Snapshot) extends FileIndex {
 
-  // all four skipping indexes from ONE pass over the commit files
-  private val idx = TxLog.skippingIndex(root)
+  // all four skipping indexes from ONE replay of checkpoint + suffix
+  // at the snapshot's own version — O(checkpoint interval) metadata
+  // reads, the same cost resolve pays, however long the log has lived
+  private val idx = TxLog.skippingIndex(root, Some(snap.version))
   private val intStats = idx.int
   private val strStats = idx.str
   private val nullStats = idx.nulls
@@ -244,15 +249,27 @@ class GraftFileIndex(spark: SparkSession, root: String,
 }
 
 /** Spark's parquet format with the table's deletion-vector masks
-  * applied INSIDE the scan. `mask` maps data-file NAMES to sorted
-  * masked row positions. When empty this is exactly ParquetFileFormat;
-  * when not, each reader appends parquet's row-index column to the
-  * read schema (real positions, immune to row-group/page skipping by
-  * pushed filters), drops masked rows, and projects the column back
-  * off. Batch (columnar) output is disabled only on masked tables —
-  * the row-level filter needs row iteration.
+  * applied INSIDE the scan. `maskBc` broadcasts (data-file NAME →
+  * sorted masked row positions) — one copy per executor, not one per
+  * task closure. When the mask is empty this is exactly
+  * ParquetFileFormat; when not, the reader SPLITS PER FILE:
+  *
+  *  - a file with no active mask entry takes the UNMODIFIED base
+  *    reader — no row-index column decoded, no per-row projection;
+  *  - a masked file's reader appends parquet's row-index column to the
+  *    read schema (real positions, immune to row-group/page skipping
+  *    by pushed filters), drops masked rows, and projects the column
+  *    back off.
+  *
+  * Batch (columnar) output is disabled on masked tables as a whole:
+  * one FileSourceScanExec's readers must all yield the same shape, so
+  * a per-file batch/row mix is not expressible in a V1 scan — but with
+  * `supportBatch` off Spark's parquet reader still DECODES through the
+  * vectorized path and iterates rows off the column batches, so the
+  * cost is the lost batch-at-a-time codegen, not vectorized decode.
   */
-class GraftParquetFileFormat(mask: Map[String, Array[Long]])
+class GraftParquetFileFormat(
+    maskBc: org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]])
     extends ParquetFileFormat {
 
   // ParquetFileFormat.equals is class-based — two Graft formats with
@@ -266,7 +283,7 @@ class GraftParquetFileFormat(mask: Map[String, Array[Long]])
 
   override def supportBatch(sparkSession: SparkSession,
                             schema: StructType): Boolean =
-    mask.isEmpty && super.supportBatch(sparkSession, schema)
+    maskBc.value.isEmpty && super.supportBatch(sparkSession, schema)
 
   override def buildReaderWithPartitionValues(
       sparkSession: SparkSession,
@@ -277,10 +294,14 @@ class GraftParquetFileFormat(mask: Map[String, Array[Long]])
       options: Map[String, String],
       hadoopConf: org.apache.hadoop.conf.Configuration)
       : PartitionedFile => Iterator[InternalRow] = {
-    if (mask.isEmpty)
+    if (maskBc.value.isEmpty)
       return super.buildReaderWithPartitionValues(sparkSession,
         dataSchema, partitionSchema, requiredSchema, filters, options,
         hadoopConf)
+    // unmasked files in a masked table: the plain reader, untouched
+    val basePlain = super.buildReaderWithPartitionValues(sparkSession,
+      dataSchema, partitionSchema, requiredSchema, filters, options,
+      hadoopConf)
     // the row-index request column: the TEMPORARY name is what the
     // readers' row-index generators recognize, and it must be NULLABLE
     // — the reader rejects a required-but-absent column as a data
@@ -288,26 +309,24 @@ class GraftParquetFileFormat(mask: Map[String, Array[Long]])
     val withIdx = StructType(requiredSchema.fields :+ StructField(
       ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType,
       nullable = true))
-    val base = super.buildReaderWithPartitionValues(sparkSession,
+    val baseMasked = super.buildReaderWithPartitionValues(sparkSession,
       dataSchema, partitionSchema, withIdx, filters, options, hadoopConf)
     val n = requiredSchema.length
     val dataTypes = requiredSchema.fields.map(_.dataType)
-    val localMask = mask
+    val localMask = maskBc // the broadcast HANDLE rides the closure
     (file: PartitionedFile) => {
       val name = file.toPath.getName
-      val fileMask = localMask.get(name)
-      val rows = base(file)
-      val strip = UnsafeProjection.create(
-        dataTypes.zipWithIndex.map { case (dt, i) =>
-          BoundReference(i, dt, nullable = true): Expression
-        }.toIndexedSeq)
-      val kept = fileMask match {
-        case None => rows
+      localMask.value.get(name) match {
+        case None => basePlain(file)
         case Some(m) =>
-          rows.filter(r =>
+          val strip = UnsafeProjection.create(
+            dataTypes.zipWithIndex.map { case (dt, i) =>
+              BoundReference(i, dt, nullable = true): Expression
+            }.toIndexedSeq)
+          baseMasked(file).filter(r =>
             java.util.Arrays.binarySearch(m, r.getLong(n)) < 0)
+            .map(strip)
       }
-      kept.map(strip)
     }
   }
 }

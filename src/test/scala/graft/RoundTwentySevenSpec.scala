@@ -284,21 +284,21 @@ class RoundTwentySevenSpec extends AnyFunSuite {
     val total = live.size
     assert(en > 0 && en + bare < total,
       s"layout not partition-prunable: en=$en bare=$bare total=$total")
-    // files opened = the en partition + the (conservative) bare
-    // rewrite outputs — every other partition pruned from the log
-    assert(df.inputFiles.length === en + bare,
-      s"expected ${en + bare} files (en=$en + bare=$bare), " +
-        s"read ${df.inputFiles.length} of $total")
-    // the connector prunes at least as hard from an ordinary equality
-    // — and may prune HARDER: the rewrite outputs carry no partition
-    // metadata but DO carry footer [min,max] lang stats, which the
-    // FileIndex also consults
-    val conn = spark.read.format("graft-table").load(root)
-      .filter(col("lang") === "en")
-    val connFiles = filesRead(conn)
+    // the entry now IS the connector read (round-11 closure): files
+    // opened = the en partition + at most the (conservative) bare
+    // rewrite outputs, every other partition pruned from the log
+    // before listing. May prune HARDER than en + bare: the rewrite
+    // outputs carry no partition metadata but DO carry footer
+    // [min,max] lang stats, which the FileIndex also consults
+    // (numFiles metric, not inputFiles — a FileIndex reports the
+    // unpruned live set there by contract)
+    val connFiles = filesRead(df)
     assert(connFiles >= en.toLong && connFiles <= (en + bare).toLong,
-      s"expected between $en and ${en + bare} files, read $connFiles")
-    assert(idSet(conn) === idSet(df))
+      s"expected between $en and ${en + bare} files, read $connFiles " +
+        s"of $total")
+    // row parity with the explicit partition-slice API
+    assert(idSet(df) === idSet(
+      TxLog.snapshotPartition(spark, root, Map("lang" -> "en"))))
     // and partition metadata reads back exactly
     assert(TxLog.partitionColumns(root) === Seq("lang"))
   }
