@@ -111,7 +111,15 @@ object TxLog {
     if (age >= zeroByteTipGraceMillis) {
       try io(root).move(tip, f"${logDir(root)}/.quarantine-${vs.last}%08d" +
         s".json-${UUID.randomUUID().toString.take(8)}")
-      catch { case _: Exception => () } // a racing quarantiner won
+      catch {
+        case e: Exception =>
+          // a racing quarantiner winning is fine (the claim is gone);
+          // a claim that persists through a failed move must not
+          // recurse forever — surface the real obstruction
+          if (io(root).exists(tip)) throw new IllegalStateException(
+            s"commit $tip is an aged-out zero-byte claim that could " +
+              "not be quarantined; remove it manually", e)
+      }
       versionsOnDisk(root) // re-list: the slot is free (or freed by the racer)
     } else throw new IllegalStateException(
       s"commit $tip is zero-byte: its publisher crashed mid-publish or " +
@@ -1712,20 +1720,26 @@ object TxLog {
     committedBatchIdsUpTo(root, Long.MaxValue)
 
   private def committedBatchIdsUpTo(root: String, upTo: Long): Set[Long] = {
-    val fromCommits = versionsOnDisk(root).filter(_ <= upTo).flatMap { v =>
-      """"batchId":(\d+)""".r
-        .findFirstMatchIn(
-          readCommit(root, v))
-        .map(_.group(1).toLong)
-    }
-    val fromCheckpoints = checkpointsOnDisk(root).filter(_ <= upTo)
-      .flatMap { c =>
-        """"batchIds":\[([^\]]*)\]""".r
-          .findFirstMatchIn(readCheckpoint(root, c))
-          .map(_.group(1)).filter(_.nonEmpty)
-          .map(_.split(",").toSeq.map(_.toLong)).getOrElse(Seq.empty)
+    // checkpoint + suffix, like every other log index: the newest
+    // checkpoint records the COMPLETE ledger at its version
+    // ([[checkpoint]] writes committedBatchIdsUpTo(v)), so only the
+    // commits after it need reading — a continuously ingesting table
+    // must not pay O(all commits) metadata reads PER MICRO-BATCH for
+    // its idempotence check
+    val cp = checkpointsOnDisk(root).filter(_ <= upTo).lastOption
+    val fromCommits = versionsOnDisk(root)
+      .filter(v => v <= upTo && cp.forall(v > _)).flatMap { v =>
+        """"batchId":(\d+)""".r
+          .findFirstMatchIn(readCommit(root, v))
+          .map(_.group(1).toLong)
       }
-    (fromCommits ++ fromCheckpoints).toSet
+    val fromCheckpoint = cp.toSeq.flatMap { c =>
+      """"batchIds":\[([^\]]*)\]""".r
+        .findFirstMatchIn(readCheckpoint(root, c))
+        .map(_.group(1)).filter(_.nonEmpty)
+        .map(_.split(",").toSeq.map(_.toLong)).getOrElse(Seq.empty)
+    }
+    (fromCommits ++ fromCheckpoint).toSet
   }
 
   /** Commit one micro-batch idempotently: a batch id already present

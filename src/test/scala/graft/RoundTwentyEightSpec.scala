@@ -121,6 +121,18 @@ class RoundTwentyEightSpec extends AnyFunSuite {
           "from the checkpoint carry, not per-commit reads")
       assert(reads.asScala.exists(_.contains(".checkpoint.")),
         "planning must replay from the checkpoint")
+      // the streaming idempotence ledger replays the same way — a
+      // continuously ingesting table must not pay O(all commits)
+      // reads per micro-batch
+      reads.clear()
+      TxLog.committedBatchIds(root)
+      val ledgerVs = reads.asScala.toSeq
+        .filter(p => p.contains("_txlog/") && p.endsWith(".json") &&
+          !p.contains(".checkpoint."))
+        .map(p => p.substring(p.lastIndexOf('/') + 1)
+          .stripSuffix(".json").toLong).toSet
+      assert(ledgerVs.forall(_ > cpV),
+        s"ledger read commits $ledgerVs below the checkpoint $cpV")
     } finally TxIo.wrapper = identity
   }
 
