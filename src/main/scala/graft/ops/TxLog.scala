@@ -1475,8 +1475,16 @@ object TxLog {
             "different target")
       }
     }
+    // re-added files get their partition metadata RE-RECORDED from
+    // the target's index: the re-adds may postdate the newest
+    // checkpoint, whose carry only covers files live at checkpoint
+    // time — without the re-record, partition pruning on restored
+    // files would silently degrade to conservative reads (the stats
+    // side re-records through the commit's own footer sweep already)
+    val targetParts = skippingIndex(root, Some(toVersion)).parts
     writeCommit(root, cur.version + 1, adds, removes, op = "restore",
       dvDrops = cur.dvFiles, dvSet = tDvs,
+      parts = adds.flatMap(f => targetParts.get(f).map(f -> _)).toMap,
       schema = tableSchema(root, Some(toVersion)))
     cur.version + 1
   }

@@ -318,6 +318,77 @@ class RoundTwentyEightSpec extends AnyFunSuite {
     } finally TxLog.zeroByteTipGraceMillis = old
   }
 
+  test("checkpoint-carried index ≡ whole-log replay: every version's " +
+      "skipping index, ledger, constraints, and schema match a " +
+      "checkpoint-free twin replaying the same commits") {
+    val root = tmpDir("t28equiv")
+    TxLog.init(root)
+    val d = docs
+    // a mixed lifecycle crossing TWO checkpoints, with a restore that
+    // re-adds files PAST a checkpoint (the nastiest carry case)
+    TxLog.appendPartitioned(spark, root,
+      d.filter(col("doc_id") < 200), Seq("lang")) // v0
+    TxLog.append(spark, root, d.filter(col("doc_id") >= 200 &&
+      col("doc_id") < 300).coalesce(1)) // v1
+    TxLog.addConstraint(spark, root, "chars_ok", "n_chars >= 0") // v2
+    // deletes hit the PLAIN v1 file only, so the partitioned files
+    // keep their metadata for the scoped optimize below
+    TxLog.deleteWhere(spark, root, "doc_id", Seq(205L, 207L)) // v3
+    TxLog.commitBatch(spark, root, d.filter(col("doc_id") >= 300 &&
+      col("doc_id") < 350).coalesce(1), 42L) // v4
+    TxLog.deleteWhereDv(spark, root, "doc_id", Seq(211L, 213L)) // v5
+    TxLog.checkpoint(root) // cp@5
+    TxLog.optimizePartition(spark, root, Map("lang" -> "en"),
+      Seq("doc_id"), numFiles = 1) // v6: drops en files from live set
+    TxLog.restore(spark, root, 5L) // v7: re-adds them PAST the cp
+    TxLog.upsert(spark, root, d.filter(col("doc_id") % 97 === 3)
+      .withColumn("lang", lit("up")), "doc_id") // v8
+    TxLog.checkpoint(root) // cp@8
+    TxLog.append(spark, root, d.filter(col("doc_id") >= 350 &&
+      col("doc_id") < 380).coalesce(1)) // v9
+    // the twin: the SAME commit files, no checkpoints — its every
+    // index read is the full-log replay the carry must reproduce
+    val twin = tmpDir("t28equiv-twin")
+    TxLog.init(twin)
+    import scala.jdk.CollectionConverters._
+    val logS = Files.list(Paths.get(root, "_txlog"))
+    try logS.iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".json") &&
+        !p.getFileName.toString.contains(".checkpoint.") &&
+        !p.getFileName.toString.startsWith("."))
+      .foreach(p => Files.copy(p,
+        Paths.get(twin, "_txlog", p.getFileName.toString)))
+    finally logS.close()
+    def liveIdx(r: String, v: Long) = {
+      val live = TxLog.resolve(r, Some(v)).files.toSet
+      val i = TxLog.skippingIndex(r, Some(v))
+      (i.int.view.filterKeys(live).toMap,
+        i.str.view.filterKeys(live).toMap,
+        i.nulls.view.filterKeys(live).toMap,
+        i.parts.view.filterKeys(live).toMap)
+    }
+    TxLog.versions(root).foreach { v =>
+      assert(TxLog.resolve(root, Some(v)).files.toSet ===
+        TxLog.resolve(twin, Some(v)).files.toSet, s"live set @ v$v")
+      assert(liveIdx(root, v) === liveIdx(twin, v),
+        s"skipping index @ v$v")
+      assert(TxLog.partitionColumns(root, Some(v)) ===
+        TxLog.partitionColumns(twin, Some(v)), s"partCols @ v$v")
+      assert(TxLog.tableSchema(root, Some(v)) ===
+        TxLog.tableSchema(twin, Some(v)), s"schema @ v$v")
+    }
+    assert(TxLog.committedBatchIds(root) ===
+      TxLog.committedBatchIds(twin))
+    assert(TxLog.constraints(root) === TxLog.constraints(twin))
+    // the restore's re-adds kept their partition metadata even though
+    // they re-entered the live set after the checkpoint
+    val parts = TxLog.filePartitions(root)
+    val reAdded = TxLog.resolve(root).files
+      .filter(_.contains("/lang="))
+    assert(reAdded.nonEmpty && reAdded.forall(parts.contains),
+      "restored partitioned files keep their partition values")
+  }
+
   test("q_table_sql (the driver entry itself): the pure-SQL route " +
       "(USING graft-table DDL + SELECT) plans through the " +
       "GraftFileIndex and prunes from the log's string stats") {
@@ -388,6 +459,23 @@ class RoundTwentyEightSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE graft_table.`$root`")
     }
     assert(e.getMessage.contains("read surface"))
+  }
+
+  test("snapshot isolation: a connector frame pins its version at " +
+      "load time — commits landing afterwards never tear into it") {
+    val root = tmpDir("t28iso")
+    TxLog.init(root)
+    TxLog.append(spark, root, docs.filter(col("doc_id") < 100)) // v0
+    val pinned = spark.read.format("graft-table").load(root)
+    // a writer lands between plan and execute — twice, with a delete
+    TxLog.append(spark, root,
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 150)) // v1
+    TxLog.deleteWhere(spark, root, "doc_id", Seq(3L)) // v2
+    assert(pinned.count() === 100L,
+      "the pinned frame must read exactly its load-time snapshot")
+    assert(idSet(pinned) === idSet(docs.filter(col("doc_id") < 100)))
+    // a FRESH read sees the new tip
+    assert(spark.read.format("graft-table").load(root).count() === 149L)
   }
 
   test("q_table_optimize_part (the driver entry itself) reads through " +
