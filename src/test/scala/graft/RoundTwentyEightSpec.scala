@@ -461,6 +461,103 @@ class RoundTwentyEightSpec extends AnyFunSuite {
     assert(e.getMessage.contains("read surface"))
   }
 
+  test("checkpoint-carry fuzz: random append/delete/dv-delete/compact/" +
+      "restore ops with RANDOM CHECKPOINTS track the model at every " +
+      "version, match a checkpoint-free twin, and survive a vacuum") {
+    val rnd = new scala.util.Random(20260816L)
+    val root = tmpDir("t28fuzz") + "/t"
+    TxLog.init(root)
+    val s = spark
+    import s.implicits._
+    var nextId = 0L
+    val history = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    var live = Set.empty[Long]
+    (0 until 32).foreach { _ =>
+      rnd.nextInt(8) match {
+        case 0 | 1 | 2 => // append 1..40 fresh ids
+          val k = 1 + rnd.nextInt(40)
+          val ids = (nextId until nextId + k).toSet
+          nextId += k
+          TxLog.append(spark, root, ids.toSeq.sorted.toDF("doc_id"))
+          live ++= ids
+          history += live
+        case 3 if live.nonEmpty => // copy-on-write delete
+          val victims = rnd.shuffle(live.toSeq).take(1 + rnd.nextInt(4))
+          TxLog.deleteWhere(spark, root, "doc_id", victims)
+          live --= victims
+          history += live
+        case 4 if live.nonEmpty => // merge-on-read delete (mask)
+          val victims = rnd.shuffle(live.toSeq).take(1 + rnd.nextInt(4))
+          TxLog.deleteWhereDv(spark, root, "doc_id", victims)
+          live --= victims
+          history += live
+        case 5 if live.nonEmpty => // compact: logical no-op, purges masks
+          TxLog.compact(spark, root, 1L << 20)
+          history += live
+        case 6 if history.nonEmpty => // checkpoint at a random version
+          TxLog.checkpoint(root,
+            Some(rnd.nextInt(history.size).toLong)): Unit
+        case 7 if history.size >= 2 &&
+            history(rnd.nextInt(history.size)).nonEmpty =>
+          // restore to a random NON-EMPTY earlier version
+          val tgt = rnd.shuffle(history.indices.toList)
+            .find(v => history(v).nonEmpty).get
+          TxLog.restore(spark, root, tgt.toLong)
+          live = history(tgt)
+          history += live
+        case _ => ()
+      }
+      if (live.nonEmpty)
+        assert(TxLog.snapshot(spark, root).select("doc_id")
+          .collect().map(_.getLong(0)).toSet === live)
+    }
+    assert(history.size >= 16, "fuzz must exercise a real op mix")
+    // every historical version replays to its model state THROUGH the
+    // interleaved checkpoints
+    history.zipWithIndex.foreach { case (expect, v) =>
+      if (expect.nonEmpty)
+        assert(TxLog.snapshot(spark, root, Some(v.toLong))
+          .select("doc_id").collect().map(_.getLong(0)).toSet === expect,
+          s"version $v must replay to its model state")
+    }
+    // checkpoint-free twin: identical live sets and (live-restricted)
+    // skipping indexes at every version
+    val twin = tmpDir("t28fuzz-twin") + "/t"
+    TxLog.init(twin)
+    import scala.jdk.CollectionConverters._
+    val logS = Files.list(Paths.get(root, "_txlog"))
+    try logS.iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".json") &&
+        !p.getFileName.toString.contains(".checkpoint.") &&
+        !p.getFileName.toString.startsWith("."))
+      .foreach(p => Files.copy(p,
+        Paths.get(twin, "_txlog", p.getFileName.toString)))
+    finally logS.close()
+    TxLog.versions(root).foreach { v =>
+      val a = TxLog.resolve(root, Some(v))
+      val b = TxLog.resolve(twin, Some(v))
+      assert(a.files.toSet === b.files.toSet, s"live set @ v$v")
+      assert(a.dvFiles.toSet === b.dvFiles.toSet, s"dv set @ v$v")
+      val liveF = a.files.toSet
+      val ia = TxLog.skippingIndex(root, Some(v))
+      val ib = TxLog.skippingIndex(twin, Some(v))
+      assert(ia.int.view.filterKeys(liveF).toMap ===
+        ib.int.view.filterKeys(liveF).toMap, s"int stats @ v$v")
+      assert(ia.nulls.view.filterKeys(liveF).toMap ===
+        ib.nulls.view.filterKeys(liveF).toMap, s"null stats @ v$v")
+    }
+    // and the whole thing survives a mid-history vacuum
+    val keep = history.size / 2
+    if (history(keep).nonEmpty) {
+      TxLog.vacuum(root, keep.toLong)
+      assert(TxLog.snapshot(spark, root).select("doc_id")
+        .collect().map(_.getLong(0)).toSet === live)
+      val st = TxLog.fileStats(root)
+      assert(TxLog.resolve(root).files.forall(st.contains),
+        "stats survive the vacuum through the checkpoint carry")
+    }
+  }
+
   test("snapshot isolation: a connector frame pins its version at " +
       "load time — commits landing afterwards never tear into it") {
     val root = tmpDir("t28iso")
