@@ -3,13 +3,14 @@ package graft.sources
 import java.util.Collections
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, Row, SparkSession, SQLContext}
-import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit, not}
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -30,10 +31,15 @@ import graft.ops.TxLog
   * namespace levels, like Delta's path-based `delta.`/path``), and
   * `VERSION AS OF` / `TIMESTAMP AS OF` route through the catalog's
   * versioned `loadTable` overloads into the same [[TxLog]] resolution
-  * the DataFrame reader uses. Read-only by design: mutations go
-  * through the logged writers (`df.write.format("graft-table")`,
-  * [[TxLog]] merge/delete/optimize) — a SQL INSERT bypassing the
-  * commit protocol is exactly what the log exists to prevent.
+  * the DataFrame reader uses. SQL DML that maps onto the commit
+  * protocol is supported — `INSERT INTO` appends one atomic version,
+  * `INSERT OVERWRITE` is the logged INSERT OVERWRITE (history
+  * intact, masks deactivated) — because both route THROUGH
+  * [[TxLog]]'s writers. DDL that would bypass or destroy the log
+  * (CREATE/DROP/RENAME/ALTER) is refused with the writer API named:
+  * tables are created by writing (`df.write.format("graft-table")`)
+  * and destroyed by retention policy ([[TxLog.vacuum]]), not by a
+  * DROP that silently deletes 100 TB.
   *
   * Scans reuse the V1 relation ([[GraftTableRelationBuilder]] — the
   * log-stats-pruning `GraftFileIndex` + DV-masking parquet format)
@@ -87,9 +93,10 @@ class GraftCatalog extends CatalogPlugin with TableCatalog {
     TxLog.isTable((ident.namespace() :+ ident.name()).mkString("."))
 
   private def readOnly: Nothing = throw new UnsupportedOperationException(
-    s"$catalogName is a read surface; write through " +
-      "df.write.format(\"graft-table\") or the TxLog API so every " +
-      "mutation is a logged commit")
+    s"$catalogName supports SELECT / INSERT INTO / INSERT OVERWRITE; " +
+      "create tables through df.write.format(\"graft-table\") and " +
+      "reclaim storage through TxLog.vacuum — DDL that bypasses the " +
+      "commit log is refused")
 
   @deprecated("inherited DSv2 signature", "")
   override def createTable(ident: Identifier, schema: StructType,
@@ -107,9 +114,14 @@ class GraftCatalog extends CatalogPlugin with TableCatalog {
   * relation behind the [[V1Scan]] bridge — Spark plans a
   * RowDataSourceScanExec whose rows come from the inner
   * HadoopFsRelation execution, log-stats pruning and DV masks intact.
+  * Writes bridge the same way ([[V1Write]]): `INSERT INTO` lands as
+  * one [[TxLog.append]] commit, `INSERT OVERWRITE` (Spark's
+  * truncate-style static overwrite) as one [[TxLog.overwrite]] —
+  * the full constraint/stats/schema machinery applies, and a lost
+  * version race fails loudly like every other writer.
   */
 private[sources] class GraftSqlTable(root: String, version: Option[Long])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -123,7 +135,28 @@ private[sources] class GraftSqlTable(root: String, version: Option[Long])
   override def schema(): StructType = relation.schema
 
   override def capabilities(): java.util.Set[TableCapability] =
-    Collections.singleton(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(version.isEmpty,
+      s"cannot write to $name: the relation is pinned to a historical " +
+        "version (VERSION/TIMESTAMP AS OF is a read-only view)")
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame,
+                                ignored: Boolean): Unit =
+              if (overwrite)
+                TxLog.overwrite(data.sparkSession, root, data): Unit
+              else TxLog.append(data.sparkSession, root, data): Unit
+          }
+      }
+    }
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =

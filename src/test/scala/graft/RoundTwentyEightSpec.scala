@@ -422,8 +422,8 @@ class RoundTwentyEightSpec extends AnyFunSuite {
   }
 
   test("the graft_table SQL catalog: SELECT by root path, VERSION AS " +
-      "OF / TIMESTAMP AS OF time travel, DV masks applied, and a " +
-      "read-only write surface") {
+      "OF / TIMESTAMP AS OF time travel, DV masks applied, and " +
+      "log-bypassing DDL refused") {
     val root = tmpDir("t28catalog")
     TxLog.init(root)
     val a = docs.filter(col("doc_id") < 80)
@@ -454,11 +454,11 @@ class RoundTwentyEightSpec extends AnyFunSuite {
     assert(idSet(spark.sql(
       s"SELECT doc_id FROM graft_table.`$root` WHERE doc_id < $hi")) ===
       ids.drop(5).toSet - hi)
-    // mutations are refused loudly — writes go through the log
+    // log-bypassing DDL is refused loudly, naming the writer API
     val e = intercept[UnsupportedOperationException] {
       spark.sql(s"DROP TABLE graft_table.`$root`")
     }
-    assert(e.getMessage.contains("read surface"))
+    assert(e.getMessage.contains("commit log is refused"))
   }
 
   test("checkpoint-carry fuzz: random append/delete/dv-delete/compact/" +
@@ -556,6 +556,49 @@ class RoundTwentyEightSpec extends AnyFunSuite {
       assert(TxLog.resolve(root).files.forall(st.contains),
         "stats survive the vacuum through the checkpoint carry")
     }
+  }
+
+  test("SQL DML through the catalog: INSERT INTO appends one commit, " +
+      "INSERT OVERWRITE is the logged overwrite, writes to a pinned " +
+      "version are refused, and constraints still gate") {
+    val root = tmpDir("t28dml")
+    TxLog.init(root)
+    TxLog.append(spark, root, docs.filter(col("doc_id") < 50)) // v0
+    TxLog.addConstraint(spark, root, "chars_ok", "n_chars >= 0") // v1
+    spark.conf.set("spark.sql.catalog.graft_table",
+      "graft.sources.GraftCatalog")
+    docs.createOrReplaceTempView("graft_lang_src")
+    val t = s"graft_table.`$root`"
+    // INSERT INTO = one append commit through the log
+    spark.sql(s"INSERT INTO $t SELECT doc_id + 1000 AS doc_id, lang, " +
+      "n_chars FROM graft_lang_src WHERE doc_id < 20")
+    assert(TxLog.history(root).map(_.op).last === "append")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t")
+      .collect().head.getLong(0) === 70L)
+    // the constraint gates SQL inserts exactly like every writer
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $t SELECT doc_id, lang, " +
+        "-1L AS n_chars FROM graft_lang_src WHERE doc_id < 3")
+    }
+    assert(e.getMessage.contains("chars_ok"))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t")
+      .collect().head.getLong(0) === 70L)
+    // INSERT OVERWRITE = the logged INSERT OVERWRITE; history intact
+    spark.sql(s"INSERT OVERWRITE $t SELECT doc_id, lang, n_chars " +
+      "FROM graft_lang_src WHERE doc_id >= 400")
+    assert(TxLog.history(root).map(_.op).last === "overwrite")
+    assert(idSet(spark.sql(s"SELECT doc_id FROM $t")) ===
+      idSet(docs.filter(col("doc_id") >= 400)))
+    // the overwritten state still time-travels from SQL
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t VERSION AS OF 2")
+      .collect().head.getLong(0) === 70L)
+    // a pinned version refuses writes loudly
+    val e2 = intercept[Exception] {
+      spark.sql(s"INSERT INTO $t VERSION AS OF 0 " +
+        "SELECT * FROM graft_lang_src LIMIT 1")
+    }
+    assert(e2.getMessage.contains("pinned") ||
+      e2.getMessage.toLowerCase.contains("version"))
   }
 
   test("snapshot isolation: a connector frame pins its version at " +
