@@ -746,6 +746,37 @@ object SparkEntry {
       p
     })
 
+  /** The SQL-DML lifecycle, one per (session, sf dir): after a seed
+    * append through the writer API (an empty table has no relation to
+    * bind INSERT INTO against — documented edge), every mutation runs
+    * in PURE SQL through the graft_table catalog: INSERT INTO
+    * (residue-1, one append commit), INSERT OVERWRITE (residue-2, the
+    * logged overwrite), INSERT INTO again (residue-0) — four
+    * versions, each a real commit through the full constraint/stats/
+    * schema machinery, the overwritten v1 still time-travel readable
+    * FROM SQL. `q_table_sql_dml` reads head + v1 in one result.
+    */
+  private val txlogDmlCache = new SessionCache[String]
+
+  private def txlogDmlTable(s: SparkSession, dir: String): String =
+    txlogDmlCache.getOrElseUpdate(s, dir, {
+      val p = s"${annTmp()}/txdml"
+      graft.ops.TxLog.init(p)
+      s.conf.set("spark.sql.catalog.graft_table",
+        "graft.sources.GraftCatalog")
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .write.format("graft-table").mode("append").save(p) // v0
+      docs.createOrReplaceTempView("graft_dml_src")
+      s.sql(s"INSERT INTO graft_table.`$p` SELECT doc_id, lang, " +
+        "n_chars FROM graft_dml_src WHERE doc_id % 3 = 1") // v1
+      s.sql(s"INSERT OVERWRITE graft_table.`$p` SELECT doc_id, lang, " +
+        "n_chars FROM graft_dml_src WHERE doc_id % 3 = 2") // v2
+      s.sql(s"INSERT INTO graft_table.`$p` SELECT doc_id, lang, " +
+        "n_chars FROM graft_dml_src WHERE doc_id % 3 = 0") // v3
+      p
+    })
+
   /** The batch-writer lifecycle, one per (session, sf dir), driven
     * ENTIRELY through the DataFrameWriter surface: an append commit
     * (residue-0 docs), an atomic INSERT OVERWRITE replacing the live
@@ -1931,6 +1962,19 @@ object SparkEntry {
         s"USING `graft-table` OPTIONS (path '$p')")
       s.sql("SELECT doc_id, lang, n_chars FROM graft_lang_table " +
         "WHERE lang = 'en'")
+    }),
+    // the WHOLE mutation lifecycle in pure SQL through the DSv2
+    // catalog: INSERT INTO commits, INSERT OVERWRITE is the logged
+    // overwrite, and the overwritten state time-travels back via
+    // VERSION AS OF — head (residues 2 and 0) + v1 (residues 0 and 1)
+    // in one result, every mutation a real commit through the log
+    "q_table_sql_dml" -> ((s, dir) => {
+      val p = txlogDmlTable(s, dir)
+      s.sql(s"SELECT doc_id, lang, n_chars, 'head' AS snap " +
+        s"FROM graft_table.`$p` " +
+        "UNION ALL " +
+        "SELECT doc_id, lang, n_chars, 'v1' AS snap " +
+        s"FROM graft_table.`$p` VERSION AS OF 1")
     }),
     // shallow clone + MERGE on the branch: the clone reads the
     // source's masked files zero-copy, the merge's rewrites land under
@@ -4710,6 +4754,15 @@ object SparkEntry {
     "q_table_sql" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang = 'en'""".stripMargin,
+    // the SQL DML lifecycle's semantics: head = the INSERT OVERWRITE's
+    // residue-2 rows plus the later residue-0 INSERT; v1 = the seed
+    // append plus the first INSERT, intact under SQL time travel
+    "q_table_sql_dml" ->
+      """SELECT doc_id, lang, n_chars, 'head' AS snap FROM documents
+        |WHERE doc_id % 3 <> 1
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars, 'v1' AS snap FROM documents
+        |WHERE doc_id % 3 <> 2""".stripMargin,
     // the branch head: the dv mask (mod-19 residue 3) carried over,
     // the merge re-langs residue-1-mod-31 keys in place and re-adds
     // the masked ones in that residue
