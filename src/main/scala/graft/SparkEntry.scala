@@ -777,6 +777,40 @@ object SparkEntry {
       p
     })
 
+  /** The SQL-DELETE lifecycle, one per (session, sf dir): a
+    * lang-clustered seed append through the writer (5 range files, so
+    * the commit records per-file string `[min,max]`), then a pure-SQL
+    * `DELETE FROM ... WHERE lang = 'fr' AND doc_id >= 100` through the
+    * graft_table catalog — one copy-on-write commit
+    * ([[graft.ops.TxLog.deleteWherePredicate]]) whose hit discovery
+    * runs through the connector's own log-stats-pruned scan, so only
+    * the fr-overlapping files rewrite (spec-asserted on this
+    * lifecycle's own log); NULL-predicate rows survive by SQL DELETE
+    * semantics, and the pre-delete state stays time-travel readable
+    * FROM SQL. `q_table_sql_delete` reads head + the v0 fr slice in
+    * one result.
+    */
+  private val txlogSqlDelCache = new SessionCache[String]
+
+  private def txlogSqlDelTable(s: SparkSession, dir: String): String =
+    txlogSqlDelCache.getOrElseUpdate(s, dir, {
+      val p = s"${annTmp()}/txsqldel"
+      graft.ops.TxLog.init(p)
+      s.conf.set("spark.sql.catalog.graft_table",
+        "graft.sources.GraftCatalog")
+      t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        .repartitionByRange(5, col("lang"), col("doc_id"))
+        .sortWithinPartitions("lang", "doc_id")
+        .write.format("graft-table").mode("append").save(p) // v0
+      s.sql(s"DELETE FROM graft_table.`$p` " +
+        "WHERE lang = 'fr' AND doc_id >= 100") // v1
+      p
+    })
+
+  private[graft] def txlogSqlDelRootForSpec(s: SparkSession,
+                                            dir: String): String =
+    txlogSqlDelTable(s, dir)
+
   /** The batch-writer lifecycle, one per (session, sf dir), driven
     * ENTIRELY through the DataFrameWriter surface: an append commit
     * (residue-0 docs), an atomic INSERT OVERWRITE replacing the live
@@ -1975,6 +2009,18 @@ object SparkEntry {
         "UNION ALL " +
         "SELECT doc_id, lang, n_chars, 'v1' AS snap " +
         s"FROM graft_table.`$p` VERSION AS OF 1")
+    }),
+    // SQL DELETE FROM through the catalog: one copy-on-write commit,
+    // hit files discovered through the connector's own stats-pruned
+    // scan (only the fr-overlapping range files rewrote — spec), the
+    // deleted fr rows still time-travel readable from SQL
+    "q_table_sql_delete" -> ((s, dir) => {
+      val p = txlogSqlDelTable(s, dir)
+      s.sql(s"SELECT doc_id, lang, n_chars, 'head' AS snap " +
+        s"FROM graft_table.`$p` " +
+        "UNION ALL " +
+        "SELECT doc_id, lang, n_chars, 'v0' AS snap " +
+        s"FROM graft_table.`$p` VERSION AS OF 0 WHERE lang = 'fr'")
     }),
     // shallow clone + MERGE on the branch: the clone reads the
     // source's masked files zero-copy, the merge's rewrites land under
@@ -4763,6 +4809,16 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, lang, n_chars, 'v1' AS snap FROM documents
         |WHERE doc_id % 3 <> 2""".stripMargin,
+    // the SQL DELETE lifecycle's semantics: head = the survivors of
+    // DELETE WHERE lang = 'fr' AND doc_id >= 100 (rows where the
+    // predicate is NULL survive — hence the COALESCE spelling); v0 =
+    // the pre-delete fr slice, intact under SQL time travel
+    "q_table_sql_delete" ->
+      """SELECT doc_id, lang, n_chars, 'head' AS snap FROM documents
+        |WHERE COALESCE(NOT (lang = 'fr' AND doc_id >= 100), TRUE)
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars, 'v0' AS snap FROM documents
+        |WHERE lang = 'fr'""".stripMargin,
     // the branch head: the dv mask (mod-19 residue 3) carried over,
     // the merge re-langs residue-1-mod-31 keys in place and re-adds
     // the masked ones in that residue

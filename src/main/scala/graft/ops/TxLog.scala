@@ -3,7 +3,7 @@ package graft.ops
 import java.nio.file.{FileAlreadyExistsException, Paths}
 import java.util.UUID
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A minimal parquet transaction log — the Delta/Iceberg commit shape
@@ -1123,6 +1123,52 @@ object TxLog {
         spark.read.option("mergeSchema", "true")
           .parquet(affectedAbs.toIndexedSeq: _*), snap.dvFiles)
         .filter(col(keyCol).isNull || !hit))
+    val removes = affectedAbs.toSeq.map(relToRoot(root, _))
+    commitOrCleanup(root, adds) {
+      writeCommit(root, next, adds, removes, op = "delete")
+    }
+    next
+  }
+
+  /** Logged copy-on-write DELETE with an ARBITRARY row predicate — the
+    * general form whose key-list contract [[deleteWhere]] special-cases,
+    * and the engine behind SQL `DELETE FROM` through
+    * [[graft.sources.GraftCatalog]]. Hit discovery runs THROUGH the
+    * `graft-table` connector read pinned at the resolved version, so
+    * the log's whole skipping index — per-file int/string `[min,max]`,
+    * null counts, partition values — prunes candidate files for any
+    * predicate shape the `GraftFileIndex` understands (the key-list
+    * path hand-rolls only the int-range case), and active DV masks
+    * apply inside the scan, so a masked row can neither count as a hit
+    * nor be resurrected by the survivor rewrite. SQL DELETE semantics:
+    * exactly the rows where `cond` IS TRUE are deleted — NULL-predicate
+    * rows survive. Only the hit files rewrite; every other live file is
+    * untouched on disk, and every pre-delete version stays time-travel
+    * readable until [[vacuum]]. Returns the committed version.
+    */
+  def deleteWherePredicate(spark: SparkSession, root: String,
+                           cond: Column): Long = {
+    val snap = resolve(root)
+    // only distinct hit-file paths come to the driver — bounded by the
+    // live-file count, never by the number of deleted rows
+    val affectedAbs = spark.read.format("graft-table")
+      .option("versionAsOf", snap.version.toString).load(root)
+      .filter(cond)
+      .select(col("_metadata.file_path"))
+      .distinct().collect().map(_.getString(0))
+    val next = snap.version + 1
+    if (affectedAbs.isEmpty) {
+      writeCommit(root, next, Seq.empty, Seq.empty, op = "delete")
+      return next
+    }
+    // survivor rewrite of ONLY the hit files, masked rows dropped (the
+    // rewrite purges their vectors physically); rows where the
+    // predicate is NULL are kept — a bare `!cond` would erase them
+    val adds = stage(spark, root,
+      applyDvMask(spark, root,
+        spark.read.option("mergeSchema", "true")
+          .parquet(affectedAbs.toIndexedSeq: _*), snap.dvFiles)
+        .filter(cond.isNull || !cond))
     val removes = affectedAbs.toSeq.map(relToRoot(root, _))
     commitOrCleanup(root, adds) {
       writeCommit(root, next, adds, removes, op = "delete")

@@ -4,7 +4,7 @@ import java.util.Collections
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
-import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -118,10 +118,15 @@ class GraftCatalog extends CatalogPlugin with TableCatalog {
   * one [[TxLog.append]] commit, `INSERT OVERWRITE` (Spark's
   * truncate-style static overwrite) as one [[TxLog.overwrite]] —
   * the full constraint/stats/schema machinery applies, and a lost
-  * version race fails loudly like every other writer.
+  * version race fails loudly like every other writer. `DELETE FROM`
+  * ([[SupportsDelete]]) lands as one [[TxLog.deleteWherePredicate]]
+  * copy-on-write commit — hit files discovered through the
+  * connector's own log-stats-pruned scan, survivors rewritten, every
+  * pre-delete version still time-travel readable.
   */
 private[sources] class GraftSqlTable(root: String, version: Option[Long])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsDelete {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -158,6 +163,27 @@ private[sources] class GraftSqlTable(root: String, version: Option[Long])
     }
   }
 
+  /** DELETE needs the WHERE clause converted EXACTLY — a superset (the
+    * pruning replay's And fallback) would delete rows the user never
+    * asked to delete. Unconvertible shapes refuse here and Spark
+    * reports the DELETE as unsupported instead of running it wrong.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftSqlTable.exactFilterColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(version.isEmpty,
+      s"cannot delete from $name: the relation is pinned to a " +
+        "historical version (VERSION/TIMESTAMP AS OF is a read-only view)")
+    // no WHERE clause → delete every row (head becomes empty; history
+    // stays time-travel readable — this is NOT a vacuum)
+    val cond = filters.toSeq.map(f => GraftSqlTable.exactFilterColumn(f)
+        .getOrElse(throw new UnsupportedOperationException(
+          s"DELETE predicate not convertible: $f")))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    TxLog.deleteWherePredicate(spark, root, cond): Unit
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters {
@@ -191,16 +217,26 @@ private[sources] class GraftSqlTable(root: String, version: Option[Long])
     }
 }
 
-private[sources] object GraftSqlTable {
+private[graft] object GraftSqlTable {
   /** A source Filter replayed as a Column on the inner relation, so
     * the GraftFileIndex prunes and the parquet reader pushes down for
     * SQL exactly as for DataFrame reads. Unsupported shapes drop out
     * (None) — always safe, because the FULL predicate re-applies
     * above the V1 scan; for AND the convertible side alone is still a
-    * superset, for OR/NOT both sides must convert or the whole shape
-    * drops.
+    * superset, for OR both sides must convert or the whole shape
+    * drops. NOT's child converts in EXACT mode: the complement of a
+    * superset is a SUBSET, so a relaxed And under Not would over-prune
+    * rows the true predicate keeps.
     */
-  def filterColumn(f: Filter): Option[Column] = f match {
+  def filterColumn(f: Filter): Option[Column] = convert(f, exact = false)
+
+  /** The EXACT conversion — every shape converts completely or the
+    * whole filter refuses. This is the DELETE contract: a pruning
+    * superset would delete too much.
+    */
+  def exactFilterColumn(f: Filter): Option[Column] = convert(f, exact = true)
+
+  private def convert(f: Filter, exact: Boolean): Option[Column] = f match {
     case sources.EqualTo(a, v) => Some(col(a) === lit(v))
     case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
     case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
@@ -213,14 +249,17 @@ private[sources] object GraftSqlTable {
     case sources.StringStartsWith(a, p) => Some(col(a).startsWith(p))
     case sources.StringEndsWith(a, p) => Some(col(a).endsWith(p))
     case sources.StringContains(a, p) => Some(col(a).contains(p))
+    case sources.AlwaysTrue() => Some(lit(true))
+    case sources.AlwaysFalse() => Some(lit(false))
     case sources.And(l, r) =>
-      (filterColumn(l), filterColumn(r)) match {
+      (convert(l, exact), convert(r, exact)) match {
         case (Some(a), Some(b)) => Some(a && b)
-        case (one, other) => one.orElse(other) // superset — safe
+        case (one, other) if !exact => one.orElse(other) // superset
+        case _ => None
       }
     case sources.Or(l, r) =>
-      for (a <- filterColumn(l); b <- filterColumn(r)) yield a || b
-    case sources.Not(c) => filterColumn(c).map(not)
+      for (a <- convert(l, exact); b <- convert(r, exact)) yield a || b
+    case sources.Not(c) => convert(c, exact = true).map(not)
     case _ => None
   }
 }

@@ -59,16 +59,21 @@ private[sources] object GraftTableRelationBuilder {
     val version = versionAsOf
       .orElse(timestampAsOf.map(TxLog.versionAt(root, _)))
     val snap = TxLog.resolve(root, version)
-    require(snap.files.nonEmpty,
-      s"version ${snap.version} of $root has no live files")
     val paths = snap.files.map(f => s"$root/$f")
     // the table schema from the LOG's recorded schema action — one
     // metadata read, no footer sweep of the live set (the 100 TB
     // planning cost this action exists to remove). Tables whose
     // commits predate schema recording fall back to the footer-merged
-    // schema; either way evolution reads missing columns as null
-    val schema = TxLog.tableSchema(root, Some(snap.version)).getOrElse(
-      spark.read.option("mergeSchema", "true").parquet(paths: _*).schema)
+    // schema; either way evolution reads missing columns as null. An
+    // EMPTY live set (everything deleted / overwritten away) is a
+    // legitimate head — it reads as zero rows — but only the log can
+    // name its schema: with no files there is no footer to fall back to
+    val schema = TxLog.tableSchema(root, Some(snap.version)).getOrElse {
+      require(snap.files.nonEmpty,
+        s"version ${snap.version} of $root has no live files and no " +
+          "log-recorded schema to shape an empty relation")
+      spark.read.option("mergeSchema", "true").parquet(paths: _*).schema
+    }
     val index = new GraftFileIndex(spark, root, snap)
     // the active masks as (file name -> sorted row positions), KB-
     // scale by the purge/compaction contract (see TxLog.applyDvMask);
