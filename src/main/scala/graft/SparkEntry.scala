@@ -811,6 +811,110 @@ object SparkEntry {
                                             dir: String): String =
     txlogSqlDelTable(s, dir)
 
+  /** The SQL-UPDATE lifecycle, one per (session, sf dir): a
+    * doc_id-range-clustered seed append (4 files) through the writer,
+    * then a pure-SQL `UPDATE ... SET lang = 'up', n_chars = -n_chars
+    * WHERE doc_id % 13 = 5` through the DSv2 row-level machinery —
+    * ONE merge-on-read commit ([[graft.ops.TxLog.commitRowDelta]]):
+    * the matched rows' physical (file, position) addresses become a
+    * deletion-vector sidecar and the new images appended files, NO
+    * live data file rewritten (spec-asserted on this lifecycle's own
+    * log — the at-scale answer to a scattered UPDATE on 100 TB).
+    * `q_table_sql_update` reads head + the intact v0 in one result.
+    */
+  private val txlogSqlUpdCache = new SessionCache[String]
+
+  private def txlogSqlUpdTable(s: SparkSession, dir: String): String =
+    txlogSqlUpdCache.getOrElseUpdate(s, dir, {
+      val p = s"${annTmp()}/txsqlupd"
+      graft.ops.TxLog.init(p)
+      s.conf.set("spark.sql.catalog.graft_table",
+        "graft.sources.GraftCatalog")
+      t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        .repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.format("graft-table").mode("append").save(p) // v0
+      s.sql(s"UPDATE graft_table.`$p` SET lang = 'up', " +
+        "n_chars = -n_chars WHERE doc_id % 13 = 5") // v1
+      p
+    })
+
+  private[graft] def txlogSqlUpdRootForSpec(s: SparkSession,
+                                            dir: String): String =
+    txlogSqlUpdTable(s, dir)
+
+  /** The SQL-MERGE lifecycle, one per (session, sf dir): the even
+    * half of documents seeded through the writer, then one pure-SQL
+    * `MERGE INTO` from the mod-3 residue re-langed 'mg' — matched
+    * keys (doc_id ≡ 0 mod 6) update MERGE-ON-READ (masked + re-added,
+    * no file rewritten), unmatched keys (odd multiples of 3) insert —
+    * all in ONE commit through the delta row-level machinery.
+    * `q_table_sql_merge` reads the diverged head.
+    */
+  private val txlogSqlMergeCache = new SessionCache[String]
+
+  private def txlogSqlMergeTable(s: SparkSession, dir: String): String =
+    txlogSqlMergeCache.getOrElseUpdate(s, dir, {
+      val p = s"${annTmp()}/txsqlmerge"
+      graft.ops.TxLog.init(p)
+      s.conf.set("spark.sql.catalog.graft_table",
+        "graft.sources.GraftCatalog")
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .repartitionByRange(2, col("doc_id"))
+        .write.format("graft-table").mode("append").save(p) // v0
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .withColumn("lang", lit("mg"))
+        .createOrReplaceTempView("graft_sql_merge_src")
+      s.sql(s"MERGE INTO graft_table.`$p` t " +
+        "USING graft_sql_merge_src s ON t.doc_id = s.doc_id " +
+        "WHEN MATCHED THEN UPDATE SET t.lang = s.lang " +
+        "WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars) " +
+        "VALUES (s.doc_id, s.lang, s.n_chars)") // v1
+      p
+    })
+
+  /** The SQL-CALL maintenance lifecycle, one per (session, sf dir):
+    * seed append (v0, 4 files), merge-on-read delete of doc_id ≡ 2
+    * (mod 7) (v1), then the whole maintenance ladder in PURE SQL
+    * through `CALL graft_table.system.*` — purge_masks (v2, the
+    * masked files rewrite without their masked rows), optimize (v3,
+    * Z-order to 2 files), restore to the dv version (v4, pure
+    * metadata, same rows) — then a SQL DELETE of the de rows (v5),
+    * and finally CALL checkpoint + CALL vacuum(retain_from => 3),
+    * which TRUNCATES v0–v2: the surviving reads go through the
+    * vacuum checkpoint's carried state. `q_table_sql_maintenance`
+    * reads head + VERSION AS OF 3 in one result — the time travel
+    * lands on a post-truncation version resolved from the
+    * checkpoint carry.
+    */
+  private val txlogSqlMaintCache = new SessionCache[String]
+
+  private def txlogSqlMaintTable(s: SparkSession, dir: String): String =
+    txlogSqlMaintCache.getOrElseUpdate(s, dir, {
+      val p = s"${annTmp()}/txsqlmaint"
+      graft.ops.TxLog.init(p)
+      s.conf.set("spark.sql.catalog.graft_table",
+        "graft.sources.GraftCatalog")
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      docs.repartition(4, col("doc_id"))
+        .write.format("graft-table").mode("append").save(p) // v0
+      val keys = docs.filter(pmod(col("doc_id"), lit(7)) === 2)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      graft.ops.TxLog.deleteWhereDv(s, p, "doc_id", keys) // v1
+      s.sql(s"CALL graft_table.system.purge_masks(table => '$p', " +
+        "min_fraction => 0.01)") // v2
+      s.sql(s"CALL graft_table.system.optimize(table => '$p', " +
+        "zorder_by => 'doc_id', num_files => 2)") // v3
+      s.sql(s"CALL graft_table.system.restore(table => '$p', " +
+        "version => 1)") // v4
+      s.sql(s"DELETE FROM graft_table.`$p` WHERE lang = 'de'") // v5
+      s.sql(s"CALL graft_table.system.checkpoint(table => '$p')")
+      s.sql(s"CALL graft_table.system.vacuum(table => '$p', " +
+        "retain_from => 3)")
+      p
+    })
+
   /** The batch-writer lifecycle, one per (session, sf dir), driven
     * ENTIRELY through the DataFrameWriter surface: an append commit
     * (residue-0 docs), an atomic INSERT OVERWRITE replacing the live
@@ -2009,6 +2113,36 @@ object SparkEntry {
         "UNION ALL " +
         "SELECT doc_id, lang, n_chars, 'v1' AS snap " +
         s"FROM graft_table.`$p` VERSION AS OF 1")
+    }),
+    // SQL UPDATE through the catalog: one MERGE-ON-READ commit — the
+    // matched rows masked by physical (file, pos), the new images
+    // appended, zero live files rewritten (spec) — with the pre-update
+    // state still time-travel readable from SQL
+    "q_table_sql_update" -> ((s, dir) => {
+      val p = txlogSqlUpdTable(s, dir)
+      s.sql(s"SELECT doc_id, lang, n_chars, 'head' AS snap " +
+        s"FROM graft_table.`$p` " +
+        "UNION ALL " +
+        "SELECT doc_id, lang, n_chars, 'v0' AS snap " +
+        s"FROM graft_table.`$p` VERSION AS OF 0")
+    }),
+    // SQL MERGE INTO through the catalog: matched keys update
+    // merge-on-read, unmatched keys insert, one commit
+    "q_table_sql_merge" -> ((s, dir) => {
+      val p = txlogSqlMergeTable(s, dir)
+      s.sql(s"SELECT doc_id, lang, n_chars FROM graft_table.`$p`")
+    }),
+    // the maintenance ladder in pure SQL (CALL graft_table.system.*):
+    // purge, optimize, restore, checkpoint, vacuum — head = the dv
+    // delete's survivors minus the SQL-deleted de rows; VERSION AS OF
+    // 3 rides the vacuum checkpoint's carried state (v0-v2 truncated)
+    "q_table_sql_maintenance" -> ((s, dir) => {
+      val p = txlogSqlMaintTable(s, dir)
+      s.sql(s"SELECT doc_id, lang, n_chars, 'head' AS snap " +
+        s"FROM graft_table.`$p` " +
+        "UNION ALL " +
+        "SELECT doc_id, lang, n_chars, 'v3' AS snap " +
+        s"FROM graft_table.`$p` VERSION AS OF 3")
     }),
     // SQL DELETE FROM through the catalog: one copy-on-write commit,
     // hit files discovered through the connector's own stats-pruned
@@ -4809,6 +4943,37 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, lang, n_chars, 'v1' AS snap FROM documents
         |WHERE doc_id % 3 <> 2""".stripMargin,
+    // the SQL UPDATE lifecycle's semantics: head = the mod-13
+    // residue-5 rows re-langed and negated, everything else intact;
+    // v0 = the seed, intact under SQL time travel
+    "q_table_sql_update" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 13 = 5 THEN 'up' ELSE lang END AS lang,
+        |       CASE WHEN doc_id % 13 = 5 THEN -n_chars
+        |            ELSE n_chars END AS n_chars,
+        |       'head' AS snap
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars, 'v0' AS snap FROM documents""".stripMargin,
+    // the SQL MERGE lifecycle's semantics: the even seed with mod-3
+    // keys re-langed (matched updates), plus the odd multiples of 3
+    // inserted as 'mg'
+    "q_table_sql_merge" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'mg' ELSE lang END AS lang,
+        |       n_chars
+        |FROM documents
+        |WHERE doc_id % 2 = 0 OR doc_id % 3 = 0""".stripMargin,
+    // the CALL-maintenance lifecycle's semantics: every maintenance
+    // commit (purge/optimize/restore) is logically a no-op on the dv
+    // delete's survivors; head additionally lost the SQL-deleted de
+    // rows (NULL-lang rows would survive — COALESCE spelling)
+    "q_table_sql_maintenance" ->
+      """SELECT doc_id, lang, n_chars, 'head' AS snap FROM documents
+        |WHERE doc_id % 7 <> 2 AND COALESCE(lang <> 'de', TRUE)
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars, 'v3' AS snap FROM documents
+        |WHERE doc_id % 7 <> 2""".stripMargin,
     // the SQL DELETE lifecycle's semantics: head = the survivors of
     // DELETE WHERE lang = 'fr' AND doc_id >= 100 (rows where the
     // predicate is NULL survive — hence the COALESCE spelling); v0 =

@@ -1284,6 +1284,83 @@ object TxLog {
     next
   }
 
+  /** Publish one ROW-LEVEL SQL write (UPDATE / MERGE INTO /
+    * rewrite-based DELETE through [[graft.sources.GraftCatalog]]) as a
+    * single MERGE-ON-READ commit: the tasks' insert files (written
+    * under a staging dir by the DSv2 delta writers) are adopted into
+    * `data/`, their deletion-vector fragments merge into ONE sidecar,
+    * and mask + adds publish together — an UPDATE rewrites NO live
+    * data file; it masks the old row positions and appends the new
+    * rows, the shape [[deleteWhereDv]] + [[append]] would produce but
+    * atomic in one version. Constraints gate the inserted rows exactly
+    * like an append, the new files' stats/null-counts are recorded for
+    * the skipping index, and the masked row count lands in the ledger.
+    * The commit MUST land at `baseVersion + 1`: the masked positions
+    * were scanned against that snapshot, so a concurrent commit fails
+    * the version race loudly (derived-mutation contract) and
+    * everything staged is cleaned up.
+    */
+  private[graft] def commitRowDelta(spark: SparkSession, root: String,
+                                    baseVersion: Long,
+                                    stagedDataAbs: Seq[String],
+                                    dvFragmentsAbs: Seq[String],
+                                    op: String): Long = {
+    val next = baseVersion + 1
+    val uid = UUID.randomUUID().toString.take(8)
+    val adds = stagedDataAbs.sorted.zipWithIndex.map { case (src, i) =>
+      val rel = f"data/part-$uid-$i%05d.parquet"
+      io(root).move(src, s"$root/$rel")
+      rel
+    }
+    // constraint gate (deletes the adds itself on a violation)
+    validateStaged(spark, root, adds, "row-level write")
+    val nameToRel = resolve(root, Some(baseVersion)).files
+      .map(f => fileNameOf(f) -> f).toMap
+    val (dv, nDel) =
+      if (dvFragmentsAbs.isEmpty) (None, 0L)
+      else {
+        // fragments → one sorted sidecar; distinct because a MERGE
+        // source may address a target row more than once upstream of
+        // Spark's own cardinality check modes
+        val tmp = s"$root/_staged-dv-$uid"
+        spark.read.parquet(dvFragmentsAbs: _*)
+          .select("file", "pos").distinct()
+          .coalesce(1).sortWithinPartitions("file", "pos")
+          .write.parquet(tmp)
+        val parts = io(root).list(tmp).filter(_.endsWith(".parquet"))
+        require(parts.size == 1, s"dv stage produced ${parts.size} files")
+        val dvRel = s"data/dv-$uid.parquet"
+        io(root).move(s"$tmp/${parts.head}", s"$root/$dvRel")
+        io(root).list(tmp).foreach(n => io(root).delete(s"$tmp/$n"))
+        io(root).delete(tmp)
+        // only (file, count) comes to the driver — bounded by the
+        // touched-file count, never by the number of masked rows
+        val perFile = spark.read.parquet(s"$root/$dvRel")
+          .groupBy("file").agg(count(lit(1)).as("n")).collect()
+        if (perFile.isEmpty) {
+          io(root).delete(s"$root/$dvRel")
+          (None, 0L)
+        } else {
+          val covers = perFile.map { r =>
+            nameToRel.getOrElse(r.getString(0), {
+              adds.foreach(f => io(root).deleteIfExists(s"$root/$f"))
+              io(root).delete(s"$root/$dvRel")
+              throw new IllegalStateException(
+                s"row-level write to $root masks '${r.getString(0)}', " +
+                  s"which is not live at version $baseVersion")
+            })
+          }.toSeq.sorted
+          (Some((dvRel, covers)), perFile.map(_.getLong(1)).sum)
+        }
+      }
+    commitOrCleanup(root, adds ++ dv.map(_._1).toSeq) {
+      writeCommit(root, next, adds, Seq.empty, op = op, dv = dv,
+        knownRowsRemoved = Some(nDel))
+    }
+    maybeAutoCheckpoint(root, next)
+    next
+  }
+
   /** Deletion-vector maintenance: rewrite ONLY the files whose masked
     * fraction reached `minFraction`, dropping their mask entries — the
     * policy knob that keeps merge-on-read reads cheap without paying a

@@ -4,10 +4,12 @@ import java.util.Collections
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
-import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, MetadataColumn, ProcedureCatalog, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.sql.functions.{col, lit, not}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
@@ -50,7 +52,8 @@ import graft.ops.TxLog
   * DataFrame reads; Spark re-applies the full predicate above the
   * scan, so the replay is an optimization, never the filter.
   */
-class GraftCatalog extends CatalogPlugin with TableCatalog {
+class GraftCatalog extends CatalogPlugin with TableCatalog
+    with ProcedureCatalog {
 
   private var catalogName: String = "graft_table"
 
@@ -92,6 +95,28 @@ class GraftCatalog extends CatalogPlugin with TableCatalog {
   override def tableExists(ident: Identifier): Boolean =
     TxLog.isTable((ident.namespace() :+ ident.name()).mkString("."))
 
+  /** `CALL graft_table.system.<proc>(...)` — the maintenance surface
+    * ([[GraftProcedures]]): checkpoint, vacuum, compact, optimize
+    * (whole-table or partition-scoped), restore, purge_masks, clone.
+    * Each routes through the same logged [[TxLog]] operation the
+    * Scala API runs and returns its committed version as one row.
+    */
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"$catalogName procedures live in the 'system' namespace: " +
+        s"CALL $catalogName.system.${ident.name()}(...)")
+    GraftProcedures.byName.getOrElse(ident.name(),
+      throw new NoSuchElementException(
+        s"$catalogName: no procedure '${ident.name()}' (have " +
+          s"${GraftProcedures.byName.keys.toSeq.sorted.mkString(", ")})"))
+  }
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (!namespace.sameElements(Array("system"))) Array.empty
+    else GraftProcedures.byName.keys.toSeq.sorted
+      .map(n => Identifier.of(Array("system"), n)).toArray
+
   private def readOnly: Nothing = throw new UnsupportedOperationException(
     s"$catalogName supports SELECT / INSERT INTO / INSERT OVERWRITE; " +
       "create tables through df.write.format(\"graft-table\") and " +
@@ -126,7 +151,8 @@ class GraftCatalog extends CatalogPlugin with TableCatalog {
   */
 private[sources] class GraftSqlTable(root: String, version: Option[Long])
     extends Table with SupportsRead with SupportsWrite
-    with SupportsDelete {
+    with SupportsDelete with SupportsMetadataColumns
+    with SupportsRowLevelOperations {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -138,6 +164,33 @@ private[sources] class GraftSqlTable(root: String, version: Option[Long])
     version.fold(root)(v => s"$root@v$v")
 
   override def schema(): StructType = relation.schema
+
+  /** `_file` / `_pos` — the physical row address (data-file path,
+    * parquet row index) as queryable metadata columns, and the rowId
+    * the row-level operations mask by. On a masked table the reported
+    * positions stay the PHYSICAL indexes (masked rows are skipped, not
+    * renumbered), which is exactly what a deletion vector written
+    * against them needs.
+    */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    GraftSqlTable.metaCol(GraftTableScans.FileCol, StringType,
+      "data file path of the row"),
+    GraftSqlTable.metaCol(GraftTableScans.PosCol, LongType,
+      "physical parquet row index of the row"))
+
+  /** SQL UPDATE / MERGE / rewrite-based DELETE as MERGE-ON-READ
+    * ([[GraftRowLevelOperation]]): the matched rows' (file, position)
+    * addresses become one deletion-vector sidecar and the new rows
+    * one set of appended files — a single commit that rewrites NO
+    * live data file, the 100 TB answer to a 1000-row UPDATE.
+    */
+  override def newRowLevelOperationBuilder(info: RowLevelOperationInfo)
+      : RowLevelOperationBuilder = {
+    require(version.isEmpty,
+      s"cannot mutate $name: the relation is pinned to a historical " +
+        "version (VERSION/TIMESTAMP AS OF is a read-only view)")
+    () => new GraftRowLevelOperation(root, info.command())
+  }
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
@@ -185,9 +238,29 @@ private[sources] class GraftSqlTable(root: String, version: Option[Long])
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder =
-    new ScanBuilder with SupportsPushDownFilters {
+      : ScanBuilder = GraftTableScans.builder(relation)
+}
+
+/** The shared DSv2 scan over the V1 table relation — used by the SQL
+  * catalog's SELECT path and by the row-level operations' discovery
+  * scan. Three jobs: replay pushed filters onto the inner relation as
+  * Columns (so the GraftFileIndex prunes files for SQL exactly as for
+  * DataFrame reads — always residual, Spark re-applies the full
+  * predicate above), push COLUMN PRUNING through to the inner scan
+  * (the select below reaches the parquet ReadSchema), and materialize
+  * the `_file` / `_pos` metadata columns from the file source's
+  * `_metadata` struct when the query (or a row-level rewrite) asks
+  * for them.
+  */
+private[sources] object GraftTableScans {
+  val FileCol = "_file"
+  val PosCol = "_pos"
+
+  def builder(relation: BaseRelation): ScanBuilder =
+    new ScanBuilder with SupportsPushDownFilters
+        with SupportsPushDownRequiredColumns {
       private var pushed: Array[Filter] = Array.empty
+      private var required: StructType = relation.schema
 
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         pushed = filters
@@ -197,19 +270,31 @@ private[sources] class GraftSqlTable(root: String, version: Option[Long])
 
       override def pushedFilters(): Array[Filter] = pushed
 
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+
       override def build(): Scan = new V1Scan {
-        override def readSchema(): StructType = relation.schema
+        override def readSchema(): StructType = required
 
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T = {
           val conds = pushed.flatMap(GraftSqlTable.filterColumn)
+          val req = required
           new BaseRelation with TableScan {
             override def sqlContext: SQLContext = context
-            override def schema: StructType = relation.schema
+            override def schema: StructType = req
             override def buildScan(): RDD[Row] = {
-              val df = context.sparkSession
+              val base = context.sparkSession
                 .baseRelationToDataFrame(relation)
-              conds.foldLeft(df)(_ filter _).rdd
+              val filtered = conds.foldLeft(base)(_ filter _)
+              val cols = req.fields.toIndexedSeq.map(f => f.name match {
+                case FileCol =>
+                  col("_metadata.file_path").as(FileCol)
+                case PosCol =>
+                  col("_metadata.row_index").as(PosCol)
+                case n => col(n)
+              })
+              filtered.select(cols: _*).rdd
             }
           }.asInstanceOf[T]
         }
@@ -218,6 +303,15 @@ private[sources] class GraftSqlTable(root: String, version: Option[Long])
 }
 
 private[graft] object GraftSqlTable {
+  private[sources] def metaCol(colName: String, dt: DataType,
+                               doc: String): MetadataColumn =
+    new MetadataColumn {
+      override def name(): String = colName
+      override def dataType(): DataType = dt
+      override def isNullable: Boolean = false
+      override def comment(): String = doc
+    }
+
   /** A source Filter replayed as a Column on the inner relation, so
     * the GraftFileIndex prunes and the parquet reader pushes down for
     * SQL exactly as for DataFrame reads. Unsupported shapes drop out

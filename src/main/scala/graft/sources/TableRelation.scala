@@ -307,16 +307,24 @@ class GraftParquetFileFormat(
     val basePlain = super.buildReaderWithPartitionValues(sparkSession,
       dataSchema, partitionSchema, requiredSchema, filters, options,
       hadoopConf)
+    // the query may ALREADY request the row-index column (a selected
+    // `_metadata.row_index`, or the row-level-operation scan's `_pos`)
+    // — reuse it for the mask filter instead of appending a duplicate
+    val existingIdx = requiredSchema.fieldNames.indexOf(
+      ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME)
     // the row-index request column: the TEMPORARY name is what the
     // readers' row-index generators recognize, and it must be NULLABLE
     // — the reader rejects a required-but-absent column as a data
     // error before the generator ever runs
-    val withIdx = StructType(requiredSchema.fields :+ StructField(
-      ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType,
-      nullable = true))
+    val withIdx =
+      if (existingIdx >= 0) requiredSchema
+      else StructType(requiredSchema.fields :+ StructField(
+        ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType,
+        nullable = true))
     val baseMasked = super.buildReaderWithPartitionValues(sparkSession,
       dataSchema, partitionSchema, withIdx, filters, options, hadoopConf)
-    val n = requiredSchema.length
+    val idxAt = if (existingIdx >= 0) existingIdx else requiredSchema.length
+    val stripAppended = existingIdx < 0
     val dataTypes = requiredSchema.fields.map(_.dataType)
     val localMask = maskBc // the broadcast HANDLE rides the closure
     (file: PartitionedFile) => {
@@ -324,13 +332,16 @@ class GraftParquetFileFormat(
       localMask.value.get(name) match {
         case None => basePlain(file)
         case Some(m) =>
-          val strip = UnsafeProjection.create(
-            dataTypes.zipWithIndex.map { case (dt, i) =>
-              BoundReference(i, dt, nullable = true): Expression
-            }.toIndexedSeq)
-          baseMasked(file).filter(r =>
-            java.util.Arrays.binarySearch(m, r.getLong(n)) < 0)
-            .map(strip)
+          val filtered = baseMasked(file).filter(r =>
+            java.util.Arrays.binarySearch(m, r.getLong(idxAt)) < 0)
+          if (!stripAppended) filtered // the query owns the column
+          else {
+            val strip = UnsafeProjection.create(
+              dataTypes.zipWithIndex.map { case (dt, i) =>
+                BoundReference(i, dt, nullable = true): Expression
+              }.toIndexedSeq)
+            filtered.map(strip)
+          }
       }
     }
   }

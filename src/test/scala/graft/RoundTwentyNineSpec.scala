@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.TxLog
+import graft.ops.{TxIo, TxLog}
 import graft.sources.GraftSqlTable
 
 /** Round-29 surface: SQL `DELETE FROM` through the DSv2 catalog —
@@ -42,6 +42,27 @@ class RoundTwentyNineSpec extends AnyFunSuite {
 
   private def idSet(df: DataFrame): Set[Long] =
     df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+  /** Pass-through TxIo for targeted interception in specs. */
+  private class DelegatingIo(inner: graft.ops.TxIo) extends graft.ops.TxIo {
+    override def putIfAbsent(path: String, content: String): Unit =
+      inner.putIfAbsent(path, content)
+    override def read(path: String): String = inner.read(path)
+    override def list(dir: String): Seq[String] = inner.list(dir)
+    override def listRecursive(dir: String): Seq[String] =
+      inner.listRecursive(dir)
+    override def exists(path: String): Boolean = inner.exists(path)
+    override def mkdirs(dir: String): Unit = inner.mkdirs(dir)
+    override def delete(path: String): Unit = inner.delete(path)
+    override def deleteIfExists(path: String): Unit =
+      inner.deleteIfExists(path)
+    override def deleteRecursive(dir: String): Unit =
+      inner.deleteRecursive(dir)
+    override def move(src: String, dst: String): Unit =
+      inner.move(src, dst)
+    override def size(path: String): Long = inner.size(path)
+    override def mtime(path: String): Long = inner.mtime(path)
+  }
 
   test("SQL DELETE FROM deletes exactly the predicate's rows as one " +
       "commit; the pre-delete version stays time-travel readable") {
@@ -170,6 +191,321 @@ class RoundTwentyNineSpec extends AnyFunSuite {
     assert(removed.size < v0.size,
       s"stats pruning failed: every v0 file rewrote ($v0)")
     assert(v0.intersect(head).nonEmpty) // untouched files, by identity
+  }
+
+  test("SQL CALL drives the maintenance lifecycle: checkpoint, " +
+      "compact, optimize, restore, purge_masks, clone, vacuum — each " +
+      "one logged commit returning its version as a row") {
+    val p = tmpDir("sqlproc")
+    TxLog.init(p)
+    TxLog.append(spark, p, docs.repartition(4, col("doc_id")))
+    val all = idSet(docs)
+
+    def call1(sql: String): Option[Long] = {
+      val r = spark.sql(sql).collect()
+      assert(r.length === 1, s"$sql returned ${r.toSeq}")
+      if (r.head.isNullAt(0)) None else Some(r.head.getLong(0))
+    }
+
+    // checkpoint at the tip
+    assert(call1(s"CALL graft_table.system.checkpoint(table => '$p')")
+      === Some(0L))
+
+    // compact the 4 small files into one logically no-op commit
+    assert(call1(s"CALL graft_table.system.compact(table => '$p', " +
+      "target_bytes => 134217728)") === Some(1L))
+    assert(TxLog.resolve(p).files.size === 1)
+    assert(idSet(spark.read.format("graft-table").load(p)) === all)
+
+    // a dv delete, then purge below/above threshold
+    val masked = all.filter(_ % 5 == 0)
+    TxLog.deleteWhereDv(spark, p, "doc_id", masked.toSeq.sorted) // v2
+    assert(call1(s"CALL graft_table.system.purge_masks(table => '$p', " +
+      "min_fraction => 0.99)").isEmpty) // nothing crossed: NULL, no commit
+    assert(TxLog.resolve(p).version === 2L)
+    assert(call1(s"CALL graft_table.system.purge_masks(table => '$p', " +
+      "min_fraction => 0.05)") === Some(3L))
+    assert(idSet(spark.read.format("graft-table").load(p)) === (all -- masked))
+
+    // optimize (whole table), then restore to the masked version
+    assert(call1(s"CALL graft_table.system.optimize(table => '$p', " +
+      "zorder_by => 'doc_id', num_files => 2)") === Some(4L))
+    assert(call1(s"CALL graft_table.system.restore(table => '$p', " +
+      "version => 2)") === Some(5L))
+    assert(idSet(spark.read.format("graft-table").load(p)) === (all -- masked))
+
+    // clone the head zero-copy, positionally (version default = tip)
+    val branch = tmpDir("sqlprocclone") + "/b"
+    assert(call1(s"CALL graft_table.system.clone('$p', '$branch')")
+      === Some(0L))
+    assert(idSet(spark.read.format("graft-table").load(branch))
+      === (all -- masked))
+
+    // vacuum with an explicit retention floor truncates older history
+    val removed = spark.sql("CALL graft_table.system.vacuum(" +
+      s"table => '$p', retain_from => 5)").collect()
+    assert(removed.length === 1 && removed.head.getInt(0) >= 1)
+    assert(TxLog.versions(p).head === 5L)
+    assert(idSet(spark.read.format("graft-table").load(p)) === (all -- masked))
+
+    // unknown procedure and wrong namespace refuse loudly (Spark
+    // wraps the catalog's error as FAILED_TO_LOAD_ROUTINE — the
+    // specific refusal rides the cause chain)
+    def chain(e: Throwable): Seq[String] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(chain(intercept[Exception](
+      spark.sql(s"CALL graft_table.system.drop_table(t => '$p')")))
+      .exists(_.contains("no procedure")))
+    assert(chain(intercept[Exception](
+      spark.sql(s"CALL graft_table.admin.vacuum(table => '$p', " +
+        "retain_from => 5)")))
+      .exists(_.contains("system")))
+  }
+
+  test("CALL optimize with a partition scope rewrites only the named " +
+      "partition and re-records its partition metadata") {
+    val p = tmpDir("sqlprocpart")
+    TxLog.init(p)
+    TxLog.appendPartitioned(spark, p,
+      docs.repartition(2, col("doc_id")), Seq("lang"))
+    val before = TxLog.resolve(p).files.toSet
+
+    val v = spark.sql(s"CALL graft_table.system.optimize(table => '$p', " +
+      "zorder_by => 'doc_id', num_files => 1, partition => 'lang=fr')")
+      .collect().head.getLong(0)
+    assert(v === 1L)
+
+    val after = TxLog.resolve(p).files.toSet
+    assert((before -- after).forall(_.contains("lang=fr")))
+    assert((after -- before).size === 1)
+    // the rewritten file carries the fr partition metadata again
+    val parts = TxLog.filePartitions(p)
+    assert((after -- before).forall(f =>
+      parts.get(f).exists(_.get("lang").contains("fr"))))
+    assert(idSet(spark.read.format("graft-table").load(p)) === idSet(docs))
+  }
+
+  test("metadata columns: _file and _pos are queryable from SQL, and " +
+      "on a masked table survivors keep their PHYSICAL positions") {
+    val p = tmpDir("rlmeta")
+    TxLog.init(p)
+    TxLog.append(spark, p, docs.limit(100).coalesce(1))
+    val rows = spark.sql(
+      s"SELECT doc_id, _file, _pos FROM graft_table.`$p`").collect()
+    assert(rows.length === 100)
+    assert(rows.forall(_.getString(1).endsWith(".parquet")))
+    assert(rows.map(_.getLong(2)).toSet === (0L until 100L).toSet)
+    // mask two physical rows merge-on-read: the survivors' reported
+    // positions must stay physical (skipped, not renumbered)
+    val byPos = rows.sortBy(_.getLong(2)).map(_.getLong(0))
+    TxLog.deleteWhereDv(spark, p, "doc_id",
+      Seq(byPos(0), byPos(5)).sorted)
+    val after = spark.sql(s"SELECT _pos FROM graft_table.`$p`")
+      .collect().map(_.getLong(0)).toSet
+    assert(after === (0L until 100L).toSet -- Set(0L, 5L))
+  }
+
+  test("SQL UPDATE is one merge-on-read commit: old positions masked, " +
+      "new rows appended, NO live data file rewritten") {
+    val p = tmpDir("rlupd")
+    TxLog.init(p)
+    TxLog.append(spark, p,
+      docs.repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions("doc_id"))
+    val before = TxLog.resolve(p).files.toSet
+
+    spark.sql(s"UPDATE graft_table.`$p` SET lang = 'xx' " +
+      "WHERE doc_id % 10 = 3")
+
+    val snap = TxLog.resolve(p)
+    assert(snap.version === 1L)
+    // merge-on-read: every pre-update file is STILL live (masked, not
+    // rewritten); the new rows are appended files
+    assert(before.subsetOf(snap.files.toSet))
+    assert(snap.dvFiles.nonEmpty)
+    val out = spark.read.format("graft-table").load(p)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.getLong(0) % 10 == 3) "xx" else r.getString(1))).toMap
+    assert(out === expect)
+    // the pre-update state stays time-travel readable
+    assert(spark.read.format("graft-table").option("versionAsOf", "0")
+      .load(p).filter(col("lang") === "xx").count() === 0L)
+  }
+
+  test("SQL MERGE INTO: matched rows update merge-on-read, unmatched " +
+      "rows insert — one commit") {
+    val p = tmpDir("rlmerge")
+    TxLog.init(p)
+    TxLog.append(spark, p, docs.filter(col("doc_id") < 400).coalesce(2))
+    val srcDf = docs.filter(col("doc_id") >= 200)
+      .withColumn("lang", lit("mg"))
+    srcDf.createOrReplaceTempView("rl_merge_src")
+    val before = TxLog.resolve(p).files.toSet
+
+    spark.sql(s"MERGE INTO graft_table.`$p` t " +
+      "USING rl_merge_src s ON t.doc_id = s.doc_id " +
+      "WHEN MATCHED THEN UPDATE SET t.lang = s.lang " +
+      "WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars) " +
+      "VALUES (s.doc_id, s.lang, s.n_chars)")
+
+    val snap = TxLog.resolve(p)
+    assert(snap.version === 1L)
+    assert(before.subsetOf(snap.files.toSet)) // nothing rewritten
+    val out = spark.read.format("graft-table").load(p)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = docs.select("doc_id", "lang").collect().map { r =>
+      val id = r.getLong(0)
+      id -> (if (id >= 200) "mg" else r.getString(1))
+    }.toMap
+    assert(out === expect)
+  }
+
+  test("DELETE routes by predicate shape: a translatable WHERE stays " +
+      "the metadata copy-on-write delete; a non-translatable WHERE " +
+      "goes row-level and writes a deletion vector instead of " +
+      "rewriting files") {
+    val p = tmpDir("rlroute")
+    TxLog.init(p)
+    TxLog.append(spark, p, docs.coalesce(2))
+    val all = idSet(docs)
+    val v0Files = TxLog.resolve(p).files.toSet
+
+    // non-translatable (modulo): row-level → dv commit, zero file churn
+    spark.sql(s"DELETE FROM graft_table.`$p` WHERE doc_id % 7 = 2")
+    val v1 = TxLog.resolve(p)
+    assert(v1.files.toSet === v0Files, "row-level delete rewrote files")
+    assert(v1.dvFiles.nonEmpty)
+    val after1 = all.filterNot(_ % 7 == 2)
+    assert(idSet(spark.read.format("graft-table").load(p)) === after1)
+
+    // translatable (equality): the metadata SupportsDelete path — the
+    // hit files REWRITE (copy-on-write) and no new mask appears
+    val dvBefore = v1.dvFiles.toSet
+    spark.sql(s"DELETE FROM graft_table.`$p` WHERE lang = 'fr'")
+    val v2 = TxLog.resolve(p)
+    assert(v2.files.toSet !== v1.files.toSet,
+      "metadata delete should have rewritten the hit files")
+    assert(v2.dvFiles.toSet.subsetOf(dvBefore), "unexpected new mask")
+    assert(idSet(spark.read.format("graft-table").load(p)) ===
+      idSet(docs.filter(col("lang") =!= "fr")).intersect(after1))
+  }
+
+  test("SQL UPDATE on an already-masked table: surviving rows update, " +
+      "masked rows stay deleted (never resurrected), one combined mask") {
+    val p = tmpDir("rlupdmask")
+    TxLog.init(p)
+    TxLog.append(spark, p, docs.limit(200).coalesce(1))
+    val ids = idSet(docs.limit(200))
+    val masked = ids.filter(_ % 11 == 4)
+    assert(masked.nonEmpty)
+    TxLog.deleteWhereDv(spark, p, "doc_id", masked.toSeq.sorted) // v1
+
+    spark.sql(s"UPDATE graft_table.`$p` SET n_chars = -1 " +
+      "WHERE doc_id % 3 = 0") // v2: same file holds masked + updated
+
+    val out = spark.read.format("graft-table").load(p)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet === (ids -- masked))
+    assert(out.forall { case (id, n) => (id % 3 == 0) == (n == -1L) })
+  }
+
+  test("a row-level write that loses its version race fails loudly " +
+      "and leaves no staged files or sidecar behind") {
+    val p = tmpDir("rlrace")
+    TxLog.init(p)
+    TxLog.append(spark, p, docs.limit(100).coalesce(1))
+    // deterministic racing winner: when the UPDATE's commit publish
+    // arrives for version 1, publish a data-free commit there first
+    val prev = TxIo.wrapper
+    TxIo.wrapper = inner => new DelegatingIo(inner) {
+      override def putIfAbsent(path: String, content: String): Unit = {
+        if (path.startsWith(p) && path.endsWith("00000001.json") &&
+            !content.contains("\"op\":\"append\""))
+          inner.putIfAbsent(path,
+            """{"v":1,"op":"append","adds":[],"removes":[],""" +
+              """"rows":0,"rowsRemoved":0}""")
+        inner.putIfAbsent(path, content)
+      }
+    }
+    try {
+      val e = intercept[Exception](
+        spark.sql(s"UPDATE graft_table.`$p` SET lang = 'xx' " +
+          "WHERE doc_id % 2 = 0"))
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).toSeq
+      assert(chain(e).exists(_.contains("committed concurrently")),
+        chain(e).mkString(" | "))
+    } finally TxIo.wrapper = prev
+    // loser cleaned up: no staged dirs, no orphan part/dv files beyond
+    // v0's single data file and the racing winner's empty commit
+    val snap = TxLog.resolve(p)
+    assert(snap.version === 1L && snap.files.size === 1 &&
+      snap.dvFiles.isEmpty)
+    val leftovers = java.nio.file.Files.list(
+        java.nio.file.Paths.get(p)).toArray.map(_.toString)
+      .filter(_.contains("_staged"))
+    assert(leftovers.isEmpty, leftovers.toSeq.toString)
+    val dataFiles = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$p/data")).toArray.map(_.toString)
+    assert(dataFiles.length === 1, dataFiles.toSeq.toString)
+  }
+
+  test("constraints gate SQL UPDATE's re-inserted rows like any append") {
+    val p = tmpDir("rlconstraint")
+    TxLog.init(p)
+    TxLog.append(spark, p, docs.limit(100).coalesce(1))
+    TxLog.addConstraint(spark, p, "n_chars_nonneg", "n_chars >= 0")
+    val e = intercept[Exception](
+      spark.sql(s"UPDATE graft_table.`$p` SET n_chars = -5 " +
+        "WHERE doc_id % 2 = 0"))
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("n_chars_nonneg")),
+      chain(e).mkString(" | "))
+    // rejected atomically: no new version, no mutation
+    assert(TxLog.resolve(p).version === 1L)
+    assert(spark.read.format("graft-table").load(p)
+      .filter(col("n_chars") < 0).count() === 0L)
+  }
+
+  test("CDC over a SQL UPDATE interval reports the old rows out and " +
+      "the new rows in") {
+    val p = tmpDir("rlcdc")
+    TxLog.init(p)
+    TxLog.append(spark, p, docs.limit(100).coalesce(1))
+    val ids = idSet(docs.limit(100))
+    val hit = ids.filter(_ % 9 == 1)
+    assert(hit.nonEmpty)
+    spark.sql(s"UPDATE graft_table.`$p` SET lang = 'up' " +
+      "WHERE doc_id % 9 = 1")
+    val ch = TxLog.changesBetween(spark, p, 0L, 1L)
+      .select("doc_id", "lang", "change").collect()
+    val dels = ch.filter(_.getString(2) == "delete")
+      .map(_.getLong(0)).toSet
+    val ins = ch.filter(_.getString(2) == "insert")
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dels === hit)
+    assert(ins.keySet === hit && ins.values.forall(_ == "up"))
+  }
+
+  test("the q_table_sql_update lifecycle's own log shows merge-on-read: " +
+      "every seed file still live, the update is mask + appends") {
+    val p = SparkEntry.txlogSqlUpdRootForSpec(spark, testdata)
+    val v0 = TxLog.resolve(p, Some(0L)).files.toSet
+    val head = TxLog.resolve(p)
+    assert(head.version === 1L)
+    assert(v0.subsetOf(head.files.toSet),
+      s"the SQL UPDATE rewrote live files: ${v0 -- head.files.toSet}")
+    assert(head.dvFiles.nonEmpty, "no deletion vector published")
+    assert((head.files.toSet -- v0).nonEmpty, "no new images appended")
   }
 
   test("deleteWherePredicate composes with hive-partitioned tables: " +

@@ -958,6 +958,53 @@ object Scratch {
                 (if (nOpenedP == enFiles && nP == wantP && nP > 0 &&
                      connFiles == enFiles.toLong &&
                      enFiles < liveP.size) "OK" else "MISMATCH"))
+            case "sqlupdate" =>
+              // SQL UPDATE at 20x: 100k rows as 100 key-clustered
+              // files, 1000 keys scattered across the WHOLE range
+              // updated through the row-level DSv2 machinery — ONE
+              // merge-on-read commit that rewrites ZERO live files
+              // (every seed file still live), stages a KB-scale
+              // sidecar + small new-image files, and reads back exact
+              spark.conf.set("spark.sql.catalog.graft_table",
+                "graft.sources.GraftCatalog")
+              val upKeys = (0 until 20).flatMap(i =>
+                (0 until 50).map(j => i * 1000000L + j * 100L))
+              val rootUp = java.nio.file.Files
+                .createTempDirectory("graft-sqlupd-").toString
+              ops.TxLog.init(rootUp)
+              ops.TxLog.append(spark, rootUp, big
+                .select("doc_id", "lang", "n_chars")
+                .repartitionByRange(100, col("doc_id"))
+                .sortWithinPartitions("doc_id"))
+              val seed = ops.TxLog.resolve(rootUp).files.toSet
+              val wantUp = big.filter(col("doc_id").isin(upKeys: _*))
+                .count()
+              locally {
+                import spark.implicits._
+                upKeys.toDF("k")
+                  .createOrReplaceTempView("stress_upd_keys")
+              }
+              val t0up = System.nanoTime()
+              spark.sql(s"UPDATE graft_table.`$rootUp` " +
+                "SET lang = 'up' WHERE doc_id IN " +
+                "(SELECT k FROM stress_upd_keys)")
+              val secUp = (System.nanoTime() - t0up) / 1e9
+              val snapUp = ops.TxLog.resolve(rootUp)
+              val rewrote = (seed -- snapUp.files.toSet).size
+              val sidecarBytes = snapUp.dvFiles
+                .map(f => java.nio.file.Files.size(
+                  java.nio.file.Paths.get(rootUp, f))).sum
+              val upd = spark.read.format("graft-table").load(rootUp)
+                .filter(col("lang") === "up").count()
+              val totUp = spark.read.format("graft-table").load(rootUp)
+                .count()
+              println(f"sec=$secUp%.1f updated=$upd/$wantUp " +
+                f"total=$totUp/${big.count()} rewroteLiveFiles=$rewrote " +
+                f"sidecarBytes=$sidecarBytes " +
+                f"newFiles=${(snapUp.files.toSet -- seed).size} " +
+                (if (rewrote == 0 && upd == wantUp &&
+                     totUp == big.count() && sidecarBytes < 200000)
+                   "OK" else "MISMATCH"))
             case "tabledv" =>
               // merge-on-read delete at 20x: 100k rows as 100
               // key-clustered files, then 1000 keys scattered across
