@@ -508,6 +508,143 @@ class RoundTwentyNineSpec extends AnyFunSuite {
     assert((head.files.toSet -- v0).nonEmpty, "no new images appended")
   }
 
+  test("model fuzz: random SQL mutation + maintenance lifecycles " +
+      "match an in-memory model at every committed version, and time " +
+      "travel replays every recorded state") {
+    val rnd = new scala.util.Random(20260816L)
+    def readState(p: String, v: Option[Long]): Map[Long, (String, Long)] = {
+      val r = spark.read.format("graft-table")
+      v.foreach(x => r.option("versionAsOf", x.toString))
+      r.load(p).select("doc_id", "lang", "n_chars").collect()
+        .map(row => row.getLong(0) ->
+          (row.getString(1), row.getLong(2))).toMap
+    }
+    for (iter <- 0 until 2) {
+      val p = tmpDir(s"rlfuzz$iter")
+      TxLog.init(p)
+      var model = Map.empty[Long, (String, Long)]
+      var nextId = 0L
+      def freshRows(n: Int, lang: String): Seq[(Long, String, Long)] = {
+        val rows = (0 until n).map { i =>
+          (nextId + i, lang, rnd.nextInt(1000).toLong)
+        }
+        nextId += n
+        rows
+      }
+      def viewOf(rows: Seq[(Long, String, Long)], name: String): Unit = {
+        import spark.implicits._
+        rows.toDF("doc_id", "lang", "n_chars")
+          .createOrReplaceTempView(name)
+      }
+      // seed through the writer
+      locally {
+        import spark.implicits._
+        val rows = freshRows(80, "s0")
+        rows.toDF("doc_id", "lang", "n_chars").coalesce(2)
+          .write.format("graft-table").mode("append").save(p)
+        model = rows.map(r => r._1 -> (r._2, r._3)).toMap
+      }
+      val states = scala.collection.mutable.Buffer[
+        (Long, Map[Long, (String, Long)])]()
+      states += TxLog.resolve(p).version -> model
+
+      for (step <- 0 until 10) {
+        rnd.nextInt(7) match {
+          case 0 => // SQL INSERT INTO
+            val rows = freshRows(rnd.nextInt(20) + 1, s"i$step")
+            viewOf(rows, "rl_fuzz_src")
+            spark.sql(s"INSERT INTO graft_table.`$p` " +
+              "SELECT doc_id, lang, n_chars FROM rl_fuzz_src")
+            model ++= rows.map(r => r._1 -> (r._2, r._3))
+          case 1 => // row-level DELETE (modulo — never translatable)
+            val k = rnd.nextInt(5) + 2
+            val r0 = rnd.nextInt(k)
+            spark.sql(s"DELETE FROM graft_table.`$p` " +
+              s"WHERE doc_id % $k = $r0")
+            model = model.filterNot { case (id, _) => id % k == r0 }
+          case 2 => // metadata DELETE (range — translatable)
+            val cut = rnd.nextLong(nextId + 1)
+            spark.sql(s"DELETE FROM graft_table.`$p` " +
+              s"WHERE doc_id >= $cut")
+            model = model.filter { case (id, _) => id < cut }
+          case 3 => // SQL UPDATE
+            val k = rnd.nextInt(5) + 2
+            val r0 = rnd.nextInt(k)
+            spark.sql(s"UPDATE graft_table.`$p` SET lang = 'u$step', " +
+              s"n_chars = n_chars + 1 WHERE doc_id % $k = $r0")
+            model = model.map {
+              case (id, (_, n)) if id % k == r0 =>
+                id -> (s"u$step", n + 1)
+              case other => other
+            }
+          case 4 => // MERGE INTO: update half the survivors + inserts
+            val upd = model.keys.toSeq.sorted
+              .filter(_ => rnd.nextBoolean())
+              .map(id => (id, s"m$step", model(id)._2 + 100))
+            val ins = freshRows(rnd.nextInt(10) + 1, s"m$step")
+            viewOf(rnd.shuffle(upd ++ ins), "rl_fuzz_src")
+            spark.sql(s"MERGE INTO graft_table.`$p` t " +
+              "USING rl_fuzz_src s ON t.doc_id = s.doc_id " +
+              "WHEN MATCHED THEN UPDATE SET t.lang = s.lang, " +
+              "t.n_chars = s.n_chars " +
+              "WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars) " +
+              "VALUES (s.doc_id, s.lang, s.n_chars)")
+            model ++= (upd ++ ins).map(r => r._1 -> (r._2, r._3))
+          case 5 => // maintenance: compact or optimize (model no-op)
+            if (model.nonEmpty) {
+              if (rnd.nextBoolean())
+                spark.sql("CALL graft_table.system.compact(" +
+                  s"table => '$p', target_bytes => 134217728)")
+              else
+                spark.sql("CALL graft_table.system.optimize(" +
+                  s"table => '$p', zorder_by => 'doc_id', " +
+                  "num_files => 2)")
+            }
+          case 6 => // maintenance: purge_masks / checkpoint (no-op)
+            if (rnd.nextBoolean())
+              spark.sql("CALL graft_table.system.purge_masks(" +
+                s"table => '$p', min_fraction => 0.3)")
+            else
+              spark.sql("CALL graft_table.system.checkpoint(" +
+                s"table => '$p')")
+        }
+        assert(readState(p, None) === model,
+          s"iter=$iter step=$step head mismatch")
+        states += TxLog.resolve(p).version -> model
+      }
+      // time travel: every recorded state replays exactly (dedupe —
+      // a below-threshold purge records no new version)
+      states.groupBy(_._1).foreach { case (v, ss) =>
+        assert(readState(p, Some(v)) === ss.last._2,
+          s"iter=$iter time travel to v$v mismatch")
+      }
+    }
+  }
+
+  test("row-level UPDATE composes with hive-partitioned tables: the " +
+      "partition column survives in the new images (conservative " +
+      "metadata, correct rows)") {
+    val p = tmpDir("rlpart")
+    TxLog.init(p)
+    TxLog.appendPartitioned(spark, p,
+      docs.repartition(2, col("doc_id")), Seq("lang"))
+    val seed = TxLog.resolve(p).files.toSet
+
+    spark.sql(s"UPDATE graft_table.`$p` SET n_chars = -1 " +
+      "WHERE lang = 'fr' AND doc_id % 2 = 0")
+
+    val head = TxLog.resolve(p)
+    assert(seed.subsetOf(head.files.toSet)) // merge-on-read held
+    val out = spark.read.format("graft-table").load(p)
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val expect = docs.collect().map { r =>
+      val (id, lang, n) = (r.getLong(0), r.getString(1), r.getLong(2))
+      id -> (lang, if (lang == "fr" && id % 2 == 0) -1L else n)
+    }.toMap
+    assert(out === expect)
+  }
+
   test("deleteWherePredicate composes with hive-partitioned tables: " +
       "partition metadata prunes the discovery and the partition " +
       "columns survive in the rewritten files") {
