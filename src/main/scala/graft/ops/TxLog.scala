@@ -1307,11 +1307,34 @@ object TxLog {
                                     op: String): Long = {
     val next = baseVersion + 1
     val uid = UUID.randomUUID().toString.take(8)
-    val adds = stagedDataAbs.sorted.zipWithIndex.map { case (src, i) =>
+    // small-update hygiene: the delta writers emit one insert file per
+    // TASK, so a 1000-row UPDATE at 32-way parallelism would publish
+    // 32 near-empty files — pure listing/footer noise at scale. Below
+    // the bin-pack threshold the new images consolidate into one file
+    // (reading KBs, driver-coordinated, no shuffle); a genuinely large
+    // update keeps its task files as-is and compaction policy owns
+    // them like any other append's output
+    val SmallAddBytes = 32L << 20
+    val staged =
+      if (stagedDataAbs.size > 1 &&
+          stagedDataAbs.map(io(root).size).sum < SmallAddBytes) {
+        val tmp = s"$root/_staged-rlc-$uid"
+        spark.read.option("mergeSchema", "true")
+          .parquet(stagedDataAbs: _*).coalesce(1).write.parquet(tmp)
+        stagedDataAbs.foreach(io(root).delete)
+        val merged = io(root).list(tmp).filter(_.endsWith(".parquet"))
+          .map(n => s"$tmp/$n")
+        require(merged.size == 1,
+          s"row-level consolidation produced ${merged.size} files")
+        merged
+      } else stagedDataAbs
+    val adds = staged.sorted.zipWithIndex.map { case (src, i) =>
       val rel = f"data/part-$uid-$i%05d.parquet"
       io(root).move(src, s"$root/$rel")
       rel
     }
+    if (io(root).exists(s"$root/_staged-rlc-$uid"))
+      io(root).deleteRecursive(s"$root/_staged-rlc-$uid")
     // constraint gate (deletes the adds itself on a violation)
     validateStaged(spark, root, adds, "row-level write")
     val nameToRel = resolve(root, Some(baseVersion)).files

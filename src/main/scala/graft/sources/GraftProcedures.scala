@@ -65,10 +65,14 @@ private[sources] object GraftProcedures {
     def output: StructType
     def run(s: SparkSession, in: InternalRow): InternalRow
 
+    /** Override for multi-row results ([[run]] is then unused). */
+    def runAll(s: SparkSession, in: InternalRow): Array[InternalRow] =
+      Array(run(s, in))
+
     override def call(in: InternalRow): java.util.Iterator[Scan] = {
-      val row = run(spark, in)
+      val out = runAll(spark, in)
       val scan: Scan = new LocalScan {
-        override def rows(): Array[InternalRow] = Array(row)
+        override def rows(): Array[InternalRow] = out
         override def readSchema(): StructType = output
         override def description(): String = s"graft $procName result"
       }
@@ -178,6 +182,28 @@ private[sources] object GraftProcedures {
         new GenericInternalRow(Array[Any](
           TxLog.purgeMasks(s, table(in), in.getDouble(1))
             .map(v => v: Any).orNull))
+    },
+
+    new Proc("history",
+      "the commit ledger, oldest first: one row per version still on " +
+        "disk (vacuum truncates history by contract)", Table) {
+      override def output: StructType = StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("op", StringType, nullable = false),
+        StructField("n_adds", IntegerType, nullable = false),
+        StructField("n_removes", IntegerType, nullable = false),
+        StructField("rows", LongType, nullable = true),
+        StructField("rows_removed", LongType, nullable = true)))
+      override def run(s: SparkSession, in: InternalRow): InternalRow =
+        throw new IllegalStateException("multi-row procedure")
+      override def runAll(s: SparkSession,
+                          in: InternalRow): Array[InternalRow] =
+        TxLog.history(table(in)).map { ci =>
+          new GenericInternalRow(Array[Any](ci.version,
+            UTF8String.fromString(ci.op), ci.adds.size, ci.removes.size,
+            ci.rows.map(v => v: Any).orNull,
+            ci.rowsRemoved.map(v => v: Any).orNull)): InternalRow
+        }.toArray
     },
 
     new Proc("clone",

@@ -621,6 +621,85 @@ class RoundTwentyNineSpec extends AnyFunSuite {
     }
   }
 
+  test("a small UPDATE consolidates its task-fanned insert files into " +
+      "ONE new image file; CALL history shows the whole ledger") {
+    val p = tmpDir("rlsmall")
+    TxLog.init(p)
+    TxLog.append(spark, p, docs.repartition(8, col("doc_id")))
+    val seed = TxLog.resolve(p).files.toSet
+
+    // 8 input files → 8 write tasks, but the new images are tiny:
+    // exactly ONE consolidated add must publish
+    spark.sql(s"UPDATE graft_table.`$p` SET lang = 'c' " +
+      "WHERE doc_id % 4 = 1")
+    val head = TxLog.resolve(p)
+    val newFiles = head.files.toSet -- seed
+    assert(newFiles.size === 1, s"expected 1 consolidated add: $newFiles")
+    assert(seed.subsetOf(head.files.toSet))
+    val out = spark.read.format("graft-table").load(p)
+      .filter(col("lang") === "c").count()
+    assert(out === idSet(docs).count(_ % 4 == 1))
+    // no consolidation staging leftovers
+    assert(!java.nio.file.Files.list(java.nio.file.Paths.get(p))
+      .toArray.map(_.toString).exists(_.contains("_staged")))
+
+    // the ledger in SQL: seed append + the update-dv commit
+    val hist = spark.sql(
+      s"CALL graft_table.system.history(table => '$p')").collect()
+    assert(hist.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((0L, "append"), (1L, "update-dv")))
+    assert(hist(1).getLong(4) === out) // rows added by the update
+    assert(hist(1).getLong(5) === out) // rows masked by the update
+  }
+
+  test("an append-only table stream refuses a SQL UPDATE's commit " +
+      "loudly (fail-closed op guard); the cdc stream consumes it") {
+    val p = tmpDir("rlstream")
+    TxLog.init(p)
+    TxLog.append(spark, p, docs.limit(100).coalesce(1))
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+
+    // both streams up BEFORE the update, so the commit arrives as an
+    // INCREMENTAL interval: the append-only one must fail the op
+    // guard loudly, the cdc one must consume the change feed
+    val out = new scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.Row]
+    val q = spark.readStream.format("graft-table").load(p)
+      .writeStream
+      .foreachBatch((df: DataFrame, _: Long) =>
+        out.synchronized { out ++= df.collect() }: Unit)
+      .option("checkpointLocation", tmpDir("rlstream-ckpt")).start()
+    val cdcOut = new scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.Row]
+    val qc = spark.readStream.format("graft-table")
+      .option("cdc", "true").load(p)
+      .writeStream
+      .foreachBatch((df: DataFrame, _: Long) =>
+        cdcOut.synchronized { cdcOut ++= df.collect() }: Unit)
+      .option("checkpointLocation", tmpDir("rlstream-cdc-ckpt")).start()
+    try {
+      q.processAllAvailable()
+      qc.processAllAvailable()
+      assert(out.size === 100)
+      cdcOut.clear() // keep only the update interval's feed
+
+      spark.sql(s"UPDATE graft_table.`$p` SET lang = 'st' " +
+        "WHERE doc_id % 2 = 0")
+
+      val e = intercept[Exception](q.processAllAvailable())
+      assert(chain(e).exists(m => m.contains("append-only") &&
+        m.contains("update-dv")), chain(e).mkString(" | "))
+      qc.processAllAvailable()
+    } finally { q.stop(); qc.stop() }
+    val upd = cdcOut.filter(r => r.getAs[String]("change") == "delete")
+      .map(_.getAs[Long]("doc_id"))
+    assert(upd.nonEmpty && upd.forall(_ % 2 == 0))
+    val ins = cdcOut.filter(r => r.getAs[String]("change") == "insert")
+    assert(ins.nonEmpty && ins.forall(_.getAs[String]("lang") == "st"))
+  }
+
   test("row-level UPDATE composes with hive-partitioned tables: the " +
       "partition column survives in the new images (conservative " +
       "metadata, correct rows)") {
