@@ -700,6 +700,100 @@ class RoundTwentyNineSpec extends AnyFunSuite {
     assert(ins.nonEmpty && ins.forall(_.getAs[String]("lang") == "st"))
   }
 
+  test("MERGE INTO clause zoo: WHEN MATCHED DELETE, conditional " +
+      "UPDATE, and WHEN NOT MATCHED BY SOURCE all land in one commit") {
+    val p = tmpDir("rlmergezoo")
+    TxLog.init(p)
+    TxLog.append(spark, p, docs.filter(col("doc_id") < 300).coalesce(2))
+    val tgt = idSet(docs.filter(col("doc_id") < 300))
+    // source: ids in [100, 400)
+    docs.filter(col("doc_id") >= 100 && col("doc_id") < 400)
+      .withColumn("lang", lit("zz"))
+      .createOrReplaceTempView("rl_zoo_src")
+
+    spark.sql(s"MERGE INTO graft_table.`$p` t " +
+      "USING rl_zoo_src s ON t.doc_id = s.doc_id " +
+      "WHEN MATCHED AND t.doc_id % 2 = 0 THEN DELETE " +
+      "WHEN MATCHED THEN UPDATE SET t.lang = s.lang " +
+      "WHEN NOT MATCHED BY SOURCE AND t.doc_id < 50 THEN DELETE")
+
+    assert(TxLog.resolve(p).version === 1L) // ONE commit
+    val out = spark.read.format("graft-table").load(p)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = docs.filter(col("doc_id") < 300)
+      .select("doc_id", "lang").collect().flatMap { r =>
+        val id = r.getLong(0)
+        val matched = id >= 100 && id < 300
+        if (matched && id % 2 == 0) None // matched delete
+        else if (matched) Some(id -> "zz") // matched update
+        else if (id < 50) None // not-matched-by-source delete
+        else Some(id -> r.getString(1))
+      }.toMap
+    assert(out === expect)
+    assert(tgt.nonEmpty) // sanity: the target wasn't empty
+  }
+
+  test("SQL UPDATE on a schema-evolved table: pre-evolution rows " +
+      "update with the new column read as null") {
+    val p = tmpDir("rlevolve")
+    TxLog.init(p)
+    val base = docs.limit(100)
+    base.select("doc_id", "lang", "n_chars").coalesce(1)
+      .write.format("graft-table").mode("append").save(p) // v0: 3 cols
+    base.limit(0).withColumn("score", lit(1.5))
+      .write.format("graft-table").mode("append").save(p) // v1: +score
+    val ids = idSet(base)
+
+    spark.sql(s"UPDATE graft_table.`$p` SET lang = 'ev' " +
+      "WHERE doc_id % 2 = 0") // over the evolved 4-col schema
+
+    val out = spark.read.format("graft-table").load(p)
+      .select("doc_id", "lang", "score").collect()
+    assert(out.map(_.getLong(0)).toSet === ids)
+    assert(out.forall(r => (r.getLong(0) % 2 == 0) ==
+      (r.getString(1) == "ev")))
+    assert(out.forall(_.isNullAt(2))) // score stayed null everywhere
+  }
+
+  test("catalog column pruning: COUNT(*) (empty required schema) and " +
+      "single-column SELECTs plan and answer correctly") {
+    val p = tmpDir("rlprune")
+    TxLog.init(p)
+    TxLog.append(spark, p, docs.limit(150).coalesce(1))
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_table.`$p`")
+      .collect().head.getLong(0) === 150L)
+    assert(spark.sql(
+        s"SELECT sum(n_chars) AS s FROM graft_table.`$p`")
+      .collect().head.getLong(0) ===
+      docs.limit(150).agg(sum("n_chars")).collect().head.getLong(0))
+    // and on a masked table (row-based reader path)
+    TxLog.deleteWhereDv(spark, p, "doc_id",
+      idSet(docs.limit(150)).toSeq.sorted.take(10))
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_table.`$p`")
+      .collect().head.getLong(0) === 140L)
+  }
+
+  test("TRUNCATE TABLE and DESCRIBE work through the catalog: " +
+      "truncate is one logged commit (history intact), describe " +
+      "names the log-recorded schema") {
+    val p = tmpDir("rltrunc")
+    TxLog.init(p)
+    TxLog.append(spark, p, docs.limit(100).coalesce(1))
+
+    val desc = spark.sql(s"DESCRIBE TABLE graft_table.`$p`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.get("doc_id").contains("bigint"))
+    assert(desc.get("lang").contains("string"))
+    assert(desc.get("n_chars").contains("bigint"))
+
+    spark.sql(s"TRUNCATE TABLE graft_table.`$p`")
+    assert(spark.read.format("graft-table").load(p).count() === 0L)
+    assert(TxLog.resolve(p).version === 1L)
+    assert(spark.read.format("graft-table").option("versionAsOf", "0")
+      .load(p).count() === 100L)
+  }
+
   test("row-level UPDATE composes with hive-partitioned tables: the " +
       "partition column survives in the new images (conservative " +
       "metadata, correct rows)") {
