@@ -1163,16 +1163,40 @@ object TxLog {
     }
     // survivor rewrite of ONLY the hit files, masked rows dropped (the
     // rewrite purges their vectors physically); rows where the
-    // predicate is NULL are kept — a bare `!cond` would erase them
-    val adds = stage(spark, root,
-      applyDvMask(spark, root,
-        spark.read.option("mergeSchema", "true")
-          .parquet(affectedAbs.toIndexedSeq: _*), snap.dvFiles)
-        .filter(cond.isNull || !cond))
+    // predicate is NULL are kept — a bare `!cond` would erase them.
+    // The affected frame ALIGNS to the table's log-recorded schema
+    // first: on a schema-evolved table the predicate may reference a
+    // column no affected file physically carries (missing = NULL by
+    // evolution semantics), and the raw footer-merged frame could not
+    // resolve it
+    val affected = applyDvMask(spark, root,
+      spark.read.option("mergeSchema", "true")
+        .parquet(affectedAbs.toIndexedSeq: _*), snap.dvFiles)
+    val aligned = tableSchema(root, Some(snap.version))
+      .map(_.fields.toSeq).getOrElse(Seq.empty)
+      .filterNot(f => affected.columns.contains(f.name))
+      .foldLeft(affected)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val adds = stage(spark, root, aligned.filter(cond.isNull || !cond))
     val removes = affectedAbs.toSeq.map(relToRoot(root, _))
     commitOrCleanup(root, adds) {
       writeCommit(root, next, adds, removes, op = "delete")
     }
+    next
+  }
+
+  /** DELETE with no WHERE / SQL TRUNCATE: remove every live file from
+    * the head by PURE METADATA — no data read, no rewrite, one commit
+    * (at 100 TB the "delete everything" that should cost one log write
+    * must not cost two full-table passes). Every pre-delete version
+    * stays time-travel readable until [[vacuum]] — this is NOT a
+    * reclamation. Returns the committed version.
+    */
+  def removeAll(root: String): Long = {
+    val snap = resolve(root)
+    val next = snap.version + 1
+    writeCommit(root, next, Seq.empty, snap.files, op = "delete",
+      knownMeta = Some(FileMeta(0L, Map.empty, Map.empty)))
     next
   }
 
@@ -1254,6 +1278,33 @@ object TxLog {
     // ONE pass over the candidate data: write the sidecar first, then
     // derive the ledger stats (covers, hit count) by reading the
     // KB-scale sidecar back — never by re-running the discovery scan
+    stageDvSidecar(spark, root, hits) match {
+      case None =>
+        writeCommit(root, next, Seq.empty, Seq.empty, op = "delete-dv")
+      case Some((dvRel, perFile)) =>
+        val nameToRel = candidates.map(f => fileNameOf(f) -> f).toMap
+        val covers = perFile.keys.map(nameToRel).toSeq.sorted
+        commitOrCleanup(root, Seq(dvRel)) {
+          writeCommit(root, next, Seq.empty, Seq.empty, op = "delete-dv",
+            dv = Some((dvRel, covers)),
+            knownMeta = Some(FileMeta(0L, Map.empty, Map.empty)),
+            knownRowsRemoved = Some(perFile.values.sum))
+        }
+    }
+    next
+  }
+
+  /** Stage a `(file NAME, position)` hits frame as ONE published
+    * sidecar under `data/` and return it with its per-file-name mask
+    * counts (None when the frame is empty — the sidecar is deleted).
+    * Only (file, count) pairs come to the driver — bounded by the
+    * touched-file count, never by the number of masked rows. Shared
+    * by [[deleteWhereDv]] and [[commitRowDelta]] so the sidecar
+    * grammar and staging hygiene live in one place.
+    */
+  private def stageDvSidecar(spark: SparkSession, root: String,
+                             hits: DataFrame)
+      : Option[(String, Map[String, Long])] = {
     val uid = UUID.randomUUID().toString.take(8)
     val tmp = s"$root/_staged-dv-$uid"
     hits.coalesce(1).sortWithinPartitions("file", "pos").write.parquet(tmp)
@@ -1263,25 +1314,13 @@ object TxLog {
     io(root).move(s"$tmp/${parts.head}", s"$root/$dvRel")
     io(root).list(tmp).foreach(n => io(root).delete(s"$tmp/$n"))
     io(root).delete(tmp)
-    // only (file, count) comes to the driver — bounded by the pruned
-    // candidate set, never by the number of deleted rows
     val perFile = spark.read.parquet(s"$root/$dvRel")
       .groupBy("file").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     if (perFile.isEmpty) {
       io(root).delete(s"$root/$dvRel")
-      writeCommit(root, next, Seq.empty, Seq.empty, op = "delete-dv")
-      return next
-    }
-    val nHits = perFile.map(_.getLong(1)).sum
-    val nameToRel = candidates.map(f => fileNameOf(f) -> f).toMap
-    val covers = perFile.map(r => nameToRel(r.getString(0))).toSeq.sorted
-    commitOrCleanup(root, Seq(dvRel)) {
-      writeCommit(root, next, Seq.empty, Seq.empty, op = "delete-dv",
-        dv = Some((dvRel, covers)),
-        knownMeta = Some(FileMeta(0L, Map.empty, Map.empty)),
-        knownRowsRemoved = Some(nHits))
-    }
-    next
+      None
+    } else Some((dvRel, perFile))
   }
 
   /** Publish one ROW-LEVEL SQL write (UPDATE / MERGE INTO /
@@ -1345,35 +1384,21 @@ object TxLog {
         // fragments → one sorted sidecar; distinct because a MERGE
         // source may address a target row more than once upstream of
         // Spark's own cardinality check modes
-        val tmp = s"$root/_staged-dv-$uid"
-        spark.read.parquet(dvFragmentsAbs: _*)
-          .select("file", "pos").distinct()
-          .coalesce(1).sortWithinPartitions("file", "pos")
-          .write.parquet(tmp)
-        val parts = io(root).list(tmp).filter(_.endsWith(".parquet"))
-        require(parts.size == 1, s"dv stage produced ${parts.size} files")
-        val dvRel = s"data/dv-$uid.parquet"
-        io(root).move(s"$tmp/${parts.head}", s"$root/$dvRel")
-        io(root).list(tmp).foreach(n => io(root).delete(s"$tmp/$n"))
-        io(root).delete(tmp)
-        // only (file, count) comes to the driver — bounded by the
-        // touched-file count, never by the number of masked rows
-        val perFile = spark.read.parquet(s"$root/$dvRel")
-          .groupBy("file").agg(count(lit(1)).as("n")).collect()
-        if (perFile.isEmpty) {
-          io(root).delete(s"$root/$dvRel")
-          (None, 0L)
-        } else {
-          val covers = perFile.map { r =>
-            nameToRel.getOrElse(r.getString(0), {
-              adds.foreach(f => io(root).deleteIfExists(s"$root/$f"))
-              io(root).delete(s"$root/$dvRel")
-              throw new IllegalStateException(
-                s"row-level write to $root masks '${r.getString(0)}', " +
-                  s"which is not live at version $baseVersion")
-            })
-          }.toSeq.sorted
-          (Some((dvRel, covers)), perFile.map(_.getLong(1)).sum)
+        stageDvSidecar(spark, root,
+          spark.read.parquet(dvFragmentsAbs: _*)
+            .select("file", "pos").distinct()) match {
+          case None => (None, 0L)
+          case Some((dvRel, perFile)) =>
+            val covers = perFile.keys.map { name =>
+              nameToRel.getOrElse(name, {
+                adds.foreach(f => io(root).deleteIfExists(s"$root/$f"))
+                io(root).delete(s"$root/$dvRel")
+                throw new IllegalStateException(
+                  s"row-level write to $root masks '$name', which is " +
+                    s"not live at version $baseVersion")
+              })
+            }.toSeq.sorted
+            (Some((dvRel, covers)), perFile.values.sum)
         }
       }
     commitOrCleanup(root, adds ++ dv.map(_._1).toSeq) {

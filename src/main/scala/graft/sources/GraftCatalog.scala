@@ -218,8 +218,11 @@ private[sources] class GraftSqlTable(root: String, version: Option[Long])
 
   /** DELETE needs the WHERE clause converted EXACTLY — a superset (the
     * pruning replay's And fallback) would delete rows the user never
-    * asked to delete. Unconvertible shapes refuse here and Spark
-    * reports the DELETE as unsupported instead of running it wrong.
+    * asked to delete. Unconvertible shapes refuse here; because the
+    * table also supports row-level operations, Spark then plans them
+    * as the merge-on-read row-level DELETE (a deletion-vector commit)
+    * instead — refusing here picks the commit shape, it does not
+    * reject the statement.
     */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(f => GraftSqlTable.exactFilterColumn(f).isDefined)
@@ -228,8 +231,13 @@ private[sources] class GraftSqlTable(root: String, version: Option[Long])
     require(version.isEmpty,
       s"cannot delete from $name: the relation is pinned to a " +
         "historical version (VERSION/TIMESTAMP AS OF is a read-only view)")
-    // no WHERE clause → delete every row (head becomes empty; history
-    // stays time-travel readable — this is NOT a vacuum)
+    // no WHERE clause (or SQL TRUNCATE's AlwaysTrue) → remove every
+    // live file by pure metadata: no scan, no rewrite, one commit —
+    // history stays time-travel readable, this is NOT a vacuum
+    if (filters.forall(_.isInstanceOf[sources.AlwaysTrue])) {
+      TxLog.removeAll(root): Unit
+      return
+    }
     val cond = filters.toSeq.map(f => GraftSqlTable.exactFilterColumn(f)
         .getOrElse(throw new UnsupportedOperationException(
           s"DELETE predicate not convertible: $f")))

@@ -326,20 +326,32 @@ class GraftParquetFileFormat(
     val idxAt = if (existingIdx >= 0) existingIdx else requiredSchema.length
     val stripAppended = existingIdx < 0
     val dataTypes = requiredSchema.fields.map(_.dataType)
+    val fullTypes = withIdx.fields.map(_.dataType)
     val localMask = maskBc // the broadcast HANDLE rides the closure
+    def identityProj(types: Array[org.apache.spark.sql.types.DataType]) =
+      UnsafeProjection.create(types.zipWithIndex.map { case (dt, i) =>
+        BoundReference(i, dt, nullable = true): Expression
+      }.toIndexedSeq)
     (file: PartitionedFile) => {
       val name = file.toPath.getName
       localMask.value.get(name) match {
-        case None => basePlain(file)
+        case None =>
+          // OWNED-row copy: with batching off the plain reader emits
+          // ColumnarBatchRow VIEWS over a recycled batch; downstream
+          // metadata-column machinery (FileScanRDD's joined row) may
+          // hold one across a batch boundary — reading a freed vector
+          // NPEs. Masked files pay the same copy in their strip; the
+          // batch-output path (unmasked TABLE) is untouched
+          val toUnsafe = identityProj(dataTypes)
+          basePlain(file).map(toUnsafe)
         case Some(m) =>
           val filtered = baseMasked(file).filter(r =>
             java.util.Arrays.binarySearch(m, r.getLong(idxAt)) < 0)
-          if (!stripAppended) filtered // the query owns the column
-          else {
-            val strip = UnsafeProjection.create(
-              dataTypes.zipWithIndex.map { case (dt, i) =>
-                BoundReference(i, dt, nullable = true): Expression
-              }.toIndexedSeq)
+          if (!stripAppended) {
+            val toUnsafe = identityProj(fullTypes)
+            filtered.map(toUnsafe) // owned copy, column kept
+          } else {
+            val strip = identityProj(dataTypes)
             filtered.map(strip)
           }
       }

@@ -153,11 +153,54 @@ class RoundTwentyNineSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("read-only"), e.getMessage)
 
+    val dataBefore = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$p/data")).toArray.length
     spark.sql(s"DELETE FROM graft_table.`$p`")
     assert(spark.read.format("graft-table").load(p).count() === 0L)
     assert(TxLog.resolve(p).files.isEmpty)
     assert(spark.read.format("graft-table")
       .option("versionAsOf", "0").load(p).count() === 100L)
+    // delete-all is PURE METADATA: no rewrite, no new data files, and
+    // the old bytes stay on disk for the time travel above
+    val hist = TxLog.history(p).last
+    assert(hist.op === "delete" && hist.adds.isEmpty &&
+      hist.removes.size === 1)
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(s"$p/data"))
+      .toArray.length === dataBefore)
+
+    // SQL TRUNCATE routes through the same metadata-only commit
+    spark.sql(s"TRUNCATE TABLE graft_table.`$p`")
+    assert(TxLog.history(p).last.adds.isEmpty)
+  }
+
+  test("metadata DELETE on a schema-evolved table: a predicate on the " +
+      "evolved column resolves against files that predate it") {
+    val p = tmpDir("sqldelevolve")
+    TxLog.init(p)
+    val base = docs.limit(100)
+    base.coalesce(1)
+      .write.format("graft-table").mode("append").save(p) // v0: 3 cols
+    base.filter(col("doc_id") < 0).withColumn("score", lit(2.0))
+      .write.format("graft-table").mode("append").save(p) // v1: +score
+    TxLog.append(spark, p, // v2: evolved rows, score populated
+      docs.filter(col("doc_id") >= 1000 && col("doc_id") < 1050)
+        .withColumn("score", lit(7.0)))
+
+    // IS NULL on the evolved column is exactly translatable → the
+    // metadata copy-on-write path; the v0 file carries no `score`
+    // column physically, and its survivor rewrite must still resolve
+    spark.sql(s"DELETE FROM graft_table.`$p` " +
+      "WHERE score IS NULL AND doc_id < 50")
+
+    val out = spark.read.format("graft-table").load(p)
+      .select("doc_id", "score").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val baseIds = idSet(base)
+    assert(out.keySet === baseIds.filter(_ >= 50) ++
+      idSet(docs.filter(col("doc_id") >= 1000 && col("doc_id") < 1050)))
+    assert(out.forall { case (id, s) =>
+      if (id >= 1000) s.contains(7.0) else s.isEmpty })
   }
 
   test("exact conversion refuses what pruning relaxes: And keeps the " +
@@ -549,7 +592,10 @@ class RoundTwentyNineSpec extends AnyFunSuite {
       states += TxLog.resolve(p).version -> model
 
       for (step <- 0 until 10) {
-        rnd.nextInt(7) match {
+        val opCase = rnd.nextInt(9)
+        info(s"fuzz iter=$iter step=$step case=$opCase v=" +
+          TxLog.resolve(p).version)
+        opCase match {
           case 0 => // SQL INSERT INTO
             val rows = freshRows(rnd.nextInt(20) + 1, s"i$step")
             viewOf(rows, "rl_fuzz_src")
@@ -607,6 +653,20 @@ class RoundTwentyNineSpec extends AnyFunSuite {
             else
               spark.sql("CALL graft_table.system.checkpoint(" +
                 s"table => '$p')")
+          case 7 => // TRUNCATE: metadata-only empty head
+            spark.sql(s"TRUNCATE TABLE graft_table.`$p`")
+            model = Map.empty
+          case 8 => // RESTORE to a random earlier state (model rollback)
+            val head = TxLog.resolve(p).version
+            val candidates = states.filter { case (v, m) =>
+              v < head && m.nonEmpty
+            }
+            if (candidates.nonEmpty) {
+              val (v, m) = candidates(rnd.nextInt(candidates.size))
+              spark.sql("CALL graft_table.system.restore(" +
+                s"table => '$p', version => $v)")
+              model = m
+            }
         }
         assert(readState(p, None) === model,
           s"iter=$iter step=$step head mismatch")
@@ -792,6 +852,31 @@ class RoundTwentyNineSpec extends AnyFunSuite {
     assert(TxLog.resolve(p).version === 1L)
     assert(spark.read.format("graft-table").option("versionAsOf", "0")
       .load(p).count() === 100L)
+  }
+
+  test("_metadata.file_path over a PARTIALLY masked table (masked + " +
+      "unmasked files in one scan) reads safely — the owned-row copy " +
+      "regression found by the model fuzz") {
+    import spark.implicits._
+    val p = tmpDir("rlownedrow")
+    TxLog.init(p)
+    (0L until 80L).map(i => (i, s"l$i", i * 3))
+      .toDF("doc_id", "lang", "n_chars").coalesce(2)
+      .write.format("graft-table").mode("append").save(p)
+    // the UPDATE masks the two seed files and appends an UNMASKED
+    // image file — the mixed reader split inside one scan
+    spark.sql(s"UPDATE graft_table.`$p` SET lang = 'u' " +
+      "WHERE doc_id % 5 = 0")
+    val withFilter = spark.read.format("graft-table").load(p)
+      .filter(col("doc_id") >= 40)
+      .select(col("_metadata.file_path")).distinct().collect()
+    assert(withFilter.length >= 2) // seed file + image file
+    val noFilter = spark.read.format("graft-table").load(p)
+      .select(col("_metadata.file_path")).distinct().collect()
+    assert(noFilter.length === 3)
+    // and the metadata DELETE that first exposed it completes exactly
+    spark.sql(s"DELETE FROM graft_table.`$p` WHERE doc_id >= 40")
+    assert(spark.read.format("graft-table").load(p).count() === 40L)
   }
 
   test("row-level UPDATE composes with hive-partitioned tables: the " +
