@@ -184,6 +184,31 @@ private[sources] object GraftProcedures {
             .map(v => v: Any).orNull))
     },
 
+    new Proc("add_constraint",
+      "register a CHECK constraint as a commit: every later insert " +
+        "(SQL or writer) is gated on it; rows already in the table " +
+        "are validated first", Table,
+      ProcedureParameter.in("name", StringType)
+        .comment("constraint name").build(),
+      ProcedureParameter.in("expr", StringType)
+        .comment("boolean SQL expression over the table's columns")
+        .build()) {
+      override def output: StructType = versionOut
+      override def run(s: SparkSession, in: InternalRow): InternalRow =
+        row1(TxLog.addConstraint(s, table(in),
+          in.getUTF8String(1).toString, in.getUTF8String(2).toString))
+    },
+
+    new Proc("drop_constraint",
+      "retire a CHECK constraint as a commit", Table,
+      ProcedureParameter.in("name", StringType)
+        .comment("constraint name").build()) {
+      override def output: StructType = versionOut
+      override def run(s: SparkSession, in: InternalRow): InternalRow =
+        row1(TxLog.dropConstraint(table(in),
+          in.getUTF8String(1).toString))
+    },
+
     new Proc("history",
       "the commit ledger, oldest first: one row per version still on " +
         "disk (vacuum truncates history by contract)", Table) {

@@ -879,6 +879,32 @@ class RoundTwentyNineSpec extends AnyFunSuite {
     assert(spark.read.format("graft-table").load(p).count() === 40L)
   }
 
+  test("constraints via CALL: add_constraint gates later SQL inserts " +
+      "and updates, drop_constraint retires the gate") {
+    val p = tmpDir("rlconsproc")
+    TxLog.init(p)
+    TxLog.append(spark, p, docs.limit(50).coalesce(1))
+    assert(spark.sql("CALL graft_table.system.add_constraint(" +
+      s"table => '$p', name => 'pos_chars', expr => 'n_chars >= 0')")
+      .collect().head.getLong(0) === 1L)
+
+    docs.limit(5).withColumn("n_chars", lit(-1L))
+      .createOrReplaceTempView("rl_cons_bad")
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    val e = intercept[Exception](spark.sql(
+      s"INSERT INTO graft_table.`$p` SELECT * FROM rl_cons_bad"))
+    assert(chain(e).exists(_.contains("pos_chars")), chain(e).mkString("|"))
+    assert(TxLog.resolve(p).version === 1L) // nothing landed
+
+    spark.sql("CALL graft_table.system.drop_constraint(" +
+      s"table => '$p', name => 'pos_chars')") // v2
+    spark.sql(s"INSERT INTO graft_table.`$p` SELECT * FROM rl_cons_bad")
+    assert(spark.read.format("graft-table").load(p)
+      .filter(col("n_chars") < 0).count() === 5L)
+  }
+
   test("row-level UPDATE composes with hive-partitioned tables: the " +
       "partition column survives in the new images (conservative " +
       "metadata, correct rows)") {
