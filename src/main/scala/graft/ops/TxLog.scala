@@ -1172,11 +1172,9 @@ object TxLog {
     val affected = applyDvMask(spark, root,
       spark.read.option("mergeSchema", "true")
         .parquet(affectedAbs.toIndexedSeq: _*), snap.dvFiles)
-    val aligned = tableSchema(root, Some(snap.version))
-      .map(_.fields.toSeq).getOrElse(Seq.empty)
-      .filterNot(f => affected.columns.contains(f.name))
-      .foldLeft(affected)((d, f) =>
-        d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val aligned = alignToSchema(affected,
+      tableSchema(root, Some(snap.version))
+        .map(_.fields.toSeq).getOrElse(Seq.empty))
     val adds = stage(spark, root, aligned.filter(cond.isNull || !cond))
     val removes = affectedAbs.toSeq.map(relToRoot(root, _))
     commitOrCleanup(root, adds) {
@@ -1195,8 +1193,17 @@ object TxLog {
   def removeAll(root: String): Long = {
     val snap = resolve(root)
     val next = snap.version + 1
+    // the ledger's rowsRemoved from the LOG's recorded per-file counts
+    // — leaving writeCommit's default would footer-sweep every removed
+    // file and turn the one-log-write TRUNCATE into a full-table
+    // metadata pass; only files predating count recording pay a footer
+    val counted = fileNullStats(root)
+    val (known, unknown) = snap.files.partition(counted.contains)
+    val rows = known.map(f => counted(f)._1).sum +
+      (if (unknown.isEmpty) 0L else parquetRows(root, unknown))
     writeCommit(root, next, Seq.empty, snap.files, op = "delete",
-      knownMeta = Some(FileMeta(0L, Map.empty, Map.empty)))
+      knownMeta = Some(FileMeta(0L, Map.empty, Map.empty)),
+      knownRowsRemoved = Some(rows))
     next
   }
 
@@ -1294,6 +1301,17 @@ object TxLog {
     next
   }
 
+  /** `df` widened with the `fields` it lacks, each as a NULL cast —
+    * the evolution contract (a column a file predates reads as NULL),
+    * shared by the survivor rewrite, restore's constraint check, and
+    * [[validateStaged]] so the alignment semantics live in one place.
+    */
+  private def alignToSchema(df: DataFrame,
+      fields: Seq[org.apache.spark.sql.types.StructField]): DataFrame =
+    fields.filterNot(f => df.columns.contains(f.name))
+      .foldLeft(df)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
+
   /** Stage a `(file NAME, position)` hits frame as ONE published
     * sidecar under `data/` and return it with its per-file-name mask
     * counts (None when the frame is empty — the sidecar is deleted).
@@ -1354,26 +1372,32 @@ object TxLog {
     // update keeps its task files as-is and compaction policy owns
     // them like any other append's output
     val SmallAddBytes = 32L << 20
-    val staged =
-      if (stagedDataAbs.size > 1 &&
-          stagedDataAbs.map(io(root).size).sum < SmallAddBytes) {
-        val tmp = s"$root/_staged-rlc-$uid"
-        spark.read.option("mergeSchema", "true")
-          .parquet(stagedDataAbs: _*).coalesce(1).write.parquet(tmp)
-        stagedDataAbs.foreach(io(root).delete)
-        val merged = io(root).list(tmp).filter(_.endsWith(".parquet"))
-          .map(n => s"$tmp/$n")
-        require(merged.size == 1,
-          s"row-level consolidation produced ${merged.size} files")
-        merged
-      } else stagedDataAbs
-    val adds = staged.sorted.zipWithIndex.map { case (src, i) =>
-      val rel = f"data/part-$uid-$i%05d.parquet"
-      io(root).move(src, s"$root/$rel")
-      rel
-    }
-    if (io(root).exists(s"$root/_staged-rlc-$uid"))
-      io(root).deleteRecursive(s"$root/_staged-rlc-$uid")
+    val rlcTmp = s"$root/_staged-rlc-$uid"
+    val adds =
+      try {
+        val staged =
+          if (stagedDataAbs.size > 1 &&
+              stagedDataAbs.map(io(root).size).sum < SmallAddBytes) {
+            spark.read.option("mergeSchema", "true")
+              .parquet(stagedDataAbs: _*).coalesce(1).write.parquet(rlcTmp)
+            stagedDataAbs.foreach(io(root).delete)
+            val merged = io(root).list(rlcTmp)
+              .filter(_.endsWith(".parquet")).map(n => s"$rlcTmp/$n")
+            require(merged.size == 1,
+              s"row-level consolidation produced ${merged.size} files")
+            merged
+          } else stagedDataAbs
+        staged.sorted.zipWithIndex.map { case (src, i) =>
+          val rel = f"data/part-$uid-$i%05d.parquet"
+          io(root).move(src, s"$root/$rel")
+          rel
+        }
+      } finally {
+        // success leaves only the _SUCCESS marker behind; a failed
+        // consolidation must not orphan its partial output under the
+        // table root (no sweeper owns _staged-rlc dirs)
+        if (io(root).exists(rlcTmp)) io(root).deleteRecursive(rlcTmp)
+      }
     // constraint gate (deletes the adds itself on a violation)
     validateStaged(spark, root, adds, "row-level write")
     val nameToRel = resolve(root, Some(baseVersion)).files
@@ -1624,10 +1648,7 @@ object TxLog {
         if (cur.files.nonEmpty)
           snapshotImpl(spark, root, None, guard = false).schema.fields.toSeq
         else Seq.empty
-      val restored = curCols
-        .filterNot(f => restored0.columns.contains(f.name))
-        .foldLeft(restored0)((d, f) =>
-          d.withColumn(f.name, lit(null).cast(f.dataType)))
+      val restored = alignToSchema(restored0, curCols)
       newConstraints.foreach { case (name, ex) =>
         val bad =
           try violations(restored, ex).count()
@@ -2346,9 +2367,7 @@ object TxLog {
       if (versionsOnDisk(root).nonEmpty && resolve(root).files.nonEmpty)
         snapshotImpl(spark, root, None, guard = false).schema.fields.toSeq
       else Seq.empty
-    val df = tableCols.filterNot(f => staged.columns.contains(f.name))
-      .foldLeft(staged)((d, f) =>
-        d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val df = alignToSchema(staged, tableCols)
     def reject(name: String, ex: String, why: String): Nothing = {
       adds.foreach(f => io(root).deleteIfExists(s"$root/$f"))
       throw new IllegalArgumentException(

@@ -259,12 +259,18 @@ class GraftFileIndex(spark: SparkSession, root: String,
   * task closure. When the mask is empty this is exactly
   * ParquetFileFormat; when not, the reader SPLITS PER FILE:
   *
-  *  - a file with no active mask entry takes the UNMODIFIED base
-  *    reader — no row-index column decoded, no per-row projection;
+  *  - a file with no active mask entry takes the base reader with no
+  *    row-index column decoded;
   *  - a masked file's reader appends parquet's row-index column to the
   *    read schema (real positions, immune to row-group/page skipping
   *    by pushed filters), drops masked rows, and projects the column
   *    back off.
+  *
+  * EVERY per-file path emits OWNED UnsafeRow copies — with batching
+  * off the readers yield ColumnarBatchRow VIEWS over a recycled
+  * batch, and the row-based metadata-column machinery can hold one
+  * across a batch boundary (fuzz-caught NPE). Do NOT "optimize" the
+  * unmasked branch back to a raw passthrough.
   *
   * Batch (columnar) output is disabled on masked tables as a whole:
   * one FileSourceScanExec's readers must all yield the same shape, so
@@ -324,9 +330,15 @@ class GraftParquetFileFormat(
     val baseMasked = super.buildReaderWithPartitionValues(sparkSession,
       dataSchema, partitionSchema, withIdx, filters, options, hadoopConf)
     val idxAt = if (existingIdx >= 0) existingIdx else requiredSchema.length
-    val stripAppended = existingIdx < 0
+    // EVERY per-file path emits OWNED UnsafeRow copies: with batching
+    // off the readers emit ColumnarBatchRow VIEWS over a recycled
+    // batch, and downstream metadata-column machinery (FileScanRDD's
+    // joined row) may hold one across a batch boundary — reading a
+    // freed vector NPEs (fuzz-caught). The strip projection doubles as
+    // that copy for masked files; unmasked files (and masked files
+    // whose query owns the row-index column) pay an identity copy.
+    // The batch-output path of unmasked TABLES is untouched
     val dataTypes = requiredSchema.fields.map(_.dataType)
-    val fullTypes = withIdx.fields.map(_.dataType)
     val localMask = maskBc // the broadcast HANDLE rides the closure
     def identityProj(types: Array[org.apache.spark.sql.types.DataType]) =
       UnsafeProjection.create(types.zipWithIndex.map { case (dt, i) =>
@@ -336,24 +348,15 @@ class GraftParquetFileFormat(
       val name = file.toPath.getName
       localMask.value.get(name) match {
         case None =>
-          // OWNED-row copy: with batching off the plain reader emits
-          // ColumnarBatchRow VIEWS over a recycled batch; downstream
-          // metadata-column machinery (FileScanRDD's joined row) may
-          // hold one across a batch boundary — reading a freed vector
-          // NPEs. Masked files pay the same copy in their strip; the
-          // batch-output path (unmasked TABLE) is untouched
-          val toUnsafe = identityProj(dataTypes)
-          basePlain(file).map(toUnsafe)
+          basePlain(file).map(identityProj(dataTypes))
         case Some(m) =>
-          val filtered = baseMasked(file).filter(r =>
-            java.util.Arrays.binarySearch(m, r.getLong(idxAt)) < 0)
-          if (!stripAppended) {
-            val toUnsafe = identityProj(fullTypes)
-            filtered.map(toUnsafe) // owned copy, column kept
-          } else {
-            val strip = identityProj(dataTypes)
-            filtered.map(strip)
-          }
+          // one projection serves both shapes: when the query already
+          // owns the row-index column, requiredSchema == withIdx and
+          // this is the identity copy; when the column was appended,
+          // reading indices 0..n-1 strips it
+          baseMasked(file).filter(r =>
+              java.util.Arrays.binarySearch(m, r.getLong(idxAt)) < 0)
+            .map(identityProj(dataTypes))
       }
     }
   }

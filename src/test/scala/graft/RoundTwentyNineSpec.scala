@@ -165,6 +165,9 @@ class RoundTwentyNineSpec extends AnyFunSuite {
     val hist = TxLog.history(p).last
     assert(hist.op === "delete" && hist.adds.isEmpty &&
       hist.removes.size === 1)
+    // the ledger count comes from the LOG's recorded per-file rows
+    // (no footer sweep) and is still exact
+    assert(hist.rowsRemoved.contains(100L))
     assert(java.nio.file.Files.list(java.nio.file.Paths.get(s"$p/data"))
       .toArray.length === dataBefore)
 
