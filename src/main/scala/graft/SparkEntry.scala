@@ -915,6 +915,35 @@ object SparkEntry {
       p
     })
 
+  /** The SQL schema-evolution lifecycle, one per (session, sf dir):
+    * the even docs seeded through the writer (v0), then pure-SQL
+    * `ALTER TABLE ... ADD COLUMN quality BIGINT` — ONE data-free
+    * metadata commit recording the widened schema in the log
+    * ([[graft.ops.TxLog.addColumns]]; at 100 TB adding a column must
+    * cost one KB-scale log write, never a data pass) — then a SQL
+    * INSERT supplying the new column (v2). `q_table_sql_alter` reads
+    * the head: pre-evolution rows surface quality = NULL (the
+    * evolution contract), inserted rows their values.
+    */
+  private val txlogSqlAlterCache = new SessionCache[String]
+
+  private def txlogSqlAlterTable(s: SparkSession, dir: String): String =
+    txlogSqlAlterCache.getOrElseUpdate(s, dir, {
+      val p = s"${annTmp()}/txsqlalter"
+      graft.ops.TxLog.init(p)
+      s.conf.set("spark.sql.catalog.graft_table",
+        "graft.sources.GraftCatalog")
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .write.format("graft-table").mode("append").save(p) // v0
+      s.sql(s"ALTER TABLE graft_table.`$p` ADD COLUMN quality BIGINT") // v1
+      docs.createOrReplaceTempView("graft_sql_alter_src")
+      s.sql(s"INSERT INTO graft_table.`$p` SELECT doc_id, lang, " +
+        "n_chars, n_chars % 100 AS quality " +
+        "FROM graft_sql_alter_src WHERE doc_id % 2 = 1") // v2
+      p
+    })
+
   /** The batch-writer lifecycle, one per (session, sf dir), driven
     * ENTIRELY through the DataFrameWriter surface: an append commit
     * (residue-0 docs), an atomic INSERT OVERWRITE replacing the live
@@ -2143,6 +2172,15 @@ object SparkEntry {
         "UNION ALL " +
         "SELECT doc_id, lang, n_chars, 'v3' AS snap " +
         s"FROM graft_table.`$p` VERSION AS OF 3")
+    }),
+    // SQL ALTER TABLE ADD COLUMN through the catalog: one data-free
+    // metadata commit widens the log-recorded schema (no data pass —
+    // the 100 TB ALTER), pre-evolution rows read the new column as
+    // NULL, a later SQL INSERT supplies it
+    "q_table_sql_alter" -> ((s, dir) => {
+      val p = txlogSqlAlterTable(s, dir)
+      s.sql(s"SELECT doc_id, lang, n_chars, quality " +
+        s"FROM graft_table.`$p`")
     }),
     // SQL DELETE FROM through the catalog: one copy-on-write commit,
     // hit files discovered through the connector's own stats-pruned
@@ -4955,6 +4993,15 @@ object SparkEntry {
         |FROM documents
         |UNION ALL
         |SELECT doc_id, lang, n_chars, 'v0' AS snap FROM documents""".stripMargin,
+    // the SQL ALTER lifecycle's semantics: the even seed predates the
+    // column (NULL by the evolution contract), the odd INSERT supplies
+    // it
+    "q_table_sql_alter" ->
+      """SELECT doc_id, lang, n_chars, CAST(NULL AS BIGINT) AS quality
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars, n_chars % 100 AS quality
+        |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
     // the SQL MERGE lifecycle's semantics: the even seed with mod-3
     // keys re-langed (matched updates), plus the odd multiples of 3
     // inserted as 'mg'

@@ -73,11 +73,38 @@ object TxLog {
   private def checkpointPath(root: String, v: Long): String =
     f"${logDir(root)}/$v%08d.checkpoint.json"
 
+  /** The columnar checkpoint's parquet sidecar: one row per live
+    * file (path, row count, per-column [min,max] / null-count /
+    * partition-value). The JSON half keeps only the KB-scale
+    * table-level state — schema, constraints, DV state, batch ids,
+    * partition columns — plus the `"cpq":1` marker; at 100k–1M live
+    * files the per-file state is a compact columnar read instead of
+    * a 100 MB JSON string regex-swept on the driver per planned
+    * query (Delta's parquet checkpoint, scaled to this log).
+    */
+  private[graft] def checkpointSidecarPath(root: String, v: Long): String =
+    f"${logDir(root)}/$v%08d.checkpoint.parquet"
+
   private def readCommit(root: String, v: Long): String =
     io(root).read(commitPath(root, v))
 
-  private def readCheckpoint(root: String, v: Long): String =
-    io(root).read(checkpointPath(root, v))
+  /** Parse one checkpoint from disk (cache miss path — see
+    * [[checkpointEntry]]). A columnar checkpoint's JSON half carries
+    * only the table-level state plus a `"cpq":1` marker; the per-file
+    * live set, stats, null counts, and partition values stream out of
+    * its parquet sidecar ([[readCheckpointSidecar]]) — no
+    * O(live files) JSON string is ever materialized on the driver.
+    */
+  private def loadCheckpoint(root: String, v: Long): LogEntry = {
+    val e = parseEntry(io(root).read(checkpointPath(root, v)))
+    if (!e.columnar) e
+    else {
+      val side = readCheckpointSidecar(root, v)
+      e.copy(adds = side.adds, intStats = side.intStats,
+        strStats = side.strStats, nstats = side.nstats,
+        parts = side.parts)
+    }
+  }
 
   /** How long a zero-byte TIP commit may sit before it is quarantined.
     * [[HadoopTxIo.putIfAbsent]] reserves the commit name with an
@@ -162,7 +189,7 @@ object TxLog {
     "v", "op", "adds", "removes", "rows", "rowsRemoved", "batchId",
     "batchIds", "mergeKey", "schema", "dv", "dvCovers", "dvDrops",
     "dvs", "stats", "nstats", "parts", "partCols", "cset", "cname",
-    "cexpr")
+    "cexpr", "cpq")
 
   /** A column name that may appear as a key inside the hand-rolled
     * commit/checkpoint JSON: the safe grammar minus the reserved
@@ -485,6 +512,221 @@ object TxLog {
         throw e
     }
 
+  /** A derived mutation's declared read/write scope — what
+    * [[commitDerived]]'s conflict detection reasons over on a lost
+    * version race.
+    *
+    *  - `readFiles`: the live files whose ROWS the derivation
+    *    actually depends on — the hit files of a delete/merge, the
+    *    DV-covered files of a row-level write, the whole live set of
+    *    a layout rewrite. Files the discovery provably cleared (log
+    *    stats said no match; the scan found no hit) are NOT read
+    *    dependencies: a winner rewriting them cannot change the
+    *    loser's outcome.
+    *  - `rowSelecting`: true when the mutation selects rows by a
+    *    predicate/key set, so a winner's NEWLY added rows could have
+    *    matched — a layout no-op (optimize/compact/purge) adds no new
+    *    rows and sets this false.
+    *  - `partitionEq`: partition-column equalities the predicate
+    *    IMPLIES (e.g. `WHERE p = 'a' AND x < 9` implies p = 'a').
+    *    A winner's added file whose log-recorded partition value
+    *    provably differs on one of them cannot hold a matching row.
+    */
+  private[graft] final case class DerivedScope(
+      readFiles: Set[String],
+      rowSelecting: Boolean,
+      partitionEq: Map[String, String] = Map.empty)
+
+  /** A literal the log can compare against its directory-name-string
+    * partition values EXACTLY: strings and integrals only (a float's
+    * render could disagree with the stored segment and fabricate
+    * disjointness).
+    */
+  private def partLitStr(value: Any): Option[String] = value match {
+    case null => None
+    case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+    case s: String => Some(s)
+    case i: java.lang.Integer => Some(i.toString)
+    case i: java.lang.Long => Some(i.toString)
+    case i: java.lang.Short => Some(i.toString)
+    case _ => None
+  }
+
+  /** The partition-column equalities `expr` IMPLIES: top-level
+    * conjuncts of the shape `partCol = literal`. Sound for conflict
+    * detection because a conjunct must hold for EVERY matching row —
+    * unrecognized shapes just contribute nothing (conservative).
+    */
+  private[graft] def partitionEqOf(
+      expr: org.apache.spark.sql.catalyst.expressions.Expression,
+      partCols: Seq[String]): Map[String, String] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, Literal}
+    def nameOf(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        Some(a.name)
+      case _ => None
+    }
+    def walk(e: Expression): Map[String, String] = e match {
+      case And(l, r) => walk(l) ++ walk(r)
+      case EqualTo(a, l: Literal) =>
+        nameOf(a).filter(partCols.contains)
+          .flatMap(n => partLitStr(l.value).map(n -> _)).toMap
+      case EqualTo(l: Literal, a) => walk(EqualTo(a, l))
+      case _ => Map.empty
+    }
+    walk(expr)
+  }
+
+  /** [[partitionEqOf]] over the DSv2 pushed-filter shape. */
+  private[graft] def partitionEqOfFilters(
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      partCols: Seq[String]): Map[String, String] = {
+    import org.apache.spark.sql.sources
+    def walk(f: sources.Filter): Map[String, String] = f match {
+      case sources.And(l, r) => walk(l) ++ walk(r)
+      case sources.EqualTo(a, v) if partCols.contains(a) =>
+        partLitStr(v).map(a -> _).toMap
+      case _ => Map.empty
+    }
+    filters.flatMap(walk).toMap
+  }
+
+  /** Why `winner` forces the loser to re-derive — or None when the
+    * loser's commit is safe to re-stamp at the next version (the
+    * Delta commit-protocol conflict rules, scaled to this log's
+    * action vocabulary, at WriteSerializable strength).
+    */
+  private def conflictReason(winner: LogEntry, removes: Seq[String],
+                             dvTargets: Seq[String],
+                             scope: DerivedScope,
+                             loserSetsSchema: Boolean): Option[String] = {
+    val v = winner.version
+    // whole-snapshot invalidations and table-contract changes: never
+    // re-stampable — the loser derived against a world that is gone
+    if (winner.op == "overwrite" || winner.op == "restore")
+      return Some(s"a ${winner.op} landed at v$v")
+    if (winner.dvDrops.nonEmpty || winner.dvState.nonEmpty)
+      return Some(s"v$v rewrote the table's deletion-vector state")
+    if (winner.op == "set-constraint" || winner.op == "drop-constraint")
+      return Some(s"v$v changed the table's constraint set")
+    if (winner.op == "set-schema")
+      return Some(s"v$v changed the table's schema")
+    // newest schema action wins on replay: re-stamping the loser's
+    // recorded schema over a winner's would shadow the winner's
+    if (loserSetsSchema && winner.schemaB64.nonEmpty)
+      return Some(s"v$v recorded a schema action the loser's would shadow")
+    val loserTouch = scope.readFiles ++ removes ++ dvTargets
+    val removed = winner.removes.filter(loserTouch)
+    if (removed.nonEmpty)
+      return Some(s"v$v removed files the loser read or rewrites " +
+        s"(${removed.take(3).mkString(", ")}${if (removed.sizeIs > 3) ", …" else ""})")
+    val wMasks = winner.dv.map(_._2).getOrElse(Seq.empty).filter(loserTouch)
+    if (wMasks.nonEmpty)
+      return Some(s"v$v masked rows in files the loser read or rewrites " +
+        s"(${wMasks.take(3).mkString(", ")}${if (wMasks.sizeIs > 3) ", …" else ""})")
+    if (scope.rowSelecting && winner.adds.nonEmpty) {
+      // a layout rewrite re-homes rows that already existed at the
+      // loser's base — every one of them lives in a file the rules
+      // above adjudicated; only a commit that can introduce NEW rows
+      // threatens a predicate/key-selecting loser
+      val layoutOnly = winner.op == "optimize" || winner.op == "compact" ||
+        winner.op == "purge"
+      val partitionDisjoint = scope.partitionEq.nonEmpty &&
+        winner.adds.forall(f => winner.parts.get(f).exists(pv =>
+          scope.partitionEq.exists { case (c, pe) =>
+            pv.get(c).exists(_ != pe)
+          }))
+      if (!layoutOnly && !partitionDisjoint)
+        return Some(s"v$v added files that may hold rows matching the " +
+          "loser's predicate")
+    }
+    None
+  }
+
+  /** Publish a DERIVED mutation with OPTIMISTIC CONCURRENCY: attempt
+    * `baseVersion + 1`; on a lost version race, read the winners'
+    * commits and — when every one is provably disjoint from this
+    * mutation's declared [[DerivedScope]] — re-attempt at the new tip
+    * WITHOUT re-running discovery or rewrites (the Delta commit
+    * protocol: two UPDATEs on disjoint partitions both land,
+    * serialized). Any non-disjoint winner keeps the loud-conflict
+    * contract: staged files are cleaned up and the caller must
+    * re-derive. At 100 TB this is the difference between "concurrent
+    * maintenance and mutation work" and "one writer at a time":
+    * discovery + rewrite cost O(touched data), the re-stamp costs one
+    * metadata read per winner.
+    */
+  private[graft] def commitDerived(root: String, baseVersion: Long,
+      adds: Seq[String], removes: Seq[String], op: String,
+      scope: DerivedScope, staged: Seq[String],
+      dv: Option[(String, Seq[String])] = None,
+      parts: Map[String, Map[String, String]] = Map.empty,
+      partCols: Seq[String] = Seq.empty,
+      mergeKey: Option[String] = None,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      knownMeta: Option[FileMeta] = None,
+      knownRowsRemoved: Option[Long] = None): Long = {
+    val dvTargets = dv.map(_._2).getOrElse(Seq.empty)
+    // footer metadata computed once — the staged files are invariant
+    // across re-stamps
+    val meta = knownMeta.getOrElse(parquetMeta(root, adds))
+    val rowsRemoved = knownRowsRemoved.getOrElse(parquetRows(root, removes))
+    var base = baseVersion
+    var attempts = 0
+    val MaxRetries = 20
+    def cleanupAndFail(e: Throwable, detail: String): Nothing = {
+      staged.foreach(f => io(root).deleteIfExists(s"$root/$f"))
+      throw new IllegalStateException(
+        s"txlog conflict: $op on $root lost its version race and " +
+          s"cannot be re-stamped ($detail); re-derive from the new " +
+          "snapshot and retry", e)
+    }
+    while (true) {
+      val next = base + 1
+      try {
+        writeCommit(root, next, adds, removes, op = op, dv = dv,
+          parts = parts, partCols = partCols, mergeKey = mergeKey,
+          schema = schema, knownMeta = Some(meta),
+          knownRowsRemoved = Some(rowsRemoved))
+        return next
+      } catch {
+        case e: CommitConflict =>
+          attempts += 1
+          if (attempts > MaxRetries)
+            cleanupAndFail(e, s"$MaxRetries consecutive races")
+          val vsNow = versionsOnDisk(root)
+          val tip = vsNow.lastOption.getOrElse(-1L)
+          if (tip < next) cleanupAndFail(e,
+            "the winning commit is not visible yet")
+          val winners = vsNow.filter(v => v >= next && v <= tip)
+            .map(commitEntry(root, _))
+          winners.iterator
+            .flatMap(w => conflictReason(w, removes, dvTargets, scope,
+              schema.isDefined))
+            .nextOption() match {
+            case Some(reason) => cleanupAndFail(e, reason)
+            case None => base = tip // disjoint — serialize after them
+          }
+        case e: IllegalStateException =>
+          staged.foreach(f => io(root).deleteIfExists(s"$root/$f"))
+          throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The version-race signal: `version` was committed concurrently.
+    * An [[IllegalStateException]] so existing loud-conflict handling
+    * (and its "conflict" message contract) is unchanged; its own type
+    * so the optimistic retry in [[commitDerived]] can catch EXACTLY
+    * the race and never a genuine corruption error.
+    */
+  private[graft] final class CommitConflict(version: Long, cause: Throwable)
+      extends IllegalStateException(
+        s"txlog conflict: version $version was committed concurrently; " +
+          "re-resolve the snapshot and retry", cause)
+
   private def publishCommit(root: String, version: Long,
                             json: String): Unit = {
     // exclusive, atomic publish — link(2) locally, exclusive
@@ -492,50 +734,179 @@ object TxLog {
     try io(root).putIfAbsent(commitPath(root, version), json)
     catch {
       case e: FileAlreadyExistsException =>
-        throw new IllegalStateException(
-          s"txlog conflict: version $version was committed concurrently; " +
-            "re-resolve the snapshot and retry", e)
+        throw new CommitConflict(version, e)
     }
   }
 
-  private def parseCommit(json: String): (Long, Seq[String], Seq[String]) = {
-    val v = "\"v\":(\\d+)".r.findFirstMatchIn(json).get.group(1).toLong
-    def arr(key: String): Seq[String] = {
-      val body = s""""$key":\\[([^\\]]*)\\]""".r
-        .findFirstMatchIn(json).get.group(1)
-      if (body.isEmpty) Seq.empty
-      else body.split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\""))
-    }
-    (v, arr("adds"), arr("removes"))
+  /** One commit or checkpoint, fully parsed — every field any log
+    * index reads. Parsed ONCE per on-disk file (see [[EntryCache]])
+    * with a REAL JSON parser (Jackson, already on Spark's classpath):
+    * the regex sweeps this replaces had to discriminate the
+    * `stats`/`nstats`/`parts`/`cset`/`dvs` objects by body SHAPE,
+    * which re-opened a collision audit every time the commit grammar
+    * gained a key — structural parsing retires that risk class
+    * entirely (the writer grammar stays hand-rolled and locked; only
+    * the read side changed).
+    */
+  private[graft] final case class LogEntry(
+      version: Long,
+      op: String,
+      adds: Seq[String],
+      removes: Seq[String],
+      rows: Option[Long],
+      rowsRemoved: Option[Long],
+      batchId: Option[Long],
+      batchIds: Seq[Long],
+      mergeKey: Option[String],
+      schemaB64: Option[String],
+      dv: Option[(String, Seq[String])],
+      dvDrops: Seq[String],
+      dvState: Seq[(String, Seq[String])],
+      partCols: Option[Seq[String]],
+      intStats: Map[String, Map[String, (Long, Long)]],
+      strStats: Map[String, Map[String, (String, String)]],
+      nstats: Map[String, (Long, Map[String, Long])],
+      parts: Map[String, Map[String, String]],
+      cset: Option[Map[String, String]],
+      cname: Option[String],
+      cexpr: Option[String],
+      columnar: Boolean = false)
+
+  private val entryMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private[graft] def parseEntry(json: String): LogEntry = {
+    import scala.jdk.CollectionConverters._
+    import com.fasterxml.jackson.databind.JsonNode
+    val n = entryMapper.readTree(json)
+    require(n != null && n.isObject, "not a log entry (not a JSON object)")
+    def field(k: String): Option[JsonNode] = Option(n.get(k))
+    def strSeq(node: JsonNode): Seq[String] =
+      node.elements().asScala.map(_.asText()).toSeq
+    def strArr(k: String): Seq[String] =
+      field(k).map(strSeq).getOrElse(Seq.empty)
+    def longOpt(k: String): Option[Long] =
+      field(k).filter(_.isNumber).map(_.asLong())
+    def strOpt(k: String): Option[String] =
+      field(k).filter(_.isTextual).map(_.asText())
+    // stats: {"file":{"col":[mn,mx],...}} — int vs string told apart
+    // by the VALUE type, not by body shape
+    val intStats = Map.newBuilder[String, Map[String, (Long, Long)]]
+    val strStats = Map.newBuilder[String, Map[String, (String, String)]]
+    field("stats").foreach(_.properties().asScala.foreach { e =>
+      val ints = Map.newBuilder[String, (Long, Long)]
+      val strs = Map.newBuilder[String, (String, String)]
+      e.getValue.properties().asScala.foreach { c =>
+        val a = c.getValue
+        if (a.isArray && a.size() == 2) {
+          if (a.get(0).isTextual)
+            strs += c.getKey -> (a.get(0).asText(), a.get(1).asText())
+          else ints += c.getKey -> (a.get(0).asLong(), a.get(1).asLong())
+        }
+      }
+      val (i, s) = (ints.result(), strs.result())
+      if (i.nonEmpty) intStats += e.getKey -> i
+      if (s.nonEmpty) strStats += e.getKey -> s
+    })
+    // nstats: {"file":{"#rows":N,"col":nulls,...}}
+    val nstats = Map.newBuilder[String, (Long, Map[String, Long])]
+    field("nstats").foreach(_.properties().asScala.foreach { e =>
+      val rows = Option(e.getValue.get("#rows")).map(_.asLong())
+      rows.foreach { r =>
+        val cols = e.getValue.properties().asScala
+          .filter(c => c.getKey != "#rows" && c.getValue.isNumber)
+          .map(c => c.getKey -> c.getValue.asLong()).toMap
+        nstats += e.getKey -> (r, cols)
+      }
+    })
+    // parts: {"file":{"col":"value",...}}
+    val parts = Map.newBuilder[String, Map[String, String]]
+    field("parts").foreach(_.properties().asScala.foreach { e =>
+      parts += e.getKey -> e.getValue.properties().asScala
+        .filter(_.getValue.isTextual)
+        .map(c => c.getKey -> c.getValue.asText()).toMap
+    })
+    val dv = strOpt("dv").map(p => (p, strArr("dvCovers")))
+    val dvState = field("dvs").map(_.properties().asScala
+      .map(e => e.getKey -> strSeq(e.getValue)).toSeq)
+      .getOrElse(Seq.empty)
+    val cset = field("cset").map(_.properties().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap)
+    LogEntry(
+      version = longOpt("v").getOrElse(
+        throw new IllegalStateException("log entry without a version")),
+      op = strOpt("op").getOrElse("unknown"),
+      adds = strArr("adds"),
+      removes = strArr("removes"),
+      rows = longOpt("rows"),
+      rowsRemoved = longOpt("rowsRemoved"),
+      batchId = longOpt("batchId"),
+      batchIds = field("batchIds").map(
+        _.elements().asScala.map(_.asLong()).toSeq).getOrElse(Seq.empty),
+      mergeKey = strOpt("mergeKey"),
+      schemaB64 = strOpt("schema"),
+      dv = dv,
+      dvDrops = strArr("dvDrops"),
+      dvState = dvState,
+      partCols = field("partCols").map(strSeq).filter(_.nonEmpty),
+      intStats = intStats.result(),
+      strStats = strStats.result(),
+      nstats = nstats.result(),
+      parts = parts.result(),
+      cset = cset,
+      cname = strOpt("cname"),
+      cexpr = strOpt("cexpr"),
+      columnar = longOpt("cpq").contains(1L))
   }
 
-  /** A commit's deletion-vector action, if any: (sidecar path, covered
-    * data files).
+  /** Parsed-entry cache. Commits and checkpoints are IMMUTABLE once
+    * published (exclusive create; quarantined claims are renamed, not
+    * rewritten), so a parsed entry can be reused for the process
+    * lifetime — planning a table version twice must not re-read and
+    * re-parse the same checkpoint twice. Keys carry the file's
+    * (size, mtime) identity, so the rare legitimate same-path content
+    * change — a table root deleted and recreated, a test corrupting a
+    * commit in place — misses the cache instead of serving stale
+    * state. LRU-bounded: a long-lived session touching thousands of
+    * tables evicts the cold entries, and the hot entry (the current
+    * checkpoint) stays resident.
     */
-  private def parseDv(json: String): Option[(String, Seq[String])] =
-    """"dv":"([^"]+)"""".r.findFirstMatchIn(json).map { m =>
-      val covers = """"dvCovers":\[([^\]]*)\]""".r.findFirstMatchIn(json)
-        .map(_.group(1)).filter(_.nonEmpty)
-        .map(_.split(",").toSeq
-          .map(_.stripPrefix("\"").stripSuffix("\"")))
-        .getOrElse(Seq.empty)
-      (m.group(1), covers)
-    }
+  private final case class EntryKey(path: String, size: Long, mtime: Long)
 
-  /** The checkpoint's carried DV state: sidecar path → covered files
-    * still live at the checkpointed version.
-    */
-  private def parseDvState(json: String): Seq[(String, Seq[String])] =
-    """"dvs":\{([^}]*)\}""".r.findFirstMatchIn(json).map(_.group(1))
-      .map { body =>
-        """"([^"]+)":\[([^\]]*)\]""".r.findAllMatchIn(body).map { m =>
-          val covers =
-            if (m.group(2).isEmpty) Seq.empty[String]
-            else m.group(2).split(",").toSeq
-              .map(_.stripPrefix("\"").stripSuffix("\""))
-          m.group(1) -> covers
-        }.toSeq
-      }.getOrElse(Seq.empty)
+  private object EntryCache {
+    private val MaxEntries = 4096
+    private val map =
+      new java.util.LinkedHashMap[EntryKey, LogEntry](256, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[EntryKey, LogEntry]): Boolean =
+          size() > MaxEntries
+      }
+    def get(key: EntryKey)(load: => LogEntry): LogEntry = {
+      val hit = map.synchronized(map.get(key))
+      if (hit != null) hit
+      else {
+        val v = load
+        map.synchronized(map.put(key, v))
+        v
+      }
+    }
+    def clear(): Unit = map.synchronized(map.clear())
+  }
+
+  /** Test seam: drop every cached parsed entry. */
+  private[graft] def clearEntryCache(): Unit = EntryCache.clear()
+
+  private def entryKey(root: String, path: String): EntryKey =
+    EntryKey(path, io(root).size(path), io(root).mtime(path))
+
+  private[graft] def commitEntry(root: String, v: Long): LogEntry = {
+    val p = commitPath(root, v)
+    EntryCache.get(entryKey(root, p))(parseEntry(io(root).read(p)))
+  }
+
+  private def checkpointEntry(root: String, v: Long): LogEntry = {
+    val p = checkpointPath(root, v)
+    EntryCache.get(entryKey(root, p))(loadCheckpoint(root, v))
+  }
 
   /** Full replay state at `upTo`: the live file set plus the active
     * deletion vectors with their still-live covers. A DV is retired the
@@ -543,6 +914,33 @@ object TxLog {
     * (compaction / optimize / copy-on-write delete) — the rewrite read
     * applied the mask, so the survivors no longer need it.
     */
+  /** Fold one log entry into the running (live set, active DVs)
+    * state — the single replay step [[resolveState]] and the CDC
+    * fold share. Action order matters and matches commit semantics:
+    * removes retire mask coverage, a restore's dvDrops deactivate
+    * BEFORE its dvState republishes (a path may be in both —
+    * drop-then-set replaces), adds land, then the entry's own DV
+    * action and carried DV state apply.
+    */
+  private def applyEntryToState(
+      live: scala.collection.mutable.LinkedHashSet[String],
+      dvs: scala.collection.mutable.LinkedHashMap[String, Set[String]],
+      e: LogEntry): Unit = {
+    e.removes.foreach { r =>
+      live -= r
+      if (dvs.nonEmpty) {
+        dvs.mapValuesInPlace((_, cov) => cov - r)
+        dvs.filterInPlace((_, cov) => cov.nonEmpty): Unit
+      }
+    }
+    e.dvDrops.foreach(p => dvs -= p)
+    e.adds.foreach(live += _)
+    e.dv.foreach { case (p, cov) =>
+      dvs(p) = dvs.getOrElse(p, Set.empty) ++ cov
+    }
+    e.dvState.foreach { case (p, cov) => dvs(p) = cov.toSet }
+  }
+
   private def resolveState(root: String, upTo: Long)
       : (Seq[String], Seq[(String, Seq[String])]) = {
     val vs = versionsOnDisk(root)
@@ -550,34 +948,9 @@ object TxLog {
     val dvs =
       scala.collection.mutable.LinkedHashMap.empty[String, Set[String]]
     val cp = checkpointsOnDisk(root).filter(_ <= upTo).lastOption
-    cp.foreach { c =>
-      val json = readCheckpoint(root, c)
-      val (_, files, _) = parseCommit(json)
-      files.foreach(live += _)
-      parseDvState(json).foreach { case (p, cov) => dvs(p) = cov.toSet }
-    }
-    vs.filter(v => v <= upTo && cp.forall(v > _)).foreach { v =>
-      val json = readCommit(root, v)
-      val (_, adds, removes) = parseCommit(json)
-      removes.foreach { r =>
-        live -= r
-        if (dvs.nonEmpty) {
-          dvs.mapValuesInPlace((_, cov) => cov - r)
-          dvs.filterInPlace((_, cov) => cov.nonEmpty): Unit
-        }
-      }
-      // a restore deactivates later masks BEFORE republishing its
-      // target's (a path may be in both — drop-then-set replaces)
-      """"dvDrops":\[([^\]]*)\]""".r.findFirstMatchIn(json)
-        .map(_.group(1)).filter(_.nonEmpty)
-        .foreach(_.split(",").foreach(p =>
-          dvs -= p.stripPrefix("\"").stripSuffix("\"")))
-      adds.foreach(live += _)
-      parseDv(json).foreach { case (p, cov) =>
-        dvs(p) = dvs.getOrElse(p, Set.empty) ++ cov
-      }
-      parseDvState(json).foreach { case (p, cov) => dvs(p) = cov.toSet }
-    }
+    cp.foreach(c => applyEntryToState(live, dvs, checkpointEntry(root, c)))
+    vs.filter(v => v <= upTo && cp.forall(v > _))
+      .foreach(v => applyEntryToState(live, dvs, commitEntry(root, v)))
     (live.toSeq, dvs.toSeq.map { case (p, cov) => p -> cov.toSeq.sorted })
   }
 
@@ -689,8 +1062,15 @@ object TxLog {
     */
   private def snapshotImpl(spark: SparkSession, root: String,
                            version: Option[Long],
-                           guard: Boolean): DataFrame = {
-    val snap = resolve(root, version)
+                           guard: Boolean): DataFrame =
+    snapshotOfSnap(spark, root, resolve(root, version), guard)
+
+  /** [[snapshotImpl]] over an ALREADY-resolved snapshot — the CDC fold
+    * derives per-commit snapshots incrementally and must not pay a
+    * fresh log replay to read each one.
+    */
+  private def snapshotOfSnap(spark: SparkSession, root: String,
+                             snap: Snapshot, guard: Boolean): DataFrame = {
     require(snap.files.nonEmpty,
       s"version ${snap.version} of $root has no live files")
     // mergeSchema: commits may evolve the schema (append with new
@@ -718,7 +1098,6 @@ object TxLog {
     val cps = checkpointsOnDisk(root)
     if (vs.isEmpty && cps.isEmpty) return None
     val upTo = version.getOrElse((vs ++ cps).max)
-    val re = """"schema":"([A-Za-z0-9+/=]+)"""".r
     // newest action wins, and the backward commit scan STOPS at the
     // newest checkpoint (which carries the action): a long run of
     // maintenance commits (delete/compact/optimize record no schema)
@@ -727,17 +1106,16 @@ object TxLog {
     val cp = cps.filter(_ <= upTo).lastOption
     val fromSuffix = vs.filter(v => v <= upTo && cp.forall(v > _))
       .reverse.iterator
-      .map(v => re.findFirstMatchIn(readCommit(root, v)))
-      .collectFirst { case Some(m) => m.group(1) }
+      .map(v => commitEntry(root, v).schemaB64)
+      .collectFirst { case Some(b) => b }
     val b64 = fromSuffix
-      .orElse(cp.flatMap(c =>
-        re.findFirstMatchIn(readCheckpoint(root, c)).map(_.group(1))))
+      .orElse(cp.flatMap(c => checkpointEntry(root, c).schemaB64))
       .orElse {
         // a checkpoint written before schema carry existed records no
         // action — fall back to the (still on-disk) commits below it
         cp.flatMap(c => vs.filter(_ <= c).reverse.iterator
-          .map(v => re.findFirstMatchIn(readCommit(root, v)))
-          .collectFirst { case Some(m) => m.group(1) })
+          .map(v => commitEntry(root, v).schemaB64)
+          .collectFirst { case Some(b) => b })
       }
     b64.map { s =>
       org.apache.spark.sql.types.DataType.fromJson(
@@ -872,6 +1250,48 @@ object TxLog {
   def appendPartitioned(spark: SparkSession, root: String, df: DataFrame,
                         partCols: Seq[String]): Long = {
     require(partCols.nonEmpty, "appendPartitioned: empty partition cols")
+    val moved = stagePartitioned(spark, root, df, partCols)
+    val adds = moved.map(_._1)
+    validateStaged(spark, root, adds, "partitioned append")
+    val meta = parquetMeta(root, adds)
+    var out: Option[Long] = None
+    var races = 0
+    while (out.isEmpty) {
+      val next = versionsOnDisk(root).lastOption.map(_ + 1).getOrElse(0L)
+      try {
+        writeCommit(root, next, adds, Seq.empty, op = "append",
+          knownMeta = Some(meta), knownRowsRemoved = Some(0L),
+          parts = moved.toMap, partCols = partCols,
+          schema = mergedSchemaFor(root, df.schema))
+        out = Some(next)
+      } catch {
+        case e: IllegalStateException =>
+          races += 1
+          if (races >= 1000) {
+            adds.foreach(f => io(root).deleteIfExists(s"$root/$f"))
+            throw new IllegalStateException(
+              s"txlog partitioned append at $root lost $races version " +
+                "races; giving up", e)
+          }
+          validateStaged(spark, root, adds, "partitioned append")
+      }
+    }
+    maybeAutoCheckpoint(root, out.get)
+    out.get
+  }
+
+  /** Stage `df` hive-partitioned by `partCols` under `data/` and
+    * return each published file with its partition values — the
+    * staging step [[appendPartitioned]] and the partitioned row-delta
+    * adoption ([[commitRowDelta]]) share, so every write path of a
+    * partitioned table produces PARTITION-PURE, log-annotated files
+    * and partition pruning never degrades across mutations. Zero-row
+    * task files are dropped; NULL partition values are rejected
+    * loudly (the log's path grammar cannot round-trip them).
+    */
+  private def stagePartitioned(spark: SparkSession, root: String,
+                               df: DataFrame, partCols: Seq[String])
+      : Seq[(String, Map[String, String])] = {
     partCols.foreach { c =>
       require(safeColName(c), s"unsafe partition column: $c")
       require(df.columns.contains(c),
@@ -911,33 +1331,7 @@ object TxLog {
       }
     }.flatten
     io(root).deleteRecursive(tmp)
-    val adds = moved.map(_._1)
-    validateStaged(spark, root, adds, "partitioned append")
-    val meta = parquetMeta(root, adds)
-    var out: Option[Long] = None
-    var races = 0
-    while (out.isEmpty) {
-      val next = versionsOnDisk(root).lastOption.map(_ + 1).getOrElse(0L)
-      try {
-        writeCommit(root, next, adds, Seq.empty, op = "append",
-          knownMeta = Some(meta), knownRowsRemoved = Some(0L),
-          parts = moved.toMap, partCols = partCols,
-          schema = mergedSchemaFor(root, df.schema))
-        out = Some(next)
-      } catch {
-        case e: IllegalStateException =>
-          races += 1
-          if (races >= 1000) {
-            adds.foreach(f => io(root).deleteIfExists(s"$root/$f"))
-            throw new IllegalStateException(
-              s"txlog partitioned append at $root lost $races version " +
-                "races; giving up", e)
-          }
-          validateStaged(spark, root, adds, "partitioned append")
-      }
-    }
-    maybeAutoCheckpoint(root, out.get)
-    out.get
+    moved
   }
 
   /** The table's declared partition columns at `version` (the tip when
@@ -947,41 +1341,21 @@ object TxLog {
     */
   def partitionColumns(root: String,
                        version: Option[Long] = None): Seq[String] = {
-    val texts = version match {
-      case Some(v) => indexTexts(root, v)
-      case None => indexTextsAtTip(root)
+    val entries = version match {
+      case Some(v) => indexEntries(root, v)
+      case None => indexEntriesAtTip(root)
     }
-    texts.flatMap { json =>
-      """"partCols":\[([^\]]*)\]""".r.findFirstMatchIn(json)
-        .map(_.group(1)).filter(_.nonEmpty)
-        .map(_.split(",").toSeq
-          .map(_.stripPrefix("\"").stripSuffix("\"")))
-    }.lastOption.getOrElse(Seq.empty)
+    entries.flatMap(_.partCols).lastOption.getOrElse(Seq.empty)
   }
 
-  /** Each file's log-recorded partition values. A per-file object
-    * whose body is exclusively `"name":"value"` pairs is uniquely a
-    * parts object — the `[min,max]` stats bodies always carry
-    * brackets, nstats bodies start with `"#rows"`.
-    */
+  /** Each file's log-recorded partition values. */
   def filePartitions(root: String): Map[String, Map[String, String]] =
-    filePartitionsOf(indexTextsAtTip(root))
+    filePartitionsOf(indexEntriesAtTip(root))
 
-  private def filePartitionsOf(texts: Seq[String])
-      : Map[String, Map[String, String]] = {
-    val fileObj =
-      ("\"((?:[A-Za-z0-9._\\-=]+/|\\.\\./)*data/" +
-        "[A-Za-z0-9._/\\-=]+)\":\\{" +
-        "(\"[A-Za-z0-9_]+\":\"[A-Za-z0-9._\\-]+\"" +
-        "(?:,\"[A-Za-z0-9_]+\":\"[A-Za-z0-9._\\-]+\")*)\\}").r
-    val kv = """"([A-Za-z0-9_]+)":"([A-Za-z0-9._\-]+)"""".r
-    texts.flatMap { json =>
-      fileObj.findAllMatchIn(json).map { m =>
-        m.group(1) -> kv.findAllMatchIn(m.group(2))
-          .map(p => p.group(1) -> p.group(2)).toMap
-      }
-    }.toMap
-  }
+  private def filePartitionsOf(entries: Seq[LogEntry])
+      : Map[String, Map[String, String]] =
+    entries.foldLeft(Map.empty[String, Map[String, String]])(
+      (acc, e) => acc ++ e.parts)
 
   /** All four skipping indexes — int/string ranges, null counts,
     * partition values — from ONE pass over the commit files. The
@@ -1003,12 +1377,12 @@ object TxLog {
     */
   def skippingIndex(root: String,
                     version: Option[Long] = None): SkippingIndex = {
-    val texts = version match {
-      case Some(v) => indexTexts(root, v)
-      case None => indexTextsAtTip(root)
+    val entries = version match {
+      case Some(v) => indexEntries(root, v)
+      case None => indexEntriesAtTip(root)
     }
-    SkippingIndex(fileStatsOf(texts), fileStatsStrOf(texts),
-      fileNullStatsOf(texts), filePartitionsOf(texts))
+    SkippingIndex(fileStatsOf(entries), fileStatsStrOf(entries),
+      fileNullStatsOf(entries), filePartitionsOf(entries))
   }
 
   /** Partition-pruned read: the snapshot restricted to the partitions
@@ -1124,10 +1498,13 @@ object TxLog {
           .parquet(affectedAbs.toIndexedSeq: _*), snap.dvFiles)
         .filter(col(keyCol).isNull || !hit))
     val removes = affectedAbs.toSeq.map(relToRoot(root, _))
-    commitOrCleanup(root, adds) {
-      writeCommit(root, next, adds, removes, op = "delete")
-    }
-    next
+    // read scope: only the HIT files' rows shaped the survivors —
+    // files outside `removes` either prune by stats or scanned clean,
+    // so a winner touching them cannot change this delete's outcome;
+    // a winner APPEND could hold matching keys (rowSelecting)
+    commitDerived(root, snap.version, adds, removes, op = "delete",
+      scope = DerivedScope(removes.toSet, rowSelecting = true),
+      staged = adds)
   }
 
   /** Logged copy-on-write DELETE with an ARBITRARY row predicate — the
@@ -1177,10 +1554,15 @@ object TxLog {
         .map(_.fields.toSeq).getOrElse(Seq.empty))
     val adds = stage(spark, root, aligned.filter(cond.isNull || !cond))
     val removes = affectedAbs.toSeq.map(relToRoot(root, _))
-    commitOrCleanup(root, adds) {
-      writeCommit(root, next, adds, removes, op = "delete")
-    }
-    next
+    // read scope: the hit files (everything else scanned clean or was
+    // stats-pruned); the predicate's implied partition equalities let
+    // a provably-elsewhere concurrent append through
+    commitDerived(root, snap.version, adds, removes, op = "delete",
+      scope = DerivedScope(removes.toSet, rowSelecting = true,
+        partitionEq = partitionEqOf(
+          org.apache.spark.sql.GraftSqlBridge.expression(cond),
+          partitionColumns(root))),
+      staged = adds)
   }
 
   /** DELETE with no WHERE / SQL TRUNCATE: remove every live file from
@@ -1288,17 +1670,18 @@ object TxLog {
     stageDvSidecar(spark, root, hits) match {
       case None =>
         writeCommit(root, next, Seq.empty, Seq.empty, op = "delete-dv")
+        next
       case Some((dvRel, perFile)) =>
         val nameToRel = candidates.map(f => fileNameOf(f) -> f).toMap
         val covers = perFile.keys.map(nameToRel).toSeq.sorted
-        commitOrCleanup(root, Seq(dvRel)) {
-          writeCommit(root, next, Seq.empty, Seq.empty, op = "delete-dv",
-            dv = Some((dvRel, covers)),
-            knownMeta = Some(FileMeta(0L, Map.empty, Map.empty)),
-            knownRowsRemoved = Some(perFile.values.sum))
-        }
+        // read scope: rows only in the covered files decided the mask
+        commitDerived(root, snap.version, Seq.empty, Seq.empty,
+          op = "delete-dv",
+          scope = DerivedScope(covers.toSet, rowSelecting = true),
+          staged = Seq(dvRel), dv = Some((dvRel, covers)),
+          knownMeta = Some(FileMeta(0L, Map.empty, Map.empty)),
+          knownRowsRemoved = Some(perFile.values.sum))
     }
-    next
   }
 
   /** `df` widened with the `fields` it lacks, each as a NULL cast —
@@ -1352,17 +1735,24 @@ object TxLog {
     * atomic in one version. Constraints gate the inserted rows exactly
     * like an append, the new files' stats/null-counts are recorded for
     * the skipping index, and the masked row count lands in the ledger.
-    * The commit MUST land at `baseVersion + 1`: the masked positions
-    * were scanned against that snapshot, so a concurrent commit fails
-    * the version race loudly (derived-mutation contract) and
-    * everything staged is cleaned up.
+    * The commit targets `baseVersion + 1` — the masked positions were
+    * scanned against that snapshot — and on a lost version race the
+    * optimistic-concurrency rules apply ([[commitDerived]]): winners
+    * provably disjoint from the read files and mask targets (e.g. an
+    * UPDATE of a DIFFERENT partition, `partitionEq`) re-stamp at the
+    * new tip; anything else fails loudly and everything staged is
+    * cleaned up. On a PARTITIONED table the insert images re-stage
+    * through the hive-layout writer, so every new file is
+    * partition-pure with its values re-recorded in the log —
+    * partition pruning never degrades across UPDATE/MERGE.
     */
   private[graft] def commitRowDelta(spark: SparkSession, root: String,
                                     baseVersion: Long,
                                     stagedDataAbs: Seq[String],
                                     dvFragmentsAbs: Seq[String],
-                                    op: String): Long = {
-    val next = baseVersion + 1
+                                    op: String,
+                                    partitionEq: Map[String, String] =
+                                      Map.empty): Long = {
     val uid = UUID.randomUUID().toString.take(8)
     // small-update hygiene: the delta writers emit one insert file per
     // TASK, so a 1000-row UPDATE at 32-way parallelism would publish
@@ -1373,30 +1763,69 @@ object TxLog {
     // them like any other append's output
     val SmallAddBytes = 32L << 20
     val rlcTmp = s"$root/_staged-rlc-$uid"
-    val adds =
-      try {
-        val staged =
-          if (stagedDataAbs.size > 1 &&
-              stagedDataAbs.map(io(root).size).sum < SmallAddBytes) {
-            spark.read.option("mergeSchema", "true")
-              .parquet(stagedDataAbs: _*).coalesce(1).write.parquet(rlcTmp)
-            stagedDataAbs.foreach(io(root).delete)
-            val merged = io(root).list(rlcTmp)
-              .filter(_.endsWith(".parquet")).map(n => s"$rlcTmp/$n")
-            require(merged.size == 1,
-              s"row-level consolidation produced ${merged.size} files")
-            merged
-          } else stagedDataAbs
-        staged.sorted.zipWithIndex.map { case (src, i) =>
-          val rel = f"data/part-$uid-$i%05d.parquet"
-          io(root).move(src, s"$root/$rel")
-          rel
-        }
-      } finally {
-        // success leaves only the _SUCCESS marker behind; a failed
-        // consolidation must not orphan its partial output under the
-        // table root (no sweeper owns _staged-rlc dirs)
-        if (io(root).exists(rlcTmp)) io(root).deleteRecursive(rlcTmp)
+    val tablePartCols = partitionColumns(root, Some(baseVersion))
+    val (adds, parts) =
+      if (stagedDataAbs.nonEmpty && tablePartCols.nonEmpty) {
+        // partitioned table: the insert images re-stage through the
+        // SAME hive-layout writer every partitioned append uses —
+        // partition-pure files, values re-recorded in the log. Small
+        // updates consolidate to one file per touched partition
+        val df0 = spark.read.option("mergeSchema", "true")
+          .parquet(stagedDataAbs: _*)
+        val df =
+          if (stagedDataAbs.map(io(root).size).sum < SmallAddBytes)
+            df0.coalesce(1)
+          else df0
+        val moved =
+          try stagePartitioned(spark, root, df, tablePartCols)
+          catch {
+            case e: Throwable =>
+              stagedDataAbs.foreach(io(root).deleteIfExists)
+              throw e
+          }
+        stagedDataAbs.foreach(io(root).deleteIfExists)
+        (moved.map(_._1), moved.toMap)
+      } else {
+        val rels =
+          try {
+            val staged =
+              if (stagedDataAbs.size > 1 &&
+                  stagedDataAbs.map(io(root).size).sum < SmallAddBytes) {
+                spark.read.option("mergeSchema", "true")
+                  .parquet(stagedDataAbs: _*).coalesce(1).write
+                  .parquet(rlcTmp)
+                stagedDataAbs.foreach(io(root).delete)
+                val merged = io(root).list(rlcTmp)
+                  .filter(_.endsWith(".parquet")).map(n => s"$rlcTmp/$n")
+                require(merged.size == 1,
+                  s"row-level consolidation produced ${merged.size} files")
+                merged
+              } else stagedDataAbs
+            // adoption moves: a partial failure (one move throws
+            // midway) must not orphan the already-moved part files
+            // under data/ — no commit references them, the caller's
+            // staging-dir cleanup cannot see them, and no sweeper owns
+            // loose data/ files (same lost-race hygiene as
+            // commitOrCleanup)
+            val movedSoFar = Seq.newBuilder[String]
+            try staged.sorted.zipWithIndex.map { case (src, i) =>
+              val rel = f"data/part-$uid-$i%05d.parquet"
+              io(root).move(src, s"$root/$rel")
+              movedSoFar += rel
+              rel
+            } catch {
+              case e: Throwable =>
+                movedSoFar.result()
+                  .foreach(f => io(root).deleteIfExists(s"$root/$f"))
+                throw e
+            }
+          } finally {
+            // success leaves only the _SUCCESS marker behind; a failed
+            // consolidation must not orphan its partial output under
+            // the table root (no sweeper owns _staged-rlc dirs)
+            if (io(root).exists(rlcTmp)) io(root).deleteRecursive(rlcTmp)
+          }
+        (rels, Map.empty[String, Map[String, String]])
       }
     // constraint gate (deletes the adds itself on a violation)
     validateStaged(spark, root, adds, "row-level write")
@@ -1425,12 +1854,17 @@ object TxLog {
             (Some((dvRel, covers)), perFile.values.sum)
         }
       }
-    commitOrCleanup(root, adds ++ dv.map(_._1).toSeq) {
-      writeCommit(root, next, adds, Seq.empty, op = op, dv = dv,
-        knownRowsRemoved = Some(nDel))
-    }
-    maybeAutoCheckpoint(root, next)
-    next
+    // read scope: the DV-covered files (discovery scanned the pinned
+    // snapshot; only covered files held matched rows). Two UPDATEs on
+    // DISJOINT partitions both land — the loser re-stamps at the tip
+    val committed = commitDerived(root, baseVersion, adds, Seq.empty,
+      op = op,
+      scope = DerivedScope(dv.map(_._2).getOrElse(Seq.empty).toSet,
+        rowSelecting = true, partitionEq = partitionEq),
+      staged = adds ++ dv.map(_._1).toSeq, dv = dv,
+      parts = parts, knownRowsRemoved = Some(nDel))
+    maybeAutoCheckpoint(root, committed)
+    committed
   }
 
   /** Deletion-vector maintenance: rewrite ONLY the files whose masked
@@ -1468,10 +1902,11 @@ object TxLog {
         spark.read.option("mergeSchema", "true")
           .parquet(candidates.map(f => s"$root/$f"): _*),
         snap.dvFiles))
-    commitOrCleanup(root, adds) {
-      writeCommit(root, snap.version + 1, adds, candidates, op = "purge")
-    }
-    Some(snap.version + 1)
+    // layout no-op over the candidate files only: a concurrent append
+    // or a disjoint mutation elsewhere must not force a re-purge
+    Some(commitDerived(root, snap.version, adds, candidates, op = "purge",
+      scope = DerivedScope(candidates.toSet, rowSelecting = false),
+      staged = adds))
   }
 
   /** MERGE INTO as a commit (logged upsert): rows of `updates` replace
@@ -1508,12 +1943,12 @@ object TxLog {
     val adds = stage(spark, root, survivors.unionByName(updates))
     validateStaged(spark, root, adds, "merge")
     val removes = hitAbs.toSeq.map(relToRoot(root, _))
-    commitOrCleanup(root, adds) {
-      writeCommit(root, snap.version + 1, adds, removes, op = "merge",
-        mergeKey = Some(keyCol),
-        schema = mergedSchemaFor(root, updates.schema))
-    }
-    snap.version + 1
+    // read scope: the hit files (every other live file was scanned and
+    // held no matched key); a winner APPEND could hold matching keys
+    commitDerived(root, snap.version, adds, removes, op = "merge",
+      scope = DerivedScope(removes.toSet, rowSelecting = true),
+      staged = adds, mergeKey = Some(keyCol),
+      schema = mergedSchemaFor(root, updates.schema))
   }
 
   /** OPTIMIZE ZORDER BY as a commit: rewrite the live set Z-ordered on
@@ -1529,11 +1964,12 @@ object TxLog {
     val snap = resolve(root)
     val adds = stage(spark, root, Maintenance.zorderLayout(
       snapshotImpl(spark, root, None, guard = false), cols, numFiles))
-    commitOrCleanup(root, adds) {
-      writeCommit(root, snap.version + 1, adds, snap.files,
-        op = "optimize")
-    }
-    snap.version + 1
+    // layout no-op over the whole live set: only a concurrent pure
+    // append survives the disjointness check (and correctly so — its
+    // file simply stays un-optimized)
+    commitDerived(root, snap.version, adds, snap.files, op = "optimize",
+      scope = DerivedScope(snap.files.toSet, rowSelecting = false),
+      staged = adds)
   }
 
   /** OPTIMIZE scoped to a partition — the Delta `OPTIMIZE ... WHERE`
@@ -1567,11 +2003,11 @@ object TxLog {
         .parquet(hit.map(f => s"$root/$f"): _*), snap.dvFiles)
     val adds = stage(spark, root,
       Maintenance.zorderLayout(df, cols, numFiles))
-    commitOrCleanup(root, adds) {
-      writeCommit(root, snap.version + 1, adds, hit, op = "optimize",
-        parts = adds.map(_ -> common).toMap)
-    }
-    snap.version + 1
+    // layout no-op over ONE partition's files: appends and mutations
+    // of OTHER partitions proceed concurrently
+    commitDerived(root, snap.version, adds, hit, op = "optimize",
+      scope = DerivedScope(hit.toSet, rowSelecting = false),
+      staged = adds, parts = adds.map(_ -> common).toMap)
   }
 
   /** Compaction as a commit: bin-pack the live files toward
@@ -1590,11 +2026,9 @@ object TxLog {
     // the newer columns from the ONLY remaining copy of every row
     val adds = stage(spark, root,
       snapshotImpl(spark, root, None, guard = false).coalesce(n))
-    commitOrCleanup(root, adds) {
-      writeCommit(root, snap.version + 1, adds, snap.files,
-        op = "compact")
-    }
-    snap.version + 1
+    commitDerived(root, snap.version, adds, snap.files, op = "compact",
+      scope = DerivedScope(snap.files.toSet, rowSelecting = false),
+      staged = adds)
   }
 
   /** RESTORE TABLE TO VERSION AS OF — undo as a commit: the live state
@@ -1721,48 +2155,37 @@ object TxLog {
       schema = tableSchema(srcRoot, Some(snap.version)))
     constraintsAt(srcRoot, snap.version).toSeq.sortBy(_._1)
       .foreach { case (n, ex) =>
-        commitMetadata(dstRoot, s""""cname":"$n","cexpr":"$ex"""",
+        commitMetadata(dstRoot, () => s""""cname":"$n","cexpr":"$ex"""",
           "set-constraint"): Unit
       }
     0L
   }
 
-  /** The texts the skipping-index parsers replay: the newest
+  /** The entries the skipping-index readers replay: the newest
     * CHECKPOINT at or below `upTo` (which carries the live set's
     * per-file stats, null counts, and partition metadata — see
     * [[checkpoint]]) plus the commits after it, oldest first. This is
     * the same O(checkpoint interval) replay [[resolve]] does — on a
-    * long-lived table with 10k commits between vacuums, the previous
+    * long-lived table with 10k commits between vacuums, the old
     * whole-log sweep cost 10k metadata reads PER PLANNED QUERY, the
-    * exact planning bottleneck the checkpoint exists to remove. Later
-    * texts override earlier ones on key collision (restore re-records
-    * a re-added file's stats), matching commit order.
+    * exact planning bottleneck the checkpoint exists to remove; with
+    * the [[EntryCache]] a version planned twice in one session costs
+    * ZERO log reads the second time. Later entries override earlier
+    * ones on key collision (restore re-records a re-added file's
+    * stats), matching commit order.
     */
-  private def indexTexts(root: String, upTo: Long): Seq[String] = {
+  private def indexEntries(root: String, upTo: Long): Seq[LogEntry] = {
     val cp = checkpointsOnDisk(root).filter(_ <= upTo).lastOption
-    cp.map(readCheckpoint(root, _)).toSeq ++
+    cp.map(checkpointEntry(root, _)).toSeq ++
       versionsOnDisk(root).filter(v => v <= upTo && cp.forall(v > _))
-        .map(readCommit(root, _))
+        .map(commitEntry(root, _))
   }
 
-  private def indexTextsAtTip(root: String): Seq[String] = {
+  private def indexEntriesAtTip(root: String): Seq[LogEntry] = {
     val vs = versionsOnDisk(root)
     val cps = checkpointsOnDisk(root)
     if (vs.isEmpty && cps.isEmpty) Seq.empty
-    else indexTexts(root, (vs ++ cps).max)
-  }
-
-  /** Every commit's per-file stats object body, keyed by file path —
-    * the single place the stats-JSON grammar is scanned. The key must
-    * CONTAIN a `data/` segment (a shallow [[clone]]'s `../src/data/…`
-    * references qualify; the `cset`/`dvs` metadata objects never do).
-    */
-  private def statBodies(texts: Seq[String]): Seq[(String, String)] = {
-    val fileObj =
-      ("\"((?:[A-Za-z0-9._\\-=]+/|\\.\\./)*data/" +
-        "[A-Za-z0-9._/\\-=]+)\":\\{([^}]*)\\}").r
-    texts.flatMap(json =>
-      fileObj.findAllMatchIn(json).map(m => m.group(1) -> m.group(2)))
+    else indexEntries(root, (vs ++ cps).max)
   }
 
   /** The log's data-skipping index: per live-file, per integer-column
@@ -1771,17 +2194,12 @@ object TxLog {
     * have no entry — readers treat that as "cannot skip".
     */
   def fileStats(root: String): Map[String, Map[String, (Long, Long)]] =
-    fileStatsOf(indexTextsAtTip(root))
+    fileStatsOf(indexEntriesAtTip(root))
 
-  private def fileStatsOf(texts: Seq[String])
-      : Map[String, Map[String, (Long, Long)]] = {
-    val colRange = """"([A-Za-z0-9_]+)":\[(-?\d+),(-?\d+)\]""".r
-    statBodies(texts).map { case (f, body) =>
-      f -> colRange.findAllMatchIn(body)
-        .map(c => c.group(1) -> (c.group(2).toLong, c.group(3).toLong))
-        .toMap
-    }.filter(_._2.nonEmpty).toMap
-  }
+  private def fileStatsOf(entries: Seq[LogEntry])
+      : Map[String, Map[String, (Long, Long)]] =
+    entries.foldLeft(Map.empty[String, Map[String, (Long, Long)]])(
+      (acc, e) => acc ++ e.intStats)
 
   /** The string half of the skipping index: per live-file, per
     * string-column `[min, max]` as recorded at commit time (values
@@ -1790,42 +2208,25 @@ object TxLog {
     */
   def fileStatsStr(root: String)
       : Map[String, Map[String, (String, String)]] =
-    fileStatsStrOf(indexTextsAtTip(root))
+    fileStatsStrOf(indexEntriesAtTip(root))
 
-  private def fileStatsStrOf(texts: Seq[String])
-      : Map[String, Map[String, (String, String)]] = {
-    val colRange = """"([A-Za-z0-9_]+)":\["([^"]*)","([^"]*)"\]""".r
-    statBodies(texts).map { case (f, body) =>
-      f -> colRange.findAllMatchIn(body)
-        .map(c => c.group(1) -> (c.group(2), c.group(3)))
-        .toMap
-    }.filter(_._2.nonEmpty).toMap
-  }
+  private def fileStatsStrOf(entries: Seq[LogEntry])
+      : Map[String, Map[String, (String, String)]] =
+    entries.foldLeft(Map.empty[String, Map[String, (String, String)]])(
+      (acc, e) => acc ++ e.strStats)
 
   /** The null half of the skipping index: per live-file `(rows,
-    * column -> null count)` as recorded at commit time. Parsed by its
-    * own `"#rows"` marker (outside the column-name grammar), so it
-    * never collides with the `[min,max]` stats objects. Files from
+    * column -> null count)` as recorded at commit time. Files from
     * pre-nstats commits have no entry — readers treat that as "cannot
     * skip".
     */
   def fileNullStats(root: String): Map[String, (Long, Map[String, Long])] =
-    fileNullStatsOf(indexTextsAtTip(root))
+    fileNullStatsOf(indexEntriesAtTip(root))
 
-  private def fileNullStatsOf(texts: Seq[String])
-      : Map[String, (Long, Map[String, Long])] = {
-    val fileObj =
-      ("\"((?:[A-Za-z0-9._\\-=]+/|\\.\\./)*data/" +
-        "[A-Za-z0-9._/\\-=]+)\":\\{\"#rows\":(\\d+)([^}]*)\\}").r
-    val colNulls = """"([A-Za-z0-9_]+)":(\d+)""".r
-    texts.flatMap { json =>
-      fileObj.findAllMatchIn(json).map { m =>
-        m.group(1) -> (m.group(2).toLong,
-          colNulls.findAllMatchIn(m.group(3))
-            .map(c => c.group(1) -> c.group(2).toLong).toMap)
-      }
-    }.toMap
-  }
+  private def fileNullStatsOf(entries: Seq[LogEntry])
+      : Map[String, (Long, Map[String, Long])] =
+    entries.foldLeft(Map.empty[String, (Long, Map[String, Long])])(
+      (acc, e) => acc ++ e.nstats)
 
   /** `IS NULL` / `IS NOT NULL` data skipping: the snapshot restricted
     * to rows where `colName` is (not) null, with files pruned by the
@@ -1928,17 +2329,10 @@ object TxLog {
     // its idempotence check
     val cp = checkpointsOnDisk(root).filter(_ <= upTo).lastOption
     val fromCommits = versionsOnDisk(root)
-      .filter(v => v <= upTo && cp.forall(v > _)).flatMap { v =>
-        """"batchId":(\d+)""".r
-          .findFirstMatchIn(readCommit(root, v))
-          .map(_.group(1).toLong)
-      }
-    val fromCheckpoint = cp.toSeq.flatMap { c =>
-      """"batchIds":\[([^\]]*)\]""".r
-        .findFirstMatchIn(readCheckpoint(root, c))
-        .map(_.group(1)).filter(_.nonEmpty)
-        .map(_.split(",").toSeq.map(_.toLong)).getOrElse(Seq.empty)
-    }
+      .filter(v => v <= upTo && cp.forall(v > _))
+      .flatMap(v => commitEntry(root, v).batchId)
+    val fromCheckpoint =
+      cp.toSeq.flatMap(c => checkpointEntry(root, c).batchIds)
     (fromCommits ++ fromCheckpoint).toSet
   }
 
@@ -2024,6 +2418,19 @@ object TxLog {
   def changesBetween(spark: SparkSession, root: String, fromV: Long,
                      toV: Long): DataFrame = {
     require(fromV <= toV, s"changesBetween: $fromV > $toV")
+    changesBetweenCore(spark, root, resolve(root, Some(fromV)),
+      resolve(root, Some(toV)), toV)
+  }
+
+  /** [[changesBetween]] with both endpoints ALREADY resolved — the
+    * shape the CDC fold needs: it derives each commit's pre/post
+    * snapshots by folding ONE running state forward across the
+    * interval ([[changesBetweenCdc]]), so the per-commit diff must
+    * not re-replay the log twice per commit.
+    */
+  private def changesBetweenCore(spark: SparkSession, root: String,
+                                 fromS: Snapshot, toS: Snapshot,
+                                 toV: Long): DataFrame = {
     // the empty change set still needs the table's SCHEMA, and toV may
     // have no live files (a fully-deleted table diffed against itself).
     // The LOG-RECORDED schema at toV is the right source: one metadata
@@ -2050,8 +2457,6 @@ object TxLog {
           }
       }
     }
-    val fromS = resolve(root, Some(fromV))
-    val toS = resolve(root, Some(toV))
     val from = fromS.files.toSet
     val to = toS.files.toSet
     val addedF = (to -- from).toSeq.sorted
@@ -2123,7 +2528,7 @@ object TxLog {
     // — the changed-file schema is then all there is.)
     val tgt =
       if (toS.files.nonEmpty)
-        snapshotImpl(spark, root, Some(toV), guard = false).schema
+        snapshotOfSnap(spark, root, toS, guard = false).schema
       else (addedOpt.orElse(removedOpt).orElse(grownOpt)
         .orElse(shrunkOpt)).get.schema
     def align(df: DataFrame): DataFrame =
@@ -2177,16 +2582,34 @@ object TxLog {
     // contract of the PLAIN feed ([[changesBetween]]); the CDF shape
     // reports each commit's own changes.
     val vs = versionsOnDisk(root).filter(v => v > fromV && v <= toV)
-    val feeds = (fromV +: vs.init).zip(vs).flatMap { case (prevV, v) =>
-      val json = readCommit(root, v)
+    // ONE running snapshot folded forward across the interval: the
+    // state at fromV is resolved once and each commit's entry applies
+    // incrementally, so a 50-commit CDC request costs O(interval)
+    // metadata reads and O(interval) replay work TOTAL — not two
+    // fresh checkpoint-deep resolves per commit
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    val dvs =
+      scala.collection.mutable.LinkedHashMap.empty[String, Set[String]]
+    val (f0, d0) = resolveState(root, fromV)
+    f0.foreach(live += _)
+    d0.foreach { case (p, cov) => dvs(p) = cov.toSet }
+    def snapAt(v: Long): Snapshot =
+      Snapshot(v, live.toSeq, dvs.keys.toSeq)
+    var prev = snapAt(fromV)
+    val feeds = vs.flatMap { v =>
+      val e = commitEntry(root, v)
       // metadata-only commits (constraints) cannot change rows — skip
-      // the two-snapshot resolve entirely
-      val (_, adds, removes) = parseCommit(json)
-      val touches = adds.nonEmpty || removes.nonEmpty ||
-        json.contains("\"dv\":") || json.contains("\"dvDrops\":") ||
-        json.contains("\"dvs\":")
+      // the diff entirely (the state they fold to is unchanged too)
+      val touches = e.adds.nonEmpty || e.removes.nonEmpty ||
+        e.dv.nonEmpty || e.dvDrops.nonEmpty || e.dvState.nonEmpty
       if (!touches) None
-      else Some(cdcOfCommit(spark, root, prevV, v, json))
+      else {
+        applyEntryToState(live, dvs, e)
+        val cur = snapAt(v)
+        val out = cdcOfCommit(spark, root, prev, cur, e.mergeKey)
+        prev = cur
+        Some(out)
+      }
     }
     if (feeds.isEmpty) {
       // empty interval: the (empty) plain diff carries the schema
@@ -2194,26 +2617,38 @@ object TxLog {
       return d.withColumnRenamed("change", "change_type").limit(0)
     }
     // schema evolution inside the interval: later commits may carry
-    // columns earlier ones lack — null-fill across the union, then
-    // keep change_type last for CDC consumers
-    val u = feeds.reduce((a, b) =>
-      a.unionByName(b, allowMissingColumns = true))
+    // columns earlier ones lack — null-fill across the union, BALANCED
+    // pairwise (a 1000-commit interval must build a log-depth union
+    // tree, not a 1000-deep left spine the analyzer walks per rule),
+    // then keep change_type last for CDC consumers
+    val u = balancedUnionByName(feeds)
     u.select((u.columns.filter(_ != "change_type").map(col) :+
       col("change_type")).toIndexedSeq: _*)
   }
+
+  /** Pairwise (log-depth) `unionByName` with null-fill — a linear
+    * fold builds a plan whose depth equals the input count, which the
+    * analyzer and optimizer then walk per rule application.
+    */
+  private def balancedUnionByName(dfs: Seq[DataFrame]): DataFrame =
+    if (dfs.sizeIs == 1) dfs.head
+    else balancedUnionByName(dfs.grouped(2).map {
+      case Seq(a, b) => a.unionByName(b, allowMissingColumns = true)
+      case Seq(a) => a
+    }.toSeq)
 
   /** One commit's CDF slice: the (prevV, v] diff, with the commit's
     * own `mergeKey` (if it is a merge) pairing its removed-and-re-added
     * keys into update pre/post images. Non-merge commits label plain
     * insert/delete.
     */
-  private def cdcOfCommit(spark: SparkSession, root: String, prevV: Long,
-                          v: Long, json: String): DataFrame = {
-    val diff = changesBetween(spark, root, prevV, v)
+  private def cdcOfCommit(spark: SparkSession, root: String,
+                          prevS: Snapshot, curS: Snapshot,
+                          mergeKey: Option[String]): DataFrame = {
+    val diff = changesBetweenCore(spark, root, prevS, curS, curS.version)
     val ins = diff.filter(col("change") === "insert").drop("change")
     val del = diff.filter(col("change") === "delete").drop("change")
-    """"mergeKey":"([A-Za-z0-9_]+)"""".r.findFirstMatchIn(json)
-      .map(_.group(1)) match {
+    mergeKey match {
       case Some(k) =>
         val updKeys = ins.select(k).intersect(del.select(k))
         del.join(updKeys, Seq(k), "left_semi")
@@ -2255,26 +2690,16 @@ object TxLog {
     * contract across the truncation), then fold the commits after it.
     */
   private def constraintsAt(root: String, upTo: Long): Map[String, String] = {
-    val cname = """"cname":"([A-Za-z0-9_]+)"""".r
-    val cexpr = """"cexpr":"([^"]*)"""".r
     val cp = checkpointsOnDisk(root).filter(_ <= upTo).lastOption
-    val fromCp: Map[String, String] = cp.map { c =>
-      val json = readCheckpoint(root, c)
-      """"cset":\{([^}]*)\}""".r.findFirstMatchIn(json).map(_.group(1))
-        .map(body => """"([A-Za-z0-9_]+)":"([^"]*)"""".r
-          .findAllMatchIn(body).map(m => m.group(1) -> m.group(2)).toMap)
-        .getOrElse(Map.empty)
-    }.getOrElse(Map.empty)
+    val fromCp: Map[String, String] =
+      cp.flatMap(c => checkpointEntry(root, c).cset).getOrElse(Map.empty)
     versionsOnDisk(root)
       .filter(v => v <= upTo && cp.forall(v > _))
       .foldLeft(fromCp) { (acc, v) =>
-        val json = readCommit(root, v)
-        val op = """"op":"([a-z-]+)"""".r.findFirstMatchIn(json)
-          .map(_.group(1))
-        (op, cname.findFirstMatchIn(json).map(_.group(1))) match {
-          case (Some("set-constraint"), Some(n)) =>
-            acc + (n -> cexpr.findFirstMatchIn(json).get.group(1))
-          case (Some("drop-constraint"), Some(n)) => acc - n
+        val e = commitEntry(root, v)
+        (e.op, e.cname) match {
+          case ("set-constraint", Some(n)) => acc + (n -> e.cexpr.get)
+          case ("drop-constraint", Some(n)) => acc - n
           case _ => acc
         }
       }
@@ -2305,7 +2730,7 @@ object TxLog {
     // us may have appended violating rows — recording the constraint
     // over them would create exactly the state the gate forbids
     commitMetadata(root,
-      s""""cname":"$name","cexpr":"$sqlExpr"""", "set-constraint",
+      () => s""""cname":"$name","cexpr":"$sqlExpr"""", "set-constraint",
       onConflict = () => validateExisting())
   }
 
@@ -2315,13 +2740,54 @@ object TxLog {
     require(constraints(root).contains(name),
       s"no active constraint '$name' on $root (have " +
         s"${constraints(root).keys.toSeq.sorted.mkString(", ")})")
-    commitMetadata(root, s""""cname":"$name"""", "drop-constraint")
+    commitMetadata(root, () => s""""cname":"$name"""", "drop-constraint")
+  }
+
+  /** ALTER TABLE ... ADD COLUMN as a commit: the table's recorded
+    * schema widens by `newFields` (each forced nullable — existing
+    * rows read the new column as NULL, the evolution contract) in ONE
+    * data-free metadata commit. No data file changes; the connector
+    * and SQL catalog pick the widened schema up from the log's newest
+    * schema action, exactly as they do for write-side evolution.
+    * Same-name columns refuse loudly (including a same-type re-add —
+    * ALTER must be explicit, not idempotent), and the widening is
+    * recomputed per attempt on a lost version race (the winner may
+    * itself have evolved the schema).
+    */
+  def addColumns(spark: SparkSession, root: String,
+                 newFields: Seq[org.apache.spark.sql.types.StructField])
+      : Long = {
+    require(newFields.nonEmpty, "addColumns: no columns to add")
+    require(newFields.map(_.name).distinct.size == newFields.size,
+      s"duplicate column names in ${newFields.map(_.name)}")
+    def widened(): org.apache.spark.sql.types.StructType = {
+      val cur = tableSchema(root).getOrElse {
+        val snap = resolve(root)
+        require(snap.files.nonEmpty,
+          s"$root has no recorded schema and no live files to derive " +
+            "one from")
+        spark.read.option("mergeSchema", "true")
+          .parquet(snap.files.map(f => s"$root/$f"): _*).schema
+      }
+      newFields.foreach(f =>
+        require(!cur.fieldNames.contains(f.name),
+          s"column '${f.name}' already exists on $root"))
+      org.apache.spark.sql.types.StructType(
+        asNullable(cur).fields ++ newFields.map(_.copy(nullable = true)))
+    }
+    def frag(): String = {
+      val b64 = java.util.Base64.getEncoder.encodeToString(
+        widened().json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      s""""schema":"$b64""""
+    }
+    commitMetadata(root, frag, "set-schema")
   }
 
   /** Publish a data-free metadata commit, retrying version races like
     * [[append]] does.
     */
-  private def commitMetadata(root: String, fields: String, op: String,
+  private def commitMetadata(root: String, fields: () => String,
+                             op: String,
                              onConflict: () => Unit = () => ()): Long = {
     var out: Option[Long] = None
     var races = 0
@@ -2330,7 +2796,7 @@ object TxLog {
       try {
         publishCommit(root, next,
           s"""{"v":$next,"op":"$op","adds":[],"removes":[],""" +
-            s""""rows":0,"rowsRemoved":0,$fields}""")
+            s""""rows":0,"rowsRemoved":0,${fields()}}""")
         out = Some(next)
       } catch {
         case e: IllegalStateException =>
@@ -2400,14 +2866,9 @@ object TxLog {
     * own slice of commit files — see the `graft-table-history` source.
     */
   def commitInfoAt(root: String, version: Long): CommitInfo = {
-    val json = readCommit(root, version)
-    val (v, adds, removes) = parseCommit(json)
-    def num(key: String): Option[Long] =
-      s""""$key":(\\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
-    val op = """"op":"([a-z-]+)"""".r.findFirstMatchIn(json)
-      .map(_.group(1)).getOrElse("unknown")
-    CommitInfo(v, op, adds, removes, num("rows"), num("rowsRemoved"),
-      num("batchId"))
+    val e = commitEntry(root, version)
+    CommitInfo(e.version, e.op, e.adds, e.removes, e.rows,
+      e.rowsRemoved, e.batchId)
   }
 
   /** The commit ledger, oldest first (versions still on disk only —
@@ -2492,29 +2953,33 @@ object TxLog {
           st.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         s""","schema":"$b64""""
       }.getOrElse("")
-      // ... and the SKIPPING INDEX for the live set — per-file
-      // [min,max] (int + string), row/null counts, partition values,
-      // and the partition-column declaration. With the carry, the
-      // connector's FileIndex and every stats-pruned read replay
-      // checkpoint + suffix in O(interval) exactly like resolve;
-      // without it they re-read EVERY commit since the last vacuum
-      // per planned query (Delta's checkpoint carries add-file stats
-      // for the same reason), and a vacuum's truncation would drop
-      // the surviving files' stats entirely. Dead files' entries are
-      // not carried — only live files are ever looked up
+      // the PER-FILE state — the live set with its SKIPPING INDEX
+      // (per-file [min,max] int + string, row/null counts, partition
+      // values) — goes to the COLUMNAR parquet sidecar, one row per
+      // live file: at 100k–1M files the planning state loads as a
+      // compact columnar stream, never as an O(table) JSON string on
+      // the driver. The sidecar is published FIRST (temp + atomic
+      // move), the JSON half last — a crash between the two leaves an
+      // orphan sidecar no reader ever resolves through, and the next
+      // checkpoint attempt at the version reuses it (content at a
+      // version is deterministic). With the carry, the connector's
+      // FileIndex and every stats-pruned read replay checkpoint +
+      // suffix in O(interval) exactly like resolve, and a vacuum's
+      // truncation cannot drop the surviving files' stats. Dead
+      // files' entries are not carried — only live files are ever
+      // looked up
       val live = files.toSet
       val idx = skippingIndex(root, Some(v))
-      val statsJ = statsJsonFrag(
+      writeCheckpointSidecar(root, v, files,
         idx.int.filter(kv => live(kv._1)),
-        idx.str.filter(kv => live(kv._1)))
-      val nstatsJ = nstatsJsonFrag(idx.nulls.filter(kv => live(kv._1)))
-      val partsJ = partsJsonFrag(idx.parts.filter(kv => live(kv._1)))
+        idx.str.filter(kv => live(kv._1)),
+        idx.nulls.filter(kv => live(kv._1)),
+        idx.parts.filter(kv => live(kv._1)))
       val pcs = partitionColumns(root, Some(v))
       val pcsJ = if (pcs.isEmpty) "" else s""","partCols":${arr(pcs)}"""
       try io(root).putIfAbsent(cpPath,
-        s"""{"v":$v,"adds":${arr(files)},"removes":[],""" +
-          s""""cset":$cset$dvsJson$bidsJson$schemaJson""" +
-          s"""$statsJ$nstatsJ$partsJ$pcsJ}""")
+        s"""{"v":$v,"cpq":1,"adds":[],"removes":[],""" +
+          s""""cset":$cset$dvsJson$bidsJson$schemaJson$pcsJ}""")
       catch {
         // checkpoint content at a version is deterministic: a racing
         // writer already published the same thing — the loser is a
@@ -2523,6 +2988,149 @@ object TxLog {
       }
     }
     v
+  }
+
+  /** What [[readCheckpointSidecar]] streams back out of the parquet
+    * half of a columnar checkpoint.
+    */
+  private[graft] final case class SidecarData(
+      adds: Seq[String],
+      intStats: Map[String, Map[String, (Long, Long)]],
+      strStats: Map[String, Map[String, (String, String)]],
+      nstats: Map[String, (Long, Map[String, Long])],
+      parts: Map[String, Map[String, String]])
+
+  /** The sidecar's parquet schema: one row per live file, its
+    * per-column state as a repeated group (a column appears when it
+    * has ANY recorded fact — int range, string range, null count, or
+    * partition value). Written and read with parquet-mr's Group API
+    * driver-side: a checkpoint must be writable from [[vacuum]] and
+    * [[checkpoint]] without a SparkSession, and KB-to-MB metadata
+    * files do not need a cluster job.
+    */
+  private lazy val sidecarSchema: org.apache.parquet.schema.MessageType =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      """message graft_checkpoint {
+        |  required binary path (UTF8);
+        |  optional int64 rows;
+        |  repeated group cols {
+        |    required binary name (UTF8);
+        |    optional int64 imin;
+        |    optional int64 imax;
+        |    optional binary smin (UTF8);
+        |    optional binary smax (UTF8);
+        |    optional int64 nulls;
+        |    optional binary part (UTF8);
+        |  }
+        |}""".stripMargin)
+
+  private[graft] def writeCheckpointSidecar(
+      root: String, v: Long, files: Seq[String],
+      int: Map[String, Map[String, (Long, Long)]],
+      str: Map[String, Map[String, (String, String)]],
+      nulls: Map[String, (Long, Map[String, Long])],
+      parts: Map[String, Map[String, String]]): Unit = {
+    val target = checkpointSidecarPath(root, v)
+    if (io(root).exists(target)) return // complete by move-atomicity
+    val tmp = s"$target.tmp-${UUID.randomUUID().toString.take(8)}"
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(new org.apache.hadoop.fs.Path(tmp), conf))
+      .withType(sidecarSchema)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    val factory =
+      new org.apache.parquet.example.data.simple.SimpleGroupFactory(
+        sidecarSchema)
+    try {
+      files.sorted.foreach { f =>
+        val g = factory.newGroup()
+        g.append("path", f)
+        val n = nulls.get(f)
+        n.foreach { case (rows, _) => g.append("rows", rows) }
+        val colNames = (int.getOrElse(f, Map.empty).keySet ++
+          str.getOrElse(f, Map.empty).keySet ++
+          n.map(_._2.keySet).getOrElse(Set.empty) ++
+          parts.getOrElse(f, Map.empty).keySet).toSeq.sorted
+        colNames.foreach { c =>
+          val cg = g.addGroup("cols")
+          cg.append("name", c)
+          int.get(f).flatMap(_.get(c)).foreach { case (mn, mx) =>
+            cg.append("imin", mn); cg.append("imax", mx)
+          }
+          str.get(f).flatMap(_.get(c)).foreach { case (mn, mx) =>
+            cg.append("smin", mn); cg.append("smax", mx)
+          }
+          n.flatMap(_._2.get(c)).foreach(cg.append("nulls", _))
+          parts.get(f).flatMap(_.get(c)).foreach(cg.append("part", _))
+        }
+        writer.write(g)
+      }
+    } finally writer.close()
+    try io(root).move(tmp, target)
+    catch {
+      // a racing checkpointer moved first (local move raises
+      // FileAlreadyExists; Hadoop rename-onto-existing reports
+      // failure as IOException); content at a version is
+      // deterministic, so the loser just drops its copy
+      case _: FileAlreadyExistsException => io(root).deleteIfExists(tmp)
+      case e: java.io.IOException =>
+        io(root).deleteIfExists(tmp)
+        if (!io(root).exists(target)) throw e
+    }
+  }
+
+  private[graft] def readCheckpointSidecar(root: String, v: Long): SidecarData = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(checkpointSidecarPath(root, v)))
+      .withConf(conf).build()
+    val adds = Seq.newBuilder[String]
+    val int = Map.newBuilder[String, Map[String, (Long, Long)]]
+    val str = Map.newBuilder[String, Map[String, (String, String)]]
+    val nstats = Map.newBuilder[String, (Long, Map[String, Long])]
+    val parts = Map.newBuilder[String, Map[String, String]]
+    try {
+      var g = reader.read()
+      while (g != null) {
+        val path = g.getString("path", 0)
+        adds += path
+        val rows =
+          if (g.getFieldRepetitionCount("rows") > 0)
+            Some(g.getLong("rows", 0))
+          else None
+        val ints = Map.newBuilder[String, (Long, Long)]
+        val strs = Map.newBuilder[String, (String, String)]
+        val colNulls = Map.newBuilder[String, Long]
+        val partVals = Map.newBuilder[String, String]
+        (0 until g.getFieldRepetitionCount("cols")).foreach { i =>
+          val cg = g.getGroup("cols", i)
+          val name = cg.getString("name", 0)
+          if (cg.getFieldRepetitionCount("imin") > 0)
+            ints += name -> (cg.getLong("imin", 0), cg.getLong("imax", 0))
+          if (cg.getFieldRepetitionCount("smin") > 0)
+            strs += name -> (cg.getString("smin", 0),
+              cg.getString("smax", 0))
+          if (cg.getFieldRepetitionCount("nulls") > 0)
+            colNulls += name -> cg.getLong("nulls", 0)
+          if (cg.getFieldRepetitionCount("part") > 0)
+            partVals += name -> cg.getString("part", 0)
+        }
+        val (i, s, cn, pv) =
+          (ints.result(), strs.result(), colNulls.result(),
+            partVals.result())
+        if (i.nonEmpty) int += path -> i
+        if (s.nonEmpty) str += path -> s
+        rows.foreach(r => nstats += path -> (r, cn))
+        if (pv.nonEmpty) parts += path -> pv
+        g = reader.read()
+      }
+    } finally reader.close()
+    SidecarData(adds.result(), int.result(), str.result(),
+      nstats.result(), parts.result())
   }
 
   /** Physically remove data files unreferenced by every version >=
@@ -2559,13 +3167,11 @@ object TxLog {
     // data loss — so never-published files are reclaimed only past an
     // age grace (Delta's retention-hours guard, scaled to staging)
     val everPublished = (
-      vs.map(v => readCommit(root, v)) ++
-      checkpointsOnDisk(root).map(c => readCheckpoint(root, c)))
-      .flatMap { json =>
-        val (_, adds, _) = parseCommit(json)
-        adds ++ parseDv(json).map(_._1).toSeq ++
-          parseDvState(json).map(_._1)
-      }.toSet
+      vs.map(v => commitEntry(root, v)) ++
+      checkpointsOnDisk(root).map(c => checkpointEntry(root, c)))
+      .flatMap(e =>
+        e.adds ++ e.dv.map(_._1).toSeq ++ e.dvState.map(_._1))
+      .toSet
     val onDisk = listDataFiles(root)
     val now = System.currentTimeMillis()
     val doomed = onDisk.filterNot(referenced).filter { f =>
@@ -2575,8 +3181,10 @@ object TxLog {
     doomed.foreach(f => io(root).delete(s"$root/$f"))
     vs.filter(_ < retainFrom).foreach(v =>
       io(root).delete(commitPath(root, v)))
-    checkpointsOnDisk(root).filter(_ < retainFrom).foreach(c =>
-      io(root).delete(checkpointPath(root, c)))
+    checkpointsOnDisk(root).filter(_ < retainFrom).foreach { c =>
+      io(root).delete(checkpointPath(root, c))
+      io(root).deleteIfExists(checkpointSidecarPath(root, c))
+    }
     doomed.size
   }
 }

@@ -128,8 +128,31 @@ class GraftCatalog extends CatalogPlugin with TableCatalog
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String])
       : Table = readOnly
+
+  /** `ALTER TABLE ... ADD COLUMN(S)` — the one DDL shape that maps
+    * onto the commit protocol (a logged schema-widening metadata
+    * action, [[TxLog.addColumns]]); every other ALTER still refuses.
+    * Top-level columns only, each forced nullable: existing rows read
+    * the new column as NULL — the same evolution contract write-side
+    * widening follows.
+    */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table = readOnly
+                          changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          s"$catalogName: nested ADD COLUMN is not supported " +
+            s"(${a.fieldNames().mkString(".")})")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"$catalogName supports ALTER TABLE ... ADD COLUMN only; " +
+          s"$other bypasses the commit log and is refused")
+    }
+    TxLog.addColumns(SparkSession.active, root, adds): Unit
+    new GraftSqlTable(root, None)
+  }
   override def dropTable(ident: Identifier): Boolean = readOnly
   override def renameTable(oldIdent: Identifier,
                            newIdent: Identifier): Unit = readOnly
@@ -172,11 +195,18 @@ private[sources] class GraftSqlTable(root: String, version: Option[Long])
     * renumbered), which is exactly what a deletion vector written
     * against them needs.
     */
-  override def metadataColumns(): Array[MetadataColumn] = Array(
-    GraftSqlTable.metaCol(GraftTableScans.FileCol, StringType,
-      "data file path of the row"),
-    GraftSqlTable.metaCol(GraftTableScans.PosCol, LongType,
-      "physical parquet row index of the row"))
+  override def metadataColumns(): Array[MetadataColumn] = {
+    // data columns SHADOW metadata columns (the SupportsMetadataColumns
+    // contract): a table with a real `_file`/`_pos` column keeps its
+    // own values and simply loses the metadata alias
+    val dataCols = schema().fieldNames.toSet
+    Array(
+      GraftSqlTable.metaCol(GraftTableScans.FileCol, StringType,
+        "data file path of the row"),
+      GraftSqlTable.metaCol(GraftTableScans.PosCol, LongType,
+        "physical parquet row index of the row"))
+      .filterNot(mc => dataCols(mc.name()))
+  }
 
   /** SQL UPDATE / MERGE / rewrite-based DELETE as MERGE-ON-READ
     * ([[GraftRowLevelOperation]]): the matched rows' (file, position)
@@ -264,7 +294,9 @@ private[sources] object GraftTableScans {
   val FileCol = "_file"
   val PosCol = "_pos"
 
-  def builder(relation: BaseRelation): ScanBuilder =
+  def builder(relation: BaseRelation,
+              capture: java.util.concurrent.atomic.AtomicReference[
+                Array[Filter]] = null): ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters
         with SupportsPushDownRequiredColumns {
       private var pushed: Array[Filter] = Array.empty
@@ -272,6 +304,11 @@ private[sources] object GraftTableScans {
 
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         pushed = filters
+        // a row-level operation records its discovery predicate here,
+        // so its COMMIT can declare the partition scope the predicate
+        // implies (conflict detection lets a provably-elsewhere
+        // concurrent write through)
+        if (capture != null) capture.set(filters)
         filters // ALL stay residual: Spark re-applies the exact
         // predicate above the scan; the replay below only prunes
       }
@@ -295,10 +332,16 @@ private[sources] object GraftTableScans {
               val base = context.sparkSession
                 .baseRelationToDataFrame(relation)
               val filtered = conds.foldLeft(base)(_ filter _)
+              // metadata names resolve to _metadata ONLY when the
+              // table has no data column of that name — data columns
+              // shadow metadata columns (the SupportsMetadataColumns
+              // contract); a table with a real `_file` column reads
+              // its own values
+              val dataCols = relation.schema.fieldNames.toSet
               val cols = req.fields.toIndexedSeq.map(f => f.name match {
-                case FileCol =>
+                case FileCol if !dataCols(FileCol) =>
                   col("_metadata.file_path").as(FileCol)
-                case PosCol =>
+                case PosCol if !dataCols(PosCol) =>
                   col("_metadata.row_index").as(PosCol)
                 case n => col(n)
               })

@@ -64,17 +64,30 @@ private[sources] class GraftRowLevelOperation(
 
   override def command(): RowLevelOperation.Command = cmd
 
+  /** The discovery scan's pushed filters, captured so the commit can
+    * declare the partition scope the predicate implies — the
+    * conflict-detection input that lets two UPDATEs on DISJOINT
+    * partitions both land (see [[graft.ops.TxLog.commitDerived]]).
+    */
+  private val pushedFilters =
+    new java.util.concurrent.atomic.AtomicReference[
+      Array[org.apache.spark.sql.sources.Filter]](Array.empty)
+
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     GraftTableScans.builder(
       GraftTableRelationBuilder.createRelation(
         SparkSession.active.sqlContext,
-        Map("path" -> root, "versionAsOf" -> baseVersion.toString)))
+        Map("path" -> root, "versionAsOf" -> baseVersion.toString)),
+      capture = pushedFilters)
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
-        new GraftDeltaWrite(root, baseVersion, cmd, info.schema())
+        new GraftDeltaWrite(root, baseVersion, cmd, info.schema(),
+          () => TxLog.partitionEqOfFilters(
+            pushedFilters.get().toSeq,
+            TxLog.partitionColumns(root, Some(baseVersion))))
     }
 
   override def rowId(): Array[NamedReference] = Array(
@@ -108,14 +121,17 @@ private[sources] case class GraftDeltaTaskResult(
 
 private[sources] class GraftDeltaWrite(
     root: String, baseVersion: Long, cmd: RowLevelOperation.Command,
-    rowSchema: StructType) extends DeltaWrite {
+    rowSchema: StructType,
+    partitionEq: () => Map[String, String]) extends DeltaWrite {
   override def toBatch: DeltaBatchWrite =
-    new GraftDeltaBatchWrite(root, baseVersion, cmd, rowSchema)
+    new GraftDeltaBatchWrite(root, baseVersion, cmd, rowSchema,
+      partitionEq)
 }
 
 private[sources] class GraftDeltaBatchWrite(
     root: String, baseVersion: Long, cmd: RowLevelOperation.Command,
-    rowSchema: StructType) extends DeltaBatchWrite {
+    rowSchema: StructType,
+    partitionEq: () => Map[String, String]) extends DeltaBatchWrite {
 
   private def spark: SparkSession = SparkSession.active
   private val uid = UUID.randomUUID().toString.take(8)
@@ -154,7 +170,7 @@ private[sources] class GraftDeltaBatchWrite(
     }
     try TxLog.commitRowDelta(spark, root, baseVersion,
       res.flatMap(_.dataFiles).toSeq, res.flatMap(_.dvFragments).toSeq,
-      op): Unit
+      op, partitionEq = partitionEq()): Unit
     finally io.deleteRecursive(stagingDir)
   }
 

@@ -88,6 +88,10 @@ private[sources] object GraftTableRelationBuilder {
         .groupBy(_.getString(0))
         .map { case (f, rows) => f -> rows.map(_.getLong(1)).sorted }
     val maskBc = spark.sparkContext.broadcast(mask)
+    // a masked table arms the plan-time batch/row split on this
+    // session (idempotent): unmasked files regain columnar reads
+    // through it — see [[MaskedTableSplit]]
+    if (mask.nonEmpty) MaskedTableSplit.ensureInstalled(spark)
     HadoopFsRelation(
       location = index,
       partitionSchema = StructType(Nil),
@@ -107,6 +111,20 @@ private[sources] object GraftTableRelationBuilder {
   */
 class GraftFileIndex(spark: SparkSession, root: String,
                      snap: TxLog.Snapshot) extends FileIndex {
+
+  /** The snapshot's live files / session — what [[MaskedTableSplit]]
+    * needs to partition the scan, and [[restrictTo]] to rebuild the
+    * halves.
+    */
+  private[sources] def liveFiles: Seq[String] = snap.files
+  private[sources] def session: SparkSession = spark
+
+  /** This index restricted to a subset of the snapshot's files — same
+    * version, same skipping stats (entry-cached, so the rebuild costs
+    * no metadata I/O), listing only the subset.
+    */
+  private[sources] def restrictTo(files: Seq[String]): GraftFileIndex =
+    new GraftFileIndex(spark, root, snap.copy(files = files))
 
   // all four skipping indexes from ONE replay of checkpoint + suffix
   // at the snapshot's own version — O(checkpoint interval) metadata
@@ -282,6 +300,9 @@ class GraftFileIndex(spark: SparkSession, root: String,
 class GraftParquetFileFormat(
     maskBc: org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]])
     extends ParquetFileFormat {
+
+  /** Masked data-file NAMES — [[MaskedTableSplit]]'s partition key. */
+  private[sources] def maskedNames: Set[String] = maskBc.value.keySet
 
   // ParquetFileFormat.equals is class-based — two Graft formats with
   // DIFFERENT masks would compare equal and could alias in plan/scan

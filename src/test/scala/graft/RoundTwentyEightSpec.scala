@@ -105,11 +105,17 @@ class RoundTwentyEightSpec extends AnyFunSuite {
       }
     }
     try {
-      val df = spark.read.format("graft-table").load(root)
-        .filter(col("doc_id") >= chunks(2).head &&
-          col("doc_id") <= chunks(2).last)
-      assert(filesRead(df) === 1L,
-        "log-stats pruning must open exactly the one overlapping file")
+      // cold cache: the replay must be EXACTLY one checkpoint read
+      // plus the suffix commits — never a commit below the checkpoint
+      TxLog.clearEntryCache()
+      def plan(): Unit = {
+        val df = spark.read.format("graft-table").load(root)
+          .filter(col("doc_id") >= chunks(2).head &&
+            col("doc_id") <= chunks(2).last)
+        assert(filesRead(df) === 1L,
+          "log-stats pruning must open exactly the one overlapping file")
+      }
+      plan()
       import scala.jdk.CollectionConverters._
       val commitVs = reads.asScala.toSeq
         .filter(p => p.contains("_txlog/") && p.endsWith(".json") &&
@@ -119,8 +125,18 @@ class RoundTwentyEightSpec extends AnyFunSuite {
       assert(commitVs.nonEmpty && commitVs.forall(_ > cpV),
         s"planning read commits $commitVs — versions <= $cpV must come " +
           "from the checkpoint carry, not per-commit reads")
-      assert(reads.asScala.exists(_.contains(".checkpoint.")),
-        "planning must replay from the checkpoint")
+      val cpReads = reads.asScala.count(_.contains(".checkpoint."))
+      assert(cpReads === 1,
+        s"planning must replay from the checkpoint EXACTLY ONCE per " +
+          s"session (saw $cpReads reads) — the parsed-entry cache owns " +
+          "repeats")
+      // warm cache: planning the same version again costs ZERO log
+      // reads — entries are immutable once published, so a session
+      // must never re-read or re-parse them
+      reads.clear()
+      plan()
+      assert(reads.asScala.isEmpty,
+        s"re-planning a cached version re-read ${reads.asScala.toSeq}")
       // the streaming idempotence ledger replays the same way — a
       // continuously ingesting table must not pay O(all commits)
       // reads per micro-batch
@@ -206,8 +222,9 @@ class RoundTwentyEightSpec extends AnyFunSuite {
       idSet(cdc.filter(col("change_type") === "update_postimage")))
   }
 
-  test("a lost optimizePartition race cleans up the loser's staged " +
-      "files; a retry then succeeds") {
+  test("an optimizePartition that races a CONFLICTING winner (one of " +
+      "its partition's files removed under it) fails loudly and " +
+      "cleans up its staged files; re-deriving then succeeds") {
     val root = tmpDir("t28race")
     TxLog.init(root)
     TxLog.appendPartitioned(spark, root,
@@ -220,8 +237,50 @@ class RoundTwentyEightSpec extends AnyFunSuite {
       finally s.close()
     }
     val before = dataFiles()
-    // inject a racing winner: the first commit publish on this root
-    // finds its version already taken (by a data-free append)
+    // a live file of the partition the optimize rewrites — the winner
+    // removing it makes the loser's derivation stale (not re-stampable)
+    val victim = TxLog.filePartitions(root)
+      .collectFirst { case (f, kv) if kv.get("lang").contains("en") => f }
+      .get
+    val fired = new AtomicBoolean(false)
+    TxIo.wrapper = inner => new DelegatingIo(inner) {
+      override def putIfAbsent(path: String, content: String): Unit = {
+        if (path.startsWith(root) && path.contains("_txlog/") &&
+            !path.contains(".checkpoint.") &&
+            fired.compareAndSet(false, true)) {
+          val v = path.substring(path.lastIndexOf('/') + 1)
+            .stripSuffix(".json").toLong
+          inner.putIfAbsent(path,
+            s"""{"v":$v,"op":"delete","adds":[],""" +
+              s""""removes":["$victim"],"rows":0,"rowsRemoved":0}""")
+        }
+        inner.putIfAbsent(path, content)
+      }
+    }
+    try {
+      val e = intercept[IllegalStateException] {
+        TxLog.optimizePartition(spark, root, Map("lang" -> "en"),
+          Seq("doc_id"), numFiles = 1)
+      }
+      assert(e.getMessage.contains("conflict"))
+    } finally TxIo.wrapper = identity
+    assert(dataFiles() === before,
+      "the loser's staged z-order outputs must not orphan")
+    // the loud-conflict contract: re-derive and retry — now it lands
+    // (against the post-winner state, which excludes the victim)
+    TxLog.optimizePartition(spark, root, Map("lang" -> "en"),
+      Seq("doc_id"), numFiles = 1)
+    assert(idSet(TxLog.snapshot(spark, root)) ===
+      idSet(TxLog.snapshot(spark, root, Some(1L))))
+  }
+
+  test("an optimizePartition that races a DISJOINT winner (a pure " +
+      "append) re-stamps at the next version and lands — optimistic " +
+      "concurrency, the appended file simply stays un-optimized") {
+    val root = tmpDir("t28race3")
+    TxLog.init(root)
+    TxLog.appendPartitioned(spark, root,
+      docs.repartition(2, col("doc_id")), Seq("lang")) // v0
     val fired = new AtomicBoolean(false)
     TxIo.wrapper = inner => new DelegatingIo(inner) {
       override def putIfAbsent(path: String, content: String): Unit = {
@@ -238,18 +297,15 @@ class RoundTwentyEightSpec extends AnyFunSuite {
       }
     }
     try {
-      val e = intercept[IllegalStateException] {
-        TxLog.optimizePartition(spark, root, Map("lang" -> "en"),
-          Seq("doc_id"), numFiles = 1)
-      }
-      assert(e.getMessage.contains("conflict"))
+      val v = TxLog.optimizePartition(spark, root, Map("lang" -> "en"),
+        Seq("doc_id"), numFiles = 1)
+      assert(v === 2L, "the loser must serialize AFTER the winner")
     } finally TxIo.wrapper = identity
-    assert(dataFiles() === before,
-      "the loser's staged z-order outputs must not orphan")
-    // the loud-conflict contract: re-derive and retry — now it lands
-    TxLog.optimizePartition(spark, root, Map("lang" -> "en"),
-      Seq("doc_id"), numFiles = 1)
     assert(idSet(TxLog.snapshot(spark, root)) === idSet(docs))
+    // partition metadata re-recorded on the rewritten outputs
+    val parts = TxLog.filePartitions(root)
+    val live = TxLog.resolve(root).files
+    assert(live.forall(f => parts.get(f).exists(_.get("lang").nonEmpty)))
   }
 
   test("a lost overwrite race cleans up the loser's staged files and " +

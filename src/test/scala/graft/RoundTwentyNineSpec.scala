@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicBoolean
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -461,21 +462,25 @@ class RoundTwentyNineSpec extends AnyFunSuite {
     assert(out.forall { case (id, n) => (id % 3 == 0) == (n == -1L) })
   }
 
-  test("a row-level write that loses its version race fails loudly " +
-      "and leaves no staged files or sidecar behind") {
+  test("a row-level write that loses its version race to a " +
+      "CONFLICTING winner (the base file removed under it) fails " +
+      "loudly and leaves no staged files or sidecar behind") {
     val p = tmpDir("rlrace")
     TxLog.init(p)
     TxLog.append(spark, p, docs.limit(100).coalesce(1))
+    val baseFile = TxLog.resolve(p).files.head
     // deterministic racing winner: when the UPDATE's commit publish
-    // arrives for version 1, publish a data-free commit there first
+    // arrives for version 1, a commit REMOVING the file the UPDATE's
+    // mask targets lands there first — not re-stampable, the masked
+    // positions are stale
     val prev = TxIo.wrapper
     TxIo.wrapper = inner => new DelegatingIo(inner) {
       override def putIfAbsent(path: String, content: String): Unit = {
         if (path.startsWith(p) && path.endsWith("00000001.json") &&
             !content.contains("\"op\":\"append\""))
           inner.putIfAbsent(path,
-            """{"v":1,"op":"append","adds":[],"removes":[],""" +
-              """"rows":0,"rowsRemoved":0}""")
+            s"""{"v":1,"op":"delete","adds":[],""" +
+              s""""removes":["$baseFile"],"rows":0,"rowsRemoved":0}""")
         inner.putIfAbsent(path, content)
       }
     }
@@ -486,13 +491,13 @@ class RoundTwentyNineSpec extends AnyFunSuite {
       def chain(t: Throwable): Seq[String] =
         Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
           .map(x => Option(x.getMessage).getOrElse("")).toSeq
-      assert(chain(e).exists(_.contains("committed concurrently")),
+      assert(chain(e).exists(_.contains("conflict")),
         chain(e).mkString(" | "))
     } finally TxIo.wrapper = prev
     // loser cleaned up: no staged dirs, no orphan part/dv files beyond
-    // v0's single data file and the racing winner's empty commit
+    // v0's single (now logically removed) data file
     val snap = TxLog.resolve(p)
-    assert(snap.version === 1L && snap.files.size === 1 &&
+    assert(snap.version === 1L && snap.files.isEmpty &&
       snap.dvFiles.isEmpty)
     val leftovers = java.nio.file.Files.list(
         java.nio.file.Paths.get(p)).toArray.map(_.toString)
@@ -501,6 +506,40 @@ class RoundTwentyNineSpec extends AnyFunSuite {
     val dataFiles = java.nio.file.Files.list(
         java.nio.file.Paths.get(s"$p/data")).toArray.map(_.toString)
     assert(dataFiles.length === 1, dataFiles.toSeq.toString)
+  }
+
+  test("a row-level write that loses its version race to a DISJOINT " +
+      "winner (a data-free commit) re-stamps at the next version and " +
+      "lands — optimistic concurrency") {
+    val p = tmpDir("rlrace2")
+    TxLog.init(p)
+    TxLog.append(spark, p, docs.limit(100).coalesce(1))
+    val fired = new AtomicBoolean(false)
+    val prev = TxIo.wrapper
+    TxIo.wrapper = inner => new DelegatingIo(inner) {
+      override def putIfAbsent(path: String, content: String): Unit = {
+        if (path.startsWith(p) && path.endsWith("00000001.json") &&
+            !content.contains("\"op\":\"append\"") &&
+            fired.compareAndSet(false, true))
+          inner.putIfAbsent(path,
+            """{"v":1,"op":"append","adds":[],"removes":[],""" +
+              """"rows":0,"rowsRemoved":0}""")
+        inner.putIfAbsent(path, content)
+      }
+    }
+    try spark.sql(s"UPDATE graft_table.`$p` SET lang = 'xx' " +
+      "WHERE doc_id % 2 = 0")
+    finally TxIo.wrapper = prev
+    // the UPDATE serialized AFTER the winner: v1 = winner, v2 = update
+    assert(TxLog.resolve(p).version === 2L)
+    val out = spark.read.format("graft-table").load(p)
+    assert(out.filter(col("doc_id") % 2 === 0 &&
+      col("lang") =!= "xx").count() === 0L)
+    assert(out.count() === 100L)
+    val leftovers = java.nio.file.Files.list(
+        java.nio.file.Paths.get(p)).toArray.map(_.toString)
+      .filter(_.contains("_staged"))
+    assert(leftovers.isEmpty, leftovers.toSeq.toString)
   }
 
   test("constraints gate SQL UPDATE's re-inserted rows like any append") {
