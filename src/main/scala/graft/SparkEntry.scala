@@ -944,6 +944,33 @@ object SparkEntry {
       p
     })
 
+  /** The partitioned SQL-UPDATE lifecycle, one per (session, sf dir):
+    * a lang-partitioned seed ([[graft.ops.TxLog.appendPartitioned]] —
+    * partition values in the log), then a pure-SQL UPDATE of ONE
+    * partition. The merge-on-read commit re-stages its insert images
+    * through the hive-layout writer, so the new files are
+    * partition-pure with values RE-RECORDED — partition pruning stays
+    * exact and bounded across the mutation, and the recorded values
+    * are what lets a concurrent UPDATE of a DIFFERENT partition land
+    * without a conflict (the optimistic-concurrency scope).
+    * `q_table_sql_update_part` reads the head.
+    */
+  private val txlogSqlUpdPartCache = new SessionCache[String]
+
+  private def txlogSqlUpdPartTable(s: SparkSession, dir: String): String =
+    txlogSqlUpdPartCache.getOrElseUpdate(s, dir, {
+      val p = s"${annTmp()}/txsqlupdpart"
+      graft.ops.TxLog.init(p)
+      s.conf.set("spark.sql.catalog.graft_table",
+        "graft.sources.GraftCatalog")
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      graft.ops.TxLog.appendPartitioned(s, p,
+        docs.repartition(2, col("doc_id")), Seq("lang")) // v0
+      s.sql(s"UPDATE graft_table.`$p` SET n_chars = -n_chars " +
+        "WHERE lang = 'en'") // v1
+      p
+    })
+
   /** The batch-writer lifecycle, one per (session, sf dir), driven
     * ENTIRELY through the DataFrameWriter surface: an append commit
     * (residue-0 docs), an atomic INSERT OVERWRITE replacing the live
@@ -2181,6 +2208,14 @@ object SparkEntry {
       val p = txlogSqlAlterTable(s, dir)
       s.sql(s"SELECT doc_id, lang, n_chars, quality " +
         s"FROM graft_table.`$p`")
+    }),
+    // SQL UPDATE of ONE partition of a partitioned table: the
+    // merge-on-read insert images re-stage partition-pure with their
+    // values re-recorded in the log, so partition pruning stays exact
+    // across the mutation (spec asserts the pruning bound)
+    "q_table_sql_update_part" -> ((s, dir) => {
+      val p = txlogSqlUpdPartTable(s, dir)
+      s.sql(s"SELECT doc_id, lang, n_chars FROM graft_table.`$p`")
     }),
     // SQL DELETE FROM through the catalog: one copy-on-write commit,
     // hit files discovered through the connector's own stats-pruned
@@ -4993,6 +5028,13 @@ object SparkEntry {
         |FROM documents
         |UNION ALL
         |SELECT doc_id, lang, n_chars, 'v0' AS snap FROM documents""".stripMargin,
+    // the partitioned SQL UPDATE's semantics: the en partition's
+    // n_chars negated, every other partition intact
+    "q_table_sql_update_part" ->
+      """SELECT doc_id, lang,
+        |       CASE WHEN lang = 'en' THEN -n_chars
+        |            ELSE n_chars END AS n_chars
+        |FROM documents""".stripMargin,
     // the SQL ALTER lifecycle's semantics: the even seed predates the
     // column (NULL by the evolution contract), the odd INSERT supplies
     // it

@@ -102,7 +102,7 @@ object TxLog {
       val side = readCheckpointSidecar(root, v)
       e.copy(adds = side.adds, intStats = side.intStats,
         strStats = side.strStats, nstats = side.nstats,
-        parts = side.parts)
+        sizes = side.sizes, parts = side.parts)
     }
   }
 
@@ -216,6 +216,20 @@ object TxLog {
       }.sum
     }
 
+  /** Row count of `files` from the LOG's recorded per-file counts
+    * where available, footers only for the remainder — the ledger's
+    * `rowsRemoved` for an optimize/compact/delete of N files must not
+    * cost N footer round trips when the log already knows every
+    * count.
+    */
+  private def recordedRows(root: String, files: Seq[String]): Long = {
+    if (files.isEmpty) return 0L
+    val counted = fileNullStats(root)
+    val (known, unknown) = files.partition(counted.contains)
+    known.map(f => counted(f)._1).sum +
+      (if (unknown.isEmpty) 0L else parquetRows(root, unknown))
+  }
+
   /** One file set's footer metadata: exact row count plus per-file,
     * per-column `[min, max]` for integer and (safe-grammar) string
     * columns, per-file per-column NULL counts, and per-file row
@@ -228,7 +242,8 @@ object TxLog {
       intStats: Map[String, Map[String, (Long, Long)]],
       strStats: Map[String, Map[String, (String, String)]],
       nullStats: Map[String, Map[String, Long]] = Map.empty,
-      fileRows: Map[String, Long] = Map.empty)
+      fileRows: Map[String, Long] = Map.empty,
+      fileBytes: Map[String, Long] = Map.empty)
 
   // string stat VALUES land in the hand-rolled commit JSON, so only
   // values in this grammar are recorded (no quotes, no backslashes,
@@ -258,9 +273,15 @@ object TxLog {
     val strStats = Map.newBuilder[String, Map[String, (String, String)]]
     val nullStats = Map.newBuilder[String, Map[String, Long]]
     val fileRows = Map.newBuilder[String, Long]
+    val fileBytes = Map.newBuilder[String, Long]
     files.foreach { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(s"$root/$f"), conf)
+      // the file SIZE rides the same footer open — recorded in the
+      // log so planning can fabricate its listing (see
+      // GraftFileIndex): at 1M live files, zero storage round trips
+      // instead of one listStatus per directory per planned query
+      fileBytes += f -> in.getLength
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         rows += r.getRecordCount
@@ -341,7 +362,7 @@ object TxLog {
       } finally r.close()
     }
     FileMeta(rows, stats.result(), strStats.result(),
-      nullStats.result(), fileRows.result())
+      nullStats.result(), fileRows.result(), fileBytes.result())
   }
 
   /** `knownMeta`/`knownRowsRemoved` let retry loops pass the footer
@@ -411,7 +432,7 @@ object TxLog {
         s""""$p":${arr(cov)}"""
       }.mkString("{", ",", "}")
     val meta = knownMeta.getOrElse(parquetMeta(root, adds))
-    val rowsRemoved = knownRowsRemoved.getOrElse(parquetRows(root, removes))
+    val rowsRemoved = knownRowsRemoved.getOrElse(recordedRows(root, removes))
     val statsJson = statsJsonFrag(meta.intStats, meta.strStats)
     // partition metadata: the table's declared partition columns and
     // each file's partition values — the Delta shape, pruned from the
@@ -436,7 +457,7 @@ object TxLog {
     val nstatsJson = nstatsJsonFrag(
       meta.fileRows.map { case (f, r) =>
         f -> (r, meta.nullStats.getOrElse(f, Map.empty))
-      })
+      }, meta.fileBytes)
     publishCommit(root, version,
       s"""{"v":$version,"op":"$op","adds":${arr(adds)},""" +
         s""""removes":${arr(removes)},"rows":${meta.rows},""" +
@@ -464,22 +485,27 @@ object TxLog {
     }.mkString("{", ",", "}")
   }
 
-  /** Per-file row + null counts as a `,"nstats":{...}` fragment — the
-    * IS NULL / IS NOT NULL half of the skipping index. The `"#rows"`
-    * marker is outside both the column-name and path grammars, so it
-    * can never collide with either. Files with no per-column counts
-    * are omitted.
+  /** Per-file row/byte + null counts as a `,"nstats":{...}` fragment
+    * — the IS NULL / IS NOT NULL half of the skipping index plus the
+    * listing-free planning sizes. The `"#rows"`/`"#bytes"` markers
+    * are outside both the column-name and path grammars, so they can
+    * never collide with either. Files with neither per-column counts
+    * nor a size are omitted.
     */
   private def nstatsJsonFrag(
-      nulls: Map[String, (Long, Map[String, Long])]): String = {
-    val nullFiles = nulls.keySet.toSeq.sorted
-      .filter(f => nulls(f)._2.nonEmpty)
-    if (nullFiles.isEmpty) ""
-    else ""","nstats":""" + nullFiles.map { f =>
-      val (rows, byCol) = nulls(f)
-      val cols = byCol.toSeq.sortBy(_._1)
+      nulls: Map[String, (Long, Map[String, Long])],
+      bytes: Map[String, Long] = Map.empty): String = {
+    val files = (nulls.keySet.filter(f => nulls(f)._2.nonEmpty) ++
+      bytes.keySet).toSeq.sorted.distinct
+    if (files.isEmpty) ""
+    else ""","nstats":""" + files.map { f =>
+      val rowsPart = nulls.get(f).map { case (r, _) =>
+        s""""#rows":$r""" }.toSeq
+      val bytesPart = bytes.get(f).map(b => s""""#bytes":$b""").toSeq
+      val cols = nulls.get(f).map(_._2).getOrElse(Map.empty)
+        .toSeq.sortBy(_._1)
         .map { case (c, n) => s""""$c":$n""" }
-      s""""$f":""" + ((s""""#rows":$rows""" +: cols)
+      s""""$f":""" + ((rowsPart ++ bytesPart ++ cols)
         .mkString("{", ",", "}"))
     }.mkString("{", ",", "}")
   }
@@ -671,7 +697,7 @@ object TxLog {
     // footer metadata computed once — the staged files are invariant
     // across re-stamps
     val meta = knownMeta.getOrElse(parquetMeta(root, adds))
-    val rowsRemoved = knownRowsRemoved.getOrElse(parquetRows(root, removes))
+    val rowsRemoved = knownRowsRemoved.getOrElse(recordedRows(root, removes))
     var base = baseVersion
     var attempts = 0
     val MaxRetries = 20
@@ -766,6 +792,7 @@ object TxLog {
       intStats: Map[String, Map[String, (Long, Long)]],
       strStats: Map[String, Map[String, (String, String)]],
       nstats: Map[String, (Long, Map[String, Long])],
+      sizes: Map[String, Long],
       parts: Map[String, Map[String, String]],
       cset: Option[Map[String, String]],
       cname: Option[String],
@@ -807,13 +834,18 @@ object TxLog {
       if (i.nonEmpty) intStats += e.getKey -> i
       if (s.nonEmpty) strStats += e.getKey -> s
     })
-    // nstats: {"file":{"#rows":N,"col":nulls,...}}
+    // nstats: {"file":{"#rows":N,"#bytes":B,"col":nulls,...}} — the
+    // # markers are outside the column grammar; bytes feed the
+    // listing-free planner, rows+cols the null-skipping index
     val nstats = Map.newBuilder[String, (Long, Map[String, Long])]
+    val sizes = Map.newBuilder[String, Long]
     field("nstats").foreach(_.properties().asScala.foreach { e =>
+      Option(e.getValue.get("#bytes")).filter(_.isNumber)
+        .foreach(b => sizes += e.getKey -> b.asLong())
       val rows = Option(e.getValue.get("#rows")).map(_.asLong())
       rows.foreach { r =>
         val cols = e.getValue.properties().asScala
-          .filter(c => c.getKey != "#rows" && c.getValue.isNumber)
+          .filter(c => !c.getKey.startsWith("#") && c.getValue.isNumber)
           .map(c => c.getKey -> c.getValue.asLong()).toMap
         nstats += e.getKey -> (r, cols)
       }
@@ -851,6 +883,7 @@ object TxLog {
       intStats = intStats.result(),
       strStats = strStats.result(),
       nstats = nstats.result(),
+      sizes = sizes.result(),
       parts = parts.result(),
       cset = cset,
       cname = strOpt("cname"),
@@ -1078,10 +1111,19 @@ object TxLog {
     // production scale the merged schema would live IN the log
     // (Delta's metadata action) instead of being re-derived from
     // footers — the semantics are the same
-    applyDvMask(spark, root,
+    val masked = applyDvMask(spark, root,
       spark.read.option("mergeSchema", "true")
         .parquet(snap.files.map(f => s"$root/$f"): _*),
       snap.dvFiles, guard = guard)
+    // a LOG-recorded column no live file carries yet (ALTER TABLE ADD
+    // COLUMN before any data supplies it; a delete that retired every
+    // file holding it) reads as NULL here exactly as it does through
+    // the connector — alignment only ADDS columns, never drops or
+    // reorders (a type-conflicted batch records no action, so the
+    // footer view may legitimately be wider)
+    tableSchema(root, Some(snap.version))
+      .map(st => alignToSchema(masked, st.fields.toSeq))
+      .getOrElse(masked)
   }
 
   /** The log-recorded table schema in force at `version` (the tip when
@@ -1354,8 +1396,7 @@ object TxLog {
 
   private def filePartitionsOf(entries: Seq[LogEntry])
       : Map[String, Map[String, String]] =
-    entries.foldLeft(Map.empty[String, Map[String, String]])(
-      (acc, e) => acc ++ e.parts)
+    mergeOver(entries)(_.parts)
 
   /** All four skipping indexes — int/string ranges, null counts,
     * partition values — from ONE pass over the commit files. The
@@ -1366,7 +1407,8 @@ object TxLog {
       int: Map[String, Map[String, (Long, Long)]],
       str: Map[String, Map[String, (String, String)]],
       nulls: Map[String, (Long, Map[String, Long])],
-      parts: Map[String, Map[String, String]])
+      parts: Map[String, Map[String, String]],
+      sizes: Map[String, Long] = Map.empty)
 
   /** All four indexes at `version` (the tip when None), replayed from
     * checkpoint + suffix like [[resolve]] — O(checkpoint interval)
@@ -1382,7 +1424,8 @@ object TxLog {
       case None => indexEntriesAtTip(root)
     }
     SkippingIndex(fileStatsOf(entries), fileStatsStrOf(entries),
-      fileNullStatsOf(entries), filePartitionsOf(entries))
+      fileNullStatsOf(entries), filePartitionsOf(entries),
+      mergeOver(entries)(_.sizes))
   }
 
   /** Partition-pruned read: the snapshot restricted to the partitions
@@ -1575,17 +1618,12 @@ object TxLog {
   def removeAll(root: String): Long = {
     val snap = resolve(root)
     val next = snap.version + 1
-    // the ledger's rowsRemoved from the LOG's recorded per-file counts
-    // — leaving writeCommit's default would footer-sweep every removed
-    // file and turn the one-log-write TRUNCATE into a full-table
-    // metadata pass; only files predating count recording pay a footer
-    val counted = fileNullStats(root)
-    val (known, unknown) = snap.files.partition(counted.contains)
-    val rows = known.map(f => counted(f)._1).sum +
-      (if (unknown.isEmpty) 0L else parquetRows(root, unknown))
+    // the ledger's rowsRemoved from the LOG's recorded per-file
+    // counts ([[recordedRows]]) — a footer sweep would turn the
+    // one-log-write TRUNCATE into a full-table metadata pass
     writeCommit(root, next, Seq.empty, snap.files, op = "delete",
       knownMeta = Some(FileMeta(0L, Map.empty, Map.empty)),
-      knownRowsRemoved = Some(rows))
+      knownRowsRemoved = Some(recordedRows(root, snap.files)))
     next
   }
 
@@ -2196,10 +2234,23 @@ object TxLog {
   def fileStats(root: String): Map[String, Map[String, (Long, Long)]] =
     fileStatsOf(indexEntriesAtTip(root))
 
+  /** Merge per-entry maps, seeding the fold with the FIRST entry's
+    * map: that entry is usually the checkpoint carrying ~the whole
+    * live set, and `bigMap ++ smallMap` is O(suffix) — seeding with
+    * `Map.empty` would copy the checkpoint-sized map once per planned
+    * query.
+    */
+  private def mergeOver[V](entries: Seq[LogEntry])(
+      of: LogEntry => Map[String, V]): Map[String, V] =
+    entries match {
+      case head +: tail =>
+        tail.foldLeft(of(head))((acc, e) => acc ++ of(e))
+      case _ => Map.empty
+    }
+
   private def fileStatsOf(entries: Seq[LogEntry])
       : Map[String, Map[String, (Long, Long)]] =
-    entries.foldLeft(Map.empty[String, Map[String, (Long, Long)]])(
-      (acc, e) => acc ++ e.intStats)
+    mergeOver(entries)(_.intStats)
 
   /** The string half of the skipping index: per live-file, per
     * string-column `[min, max]` as recorded at commit time (values
@@ -2212,8 +2263,7 @@ object TxLog {
 
   private def fileStatsStrOf(entries: Seq[LogEntry])
       : Map[String, Map[String, (String, String)]] =
-    entries.foldLeft(Map.empty[String, Map[String, (String, String)]])(
-      (acc, e) => acc ++ e.strStats)
+    mergeOver(entries)(_.strStats)
 
   /** The null half of the skipping index: per live-file `(rows,
     * column -> null count)` as recorded at commit time. Files from
@@ -2225,8 +2275,7 @@ object TxLog {
 
   private def fileNullStatsOf(entries: Seq[LogEntry])
       : Map[String, (Long, Map[String, Long])] =
-    entries.foldLeft(Map.empty[String, (Long, Map[String, Long])])(
-      (acc, e) => acc ++ e.nstats)
+    mergeOver(entries)(_.nstats)
 
   /** `IS NULL` / `IS NOT NULL` data skipping: the snapshot restricted
     * to rows where `colName` is (not) null, with files pruned by the
@@ -2974,7 +3023,8 @@ object TxLog {
         idx.int.filter(kv => live(kv._1)),
         idx.str.filter(kv => live(kv._1)),
         idx.nulls.filter(kv => live(kv._1)),
-        idx.parts.filter(kv => live(kv._1)))
+        idx.parts.filter(kv => live(kv._1)),
+        idx.sizes.filter(kv => live(kv._1)))
       val pcs = partitionColumns(root, Some(v))
       val pcsJ = if (pcs.isEmpty) "" else s""","partCols":${arr(pcs)}"""
       try io(root).putIfAbsent(cpPath,
@@ -2998,7 +3048,8 @@ object TxLog {
       intStats: Map[String, Map[String, (Long, Long)]],
       strStats: Map[String, Map[String, (String, String)]],
       nstats: Map[String, (Long, Map[String, Long])],
-      parts: Map[String, Map[String, String]])
+      parts: Map[String, Map[String, String]],
+      sizes: Map[String, Long])
 
   /** The sidecar's parquet schema: one row per live file, its
     * per-column state as a repeated group (a column appears when it
@@ -3013,6 +3064,7 @@ object TxLog {
       """message graft_checkpoint {
         |  required binary path (UTF8);
         |  optional int64 rows;
+        |  optional int64 bytes;
         |  repeated group cols {
         |    required binary name (UTF8);
         |    optional int64 imin;
@@ -3029,7 +3081,8 @@ object TxLog {
       int: Map[String, Map[String, (Long, Long)]],
       str: Map[String, Map[String, (String, String)]],
       nulls: Map[String, (Long, Map[String, Long])],
-      parts: Map[String, Map[String, String]]): Unit = {
+      parts: Map[String, Map[String, String]],
+      sizes: Map[String, Long] = Map.empty): Unit = {
     val target = checkpointSidecarPath(root, v)
     if (io(root).exists(target)) return // complete by move-atomicity
     val tmp = s"$target.tmp-${UUID.randomUUID().toString.take(8)}"
@@ -3050,6 +3103,7 @@ object TxLog {
         g.append("path", f)
         val n = nulls.get(f)
         n.foreach { case (rows, _) => g.append("rows", rows) }
+        sizes.get(f).foreach(g.append("bytes", _))
         val colNames = (int.getOrElse(f, Map.empty).keySet ++
           str.getOrElse(f, Map.empty).keySet ++
           n.map(_._2.keySet).getOrElse(Set.empty) ++
@@ -3093,11 +3147,17 @@ object TxLog {
     val str = Map.newBuilder[String, Map[String, (String, String)]]
     val nstats = Map.newBuilder[String, (Long, Map[String, Long])]
     val parts = Map.newBuilder[String, Map[String, String]]
+    val sizes = Map.newBuilder[String, Long]
     try {
       var g = reader.read()
       while (g != null) {
         val path = g.getString("path", 0)
         adds += path
+        // an old-format sidecar (no bytes column) reads as absent —
+        // planning falls back to a storage listing for those files
+        if (g.getType.containsField("bytes") &&
+            g.getFieldRepetitionCount("bytes") > 0)
+          sizes += path -> g.getLong("bytes", 0)
         val rows =
           if (g.getFieldRepetitionCount("rows") > 0)
             Some(g.getLong("rows", 0))
@@ -3130,7 +3190,7 @@ object TxLog {
       }
     } finally reader.close()
     SidecarData(adds.result(), int.result(), str.result(),
-      nstats.result(), parts.result())
+      nstats.result(), parts.result(), sizes.result())
   }
 
   /** Physically remove data files unreferenced by every version >=

@@ -135,26 +135,48 @@ class GraftFileIndex(spark: SparkSession, root: String,
   private val nullStats = idx.nulls
   private val partVals = idx.parts
 
-  // one statusful listing at construction (size/mtime for split
-  // planning), BATCHED by parent directory: one listStatus per
-  // directory instead of one getFileStatus per file — O(directories)
-  // round trips against a namenode/object store, not O(live files)
-  private val statuses: Seq[(String, FileStatus)] = {
-    val conf = spark.sessionState.newHadoopConf()
-    snap.files.groupBy(f => f.take(f.lastIndexOf('/').max(0)))
-      .toSeq.flatMap { case (dir, files) =>
-        val dirPath = new Path(s"$root/$dir")
-        val listed = dirPath.getFileSystem(conf).listStatus(dirPath)
-          .map(st => st.getPath.getName -> st).toMap
-        files.map { f =>
-          val name = f.substring(f.lastIndexOf('/') + 1)
-          f -> listed.getOrElse(name,
-            throw new IllegalStateException(
-              s"live file $f of $root is missing on storage " +
-                "(vacuumed concurrently?)"))
-        }
-      }.sortBy(_._1) // deterministic listing order
+  /** Did this index plan WITHOUT touching storage? True when every
+    * live file's size is log-recorded (commits since the size action
+    * + checkpoint carry) — the 1M-file planning posture: zero
+    * listStatus round trips, statuses fabricated from the log,
+    * exactly Delta's listing-free planning. Exposed for specs.
+    */
+  private[graft] val usedLogSizes: Boolean = {
+    val sizes = idx.sizes
+    snap.files.nonEmpty && snap.files.forall(sizes.contains)
   }
+
+  // file statuses for split planning: fabricated from the LOG's
+  // recorded sizes when every live file has one (no storage I/O at
+  // all — a concurrently vacuumed file then fails loudly in the
+  // reader instead of at plan time, the same contract Delta has);
+  // otherwise one statusful listing, BATCHED by parent directory —
+  // one listStatus per directory, O(directories) round trips, not
+  // O(live files). Fabricated mtimes are 0: nothing in the engine
+  // reads `_metadata.file_modification_time`, and a listing-free
+  // plan cannot know it
+  private val statuses: Seq[(String, FileStatus)] =
+    if (usedLogSizes) {
+      val sizes = idx.sizes
+      snap.files.sorted.map(f =>
+        f -> new FileStatus(sizes(f), false, 1, 128L << 20, 0L,
+          new Path(s"$root/$f")))
+    } else {
+      val conf = spark.sessionState.newHadoopConf()
+      snap.files.groupBy(f => f.take(f.lastIndexOf('/').max(0)))
+        .toSeq.flatMap { case (dir, files) =>
+          val dirPath = new Path(s"$root/$dir")
+          val listed = dirPath.getFileSystem(conf).listStatus(dirPath)
+            .map(st => st.getPath.getName -> st).toMap
+          files.map { f =>
+            val name = f.substring(f.lastIndexOf('/') + 1)
+            f -> listed.getOrElse(name,
+              throw new IllegalStateException(
+                s"live file $f of $root is missing on storage " +
+                  "(vacuumed concurrently?)"))
+          }
+        }.sortBy(_._1) // deterministic listing order
+    }
 
   override def rootPaths: Seq[Path] = Seq(new Path(root))
 

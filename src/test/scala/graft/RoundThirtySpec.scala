@@ -280,6 +280,34 @@ class RoundThirtySpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("stress: 8 CONCURRENT UPDATEs, one per partition, all land " +
+      "under optimistic concurrency — the serialized result is exact") {
+    val s = sqlSpark
+    val root = tmpDir("t30race8")
+    TxLog.init(root)
+    val seeded = docs.withColumn("shard", pmod(col("doc_id"), lit(8)))
+    TxLog.appendPartitioned(s, root,
+      seeded.repartition(4, col("doc_id")), Seq("shard")) // v0
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 8).map { i =>
+      new Thread(() =>
+        try s.sql(s"UPDATE graft_table.`$root` " +
+          s"SET n_chars = ${-(i + 1)} WHERE shard = $i"): Unit
+        catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    assert(errs.isEmpty, errs.toArray.mkString(" | "))
+    // every writer landed: 8 commits after the seed, in SOME order
+    assert(TxLog.resolve(root).version === 8L)
+    val out = s.read.format("graft-table").load(root)
+      .select("doc_id", "lang", "n_chars")
+    val expect = seeded.withColumn("n_chars", -(col("shard") + 1))
+      .select("doc_id", "lang", "n_chars")
+    assert(out.exceptAll(expect).count() === 0L)
+    assert(out.count() === docs.count())
+  }
+
   test("ALTER TABLE ADD COLUMN is ONE data-free metadata commit: " +
       "old rows read NULL, a later INSERT supplies values, duplicate " +
       "adds and non-ADD ALTERs refuse") {
@@ -298,6 +326,11 @@ class RoundThirtySpec extends AnyFunSuite {
     val head0 = s.sql(s"SELECT doc_id, quality FROM graft_table.`$root`")
     assert(head0.count() === 40L)
     assert(head0.filter(col("quality").isNotNull).count() === 0L)
+    // the DataFrame API read agrees with the connector: the added
+    // column surfaces as NULL there too (log schema, not footer merge)
+    val api = TxLog.snapshot(s, root)
+    assert(api.columns.contains("quality"))
+    assert(api.filter(col("quality").isNotNull).count() === 0L)
     // an INSERT supplies it; the mix reads exactly
     s.sql(s"INSERT INTO graft_table.`$root` VALUES (900001, 'xx', 5, 77)")
     val head = s.sql(
@@ -374,6 +407,55 @@ class RoundThirtySpec extends AnyFunSuite {
     assert(prunedScans.map(_.metrics("numFiles").value).sum <= 2L,
       "log-stats pruning must keep working inside both branches")
     assert(idSet(pruned) === idSet(hi) -- victims)
+  }
+
+  test("planning is LISTING-FREE when every live file's size is " +
+      "log-recorded: statuses fabricate from the log, survive vacuum " +
+      "through the sidecar, and size-less legacy commits fall back") {
+    val root = tmpDir("t30nolist")
+    TxLog.init(root)
+    TxLog.append(spark, root, docs.repartitionByRange(3, col("doc_id")))
+    TxLog.append(spark, root, docs.limit(9).coalesce(1))
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def indexOf(df: DataFrame): graft.sources.GraftFileIndex =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: LogicalRelation =>
+          lr.relation.asInstanceOf[HadoopFsRelation].location
+            .asInstanceOf[graft.sources.GraftFileIndex]
+      }.get
+    val df = spark.read.format("graft-table").load(root)
+    val idx = indexOf(df)
+    assert(idx.usedLogSizes,
+      "a fresh table's every commit records sizes — planning must " +
+        "fabricate statuses from the log, zero storage round trips")
+    // the fabricated sizes are the REAL sizes
+    val actual = TxLog.resolve(root).files
+      .map(f => Files.size(java.nio.file.Paths.get(root, f))).sum
+    assert(idx.sizeInBytes === actual)
+    assert(idSet(df) === idSet(docs))
+    // the carry: after checkpoint + vacuum the sizes ride the sidecar
+    TxLog.append(spark, root, docs.limit(3).coalesce(1))
+    TxLog.vacuum(root, retainFrom = 2L)
+    val df2 = spark.read.format("graft-table").load(root)
+    assert(indexOf(df2).usedLogSizes,
+      "sizes must survive vacuum truncation through the checkpoint " +
+        "sidecar")
+    assert(idSet(df2) === idSet(docs))
+    // a legacy size-less commit (hand-written, pre-#bytes grammar)
+    // falls back to the batched listing — conservative, never wrong
+    val legacy = tmpDir("t30legacy")
+    TxLog.init(legacy)
+    val donor = TxLog.resolve(root).files.head
+    Files.copy(java.nio.file.Paths.get(root, donor),
+      java.nio.file.Paths.get(legacy, "data", "part-legacy.parquet"))
+    Files.writeString(
+      java.nio.file.Paths.get(legacy, "_txlog", "00000000.json"),
+      """{"v":0,"op":"append","adds":["data/part-legacy.parquet"],""" +
+        """"removes":[],"rows":1,"rowsRemoved":0}""")
+    val df3 = spark.read.format("graft-table").load(legacy)
+    assert(!indexOf(df3).usedLogSizes,
+      "a size-less commit must take the listing fallback")
+    assert(df3.count() > 0L)
   }
 
   test("the CDC fold costs O(interval) metadata reads for a " +
