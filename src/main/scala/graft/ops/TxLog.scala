@@ -721,17 +721,27 @@ object TxLog {
           attempts += 1
           if (attempts > MaxRetries)
             cleanupAndFail(e, s"$MaxRetries consecutive races")
-          val vsNow = versionsOnDisk(root)
-          val tip = vsNow.lastOption.getOrElse(-1L)
-          if (tip < next) cleanupAndFail(e,
-            "the winning commit is not visible yet")
-          val winners = vsNow.filter(v => v >= next && v <= tip)
-            .map(commitEntry(root, _))
-          winners.iterator
-            .flatMap(w => conflictReason(w, removes, dvTargets, scope,
-              schema.isDefined))
-            .nextOption() match {
-            case Some(reason) => cleanupAndFail(e, reason)
+          // the analysis itself can fail transiently (a zero-byte tip
+          // still flushing, a winner commit mid-publish) — the staged
+          // files must not leak through that path either
+          val (tip, reason) =
+            try {
+              val vsNow = versionsOnDisk(root)
+              val t = vsNow.lastOption.getOrElse(-1L)
+              if (t < next)
+                (t, Some("the winning commit is not visible yet"))
+              else (t, vsNow.filter(v => v >= next && v <= t)
+                .iterator.map(commitEntry(root, _))
+                .flatMap(w => conflictReason(w, removes, dvTargets,
+                  scope, schema.isDefined))
+                .nextOption())
+            } catch {
+              case t: Throwable =>
+                staged.foreach(f => io(root).deleteIfExists(s"$root/$f"))
+                throw t
+            }
+          reason match {
+            case Some(r) => cleanupAndFail(e, r)
             case None => base = tip // disjoint — serialize after them
           }
         case e: IllegalStateException =>
@@ -941,12 +951,6 @@ object TxLog {
     EntryCache.get(entryKey(root, p))(loadCheckpoint(root, v))
   }
 
-  /** Full replay state at `upTo`: the live file set plus the active
-    * deletion vectors with their still-live covers. A DV is retired the
-    * moment its last covered file is rewritten out of the live set
-    * (compaction / optimize / copy-on-write delete) — the rewrite read
-    * applied the mask, so the survivors no longer need it.
-    */
   /** Fold one log entry into the running (live set, active DVs)
     * state — the single replay step [[resolveState]] and the CDC
     * fold share. Action order matters and matches commit semantics:
@@ -974,6 +978,12 @@ object TxLog {
     e.dvState.foreach { case (p, cov) => dvs(p) = cov.toSet }
   }
 
+  /** Full replay state at `upTo`: the live file set plus the active
+    * deletion vectors with their still-live covers. A DV is retired the
+    * moment its last covered file is rewritten out of the live set
+    * (compaction / optimize / copy-on-write delete) — the rewrite read
+    * applied the mask, so the survivors no longer need it.
+    */
   private def resolveState(root: String, upTo: Long)
       : (Seq[String], Seq[(String, Seq[String])]) = {
     val vs = versionsOnDisk(root)

@@ -328,6 +328,12 @@ private[sources] object GraftTableScans {
           new BaseRelation with TableScan {
             override def sqlContext: SQLContext = context
             override def schema: StructType = req
+            // the inner execution already produces InternalRows; with
+            // needConversion = false Spark consumes them directly —
+            // the default `.rdd` path would materialize every row as
+            // an external Row only for Spark to convert it straight
+            // back (two full-row copies per row on every SQL read)
+            override def needConversion: Boolean = false
             override def buildScan(): RDD[Row] = {
               val base = context.sparkSession
                 .baseRelationToDataFrame(relation)
@@ -345,7 +351,8 @@ private[sources] object GraftTableScans {
                   col("_metadata.row_index").as(PosCol)
                 case n => col(n)
               })
-              filtered.select(cols: _*).rdd
+              filtered.select(cols: _*).queryExecution.toRdd
+                .asInstanceOf[RDD[Row]]
             }
           }.asInstanceOf[T]
         }

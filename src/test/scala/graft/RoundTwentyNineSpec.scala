@@ -720,6 +720,25 @@ class RoundTwentyNineSpec extends AnyFunSuite {
         assert(readState(p, Some(v)) === ss.last._2,
           s"iter=$iter time travel to v$v mismatch")
       }
+      // schema-evolution tail: ALTER ADD COLUMN must not disturb any
+      // recorded state (pure metadata), the new column reads NULL on
+      // every surviving row, and a full-arity INSERT supplies it
+      spark.sql(s"ALTER TABLE graft_table.`$p` ADD COLUMN extra BIGINT")
+      assert(readState(p, None) === model,
+        s"iter=$iter head changed across ALTER")
+      val head = spark.read.format("graft-table").load(p)
+      assert(head.columns.contains("extra"))
+      assert(head.filter(col("extra").isNotNull).count() === 0L)
+      spark.sql(s"INSERT INTO graft_table.`$p` " +
+        s"VALUES (${nextId}, 'alt', 1, 42)")
+      val post = spark.read.format("graft-table").load(p)
+      assert(post.filter(col("extra") === 42).count() === 1L)
+      assert(post.count() === model.size + 1L)
+      // ... and the pre-ALTER states still time-travel exactly
+      states.groupBy(_._1).foreach { case (v, ss) =>
+        assert(readState(p, Some(v)) === ss.last._2,
+          s"iter=$iter post-ALTER time travel to v$v mismatch")
+      }
     }
   }
 
