@@ -55,8 +55,13 @@ object TxLog {
   final case class Snapshot(version: Long, files: Seq[String],
                             dvFiles: Seq[String] = Seq.empty)
 
-  /** Create an empty table root (no versions yet). */
+  /** Create an empty table root (no versions yet). Re-initing a
+    * DELETED root drops any parsed entries cached for its previous
+    * incarnation — the (size, mtime) identity alone could collide on
+    * a same-shape recreate over a coarse-mtime store.
+    */
   def init(root: String): Unit = {
+    EntryCache.invalidatePrefix(logDir(root))
     io(root).mkdirs(logDir(root))
     io(root).mkdirs(dataDir(root))
   }
@@ -807,7 +812,11 @@ object TxLog {
       cset: Option[Map[String, String]],
       cname: Option[String],
       cexpr: Option[String],
-      columnar: Boolean = false)
+      columnar: Boolean = false,
+      // the PUBLISH time of the on-disk file this entry parsed from
+      // (the cache key's mtime) — the listing-free planner's
+      // modification-time approximation for the entry's adds
+      sourceMtime: Long = 0L)
 
   private val entryMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -916,23 +925,52 @@ object TxLog {
   private final case class EntryKey(path: String, size: Long, mtime: Long)
 
   private object EntryCache {
-    private val MaxEntries = 4096
+    // WEIGHT-bounded, not count-bounded: one columnar-checkpoint entry
+    // for a 100k-file table holds maps tens of MB large — a count
+    // bound would hoard checkpoint-class entries until the driver
+    // OOMs. The weight is a field-count proxy (~entries across the
+    // per-file maps), bounded so cached state stays a small fraction
+    // of driver heap.
+    private val MaxWeight = 4L << 20 // ~4M map entries ≈ a few hundred MB
+    private var weight = 0L
     private val map =
-      new java.util.LinkedHashMap[EntryKey, LogEntry](256, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[EntryKey, LogEntry]): Boolean =
-          size() > MaxEntries
-      }
+      new java.util.LinkedHashMap[EntryKey, LogEntry](256, 0.75f, true)
+    private def weightOf(e: LogEntry): Long =
+      16L + e.adds.size + e.removes.size +
+        e.intStats.size + e.strStats.size + e.nstats.size +
+        e.parts.size + e.sizes.size
     def get(key: EntryKey)(load: => LogEntry): LogEntry = {
       val hit = map.synchronized(map.get(key))
       if (hit != null) hit
       else {
         val v = load
-        map.synchronized(map.put(key, v))
+        map.synchronized {
+          val prev = map.put(key, v)
+          if (prev != null) weight -= weightOf(prev)
+          weight += weightOf(v)
+          val it = map.entrySet().iterator()
+          while (weight > MaxWeight && it.hasNext) {
+            val eldest = it.next()
+            if (!(eldest.getKey eq key)) {
+              weight -= weightOf(eldest.getValue)
+              it.remove()
+            }
+          }
+        }
         v
       }
     }
-    def clear(): Unit = map.synchronized(map.clear())
+    def invalidatePrefix(prefix: String): Unit = map.synchronized {
+      val it = map.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.path.startsWith(prefix)) {
+          weight -= weightOf(e.getValue)
+          it.remove()
+        }
+      }
+    }
+    def clear(): Unit = map.synchronized { map.clear(); weight = 0L }
   }
 
   /** Test seam: drop every cached parsed entry. */
@@ -943,12 +981,16 @@ object TxLog {
 
   private[graft] def commitEntry(root: String, v: Long): LogEntry = {
     val p = commitPath(root, v)
-    EntryCache.get(entryKey(root, p))(parseEntry(io(root).read(p)))
+    val key = entryKey(root, p)
+    EntryCache.get(key)(
+      parseEntry(io(root).read(p)).copy(sourceMtime = key.mtime))
   }
 
   private def checkpointEntry(root: String, v: Long): LogEntry = {
     val p = checkpointPath(root, v)
-    EntryCache.get(entryKey(root, p))(loadCheckpoint(root, v))
+    val key = entryKey(root, p)
+    EntryCache.get(key)(
+      loadCheckpoint(root, v).copy(sourceMtime = key.mtime))
   }
 
   /** Fold one log entry into the running (live set, active DVs)
@@ -1418,7 +1460,13 @@ object TxLog {
       str: Map[String, Map[String, (String, String)]],
       nulls: Map[String, (Long, Map[String, Long])],
       parts: Map[String, Map[String, String]],
-      sizes: Map[String, Long] = Map.empty)
+      sizes: Map[String, Long] = Map.empty,
+      // per-file modification-time approximation: the publish time of
+      // the commit that (last) added the file — checkpoint-carried
+      // files get the checkpoint's own publish time (coarser but
+      // monotone). What the listing-free planner reports as
+      // `_metadata.file_modification_time` instead of a storage stat
+      mtimes: Map[String, Long] = Map.empty)
 
   /** All four indexes at `version` (the tip when None), replayed from
     * checkpoint + suffix like [[resolve]] — O(checkpoint interval)
@@ -1435,7 +1483,9 @@ object TxLog {
     }
     SkippingIndex(fileStatsOf(entries), fileStatsStrOf(entries),
       fileNullStatsOf(entries), filePartitionsOf(entries),
-      mergeOver(entries)(_.sizes))
+      mergeOver(entries)(_.sizes),
+      mergeOver(entries)(e =>
+        e.adds.iterator.map(_ -> e.sourceMtime).toMap))
   }
 
   /** Partition-pruned read: the snapshot restricted to the partitions
@@ -3107,6 +3157,39 @@ object TxLog {
     val factory =
       new org.apache.parquet.example.data.simple.SimpleGroupFactory(
         sidecarSchema)
+    try writeSidecarRows(writer, factory, files, int, str, nulls,
+      parts, sizes)
+    catch {
+      // a failed write (disk full, IO error) must not orphan the tmp
+      // under _txlog — nothing ever lists or reclaims tmp names
+      case t: Throwable =>
+        try writer.close() catch { case _: Throwable => () }
+        io(root).deleteIfExists(tmp)
+        throw t
+    }
+    try io(root).move(tmp, target)
+    catch {
+      // a racing checkpointer moved first (local move raises
+      // FileAlreadyExists; Hadoop rename-onto-existing reports
+      // failure as IOException); content at a version is
+      // deterministic, so the loser just drops its copy
+      case _: FileAlreadyExistsException => io(root).deleteIfExists(tmp)
+      case e: java.io.IOException =>
+        io(root).deleteIfExists(tmp)
+        if (!io(root).exists(target)) throw e
+    }
+  }
+
+  private def writeSidecarRows(
+      writer: org.apache.parquet.hadoop.ParquetWriter[
+        org.apache.parquet.example.data.Group],
+      factory: org.apache.parquet.example.data.simple.SimpleGroupFactory,
+      files: Seq[String],
+      int: Map[String, Map[String, (Long, Long)]],
+      str: Map[String, Map[String, (String, String)]],
+      nulls: Map[String, (Long, Map[String, Long])],
+      parts: Map[String, Map[String, String]],
+      sizes: Map[String, Long]): Unit = {
     try {
       files.sorted.foreach { f =>
         val g = factory.newGroup()
@@ -3133,17 +3216,6 @@ object TxLog {
         writer.write(g)
       }
     } finally writer.close()
-    try io(root).move(tmp, target)
-    catch {
-      // a racing checkpointer moved first (local move raises
-      // FileAlreadyExists; Hadoop rename-onto-existing reports
-      // failure as IOException); content at a version is
-      // deterministic, so the loser just drops its copy
-      case _: FileAlreadyExistsException => io(root).deleteIfExists(tmp)
-      case e: java.io.IOException =>
-        io(root).deleteIfExists(tmp)
-        if (!io(root).exists(target)) throw e
-    }
   }
 
   private[graft] def readCheckpointSidecar(root: String, v: Long): SidecarData = {

@@ -144,6 +144,17 @@ class GraftCatalog extends CatalogPlugin with TableCatalog
         require(a.fieldNames().length == 1,
           s"$catalogName: nested ADD COLUMN is not supported " +
             s"(${a.fieldNames().mkString(".")})")
+        // modifiers must refuse LOUDLY, not silently drop: a NOT NULL
+        // the log cannot honor (existing rows read the column as
+        // NULL) and a FIRST/AFTER position the widened schema does
+        // not implement (columns append last)
+        require(a.isNullable,
+          s"$catalogName: ADD COLUMN ${a.fieldNames()(0)} NOT NULL is " +
+            "not supported — existing rows read an added column as " +
+            "NULL, which would violate the constraint from birth")
+        require(a.position() == null,
+          s"$catalogName: ADD COLUMN ... FIRST/AFTER is not " +
+            "supported — added columns append at the end")
         org.apache.spark.sql.types.StructField(
           a.fieldNames()(0), a.dataType(), nullable = true)
       case other => throw new UnsupportedOperationException(
@@ -219,6 +230,18 @@ private[sources] class GraftSqlTable(root: String, version: Option[Long])
     require(version.isEmpty,
       s"cannot mutate $name: the relation is pinned to a historical " +
         "version (VERSION/TIMESTAMP AS OF is a read-only view)")
+    // the operation's rowId IS (_file, _pos); on a table whose DATA
+    // columns shadow those names the discovery scan would hand the
+    // delta writer stored values instead of physical addresses —
+    // masking the wrong rows. Refuse loudly; such tables keep every
+    // other surface (SELECT, INSERT, metadata DELETE)
+    val dataCols = schema().fieldNames.toSet
+    val shadowed = Seq(GraftTableScans.FileCol, GraftTableScans.PosCol)
+      .filter(dataCols)
+    require(shadowed.isEmpty,
+      s"cannot run row-level UPDATE/MERGE/DELETE on $name: data " +
+        s"column(s) ${shadowed.mkString(", ")} shadow the physical " +
+        "row-address metadata columns the operation masks by")
     () => new GraftRowLevelOperation(root, info.command())
   }
 

@@ -152,15 +152,18 @@ class GraftFileIndex(spark: SparkSession, root: String,
   // reader instead of at plan time, the same contract Delta has);
   // otherwise one statusful listing, BATCHED by parent directory —
   // one listStatus per directory, O(directories) round trips, not
-  // O(live files). Fabricated mtimes are 0: nothing in the engine
-  // reads `_metadata.file_modification_time`, and a listing-free
-  // plan cannot know it
+  // O(live files). Fabricated mtimes are the ADDING commit's publish
+  // time (checkpoint-carried files: the checkpoint's) — the
+  // approximation `_metadata.file_modification_time` reports when no
+  // storage stat happened, within a checkpoint interval of the real
+  // write time
   private val statuses: Seq[(String, FileStatus)] =
     if (usedLogSizes) {
       val sizes = idx.sizes
+      val mtimes = idx.mtimes
       snap.files.sorted.map(f =>
-        f -> new FileStatus(sizes(f), false, 1, 128L << 20, 0L,
-          new Path(s"$root/$f")))
+        f -> new FileStatus(sizes(f), false, 1, 128L << 20,
+          mtimes.getOrElse(f, 0L), new Path(s"$root/$f")))
     } else {
       val conf = spark.sessionState.newHadoopConf()
       snap.files.groupBy(f => f.take(f.lastIndexOf('/').max(0)))

@@ -351,6 +351,17 @@ class RoundThirtySpec extends AnyFunSuite {
       s"ALTER TABLE graft_table.`$root` DROP COLUMN quality"))
     assert(chain(drop).exists(m => m.contains("refused") ||
       m.contains("ADD COLUMN only")), chain(drop).mkString(" | "))
+    // modifiers the log cannot honor refuse LOUDLY, never drop
+    // silently: NOT NULL (existing rows would violate it from birth)
+    // and FIRST/AFTER (added columns append last)
+    val nn = intercept[Exception](s.sql(
+      s"ALTER TABLE graft_table.`$root` ADD COLUMN nn BIGINT NOT NULL"))
+    assert(chain(nn).exists(_.contains("NOT NULL")),
+      chain(nn).mkString(" | "))
+    val pos = intercept[Exception](s.sql(
+      s"ALTER TABLE graft_table.`$root` ADD COLUMN p2 BIGINT FIRST"))
+    assert(chain(pos).exists(_.contains("FIRST/AFTER")),
+      chain(pos).mkString(" | "))
     // the schema action survives a checkpoint + vacuum truncation
     TxLog.append(s, root, s.sql(
       s"SELECT * FROM graft_table.`$root` LIMIT 1")) // v3
