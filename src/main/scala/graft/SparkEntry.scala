@@ -944,6 +944,31 @@ object SparkEntry {
       p
     })
 
+  /** The split-read lifecycle, one per (session, sf dir): a 4-file
+    * doc_id-range layout with a deletion-vector delete of the FIVE
+    * SMALLEST doc_ids — the mask lands entirely in file 1, so the
+    * connector read exercises [[graft.sources.MaskedTableSplit]]
+    * every round: the three clean files take the stock COLUMNAR
+    * parquet path, only the masked file pays the row-filter reader
+    * (the RoundThirty spec asserts the plan shape; this row pins the
+    * semantics through the oracle).
+    */
+  private val txlogDvSplitCache = new SessionCache[String]
+
+  private def txlogDvSplitTable(s: SparkSession, dir: String): String =
+    txlogDvSplitCache.getOrElseUpdate(s, dir, {
+      val p = s"${annTmp()}/txdvsplit"
+      graft.ops.TxLog.init(p)
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      graft.ops.TxLog.append(s, p,
+        docs.repartitionByRange(4, col("doc_id"))
+          .sortWithinPartitions("doc_id")) // v0
+      val victims = docs.select("doc_id").orderBy("doc_id").limit(5)
+        .collect().map(_.getLong(0)).toSeq
+      graft.ops.TxLog.deleteWhereDv(s, p, "doc_id", victims) // v1
+      p
+    })
+
   /** The partitioned SQL-UPDATE lifecycle, one per (session, sf dir):
     * a lang-partitioned seed ([[graft.ops.TxLog.appendPartitioned]] —
     * partition values in the log), then a pure-SQL UPDATE of ONE
@@ -2209,6 +2234,12 @@ object SparkEntry {
       s.sql(s"SELECT doc_id, lang, n_chars, quality " +
         s"FROM graft_table.`$p`")
     }),
+    // merge-on-read delete confined to ONE of four range files: the
+    // connector read splits at plan time — three files columnar, the
+    // masked one row-filtered — and must read exactly the survivors
+    "q_table_dv_split" -> ((s, dir) =>
+      s.read.format("graft-table").load(txlogDvSplitTable(s, dir))
+        .select("doc_id", "lang", "n_chars")),
     // SQL UPDATE of ONE partition of a partitioned table: the
     // merge-on-read insert images re-stage partition-pure with their
     // values re-recorded in the log, so partition pruning stays exact
@@ -5028,6 +5059,12 @@ object SparkEntry {
         |FROM documents
         |UNION ALL
         |SELECT doc_id, lang, n_chars, 'v0' AS snap FROM documents""".stripMargin,
+    // the split-read lifecycle's semantics: everything but the five
+    // smallest doc_ids (doc_id is unique and non-null)
+    "q_table_dv_split" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id NOT IN (
+        |  SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)""".stripMargin,
     // the partitioned SQL UPDATE's semantics: the en partition's
     // n_chars negated, every other partition intact
     "q_table_sql_update_part" ->
