@@ -910,8 +910,11 @@ object SparkEntry {
         "version => 1)") // v4
       s.sql(s"DELETE FROM graft_table.`$p` WHERE lang = 'de'") // v5
       s.sql(s"CALL graft_table.system.checkpoint(table => '$p')")
+      // force: the fixture's commits are seconds old, which the
+      // default retention window (correctly) refuses to truncate —
+      // this bench row exercises the reclamation path itself
       s.sql(s"CALL graft_table.system.vacuum(table => '$p', " +
-        "retain_from => 3)")
+        "retain_from => 3, force => true)")
       p
     })
 
@@ -941,6 +944,42 @@ object SparkEntry {
       s.sql(s"INSERT INTO graft_table.`$p` SELECT doc_id, lang, " +
         "n_chars, n_chars % 100 AS quality " +
         "FROM graft_sql_alter_src WHERE doc_id % 2 = 1") // v2
+      p
+    })
+
+  /** The COLUMN-MAPPING lifecycle, one per (session, sf dir): all
+    * docs seeded through the writer (v0), then pure-SQL
+    * `RENAME COLUMN n_chars TO body_chars` (v1) and
+    * `DROP COLUMN lang` (v2) — each ONE data-free metadata commit
+    * ([[graft.ops.TxLog.renameColumn]]/[[graft.ops.TxLog.dropColumns]]:
+    * the logical name changes or leaves; the PHYSICAL parquet name in
+    * the immutable files stays — the 100 TB rename) — then a SQL
+    * INSERT under the mapped shape (v3) and a RE-ADD of the dropped
+    * name (v4: fresh physical name, so the dropped column's stored
+    * bytes can never resurface). `q_table_sql_colmap` reads the head
+    * (old values under the new name, re-added `lang` NULL everywhere)
+    * UNION the v0 time travel (the original names — the mapping is
+    * per-version).
+    */
+  private val txlogSqlColmapCache = new SessionCache[String]
+
+  private def txlogSqlColmapTable(s: SparkSession, dir: String): String =
+    txlogSqlColmapCache.getOrElseUpdate(s, dir, {
+      val p = s"${annTmp()}/txsqlcolmap"
+      graft.ops.TxLog.init(p)
+      s.conf.set("spark.sql.catalog.graft_table",
+        "graft.sources.GraftCatalog")
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .write.format("graft-table").mode("append").save(p) // v0
+      s.sql(s"ALTER TABLE graft_table.`$p` " +
+        "RENAME COLUMN n_chars TO body_chars") // v1
+      s.sql(s"ALTER TABLE graft_table.`$p` DROP COLUMN lang") // v2
+      docs.createOrReplaceTempView("graft_sql_colmap_src")
+      s.sql(s"INSERT INTO graft_table.`$p` SELECT doc_id, " +
+        "n_chars AS body_chars FROM graft_sql_colmap_src " +
+        "WHERE doc_id % 2 = 1") // v3
+      s.sql(s"ALTER TABLE graft_table.`$p` ADD COLUMN lang STRING") // v4
       p
     })
 
@@ -2233,6 +2272,19 @@ object SparkEntry {
       val p = txlogSqlAlterTable(s, dir)
       s.sql(s"SELECT doc_id, lang, n_chars, quality " +
         s"FROM graft_table.`$p`")
+    }),
+    // SQL RENAME/DROP COLUMN through the catalog (column mapping):
+    // each a data-free metadata commit — stored values surface under
+    // the renamed name, the dropped-then-re-added column reads NULL
+    // (fresh physical name; the old bytes never resurface), and v0
+    // still time-travels under its ORIGINAL names
+    "q_table_sql_colmap" -> ((s, dir) => {
+      val p = txlogSqlColmapTable(s, dir)
+      s.sql(s"SELECT doc_id, body_chars, lang, 'head' AS snap " +
+        s"FROM graft_table.`$p` " +
+        "UNION ALL " +
+        "SELECT doc_id, n_chars AS body_chars, lang, 'v0' AS snap " +
+        s"FROM graft_table.`$p` VERSION AS OF 0")
     }),
     // merge-on-read delete confined to ONE of four range files: the
     // connector read splits at plan time — three files columnar, the
@@ -5081,6 +5133,17 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, lang, n_chars, n_chars % 100 AS quality
         |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
+    // the column-mapping lifecycle's semantics: at the head every row
+    // carries its n_chars under the RENAMED name and the dropped-
+    // then-re-added lang is NULL (fresh physical name); v0 replays
+    // the even seed under the original names
+    "q_table_sql_colmap" ->
+      """SELECT doc_id, n_chars AS body_chars,
+        |       CAST(NULL AS VARCHAR) AS lang, 'head' AS snap
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, n_chars AS body_chars, lang, 'v0' AS snap
+        |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
     // the SQL MERGE lifecycle's semantics: the even seed with mod-3
     // keys re-langed (matched updates), plus the odd multiples of 3
     // inserted as 'mg'

@@ -101,7 +101,10 @@ object TxLog {
     * O(live files) JSON string is ever materialized on the driver.
     */
   private def loadCheckpoint(root: String, v: Long): LogEntry = {
-    val e = parseEntry(io(root).read(checkpointPath(root, v)))
+    // the JSON half loads through its own cache entry
+    // ([[checkpointJsonEntry]]) so metadata-only readers and this full
+    // load share ONE on-disk read per checkpoint per session
+    val e = checkpointJsonEntry(root, v)
     if (!e.columnar) e
     else {
       val side = readCheckpointSidecar(root, v)
@@ -194,7 +197,7 @@ object TxLog {
     "v", "op", "adds", "removes", "rows", "rowsRemoved", "batchId",
     "batchIds", "mergeKey", "schema", "dv", "dvCovers", "dvDrops",
     "dvs", "stats", "nstats", "parts", "partCols", "cset", "cname",
-    "cexpr", "cpq")
+    "cexpr", "cpq", "tbytes", "tfiles")
 
   /** A column name that may appear as a key inside the hand-rolled
     * commit/checkpoint JSON: the safe grammar minus the reserved
@@ -623,12 +626,33 @@ object TxLog {
     filters.flatMap(walk).toMap
   }
 
+  /** Is `winner` a set-schema commit that ONLY appended new fields —
+    * the prior recorded schema an exact field prefix (name, type,
+    * nullability, metadata) of the new one? Field-identity changes
+    * (rename via mapping metadata, drop, retype) fail the prefix
+    * test and stay conflicting. Conservative on any decode problem.
+    */
+  private def isPureAddSchema(root: String, winner: LogEntry): Boolean =
+    winner.version > 0 && winner.schemaB64.exists { b64 =>
+      try {
+        val w = org.apache.spark.sql.types.DataType.fromJson(
+          new String(java.util.Base64.getDecoder.decode(b64),
+            java.nio.charset.StandardCharsets.UTF_8))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        tableSchema(root, Some(winner.version - 1)).exists { prev =>
+          w.fields.length > prev.fields.length &&
+            prev.fields.zip(w.fields).forall { case (a, b) => a == b }
+        }
+      } catch { case _: Exception => false }
+    }
+
   /** Why `winner` forces the loser to re-derive — or None when the
     * loser's commit is safe to re-stamp at the next version (the
     * Delta commit-protocol conflict rules, scaled to this log's
     * action vocabulary, at WriteSerializable strength).
     */
-  private def conflictReason(winner: LogEntry, removes: Seq[String],
+  private def conflictReason(root: String, winner: LogEntry,
+                             removes: Seq[String],
                              dvTargets: Seq[String],
                              scope: DerivedScope,
                              loserSetsSchema: Boolean): Option[String] = {
@@ -641,8 +665,18 @@ object TxLog {
       return Some(s"v$v rewrote the table's deletion-vector state")
     if (winner.op == "set-constraint" || winner.op == "drop-constraint")
       return Some(s"v$v changed the table's constraint set")
-    if (winner.op == "set-schema")
-      return Some(s"v$v changed the table's schema")
+    if (winner.op == "set-schema") {
+      // a PURE widening (ALTER TABLE ADD COLUMN: the prior schema is
+      // an exact field prefix of the new one) cannot invalidate a
+      // derived mutation that records no schema action of its own —
+      // existing rows read the added column as NULL whether the
+      // loser's rewrite lands before or after it. Every other schema
+      // action (rename/drop/retype — field identity changes) stays
+      // fatal: the loser derived and staged rows under a schema that
+      // is gone.
+      if (loserSetsSchema || !isPureAddSchema(root, winner))
+        return Some(s"v$v changed the table's schema")
+    }
     // newest schema action wins on replay: re-stamping the loser's
     // recorded schema over a winner's would shadow the winner's
     if (loserSetsSchema && winner.schemaB64.nonEmpty)
@@ -727,24 +761,42 @@ object TxLog {
           if (attempts > MaxRetries)
             cleanupAndFail(e, s"$MaxRetries consecutive races")
           // the analysis itself can fail transiently (a zero-byte tip
-          // still flushing, a winner commit mid-publish) — the staged
-          // files must not leak through that path either
-          val (tip, reason) =
-            try {
-              val vsNow = versionsOnDisk(root)
-              val t = vsNow.lastOption.getOrElse(-1L)
-              if (t < next)
-                (t, Some("the winning commit is not visible yet"))
-              else (t, vsNow.filter(v => v >= next && v <= t)
-                .iterator.map(commitEntry(root, _))
-                .flatMap(w => conflictReason(w, removes, dvTargets,
-                  scope, schema.isDefined))
-                .nextOption())
-            } catch {
-              case t: Throwable =>
-                staged.foreach(f => io(root).deleteIfExists(s"$root/$f"))
-                throw t
+          // still flushing, a winner commit mid-publish, an
+          // eventually-consistent store not listing the winner yet) —
+          // retry it briefly with bounded backoff before converting a
+          // benign race into a full re-derivation; the staged files
+          // must not leak through that path either, and a final
+          // analysis failure surfaces under the loud-conflict message
+          // contract, not as a raw parse/listing error
+          val AnalysisRetries = 4
+          def analyzeOnce(): (Long, Option[String]) = {
+            val vsNow = versionsOnDisk(root)
+            val t = vsNow.lastOption.getOrElse(-1L)
+            if (t < next)
+              throw new IllegalStateException(
+                "the winning commit is not visible in the listing yet")
+            else (t, vsNow.filter(v => v >= next && v <= t)
+              .iterator.map(commitEntry(root, _))
+              .flatMap(w => conflictReason(root, w, removes, dvTargets,
+                scope, schema.isDefined))
+              .nextOption())
+          }
+          val (tip, reason) = {
+            var out: Option[(Long, Option[String])] = None
+            var tries = 0
+            while (out.isEmpty) {
+              try out = Some(analyzeOnce())
+              catch {
+                case t: Throwable =>
+                  tries += 1
+                  if (tries > AnalysisRetries)
+                    cleanupAndFail(t, "the conflict analysis failed " +
+                      s"$tries times (${t.getMessage})")
+                  Thread.sleep(25L << tries)
+              }
             }
+            out.get
+          }
           reason match {
             case Some(r) => cleanupAndFail(e, r)
             case None => base = tip // disjoint — serialize after them
@@ -812,6 +864,11 @@ object TxLog {
       cset: Option[Map[String, String]],
       cname: Option[String],
       cexpr: Option[String],
+      // live-set totals a columnar checkpoint records in its JSON
+      // half, so the pruned planner answers sizeInBytes without a
+      // sidecar scan
+      tbytes: Option[Long] = None,
+      tfiles: Option[Long] = None,
       columnar: Boolean = false,
       // the PUBLISH time of the on-disk file this entry parsed from
       // (the cache key's mtime) — the listing-free planner's
@@ -907,7 +964,27 @@ object TxLog {
       cset = cset,
       cname = strOpt("cname"),
       cexpr = strOpt("cexpr"),
-      columnar = longOpt("cpq").contains(1L))
+      tbytes = longOpt("tbytes"),
+      tfiles = longOpt("tfiles"),
+      columnar = {
+        // FORMAT COMPATIBILITY RULE: `cpq` versions the columnar-
+        // checkpoint layout. A reader must refuse a cpq it does not
+        // understand — treating an unknown-format checkpoint as a
+        // plain JSON one would replay it with an EMPTY live set
+        // (silent data loss), and guessing at the sidecar layout
+        // could misread stats. Writers may bump cpq only together
+        // with a reader that understands both the new version and
+        // every older one.
+        val cpq = longOpt("cpq")
+        cpq.filter(_ != 1L).foreach { q =>
+          throw new IllegalStateException(
+            s"unsupported checkpoint format cpq=$q: this reader " +
+              "understands cpq=1 only; refusing to misread a newer " +
+              "checkpoint — upgrade the reader binary (a rolled-back " +
+              "binary must never plan through a newer sidecar)")
+        }
+        cpq.contains(1L)
+      })
   }
 
   /** Parsed-entry cache. Commits and checkpoints are IMMUTABLE once
@@ -928,21 +1005,32 @@ object TxLog {
     // WEIGHT-bounded, not count-bounded: one columnar-checkpoint entry
     // for a 100k-file table holds maps tens of MB large — a count
     // bound would hoard checkpoint-class entries until the driver
-    // OOMs. The weight is a field-count proxy (~entries across the
-    // per-file maps), bounded so cached state stays a small fraction
-    // of driver heap.
+    // OOMs. The weight counts EVERY map entry the LogEntry holds,
+    // nested per-column entries included (a wide-schema checkpoint
+    // entry weighs its stats bodies, not just its file count), so the
+    // bound tracks actual heap, bounded to a small fraction of driver
+    // heap.
     private val MaxWeight = 4L << 20 // ~4M map entries ≈ a few hundred MB
     private var weight = 0L
     private val map =
       new java.util.LinkedHashMap[EntryKey, LogEntry](256, 0.75f, true)
+    private val hitCount = new java.util.concurrent.atomic.AtomicLong
+    private val missCount = new java.util.concurrent.atomic.AtomicLong
+    private val evictCount = new java.util.concurrent.atomic.AtomicLong
+    private val log = org.slf4j.LoggerFactory.getLogger("graft.ops.TxLog")
+    private def nested[A](m: Map[String, Map[String, A]]): Long =
+      m.size.toLong + m.valuesIterator.map(_.size.toLong).sum
     private def weightOf(e: LogEntry): Long =
       16L + e.adds.size + e.removes.size +
-        e.intStats.size + e.strStats.size + e.nstats.size +
-        e.parts.size + e.sizes.size
+        nested(e.intStats) + nested(e.strStats) + nested(e.parts) +
+        e.nstats.size +
+        e.nstats.valuesIterator.map(_._2.size.toLong).sum +
+        e.sizes.size
     def get(key: EntryKey)(load: => LogEntry): LogEntry = {
       val hit = map.synchronized(map.get(key))
-      if (hit != null) hit
+      if (hit != null) { hitCount.incrementAndGet(); hit }
       else {
+        missCount.incrementAndGet()
         val v = load
         map.synchronized {
           val prev = map.put(key, v)
@@ -954,6 +1042,17 @@ object TxLog {
             if (!(eldest.getKey eq key)) {
               weight -= weightOf(eldest.getValue)
               it.remove()
+              // eviction must not be silent: a workload cycling more
+              // hot checkpoint state than the weight bound holds will
+              // thrash re-parses — surface the churn so the operator
+              // sees it (and CALL ...cache_stats() quantifies it)
+              val n = evictCount.incrementAndGet()
+              if (n == 1L || n % 1024L == 0L)
+                log.warn(s"txlog entry cache evicted $n entries so " +
+                  "far; hot metadata exceeds the cache weight bound " +
+                  "and planning is re-parsing checkpoints — consider " +
+                  "fewer concurrently planned tables or more frequent " +
+                  "vacuum/checkpoints")
             }
           }
         }
@@ -970,11 +1069,33 @@ object TxLog {
         }
       }
     }
+    def stats: (Long, Long, Long) =
+      (hitCount.get(), missCount.get(), evictCount.get())
     def clear(): Unit = map.synchronized { map.clear(); weight = 0L }
   }
 
   /** Test seam: drop every cached parsed entry. */
   private[graft] def clearEntryCache(): Unit = EntryCache.clear()
+
+  /** Entry-cache (hits, misses, evictions) since process start — the
+    * planning-path health signal (`CALL ...system.cache_stats()`): a
+    * rising eviction count means hot checkpoint state exceeds the
+    * cache's weight bound and plans are re-parsing metadata.
+    */
+  def entryCacheStats: (Long, Long, Long) = EntryCache.stats
+
+  /** INVALIDATION CONTRACT of the parsed-entry cache: entries are
+    * keyed by (path, size, mtime), which commits' and checkpoints'
+    * publish-once immutability makes a sound identity — EXCEPT when a
+    * table root is recreated in place without [[init]] (restored from
+    * a backup, rewritten by an external tool) on a store whose mtime
+    * granularity cannot distinguish the two incarnations. Any such
+    * path must call this before reading, exactly as [[init]] does
+    * internally; otherwise reads may serve the previous incarnation's
+    * parsed state.
+    */
+  def invalidateCaches(root: String): Unit =
+    EntryCache.invalidatePrefix(logDir(root))
 
   private def entryKey(root: String, path: String): EntryKey =
     EntryKey(path, io(root).size(path), io(root).mtime(path))
@@ -991,6 +1112,93 @@ object TxLog {
     val key = entryKey(root, p)
     EntryCache.get(key)(
       loadCheckpoint(root, v).copy(sourceMtime = key.mtime))
+  }
+
+  /** The checkpoint's JSON HALF alone — table-level state (schema,
+    * constraints, DV state, batch ids, partition columns) without
+    * touching the per-file sidecar. Every metadata-only reader goes
+    * through this: resolving a million-file table's SCHEMA must never
+    * force the million-row sidecar onto the driver. Cached under its
+    * own key (`#json` suffix — the same invalidatePrefix sweeps both).
+    */
+  private def checkpointJsonEntry(root: String, v: Long): LogEntry = {
+    val p = checkpointPath(root, v)
+    val k0 = entryKey(root, p)
+    EntryCache.get(k0.copy(path = p + "#json"))(
+      parseEntry(io(root).read(p)).copy(sourceMtime = k0.mtime))
+  }
+
+  /** Everything the PRUNED planning path needs without materializing
+    * the live set: the resolved version, its base checkpoint, the
+    * parsed suffix commits after it, the active DV sidecars (folded
+    * from the checkpoint's JSON-half DV state + suffix — the live
+    * set is not needed for mask retirement inside the suffix), and
+    * the sidecar's row count.
+    */
+  private[graft] final case class PrunedPlanInfo(
+      version: Long,
+      cp: Long,
+      cpMtime: Long,
+      suffix: Seq[LogEntry],
+      dvFiles: Seq[String],
+      sidecarRows: Long)
+
+  /** The pruned-plan decision: Some when `root`@`version` bases on a
+    * COLUMNAR checkpoint whose sidecar holds at least `threshold`
+    * rows (the scale at which whole-sidecar driver materialization
+    * stops being acceptable) — None sends the caller down the
+    * ordinary eager path. Cost: one footer read + O(suffix) cached
+    * commit parses; the sidecar itself is NOT read here.
+    */
+  private[graft] def prunedPlanInfo(root: String, version: Option[Long],
+                                    threshold: Long)
+      : Option[PrunedPlanInfo] = {
+    if (threshold <= 0) return None
+    val vs = versionsOnDisk(root)
+    if (vs.isEmpty) return None
+    val upTo = version.getOrElse(vs.max)
+    if (!vs.contains(upTo)) return None
+    val cp = checkpointsOnDisk(root).filter(_ <= upTo).lastOption
+      .filter(c => io(root).exists(checkpointSidecarPath(root, c)))
+    cp.flatMap { c =>
+      // threshold first, from the sidecar FOOTER alone: the common
+      // small-table plan decides "eager" without even reading the
+      // checkpoint JSON
+      val n = sidecarRowCount(root, c)
+      if (n < threshold) None
+      else {
+        val jsonE = checkpointJsonEntry(root, c)
+        if (!jsonE.columnar) None
+        else {
+          val suffix = vs.filter(v => v <= upTo && v > c)
+            .map(commitEntry(root, _))
+          // DV fold over the suffix alone: the checkpoint's carried
+          // dvState is already live-filtered at c, and inside the
+          // suffix only removes/dvDrops/dv/dvState change it — the
+          // same transitions applyEntryToState makes, minus the live
+          // half this path exists to avoid materializing
+          val dvs = scala.collection.mutable
+            .LinkedHashMap.empty[String, Set[String]]
+          jsonE.dvState.foreach { case (p, cov) => dvs(p) = cov.toSet }
+          suffix.foreach { e =>
+            e.removes.foreach { r =>
+              if (dvs.nonEmpty) {
+                dvs.mapValuesInPlace((_, cov) => cov - r)
+                dvs.filterInPlace((_, cov) => cov.nonEmpty): Unit
+              }
+            }
+            e.dvDrops.foreach(p => dvs -= p)
+            e.dv.foreach { case (p, cov) =>
+              dvs(p) = dvs.getOrElse(p, Set.empty) ++ cov
+            }
+            e.dvState.foreach { case (p, cov) => dvs(p) = cov.toSet }
+          }
+          Some(PrunedPlanInfo(upTo, c,
+            io(root).mtime(checkpointPath(root, c)), suffix,
+            dvs.keys.toSeq, n))
+        }
+      }
+    }
   }
 
   /** Fold one log entry into the running (live set, active DVs)
@@ -1173,9 +1381,14 @@ object TxLog {
     // the connector — alignment only ADDS columns, never drops or
     // reorders (a type-conflicted batch records no action, so the
     // footer view may legitimately be wider)
-    tableSchema(root, Some(snap.version))
-      .map(st => alignToSchema(masked, st.fields.toSeq))
-      .getOrElse(masked)
+    tableSchema(root, Some(snap.version)) match {
+      // mapping mode projects EXACTLY the logical schema (physical ->
+      // logical rename + null-fill) so dropped columns' stored bytes
+      // never resurface; unmapped tables keep the additive alignment
+      case Some(st) if mappingMode(st) => projectLogical(masked, st)
+      case Some(st) => alignToSchema(masked, st.fields.toSeq)
+      case None => masked
+    }
   }
 
   /** The log-recorded table schema in force at `version` (the tip when
@@ -1203,7 +1416,7 @@ object TxLog {
       .map(v => commitEntry(root, v).schemaB64)
       .collectFirst { case Some(b) => b }
     val b64 = fromSuffix
-      .orElse(cp.flatMap(c => checkpointEntry(root, c).schemaB64))
+      .orElse(cp.flatMap(c => checkpointJsonEntry(root, c).schemaB64))
       .orElse {
         // a checkpoint written before schema carry existed records no
         // action — fall back to the (still on-disk) commits below it
@@ -1254,10 +1467,10 @@ object TxLog {
     * paths (not yet visible — publish via a commit).
     */
   private def stage(spark: SparkSession, root: String,
-                    df: DataFrame): Seq[String] = {
+                    df: DataFrame, prep: Boolean = true): Seq[String] = {
     val uid = UUID.randomUUID().toString.take(8)
     val tmp = s"$root/_staged-$uid"
-    df.write.parquet(tmp)
+    (if (prep) stagePrep(root, df) else df).write.parquet(tmp)
     // zero-row task files (empty input partitions, a survivor rewrite
     // that kept nothing) are never published: at scale they are pure
     // listing/footer noise, and a delete of EVERY row should leave a
@@ -1394,8 +1607,10 @@ object TxLog {
     val uid = UUID.randomUUID().toString.take(8)
     val tmp = s"$root/_staged-$uid"
     val dups = partCols.map(c => s"__pc_$c")
-    val staged = partCols.zip(dups).foldLeft(df) { case (d, (c, dc)) =>
-      d.withColumn(dc, col(c))
+    // mapping prep first: partition columns are never renameable, so
+    // their names (and the hidden __pc_ duplicates) are unaffected
+    val staged = partCols.zip(dups).foldLeft(stagePrep(root, df)) {
+      case (d, (c, dc)) => d.withColumn(dc, col(c))
     }
     staged.write.partitionBy(dups: _*).parquet(tmp)
     val leafFiles = io(root).listRecursive(tmp)
@@ -1435,10 +1650,17 @@ object TxLog {
     */
   def partitionColumns(root: String,
                        version: Option[Long] = None): Seq[String] = {
-    val entries = version match {
-      case Some(v) => indexEntries(root, v)
-      case None => indexEntriesAtTip(root)
-    }
+    // the declaration lives in the checkpoint's JSON HALF + commits —
+    // resolving a million-file table's partition columns must never
+    // force the per-file sidecar onto the driver
+    val vs = versionsOnDisk(root)
+    val cps = checkpointsOnDisk(root)
+    if (vs.isEmpty && cps.isEmpty) return Seq.empty
+    val upTo = version.getOrElse((vs ++ cps).max)
+    val cp = cps.filter(_ <= upTo).lastOption
+    val entries = cp.map(checkpointJsonEntry(root, _)).toSeq ++
+      vs.filter(v => v <= upTo && cp.forall(v > _))
+        .map(commitEntry(root, _))
     entries.flatMap(_.partCols).lastOption.getOrElse(Seq.empty)
   }
 
@@ -1519,7 +1741,9 @@ object TxLog {
   def overwrite(spark: SparkSession, root: String, df: DataFrame): Long = {
     val cur =
       if (versionsOnDisk(root).nonEmpty) Some(resolve(root)) else None
-    val adds = stage(spark, root, df)
+    // no mapping prep: an overwrite DEFINES the new schema (mapping
+    // mode off again — its files store the frame's own names)
+    val adds = stage(spark, root, df, prep = false)
     validateStaged(spark, root, adds, "overwrite")
     val next = cur.map(_.version + 1).getOrElse(0L)
     commitOrCleanup(root, adds) {
@@ -1565,8 +1789,9 @@ object TxLog {
     // LISTS the rest (on a key-clustered layout that is almost all of
     // them). Stat-less files are conservatively scanned.
     val st = fileStats(root)
+    val physKey = physicalOf(root, keyCol, Some(snap.version))
     val candidates = snap.files.filter { f =>
-      st.get(f).flatMap(_.get(keyCol)).forall { case (mn, mx) =>
+      st.get(f).flatMap(_.get(physKey)).forall { case (mn, mx) =>
         keys.exists(k => k >= mn && k <= mx)
       }
     }
@@ -1581,10 +1806,10 @@ object TxLog {
     // from the rewritten survivors. Both reads apply the active DV
     // masks: an unmasked read would count already-deleted rows as hits
     // and — fatally — RESURRECT them in the survivor rewrite
-    val affectedAbs = applyDvMask(spark, root,
+    val affectedAbs = toLogicalAt(root, applyDvMask(spark, root,
         spark.read.option("mergeSchema", "true").parquet(abs: _*)
           .withColumn("__path", col("_metadata.file_path")),
-        snap.dvFiles)
+        snap.dvFiles), Some(snap.version))
       .filter(hit)
       .select(col("__path"))
       .distinct().collect().map(_.getString(0))
@@ -1596,9 +1821,10 @@ object TxLog {
     // NULL-safe survivor filter: `!isin` is NULL for a NULL key, and a
     // bare filter would silently erase NULL-key rows from the rewrite
     val adds = stage(spark, root,
-      applyDvMask(spark, root,
+      toLogicalAt(root, applyDvMask(spark, root,
         spark.read.option("mergeSchema", "true")
-          .parquet(affectedAbs.toIndexedSeq: _*), snap.dvFiles)
+          .parquet(affectedAbs.toIndexedSeq: _*), snap.dvFiles),
+        Some(snap.version))
         .filter(col(keyCol).isNull || !hit))
     val removes = affectedAbs.toSeq.map(relToRoot(root, _))
     // read scope: only the HIT files' rows shaped the survivors —
@@ -1649,9 +1875,10 @@ object TxLog {
     // column no affected file physically carries (missing = NULL by
     // evolution semantics), and the raw footer-merged frame could not
     // resolve it
-    val affected = applyDvMask(spark, root,
+    val affected = toLogicalAt(root, applyDvMask(spark, root,
       spark.read.option("mergeSchema", "true")
-        .parquet(affectedAbs.toIndexedSeq: _*), snap.dvFiles)
+        .parquet(affectedAbs.toIndexedSeq: _*), snap.dvFiles),
+      Some(snap.version))
     val aligned = alignToSchema(affected,
       tableSchema(root, Some(snap.version))
         .map(_.fields.toSeq).getOrElse(Seq.empty))
@@ -1742,8 +1969,9 @@ object TxLog {
     require(keys.nonEmpty, "txlog deleteWhereDv: empty key list")
     val snap = resolve(root)
     val st = fileStats(root)
+    val physKey = physicalOf(root, keyCol, Some(snap.version))
     val candidates = snap.files.filter { f =>
-      st.get(f).flatMap(_.get(keyCol)).forall { case (mn, mx) =>
+      st.get(f).flatMap(_.get(physKey)).forall { case (mn, mx) =>
         keys.exists(k => k >= mn && k <= mx)
       }
     }
@@ -1756,10 +1984,10 @@ object TxLog {
     // re-delete of a masked row must be idempotent, not double-counted
     // in the ledger); `isin` never matches NULL keys — correct DELETE
     // WHERE key IN (...) semantics
-    val hits = applyDvMask(spark, root,
+    val hits = toLogicalAt(root, applyDvMask(spark, root,
         spark.read.option("mergeSchema", "true")
           .parquet(candidates.map(f => s"$root/$f"): _*),
-        snap.dvFiles, keepKeys = true)
+        snap.dvFiles, keepKeys = true), Some(snap.version))
       .filter(col(keyCol).isin(keys: _*))
       .select(col("__dv_f").as("file"), col("__dv_p").as("pos"))
     // ONE pass over the candidate data: write the sidecar first, then
@@ -1883,6 +2111,22 @@ object TxLog {
           }
         stagedDataAbs.foreach(io(root).deleteIfExists)
         (moved.map(_._1), moved.toMap)
+      } else if (stagedDataAbs.nonEmpty &&
+          columnMappingAt(root).nonEmpty) {
+        // mapping mode: the delta writer's task files carry LOGICAL
+        // column names — re-stage through the physical-name writer so
+        // every data file's stored names stay physical-invariant
+        val df0 = spark.read.option("mergeSchema", "true")
+          .parquet(stagedDataAbs: _*)
+        val rels =
+          try stage(spark, root, df0)
+          catch {
+            case e: Throwable =>
+              stagedDataAbs.foreach(io(root).deleteIfExists)
+              throw e
+          }
+        stagedDataAbs.foreach(io(root).deleteIfExists)
+        (rels, Map.empty[String, Map[String, String]])
       } else {
         val rels =
           try {
@@ -1996,10 +2240,10 @@ object TxLog {
     }
     if (candidates.isEmpty) return None
     val adds = stage(spark, root,
-      applyDvMask(spark, root,
+      toLogicalAt(root, applyDvMask(spark, root,
         spark.read.option("mergeSchema", "true")
           .parquet(candidates.map(f => s"$root/$f"): _*),
-        snap.dvFiles))
+        snap.dvFiles), Some(snap.version)))
     // layout no-op over the candidate files only: a concurrent append
     // or a disjoint mutation elsewhere must not force a re-purge
     Some(commitDerived(root, snap.version, adds, candidates, op = "purge",
@@ -2027,16 +2271,18 @@ object TxLog {
     val hitAbs = applyDvMask(spark, root,
         spark.read.option("mergeSchema", "true")
           .parquet(snap.files.map(f => s"$root/$f"): _*)
-          .select(col(keyCol), col("_metadata.file_path").as("__f"),
+          .select(col(physicalOf(root, keyCol, Some(snap.version)))
+            .as(keyCol), col("_metadata.file_path").as("__f"),
             col("_metadata")),
         snap.dvFiles)
       .join(keys, Seq(keyCol), "left_semi")
       .select("__f").distinct().collect().map(_.getString(0))
     val survivors =
       if (hitAbs.isEmpty) updates.limit(0)
-      else applyDvMask(spark, root,
+      else toLogicalAt(root, applyDvMask(spark, root,
         spark.read.option("mergeSchema", "true")
-          .parquet(hitAbs.toIndexedSeq: _*), snap.dvFiles)
+          .parquet(hitAbs.toIndexedSeq: _*), snap.dvFiles),
+        Some(snap.version))
         .join(keys, Seq(keyCol), "left_anti")
     val adds = stage(spark, root, survivors.unionByName(updates))
     validateStaged(spark, root, adds, "merge")
@@ -2096,9 +2342,10 @@ object TxLog {
     // on (at minimum the eq columns, by selection)
     val common = hit.map(parts(_))
       .reduce((a, b) => a.filter { case (k, v) => b.get(k).contains(v) })
-    val df = applyDvMask(spark, root,
+    val df = toLogicalAt(root, applyDvMask(spark, root,
       spark.read.option("mergeSchema", "true")
-        .parquet(hit.map(f => s"$root/$f"): _*), snap.dvFiles)
+        .parquet(hit.map(f => s"$root/$f"): _*), snap.dvFiles),
+      Some(snap.version))
     val adds = stage(spark, root,
       Maintenance.zorderLayout(df, cols, numFiles))
     // layout no-op over ONE partition's files: appends and mutations
@@ -2167,10 +2414,10 @@ object TxLog {
     val newConstraints = (constraints(root).toSet --
       constraintsAt(root, toVersion).toSet).toMap
     if (newConstraints.nonEmpty && tFiles.nonEmpty) {
-      val restored0 = applyDvMask(spark, root,
+      val restored0 = toLogicalAt(root, applyDvMask(spark, root,
         spark.read.option("mergeSchema", "true")
           .parquet(tFiles.map(f => s"$root/$f"): _*),
-        tDvs.map(_._1))
+        tDvs.map(_._1)), Some(toVersion))
       // the CHECK contract for a pre-evolution target: a column the
       // constraint references that the target lacks evaluates as NULL
       // (a counted violation), not an analysis error — same as
@@ -2349,9 +2596,10 @@ object TxLog {
                         isNull: Boolean,
                         version: Option[Long] = None): DataFrame = {
     val st = fileNullStats(root)
+    val phys = physicalOf(root, colName, version)
     prunedSlice(spark, root, version,
       f => st.get(f).forall { case (rows, nulls) =>
-        nulls.get(colName).forall(n => if (isNull) n > 0 else n < rows)
+        nulls.get(phys).forall(n => if (isNull) n > 0 else n < rows)
       },
       if (isNull) col(colName).isNull else col(colName).isNotNull)
   }
@@ -2372,10 +2620,10 @@ object TxLog {
     if (keepFiles.isEmpty)
       snapshotImpl(spark, root, version, guard = false)
         .filter(in).limit(0)
-    else applyDvMask(spark, root,
+    else toLogicalAt(root, applyDvMask(spark, root,
       spark.read.option("mergeSchema", "true")
         .parquet(keepFiles.map(f => s"$root/$f"): _*), snap.dvFiles,
-      guard = true)
+      guard = true), Some(snap.version))
       .filter(in)
   }
 
@@ -2392,8 +2640,9 @@ object TxLog {
                        lo: String, hi: String,
                        version: Option[Long] = None): DataFrame = {
     val st = fileStatsStr(root)
+    val phys = physicalOf(root, colName, version)
     prunedSlice(spark, root, version,
-      f => st.get(f).flatMap(_.get(colName))
+      f => st.get(f).flatMap(_.get(phys))
         .forall { case (mn, mx) => mx >= lo && mn <= hi },
       col(colName) >= lo && col(colName) <= hi)
   }
@@ -2412,8 +2661,9 @@ object TxLog {
                     lo: Long, hi: Long,
                     version: Option[Long] = None): DataFrame = {
     val st = fileStats(root)
+    val phys = physicalOf(root, colName, version)
     prunedSlice(spark, root, version,
-      f => st.get(f).flatMap(_.get(colName))
+      f => st.get(f).flatMap(_.get(phys))
         .forall { case (mn, mx) => mx >= lo && mn <= hi },
       col(colName) >= lo && col(colName) <= hi)
   }
@@ -2441,7 +2691,7 @@ object TxLog {
       .filter(v => v <= upTo && cp.forall(v > _))
       .flatMap(v => commitEntry(root, v).batchId)
     val fromCheckpoint =
-      cp.toSeq.flatMap(c => checkpointEntry(root, c).batchIds)
+      cp.toSeq.flatMap(c => checkpointJsonEntry(root, c).batchIds)
     (fromCommits ++ fromCheckpoint).toSet
   }
 
@@ -2583,9 +2833,10 @@ object TxLog {
     // and the name dodges the file-URI scheme variance of `file_path`
     def readSide(files: Seq[String], dv: Seq[String]): Option[DataFrame] =
       if (files.isEmpty) None
-      else Some(applyDvMask(spark, root,
+      else Some(toLogicalAt(root, applyDvMask(spark, root,
         spark.read.option("mergeSchema", "true")
-          .parquet(files.map(f => s"$root/$f"): _*), dv, guard = true))
+          .parquet(files.map(f => s"$root/$f"): _*), dv, guard = true),
+        Some(toV)))
     val addedOpt = readSide(addedF, toS.dvFiles)
     val removedOpt = readSide(removedF, fromS.dvFiles)
     // mask deltas on files live at BOTH ends of the interval: changes
@@ -2619,10 +2870,10 @@ object TxLog {
             .withColumn("__dv_p", col("_metadata.row_index"))
           val right = gc.withColumnRenamed("file", "__dv_file")
             .withColumnRenamed("pos", "__dv_pos")
-          Some(rows.join(broadcast(right),
+          Some(toLogicalAt(root, rows.join(broadcast(right),
               rows("__dv_f") === right("__dv_file") &&
                 rows("__dv_p") === right("__dv_pos"), "left_semi")
-            .drop("__dv_f", "__dv_p"))
+            .drop("__dv_f", "__dv_p"), Some(toV)))
         }
       }
     val grownOpt = maskDiffRows(toS.dvFiles, fromS.dvFiles)
@@ -2801,7 +3052,7 @@ object TxLog {
   private def constraintsAt(root: String, upTo: Long): Map[String, String] = {
     val cp = checkpointsOnDisk(root).filter(_ <= upTo).lastOption
     val fromCp: Map[String, String] =
-      cp.flatMap(c => checkpointEntry(root, c).cset).getOrElse(Map.empty)
+      cp.flatMap(c => checkpointJsonEntry(root, c).cset).getOrElse(Map.empty)
     versionsOnDisk(root)
       .filter(v => v <= upTo && cp.forall(v > _))
       .foldLeft(fromCp) { (acc, v) =>
@@ -2881,16 +3132,253 @@ object TxLog {
       newFields.foreach(f =>
         require(!cur.fieldNames.contains(f.name),
           s"column '${f.name}' already exists on $root"))
+      val mapped = mappingMode(cur)
       org.apache.spark.sql.types.StructType(
-        asNullable(cur).fields ++ newFields.map(_.copy(nullable = true)))
+        asNullable(cur).fields ++ newFields.map { f =>
+          val g = f.copy(nullable = true)
+          // mapping mode: a FRESH physical name, so re-adding a
+          // dropped column's logical name can never resurrect its
+          // stored bytes
+          if (!mapped) g
+          else g.copy(metadata = new org.apache.spark.sql.types
+            .MetadataBuilder().withMetadata(g.metadata)
+            .putString(PhysicalNameKey, freshPhysicalName()).build())
+        })
     }
-    def frag(): String = {
-      val b64 = java.util.Base64.getEncoder.encodeToString(
-        widened().json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      s""""schema":"$b64""""
-    }
-    commitMetadata(root, frag, "set-schema")
+    commitMetadata(root, () => schemaFrag(widened()), "set-schema")
   }
+
+  private def schemaFrag(st: org.apache.spark.sql.types.StructType)
+      : String = {
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      st.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    s""""schema":"$b64""""
+  }
+
+  // ------------- column mapping (RENAME / DROP COLUMN) -------------
+  //
+  // The Delta column-mapping idea scaled to this log: every field MAY
+  // carry an explicit PHYSICAL parquet name in its StructField
+  // metadata (`graft.physical`); absent means physical == logical.
+  // Data files always store physical names — immutable once written —
+  // so RENAME and DROP are single data-free set-schema commits:
+  // RENAME changes the logical name and keeps the physical; DROP
+  // removes the field (its stored column becomes invisible); a later
+  // re-ADD of the same logical name binds a FRESH generated physical
+  // name, so it can never resurrect the dropped column's bytes.
+  // Readers map physical -> logical on every path ([[toLogicalDf]] /
+  // the connector's requiredSchema translation); writers map logical
+  // -> physical at the staging choke points ([[stagePrep]]). The
+  // first RENAME/DROP stamps EVERY field with its explicit physical
+  // name — mapping mode is one-way, which is what makes "was this
+  // name ever dropped?" decidable without tombstones. Time travel is
+  // untouched: the schema (and therefore the mapping) at any version
+  // is that version's recorded action.
+  //
+  // Scope guards, all loud: partition columns cannot be renamed or
+  // dropped (their values are directory-encoded under the physical
+  // name); columns referenced by CHECK constraints cannot be renamed
+  // or dropped (the expression would silently stop resolving); under
+  // mapping mode a WRITE may not introduce new columns implicitly —
+  // ALTER TABLE ADD COLUMN first (the write-side evolution shortcut
+  // cannot know whether the new name collides with a dropped
+  // column's stored bytes).
+
+  /** Field-metadata key carrying a column's physical parquet name. */
+  private[graft] val PhysicalNameKey = "graft.physical"
+
+  private[graft] def physicalNameOf(
+      f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalNameKey))
+      f.metadata.getString(PhysicalNameKey)
+    else f.name
+
+  /** logical -> physical, only where they differ (empty = mapping is
+    * the identity and every mapped path short-circuits away).
+    */
+  private[graft] def columnMapping(
+      st: org.apache.spark.sql.types.StructType): Map[String, String] =
+    st.fields.iterator.map(f => f.name -> physicalNameOf(f))
+      .filter(p => p._1 != p._2).toMap
+
+  private[graft] def columnMappingAt(root: String,
+                                     version: Option[Long] = None)
+      : Map[String, String] =
+    tableSchema(root, version).map(columnMapping).getOrElse(Map.empty)
+
+  /** Mapping mode: any field carries an explicit physical name. */
+  private def mappingMode(
+      st: org.apache.spark.sql.types.StructType): Boolean =
+    st.fields.exists(_.metadata.contains(PhysicalNameKey))
+
+  private def freshPhysicalName(): String =
+    "gc_" + UUID.randomUUID().toString.replace("-", "").take(16)
+
+  /** Every field stamped with its explicit physical name — the
+    * one-way switch into mapping mode.
+    */
+  private def stampPhysical(st: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(st.fields.map { f =>
+      if (f.metadata.contains(PhysicalNameKey)) f
+      else f.copy(metadata = new org.apache.spark.sql.types
+        .MetadataBuilder().withMetadata(f.metadata)
+        .putString(PhysicalNameKey, f.name).build())
+    })
+
+  /** The physical stats/skipping-index key for a logical column. */
+  private def physicalOf(root: String, c: String,
+                         version: Option[Long] = None): String =
+    columnMappingAt(root, version).getOrElse(c, c)
+
+  private def requireNotConstrained(root: String, colName: String,
+                                    verb: String): Unit = {
+    val refs = constraints(root).filter { case (_, ex) =>
+      ("\\b" + java.util.regex.Pattern.quote(colName) + "\\b").r
+        .findFirstIn(ex).nonEmpty
+    }
+    require(refs.isEmpty,
+      s"cannot $verb column '$colName' of $root: CHECK constraint(s) " +
+        s"${refs.keys.toSeq.sorted.mkString(", ")} reference it; drop " +
+        "them first")
+  }
+
+  private def recordedSchemaOrRefuse(root: String, verb: String)
+      : org.apache.spark.sql.types.StructType =
+    tableSchema(root).getOrElse(throw new IllegalStateException(
+      s"$root has no log-recorded schema action; $verb requires one " +
+        "(any append/overwrite with this library version records it)"))
+
+  /** ALTER TABLE ... RENAME COLUMN as ONE data-free metadata commit:
+    * the logical name changes, the physical parquet name stays — no
+    * data pass at any scale. Recomputed per attempt on a lost
+    * version race.
+    */
+  def renameColumn(spark: SparkSession, root: String, from: String,
+                   to: String): Long = {
+    require(safeColName(to), s"unsafe new column name: $to")
+    def renamed(): org.apache.spark.sql.types.StructType = {
+      val cur = recordedSchemaOrRefuse(root, "RENAME COLUMN")
+      require(cur.fieldNames.contains(from),
+        s"no column '$from' on $root")
+      require(!cur.fieldNames.contains(to),
+        s"column '$to' already exists on $root")
+      require(!partitionColumns(root).contains(from),
+        s"cannot rename partition column '$from': its values are " +
+          "directory-encoded under the physical name")
+      requireNotConstrained(root, from, "rename")
+      val stamped = stampPhysical(asNullable(cur))
+      // the new logical name must not shadow a LIVE physical name:
+      // reads map physical -> logical, and a collision would make
+      // that ambiguous
+      require(!stamped.fields.exists(f => physicalNameOf(f) == to),
+        s"cannot rename '$from' to '$to': '$to' is a live physical " +
+          "column name in the data files")
+      org.apache.spark.sql.types.StructType(stamped.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+    }
+    commitMetadata(root, () => schemaFrag(renamed()), "set-schema")
+  }
+
+  /** ALTER TABLE ... DROP COLUMN as ONE data-free metadata commit:
+    * the field leaves the schema; its stored bytes stay in the files,
+    * invisible (reads never request the physical column) until
+    * rewrites purge them. Recomputed per attempt on a lost race.
+    */
+  def dropColumns(spark: SparkSession, root: String,
+                  names: Seq[String]): Long = {
+    require(names.nonEmpty, "dropColumns: no columns to drop")
+    require(names.distinct.size == names.size,
+      s"duplicate column names in $names")
+    def dropped(): org.apache.spark.sql.types.StructType = {
+      val cur = recordedSchemaOrRefuse(root, "DROP COLUMN")
+      names.foreach { n =>
+        require(cur.fieldNames.contains(n), s"no column '$n' on $root")
+        require(!partitionColumns(root).contains(n),
+          s"cannot drop partition column '$n': the table's layout is " +
+            "keyed on it")
+        requireNotConstrained(root, n, "drop")
+      }
+      val rem = stampPhysical(asNullable(cur)).fields
+        .filterNot(f => names.contains(f.name))
+      require(rem.nonEmpty, s"cannot drop every column of $root")
+      org.apache.spark.sql.types.StructType(rem)
+    }
+    commitMetadata(root, () => schemaFrag(dropped()), "set-schema")
+  }
+
+  /** The staging choke point's mapping step: under mapping mode,
+    * logical columns rename to their physical names and UNKNOWN
+    * columns refuse loudly (write-side evolution cannot know whether
+    * a new name collides with a dropped column's stored bytes — ALTER
+    * TABLE ADD COLUMN assigns a fresh physical name instead). The
+    * identity on every unmapped table.
+    */
+  private def stagePrep(root: String, df: DataFrame): DataFrame =
+    tableSchema(root) match {
+      case Some(s) if mappingMode(s) =>
+        val unknown = df.columns.filterNot(s.fieldNames.contains)
+        require(unknown.isEmpty,
+          s"cannot write new column(s) ${unknown.mkString(", ")} to " +
+            s"$root: the table uses column mapping (a RENAME/DROP " +
+            "COLUMN happened) — ALTER TABLE ADD COLUMN first")
+        toPhysicalDf(df, s)
+      case _ => df
+    }
+
+  /** Rename `df`'s logical columns to their physical names (the
+    * staging direction).
+    */
+  private def toPhysicalDf(df: DataFrame,
+      st: org.apache.spark.sql.types.StructType): DataFrame = {
+    val m = columnMapping(st)
+    if (m.isEmpty) df
+    else df.select(df.columns.toIndexedSeq.map(c =>
+      m.get(c).map(p => col(c).as(p)).getOrElse(col(c))): _*)
+  }
+
+  /** Rename physical columns back to logical (the read direction) —
+    * applied right after a raw file read (+ DV mask). Helper columns
+    * (`__`-prefixed — mask keys, paths) pass through; anything else
+    * that is not a CURRENT physical name is a dropped or renamed-away
+    * column's stored bytes and is projected off (it must never shadow
+    * a live logical name). The identity on every unmapped table.
+    */
+  private[graft] def toLogicalDf(df: DataFrame,
+      st: org.apache.spark.sql.types.StructType): DataFrame = {
+    val m = columnMapping(st)
+    if (m.isEmpty) return df
+    val phys2log = st.fields.iterator
+      .map(f => physicalNameOf(f) -> f.name).toMap
+    df.select(df.columns.toIndexedSeq.flatMap { c =>
+      phys2log.get(c) match {
+        case Some(l) if l == c => Some(col(c))
+        case Some(l) => Some(col(c).as(l))
+        case None if c.startsWith("__") => Some(col(c))
+        case None => None // dead physical (dropped / renamed away)
+      }
+    }: _*)
+  }
+
+  /** [[toLogicalDf]] against the schema at `version` — the shape the
+    * raw-read call sites use; the identity when no schema is
+    * recorded.
+    */
+  private def toLogicalAt(root: String, df: DataFrame,
+                          version: Option[Long]): DataFrame =
+    tableSchema(root, version).map(toLogicalDf(df, _)).getOrElse(df)
+
+  /** Project EXACTLY the logical schema (mapping-aware null-fill) —
+    * what user-facing snapshot reads present under mapping mode, so
+    * dropped columns' bytes can never resurface.
+    */
+  private def projectLogical(df: DataFrame,
+      st: org.apache.spark.sql.types.StructType): DataFrame =
+    df.select(st.fields.toIndexedSeq.map { f =>
+      val p = physicalNameOf(f)
+      if (df.columns.contains(p)) col(p).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
 
   /** Publish a data-free metadata commit, retrying version races like
     * [[append]] does.
@@ -2942,7 +3430,7 @@ object TxLog {
       if (versionsOnDisk(root).nonEmpty && resolve(root).files.nonEmpty)
         snapshotImpl(spark, root, None, guard = false).schema.fields.toSeq
       else Seq.empty
-    val df = alignToSchema(staged, tableCols)
+    val df = alignToSchema(toLogicalAt(root, staged, None), tableCols)
     def reject(name: String, ex: String, why: String): Nothing = {
       adds.foreach(f => io(root).deleteIfExists(s"$root/$f"))
       throw new IllegalArgumentException(
@@ -3087,9 +3575,13 @@ object TxLog {
         idx.sizes.filter(kv => live(kv._1)))
       val pcs = partitionColumns(root, Some(v))
       val pcsJ = if (pcs.isEmpty) "" else s""","partCols":${arr(pcs)}"""
+      // live-set totals: the pruned planner's sizeInBytes from the
+      // JSON half alone — no sidecar scan per planned query
+      val totJ = s""","tfiles":${files.size},"tbytes":""" +
+        s"${idx.sizes.filter(kv => live(kv._1)).values.sum}"
       try io(root).putIfAbsent(cpPath,
         s"""{"v":$v,"cpq":1,"adds":[],"removes":[],""" +
-          s""""cset":$cset$dvsJson$bidsJson$schemaJson$pcsJ}""")
+          s""""cset":$cset$dvsJson$bidsJson$schemaJson$pcsJ$totJ}""")
       catch {
         // checkpoint content at a version is deterministic: a racing
         // writer already published the same thing — the loser is a
@@ -3218,62 +3710,167 @@ object TxLog {
     } finally writer.close()
   }
 
-  private[graft] def readCheckpointSidecar(root: String, v: Long): SidecarData = {
+  /** One sidecar row decoded — a single live file's planning state.
+    * The unit of the PRUNED planning path: a selective query over a
+    * million-file table materializes only the FileEntries its
+    * predicate admits ([[scanCheckpointSidecar]]); everything else is
+    * decoded transiently and dropped, never resident on the driver.
+    */
+  private[graft] final case class FileEntry(
+      path: String,
+      rows: Option[Long],
+      bytes: Option[Long],
+      int: Map[String, (Long, Long)],
+      str: Map[String, (String, String)],
+      nulls: Map[String, Long],
+      parts: Map[String, String])
+
+  /** Observability seam for the pruned planning path: how many
+    * sidecar rows the last scans decoded vs how many survived the
+    * predicate to be MATERIALIZED on the driver — the counting spec's
+    * evidence that a selective plan holds the matching fraction, not
+    * the table.
+    */
+  private[graft] object SidecarScanStats {
+    val rowsScanned = new java.util.concurrent.atomic.AtomicLong
+    val entriesRetained = new java.util.concurrent.atomic.AtomicLong
+    def reset(): Unit = { rowsScanned.set(0L); entriesRetained.set(0L) }
+  }
+
+  private def decodeSidecarRow(
+      g: org.apache.parquet.example.data.Group): FileEntry = {
+    val path = g.getString("path", 0)
+    // an old-format sidecar (no bytes column) reads as absent —
+    // planning falls back to a storage listing for those files
+    val bytes =
+      if (g.getType.containsField("bytes") &&
+          g.getFieldRepetitionCount("bytes") > 0)
+        Some(g.getLong("bytes", 0))
+      else None
+    val rows =
+      if (g.getFieldRepetitionCount("rows") > 0)
+        Some(g.getLong("rows", 0))
+      else None
+    val ints = Map.newBuilder[String, (Long, Long)]
+    val strs = Map.newBuilder[String, (String, String)]
+    val colNulls = Map.newBuilder[String, Long]
+    val partVals = Map.newBuilder[String, String]
+    (0 until g.getFieldRepetitionCount("cols")).foreach { i =>
+      val cg = g.getGroup("cols", i)
+      val name = cg.getString("name", 0)
+      if (cg.getFieldRepetitionCount("imin") > 0)
+        ints += name -> (cg.getLong("imin", 0), cg.getLong("imax", 0))
+      if (cg.getFieldRepetitionCount("smin") > 0)
+        strs += name -> (cg.getString("smin", 0),
+          cg.getString("smax", 0))
+      if (cg.getFieldRepetitionCount("nulls") > 0)
+        colNulls += name -> cg.getLong("nulls", 0)
+      if (cg.getFieldRepetitionCount("part") > 0)
+        partVals += name -> cg.getString("part", 0)
+    }
+    FileEntry(path, rows, bytes, ints.result(), strs.result(),
+      colNulls.result(), partVals.result())
+  }
+
+  /** STREAM the sidecar, materializing only the rows `keep` admits —
+    * the Delta move for million-file tables: the query's own
+    * partition/stats predicate pushes into the checkpoint read, so
+    * planning a selective query holds the matching fraction of file
+    * entries on the driver instead of parsing the whole sidecar into
+    * one LogEntry (whose EntryCache weight bound could only convert
+    * the resulting heap pressure into re-parse thrash). Row decode is
+    * transient; non-matching entries are garbage immediately.
+    */
+  private[graft] def scanCheckpointSidecar(root: String, v: Long)(
+      keep: FileEntry => Boolean): Seq[FileEntry] = {
     val conf = new org.apache.hadoop.conf.Configuration()
     val reader = org.apache.parquet.hadoop.ParquetReader
       .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
         new org.apache.hadoop.fs.Path(checkpointSidecarPath(root, v)))
       .withConf(conf).build()
+    val out = Seq.newBuilder[FileEntry]
+    try {
+      var g = reader.read()
+      while (g != null) {
+        val fe = decodeSidecarRow(g)
+        SidecarScanStats.rowsScanned.incrementAndGet()
+        if (keep(fe)) {
+          SidecarScanStats.entriesRetained.incrementAndGet()
+          out += fe
+        }
+        g = reader.read()
+      }
+    } finally reader.close()
+    out.result()
+  }
+
+  /** Sidecar row count from the parquet FOOTER alone — the KB-scale
+    * read the pruned-vs-full planning decision keys on; cached per
+    * (path, size, mtime) like parsed entries.
+    */
+  private val sidecarRowCache =
+    new java.util.concurrent.ConcurrentHashMap[EntryKey, java.lang.Long]
+
+  private[graft] def sidecarRowCount(root: String, v: Long): Long = {
+    val p = checkpointSidecarPath(root, v)
+    val key = entryKey(root, p)
+    Option(sidecarRowCache.get(key)).map(_.longValue()).getOrElse {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val n = try r.getRecordCount finally r.close()
+      sidecarRowCache.put(key, n)
+      n
+    }
+  }
+
+  /** Total recorded bytes of the checkpoint's live set: from the JSON
+    * half's `tbytes` when recorded (new checkpoints), else ONE cached
+    * sidecar sweep (older checkpoints) — never a per-query scan.
+    */
+  private val sidecarByteCache =
+    new java.util.concurrent.ConcurrentHashMap[EntryKey, java.lang.Long]
+
+  private[graft] def sidecarTotalBytes(root: String, v: Long): Long =
+    checkpointJsonEntry(root, v).tbytes.getOrElse {
+      val key = entryKey(root, checkpointSidecarPath(root, v))
+      Option(sidecarByteCache.get(key)).map(_.longValue()).getOrElse {
+        var sum = 0L
+        scanCheckpointSidecar(root, v) { fe =>
+          sum += fe.bytes.getOrElse(0L); false
+        }
+        sidecarByteCache.put(key, sum)
+        sum
+      }
+    }
+
+  private[graft] def readCheckpointSidecar(root: String, v: Long): SidecarData = {
     val adds = Seq.newBuilder[String]
     val int = Map.newBuilder[String, Map[String, (Long, Long)]]
     val str = Map.newBuilder[String, Map[String, (String, String)]]
     val nstats = Map.newBuilder[String, (Long, Map[String, Long])]
     val parts = Map.newBuilder[String, Map[String, String]]
     val sizes = Map.newBuilder[String, Long]
-    try {
-      var g = reader.read()
-      while (g != null) {
-        val path = g.getString("path", 0)
-        adds += path
-        // an old-format sidecar (no bytes column) reads as absent —
-        // planning falls back to a storage listing for those files
-        if (g.getType.containsField("bytes") &&
-            g.getFieldRepetitionCount("bytes") > 0)
-          sizes += path -> g.getLong("bytes", 0)
-        val rows =
-          if (g.getFieldRepetitionCount("rows") > 0)
-            Some(g.getLong("rows", 0))
-          else None
-        val ints = Map.newBuilder[String, (Long, Long)]
-        val strs = Map.newBuilder[String, (String, String)]
-        val colNulls = Map.newBuilder[String, Long]
-        val partVals = Map.newBuilder[String, String]
-        (0 until g.getFieldRepetitionCount("cols")).foreach { i =>
-          val cg = g.getGroup("cols", i)
-          val name = cg.getString("name", 0)
-          if (cg.getFieldRepetitionCount("imin") > 0)
-            ints += name -> (cg.getLong("imin", 0), cg.getLong("imax", 0))
-          if (cg.getFieldRepetitionCount("smin") > 0)
-            strs += name -> (cg.getString("smin", 0),
-              cg.getString("smax", 0))
-          if (cg.getFieldRepetitionCount("nulls") > 0)
-            colNulls += name -> cg.getLong("nulls", 0)
-          if (cg.getFieldRepetitionCount("part") > 0)
-            partVals += name -> cg.getString("part", 0)
-        }
-        val (i, s, cn, pv) =
-          (ints.result(), strs.result(), colNulls.result(),
-            partVals.result())
-        if (i.nonEmpty) int += path -> i
-        if (s.nonEmpty) str += path -> s
-        rows.foreach(r => nstats += path -> (r, cn))
-        if (pv.nonEmpty) parts += path -> pv
-        g = reader.read()
-      }
-    } finally reader.close()
+    scanCheckpointSidecar(root, v)(_ => true).foreach { fe =>
+      adds += fe.path
+      fe.bytes.foreach(b => sizes += fe.path -> b)
+      if (fe.int.nonEmpty) int += fe.path -> fe.int
+      if (fe.str.nonEmpty) str += fe.path -> fe.str
+      fe.rows.foreach(r => nstats += fe.path -> (r, fe.nulls))
+      if (fe.parts.nonEmpty) parts += fe.path -> fe.parts
+    }
     SidecarData(adds.result(), int.result(), str.result(),
       nstats.result(), parts.result(), sizes.result())
   }
+
+  /** Default vacuum retention: versions younger than this are kept
+    * readable regardless of the requested floor (Delta's
+    * retention-hours guard). 7 days — long enough that any running
+    * query or time-travel reader planned against a recent version
+    * finishes before its files can be reclaimed.
+    */
+  val DefaultRetentionMillis: Long = 7L * 24 * 60 * 60 * 1000
 
   /** Physically remove data files unreferenced by every version >=
     * `retainFrom` (and drop the older commit files): the explicit,
@@ -3285,12 +3882,55 @@ object TxLog {
     * gone). Time travel to versions >= `retainFrom` is unaffected;
     * older versions become unreadable BY CHOICE — that is the
     * contract's point.
+    *
+    * RETENTION WINDOW: versions whose commits are younger than
+    * `retentionMillis` are retained even when `retainFrom` asks to
+    * truncate them (the effective floor is lowered and the clamp is
+    * logged) — a reader pinned at a recent version (time travel, a
+    * long-running scan planned minutes ago) can never lose files
+    * mid-read to a concurrent vacuum. `force = true` skips the check
+    * and honors `retainFrom` exactly — the operator's explicit
+    * "I know nothing is reading these versions".
     */
   def vacuum(root: String, retainFrom: Long,
-             stagedGraceMillis: Long = 60L * 60 * 1000): Int = {
+             stagedGraceMillis: Long = 60L * 60 * 1000,
+             retentionMillis: Long = DefaultRetentionMillis,
+             force: Boolean = false): Int = {
     val vs = versionsOnDisk(root)
     require(vs.contains(retainFrom),
       s"retainFrom $retainFrom must be an existing version (have $vs)")
+    val requested = retainFrom
+    val retainEff =
+      if (force) requested
+      else {
+        val cutoff = System.currentTimeMillis() - retentionMillis
+        // the oldest version still inside the retention window; every
+        // version from it on stays readable. Commit mtimes can be
+        // non-monotone (clock skew) — taking the MINIMUM in-window
+        // version errs toward retaining more, never less
+        val protectedFloor = vs.find(v =>
+          io(root).mtime(commitPath(root, v)) >= cutoff)
+        protectedFloor.filter(_ < requested) match {
+          case Some(p) =>
+            org.slf4j.LoggerFactory.getLogger("graft.ops.TxLog").warn(
+              s"vacuum of $root clamped retainFrom $requested -> $p: " +
+                s"versions >= $p are younger than the retention " +
+                s"window (${retentionMillis} ms); pass force = true " +
+                "to truncate them anyway")
+            p
+          case None => requested
+        }
+      }
+    val retainFromV = retainEff
+    vacuumAt(root, retainFromV, stagedGraceMillis)
+  }
+
+  /** The reclamation step itself, at an already-retention-checked
+    * floor — see [[vacuum]].
+    */
+  private def vacuumAt(root: String, retainFrom: Long,
+                       stagedGraceMillis: Long): Int = {
+    val vs = versionsOnDisk(root)
     // checkpoint first (replay base for every retained version)
     checkpoint(root, Some(retainFrom))
     // DV sidecars are referenced state like data files: dropping one

@@ -129,39 +129,58 @@ class GraftCatalog extends CatalogPlugin with TableCatalog
                            properties: java.util.Map[String, String])
       : Table = readOnly
 
-  /** `ALTER TABLE ... ADD COLUMN(S)` — the one DDL shape that maps
-    * onto the commit protocol (a logged schema-widening metadata
-    * action, [[TxLog.addColumns]]); every other ALTER still refuses.
-    * Top-level columns only, each forced nullable: existing rows read
-    * the new column as NULL — the same evolution contract write-side
-    * widening follows.
+  /** The ALTER shapes that map onto the commit protocol — each ONE
+    * data-free metadata commit: ADD COLUMN(S) (logged schema
+    * widening, [[TxLog.addColumns]]), RENAME COLUMN (logical name
+    * changes, physical parquet name stays —
+    * [[TxLog.renameColumn]]), and DROP COLUMN(S)
+    * ([[TxLog.dropColumns]]; the stored bytes become invisible, a
+    * later re-ADD binds a fresh physical name). Every other ALTER
+    * still refuses. Top-level columns only; added columns forced
+    * nullable: existing rows read them as NULL.
     */
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
     val root = rootOf(ident)
-    val adds = changes.map {
-      case a: TableChange.AddColumn =>
-        require(a.fieldNames().length == 1,
-          s"$catalogName: nested ADD COLUMN is not supported " +
-            s"(${a.fieldNames().mkString(".")})")
+    val spark = SparkSession.active
+    def one(names: Array[String], what: String): String = {
+      require(names.length == 1,
+        s"$catalogName: nested $what is not supported " +
+          s"(${names.mkString(".")})")
+      names(0)
+    }
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    val others = changes.filterNot(_.isInstanceOf[TableChange.AddColumn])
+    others.foreach {
+      case r: TableChange.RenameColumn =>
+        TxLog.renameColumn(spark, root,
+          one(r.fieldNames(), "RENAME COLUMN"), r.newName()): Unit
+      case d: TableChange.DeleteColumn =>
+        TxLog.dropColumns(spark, root,
+          Seq(one(d.fieldNames(), "DROP COLUMN"))): Unit
+      case other => throw new UnsupportedOperationException(
+        s"$catalogName supports ALTER TABLE ... ADD/RENAME/DROP " +
+          s"COLUMN only; $other bypasses the commit log and is refused")
+    }
+    if (adds.nonEmpty) {
+      val fields = adds.map { a =>
+        val n = one(a.fieldNames(), "ADD COLUMN")
         // modifiers must refuse LOUDLY, not silently drop: a NOT NULL
         // the log cannot honor (existing rows read the column as
         // NULL) and a FIRST/AFTER position the widened schema does
         // not implement (columns append last)
         require(a.isNullable,
-          s"$catalogName: ADD COLUMN ${a.fieldNames()(0)} NOT NULL is " +
+          s"$catalogName: ADD COLUMN $n NOT NULL is " +
             "not supported — existing rows read an added column as " +
             "NULL, which would violate the constraint from birth")
         require(a.position() == null,
           s"$catalogName: ADD COLUMN ... FIRST/AFTER is not " +
             "supported — added columns append at the end")
         org.apache.spark.sql.types.StructField(
-          a.fieldNames()(0), a.dataType(), nullable = true)
-      case other => throw new UnsupportedOperationException(
-        s"$catalogName supports ALTER TABLE ... ADD COLUMN only; " +
-          s"$other bypasses the commit log and is refused")
+          n, a.dataType(), nullable = true)
+      }
+      TxLog.addColumns(spark, root, fields.toSeq): Unit
     }
-    TxLog.addColumns(SparkSession.active, root, adds): Unit
     new GraftSqlTable(root, None)
   }
   override def dropTable(ident: Identifier): Boolean = readOnly

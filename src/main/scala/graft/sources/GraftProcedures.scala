@@ -104,15 +104,38 @@ private[sources] object GraftProcedures {
     new Proc("vacuum",
       "reclaim files unreferenced from retain_from on and truncate " +
         "older history (explicit retention floor — versions below it " +
-        "become unreadable BY CHOICE)",
+        "become unreadable BY CHOICE); versions younger than the " +
+        "retention window are kept regardless unless force => true",
       Table,
       ProcedureParameter.in("retain_from", LongType)
-        .comment("oldest version that must stay readable").build()) {
+        .comment("oldest version that must stay readable").build(),
+      ProcedureParameter.in("retention_millis", LongType)
+        .defaultValue(TxLog.DefaultRetentionMillis.toString)
+        .comment("minimum commit age before a version may be " +
+          "truncated (default 7 days)").build(),
+      ProcedureParameter.in("force", BooleanType).defaultValue("false")
+        .comment("skip the retention check and honor retain_from " +
+          "exactly").build()) {
       override def output: StructType = StructType(Seq(
         StructField("removed_files", IntegerType, nullable = false)))
       override def run(s: SparkSession, in: InternalRow): InternalRow =
         new GenericInternalRow(
-          Array[Any](TxLog.vacuum(table(in), in.getLong(1))))
+          Array[Any](TxLog.vacuum(table(in), in.getLong(1),
+            retentionMillis = in.getLong(2), force = in.getBoolean(3))))
+    },
+
+    new Proc("cache_stats",
+      "parsed-entry cache health since process start: a rising " +
+        "eviction count means hot checkpoint metadata exceeds the " +
+        "cache weight bound and planning is re-parsing it") {
+      override def output: StructType = StructType(Seq(
+        StructField("hits", LongType, nullable = false),
+        StructField("misses", LongType, nullable = false),
+        StructField("evictions", LongType, nullable = false)))
+      override def run(s: SparkSession, in: InternalRow): InternalRow = {
+        val (h, m, e) = TxLog.entryCacheStats
+        new GenericInternalRow(Array[Any](h, m, e))
+      }
     },
 
     new Proc("compact",

@@ -40,10 +40,19 @@ import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
   */
 object MaskedTableSplit extends SparkStrategy {
 
+  // the install is a read-modify-write of the session's
+  // extraStrategies list — two threads building masked relations
+  // concurrently must serialize it or one could double-install this
+  // strategy / drop a strategy the other just added. The session's
+  // own experimental-methods object is the natural per-session lock
+  // (a user mutating extraStrategies directly without it remains
+  // outside this guard, as with any unsynchronized Spark session use)
   def ensureInstalled(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (!spark.experimental.extraStrategies.contains(this))
-      spark.experimental.extraStrategies =
-        this +: spark.experimental.extraStrategies
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies.contains(this))
+        spark.experimental.extraStrategies =
+          this +: spark.experimental.extraStrategies
+    }
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case PhysicalOperation(projects, filters,
@@ -57,9 +66,16 @@ object MaskedTableSplit extends SparkStrategy {
         idx.liveFiles.partition(f => masked(nameOf(f)))
       val spark = idx.session
       // unmasked half: the STOCK parquet format — batch decode, batch
-      // output, no mask machinery at all
+      // output, no mask machinery at all. A column-mapped table keeps
+      // a mask-free graft format instead: physical-name translation
+      // must ride along, and with no mask it still supports batch
+      val cleanFmt: ParquetFileFormat =
+        if (fmt.colMapping.isEmpty) new ParquetFileFormat()
+        else new GraftParquetFileFormat(
+          spark.sparkContext.broadcast(Map.empty[String, Array[Long]]),
+          fmt.colMapping)
       val cleanRel = fsRel.copy(location = idx.restrictTo(cFiles),
-        fileFormat = new ParquetFileFormat())(spark)
+        fileFormat = cleanFmt)(spark)
       val cleanChild = Project(projects,
         withFilters(filters,
           LogicalRelation(cleanRel, lr.output, lr.catalogTable,

@@ -44,6 +44,18 @@ import graft.ops.TxLog
   * `timestampAsOf` (epoch millis) resolves through
   * [[TxLog.versionAt]]'s monotonized commit-mtime lookup; at most one
   * of the two may be set.
+  *
+  * LISTING-FREE PLANNING CAVEATS (the deliberate Delta-style
+  * trade-offs): when every live file's size is log-recorded, planning
+  * performs ZERO storage round trips — consequently
+  * `_metadata.file_modification_time` reports the ADDING commit's
+  * publish time (checkpoint-carried files: the checkpoint's), an
+  * approximation within a checkpoint interval of the real write time,
+  * NOT a storage stat; and a file reclaimed by a concurrent
+  * `TxLog.vacuum` fails loudly mid-READ instead of at plan time
+  * (inside the vacuum retention window this is unreachable — see
+  * [[TxLog.vacuum]]). Consumers needing true storage mtimes should
+  * stat the paths in `inputFiles` themselves.
   */
 private[sources] object GraftTableRelationBuilder {
   import GraftTableSource.opt
@@ -58,32 +70,60 @@ private[sources] object GraftTableRelationBuilder {
       "graft-table: set at most one of versionAsOf / timestampAsOf")
     val version = versionAsOf
       .orElse(timestampAsOf.map(TxLog.versionAt(root, _)))
-    val snap = TxLog.resolve(root, version)
-    val paths = snap.files.map(f => s"$root/$f")
-    // the table schema from the LOG's recorded schema action — one
-    // metadata read, no footer sweep of the live set (the 100 TB
-    // planning cost this action exists to remove). Tables whose
-    // commits predate schema recording fall back to the footer-merged
-    // schema; either way evolution reads missing columns as null. An
-    // EMPTY live set (everything deleted / overwritten away) is a
-    // legitimate head — it reads as zero rows — but only the log can
-    // name its schema: with no files there is no footer to fall back to
-    val schema = TxLog.tableSchema(root, Some(snap.version)).getOrElse {
-      require(snap.files.nonEmpty,
-        s"version ${snap.version} of $root has no live files and no " +
-          "log-recorded schema to shape an empty relation")
-      spark.read.option("mergeSchema", "true").parquet(paths: _*).schema
+    // PRUNED planning for million-file tables: when the version bases
+    // on a columnar checkpoint whose sidecar crosses the threshold,
+    // the live set is never materialized on the driver — listFiles
+    // streams the sidecar and retains only the files the query's own
+    // predicate admits ([[GraftPrunedFileIndex]]). Requires the log-
+    // recorded schema (every table past its first checkpoint since
+    // schema recording has one); anything else takes the eager path.
+    val threshold = spark.conf
+      .getOption("spark.graft.plan.pruneFileThreshold")
+      .map(_.toLong).getOrElse(100000L)
+    TxLog.prunedPlanInfo(root, version, threshold) match {
+      case Some(pi) if TxLog.tableSchema(root, Some(pi.version)).isDefined =>
+        val schema = TxLog.tableSchema(root, Some(pi.version)).get
+        relationOver(spark, root,
+          new GraftPrunedFileIndex(spark, root, pi), schema, pi.dvFiles)
+      case _ =>
+        val snap = TxLog.resolve(root, version)
+        val paths = snap.files.map(f => s"$root/$f")
+        // the table schema from the LOG's recorded schema action — one
+        // metadata read, no footer sweep of the live set (the 100 TB
+        // planning cost this action exists to remove). Tables whose
+        // commits predate schema recording fall back to the footer-
+        // merged schema; either way evolution reads missing columns as
+        // null. An EMPTY live set (everything deleted / overwritten
+        // away) is a legitimate head — it reads as zero rows — but only
+        // the log can name its schema: with no files there is no
+        // footer to fall back to
+        val schema = TxLog.tableSchema(root, Some(snap.version)).getOrElse {
+          require(snap.files.nonEmpty,
+            s"version ${snap.version} of $root has no live files and no " +
+              "log-recorded schema to shape an empty relation")
+          spark.read.option("mergeSchema", "true").parquet(paths: _*).schema
+        }
+        relationOver(spark, root, new GraftFileIndex(spark, root, snap),
+          schema, snap.dvFiles)
     }
-    val index = new GraftFileIndex(spark, root, snap)
+  }
+
+  /** The shared relation tail: DV-mask broadcast + HadoopFsRelation
+    * over either file index.
+    */
+  private def relationOver(spark: SparkSession, root: String,
+                           index: FileIndex,
+                           schema: StructType,
+                           dvFiles: Seq[String]): BaseRelation = {
     // the active masks as (file name -> sorted row positions), KB-
     // scale by the purge/compaction contract (see TxLog.applyDvMask);
     // shipped to readers as an explicit BROADCAST — one copy per
     // executor via the torrent protocol, instead of riding every
     // task's serialized reader closure
-    TxLog.dvGuard(spark, root, snap.dvFiles)
+    TxLog.dvGuard(spark, root, dvFiles)
     val mask: Map[String, Array[Long]] =
-      if (snap.dvFiles.isEmpty) Map.empty
-      else spark.read.parquet(snap.dvFiles.map(f => s"$root/$f"): _*)
+      if (dvFiles.isEmpty) Map.empty
+      else spark.read.parquet(dvFiles.map(f => s"$root/$f"): _*)
         .select("file", "pos").distinct().collect()
         .groupBy(_.getString(0))
         .map { case (f, rows) => f -> rows.map(_.getLong(1)).sorted }
@@ -97,7 +137,8 @@ private[sources] object GraftTableRelationBuilder {
       partitionSchema = StructType(Nil),
       dataSchema = schema,
       bucketSpec = None,
-      fileFormat = new GraftParquetFileFormat(maskBc),
+      fileFormat = new GraftParquetFileFormat(maskBc,
+        TxLog.columnMapping(schema)),
       options = Map("mergeSchema" -> "true"))(spark)
   }
 }
@@ -130,6 +171,12 @@ class GraftFileIndex(spark: SparkSession, root: String,
   // at the snapshot's own version — O(checkpoint interval) metadata
   // reads, the same cost resolve pays, however long the log has lived
   private val idx = TxLog.skippingIndex(root, Some(snap.version))
+
+  // logical -> physical: stats/partition values are keyed by the
+  // PHYSICAL column names files store; query filters carry logical
+  // names (empty map = identity on every unmapped table)
+  private val colMap = TxLog.columnMappingAt(root, Some(snap.version))
+  private def phys(c: String): String = colMap.getOrElse(c, c)
   private val intStats = idx.int
   private val strStats = idx.str
   private val nullStats = idx.nulls
@@ -196,15 +243,42 @@ class GraftFileIndex(spark: SparkSession, root: String,
                          dataFilters: Seq[Expression])
       : Seq[PartitionDirectory] = {
     val kept = statuses.filter { case (f, _) =>
-      dataFilters.forall(mayMatch(f, _))
+      dataFilters.forall(StatsPrune.mayMatch(view(f), _))
     }
     Seq(PartitionDirectory(InternalRow.empty, kept.map(_._2).toArray))
   }
 
-  /** Could `file` hold a row satisfying `filter`? Unknown shapes and
-    * stat-less columns answer true (read it).
-    */
-  private def mayMatch(file: String, filter: Expression): Boolean = {
+  private def view(file: String): StatsPrune.View = new StatsPrune.View {
+    def intRange(c: String): Option[(Long, Long)] =
+      intStats.get(file).flatMap(_.get(phys(c)))
+    def strRange(c: String): Option[(String, String)] =
+      strStats.get(file).flatMap(_.get(phys(c)))
+        .orElse(partVals.get(file).flatMap(_.get(phys(c)))
+          .map(v => (v, v)))
+    def nulls(c: String): Option[(Long, Long)] =
+      nullStats.get(file).flatMap { case (rows, m) =>
+        m.get(phys(c)).map(n => (rows, n))
+      }
+  }
+}
+
+/** The skipping predicate shared by both file indexes: could a file
+  * with the given recorded stats hold a row satisfying `filter`?
+  * Unknown shapes and stat-less columns answer true (read it) —
+  * pruning is an optimization, never the filter.
+  */
+private[sources] object StatsPrune {
+
+  /** One file's recorded planning stats, however they are stored. */
+  trait View {
+    def intRange(c: String): Option[(Long, Long)]
+    /** String [min,max]; partition values count as point ranges. */
+    def strRange(c: String): Option[(String, String)]
+    /** (row count, null count) when both are recorded. */
+    def nulls(c: String): Option[(Long, Long)]
+  }
+
+  def mayMatch(v: View, filter: Expression): Boolean = {
     def attrOf(e: Expression): Option[String] = e match {
       case a: AttributeReference => Some(a.name)
       // a cast that only widens preserves order against the recorded
@@ -212,24 +286,15 @@ class GraftFileIndex(spark: SparkSession, root: String,
       case Cast(a: AttributeReference, LongType, _, _) => Some(a.name)
       case _ => None
     }
-    def intRange(c: String): Option[(Long, Long)] =
-      intStats.get(file).flatMap(_.get(c))
-    def strRange(c: String): Option[(String, String)] =
-      strStats.get(file).flatMap(_.get(c))
-        .orElse(partVals.get(file).flatMap(_.get(c)).map(v => (v, v)))
-    def nulls(c: String): Option[(Long, Long)] =
-      nullStats.get(file).flatMap { case (rows, m) =>
-        m.get(c).map(n => (rows, n))
-      }
     def litLong(l: Literal): Option[Long] = l.value match {
       case null => None
-      case v: java.lang.Long => Some(v)
-      case v: java.lang.Integer => Some(v.toLong)
-      case v: java.lang.Short => Some(v.toLong)
+      case x: java.lang.Long => Some(x)
+      case x: java.lang.Integer => Some(x.toLong)
+      case x: java.lang.Short => Some(x.toLong)
       case _ => None
     }
     def litStr(l: Literal): Option[String] = l.value match {
-      case v: UTF8String => Some(v.toString)
+      case x: UTF8String => Some(x.toString)
       case _ => None
     }
     // can a value cmp v hold for some value in the recorded range?
@@ -238,48 +303,46 @@ class GraftFileIndex(spark: SparkSession, root: String,
             strOk: ((String, String), String) => Boolean): Boolean =
       attrOf(attr).forall { c =>
         val byInt = litLong(lit)
-          .forall(v => intRange(c).forall(r => intOk(r, v)))
+          .forall(x => v.intRange(c).forall(r => intOk(r, x)))
         val byStr = litStr(lit)
-          .forall(v => strRange(c).forall(r => strOk(r, v)))
+          .forall(x => v.strRange(c).forall(r => strOk(r, x)))
         byInt && byStr
       }
-    filter match {
-      case And(l, r) => mayMatch(file, l) && mayMatch(file, r)
-      case Or(l, r) => mayMatch(file, l) || mayMatch(file, r)
+    def rec(filter: Expression): Boolean = filter match {
+      case And(l, r) => rec(l) && rec(r)
+      case Or(l, r) => rec(l) || rec(r)
       case EqualTo(a, l: Literal) =>
-        cmp(a, l, { case ((mn, mx), v) => v >= mn && v <= mx },
-          { case ((mn, mx), v) => v >= mn && v <= mx })
-      case EqualTo(l: Literal, a) => mayMatch(file, EqualTo(a, l))
-      case EqualNullSafe(a, l: Literal) =>
-        mayMatch(file, EqualTo(a, l))
-      case EqualNullSafe(l: Literal, a) => mayMatch(file, EqualTo(a, l))
+        cmp(a, l, { case ((mn, mx), x) => x >= mn && x <= mx },
+          { case ((mn, mx), x) => x >= mn && x <= mx })
+      case EqualTo(l: Literal, a) => rec(EqualTo(a, l))
+      case EqualNullSafe(a, l: Literal) => rec(EqualTo(a, l))
+      case EqualNullSafe(l: Literal, a) => rec(EqualTo(a, l))
       case GreaterThan(a, l: Literal) =>
-        cmp(a, l, { case ((_, mx), v) => mx > v },
-          { case ((_, mx), v) => mx > v })
-      case GreaterThan(l: Literal, a) => mayMatch(file, LessThan(a, l))
+        cmp(a, l, { case ((_, mx), x) => mx > x },
+          { case ((_, mx), x) => mx > x })
+      case GreaterThan(l: Literal, a) => rec(LessThan(a, l))
       case GreaterThanOrEqual(a, l: Literal) =>
-        cmp(a, l, { case ((_, mx), v) => mx >= v },
-          { case ((_, mx), v) => mx >= v })
+        cmp(a, l, { case ((_, mx), x) => mx >= x },
+          { case ((_, mx), x) => mx >= x })
       case GreaterThanOrEqual(l: Literal, a) =>
-        mayMatch(file, LessThanOrEqual(a, l))
+        rec(LessThanOrEqual(a, l))
       case LessThan(a, l: Literal) =>
-        cmp(a, l, { case ((mn, _), v) => mn < v },
-          { case ((mn, _), v) => mn < v })
-      case LessThan(l: Literal, a) => mayMatch(file, GreaterThan(a, l))
+        cmp(a, l, { case ((mn, _), x) => mn < x },
+          { case ((mn, _), x) => mn < x })
+      case LessThan(l: Literal, a) => rec(GreaterThan(a, l))
       case LessThanOrEqual(a, l: Literal) =>
-        cmp(a, l, { case ((mn, _), v) => mn <= v },
-          { case ((mn, _), v) => mn <= v })
+        cmp(a, l, { case ((mn, _), x) => mn <= x },
+          { case ((mn, _), x) => mn <= x })
       case LessThanOrEqual(l: Literal, a) =>
-        mayMatch(file, GreaterThanOrEqual(a, l))
+        rec(GreaterThanOrEqual(a, l))
       case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-        vs.exists(v => mayMatch(file, EqualTo(a, v.asInstanceOf[Literal])))
+        vs.exists(x => rec(EqualTo(a, x.asInstanceOf[Literal])))
       case InSet(a, vs) =>
-        vs.exists(v =>
-          mayMatch(file, EqualTo(a, Literal.create(v, a.dataType))))
+        vs.exists(x => rec(EqualTo(a, Literal.create(x, a.dataType))))
       case StartsWith(a, l: Literal) =>
         attrOf(a).forall { c =>
           litStr(l).forall { p =>
-            strRange(c).forall { case (mn, mx) =>
+            v.strRange(c).forall { case (mn, mx) =>
               // some s in [mn,mx] starts with p  <=>  the range
               // overlaps [p, p + maxSuffix]
               mx >= p && mn <= p + "￿"
@@ -287,13 +350,179 @@ class GraftFileIndex(spark: SparkSession, root: String,
           }
         }
       case IsNull(a) =>
-        attrOf(a).forall(c => nulls(c).forall { case (_, n) => n > 0 })
+        attrOf(a).forall(c => v.nulls(c).forall { case (_, n) => n > 0 })
       case IsNotNull(a) =>
         attrOf(a).forall(c =>
-          nulls(c).forall { case (rows, n) => n < rows })
+          v.nulls(c).forall { case (rows, n) => n < rows })
       case _ => true
     }
+    rec(filter)
   }
+}
+
+/** The MILLION-FILE planning path: a [[org.apache.spark.sql.execution.datasources.FileIndex]]
+  * that never materializes the live set. Where [[GraftFileIndex]]
+  * loads the whole skipping index eagerly (right for the thousands-
+  * of-files common case — and what masked-table splitting needs),
+  * this index holds only the SUFFIX state (commits after the base
+  * checkpoint — small by the checkpoint cadence) and answers
+  * `listFiles` by STREAMING the checkpoint sidecar, retaining exactly
+  * the files the query's own filters admit: the Delta move of pushing
+  * the query's partition/stats predicates into the checkpoint read.
+  * A selective query over a 1M-file table costs one sidecar stream
+  * (MBs, row-at-a-time) and holds the matching fraction of entries;
+  * the EntryCache is never asked to host an O(table) LogEntry at all.
+  * Chosen by `createRelation` when the sidecar row count crosses
+  * `spark.graft.plan.pruneFileThreshold` (default 100k).
+  */
+class GraftPrunedFileIndex(spark: SparkSession, root: String,
+                           pi: TxLog.PrunedPlanInfo) extends FileIndex {
+
+  // last-wins liveness of every path a suffix commit touched: absent
+  // = the checkpoint's verdict stands, true = live with suffix-
+  // recorded stats, false = removed
+  private val touched: Map[String, Boolean] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
+    pi.suffix.foreach { e =>
+      e.removes.foreach(m(_) = false)
+      e.adds.foreach(m(_) = true)
+    }
+    m.toMap
+  }
+
+  // suffix-added live files in deterministic (commit, listing) order
+  private val suffixLive: Seq[String] = {
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    pi.suffix.foreach { e =>
+      e.removes.foreach(seen -= _)
+      e.adds.foreach(seen += _)
+    }
+    seen.toSeq
+  }
+
+  private def merged[V](of: TxLog.LogEntry => Map[String, V])
+      : Map[String, V] =
+    pi.suffix.foldLeft(Map.empty[String, V])((acc, e) => acc ++ of(e))
+
+  private val sInt = merged(_.intStats)
+  private val sStr = merged(_.strStats)
+  private val sNulls = merged(_.nstats)
+  private val sParts = merged(_.parts)
+  private val sSizes = merged(_.sizes)
+  private val sMtimes =
+    merged(e => e.adds.iterator.map(_ -> e.sourceMtime).toMap)
+
+  private val colMap = TxLog.columnMappingAt(root, Some(pi.version))
+  private def phys(c: String): String = colMap.getOrElse(c, c)
+
+  private def suffixView(f: String): StatsPrune.View =
+    new StatsPrune.View {
+      def intRange(c: String): Option[(Long, Long)] =
+        sInt.get(f).flatMap(_.get(phys(c)))
+      def strRange(c: String): Option[(String, String)] =
+        sStr.get(f).flatMap(_.get(phys(c)))
+          .orElse(sParts.get(f).flatMap(_.get(phys(c)))
+            .map(x => (x, x)))
+      def nulls(c: String): Option[(Long, Long)] =
+        sNulls.get(f).flatMap { case (rows, m) =>
+          m.get(phys(c)).map(n => (rows, n))
+        }
+    }
+
+  private def feView(fe: TxLog.FileEntry): StatsPrune.View =
+    new StatsPrune.View {
+      def intRange(c: String): Option[(Long, Long)] =
+        fe.int.get(phys(c))
+      def strRange(c: String): Option[(String, String)] =
+        fe.str.get(phys(c)).orElse(fe.parts.get(phys(c))
+          .map(x => (x, x)))
+      def nulls(c: String): Option[(Long, Long)] =
+        for { r <- fe.rows; n <- fe.nulls.get(phys(c)) } yield (r, n)
+    }
+
+  override def rootPaths: Seq[Path] = Seq(new Path(root))
+
+  override def partitionSchema: StructType = StructType(Nil)
+
+  // from the checkpoint JSON's recorded totals (one cached sweep on
+  // pre-totals checkpoints) + suffix deltas — never a per-query scan
+  override lazy val sizeInBytes: Long = {
+    val removedB = touched.collect { case (p, false) => p }
+      .map(p => sSizes.getOrElse(p, 0L)).sum
+    TxLog.sidecarTotalBytes(root, pi.cp) - removedB +
+      suffixLive.map(p => sSizes.getOrElse(p, 0L)).sum
+  }
+
+  override def inputFiles: Array[String] = {
+    val out = Array.newBuilder[String]
+    TxLog.scanCheckpointSidecar(root, pi.cp) { fe =>
+      if (!touched.contains(fe.path)) out += s"$root/${fe.path}"
+      false
+    }
+    out ++= suffixLive.map(p => s"$root/$p")
+    out.result()
+  }
+
+  override def refresh(): Unit = ()
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression])
+      : Seq[PartitionDirectory] = {
+    val sized = Seq.newBuilder[FileStatus]
+    val unsized = Seq.newBuilder[String]
+    def emit(path: String, bytes: Option[Long], mtime: Long): Unit =
+      bytes match {
+        case Some(b) => sized += new FileStatus(b, false, 1, 128L << 20,
+          mtime, new Path(s"$root/$path"))
+        case None => unsized += path
+      }
+    // base: stream the sidecar, materializing ONLY survivors — paths
+    // the suffix touched are skipped here (their final state, stats
+    // included, is the suffix's to declare)
+    TxLog.scanCheckpointSidecar(root, pi.cp) { fe =>
+      !touched.contains(fe.path) &&
+        dataFilters.forall(StatsPrune.mayMatch(feView(fe), _))
+    }.foreach(fe => emit(fe.path, fe.bytes, pi.cpMtime))
+    // suffix-added files (small): same predicate over the commit-
+    // recorded stats
+    suffixLive
+      .filter(p => dataFilters.forall(
+        StatsPrune.mayMatch(suffixView(p), _)))
+      .foreach(p => emit(p, sSizes.get(p), sMtimes.getOrElse(p, 0L)))
+    // legacy files without log-recorded sizes: one batched listing
+    // per parent directory, never one stat per file
+    val fallback = GraftPrunedFileIndex.listBatched(spark, root,
+      unsized.result())
+    Seq(PartitionDirectory(InternalRow.empty,
+      (sized.result() ++ fallback).toArray))
+  }
+}
+
+private[sources] object GraftPrunedFileIndex {
+  /** Statuses for files whose sizes the log does not record: one
+    * listStatus per parent DIRECTORY (O(directories) round trips).
+    * A listed-but-missing live file fails loudly — vacuumed under a
+    * concurrent reader.
+    */
+  def listBatched(spark: SparkSession, root: String,
+                  files: Seq[String]): Seq[FileStatus] =
+    if (files.isEmpty) Seq.empty
+    else {
+      val conf = spark.sessionState.newHadoopConf()
+      files.groupBy(f => f.take(f.lastIndexOf('/').max(0)))
+        .toSeq.sortBy(_._1).flatMap { case (dir, fs) =>
+          val dirPath = new Path(s"$root/$dir")
+          val listed = dirPath.getFileSystem(conf).listStatus(dirPath)
+            .map(st => st.getPath.getName -> st).toMap
+          fs.sorted.map { f =>
+            val name = f.substring(f.lastIndexOf('/') + 1)
+            listed.getOrElse(name,
+              throw new IllegalStateException(
+                s"live file $f of $root is missing on storage " +
+                  "(vacuumed concurrently?)"))
+          }
+        }
+    }
 }
 
 /** Spark's parquet format with the table's deletion-vector masks
@@ -323,11 +552,59 @@ class GraftFileIndex(spark: SparkSession, root: String,
   * cost is the lost batch-at-a-time codegen, not vectorized decode.
   */
 class GraftParquetFileFormat(
-    maskBc: org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]])
+    maskBc: org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]],
+    mapping: Map[String, String] = Map.empty)
     extends ParquetFileFormat {
 
   /** Masked data-file NAMES — [[MaskedTableSplit]]'s partition key. */
   private[sources] def maskedNames: Set[String] = maskBc.value.keySet
+
+  /** logical -> physical column mapping — [[MaskedTableSplit]] hands
+    * it to the clean half's format.
+    */
+  private[sources] def colMapping: Map[String, String] = mapping
+
+  // under column mapping, the PHYSICAL parquet layer (read schema,
+  // pushed footer filters) speaks physical names; the rows come back
+  // POSITIONALLY, so nothing above the reader changes
+  private def physFields(st: StructType): StructType =
+    if (mapping.isEmpty) st
+    else StructType(st.fields.map(f =>
+      mapping.get(f.name).map(p => f.copy(name = p)).getOrElse(f)))
+
+  /** A pushed filter with attribute names translated to physical —
+    * None drops the filter (pushdown is an optimization; Spark
+    * re-applies the exact predicate above the scan).
+    */
+  private def physFilter(f: org.apache.spark.sql.sources.Filter)
+      : Option[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.{sources => sf}
+    def ph(a: String): String = mapping.getOrElse(a, a)
+    f match {
+      case sf.EqualTo(a, v) => Some(sf.EqualTo(ph(a), v))
+      case sf.EqualNullSafe(a, v) => Some(sf.EqualNullSafe(ph(a), v))
+      case sf.GreaterThan(a, v) => Some(sf.GreaterThan(ph(a), v))
+      case sf.GreaterThanOrEqual(a, v) =>
+        Some(sf.GreaterThanOrEqual(ph(a), v))
+      case sf.LessThan(a, v) => Some(sf.LessThan(ph(a), v))
+      case sf.LessThanOrEqual(a, v) => Some(sf.LessThanOrEqual(ph(a), v))
+      case sf.In(a, vs) => Some(sf.In(ph(a), vs))
+      case sf.IsNull(a) => Some(sf.IsNull(ph(a)))
+      case sf.IsNotNull(a) => Some(sf.IsNotNull(ph(a)))
+      case sf.StringStartsWith(a, v) =>
+        Some(sf.StringStartsWith(ph(a), v))
+      case sf.StringEndsWith(a, v) => Some(sf.StringEndsWith(ph(a), v))
+      case sf.StringContains(a, v) => Some(sf.StringContains(ph(a), v))
+      case sf.And(l, r) =>
+        for { a <- physFilter(l); b <- physFilter(r) } yield sf.And(a, b)
+      case sf.Or(l, r) =>
+        for { a <- physFilter(l); b <- physFilter(r) } yield sf.Or(a, b)
+      case sf.Not(c) => physFilter(c).map(sf.Not)
+      case sf.AlwaysTrue() => Some(f)
+      case sf.AlwaysFalse() => Some(f)
+      case _ => None
+    }
+  }
 
   // ParquetFileFormat.equals is class-based — two Graft formats with
   // DIFFERENT masks would compare equal and could alias in plan/scan
@@ -351,31 +628,39 @@ class GraftParquetFileFormat(
       options: Map[String, String],
       hadoopConf: org.apache.hadoop.conf.Configuration)
       : PartitionedFile => Iterator[InternalRow] = {
+    // column mapping: the parquet layer reads PHYSICAL names; the
+    // output rows are positional, so the logical plan above is
+    // untouched (the row-index temp column is not a table column and
+    // never maps)
+    val pData = physFields(dataSchema)
+    val pReq = physFields(requiredSchema)
+    val pFilters =
+      if (mapping.isEmpty) filters else filters.flatMap(physFilter)
     if (maskBc.value.isEmpty)
       return super.buildReaderWithPartitionValues(sparkSession,
-        dataSchema, partitionSchema, requiredSchema, filters, options,
+        pData, partitionSchema, pReq, pFilters, options,
         hadoopConf)
     // unmasked files in a masked table: the plain reader, untouched
     val basePlain = super.buildReaderWithPartitionValues(sparkSession,
-      dataSchema, partitionSchema, requiredSchema, filters, options,
+      pData, partitionSchema, pReq, pFilters, options,
       hadoopConf)
     // the query may ALREADY request the row-index column (a selected
     // `_metadata.row_index`, or the row-level-operation scan's `_pos`)
     // — reuse it for the mask filter instead of appending a duplicate
-    val existingIdx = requiredSchema.fieldNames.indexOf(
+    val existingIdx = pReq.fieldNames.indexOf(
       ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME)
     // the row-index request column: the TEMPORARY name is what the
     // readers' row-index generators recognize, and it must be NULLABLE
     // — the reader rejects a required-but-absent column as a data
     // error before the generator ever runs
     val withIdx =
-      if (existingIdx >= 0) requiredSchema
-      else StructType(requiredSchema.fields :+ StructField(
+      if (existingIdx >= 0) pReq
+      else StructType(pReq.fields :+ StructField(
         ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType,
         nullable = true))
     val baseMasked = super.buildReaderWithPartitionValues(sparkSession,
-      dataSchema, partitionSchema, withIdx, filters, options, hadoopConf)
-    val idxAt = if (existingIdx >= 0) existingIdx else requiredSchema.length
+      pData, partitionSchema, withIdx, pFilters, options, hadoopConf)
+    val idxAt = if (existingIdx >= 0) existingIdx else pReq.length
     // EVERY per-file path emits OWNED UnsafeRow copies: with batching
     // off the readers emit ColumnarBatchRow VIEWS over a recycled
     // batch, and downstream metadata-column machinery (FileScanRDD's
@@ -384,7 +669,7 @@ class GraftParquetFileFormat(
     // that copy for masked files; unmasked files (and masked files
     // whose query owns the row-index column) pay an identity copy.
     // The batch-output path of unmasked TABLES is untouched
-    val dataTypes = requiredSchema.fields.map(_.dataType)
+    val dataTypes = pReq.fields.map(_.dataType)
     val localMask = maskBc // the broadcast HANDLE rides the closure
     def identityProj(types: Array[org.apache.spark.sql.types.DataType]) =
       UnsafeProjection.create(types.zipWithIndex.map { case (dt, i) =>

@@ -346,11 +346,14 @@ class RoundThirtySpec extends AnyFunSuite {
       s"ALTER TABLE graft_table.`$root` ADD COLUMN quality BIGINT"))
     assert(chain(dup).exists(_.contains("already exists")),
       chain(dup).mkString(" | "))
-    // the rest of ALTER still refuses (no log bypass)
-    val drop = intercept[Exception](s.sql(
-      s"ALTER TABLE graft_table.`$root` DROP COLUMN quality"))
-    assert(chain(drop).exists(m => m.contains("refused") ||
-      m.contains("ADD COLUMN only")), chain(drop).mkString(" | "))
+    // the rest of ALTER still refuses (no log bypass) — DROP/RENAME
+    // became supported column-mapping verbs in round 13, so the
+    // refused shape here is a TYPE change
+    val retype = intercept[Exception](s.sql(
+      s"ALTER TABLE graft_table.`$root` ALTER COLUMN quality TYPE INT"))
+    assert(chain(retype).exists(m => m.contains("refused") ||
+      m.contains("COLUMN only") || m.contains("not supported")),
+      chain(retype).mkString(" | "))
     // modifiers the log cannot honor refuse LOUDLY, never drop
     // silently: NOT NULL (existing rows would violate it from birth)
     // and FIRST/AFTER (added columns append last)
@@ -365,7 +368,7 @@ class RoundThirtySpec extends AnyFunSuite {
     // the schema action survives a checkpoint + vacuum truncation
     TxLog.append(s, root, s.sql(
       s"SELECT * FROM graft_table.`$root` LIMIT 1")) // v3
-    TxLog.vacuum(root, retainFrom = 3L)
+    TxLog.vacuum(root, retainFrom = 3L, force = true)
     assert(s.sql(s"SELECT quality FROM graft_table.`$root`")
       .count() === 42L)
   }
@@ -446,7 +449,7 @@ class RoundThirtySpec extends AnyFunSuite {
     assert(idSet(df) === idSet(docs))
     // the carry: after checkpoint + vacuum the sizes ride the sidecar
     TxLog.append(spark, root, docs.limit(3).coalesce(1))
-    TxLog.vacuum(root, retainFrom = 2L)
+    TxLog.vacuum(root, retainFrom = 2L, force = true)
     val df2 = spark.read.format("graft-table").load(root)
     assert(indexOf(df2).usedLogSizes,
       "sizes must survive vacuum truncation through the checkpoint " +

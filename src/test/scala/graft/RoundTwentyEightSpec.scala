@@ -161,7 +161,7 @@ class RoundTwentyEightSpec extends AnyFunSuite {
       when(pmod(col("doc_id"), lit(2)) === 0, "even").otherwise("odd"))
     TxLog.appendPartitioned(spark, root, d, Seq("lang")) // v0
     TxLog.append(spark, root, d.limit(7).coalesce(1)) // v1
-    TxLog.vacuum(root, retainFrom = 1L) // truncates v0, checkpoints
+    TxLog.vacuum(root, retainFrom = 1L, force = true) // truncates v0
     assert(TxLog.versions(root) === Seq(1L))
     // the partitioned append's metadata lives on in the checkpoint
     assert(TxLog.partitionColumns(root) === Seq("lang"))
@@ -605,7 +605,7 @@ class RoundTwentyEightSpec extends AnyFunSuite {
     // and the whole thing survives a mid-history vacuum
     val keep = history.size / 2
     if (history(keep).nonEmpty) {
-      TxLog.vacuum(root, keep.toLong)
+      TxLog.vacuum(root, keep.toLong, force = true)
       assert(TxLog.snapshot(spark, root).select("doc_id")
         .collect().map(_.getLong(0)).toSet === live)
       val st = TxLog.fileStats(root)

@@ -397,7 +397,8 @@ class RoundTwentyFiveSpec extends AnyFunSuite {
     TxLog.compact(spark, root, targetBytes = 1L << 30)
     assert(idSet(TxLog.snapshotSlice(spark, root, "doc_id", 120L, 150L))
       === ids(120, 151))
-    TxLog.vacuum(root, retainFrom = TxLog.resolve(root).version)
+    TxLog.vacuum(root, retainFrom = TxLog.resolve(root).version,
+      force = true)
     assert(idSet(TxLog.snapshotSlice(spark, root, "doc_id", 120L, 150L))
       === ids(120, 151))
   }
@@ -494,7 +495,7 @@ class RoundTwentyFiveSpec extends AnyFunSuite {
     TxLog.append(spark, root,
       d.filter(col("doc_id") >= 50 && col("doc_id") < 100))       // v2
     // truncate past the set-constraint commit itself
-    TxLog.vacuum(root, retainFrom = 2L)
+    TxLog.vacuum(root, retainFrom = 2L, force = true)
     assert(!TxLog.versions(root).contains(1L))
     // the contract crossed the truncation via the checkpoint
     assert(TxLog.constraints(root) === Map("pos" -> "n_chars > 0"))
@@ -557,7 +558,7 @@ class RoundTwentyFiveSpec extends AnyFunSuite {
 
     // a vacuum that respects the cursor: time travel below 3 dies,
     // but the stream's next interval (3, 4] replays fine
-    TxLog.vacuum(root, retainFrom = 3L)
+    TxLog.vacuum(root, retainFrom = 3L, force = true)
     TxLog.append(spark, root,
       d.filter(col("doc_id") >= 200 && col("doc_id") < 220)) // v4
     run()
@@ -568,7 +569,7 @@ class RoundTwentyFiveSpec extends AnyFunSuite {
     // silently skip rows
     TxLog.append(spark, root,
       d.filter(col("doc_id") >= 220 && col("doc_id") < 230)) // v5
-    TxLog.vacuum(root, retainFrom = 5L)
+    TxLog.vacuum(root, retainFrom = 5L, force = true)
     TxLog.append(spark, root,
       d.filter(col("doc_id") >= 230 && col("doc_id") < 240)) // v6
     val e = intercept[Exception] {

@@ -218,7 +218,7 @@ class RoundTwentyFourSpec extends AnyFunSuite {
 
     // vacuum to the compacted version: pre-compaction files go,
     // head still reads, vacuumed versions refuse loudly
-    val removed = TxLog.vacuum(root, retainFrom = 3L)
+    val removed = TxLog.vacuum(root, retainFrom = 3L, force = true)
     assert(removed > 0)
     assert(TxLog.snapshot(spark, root).count() === n - 3)
     assert(intercept[IllegalArgumentException] {
@@ -362,7 +362,7 @@ class RoundTwentyFourSpec extends AnyFunSuite {
     TxLog.append(spark, root, d.filter(col("doc_id") >= 100))
     // retainFrom=1 is a plain append: v1's live set still references
     // v0's files, whose commit is about to be truncated
-    val removed = TxLog.vacuum(root, retainFrom = 1L)
+    val removed = TxLog.vacuum(root, retainFrom = 1L, force = true)
     assert(removed === 0, "every data file is still referenced")
     assert(TxLog.snapshot(spark, root, Some(1L)).count() === d.count(),
       "the checkpoint must preserve v0's files in v1's replay")

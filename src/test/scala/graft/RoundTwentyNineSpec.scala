@@ -290,7 +290,7 @@ class RoundTwentyNineSpec extends AnyFunSuite {
 
     // vacuum with an explicit retention floor truncates older history
     val removed = spark.sql("CALL graft_table.system.vacuum(" +
-      s"table => '$p', retain_from => 5)").collect()
+      s"table => '$p', retain_from => 5, force => true)").collect()
     assert(removed.length === 1 && removed.head.getInt(0) >= 1)
     assert(TxLog.versions(p).head === 5L)
     assert(idSet(spark.read.format("graft-table").load(p)) === (all -- masked))
@@ -738,6 +738,29 @@ class RoundTwentyNineSpec extends AnyFunSuite {
       states.groupBy(_._1).foreach { case (v, ss) =>
         assert(readState(p, Some(v)) === ss.last._2,
           s"iter=$iter post-ALTER time travel to v$v mismatch")
+      }
+      // column-mapping tail: RENAME + DROP COLUMN are pure metadata —
+      // every row keeps its values under the new name, the dropped
+      // column vanishes, mutation through the mapping works, and
+      // pre-mapping versions still replay under their OWN names
+      val modelPlus = model + (nextId -> ("alt", 1L))
+      spark.sql(s"ALTER TABLE graft_table.`$p` " +
+        "RENAME COLUMN n_chars TO chars2")
+      spark.sql(s"ALTER TABLE graft_table.`$p` DROP COLUMN extra")
+      val mapped = spark.read.format("graft-table").load(p)
+      assert(mapped.columns.toSeq === Seq("doc_id", "lang", "chars2"))
+      val mappedState = mapped.collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      assert(mappedState === modelPlus,
+        s"iter=$iter values must survive RENAME/DROP unchanged")
+      spark.sql(s"UPDATE graft_table.`$p` SET chars2 = -5 " +
+        s"WHERE doc_id = $nextId")
+      assert(spark.read.format("graft-table").load(p)
+        .filter(col("doc_id") === nextId)
+        .head.getAs[Long]("chars2") === -5L)
+      states.groupBy(_._1).foreach { case (v, ss) =>
+        assert(readState(p, Some(v)) === ss.last._2,
+          s"iter=$iter post-mapping time travel to v$v mismatch")
       }
     }
   }

@@ -48,7 +48,7 @@ class RoundTwentySevenSpec extends AnyFunSuite {
     // its file under data/, but its commit has not published yet
     val inFlight = Paths.get(root, "data/part-deadbeef-00000.parquet")
     Files.writeString(inFlight, "not-yet-committed")
-    val reclaimed = TxLog.vacuum(root, retainFrom = 2L)
+    val reclaimed = TxLog.vacuum(root, retainFrom = 2L, force = true)
     // the two files the compaction removed are unreferenced AND were
     // published by truncated commits -> reclaimed; the in-flight file
     // was never published and is younger than the grace -> spared
@@ -57,7 +57,7 @@ class RoundTwentySevenSpec extends AnyFunSuite {
       "vacuum deleted a concurrent writer's staged file")
     // a dead writer's leftovers ARE garbage once they age out
     val reclaimed2 = TxLog.vacuum(root, retainFrom = 2L,
-      stagedGraceMillis = 0L)
+      stagedGraceMillis = 0L, force = true)
     assert(reclaimed2 === 1)
     assert(!Files.exists(inFlight))
     // the table itself is intact
@@ -72,7 +72,7 @@ class RoundTwentySevenSpec extends AnyFunSuite {
     assert(TxLog.commitBatch(spark, root, docs.limit(20), 1L) === Some(1L))
     TxLog.append(spark, root, docs.limit(5)) // v2
     // truncate past both streaming commits
-    TxLog.vacuum(root, retainFrom = 2L)
+    TxLog.vacuum(root, retainFrom = 2L, force = true)
     assert(TxLog.versions(root) === Seq(2L))
     // the ledger survives via the checkpoint's batchIds carry...
     assert(TxLog.committedBatchIds(root) === Set(0L, 1L))
@@ -124,7 +124,7 @@ class RoundTwentySevenSpec extends AnyFunSuite {
     assert(TxLog.snapshot(spark, s"$cloneRoot/branch").count() === n - 4)
     val rv = TxLog.restore(spark, root, dvV)
     assert(TxLog.snapshot(spark, root).count() === n - 5)
-    assert(TxLog.vacuum(root, rv) > 0)
+    assert(TxLog.vacuum(root, rv, force = true) > 0)
     assert(TxLog.snapshot(spark, root).count() === n - 5)
     // the constraint still gates after all of it
     intercept[IllegalArgumentException] {
@@ -448,7 +448,7 @@ class RoundTwentySevenSpec extends AnyFunSuite {
     // truncates the commits that DID record it — the checkpoint
     // carries the action across
     TxLog.compact(spark, root, 1L << 30) // v2
-    TxLog.vacuum(root, retainFrom = 2L)
+    TxLog.vacuum(root, retainFrom = 2L, force = true)
     assert(TxLog.tableSchema(root).get.fieldNames.contains("extra"))
     // restore rolls the schema action back with the data
     val root2 = tmpDir("t27schema2")

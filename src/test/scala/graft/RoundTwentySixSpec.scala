@@ -257,7 +257,7 @@ class RoundTwentySixSpec extends AnyFunSuite {
     val root = freshTable("t26-vacuum")
     val ks = scatteredKeys(4)
     val dvV = TxLog.deleteWhereDv(spark, root, "doc_id", ks)
-    TxLog.vacuum(root, retainFrom = dvV)
+    TxLog.vacuum(root, retainFrom = dvV, force = true)
     // the delete-dv commit itself survived (dvV >= retainFrom), but
     // resolve now starts from the checkpoint — the masks must hold
     assert(idSet(TxLog.snapshot(spark, root, Some(dvV))) ===
@@ -269,7 +269,7 @@ class RoundTwentySixSpec extends AnyFunSuite {
     // vacuum again with retainFrom past the dv commit: the mask state
     // is carried ONLY by the checkpoint now — still correct
     val compV = TxLog.compact(spark, root, targetBytes = 64L << 20)
-    TxLog.vacuum(root, retainFrom = compV)
+    TxLog.vacuum(root, retainFrom = compV, force = true)
     assert(idSet(TxLog.snapshot(spark, root)) === idSet(docs) -- ks)
     assert(!Files.exists(Paths.get(root, dvName)),
       "after the purge nothing references the sidecar; vacuum reclaims it")
@@ -420,7 +420,7 @@ class RoundTwentySixSpec extends AnyFunSuite {
     val ks = scatteredKeys(3)
     TxLog.deleteWhere(spark, root, "doc_id", ks)    // v1 rewrites hits
     val compV = TxLog.compact(spark, root, 64L << 20) // v2
-    TxLog.vacuum(root, retainFrom = compV)
+    TxLog.vacuum(root, retainFrom = compV, force = true)
     // v0/v1 commits are truncated — restore fails on the version check
     val e = intercept[IllegalArgumentException] {
       TxLog.restore(spark, root, 1L)
@@ -493,7 +493,7 @@ class RoundTwentySixSpec extends AnyFunSuite {
     // tip — source files all survive (reclaim lists only dst/data)
     TxLog.append(spark, dst, docs.limit(3))
     val cv = TxLog.compact(spark, dst, 64L << 20)
-    TxLog.vacuum(dst, retainFrom = cv)
+    TxLog.vacuum(dst, retainFrom = cv, force = true)
     assert(idSet(TxLog.snapshot(spark, src)) === idSet(docs),
       "the clone's vacuum must never reclaim source files")
     assert(TxLog.snapshot(spark, dst).count() === docs.count() + 3)
