@@ -241,6 +241,17 @@ object Bench {
   def fingerprint(df: org.apache.spark.sql.DataFrame): String =
     fingerprintOf(normalizedPlan(df))
 
+  /** Cumulative hypervisor steal ticks (field 8 of `/proc/stat`'s
+    * aggregate cpu line); -1 where unreadable.
+    */
+  private def stealTicks(): Long =
+    try {
+      val cpu = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/stat")).linesIterator
+        .find(_.startsWith("cpu ")).getOrElse("")
+      cpu.trim.split("\\s+").lift(8).map(_.toLong).getOrElse(-1L)
+    } catch { case _: Exception => -1L }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -251,6 +262,7 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")).trim
         .split(" ").take(3).mkString(",")
       catch { case _: Exception => "" }
+    val stealStart = stealTicks()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -412,8 +424,13 @@ object Bench {
         .split(" ").take(3).mkString(",")
       catch { case _: Exception => "" }
     val loadEnd = loadavg()
+    // hypervisor steal ticks (field 8 of /proc/stat's cpu line): the
+    // co-tenancy evidence loadavg cannot show — a window with steal
+    // accrual is a contended window whatever the load average says
+    val stealEnd = Bench.stealTicks()
     val loadJson =
-      s""","loadavg_start":"$loadStart","loadavg_end":"$loadEnd""""
+      s""","loadavg_start":"$loadStart","loadavg_end":"$loadEnd"""" +
+        s""","steal_start":$stealStart,"steal_end":$stealEnd"""
     val fullJson =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"skipped":$skippedJson$loadJson}"""
     val compactJson =

@@ -947,6 +947,32 @@ object SparkEntry {
       p
     })
 
+  /** The PRUNED-PLANNING lifecycle, one per (session, sf dir): an
+    * 8-range-file doc_id layout, a COLUMNAR checkpoint (per-file
+    * state in the parquet sidecar), then a deletion-vector delete of
+    * the five smallest ids as the post-checkpoint suffix.
+    * `q_table_pruned_scan` reads it with the prune threshold lowered
+    * to 4, so the relation plans through
+    * [[graft.sources.GraftPrunedFileIndex]] — the million-file path
+    * (live set STREAMED from the sidecar, suffix folded on top, DV
+    * masks applied) — oracle-checked end-to-end every round.
+    */
+  private val txlogPrunedCache = new SessionCache[String]
+
+  private def txlogPrunedTable(s: SparkSession, dir: String): String =
+    txlogPrunedCache.getOrElseUpdate(s, dir, {
+      val p = s"${annTmp()}/txpruned"
+      graft.ops.TxLog.init(p)
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      graft.ops.TxLog.append(s, p,
+        docs.orderBy("doc_id").repartitionByRange(8, col("doc_id"))) // v0
+      graft.ops.TxLog.checkpoint(p) // columnar sidecar at v0
+      val victims = docs.select("doc_id").orderBy("doc_id").limit(5)
+        .collect().map(_.getLong(0)).toSeq
+      graft.ops.TxLog.deleteWhereDv(s, p, "doc_id", victims) // v1 suffix
+      p
+    })
+
   /** The COLUMN-MAPPING lifecycle, one per (session, sf dir): all
     * docs seeded through the writer (v0), then pure-SQL
     * `RENAME COLUMN n_chars TO body_chars` (v1) and
@@ -2278,6 +2304,18 @@ object SparkEntry {
     // the renamed name, the dropped-then-re-added column reads NULL
     // (fresh physical name; the old bytes never resurface), and v0
     // still time-travels under its ORIGINAL names
+    // the MILLION-FILE planning path, oracle-gated at small scale:
+    // with the prune threshold lowered, the relation plans through
+    // GraftPrunedFileIndex (live set streamed from the checkpoint
+    // sidecar, the DV-delete suffix folded on top) — results must be
+    // byte-identical to the eager path's
+    "q_table_pruned_scan" -> ((s, dir) => {
+      val p = txlogPrunedTable(s, dir)
+      s.conf.set("spark.graft.plan.pruneFileThreshold", "4")
+      try s.read.format("graft-table").load(p)
+        .select("doc_id", "lang", "n_chars")
+      finally s.conf.unset("spark.graft.plan.pruneFileThreshold")
+    }),
     "q_table_sql_colmap" -> ((s, dir) => {
       val p = txlogSqlColmapTable(s, dir)
       s.sql(s"SELECT doc_id, body_chars, lang, 'head' AS snap " +
@@ -5144,6 +5182,12 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, n_chars AS body_chars, lang, 'v0' AS snap
         |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
+    // the pruned-planning lifecycle's semantics: everything but the
+    // five smallest ids (masked by the suffix's deletion vector)
+    "q_table_pruned_scan" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id NOT IN (
+        |  SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)""".stripMargin,
     // the SQL MERGE lifecycle's semantics: the even seed with mod-3
     // keys re-langed (matched updates), plus the odd multiples of 3
     // inserted as 'mg'

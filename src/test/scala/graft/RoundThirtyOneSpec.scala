@@ -234,6 +234,46 @@ class RoundThirtyOneSpec extends AnyFunSuite {
     assert(TxLog.SidecarScanStats.entriesRetained.get() === (n / 16).toLong)
   }
 
+  test("pruned planning END-TO-END on a real table (threshold " +
+      "lowered): results exact, DV masks apply, suffix appends land, " +
+      "time travel reads through the pruned index") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    spark.conf.set("spark.graft.plan.pruneFileThreshold", "5")
+    try {
+      val root = tmpDir("t31e2e")
+      TxLog.init(root)
+      TxLog.append(spark, root, docs.orderBy("doc_id")
+        .repartitionByRange(8, col("doc_id"))) // v0: 8 range files
+      TxLog.checkpoint(root) // columnar checkpoint at v0 (8 > 5 rows)
+      val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+      TxLog.deleteWhereDv(spark, root, "doc_id", ids.take(3).toSeq) // v1
+      TxLog.append(spark, root, docs.limit(0) // v2: suffix add
+        .unionByName(spark.range(1).select(
+          lit(777777L).as("doc_id"), lit("zz").as("lang"),
+          lit(9L).as("n_chars"))).coalesce(1))
+      def index(df: DataFrame) = df.queryExecution.analyzed.collectFirst {
+        case LogicalRelation(r: HadoopFsRelation, _, _, _, _) => r.location
+      }.get
+      val df = spark.read.format("graft-table").load(root)
+      assert(index(df).isInstanceOf[graft.sources.GraftPrunedFileIndex],
+        "the lowered threshold must route this table to the pruned path")
+      // exact head semantics through the pruned index: DV mask applied,
+      // suffix append visible
+      val expect = idSet(docs).diff(ids.take(3).toSet) + 777777L
+      assert(idSet(df) === expect)
+      // a selective read prunes to one base file and stays exact
+      val one = df.filter(col("doc_id") === ids.last)
+      assert(idSet(one) === Set(ids.last))
+      // time travel below the suffix reads through the same machinery
+      val v0 = spark.read.format("graft-table")
+        .option("versionAsOf", "0").load(root)
+      assert(index(v0).isInstanceOf[graft.sources.GraftPrunedFileIndex])
+      assert(idSet(v0) === idSet(docs))
+      // and agrees with the eager DataFrame API read
+      assert(idSet(TxLog.snapshot(spark, root)) === expect)
+    } finally spark.conf.unset("spark.graft.plan.pruneFileThreshold")
+  }
+
   // ---------------- pure-ADD schema conflict relaxation ----------------
 
   private class DelegatingIo(inner: graft.ops.TxIo) extends graft.ops.TxIo {
