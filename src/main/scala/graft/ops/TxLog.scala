@@ -61,7 +61,7 @@ object TxLog {
     * a same-shape recreate over a coarse-mtime store.
     */
   def init(root: String): Unit = {
-    EntryCache.invalidatePrefix(logDir(root))
+    invalidateCaches(root)
     io(root).mkdirs(logDir(root))
     io(root).mkdirs(dataDir(root))
   }
@@ -1094,8 +1094,14 @@ object TxLog {
     * internally; otherwise reads may serve the previous incarnation's
     * parsed state.
     */
-  def invalidateCaches(root: String): Unit =
+  def invalidateCaches(root: String): Unit = {
     EntryCache.invalidatePrefix(logDir(root))
+    // the sidecar row-count / byte-total caches share the (path,
+    // size, mtime) identity and the same recreate-in-place caveat
+    val prefix = logDir(root)
+    sidecarRowCache.keySet.removeIf(_.path.startsWith(prefix)): Unit
+    sidecarByteCache.keySet.removeIf(_.path.startsWith(prefix)): Unit
+  }
 
   private def entryKey(root: String, path: String): EntryKey =
     EntryKey(path, io(root).size(path), io(root).mtime(path))
@@ -1744,7 +1750,7 @@ object TxLog {
     // no mapping prep: an overwrite DEFINES the new schema (mapping
     // mode off again — its files store the frame's own names)
     val adds = stage(spark, root, df, prep = false)
-    validateStaged(spark, root, adds, "overwrite")
+    validateStaged(spark, root, adds, "overwrite", prepped = false)
     val next = cur.map(_.version + 1).getOrElse(0L)
     commitOrCleanup(root, adds) {
       writeCommit(root, next, adds, cur.map(_.files).getOrElse(Seq.empty),
@@ -3417,11 +3423,21 @@ object TxLog {
     * rows, they don't admit new ones.
     */
   private def validateStaged(spark: SparkSession, root: String,
-                             adds: Seq[String], context: String): Unit = {
+                             adds: Seq[String], context: String,
+                             prepped: Boolean = true): Unit = {
     val cs = constraints(root)
     if (cs.isEmpty || adds.isEmpty) return
-    val staged = spark.read.option("mergeSchema", "true")
+    val staged0 = spark.read.option("mergeSchema", "true")
       .parquet(adds.map(f => s"$root/$f"): _*)
+    // prepped files store PHYSICAL names (written through stagePrep)
+    // and must map back to logical before constraint expressions can
+    // resolve; an overwrite's staged files carry the NEW frame's own
+    // names — its schema action has not committed yet, so mapping
+    // them through the OLD schema would null out any column whose
+    // name a rename freed up, and a constraint on it would
+    // mis-validate
+    val staged =
+      if (prepped) toLogicalAt(root, staged0, None) else staged0
     // CHECK semantics for a schema-evolved batch: a table column the
     // batch lacks evaluates as NULL — a counted violation, not an
     // analysis error (the log supports evolved appends, so constraints
@@ -3430,7 +3446,7 @@ object TxLog {
       if (versionsOnDisk(root).nonEmpty && resolve(root).files.nonEmpty)
         snapshotImpl(spark, root, None, guard = false).schema.fields.toSeq
       else Seq.empty
-    val df = alignToSchema(toLogicalAt(root, staged, None), tableCols)
+    val df = alignToSchema(staged, tableCols)
     def reject(name: String, ex: String, why: String): Nothing = {
       adds.foreach(f => io(root).deleteIfExists(s"$root/$f"))
       throw new IllegalArgumentException(

@@ -243,6 +243,30 @@ class RoundThirtyTwoSpec extends AnyFunSuite {
     }).exists(_.contains("live physical")))
   }
 
+  test("overwrite of a MAPPED table validates constraints against " +
+      "the new frame's OWN names (no stale physical mapping)") {
+    val s = sqlSpark
+    val root = tmpDir("t32ovw")
+    TxLog.init(root)
+    TxLog.append(s, root, docs.limit(20).coalesce(1)) // v0
+    s.sql(s"ALTER TABLE graft_table.`$root` " +
+      "RENAME COLUMN n_chars TO m_chars") // v1: mapping on
+    TxLog.addConstraint(s, root, "pos_m", "m_chars >= 0") // v2
+    // a VALID overwrite under the new logical names must pass the
+    // gate — its staged files carry the frame's own names, not the
+    // old physical mapping
+    val fresh = docs.limit(7).withColumnRenamed("n_chars", "m_chars")
+    TxLog.overwrite(s, root, fresh) // v3
+    val out = s.read.format("graft-table").load(root)
+    assert(out.count() === 7L)
+    assert(out.filter(col("m_chars") < 0).count() === 0L)
+    // and a VIOLATING overwrite still rejects loudly
+    val bad = fresh.withColumn("m_chars", lit(-1L))
+    val e = intercept[Exception] { TxLog.overwrite(s, root, bad) }
+    assert(chain(e).exists(_.contains("pos_m")), chain(e).mkString(" | "))
+    assert(s.read.format("graft-table").load(root).count() === 7L)
+  }
+
   test("a derived mutation racing a RENAME (non-pure-add schema " +
       "winner) still fails loudly and cleans up") {
     val s = sqlSpark
