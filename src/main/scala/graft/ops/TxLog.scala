@@ -1794,13 +1794,7 @@ object TxLog {
     // at least one key can hold a hit — the discovery scan never even
     // LISTS the rest (on a key-clustered layout that is almost all of
     // them). Stat-less files are conservatively scanned.
-    val st = fileStats(root)
-    val physKey = physicalOf(root, keyCol, Some(snap.version))
-    val candidates = snap.files.filter { f =>
-      st.get(f).flatMap(_.get(physKey)).forall { case (mn, mx) =>
-        keys.exists(k => k >= mn && k <= mx)
-      }
-    }
+    val candidates = keyCandidates(spark, root, snap, keyCol, keys)
     val next0 = snap.version + 1
     if (candidates.isEmpty) {
       writeCommit(root, next0, Seq.empty, Seq.empty, op = "delete")
@@ -1974,13 +1968,7 @@ object TxLog {
                     keys: Seq[Long]): Long = {
     require(keys.nonEmpty, "txlog deleteWhereDv: empty key list")
     val snap = resolve(root)
-    val st = fileStats(root)
-    val physKey = physicalOf(root, keyCol, Some(snap.version))
-    val candidates = snap.files.filter { f =>
-      st.get(f).flatMap(_.get(physKey)).forall { case (mn, mx) =>
-        keys.exists(k => k >= mn && k <= mx)
-      }
-    }
+    val candidates = keyCandidates(spark, root, snap, keyCol, keys)
     val next = snap.version + 1
     if (candidates.isEmpty) {
       writeCommit(root, next, Seq.empty, Seq.empty, op = "delete-dv")
@@ -3860,6 +3848,69 @@ object TxLog {
         sum
       }
     }
+
+  /** Last-wins fold of a post-checkpoint commit SUFFIX: per-path
+    * liveness verdicts, the suffix-added live files in commit order,
+    * and the suffix's own recorded stats — the small half of every
+    * pruned (streamed-sidecar) metadata read, shared by the
+    * connector's pruned file index and the keyed mutation paths.
+    */
+  private[graft] final case class SuffixState(
+      touched: Map[String, Boolean],
+      live: Seq[String],
+      int: Map[String, Map[String, (Long, Long)]],
+      str: Map[String, Map[String, (String, String)]],
+      nulls: Map[String, (Long, Map[String, Long])],
+      parts: Map[String, Map[String, String]],
+      sizes: Map[String, Long],
+      mtimes: Map[String, Long])
+
+  private[graft] def suffixStateOf(suffix: Seq[LogEntry]): SuffixState = {
+    val touched =
+      scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    suffix.foreach { e =>
+      e.removes.foreach { r => touched(r) = false; live -= r }
+      e.adds.foreach { a => touched(a) = true; live += a }
+    }
+    def m[V](of: LogEntry => Map[String, V]): Map[String, V] =
+      suffix.foldLeft(Map.empty[String, V])((acc, e) => acc ++ of(e))
+    SuffixState(touched.toMap, live.toSeq,
+      m(_.intStats), m(_.strStats), m(_.nstats), m(_.parts),
+      m(_.sizes),
+      m(e => e.adds.iterator.map(_ -> e.sourceMtime).toMap))
+  }
+
+  /** Candidate files for an INT-key hit discovery (`deleteWhere` /
+    * `deleteWhereDv`): files whose recorded `[min, max]` admits at
+    * least one key, stat-less files conservatively kept. On a
+    * pruned-scale table the test STREAMS the checkpoint sidecar —
+    * only the candidates' paths materialize on the driver, never the
+    * full stats map; smaller tables keep the eager cached map.
+    */
+  private[graft] def keyCandidates(spark: SparkSession, root: String,
+                                   snap: Snapshot, keyCol: String,
+                                   keys: Seq[Long]): Seq[String] = {
+    val phys = physicalOf(root, keyCol, Some(snap.version))
+    def admits(r: (Long, Long)): Boolean =
+      keys.exists(k => k >= r._1 && k <= r._2)
+    val threshold = spark.conf
+      .getOption("spark.graft.plan.pruneFileThreshold")
+      .map(_.toLong).getOrElse(100000L)
+    prunedPlanInfo(root, Some(snap.version), threshold) match {
+      case Some(pi) =>
+        val sfx = suffixStateOf(pi.suffix)
+        val base = scanCheckpointSidecar(root, pi.cp) { fe =>
+          !sfx.touched.contains(fe.path) && fe.int.get(phys).forall(admits)
+        }.map(_.path)
+        base ++ sfx.live.filter(f =>
+          sfx.int.get(f).flatMap(_.get(phys)).forall(admits))
+      case None =>
+        val st = fileStats(root)
+        snap.files.filter(f =>
+          st.get(f).flatMap(_.get(phys)).forall(admits))
+    }
+  }
 
   private[graft] def readCheckpointSidecar(root: String, v: Long): SidecarData = {
     val adds = Seq.newBuilder[String]

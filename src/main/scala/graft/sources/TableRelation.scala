@@ -378,39 +378,19 @@ private[sources] object StatsPrune {
 class GraftPrunedFileIndex(spark: SparkSession, root: String,
                            pi: TxLog.PrunedPlanInfo) extends FileIndex {
 
-  // last-wins liveness of every path a suffix commit touched: absent
-  // = the checkpoint's verdict stands, true = live with suffix-
-  // recorded stats, false = removed
-  private val touched: Map[String, Boolean] = {
-    val m = scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
-    pi.suffix.foreach { e =>
-      e.removes.foreach(m(_) = false)
-      e.adds.foreach(m(_) = true)
-    }
-    m.toMap
-  }
-
-  // suffix-added live files in deterministic (commit, listing) order
-  private val suffixLive: Seq[String] = {
-    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
-    pi.suffix.foreach { e =>
-      e.removes.foreach(seen -= _)
-      e.adds.foreach(seen += _)
-    }
-    seen.toSeq
-  }
-
-  private def merged[V](of: TxLog.LogEntry => Map[String, V])
-      : Map[String, V] =
-    pi.suffix.foldLeft(Map.empty[String, V])((acc, e) => acc ++ of(e))
-
-  private val sInt = merged(_.intStats)
-  private val sStr = merged(_.strStats)
-  private val sNulls = merged(_.nstats)
-  private val sParts = merged(_.parts)
-  private val sSizes = merged(_.sizes)
-  private val sMtimes =
-    merged(e => e.adds.iterator.map(_ -> e.sourceMtime).toMap)
+  // last-wins liveness + suffix-recorded stats of every path a
+  // suffix commit touched ([[TxLog.suffixStateOf]] — shared with the
+  // keyed mutation paths): absent = the checkpoint's verdict stands,
+  // true = live with suffix stats, false = removed
+  private val sfx = TxLog.suffixStateOf(pi.suffix)
+  private def touched: Map[String, Boolean] = sfx.touched
+  private def suffixLive: Seq[String] = sfx.live
+  private def sInt = sfx.int
+  private def sStr = sfx.str
+  private def sNulls = sfx.nulls
+  private def sParts = sfx.parts
+  private def sSizes = sfx.sizes
+  private def sMtimes = sfx.mtimes
 
   private val colMap = TxLog.columnMappingAt(root, Some(pi.version))
   private def phys(c: String): String = colMap.getOrElse(c, c)

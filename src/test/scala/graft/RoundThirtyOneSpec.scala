@@ -234,6 +234,39 @@ class RoundThirtyOneSpec extends AnyFunSuite {
     assert(TxLog.SidecarScanStats.entriesRetained.get() === (n / 16).toLong)
   }
 
+  test("keyed-delete hit discovery on a 500k-file table STREAMS the " +
+      "sidecar: only the admitting candidates' paths materialize, " +
+      "never the full stats map") {
+    val root = tmpDir("t31keys")
+    TxLog.init(root)
+    val n = 500000
+    val files = (0 until n).map(i => f"data/part-synth-$i%06d.parquet")
+    val int = files.zipWithIndex.map { case (f, i) =>
+      f -> Map("doc_id" -> (i.toLong * 100, i.toLong * 100 + 99))
+    }.toMap
+    val sizes = files.map(f => f -> 1024L).toMap
+    TxLog.writeCheckpointSidecar(root, 0L, files, int, Map.empty,
+      Map.empty, Map.empty, sizes)
+    val txdir = java.nio.file.Paths.get(root, "_txlog")
+    Files.writeString(txdir.resolve("00000000.json"),
+      """{"v":0,"op":"append","adds":[],"removes":[],""" +
+        """"rows":0,"rowsRemoved":0}""")
+    Files.writeString(txdir.resolve("00000000.checkpoint.json"),
+      """{"v":0,"cpq":1,"adds":[],"removes":[],"cset":{},""" +
+        s""""tfiles":$n,"tbytes":${n * 1024L}}""")
+    TxLog.clearEntryCache()
+    TxLog.SidecarScanStats.reset()
+    // three keys landing in two distinct files' ranges
+    val snap = TxLog.Snapshot(0L, Seq.empty)
+    val cands = TxLog.keyCandidates(spark, root, snap, "doc_id",
+      Seq(100L, 150L, 4200L))
+    assert(cands.toSet === Set(files(1), files(42)),
+      s"got $cands")
+    assert(TxLog.SidecarScanStats.rowsScanned.get() === n.toLong)
+    assert(TxLog.SidecarScanStats.entriesRetained.get() === 2L,
+      "only the admitting files' entries may be materialized")
+  }
+
   test("pruned planning END-TO-END on a real table (threshold " +
       "lowered): results exact, DV masks apply, suffix appends land, " +
       "time travel reads through the pruned index") {
