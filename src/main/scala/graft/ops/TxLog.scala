@@ -1149,6 +1149,34 @@ object TxLog {
       dvFiles: Seq[String],
       sidecarRows: Long)
 
+  /** The active deletion-vector state at the end of `suffix`, folded
+    * from a checkpoint's JSON-half carry WITHOUT the live set: inside
+    * the suffix only removes / dvDrops / dv / dvState change it — the
+    * same transitions [[applyEntryToState]] makes, minus the live
+    * half the pruned paths exist to avoid materializing. Covers come
+    * back sorted (the checkpoint-JSON shape).
+    */
+  private def dvStateFold(jsonE: LogEntry, suffix: Seq[LogEntry])
+      : Seq[(String, Seq[String])] = {
+    val dvs =
+      scala.collection.mutable.LinkedHashMap.empty[String, Set[String]]
+    jsonE.dvState.foreach { case (p, cov) => dvs(p) = cov.toSet }
+    suffix.foreach { e =>
+      e.removes.foreach { r =>
+        if (dvs.nonEmpty) {
+          dvs.mapValuesInPlace((_, cov) => cov - r)
+          dvs.filterInPlace((_, cov) => cov.nonEmpty): Unit
+        }
+      }
+      e.dvDrops.foreach(p => dvs -= p)
+      e.dv.foreach { case (p, cov) =>
+        dvs(p) = dvs.getOrElse(p, Set.empty) ++ cov
+      }
+      e.dvState.foreach { case (p, cov) => dvs(p) = cov.toSet }
+    }
+    dvs.toSeq.map { case (p, cov) => p -> cov.toSeq.sorted }
+  }
+
   /** The pruned-plan decision: Some when `root`@`version` bases on a
     * COLUMNAR checkpoint whose sidecar holds at least `threshold`
     * rows (the scale at which whole-sidecar driver materialization
@@ -1178,30 +1206,9 @@ object TxLog {
         else {
           val suffix = vs.filter(v => v <= upTo && v > c)
             .map(commitEntry(root, _))
-          // DV fold over the suffix alone: the checkpoint's carried
-          // dvState is already live-filtered at c, and inside the
-          // suffix only removes/dvDrops/dv/dvState change it — the
-          // same transitions applyEntryToState makes, minus the live
-          // half this path exists to avoid materializing
-          val dvs = scala.collection.mutable
-            .LinkedHashMap.empty[String, Set[String]]
-          jsonE.dvState.foreach { case (p, cov) => dvs(p) = cov.toSet }
-          suffix.foreach { e =>
-            e.removes.foreach { r =>
-              if (dvs.nonEmpty) {
-                dvs.mapValuesInPlace((_, cov) => cov - r)
-                dvs.filterInPlace((_, cov) => cov.nonEmpty): Unit
-              }
-            }
-            e.dvDrops.foreach(p => dvs -= p)
-            e.dv.foreach { case (p, cov) =>
-              dvs(p) = dvs.getOrElse(p, Set.empty) ++ cov
-            }
-            e.dvState.foreach { case (p, cov) => dvs(p) = cov.toSet }
-          }
           Some(PrunedPlanInfo(upTo, c,
             io(root).mtime(checkpointPath(root, c)), suffix,
-            dvs.keys.toSeq, n))
+            dvStateFold(jsonE, suffix).map(_._1), n))
         }
       }
     }
@@ -3518,6 +3525,15 @@ object TxLog {
     * version stays readable (this is vacuum's checkpoint step alone,
     * decoupled from reclamation). Returns the checkpointed version.
     */
+  /** Above this sidecar row count, [[checkpoint]] writes the new
+    * checkpoint INCREMENTALLY: the prior sidecar streams through with
+    * the suffix's removes/adds applied row-at-a-time, so
+    * checkpointing a million-file table never materializes its live
+    * set or skipping index on the driver (the write-side twin of the
+    * pruned planning path). Test seam.
+    */
+  private[graft] var checkpointStreamThreshold: Long = 100000L
+
   def checkpoint(root: String, at: Option[Long] = None): Long = {
     val vs = versionsOnDisk(root)
     require(vs.nonEmpty, s"txlog at $root has no commits")
@@ -3525,7 +3541,61 @@ object TxLog {
     require(vs.contains(v), s"version $v not in txlog (have $vs)")
     val cpPath = checkpointPath(root, v)
     if (!io(root).exists(cpPath)) {
-      val (files, dvs) = resolveState(root, v)
+      // incremental base: the newest PRIOR columnar checkpoint big
+      // enough that re-materializing its whole state would hurt
+      val incBase = checkpointsOnDisk(root).filter(_ < v)
+        .filter(c => io(root).exists(checkpointSidecarPath(root, c)))
+        .lastOption
+        .filter(c => checkpointJsonEntry(root, c).columnar)
+        .filter(c => sidecarRowCount(root, c) >= checkpointStreamThreshold)
+      val (dvs, tfiles, tbytes) = incBase match {
+        case Some(c) =>
+          val suffix = vs.filter(x => x > c && x <= v)
+            .map(commitEntry(root, _))
+          val sfx = suffixStateOf(suffix)
+          val hadOrphan =
+            io(root).exists(checkpointSidecarPath(root, v))
+          var nf = 0L
+          var nb = 0L
+          withSidecarWriter(root, v) { write =>
+            // base rows stream through unless the suffix touched the
+            // path (its final state, stats included, is the suffix's
+            // to declare); nothing is ever held beyond one row
+            scanCheckpointSidecar(root, c) { fe =>
+              if (!sfx.touched.contains(fe.path)) {
+                write(fe); nf += 1; nb += fe.bytes.getOrElse(0L)
+              }
+              false
+            }
+            sfx.live.foreach { f =>
+              val fe = entryFromMaps(f, sfx.int, sfx.str, sfx.nulls,
+                sfx.parts, sfx.sizes)
+              write(fe); nf += 1; nb += fe.bytes.getOrElse(0L)
+            }
+          }
+          if (hadOrphan) {
+            // a crashed prior attempt already published the sidecar
+            // (content at a version is deterministic — reused); the
+            // totals come from one stream over it
+            nf = 0L; nb = 0L
+            scanCheckpointSidecar(root, v) { fe =>
+              nf += 1; nb += fe.bytes.getOrElse(0L); false
+            }
+          }
+          (dvStateFold(checkpointJsonEntry(root, c), suffix), nf, nb)
+        case None =>
+          val (files, dvs0) = resolveState(root, v)
+          val live = files.toSet
+          val idx = skippingIndex(root, Some(v))
+          writeCheckpointSidecar(root, v, files,
+            idx.int.filter(kv => live(kv._1)),
+            idx.str.filter(kv => live(kv._1)),
+            idx.nulls.filter(kv => live(kv._1)),
+            idx.parts.filter(kv => live(kv._1)),
+            idx.sizes.filter(kv => live(kv._1)))
+          (dvs0, files.size.toLong,
+            idx.sizes.filter(kv => live(kv._1)).values.sum)
+      }
       def arr(xs: Seq[String]) =
         xs.map("\"" + _ + "\"").mkString("[", ",", "]")
       // the checkpoint carries the ACTIVE CONSTRAINT SET too: a later
@@ -3556,33 +3626,25 @@ object TxLog {
       }.getOrElse("")
       // the PER-FILE state — the live set with its SKIPPING INDEX
       // (per-file [min,max] int + string, row/null counts, partition
-      // values) — goes to the COLUMNAR parquet sidecar, one row per
-      // live file: at 100k–1M files the planning state loads as a
+      // values) — went to the COLUMNAR parquet sidecar above, one row
+      // per live file: at 100k–1M files the planning state loads as a
       // compact columnar stream, never as an O(table) JSON string on
-      // the driver. The sidecar is published FIRST (temp + atomic
-      // move), the JSON half last — a crash between the two leaves an
-      // orphan sidecar no reader ever resolves through, and the next
-      // checkpoint attempt at the version reuses it (content at a
-      // version is deterministic). With the carry, the connector's
-      // FileIndex and every stats-pruned read replay checkpoint +
-      // suffix in O(interval) exactly like resolve, and a vacuum's
-      // truncation cannot drop the surviving files' stats. Dead
-      // files' entries are not carried — only live files are ever
-      // looked up
-      val live = files.toSet
-      val idx = skippingIndex(root, Some(v))
-      writeCheckpointSidecar(root, v, files,
-        idx.int.filter(kv => live(kv._1)),
-        idx.str.filter(kv => live(kv._1)),
-        idx.nulls.filter(kv => live(kv._1)),
-        idx.parts.filter(kv => live(kv._1)),
-        idx.sizes.filter(kv => live(kv._1)))
+      // the driver (and past checkpointStreamThreshold it was WRITTEN
+      // as a stream too — prior sidecar through, suffix applied). The
+      // sidecar publishes FIRST (temp + atomic move), the JSON half
+      // last — a crash between the two leaves an orphan sidecar no
+      // reader ever resolves through, and the next checkpoint attempt
+      // at the version reuses it (content at a version is
+      // deterministic). With the carry, the connector's FileIndex and
+      // every stats-pruned read replay checkpoint + suffix in
+      // O(interval) exactly like resolve, and a vacuum's truncation
+      // cannot drop the surviving files' stats. Dead files' entries
+      // are not carried — only live files are ever looked up
       val pcs = partitionColumns(root, Some(v))
       val pcsJ = if (pcs.isEmpty) "" else s""","partCols":${arr(pcs)}"""
       // live-set totals: the pruned planner's sizeInBytes from the
       // JSON half alone — no sidecar scan per planned query
-      val totJ = s""","tfiles":${files.size},"tbytes":""" +
-        s"${idx.sizes.filter(kv => live(kv._1)).values.sum}"
+      val totJ = s""","tfiles":$tfiles,"tbytes":$tbytes"""
       try io(root).putIfAbsent(cpPath,
         s"""{"v":$v,"cpq":1,"adds":[],"removes":[],""" +
           s""""cset":$cset$dvsJson$bidsJson$schemaJson$pcsJ$totJ}""")
@@ -3632,13 +3694,13 @@ object TxLog {
         |  }
         |}""".stripMargin)
 
-  private[graft] def writeCheckpointSidecar(
-      root: String, v: Long, files: Seq[String],
-      int: Map[String, Map[String, (Long, Long)]],
-      str: Map[String, Map[String, (String, String)]],
-      nulls: Map[String, (Long, Map[String, Long])],
-      parts: Map[String, Map[String, String]],
-      sizes: Map[String, Long] = Map.empty): Unit = {
+  /** Open a sidecar writer for version `v` (temp + atomic move, race
+    * losers drop their copies) and run `body` with a row sink — the
+    * shared plumbing of the map-built full path and the STREAMED
+    * incremental path (which never holds the table's rows at once).
+    */
+  private def withSidecarWriter(root: String, v: Long)(
+      body: (FileEntry => Unit) => Unit): Unit = {
     val target = checkpointSidecarPath(root, v)
     if (io(root).exists(target)) return // complete by move-atomicity
     val tmp = s"$target.tmp-${UUID.randomUUID().toString.take(8)}"
@@ -3653,13 +3715,13 @@ object TxLog {
     val factory =
       new org.apache.parquet.example.data.simple.SimpleGroupFactory(
         sidecarSchema)
-    try writeSidecarRows(writer, factory, files, int, str, nulls,
-      parts, sizes)
-    catch {
+    try {
+      try body(fe => writer.write(sidecarGroup(factory, fe)))
+      finally writer.close()
+    } catch {
       // a failed write (disk full, IO error) must not orphan the tmp
       // under _txlog — nothing ever lists or reclaims tmp names
       case t: Throwable =>
-        try writer.close() catch { case _: Throwable => () }
         io(root).deleteIfExists(tmp)
         throw t
     }
@@ -3676,43 +3738,59 @@ object TxLog {
     }
   }
 
-  private def writeSidecarRows(
-      writer: org.apache.parquet.hadoop.ParquetWriter[
-        org.apache.parquet.example.data.Group],
+  private def sidecarGroup(
       factory: org.apache.parquet.example.data.simple.SimpleGroupFactory,
-      files: Seq[String],
+      fe: FileEntry): org.apache.parquet.example.data.Group = {
+    val g = factory.newGroup()
+    g.append("path", fe.path)
+    fe.rows.foreach(g.append("rows", _))
+    fe.bytes.foreach(g.append("bytes", _))
+    val colNames = (fe.int.keySet ++ fe.str.keySet ++ fe.nulls.keySet ++
+      fe.parts.keySet).toSeq.sorted
+    colNames.foreach { c =>
+      val cg = g.addGroup("cols")
+      cg.append("name", c)
+      fe.int.get(c).foreach { case (mn, mx) =>
+        cg.append("imin", mn); cg.append("imax", mx)
+      }
+      fe.str.get(c).foreach { case (mn, mx) =>
+        cg.append("smin", mn); cg.append("smax", mx)
+      }
+      fe.nulls.get(c).foreach(cg.append("nulls", _))
+      fe.parts.get(c).foreach(cg.append("part", _))
+    }
+    g
+  }
+
+  /** One file's [[FileEntry]] assembled from the per-file maps — the
+    * full (map-built) checkpoint path and the suffix half of the
+    * incremental path.
+    */
+  private def entryFromMaps(f: String,
       int: Map[String, Map[String, (Long, Long)]],
       str: Map[String, Map[String, (String, String)]],
       nulls: Map[String, (Long, Map[String, Long])],
       parts: Map[String, Map[String, String]],
-      sizes: Map[String, Long]): Unit = {
-    try {
-      files.sorted.foreach { f =>
-        val g = factory.newGroup()
-        g.append("path", f)
-        val n = nulls.get(f)
-        n.foreach { case (rows, _) => g.append("rows", rows) }
-        sizes.get(f).foreach(g.append("bytes", _))
-        val colNames = (int.getOrElse(f, Map.empty).keySet ++
-          str.getOrElse(f, Map.empty).keySet ++
-          n.map(_._2.keySet).getOrElse(Set.empty) ++
-          parts.getOrElse(f, Map.empty).keySet).toSeq.sorted
-        colNames.foreach { c =>
-          val cg = g.addGroup("cols")
-          cg.append("name", c)
-          int.get(f).flatMap(_.get(c)).foreach { case (mn, mx) =>
-            cg.append("imin", mn); cg.append("imax", mx)
-          }
-          str.get(f).flatMap(_.get(c)).foreach { case (mn, mx) =>
-            cg.append("smin", mn); cg.append("smax", mx)
-          }
-          n.flatMap(_._2.get(c)).foreach(cg.append("nulls", _))
-          parts.get(f).flatMap(_.get(c)).foreach(cg.append("part", _))
-        }
-        writer.write(g)
-      }
-    } finally writer.close()
-  }
+      sizes: Map[String, Long]): FileEntry =
+    FileEntry(f,
+      rows = nulls.get(f).map(_._1),
+      bytes = sizes.get(f),
+      int = int.getOrElse(f, Map.empty),
+      str = str.getOrElse(f, Map.empty),
+      nulls = nulls.get(f).map(_._2).getOrElse(Map.empty),
+      parts = parts.getOrElse(f, Map.empty))
+
+  private[graft] def writeCheckpointSidecar(
+      root: String, v: Long, files: Seq[String],
+      int: Map[String, Map[String, (Long, Long)]],
+      str: Map[String, Map[String, (String, String)]],
+      nulls: Map[String, (Long, Map[String, Long])],
+      parts: Map[String, Map[String, String]],
+      sizes: Map[String, Long] = Map.empty): Unit =
+    withSidecarWriter(root, v) { write =>
+      files.sorted.foreach(f =>
+        write(entryFromMaps(f, int, str, nulls, parts, sizes)))
+    }
 
   /** One sidecar row decoded — a single live file's planning state.
     * The unit of the PRUNED planning path: a selective query over a

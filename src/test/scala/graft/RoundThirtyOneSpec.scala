@@ -307,6 +307,109 @@ class RoundThirtyOneSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.plan.pruneFileThreshold")
   }
 
+  test("INCREMENTAL checkpoint (prior sidecar streamed through, " +
+      "suffix applied) is equivalent to a full rebuild: same live " +
+      "set, same skipping index, same DV/constraint carry") {
+    val prevT = TxLog.checkpointStreamThreshold
+    TxLog.checkpointStreamThreshold = 1L
+    try {
+      val root = tmpDir("t31inccp")
+      TxLog.init(root)
+      val d = docs.withColumn("parity",
+        when(pmod(col("doc_id"), lit(2)) === 0, "even").otherwise("odd"))
+      TxLog.appendPartitioned(spark, root, d, Seq("lang")) // v0
+      TxLog.checkpoint(root) // base checkpoint (full path — no prior)
+      TxLog.addConstraint(spark, root, "chars_pos", "n_chars >= 0") // v1
+      TxLog.append(spark, root, d.limit(17).coalesce(1)) // v2
+      TxLog.compact(spark, root, 1L << 30) // v3: removes all prior files
+      val ids = docs.select("doc_id").orderBy("doc_id")
+        .limit(3).collect().map(_.getLong(0)).toSeq
+      TxLog.deleteWhereDv(spark, root, "doc_id", ids) // v4: live DV
+      TxLog.append(spark, root, d.limit(5).coalesce(1)) // v5
+      // the index as replayed from base checkpoint + suffix —
+      // restricted to LIVE files: only live paths are ever looked up,
+      // and the suffix replay legitimately keeps dead files' stats in
+      // its merged maps while a checkpoint carries live-only
+      def capture() = {
+        val live = TxLog.resolve(root).files.toSet
+        def liveOnly[V](m: Map[String, V]): Map[String, V] =
+          m.view.filterKeys(live).toMap
+        (live, TxLog.resolve(root).dvFiles.toSet,
+          liveOnly(TxLog.fileStats(root)),
+          liveOnly(TxLog.fileStatsStr(root)),
+          liveOnly(TxLog.fileNullStats(root)),
+          liveOnly(TxLog.filePartitions(root)),
+          TxLog.partitionColumns(root), TxLog.constraints(root),
+          idSet(TxLog.snapshot(spark, root)))
+      }
+      val before = capture()
+      // incremental checkpoint at the tip: the base sidecar STREAMS
+      // through (nothing retained), the suffix's removes/adds apply
+      TxLog.SidecarScanStats.reset()
+      val v = TxLog.checkpoint(root)
+      assert(TxLog.SidecarScanStats.rowsScanned.get() > 0,
+        "the incremental path must stream the prior sidecar")
+      assert(TxLog.SidecarScanStats.entriesRetained.get() === 0L,
+        "the incremental write must not materialize base entries")
+      // everything replays identically THROUGH the new checkpoint
+      TxLog.clearEntryCache()
+      assert(capture() === before,
+        "incremental checkpoint must equal the suffix replay")
+      // and the JSON half records the live-set totals
+      val json = Files.readString(java.nio.file.Paths.get(
+        s"$root/_txlog/" + f"$v%08d.checkpoint.json"))
+      assert(json.contains("\"tfiles\":" + before._1.size))
+      assert(json.contains("\"chars_pos\""),
+        "the constraint set must carry into the incremental checkpoint")
+      // time travel below the new checkpoint still works
+      assert(idSet(TxLog.snapshot(spark, root, Some(2L))) === idSet(
+        d.unionByName(d.limit(17))))
+    } finally TxLog.checkpointStreamThreshold = prevT
+  }
+
+  test("a 500k-file checkpoint advances INCREMENTALLY: the new " +
+      "sidecar is written as a stream with the suffix's remove " +
+      "applied — no O(table) state on the driver") {
+    val root = tmpDir("t31incbig")
+    TxLog.init(root)
+    val n = 500000
+    val files = (0 until n).map(i => f"data/part-synth-$i%06d.parquet")
+    val int = files.zipWithIndex.map { case (f, i) =>
+      f -> Map("doc_id" -> (i.toLong * 100, i.toLong * 100 + 99))
+    }.toMap
+    val sizes = files.map(f => f -> 1024L).toMap
+    TxLog.writeCheckpointSidecar(root, 0L, files, int, Map.empty,
+      Map.empty, Map.empty, sizes)
+    val txdir = java.nio.file.Paths.get(root, "_txlog")
+    Files.writeString(txdir.resolve("00000000.json"),
+      """{"v":0,"op":"append","adds":[],"removes":[],""" +
+        """"rows":0,"rowsRemoved":0}""")
+    Files.writeString(txdir.resolve("00000000.checkpoint.json"),
+      """{"v":0,"cpq":1,"adds":[],"removes":[],"cset":{},""" +
+        s""""tfiles":$n,"tbytes":${n * 1024L}}""")
+    Files.writeString(txdir.resolve("00000001.json"),
+      s"""{"v":1,"op":"delete","adds":[],""" +
+        s""""removes":["${files.head}"],"rows":0,"rowsRemoved":100}""")
+    TxLog.clearEntryCache()
+    TxLog.SidecarScanStats.reset()
+    val t0 = System.nanoTime()
+    TxLog.checkpoint(root, Some(1L)) // 500k ≥ default threshold
+    val ms = (System.nanoTime() - t0) / 1000000
+    assert(TxLog.SidecarScanStats.entriesRetained.get() === 0L,
+      "the incremental write must retain nothing")
+    assert(TxLog.sidecarRowCount(root, 1L) === n - 1L,
+      "the suffix remove must apply in the stream")
+    val json = Files.readString(txdir.resolve("00000001.checkpoint.json"))
+    assert(json.contains("\"tfiles\":" + (n - 1)))
+    assert(json.contains("\"tbytes\":" + (n - 1) * 1024L))
+    info(s"500k-file incremental checkpoint in ${ms}ms")
+    // and the pruned planner keys off the NEW checkpoint: the removed
+    // file's key range now yields no candidate
+    val cands = TxLog.keyCandidates(spark, root,
+      TxLog.Snapshot(1L, Seq.empty), "doc_id", Seq(50L))
+    assert(cands.isEmpty)
+  }
+
   // ---------------- pure-ADD schema conflict relaxation ----------------
 
   private class DelegatingIo(inner: graft.ops.TxIo) extends graft.ops.TxIo {
