@@ -1736,10 +1736,10 @@ object TxLog {
                         eq: Map[String, String],
                         version: Option[Long] = None): DataFrame = {
     require(eq.nonEmpty, "snapshotPartition: empty partition filter")
-    val parts = filePartitions(root)
     prunedSlice(spark, root, version,
-      f => parts.get(f).forall(kv =>
-        eq.forall { case (c, v) => kv.get(c).forall(_ == v) }),
+      view => eq.forall { case (c, v) =>
+        view.parts.get(c).forall(_ == v)
+      },
       eq.map { case (c, v) => col(c) === lit(v) }.reduce(_ && _))
   }
 
@@ -2596,35 +2596,60 @@ object TxLog {
   def snapshotSliceNull(spark: SparkSession, root: String, colName: String,
                         isNull: Boolean,
                         version: Option[Long] = None): DataFrame = {
-    val st = fileNullStats(root)
     val phys = physicalOf(root, colName, version)
     prunedSlice(spark, root, version,
-      f => st.get(f).forall { case (rows, nulls) =>
-        nulls.get(phys).forall(n => if (isNull) n > 0 else n < rows)
+      v => v.rows.forall { rows =>
+        v.nulls.get(phys).forall(n => if (isNull) n > 0 else n < rows)
       },
       if (isNull) col(colName).isNull else col(colName).isNotNull)
   }
 
   /** The shared prune-read-mask-filter pipeline of the slice reads:
-    * files failing `keep` are never listed or opened, the survivors
+    * files `admits` rejects are never listed or opened, the survivors
     * are read under the snapshot's DV masks, and `in` re-applies the
     * exact predicate (pruning is an optimization, not the filter).
+    * Candidate discovery goes through [[candidatesWhere]], so past
+    * the prune threshold a narrow slice of a million-file table
+    * streams the checkpoint sidecar and materializes only its own
+    * files' paths — the eager path (and its loud empty-table
+    * contract) is kept below the threshold. On a pruned-scale table
+    * whose slice is empty, the result is an empty frame shaped by the
+    * log schema (never a loud error — counting live files would cost
+    * the scan this path avoids).
     */
   private def prunedSlice(spark: SparkSession, root: String,
                           version: Option[Long],
-                          keep: String => Boolean,
+                          admits: FileStatsView => Boolean,
                           in: org.apache.spark.sql.Column): DataFrame = {
-    val snap = resolve(root, version)
-    require(snap.files.nonEmpty,
-      s"version ${snap.version} of $root has no live files")
-    val keepFiles = snap.files.filter(keep)
-    if (keepFiles.isEmpty)
-      snapshotImpl(spark, root, version, guard = false)
-        .filter(in).limit(0)
-    else toLogicalAt(root, applyDvMask(spark, root,
+    val pruned =
+      prunedPlanInfo(root, version, pruneThresholdOf(spark))
+        .filter(pi => tableSchema(root, Some(pi.version)).isDefined)
+    val (snapV, dvFiles, keepFiles) = pruned match {
+      case Some(pi) =>
+        val snap = Snapshot(pi.version, Seq.empty, pi.dvFiles)
+        (pi.version, pi.dvFiles,
+          candidatesWhere(spark, root, snap)(admits))
+      case None =>
+        val snap = resolve(root, version)
+        require(snap.files.nonEmpty,
+          s"version ${snap.version} of $root has no live files")
+        (snap.version, snap.dvFiles,
+          candidatesWhere(spark, root, snap)(admits))
+    }
+    if (keepFiles.isEmpty) {
+      if (pruned.isEmpty)
+        snapshotImpl(spark, root, version, guard = false)
+          .filter(in).limit(0)
+      else {
+        val st = tableSchema(root, Some(snapV)).get
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          asNullable(st)).filter(in).limit(0)
+      }
+    } else toLogicalAt(root, applyDvMask(spark, root,
       spark.read.option("mergeSchema", "true")
-        .parquet(keepFiles.map(f => s"$root/$f"): _*), snap.dvFiles,
-      guard = true), Some(snap.version))
+        .parquet(keepFiles.map(f => s"$root/$f"): _*), dvFiles,
+      guard = true), Some(snapV))
       .filter(in)
   }
 
@@ -2640,10 +2665,9 @@ object TxLog {
   def snapshotSliceStr(spark: SparkSession, root: String, colName: String,
                        lo: String, hi: String,
                        version: Option[Long] = None): DataFrame = {
-    val st = fileStatsStr(root)
     val phys = physicalOf(root, colName, version)
     prunedSlice(spark, root, version,
-      f => st.get(f).flatMap(_.get(phys))
+      v => v.str.get(phys)
         .forall { case (mn, mx) => mx >= lo && mn <= hi },
       col(colName) >= lo && col(colName) <= hi)
   }
@@ -2661,10 +2685,9 @@ object TxLog {
   def snapshotSlice(spark: SparkSession, root: String, colName: String,
                     lo: Long, hi: Long,
                     version: Option[Long] = None): DataFrame = {
-    val st = fileStats(root)
     val phys = physicalOf(root, colName, version)
     prunedSlice(spark, root, version,
-      f => st.get(f).flatMap(_.get(phys))
+      v => v.int.get(phys)
         .forall { case (mn, mx) => mx >= lo && mn <= hi },
       col(colName) >= lo && col(colName) <= hi)
   }
@@ -3959,35 +3982,72 @@ object TxLog {
       m(e => e.adds.iterator.map(_ -> e.sourceMtime).toMap))
   }
 
+  /** One live file's recorded planning stats, source-independent —
+    * the predicate surface [[candidatesWhere]] evaluates. Empty maps
+    * / None = not recorded = cannot skip (predicates must be
+    * conservative under absence, and every built-in one is).
+    */
+  private[graft] final case class FileStatsView(
+      int: Map[String, (Long, Long)],
+      str: Map[String, (String, String)],
+      rows: Option[Long],
+      nulls: Map[String, Long],
+      parts: Map[String, String])
+
+  private def pruneThresholdOf(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.plan.pruneFileThreshold")
+      .map(_.toLong).getOrElse(100000L)
+
+  /** The live files `admits` keeps, evaluated over each file's
+    * recorded stats: past the prune threshold the test STREAMS the
+    * checkpoint sidecar — only the admitted files' paths materialize
+    * on the driver, never a full stats map — with the suffix's own
+    * files tested from their commit-recorded stats; smaller tables
+    * filter the eager cached index. Every log-stats candidate
+    * pre-prune (keyed deletes, the slice reads, partition reads)
+    * shares this one path.
+    */
+  private[graft] def candidatesWhere(spark: SparkSession, root: String,
+                                     snap: Snapshot)(
+      admits: FileStatsView => Boolean): Seq[String] =
+    prunedPlanInfo(root, Some(snap.version), pruneThresholdOf(spark))
+      match {
+        case Some(pi) =>
+          val sfx = suffixStateOf(pi.suffix)
+          def ofSuffix(f: String): FileStatsView = FileStatsView(
+            sfx.int.getOrElse(f, Map.empty),
+            sfx.str.getOrElse(f, Map.empty),
+            sfx.nulls.get(f).map(_._1),
+            sfx.nulls.get(f).map(_._2).getOrElse(Map.empty),
+            sfx.parts.getOrElse(f, Map.empty))
+          val base = scanCheckpointSidecar(root, pi.cp) { fe =>
+            !sfx.touched.contains(fe.path) && admits(FileStatsView(
+              fe.int, fe.str, fe.rows, fe.nulls, fe.parts))
+          }.map(_.path)
+          base ++ sfx.live.filter(f => admits(ofSuffix(f)))
+        case None =>
+          val idx = skippingIndex(root, Some(snap.version))
+          def of(f: String): FileStatsView = FileStatsView(
+            idx.int.getOrElse(f, Map.empty),
+            idx.str.getOrElse(f, Map.empty),
+            idx.nulls.get(f).map(_._1),
+            idx.nulls.get(f).map(_._2).getOrElse(Map.empty),
+            idx.parts.getOrElse(f, Map.empty))
+          snap.files.filter(f => admits(of(f)))
+      }
+
   /** Candidate files for an INT-key hit discovery (`deleteWhere` /
     * `deleteWhereDv`): files whose recorded `[min, max]` admits at
-    * least one key, stat-less files conservatively kept. On a
-    * pruned-scale table the test STREAMS the checkpoint sidecar —
-    * only the candidates' paths materialize on the driver, never the
-    * full stats map; smaller tables keep the eager cached map.
+    * least one key, stat-less files conservatively kept.
     */
   private[graft] def keyCandidates(spark: SparkSession, root: String,
                                    snap: Snapshot, keyCol: String,
                                    keys: Seq[Long]): Seq[String] = {
     val phys = physicalOf(root, keyCol, Some(snap.version))
-    def admits(r: (Long, Long)): Boolean =
-      keys.exists(k => k >= r._1 && k <= r._2)
-    val threshold = spark.conf
-      .getOption("spark.graft.plan.pruneFileThreshold")
-      .map(_.toLong).getOrElse(100000L)
-    prunedPlanInfo(root, Some(snap.version), threshold) match {
-      case Some(pi) =>
-        val sfx = suffixStateOf(pi.suffix)
-        val base = scanCheckpointSidecar(root, pi.cp) { fe =>
-          !sfx.touched.contains(fe.path) && fe.int.get(phys).forall(admits)
-        }.map(_.path)
-        base ++ sfx.live.filter(f =>
-          sfx.int.get(f).flatMap(_.get(phys)).forall(admits))
-      case None =>
-        val st = fileStats(root)
-        snap.files.filter(f =>
-          st.get(f).flatMap(_.get(phys)).forall(admits))
-    }
+    candidatesWhere(spark, root, snap)(v =>
+      v.int.get(phys).forall { case (mn, mx) =>
+        keys.exists(k => k >= mn && k <= mx)
+      })
   }
 
   private[graft] def readCheckpointSidecar(root: String, v: Long): SidecarData = {

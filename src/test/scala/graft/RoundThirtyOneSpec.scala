@@ -265,6 +265,15 @@ class RoundThirtyOneSpec extends AnyFunSuite {
     assert(TxLog.SidecarScanStats.rowsScanned.get() === n.toLong)
     assert(TxLog.SidecarScanStats.entriesRetained.get() === 2L,
       "only the admitting files' entries may be materialized")
+    // the generalized candidate surface drives the slice reads the
+    // same way: an int-range predicate over the shared view
+    TxLog.SidecarScanStats.reset()
+    val sliceCands = TxLog.candidatesWhere(spark, root, snap)(v =>
+      v.int.get("doc_id").forall { case (mn, mx) =>
+        mx >= 700L && mn <= 850L
+      })
+    assert(sliceCands.toSet === Set(files(7), files(8)))
+    assert(TxLog.SidecarScanStats.entriesRetained.get() === 2L)
   }
 
   test("pruned planning END-TO-END on a real table (threshold " +
