@@ -313,6 +313,19 @@ class RoundThirtyOneSpec extends AnyFunSuite {
       assert(idSet(v0) === idSet(docs))
       // and agrees with the eager DataFrame API read
       assert(idSet(TxLog.snapshot(spark, root)) === expect)
+      // COLUMN MAPPING × pruned planning: a rename is one metadata
+      // commit; the pruned relation maps the stored physical column
+      // back to the new logical name and filters on it correctly
+      TxLog.renameColumn(spark, root, "n_chars", "nc") // v3
+      val df3 = spark.read.format("graft-table").load(root)
+      assert(index(df3).isInstanceOf[graft.sources.GraftPrunedFileIndex])
+      assert(df3.schema.fieldNames.toSeq === Seq("doc_id", "lang", "nc"))
+      val want = docs.filter(col("doc_id") === ids.last)
+        .head.getAs[Long]("n_chars")
+      assert(df3.filter(col("doc_id") === ids.last)
+        .head.getAs[Long]("nc") === want)
+      assert(df3.filter(col("nc") === want).count() >= 1L)
+      assert(idSet(df3) === expect)
     } finally spark.conf.unset("spark.graft.plan.pruneFileThreshold")
   }
 
