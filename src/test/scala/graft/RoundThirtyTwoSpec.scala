@@ -267,6 +267,58 @@ class RoundThirtyTwoSpec extends AnyFunSuite {
     assert(s.read.format("graft-table").load(root).count() === 7L)
   }
 
+  test("RESTORE across a rename boundary republishes that version's " +
+      "OWN schema: the mapping is per-version metadata like " +
+      "everything else") {
+    val s = sqlSpark
+    val root = tmpDir("t32restmap")
+    TxLog.init(root)
+    TxLog.append(s, root, docs.limit(12).coalesce(1)) // v0: doc_id,lang,n_chars
+    s.sql(s"ALTER TABLE graft_table.`$root` " +
+      "RENAME COLUMN n_chars TO nc") // v1 (data-free)
+    s.sql(s"INSERT INTO graft_table.`$root` VALUES (91000, 'aa', 4)") // v2
+    s.sql(s"ALTER TABLE graft_table.`$root` DROP COLUMN lang") // v3
+    // restore to v1: the insert's file drops out, the schema is v1's
+    // (renamed, lang still present)
+    TxLog.restore(s, root, 1L) // v4
+    val out = s.read.format("graft-table").load(root)
+    assert(out.schema.fieldNames.toSeq === Seq("doc_id", "lang", "nc"))
+    assert(out.count() === 12L)
+    assert(out.filter(col("doc_id") === 91000).count() === 0L,
+      "the post-rename insert must drop out of the restored head")
+    assert(out.filter(col("nc").isNull || col("lang").isNull)
+      .count() === 0L,
+      "restored rows keep their stored values under the v1 mapping")
+    // and the pre-rename version still reads its own names
+    val v0 = s.read.format("graft-table")
+      .option("versionAsOf", "0").load(root)
+    assert(v0.schema.fieldNames.toSeq === Seq("doc_id", "lang", "n_chars"))
+  }
+
+  test("a CDC interval crossing a rename reports each commit's feed " +
+      "under that commit's own names (union null-fills across the " +
+      "boundary — the documented contract)") {
+    val s = sqlSpark
+    val root = tmpDir("t32cdcmap")
+    TxLog.init(root)
+    TxLog.append(s, root, docs.limit(6).coalesce(1)) // v0
+    s.sql(s"INSERT INTO graft_table.`$root` VALUES (92000, 'aa', 1)") // v1
+    s.sql(s"ALTER TABLE graft_table.`$root` " +
+      "RENAME COLUMN n_chars TO nc") // v2 (touches no files — no feed)
+    s.sql(s"INSERT INTO graft_table.`$root` VALUES (92001, 'bb', 2)") // v3
+    val cdc = TxLog.changesBetweenCdc(s, root, 0L, 3L)
+    assert(cdc.columns.contains("n_chars") && cdc.columns.contains("nc"),
+      s"both eras' names appear, null-filled: ${cdc.columns.toSeq}")
+    // v1's insert reports under the OLD name, v3's under the NEW one
+    val r1 = cdc.filter(col("doc_id") === 92000).head
+    assert(r1.getAs[Long]("n_chars") === 1L && r1.isNullAt(
+      r1.fieldIndex("nc")))
+    val r3 = cdc.filter(col("doc_id") === 92001).head
+    assert(r3.getAs[Long]("nc") === 2L && r3.isNullAt(
+      r3.fieldIndex("n_chars")))
+    assert(cdc.filter(col("change_type") =!= "insert").count() === 0L)
+  }
+
   test("a derived mutation racing a RENAME (non-pure-add schema " +
       "winner) still fails loudly and cleans up") {
     val s = sqlSpark
