@@ -1009,6 +1009,63 @@ object SparkEntry {
       p
     })
 
+  /** The TYPE-WIDENING lifecycle, one per (session, sf dir): the even
+    * docs seeded with `nc` as INT (v0), pure-SQL
+    * `ALTER COLUMN nc TYPE BIGINT` (v1 — ONE data-free metadata
+    * commit: the int32 parquet files stay, the logical type widens,
+    * reads upcast per file inside the parquet scan), then a SQL
+    * INSERT of values only a BIGINT can hold (v2). `q_table_sql_
+    * colwiden` reads the head (both widths coexisting) UNION the v0
+    * time travel (its own INT schema, cast for the union).
+    */
+  private val txlogWidenCache = new SessionCache[String]
+
+  private def txlogWidenTable(s: SparkSession, dir: String): String =
+    txlogWidenCache.getOrElseUpdate(s, dir, {
+      val p = s"${annTmp()}/txwiden"
+      graft.ops.TxLog.init(p)
+      s.conf.set("spark.sql.catalog.graft_table",
+        "graft.sources.GraftCatalog")
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        col("lang"), col("n_chars").cast("int").as("nc"))
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .write.format("graft-table").mode("append").save(p) // v0 (int)
+      s.sql(s"ALTER TABLE graft_table.`$p` " +
+        "ALTER COLUMN nc TYPE BIGINT") // v1
+      docs.createOrReplaceTempView("graft_sql_widen_src")
+      s.sql(s"INSERT INTO graft_table.`$p` SELECT doc_id, lang, " +
+        "CAST(nc AS BIGINT) + 3000000000 AS nc " +
+        "FROM graft_sql_widen_src WHERE doc_id % 2 = 1") // v2 (long)
+      p
+    })
+
+  /** The RETENTION-CLAMPED vacuum lifecycle, one per (session, sf
+    * dir): all docs seeded (v0), a deletion-vector delete of the
+    * mod-10 keys (v1), then a NON-forced `vacuum(retainFrom = tip)` —
+    * every commit is seconds old, so the 7-day retention window
+    * CLAMPS the truncation floor back to v0 (WARN, checkpoint at the
+    * clamped floor, nothing a pinned reader could lose).
+    * `q_table_purge_clamped` reads the head UNION the v0 time travel
+    * the clamp preserved — the safe-by-default reclamation path,
+    * bench-visible every round (q_table_purge exercises the forced
+    * path).
+    */
+  private val txlogVacClampCache = new SessionCache[String]
+
+  private def txlogVacClampTable(s: SparkSession, dir: String): String =
+    txlogVacClampCache.getOrElseUpdate(s, dir, {
+      val p = s"${annTmp()}/txvacclamp"
+      graft.ops.TxLog.init(p)
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      graft.ops.TxLog.append(s, p, docs.coalesce(2)) // v0
+      val keys = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      graft.ops.TxLog.deleteWhereDv(s, p, "doc_id", keys) // v1
+      val tip = graft.ops.TxLog.versions(p).max
+      graft.ops.TxLog.vacuum(p, retainFrom = tip): Unit // clamps to v0
+      p
+    })
+
   /** The split-read lifecycle, one per (session, sf dir): a 4-file
     * doc_id-range layout with a deletion-vector delete of the FIVE
     * SMALLEST doc_ids — the mask lands entirely in file 1, so the
@@ -2322,6 +2379,30 @@ object SparkEntry {
         s"FROM graft_table.`$p` " +
         "UNION ALL " +
         "SELECT doc_id, n_chars AS body_chars, lang, 'v0' AS snap " +
+        s"FROM graft_table.`$p` VERSION AS OF 0")
+    }),
+    // SQL ALTER COLUMN TYPE widening (int -> long, one data-free
+    // metadata commit): the head reads int32 and int64 files side by
+    // side (per-file upcast inside the scan), v0 time-travels under
+    // its own INT schema
+    "q_table_sql_colwiden" -> ((s, dir) => {
+      val p = txlogWidenTable(s, dir)
+      s.sql(s"SELECT doc_id, lang, nc, 'head' AS snap " +
+        s"FROM graft_table.`$p` " +
+        "UNION ALL " +
+        "SELECT doc_id, lang, CAST(nc AS BIGINT) AS nc, 'v0' AS snap " +
+        s"FROM graft_table.`$p` VERSION AS OF 0")
+    }),
+    // the retention-CLAMPED (non-forced) vacuum: reclamation asked to
+    // truncate the tip, the 7-day window clamped it to v0 — the head
+    // reads the dv delete, and the v0 the clamp protected still
+    // time-travels
+    "q_table_purge_clamped" -> ((s, dir) => {
+      val p = txlogVacClampTable(s, dir)
+      s.sql(s"SELECT doc_id, lang, n_chars, 'head' AS snap " +
+        s"FROM graft_table.`$p` " +
+        "UNION ALL " +
+        "SELECT doc_id, lang, n_chars, 'v0' AS snap " +
         s"FROM graft_table.`$p` VERSION AS OF 0")
     }),
     // merge-on-read delete confined to ONE of four range files: the
@@ -5182,6 +5263,31 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, n_chars AS body_chars, lang, 'v0' AS snap
         |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
+    // the widening lifecycle's semantics: the even seed keeps its int
+    // values (read wide), the odd insert landed shifted past the
+    // int32 range, and v0 replays the even seed
+    "q_table_sql_colwiden" ->
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS nc,
+        |       'head' AS snap
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, lang,
+        |       CAST(n_chars AS BIGINT) + 3000000000 AS nc,
+        |       'head' AS snap
+        |FROM documents WHERE doc_id % 2 = 1
+        |UNION ALL
+        |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS nc,
+        |       'v0' AS snap
+        |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
+    // the clamped-vacuum lifecycle's semantics: head = the dv
+    // delete's survivors; v0 = everything (the retention clamp
+    // refused to truncate it)
+    "q_table_purge_clamped" ->
+      """SELECT doc_id, lang, n_chars, 'head' AS snap FROM documents
+        |WHERE doc_id % 10 <> 0
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars, 'v0' AS snap
+        |FROM documents""".stripMargin,
     // the pruned-planning lifecycle's semantics: everything but the
     // five smallest ids (masked by the suffix's deletion vector)
     "q_table_pruned_scan" ->

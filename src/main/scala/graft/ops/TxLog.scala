@@ -397,6 +397,7 @@ object TxLog {
                                    org.apache.spark.sql.types.StructType] =
                                    None)
       : Unit = {
+    checkProtocolWrite(root)
     (adds ++ removes).foreach(p =>
       require(SafePath.matches(p), s"unsafe path in commit: $p"))
     require(SafeOp.matches(op), s"unsafe op in commit: $op")
@@ -754,6 +755,7 @@ object TxLog {
           parts = parts, partCols = partCols, mergeKey = mergeKey,
           schema = schema, knownMeta = Some(meta),
           knownRowsRemoved = Some(rowsRemoved))
+        maybeAutoCheckpoint(root, next)
         return next
       } catch {
         case e: CommitConflict =>
@@ -787,12 +789,25 @@ object TxLog {
             while (out.isEmpty) {
               try out = Some(analyzeOnce())
               catch {
+                // only NON-fatal failures are retried: an OOM or an
+                // interrupt must surface immediately (still cleaning
+                // up the staged files), never be slept through
+                case t if !scala.util.control.NonFatal(t) =>
+                  staged.foreach(f => io(root).deleteIfExists(s"$root/$f"))
+                  throw t
                 case t: Throwable =>
                   tries += 1
                   if (tries > AnalysisRetries)
                     cleanupAndFail(t, "the conflict analysis failed " +
                       s"$tries times (${t.getMessage})")
-                  Thread.sleep(25L << tries)
+                  try Thread.sleep(25L << tries)
+                  catch {
+                    case ie: InterruptedException =>
+                      // restore the flag for the caller's own checks
+                      Thread.currentThread().interrupt()
+                      cleanupAndFail(ie,
+                        "interrupted during conflict-analysis backoff")
+                  }
               }
             }
             out.get
@@ -869,6 +884,10 @@ object TxLog {
       // sidecar scan
       tbytes: Option[Long] = None,
       tfiles: Option[Long] = None,
+      // the (minReader, minWriter) protocol this commit demands of
+      // every later reader/writer — the feature gate that makes the
+      // otherwise-additive commit grammar SAFELY extensible
+      protocol: Option[(Long, Long)] = None,
       columnar: Boolean = false,
       // the PUBLISH time of the on-disk file this entry parsed from
       // (the cache key's mtime) — the listing-free planner's
@@ -966,6 +985,11 @@ object TxLog {
       cexpr = strOpt("cexpr"),
       tbytes = longOpt("tbytes"),
       tfiles = longOpt("tfiles"),
+      protocol = field("protocol").filter(_.isObject).map { p =>
+        def v(k: String): Long = Option(p.get(k)).filter(_.isNumber)
+          .map(_.asLong()).getOrElse(1L)
+        (v("r"), v("w"))
+      },
       columnar = {
         // FORMAT COMPATIBILITY RULE: `cpq` versions the columnar-
         // checkpoint layout. A reader must refuse a cpq it does not
@@ -1204,6 +1228,7 @@ object TxLog {
         val jsonE = checkpointJsonEntry(root, c)
         if (!jsonE.columnar) None
         else {
+          checkProtocolRead(root, upTo)
           val suffix = vs.filter(v => v <= upTo && v > c)
             .map(commitEntry(root, _))
           Some(PrunedPlanInfo(upTo, c,
@@ -1270,6 +1295,7 @@ object TxLog {
     require(vs.nonEmpty, s"txlog at $root has no commits")
     val upTo = version.getOrElse(vs.max)
     require(vs.contains(upTo), s"version $upTo not in txlog (have $vs)")
+    checkProtocolRead(root, upTo)
     val (files, dvs) = resolveState(root, upTo)
     Snapshot(upTo, files, dvs.map(_._1))
   }
@@ -1385,8 +1411,8 @@ object TxLog {
     // (Delta's metadata action) instead of being re-derived from
     // footers — the semantics are the same
     val masked = applyDvMask(spark, root,
-      spark.read.option("mergeSchema", "true")
-        .parquet(snap.files.map(f => s"$root/$f"): _*),
+      readRawFiles(spark, root, snap.files.map(f => s"$root/$f"),
+        Some(snap.version)),
       snap.dvFiles, guard = guard)
     // a LOG-recorded column no live file carries yet (ALTER TABLE ADD
     // COLUMN before any data supplies it; a delete that retired every
@@ -1454,16 +1480,39 @@ object TxLog {
     org.apache.spark.sql.types.StructType(
       st.fields.map(_.copy(nullable = true)))
 
+  /** `graft.physical` stripped from every field: an EXTERNALLY
+    * supplied schema (a batch's `df.schema`, an overwrite's new shape)
+    * may carry column-mapping metadata copied from some OTHER mapped
+    * table the frame was read from. Recording it verbatim would bind
+    * this table's logical names to physical parquet names its own
+    * files never stored — the files hold the frame's LOGICAL names —
+    * and the mapped column would silently read NULL everywhere (data
+    * loss). Mapping metadata is trusted only when it originates from
+    * THIS table's own recorded schema (rename/drop/addColumns stamp
+    * it themselves).
+    */
+  private def stripMapping(st: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    if (!mappingMode(st)) st
+    else org.apache.spark.sql.types.StructType(st.fields.map { f =>
+      if (!f.metadata.contains(PhysicalNameKey)) f
+      else f.copy(metadata = new org.apache.spark.sql.types
+        .MetadataBuilder().withMetadata(f.metadata)
+        .remove(PhysicalNameKey).build())
+    })
+
   /** The schema a data commit records: the previously recorded schema
     * widened by the batch's NEW columns (parquet-mergeSchema's
     * top-level semantics; the schema never shrinks — Delta's
     * contract). A same-name type conflict records nothing, so readers
     * fall back to the footer sweep rather than trust a wrong action.
+    * The batch side is mapping-stripped ([[stripMapping]]): only the
+    * table's OWN recorded schema may speak for its physical layout.
     */
   private def mergedSchemaFor(root: String,
                               batch: org.apache.spark.sql.types.StructType)
       : Option[org.apache.spark.sql.types.StructType] = {
-    val b = asNullable(batch)
+    val b = asNullable(stripMapping(batch))
     tableSchema(root) match {
       case None => Some(b)
       case Some(prev) =>
@@ -1528,7 +1577,7 @@ object TxLog {
           schema = mergedSchemaFor(root, df.schema))
         out = Some(next)
       } catch {
-        case e: IllegalStateException =>
+        case e: CommitConflict =>
           races += 1
           if (races >= 1000) {
             adds.foreach(f => io(root).deleteIfExists(s"$root/$f"))
@@ -1539,6 +1588,12 @@ object TxLog {
           // gate must hold for the version this batch will actually
           // land at, not the one it was first validated against
           validateStaged(spark, root, adds, "append")
+        // anything that is NOT the version-race signal (a protocol
+        // refusal, a genuine corruption error) fails immediately —
+        // retrying cannot fix it — and must not leak the staged files
+        case e: IllegalStateException =>
+          adds.foreach(f => io(root).deleteIfExists(s"$root/$f"))
+          throw e
       }
     }
     maybeAutoCheckpoint(root, out.get)
@@ -1585,7 +1640,7 @@ object TxLog {
           schema = mergedSchemaFor(root, df.schema))
         out = Some(next)
       } catch {
-        case e: IllegalStateException =>
+        case e: CommitConflict =>
           races += 1
           if (races >= 1000) {
             adds.foreach(f => io(root).deleteIfExists(s"$root/$f"))
@@ -1594,6 +1649,10 @@ object TxLog {
                 "races; giving up", e)
           }
           validateStaged(spark, root, adds, "partitioned append")
+        // non-race failures surface immediately, staged files cleaned
+        case e: IllegalStateException =>
+          adds.foreach(f => io(root).deleteIfExists(s"$root/$f"))
+          throw e
       }
     }
     maybeAutoCheckpoint(root, out.get)
@@ -1763,8 +1822,12 @@ object TxLog {
       writeCommit(root, next, adds, cur.map(_.files).getOrElse(Seq.empty),
         op = "overwrite",
         dvDrops = cur.map(_.dvFiles).getOrElse(Seq.empty),
-        schema = Some(asNullable(df.schema)))
+        // mapping-stripped: the files hold the frame's own (logical)
+        // names, so a mapping copied from a source table would make
+        // renamed columns read NULL — see [[stripMapping]]
+        schema = Some(asNullable(stripMapping(df.schema))))
     }
+    maybeAutoCheckpoint(root, next)
     next
   }
 
@@ -1776,11 +1839,16 @@ object TxLog {
     io(root).exists(logDir(root)) && versionsOnDisk(root).nonEmpty
 
   /** Delta-style periodic log checkpoint: every [[CheckpointInterval]]
-    * commits, the append paths write the replay base so snapshot and
-    * constraint resolution stay O(interval) on a long-lived table.
-    * Data-free and race-safe (a concurrent loser is a no-op).
+    * commits, EVERY commit path (append, derived mutation, row-level
+    * op, metadata) writes the replay base so snapshot and constraint
+    * resolution stay O(interval) on a long-lived table however it is
+    * written — a merge-heavy table must not grow an unbounded suffix
+    * just because nothing ever appended. Cheap at any size now that
+    * big checkpoints stream incrementally (prior sidecar through,
+    * suffix applied). Data-free and race-safe (a concurrent loser is
+    * a no-op). Test seam: specs shrink it to prove the cadence.
     */
-  private val CheckpointInterval = 64L
+  private[graft] var CheckpointInterval = 64L
 
   private def maybeAutoCheckpoint(root: String, version: Long): Unit =
     if (version > 0 && version % CheckpointInterval == 0)
@@ -1814,7 +1882,7 @@ object TxLog {
     // masks: an unmasked read would count already-deleted rows as hits
     // and — fatally — RESURRECT them in the survivor rewrite
     val affectedAbs = toLogicalAt(root, applyDvMask(spark, root,
-        spark.read.option("mergeSchema", "true").parquet(abs: _*)
+        readRawFiles(spark, root, abs, Some(snap.version))
           .withColumn("__path", col("_metadata.file_path")),
         snap.dvFiles), Some(snap.version))
       .filter(hit)
@@ -1829,8 +1897,8 @@ object TxLog {
     // bare filter would silently erase NULL-key rows from the rewrite
     val adds = stage(spark, root,
       toLogicalAt(root, applyDvMask(spark, root,
-        spark.read.option("mergeSchema", "true")
-          .parquet(affectedAbs.toIndexedSeq: _*), snap.dvFiles),
+        readRawFiles(spark, root, affectedAbs.toIndexedSeq,
+          Some(snap.version)), snap.dvFiles),
         Some(snap.version))
         .filter(col(keyCol).isNull || !hit))
     val removes = affectedAbs.toSeq.map(relToRoot(root, _))
@@ -1883,8 +1951,8 @@ object TxLog {
     // evolution semantics), and the raw footer-merged frame could not
     // resolve it
     val affected = toLogicalAt(root, applyDvMask(spark, root,
-      spark.read.option("mergeSchema", "true")
-        .parquet(affectedAbs.toIndexedSeq: _*), snap.dvFiles),
+      readRawFiles(spark, root, affectedAbs.toIndexedSeq,
+        Some(snap.version)), snap.dvFiles),
       Some(snap.version))
     val aligned = alignToSchema(affected,
       tableSchema(root, Some(snap.version))
@@ -1986,8 +2054,8 @@ object TxLog {
     // in the ledger); `isin` never matches NULL keys — correct DELETE
     // WHERE key IN (...) semantics
     val hits = toLogicalAt(root, applyDvMask(spark, root,
-        spark.read.option("mergeSchema", "true")
-          .parquet(candidates.map(f => s"$root/$f"): _*),
+        readRawFiles(spark, root, candidates.map(f => s"$root/$f"),
+          Some(snap.version)),
         snap.dvFiles, keepKeys = true), Some(snap.version))
       .filter(col(keyCol).isin(keys: _*))
       .select(col("__dv_f").as("file"), col("__dv_p").as("pos"))
@@ -2242,8 +2310,8 @@ object TxLog {
     if (candidates.isEmpty) return None
     val adds = stage(spark, root,
       toLogicalAt(root, applyDvMask(spark, root,
-        spark.read.option("mergeSchema", "true")
-          .parquet(candidates.map(f => s"$root/$f"): _*),
+        readRawFiles(spark, root, candidates.map(f => s"$root/$f"),
+          Some(snap.version)),
         snap.dvFiles), Some(snap.version)))
     // layout no-op over the candidate files only: a concurrent append
     // or a disjoint mutation elsewhere must not force a re-purge
@@ -2270,8 +2338,8 @@ object TxLog {
     // DV mask keys) before the semi-join. Masked rows are not hits and
     // must not survive into the rewrite
     val hitAbs = applyDvMask(spark, root,
-        spark.read.option("mergeSchema", "true")
-          .parquet(snap.files.map(f => s"$root/$f"): _*)
+        readRawFiles(spark, root, snap.files.map(f => s"$root/$f"),
+          Some(snap.version))
           .select(col(physicalOf(root, keyCol, Some(snap.version)))
             .as(keyCol), col("_metadata.file_path").as("__f"),
             col("_metadata")),
@@ -2281,8 +2349,8 @@ object TxLog {
     val survivors =
       if (hitAbs.isEmpty) updates.limit(0)
       else toLogicalAt(root, applyDvMask(spark, root,
-        spark.read.option("mergeSchema", "true")
-          .parquet(hitAbs.toIndexedSeq: _*), snap.dvFiles),
+        readRawFiles(spark, root, hitAbs.toIndexedSeq,
+          Some(snap.version)), snap.dvFiles),
         Some(snap.version))
         .join(keys, Seq(keyCol), "left_anti")
     val adds = stage(spark, root, survivors.unionByName(updates))
@@ -2344,8 +2412,8 @@ object TxLog {
     val common = hit.map(parts(_))
       .reduce((a, b) => a.filter { case (k, v) => b.get(k).contains(v) })
     val df = toLogicalAt(root, applyDvMask(spark, root,
-      spark.read.option("mergeSchema", "true")
-        .parquet(hit.map(f => s"$root/$f"): _*), snap.dvFiles),
+      readRawFiles(spark, root, hit.map(f => s"$root/$f"),
+        Some(snap.version)), snap.dvFiles),
       Some(snap.version))
     val adds = stage(spark, root,
       Maintenance.zorderLayout(df, cols, numFiles))
@@ -2416,8 +2484,8 @@ object TxLog {
       constraintsAt(root, toVersion).toSet).toMap
     if (newConstraints.nonEmpty && tFiles.nonEmpty) {
       val restored0 = toLogicalAt(root, applyDvMask(spark, root,
-        spark.read.option("mergeSchema", "true")
-          .parquet(tFiles.map(f => s"$root/$f"): _*),
+        readRawFiles(spark, root, tFiles.map(f => s"$root/$f"),
+          Some(toVersion)),
         tDvs.map(_._1)), Some(toVersion))
       // the CHECK contract for a pre-evolution target: a column the
       // constraint references that the target lacks evaluates as NULL
@@ -2647,8 +2715,8 @@ object TxLog {
           asNullable(st)).filter(in).limit(0)
       }
     } else toLogicalAt(root, applyDvMask(spark, root,
-      spark.read.option("mergeSchema", "true")
-        .parquet(keepFiles.map(f => s"$root/$f"): _*), dvFiles,
+      readRawFiles(spark, root, keepFiles.map(f => s"$root/$f"),
+        Some(snapV)), dvFiles,
       guard = true), Some(snapV))
       .filter(in)
   }
@@ -2755,7 +2823,7 @@ object TxLog {
             schema = mergedSchemaFor(root, batch.schema))
           out = Some(Some(next))
         } catch {
-          case e: IllegalStateException =>
+          case e: CommitConflict =>
             races += 1
             // same bail-out as append: a pathological conflict stream
             // must not spin this loop (and re-run validateStaged)
@@ -2767,6 +2835,10 @@ object TxLog {
                   "races; giving up", e)
             }
             validateStaged(spark, root, adds, "streaming commit")
+          // non-race failures surface immediately, staged cleaned
+          case e: IllegalStateException =>
+            adds.foreach(f => io(root).deleteIfExists(s"$root/$f"))
+            throw e
         }
     }
     out.get.foreach(maybeAutoCheckpoint(root, _))
@@ -2858,8 +2930,8 @@ object TxLog {
     def readSide(files: Seq[String], dv: Seq[String]): Option[DataFrame] =
       if (files.isEmpty) None
       else Some(toLogicalAt(root, applyDvMask(spark, root,
-        spark.read.option("mergeSchema", "true")
-          .parquet(files.map(f => s"$root/$f"): _*), dv, guard = true),
+        readRawFiles(spark, root, files.map(f => s"$root/$f"),
+          Some(toV)), dv, guard = true),
         Some(toV)))
     val addedOpt = readSide(addedF, toS.dvFiles)
     val removedOpt = readSide(removedF, fromS.dvFiles)
@@ -2887,8 +2959,8 @@ object TxLog {
         if (touched.isEmpty) None
         else {
           val paths = common.filter(f => touched(fileNameOf(f)))
-          val rows = spark.read.option("mergeSchema", "true")
-            .parquet(paths.map(f => s"$root/$f"): _*)
+          val rows = readRawFiles(spark, root,
+            paths.map(f => s"$root/$f"), Some(toV))
             .withColumn("__dv_f",
               element_at(split(col("_metadata.file_path"), "/"), -1))
             .withColumn("__dv_p", col("_metadata.row_index"))
@@ -2980,6 +3052,35 @@ object TxLog {
     def snapAt(v: Long): Snapshot =
       Snapshot(v, live.toSeq, dvs.keys.toSeq)
     var prev = snapAt(fromV)
+    // RENAME boundaries: each commit's feed initially speaks that
+    // commit's OWN logical names; physical parquet names are stable
+    // across renames, so feed column c at v maps
+    // (logical@v -> physical -> logical@toV) to the INTERVAL-HEAD
+    // name. The union below then carries ONE coherent column through
+    // a rename instead of null-filled halves under both names — a
+    // downstream incremental MERGE consumes the head schema directly.
+    // Columns whose physical the head no longer maps (dropped inside
+    // the interval) keep their own names (null-filled, still
+    // reported); a pathological rename web that would collide two
+    // output names falls back to the commit's own names.
+    val phys2head: Map[String, String] =
+      tableSchema(root, Some(toV)).map(st =>
+        st.fields.iterator.map(f => physicalNameOf(f) -> f.name).toMap)
+        .getOrElse(Map.empty)
+    def alignToHead(df: DataFrame, v: Long): DataFrame = {
+      if (phys2head.isEmpty) return df
+      val log2phys: Map[String, String] = tableSchema(root, Some(v))
+        .map(st => st.fields.iterator
+          .map(f => f.name -> physicalNameOf(f)).toMap)
+        .getOrElse(Map.empty)
+      val renamed = df.columns.map { c =>
+        if (c == "change_type") c
+        else phys2head.getOrElse(log2phys.getOrElse(c, c), c)
+      }
+      if (renamed.distinct.length != renamed.length) df
+      else if (renamed.sameElements(df.columns)) df
+      else df.toDF(renamed.toIndexedSeq: _*)
+    }
     val feeds = vs.flatMap { v =>
       val e = commitEntry(root, v)
       // metadata-only commits (constraints) cannot change rows — skip
@@ -2990,7 +3091,8 @@ object TxLog {
       else {
         applyEntryToState(live, dvs, e)
         val cur = snapAt(v)
-        val out = cdcOfCommit(spark, root, prev, cur, e.mergeKey)
+        val out = alignToHead(
+          cdcOfCommit(spark, root, prev, cur, e.mergeKey), v)
         prev = cur
         Some(out)
       }
@@ -3089,6 +3191,103 @@ object TxLog {
       }
   }
 
+  // ---------- protocol action (reader/writer feature gates) ----------
+  //
+  // The commit grammar tolerates unknown JSON keys — additive
+  // evolution is free — which means a future action type whose ABSENCE
+  // from the replay corrupts state (a new kind of remove, a different
+  // liveness rule) would be silently dropped by an old binary, not
+  // refused. The checkpoint sidecar already has `cpq` for its own
+  // layout; this is the same gate for the COMMIT grammar, Delta's
+  // protocol action: a table records the minimum reader/writer
+  // protocol it requires, every read path refuses BY NAME when the
+  // table demands a newer reader, every write path when it demands a
+  // newer writer. Tables with no protocol action are implicitly
+  // (1, 1), so existing logs are untouched. A future library version
+  // that adds a replay-relevant action must bump the demanded
+  // protocol in the same commit that first uses it.
+
+  /** The protocol versions THIS binary understands. Vars only as a
+    * test seam — specs impersonate a newer binary to prove the
+    * checkpoint carries the demand across a vacuum truncation; real
+    * code must treat them as constants.
+    */
+  private[graft] var SupportedReaderProtocol = 1L
+  private[graft] var SupportedWriterProtocol = 1L
+
+  /** The protocol in force at `upTo`: the newest `set-protocol` commit
+    * at or below it, seeded from the newest checkpoint's carried
+    * protocol (a vacuum may truncate the set-protocol commit itself —
+    * the checkpoint carries the demand across the truncation).
+    */
+  private[graft] def protocolAt(root: String, upTo: Long): (Long, Long) = {
+    val cp = checkpointsOnDisk(root).filter(_ <= upTo).lastOption
+    val fromCp = cp.flatMap(c => checkpointJsonEntry(root, c).protocol)
+      .getOrElse((1L, 1L))
+    versionsOnDisk(root)
+      .filter(v => v <= upTo && cp.forall(v > _))
+      .foldLeft(fromCp)((acc, v) =>
+        commitEntry(root, v).protocol.getOrElse(acc))
+  }
+
+  /** Refuse to PLAN/READ a version demanding a newer reader. Runs in
+    * [[resolve]] and [[prunedPlanInfo]], so every snapshot, connector
+    * scan, mutation's base resolution, and pruned million-file plan
+    * passes through it; the per-call cost is cached commit parses
+    * over the post-checkpoint suffix — the same O(interval) the
+    * resolve itself pays.
+    */
+  private def checkProtocolRead(root: String, upTo: Long): Unit = {
+    val (r, _) = protocolAt(root, upTo)
+    if (r > SupportedReaderProtocol)
+      throw new IllegalStateException(
+        s"table at $root requires reader protocol $r; this binary " +
+          s"supports $SupportedReaderProtocol — upgrade the library " +
+          "(refusing to replay a log written under a newer protocol: " +
+          "its commits may carry actions this reader would silently " +
+          "drop)")
+  }
+
+  /** Refuse to COMMIT against a table demanding a newer writer. Runs
+    * in [[writeCommit]] and [[commitMetadata]] — the two publish
+    * choke points every commit path funnels through.
+    */
+  private def checkProtocolWrite(root: String): Unit = {
+    val tip = versionsOnDisk(root).lastOption.getOrElse(return)
+    val (_, w) = protocolAt(root, tip)
+    if (w > SupportedWriterProtocol)
+      throw new IllegalStateException(
+        s"table at $root requires writer protocol $w; this binary " +
+          s"supports $SupportedWriterProtocol — upgrade the library " +
+          "(a commit written under older rules could violate an " +
+          "invariant the newer protocol's readers rely on)")
+  }
+
+  /** Raise the table's required protocol — ONE data-free metadata
+    * commit. Only versions this binary itself understands may be
+    * demanded (a writer cannot require of others what it cannot
+    * honor), and the demand never lowers: recording keeps the
+    * per-component max of the current and requested versions
+    * (recomputed per attempt on a lost version race).
+    */
+  def upgradeProtocol(root: String, minReader: Long,
+                      minWriter: Long): Long = {
+    require(minReader >= 1 && minWriter >= 1,
+      "protocol versions start at 1")
+    require(minReader <= SupportedReaderProtocol &&
+      minWriter <= SupportedWriterProtocol,
+      s"cannot demand protocol ($minReader,$minWriter): this binary " +
+        s"supports ($SupportedReaderProtocol,$SupportedWriterProtocol) " +
+        "and must not require of others what it cannot honor")
+    def frag(): String = {
+      val tip = versionsOnDisk(root).lastOption.getOrElse(-1L)
+      val (r0, w0) = if (tip < 0) (1L, 1L) else protocolAt(root, tip)
+      s""""protocol":{"r":${math.max(r0, minReader)},""" +
+        s""""w":${math.max(w0, minWriter)}}"""
+    }
+    commitMetadata(root, () => frag(), "set-protocol")
+  }
+
   /** Add a CHECK constraint as a commit: from this version on, every
     * append / streaming commit / merge must satisfy `sqlExpr` row-wise
     * (NULL counts as a violation, the CHECK contract). EXISTING rows
@@ -3157,8 +3356,13 @@ object TxLog {
         require(!cur.fieldNames.contains(f.name),
           s"column '${f.name}' already exists on $root"))
       val mapped = mappingMode(cur)
+      // caller-supplied fields are mapping-stripped: a StructField
+      // lifted from another mapped table's schema must not bind a
+      // physical name this table's files never stored
+      val clean = stripMapping(
+        org.apache.spark.sql.types.StructType(newFields))
       org.apache.spark.sql.types.StructType(
-        asNullable(cur).fields ++ newFields.map { f =>
+        asNullable(cur).fields ++ clean.fields.map { f =>
           val g = f.copy(nullable = true)
           // mapping mode: a FRESH physical name, so re-adding a
           // dropped column's logical name can never resurrect its
@@ -3331,6 +3535,57 @@ object TxLog {
     commitMetadata(root, () => schemaFrag(dropped()), "set-schema")
   }
 
+  /** ALTER TABLE ... ALTER COLUMN ... TYPE as ONE data-free metadata
+    * commit, for WIDENING conversions only (byte < short < int < long;
+    * float → double): the physical parquet type in the immutable data
+    * files stays what each file stored, the LOGICAL type widens in the
+    * recorded schema, and reads upcast per file inside Spark's parquet
+    * reader (its type-widening support — the same mechanism Delta's
+    * type widening rides). The commit stamps mapping mode: the
+    * recorded schema becomes the read authority ([[readRawFiles]]
+    * reads with the explicit physical schema — a footer MERGE would
+    * refuse the mixed int32/int64 footers), which is also what makes
+    * the log's skipping stats compare in the logical domain (int stats
+    * are stored as longs at every width). Narrowing and incompatible
+    * changes refuse loudly; partition columns refuse (their values are
+    * directory-encoded and typed by the layout). Recomputed per
+    * attempt on a lost version race.
+    */
+  def widenColumnType(spark: SparkSession, root: String, name: String,
+                      to: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.types._
+    def rank(dt: DataType): Option[Int] = dt match {
+      case ByteType => Some(0)
+      case ShortType => Some(1)
+      case IntegerType => Some(2)
+      case LongType => Some(3)
+      case _ => None
+    }
+    def widens(from: DataType, t: DataType): Boolean = (from, t) match {
+      case (FloatType, DoubleType) => true
+      case _ =>
+        (for { a <- rank(from); b <- rank(t) } yield a < b)
+          .getOrElse(false)
+    }
+    def widened(): StructType = {
+      val cur = recordedSchemaOrRefuse(root, "ALTER COLUMN TYPE")
+      val f = cur.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column '$name' on $root"))
+      require(widens(f.dataType, to),
+        s"cannot alter column '$name' of $root from " +
+          s"${f.dataType.simpleString} to ${to.simpleString}: only " +
+          "widening conversions (byte<short<int<long, float->double) " +
+          "are data-free — anything else would reinterpret or " +
+          "truncate stored values")
+      require(!partitionColumns(root).contains(name),
+        s"cannot widen partition column '$name': its values are " +
+          "directory-encoded and typed by the table layout")
+      StructType(stampPhysical(asNullable(cur)).fields.map(g =>
+        if (g.name == name) g.copy(dataType = to) else g))
+    }
+    commitMetadata(root, () => schemaFrag(widened()), "set-schema")
+  }
+
   /** The staging choke point's mapping step: under mapping mode,
     * logical columns rename to their physical names and UNKNOWN
     * columns refuse loudly (write-side evolution cannot know whether
@@ -3368,6 +3623,33 @@ object TxLog {
     * column's stored bytes and is projected off (it must never shadow
     * a live logical name). The identity on every unmapped table.
     */
+  /** RAW read of the given ABSOLUTE data-file paths. Under mapping
+    * mode the read carries the EXPLICIT physical schema derived from
+    * the recorded schema at `version` — physical names, logical
+    * (possibly type-WIDENED) top-level types, no field metadata:
+    * zero footer sweeps at plan time, and files written before an
+    * ALTER COLUMN TYPE widening upcast INSIDE Spark's parquet reader
+    * (int32→int64, float→double — the reader's type-widening support;
+    * a footer MERGE would refuse the mixed footers outright). Dropped
+    * columns' stored bytes are never requested. Unmapped tables keep
+    * the footer-merged read: their footer view may legitimately be
+    * wider than the recorded action (the documented type-conflict
+    * fallback), and mapping mode — which refuses implicit evolution —
+    * is what makes the recorded schema authoritative.
+    */
+  private def readRawFiles(spark: SparkSession, root: String,
+                           abs: Seq[String],
+                           version: Option[Long]): DataFrame =
+    tableSchema(root, version) match {
+      case Some(st) if mappingMode(st) =>
+        val phys = org.apache.spark.sql.types.StructType(
+          st.fields.map(f => org.apache.spark.sql.types.StructField(
+            physicalNameOf(f), f.dataType, nullable = true)))
+        spark.read.schema(phys).parquet(abs: _*)
+      case _ =>
+        spark.read.option("mergeSchema", "true").parquet(abs: _*)
+    }
+
   private[graft] def toLogicalDf(df: DataFrame,
       st: org.apache.spark.sql.types.StructType): DataFrame = {
     val m = columnMapping(st)
@@ -3410,6 +3692,7 @@ object TxLog {
   private def commitMetadata(root: String, fields: () => String,
                              op: String,
                              onConflict: () => Unit = () => ()): Long = {
+    checkProtocolWrite(root)
     var out: Option[Long] = None
     var races = 0
     while (out.isEmpty) {
@@ -3420,13 +3703,14 @@ object TxLog {
             s""""rows":0,"rowsRemoved":0,${fields()}}""")
         out = Some(next)
       } catch {
-        case e: IllegalStateException =>
+        case e: CommitConflict =>
           races += 1
           if (races >= 1000) throw new IllegalStateException(
             s"txlog $op at $root lost $races version races; giving up", e)
           onConflict()
       }
     }
+    maybeAutoCheckpoint(root, out.get)
     out.get
   }
 
@@ -3576,11 +3860,14 @@ object TxLog {
           val suffix = vs.filter(x => x > c && x <= v)
             .map(commitEntry(root, _))
           val sfx = suffixStateOf(suffix)
-          val hadOrphan =
-            io(root).exists(checkpointSidecarPath(root, v))
           var nf = 0L
           var nb = 0L
-          withSidecarWriter(root, v) { write =>
+          // synopsis at v: physical names are rename-stable, so base
+          // rows re-encode their flat stats under the same entries;
+          // base SORT order streams through unchanged (suffix adds
+          // append at the tail — small by the checkpoint cadence)
+          val syn = sidecarSynopsisAt(root, v)
+          val wrote = withSidecarWriter(root, v, syn) { write =>
             // base rows stream through unless the suffix touched the
             // path (its final state, stats included, is the suffix's
             // to declare); nothing is ever held beyond one row
@@ -3596,10 +3883,16 @@ object TxLog {
               write(fe); nf += 1; nb += fe.bytes.getOrElse(0L)
             }
           }
-          if (hadOrphan) {
-            // a crashed prior attempt already published the sidecar
-            // (content at a version is deterministic — reused); the
-            // totals come from one stream over it
+          if (!wrote) {
+            // the sidecar already existed when the writer opened — a
+            // crashed prior attempt's orphan, or a concurrent
+            // checkpointer publishing in the window since this call
+            // started (content at a version is deterministic, so the
+            // bytes are reused either way). The body never ran, so
+            // the accumulated totals are zero/stale: recompute them
+            // from the PUBLISHED bytes — recording tfiles:0/tbytes:0
+            // would make the pruned planner report ~0 sizeInBytes and
+            // Spark could broadcast a million-file table
             nf = 0L; nb = 0L
             scanCheckpointSidecar(root, v) { fe =>
               nf += 1; nb += fe.bytes.getOrElse(0L); false
@@ -3615,7 +3908,10 @@ object TxLog {
             idx.str.filter(kv => live(kv._1)),
             idx.nulls.filter(kv => live(kv._1)),
             idx.parts.filter(kv => live(kv._1)),
-            idx.sizes.filter(kv => live(kv._1)))
+            idx.sizes.filter(kv => live(kv._1)),
+            syn = sidecarSynopsisAt(root, v),
+            // partition columns refuse rename, so logical == physical
+            sortPartCols = partitionColumns(root, Some(v)))
           (dvs0, files.size.toLong,
             idx.sizes.filter(kv => live(kv._1)).values.sum)
       }
@@ -3665,12 +3961,18 @@ object TxLog {
       // are not carried — only live files are ever looked up
       val pcs = partitionColumns(root, Some(v))
       val pcsJ = if (pcs.isEmpty) "" else s""","partCols":${arr(pcs)}"""
+      // ... and the demanded protocol: a vacuum may truncate the
+      // set-protocol commit itself, and the gate must survive
+      val (pr, pw) = protocolAt(root, v)
+      val protoJ =
+        if (pr == 1L && pw == 1L) ""
+        else s""","protocol":{"r":$pr,"w":$pw}"""
       // live-set totals: the pruned planner's sizeInBytes from the
       // JSON half alone — no sidecar scan per planned query
       val totJ = s""","tfiles":$tfiles,"tbytes":$tbytes"""
       try io(root).putIfAbsent(cpPath,
         s"""{"v":$v,"cpq":1,"adds":[],"removes":[],""" +
-          s""""cset":$cset$dvsJson$bidsJson$schemaJson$pcsJ$totJ}""")
+          s""""cset":$cset$dvsJson$bidsJson$schemaJson$pcsJ$protoJ$totJ}""")
       catch {
         // checkpoint content at a version is deterministic: a racing
         // writer already published the same thing — the loser is a
@@ -3692,21 +3994,81 @@ object TxLog {
       parts: Map[String, Map[String, String]],
       sizes: Map[String, Long])
 
+  /** The per-file planning stats a sidecar ALSO stores as FLAT
+    * top-level columns, so the pruned planner can push its predicate
+    * into the parquet read itself (row-group skip + record filter).
+    * The repeated `cols` group cannot serve that purpose: parquet
+    * row-group statistics on a repeated field mix every table
+    * column's values together. One entry per stats-eligible field of
+    * the table schema AT THE CHECKPOINT VERSION, in field order,
+    * keyed by PHYSICAL name (stable across renames): `(phys, isInt)`.
+    * The flat field names are index-based (`zi3n`/`zi3x` = int
+    * min/max of entry 3, `zs3n`/`zs3x` = string min/max) — parquet
+    * filter paths split on '.', so arbitrary column names cannot be
+    * field names; reader and writer derive the SAME entry list from
+    * the same recorded schema action, so indexes always agree.
+    */
+  private[graft] final case class SidecarSynopsis(
+      cols: Seq[(String, Boolean)]) {
+    def fieldLines: Seq[String] = cols.zipWithIndex.flatMap {
+      case ((_, true), i) =>
+        Seq(s"  optional int64 zi${i}n;", s"  optional int64 zi${i}x;")
+      case ((_, false), i) =>
+        Seq(s"  optional binary zs${i}n (UTF8);",
+          s"  optional binary zs${i}x (UTF8);")
+    }
+  }
+
+  /** Synopsis columns bounded: a 1000-column table's sidecar must not
+    * carry 2000 flat stat columns — the first 64 stats-eligible
+    * fields (schema order, partition columns included since they stay
+    * in the schema) cover every realistic skipping key; predicates on
+    * later columns simply don't push (the row-level filter above the
+    * scan still applies exactly).
+    */
+  private[graft] val SynopsisMaxCols = 64
+
+  /** The synopsis the sidecar at version `v` carries (empty when the
+    * table has no recorded schema — pre-schema-action logs).
+    * Deterministic from the recorded schema alone: the pruned reader
+    * derives the identical list at plan time.
+    */
+  private[graft] def sidecarSynopsisAt(root: String, v: Long)
+      : SidecarSynopsis = {
+    import org.apache.spark.sql.types._
+    tableSchema(root, Some(v)) match {
+      case None => SidecarSynopsis(Seq.empty)
+      case Some(st) =>
+        SidecarSynopsis(st.fields.iterator.flatMap { f =>
+          f.dataType match {
+            case ByteType | ShortType | IntegerType | LongType =>
+              Some((physicalNameOf(f), true))
+            case StringType => Some((physicalNameOf(f), false))
+            case _ => None
+          }
+        }.take(SynopsisMaxCols).toSeq)
+    }
+  }
+
   /** The sidecar's parquet schema: one row per live file, its
     * per-column state as a repeated group (a column appears when it
     * has ANY recorded fact — int range, string range, null count, or
-    * partition value). Written and read with parquet-mr's Group API
+    * partition value), plus the FLAT synopsis columns the pushdown
+    * filters against. Written and read with parquet-mr's Group API
     * driver-side: a checkpoint must be writable from [[vacuum]] and
     * [[checkpoint]] without a SparkSession, and KB-to-MB metadata
     * files do not need a cluster job.
     */
-  private lazy val sidecarSchema: org.apache.parquet.schema.MessageType =
+  private def sidecarSchemaWith(syn: SidecarSynopsis)
+      : org.apache.parquet.schema.MessageType =
     org.apache.parquet.schema.MessageTypeParser.parseMessageType(
-      """message graft_checkpoint {
+      ("""message graft_checkpoint {
         |  required binary path (UTF8);
         |  optional int64 rows;
         |  optional int64 bytes;
-        |  repeated group cols {
+        |""".stripMargin +
+        syn.fieldLines.mkString("", "\n", if (syn.cols.isEmpty) "" else "\n") +
+        """  repeated group cols {
         |    required binary name (UTF8);
         |    optional int64 imin;
         |    optional int64 imax;
@@ -3715,31 +4077,47 @@ object TxLog {
         |    optional int64 nulls;
         |    optional binary part (UTF8);
         |  }
-        |}""".stripMargin)
+        |}""".stripMargin))
+
+  /** Sidecar row-group size: deliberately SMALL (vs parquet's 128 MB
+    * default) so a selective pushdown can skip most of a big
+    * sidecar's row groups — at ~100 B/row this is ~10k rows per
+    * group, and a point query over a sorted 1M-file sidecar decodes
+    * one group instead of one giant one. Var as a test seam.
+    */
+  private[graft] var sidecarRowGroupBytes: Long = 1L << 20
 
   /** Open a sidecar writer for version `v` (temp + atomic move, race
     * losers drop their copies) and run `body` with a row sink — the
     * shared plumbing of the map-built full path and the STREAMED
     * incremental path (which never holds the table's rows at once).
+    * Returns false when the sidecar ALREADY existed and the body was
+    * never run — the caller's derived totals are then stale and must
+    * be recomputed from the published bytes (a crashed prior attempt
+    * or a concurrent checkpointer may have published between the
+    * caller's own existence probe and this call).
     */
-  private def withSidecarWriter(root: String, v: Long)(
-      body: (FileEntry => Unit) => Unit): Unit = {
+  private def withSidecarWriter(root: String, v: Long,
+      syn: SidecarSynopsis)(
+      body: (FileEntry => Unit) => Unit): Boolean = {
     val target = checkpointSidecarPath(root, v)
-    if (io(root).exists(target)) return // complete by move-atomicity
+    if (io(root).exists(target)) return false // complete by move-atomicity
     val tmp = s"$target.tmp-${UUID.randomUUID().toString.take(8)}"
     val conf = new org.apache.hadoop.conf.Configuration()
+    val schema = sidecarSchemaWith(syn)
     val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
       .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
         .fromPath(new org.apache.hadoop.fs.Path(tmp), conf))
-      .withType(sidecarSchema)
+      .withType(schema)
+      .withRowGroupSize(sidecarRowGroupBytes)
       .withCompressionCodec(
         org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
       .build()
     val factory =
       new org.apache.parquet.example.data.simple.SimpleGroupFactory(
-        sidecarSchema)
+        schema)
     try {
-      try body(fe => writer.write(sidecarGroup(factory, fe)))
+      try body(fe => writer.write(sidecarGroup(factory, fe, syn)))
       finally writer.close()
     } catch {
       // a failed write (disk full, IO error) must not orphan the tmp
@@ -3759,15 +4137,32 @@ object TxLog {
         io(root).deleteIfExists(tmp)
         if (!io(root).exists(target)) throw e
     }
+    true
   }
 
   private def sidecarGroup(
       factory: org.apache.parquet.example.data.simple.SimpleGroupFactory,
-      fe: FileEntry): org.apache.parquet.example.data.Group = {
+      fe: FileEntry, syn: SidecarSynopsis)
+      : org.apache.parquet.example.data.Group = {
     val g = factory.newGroup()
     g.append("path", fe.path)
     fe.rows.foreach(g.append("rows", _))
     fe.bytes.foreach(g.append("bytes", _))
+    // the flat synopsis — MUST mirror the pruned index's per-file
+    // View exactly (int from recorded int stats; string from string
+    // stats, falling back to the partition value as a point range),
+    // absent = null = always admitted by the pushdown
+    syn.cols.zipWithIndex.foreach {
+      case ((p, true), i) =>
+        fe.int.get(p).foreach { case (mn, mx) =>
+          g.append(s"zi${i}n", mn); g.append(s"zi${i}x", mx)
+        }
+      case ((p, false), i) =>
+        fe.str.get(p).orElse(fe.parts.get(p).map(x => (x, x)))
+          .foreach { case (mn, mx) =>
+            g.append(s"zs${i}n", mn); g.append(s"zs${i}x", mx)
+          }
+    }
     val colNames = (fe.int.keySet ++ fe.str.keySet ++ fe.nulls.keySet ++
       fe.parts.keySet).toSeq.sorted
     colNames.foreach { c =>
@@ -3809,11 +4204,26 @@ object TxLog {
       str: Map[String, Map[String, (String, String)]],
       nulls: Map[String, (Long, Map[String, Long])],
       parts: Map[String, Map[String, String]],
-      sizes: Map[String, Long] = Map.empty): Unit =
-    withSidecarWriter(root, v) { write =>
-      files.sorted.foreach(f =>
-        write(entryFromMaps(f, int, str, nulls, parts, sizes)))
-    }
+      sizes: Map[String, Long] = Map.empty,
+      syn: SidecarSynopsis = SidecarSynopsis(Seq.empty),
+      sortPartCols: Seq[String] = Seq.empty): Unit =
+    withSidecarWriter(root, v, syn) { write =>
+      // CLUSTERED for row-group skipping: partition values first,
+      // then the first int-synopsis column's min, path as the
+      // deterministic tie-break (checkpoint content at a version must
+      // stay deterministic — racing writers rely on it). A point or
+      // range query then touches a contiguous run of row groups
+      // instead of every group holding one matching row.
+      val firstInt = syn.cols.collectFirst { case (p, true) => p }
+      files.map(f => entryFromMaps(f, int, str, nulls, parts, sizes))
+        .sortBy { fe =>
+          (sortPartCols.map(c => fe.parts.getOrElse(c, ""))
+            .mkString("\u0000"),
+            firstInt.flatMap(p => fe.int.get(p).map(_._1))
+              .getOrElse(Long.MaxValue),
+            fe.path)
+        }.foreach(write)
+    }: Unit
 
   /** One sidecar row decoded — a single live file's planning state.
     * The unit of the PRUNED planning path: a selective query over a
@@ -3839,7 +4249,15 @@ object TxLog {
   private[graft] object SidecarScanStats {
     val rowsScanned = new java.util.concurrent.atomic.AtomicLong
     val entriesRetained = new java.util.concurrent.atomic.AtomicLong
-    def reset(): Unit = { rowsScanned.set(0L); entriesRetained.set(0L) }
+    // the pushdown's evidence: of the sidecar's row groups, how many
+    // survived the parquet statistics filter and were actually
+    // DECODED (scans without a pushdown open all of them)
+    val rowGroupsTotal = new java.util.concurrent.atomic.AtomicLong
+    val rowGroupsOpened = new java.util.concurrent.atomic.AtomicLong
+    def reset(): Unit = {
+      rowsScanned.set(0L); entriesRetained.set(0L)
+      rowGroupsTotal.set(0L); rowGroupsOpened.set(0L)
+    }
   }
 
   private def decodeSidecarRow(
@@ -3885,14 +4303,53 @@ object TxLog {
     * one LogEntry (whose EntryCache weight bound could only convert
     * the resulting heap pressure into re-parse thrash). Row decode is
     * transient; non-matching entries are garbage immediately.
+    *
+    * `pushdown` pushes the predicate INTO the parquet read itself:
+    * a (FilterPredicate over the flat synopsis columns, referenced
+    * field names) pair — row groups the parquet statistics refute are
+    * never decoded AT ALL (the sorted sidecar makes a selective
+    * query's survivors contiguous), and the record filter drops
+    * non-matching rows before Group assembly. The predicate must be
+    * conservative (admit ⊇ `keep`'s admit) — `keep` remains the
+    * authority on every surviving row. Sidecars written before the
+    * synopsis existed (field check against the actual footer) scan
+    * unfiltered.
     */
-  private[graft] def scanCheckpointSidecar(root: String, v: Long)(
+  private[graft] def scanCheckpointSidecar(root: String, v: Long,
+      pushdown: Option[(org.apache.parquet.filter2.predicate.FilterPredicate,
+        Set[String])] = None)(
       keep: FileEntry => Boolean): Seq[FileEntry] = {
     val conf = new org.apache.hadoop.conf.Configuration()
-    val reader = org.apache.parquet.hadoop.ParquetReader
+    val path = new org.apache.hadoop.fs.Path(checkpointSidecarPath(root, v))
+    // the pushdown applies only when the footer actually carries every
+    // referenced synopsis field (an old-format sidecar, or an orphan
+    // written by an older binary, simply scans unfiltered); the same
+    // footer pass records the row-group evidence for the counting spec
+    val filter = pushdown.flatMap { case (pred, refs) =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(path, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val schema = r.getFooter.getFileMetaData.getSchema
+        val names = (0 until schema.getFieldCount)
+          .map(schema.getFieldName).toSet
+        if (!refs.subsetOf(names)) None
+        else {
+          val blocks = r.getRowGroups
+          val fc = org.apache.parquet.filter2.compat.FilterCompat.get(pred)
+          val kept = org.apache.parquet.filter2.compat.RowGroupFilter
+            .filterRowGroups(fc, blocks, schema)
+          SidecarScanStats.rowGroupsTotal.addAndGet(blocks.size.toLong)
+          SidecarScanStats.rowGroupsOpened.addAndGet(kept.size.toLong)
+          Some(fc)
+        }
+      } finally r.close()
+    }
+    val builder = org.apache.parquet.hadoop.ParquetReader
       .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
-        new org.apache.hadoop.fs.Path(checkpointSidecarPath(root, v)))
-      .withConf(conf).build()
+        path)
+      .withConf(conf)
+    val reader = filter.fold(builder)(builder.withFilter).build()
     val out = Seq.newBuilder[FileEntry]
     try {
       var g = reader.read()

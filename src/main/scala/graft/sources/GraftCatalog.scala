@@ -158,9 +158,17 @@ class GraftCatalog extends CatalogPlugin with TableCatalog
       case d: TableChange.DeleteColumn =>
         TxLog.dropColumns(spark, root,
           Seq(one(d.fieldNames(), "DROP COLUMN"))): Unit
+      case t: TableChange.UpdateColumnType =>
+        // WIDENING only (byte<short<int<long, float->double) — one
+        // data-free metadata commit; the physical parquet type stays
+        // and reads upcast per file. TxLog refuses everything else.
+        TxLog.widenColumnType(spark, root,
+          one(t.fieldNames(), "ALTER COLUMN TYPE"),
+          t.newDataType()): Unit
       case other => throw new UnsupportedOperationException(
         s"$catalogName supports ALTER TABLE ... ADD/RENAME/DROP " +
-          s"COLUMN only; $other bypasses the commit log and is refused")
+          "COLUMN and ALTER COLUMN ... TYPE (widening); " +
+          s"$other bypasses the commit log and is refused")
     }
     if (adds.nonEmpty) {
       val fields = adds.map { a =>

@@ -124,6 +124,25 @@ private[sources] object GraftProcedures {
             retentionMillis = in.getLong(2), force = in.getBoolean(3))))
     },
 
+    new Proc("upgrade_protocol",
+      "raise the table's required reader/writer protocol (ONE " +
+        "data-free metadata commit, Delta's protocol action): older " +
+        "binaries then refuse the table BY NAME instead of silently " +
+        "dropping commit actions they do not understand; the demand " +
+        "never lowers and only versions this binary itself supports " +
+        "may be required", Table,
+      ProcedureParameter.in("min_reader", LongType)
+        .comment("minimum reader protocol the table demands").build(),
+      ProcedureParameter.in("min_writer", LongType)
+        .comment("minimum writer protocol the table demands").build()) {
+      override def output: StructType = StructType(Seq(
+        StructField("version", LongType, nullable = false)))
+      override def run(s: SparkSession, in: InternalRow): InternalRow =
+        new GenericInternalRow(Array[Any](
+          TxLog.upgradeProtocol(table(in), in.getLong(1),
+            in.getLong(2))))
+    },
+
     new Proc("cache_stats",
       "parsed-entry cache health since process start: a rising " +
         "eviction count means hot checkpoint metadata exceeds the " +

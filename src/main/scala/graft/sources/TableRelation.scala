@@ -360,6 +360,151 @@ private[sources] object StatsPrune {
   }
 }
 
+/** Catalyst data filters translated to a parquet [[FilterPredicate]]
+  * over the checkpoint sidecar's FLAT synopsis columns — what lets the
+  * pruned planner skip whole sidecar ROW GROUPS instead of decoding
+  * every row per planned query. Strictly CONSERVATIVE relative to
+  * [[StatsPrune.mayMatch]]: anything not safely translatable (unknown
+  * shapes, non-ASCII string literals — parquet compares binary columns
+  * in unsigned BYTE order while StatsPrune compares in UTF-16 code
+  * units, and the two orders agree only when one side is pure ASCII —
+  * StartsWith, null checks) contributes "admit", and a row with no
+  * recorded stats always survives (every leaf carries an IS NULL arm).
+  * StatsPrune remains the authority on every row the filter yields.
+  */
+private[sources] object SidecarPushdown {
+  import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+  import org.apache.parquet.io.api.Binary
+
+  def translate(filters: Seq[Expression], phys: String => String,
+                syn: graft.ops.TxLog.SidecarSynopsis)
+      : Option[(FilterPredicate, Set[String])] = {
+    if (filters.isEmpty || syn.cols.isEmpty) return None
+    val intIdx = syn.cols.zipWithIndex.collect {
+      case ((p, true), i) => p -> i
+    }.toMap
+    val strIdx = syn.cols.zipWithIndex.collect {
+      case ((p, false), i) => p -> i
+    }.toMap
+    val refs = scala.collection.mutable.Set.empty[String]
+
+    def attrOf(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case Cast(a: AttributeReference, LongType, _, _) => Some(a.name)
+      case _ => None
+    }
+    def litLong(l: Literal): Option[Long] = l.value match {
+      case null => None
+      case x: java.lang.Long => Some(x)
+      case x: java.lang.Integer => Some(x.toLong)
+      case x: java.lang.Short => Some(x.toLong)
+      case _ => None
+    }
+    def litStr(l: Literal): Option[String] = l.value match {
+      case x: UTF8String =>
+        val s = x.toString
+        if (s.forall(_ < 0x80)) Some(s) else None
+      case _ => None
+    }
+    // admit iff stats absent OR the [min,max] range satisfies
+    // (loCond on zi{i}x / hiCond on zi{i}n) — the same shape as
+    // StatsPrune's cmp, expressed against the flat columns
+    def intLeaf(i: Int)(cond: (org.apache.parquet.filter2.predicate
+        .Operators.LongColumn, org.apache.parquet.filter2.predicate
+        .Operators.LongColumn) => FilterPredicate): FilterPredicate = {
+      val (zn, zx) = (FilterApi.longColumn(s"zi${i}n"),
+        FilterApi.longColumn(s"zi${i}x"))
+      refs += s"zi${i}n"; refs += s"zi${i}x"
+      FilterApi.or(FilterApi.eq(zn, null.asInstanceOf[java.lang.Long]),
+        cond(zn, zx))
+    }
+    def strLeaf(i: Int)(cond: (org.apache.parquet.filter2.predicate
+        .Operators.BinaryColumn, org.apache.parquet.filter2.predicate
+        .Operators.BinaryColumn) => FilterPredicate): FilterPredicate = {
+      val (zn, zx) = (FilterApi.binaryColumn(s"zs${i}n"),
+        FilterApi.binaryColumn(s"zs${i}x"))
+      refs += s"zs${i}n"; refs += s"zs${i}x"
+      FilterApi.or(FilterApi.eq(zn, null.asInstanceOf[Binary]),
+        cond(zn, zx))
+    }
+    def both(a: Option[FilterPredicate], b: Option[FilterPredicate])
+        : Option[FilterPredicate] = (a, b) match {
+      case (Some(x), Some(y)) => Some(FilterApi.and(x, y))
+      case (x, y) => x.orElse(y)
+    }
+    // value-vs-range leaves per comparison kind; None = untranslatable
+    // = admit. A numeric literal binds the int synopsis, an ASCII
+    // string literal the string synopsis (mirrors StatsPrune's
+    // byInt/byStr conjunction — at most one applies per literal).
+    def cmpLeaf(attr: Expression, l: Literal,
+                intC: (Long, org.apache.parquet.filter2.predicate
+                  .Operators.LongColumn, org.apache.parquet.filter2
+                  .predicate.Operators.LongColumn) => FilterPredicate,
+                strC: (Binary, org.apache.parquet.filter2.predicate
+                  .Operators.BinaryColumn, org.apache.parquet.filter2
+                  .predicate.Operators.BinaryColumn) => FilterPredicate)
+        : Option[FilterPredicate] =
+      attrOf(attr).flatMap { c =>
+        val p = phys(c)
+        val viaInt = for {
+          x <- litLong(l); i <- intIdx.get(p)
+        } yield intLeaf(i)((zn, zx) => intC(x, zn, zx))
+        val viaStr = for {
+          s <- litStr(l); i <- strIdx.get(p)
+        } yield strLeaf(i)((zn, zx) => strC(Binary.fromString(s), zn, zx))
+        both(viaInt, viaStr)
+      }
+    def jl(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+    def rec(e: Expression): Option[FilterPredicate] = e match {
+      case And(l, r) => both(rec(l), rec(r))
+      case Or(l, r) =>
+        for { a <- rec(l); b <- rec(r) } yield FilterApi.or(a, b)
+      case EqualTo(a, l: Literal) =>
+        cmpLeaf(a, l,
+          (x, zn, zx) => FilterApi.and(FilterApi.ltEq(zn, jl(x)),
+            FilterApi.gtEq(zx, jl(x))),
+          (b, zn, zx) => FilterApi.and(FilterApi.ltEq(zn, b),
+            FilterApi.gtEq(zx, b)))
+      case EqualTo(l: Literal, a) => rec(EqualTo(a, l))
+      case EqualNullSafe(a, l: Literal) => rec(EqualTo(a, l))
+      case EqualNullSafe(l: Literal, a) => rec(EqualTo(a, l))
+      case GreaterThan(a, l: Literal) =>
+        cmpLeaf(a, l, (x, _, zx) => FilterApi.gt(zx, jl(x)),
+          (b, _, zx) => FilterApi.gt(zx, b))
+      case GreaterThan(l: Literal, a) => rec(LessThan(a, l))
+      case GreaterThanOrEqual(a, l: Literal) =>
+        cmpLeaf(a, l, (x, _, zx) => FilterApi.gtEq(zx, jl(x)),
+          (b, _, zx) => FilterApi.gtEq(zx, b))
+      case GreaterThanOrEqual(l: Literal, a) =>
+        rec(LessThanOrEqual(a, l))
+      case LessThan(a, l: Literal) =>
+        cmpLeaf(a, l, (x, zn, _) => FilterApi.lt(zn, jl(x)),
+          (b, zn, _) => FilterApi.lt(zn, b))
+      case LessThan(l: Literal, a) => rec(GreaterThan(a, l))
+      case LessThanOrEqual(a, l: Literal) =>
+        cmpLeaf(a, l, (x, zn, _) => FilterApi.ltEq(zn, jl(x)),
+          (b, zn, _) => FilterApi.ltEq(zn, b))
+      case LessThanOrEqual(l: Literal, a) =>
+        rec(GreaterThanOrEqual(a, l))
+      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        vs.map(x => rec(EqualTo(a, x.asInstanceOf[Literal])))
+          .reduce((l, r) => for { x <- l; y <- r }
+            yield FilterApi.or(x, y))
+      case InSet(a, vs) if vs.nonEmpty =>
+        vs.toSeq.map(x =>
+            rec(EqualTo(a, Literal.create(x, a.dataType))))
+          .reduce((l, r) => for { x <- l; y <- r }
+            yield FilterApi.or(x, y))
+      case _ => None
+    }
+    // conjuncts translate independently — an untranslatable one just
+    // drops out (it still applies through StatsPrune and the query's
+    // own row-level filter)
+    filters.flatMap(rec).reduceOption(FilterApi.and)
+      .map(p => (p, refs.toSet))
+  }
+}
+
 /** The MILLION-FILE planning path: a [[org.apache.spark.sql.execution.datasources.FileIndex]]
   * that never materializes the live set. Where [[GraftFileIndex]]
   * loads the whole skipping index eagerly (right for the thousands-
@@ -425,7 +570,15 @@ class GraftPrunedFileIndex(spark: SparkSession, root: String,
   override def partitionSchema: StructType = StructType(Nil)
 
   // from the checkpoint JSON's recorded totals (one cached sweep on
-  // pre-totals checkpoints) + suffix deltas — never a per-query scan
+  // pre-totals checkpoints) + suffix deltas — never a per-query scan.
+  // DELIBERATE OVERESTIMATE: suffix commits record sizes only for
+  // their own adds, so a suffix REMOVE of a checkpoint-base file (the
+  // common delete/compact case) subtracts nothing here — looking the
+  // removed bytes up would cost the sidecar scan this field exists to
+  // avoid. Overestimating is the safe direction for a planner input:
+  // it can only suppress a broadcast that might have been legal,
+  // never broadcast a table that is too big; the next checkpoint's
+  // recorded totals re-tighten it.
   override lazy val sizeInBytes: Long = {
     val removedB = touched.collect { case (p, false) => p }
       .map(p => sSizes.getOrElse(p, 0L)).sum
@@ -458,8 +611,15 @@ class GraftPrunedFileIndex(spark: SparkSession, root: String,
       }
     // base: stream the sidecar, materializing ONLY survivors — paths
     // the suffix touched are skipped here (their final state, stats
-    // included, is the suffix's to declare)
-    TxLog.scanCheckpointSidecar(root, pi.cp) { fe =>
+    // included, is the suffix's to declare). The query's predicate
+    // ALSO pushes into the parquet read itself ([[SidecarPushdown]]):
+    // row groups the sidecar's own statistics refute are never
+    // decoded, so a selective query over a sorted 10M-row sidecar
+    // costs a footer read plus the matching groups, not a full
+    // row-at-a-time decode per planned query
+    val pd = SidecarPushdown.translate(dataFilters, phys,
+      TxLog.sidecarSynopsisAt(root, pi.cp))
+    TxLog.scanCheckpointSidecar(root, pi.cp, pd) { fe =>
       !touched.contains(fe.path) &&
         dataFilters.forall(StatsPrune.mayMatch(feView(fe), _))
     }.foreach(fe => emit(fe.path, fe.bytes, pi.cpMtime))

@@ -295,9 +295,9 @@ class RoundThirtyTwoSpec extends AnyFunSuite {
     assert(v0.schema.fieldNames.toSeq === Seq("doc_id", "lang", "n_chars"))
   }
 
-  test("a CDC interval crossing a rename reports each commit's feed " +
-      "under that commit's own names (union null-fills across the " +
-      "boundary — the documented contract)") {
+  test("a CDC interval crossing a rename reports ONE coherent column " +
+      "under the interval-head name (physical-name alignment — no " +
+      "null-filled halves)") {
     val s = sqlSpark
     val root = tmpDir("t32cdcmap")
     TxLog.init(root)
@@ -307,16 +307,21 @@ class RoundThirtyTwoSpec extends AnyFunSuite {
       "RENAME COLUMN n_chars TO nc") // v2 (touches no files — no feed)
     s.sql(s"INSERT INTO graft_table.`$root` VALUES (92001, 'bb', 2)") // v3
     val cdc = TxLog.changesBetweenCdc(s, root, 0L, 3L)
-    assert(cdc.columns.contains("n_chars") && cdc.columns.contains("nc"),
-      s"both eras' names appear, null-filled: ${cdc.columns.toSeq}")
-    // v1's insert reports under the OLD name, v3's under the NEW one
+    assert(cdc.columns.contains("nc") && !cdc.columns.contains("n_chars"),
+      s"the feed speaks the HEAD name only: ${cdc.columns.toSeq}")
+    // v1's PRE-rename insert reports its stored value under the head
+    // name — no spurious nulls on either side of the boundary
     val r1 = cdc.filter(col("doc_id") === 92000).head
-    assert(r1.getAs[Long]("n_chars") === 1L && r1.isNullAt(
-      r1.fieldIndex("nc")))
+    assert(r1.getAs[Long]("nc") === 1L)
     val r3 = cdc.filter(col("doc_id") === 92001).head
-    assert(r3.getAs[Long]("nc") === 2L && r3.isNullAt(
-      r3.fieldIndex("n_chars")))
+    assert(r3.getAs[Long]("nc") === 2L)
+    assert(cdc.filter(col("nc").isNull).count() === 0L,
+      "a rename boundary must not null-fill the feed")
     assert(cdc.filter(col("change_type") =!= "insert").count() === 0L)
+    // a downstream MERGE can consume the feed as one schema: every
+    // row of the interval carries (doc_id, lang, nc, change_type)
+    assert(cdc.columns.sorted.toSeq ===
+      Seq("change_type", "doc_id", "lang", "nc"))
   }
 
   test("a derived mutation racing a RENAME (non-pure-add schema " +

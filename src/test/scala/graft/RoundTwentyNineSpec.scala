@@ -762,6 +762,28 @@ class RoundTwentyNineSpec extends AnyFunSuite {
         assert(readState(p, Some(v)) === ss.last._2,
           s"iter=$iter post-mapping time travel to v$v mismatch")
       }
+      // type-widening tail: ALTER COLUMN TYPE is pure metadata — the
+      // pre-widen int32 file upcasts in the reader, a post-widen
+      // value only a long can hold lands next to it, and every
+      // earlier state still time-travels exactly
+      spark.sql(s"ALTER TABLE graft_table.`$p` ADD COLUMN small INT")
+      spark.sql(s"INSERT INTO graft_table.`$p` " +
+        s"VALUES (${nextId + 1}, 'wi', 7, 123)")
+      spark.sql(s"ALTER TABLE graft_table.`$p` " +
+        "ALTER COLUMN small TYPE BIGINT")
+      spark.sql(s"INSERT INTO graft_table.`$p` " +
+        s"VALUES (${nextId + 2}, 'wi', 8, 6000000000)")
+      val widened = spark.read.format("graft-table").load(p)
+      assert(widened.schema("small").dataType ===
+        org.apache.spark.sql.types.LongType)
+      assert(widened.filter(col("small") === 123L).count() === 1L,
+        s"iter=$iter pre-widen int32 value must upcast, not null out")
+      assert(widened.filter(col("small") === 6000000000L)
+        .count() === 1L)
+      states.groupBy(_._1).foreach { case (v, ss) =>
+        assert(readState(p, Some(v)) === ss.last._2,
+          s"iter=$iter post-widen time travel to v$v mismatch")
+      }
     }
   }
 
