@@ -1052,6 +1052,42 @@ object SparkEntry {
     */
   private val txlogVacClampCache = new SessionCache[String]
 
+  /** The HIDDEN-PARTITION-TRANSFORM lifecycle, one per (session, sf
+    * dir): the even half of `events` seeded through
+    * [[graft.ops.TxLog.appendTransformPartitioned]] under
+    * `days(ts) + bucket(8, user_id)` (v0 — the derived values
+    * partition the layout but never appear in the logical schema),
+    * then the odd half through SQL `INSERT INTO` (v1 — the catalog
+    * write path re-derives the hidden layout). The input is
+    * pre-partitioned by day so each (day, bucket) directory gets ~one
+    * file — the shape whose per-file stats make BOTH rewrites
+    * selective. `q_table_hidden_partition` filters on the SOURCE
+    * columns only (a ts window; a user_id point probe): the planner
+    * rewrites those into hidden partition-value predicates at
+    * file-skipping time ([[graft.ops.PartitionTransforms]]), and the
+    * oracle replays the same SQL over the raw `events` table.
+    */
+  private val txlogHiddenPartCache = new SessionCache[String]
+
+  private def txlogHiddenPartTable(s: SparkSession, dir: String): String =
+    txlogHiddenPartCache.getOrElseUpdate(s, dir, {
+      val p = s"${annTmp()}/txhiddenpart"
+      graft.ops.TxLog.init(p)
+      s.conf.set("spark.sql.catalog.graft_table",
+        "graft.sources.GraftCatalog")
+      val evs = graft.sources.Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type")
+      graft.ops.TxLog.appendTransformPartitioned(s, p,
+        evs.filter(pmod(col("event_id"), lit(2)) === 0)
+          .repartition(8, to_date(col("ts"))),
+        Seq("days(ts)", "bucket(8,user_id)")) // v0
+      evs.createOrReplaceTempView("graft_hidden_part_src")
+      s.sql(s"INSERT INTO graft_table.`$p` SELECT event_id, ts, " +
+        "user_id, event_type " +
+        "FROM graft_hidden_part_src WHERE event_id % 2 = 1") // v1
+      p
+    })
+
   private def txlogVacClampTable(s: SparkSession, dir: String): String =
     txlogVacClampCache.getOrElseUpdate(s, dir, {
       val p = s"${annTmp()}/txvacclamp"
@@ -2397,6 +2433,25 @@ object SparkEntry {
     // truncate the tip, the 7-day window clamped it to v0 — the head
     // reads the dv delete, and the v0 the clamp protected still
     // time-travels
+    // HIDDEN partition transforms (Iceberg-style): the table is laid
+    // out by days(ts) + bucket(8, user_id), the query filters on the
+    // SOURCE columns only — a ts window aggregation plus a user point
+    // probe, both pruned through the rewritten hidden partition
+    // predicates (spec asserts the file bounds); SQL INSERT supplied
+    // half the rows through the layout-re-deriving catalog path
+    "q_table_hidden_partition" -> ((s, dir) => {
+      val p = txlogHiddenPartTable(s, dir)
+      s.sql("SELECT event_type, COUNT(*) AS n, " +
+        "CAST(SUM(user_id) AS BIGINT) AS su " +
+        s"FROM graft_table.`$p` " +
+        "WHERE ts >= TIMESTAMP'2024-01-10 00:00:00' " +
+        "AND ts < TIMESTAMP'2024-01-15 00:00:00' " +
+        "GROUP BY event_type " +
+        "UNION ALL " +
+        "SELECT 'user42' AS event_type, COUNT(*) AS n, " +
+        "CAST(SUM(event_id) AS BIGINT) AS su " +
+        s"FROM graft_table.`$p` WHERE user_id = 42")
+    }),
     "q_table_purge_clamped" -> ((s, dir) => {
       val p = txlogVacClampTable(s, dir)
       s.sql(s"SELECT doc_id, lang, n_chars, 'head' AS snap " +
@@ -5279,6 +5334,21 @@ object SparkEntry {
         |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS nc,
         |       'v0' AS snap
         |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
+    // the hidden-partition lifecycle's semantics: v0 (even ids,
+    // transform append) plus v1 (odd ids, SQL INSERT) reassemble the
+    // whole events table, so the window aggregation and the point
+    // probe replay directly over the source
+    "q_table_hidden_partition" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(user_id) AS BIGINT) AS su
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY event_type
+        |UNION ALL
+        |SELECT 'user42' AS event_type, COUNT(*) AS n,
+        |       CAST(SUM(event_id) AS BIGINT) AS su
+        |FROM events WHERE user_id = 42""".stripMargin,
     // the clamped-vacuum lifecycle's semantics: head = the dv
     // delete's survivors; v0 = everything (the retention clamp
     // refused to truncate it)

@@ -183,6 +183,11 @@ object TxLog {
   // additionally rejects NULL partition values loudly)
   private val SafePartValue = "[A-Za-z0-9._\\-]{1,64}".r
 
+  // canonical partition-transform spec strings ("days(ts)",
+  // "bucket(16,user_id)") — names ride the safe-name grammar, the
+  // only extra characters are the call shape's
+  private val SafeTransformSpec = "[A-Za-z0-9_]+\\([A-Za-z0-9_,]+\\)".r
+
   // the hand-rolled JSON's TOP-LEVEL keys. A user COLUMN with one of
   // these names would emit `"batchId":3`-shaped fragments inside the
   // stats/nstats/parts objects, and the findFirstMatchIn sweeps that
@@ -196,7 +201,8 @@ object TxLog {
   private[graft] val ReservedKeys = Set(
     "v", "op", "adds", "removes", "rows", "rowsRemoved", "batchId",
     "batchIds", "mergeKey", "schema", "dv", "dvCovers", "dvDrops",
-    "dvs", "stats", "nstats", "parts", "partCols", "cset", "cname",
+    "dvs", "stats", "nstats", "parts", "partCols", "ptspec", "cset",
+    "cname",
     "cexpr", "cpq", "tbytes", "tfiles")
 
   /** A column name that may appear as a key inside the hand-rolled
@@ -392,6 +398,7 @@ object TxLog {
                                  parts: Map[String, Map[String, String]] =
                                    Map.empty,
                                  partCols: Seq[String] = Seq.empty,
+                                 ptspec: Seq[String] = Seq.empty,
                                  mergeKey: Option[String] = None,
                                  schema: Option[
                                    org.apache.spark.sql.types.StructType] =
@@ -462,6 +469,13 @@ object TxLog {
     }
     val partColsJson =
       if (partCols.isEmpty) "" else s""","partCols":${arr(partCols)}"""
+    // the table's hidden partition-transform spec (Iceberg's
+    // partition spec re-expressed): canonical `kind(args)` strings,
+    // grammar-locked like every other hand-rolled value
+    ptspec.foreach(s => require(SafeTransformSpec.matches(s),
+      s"unsafe partition transform spec: '$s'"))
+    val ptspecJson =
+      if (ptspec.isEmpty) "" else s""","ptspec":${arr(ptspec)}"""
     val partsJson = partsJsonFrag(parts)
     val nstatsJson = nstatsJsonFrag(
       meta.fileRows.map { case (f, r) =>
@@ -471,7 +485,7 @@ object TxLog {
       s"""{"v":$version,"op":"$op","adds":${arr(adds)},""" +
         s""""removes":${arr(removes)},"rows":${meta.rows},""" +
         s""""rowsRemoved":$rowsRemoved$bid$mk$schemaJson$dvJson""" +
-        s"""$dvDropsJson$dvSetJson$partColsJson$partsJson""" +
+        s"""$dvDropsJson$dvSetJson$partColsJson$ptspecJson$partsJson""" +
         s"""$statsJson$nstatsJson}""")
   }
 
@@ -871,6 +885,9 @@ object TxLog {
       dvDrops: Seq[String],
       dvState: Seq[(String, Seq[String])],
       partCols: Option[Seq[String]],
+      // the hidden partition-transform spec in force from this commit
+      // on ([[PartitionTransforms]]) — like partCols, latest wins
+      ptspec: Option[Seq[String]] = None,
       intStats: Map[String, Map[String, (Long, Long)]],
       strStats: Map[String, Map[String, (String, String)]],
       nstats: Map[String, (Long, Map[String, Long])],
@@ -975,6 +992,7 @@ object TxLog {
       dvDrops = strArr("dvDrops"),
       dvState = dvState,
       partCols = field("partCols").map(strSeq).filter(_.nonEmpty),
+      ptspec = field("ptspec").map(strSeq).filter(_.nonEmpty),
       intStats = intStats.result(),
       strStats = strStats.result(),
       nstats = nstats.result(),
@@ -1625,6 +1643,11 @@ object TxLog {
   def appendPartitioned(spark: SparkSession, root: String, df: DataFrame,
                         partCols: Seq[String]): Long = {
     require(partCols.nonEmpty, "appendPartitioned: empty partition cols")
+    require(partitionTransforms(root).isEmpty,
+      s"$root is partitioned by hidden transforms " +
+        s"(${partitionTransforms(root).mkString(", ")}) — append " +
+        "through appendTransformPartitioned so the layout stays " +
+        "transform-pure")
     val moved = stagePartitioned(spark, root, df, partCols)
     val adds = moved.map(_._1)
     validateStaged(spark, root, adds, "partitioned append")
@@ -1659,6 +1682,120 @@ object TxLog {
     out.get
   }
 
+  /** Append `df` partitioned by HIDDEN TRANSFORMS of its own columns
+    * ([[PartitionTransforms]] — `days(ts)`, `hours(ts)`,
+    * `bucket(n,col)`, `truncate(w,col)`): the derived value
+    * partitions the layout and is recorded per file like any
+    * partition value, but it never appears in the table's logical
+    * schema — queries keep filtering on the SOURCE column, and the
+    * planner rewrites those filters into partition predicates at file-
+    * skipping time (Iceberg's hidden partitioning, over the graft
+    * log). `bucket` is the piece plain stats cannot replace: equality
+    * pruning on a high-cardinality key whose per-file `[min,max]`
+    * spans everything.
+    *
+    * The first transform append stamps the recorded schema into
+    * column-mapping mode (identity mapping): the recorded schema —
+    * not a footer merge — becomes the read authority, which is what
+    * keeps the hidden column out of every read path (snapshot, SQL,
+    * CDC, clone) without a special case per reader. The mapping-mode
+    * write contract applies from then on: new columns arrive via
+    * ALTER TABLE ADD COLUMN, not implicitly.
+    *
+    * The spec is declared on the first transform append and recorded
+    * in the log (`ptspec`, checkpoint-carried); later appends either
+    * repeat it verbatim or pass Nil to inherit. Changing the spec
+    * refuses — partition-spec EVOLUTION is deliberately out of scope
+    * (files from two specs would need per-file spec tracking to prune
+    * correctly; Iceberg carries a spec-id per manifest for this).
+    * Transform SOURCE columns can never be renamed or dropped
+    * ([[renameColumn]]/[[dropColumns]] refuse by name), so the
+    * recorded spec strings stay bindable forever. NULL source values
+    * refuse loudly (a hidden partition value must exist for every
+    * row). Returns the committed version.
+    */
+  def appendTransformPartitioned(spark: SparkSession, root: String,
+                                 df: DataFrame,
+                                 specs: Seq[String] = Seq.empty): Long = {
+    require(partitionColumns(root).isEmpty ||
+        partitionTransforms(root).nonEmpty,
+      s"$root is identity-partitioned by " +
+        s"(${partitionColumns(root).mkString(", ")}) — transform " +
+        "partitioning cannot be layered onto it")
+    val existing = partitionTransforms(root)
+    val canonical =
+      specs.map(s => PartitionTransforms.parse(s).spec)
+    val declared =
+      if (canonical.isEmpty) existing
+      else {
+        require(existing.isEmpty || existing == canonical,
+          s"$root is already partitioned by " +
+            s"(${existing.mkString(", ")}); re-declaring " +
+            s"(${canonical.mkString(", ")}) would mix two layouts — " +
+            "partition-spec evolution is not supported")
+        canonical
+      }
+    require(declared.nonEmpty,
+      "appendTransformPartitioned: no transform spec declared and " +
+        s"none recorded for $root")
+    val ts = declared.map(PartitionTransforms.parse)
+    ts.foreach { t =>
+      require(df.columns.contains(t.source),
+        s"transform source column ${t.source} not in " +
+          df.columns.mkString(", "))
+      PartitionTransforms.validate(t,
+        df.schema(t.source).dataType)
+      require(!df.columns.contains(t.hiddenName),
+        s"column ${t.hiddenName} collides with the hidden partition " +
+          s"column of ${t.spec} — rename it")
+      // a NULL source cannot produce a partition value; refuse with
+      // the column named instead of stagePartitioned's generic
+      // NULL-partition error
+      require(safeColName(t.source),
+        s"unsafe transform source column: ${t.source}")
+    }
+    val derive = ts.map(t =>
+      t.hiddenName -> PartitionTransforms.column(t,
+        df.schema(t.source).dataType))
+    val moved = stagePartitioned(spark, root, df,
+      ts.map(_.hiddenName), derive)
+    val adds = moved.map(_._1)
+    validateStaged(spark, root, adds, "transform-partitioned append")
+    val meta = parquetMeta(root, adds)
+    var out: Option[Long] = None
+    var races = 0
+    while (out.isEmpty) {
+      val next = versionsOnDisk(root).lastOption.map(_ + 1).getOrElse(0L)
+      try {
+        writeCommit(root, next, adds, Seq.empty, op = "append",
+          knownMeta = Some(meta), knownRowsRemoved = Some(0L),
+          parts = moved.toMap, partCols = ts.map(_.hiddenName),
+          ptspec = declared,
+          // mapping mode from the first transform commit: the
+          // recorded schema is the read authority, the hidden
+          // column invisible on every path
+          schema = mergedSchemaFor(root, df.schema).map(stampPhysical))
+        out = Some(next)
+      } catch {
+        case e: CommitConflict =>
+          races += 1
+          if (races >= 1000) {
+            adds.foreach(f => io(root).deleteIfExists(s"$root/$f"))
+            throw new IllegalStateException(
+              s"txlog transform append at $root lost $races version " +
+                "races; giving up", e)
+          }
+          validateStaged(spark, root, adds,
+            "transform-partitioned append")
+        case e: IllegalStateException =>
+          adds.foreach(f => io(root).deleteIfExists(s"$root/$f"))
+          throw e
+      }
+    }
+    maybeAutoCheckpoint(root, out.get)
+    out.get
+  }
+
   /** Stage `df` hive-partitioned by `partCols` under `data/` and
     * return each published file with its partition values — the
     * staging step [[appendPartitioned]] and the partitioned row-delta
@@ -1669,19 +1806,27 @@ object TxLog {
     * loudly (the log's path grammar cannot round-trip them).
     */
   private def stagePartitioned(spark: SparkSession, root: String,
-                               df: DataFrame, partCols: Seq[String])
+                               df: DataFrame, partCols: Seq[String],
+                               derive: Seq[(String, org.apache.spark.sql
+                                 .Column)] = Seq.empty)
       : Seq[(String, Map[String, String])] = {
     partCols.foreach { c =>
       require(safeColName(c), s"unsafe partition column: $c")
-      require(df.columns.contains(c),
+      require(df.columns.contains(c) || derive.exists(_._1 == c),
         s"partition column $c not in ${df.columns.mkString(", ")}")
     }
     val uid = UUID.randomUUID().toString.take(8)
     val tmp = s"$root/_staged-$uid"
     val dups = partCols.map(c => s"__pc_$c")
     // mapping prep first: partition columns are never renameable, so
-    // their names (and the hidden __pc_ duplicates) are unaffected
-    val staged = partCols.zip(dups).foldLeft(stagePrep(root, df)) {
+    // their names (and the hidden __pc_ duplicates) are unaffected.
+    // DERIVED columns (hidden partition transforms) are computed
+    // after prep — they are not part of the batch's logical schema,
+    // so stagePrep's mapping-mode evolution guard never sees them
+    val derived = derive.foldLeft(stagePrep(root, df)) {
+      case (d, (n, c)) => d.withColumn(n, c)
+    }
+    val staged = partCols.zip(dups).foldLeft(derived) {
       case (d, (c, dc)) => d.withColumn(dc, col(c))
     }
     staged.write.partitionBy(dups: _*).parquet(tmp)
@@ -1734,6 +1879,24 @@ object TxLog {
       vs.filter(v => v <= upTo && cp.forall(v > _))
         .map(commitEntry(root, _))
     entries.flatMap(_.partCols).lastOption.getOrElse(Seq.empty)
+  }
+
+  /** The table's hidden partition-transform spec at `version` (the
+    * tip when None; latest declaration wins; empty = no transforms).
+    * Replays checkpoint JSON + suffix exactly like
+    * [[partitionColumns]] — never the per-file sidecar.
+    */
+  def partitionTransforms(root: String,
+                          version: Option[Long] = None): Seq[String] = {
+    val vs = versionsOnDisk(root)
+    val cps = checkpointsOnDisk(root)
+    if (vs.isEmpty && cps.isEmpty) return Seq.empty
+    val upTo = version.getOrElse((vs ++ cps).max)
+    val cp = cps.filter(_ <= upTo).lastOption
+    val entries = cp.map(checkpointJsonEntry(root, _)).toSeq ++
+      vs.filter(v => v <= upTo && cp.forall(v > _))
+        .map(commitEntry(root, _))
+    entries.flatMap(_.ptspec).lastOption.getOrElse(Seq.empty)
   }
 
   /** Each file's log-recorded partition values. */
@@ -2171,8 +2334,16 @@ object TxLog {
           if (stagedDataAbs.map(io(root).size).sum < SmallAddBytes)
             df0.coalesce(1)
           else df0
+        // hidden-transform tables: the insert images carry only the
+        // LOGICAL columns — re-derive the hidden partition values from
+        // their sources exactly like appendTransformPartitioned does,
+        // so a row-level UPDATE/MERGE keeps the layout transform-pure
+        val derive = partitionTransforms(root, Some(baseVersion))
+          .map(PartitionTransforms.parse)
+          .map(t => t.hiddenName ->
+            PartitionTransforms.column(t, df.schema(t.source).dataType))
         val moved =
-          try stagePartitioned(spark, root, df, tablePartCols)
+          try stagePartitioned(spark, root, df, tablePartCols, derive)
           catch {
             case e: Throwable =>
               stagedDataAbs.foreach(io(root).deleteIfExists)
@@ -2566,6 +2737,7 @@ object TxLog {
     writeCommit(dstRoot, 0L, adds, Seq.empty, op = "clone", dvSet = dvSet,
       parts = parts,
       partCols = partitionColumns(srcRoot, Some(snap.version)),
+      ptspec = partitionTransforms(srcRoot, Some(snap.version)),
       schema = tableSchema(srcRoot, Some(snap.version)))
     constraintsAt(srcRoot, snap.version).toSeq.sortBy(_._1)
       .foreach { case (n, ex) =>
@@ -3471,6 +3643,22 @@ object TxLog {
         "them first")
   }
 
+  /** Hidden-transform SOURCE columns pin their names: the recorded
+    * spec strings (`days(ts)`) bind by name on every later write and
+    * every filter rewrite, so renaming or dropping the source would
+    * silently break the table's layout contract.
+    */
+  private def requireNotTransformSource(root: String, colName: String,
+                                        verb: String): Unit = {
+    val srcs = partitionTransforms(root)
+      .flatMap(s => scala.util.Try(
+        PartitionTransforms.parse(s)).toOption)
+      .filter(_.source == colName)
+    require(srcs.isEmpty,
+      s"cannot $verb column '$colName' of $root: it is the source of " +
+        s"partition transform(s) ${srcs.map(_.spec).mkString(", ")}")
+  }
+
   private def recordedSchemaOrRefuse(root: String, verb: String)
       : org.apache.spark.sql.types.StructType =
     tableSchema(root).getOrElse(throw new IllegalStateException(
@@ -3494,6 +3682,7 @@ object TxLog {
       require(!partitionColumns(root).contains(from),
         s"cannot rename partition column '$from': its values are " +
           "directory-encoded under the physical name")
+      requireNotTransformSource(root, from, "rename")
       requireNotConstrained(root, from, "rename")
       val stamped = stampPhysical(asNullable(cur))
       // the new logical name must not shadow a LIVE physical name:
@@ -3525,6 +3714,7 @@ object TxLog {
         require(!partitionColumns(root).contains(n),
           s"cannot drop partition column '$n': the table's layout is " +
             "keyed on it")
+        requireNotTransformSource(root, n, "drop")
         requireNotConstrained(root, n, "drop")
       }
       val rem = stampPhysical(asNullable(cur)).fields
@@ -3961,6 +4151,9 @@ object TxLog {
       // are not carried — only live files are ever looked up
       val pcs = partitionColumns(root, Some(v))
       val pcsJ = if (pcs.isEmpty) "" else s""","partCols":${arr(pcs)}"""
+      // ... and the hidden-transform spec, which vacuum must not drop
+      val pts = partitionTransforms(root, Some(v))
+      val ptsJ = if (pts.isEmpty) "" else s""","ptspec":${arr(pts)}"""
       // ... and the demanded protocol: a vacuum may truncate the
       // set-protocol commit itself, and the gate must survive
       val (pr, pw) = protocolAt(root, v)
@@ -3972,7 +4165,8 @@ object TxLog {
       val totJ = s""","tfiles":$tfiles,"tbytes":$tbytes"""
       try io(root).putIfAbsent(cpPath,
         s"""{"v":$v,"cpq":1,"adds":[],"removes":[],""" +
-          s""""cset":$cset$dvsJson$bidsJson$schemaJson$pcsJ$protoJ$totJ}""")
+          s""""cset":$cset$dvsJson$bidsJson$schemaJson$pcsJ$ptsJ""" +
+          s"""$protoJ$totJ}""")
       catch {
         // checkpoint content at a version is deterministic: a racing
         // writer already published the same thing — the loser is a
@@ -4036,18 +4230,32 @@ object TxLog {
   private[graft] def sidecarSynopsisAt(root: String, v: Long)
       : SidecarSynopsis = {
     import org.apache.spark.sql.types._
-    tableSchema(root, Some(v)) match {
-      case None => SidecarSynopsis(Seq.empty)
+    val fromSchema = tableSchema(root, Some(v)) match {
+      case None => Seq.empty
       case Some(st) =>
-        SidecarSynopsis(st.fields.iterator.flatMap { f =>
+        st.fields.iterator.flatMap { f =>
           f.dataType match {
             case ByteType | ShortType | IntegerType | LongType =>
               Some((physicalNameOf(f), true))
             case StringType => Some((physicalNameOf(f), false))
             case _ => None
           }
-        }.take(SynopsisMaxCols).toSeq)
+        }.toSeq
     }
+    // declared partition columns ride the synopsis too (string
+    // entries; their flat values fall back to the per-file partition
+    // value): for HIDDEN transform columns — which are deliberately
+    // not in the recorded schema — this is what lets a rewritten
+    // partition predicate skip sidecar row groups. Identity partition
+    // columns are already in the schema list; dedupe keeps indices
+    // stable for them. Both the writer and every reader derive this
+    // same list from the same log state at `v`, so the zi/zs field
+    // indices always agree.
+    val have = fromSchema.map(_._1).toSet
+    val fromParts = partitionColumns(root, Some(v))
+      .filterNot(have).map(c => (c, false))
+    SidecarSynopsis((fromSchema ++ fromParts)
+      .take(SynopsisMaxCols))
   }
 
   /** The sidecar's parquet schema: one row per live file, its

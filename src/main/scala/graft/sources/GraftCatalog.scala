@@ -290,7 +290,24 @@ private[sources] class GraftSqlTable(root: String, version: Option[Long])
                                 ignored: Boolean): Unit =
               if (overwrite)
                 TxLog.overwrite(data.sparkSession, root, data): Unit
-              else TxLog.append(data.sparkSession, root, data): Unit
+              else {
+                // INSERT INTO keeps the table's declared layout:
+                // transform-partitioned tables re-derive their hidden
+                // partition values, identity-partitioned tables
+                // partition by their declared columns — partition
+                // purity (and therefore pruning) must not degrade
+                // just because the write arrived via SQL
+                val pts = TxLog.partitionTransforms(root)
+                val pcs = TxLog.partitionColumns(root)
+                if (pts.nonEmpty)
+                  TxLog.appendTransformPartitioned(
+                    data.sparkSession, root, data): Unit
+                else if (pcs.nonEmpty &&
+                    pcs.forall(data.columns.contains))
+                  TxLog.appendPartitioned(
+                    data.sparkSession, root, data, pcs): Unit
+                else TxLog.append(data.sparkSession, root, data): Unit
+              }
           }
       }
     }

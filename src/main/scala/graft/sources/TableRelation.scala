@@ -177,6 +177,12 @@ class GraftFileIndex(spark: SparkSession, root: String,
   // names (empty map = identity on every unmapped table)
   private val colMap = TxLog.columnMappingAt(root, Some(snap.version))
   private def phys(c: String): String = colMap.getOrElse(c, c)
+
+  // the hidden partition-transform spec: source-column filters imply
+  // skipping predicates on the hidden partition columns
+  // ([[graft.ops.PartitionTransforms.expand]])
+  private val ptspec =
+    TxLog.partitionTransforms(root, Some(snap.version))
   private val intStats = idx.int
   private val strStats = idx.str
   private val nullStats = idx.nulls
@@ -242,8 +248,12 @@ class GraftFileIndex(spark: SparkSession, root: String,
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression])
       : Seq[PartitionDirectory] = {
+    // hidden-transform expansion: a filter on `ts` also prunes on
+    // `_tp_days_ts` through the recorded partition values
+    val filters = dataFilters ++
+      graft.ops.PartitionTransforms.expand(dataFilters, ptspec)
     val kept = statuses.filter { case (f, _) =>
-      dataFilters.forall(StatsPrune.mayMatch(view(f), _))
+      filters.forall(StatsPrune.mayMatch(view(f), _))
     }
     Seq(PartitionDirectory(InternalRow.empty, kept.map(_._2).toArray))
   }
@@ -617,16 +627,23 @@ class GraftPrunedFileIndex(spark: SparkSession, root: String,
     // decoded, so a selective query over a sorted 10M-row sidecar
     // costs a footer read plus the matching groups, not a full
     // row-at-a-time decode per planned query
-    val pd = SidecarPushdown.translate(dataFilters, phys,
+    // hidden-transform expansion first: the rewritten partition
+    // predicates prune through BOTH layers — the row-group pushdown
+    // (the synopsis carries partition columns) and the per-row
+    // StatsPrune pass
+    val filters = dataFilters ++ graft.ops.PartitionTransforms
+      .expand(dataFilters,
+        TxLog.partitionTransforms(root, Some(pi.version)))
+    val pd = SidecarPushdown.translate(filters, phys,
       TxLog.sidecarSynopsisAt(root, pi.cp))
     TxLog.scanCheckpointSidecar(root, pi.cp, pd) { fe =>
       !touched.contains(fe.path) &&
-        dataFilters.forall(StatsPrune.mayMatch(feView(fe), _))
+        filters.forall(StatsPrune.mayMatch(feView(fe), _))
     }.foreach(fe => emit(fe.path, fe.bytes, pi.cpMtime))
     // suffix-added files (small): same predicate over the commit-
     // recorded stats
     suffixLive
-      .filter(p => dataFilters.forall(
+      .filter(p => filters.forall(
         StatsPrune.mayMatch(suffixView(p), _)))
       .foreach(p => emit(p, sSizes.get(p), sMtimes.getOrElse(p, 0L)))
     // legacy files without log-recorded sizes: one batched listing
