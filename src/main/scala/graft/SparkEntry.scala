@@ -2631,8 +2631,10 @@ object SparkEntry {
     // repeat-co-purchase graph (parts co-ordered in >= 2 baskets);
     // degree-ordered orientation bounds the wedge join at m^1.5
     "q_triangles" -> ((s, dir) => {
+      // basketPairs is already distinct + checkpointed (session-shared):
+      // skip the operator's internal (g, i) de-dup shuffle
       val co = Graph.bipartiteProject(basketPairs(s, dir),
-        "g", "i", maxFanout = 1000, minShared = 2L)
+        "g", "i", maxFanout = 1000, minShared = 2L, assumeDistinct = true)
       Graph.triangleCounts(
         co.select(col("item_a").as("src"), col("item_b").as("dst")))
     }),
@@ -2647,8 +2649,9 @@ object SparkEntry {
     // Jaccard (int-derived IEEE division — reproducible unrounded, so
     // the top-k cut is deterministic without a rounding grid)
     "q_graph_related" -> ((s, dir) =>
+      // basketPairs is already distinct + checkpointed (session-shared)
       Graph.relatedByNeighbors(basketPairs(s, dir),
-        "g", "i", k = 100, minShared = 2L)),
+        "g", "i", k = 100, minShared = 2L, assumeDistinct = true)),
     // running aggregate + lag. The synthetic lineitem has NO unique
     // (orderkey, linenumber) key (unlike real TPC-H), so the ORDER BY
     // lists enough columns for a total order — full rows are unique —

@@ -488,7 +488,6 @@ object Dedup {
                          maxBucket: Int = 16, minBands: Int = 1): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(minBands >= 1 && minBands <= bands, "minBands must be in [1, bands]")
-    val rows = numHashes / bands
     // (doc_id, sh, nsh, k): persisted once (map-side only — no shuffle
     // feeds the persist), consumed by the rep aggregate, the rep-tag
     // join, and the rep shingle-table below
@@ -510,40 +509,35 @@ object Dedup {
     val nonEmpty = groups.filter(col("nsh") > 0)
     val reps = nonEmpty.filter(col("doc_id") === col("rep"))
       .select("doc_id", "sh")
-    // per-band bucket = hash of the band's minhash rows, computed
-    // directly from the persisted `sh` attribute (nested lambdas stay
-    // cheap: `sh` is a column reference, so nothing is re-derived per
-    // element) — one pass, numHashes × |sh| xxhash64 calls per doc.
-    // Eager localCheckpoint: the banded rows are tiny (bands rows per
-    // rep) but their plan is referenced by THREE consumers (bucket
-    // sizes, the kept semi-join, both self-join sides) — without the
-    // barrier the signature hashing runs once per consumer.
-    val banded = reps.select(col("doc_id"), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)), bnd =>
-          xxhash64(concat_ws(",",
-            transform(sequence(bnd * rows, (bnd + 1) * rows - 1),
-              i => array_min(transform(col("sh"), s => xxhash64(s, i))))), bnd)))
-      .as(Seq("band", "bucket")))
-      .localCheckpoint(true)
-    // the eager checkpoint above just materialized both caches; only
-    // `groups` is read from here on, so the pre-join cache can go now
+    // per-band bucket rows via the shared [[bandBuckets]] expression:
+    // each shingle string hashed ONCE, band minima derived from the
+    // longs. Lazy — the banded rows now have exactly ONE consumer (the
+    // bucket-grouping aggregate below), so the pre-r14 eager
+    // checkpoint (then: three consumers) would be a pure extra
+    // materialization.
+    val banded = reps
+      .select(col("doc_id"), hashedShingles(col("sh")).as("__hs"))
+      .select(col("doc_id"), posexplode(
+        bandBuckets(col("__hs"), numHashes, bands))
+        .as(Seq("band", "bucket")))
+    // groups' cache must be filled before the keyed cache is dropped
+    // (this barrier used to be the banded checkpoint)
+    groups.count()
     keyed.unpersist()
-    // bucket sizes via partial-agg groupBy; the oversized-bucket list is
-    // tiny so the semi-join back onto the banded rows broadcasts
-    // (measured faster than a window count over the same key, whose
-    // sort costs more than the extra aggregated pass)
-    val keptBuckets = banded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= maxBucket)
-      .select("band", "bucket")
-    val kept = banded.join(keptBuckets, Seq("band", "bucket"), "left_semi")
-    // the agreeing-band count per pair replaces a plain distinct — same
-    // single shuffle on the pair key, and the minBands filter rides it
-    val candidates = kept
-      .select(col("band"), col("bucket"), col("doc_id").as("rep_a"))
-      .join(kept.select(col("band"), col("bucket"), col("doc_id").as("rep_b")),
-        Seq("band", "bucket"))
-      .filter(col("rep_a") < col("rep_b"))
+    // candidate pairs by grouping each bucket's members into one sorted
+    // array (cap = a HAVING on the array size) and exploding ordered
+    // pairs MAP-SIDE: one aggregate replaces the pre-r14
+    // bucket-size aggregate + broadcast semi-join + bucket self-join
+    // (2 exchanges instead of 3 plan branches over the banded rows —
+    // guide §2.4). Per-bucket pair fanout is bounded by
+    // maxBucket·(maxBucket-1)/2; the agreeing-band count per pair
+    // rides the same pair-keyed shuffle the self-join shape used, and
+    // the minBands filter cuts the one-lucky-min-hash noise floor.
+    val candidates = banded.groupBy("band", "bucket")
+      .agg(sort_array(collect_list(col("doc_id"))).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucket))
+      .select(explode(orderedIdPairs(col("__ids"))).as("__p"))
+      .select(col("__p.a").as("rep_a"), col("__p.b").as("rep_b"))
       .groupBy("rep_a", "rep_b").agg(count(lit(1)).as("__nb"))
       .filter(col("__nb") >= minBands)
       .select("rep_a", "rep_b")
@@ -584,24 +578,59 @@ object Dedup {
 
   // ---------- MinHash LSH index at rest (incremental lifecycle) ----
 
-  /** Banded min-hash bucket rows `(rep, band, bucket)` for rep shingle
-    * sets `(rep, sh)` — the SAME banding expression as
-    * [[minHashLshVerified]]'s inline form, so a bucket is a pure
+  /** Each shingle hashed ONCE to its 64-bit key — the input to
+    * [[bandBuckets]]. One pass over the string bytes per set; every
+    * per-hash-function value derives from the long.
+    */
+  private def hashedShingles(sh: Column): Column =
+    transform(sh, s => xxhash64(s))
+
+  /** Per-band LSH bucket array over PRE-HASHED shingle keys `hs`:
+    * band b's bucket hashes its `numHashes/bands` min-hash values,
+    * each `min over shingles of xxhash64(shingleKey, i)`. ONE shared
+    * expression for the in-memory ([[minHashLshVerified]]) and
+    * at-rest ([[bandedBuckets]]) lifecycles, so a bucket stays a pure
     * function of (set, band) and base/delta banding agree by
     * construction (a delta rep lands in exactly the bucket a full
     * rebuild would put it in).
+    *
+    * r14 (guide §1.2 step 2, per-task work): the per-hash-function
+    * values hash the 8-byte shingle KEY instead of re-reading and
+    * re-hashing the string `numHashes` times, and the band bucket
+    * hashes the minima ARRAY directly instead of a string concat of
+    * decimal renderings. Bucket values differ from the pre-r14 draw —
+    * a candidates-only change: verification is exact Jaccard, and the
+    * recall argument (P(band agrees) = j per 1-row band) is
+    * hash-independent; the oracle rows re-assert exactness end to
+    * end, and the bucket-cap margins were re-measured (Scratch
+    * minhash-bucketstats).
+    */
+  private def bandBuckets(hs: Column, numHashes: Int, bands: Int): Column = {
+    val rows = numHashes / bands
+    transform(sequence(lit(0), lit(bands - 1)), bnd =>
+      xxhash64(transform(sequence(bnd * rows, (bnd + 1) * rows - 1),
+        i => array_min(transform(hs, h => xxhash64(h, i)))), bnd))
+  }
+
+  /** All ordered pairs (a < b) of a sorted distinct id array — the
+    * map-side pair expansion of a capped LSH bucket.
+    */
+  private def orderedIdPairs(ids: Column): Column =
+    flatten(transform(sequence(lit(1), size(ids) - 1),
+      i => transform(sequence(i + 1, size(ids)),
+        j => struct(element_at(ids, i).as("a"),
+          element_at(ids, j).as("b")))))
+
+  /** Banded min-hash bucket rows `(rep, band, bucket)` for rep shingle
+    * sets `(rep, sh)` — [[bandBuckets]] over the once-hashed set.
     */
   private def bandedBuckets(reps: DataFrame, numHashes: Int,
-                            bands: Int): DataFrame = {
-    val rows = numHashes / bands
-    reps.select(col("rep"), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)), bnd =>
-          xxhash64(concat_ws(",",
-            transform(sequence(bnd * rows, (bnd + 1) * rows - 1),
-              i => array_min(transform(col("sh"), s => xxhash64(s, i))))), bnd)))
-      .as(Seq("band", "bucket")))
+                            bands: Int): DataFrame =
+    reps.select(col("rep"), hashedShingles(col("sh")).as("__hs"))
+      .select(col("rep"), posexplode(
+        bandBuckets(col("__hs"), numHashes, bands))
+        .as(Seq("band", "bucket")))
       .select("rep", "band", "bucket")
-  }
 
   /** Bucket-capped, minBands-filtered candidate rep pairs between
     * `probe` banded rows and `all` banded rows (probe ⊆ all; at least
@@ -984,7 +1013,13 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val nextCount = next.count()
-      converged = nextCount == edgeCount && next.exceptAll(edges).isEmpty
+      // set-difference emptiness via LEFT ANTI join: both sides are
+      // distinct (smallStar ends in .distinct()), so anti-join
+      // emptiness ≡ exceptAll emptiness — without exceptAll's
+      // union/count-tagging/generate plan (one hash join vs three
+      // extra operators, only probed on count-equal rounds)
+      converged = nextCount == edgeCount &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
       edges = next // previous round's checkpoint blocks are GC-reclaimed
       edgeCount = nextCount
       iter += 1
@@ -1097,18 +1132,21 @@ object Dedup {
     require(minShared >= 1 && maxFpFreq >= 2,
       s"need minShared >= 1, maxFpFreq >= 2; got $minShared, $maxFpFreq")
     // a fingerprint can be selected at several positions of one doc —
-    // pair counting wants distinct (doc, fp). Eagerly materialized:
-    // three consumers (the frequency table and both self-join sides)
-    // would otherwise each re-run the winnowing scan of the corpus
-    val fps = TextAnalysis.winnow(docs, k, w)
-      .select(col("doc_id"), col("fp")).distinct().localCheckpoint(true)
-    val kept = fps.join(
-      fps.groupBy("fp").agg(count(lit(1)).as("__n"))
-        .filter(col("__n") <= maxFpFreq).select("fp"),
-      Seq("fp"))
-    kept.select(col("fp"), col("doc_id").as("doc_a"))
-      .join(kept.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
-      .filter(col("doc_a") < col("doc_b"))
+    // pair counting wants distinct (doc, fp). r14: ONE aggregate folds
+    // each fingerprint's documents into a sorted array (the frequency
+    // cap is a HAVING on its size) and the pairs explode MAP-SIDE —
+    // replacing the former frequency aggregate + cap join + self-join
+    // over the fingerprint key (guide §2.4; per-fp pair fanout stays
+    // bounded by maxFpFreq²/2). The winnowing scan now has ONE
+    // consumer, so the former eager checkpoint (then: three consumers)
+    // is gone too — nothing is materialized between scan and result.
+    TextAnalysis.winnow(docs, k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+      .groupBy("fp")
+      .agg(sort_array(collect_list(col("doc_id"))).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxFpFreq))
+      .select(explode(orderedIdPairs(col("__ids"))).as("__p"))
+      .select(col("__p.a").as("doc_a"), col("__p.b").as("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

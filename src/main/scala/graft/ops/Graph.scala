@@ -26,6 +26,18 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  // r14 note: replacing the per-round localCheckpoint of the
+  // fixed-iteration loops (pageRank / personalizedPageRank /
+  // labelPropagation) with a checkpoint-every-K cadence was tried and
+  // MEASURED SLOWER (q_ppr 1.76 s -> 3.69 s, q_pagerank 1.74 -> 2.50
+  // at sf0.1): without the materialization, each round's
+  // adjacency ⨝ state join loses the checkpointed state's accurate
+  // size statistics and plans as a SortMergeJoin that re-shuffles the
+  // adjacency every round (11 exchanges / 3 SMJ in one mega-plan, vs
+  // per-round broadcast of the node-sized state). The per-round
+  // checkpoint is load-bearing: it is what keeps every round's join
+  // a broadcast with the adjacency never shuffled. Kept.
+
   /** One-time fold of `edges` into the UNDIRECTED chunked adjacency
     * table `(src, dsts, outdeg)` (localCheckpointed) — each input edge
     * contributes both directions, duplicates collapse, and a node of
@@ -155,12 +167,17 @@ object Graph {
     * are reproducible and oracle-checkable (classic async LPA is
     * order-dependent by design; this is the synchronous variant).
     *
-    * Per-round shuffle shape: the exploded (node, neighbor-label)
-    * stream partial-aggregates map-side into (node, label) counts;
-    * the per-node argmax is TWO bounded windows — top-1 per
-    * (node, label-hash-bucket), then top-1 over the <= `buckets`
-    * survivors — so a web-scale hub never funnels its full distinct-
-    * label set through one window partition unsplit.
+    * Per-round shuffle shape (r14): the exploded (node, neighbor-label)
+    * stream partial-aggregates map-side into (node, label) counts; the
+    * per-node argmax is then ONE more hash aggregate —
+    * `min(struct(-count, label))` — whose struct ordering (count DESC,
+    * label ASC) is exactly the deterministic adoption rule. Both
+    * aggregates partial-combine map-side, so a web-scale hub's label
+    * distribution collapses before the wire and never funnels through
+    * a window sort: 2 exchanges and 0 sorts per round, vs the previous
+    * 3 exchanges + 2 window sorts (the hash-bucketed two-level window
+    * argmax this replaces; `buckets` is retained for source
+    * compatibility and no longer affects the plan).
     *
     * @return (node, label) after `iterations` rounds
     */
@@ -173,20 +190,14 @@ object Graph {
     val adj = prebuiltAdj.getOrElse(chunkedAdjacency(edges, maxFanout))
     var labels = adj.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-    val perBucket = Window.partitionBy("node", "__b")
-      .orderBy(desc("__cnt"), asc("label"))
-    val overall = Window.partitionBy("node")
-      .orderBy(desc("__cnt"), asc("label"))
     for (_ <- 1 to iterations) {
       labels = adj.join(labels, adj("src") === labels("node"))
         .select(explode(col("dsts")).as("node"), col("label"))
         .groupBy("node", "label").agg(count(lit(1)).as("__cnt"))
-        .withColumn("__b", pmod(xxhash64(col("label")), lit(buckets)))
-        .withColumn("__rb", row_number().over(perBucket))
-        .filter(col("__rb") === 1)
-        .withColumn("__r", row_number().over(overall))
-        .filter(col("__r") === 1)
-        .select(col("node"), col("label"))
+        .groupBy("node")
+        .agg(min(struct(negate(col("__cnt")).as("__nc"),
+          col("label").as("label"))).as("__m"))
+        .select(col("node"), col("__m.label").as("label"))
         .localCheckpoint()
     }
     labels
@@ -319,16 +330,39 @@ object Graph {
     */
   def bipartiteProject(pairs: DataFrame, groupCol: String, itemCol: String,
                        maxFanout: Int = 10000,
-                       minShared: Long = 1L): DataFrame = {
+                       minShared: Long = 1L,
+                       assumeDistinct: Boolean = false): DataFrame = {
     require(maxFanout >= 2, s"maxFanout must be >= 2: $maxFanout")
-    val sets = pairs.select(col(groupCol).as("__g"), col(itemCol).as("__i"))
-      .distinct()
+    pairCounts(groupSets(pairs, groupCol, itemCol, maxFanout,
+      assumeDistinct), minShared)
+  }
+
+  /** Per-group sorted distinct item arrays, hub-capped:
+    * `(__g, items)` with 2 <= size(items) <= maxFanout. The shared
+    * first stage of [[bipartiteProject]] and [[relatedByNeighbors]].
+    * `assumeDistinct = true` skips the (group, item) de-dup shuffle
+    * when the caller's input is already distinct on (group, item) —
+    * e.g. a checkpointed distinct pair table shared across queries
+    * (guide §2.4: don't re-shuffle data that already has the property).
+    */
+  private def groupSets(pairs: DataFrame, groupCol: String, itemCol: String,
+                        maxFanout: Int, assumeDistinct: Boolean): DataFrame = {
+    val base = pairs.select(col(groupCol).as("__g"), col(itemCol).as("__i"))
+    (if (assumeDistinct) base else base.distinct())
       .groupBy("__g")
       .agg(sort_array(collect_set(col("__i"))).as("items"))
       .filter(size(col("items")).between(2, maxFanout))
+  }
+
+  /** Ordered-pair co-occurrence counts over [[groupSets]] output: all
+    * item pairs of each group's sorted array, built MAP-SIDE (no
+    * group-keyed self-join), then one partial-aggregating count keyed
+    * on the pair.
+    */
+  private def pairCounts(sets: DataFrame, minShared: Long): DataFrame = {
     // all ordered pairs of the sorted array, built map-side; the array
-    // is an aggregate output so the filter above is a HAVING, not a
-    // pushable predicate (no HOF-inlining trap)
+    // is an aggregate output so the size filter above is a HAVING, not
+    // a pushable predicate (no HOF-inlining trap)
     val pairsExpr = flatten(transform(
       sequence(lit(1), size(col("items")) - 1),
       i => transform(sequence(i + 1, size(col("items"))),
@@ -421,19 +455,23 @@ object Graph {
     */
   def relatedByNeighbors(pairs: DataFrame, groupCol: String, itemCol: String,
                          k: Int, maxFanout: Int = 10000,
-                         minShared: Long = 1L): DataFrame = {
+                         minShared: Long = 1L,
+                         assumeDistinct: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    val distinctPairs = pairs
-      .select(col(groupCol).as("__g"), col(itemCol).as("__i"))
-      .distinct()
-      .localCheckpoint() // consumed twice: cap filter + degree count
-    val keptGroups = distinctPairs.groupBy("__g")
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n").between(2, maxFanout))
-      .select("__g")
-    val capped = distinctPairs.join(keptGroups, "__g")
-    val ideg = capped.groupBy("__i").agg(count(lit(1)).as("d"))
-    val co = bipartiteProject(capped, "__g", "__i", maxFanout, minShared)
+    // ONE aggregation builds the capped per-group item arrays; both the
+    // item degrees and the pair counts derive from it map-side. The
+    // previous shape paid a distinct + a group-size aggregate + a
+    // cap join + a separate degree aggregate, and then re-did the
+    // distinct AND the group aggregate inside bipartiteProject —
+    // 6 exchanges where 3 suffice (guide §2.4). Degrees counted by
+    // exploding the capped arrays equal the old per-item row counts
+    // over the capped distinct pairs (the arrays ARE those rows).
+    val sets = groupSets(pairs, groupCol, itemCol, maxFanout,
+      assumeDistinct)
+      .localCheckpoint() // consumed twice: degree count + pair explode
+    val ideg = sets.select(explode(col("items")).as("__i"))
+      .groupBy("__i").agg(count(lit(1)).as("d"))
+    val co = pairCounts(sets, minShared)
     co.join(ideg.select(col("__i").as("item_a"), col("d").as("da")), "item_a")
       .join(ideg.select(col("__i").as("item_b"), col("d").as("db")), "item_b")
       .select(col("item_a"), col("item_b"), col("shared"),

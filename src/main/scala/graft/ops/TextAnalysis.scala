@@ -292,40 +292,67 @@ object TextAnalysis {
     * trigram instances that are repeats within the document — the
     * standard cheap signals for machine-generated or boilerplate text.
     *
-    * One explode over all three gram sizes with a tag column, then two
-    * aggregations keyed on `(doc_id, …)` — doc_id in every shuffle key
-    * means no skew and map-side partial aggregation, so this scales
-    * with the scan. All ratios are exact integer-count divisions
-    * (bit-identical across engines, no rounding needed).
+    * Every metric is a function of ONE document, so the ideal plan has
+    * ZERO shuffles (guide §1.1): each gram size's stats are computed
+    * in-row by a codegen'd run-length fold over the doc's SORTED gram
+    * array (equal grams are adjacent after the sort — max run length =
+    * top-gram count, summed >1 runs = duplicated-instance count).
+    * This replaces the previous explode → (doc, n, gram) count →
+    * (doc) re-aggregate shape, which shuffled ~3x the corpus token
+    * count twice; now nothing crosses the wire but the per-doc result
+    * row, and cost scales with the scan. All ratios are exact
+    * integer-count divisions (bit-identical across engines, no
+    * rounding needed; equivalence with the exploded form is spec'd).
     */
   def repetitionStats(docs0: DataFrame, textCol: String = "text"): DataFrame = {
     val docs = graft.search.Analyzer.spread(docs0)
     val toks = col("__toks")
-    def grams(n: Int): Column =
-      if (n == 1) transform(toks, t => struct(lit(1).as("n"), t.as("gram")))
+    def gramArr(n: Int): Column =
+      if (n == 1) toks
       else when(size(toks) >= n,
         transform(sequence(lit(0), size(toks) - n),
-          i => struct(lit(n).as("n"),
-            concat_ws(" ", slice(toks, i + 1, lit(n))).as("gram"))))
-        .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    // run-length fold over the sorted gram array:
+    // (best = longest run, dups = sum of run lengths over runs > 1)
+    def runStats(gcol: Column): Column = {
+      val zero = struct(lit(null).cast("string").as("prev"),
+        lit(0L).as("run"), lit(0L).as("best"), lit(0L).as("dups"))
+      def closedRunDups(st: Column): Column =
+        st.getField("dups") + when(st.getField("run") > 1,
+          st.getField("run")).otherwise(lit(0L))
+      aggregate(sort_array(gcol), zero,
+        (st, x) => {
+          val same = x <=> st.getField("prev")
+          struct(x.as("prev"),
+            when(same, st.getField("run") + 1).otherwise(lit(1L)).as("run"),
+            when(same, st.getField("best"))
+              .otherwise(greatest(st.getField("best"), st.getField("run")))
+              .as("best"),
+            when(same, st.getField("dups")).otherwise(closedRunDups(st))
+              .as("dups"))
+        },
+        st => struct(
+          greatest(st.getField("best"), st.getField("run")).as("best"),
+          closedRunDups(st).as("dups")))
+    }
     docs
       .select(col("doc_id"), Analyzer.tokensCol(col(textCol)).as("__toks"))
-      .select(col("doc_id"), explode(concat(grams(1), grams(2), grams(3))).as("g"))
-      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
-      .groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(
-        sum(when(col("n") === 1, col("c"))).as("n_tokens"),
-        max(when(col("n") === 1, col("c"))).as("top_token"),
-        sum(when(col("n") === 2, col("c"))).as("n_bigrams"),
-        max(when(col("n") === 2, col("c"))).as("top_bigram"),
-        sum(when(col("n") === 3, col("c"))).as("n_trigrams"),
-        sum(when(col("n") === 3 && col("c") > 1, col("c"))).as("dup_trigrams"))
+      // token-less docs produced no exploded rows in the previous
+      // shape and stay excluded
+      .filter(size(toks) > 0)
       .select(col("doc_id"),
-        col("n_tokens").cast("long").as("n_tokens"),
-        (col("top_token").cast("double") / col("n_tokens")).as("top_token_frac"),
-        (col("top_bigram").cast("double") / col("n_bigrams")).as("top_bigram_frac"),
-        (coalesce(col("dup_trigrams"), lit(0L)).cast("double") / col("n_trigrams"))
+        size(toks).cast("long").as("n_tokens"),
+        runStats(gramArr(1)).as("s1"),
+        when(size(toks) >= 2, size(toks) - 1).cast("long").as("n_bigrams"),
+        runStats(gramArr(2)).as("s2"),
+        when(size(toks) >= 3, size(toks) - 2).cast("long").as("n_trigrams"),
+        runStats(gramArr(3)).as("s3"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("s1.best").cast("double") / col("n_tokens")).as("top_token_frac"),
+        (when(col("n_bigrams").isNotNull, col("s2.best")).cast("double") /
+          col("n_bigrams")).as("top_bigram_frac"),
+        (col("s3.dups").cast("double") / col("n_trigrams"))
           .as("dup_trigram_frac"))
   }
 
@@ -366,14 +393,21 @@ object TextAnalysis {
   def dedupLines(docs0: DataFrame, textCol: String = "text",
                  lineSep: String = "\n"): DataFrame = {
     val docs = graft.search.Analyzer.spread(docs0)
+    // first-occurrence bookkeeping is keyed on the md5 LINE DIGEST:
+    // the aggregate's shuffle carries (digest, doc_id, line_no) — the
+    // line text itself crosses the wire only for the join + rebuild,
+    // one full-text shuffle fewer than grouping on the raw string
+    // (guide §2.3; md5 identity, the [[graft.ops.Dedup.exact]] class)
     val lines = docs
       .select(col("doc_id"),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(lineSep)))
           .as(Seq("idx", "line")))
-      .select(col("doc_id"), (col("idx") + 1).as("line_no"), col("line"))
-    val first = lines.groupBy("line")
+      .select(col("doc_id"), (col("idx") + 1).as("line_no"), col("line"),
+        md5(col("line")).as("__h"))
+    val first = lines.select(col("__h"), col("doc_id"), col("line_no"))
+      .groupBy("__h")
       .agg(min(struct(col("doc_id"), col("line_no"))).as("first_at"))
-    lines.join(first, "line")
+    lines.join(first, "__h")
       .withColumn("keep",
         struct(col("doc_id"), col("line_no")) === col("first_at"))
       .groupBy("doc_id")
@@ -417,11 +451,16 @@ object TextAnalysis {
     val docs = graft.search.Analyzer.spread(docs0, minBytesPerPartition = 0L)
     val toks = col("__toks")
     val tokenized = docs.select(col("doc_id"), split(col(textCol), " ").as("__toks"))
+    // spans ride the wire as 128-bit md5 digests, never as text: the
+    // k-token span string (~50-100 B) is only ever USED as an equality
+    // key, so the digest is shuffled instead (guide §2.3 — shuffle
+    // keys, not payloads; same md5 identity assumption as
+    // [[graft.ops.Dedup.exact]] / setDigest)
     val spans = tokenized
       .select(col("doc_id"), toks,
         posexplode(when(size(toks) >= k,
             transform(sequence(lit(0), size(toks) - k),
-              i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+              i => md5(concat_ws(" ", slice(toks, i + 1, lit(k))))))
           .otherwise(array().cast("array<string>"))).as(Seq("start", "span")))
       .select(col("doc_id"), col("start"), col("span"))
     val dupSpans = spans.groupBy("span")
@@ -1211,9 +1250,22 @@ object TextAnalysis {
     * model) instead of a DataFrame.
     */
   def trainLogRegWeights(docs: DataFrame, labelCol: Column,
-                         iterations: Int = 3, lr: Double = 0.5): Array[Double] = {
+                         iterations: Int = 3, lr: Double = 0.5): Array[Double] =
+    // features materialized ONCE: every iteration re-reads the narrow
+    // (y, f0..f3) frame instead of re-running the text-derived feature
+    // projection (split + digit regex over the raw corpus) per round
+    // (guide §1.2/§5: k passes over 40 bytes/doc, not k corpus scans;
+    // checkpoint blocks are GC-reclaimed once the weights are out)
+    trainOnFeatures(
+      logRegFeatures(docs, labelCol).localCheckpoint(true), iterations, lr)
+
+  /** Gradient-descent loop over a MATERIALIZED feature frame — the
+    * shared core of [[trainLogRegWeights]] and [[calibrationReport]]
+    * (which scores off the same materialized features).
+    */
+  private def trainOnFeatures(f: DataFrame,
+                              iterations: Int, lr: Double): Array[Double] = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
-    val f = logRegFeatures(docs, labelCol)
     var w = Array.fill(4)(0.0)
     for (_ <- 1 to iterations) {
       val err = fastSigmoid(marginCol(w)) - col("y")
@@ -1258,8 +1310,11 @@ object TextAnalysis {
     */
   def calibrationReport(docs: DataFrame, labelCol: Column,
                         iterations: Int = 3, lr: Double = 0.5): DataFrame = {
-    val w = trainLogRegWeights(docs, labelCol, iterations, lr)
-    val scored = logRegFeatures(docs, labelCol)
+    // one feature materialization feeds training AND scoring — the
+    // pre-r14 shape re-derived the text features iterations+1 times
+    val f = logRegFeatures(docs, labelCol).localCheckpoint(true)
+    val w = trainOnFeatures(f, iterations, lr)
+    val scored = f
       .select(col("y"), round(fastSigmoid(marginCol(w)), 6).as("p"))
       .withColumn("bucket", floor(col("p") * 100).cast("int"))
     scored.groupBy("bucket")

@@ -67,10 +67,15 @@ object Scratch {
               val nDocs = groups.count()
               val reps = groups.filter(col("nsh") > 0 && col("doc_id") === col("rep"))
               val nReps = reps.count()
-              val banded = reps.select(col("doc_id"), posexplode(
+              // mirrors the r14 banding: shingles hashed once, band
+              // minima from the longs, bucket = hash of the minima array
+              val banded = reps
+                .select(col("doc_id"),
+                  transform(col("sh"), s => xxhash64(s)).as("__hs"))
+                .select(col("doc_id"), posexplode(
                   transform(sequence(lit(0), lit(31)), bnd =>
-                    xxhash64(concat_ws(",", transform(sequence(bnd, bnd),
-                      i => array_min(transform(col("sh"), s => xxhash64(s, i))))), bnd)))
+                    xxhash64(transform(sequence(bnd, bnd),
+                      i => array_min(transform(col("__hs"), h => xxhash64(h, i)))), bnd)))
                 .as(Seq("band", "bucket")))
               val cap = 16
               val kept = banded.join(
@@ -1223,22 +1228,27 @@ object Scratch {
           timed("set groups (digest)")(groups.count())
           val reps = groups.filter(col("nsh") > 0 && col("doc_id") === col("rep"))
           timed("representatives")(reps.count())
-          val banded = reps.select(col("doc_id"), posexplode(
+          // mirrors the r14 banding + map-side bucket-pair expansion
+          val banded = reps
+            .select(col("doc_id"),
+              transform(col("sh"), s => xxhash64(s)).as("__hs"))
+            .select(col("doc_id"), posexplode(
               transform(sequence(lit(0), lit(31)), bnd =>
-                xxhash64(concat_ws(",", transform(sequence(bnd, bnd),
-                  i => array_min(transform(col("sh"), s => xxhash64(s, i))))), bnd)))
+                xxhash64(transform(sequence(bnd, bnd),
+                  i => array_min(transform(col("__hs"), h => xxhash64(h, i)))), bnd)))
             .as(Seq("band", "bucket")))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           timed("banded rows")(banded.count())
-          val kept = banded.join(
-            banded.groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
-              .filter(col("bsz") <= 16).select("band", "bucket"),
-            Seq("band", "bucket"), "left_semi")
-          val candidates = kept
-            .select(col("band"), col("bucket"), col("doc_id").as("rep_a"))
-            .join(kept.select(col("band"), col("bucket"), col("doc_id").as("rep_b")),
-              Seq("band", "bucket"))
-            .filter(col("rep_a") < col("rep_b"))
+          val idsCol = col("__ids")
+          val pairsOf = flatten(transform(sequence(lit(1), size(idsCol) - 1),
+            i => transform(sequence(i + 1, size(idsCol)),
+              j => struct(element_at(idsCol, i).as("a"),
+                element_at(idsCol, j).as("b")))))
+          val candidates = banded.groupBy("band", "bucket")
+            .agg(sort_array(collect_list(col("doc_id"))).as("__ids"))
+            .filter(size(col("__ids")).between(2, 16))
+            .select(explode(pairsOf).as("p"))
+            .select(col("p.a").as("rep_a"), col("p.b").as("rep_b"))
             .groupBy("rep_a", "rep_b").agg(count(lit(1)).as("nb"))
             .filter(col("nb") >= 2).select("rep_a", "rep_b")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1304,15 +1314,16 @@ object Scratch {
           val docs = search.Indexer.documents(spark, sfDir)
           val spark2 = docs.sparkSession
           import spark2.implicits._
-          val sh = ops.Dedup.shingles(docs, 3)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          val sigs = sh.select(col("doc_id"), col("shingle")).as[(Long, String)]
-            .groupByKey(_._1).mapValues(_._2)
-            .agg(new ops.MinHashAggregator(32).toColumn).toDF("doc_id", "sig")
-          val banded = sigs.select(col("doc_id"),
-            posexplode(transform(sequence(lit(0), lit(31)),
-              bnd => xxhash64(concat_ws(",",
-                slice(col("sig"), bnd + 1, lit(1))), bnd))).as(Seq("band", "bucket")))
+          // mirrors the r14 banding (hash-once longs, array-hash bucket)
+          val banded = ops.Dedup.shingleSets(docs, 3)
+            .filter(size(col("sh")) > 0)
+            .select(col("doc_id"),
+              transform(col("sh"), s => xxhash64(s)).as("__hs"))
+            .select(col("doc_id"), posexplode(
+              transform(sequence(lit(0), lit(31)), bnd =>
+                xxhash64(transform(sequence(bnd, bnd),
+                  i => array_min(transform(col("__hs"), h => xxhash64(h, i)))), bnd)))
+              .as(Seq("band", "bucket")))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val bsz = banded.groupBy("band", "bucket").agg(count("*").as("bsz"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
