@@ -488,24 +488,31 @@ object Dedup {
                          maxBucket: Int = 16, minBands: Int = 1): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(minBands >= 1 && minBands <= bands, "minBands must be in [1, bands]")
-    // (doc_id, sh, nsh, k): persisted once (map-side only — no shuffle
-    // feeds the persist), consumed by the rep aggregate, the rep-tag
-    // join, and the rep shingle-table below
-    val keyed = keyedSets(docs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (doc_id, sh, nsh, k): materialized once as RAW row blocks
+    // (eager localCheckpoint), consumed by the rep aggregate, the
+    // rep-tag join, and the rep shingle-table below. r14: this was a
+    // columnar persist(); for rows that are mostly large string
+    // arrays the columnar cache conversion wrote ~2 s of compressed
+    // batches at sf0.1 while the checkpoint stores the UnsafeRows
+    // as-is — and the LogicalRDD barrier still stops filter pushdown
+    // from inlining the tokenizer into the shingle lambdas (the
+    // measured-6× trap, see keyedSets). Blocks are GC-reclaimed once
+    // the (checkpointed) result drops the reference.
+    val keyed = keyedSets(docs, n).localCheckpoint(true)
     // smallest doc_id per distinct set: a fixed-width codegen hash
     // aggregate over (k, doc_id) — the arrays never enter the shuffle
     val repIds = keyed.groupBy("k").agg(min("doc_id").as("rep"))
-    // tag every doc with its rep; at small scale AQE broadcasts the
-    // narrow repIds side, at scale it is a sort-merge join whose sort
-    // key is the 32-hex digest, never the array. Persisted because the
-    // verify/expansion joins read it five times; materialized by the
-    // eager banded checkpoint below, after which `keyed` is dropped.
-    // Shingle-less docs (fewer than n tokens) can't pair — excluded
-    // here, against the persisted rows, NOT below the projection (see
-    // keyedSets)
+    // downstream subtrees re-derive the tiny repIds aggregate +
+    // rep-tag join from the checkpointed rows per consumer instead of
+    // persisting `groups` — the pre-r14 groups cache stored the SAME
+    // fat shingle arrays a second time, for a table whose
+    // re-derivation is a node-sized aggregate + broadcast join. At
+    // small scale AQE broadcasts the narrow repIds side; at scale the
+    // rep-tag join is a sort-merge join whose sort key is the 32-hex
+    // digest, never the array. Shingle-less docs (fewer than n tokens)
+    // can't pair — excluded against the materialized rows, NOT below
+    // the projection (see keyedSets).
     val groups = keyed.join(repIds, "k")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nonEmpty = groups.filter(col("nsh") > 0)
     val reps = nonEmpty.filter(col("doc_id") === col("rep"))
       .select("doc_id", "sh")
@@ -517,13 +524,10 @@ object Dedup {
     // materialization.
     val banded = reps
       .select(col("doc_id"), hashedShingles(col("sh")).as("__hs"))
+      .select(col("doc_id"), minhashMinima(col("__hs"), numHashes).as("__mins"))
       .select(col("doc_id"), posexplode(
-        bandBuckets(col("__hs"), numHashes, bands))
+        bandBuckets(col("__mins"), numHashes, bands))
         .as(Seq("band", "bucket")))
-    // groups' cache must be filled before the keyed cache is dropped
-    // (this barrier used to be the banded checkpoint)
-    groups.count()
-    keyed.unpersist()
     // candidate pairs by grouping each bucket's members into one sorted
     // array (cap = a HAVING on the array size) and exploding ordered
     // pairs MAP-SIDE: one aggregate replaces the pre-r14
@@ -571,9 +575,7 @@ object Dedup {
     // CacheManager for the rest of the session (persist() is never
     // auto-cleaned; checkpoint blocks are GC-reclaimed by the
     // ContextCleaner once the result is unreachable)
-    val result = crossPairs.unionByName(withinPairs).localCheckpoint(true)
-    groups.unpersist()
-    result
+    crossPairs.unionByName(withinPairs).localCheckpoint(true)
   }
 
   // ---------- MinHash LSH index at rest (incremental lifecycle) ----
@@ -585,31 +587,42 @@ object Dedup {
   private def hashedShingles(sh: Column): Column =
     transform(sh, s => xxhash64(s))
 
-  /** Per-band LSH bucket array over PRE-HASHED shingle keys `hs`:
-    * band b's bucket hashes its `numHashes/bands` min-hash values,
-    * each `min over shingles of xxhash64(shingleKey, i)`. ONE shared
-    * expression for the in-memory ([[minHashLshVerified]]) and
-    * at-rest ([[bandedBuckets]]) lifecycles, so a bucket stays a pure
-    * function of (set, band) and base/delta banding agree by
+  /** Per-hash-function min-hash minima of a pre-hashed shingle-key
+    * array, as a COLUMN bound once per row (callers project it, then
+    * band over the column reference — an inline subtree would be
+    * duplicated per band). Native one-pass kernel; values bit-equal
+    * to `array_min(transform(hs, h => xxhash64(h, i)))` (spec-pinned).
+    */
+  private def minhashMinima(hs: Column, numHashes: Int): Column =
+    graft.functions.MinHashMinima.of(hs, numHashes)
+
+  /** Per-band LSH bucket array over the per-function MINIMA column:
+    * band b's bucket hashes its `numHashes/bands` consecutive minima.
+    * ONE shared expression for the in-memory ([[minHashLshVerified]])
+    * and at-rest ([[bandedBuckets]]) lifecycles, so a bucket stays a
+    * pure function of (set, band) and base/delta banding agree by
     * construction (a delta rep lands in exactly the bucket a full
     * rebuild would put it in).
     *
     * r14 (guide §1.2 step 2, per-task work): the per-hash-function
     * values hash the 8-byte shingle KEY instead of re-reading and
-    * re-hashing the string `numHashes` times, and the band bucket
-    * hashes the minima ARRAY directly instead of a string concat of
-    * decimal renderings. Bucket values differ from the pre-r14 draw —
-    * a candidates-only change: verification is exact Jaccard, and the
-    * recall argument (P(band agrees) = j per 1-row band) is
-    * hash-independent; the oracle rows re-assert exactness end to
-    * end, and the bucket-cap margins were re-measured (Scratch
-    * minhash-bucketstats).
+    * re-hashing the string `numHashes` times (one xxhash64 of the
+    * string per shingle, then longs), the minima are computed in ONE
+    * native pass over the key array ([[graft.functions.MinHashMinima]])
+    * instead of `numHashes` HOF traversals each allocating a
+    * transformed array, and the band bucket hashes the minima ARRAY
+    * directly instead of a string concat of decimal renderings.
+    * Bucket values differ from the pre-r14 draw — a candidates-only
+    * change: verification is exact Jaccard, and the recall argument
+    * (P(band agrees) = j per 1-row band) is hash-independent; the
+    * oracle rows re-assert exactness end to end, and the bucket-cap
+    * margins were re-measured (Scratch minhash-bucketstats: 0 missed
+    * true pairs, min agreeing bands 22/32, max bucket 20).
     */
-  private def bandBuckets(hs: Column, numHashes: Int, bands: Int): Column = {
+  private def bandBuckets(mins: Column, numHashes: Int, bands: Int): Column = {
     val rows = numHashes / bands
     transform(sequence(lit(0), lit(bands - 1)), bnd =>
-      xxhash64(transform(sequence(bnd * rows, (bnd + 1) * rows - 1),
-        i => array_min(transform(hs, h => xxhash64(h, i)))), bnd))
+      xxhash64(slice(mins, bnd * rows + 1, lit(rows)), bnd))
   }
 
   /** All ordered pairs (a < b) of a sorted distinct id array — the
@@ -622,13 +635,15 @@ object Dedup {
           element_at(ids, j).as("b")))))
 
   /** Banded min-hash bucket rows `(rep, band, bucket)` for rep shingle
-    * sets `(rep, sh)` — [[bandBuckets]] over the once-hashed set.
+    * sets `(rep, sh)` — [[bandBuckets]] over the once-hashed,
+    * once-minimized set.
     */
   private def bandedBuckets(reps: DataFrame, numHashes: Int,
                             bands: Int): DataFrame =
     reps.select(col("rep"), hashedShingles(col("sh")).as("__hs"))
+      .select(col("rep"), minhashMinima(col("__hs"), numHashes).as("__mins"))
       .select(col("rep"), posexplode(
-        bandBuckets(col("__hs"), numHashes, bands))
+        bandBuckets(col("__mins"), numHashes, bands))
         .as(Seq("band", "bucket")))
       .select("rep", "band", "bucket")
 

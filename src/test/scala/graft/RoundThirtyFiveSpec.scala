@@ -149,6 +149,30 @@ class RoundThirtyFiveSpec extends AnyFunSuite {
     }
   }
 
+  test("MinHashMinima ≡ array_min(transform(hs, h => xxhash64(h, i))) per i") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)(Seq.fill(1 + rnd.nextInt(40))(rnd.nextLong())) ++
+      Seq(Seq(0L), Seq(Long.MinValue, Long.MaxValue))
+    val df = rows.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+      .toDF("id", "hs")
+    val numHashes = 32
+    val colForm = df.select(col("id"),
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform(col("hs"), h => xxhash64(h, i)))).as("m"))
+    val native = df.select(col("id"),
+      graft.functions.MinHashMinima.of(col("hs"), numHashes).as("m"))
+    val a = colForm.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = native.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a === b)
+    // empty array -> all-null minima, like array_min(empty) = NULL
+    val empty = Seq((0L, Seq.empty[Long])).toDF("id", "hs")
+    val e = empty.select(
+      graft.functions.MinHashMinima.of(col("hs"), 4).as("m")).collect()(0)
+    assert(e.getSeq[Any](0) === Seq(null, null, null, null))
+  }
+
   test("clusters anti-join convergence probe still converges and labels") {
     val s = spark
     import s.implicits._

@@ -1304,6 +1304,70 @@ object Scratch {
             .groupBy(xxhash64(col("sh")).as("shh"))
             .agg(min("doc_id").as("rep"), count(lit(1)).as("k"))
             .agg(sum("rep"), sum("k")).first())
+        } else if (n == "tok-t1") {
+          // how much of a corpus pass is the regex tokenizer itself?
+          import org.apache.spark.sql.functions._
+          val docs = search.Indexer.documents(spark, sfDir)
+          def timed[T](label: String)(f: => T): T = {
+            val s = System.nanoTime(); val r = f
+            println(f"  $label%-30s ${(System.nanoTime() - s) / 1e9}%.2f s")
+            r
+          }
+          docs.count()
+          for (_ <- 1 to 2) {
+            timed("scan only (noop)")(docs.select("doc_id", "text")
+              .write.format("noop").mode("overwrite").save())
+            timed("lower+split ws (noop)")(docs.select(col("doc_id"),
+              split(lower(col("text")), " ", -1).as("t"))
+              .write.format("noop").mode("overwrite").save())
+            timed("tokensCol regex (noop)")(docs.select(col("doc_id"),
+              search.Analyzer.tokensCol(col("text")).as("t"))
+              .write.format("noop").mode("overwrite").save())
+            timed("tokensCol + explode (noop)")(docs.select(col("doc_id"),
+              explode(search.Analyzer.tokensCol(col("text"))).as("t"))
+              .write.format("noop").mode("overwrite").save())
+          }
+        } else if (n == "mh-full") {
+          // end-to-end minHashLshVerified wall time, 3 repetitions
+          import org.apache.spark.sql.functions._
+          val docs = search.Indexer.documents(spark, sfDir)
+          docs.count()
+          for (r <- 1 to 3) {
+            val t1 = System.nanoTime()
+            val c = ops.Dedup.minHashLshVerified(docs, 3, 32, 32, 0.2, 16, 2).count()
+            println(f"  full[$r] ${(System.nanoTime() - t1) / 1e9}%.2f s  pairs=$c")
+          }
+        } else if (n == "mh-t2") {
+          // keyed-sets persist (fat arrays, 2 consumers) vs recompute
+          // (map-side pipeline runs twice, no columnar cache write):
+          // which materialization strategy wins for the rep-collapse?
+          import org.apache.spark.sql.functions._
+          val docs = search.Indexer.documents(spark, sfDir)
+          def timed[T](label: String)(f: => T): T = {
+            val s = System.nanoTime(); val r = f
+            println(f"  $label%-34s ${(System.nanoTime() - s) / 1e9}%.2f s  $r")
+            r
+          }
+          def keyed() = ops.Dedup.shingleSets(docs, 3)
+            .select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"),
+              ops.Dedup.setDigest(col("sh")).as("k"))
+          timed("warm")(docs.count())
+          for (round <- 1 to 2) {
+            val kA = keyed()
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            timed(s"A$round: keyed persist+count")(kA.count())
+            val gA = kA.join(kA.groupBy("k").agg(min("doc_id").as("rep")), "k")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            timed(s"A$round: groups persist+count")(gA.count())
+            gA.unpersist(true); kA.unpersist(true)
+            val kB = keyed()
+            val gB = kB.join(
+                kB.select("k", "doc_id").groupBy("k").agg(min("doc_id").as("rep")),
+                "k")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            timed(s"B$round: groups persist+count (no keyed cache)")(gB.count())
+            gB.unpersist(true)
+          }
         } else if (n == "minhash-bucketstats") {
           // picks maxBucket for minHashLshVerified: bucket-size
           // distribution of the 1-row-band LSH, and for each candidate
