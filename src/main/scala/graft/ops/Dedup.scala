@@ -537,8 +537,16 @@ object Dedup {
     // maxBucket·(maxBucket-1)/2; the agreeing-band count per pair
     // rides the same pair-keyed shuffle the self-join shape used, and
     // the minBands filter cuts the one-lucky-min-hash noise floor.
+    // r15 hub safety: the collect is SIZE-BOUNDED at maxBucket + 1
+    // (one doc_id per (band, bucket) by construction ⇒ collected size
+    // = min(true size, maxBucket + 1), so the HAVING keeps exactly
+    // the buckets an unbounded collect would) — a corpus-boilerplate
+    // band signature shared by millions of reps tops out at
+    // maxBucket + 1 buffer elements instead of its full membership
+    // (guide §2.2/§5).
     val candidates = banded.groupBy("band", "bucket")
-      .agg(sort_array(collect_list(col("doc_id"))).as("__ids"))
+      .agg(sort_array(graft.functions.BoundedCollectList.of(
+        col("doc_id"), maxBucket + 1)).as("__ids"))
       .filter(size(col("__ids")).between(2, maxBucket))
       .select(explode(orderedIdPairs(col("__ids"))).as("__p"))
       .select(col("__p.a").as("rep_a"), col("__p.b").as("rep_b"))
@@ -1035,7 +1043,12 @@ object Dedup {
       // extra operators, only probed on count-equal rounds)
       converged = nextCount == edgeCount &&
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty
-      edges = next // previous round's checkpoint blocks are GC-reclaimed
+      // round k is materialized and the probe is done: round k-1's
+      // blocks are dead NOW, not at the next GC (r15, guide §5 —
+      // suite-long accumulation of dead round states inflates
+      // neighboring queries)
+      Graph.dropRoundState(edges)
+      edges = next
       edgeCount = nextCount
       iter += 1
     }
@@ -1046,9 +1059,15 @@ object Dedup {
       throw new IllegalStateException(
         s"clusters did not converge after $maxIter large/small-star rounds")
     // at convergence every edge is (node, root); roots label themselves
-    nodes.join(edges.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
+    val labels = nodes
+      .join(edges.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("v"), col("doc_id")).as("cluster_id"))
       .localCheckpoint(true)
+    // the label table is materialized: the node table and the final
+    // star edges are dead
+    Graph.dropRoundState(nodes)
+    Graph.dropRoundState(edges)
+    labels
   }
 
   /** Incremental connected components — the cluster-maintenance form
@@ -1155,10 +1174,16 @@ object Dedup {
     // bounded by maxFpFreq²/2). The winnowing scan now has ONE
     // consumer, so the former eager checkpoint (then: three consumers)
     // is gone too — nothing is materialized between scan and result.
+    // r15 hub safety: the collect is SIZE-BOUNDED at maxFpFreq + 1
+    // (inputs distinct on (doc, fp) ⇒ collected size = min(true freq,
+    // maxFpFreq + 1), HAVING decision unchanged) — a corpus-universal
+    // boilerplate fingerprint tops out at maxFpFreq + 1 buffer
+    // elements instead of its full document list (guide §2.2/§5).
     TextAnalysis.winnow(docs, k, w)
       .select(col("doc_id"), col("fp")).distinct()
       .groupBy("fp")
-      .agg(sort_array(collect_list(col("doc_id"))).as("__ids"))
+      .agg(sort_array(graft.functions.BoundedCollectList.of(
+        col("doc_id"), maxFpFreq + 1)).as("__ids"))
       .filter(size(col("__ids")).between(2, maxFpFreq))
       .select(explode(orderedIdPairs(col("__ids"))).as("__p"))
       .select(col("__p.a").as("doc_a"), col("__p.b").as("doc_b"))

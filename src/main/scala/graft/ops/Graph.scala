@@ -38,6 +38,27 @@ object Graph {
   // checkpoint is load-bearing: it is what keeps every round's join
   // a broadcast with the adjacency never shuffled. Kept.
 
+  /** Eagerly unpersist the blocks behind a round-state localCheckpoint
+    * once the round that consumed it is materialized (r15, guide §5):
+    * the ContextCleaner reclaims checkpoint blocks only when a GC
+    * notices the RDD is unreachable, so inside a long suite every
+    * iteration of every graph query leaves its dead round states in
+    * the block manager until the next full GC — storage pressure that
+    * inflates NEIGHBORING queries (judged: q_ppr suite median 4.2 s vs
+    * solo 1.0 s at r14). A no-op for any frame that is not itself a
+    * checkpoint (the analyzed plan root is not a LogicalRDD), so
+    * session-shared inputs like the prebuilt adjacency — where the
+    * checkpoint is the root but the caller still owns it — are only
+    * ever dropped by their owners. Plans are unchanged; only the
+    * lifetime of dead blocks shrinks.
+    */
+  private[ops] def dropRoundState(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** One-time fold of `edges` into the UNDIRECTED chunked adjacency
     * table `(src, dsts, outdeg)` (localCheckpointed) — each input edge
     * contributes both directions, duplicates collapse, and a node of
@@ -67,13 +88,17 @@ object Graph {
       .distinct()
       .localCheckpoint()
     val deg = und.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    und.join(deg, "src")
+    val adj = und.join(deg, "src")
       .withColumn("__chunk", pmod(xxhash64(col("dst")),
         greatest(lit(1L), ceil(col("outdeg") / maxFanout.toDouble).cast("long"))))
       .groupBy(col("src"), col("__chunk"))
       .agg(collect_list(col("dst")).as("dsts"), first(col("outdeg")).as("outdeg"))
       .select(col("src"), col("dsts"), col("outdeg"))
       .localCheckpoint()
+    // the adjacency is materialized: the deduped edge list's blocks
+    // are dead (both its consumers — deg and the fold — just ran)
+    dropRoundState(und)
+    adj
   }
 
   /** PageRank by power iteration over the undirected view of `edges`.
@@ -102,6 +127,7 @@ object Graph {
     var ranks = adj.select(col("src").as("node")).distinct()
       .withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iterations) {
+      val prev = ranks
       ranks = adj.join(ranks, adj("src") === ranks("node"))
         .select(explode(col("dsts")).as("node"),
           (col("rank") / col("outdeg")).as("__c"))
@@ -109,6 +135,7 @@ object Graph {
         .agg((lit((1.0 - damping) / n) +
           lit(damping) * sum(col("__c"))).as("rank"))
         .localCheckpoint()
+      dropRoundState(prev) // round k is materialized; k-1's blocks are dead
     }
     ranks
   }
@@ -147,6 +174,7 @@ object Graph {
           .as("rank"))
       .localCheckpoint()
     for (_ <- 1 to iterations) {
+      val prev = ranks
       ranks = adj.join(ranks, adj("src") === ranks("node"))
         .select(explode(col("dsts")).as("node"),
           (col("rank") / col("outdeg")).as("__c"))
@@ -156,7 +184,9 @@ object Graph {
           (when(col("__s").isNotNull, lit((1.0 - damping) / sN))
             .otherwise(lit(0.0)) + lit(damping) * col("__in")).as("rank"))
         .localCheckpoint()
+      dropRoundState(prev) // round k is materialized; k-1's blocks are dead
     }
+    dropRoundState(seeds) // last consumer was the final round's join
     ranks
   }
 
@@ -191,6 +221,7 @@ object Graph {
     var labels = adj.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to iterations) {
+      val prev = labels
       labels = adj.join(labels, adj("src") === labels("node"))
         .select(explode(col("dsts")).as("node"), col("label"))
         .groupBy("node", "label").agg(count(lit(1)).as("__cnt"))
@@ -199,6 +230,7 @@ object Graph {
           col("label").as("label"))).as("__m"))
         .select(col("node"), col("__m.label").as("label"))
         .localCheckpoint()
+      dropRoundState(prev) // round k is materialized; k-1's blocks are dead
     }
     labels
   }
@@ -253,10 +285,16 @@ object Graph {
       if (deg.filter(col("deg") < k).isEmpty) converged = true
       else {
         val keep = deg.filter(col("deg") >= k).select("src")
+        val prev = und
         und = und
           .join(keep, Seq("src"), "left_semi")
           .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
           .localCheckpoint()
+        // the peeled edge set is materialized: the previous round's
+        // edges and this round's degree table are dead (the converged
+        // round's deg is left for GC — the result plan reads only und)
+        dropRoundState(prev)
+        dropRoundState(deg)
       }
     }
     und.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -299,8 +337,15 @@ object Graph {
         .join(visited, Seq("node"), "left_anti")
         .select(col("node"), lit(d.toLong).as("dist"))
         .localCheckpoint()
+      val prevVisited = visited
+      val prevFrontier = frontier
       visited = visited.union(next).localCheckpoint()
       frontier = next
+      // the new visited/frontier are materialized; the previous
+      // round's state blocks are dead (round 1's frontier IS the
+      // initial visited — double-unpersist of one RDD is a no-op)
+      dropRoundState(prevVisited)
+      dropRoundState(prevFrontier)
     }
     visited
   }
@@ -344,13 +389,24 @@ object Graph {
     * when the caller's input is already distinct on (group, item) —
     * e.g. a checkpointed distinct pair table shared across queries
     * (guide §2.4: don't re-shuffle data that already has the property).
+    *
+    * Hub safety (r15): the collect is SIZE-BOUNDED at `maxFanout + 1`
+    * elements ([[graft.functions.BoundedCollectList]]) — the input is
+    * distinct on (group, item), so the collected size is exactly
+    * `min(true fanout, maxFanout + 1)` and the HAVING keeps exactly
+    * the groups an unbounded `collect_set` would keep, with identical
+    * contents. A web-scale hub group (fanout ≫ cap) now tops out at
+    * `maxFanout + 1` buffer elements instead of materializing its
+    * whole member list before being discarded (guide §2.2/§5).
     */
   private def groupSets(pairs: DataFrame, groupCol: String, itemCol: String,
                         maxFanout: Int, assumeDistinct: Boolean): DataFrame = {
+    require(maxFanout < Int.MaxValue, s"maxFanout must be < Int.MaxValue")
     val base = pairs.select(col(groupCol).as("__g"), col(itemCol).as("__i"))
     (if (assumeDistinct) base else base.distinct())
       .groupBy("__g")
-      .agg(sort_array(collect_set(col("__i"))).as("items"))
+      .agg(sort_array(graft.functions.BoundedCollectList.of(
+        col("__i"), maxFanout + 1)).as("items"))
       .filter(size(col("items")).between(2, maxFanout))
   }
 
@@ -358,17 +414,29 @@ object Graph {
     * item pairs of each group's sorted array, built MAP-SIDE (no
     * group-keyed self-join), then one partial-aggregating count keyed
     * on the pair.
+    *
+    * r15 (bounded in-row expansion): pairs are generated in TWO
+    * explode steps — first the head index `x` (one output row per
+    * array position), then that index's pairs
+    * `(items[x], y) for y in items[x+1..]` — so one row holds at most
+    * `fanout` pair structs, where the previous single
+    * `flatten(transform(transform(...)))` materialized ALL
+    * `fanout²/2` structs of a group in ONE row (~GBs for a
+    * maxFanout=10000 group) before exploding. Same pairs, same order
+    * class; per-row memory drops from O(fanout²) to O(fanout).
     */
   private def pairCounts(sets: DataFrame, minShared: Long): DataFrame = {
-    // all ordered pairs of the sorted array, built map-side; the array
-    // is an aggregate output so the size filter above is a HAVING, not
-    // a pushable predicate (no HOF-inlining trap)
-    val pairsExpr = flatten(transform(
-      sequence(lit(1), size(col("items")) - 1),
-      i => transform(sequence(i + 1, size(col("items"))),
-        j => struct(element_at(col("items"), i).as("item_a"),
-          element_at(col("items"), j).as("item_b")))))
-    sets.select(explode(pairsExpr).as("p"))
+    // the array is an aggregate output so the size filter above is a
+    // HAVING, not a pushable predicate (no HOF-inlining trap);
+    // size >= 2 is guaranteed by groupSets' HAVING, so sequence(1,
+    // size-1) is never descending
+    sets
+      .select(col("items"),
+        explode(sequence(lit(1), size(col("items")) - 1)).as("__x"))
+      .select(explode(transform(
+        slice(col("items"), col("__x") + 1, size(col("items")) - col("__x")),
+        y => struct(get(col("items"), col("__x") - 1).as("item_a"),
+          y.as("item_b")))).as("p"))
       .groupBy(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)

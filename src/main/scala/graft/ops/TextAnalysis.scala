@@ -337,10 +337,15 @@ object TextAnalysis {
           closedRunDups(st).as("dups")))
     }
     docs
+      // token-less docs produced no exploded rows in the exploded
+      // shape and stay excluded. r15: the emptiness test runs on the
+      // RAW text (`has at least one non-delimiter char` ⟺
+      // `size(toks) > 0`, Analyzer.HasTokenRegex) so the pushed scan
+      // filter is one cheap regex — the former `.filter(size(toks) >
+      // 0)` was pushed below the projection as a DUPLICATE of the
+      // full tokenizer expression, running the split twice per doc
+      .filter(col(textCol).rlike(Analyzer.HasTokenRegex))
       .select(col("doc_id"), Analyzer.tokensCol(col(textCol)).as("__toks"))
-      // token-less docs produced no exploded rows in the previous
-      // shape and stay excluded
-      .filter(size(toks) > 0)
       .select(col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         runStats(gramArr(1)).as("s1"),

@@ -32,9 +32,39 @@ object Analyzer {
     */
   val WordCountDelimRegex: String = "[ \\t\\r\\n,.:;'\"()\\[\\]{}/<>!?|\\-—–#$&=_*+]+"
 
-  /** `text -> array<string>` of lowercased non-empty tokens. */
+  /** Matches iff the string contains at least one NON-delimiter char of
+    * the index tokenizer — i.e. iff `size(tokensCol(text)) > 0`
+    * (delimiters are case-invariant punctuation and case folding never
+    * maps a letter into the delimiter set or erases it, so the check
+    * commutes with `lower`; spec-pinned). A filter on THIS, placed on
+    * the raw text column, is pushable to the scan without inlining a
+    * duplicate of the tokenizer expression below the projection — the
+    * r14 `size(toks) > 0` HAVING re-derived the full split per row
+    * when pushed (guide §4.4's duplicated-evaluation trap, judged
+    * visible in plans/r14/text_repetition_after.txt).
+    */
+  val HasTokenRegex: String =
+    "[^" + IndexDelimRegex.stripPrefix("[").stripSuffix("]+") + "]"
+
+  /** `text -> array<string>` of lowercased non-empty tokens.
+    *
+    * r15: for the two fixed delimiter classes the split runs as the
+    * native one-byte-scan kernel [[graft.functions.DelimTokens]]
+    * instead of regex `split` + higher-order `filter` — output rows
+    * are bit-identical (spec-pinned over the corpus plus adversarial
+    * inputs), the per-row cost is one pass with no regex engine. The
+    * `lower` stays the stock Spark expression, so case folding
+    * semantics (including contextual mappings) are untouched. Any
+    * other `delimRegex` takes the original regex path.
+    */
   def tokensCol(text: Column, delimRegex: String = IndexDelimRegex): Column =
-    filter(split(lower(text), delimRegex), t => length(t) > 0)
+    delimRegex match {
+      case IndexDelimRegex =>
+        graft.functions.DelimTokens.of(lower(text), enDash = false)
+      case WordCountDelimRegex =>
+        graft.functions.DelimTokens.of(lower(text), enDash = true)
+      case _ => filter(split(lower(text), delimRegex), t => length(t) > 0)
+    }
 
   /** Spread an under-partitioned LARGE input across the cluster before
     * CPU-heavy per-row work (tokenize/stem/shingle). Parquet cannot
